@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** SparkSession factory. One place owns the scale-relevant config so every
+  * entry point (Verify, Bench, tests, pipelines) executes with the same
+  * engine characteristics:
+  *
+  *  - AQE on: runtime coalescing of shuffle partitions, skew-join splitting,
+  *    and dynamic broadcast conversion — the knobs that keep the same plan
+  *    viable from sf0.001 up to cluster scale.
+  *  - shuffle.partitions sized to the local core count (the prompt's
+  *    local[32]); on a real cluster this is AQE's initial partition number,
+  *    not a hard setting.
+  *  - UTC session timezone so timestamp semantics match the DuckDB oracle.
+  */
+object Engine {
+
+  def defaultCpus: Int =
+    sys.env.get("SPARK_GRAFT_CPUS").flatMap(c => scala.util.Try(c.toInt).toOption)
+      .getOrElse(32)
+
+  def session(appName: String = "graft", cpus: Int = defaultCpus): SparkSession = {
+    val b = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.parquet.filterPushdown", "true")
+    val spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

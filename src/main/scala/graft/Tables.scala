@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{functions => F}
+
+/** Schema-enforced readers over the fixture parquet (SURVEY §2.1 S1).
+  *
+  * The reference extracts with hand-written `SELECT col, ...` lists pushed to
+  * SQL Server (`etl_category.py:12`, `etl_product.py:12-23`). Here the scan is
+  * declarative: `spark.read.schema(...).parquet(...)` and Catalyst pushes both
+  * column pruning and predicate filters into the parquet reader — verified via
+  * `.explain` (`PushedFilters`, `ReadSchema`).
+  */
+object Tables {
+
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def path(dir: String, name: String): String = s"$dir/$name.parquet"
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = name match {
+    case "events" =>
+      // The fixture stores ts as parquet TIMESTAMP(NANOS), which Spark's
+      // reader rejects outright; read it as epoch-nanos and truncate to the
+      // engine's µs precision (matches how the oracle's ns values behave
+      // under any sub-second-insensitive operation).
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.schema(Schemas.eventsRaw).parquet(path(dir, name))
+        .select(
+          F.col("event_id"),
+          F.timestamp_micros(F.expr("ts div 1000")).as("ts"),
+          F.col("user_id"), F.col("event_type"), F.col("value"), F.col("props"))
+    case _ =>
+      spark.read.schema(Schemas.all(name)).parquet(path(dir, name))
+  }
+
+  /** Register every fixture table as a temp view (for the SQL surface). */
+  def registerViews(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+}
