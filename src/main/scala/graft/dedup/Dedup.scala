@@ -1,0 +1,172 @@
+package graft.dedup
+
+import graft.functions.{TextFunctions => T, VectorFunctions => V}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Deduplication operators for a training-data pipeline (SURVEY §2.11 / the
+  * builder mandate), designed shuffle-first for 100 TB corpora:
+  *
+  *  - exact:   one hash-partitioned groupBy on the dedup key — the minimum
+  *             possible shuffle; no driver-side state.
+  *  - MinHash: per-row signature (narrow map) → explode to (band, docId)
+  *             — b rows per doc — → shuffle on band bucket → join inside
+  *             buckets only. Candidate volume is governed by the banding
+  *             parameters, never by corpus², and the exact-Jaccard
+  *             verification runs only on candidates.
+  *  - SimHash: per-row 64-bit fingerprint → 8×8-bit band buckets → pairs by
+  *             bucket → Hamming filter via bit_count(xor).
+  *
+  * Everything is seeded/deterministic: same corpus → same pairs, on any
+  * cluster layout.
+  */
+object Dedup {
+
+  /** Exact dedup: canonical keep-id (min doc_id) + multiplicity per distinct
+    * key. `dropDuplicates` gives an arbitrary survivor; min() gives a
+    * deterministic one. */
+  def exact(docs: DataFrame, key: String = "text", id: String = "doc_id"): DataFrame =
+    docs.groupBy(col(key))
+      .agg(min(col(id)).as("keep_id"), count(lit(1)).as("dup_count"))
+
+  // ---------------------------------------------------------------- MinHash
+
+  /** numPerms hash permutations grouped into bands of `rowsPerBand`.
+    * Permutation i re-hashes each shingle hash with the salt i via xxhash64
+    * (overflow-free under ANSI mode, deterministic across executors). */
+  final case class MinHashParams(
+      shingleLen: Int = 3,
+      numPerms: Int = 64,
+      rowsPerBand: Int = 4) {
+    def bands: Int = numPerms / rowsPerBand
+  }
+
+  /** doc_id, shingles (distinct xxhash64 of word n-grams), sig (minhash
+    * signature array of length numPerms). */
+  def minHashSignatures(docs: DataFrame, p: MinHashParams): DataFrame = {
+    val sh = T.shingleHashes(col("text"), p.shingleLen)
+    val sigCols: Seq[Column] = (0 until p.numPerms).map { i =>
+      array_min(transform(col("shingles"), h => xxhash64(h, lit(i))))
+    }
+    docs
+      .select(col("doc_id"), sh.as("shingles"))
+      .filter(size(col("shingles")) > 0)
+      .withColumn("sig", array(sigCols: _*))
+  }
+
+  /** Candidate pairs from LSH banding, verified with exact Jaccard over the
+    * shingle sets; returns (doc_a, doc_b, jaccard_x1e6) with doc_a < doc_b. */
+  def minHashPairs(docs: DataFrame, p: MinHashParams = MinHashParams(),
+      minJaccardX1e6: Long = 800000L): DataFrame = {
+    val sigs = minHashSignatures(docs, p)
+
+    // band key: hash of (band index, the band's slice of the signature)
+    val bandKeys = (0 until p.bands).map { j =>
+      struct(lit(j).as("band"),
+        xxhash64(concat_ws(",",
+          slice(col("sig"), j * p.rowsPerBand + 1, p.rowsPerBand))).as("bkey"))
+    }
+    val exploded = sigs
+      .select(col("doc_id"), col("shingles"), explode(array(bandKeys: _*)).as("bk"))
+      .select(col("doc_id"), col("shingles"),
+        col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+
+    val left = exploded.select(
+      col("band"), col("bkey"),
+      col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
+    val right = exploded.select(
+      col("band"), col("bkey"),
+      col("doc_id").as("doc_b"), col("shingles").as("sh_b"))
+
+    val cand = left.join(right,
+        Seq("band", "bkey")).filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "sh_a", "sh_b")
+      .dropDuplicates("doc_a", "doc_b") // same pair may collide in many bands
+
+    cand
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast(LongType))
+      .withColumn("uni",
+        size(col("sh_a")).cast(LongType) + size(col("sh_b")).cast(LongType) - col("inter"))
+      .withColumn("jaccard_x1e6", floor(lit(1000000.0) * col("inter") / col("uni")))
+      .filter(col("jaccard_x1e6") >= minJaccardX1e6)
+      .select("doc_a", "doc_b", "jaccard_x1e6")
+  }
+
+  // ---------------------------------------------------------------- SimHash
+
+  /** doc_id + 64-bit SimHash fingerprint. */
+  def simHashes(docs: DataFrame, shingleLen: Int = 3): DataFrame =
+    docs.select(col("doc_id"),
+        T.shingleHashes(col("text"), shingleLen).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), T.simHash(col("sh")).as("simhash"))
+
+  /** Near-dup pairs by Hamming distance ≤ maxHamming, found via 8×8-bit band
+    * buckets (a pair within Hamming 7 of a 64-bit hash must agree exactly on
+    * at least one of 8 bands — pigeonhole). */
+  def simHashPairs(docs: DataFrame, maxHamming: Int = 6): DataFrame = {
+    val hashed = simHashes(docs)
+    val bands = (0 until 8).map { j =>
+      struct(lit(j).as("band"),
+        shiftright(col("simhash"), j * 8).bitwiseAND(lit(0xffL)).as("bkey"))
+    }
+    val exploded = hashed.select(col("doc_id"), col("simhash"),
+        explode(array(bands: _*)).as("bk"))
+      .select(col("doc_id"), col("simhash"),
+        col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    val l = exploded.select(col("band"), col("bkey"),
+      col("doc_id").as("doc_a"), col("simhash").as("sim_a"))
+    val r = exploded.select(col("band"), col("bkey"),
+      col("doc_id").as("doc_b"), col("simhash").as("sim_b"))
+    l.join(r, Seq("band", "bkey")).filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "sim_a", "sim_b")
+      .dropDuplicates("doc_a", "doc_b")
+      .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+  }
+
+  // ------------------------------------------------- n-gram Jaccard (exact)
+
+  /** Exact word-bigram Jaccard for a linear pair stream (adjacent doc_ids) —
+    * the verification kernel of the dedup family, O(n) pairs so it scales and
+    * stays DuckDB-oracle-checkable. Pair *discovery* at scale is MinHash's
+    * job (minHashPairs). */
+  def adjacentNgramJaccard(docs: DataFrame, n: Int = 2): DataFrame = {
+    val grams = docs.select(col("doc_id"),
+      array_distinct(T.wordShingles(col("text"), n)).as("g"))
+    val a = grams.select(col("doc_id").as("doc_a"), col("g").as("g_a"))
+    val b = grams.select(col("doc_id").as("doc_b"), col("g").as("g_b"))
+    a.join(b, col("doc_b") === col("doc_a") + 1)
+      .withColumn("inter", size(array_intersect(col("g_a"), col("g_b"))).cast(LongType))
+      .withColumn("uni",
+        size(col("g_a")).cast(LongType) + size(col("g_b")).cast(LongType) - col("inter"))
+      .select(col("doc_a"), col("doc_b"),
+        when(col("uni") > 0, floor(lit(1000000.0) * col("inter") / col("uni")))
+          .otherwise(lit(0L)).as("jaccard_x1e6"))
+  }
+
+  // --------------------------------------------- embedding cosine near-dup
+
+  /** Embedding near-dup candidates via random-hyperplane LSH buckets: only
+    * vectors sharing a bucket are compared (corpus² never materializes), then
+    * exact cosine ranks the candidates. Returns the top `k` candidate pairs
+    * by cosine (desc) — threshold-free so the operator is observable on any
+    * corpus. */
+  def embeddingNearDups(embs: DataFrame, dim: Int, bits: Int = 8,
+      seed: Long = 42L, k: Int = 20): DataFrame = {
+    val sig = embs.select(col("vec_id"), col("embedding"),
+      V.hyperplaneSignature(col("embedding"), dim, bits, seed).as("bucket"))
+    val a = sig.select(col("bucket"),
+      col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
+    val b = sig.select(col("bucket"),
+      col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
+    a.join(b, Seq("bucket")).filter(col("vec_a") < col("vec_b"))
+      .withColumn("cos_x1e6",
+        floor(V.cosine(col("emb_a"), col("emb_b")) * 1000000.0))
+      .select("vec_a", "vec_b", "cos_x1e6")
+      .orderBy(desc("cos_x1e6"), col("vec_a"), col("vec_b"))
+      .limit(k)
+  }
+}

@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DataType
+
+/** The reference's transform vocabulary (SURVEY §2.2–§2.3) as small,
+  * individually-tested functions over DataFrame. Each cites the pandas
+  * operation it re-expresses.
+  */
+
+/** P1–P3: rename / project-reorder / drop — `df.rename(columns=...)`,
+  * `df[[cols]]`, `df.drop(...)` (`etl_category.py:26-31`,
+  * `etl_product.py:38-58`, `etl_orders.py:42,69-83`). */
+object Conform {
+  def renameAll(df: DataFrame, renames: Map[String, String]): DataFrame =
+    renames.foldLeft(df) { case (d, (from, to)) => d.withColumnRenamed(from, to) }
+
+  /** Project to exactly `cols` in order — the schema-conformance step the
+    * reference debugs at length (`Project Plan5.md:171`). */
+  def project(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.select(cols.map(col): _*)
+
+  def drop(df: DataFrame, cols: String*): DataFrame = df.drop(cols: _*)
+}
+
+/** P4–P5: derived columns and null-on-error coercion. */
+object Derive {
+  /** The ExtendedPrice formula verbatim (`etl_orders.py:39`). */
+  def extendedPrice(qty: Column, unitPrice: Column, discount: Column): Column =
+    qty * unitPrice * (lit(1.0) - discount)
+
+  /** `pd.to_numeric(errors='coerce')` (`etl_product.py:45-46`): invalid →
+    * NULL, never throw — try_cast, because plain cast is ANSI-strict in
+    * Spark 4. */
+  def tryCastCol(df: DataFrame, from: String, to: String, dt: DataType): DataFrame =
+    df.withColumn(to, col(from).try_cast(dt))
+}
+
+/** J2: the surrogate-key lookup — `pd.merge(left_on=..., right_on=...,
+  * how='left')` + drop of the duplicated key column (`etl_orders.py:57-75`).
+  * The dimension side is broadcast: the fact never shuffles for a lookup. */
+object Lookup {
+  def surrogate(fact: DataFrame, dim: DataFrame,
+      factKey: String, dimKey: String): DataFrame =
+    fact.join(broadcast(dim), fact(factKey) === dim(dimKey), "left")
+      .drop(dim(dimKey))
+}
+
+/** IDENTITY surrogate keys (SURVEY §1): dense, deterministic row_number over
+  * a natural key. A global window is intentional and correct for dimension
+  * tables (small by definition); fact-scale keys should use
+  * `monotonically_increasing_id` (non-dense, shuffle-free) instead. */
+object SurrogateKey {
+  def dense(df: DataFrame, orderCol: String, keyName: String): DataFrame =
+    df.withColumn(keyName,
+      row_number().over(Window.orderBy(col(orderCol))).cast("long"))
+
+  def sparse(df: DataFrame, keyName: String): DataFrame =
+    df.withColumn(keyName, monotonically_increasing_id())
+}
+
+/** S4 + S6: truncate-and-reload sink and the empty-input guard
+  * (`etl_category.py:37-71`, `etl_orders.py:92-137`). `mode("overwrite")` IS
+  * the reference's TRUNCATE + batch INSERT + commit/rollback: Spark's commit
+  * protocol makes the swap atomic. */
+object Load {
+  /** Returns false (and writes nothing) on empty input — the reference's
+    * "skip load when extract failed" guard (`etl_category.py:38-40`). */
+  def overwrite(df: DataFrame, path: String): Boolean = {
+    if (df.isEmpty) false
+    else { df.write.mode("overwrite").parquet(path); true }
+  }
+}
+
+/** V1–V3: the reference's post-load audit queries (`Project Plan6.md:154-163`)
+  * as reusable checks. */
+object Audit {
+  /** V1: row count equals expectation. */
+  def rowCount(df: DataFrame): Long = df.count()
+
+  /** V2: failed surrogate-key lookups — "should return 0 rows". */
+  def nullKeyCount(df: DataFrame, keyCol: String): Long =
+    df.filter(col(keyCol).isNull).count()
+
+  /** V3: top-k by a metric for eyeball verification. */
+  def topK(df: DataFrame, metric: String, k: Int): DataFrame =
+    df.orderBy(desc(metric)).limit(k)
+}

@@ -1,0 +1,202 @@
+package graft.queries
+
+import graft.Tables
+import graft.ann.Knn
+import graft.dedup.Dedup
+import graft.functions.{TextFunctions => T}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The LLM-data-pipeline extension operators (SURVEY §2.11) as declared
+  * queries: dedup family, similarity search, text analysis. Oracle SQL is
+  * provided wherever the semantics are SQL-expressible in DuckDB without a
+  * corpus² blow-up; the remaining queries are deterministic (seeded hashes,
+  * total ordering) and covered by unit tests + the rows-only check.
+  */
+object Extensions {
+
+  /** q26 exact dedup: deterministic survivor + multiplicity per distinct text. */
+  def q26(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exact(Tables.load(spark, dir, "documents"))
+      .select("keep_id", "dup_count")
+      .orderBy("keep_id")
+
+  val q26Sql =
+    """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
+      |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin
+
+  /** q27 MinHash+LSH near-dup pairs (shingle→minhash→band→bucket-join→
+    * exact-Jaccard verify). Spark-only: pair discovery is not expressible in
+    * SQL without corpus²; determinism is seeded. */
+  def q27(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minHashPairs(Tables.load(spark, dir, "documents"))
+      .orderBy("doc_a", "doc_b")
+
+  /** q28 SimHash near-dup pairs (Hamming ≤ 6 via 8×8-bit bands). */
+  def q28(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simHashPairs(Tables.load(spark, dir, "documents"))
+      .orderBy("doc_a", "doc_b")
+
+  /** q29 exact word-bigram Jaccard over a linear pair stream — the dedup
+    * verification kernel, oracle-checked. */
+  def q29(spark: SparkSession, dir: String): DataFrame =
+    Dedup.adjacentNgramJaccard(Tables.load(spark, dir, "documents"))
+      .orderBy("doc_a")
+
+  val q29Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      |), grams AS (
+      |  SELECT DISTINCT doc_id,
+      |    unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS bg
+      |  FROM toks
+      |), gsets AS (
+      |  SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id
+      |), inter AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+      |  FROM grams a JOIN grams b ON b.doc_id = a.doc_id + 1 AND a.bg = b.bg
+      |  GROUP BY 1, 2
+      |)
+      |SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b,
+      |  CAST(FLOOR(1000000.0 * COALESCE(i.i, 0) / (sa.n + sb.n - COALESCE(i.i, 0))) AS BIGINT)
+      |    AS jaccard_x1e6
+      |FROM gsets sa JOIN gsets sb ON sb.doc_id = sa.doc_id + 1
+      |LEFT JOIN inter i ON i.doc_a = sa.doc_id
+      |ORDER BY doc_a""".stripMargin
+
+  /** q30 embedding near-dup candidates via hyperplane-LSH buckets + exact
+    * cosine (top-20). Spark-only (seeded LSH). */
+  def q30(spark: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingNearDups(Tables.load(spark, dir, "embeddings"), dim = 64)
+      .orderBy(desc("cos_x1e6"), col("vec_a"), col("vec_b"))
+
+  /** q31 brute-force cosine top-10 vs the vec_id=0 embedding — oracle-checked
+    * similarity-search baseline. */
+  def q31(spark: SparkSession, dir: String): DataFrame = {
+    val embs = Tables.load(spark, dir, "embeddings")
+    Knn.bruteForce(embs, Knn.queryVector(embs, 0L), excludeId = 0L, k = 10)
+  }
+
+  val q31Sql =
+    """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+      |pairs AS (
+      |  SELECT e.vec_id,
+      |    CAST(unnest(e.embedding) AS DOUBLE) AS x,
+      |    CAST(unnest(q.qe) AS DOUBLE) AS y
+      |  FROM embeddings e CROSS JOIN q
+      |  WHERE e.vec_id <> 0
+      |)
+      |SELECT vec_id,
+      |  CAST(FLOOR(SUM(x*y) / (SQRT(SUM(x*x)) * SQRT(SUM(y*y))) * 10000.0) AS BIGINT)
+      |    AS cos_x10k
+      |FROM pairs GROUP BY vec_id
+      |ORDER BY cos_x10k DESC, vec_id LIMIT 10""".stripMargin
+
+  /** q32 LSH-bucketed approximate top-10 (multi-probe Hamming ≤ 1).
+    * Spark-only (seeded LSH). */
+  def q32(spark: SparkSession, dir: String): DataFrame = {
+    val embs = Tables.load(spark, dir, "embeddings")
+    Knn.lshTopK(embs, Knn.queryVector(embs, 0L), excludeId = 0L, k = 10, dim = 64)
+  }
+
+  /** q33 per-document quality stats: token count, avg word length (×100),
+    * quality flag — all integer math, oracle-checked. */
+  def q33(spark: SparkSession, dir: String): DataFrame = {
+    val t = col("text")
+    val spaces = length(t) - length(regexp_replace(t, " ", ""))
+    val toks = (spaces + 1).cast(LongType)
+    val awl = floor(lit(100.0) * (length(t) - spaces) / toks)
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), toks.as("n_tokens"), awl.as("awl_x100"),
+        (toks >= 5 && toks <= 1000 && awl >= 200 && awl <= 1500)
+          .cast(IntegerType).as("quality_ok"))
+      .orderBy("doc_id")
+  }
+
+  val q33Sql =
+    """WITH m AS (
+      |  SELECT doc_id,
+      |    length(text) - length(replace(text, ' ', '')) AS spaces,
+      |    length(replace(text, ' ', '')) AS nonspace
+      |  FROM documents
+      |)
+      |SELECT doc_id,
+      |  CAST(spaces + 1 AS BIGINT) AS n_tokens,
+      |  CAST(FLOOR(100.0 * nonspace / (spaces + 1)) AS BIGINT) AS awl_x100,
+      |  CAST(spaces + 1 BETWEEN 5 AND 1000
+      |    AND FLOOR(100.0 * nonspace / (spaces + 1)) BETWEEN 200 AND 1500
+      |    AS INTEGER) AS quality_ok
+      |FROM m ORDER BY doc_id""".stripMargin
+
+  /** q34 language-ID heuristic (marker-word scores → argmax), compared with
+    * the labeled lang — oracle-checked (the scoring arithmetic is identical
+    * length/replace math on both engines). */
+  def q34(spark: SparkSession, dir: String): DataFrame = {
+    val t = col("text")
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        T.langScore(t, T.langMarkers.find(_._1 == "en").get._2).as("score_en"),
+        T.langScore(t, T.langMarkers.find(_._1 == "de").get._2).as("score_de"),
+        T.langScore(t, T.langMarkers.find(_._1 == "fr").get._2).as("score_fr"),
+        T.langId(t).as("predicted"))
+      .withColumn("agree", (col("predicted") === col("lang")).cast(IntegerType))
+      .orderBy("doc_id")
+  }
+
+  val q34Sql = {
+    def occ(w: String) =
+      s"CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' $w ', ''))) / ${w.length + 2} AS BIGINT)"
+    val en = s"(${occ("the")} + ${occ("and")} + ${occ("of")})"
+    val de = s"(${occ("der")} + ${occ("und")} + ${occ("nicht")})"
+    val fr = s"(${occ("le")} + ${occ("et")} + ${occ("les")})"
+    s"""SELECT doc_id, lang, $en AS score_en, $de AS score_de, $fr AS score_fr,
+       |  CASE
+       |    WHEN $en >= $de AND $en >= $fr AND $en > 0 THEN 'en'
+       |    WHEN $de >= $fr AND $de > 0 THEN 'de'
+       |    WHEN $fr > 0 THEN 'fr'
+       |    ELSE 'und' END AS predicted,
+       |  CAST(CASE
+       |    WHEN $en >= $de AND $en >= $fr AND $en > 0 THEN 'en'
+       |    WHEN $de >= $fr AND $de > 0 THEN 'de'
+       |    WHEN $fr > 0 THEN 'fr'
+       |    ELSE 'und' END = lang AS INTEGER) AS agree
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  /** q35 document fingerprints: whole-text xxhash64, rolling polynomial
+    * fingerprint over the shingle-hash stream, winnowing min-hash.
+    * Spark-only (hash functions differ across engines by design). */
+  def q35(spark: SparkSession, dir: String): DataFrame = {
+    val sh = T.shingleHashes(col("text"), 3)
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        xxhash64(col("text")).as("xx64"),
+        T.rollingFingerprint(sh).as("rolling_fp"),
+        T.minShingleHash(sh).as("min_shingle"))
+      .orderBy("doc_id")
+  }
+
+  /** q36 subword (BPE-ish) token-count estimate per source — scales as a
+    * narrow map + one small aggregation. Spark-only (HOF-based estimate). */
+  def q36(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(col("source"), T.subwordCountEstimate(col("text")).as("subwords"),
+        T.tokenCount(col("text")).cast(LongType).as("words"))
+      .groupBy("source")
+      .agg(sum("subwords").as("total_subwords"), sum("words").as("total_words"))
+      .orderBy("source")
+
+  val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    ("q26_dedup_exact", q26 _, Some(q26Sql)),
+    ("q27_dedup_minhash_lsh", q27 _, None),
+    ("q28_dedup_simhash", q28 _, None),
+    ("q29_ngram_jaccard", q29 _, Some(q29Sql)),
+    ("q30_embed_neardup_lsh", q30 _, None),
+    ("q31_knn_cosine_brute", q31 _, Some(q31Sql)),
+    ("q32_knn_lsh", q32 _, None),
+    ("q33_text_quality", q33 _, Some(q33Sql)),
+    ("q34_langid", q34 _, Some(q34Sql)),
+    ("q35_fingerprint", q35 _, None),
+    ("q36_token_count", q36 _, None))
+}
