@@ -1,0 +1,83 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column support (SURVEY §2.11 X4): media travels as an opaque
+  * `BinaryType` payload with typed metadata, and per-item decode/featurize
+  * runs as a partition-parallel map — the Scala analog of a Pandas-UDF
+  * `mapInPandas` stage: one iterator pass per partition, no driver
+  * materialization, output schema declared up front.
+  *
+  * DECODE IS A STUB: this container has no image/audio codecs, so
+  * `decodeStub` derives deterministic fake features from the raw bytes.
+  * The Spark-side contract — schema, batching, partitioning, encoder
+  * signatures — is the real, tested part; swap `decodeStub` for a codec
+  * call in production.
+  */
+object Multimodal {
+
+  /** Typed rows crossing the mapPartitions boundary. */
+  final case class MediaItem(media_id: Long, kind: String, payload: Array[Byte])
+  final case class MediaFeatures(media_id: Long, features: Array[Float], n_bytes: Int)
+
+  /** Build an opaque media table from the documents fixture: the text bytes
+    * stand in for an encoded image/audio blob; metadata rides alongside as a
+    * typed struct. */
+  def mediaFromDocuments(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("media_id"),
+      lit("blob").as("kind"),
+      col("text").cast(BinaryType).as("payload"),
+      struct(col("n_chars").as("len"), col("lang").as("lang"),
+        col("source").as("source")).as("meta"))
+
+  /** STUB decoder: a real implementation would hand `bytes` to a codec;
+    * this one computes a normalized byte-value histogram so the pipeline is
+    * deterministic and testable end-to-end. */
+  private[multimodal] def decodeStub(bytes: Array[Byte], dims: Int): Array[Float] = {
+    val hist = new Array[Float](dims)
+    var i = 0
+    while (i < bytes.length) {
+      hist(((bytes(i) & 0xff) * dims) / 256) += 1f
+      i += 1
+    }
+    val n = math.max(bytes.length, 1).toFloat
+    hist.map(_ / n)
+  }
+
+  /** Feature extraction as a partition-parallel typed map. The iterator →
+    * iterator shape is the scalable contract: constant memory per partition,
+    * codecs initialized once per partition (not per row). */
+  def extractFeatures(media: DataFrame, dims: Int = 8): DataFrame = {
+    val items: Dataset[MediaItem] = media
+      .select("media_id", "kind", "payload").as(Encoders.product[MediaItem])
+    items.mapPartitions { it =>
+      // per-partition setup (codec init would go here)
+      it.map(m => MediaFeatures(m.media_id, decodeStub(m.payload, dims), m.payload.length))
+    }(Encoders.product[MediaFeatures]).toDF()
+  }
+
+  /** "Frame sampling" stub: split the payload into fixed-size chunks and keep
+    * every `stride`-th — the plumbing shape of video frame extraction
+    * (explodes into one row per kept frame). */
+  def sampleFrames(media: DataFrame, frameBytes: Int = 16, stride: Int = 4): DataFrame = {
+    val items = media.select("media_id", "kind", "payload").as(Encoders.product[MediaItem])
+    items.flatMap { m =>
+      m.payload.grouped(frameBytes).zipWithIndex
+        .collect { case (chunk, i) if i % stride == 0 => (m.media_id, i, chunk) }
+    }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaInt, Encoders.BINARY))
+      .toDF("media_id", "frame_no", "frame")
+  }
+
+  /** "Resize" stub: truncate or zero-pad the payload to `targetBytes` —
+    * the shape of an image resize (fixed-size output per row). */
+  def resizePayload(media: DataFrame, targetBytes: Int): DataFrame = {
+    val items = media.select("media_id", "kind", "payload").as(Encoders.product[MediaItem])
+    items.map { m =>
+      val out = java.util.Arrays.copyOf(m.payload, targetBytes)
+      MediaItem(m.media_id, m.kind, out)
+    }(Encoders.product[MediaItem]).toDF()
+  }
+}

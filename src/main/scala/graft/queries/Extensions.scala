@@ -187,6 +187,39 @@ object Extensions {
       .agg(sum("subwords").as("total_subwords"), sum("words").as("total_words"))
       .orderBy("source")
 
+  /** q37 multimodal plumbing: documents as opaque binary payloads →
+    * partition-parallel stub decode → per-source feature rollup. Float
+    * features are floored to integers per-row before the (order-independent)
+    * long sums, so the output is deterministic. Spark-only. */
+  def q37(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val media = graft.multimodal.Multimodal.mediaFromDocuments(docs)
+    val feats = graft.multimodal.Multimodal.extractFeatures(media)
+      .select(col("media_id"),
+        col("n_bytes").cast(LongType).as("n_bytes"),
+        // bucket 4 (1-based) spans bytes 96-127 — where ASCII text mass lands
+        floor(element_at(col("features"), 4).cast(DoubleType) * 1000000.0)
+          .as("f3_x1e6"))
+    feats.join(docs.select(col("doc_id"), col("source")),
+        feats("media_id") === col("doc_id"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"), sum("n_bytes").as("total_bytes"),
+        sum("f3_x1e6").as("sum_f3_x1e6"))
+      .orderBy("source")
+  }
+
+  /** q38 stateful sessionization (flatMapGroupsWithState, 30-min gap) —
+    * per-user session counts. Spark-only. */
+  def q38(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.load(spark, dir, "events")
+    graft.streaming.EventStream.sessionize(events).toDF()
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"),
+        sum("n_events").cast(LongType).as("events_in_sessions"),
+        max("n_events").as("max_session_events"))
+      .orderBy("user_id")
+  }
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q26_dedup_exact", q26 _, Some(q26Sql)),
     ("q27_dedup_minhash_lsh", q27 _, None),
@@ -198,5 +231,7 @@ object Extensions {
     ("q33_text_quality", q33 _, Some(q33Sql)),
     ("q34_langid", q34 _, Some(q34Sql)),
     ("q35_fingerprint", q35 _, None),
-    ("q36_token_count", q36 _, None))
+    ("q36_token_count", q36 _, None),
+    ("q37_multimodal_features", q37 _, None),
+    ("q38_sessionize", q38 _, None))
 }

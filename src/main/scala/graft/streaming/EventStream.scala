@@ -1,0 +1,94 @@
+package graft.streaming
+
+import graft.Schemas
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface (SURVEY §2.9 — absent in the reference,
+  * mandated by the extension brief): the event table consumed as a stream
+  * with watermarked windowed aggregation, plus stateful sessionization via
+  * flatMapGroupsWithState.
+  *
+  * The parquet fixture drives the stream (file source + pathGlobFilter), so
+  * tests run the exact batch data through the streaming engine and compare
+  * against the batch plan (q18).
+  */
+object EventStream {
+
+  /** The event stream, ns→µs-normalized like Tables.load. */
+  def readEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(Schemas.eventsRaw)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .select(
+        col("event_id"),
+        timestamp_micros(expr("ts div 1000")).as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+  }
+
+  /** Watermarked tumbling-hour aggregation — the streaming twin of the batch
+    * q18 (identical grouping + decimal-cents money math). */
+  def hourlyAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        (sum(col("value").cast(DecimalType(18, 2))) * lit(100))
+          .cast(LongType).as("sum_cents"))
+      .select(col("window.start").cast(StringType).as("hour"),
+        col("event_type"), col("n"), col("sum_cents"))
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  final case class SessionState(start: Long, last: Long, n: Int)
+  final case class Session(user_id: Long, start_ms: Long, end_ms: Long, n_events: Int)
+
+  /** Gap-based sessionization: a session closes after `gapMinutes` of
+    * inactivity (event-time), emitted via flatMapGroupsWithState — the
+    * custom-state primitive the brief calls for.
+    *
+    * `flushOpen=true` (batch analytics) also emits the still-open trailing
+    * session and clears state; leave false for a true incremental stream,
+    * where the open session must survive in state across triggers. */
+  def sessionize(events: DataFrame, gapMinutes: Int = 30,
+      flushOpen: Boolean = true): Dataset[Session] = {
+    val gapMs = gapMinutes * 60000L
+    implicit val longEnc = Encoders.scalaLong
+    implicit val eEnc = Encoders.product[Event]
+    implicit val sEnc = Encoders.product[SessionState]
+    implicit val outEnc = Encoders.product[Session]
+    events
+      .select("event_id", "ts", "user_id", "event_type", "value").as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
+          // Sort within group: correct for the batch-replay harness; a true
+          // incremental deployment would rely on per-trigger arrival order +
+          // watermark-bounded lateness instead of a full sort.
+          val evs = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val out = scala.collection.mutable.ArrayBuffer[Session]()
+          var st = state.getOption.orNull
+          for (e <- evs) {
+            val t = e.ts.getTime
+            st match {
+              case null => st = SessionState(t, t, 1)
+              case s if t - s.last <= gapMs => st = s.copy(last = t, n = s.n + 1)
+              case s =>
+                out += Session(userId, s.start, s.last, s.n)
+                st = SessionState(t, t, 1)
+            }
+          }
+          if (st != null) {
+            if (flushOpen) { out += Session(userId, st.start, st.last, st.n); state.remove() }
+            else state.update(st)
+          }
+          out.iterator
+      }
+  }
+}

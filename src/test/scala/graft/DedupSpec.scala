@@ -1,0 +1,68 @@
+package graft
+
+import graft.dedup.Dedup
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+
+  test("exact dedup: deterministic survivor + multiplicity") {
+    val d = docs((1L, "a b c"), (5L, "a b c"), (3L, "x y z"), (2L, "a b c"))
+    val out = Dedup.exact(d).orderBy("keep_id")
+      .as[(String, Long, Long)].collect()
+    assert(out.toSeq == Seq(("a b c", 1L, 3L), ("x y z", 3L, 1L)))
+  }
+
+  test("minhash LSH finds an exact duplicate pair with jaccard 1.0") {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val other = (100 to 140).map(i => s"tok$i").mkString(" ")
+    val d = docs((1L, base), (2L, base), (3L, other))
+    val pairs = Dedup.minHashPairs(d).as[(Long, Long, Long)].collect()
+    assert(pairs.toSeq == Seq((1L, 2L, 1000000L)))
+  }
+
+  test("minhash LSH finds a near-duplicate (one token changed)") {
+    val words = (1 to 60).map(i => s"tok$i")
+    val a = words.mkString(" ")
+    val b = words.updated(30, "CHANGED").mkString(" ")
+    val d = docs((1L, a), (2L, b), (3L, (200 to 260).map(i => s"z$i").mkString(" ")))
+    val pairs = Dedup.minHashPairs(d, minJaccardX1e6 = 800000L)
+      .as[(Long, Long, Long)].collect()
+    assert(pairs.length == 1 && pairs(0)._1 == 1L && pairs(0)._2 == 2L)
+    // 58 shingles each, 55 common → J = 55/61 ≈ 0.9016
+    assert(pairs(0)._3 == (1000000L * 55 / 61))
+  }
+
+  test("simhash: identical docs collide at hamming 0; unrelated docs don't pair") {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val other = (100 to 140).map(i => s"w$i").mkString(" ")
+    val d = docs((1L, base), (2L, base), (3L, other))
+    val pairs = Dedup.simHashPairs(d, maxHamming = 3)
+      .as[(Long, Long, Int)].collect()
+    assert(pairs.toSeq == Seq((1L, 2L, 0)))
+  }
+
+  test("adjacent n-gram jaccard: hand-computed value") {
+    // doc1 bigrams {a b, b c}; doc2 bigrams {a b, b x} → J = 1/3
+    val d = docs((1L, "a b c"), (2L, "a b x"))
+    val out = Dedup.adjacentNgramJaccard(d).as[(Long, Long, Long)].collect()
+    assert(out.toSeq == Seq((1L, 2L, 1000000L / 3)))
+  }
+
+  test("embedding near-dups: identical vectors rank first with cosine 1") {
+    val v1 = Seq.tabulate(8)(i => i.toFloat + 1)
+    val v2 = v1
+    val v3 = Seq.tabulate(8)(i => (8 - i).toFloat)
+    val embs = Seq((1L, v1), (2L, v2), (3L, v3)).toDF("vec_id", "embedding")
+    val out = Dedup.embeddingNearDups(embs, dim = 8, k = 3)
+      .as[(Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    assert(out.head._1 == 1L && out.head._2 == 2L)
+    assert(out.head._3 >= 999999L) // cos(v,v) ~ 1.0 (floor may give 999999)
+  }
+}

@@ -1,0 +1,87 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unit semantics for the §2 operator inventory on tiny literal frames, plus
+  * seeded property-style checks mirroring the reference's invariants
+  * (SURVEY §5): ExtendedPrice formula, left-join cardinality preservation,
+  * null-on-error coercion, overwrite idempotence. */
+class OperatorSemanticsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(42)
+
+  test("P1/P2 conform: rename + project + reorder") {
+    val df = Seq((1, "a", true)).toDF("id", "name", "flag")
+    val out = Conform.project(
+      Conform.renameAll(df, Map("id" -> "key", "name" -> "label")),
+      Seq("label", "key"))
+    assert(out.columns.toSeq == Seq("label", "key"))
+    assert(out.head.getString(0) == "a")
+  }
+
+  test("P4 ExtendedPrice formula matches direct computation (100 samples)") {
+    val cases = Seq.fill(100)(
+      (rnd.nextInt(100) + 1.0, rnd.nextDouble() * 10000, rnd.nextDouble() * 0.99))
+    val got = cases.toDF("q", "p", "d")
+      .select(col("q"), col("p"), col("d"),
+        Derive.extendedPrice(col("q"), col("p"), col("d")).as("x"))
+      .as[(Double, Double, Double, Double)].collect()
+    got.foreach { case (q, p, d, x) => assert(x == q * p * (1.0 - d)) }
+  }
+
+  test("P5 try_cast coerces invalid to null, never throws") {
+    val inputs = Seq("42", "-7", "", "12x", "abc", "9999999999999999999", " 3", "3.5")
+    val out = inputs.toDF("s")
+      .select(col("s"), col("s").try_cast(IntegerType).as("i"))
+      .collect()
+    val byIn = out.map(r => r.getString(0) -> (if (r.isNullAt(1)) None else Some(r.getInt(1)))).toMap
+    assert(byIn("42").contains(42))
+    assert(byIn("-7").contains(-7))
+    assert(byIn("").isEmpty)
+    assert(byIn("12x").isEmpty)
+    assert(byIn("abc").isEmpty)
+    assert(byIn("9999999999999999999").isEmpty) // overflow → null, not error
+  }
+
+  test("J2 lookup preserves left cardinality and drops the dim key (20 trials)") {
+    (1 to 20).foreach { _ =>
+      val keys = Seq.fill(rnd.nextInt(30) + 1)(rnd.nextInt(10) + 1L)
+      val fact = keys.zipWithIndex.map { case (k, i) => (i.toLong, k) }
+        .toDF("row_id", "fk")
+      val dim = (1L to 5L).map(k => (k, s"dim$k")).toDF("sk", "name")
+      val out = Lookup.surrogate(fact, dim, "fk", "sk")
+      assert(out.count() == keys.length) // left multiplicity invariant
+      assert(!out.columns.contains("sk"))
+      assert(out.filter(col("name").isNull).count() == keys.count(_ > 5))
+    }
+  }
+
+  test("IDENTITY analog: dense surrogate keys are 1..n in natural-key order") {
+    val df = Seq(30, 10, 20).map(k => (k, s"v$k")).toDF("nk", "v")
+    val out = SurrogateKey.dense(df, "nk", "sk").orderBy("sk")
+      .select("sk", "nk").as[(Long, Int)].collect()
+    assert(out.toSeq == Seq((1L, 10), (2L, 20), (3L, 30)))
+  }
+
+  test("S4/S6 overwrite load: empty guard + idempotent reload") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-load").toString
+    val path = s"$dir/t"
+    val empty = spark.range(0).toDF()
+    assert(!Load.overwrite(empty, path)) // S6: refuses empty input
+    val df = Seq((1, "a"), (2, "b")).toDF("k", "v")
+    assert(Load.overwrite(df, path))
+    assert(Load.overwrite(df, path)) // run twice — truncate-and-reload
+    assert(spark.read.parquet(path).count() == 2)
+  }
+
+  test("A1/P6 audits: count and null-key check") {
+    val df = Seq((1, Some(10L)), (2, None), (3, Some(30L))).toDF("id", "key")
+    assert(Audit.rowCount(df) == 3)
+    assert(Audit.nullKeyCount(df, "key") == 1)
+  }
+}

@@ -1,0 +1,41 @@
+package graft
+
+import graft.pipelines.MartPipelines
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end mart build on sf0.001 with the reference's own acceptance
+  * criteria automated (SURVEY §5): V1 count match, V2 zero null surrogate
+  * keys, V3 top-k audit; plus overwrite idempotence (run twice ⇒ same). */
+class PipelineSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("dim → fact build passes the V1-V3 audits, twice (idempotent)") {
+    val out = java.nio.file.Files.createTempDirectory("graft-mart").toString
+    val p = new MartPipelines(spark, sf, out)
+
+    assert(p.runAll())
+    val lineitemCount = Tables.load(spark, sf, "lineitem").count()
+    val first = p.auditFact()
+    assert(first.rows == lineitemCount) // V1: inner join preserves all lineitem rows
+    assert(first.nullKeys == 0)         // V2: every lookup resolved
+    val top1 = p.auditTop10.select("extended_price_cents").head.getLong(0)
+
+    assert(p.runAll()) // S4 truncate-and-reload: second run identical
+    val second = p.auditFact()
+    assert(second.rows == first.rows && second.nullKeys == 0)
+    assert(p.auditTop10.select("extended_price_cents").head.getLong(0) == top1)
+  }
+
+  test("dimension tables carry dense 1..n surrogate keys") {
+    val out = java.nio.file.Files.createTempDirectory("graft-mart2").toString
+    val p = new MartPipelines(spark, sf, out)
+    assert(p.runCategory() && p.runProduct())
+    val dim = spark.read.parquet(p.dimProductPath)
+    val n = dim.count()
+    val keys = dim.select("product_key").orderBy("product_key")
+      .collect().map(_.getLong(0))
+    assert(keys.toSeq == (1L to n).toSeq)
+  }
+}

@@ -1,0 +1,49 @@
+package graft
+
+import graft.streaming.EventStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming vs batch equivalence: the watermarked windowed agg over the
+  * event stream must reproduce the batch q18 result exactly (same grouping,
+  * same decimal money math). */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("streaming hourly agg == batch hourly agg") {
+    val stream = EventStream.hourlyAgg(EventStream.readEvents(spark, sf))
+    // complete mode: append would hold back the trailing windows that the
+    // watermark hasn't passed when the fixture stream ends
+    val q = stream.writeStream
+      .format("memory").queryName("hourly_out").outputMode("complete").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+
+    val streamed = spark.table("hourly_out")
+      .orderBy("hour", "event_type")
+      .collect().map(_.toSeq).toSeq
+    val batch = queries.Relational.q18(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(streamed.size == batch.size)
+    assert(streamed == batch)
+  }
+
+  test("sessionization: hand-built gaps produce the expected sessions") {
+    import spark.implicits._
+    def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
+    // user 7: events at t=0,10,20 | gap | t=60,65 → two sessions (3 and 2 events)
+    val df = Seq(
+      (1L, ts(0), 7L, "a", 1.0, "{}"),
+      (2L, ts(10), 7L, "a", 1.0, "{}"),
+      (3L, ts(20), 7L, "a", 1.0, "{}"),
+      (4L, ts(60), 7L, "a", 1.0, "{}"),
+      (5L, ts(65), 7L, "a", 1.0, "{}"),
+      (6L, ts(0), 8L, "a", 1.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val sessions = EventStream.sessionize(df, gapMinutes = 30)
+      .collect().sortBy(s => (s.user_id, s.start_ms))
+    assert(sessions.map(s => (s.user_id, s.n_events)).toSeq ==
+      Seq((7L, 3), (7L, 2), (8L, 1)))
+    assert(sessions(0).end_ms == 20 * 60000L)
+  }
+}

@@ -1,0 +1,72 @@
+package graft
+
+import graft.functions.{TextFunctions => T, VectorFunctions => V}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TextVectorSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("tokenCount / occurrences / shingles on a constructed string") {
+    val df = Seq("the cat and the dog of the house").toDF("text")
+    val row = df.select(
+      T.tokenCount(col("text")).as("n"),
+      T.occurrences(col("text"), "the").as("the_n"),
+      T.occurrences(col("text"), "missing").as("m_n"),
+      size(T.wordShingles(col("text"), 3)).as("sh3"),
+      size(T.wordShingles(col("text"), 99)).as("sh99")).head
+    assert(row.getAs[Int]("n") == 8)
+    assert(row.getAs[Long]("the_n") == 3L)
+    assert(row.getAs[Long]("m_n") == 0L)
+    assert(row.getAs[Int]("sh3") == 6) // 8 tokens → 6 trigrams
+    assert(row.getAs[Int]("sh99") == 0) // too short → empty, not error
+  }
+
+  test("langId picks the max-scoring language, 'und' when no markers") {
+    val df = Seq(
+      (1, "the cat and the dog"),      // en
+      (2, "der hund und die katze nicht"), // de
+      (3, "le chat et les chiens"),    // fr
+      (4, "xyzzy plugh")               // none
+    ).toDF("id", "text")
+    val out = df.select(col("id"), T.langId(col("text")).as("l"))
+      .orderBy("id").as[(Int, String)].collect()
+    assert(out.toSeq == Seq((1, "en"), (2, "de"), (3, "fr"), (4, "und")))
+  }
+
+  test("simHash is stable and order-sensitive fingerprints differ") {
+    val df = Seq(
+      (1L, "a b c d e f g"),
+      (2L, "a b c d e f g"),
+      (3L, "g f e d c b a")).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"),
+        T.simHash(T.shingleHashes(col("text"), 3)).as("sh"),
+        T.rollingFingerprint(T.shingleHashes(col("text"), 3)).as("fp"))
+      .orderBy("doc_id").as[(Long, Long, Long)].collect()
+    assert(out(0)._2 == out(1)._2 && out(0)._3 == out(1)._3) // deterministic
+    assert(out(0)._3 != out(2)._3) // different content → different fingerprint
+  }
+
+  test("cosine: hand-computed values and null on zero norm") {
+    val a = Seq(1f, 0f, 0f)
+    val b = Seq(0f, 1f, 0f)
+    val c = Seq(1f, 1f, 0f)
+    val z = Seq(0f, 0f, 0f)
+    val df = Seq((a, b), (a, a), (a, c), (a, z)).toDF("x", "y")
+    val out = df.select(V.cosine(col("x"), col("y")).as("c")).collect()
+    assert(out(0).getDouble(0) == 0.0)
+    assert(math.abs(out(1).getDouble(0) - 1.0) < 1e-12)
+    assert(math.abs(out(2).getDouble(0) - 1.0 / math.sqrt(2)) < 1e-12)
+    assert(out(3).isNullAt(0))
+  }
+
+  test("hyperplane signature: deterministic, in range, equal for equal vectors") {
+    val v = Seq.tabulate(16)(i => (i * 0.1f) - 0.8f)
+    val df = Seq((1L, v), (2L, v)).toDF("id", "vec")
+    val out = df.select(V.hyperplaneSignature(col("vec"), 16, 8, 42L)).collect()
+    val sigs = out.map(_.getLong(0))
+    assert(sigs(0) == sigs(1))
+    assert(sigs(0) >= 0 && sigs(0) < 256)
+  }
+}
