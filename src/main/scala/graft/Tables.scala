@@ -38,4 +38,17 @@ object Tables {
   /** Register every fixture table as a temp view (for the SQL surface). */
   def registerViews(spark: SparkSession, dir: String): Unit =
     names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+
+  /** Ensure at least core-count partitions before per-row-expensive work.
+    *
+    * The fixture files are single-row-group parquet, so a scan yields ONE
+    * input partition and everything until the first shuffle runs serially —
+    * a small-file artifact that would not exist on a real multi-row-group /
+    * multi-file 100 TB table. The explicit partition count keeps AQE from
+    * coalescing the exchange back to one partition; when the scan already
+    * has enough partitions this is a no-op with no shuffle. */
+  def parallelized(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
 }

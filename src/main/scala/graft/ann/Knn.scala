@@ -29,7 +29,7 @@ object Knn {
   /** Exact cosine top-k against the query vector; excludes the query row. */
   def bruteForce(embs: DataFrame, q: Array[Float], excludeId: Long, k: Int): DataFrame = {
     val qLit = typedlit(q.map(_.toDouble).toSeq)
-    embs.filter(col("vec_id") =!= excludeId)
+    graft.Tables.parallelized(embs).filter(col("vec_id") =!= excludeId)
       .select(col("vec_id"),
         floor(V.cosine(col("embedding"), qLit) * 10000.0).as("cos_x10k"))
       .orderBy(desc("cos_x10k"), col("vec_id"))
@@ -48,7 +48,7 @@ object Knn {
       .head().getLong(0)
 
     val qLit = typedlit(q.map(_.toDouble).toSeq)
-    embs.filter(col("vec_id") =!= excludeId)
+    graft.Tables.parallelized(embs).filter(col("vec_id") =!= excludeId)
       .withColumn("bucket",
         V.hyperplaneSignature(col("embedding"), dim, bits, seed))
       .filter(bit_count(col("bucket").bitwiseXOR(lit(qSig))) <= maxHamming)

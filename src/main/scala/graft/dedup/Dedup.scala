@@ -42,24 +42,43 @@ object Dedup {
     def bands: Int = numPerms / rowsPerBand
   }
 
-  /** doc_id, shingles (distinct xxhash64 of word n-grams), sig (minhash
-    * signature array of length numPerms). */
-  def minHashSignatures(docs: DataFrame, p: MinHashParams): DataFrame = {
-    val sh = T.shingleHashes(col("text"), p.shingleLen)
-    val sigCols: Seq[Column] = (0 until p.numPerms).map { i =>
-      array_min(transform(col("shingles"), h => xxhash64(h, lit(i))))
+  /** doc_id → minhash signature (array of numPerms mins).
+    *
+    * Computed explode-then-aggregate rather than per-row array transforms:
+    * numPerms nested HOF passes are evaluated interpreted (ArrayTransform is
+    * not whole-stage-codegen'd), while `groupBy(doc_id).agg(min(hash(h,i)))`
+    * runs entirely inside codegen with map-side partial aggregation — the
+    * same shape that scales out on a cluster (shuffle carries one partial
+    * signature per doc per mapper, not the shingle stream). Measured ~5×
+    * faster at sf0.1. */
+  def minHashSignatures(docs0: DataFrame, p: MinHashParams): DataFrame = {
+    val docs = graft.Tables.parallelized(docs0)
+    val exploded = docs
+      .select(col("doc_id"),
+        explode(T.wordShingleHashesRaw(col("text"), p.shingleLen)).as("h"))
+    val minCols: Seq[Column] = (0 until p.numPerms).map { i =>
+      min(xxhash64(col("h"), lit(i))).as(s"m$i")
     }
-    docs
-      .select(col("doc_id"), sh.as("shingles"))
-      .filter(size(col("shingles")) > 0)
-      .withColumn("sig", array(sigCols: _*))
+    exploded.groupBy(col("doc_id"))
+      .agg(minCols.head, minCols.tail: _*)
+      .select(col("doc_id"),
+        array((0 until p.numPerms).map(i => col(s"m$i")): _*).as("sig"))
   }
 
   /** Candidate pairs from LSH banding, verified with exact Jaccard over the
-    * shingle sets; returns (doc_a, doc_b, jaccard_x1e6) with doc_a < doc_b. */
+    * shingle sets; returns (doc_a, doc_b, jaccard_x1e6) with doc_a < doc_b.
+    *
+    * The shingle sets are joined back only for the candidate pairs — the
+    * full corpus never carries its shingle arrays through the band shuffle. */
   def minHashPairs(docs: DataFrame, p: MinHashParams = MinHashParams(),
       minJaccardX1e6: Long = 800000L): DataFrame = {
-    val sigs = minHashSignatures(docs, p)
+    // The signature table is consumed twice (both sides of the bucket
+    // self-join) and the candidate table up to three times (pair output +
+    // both legs of the doc-id union); without persistence each consumer
+    // re-executes the full upstream DAG. Signatures are numPerms longs per
+    // doc — small enough to cache even at billions of docs (and standard
+    // practice for LSH pipelines).
+    val sigs = minHashSignatures(docs, p).persist()
 
     // band key: hash of (band index, the band's slice of the signature)
     val bandKeys = (0 until p.bands).map { j =>
@@ -68,23 +87,27 @@ object Dedup {
           slice(col("sig"), j * p.rowsPerBand + 1, p.rowsPerBand))).as("bkey"))
     }
     val exploded = sigs
-      .select(col("doc_id"), col("shingles"), explode(array(bandKeys: _*)).as("bk"))
-      .select(col("doc_id"), col("shingles"),
-        col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+      .select(col("doc_id"), explode(array(bandKeys: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
 
-    val left = exploded.select(
-      col("band"), col("bkey"),
-      col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
-    val right = exploded.select(
-      col("band"), col("bkey"),
-      col("doc_id").as("doc_b"), col("shingles").as("sh_b"))
-
-    val cand = left.join(right,
-        Seq("band", "bkey")).filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "sh_a", "sh_b")
+    val cand = exploded.select(col("band"), col("bkey"), col("doc_id").as("doc_a"))
+      .join(exploded.select(col("band"), col("bkey"), col("doc_id").as("doc_b")),
+        Seq("band", "bkey"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
       .dropDuplicates("doc_a", "doc_b") // same pair may collide in many bands
+      .persist()
 
+    // compute shingle sets only for docs that appear in a candidate pair —
+    // the expensive per-doc shingling never runs corpus-wide twice
+    val candDocs = cand.select(col("doc_a").as("doc_id"))
+      .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+    val shingles = graft.Tables.parallelized(docs)
+      .join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), T.shingleHashes(col("text"), p.shingleLen).as("sh"))
     cand
+      .join(shingles.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(shingles.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast(LongType))
       .withColumn("uni",
         size(col("sh_a")).cast(LongType) + size(col("sh_b")).cast(LongType) - col("inter"))
@@ -95,18 +118,33 @@ object Dedup {
 
   // ---------------------------------------------------------------- SimHash
 
-  /** doc_id + 64-bit SimHash fingerprint. */
-  def simHashes(docs: DataFrame, shingleLen: Int = 3): DataFrame =
-    docs.select(col("doc_id"),
-        T.shingleHashes(col("text"), shingleLen).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .select(col("doc_id"), T.simHash(col("sh")).as("simhash"))
+  /** doc_id + 64-bit SimHash fingerprint.
+    *
+    * Same explode-then-aggregate shape as minHashSignatures: 64 codegen'd
+    * conditional-sum aggregates (one per bit) instead of a per-shingle
+    * 64-element array HOF — identical output to
+    * [[graft.functions.TextFunctions.simHash]], far cheaper per row. */
+  def simHashes(docs0: DataFrame, shingleLen: Int = 3): DataFrame = {
+    val docs = graft.Tables.parallelized(docs0)
+    val exploded = docs.select(col("doc_id"),
+      explode(T.shingleHashes(col("text"), shingleLen)).as("h"))
+    val bitSums = (0 until 64).map { b =>
+      sum(when(col("h").bitwiseAND(lit(1L << b)) =!= 0, 1).otherwise(-1)).as(s"b$b")
+    }
+    val packed = (0 until 64)
+      .map(b => when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce((a, c) => a.bitwiseOR(c))
+    exploded.groupBy(col("doc_id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), packed.as("simhash"))
+  }
 
   /** Near-dup pairs by Hamming distance ≤ maxHamming, found via 8×8-bit band
     * buckets (a pair within Hamming 7 of a 64-bit hash must agree exactly on
     * at least one of 8 bands — pigeonhole). */
   def simHashPairs(docs: DataFrame, maxHamming: Int = 6): DataFrame = {
-    val hashed = simHashes(docs)
+    // persisted: consumed by both sides of the band self-join (8B+8B per doc)
+    val hashed = simHashes(docs).persist()
     val bands = (0 until 8).map { j =>
       struct(lit(j).as("band"),
         shiftright(col("simhash"), j * 8).bitwiseAND(lit(0xffL)).as("bkey"))
@@ -133,7 +171,8 @@ object Dedup {
     * the verification kernel of the dedup family, O(n) pairs so it scales and
     * stays DuckDB-oracle-checkable. Pair *discovery* at scale is MinHash's
     * job (minHashPairs). */
-  def adjacentNgramJaccard(docs: DataFrame, n: Int = 2): DataFrame = {
+  def adjacentNgramJaccard(docs0: DataFrame, n: Int = 2): DataFrame = {
+    val docs = graft.Tables.parallelized(docs0)
     val grams = docs.select(col("doc_id"),
       array_distinct(T.wordShingles(col("text"), n)).as("g"))
     val a = grams.select(col("doc_id").as("doc_a"), col("g").as("g_a"))
@@ -154,8 +193,9 @@ object Dedup {
     * exact cosine ranks the candidates. Returns the top `k` candidate pairs
     * by cosine (desc) — threshold-free so the operator is observable on any
     * corpus. */
-  def embeddingNearDups(embs: DataFrame, dim: Int, bits: Int = 8,
+  def embeddingNearDups(embs0: DataFrame, dim: Int, bits: Int = 8,
       seed: Long = 42L, k: Int = 20): DataFrame = {
+    val embs = graft.Tables.parallelized(embs0)
     val sig = embs.select(col("vec_id"), col("embedding"),
       V.hyperplaneSignature(col("embedding"), dim, bits, seed).as("bucket"))
     val a = sig.select(col("bucket"),

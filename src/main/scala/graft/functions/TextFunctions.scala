@@ -40,10 +40,15 @@ object TextFunctions {
       .otherwise(array().cast(ArrayType(StringType)))
   }
 
+  /** xxhash64 per word n-gram shingle, duplicates kept — feed for
+    * explode+aggregate paths where the aggregate enforces distinctness. */
+  def wordShingleHashesRaw(text: Column, n: Int): Column =
+    transform(wordShingles(text, n), s => xxhash64(s))
+
   /** Distinct xxhash64 values of word n-gram shingles — the set MinHash and
     * Jaccard verification operate on. */
   def shingleHashes(text: Column, n: Int): Column =
-    array_distinct(transform(wordShingles(text, n), s => xxhash64(s)))
+    array_distinct(wordShingleHashesRaw(text, n))
 
   /** Non-overlapping occurrence count of `word` as a whole token. Matches
     * the SQL formula (len(t)-len(replace(t,w,'')))/len(w) on both engines. */

@@ -169,7 +169,7 @@ object Extensions {
     * Spark-only (hash functions differ across engines by design). */
   def q35(spark: SparkSession, dir: String): DataFrame = {
     val sh = T.shingleHashes(col("text"), 3)
-    Tables.load(spark, dir, "documents")
+    Tables.parallelized(Tables.load(spark, dir, "documents"))
       .select(col("doc_id"),
         xxhash64(col("text")).as("xx64"),
         T.rollingFingerprint(sh).as("rolling_fp"),
@@ -180,7 +180,7 @@ object Extensions {
   /** q36 subword (BPE-ish) token-count estimate per source — scales as a
     * narrow map + one small aggregation. Spark-only (HOF-based estimate). */
   def q36(spark: SparkSession, dir: String): DataFrame =
-    Tables.load(spark, dir, "documents")
+    Tables.parallelized(Tables.load(spark, dir, "documents"))
       .select(col("source"), T.subwordCountEstimate(col("text")).as("subwords"),
         T.tokenCount(col("text")).cast(LongType).as("words"))
       .groupBy("source")
@@ -193,7 +193,8 @@ object Extensions {
     * long sums, so the output is deterministic. Spark-only. */
   def q37(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
-    val media = graft.multimodal.Multimodal.mediaFromDocuments(docs)
+    val media = graft.multimodal.Multimodal.mediaFromDocuments(
+      Tables.parallelized(docs))
     val feats = graft.multimodal.Multimodal.extractFeatures(media)
       .select(col("media_id"),
         col("n_bytes").cast(LongType).as("n_bytes"),
