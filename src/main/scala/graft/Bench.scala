@@ -9,19 +9,28 @@ object Bench {
     // a per-plan one-time cost that amortizes to zero in any long-lived or
     // large-scale deployment and would otherwise dominate (and add several
     // seconds of run-to-run variance to) the sub-second queries here.
+    val failed = scala.collection.mutable.ArrayBuffer[String]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      def once(): Double = {
+      def once(): Option[Double] = {
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => return -1.0 }
-        (System.nanoTime() - t0) / 1e9
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => return None }
+        Some((System.nanoTime() - t0) / 1e9)
       }
-      once()
-      name -> once()
+      val t = once().flatMap(_ => once())
+      if (t.isEmpty) failed += name
+      // Operators may cache intermediates (e.g. LSH signature/candidate
+      // stages); release them so cached stages never accumulate across the
+      // 38-query run and each query is timed against a clean block store.
+      spark.catalog.clearCache()
+      name -> t
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v.fold("null")(_.toString) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Failed queries are reported as null and in `failed` — never folded
+    // into the total, which would silently shrink (improve) it.
+    val total = results.flatMap(_._2).sum
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -94,36 +94,36 @@ object Schemas {
     StructField("embedding", ArrayType(FloatType)),
     StructField("label", IntegerType)))
 
-  /** Mart targets — Spark analogs of the reference star schema
-    * (`Project Plan5.md:220-251`). MONEY → DecimalType(19,4), IDENTITY →
-    * deterministic row_number surrogate key (SURVEY §1 mapping table).
+  /** Mart targets — the engine's analogs of the reference star schema
+    * (`Project Plan5.md:220-251`), declared exactly as q23–q25 /
+    * MartPipelines emit them (tests assert conformance): snake_case names,
+    * IDENTITY → deterministic row_number surrogate key, and MONEY carried as
+    * exact integer *cents* (LongType) rather than DecimalType — integer money
+    * hashes identically across Spark and the DuckDB oracle and aggregates
+    * without decimal-overflow checks at 100 TB scale (SURVEY §1 table).
     */
   val dimCategory: StructType = StructType(Seq(
-    StructField("CategoryKey", LongType, nullable = false),
-    StructField("Source_CategoryID", IntegerType),
-    StructField("CategoryName", StringType),
-    StructField("CategoryDescription", StringType)))
+    StructField("category_key", LongType),
+    StructField("source_category_id", IntegerType),
+    StructField("category_name", StringType)))
 
   val dimProduct: StructType = StructType(Seq(
-    StructField("ProductKey", LongType, nullable = false),
-    StructField("Source_ProductID", IntegerType),
-    StructField("ProductName", StringType),
-    StructField("Source_SupplierID", IntegerType),
-    StructField("Source_CategoryID", IntegerType),
-    StructField("QuantityPerUnit", StringType),
-    StructField("UnitPrice", DecimalType(19, 4)),
-    StructField("UnitsInStock", ShortType),
-    StructField("Discontinued", BooleanType)))
+    StructField("product_key", LongType),
+    StructField("source_product_id", LongType),
+    StructField("product_name", StringType),
+    StructField("brand", StringType),
+    StructField("size_coerced", IntegerType),
+    StructField("retail_cents", LongType)))
 
   val factOrderMetrics: StructType = StructType(Seq(
-    StructField("OrderFactKey", LongType, nullable = false),
-    StructField("Source_OrderID", LongType),
-    StructField("Source_ProductID", LongType),
-    StructField("ProductKey", LongType),
-    StructField("OrderDate", TimestampType),
-    StructField("Quantity", DoubleType),
-    StructField("Discount", DoubleType),
-    StructField("ExtendedPrice", DecimalType(19, 4))))
+    StructField("source_order_id", LongType),
+    StructField("line_number", IntegerType),
+    StructField("source_product_id", LongType),
+    StructField("product_key", LongType),
+    StructField("order_date", StringType),
+    StructField("quantity", DoubleType),
+    StructField("discount", DoubleType),
+    StructField("extended_price_cents", LongType)))
 
   val all: Map[String, StructType] = Map(
     "region" -> region, "nation" -> nation, "customer" -> customer,

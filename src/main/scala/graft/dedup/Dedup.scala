@@ -77,7 +77,10 @@ object Dedup {
     // both legs of the doc-id union); without persistence each consumer
     // re-executes the full upstream DAG. Signatures are numPerms longs per
     // doc — small enough to cache even at billions of docs (and standard
-    // practice for LSH pipelines).
+    // practice for LSH pipelines). The candidate table is materialized
+    // eagerly below — the natural barrier of any LSH pipeline — so the
+    // signature cache can be released before the verify stage runs, keeping
+    // at most one cached stage alive at a time in a long-lived session.
     val sigs = minHashSignatures(docs, p).persist()
 
     // band key: hash of (band index, the band's slice of the signature)
@@ -97,13 +100,19 @@ object Dedup {
       .select("doc_a", "doc_b")
       .dropDuplicates("doc_a", "doc_b") // same pair may collide in many bands
       .persist()
+    cand.count() // materialize the LSH barrier, then drop the signature cache
+    sigs.unpersist(blocking = false)
 
-    // compute shingle sets only for docs that appear in a candidate pair —
-    // the expensive per-doc shingling never runs corpus-wide twice
+    // Compute shingle sets only for docs that appear in a candidate pair —
+    // the expensive per-doc shingling never runs corpus-wide twice. The
+    // semi-join is left unhinted: the candidate doc-id set is data-dependent
+    // (a near-dup-heavy corpus makes it a large fraction of the corpus), so
+    // AQE decides at runtime whether it is broadcast-sized — a forced
+    // broadcast would OOM the driver in the worst case at 100 TB.
     val candDocs = cand.select(col("doc_a").as("doc_id"))
       .union(cand.select(col("doc_b").as("doc_id"))).distinct()
     val shingles = graft.Tables.parallelized(docs)
-      .join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+      .join(candDocs, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), T.shingleHashes(col("text"), p.shingleLen).as("sh"))
     cand
       .join(shingles.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
@@ -143,8 +152,11 @@ object Dedup {
     * buckets (a pair within Hamming 7 of a 64-bit hash must agree exactly on
     * at least one of 8 bands — pigeonhole). */
   def simHashPairs(docs: DataFrame, maxHamming: Int = 6): DataFrame = {
-    // persisted: consumed by both sides of the band self-join (8B+8B per doc)
-    val hashed = simHashes(docs).persist()
+    // Not persisted: both legs of the band self-join shuffle the same
+    // canonical subplan on the same keys, so Catalyst's ReuseExchange
+    // computes the fingerprints once — cache-free, nothing to clean up in a
+    // long-lived session.
+    val hashed = simHashes(docs)
     val bands = (0 until 8).map { j =>
       struct(lit(j).as("band"),
         shiftright(col("simhash"), j * 8).bitwiseAND(lit(0xffL)).as("bkey"))
@@ -173,8 +185,12 @@ object Dedup {
     * job (minHashPairs). */
   def adjacentNgramJaccard(docs0: DataFrame, n: Int = 2): DataFrame = {
     val docs = graft.Tables.parallelized(docs0)
+    // Docs with no n-grams (< n tokens) are dropped, not emitted as
+    // jaccard=0 rows: a doc with no shingles has no set to compare, and
+    // this matches the oracle's unnest-of-empty-list semantics exactly.
     val grams = docs.select(col("doc_id"),
       array_distinct(T.wordShingles(col("text"), n)).as("g"))
+      .filter(size(col("g")) > 0)
     val a = grams.select(col("doc_id").as("doc_a"), col("g").as("g_a"))
     val b = grams.select(col("doc_id").as("doc_b"), col("g").as("g_b"))
     a.join(b, col("doc_b") === col("doc_a") + 1)

@@ -54,9 +54,9 @@ class MartPipelines(spark: SparkSession, sfDir: String, outDir: String) {
         .withColumnRenamed("l_linenumber", "line_number")
         .withColumnRenamed("l_partkey", "source_product_id")
         .withColumnRenamed("l_quantity", "quantity")
-        .withColumnRenamed("l_discount", "discount"),
-      Seq("source_order_id", "line_number", "source_product_id", "product_key",
-        "quantity", "discount", "extended_price_cents"))
+        .withColumnRenamed("l_discount", "discount")
+        .withColumn("order_date", col("o_orderdate").cast("string")),
+      graft.Schemas.factOrderMetrics.fieldNames.toSeq)
     Load.overwrite(conformed, factPath)
   }
 

@@ -28,6 +28,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(p.auditTop10.select("extended_price_cents").head.getLong(0) == top1)
   }
 
+  test("written mart tables conform to the declared target schemas") {
+    val out = java.nio.file.Files.createTempDirectory("graft-mart3").toString
+    val p = new MartPipelines(spark, sf, out)
+    assert(p.runAll())
+    def shape(df: org.apache.spark.sql.DataFrame) =
+      df.schema.fields.map(f => (f.name, f.dataType)).toSeq
+    assert(shape(spark.read.parquet(p.dimCategoryPath)) ==
+      Schemas.dimCategory.fields.map(f => (f.name, f.dataType)).toSeq)
+    assert(shape(spark.read.parquet(p.dimProductPath)) ==
+      Schemas.dimProduct.fields.map(f => (f.name, f.dataType)).toSeq)
+    assert(shape(spark.read.parquet(p.factPath)) ==
+      Schemas.factOrderMetrics.fields.map(f => (f.name, f.dataType)).toSeq)
+  }
+
   test("dimension tables carry dense 1..n surrogate keys") {
     val out = java.nio.file.Files.createTempDirectory("graft-mart2").toString
     val p = new MartPipelines(spark, sf, out)
