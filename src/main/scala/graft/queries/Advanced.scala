@@ -1,0 +1,277 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.AsOfJoin
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Coverage beyond the reference's own operator set (SURVEY §2.6/§2.8 list
+  * what the reference lacks): grouping sets, pivot, date/conditional
+  * functions, scalar subqueries, lateral explode, deterministic sampling,
+  * as-of and range joins, per-group top-k, exact quantiles. Every query here
+  * is DuckDB-oracle-checked; money is integer cents, keys and counts are
+  * BIGINT, and each result carries a total ORDER BY.
+  */
+object Advanced {
+
+  private def cents(c: org.apache.spark.sql.Column) =
+    floor(c * 100).cast(LongType)
+
+  /** q39 CUBE over (priority, status): all 2^2 grouping sets in one pass —
+    * Spark plans a single Expand + hash aggregate, no re-scan per set. NULL
+    * group markers are made explicit (gid + 'ALL') so ordering is
+    * engine-portable. */
+  def q39(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "orders")
+      .withColumn("cents", cents(col("o_totalprice")))
+      .cube(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(grouping_id().cast(IntegerType).as("gid"),
+        count(lit(1)).as("n"), sum("cents").as("revenue_cents"))
+      .select(col("gid"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        col("n"), col("revenue_cents"))
+      .orderBy("gid", "priority", "status")
+
+  val q39Sql =
+    """SELECT CAST(GROUPING(o_orderpriority, o_orderstatus) AS INTEGER) AS gid,
+      |  COALESCE(o_orderpriority, 'ALL') AS priority,
+      |  COALESCE(o_orderstatus, 'ALL') AS status,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+      |FROM orders GROUP BY CUBE(o_orderpriority, o_orderstatus)
+      |ORDER BY gid, priority, status""".stripMargin
+
+  /** q40 pivot (status × priority counts) with a fixed value list — explicit
+    * values keep the plan a single aggregate (no values-discovery scan) and
+    * the output schema static, which is what a 100 TB pivot needs anyway. */
+  def q40(spark: SparkSession, dir: String): DataFrame = {
+    val pris = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+    val names = Seq("urgent", "high", "medium", "notspec", "low")
+    val piv = Tables.load(spark, dir, "orders")
+      .groupBy(col("o_orderstatus").as("status"))
+      .pivot("o_orderpriority", pris)
+      .count()
+    piv.select(col("status") +: pris.zip(names).map { case (v, n) =>
+      coalesce(piv(s"`$v`"), lit(0L)).as(n) }: _*)
+      .orderBy("status")
+  }
+
+  val q40Sql =
+    """SELECT o_orderstatus AS status,
+      |  CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS urgent,
+      |  CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS high,
+      |  CAST(SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS medium,
+      |  CAST(SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS BIGINT) AS notspec,
+      |  CAST(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS low
+      |FROM orders GROUP BY o_orderstatus ORDER BY status""".stripMargin
+
+  /** q41 date functions: month bucket (date_trunc), year/quarter extraction,
+    * day arithmetic (ship delay) — aggregated per order-month. */
+  def q41(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.load(spark, dir, "lineitem")
+    val o = Tables.load(spark, dir, "orders")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .groupBy(
+        date_trunc("month", col("o_orderdate")).cast(DateType).cast(StringType)
+          .as("month_start"),
+        year(col("o_orderdate")).cast(LongType).as("yr"),
+        quarter(col("o_orderdate")).cast(LongType).as("qtr"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(datediff(col("l_shipdate"), col("o_orderdate"))).cast(LongType)
+          .as("total_ship_delay_days"))
+      .orderBy("month_start")
+  }
+
+  val q41Sql =
+    """SELECT CAST(CAST(date_trunc('month', o.o_orderdate) AS DATE) AS VARCHAR) AS month_start,
+      |  CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS yr,
+      |  CAST(EXTRACT(quarter FROM o.o_orderdate) AS BIGINT) AS qtr,
+      |  COUNT(*) AS n_lines,
+      |  CAST(SUM(date_diff('day', o.o_orderdate, l.l_shipdate)) AS BIGINT) AS total_ship_delay_days
+      |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |GROUP BY 1, 2, 3 ORDER BY month_start""".stripMargin
+
+  /** q42 scalar subquery: orders priced above the global average. The scalar
+    * aggregate is broadcast into the filter — one full scan for the average,
+    * one for the filter, zero shuffles of the fact table. Integer-cents math
+    * keeps the double average bit-identical across engines (exact sums below
+    * 2^53 divided once). */
+  def q42(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(spark, dir, "orders")
+      .withColumn("cents", cents(col("o_totalprice")))
+    val avgC = o.agg(avg("cents").as("avg_cents"))
+    o.join(broadcast(avgC))
+      .filter(col("cents") > col("avg_cents"))
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("n_above"))
+      .orderBy("o_orderpriority")
+  }
+
+  val q42Sql =
+    """SELECT o_orderpriority, COUNT(*) AS n_above
+      |FROM orders
+      |WHERE CAST(FLOOR(o_totalprice * 100) AS BIGINT) >
+      |  (SELECT AVG(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) FROM orders)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** q43 vocabulary extraction: lateral explode of the token stream → global
+    * term frequencies → top-20. The explode is a narrow map; the count is one
+    * hash aggregate with map-side partials; top-k is TakeOrderedAndProject —
+    * no global sort of the vocabulary. */
+  def q43(spark: SparkSession, dir: String): DataFrame =
+    Tables.parallelized(Tables.load(spark, dir, "documents"))
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+      .orderBy(desc("freq"), col("token")).limit(20)
+
+  val q43Sql =
+    """SELECT w AS token, COUNT(*) AS freq
+      |FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      |GROUP BY w ORDER BY freq DESC, token LIMIT 20""".stripMargin
+
+  /** q44 deterministic hash sampling (1-in-10 by md5 of the key) — the
+    * reproducible train/eval split primitive: stable under reruns, cluster
+    * layout, and engine choice, unlike rand()-based sampling. */
+  def q44(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(spark, dir, "documents")
+    d.withColumn("bucket",
+        conv(substring(md5(col("doc_id").cast(StringType)), 1, 8), 16, 10)
+          .cast(LongType) % 10)
+      .filter(col("bucket") === 0)
+      .select(col("doc_id"),
+        ((length(col("text")) - length(regexp_replace(col("text"), " ", ""))) + 1)
+          .cast(LongType).as("n_tokens"))
+      .orderBy("doc_id")
+  }
+
+  val q44Sql =
+    """SELECT doc_id,
+      |  CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens
+      |FROM documents
+      |WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 10 = 0
+      |ORDER BY doc_id""".stripMargin
+
+  /** q45 backward as-of join: each event annotated with the user's most
+    * recent order date at or before the event (merge as-of via
+    * [[graft.operators.AsOfJoin]]). Oracle uses DuckDB's native ASOF JOIN. */
+  def q45(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "events").select("event_id", "user_id", "ts")
+    val o = Tables.load(spark, dir, "orders")
+      .select(col("o_custkey").as("user_id"), col("o_orderdate"))
+    AsOfJoin.backward(e, o, key = "user_id", leftTs = "ts",
+        rightTs = "o_orderdate", outCol = "last_order_ts")
+      .select(col("event_id"), col("user_id"),
+        col("last_order_ts").cast(StringType).as("last_order_ts"))
+      .orderBy("event_id")
+  }
+
+  val q45Sql =
+    """SELECT e.event_id, e.user_id, CAST(o.o_orderdate AS VARCHAR) AS last_order_ts
+      |FROM events e ASOF LEFT JOIN orders o
+      |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+      |ORDER BY e.event_id""".stripMargin
+
+  /** q46 range (band) join: parts priced into irregular bands via a non-equi
+    * join. The band table is tiny and broadcast, so Spark plans a
+    * BroadcastNestedLoopJoin — each part row tests 4 predicates, no shuffle.
+    * (With a LARGE band table the scale path is interval bucketing: assign
+    * both sides a coarse equi-bucket, join on it, re-filter exactly.) */
+  def q46(spark: SparkSession, dir: String): DataFrame = {
+    val bands = spark.createDataFrame(Seq(
+      ("b0_budget", 900.0, 920.0), ("b1_mid", 920.0, 950.0),
+      ("b2_upper", 950.0, 965.0), ("b3_premium", 965.0, 1000.0)))
+      .toDF("band", "lo", "hi")
+    val p = Tables.load(spark, dir, "part")
+    p.join(broadcast(bands),
+        p("p_retailprice") >= bands("lo") && p("p_retailprice") < bands("hi"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_parts"),
+        sum(cents(col("p_retailprice"))).as("sum_cents"))
+      .orderBy("band")
+  }
+
+  val q46Sql =
+    """WITH bands(band, lo, hi) AS (VALUES
+      |  ('b0_budget', 900.0, 920.0), ('b1_mid', 920.0, 950.0),
+      |  ('b2_upper', 950.0, 965.0), ('b3_premium', 965.0, 1000.0))
+      |SELECT b.band, COUNT(*) AS n_parts,
+      |  CAST(SUM(CAST(FLOOR(p.p_retailprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+      |FROM part p JOIN bands b
+      |  ON p.p_retailprice >= b.lo AND p.p_retailprice < b.hi
+      |GROUP BY b.band ORDER BY b.band""".stripMargin
+
+  /** q47 top-k per group (top-3 parts per brand by price): rank inside a
+    * keyed window, filter early — one shuffle on the group key, and the
+    * filter cuts each group to k rows before anything downstream. */
+  def q47(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.load(spark, dir, "part")
+      .withColumn("retail_cents", cents(col("p_retailprice")))
+    val w = Window.partitionBy("p_brand")
+      .orderBy(desc("retail_cents"), col("p_partkey"))
+    p.withColumn("rank_in_brand", row_number().over(w).cast(LongType))
+      .filter(col("rank_in_brand") <= 3)
+      .select(col("p_brand").as("brand"), col("rank_in_brand"),
+        col("p_partkey").as("part_id"), col("retail_cents"))
+      .orderBy("brand", "rank_in_brand")
+  }
+
+  val q47Sql =
+    """WITH r AS (
+      |  SELECT p_brand AS brand,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY p_brand
+      |      ORDER BY FLOOR(p_retailprice * 100) DESC, p_partkey) AS BIGINT) AS rank_in_brand,
+      |    p_partkey AS part_id,
+      |    CAST(FLOOR(p_retailprice * 100) AS BIGINT) AS retail_cents
+      |  FROM part)
+      |SELECT * FROM r WHERE rank_in_brand <= 3
+      |ORDER BY brand, rank_in_brand""".stripMargin
+
+  /** q48 exact per-group median, integer-exact: median×2 (sum of the one or
+    * two middle elements, odd groups doubled) avoids cross-engine float
+    * interpolation entirely. Rank and group-count share one shuffle (same
+    * partition key); percentile_approx is the right call at 100 TB when
+    * exactness isn't contractual — this shows the exact path. */
+  def q48(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(spark, dir, "orders")
+      .withColumn("cents", cents(col("o_totalprice")))
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("cents"), col("o_orderkey"))
+    val wAll = Window.partitionBy("o_orderpriority")
+    val rn2 = col("rn") * 2
+    o.withColumn("rn", row_number().over(w).cast(LongType))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .groupBy("o_orderpriority")
+      .agg(max(col("n")).as("n_orders"),
+        (sum(when(rn2 === col("n") || rn2 === col("n") + 1 || rn2 === col("n") + 2,
+            col("cents")).otherwise(0L))
+          * when(max(col("n")) % 2 === 0, 1L).otherwise(2L)).as("median_x2_cents"))
+      .orderBy("o_orderpriority")
+  }
+
+  val q48Sql =
+    """WITH c AS (
+      |  SELECT o_orderpriority,
+      |    CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents,
+      |    ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+      |      ORDER BY FLOOR(o_totalprice * 100), o_orderkey) AS rn,
+      |    COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+      |  FROM orders)
+      |SELECT o_orderpriority, CAST(MAX(n) AS BIGINT) AS n_orders,
+      |  CAST(SUM(CASE WHEN rn * 2 IN (n, n + 1, n + 2) THEN cents ELSE 0 END)
+      |    * (CASE WHEN MAX(n) % 2 = 0 THEN 1 ELSE 2 END) AS BIGINT) AS median_x2_cents
+      |FROM c GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    ("q39_cube", q39 _, Some(q39Sql)),
+    ("q40_pivot", q40 _, Some(q40Sql)),
+    ("q41_date_funcs", q41 _, Some(q41Sql)),
+    ("q42_scalar_subquery", q42 _, Some(q42Sql)),
+    ("q43_vocab_topk", q43 _, Some(q43Sql)),
+    ("q44_hash_sample", q44 _, Some(q44Sql)),
+    ("q45_asof_join", q45 _, Some(q45Sql)),
+    ("q46_range_band_join", q46 _, Some(q46Sql)),
+    ("q47_topk_per_group", q47 _, Some(q47Sql)),
+    ("q48_median_exact", q48 _, Some(q48Sql)))
+}

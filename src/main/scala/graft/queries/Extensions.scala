@@ -178,7 +178,8 @@ object Extensions {
   }
 
   /** q36 subword (BPE-ish) token-count estimate per source — scales as a
-    * narrow map + one small aggregation. Spark-only (HOF-based estimate). */
+    * narrow map + one small aggregation. Oracle-checked: the ceil(len/6)
+    * word-cost model is the same lambda arithmetic in DuckDB list functions. */
   def q36(spark: SparkSession, dir: String): DataFrame =
     Tables.parallelized(Tables.load(spark, dir, "documents"))
       .select(col("source"), T.subwordCountEstimate(col("text")).as("subwords"),
@@ -186,6 +187,13 @@ object Extensions {
       .groupBy("source")
       .agg(sum("subwords").as("total_subwords"), sum("words").as("total_words"))
       .orderBy("source")
+
+  val q36Sql =
+    """SELECT source,
+      |  CAST(SUM(list_sum(list_transform(string_split(text, ' '),
+      |    w -> CAST(ceil(length(w) / 6.0) AS BIGINT)))) AS BIGINT) AS total_subwords,
+      |  CAST(SUM(length(text) - length(replace(text, ' ', '')) + 1) AS BIGINT) AS total_words
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
   /** q37 multimodal plumbing: documents as opaque binary payloads →
     * partition-parallel stub decode → per-source feature rollup. Float
@@ -210,7 +218,9 @@ object Extensions {
   }
 
   /** q38 stateful sessionization (flatMapGroupsWithState, 30-min gap) —
-    * per-user session counts. Spark-only. */
+    * per-user session counts. Oracle-checked: the gap-and-count logic is
+    * replayed in SQL with lag + a running new-session sum at the same ms
+    * precision the state handler uses (`Timestamp.getTime`). */
   def q38(spark: SparkSession, dir: String): DataFrame = {
     val events = Tables.load(spark, dir, "events")
     graft.streaming.EventStream.sessionize(events).toDF()
@@ -220,6 +230,26 @@ object Extensions {
         max("n_events").as("max_session_events"))
       .orderBy("user_id")
   }
+
+  val q38Sql =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_ms(ts) AS tms,
+      |    lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS prev
+      |  FROM events),
+      |m AS (
+      |  SELECT user_id, event_id, tms,
+      |    CASE WHEN prev IS NULL OR tms - prev > 1800000 THEN 1 ELSE 0 END AS new_s
+      |  FROM e),
+      |s AS (
+      |  SELECT user_id,
+      |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY tms, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM m),
+      |per AS (SELECT user_id, sid, COUNT(*) AS n_events FROM s GROUP BY user_id, sid)
+      |SELECT user_id, COUNT(*) AS n_sessions,
+      |  CAST(SUM(n_events) AS BIGINT) AS events_in_sessions,
+      |  CAST(MAX(n_events) AS INTEGER) AS max_session_events
+      |FROM per GROUP BY user_id ORDER BY user_id""".stripMargin
 
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q26_dedup_exact", q26 _, Some(q26Sql)),
@@ -232,7 +262,7 @@ object Extensions {
     ("q33_text_quality", q33 _, Some(q33Sql)),
     ("q34_langid", q34 _, Some(q34Sql)),
     ("q35_fingerprint", q35 _, None),
-    ("q36_token_count", q36 _, None),
+    ("q36_token_count", q36 _, Some(q36Sql)),
     ("q37_multimodal_features", q37 _, None),
-    ("q38_sessionize", q38 _, None))
+    ("q38_sessionize", q38 _, Some(q38Sql)))
 }

@@ -1,0 +1,91 @@
+package graft
+
+import graft.operators.AsOfJoin
+import org.apache.spark.sql.Row
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantics of the Advanced query set's operators on literal inputs —
+  * boundary cases the sf-fixture oracle runs can't isolate. */
+class AdvancedSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("AsOfJoin.backward: latest-at-or-before, inclusive, null when none") {
+    val left = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00")), // after two rights → latest wins
+      (2L, 10L, ts("2024-01-01 08:00:00")), // exactly at a right ts → inclusive
+      (3L, 10L, ts("2024-01-01 05:00:00")), // before all rights → null
+      (4L, 99L, ts("2024-01-01 10:00:00"))  // key with no rights → null
+    ).toDF("event_id", "k", "t")
+    val right = Seq(
+      (10L, ts("2024-01-01 08:00:00")),
+      (10L, ts("2024-01-01 09:30:00"))
+    ).toDF("k", "rt")
+
+    val out = AsOfJoin.backward(left, right, key = "k", leftTs = "t",
+        rightTs = "rt", outCol = "asof")
+      .select("event_id", "asof").collect().map(r => r.getLong(0) -> r.get(1)).toMap
+
+    assert(out(1L) == ts("2024-01-01 09:30:00"))
+    assert(out(2L) == ts("2024-01-01 08:00:00"))
+    assert(out(3L) == null)
+    assert(out(4L) == null)
+    assert(out.size == 4) // left-outer: every left row survives exactly once
+  }
+
+  test("AsOfJoin.backward: duplicate right timestamps stay deterministic") {
+    val left = Seq((1L, 5L, ts("2024-01-01 12:00:00"))).toDF("id", "k", "t")
+    val right = Seq((5L, ts("2024-01-01 11:00:00")), (5L, ts("2024-01-01 11:00:00")))
+      .toDF("k", "rt")
+    val out = AsOfJoin.backward(left, right, "k", "t", "rt", "asof")
+    assert(out.count() == 1)
+    assert(out.head().getAs[java.sql.Timestamp]("asof") == ts("2024-01-01 11:00:00"))
+  }
+
+  test("median_x2: odd and even group sizes (q48 formula)") {
+    // odd group: {10,20,30} → median 20 → x2 = 40
+    // even group: {10,20,30,40} → middle two 20+30 → x2 = 50
+    val df = Seq(
+      ("odd", 1L, 10L), ("odd", 2L, 20L), ("odd", 3L, 30L),
+      ("even", 4L, 10L), ("even", 5L, 20L), ("even", 6L, 30L), ("even", 7L, 40L)
+    ).toDF("g", "id", "cents").createOrReplaceTempView("med_in")
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val base = spark.table("med_in")
+    val w = Window.partitionBy("g").orderBy(col("cents"), col("id"))
+    val wAll = Window.partitionBy("g")
+    val rn2 = col("rn") * 2
+    val out = base.withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .groupBy("g")
+      .agg((sum(when(rn2 === col("n") || rn2 === col("n") + 1 || rn2 === col("n") + 2,
+          col("cents")).otherwise(0L))
+        * when(max(col("n")) % 2 === 0, 1L).otherwise(2L)).as("median_x2"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out("odd") == 40L)
+    assert(out("even") == 50L)
+  }
+
+  test("band join boundaries are half-open [lo, hi)") {
+    val rows = Seq((1L, 900.0), (2L, 919.99), (3L, 920.0), (4L, 999.99))
+      .toDF("p_partkey", "p_retailprice")
+    val bands = spark.createDataFrame(Seq(
+      ("b0", 900.0, 920.0), ("b1", 920.0, 1000.0))).toDF("band", "lo", "hi")
+    import org.apache.spark.sql.functions._
+    val out = rows.join(broadcast(bands),
+        rows("p_retailprice") >= bands("lo") && rows("p_retailprice") < bands("hi"))
+      .select("p_partkey", "band").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "b0", 2L -> "b0", 3L -> "b1", 4L -> "b1"))
+  }
+
+  test("hash sample is stable across evaluations") {
+    val a = graft.queries.Advanced.q44(spark, "/root/testdata/sf0.001")
+      .collect().map(_.getLong(0)).toSeq
+    val b = graft.queries.Advanced.q44(spark, "/root/testdata/sf0.001")
+      .collect().map(_.getLong(0)).toSeq
+    assert(a == b && a.nonEmpty)
+  }
+}
