@@ -22,6 +22,7 @@ object Engine {
 
   def session(appName: String = "graft", cpus: Int = defaultCpus): SparkSession = {
     val b = SparkSession.builder()
+      .withExtensions(new graft.plans.GraftExtensions)
       .master(s"local[$cpus]")
       .appName(appName)
       .config("spark.sql.shuffle.partitions", cpus.toString)
@@ -31,6 +32,12 @@ object Engine {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.parquet.filterPushdown", "true")
+      // The default generated-class cache holds 100 entries; a session
+      // running the full 48-query surface (some with very large generated
+      // aggregates — the 64-permutation MinHash signature takes ~6 s of
+      // Janino+JIT) thrashes it and intermittently re-pays compilation.
+      // Static conf, so it must be set before the session exists.
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark

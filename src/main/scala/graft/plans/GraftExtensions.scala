@@ -1,0 +1,47 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.{IntegerType, LongType}
+
+/** SparkSessionExtensions hook: registers the native vector expressions with
+  * the function registry, making them first-class on the SQL surface
+  * (`SELECT cosine_sim(a, b) ...`) and reachable from the Column API via
+  * `call_function`. Installed by [[graft.Engine.session]] via
+  * `.withExtensions`. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSimilarityFloat].getName, "cosine_sim"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "cosine_sim(arrayA, arrayB)")
+        CosineSimilarityFloat(children.head, children(1))
+      }))
+
+    // hyperplane_sig(vec, dim, bits, seed): dim/bits/seed must be literals —
+    // the seeded plane matrix is derived at plan time and baked into the
+    // expression, so executors never re-derive it.
+    ext.injectFunction((
+      FunctionIdentifier("hyperplane_sig"),
+      new ExpressionInfo(classOf[HyperplaneSignature].getName, "hyperplane_sig"),
+      (children: Seq[Expression]) => children match {
+        case Seq(vec, Literal(dim: Int, IntegerType), Literal(bits: Int, IntegerType),
+            Literal(seed: Long, LongType)) =>
+          HyperplaneSignature(vec, GraftExtensions.planeMatrix(dim, bits, seed), dim, bits)
+        case _ => throw new IllegalArgumentException(
+          "hyperplane_sig(vec, dim: int literal, bits: int literal, seed: long literal)")
+      }))
+  }
+}
+
+object GraftExtensions {
+  /** The seeded plane matrix (bits×dim, row-major) — the single source shared
+    * by the native expression and the HOF reference path. */
+  def planeMatrix(dim: Int, bits: Int, seed: Long): Array[Double] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(bits * dim)(rnd.nextGaussian())
+  }
+}

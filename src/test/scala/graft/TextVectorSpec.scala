@@ -69,4 +69,52 @@ class TextVectorSpec extends AnyFunSuite {
     assert(sigs(0) == sigs(1))
     assert(sigs(0) >= 0 && sigs(0) < 256)
   }
+
+  test("native cosine_sim is bit-identical to the HOF reference path") {
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.fill(200)((
+      Seq.fill(64)(rnd.nextFloat() * 2f - 1f),
+      Seq.fill(64)(rnd.nextFloat() * 2f - 1f)))
+    val df = rows.toDF("x", "y")
+    val out = df.select(
+      V.cosine(col("x"), col("y")).as("native"),
+      V.cosineHof(col("x"), col("y")).as("hof")).collect()
+    out.foreach { r =>
+      // identical doubles, not approximate: both paths accumulate double
+      // precision strictly left-to-right
+      assert(r.getDouble(0) == r.getDouble(1))
+    }
+  }
+
+  test("native hyperplane_sig is bit-identical to the HOF reference path") {
+    val rnd = new scala.util.Random(11)
+    val rows = Seq.fill(200)(Seq.fill(64)(rnd.nextFloat() * 2f - 1f))
+    val df = rows.toDF("vec")
+    val out = df.select(
+      V.hyperplaneSignature(col("vec"), 64, 8, 42L).as("native"),
+      V.hyperplaneSignatureHof(col("vec"), 64, 8, 42L).as("hof")).collect()
+    out.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
+  test("cosine_sim degenerate inputs: length mismatch and zero norm → null") {
+    val df = Seq(
+      (Seq(1f, 2f), Seq(1f, 2f, 3f)), // length mismatch
+      (Seq(0f, 0f), Seq(1f, 2f))      // zero norm
+    ).toDF("x", "y")
+    val out = df.select(V.cosine(col("x"), col("y"))).collect()
+    assert(out.forall(_.isNullAt(0)))
+  }
+
+  test("cosine_sim mixed float/double sides (query-literal pattern)") {
+    val df = Seq(Seq(1f, 2f, 3f)).toDF("x")
+    val qLit = typedlit(Seq(1.0, 2.0, 3.0))
+    val out = df.select(V.cosine(col("x"), qLit)).head.getDouble(0)
+    assert(math.abs(out - 1.0) < 1e-12)
+  }
+
+  test("cosine_sim is registered on the SQL surface") {
+    val n = spark.sql(
+      "SELECT cosine_sim(array(1.0f, 0.0f), array(1.0f, 0.0f)) AS c").head.getDouble(0)
+    assert(n == 1.0)
+  }
 }
