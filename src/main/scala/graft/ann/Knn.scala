@@ -36,6 +36,73 @@ object Knn {
       .limit(k)
   }
 
+  // ----------------------------------------------------------------- IVF
+
+  /** Train IVF coarse centroids with Lloyd iterations over a deterministic
+    * hash-sample of the corpus (training never scans the full table — the
+    * sample is a narrow pushed-down filter). Assignment maximizes cosine, so
+    * centroids partition the sphere like an IVF-flat index. Returns
+    * (cid, cvec) with `nClusters` rows — always driver/broadcast sized.
+    *
+    * Shuffle shape per iteration: the broadcast crossJoin against nClusters
+    * rows is a narrow map (no shuffle of the corpus); `max_by` partial
+    * aggregation reduces the k×sample intermediate map-side; the centroid
+    * update shuffles only sample×dim (pos, sum) pairs. */
+  def ivfTrain(embs: DataFrame, nClusters: Int, iters: Int = 2,
+      sampleMod: Int = 10): DataFrame = {
+    val base = graft.Tables.parallelized(embs)
+      .filter(pmod(xxhash64(col("vec_id")), lit(sampleMod)) === 0 ||
+        col("vec_id") < nClusters) // guarantee ≥ nClusters training rows
+      .select(col("vec_id"), col("embedding"))
+    // deterministic init: the nClusters lowest vec_ids
+    var centroids = base.orderBy("vec_id").limit(nClusters)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    for (_ <- 0 until iters) {
+      val assigned = base.crossJoin(broadcast(centroids))
+        .withColumn("cos", V.cosine(col("embedding"), col("cvec")))
+        .groupBy(col("vec_id"), col("embedding"))
+        .agg(max_by(col("cid"), col("cos")).as("cid"))
+      // element-wise mean per cluster: posexplode → (cid, pos) avg →
+      // rebuild ordered by pos (sort_array on (pos, v) structs)
+      centroids = assigned
+        .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy("cid", "pos").agg(avg("v").as("m"))
+        .groupBy("cid")
+        .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cid"),
+          transform(col("pm"), x => x.getField("m").cast(FloatType)).as("cvec"))
+    }
+    centroids
+  }
+
+  /** IVF-flat approximate top-k: assign the corpus to its nearest centroid
+    * (one narrow broadcast pass), rank centroids against the query on the
+    * driver (nClusters rows — a parameter fetch), then brute-force cosine
+    * ONLY inside the `nProbe` best inverted lists. Work per query scales
+    * with corpus/nClusters×nProbe, not corpus; at 100 TB the assignment is
+    * computed once and the table is written partitioned/bucketed by `cid`,
+    * making the probe a partition-pruned scan. */
+  def ivfTopK(embs: DataFrame, q: Array[Float], excludeId: Long, k: Int,
+      nClusters: Int = 16, nProbe: Int = 4, iters: Int = 2): DataFrame = {
+    val centroids = ivfTrain(embs, nClusters, iters)
+    val qLit = typedlit(q.map(_.toDouble).toSeq)
+    val probeCids = centroids
+      .select(col("cid"), V.cosine(col("cvec"), qLit).as("cos"))
+      .orderBy(desc("cos"), col("cid")).limit(nProbe)
+      .collect().map(_.getLong(0)) // nClusters rows: parameter fetch, not data
+    val assigned = graft.Tables.parallelized(embs)
+      .crossJoin(broadcast(centroids))
+      .withColumn("ccos", V.cosine(col("embedding"), col("cvec")))
+      .groupBy(col("vec_id"), col("embedding"))
+      .agg(max_by(col("cid"), col("ccos")).as("cid"))
+    assigned
+      .filter(col("cid").isin(probeCids: _*) && col("vec_id") =!= excludeId)
+      .select(col("vec_id"),
+        floor(V.cosine(col("embedding"), qLit) * 10000.0).as("cos_x10k"))
+      .orderBy(desc("cos_x10k"), col("vec_id"))
+      .limit(k)
+  }
+
   /** LSH-bucketed approximate top-k: compare only against vectors whose
     * signature is within `maxHamming` of the query's (multi-probe). */
   def lshTopK(embs: DataFrame, q: Array[Float], excludeId: Long, k: Int,

@@ -100,6 +100,15 @@ object Extensions {
     Knn.lshTopK(embs, Knn.queryVector(embs, 0L), excludeId = 0L, k = 10, dim = 64)
   }
 
+  /** q49 IVF-flat approximate top-10 (hash-sampled k-means coarse quantizer,
+    * probe the 4 nearest inverted lists). Spark-only: centroid means are
+    * float-accumulation-order dependent, so the oracle is the recall property
+    * tested in AnnSpec, not a hash match. */
+  def q49(spark: SparkSession, dir: String): DataFrame = {
+    val embs = Tables.load(spark, dir, "embeddings")
+    Knn.ivfTopK(embs, Knn.queryVector(embs, 0L), excludeId = 0L, k = 10)
+  }
+
   /** q33 per-document quality stats: token count, avg word length (×100),
     * quality flag — all integer math, oracle-checked. */
   def q33(spark: SparkSession, dir: String): DataFrame = {
@@ -264,5 +273,6 @@ object Extensions {
     ("q35_fingerprint", q35 _, None),
     ("q36_token_count", q36 _, Some(q36Sql)),
     ("q37_multimodal_features", q37 _, None),
-    ("q38_sessionize", q38 _, Some(q38Sql)))
+    ("q38_sessionize", q38 _, Some(q38Sql)),
+    ("q49_knn_ivf", q49 _, None))
 }

@@ -1,0 +1,62 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan shape assertions — the scale contract, checked in CI:
+  * filters reach the parquet scan, projections prune the read schema,
+  * dimension lookups broadcast, top-k never global-sorts, aggregates combine
+  * map-side, and the merge as-of join shuffles exactly once. A regression
+  * here can stay invisible at sf0.01 and still be the bottleneck at 100 TB.
+  */
+class PlanQualitySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q01: projection pruned to the selected columns at the scan") {
+    val p = plan("q01_scan_project")
+    assert(p.contains("ReadSchema: struct<r_regionkey:int,r_name:string>"), p)
+  }
+
+  test("q11: predicate pushed into the parquet scan") {
+    val p = plan("q11_filter_pushdown")
+    assert(p.contains("PushedFilters:") && p.contains("GreaterThan(p_size,25"), p)
+  }
+
+  test("q25: surrogate-key lookup is a broadcast hash join (fact never shuffles for it)") {
+    val p = plan("q25_fact_orders")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q08/q43: top-k plans TakeOrderedAndProject, not a global sort") {
+    assert(plan("q08_topk").contains("TakeOrderedAndProject"))
+    assert(plan("q43_vocab_topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("q12: aggregation combines map-side (partial) before the shuffle") {
+    val p = plan("q12_group_count")
+    assert(p.contains("partial_count"), p)
+  }
+
+  test("q46: tiny band table joins as BroadcastNestedLoopJoin (no shuffle)") {
+    val p = plan("q46_range_band_join")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q45: merge as-of join shuffles the data exactly once (plus the output sort)") {
+    val p = plan("q45_asof_join")
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashExchanges == 1, s"expected 1 keyed shuffle, got $hashExchanges\n$p")
+  }
+
+  test("whole-stage codegen covers the scan-filter-project pipeline") {
+    // AQE materializes codegen stages at execution; inspect the final plan
+    val df = SparkEntry.queries("q03_derived_cents")(spark, sf)
+    df.collect() // execute THIS plan so AQE finalizes its codegen stages
+    val p = df.queryExecution.executedPlan.toString
+    // compact plan notation marks whole-stage-codegen'd operators with *(id)
+    assert(p.contains("*(") && p.contains("== Final Plan =="), p)
+  }
+}
