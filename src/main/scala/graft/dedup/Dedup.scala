@@ -44,25 +44,21 @@ object Dedup {
 
   /** doc_id → minhash signature (array of numPerms mins).
     *
-    * Computed explode-then-aggregate rather than per-row array transforms:
-    * numPerms nested HOF passes are evaluated interpreted (ArrayTransform is
-    * not whole-stage-codegen'd), while `groupBy(doc_id).agg(min(hash(h,i)))`
-    * runs entirely inside codegen with map-side partial aggregation — the
-    * same shape that scales out on a cluster (shuffle carries one partial
-    * signature per doc per mapper, not the shingle stream). Measured ~5×
-    * faster at sf0.1. */
+    * Computed by the native [[graft.plans.MinHashSignature]] expression: one
+    * fused loop per document inside whole-stage codegen — a narrow map with
+    * ZERO shuffles. (Earlier iterations used explode + a 64-column
+    * `min(xxhash64(h, i))` aggregate — correct, but it materializes the
+    * shingle stream and hash-shuffles it back to documents; the native
+    * expression produces bit-identical signatures, asserted in DedupSpec.)
+    * Docs with no shingles yield a NULL signature and are dropped, exactly
+    * as they vanished from the explode-then-aggregate plan. */
   def minHashSignatures(docs0: DataFrame, p: MinHashParams): DataFrame = {
     val docs = graft.Tables.parallelized(docs0)
-    val exploded = docs
-      .select(col("doc_id"),
-        explode(T.wordShingleHashesRaw(col("text"), p.shingleLen)).as("h"))
-    val minCols: Seq[Column] = (0 until p.numPerms).map { i =>
-      min(xxhash64(col("h"), lit(i))).as(s"m$i")
-    }
-    exploded.groupBy(col("doc_id"))
-      .agg(minCols.head, minCols.tail: _*)
-      .select(col("doc_id"),
-        array((0 until p.numPerms).map(i => col(s"m$i")): _*).as("sig"))
+    docs.select(col("doc_id"),
+        call_function("minhash_sig",
+          T.wordShingleHashesRaw(col("text"), p.shingleLen), lit(p.numPerms))
+          .as("sig"))
+      .filter(col("sig").isNotNull)
   }
 
   /** Candidate pairs from LSH banding, verified with exact Jaccard over the
@@ -129,23 +125,17 @@ object Dedup {
 
   /** doc_id + 64-bit SimHash fingerprint.
     *
-    * Same explode-then-aggregate shape as minHashSignatures: 64 codegen'd
-    * conditional-sum aggregates (one per bit) instead of a per-shingle
-    * 64-element array HOF — identical output to
-    * [[graft.functions.TextFunctions.simHash]], far cheaper per row. */
+    * Computed by the native [[graft.plans.SimHash64]] expression — one fused
+    * bit-count loop per document, no explode, no shuffle. Identical output
+    * to [[graft.functions.TextFunctions.simHash]] (HOF reference) and to the
+    * earlier explode + 64-conditional-sum aggregate plan; parity is asserted
+    * in DedupSpec. Docs with no shingles are dropped (NULL fingerprint). */
   def simHashes(docs0: DataFrame, shingleLen: Int = 3): DataFrame = {
     val docs = graft.Tables.parallelized(docs0)
-    val exploded = docs.select(col("doc_id"),
-      explode(T.shingleHashes(col("text"), shingleLen)).as("h"))
-    val bitSums = (0 until 64).map { b =>
-      sum(when(col("h").bitwiseAND(lit(1L << b)) =!= 0, 1).otherwise(-1)).as(s"b$b")
-    }
-    val packed = (0 until 64)
-      .map(b => when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
-      .reduce((a, c) => a.bitwiseOR(c))
-    exploded.groupBy(col("doc_id"))
-      .agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc_id"), packed.as("simhash"))
+    docs.select(col("doc_id"),
+        call_function("simhash64", T.shingleHashes(col("text"), shingleLen))
+          .as("simhash"))
+      .filter(col("simhash").isNotNull)
   }
 
   /** Near-dup pairs by Hamming distance ≤ maxHamming, found via 8×8-bit band

@@ -21,6 +21,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         CosineSimilarityFloat(children.head, children(1))
       }))
 
+    // minhash_sig(shingleHashes, numPerms): numPerms must be a literal — the
+    // permutation count shapes the output array at plan time.
+    ext.injectFunction((
+      FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_sig"),
+      (children: Seq[Expression]) => children match {
+        case Seq(arr, Literal(numPerms: Int, IntegerType)) =>
+          MinHashSignature(arr, numPerms)
+        case _ => throw new IllegalArgumentException(
+          "minhash_sig(shingle_hashes, numPerms: int literal)")
+      }))
+
+    ext.injectFunction((
+      FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "simhash64(shingle_hashes)")
+        SimHash64(children.head)
+      }))
+
     // hyperplane_sig(vec, dim, bits, seed): dim/bits/seed must be literals —
     // the seeded plane matrix is derived at plan time and baked into the
     // expression, so executors never re-derive it.

@@ -54,6 +54,40 @@ class DedupSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((1L, 2L, 1000000L / 3)))
   }
 
+  test("native minhash_sig is bit-identical to the explode+aggregate plan") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val p = Dedup.MinHashParams()
+    val native = Dedup.minHashSignatures(docs, p)
+    // the composed reference plan: explode shingle hashes, 64 min-aggregates
+    val exploded = docs.select(col("doc_id"),
+      explode(graft.functions.TextFunctions
+        .wordShingleHashesRaw(col("text"), p.shingleLen)).as("h"))
+    val minCols = (0 until p.numPerms).map(i => min(xxhash64(col("h"), lit(i))).as(s"m$i"))
+    val composed = exploded.groupBy(col("doc_id"))
+      .agg(minCols.head, minCols.tail: _*)
+      .select(col("doc_id"),
+        array((0 until p.numPerms).map(i => col(s"m$i")): _*).as("sig"))
+    val joined = native.as("n").join(composed.as("c"), "doc_id")
+      .select(col("n.sig"), col("c.sig"))
+    assert(joined.count() == native.count() && native.count() > 0)
+    joined.collect().foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1))
+    }
+  }
+
+  test("native simhash64 matches the HOF simHash reference") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val sh = graft.functions.TextFunctions.shingleHashes(col("text"), 3)
+    val both = Dedup.simHashes(docs).as("n")
+      .join(docs.select(col("doc_id"),
+        graft.functions.TextFunctions.simHash(sh).as("ref")).as("r"), "doc_id")
+    both.collect().foreach { r =>
+      assert(r.getAs[Long]("simhash") == r.getAs[Long]("ref"))
+    }
+  }
+
   test("embedding near-dups: identical vectors rank first with cosine 1") {
     val v1 = Seq.tabulate(8)(i => i.toFloat + 1)
     val v2 = v1
