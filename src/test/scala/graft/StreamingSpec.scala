@@ -28,6 +28,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("sessionize runs in a real stream; closed sessions match the batch plan") {
+    // flushOpen=false: the trailing open session per user stays in state, so
+    // the streamed output must equal batch sessions minus each user's last
+    val stream = EventStream.sessionize(
+      EventStream.readEvents(spark, sf), flushOpen = false)
+    val q = stream.writeStream
+      .format("memory").queryName("sessions_out").outputMode("append").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val streamed = spark.table("sessions_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+      .sortBy(s => (s._1, s._2)).toSeq
+
+    val batchAll = EventStream.sessionize(
+        Tables.load(spark, sf, "events"), flushOpen = true)
+      .collect().map(s => (s.user_id, s.start_ms, s.end_ms, s.n_events))
+      .sortBy(s => (s._1, s._2)).toSeq
+    val batchClosed = batchAll.groupBy(_._1).toSeq
+      .flatMap { case (_, ss) => ss.init } // drop each user's trailing session
+      .sortBy(s => (s._1, s._2))
+    assert(streamed == batchClosed)
+    assert(streamed.nonEmpty)
+  }
+
   test("sessionization: hand-built gaps produce the expected sessions") {
     import spark.implicits._
     def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
