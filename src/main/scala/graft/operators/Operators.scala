@@ -72,6 +72,20 @@ object Load {
     if (df.isEmpty) false
     else { df.write.mode("overwrite").parquet(path); true }
   }
+
+  /** Overwrite partitioned by `partitionCols` — the warehouse-scale variant:
+    * readers filtering on a partition column scan only matching directories
+    * (partition pruning, asserted in OperatorSemanticsSpec). At 100 TB this
+    * (e.g. fact tables partitioned by month) is the difference between a
+    * pruned scan and a full-table read. */
+  def overwritePartitioned(df: DataFrame, path: String,
+      partitionCols: Seq[String]): Boolean = {
+    if (df.isEmpty) false
+    else {
+      df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+      true
+    }
+  }
 }
 
 /** V1–V3: the reference's post-load audit queries (`Project Plan6.md:154-163`)

@@ -79,6 +79,37 @@ class OperatorSemanticsSpec extends AnyFunSuite {
     assert(spark.read.parquet(path).count() == 2)
   }
 
+  test("salted join equals the unsalted join on skewed data") {
+    import graft.operators.SkewSalt
+    // hot key 1L holds 5000 of 5050 left rows
+    val left = ((1 to 5000).map(i => (1L, i.toLong)) ++
+      (1 to 50).map(i => (i.toLong + 1, i.toLong))).toDF("k", "payload")
+    val right = (1 to 60).map(i => (i.toLong, s"dim$i")).toDF("rk", "name")
+    val salted = SkewSalt.saltedEquiJoin(left, right, "k", "rk", salts = 8)
+      .select("k", "payload", "name")
+    val plain = left.join(right, left("k") === right("rk"))
+      .select("k", "payload", "name")
+    assert(salted.count() == plain.count())
+    assert(salted.except(plain).isEmpty && plain.except(salted).isEmpty)
+    // the join key really is (key, salt): both appear in one hashpartitioning
+    val p = salted.queryExecution.executedPlan.toString
+    assert("hashpartitioning\\([^)]*k[^)]*__salt".r.findFirstIn(p).isDefined ||
+      p.contains("BroadcastHashJoin"), p) // tiny right side may still broadcast
+  }
+
+  test("partitioned overwrite: readers prune to the filtered partition") {
+    import graft.operators.Load
+    val dir = java.nio.file.Files.createTempDirectory("part_load").toString
+    val df = Seq((1L, "2024-01", 10.0), (2L, "2024-01", 20.0),
+      (3L, "2024-02", 30.0)).toDF("id", "month", "v")
+    assert(Load.overwritePartitioned(df, dir, Seq("month")))
+    val back = spark.read.parquet(dir).filter(col("month") === "2024-01")
+    assert(back.count() == 2)
+    val p = back.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [isnotnull(month"), p)
+    assert(!Load.overwritePartitioned(df.limit(0), dir, Seq("month")))
+  }
+
   test("A1/P6 audits: count and null-key check") {
     val df = Seq((1, Some(10L)), (2, None), (3, Some(30L))).toDF("id", "key")
     assert(Audit.rowCount(df) == 3)
