@@ -263,6 +263,50 @@ object Advanced {
       |    * (CASE WHEN MAX(n) % 2 = 0 THEN 1 ELSE 2 END) AS BIGINT) AS median_x2_cents
       |FROM c GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  /** q50 JSON property extraction: the event `props` column parsed per row
+    * (narrow map — no UDF, no shuffle beyond the final agg). */
+  def q50(spark: SparkSession, dir: String): DataFrame = {
+    val k = get_json_object(col("props"), "$.k").cast(LongType)
+    Tables.load(spark, dir, "events")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(k).as("sum_k"), max(k).as("max_k"))
+      .orderBy("event_type")
+  }
+
+  val q50Sql =
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      |  CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** q51 string-function surface: case, substring, length, concat, pad,
+    * reverse, replace — the scalar-function family the reference never
+    * touches (SURVEY §2.7 "not present"). */
+  def q51(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "nation")
+      .select(
+        col("n_nationkey").as("nation_id"),
+        lower(col("n_name")).as("name_lower"),
+        substring(col("n_name"), 1, 3).as("name_pfx"),
+        length(col("n_name")).as("name_len"),
+        concat(col("n_name"), lit("#"), col("n_nationkey").cast(StringType))
+          .as("tagged"),
+        lpad(col("n_nationkey").cast(StringType), 4, "0").as("id_pad"),
+        reverse(col("n_name")).as("name_rev"),
+        regexp_replace(col("n_name"), "N", "_").as("name_sub"))
+      .orderBy("nation_id")
+
+  val q51Sql =
+    """SELECT n_nationkey AS nation_id,
+      |  LOWER(n_name) AS name_lower,
+      |  SUBSTR(n_name, 1, 3) AS name_pfx,
+      |  CAST(LENGTH(n_name) AS INTEGER) AS name_len,
+      |  CONCAT(n_name, '#', CAST(n_nationkey AS VARCHAR)) AS tagged,
+      |  LPAD(CAST(n_nationkey AS VARCHAR), 4, '0') AS id_pad,
+      |  REVERSE(n_name) AS name_rev,
+      |  REPLACE(n_name, 'N', '_') AS name_sub
+      |FROM nation ORDER BY nation_id""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q39_cube", q39 _, Some(q39Sql)),
     ("q40_pivot", q40 _, Some(q40Sql)),
@@ -273,5 +317,7 @@ object Advanced {
     ("q45_asof_join", q45 _, Some(q45Sql)),
     ("q46_range_band_join", q46 _, Some(q46Sql)),
     ("q47_topk_per_group", q47 _, Some(q47Sql)),
-    ("q48_median_exact", q48 _, Some(q48Sql)))
+    ("q48_median_exact", q48 _, Some(q48Sql)),
+    ("q50_json_props", q50 _, Some(q50Sql)),
+    ("q51_string_funcs", q51 _, Some(q51Sql)))
 }
