@@ -73,6 +73,26 @@ object Load {
     else { df.write.mode("overwrite").parquet(path); true }
   }
 
+  /** Overwrite as a bucketed table: rows are hash-distributed into `buckets`
+    * files per partition on `bucketCols` and each bucket sorted on them.
+    * Two tables co-bucketed on their join key join WITHOUT any exchange —
+    * the shuffle was paid once at write time instead of once per query,
+    * which is the right trade for a fact table joined daily at 100 TB.
+    * (Bucket metadata lives in the session catalog; `path` keeps the data
+    * external.) Asserted shuffle-free in OperatorSemanticsSpec. */
+  def overwriteBucketed(df: DataFrame, table: String, path: String,
+      buckets: Int, bucketCols: Seq[String]): Boolean = {
+    if (df.isEmpty) false
+    else {
+      df.write.mode("overwrite")
+        .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+        .sortBy(bucketCols.head, bucketCols.tail: _*)
+        .option("path", path)
+        .saveAsTable(table)
+      true
+    }
+  }
+
   /** Overwrite partitioned by `partitionCols` — the warehouse-scale variant:
     * readers filtering on a partition column scan only matching directories
     * (partition pruning, asserted in OperatorSemanticsSpec). At 100 TB this

@@ -110,6 +110,29 @@ class OperatorSemanticsSpec extends AnyFunSuite {
     assert(!Load.overwritePartitioned(df.limit(0), dir, Seq("month")))
   }
 
+  test("co-bucketed tables join with zero exchanges") {
+    import graft.operators.Load
+    val base = java.nio.file.Files.createTempDirectory("bucketed").toString
+    val facts = (1 to 1000).map(i => (i.toLong % 100, i.toLong)).toDF("k", "v")
+    val dims = (0L to 99L).map(i => (i, s"d$i")).toDF("k", "name")
+    assert(Load.overwriteBucketed(facts, "bk_facts", s"$base/facts", 8, Seq("k")))
+    assert(Load.overwriteBucketed(dims, "bk_dims", s"$base/dims", 8, Seq("k")))
+    try {
+      // disable size-based broadcast so the join strategy is the bucketed
+      // sort-merge path (what a 100 TB fact-fact join would take)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("bk_facts").join(spark.table("bk_dims"), "k")
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), p)
+      assert(!p.contains("Exchange"), s"expected exchange-free co-located join:\n$p")
+      assert(joined.count() == 1000)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS bk_facts")
+      spark.sql("DROP TABLE IF EXISTS bk_dims")
+    }
+  }
+
   test("A1/P6 audits: count and null-key check") {
     val df = Seq((1, Some(10L)), (2, None), (3, Some(30L))).toDF("id", "key")
     assert(Audit.rowCount(df) == 3)
