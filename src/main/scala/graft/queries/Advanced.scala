@@ -307,6 +307,22 @@ object Advanced {
       |  REPLACE(n_name, 'N', '_') AS name_sub
       |FROM nation ORDER BY nation_id""".stripMargin
 
+  /** q52 COUNT DISTINCT + HAVING: the distinct aggregate expands to a
+    * two-phase plan (partial distinct-ization per mapper, then merge) —
+    * Catalyst's Expand-based rewrite, no code needed; HAVING is a filter on
+    * the aggregated plan. */
+  def q52(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(countDistinct(col("o_custkey")).as("n_cust"), count(lit(1)).as("n"))
+      .filter(col("n") > 100)
+      .orderBy("o_orderpriority")
+
+  val q52Sql =
+    """SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_cust, COUNT(*) AS n
+      |FROM orders GROUP BY o_orderpriority HAVING COUNT(*) > 100
+      |ORDER BY o_orderpriority""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q39_cube", q39 _, Some(q39Sql)),
     ("q40_pivot", q40 _, Some(q40Sql)),
@@ -319,5 +335,6 @@ object Advanced {
     ("q47_topk_per_group", q47 _, Some(q47Sql)),
     ("q48_median_exact", q48 _, Some(q48Sql)),
     ("q50_json_props", q50 _, Some(q50Sql)),
-    ("q51_string_funcs", q51 _, Some(q51Sql)))
+    ("q51_string_funcs", q51 _, Some(q51Sql)),
+    ("q52_count_distinct", q52 _, Some(q52Sql)))
 }
