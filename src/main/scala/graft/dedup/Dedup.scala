@@ -159,12 +159,16 @@ object Dedup {
       col("doc_id").as("doc_a"), col("simhash").as("sim_a"))
     val r = exploded.select(col("band"), col("bkey"),
       col("doc_id").as("doc_b"), col("simhash").as("sim_b"))
+    // Hamming-filter BEFORE pair dedup: the filter is a codegen'd per-row
+    // bit_count on columns already in hand, so running it first shrinks the
+    // dedup shuffle from every band collision (~buckets × bucket²/2 rows) to
+    // just the near-duplicate pairs. Identical output — hamming is a pure
+    // function of the pair, so duplicates agree with their survivors.
     l.join(r, Seq("band", "bkey")).filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "sim_a", "sim_b")
-      .dropDuplicates("doc_a", "doc_b")
       .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
       .filter(col("hamming") <= maxHamming)
       .select("doc_a", "doc_b", "hamming")
+      .dropDuplicates("doc_a", "doc_b")
   }
 
   // ------------------------------------------------- n-gram Jaccard (exact)
