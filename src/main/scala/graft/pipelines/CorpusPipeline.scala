@@ -1,0 +1,64 @@
+package graft.pipelines
+
+import graft.Tables
+import graft.dedup.Dedup
+import graft.operators.Load
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** End-to-end training-corpus preparation — the extension operators (SURVEY
+  * §2.11/§2.13) composed into one job the way an LLM-data team would run
+  * them: quality gate → exact dedup (deterministic survivor) → reproducible
+  * train/val split → split-partitioned overwrite.
+  *
+  * Scale shape: the quality gate is a narrow codegen'd filter; dedup is one
+  * hash shuffle on the text key (min-survivor semi-join back keeps the full
+  * row without carrying text twice through the shuffle); the split is a pure
+  * per-row md5 — stable under reruns, engine version, and cluster layout; the
+  * sink partitions by split so downstream training readers partition-prune.
+  * Nothing here collects to the driver.
+  */
+class CorpusPipeline(spark: SparkSession, sfDir: String, outDir: String) {
+
+  def corpusPath: String = s"$outDir/corpus"
+
+  /** Quality gate (the q33 thresholds): 5..1000 tokens, mean word length
+    * 2..15 chars. */
+  private def qualityFiltered(docs: DataFrame): DataFrame = {
+    val t = col("text")
+    val spaces = length(t) - length(regexp_replace(t, " ", ""))
+    val toks = (spaces + 1).cast(LongType)
+    val awl = floor(lit(100.0) * (length(t) - spaces) / toks)
+    docs.withColumn("n_tokens", toks)
+      .filter(col("n_tokens").between(5, 1000) && awl.between(200, 1500))
+  }
+
+  /** Exact dedup keeping the lowest doc_id per distinct text: a left-semi
+    * join of the corpus against the (text → min doc_id) survivors. */
+  private def dedupSurvivors(docs: DataFrame): DataFrame =
+    docs.join(
+      Dedup.exact(docs).select(col("keep_id").as("doc_id")),
+      Seq("doc_id"), "left_semi")
+
+  /** Deterministic 90/10 split on md5(doc_id) — the q44 sampling primitive
+    * repurposed as a split assignment. */
+  private def withSplit(docs: DataFrame): DataFrame =
+    docs.withColumn("bucket",
+        conv(substring(md5(col("doc_id").cast(StringType)), 1, 8), 16, 10)
+          .cast(LongType) % 10)
+      .withColumn("split", when(col("bucket") === 0, "val").otherwise("train"))
+      .drop("bucket")
+
+  /** Run the full pipeline; returns per-split row counts (the audit). */
+  def run(): Map[String, Long] = {
+    val docs = Tables.parallelized(Tables.load(spark, sfDir, "documents"))
+    val prepared = withSplit(dedupSurvivors(qualityFiltered(docs)))
+      .select("doc_id", "text", "lang", "source", "n_tokens", "split")
+    require(Load.overwritePartitioned(prepared, corpusPath, Seq("split")),
+      "empty corpus — nothing written")
+    spark.read.parquet(corpusPath)
+      .groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+  }
+}

@@ -42,6 +42,32 @@ class PipelineSpec extends AnyFunSuite {
       Schemas.factOrderMetrics.fields.map(f => (f.name, f.dataType)).toSeq)
   }
 
+  test("corpus pipeline: quality-gated, dedup'd, deterministically split") {
+    import org.apache.spark.sql.functions._
+    val out = java.nio.file.Files.createTempDirectory("corpus").toString
+    val pipe = new graft.pipelines.CorpusPipeline(spark, sf, out)
+    val counts = pipe.run()
+    assert(counts.keySet == Set("train", "val"))
+    val total = counts.values.sum
+    assert(total > 0)
+    // ~10% val split (hash-based, so approximate)
+    assert(counts("val") > 0 && counts("val") < total / 5)
+
+    val corpus = spark.read.parquet(pipe.corpusPath)
+    // no duplicate text survived
+    assert(corpus.select("text").distinct().count() == total)
+    // quality gate held
+    assert(corpus.filter(!col("n_tokens").between(5, 1000)).count() == 0)
+    // split is deterministic: a second run assigns identically
+    val pipe2 = new graft.pipelines.CorpusPipeline(spark, sf,
+      java.nio.file.Files.createTempDirectory("corpus2").toString)
+    assert(pipe2.run() == counts)
+    // readers prune on the split partition column
+    val p = spark.read.parquet(pipe.corpusPath)
+      .filter(col("split") === "val").queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [isnotnull(split"), p)
+  }
+
   test("dimension tables carry dense 1..n surrogate keys") {
     val out = java.nio.file.Files.createTempDirectory("graft-mart2").toString
     val p = new MartPipelines(spark, sf, out)
