@@ -50,10 +50,13 @@ object Knn {
     * update shuffles only sample×dim (pos, sum) pairs. */
   def ivfTrain(embs: DataFrame, nClusters: Int, iters: Int = 2,
       sampleMod: Int = 10): DataFrame = {
+    // the sample is re-consumed every Lloyd iteration (assignment + update)
+    // — persist it for training and release before returning
     val base = graft.Tables.parallelized(embs)
       .filter(pmod(xxhash64(col("vec_id")), lit(sampleMod)) === 0 ||
         col("vec_id") < nClusters) // guarantee ≥ nClusters training rows
       .select(col("vec_id"), col("embedding"))
+      .persist()
     // deterministic init: the nClusters lowest vec_ids
     var centroids = base.orderBy("vec_id").limit(nClusters)
       .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
@@ -72,7 +75,12 @@ object Knn {
         .select(col("cid"),
           transform(col("pm"), x => x.getField("m").cast(FloatType)).as("cvec"))
     }
-    centroids
+    // materialize the nClusters rows (driver-sized by construction) so the
+    // returned table has no lineage into the training cache
+    val spark = embs.sparkSession
+    val rows = centroids.collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    base.unpersist(blocking = false)
+    spark.createDataFrame(rows.toSeq).toDF("cid", "cvec")
   }
 
   /** IVF-flat approximate top-k: assign the corpus to its nearest centroid

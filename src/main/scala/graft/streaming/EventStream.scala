@@ -43,6 +43,17 @@ object EventStream {
       .select(col("window.start").cast(StringType).as("hour"),
         col("event_type"), col("n"), col("sum_cents"))
 
+  /** Streaming delivery-dedup: state-backed `dropDuplicates` on
+    * (keys, event time) — each replayed record (same key, same timestamp,
+    * e.g. an at-least-once redelivery) is emitted once. Including the
+    * event-time column in the key lets the watermark expire state, so
+    * executor memory is bounded by keys-per-watermark-window, not stream
+    * length; state is hash-partitioned by key across executors. */
+  def dedupStream(events: DataFrame, keys: Seq[String],
+      watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicates(keys :+ "ts")
+
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
   final case class SessionState(start: Long, last: Long, n: Int)

@@ -51,6 +51,18 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming delivery-dedup collapses a doubled stream to one copy") {
+    val doubled = EventStream.readEvents(spark, sf)
+      .unionByName(EventStream.readEvents(spark, sf))
+    val q = EventStream.dedupStream(doubled, Seq("event_id"))
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val streamed = spark.table("dedup_out").count()
+    val batch = Tables.load(spark, sf, "events").count()
+    assert(streamed == batch, s"$streamed != $batch")
+  }
+
   test("sessionization: hand-built gaps produce the expected sessions") {
     import spark.implicits._
     def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
