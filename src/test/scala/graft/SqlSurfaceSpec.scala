@@ -1,0 +1,43 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The SQL surface: the declared oracle statements are written in the SQL
+  * subset common to Spark SQL and DuckDB wherever possible (SURVEY §2.12),
+  * so most of them must ALSO run verbatim on `spark.sql` over the registered
+  * views — and agree with the DataFrame plans. DuckDB-only constructs
+  * (list lambdas, epoch_ms, ASOF JOIN, json_extract_string, hex casts) are
+  * skipped by the parse/run probe; everything that runs must match.
+  */
+class SqlSurfaceSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("oracle SQL in the common subset matches the DataFrame plans on spark.sql") {
+    Tables.registerViews(spark, sf)
+    var ran = 0
+    val mismatches = scala.collection.mutable.ArrayBuffer[String]()
+    SparkEntry.oracleSql.toSeq.sortBy(_._1).foreach { case (name, sql) =>
+      val viaSql =
+        try spark.sql(sql).collect()
+        catch { case _: Exception => null } // DuckDB-only construct: skip
+      if (viaSql != null) {
+        ran += 1
+        val df = SparkEntry.queries(name)(spark, sf)
+        val cols = df.columns.sorted
+        def canon(rows: Array[org.apache.spark.sql.Row],
+            names: Array[String]): Seq[String] = {
+          val idx = names.zipWithIndex.toMap
+          rows.map(r => cols.map(c => String.valueOf(r.get(idx(c)))).mkString("|"))
+            .sorted.toSeq
+        }
+        val a = canon(viaSql, spark.sql(sql).columns)
+        val b = canon(df.collect(), df.columns)
+        if (a != b) mismatches += s"$name: sql=${a.take(2)} df=${b.take(2)}"
+      }
+    }
+    assert(mismatches.isEmpty, mismatches.mkString("\n"))
+    assert(ran >= 20, s"only $ran oracle statements ran on spark.sql")
+    info(s"$ran oracle statements ran on spark.sql and matched")
+  }
+}
