@@ -1,7 +1,7 @@
 package graft.dedup
 
 import graft.functions.{TextFunctions => T, VectorFunctions => V}
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 

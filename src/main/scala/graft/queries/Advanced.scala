@@ -323,6 +323,23 @@ object Advanced {
       |FROM orders GROUP BY o_orderpriority HAVING COUNT(*) > 100
       |ORDER BY o_orderpriority""".stripMargin
 
+  /** q53 sketches: HLL++ approximate distinct (rsd 5%) and approximate
+    * quantiles per priority — the O(1)-memory row the exact operators (q48
+    * median, q52 COUNT DISTINCT) trade against at 100 TB. Spark-only (sketch
+    * estimates are engine-specific by nature); the estimates are spec-bound
+    * to within 10% of the exact values in AdvancedSpec. */
+  def q53(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "orders")
+      .withColumn("cents", cents(col("o_totalprice")))
+      .groupBy("o_orderpriority")
+      .agg(
+        approx_count_distinct(col("o_custkey"), rsd = 0.05).as("approx_cust"),
+        percentile_approx(col("cents"), lit(0.5), lit(10000))
+          .as("approx_median_cents"),
+        percentile_approx(col("cents"), lit(0.99), lit(10000))
+          .as("approx_p99_cents"))
+      .orderBy("o_orderpriority")
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q39_cube", q39 _, Some(q39Sql)),
     ("q40_pivot", q40 _, Some(q40Sql)),
@@ -336,5 +353,6 @@ object Advanced {
     ("q48_median_exact", q48 _, Some(q48Sql)),
     ("q50_json_props", q50 _, Some(q50Sql)),
     ("q51_string_funcs", q51 _, Some(q51Sql)),
-    ("q52_count_distinct", q52 _, Some(q52Sql)))
+    ("q52_count_distinct", q52 _, Some(q52Sql)),
+    ("q53_sketches", q53 _, None))
 }

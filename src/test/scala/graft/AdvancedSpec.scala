@@ -81,6 +81,22 @@ class AdvancedSpec extends AnyFunSuite {
     assert(out == Map(1L -> "b0", 2L -> "b0", 3L -> "b1", 4L -> "b1"))
   }
 
+  test("q53 sketches track the exact operators within 10%") {
+    val sf = "/root/testdata/sf0.001"
+    val sk = graft.queries.Advanced.q53(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val exactDistinct = graft.queries.Advanced.q52(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exactMedian = graft.queries.Advanced.q48(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(2) / 2).toMap // median_x2 → median
+    sk.foreach { case (k, (cust, med)) =>
+      assert(math.abs(cust - exactDistinct(k)).toDouble / exactDistinct(k) < 0.1,
+        s"$k approx distinct $cust vs ${exactDistinct(k)}")
+      assert(math.abs(med - exactMedian(k)).toDouble / exactMedian(k) < 0.1,
+        s"$k approx median $med vs ${exactMedian(k)}")
+    }
+  }
+
   test("hash sample is stable across evaluations") {
     val a = graft.queries.Advanced.q44(spark, "/root/testdata/sf0.001")
       .collect().map(_.getLong(0)).toSeq
