@@ -54,6 +54,32 @@ object EventStream {
     events.withWatermark("ts", watermark)
       .dropDuplicates(keys :+ "ts")
 
+  /** Watermarked stream-stream join: purchases within `withinMinutes` after
+    * a view by the same user (the conversion-attribution shape). Works
+    * unchanged on batch DataFrames — the same plan, minus state. In
+    * streaming, both sides carry watermarks and the time-range predicate
+    * bounds how long view rows wait in state: Spark derives the state
+    * retention from (watermark, range), so state is O(events per window),
+    * not O(stream). The join itself hash-shuffles both sides on user_id —
+    * one exchange each, same as the batch plan. */
+  def conversions(events: DataFrame, withinMinutes: Int = 60): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"),
+        col("ts").as("view_ts"))
+      .withWatermark("view_ts", "2 hours")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"),
+        col("event_id").as("purchase_id"), col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "2 hours")
+    views.join(purchases,
+        col("user_id") === col("p_user_id") &&
+          col("purchase_ts") >= col("view_ts") &&
+          col("purchase_ts") <=
+            col("view_ts") + expr(s"INTERVAL $withinMinutes MINUTES"),
+        "inner")
+      .select(col("user_id"), col("view_id"), col("purchase_id"))
+  }
+
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
   final case class SessionState(start: Long, last: Long, n: Int)

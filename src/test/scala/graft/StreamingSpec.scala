@@ -51,6 +51,19 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("stream-stream conversion join matches the same plan run in batch") {
+    val q = EventStream.conversions(EventStream.readEvents(spark, sf))
+      .writeStream.format("memory").queryName("conv_out")
+      .outputMode("append").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val streamed = spark.table("conv_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = EventStream.conversions(Tables.load(spark, sf, "events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
+
   test("streaming delivery-dedup collapses a doubled stream to one copy") {
     val doubled = EventStream.readEvents(spark, sf)
       .unionByName(EventStream.readEvents(spark, sf))
