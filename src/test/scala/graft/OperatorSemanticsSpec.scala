@@ -133,6 +133,26 @@ class OperatorSemanticsSpec extends AnyFunSuite {
     }
   }
 
+  test("csv and json sources round-trip with explicit schemas") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("fmt").toString
+    val df = Seq((1L, "alpha", 1.5), (2L, "beta", -2.25), (3L, "with,comma", 0.0))
+      .toDF("id", "name", "v")
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("name", StringType), StructField("v", DoubleType)))
+
+    df.write.mode("overwrite").option("header", "true").csv(s"$dir/csv")
+    df.write.mode("overwrite").json(s"$dir/json")
+    // schema-enforced reads, never inference on correctness paths
+    val csvBack = spark.read.schema(schema).option("header", "true")
+      .csv(s"$dir/csv").orderBy("id").collect().map(_.toSeq)
+    val jsonBack = spark.read.schema(schema).json(s"$dir/json")
+      .orderBy("id").collect().map(_.toSeq)
+    val want = df.orderBy("id").collect().map(_.toSeq)
+    assert(csvBack.toSeq == want.toSeq)
+    assert(jsonBack.toSeq == want.toSeq)
+  }
+
   test("A1/P6 audits: count and null-key check") {
     val df = Seq((1, Some(10L)), (2, None), (3, Some(30L))).toDF("id", "key")
     assert(Audit.rowCount(df) == 3)
