@@ -19,13 +19,11 @@ import org.apache.spark.sql.types._
   * sink partitions by split so downstream training readers partition-prune.
   * Nothing here collects to the driver.
   */
-class CorpusPipeline(spark: SparkSession, sfDir: String, outDir: String) {
-
-  def corpusPath: String = s"$outDir/corpus"
+object CorpusPipeline {
 
   /** Quality gate (the q33 thresholds): 5..1000 tokens, mean word length
     * 2..15 chars. */
-  private def qualityFiltered(docs: DataFrame): DataFrame = {
+  def qualityFiltered(docs: DataFrame): DataFrame = {
     val t = col("text")
     val spaces = length(t) - length(regexp_replace(t, " ", ""))
     val toks = (spaces + 1).cast(LongType)
@@ -36,24 +34,33 @@ class CorpusPipeline(spark: SparkSession, sfDir: String, outDir: String) {
 
   /** Exact dedup keeping the lowest doc_id per distinct text: a left-semi
     * join of the corpus against the (text → min doc_id) survivors. */
-  private def dedupSurvivors(docs: DataFrame): DataFrame =
+  def dedupSurvivors(docs: DataFrame): DataFrame =
     docs.join(
       Dedup.exact(docs).select(col("keep_id").as("doc_id")),
       Seq("doc_id"), "left_semi")
 
   /** Deterministic 90/10 split on md5(doc_id) — the q44 sampling primitive
     * repurposed as a split assignment. */
-  private def withSplit(docs: DataFrame): DataFrame =
+  def withSplit(docs: DataFrame): DataFrame =
     docs.withColumn("bucket",
         conv(substring(md5(col("doc_id").cast(StringType)), 1, 8), 16, 10)
           .cast(LongType) % 10)
       .withColumn("split", when(col("bucket") === 0, "val").otherwise("train"))
       .drop("bucket")
 
+  /** The full prepare transform (no sink) — also the q54 query surface. */
+  def prepare(docs: DataFrame): DataFrame =
+    withSplit(dedupSurvivors(qualityFiltered(docs)))
+}
+
+class CorpusPipeline(spark: SparkSession, sfDir: String, outDir: String) {
+
+  def corpusPath: String = s"$outDir/corpus"
+
   /** Run the full pipeline; returns per-split row counts (the audit). */
   def run(): Map[String, Long] = {
     val docs = Tables.parallelized(Tables.load(spark, sfDir, "documents"))
-    val prepared = withSplit(dedupSurvivors(qualityFiltered(docs)))
+    val prepared = CorpusPipeline.prepare(docs)
       .select("doc_id", "text", "lang", "source", "n_tokens", "split")
     require(Load.overwritePartitioned(prepared, corpusPath, Seq("split")),
       "empty corpus — nothing written")

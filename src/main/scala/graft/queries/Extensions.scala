@@ -260,6 +260,30 @@ object Extensions {
       |  CAST(MAX(n_events) AS INTEGER) AS max_session_events
       |FROM per GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** q54 the corpus-preparation transform (quality gate → exact-dedup
+    * survivors → deterministic split) under the hash gate — the flagship
+    * LLM-pipeline composition, oracle-checked end to end. */
+  def q54(spark: SparkSession, dir: String): DataFrame =
+    graft.pipelines.CorpusPipeline
+      .prepare(Tables.load(spark, dir, "documents"))
+      .select("doc_id", "n_tokens", "split")
+      .orderBy("doc_id")
+
+  val q54Sql =
+    """WITH q AS (
+      |  SELECT doc_id, text,
+      |    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens,
+      |    FLOOR(100.0 * length(replace(text, ' ', '')) /
+      |      (length(text) - length(replace(text, ' ', '')) + 1)) AS awl
+      |  FROM documents),
+      |g AS (SELECT * FROM q WHERE n_tokens BETWEEN 5 AND 1000 AND awl BETWEEN 200 AND 1500),
+      |s AS (SELECT MIN(doc_id) AS doc_id FROM g GROUP BY text)
+      |SELECT g.doc_id, g.n_tokens,
+      |  CASE WHEN CAST('0x' || substr(md5(CAST(g.doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 10 = 0
+      |    THEN 'val' ELSE 'train' END AS split
+      |FROM g JOIN s ON g.doc_id = s.doc_id
+      |ORDER BY g.doc_id""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q26_dedup_exact", q26 _, Some(q26Sql)),
     ("q27_dedup_minhash_lsh", q27 _, None),
@@ -274,5 +298,6 @@ object Extensions {
     ("q36_token_count", q36 _, Some(q36Sql)),
     ("q37_multimodal_features", q37 _, None),
     ("q38_sessionize", q38 _, Some(q38Sql)),
-    ("q49_knn_ivf", q49 _, None))
+    ("q49_knn_ivf", q49 _, None),
+    ("q54_corpus_prepare", q54 _, Some(q54Sql)))
 }
