@@ -340,6 +340,29 @@ object Advanced {
           .as("approx_p99_cents"))
       .orderBy("o_orderpriority")
 
+  /** q55 value-RANGE window frame (vs q17's ROWS frames): running sum over
+    * all orders within 10,000.00 of the current price per customer — frame
+    * membership by value distance, peers included, deterministic. */
+  def q55(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("cents")
+      .rangeBetween(-1000000L, Window.currentRow)
+    Tables.load(spark, dir, "orders")
+      .withColumn("cents", cents(col("o_totalprice")))
+      .select(col("o_custkey"), col("o_orderkey"), col("cents"),
+        sum("cents").over(w).as("near_sum"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  val q55Sql =
+    """WITH c AS (
+      |  SELECT o_custkey, o_orderkey,
+      |    CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders)
+      |SELECT o_custkey, o_orderkey, cents,
+      |  CAST(SUM(cents) OVER (PARTITION BY o_custkey ORDER BY cents
+      |    RANGE BETWEEN 1000000 PRECEDING AND CURRENT ROW) AS BIGINT) AS near_sum
+      |FROM c ORDER BY o_custkey, o_orderkey""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q39_cube", q39 _, Some(q39Sql)),
     ("q40_pivot", q40 _, Some(q40Sql)),
@@ -354,5 +377,6 @@ object Advanced {
     ("q50_json_props", q50 _, Some(q50Sql)),
     ("q51_string_funcs", q51 _, Some(q51Sql)),
     ("q52_count_distinct", q52 _, Some(q52Sql)),
-    ("q53_sketches", q53 _, None))
+    ("q53_sketches", q53 _, None),
+    ("q55_range_frame", q55 _, Some(q55Sql)))
 }
