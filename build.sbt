@@ -28,7 +28,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
-// Generated-class volume across the 48-query surface benefits from a
+// Generated-class volume across the full query surface benefits from a
 // larger JIT code cache (default 240m); no GC tuning needed (G1 pauses
 // measured <12ms on the full bench).
 javaOptions += "-XX:ReservedCodeCacheSize=512m"

@@ -21,7 +21,7 @@ object Bench {
       if (t.isEmpty) failed += name
       // Operators may cache intermediates (e.g. LSH signature/candidate
       // stages); release them so cached stages never accumulate across the
-      // 38-query run and each query is timed against a clean block store.
+      // full run and each query is timed against a clean block store.
       spark.catalog.clearCache()
       name -> t
     }

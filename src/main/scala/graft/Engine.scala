@@ -33,7 +33,7 @@ object Engine {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.parquet.filterPushdown", "true")
       // The default generated-class cache holds 100 entries; a session
-      // running the full 48-query surface (some with very large generated
+      // running the full query surface (some with very large generated
       // aggregates — the 64-permutation MinHash signature takes ~6 s of
       // Janino+JIT) thrashes it and intermittently re-pays compilation.
       // Static conf, so it must be set before the session exists.

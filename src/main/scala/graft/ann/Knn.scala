@@ -38,72 +38,84 @@ object Knn {
 
   // ----------------------------------------------------------------- IVF
 
+  /** Per-row nearest-centroid assignment as a pure expression: the centroid
+    * matrix travels as literals and `greatest` over (cosine, cid) structs
+    * picks the best match lexicographically — max cosine, larger cid on
+    * exact ties. A narrow map: NO join, NO shuffle, regardless of corpus
+    * size. */
+  private def nearestCid(centroids: Array[(Long, Array[Float])]) = {
+    val scored = centroids.map { case (cid, vec) =>
+      struct(
+        V.cosine(col("embedding"), typedlit(vec.map(_.toDouble).toSeq)).as("cos"),
+        lit(cid).as("cid"))
+    }
+    greatest(scored.toSeq: _*).getField("cid")
+  }
+
   /** Train IVF coarse centroids with Lloyd iterations over a deterministic
     * hash-sample of the corpus (training never scans the full table — the
     * sample is a narrow pushed-down filter). Assignment maximizes cosine, so
-    * centroids partition the sphere like an IVF-flat index. Returns
-    * (cid, cvec) with `nClusters` rows — always driver/broadcast sized.
+    * centroids partition the sphere like an IVF-flat index. Returns the
+    * centroids as a driver-side array — nClusters entries by construction
+    * (the model is a parameter, not data).
     *
-    * Shuffle shape per iteration: the broadcast crossJoin against nClusters
-    * rows is a narrow map (no shuffle of the corpus); `max_by` partial
-    * aggregation reduces the k×sample intermediate map-side; the centroid
-    * update shuffles only sample×dim (pos, sum) pairs. */
+    * Shuffle shape per iteration: assignment is the [[nearestCid]] literal
+    * argmax (narrow map, zero shuffles); only the centroid-mean update
+    * shuffles, and only sample×dim (pos, sum) pairs. */
   def ivfTrain(embs: DataFrame, nClusters: Int, iters: Int = 2,
-      sampleMod: Int = 10): DataFrame = {
-    // the sample is re-consumed every Lloyd iteration (assignment + update)
-    // — persist it for training and release before returning
+      sampleMod: Int = 10): Array[(Long, Array[Float])] = {
+    // the sample is re-consumed every Lloyd iteration — persist for training
     val base = graft.Tables.parallelized(embs)
       .filter(pmod(xxhash64(col("vec_id")), lit(sampleMod)) === 0 ||
         col("vec_id") < nClusters) // guarantee ≥ nClusters training rows
       .select(col("vec_id"), col("embedding"))
       .persist()
     // deterministic init: the nClusters lowest vec_ids
-    var centroids = base.orderBy("vec_id").limit(nClusters)
-      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    var centroids: Array[(Long, Array[Float])] =
+      base.orderBy("vec_id").limit(nClusters).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
     for (_ <- 0 until iters) {
-      val assigned = base.crossJoin(broadcast(centroids))
-        .withColumn("cos", V.cosine(col("embedding"), col("cvec")))
-        .groupBy(col("vec_id"), col("embedding"))
-        .agg(max_by(col("cid"), col("cos")).as("cid"))
       // element-wise mean per cluster: posexplode → (cid, pos) avg →
       // rebuild ordered by pos (sort_array on (pos, v) structs)
-      centroids = assigned
+      centroids = base
+        .withColumn("cid", nearestCid(centroids))
         .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "v")))
         .groupBy("cid", "pos").agg(avg("v").as("m"))
         .groupBy("cid")
         .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("pm"))
         .select(col("cid"),
           transform(col("pm"), x => x.getField("m").cast(FloatType)).as("cvec"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
     }
-    // materialize the nClusters rows (driver-sized by construction) so the
-    // returned table has no lineage into the training cache
-    val spark = embs.sparkSession
-    val rows = centroids.collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
     base.unpersist(blocking = false)
-    spark.createDataFrame(rows.toSeq).toDF("cid", "cvec")
+    centroids
   }
 
-  /** IVF-flat approximate top-k: assign the corpus to its nearest centroid
-    * (one narrow broadcast pass), rank centroids against the query on the
-    * driver (nClusters rows — a parameter fetch), then brute-force cosine
-    * ONLY inside the `nProbe` best inverted lists. Work per query scales
-    * with corpus/nClusters×nProbe, not corpus; at 100 TB the assignment is
-    * computed once and the table is written partitioned/bucketed by `cid`,
-    * making the probe a partition-pruned scan. */
+  /** IVF-flat approximate top-k: rank centroids against the query on the
+    * driver (the model is nClusters entries — a parameter, not data), assign
+    * each corpus row to its list with the [[nearestCid]] literal argmax, and
+    * brute-force cosine ONLY inside the `nProbe` best inverted lists. The
+    * whole query path is a narrow map + TakeOrderedAndProject — zero
+    * shuffles at any corpus size. At 100 TB the assignment is computed once
+    * and the table written partitioned/bucketed by `cid`, making the probe a
+    * partition-pruned scan. */
   def ivfTopK(embs: DataFrame, q: Array[Float], excludeId: Long, k: Int,
       nClusters: Int = 16, nProbe: Int = 4, iters: Int = 2): DataFrame = {
     val centroids = ivfTrain(embs, nClusters, iters)
-    val qLit = typedlit(q.map(_.toDouble).toSeq)
+    val qd = q.map(_.toDouble)
+    def cos(a: Array[Double], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length && i < b.length) {
+        d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      if (na == 0.0 || nb == 0.0) -2.0 else d / (math.sqrt(na) * math.sqrt(nb))
+    }
     val probeCids = centroids
-      .select(col("cid"), V.cosine(col("cvec"), qLit).as("cos"))
-      .orderBy(desc("cos"), col("cid")).limit(nProbe)
-      .collect().map(_.getLong(0)) // nClusters rows: parameter fetch, not data
-    val assigned = graft.Tables.parallelized(embs)
-      .crossJoin(broadcast(centroids))
-      .withColumn("ccos", V.cosine(col("embedding"), col("cvec")))
-      .groupBy(col("vec_id"), col("embedding"))
-      .agg(max_by(col("cid"), col("ccos")).as("cid"))
-    assigned
+      .map { case (cid, vec) => (cos(qd, vec), cid) }
+      .sortBy { case (c, cid) => (-c, cid) }.take(nProbe).map(_._2)
+    val qLit = typedlit(qd.toSeq)
+    graft.Tables.parallelized(embs)
+      .withColumn("cid", nearestCid(centroids))
       .filter(col("cid").isin(probeCids: _*) && col("vec_id") =!= excludeId)
       .select(col("vec_id"),
         floor(V.cosine(col("embedding"), qLit) * 10000.0).as("cos_x10k"))

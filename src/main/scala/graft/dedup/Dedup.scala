@@ -65,19 +65,21 @@ object Dedup {
     * shingle sets; returns (doc_a, doc_b, jaccard_x1e6) with doc_a < doc_b.
     *
     * The shingle sets are joined back only for the candidate pairs — the
-    * full corpus never carries its shingle arrays through the band shuffle. */
+    * full corpus never carries its shingle arrays through the band shuffle.
+    *
+    * Cache ownership: ONE DataFrame (the candidate pairs) is persisted and
+    * eagerly materialized here — it feeds three consumers (the pair output
+    * and both legs of the doc-id union), which would otherwise re-run the
+    * band join per consumer, and materializing it is the natural barrier of
+    * any LSH pipeline. The cache belongs to the session: callers running
+    * many corpora through a long-lived session should release it after
+    * consuming the result (`spark.catalog.clearCache()`, as Bench/Verify
+    * do). Signatures are NOT cached — since they became a narrow
+    * per-row expression, both band-join legs share one computed exchange
+    * via ReuseExchange. */
   def minHashPairs(docs: DataFrame, p: MinHashParams = MinHashParams(),
       minJaccardX1e6: Long = 800000L): DataFrame = {
-    // The signature table is consumed twice (both sides of the bucket
-    // self-join) and the candidate table up to three times (pair output +
-    // both legs of the doc-id union); without persistence each consumer
-    // re-executes the full upstream DAG. Signatures are numPerms longs per
-    // doc — small enough to cache even at billions of docs (and standard
-    // practice for LSH pipelines). The candidate table is materialized
-    // eagerly below — the natural barrier of any LSH pipeline — so the
-    // signature cache can be released before the verify stage runs, keeping
-    // at most one cached stage alive at a time in a long-lived session.
-    val sigs = minHashSignatures(docs, p).persist()
+    val sigs = minHashSignatures(docs, p)
 
     // band key: hash of (band index, the band's slice of the signature)
     val bandKeys = (0 until p.bands).map { j =>
@@ -96,8 +98,7 @@ object Dedup {
       .select("doc_a", "doc_b")
       .dropDuplicates("doc_a", "doc_b") // same pair may collide in many bands
       .persist()
-    cand.count() // materialize the LSH barrier, then drop the signature cache
-    sigs.unpersist(blocking = false)
+    cand.count() // the LSH barrier: candidates materialize exactly once
 
     // Compute shingle sets only for docs that appear in a candidate pair —
     // the expensive per-doc shingling never runs corpus-wide twice. The

@@ -24,6 +24,15 @@ object TextFunctions {
   def tokenCount(text: Column): Column =
     (length(text) - length(regexp_replace(text, " ", ""))) + 1
 
+  /** Deterministic hash bucket in [0, mod): md5 of the key's string form,
+    * first 8 hex digits as an integer. Engine-portable (identical arithmetic
+    * exists in DuckDB: `CAST('0x'||substr(md5(..),1,8) AS BIGINT) % mod`) —
+    * the one shared primitive behind reproducible sampling (q44) and
+    * train/val splits (q54 / CorpusPipeline). */
+  def hashBucket(key: Column, mod: Int): Column =
+    conv(substring(md5(key.cast(StringType)), 1, 8), 16, 10)
+      .cast(LongType) % mod
+
   /** BPE-ish subword-count estimate: words plus extra units for long words
     * (a word of length L costs ceil(L/6) units) — a deterministic stand-in
     * for a real tokenizer's compression curve. */

@@ -2,7 +2,7 @@ package graft.pipelines
 
 import graft.Tables
 import graft.dedup.Dedup
-import graft.operators.Load
+import graft.functions.{TextFunctions => T}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -22,12 +22,13 @@ import org.apache.spark.sql.types._
 object CorpusPipeline {
 
   /** Quality gate (the q33 thresholds): 5..1000 tokens, mean word length
-    * 2..15 chars. */
+    * 2..15 chars. Token arithmetic is [[graft.functions.TextFunctions]]'s —
+    * the single home for oracle-parity text math. */
   def qualityFiltered(docs: DataFrame): DataFrame = {
     val t = col("text")
-    val spaces = length(t) - length(regexp_replace(t, " ", ""))
-    val toks = (spaces + 1).cast(LongType)
-    val awl = floor(lit(100.0) * (length(t) - spaces) / toks)
+    val toks = T.tokenCount(t).cast(LongType)
+    val nonSpace = length(regexp_replace(t, " ", ""))
+    val awl = floor(lit(100.0) * nonSpace / toks)
     docs.withColumn("n_tokens", toks)
       .filter(col("n_tokens").between(5, 1000) && awl.between(200, 1500))
   }
@@ -42,11 +43,8 @@ object CorpusPipeline {
   /** Deterministic 90/10 split on md5(doc_id) — the q44 sampling primitive
     * repurposed as a split assignment. */
   def withSplit(docs: DataFrame): DataFrame =
-    docs.withColumn("bucket",
-        conv(substring(md5(col("doc_id").cast(StringType)), 1, 8), 16, 10)
-          .cast(LongType) % 10)
-      .withColumn("split", when(col("bucket") === 0, "val").otherwise("train"))
-      .drop("bucket")
+    docs.withColumn("split",
+      when(T.hashBucket(col("doc_id"), 10) === 0, "val").otherwise("train"))
 
   /** The full prepare transform (no sink) — also the q54 query surface. */
   def prepare(docs: DataFrame): DataFrame =
@@ -57,13 +55,16 @@ class CorpusPipeline(spark: SparkSession, sfDir: String, outDir: String) {
 
   def corpusPath: String = s"$outDir/corpus"
 
-  /** Run the full pipeline; returns per-split row counts (the audit). */
+  /** Run the full pipeline; returns per-split row counts (the audit).
+    *
+    * Writes directly (no pre-write emptiness probe — that would execute the
+    * full dedup DAG twice); an empty corpus writes an empty table, and the
+    * audit read-back reports zero rows. */
   def run(): Map[String, Long] = {
     val docs = Tables.parallelized(Tables.load(spark, sfDir, "documents"))
-    val prepared = CorpusPipeline.prepare(docs)
+    CorpusPipeline.prepare(docs)
       .select("doc_id", "text", "lang", "source", "n_tokens", "split")
-    require(Load.overwritePartitioned(prepared, corpusPath, Seq("split")),
-      "empty corpus — nothing written")
+      .write.mode("overwrite").partitionBy("split").parquet(corpusPath)
     spark.read.parquet(corpusPath)
       .groupBy("split").count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap

@@ -50,7 +50,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => children match {
         case Seq(vec, Literal(dim: Int, IntegerType), Literal(bits: Int, IntegerType),
             Literal(seed: Long, LongType)) =>
-          HyperplaneSignature(vec, GraftExtensions.planeMatrix(dim, bits, seed), dim, bits)
+          HyperplaneSignature(vec, dim, bits, seed)
         case _ => throw new IllegalArgumentException(
           "hyperplane_sig(vec, dim: int literal, bits: int literal, seed: long literal)")
       }))

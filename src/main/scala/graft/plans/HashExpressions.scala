@@ -1,9 +1,20 @@
 package graft.plans
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
+
+private object HashElem {
+  /** Analysis-time gate: these expressions call getLong on primitive slots —
+    * non-array<bigint> input must fail analysis, never return garbage. */
+  def check(name: String, dt: DataType): TypeCheckResult = dt match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$name requires an array<bigint> argument, got ${other.simpleString(10)}")
+  }
+}
 
 /** Native signature expressions for the dedup family.
   *
@@ -32,6 +43,9 @@ case class MinHashSignature(child: Expression, numPerms: Int)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = true
   override def prettyName: String = "minhash_sig"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    HashElem.check(prettyName, child.dataType)
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
@@ -99,6 +113,9 @@ case class SimHash64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
   override def prettyName: String = "simhash64"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    HashElem.check(prettyName, child.dataType)
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]

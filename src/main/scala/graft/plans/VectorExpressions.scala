@@ -1,5 +1,6 @@
 package graft.plans
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -36,6 +37,19 @@ private object VectorElem {
     case ArrayType(FloatType, _) => arr.getFloat(i).toDouble
     case _ => arr.getDouble(i)
   }
+
+  /** Analysis-time gate: these expressions read primitive slots directly, so
+    * a wrong-typed array must be an analysis error, never garbage values. */
+  def check(name: String, dts: DataType*): TypeCheckResult = {
+    val bad = dts.filterNot {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (bad.isEmpty) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$name requires array<float> or array<double> arguments, got " +
+        bad.map(_.simpleString(10)).mkString(", "))
+  }
 }
 
 /** cos(a, b) over array<float>/array<double> columns in ONE pass (dot and both
@@ -49,6 +63,9 @@ case class CosineSimilarityFloat(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
   override def prettyName: String = "cosine_sim"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    VectorElem.check(prettyName, left.dataType, right.dataType)
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -104,21 +121,29 @@ case class CosineSimilarityFloat(left: Expression, right: Expression)
 }
 
 /** Random-hyperplane LSH signature: `bits` sign bits of plane·vec packed into
-  * a long, MSB-first. The plane matrix (bits×dim, flattened row-major, from a
-  * fixed seed) rides along as a referenced object — one multiply-accumulate
-  * loop in codegen, no per-plane lambda evaluation.
+  * a long, MSB-first. The plane matrix (bits×dim, flattened row-major) is
+  * derived lazily from (dim, bits, seed) — keeping the case-class fields
+  * scalar preserves structural equality between independently built
+  * instances, so common-subexpression elimination and exchange reuse see
+  * identical signature expressions as equal (an Array field would compare by
+  * reference and defeat both). One multiply-accumulate loop in codegen, no
+  * per-plane lambda evaluation.
   *
   * Degenerate inputs (length != dim, or any null element) yield signature 0 —
   * the same value the HOF composition produces, since every per-plane dot
   * goes null and each `when(null >= 0)` bit falls to 0. */
-case class HyperplaneSignature(child: Expression, planes: Array[Double],
-    dim: Int, bits: Int)
+case class HyperplaneSignature(child: Expression, dim: Int, bits: Int,
+    seed: Long)
     extends UnaryExpression {
 
-  require(planes.length == dim * bits, "planes must be bits x dim, row-major")
+  @transient private lazy val planes: Array[Double] =
+    GraftExtensions.planeMatrix(dim, bits, seed)
 
   override def dataType: DataType = LongType
   override def prettyName: String = "hyperplane_sig"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    VectorElem.check(prettyName, child.dataType)
 
   override def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]

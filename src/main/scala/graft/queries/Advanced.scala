@@ -137,8 +137,7 @@ object Advanced {
   def q44(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.load(spark, dir, "documents")
     d.withColumn("bucket",
-        conv(substring(md5(col("doc_id").cast(StringType)), 1, 8), 16, 10)
-          .cast(LongType) % 10)
+        graft.functions.TextFunctions.hashBucket(col("doc_id"), 10))
       .filter(col("bucket") === 0)
       .select(col("doc_id"),
         ((length(col("text")) - length(regexp_replace(col("text"), " ", ""))) + 1)

@@ -25,10 +25,18 @@ class AnnSpec extends AnyFunSuite {
     assert(recall >= 5, s"IVF recall too low: $recall/10 (ivf=$ivf exact=$exact)")
   }
 
-  test("IVF centroids: nClusters rows of the right dimensionality") {
-    val cents = Knn.ivfTrain(embs, nClusters = 8, iters = 2).collect()
+  test("IVF centroids: nClusters entries of the right dimensionality") {
+    val cents = Knn.ivfTrain(embs, nClusters = 8, iters = 2)
     assert(cents.length == 8)
-    assert(cents.forall(_.getSeq[Float](1).length == 64))
+    assert(cents.forall(_._2.length == 64))
+  }
+
+  test("IVF query path is a narrow map: zero shuffles in the plan") {
+    val df = Knn.ivfTopK(embs, q, excludeId = 0L, k = 10,
+      nClusters = 8, nProbe = 3)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"IVF probe must not shuffle the corpus:\n$p")
   }
 
   test("LSH top-10: k rows and overlap with brute force") {
