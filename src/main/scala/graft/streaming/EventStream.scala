@@ -54,6 +54,27 @@ object EventStream {
     events.withWatermark("ts", watermark)
       .dropDuplicates(keys :+ "ts")
 
+  /** Incremental mart load — the strategy the reference explicitly deferred
+    * ("we typically use partitioning or incremental load, but for this
+    * project, we'll use DELETE for simplicity", `Project Plan6.md:111-112`).
+    * The watermarked hourly aggregate streams in update mode; each
+    * micro-batch carries only the hour×type rows whose aggregates changed,
+    * and foreachBatch rewrites ONLY those hour partitions (dynamic partition
+    * overwrite). Idempotent per batch — a replayed trigger rewrites the same
+    * partitions with the same totals — and at warehouse scale each trigger
+    * touches O(changed hours), never the full mart. */
+  def incrementalHourlyMart(events: DataFrame, outPath: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    hourlyAgg(events).writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.sparkSession.conf
+          .set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        batch.write.mode("overwrite").partitionBy("hour").parquet(outPath)
+      }
+      .start()
+
   /** Watermarked stream-stream join: purchases within `withinMinutes` after
     * a view by the same user (the conversion-attribution shape). Works
     * unchanged on batch DataFrames — the same plan, minus state. In

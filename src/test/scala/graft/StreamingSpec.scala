@@ -51,6 +51,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("incremental hourly mart equals the batch aggregate after the stream drains") {
+    val base = java.nio.file.Files.createTempDirectory("inc_mart").toString
+    val q = EventStream.incrementalHourlyMart(
+      EventStream.readEvents(spark, sf), s"$base/mart", s"$base/ckpt")
+    try { q.processAllAvailable() } finally { q.stop() }
+    val mart = spark.read.parquet(s"$base/mart")
+      // partition-type inference reads the hour directory as a timestamp;
+      // normalize back to the aggregate's string form
+      .select(col("hour").cast("string").as("hour"),
+        col("event_type"), col("n"), col("sum_cents"))
+      .collect().map(_.toSeq).toSet
+    val batch = queries.Relational.q18(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(mart == batch)
+    assert(mart.nonEmpty)
+  }
+
   test("stream-stream conversion join matches the same plan run in batch") {
     val q = EventStream.conversions(EventStream.readEvents(spark, sf))
       .writeStream.format("memory").queryName("conv_out")
