@@ -69,9 +69,11 @@ object EventStream {
       .outputMode("update")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.sparkSession.conf
-          .set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        batch.write.mode("overwrite").partitionBy("hour").parquet(outPath)
+        // per-write option, NOT the session conf: a session-level dynamic
+        // mode would silently change every later overwrite in the session
+        batch.write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("hour").parquet(outPath)
       }
       .start()
 

@@ -66,6 +66,23 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(_.toSeq).toSet
     assert(mart == batch)
     assert(mart.nonEmpty)
+
+    // the incremental contract itself: a later write touching ONE hour must
+    // leave every other hour partition intact (dynamic partition overwrite;
+    // static mode would wipe the whole mart down to one partition)
+    def hours() = spark.read.parquet(s"$base/mart")
+      .select("hour").distinct().count()
+    val hoursBefore = hours()
+    spark.read.parquet(s"$base/mart")
+      .withColumn("hour", col("hour").cast("string"))
+      .orderBy("hour", "event_type").limit(1)
+      .select("event_type", "n", "sum_cents", "hour")
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("hour").parquet(s"$base/mart")
+    assert(hours() == hoursBefore,
+      "dynamic overwrite must not wipe untouched partitions")
+    assert(hoursBefore > 1)
   }
 
   test("stream-stream conversion join matches the same plan run in batch") {
