@@ -44,6 +44,33 @@ class AdvancedSpec extends AnyFunSuite {
     assert(out.head().getAs[java.sql.Timestamp]("asof") == ts("2024-01-01 11:00:00"))
   }
 
+  test("AsOfJoin.backward equals the naive join+max reference on random data") {
+    val rnd = new scala.util.Random(99)
+    val left = (1 to 300).map(i =>
+      (i.toLong, rnd.nextInt(20).toLong, ts("2024-01-01 00:00:00").getTime +
+        rnd.nextInt(86400) * 1000L))
+      .map { case (id, k, ms) => (id, k, new java.sql.Timestamp(ms)) }
+      .toDF("event_id", "k", "t")
+    val right = (1 to 150).map(_ =>
+      (rnd.nextInt(25).toLong, ts("2024-01-01 00:00:00").getTime +
+        rnd.nextInt(86400) * 1000L))
+      .map { case (k, ms) => (k, new java.sql.Timestamp(ms)) }
+      .toDF("k", "rt")
+
+    val asof = AsOfJoin.backward(left, right, "k", "t", "rt", "asof")
+      .collect().map(r => r.getLong(0) -> Option(r.getTimestamp(3))).toMap
+
+    // naive reference: left-join all candidates, take max(rt <= t)
+    import org.apache.spark.sql.functions._
+    val naive = left.join(right, left("k") === right("k") &&
+        right("rt") <= left("t"), "left")
+      .groupBy(left("event_id")).agg(max("rt").as("asof"))
+      .collect().map(r => r.getLong(0) -> Option(r.getTimestamp(1))).toMap
+
+    assert(asof.keySet == naive.keySet && asof.size == 300)
+    asof.foreach { case (id, v) => assert(v == naive(id), s"event $id") }
+  }
+
   test("median_x2: odd and even group sizes (q48 formula)") {
     // odd group: {10,20,30} → median 20 → x2 = 40
     // even group: {10,20,30,40} → middle two 20+30 → x2 = 50
