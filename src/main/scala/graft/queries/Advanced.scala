@@ -362,6 +362,49 @@ object Advanced {
       |    RANGE BETWEEN 1000000 PRECEDING AND CURRENT ROW) AS BIGINT) AS near_sum
       |FROM c ORDER BY o_custkey, o_orderkey""".stripMargin
 
+  /** q56 regex tokenization (the "BPE-ish regex" counting path next to the
+    * whitespace counter): `[a-z]+[0-9]*` word units extracted per document
+    * and aggregated per source. On the clean fixture the two counts agree —
+    * on a real dirty corpus (punctuation, mixed scripts) the regex path is
+    * the robust one; both run as narrow codegen'd maps. */
+  def q56(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .groupBy("source")
+      .agg(
+        sum(size(regexp_extract_all(col("text"), lit("[a-z]+[0-9]*"), lit(0))))
+          .cast(LongType).as("regex_tokens"),
+        sum((length(col("text")) -
+          length(regexp_replace(col("text"), " ", ""))) + 1)
+          .cast(LongType).as("ws_tokens"))
+      .orderBy("source")
+
+  val q56Sql =
+    """SELECT source,
+      |  CAST(SUM(len(regexp_extract_all(text, '[a-z]+[0-9]*'))) AS BIGINT) AS regex_tokens,
+      |  CAST(SUM(length(text) - length(replace(text, ' ', '')) + 1) AS BIGINT) AS ws_tokens
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
+  /** q57 null-handling functions: NULLIF/COALESCE through an aggregate —
+    * the null-semantics family (SURVEY §2.7 lists conditionals as absent in
+    * the reference). */
+  def q57(spark: SparkSession, dir: String): DataFrame = {
+    val notP = nullif(col("o_orderstatus"), lit("P"))
+    Tables.load(spark, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(count(notP).as("n_not_p"),
+        (count(lit(1)) - count(notP)).as("n_p"),
+        coalesce(max(nullif(col("o_orderstatus"), lit("F"))), lit("none"))
+          .as("max_non_f"))
+      .orderBy("o_orderpriority")
+  }
+
+  val q57Sql =
+    """SELECT o_orderpriority,
+      |  COUNT(NULLIF(o_orderstatus, 'P')) AS n_not_p,
+      |  COUNT(*) - COUNT(NULLIF(o_orderstatus, 'P')) AS n_p,
+      |  COALESCE(MAX(NULLIF(o_orderstatus, 'F')), 'none') AS max_non_f
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q39_cube", q39 _, Some(q39Sql)),
     ("q40_pivot", q40 _, Some(q40Sql)),
@@ -377,5 +420,7 @@ object Advanced {
     ("q51_string_funcs", q51 _, Some(q51Sql)),
     ("q52_count_distinct", q52 _, Some(q52Sql)),
     ("q53_sketches", q53 _, None),
-    ("q55_range_frame", q55 _, Some(q55Sql)))
+    ("q55_range_frame", q55 _, Some(q55Sql)),
+    ("q56_regex_tokens", q56 _, Some(q56Sql)),
+    ("q57_null_funcs", q57 _, Some(q57Sql)))
 }

@@ -21,7 +21,8 @@ class SqlSurfaceSpec extends AnyFunSuite {
     "string_split", "list_transform", "list_sum", "unnest(", "epoch_ms",
     "ASOF", "json_extract_string", "'0x'", "date_diff('",
     "AS VARCHAR)", // Spark spells the unbounded string type STRING
-    "GROUPING(") // multi-arg GROUPING is DuckDB; Spark's form is grouping_id
+    "GROUPING(", // multi-arg GROUPING is DuckDB; Spark's form is grouping_id
+    "len(") // DuckDB list length; Spark spells it size/cardinality
 
   test("oracle SQL in the common subset matches the DataFrame plans on spark.sql") {
     Tables.registerViews(spark, sf)
