@@ -23,6 +23,12 @@ object Bench {
       // stages); release them so cached stages never accumulate across the
       // full run and each query is timed against a clean block store.
       spark.catalog.clearCache()
+      // clearCache() does NOT release broadcast blocks — those are reaped by
+      // the ContextCleaner only after the JVM garbage-collects the broadcast
+      // references. Across a 50+-query run the dead HashedRelations pile up
+      // in storage memory and the late memory-heavy queries pay for them in
+      // GC pressure; nudge the cleaner between queries.
+      System.gc()
       name -> t
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v.fold("null")(_.toString) }

@@ -38,6 +38,10 @@ object Engine {
       // Janino+JIT) thrashes it and intermittently re-pays compilation.
       // Static conf, so it must be set before the session exists.
       .config("spark.sql.codegen.cache.maxEntries", "2000")
+      // Broadcast/shuffle blocks are reference-counted against driver GC
+      // (ContextCleaner); the 30min default lets dead broadcasts occupy
+      // storage memory for a whole multi-query session. Reap sooner.
+      .config("spark.cleaner.periodicGC.interval", "2min")
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark

@@ -1,0 +1,28 @@
+package graft
+
+/** Solo-query profiler: `runMain graft.QueryProbe <queryName> [sfDir] [reps]`.
+  * Times one registered query in isolation (warmup + `reps` steady-state
+  * runs) and prints the final physical plan — the loop used to separate a
+  * real plan regression from the host's load variance before touching code.
+  */
+object QueryProbe {
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, s"usage: QueryProbe <name> [sfDir] [reps]; names: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}")
+    val name = args(0)
+    val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val reps = if (args.length > 2) args(2).toInt else 3
+    val fn = SparkEntry.queries(name)
+    val spark = Engine.session("query-probe")
+    (0 to reps).foreach { i =>
+      val t0 = System.nanoTime()
+      val n = fn(spark, dir).count()
+      val tag = if (i == 0) "warmup" else s"run$i"
+      println(f"PROBE $name $tag ${(System.nanoTime - t0) / 1e9}%.2f s ($n rows)")
+      spark.catalog.clearCache()
+    }
+    val df = fn(spark, dir)
+    df.count()
+    println(df.queryExecution.executedPlan.toString)
+    spark.stop()
+  }
+}

@@ -183,12 +183,23 @@ object Dedup {
     // Docs with no n-grams (< n tokens) are dropped, not emitted as
     // jaccard=0 rows: a doc with no shingles has no set to compare, and
     // this matches the oracle's unnest-of-empty-list semantics exactly.
-    val grams = docs.select(col("doc_id"),
-      array_distinct(T.wordShingles(col("text"), n)).as("g"))
-      .filter(size(col("g")) > 0)
+    // The guard is written on the token count — equivalent to
+    // size(shingles) > 0, but cheap enough that its pushed-down copy in the
+    // scan filter costs one split() instead of re-running the whole shingle
+    // transform per row.
+    val grams = docs
+      .filter(size(split(col("text"), " ", -1)) >= n)
+      .select(col("doc_id"),
+        array_distinct(T.wordShingles(col("text"), n)).as("g"))
     val a = grams.select(col("doc_id").as("doc_a"), col("g").as("g_a"))
-    val b = grams.select(col("doc_id").as("doc_b"), col("g").as("g_b"))
-    a.join(b, col("doc_b") === col("doc_a") + 1)
+    val b = grams.select((col("doc_id") - 1).as("doc_a"),
+      col("doc_id").as("doc_b"), col("g").as("g_b"))
+    // Both join sides are the whole corpus, so a broadcast is never the
+    // right physical plan (it ships every shingle set to every executor —
+    // at 100 TB a non-starter, and even locally the multi-hundred-MB
+    // HashedRelation build dominates the query). Pin the scalable strategy:
+    // a merge join that shuffles each side once by the adjacency key.
+    a.hint("merge").join(b, Seq("doc_a"))
       .withColumn("inter", size(array_intersect(col("g_a"), col("g_b"))).cast(LongType))
       .withColumn("uni",
         size(col("g_a")).cast(LongType) + size(col("g_b")).cast(LongType) - col("inter"))

@@ -45,6 +45,15 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q29: corpus self-join is a merge join — the corpus is never broadcast") {
+    val p = plan("q29_ngram_jaccard")
+    assert(p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"), p)
+    // the shingle transform is evaluated once per side — the pushed-down
+    // row filter guards on token count, not on the expensive shingle array
+    val shingleEvals = "array_distinct".r.findAllIn(p).length
+    assert(shingleEvals == 2, s"expected 2 shingle evals, got $shingleEvals\n$p")
+  }
+
   test("q45: merge as-of join shuffles the data exactly once (plus the output sort)") {
     val p = plan("q45_asof_join")
     val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).length
