@@ -67,28 +67,37 @@ object Knn {
     // the sample is re-consumed every Lloyd iteration — persist for training
     val base = graft.Tables.parallelized(embs)
       .filter(pmod(xxhash64(col("vec_id")), lit(sampleMod)) === 0 ||
-        col("vec_id") < nClusters) // guarantee ≥ nClusters training rows
+        col("vec_id") < nClusters) // top-up for tiny fixtures (dense ids);
+        // for sparse key spaces the hash sample itself must cover nClusters
       .select(col("vec_id"), col("embedding"))
       .persist()
-    // deterministic init: the nClusters lowest vec_ids
-    var centroids: Array[(Long, Array[Float])] =
-      base.orderBy("vec_id").limit(nClusters).collect()
-        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-    for (_ <- 0 until iters) {
-      // element-wise mean per cluster: posexplode → (cid, pos) avg →
-      // rebuild ordered by pos (sort_array on (pos, v) structs)
-      centroids = base
-        .withColumn("cid", nearestCid(centroids))
-        .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "v")))
-        .groupBy("cid", "pos").agg(avg("v").as("m"))
-        .groupBy("cid")
-        .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("pm"))
-        .select(col("cid"),
-          transform(col("pm"), x => x.getField("m").cast(FloatType)).as("cvec"))
-        .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-    }
-    base.unpersist(blocking = false)
-    centroids
+    try {
+      // deterministic init: the nClusters lowest vec_ids in the sample
+      // (works for any key space — no dense-0-based assumption)
+      var centroids: Array[(Long, Array[Float])] =
+        base.orderBy("vec_id").limit(nClusters).collect()
+          .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      for (_ <- 0 until iters) {
+        // element-wise mean per cluster: posexplode → (cid, pos) avg →
+        // rebuild ordered by pos (sort_array on (pos, v) structs)
+        val updated = base
+          .withColumn("cid", nearestCid(centroids))
+          .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "v")))
+          .groupBy("cid", "pos").agg(avg("v").as("m"))
+          .groupBy("cid")
+          .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("pm"))
+          .select(col("cid"),
+            transform(col("pm"), x => x.getField("m").cast(FloatType)).as("cvec"))
+          .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toMap
+        // a cluster that won no rows this iteration (duplicate inits, cosine
+        // ties) keeps its previous vector — the array stays nClusters long,
+        // the contract ivfTopK's nProbe relies on
+        centroids = centroids.map { case (cid, old) =>
+          (cid, updated.getOrElse(cid, old))
+        }
+      }
+      centroids
+    } finally base.unpersist(blocking = false)
   }
 
   /** IVF-flat approximate top-k: rank centroids against the query on the

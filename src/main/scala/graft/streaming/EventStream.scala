@@ -59,10 +59,14 @@ object EventStream {
     * project, we'll use DELETE for simplicity", `Project Plan6.md:111-112`).
     * The watermarked hourly aggregate streams in update mode; each
     * micro-batch carries only the hour×type rows whose aggregates changed,
-    * and foreachBatch rewrites ONLY those hour partitions (dynamic partition
-    * overwrite). Idempotent per batch — a replayed trigger rewrites the same
-    * partitions with the same totals — and at warehouse scale each trigger
-    * touches O(changed hours), never the full mart. */
+    * and foreachBatch rewrites ONLY those partitions (dynamic partition
+    * overwrite). The mart is partitioned by BOTH grouping keys — update mode
+    * emits per (hour, event_type), so an overwritten partition corresponds
+    * exactly to one emitted aggregate row; partitioning by hour alone would
+    * let a batch that updates one event_type wipe the hour's other types.
+    * Idempotent per batch — a replayed trigger rewrites the same partitions
+    * with the same totals — and at warehouse scale each trigger touches
+    * O(changed keys), never the full mart. */
   def incrementalHourlyMart(events: DataFrame, outPath: String,
       checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
     hourlyAgg(events).writeStream
@@ -73,7 +77,7 @@ object EventStream {
         // mode would silently change every later overwrite in the session
         batch.write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("hour").parquet(outPath)
+          .partitionBy("hour", "event_type").parquet(outPath)
       }
       .start()
 
@@ -84,16 +88,21 @@ object EventStream {
     * bounds how long view rows wait in state: Spark derives the state
     * retention from (watermark, range), so state is O(events per window),
     * not O(stream). The join itself hash-shuffles both sides on user_id —
-    * one exchange each, same as the batch plan. */
+    * one exchange each, same as the batch plan.
+    *
+    * The watermark is derived from `withinMinutes` (never below it): a fixed
+    * watermark shorter than the match window would evict view state before
+    * the window closes and silently drop valid conversions. */
   def conversions(events: DataFrame, withinMinutes: Int = 60): DataFrame = {
+    val wm = s"${math.max(120, withinMinutes)} minutes"
     val views = events.filter(col("event_type") === "view")
       .select(col("user_id"), col("event_id").as("view_id"),
         col("ts").as("view_ts"))
-      .withWatermark("view_ts", "2 hours")
+      .withWatermark("view_ts", wm)
     val purchases = events.filter(col("event_type") === "purchase")
       .select(col("user_id").as("p_user_id"),
         col("event_id").as("purchase_id"), col("ts").as("purchase_ts"))
-      .withWatermark("purchase_ts", "2 hours")
+      .withWatermark("purchase_ts", wm)
     views.join(purchases,
         col("user_id") === col("p_user_id") &&
           col("purchase_ts") >= col("view_ts") &&

@@ -31,6 +31,20 @@ class AnnSpec extends AnyFunSuite {
     assert(cents.forall(_._2.length == 64))
   }
 
+  test("IVF centroids: duplicate init vectors (empty clusters) still yield nClusters") {
+    import spark.implicits._
+    // vec 0..3 identical → cosine ties starve all but one of those clusters;
+    // the starved clusters must keep their previous vector, not vanish
+    val dup = (0L until 16L).map { i =>
+      val v = if (i < 4) Array(1.0f, 0f, 0f) else
+        Array(math.cos(i.toDouble).toFloat, math.sin(i.toDouble).toFloat, 0.1f * i)
+      (i, v.toSeq)
+    }.toDF("vec_id", "embedding")
+    val cents = Knn.ivfTrain(dup, nClusters = 6, iters = 3, sampleMod = 1)
+    assert(cents.length == 6, s"got ${cents.length} centroids")
+    assert(cents.forall(_._2.length == 3))
+  }
+
   test("IVF query path is a narrow map: zero shuffles in the plan") {
     val df = Knn.ivfTopK(embs, q, excludeId = 0L, k = 10,
       nClusters = 8, nProbe = 3)

@@ -67,22 +67,55 @@ class StreamingSpec extends AnyFunSuite {
     assert(mart == batch)
     assert(mart.nonEmpty)
 
-    // the incremental contract itself: a later write touching ONE hour must
-    // leave every other hour partition intact (dynamic partition overwrite;
-    // static mode would wipe the whole mart down to one partition)
-    def hours() = spark.read.parquet(s"$base/mart")
-      .select("hour").distinct().count()
-    val hoursBefore = hours()
+    // the incremental contract itself: a later write touching ONE
+    // (hour, event_type) key must leave every other partition intact
+    // (dynamic partition overwrite; static mode would wipe the whole mart)
+    def keys() = spark.read.parquet(s"$base/mart")
+      .select("hour", "event_type").distinct().count()
+    val keysBefore = keys()
     spark.read.parquet(s"$base/mart")
       .withColumn("hour", col("hour").cast("string"))
       .orderBy("hour", "event_type").limit(1)
-      .select("event_type", "n", "sum_cents", "hour")
+      .select("n", "sum_cents", "hour", "event_type")
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("hour").parquet(s"$base/mart")
-    assert(hours() == hoursBefore,
+      .partitionBy("hour", "event_type").parquet(s"$base/mart")
+    assert(keys() == keysBefore,
       "dynamic overwrite must not wipe untouched partitions")
-    assert(hoursBefore > 1)
+    assert(keysBefore > 1)
+  }
+
+  test("multi-trigger mart: updating one type in an hour keeps the hour's other types") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("inc_mart_mt").toString
+    def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
+    def write(rows: Seq[(Long, java.sql.Timestamp, Long, String, Double, String)]) =
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("append").parquet(s"$base/in")
+
+    // trigger 1: hour 0 carries BOTH type A and type B
+    write(Seq((1L, ts(10), 1L, "A", 1.0, "{}"), (2L, ts(20), 1L, "A", 2.0, "{}"),
+      (3L, ts(30), 2L, "B", 5.0, "{}")))
+    val stream = spark.readStream
+      .schema(Tables.load(spark, sf, "events").schema).parquet(s"$base/in")
+    val q = EventStream.incrementalHourlyMart(stream, s"$base/mart", s"$base/ckpt")
+    try {
+      q.processAllAvailable()
+      // trigger 2: updates ONLY (hour 0, A) — update mode re-emits just that
+      // row, so the rewrite must not touch (hour 0, B)'s partition
+      write(Seq((4L, ts(40), 3L, "A", 3.0, "{}"), (5L, ts(70), 1L, "C", 7.0, "{}")))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 2,
+      "fixture must arrive across at least two micro-batches")
+
+    val mart = spark.read.parquet(s"$base/mart")
+      .select(col("hour").cast("string"), col("event_type"), col("n"), col("sum_cents"))
+      .collect().map(_.toSeq).toSet
+    assert(mart == Set(
+      Seq("1970-01-01 00:00:00", "A", 3L, 600L),
+      Seq("1970-01-01 00:00:00", "B", 1L, 500L),
+      Seq("1970-01-01 01:00:00", "C", 1L, 700L)))
   }
 
   test("stream-stream conversion join matches the same plan run in batch") {
