@@ -405,6 +405,166 @@ object Advanced {
       |  COALESCE(MAX(NULLIF(o_orderstatus, 'F')), 'none') AS max_non_f
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  /** q62 SCD Type-2 interval builder (the Kimball pattern the reference's
+    * dims never got): each customer's order-priority history collapsed into
+    * versioned validity intervals — change detection by lag(), run grouping
+    * by a running change-count, valid_to = next run's valid_from ('current'
+    * for the open version). Two window passes over one (custkey) shuffle
+    * plus the run aggregate; no self-join. */
+  def q62(spark: SparkSession, dir: String): DataFrame = {
+    val byTime = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    val byVer = Window.partitionBy("o_custkey").orderBy("version")
+    Tables.load(spark, dir, "orders")
+      .withColumn("prev", lag("o_orderpriority", 1).over(byTime))
+      .withColumn("chg",
+        when(col("prev").isNull || col("prev") =!= col("o_orderpriority"), 1L)
+          .otherwise(0L))
+      .withColumn("version", sum("chg").over(byTime))
+      .groupBy(col("o_custkey"), col("version"))
+      .agg(min("o_orderpriority").as("priority"), // constant within a run
+        min("o_orderdate").as("from_ts"), count(lit(1)).as("n_orders"))
+      .withColumn("valid_from", col("from_ts").cast(StringType))
+      .withColumn("valid_to",
+        coalesce(lead("from_ts", 1).over(byVer).cast(StringType), lit("current")))
+      .select("o_custkey", "version", "priority", "valid_from", "valid_to", "n_orders")
+      .orderBy("o_custkey", "version")
+  }
+
+  val q62Sql =
+    """WITH o AS (
+      |  SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority,
+      |    lag(o_orderpriority) OVER (PARTITION BY o_custkey
+      |      ORDER BY o_orderdate, o_orderkey) AS prev
+      |  FROM orders
+      |), m AS (
+      |  SELECT *, CASE WHEN prev IS NULL OR prev <> o_orderpriority
+      |    THEN 1 ELSE 0 END AS chg FROM o
+      |), r AS (
+      |  SELECT *, CAST(SUM(chg) OVER (PARTITION BY o_custkey
+      |    ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS version
+      |  FROM m
+      |), runs AS (
+      |  SELECT o_custkey, version, MIN(o_orderpriority) AS priority,
+      |    MIN(o_orderdate) AS from_ts, COUNT(*) AS n_orders
+      |  FROM r GROUP BY o_custkey, version
+      |)
+      |SELECT o_custkey, version, priority,
+      |  CAST(from_ts AS VARCHAR) AS valid_from,
+      |  COALESCE(CAST(lead(from_ts) OVER (PARTITION BY o_custkey ORDER BY version)
+      |    AS VARCHAR), 'current') AS valid_to,
+      |  n_orders
+      |FROM runs ORDER BY o_custkey, version""".stripMargin
+
+  /** q63 sliding event-time windows (1 h window, 30 min slide): each event
+    * lands in exactly two overlapping windows — Spark's window() plans this
+    * as a 2-element expand + one hash aggregate, the same shape its
+    * Structured Streaming twin uses. Window starts exported as epoch
+    * millis, immune to timestamp-formatting drift. */
+  def q63(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .select(window(col("ts"), "1 hour", "30 minutes").as("w"),
+        col("event_type"), col("value"))
+      .groupBy(unix_millis(col("w.start")).as("win_start_ms"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        (sum(col("value").cast(DecimalType(18, 2))) * lit(100))
+          .cast(LongType).as("sum_cents"))
+      .orderBy("win_start_ms", "event_type")
+
+  val q63Sql =
+    """WITH e AS (
+      |  SELECT event_type, value,
+      |    (epoch_ms(ts) // 1800000) * 1800000 AS b
+      |  FROM events
+      |), w AS (
+      |  SELECT event_type, value, unnest([b, b - 1800000]) AS win_start_ms FROM e
+      |)
+      |SELECT win_start_ms, event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_cents
+      |FROM w GROUP BY win_start_ms, event_type
+      |ORDER BY win_start_ms, event_type""".stripMargin
+
+  /** q64 SCD Type-1 upsert (the MERGE the reference's truncate-and-reload
+    * sidesteps): a staged change set — price updates for every 7th part,
+    * net-new products for every 131st — merged into the current dim by one
+    * full-outer join on the business key; staged values win, and each row
+    * is tagged insert/update/keep. At warehouse scale the same plan runs
+    * key-partitioned with no data movement beyond the staged side. */
+  def q64(spark: SparkSession, dir: String): DataFrame = {
+    val part = Tables.load(spark, dir, "part")
+    val rc = cents(col("p_retailprice"))
+    val cur = part.select(col("p_partkey").as("product_id"),
+      col("p_name").as("name"), rc.as("retail_cents"), lit(1).as("in_cur"))
+    val staged = part.filter(pmod(col("p_partkey"), lit(7)) === 0)
+      .select(col("p_partkey").as("product_id"), col("p_name").as("name"),
+        (rc + 500L).as("retail_cents"))
+      .union(part.filter(pmod(col("p_partkey"), lit(131)) === 0)
+        .select((col("p_partkey") + 1000000L).as("product_id"),
+          concat(col("p_name"), lit(" v2")).as("name"), rc.as("retail_cents")))
+      .withColumn("in_stg", lit(1))
+    cur.as("c").join(staged.as("s"), Seq("product_id"), "full_outer")
+      .select(col("product_id"),
+        coalesce(col("s.name"), col("c.name")).as("name"),
+        coalesce(col("s.retail_cents"), col("c.retail_cents")).as("retail_cents"),
+        when(col("in_stg").isNull, "keep")
+          .when(col("in_cur").isNull, "insert")
+          .otherwise("update").as("action"))
+      .orderBy("product_id")
+  }
+
+  val q64Sql =
+    """WITH cur AS (
+      |  SELECT p_partkey AS product_id, p_name AS name,
+      |    CAST(FLOOR(p_retailprice * 100) AS BIGINT) AS retail_cents
+      |  FROM part
+      |), staged AS (
+      |  SELECT p_partkey AS product_id, p_name AS name,
+      |    CAST(FLOOR(p_retailprice * 100) AS BIGINT) + 500 AS retail_cents
+      |  FROM part WHERE p_partkey % 7 = 0
+      |  UNION ALL
+      |  SELECT p_partkey + 1000000, p_name || ' v2',
+      |    CAST(FLOOR(p_retailprice * 100) AS BIGINT)
+      |  FROM part WHERE p_partkey % 131 = 0
+      |)
+      |SELECT COALESCE(c.product_id, s.product_id) AS product_id,
+      |  COALESCE(s.name, c.name) AS name,
+      |  COALESCE(s.retail_cents, c.retail_cents) AS retail_cents,
+      |  CASE WHEN s.product_id IS NULL THEN 'keep'
+      |       WHEN c.product_id IS NULL THEN 'insert'
+      |       ELSE 'update' END AS action
+      |FROM cur c FULL OUTER JOIN staged s ON c.product_id = s.product_id
+      |ORDER BY product_id""".stripMargin
+
+  /** q65 correlated EXISTS / NOT EXISTS through the SQL surface: customers
+    * with an urgent order but no finished one. Catalyst decorrelates the
+    * pair into one left-semi and one left-anti join against orders — no
+    * per-row subquery execution at any scale (plan shape CI-asserted). */
+  def q65(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "customer").createOrReplaceTempView("q65_customer")
+    Tables.load(spark, dir, "orders").createOrReplaceTempView("q65_orders")
+    spark.sql(
+      """SELECT c_custkey, c_name, c_mktsegment
+        |FROM q65_customer c
+        |WHERE EXISTS (SELECT 1 FROM q65_orders o
+        |        WHERE o.o_custkey = c.c_custkey
+        |          AND o.o_orderpriority = '1-URGENT')
+        |  AND NOT EXISTS (SELECT 1 FROM q65_orders o2
+        |        WHERE o2.o_custkey = c.c_custkey
+        |          AND o2.o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  val q65Sql =
+    """SELECT c_custkey, c_name, c_mktsegment
+      |FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |        WHERE o.o_custkey = c.c_custkey
+      |          AND o.o_orderpriority = '1-URGENT')
+      |  AND NOT EXISTS (SELECT 1 FROM orders o2
+      |        WHERE o2.o_custkey = c.c_custkey
+      |          AND o2.o_orderstatus = 'F')
+      |ORDER BY c_custkey""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q39_cube", q39 _, Some(q39Sql)),
     ("q40_pivot", q40 _, Some(q40Sql)),
@@ -422,5 +582,9 @@ object Advanced {
     ("q53_sketches", q53 _, None),
     ("q55_range_frame", q55 _, Some(q55Sql)),
     ("q56_regex_tokens", q56 _, Some(q56Sql)),
-    ("q57_null_funcs", q57 _, Some(q57Sql)))
+    ("q57_null_funcs", q57 _, Some(q57Sql)),
+    ("q62_scd2_intervals", q62 _, Some(q62Sql)),
+    ("q63_sliding_window", q63 _, Some(q63Sql)),
+    ("q64_scd1_upsert", q64 _, Some(q64Sql)),
+    ("q65_exists_subquery", q65 _, Some(q65Sql)))
 }

@@ -1,0 +1,203 @@
+package graft.queries
+
+import graft.Tables
+import graft.dedup.Dedup
+import graft.functions.{TextFunctions => T}
+import graft.operators.ConnectedComponents
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Training-data-pipeline operators beyond the q26–q38 extension family:
+  * dedup clustering (pairs → groups), benchmark decontamination, TF-IDF-style
+  * term scoring, repetition-based quality, stratified sampling. All integer
+  * or string math — every query here is DuckDB-oracle hash-checked.
+  */
+object Training {
+
+  /** q58 dedup clusters: near-dup PAIRS (exact adjacent-bigram Jaccard ≥
+    * 0.06, the q29 kernel thresholded) promoted to dedup GROUPS via
+    * distributed connected components — every doc labeled with the min
+    * doc_id of its cluster, singletons included. The canonical "keep one per
+    * cluster" step of a corpus dedup is then a deterministic groupBy on
+    * cluster_id. Oracle: recursive-CTE reachability in DuckDB. */
+  def q58(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val edges = Dedup.adjacentNgramJaccard(docs)
+      .filter(col("jaccard_x1e6") >= 60000L)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    ConnectedComponents.run(docs.select(col("doc_id").as("id")), edges)
+      .select(col("id").as("doc_id"), col("comp").as("cluster_id"))
+      .orderBy("doc_id")
+  }
+
+  val q58Sql =
+    """WITH RECURSIVE toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      |), grams AS (
+      |  SELECT DISTINCT doc_id,
+      |    unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS bg
+      |  FROM toks
+      |), gsets AS (
+      |  SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id
+      |), inter AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+      |  FROM grams a JOIN grams b ON b.doc_id = a.doc_id + 1 AND a.bg = b.bg
+      |  GROUP BY 1, 2
+      |), pairs AS (
+      |  SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b
+      |  FROM gsets sa JOIN gsets sb ON sb.doc_id = sa.doc_id + 1
+      |  LEFT JOIN inter i ON i.doc_a = sa.doc_id
+      |  WHERE FLOOR(1000000.0 * COALESCE(i.i, 0) / (sa.n + sb.n - COALESCE(i.i, 0))) >= 60000
+      |), edges AS (
+      |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+      |  UNION ALL SELECT doc_b, doc_a FROM pairs
+      |), reach(a, b) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b
+      |)
+      |SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a
+      |ORDER BY doc_id""".stripMargin
+
+  /** q59 benchmark decontamination: the train split (md5 buckets 1–9) swept
+    * for documents sharing any distinct 4-gram with the eval split (bucket
+    * 0) — the train/test-overlap scrub every corpus needs before training.
+    * Shape at scale: distinct grams explode to (gram, doc) rows, the
+    * gram-keyed semi-join is one hash shuffle of the train grams; the eval
+    * gram set is benchmark-sized in practice, so AQE broadcasts it. */
+  def q59(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.parallelized(Tables.load(spark, dir, "documents"))
+      .withColumn("is_eval", T.hashBucket(col("doc_id"), 10) === 0)
+    val grams = docs.select(col("doc_id"), col("is_eval"),
+      explode(array_distinct(T.wordShingles(col("text"), 4))).as("g"))
+    val evalGrams = grams.filter(col("is_eval")).select("g").distinct()
+    val contaminated = grams.filter(!col("is_eval"))
+      .join(evalGrams, Seq("g"), "left_semi")
+      .select("doc_id").distinct().withColumn("hit", lit(1))
+    docs.filter(!col("is_eval"))
+      .join(contaminated, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_train"), count(col("hit")).as("n_contaminated"))
+      .orderBy("source")
+  }
+
+  val q59Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      |), ev AS (
+      |  SELECT doc_id FROM documents
+      |  WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 10 = 0
+      |), grams AS (
+      |  SELECT DISTINCT doc_id,
+      |    unnest(list_transform(range(1, len(w) - 2),
+      |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS g
+      |  FROM toks
+      |), eg AS (
+      |  SELECT DISTINCT g FROM grams JOIN ev USING (doc_id)
+      |), cont AS (
+      |  SELECT DISTINCT doc_id FROM grams
+      |  WHERE g IN (SELECT g FROM eg) AND doc_id NOT IN (SELECT doc_id FROM ev)
+      |)
+      |SELECT d.source, COUNT(*) AS n_train, COUNT(c.doc_id) AS n_contaminated
+      |FROM documents d LEFT JOIN cont c USING (doc_id)
+      |WHERE d.doc_id NOT IN (SELECT doc_id FROM ev)
+      |GROUP BY d.source ORDER BY d.source""".stripMargin
+
+  /** q60 distinctive terms (TF-IDF shape, integer-exact): term frequency per
+    * source vs corpus-wide document frequency, scored as floor(1e6·tf/df) —
+    * the rational-number rank avoids cross-engine log()/double drift while
+    * keeping the tf/idf ordering. Top-3 terms per source via one windowed
+    * rank over the (source, token) aggregate. */
+  def q60(spark: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.parallelized(Tables.load(spark, dir, "documents"))
+      .select(col("doc_id"), col("source"),
+        explode(split(col("text"), " ")).as("token"))
+    val tf = tok.groupBy("source", "token").agg(count(lit(1)).as("tf"))
+    val dfreq = tok.select("doc_id", "token").distinct()
+      .groupBy("token").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("source")
+      .orderBy(desc("score_x1e6"), desc("tf"), col("token"))
+    tf.join(dfreq, "token")
+      .withColumn("score_x1e6", floor(lit(1000000.0) * col("tf") / col("df")))
+      .withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter(col("rnk") <= 3)
+      .select("source", "rnk", "token", "tf", "df", "score_x1e6")
+      .orderBy("source", "rnk")
+  }
+
+  val q60Sql =
+    """WITH tok AS (
+      |  SELECT doc_id, source, unnest(string_split(text, ' ')) AS token FROM documents
+      |), tf AS (
+      |  SELECT source, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+      |), df AS (
+      |  SELECT token, COUNT(*) AS df
+      |  FROM (SELECT DISTINCT doc_id, token FROM tok) GROUP BY 1
+      |), s AS (
+      |  SELECT tf.source, tf.token, tf.tf, df.df,
+      |    CAST(FLOOR(1000000.0 * tf.tf / df.df) AS BIGINT) AS score_x1e6
+      |  FROM tf JOIN df USING (token)
+      |), r AS (
+      |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY source
+      |    ORDER BY score_x1e6 DESC, tf DESC, token) AS BIGINT) AS rnk
+      |  FROM s
+      |)
+      |SELECT source, rnk, token, tf, df, score_x1e6 FROM r WHERE rnk <= 3
+      |ORDER BY source, rnk""".stripMargin
+
+  /** q61 repetition quality (Gopher-style duplicate-token rule): per-doc
+    * distinct-token ratio as integer millionths plus the resulting gate
+    * flag — a narrow per-row map, no shuffle before the final sort. */
+  def q61(spark: SparkSession, dir: String): DataFrame = {
+    val w = split(col("text"), " ")
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        size(w).cast(LongType).as("n_tokens"),
+        size(array_distinct(w)).cast(LongType).as("n_distinct"))
+      .withColumn("rep_x1e6",
+        floor(lit(1000000.0) * (col("n_tokens") - col("n_distinct")) / col("n_tokens")))
+      .withColumn("repetitive", (col("rep_x1e6") >= 600000L).cast(IntegerType))
+      .orderBy("doc_id")
+  }
+
+  val q61Sql =
+    """WITH m AS (
+      |  SELECT doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct
+      |  FROM documents
+      |)
+      |SELECT doc_id, n_tokens, n_distinct,
+      |  CAST(FLOOR(1000000.0 * (n_tokens - n_distinct) / n_tokens) AS BIGINT) AS rep_x1e6,
+      |  CAST(FLOOR(1000000.0 * (n_tokens - n_distinct) / n_tokens) >= 600000
+      |    AS INTEGER) AS repetitive
+      |FROM m ORDER BY doc_id""".stripMargin
+
+  /** q66 stratified sampling: per-stratum rates (half of Spanish docs, a
+    * tenth of everything else) through the same deterministic md5 bucket
+    * primitive as q44/q54 — reproducible on any engine or cluster layout,
+    * unlike rand()-based sampleBy. The rate expression is a narrow map, so
+    * the sample is a pushed-down filter over the scan. */
+  def q66(spark: SparkSession, dir: String): DataFrame = {
+    val rate = when(col("lang") === "es", lit(5L)).otherwise(lit(1L))
+    Tables.load(spark, dir, "documents")
+      .filter(T.hashBucket(col("doc_id"), 10) < rate)
+      .select("doc_id", "lang", "source")
+      .orderBy("doc_id")
+  }
+
+  val q66Sql =
+    """SELECT doc_id, lang, source FROM documents
+      |WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 10 <
+      |  CASE WHEN lang = 'es' THEN 5 ELSE 1 END
+      |ORDER BY doc_id""".stripMargin
+
+  val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    ("q58_dedup_clusters", q58 _, Some(q58Sql)),
+    ("q59_decontaminate", q59 _, Some(q59Sql)),
+    ("q60_distinctive_terms", q60 _, Some(q60Sql)),
+    ("q61_repetition", q61 _, Some(q61Sql)),
+    ("q66_stratified_sample", q66 _, Some(q66Sql)))
+}

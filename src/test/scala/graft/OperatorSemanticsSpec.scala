@@ -15,6 +15,31 @@ class OperatorSemanticsSpec extends AnyFunSuite {
 
   private val rnd = new scala.util.Random(42)
 
+  test("connected components: chain, clique, isolated vertex, convergence") {
+    // vertices 0..9; edges: chain 1-2-3-4 (diameter 3 — needs >1 round),
+    // clique {5,6,7}, pair {8,9}; 0 isolated
+    val verts = (0L to 9L).toDF("id")
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L), (6L, 7L),
+      (5L, 7L), (8L, 9L)).toDF("src", "dst")
+    val got = ConnectedComponents.run(verts, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 0L, 1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 5L, 6L -> 5L, 7L -> 5L, 8L -> 8L, 9L -> 8L))
+    // reversed orientation must give the identical labeling
+    val rev = ConnectedComponents.run(verts,
+      edges.select(col("dst").as("src"), col("src").as("dst")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rev == got)
+  }
+
+  test("connected components: non-convergence within maxIters is an error, not a wrong answer") {
+    val verts = (0L to 5L).toDF("id")
+    val chain = (0L until 5L).map(i => (i, i + 1)).toDF("src", "dst")
+    intercept[IllegalArgumentException] {
+      ConnectedComponents.run(verts, chain, maxIters = 2)
+    }
+  }
+
   test("P1/P2 conform: rename + project + reorder") {
     val df = Seq((1, "a", true)).toDF("id", "name", "flag")
     val out = Conform.project(

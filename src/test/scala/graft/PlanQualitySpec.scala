@@ -60,6 +60,21 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(hashExchanges == 1, s"expected 1 keyed shuffle, got $hashExchanges\n$p")
   }
 
+  test("q65: correlated EXISTS/NOT EXISTS decorrelate to semi + anti joins") {
+    val p = plan("q65_exists_subquery")
+    assert(p.contains("LeftSemi"), s"EXISTS must plan a left-semi join:\n$p")
+    assert(p.contains("LeftAnti"), s"NOT EXISTS must plan a left-anti join:\n$p")
+  }
+
+  test("q66: the deterministic sample predicate is evaluated at the scan side") {
+    // the md5-bucket filter is a row-local predicate: it must sit directly on
+    // the scan (one narrow Filter), not behind any exchange
+    val p = SparkEntry.queries("q66_stratified_sample")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"stratified sample must not shuffle:\n$p")
+  }
+
   test("whole-stage codegen covers the scan-filter-project pipeline") {
     // AQE materializes codegen stages at execution; inspect the final plan
     val df = SparkEntry.queries("q03_derived_cents")(spark, sf)
