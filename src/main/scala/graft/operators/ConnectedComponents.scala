@@ -32,13 +32,22 @@ object ConnectedComponents {
     * @return (id, comp) where comp = min vertex id reachable from id.
     */
   def run(vertices: DataFrame, edges: DataFrame, maxIters: Int = 25): DataFrame = {
-    // both directions, so one join per round sees every neighbor
+    // Both directions, so one join per round sees every neighbor. Persisted:
+    // the edge list is consumed once per round, and upstream it is typically
+    // an expensive pair-discovery pipeline (LSH banding, Jaccard verify) that
+    // must not re-run O(diameter) times.
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-
-    var labels = vertices.select(col("id"), col("id").as("comp"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    labels.count() // materialize before entering the loop
+
+    // Only edge-touched vertices iterate: an isolated vertex can never change
+    // its label, so it stays out of every round's shuffle entirely and is
+    // unioned back as a singleton at the end. In a dedup corpus the touched
+    // subgraph is the near-dup fraction — a sliver of the corpus — so the
+    // loop's working set scales with the duplicates, not the data.
+    var labels = sym.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("comp"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     // the handle that actually owns cached blocks this round (labels is a
     // projection of it after round 1, and unpersisting a projection is a
     // no-op — plans must match the cache entry)
@@ -67,9 +76,17 @@ object ConnectedComponents {
         s"connected components did not converge in $maxIters rounds — " +
           "graph diameter exceeds the dedup-shaped assumption; " +
           "raise maxIters or switch to star-contraction")
+      // singletons rejoin here: left join against the converged labels is one
+      // broadcast-or-hash join, not O(rounds) of them
+      val all = vertices.select(col("id"))
+        .join(labels.withColumnRenamed("comp", "lbl"), Seq("id"), "left")
+        .select(col("id"), coalesce(col("lbl"), col("id")).as("comp"))
       // detach the result from the iteration caches: the caller gets a plan
       // over a stable local checkpoint, not over a cache we must keep alive
-      labels.localCheckpoint(eager = true)
-    } finally cached.unpersist(blocking = false)
+      all.localCheckpoint(eager = true)
+    } finally {
+      cached.unpersist(blocking = false)
+      sym.unpersist(blocking = false)
+    }
   }
 }
