@@ -194,10 +194,60 @@ object Training {
       |  CASE WHEN lang = 'es' THEN 5 ELSE 1 END
       |ORDER BY doc_id""".stripMargin
 
+  /** q67 distribution ranks (the window functions q17 left out): quartile
+    * bucket (ntile), percent_rank and cume_dist as exact-rational millionths
+    * — the document-length stratification a curriculum/length-balanced
+    * sampler runs. One (lang) shuffle serves all four window functions. */
+  def q67(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("lang").orderBy(col("n_chars"), col("doc_id"))
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        ntile(4).over(w).cast(LongType).as("len_quartile"),
+        floor(percent_rank().over(w) * 1000000.0).as("pct_rank_x1e6"),
+        floor(cume_dist().over(w) * 1000000.0).as("cume_x1e6"))
+      .orderBy("doc_id")
+  }
+
+  val q67Sql =
+    """SELECT doc_id, lang, n_chars,
+      |  CAST(NTILE(4) OVER w AS BIGINT) AS len_quartile,
+      |  CAST(FLOOR(PERCENT_RANK() OVER w * 1000000.0) AS BIGINT) AS pct_rank_x1e6,
+      |  CAST(FLOOR(CUME_DIST() OVER w * 1000000.0) AS BIGINT) AS cume_x1e6
+      |FROM documents
+      |WINDOW w AS (PARTITION BY lang ORDER BY n_chars, doc_id)
+      |ORDER BY doc_id""".stripMargin
+
+  /** q68 array (higher-order) function surface over the embedding vectors:
+    * dimensionality, exact min/max components, argmax position — all narrow
+    * per-row array kernels (no explode, no shuffle). Float components are
+    * widened to double (exact) and floored to millionths, so the same bits
+    * come out of both engines. */
+  def q68(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"),
+        size(col("embedding")).cast(LongType).as("dim"),
+        floor(array_min(col("embedding")).cast(DoubleType) * 1000000.0)
+          .as("min_x1e6"),
+        floor(array_max(col("embedding")).cast(DoubleType) * 1000000.0)
+          .as("max_x1e6"),
+        array_position(col("embedding"), array_max(col("embedding")))
+          .as("argmax_pos"))
+      .orderBy("vec_id")
+
+  val q68Sql =
+    """SELECT vec_id,
+      |  CAST(len(embedding) AS BIGINT) AS dim,
+      |  CAST(FLOOR(CAST(list_min(embedding) AS DOUBLE) * 1000000.0) AS BIGINT) AS min_x1e6,
+      |  CAST(FLOOR(CAST(list_max(embedding) AS DOUBLE) * 1000000.0) AS BIGINT) AS max_x1e6,
+      |  CAST(list_position(embedding, list_max(embedding)) AS BIGINT) AS argmax_pos
+      |FROM embeddings ORDER BY vec_id""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q58_dedup_clusters", q58 _, Some(q58Sql)),
     ("q59_decontaminate", q59 _, Some(q59Sql)),
     ("q60_distinctive_terms", q60 _, Some(q60Sql)),
     ("q61_repetition", q61 _, Some(q61Sql)),
-    ("q66_stratified_sample", q66 _, Some(q66Sql)))
+    ("q66_stratified_sample", q66 _, Some(q66Sql)),
+    ("q67_dist_ranks", q67 _, Some(q67Sql)),
+    ("q68_array_funcs", q68 _, Some(q68Sql)))
 }

@@ -43,6 +43,22 @@ object EventStream {
       .select(col("window.start").cast(StringType).as("hour"),
         col("event_type"), col("n"), col("sum_cents"))
 
+  /** Watermarked SLIDING-window aggregation (1 h window, 30 min slide — the
+    * q63 batch query's streaming twin): each event expands into exactly two
+    * overlapping windows before the same hash aggregate a tumbling window
+    * uses; the watermark retires a window's state once event time passes its
+    * end, so state is O(active windows × types), not O(stream). */
+  def slidingAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        (sum(col("value").cast(DecimalType(18, 2))) * lit(100))
+          .cast(LongType).as("sum_cents"))
+      .select(unix_millis(col("window.start")).as("win_start_ms"),
+        col("event_type"), col("n"), col("sum_cents"))
+
   /** Streaming delivery-dedup: state-backed `dropDuplicates` on
     * (keys, event time) — each replayed record (same key, same timestamp,
     * e.g. an at-least-once redelivery) is emitted once. Including the

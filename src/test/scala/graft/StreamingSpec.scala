@@ -28,6 +28,20 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("streaming sliding-window agg == batch sliding-window agg (q63)") {
+    val stream = EventStream.slidingAgg(EventStream.readEvents(spark, sf))
+    val q = stream.writeStream
+      .format("memory").queryName("sliding_out").outputMode("complete").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val streamed = spark.table("sliding_out")
+      .orderBy("win_start_ms", "event_type")
+      .collect().map(_.toSeq).toSeq
+    val batch = queries.Advanced.q63(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(streamed.size == batch.size)
+    assert(streamed == batch)
+  }
+
   test("sessionize runs in a real stream; closed sessions match the batch plan") {
     // flushOpen=false: the trailing open session per user stays in state, so
     // the streamed output must equal batch sessions minus each user's last
