@@ -1,0 +1,281 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.{Aggregator, Window}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Analytics surface, continued (q69–q76): wide↔long reshaping, gaps-and-
+  * islands, blocked fuzzy matching, date-spine densification, a typed
+  * `Aggregator` UDAF, MapType higher-order functions, native batch
+  * `session_window`, and full-frame window value functions.
+  *
+  * Like the rest of the surface (SURVEY §2.13): money is integer cents
+  * (`FLOOR(x*100)` as BIGINT), every aggregate is aliased identically on the
+  * Spark and DuckDB sides, and every result carries a total ORDER BY so the
+  * driver's sorted-column hash compare is deterministic.
+  */
+object Analytics {
+
+  private def cents(c: Column) = floor(c * 100).cast(LongType)
+
+  /** q69 unpivot (wide → long): per-priority order metrics melted to
+    * (priority, metric, value) rows with Spark's native `unpivot` — one
+    * Expand node over the aggregated (5-row) input, no shuffle after the
+    * aggregate. At scale the melt is a narrow map-side transform; the only
+    * shuffle is the grouped aggregate that produced the wide table. */
+  def q69(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "orders")
+      .groupBy(col("o_orderpriority").as("priority"))
+      .agg(count(lit(1)).as("n_orders"),
+        countDistinct(col("o_custkey")).as("n_customers"),
+        sum(cents(col("o_totalprice"))).as("revenue_cents"))
+      .unpivot(Array(col("priority")),
+        Array(col("n_orders"), col("n_customers"), col("revenue_cents")),
+        "metric", "value")
+      .orderBy("priority", "metric")
+
+  val q69Sql =
+    """WITH w AS (
+      |  SELECT o_orderpriority AS priority, COUNT(*) AS n_orders,
+      |    COUNT(DISTINCT o_custkey) AS n_customers,
+      |    CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+      |  FROM orders GROUP BY 1)
+      |SELECT priority, 'n_orders' AS metric, CAST(n_orders AS BIGINT) AS value FROM w
+      |UNION ALL SELECT priority, 'n_customers', CAST(n_customers AS BIGINT) FROM w
+      |UNION ALL SELECT priority, 'revenue_cents', revenue_cents FROM w
+      |ORDER BY priority, metric""".stripMargin
+
+  /** q70 gaps-and-islands: maximal runs of consecutive ACTIVE DAYS per user
+    * over the events table, via the classic date − row_number() grouping
+    * key. Shape at scale: one distinct (user, day) shuffle, then the window
+    * and both aggregates all share the user_id partitioning — Catalyst
+    * reuses one exchange for the whole chain. */
+  def q70(spark: SparkSession, dir: String): DataFrame = {
+    val days = Tables.load(spark, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+    val isl = days
+      .withColumn("grp",
+        datediff(col("d"), lit("1970-01-01").cast(DateType)) -
+          row_number().over(Window.partitionBy("user_id").orderBy("d")))
+      .groupBy("user_id", "grp").agg(count(lit(1)).as("len"))
+    isl.groupBy("user_id")
+      .agg(count(lit(1)).as("n_islands"),
+        max("len").cast(IntegerType).as("max_run"),
+        sum("len").as("active_days"))
+      .orderBy("user_id")
+  }
+
+  val q70Sql =
+    """WITH dd AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+      |g AS (
+      |  SELECT user_id, d,
+      |    (d - DATE '1970-01-01') - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) AS grp
+      |  FROM dd),
+      |isl AS (SELECT user_id, grp, COUNT(*) AS len FROM g GROUP BY 1, 2)
+      |SELECT user_id, COUNT(*) AS n_islands, CAST(MAX(len) AS INTEGER) AS max_run,
+      |  CAST(SUM(len) AS BIGINT) AS active_days
+      |FROM isl GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** q71 blocked fuzzy self-match: near-identical part names (edit distance
+    * ≤ 3) within a brand block, counted per brand. Blocking is what makes
+    * fuzzy matching feasible at scale — the quadratic term is bounded per
+    * block and the self-join is a plain equi-join on the block key, never a
+    * cartesian. The length-band guard (`|len(a)−len(b)| ≤ 3`) is implied by
+    * the distance bound (edit distance ≥ length difference), so it prunes
+    * candidates before the O(n·m) levenshtein without changing the result.
+    * At 100 TB you'd tighten blocks further (size + first-token prefix);
+    * the plan shape stays identical. */
+  def q71(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.load(spark, dir, "part").select("p_partkey", "p_brand", "p_name")
+    // the probe side fans the per-block pair generation across cores (the
+    // single-row-group fixture would otherwise run the whole filter serially)
+    val a = Tables.parallelized(p).toDF("a_key", "p_brand", "a_name")
+    val b = p.toDF("b_key", "p_brand", "b_name")
+    a.join(b, Seq("p_brand"))
+      .filter(col("a_key") < col("b_key") &&
+        abs(length(col("a_name")) - length(col("b_name"))) <= 3)
+      // threshold form early-exits the DP once distance must exceed 3
+      // (returns -1 above the bound) — O(n·k) per pair instead of O(n·m)
+      .withColumn("dist", levenshtein(col("a_name"), col("b_name"), 3))
+      .filter(col("dist") >= 0)
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_pairs"), sum("dist").as("total_dist"))
+      .orderBy("p_brand")
+  }
+
+  val q71Sql =
+    """SELECT a.p_brand, COUNT(*) AS n_pairs,
+      |  CAST(SUM(levenshtein(a.p_name, b.p_name)) AS BIGINT) AS total_dist
+      |FROM part a JOIN part b
+      |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+      |WHERE levenshtein(a.p_name, b.p_name) <= 3
+      |GROUP BY a.p_brand ORDER BY a.p_brand""".stripMargin
+
+  /** q72 date-spine densification: a generated calendar (sequence + explode
+    * from the min/max order date — no driver-side loop, no collect) left-
+    * joined to per-day order counts, rolled up monthly with explicit
+    * idle-day accounting. The spine is rows(days) — tiny at any data scale —
+    * so the join broadcasts; the only real shuffle is the per-day aggregate
+    * of the fact table. */
+  def q72(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(spark, dir, "orders")
+      .select(to_date(col("o_orderdate")).as("d"))
+    val spine = o.agg(min("d").as("lo"), max("d").as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"), expr("interval 1 day"))).as("d"))
+    val per = o.groupBy("d").agg(count(lit(1)).as("n"))
+    spine.join(per, Seq("d"), "left")
+      .groupBy(date_format(col("d"), "yyyy-MM").as("month"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(when(col("n").isNotNull, 1L).otherwise(0L)).as("active_days"),
+        sum(coalesce(col("n"), lit(0L))).as("n_orders"))
+      .orderBy("month")
+  }
+
+  val q72Sql =
+    """WITH b AS (SELECT CAST(MIN(o_orderdate) AS DATE) AS lo,
+      |                  CAST(MAX(o_orderdate) AS DATE) AS hi FROM orders),
+      |spine AS (SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS d FROM b),
+      |per AS (SELECT CAST(o_orderdate AS DATE) AS d, COUNT(*) AS n FROM orders GROUP BY 1)
+      |SELECT strftime(s.d, '%Y-%m') AS month, COUNT(*) AS n_days,
+      |  CAST(SUM(CASE WHEN p.d IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS active_days,
+      |  CAST(SUM(COALESCE(p.n, 0)) AS BIGINT) AS n_orders
+      |FROM spine s LEFT JOIN per p ON p.d = s.d
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q73 typed UDAF: quantity-weighted revenue accumulator as a Spark
+    * `Aggregator` (SURVEY §2.10 — the reference needs none; this is the
+    * engine's user-defined-aggregate extension point). The aggregator keeps
+    * exact integer sums (num = Σ cents·qty, den = Σ qty) so the result
+    * hash-matches the oracle bit-for-bit; the consumer divides. Typed
+    * Aggregators keep partial aggregation (map-side combine + merge), so
+    * the shuffle carries one 16-byte buffer per group, not raw rows. */
+  def q73(spark: SparkSession, dir: String): DataFrame = {
+    val wavg = udaf(WeightedCents, Encoders.product[WCIn])
+    Tables.load(spark, dir, "lineitem")
+      .select(col("l_returnflag"),
+        cents(col("l_extendedprice")).as("c"),
+        col("l_quantity").cast(LongType).as("q"))
+      .groupBy("l_returnflag")
+      .agg(wavg(col("c"), col("q")).as("w"))
+      .select(col("l_returnflag"), col("w.num").as("w_num"), col("w.den").as("w_den"))
+      .orderBy("l_returnflag")
+  }
+
+  val q73Sql =
+    """SELECT l_returnflag,
+      |  CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS w_num,
+      |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w_den
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** q74 MapType surface: per-user event-type counts folded into a map
+    * (`map_from_entries` over a sorted `collect_list`), then consumed with
+    * `element_at` lookups and a `map_filter` lambda. The map is built AFTER
+    * the (user, type) aggregate, so collect_list sees ≤ |event_types| rows
+    * per user — bounded state, no skew risk from hot users. */
+  def q74(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .groupBy("user_id", "event_type").agg(count(lit(1)).as("n"))
+      .groupBy("user_id")
+      .agg(map_from_entries(array_sort(collect_list(struct(col("event_type"), col("n"))))).as("m"))
+      .select(col("user_id"),
+        coalesce(element_at(col("m"), "view"), lit(0L)).as("views"),
+        coalesce(element_at(col("m"), "click"), lit(0L)).as("clicks"),
+        coalesce(element_at(col("m"), "purchase"), lit(0L)).as("purchases"),
+        size(map_filter(col("m"), (_, v) => v >= lit(20L))).cast(IntegerType).as("heavy_types"))
+      .orderBy("user_id")
+
+  val q74Sql =
+    """WITH per AS (
+      |  SELECT user_id, event_type, COUNT(*) AS n FROM events GROUP BY 1, 2)
+      |SELECT user_id,
+      |  CAST(COALESCE(SUM(CASE WHEN event_type = 'view' THEN n END), 0) AS BIGINT) AS views,
+      |  CAST(COALESCE(SUM(CASE WHEN event_type = 'click' THEN n END), 0) AS BIGINT) AS clicks,
+      |  CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN n END), 0) AS BIGINT) AS purchases,
+      |  CAST(SUM(CASE WHEN n >= 20 THEN 1 ELSE 0 END) AS INTEGER) AS heavy_types
+      |FROM per GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** q75 native batch `session_window`: 30-minute-gap sessions per user in
+    * ONE groupBy — Spark's built-in session windowing (the declarative twin
+    * of q38's flatMapGroupsWithState sessionizer). Session semantics: a new
+    * session starts when the gap is ≥ the duration (windows are
+    * half-open [t, t+gap)). One shuffle on user_id; the session merge is
+    * sort-based within partitions. */
+  def q75(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_millis(col("w.start")).as("session_start_ms"), col("n_events"))
+      .orderBy("user_id", "session_start_ms")
+
+  val q75Sql =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_ms(ts) AS tms,
+      |    lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS prev
+      |  FROM events),
+      |m AS (
+      |  SELECT user_id, event_id, tms,
+      |    CASE WHEN prev IS NULL OR tms - prev >= 1800000 THEN 1 ELSE 0 END AS new_s
+      |  FROM e),
+      |s AS (
+      |  SELECT user_id, tms,
+      |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY tms, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM m)
+      |SELECT user_id, CAST(MIN(tms) AS BIGINT) AS session_start_ms, COUNT(*) AS n_events
+      |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start_ms""".stripMargin
+
+  /** q76 window value functions over the full partition frame: first, last
+    * and 2nd order per customer (first_value / last_value / nth_value with
+    * ROWS UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING — the default
+    * running frame would make last_value ≡ current row). One shuffle on
+    * o_custkey shared by all three functions. */
+  def q76(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.load(spark, dir, "orders")
+      .select(col("o_custkey"),
+        first("o_orderkey").over(w).as("first_key"),
+        nth_value(col("o_orderkey"), 2).over(w).as("second_key"),
+        last("o_orderkey").over(w).as("last_key"))
+      .distinct()
+      .orderBy("o_custkey")
+  }
+
+  val q76Sql =
+    """SELECT DISTINCT o_custkey,
+      |  first_value(o_orderkey) OVER w AS first_key,
+      |  nth_value(o_orderkey, 2) OVER w AS second_key,
+      |  last_value(o_orderkey) OVER w AS last_key
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |ORDER BY o_custkey""".stripMargin
+
+  val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    ("q69_unpivot", q69 _, Some(q69Sql)),
+    ("q70_islands", q70 _, Some(q70Sql)),
+    ("q71_fuzzy_block_join", q71 _, Some(q71Sql)),
+    ("q72_date_spine", q72 _, Some(q72Sql)),
+    ("q73_weighted_udaf", q73 _, Some(q73Sql)),
+    ("q74_map_funcs", q74 _, Some(q74Sql)),
+    ("q75_session_window", q75 _, Some(q75Sql)),
+    ("q76_value_window", q76 _, Some(q76Sql)))
+}
+
+/** Typed input/buffer rows for [[WeightedCents]] — top-level case classes so
+  * the product encoders resolve statically. */
+case class WCIn(c: Long, q: Long)
+case class WCBuf(num: Long, den: Long)
+
+/** Quantity-weighted cents accumulator (q73): exact integer partial sums. */
+object WeightedCents extends Aggregator[WCIn, WCBuf, WCBuf] {
+  def zero: WCBuf = WCBuf(0L, 0L)
+  def reduce(b: WCBuf, a: WCIn): WCBuf = WCBuf(b.num + a.c * a.q, b.den + a.q)
+  def merge(x: WCBuf, y: WCBuf): WCBuf = WCBuf(x.num + y.num, x.den + y.den)
+  def finish(r: WCBuf): WCBuf = r
+  def bufferEncoder: org.apache.spark.sql.Encoder[WCBuf] = Encoders.product[WCBuf]
+  def outputEncoder: org.apache.spark.sql.Encoder[WCBuf] = Encoders.product[WCBuf]
+}

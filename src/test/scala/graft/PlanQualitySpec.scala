@@ -83,4 +83,30 @@ class PlanQualitySpec extends AnyFunSuite {
     // compact plan notation marks whole-stage-codegen'd operators with *(id)
     assert(p.contains("*(") && p.contains("== Final Plan =="), p)
   }
+
+  test("q71: blocked fuzzy join is an equi-join on the block key, never a cartesian") {
+    val p = plan("q71_fuzzy_block_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("Join") || p.contains("join"), p)
+  }
+
+  test("q73: typed UDAF aggregates in two phases (map-side partial + merge)") {
+    val p = plan("q73_weighted_udaf")
+    assert(p.contains("partial_weightedcents"), s"no partial aggregation:\n$p")
+    val objAggs = "ObjectHashAggregate".r.findAllIn(p).length
+    assert(objAggs == 2, s"expected partial+final ObjectHashAggregate, got $objAggs\n$p")
+  }
+
+  test("q75: session_window shuffles on user_id exactly once") {
+    val p = plan("q75_session_window")
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashExchanges == 1, s"expected 1 keyed shuffle, got $hashExchanges\n$p")
+    assert(p.contains("partial_count"), s"session agg must combine map-side:\n$p")
+  }
+
+  test("q76: all three value functions share one Window node") {
+    val p = plan("q76_value_window")
+    val windows = "\\bWindow\\b".r.findAllIn(p).length
+    assert(windows == 1, s"expected a single shared Window operator, got $windows\n$p")
+  }
 }

@@ -22,7 +22,9 @@ class SqlSurfaceSpec extends AnyFunSuite {
     "ASOF", "json_extract_string", "'0x'", "date_diff('",
     "AS VARCHAR)", // Spark spells the unbounded string type STRING
     "GROUPING(", // multi-arg GROUPING is DuckDB; Spark's form is grouping_id
-    "len(") // DuckDB list length; Spark spells it size/cardinality
+    "len(", // DuckDB list length; Spark spells it size/cardinality
+    "- DATE '", // DATE − DATE is integer days in DuckDB, an interval in Spark
+    "strftime") // DuckDB's formatter; Spark spells it date_format
 
   test("oracle SQL in the common subset matches the DataFrame plans on spark.sql") {
     Tables.registerViews(spark, sf)
