@@ -37,7 +37,33 @@ class MartPipelines(spark: SparkSession, sfDir: String, outDir: String) {
   /** E3 analog: fact assembly join + derive + surrogate lookup against the
     * *written* product dimension (the cross-pipeline barrier), conform,
     * overwrite. */
-  def runFact(): Boolean = {
+  def runFact(): Boolean =
+    Load.overwrite(factFrame(), factPath)
+
+  /** E3 + V1/V2 fused: the audit metrics ride an `Observation` attached to
+    * the SAME job that writes the fact — the row count and null-surrogate
+    * count are accumulated executor-side during the overwrite, so the audit
+    * costs zero additional scans. `auditFact()` (kept as the post-hoc
+    * variant) re-reads the written table; at 100 TB that re-read is the
+    * price of the whole load again. */
+  def runFactObserved(): AuditReport = {
+    val frame = factFrame()
+    val obs = org.apache.spark.sql.Observation("fact_audit")
+    val observed = frame.observe(obs,
+      count(lit(1)).as("rows"),
+      count(when(col("product_key").isNull, lit(1))).as("null_keys"))
+    // S6 guard runs on the UN-observed plan: Observation latches onto the
+    // first action over its CollectMetrics node, and the guard's LIMIT-1
+    // probe would otherwise consume it with a truncated row count.
+    if (frame.isEmpty) AuditReport("fact_orders", 0L, 0L)
+    else {
+      observed.write.mode("overwrite").parquet(factPath)
+      AuditReport("fact_orders",
+        obs.get("rows").asInstanceOf[Long], obs.get("null_keys").asInstanceOf[Long])
+    }
+  }
+
+  private def factFrame(): DataFrame = {
     val l = Tables.load(spark, sfDir, "lineitem")
     val o = Tables.load(spark, sfDir, "orders")
     val dim = spark.read.parquet(dimProductPath)
@@ -49,7 +75,7 @@ class MartPipelines(spark: SparkSession, sfDir: String, outDir: String) {
           col("l_discount")) * lit(100.0)))
     val looked = Lookup.surrogate(fact, dim,
       factKey = "l_partkey", dimKey = "source_product_id")
-    val conformed = Conform.project(
+    Conform.project(
       looked.withColumnRenamed("l_orderkey", "source_order_id")
         .withColumnRenamed("l_linenumber", "line_number")
         .withColumnRenamed("l_partkey", "source_product_id")
@@ -57,7 +83,6 @@ class MartPipelines(spark: SparkSession, sfDir: String, outDir: String) {
         .withColumnRenamed("l_discount", "discount")
         .withColumn("order_date", col("o_orderdate").cast("string")),
       graft.Schemas.factOrderMetrics.fieldNames.toSeq)
-    Load.overwrite(conformed, factPath)
   }
 
   /** Dimension-before-fact order (FK dependency `Project Plan2.md:68`). */

@@ -59,6 +59,20 @@ object EventStream {
       .select(unix_millis(col("window.start")).as("win_start_ms"),
         col("event_type"), col("n"), col("sum_cents"))
 
+  /** Watermarked streaming `session_window` aggregation — the declarative
+    * twin of q75 (batch) and of [[sessionize]] (the explicit-state version).
+    * Streaming session windows MERGE in state: a late-but-in-watermark event
+    * can bridge two open sessions into one, which no fixed-window aggregate
+    * can express. The watermark finalizes a session once event time passes
+    * its close + gap, so state is O(open sessions), not O(stream). */
+  def sessionWindowAgg(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_millis(col("w.start")).as("session_start_ms"), col("n_events"))
+
   /** Streaming delivery-dedup: state-backed `dropDuplicates` on
     * (keys, event time) — each replayed record (same key, same timestamp,
     * e.g. an at-least-once redelivery) is emitted once. Including the

@@ -28,6 +28,16 @@ class PipelineSpec extends AnyFunSuite {
     assert(p.auditTop10.select("extended_price_cents").head.getLong(0) == top1)
   }
 
+  test("observed fact load: audit metrics collected during the write match the post-hoc audit") {
+    val out = java.nio.file.Files.createTempDirectory("graft-mart-obs").toString
+    val p = new MartPipelines(spark, sf, out)
+    assert(p.runProduct()) // fact needs the written dimension
+    val observed = p.runFactObserved() // V1+V2 ride the overwrite job itself
+    val postHoc = p.auditFact()        // separate re-read of the written fact
+    assert(observed.rows == postHoc.rows && observed.rows > 0)
+    assert(observed.nullKeys == postHoc.nullKeys && observed.nullKeys == 0)
+  }
+
   test("written mart tables conform to the declared target schemas") {
     val out = java.nio.file.Files.createTempDirectory("graft-mart3").toString
     val p = new MartPipelines(spark, sf, out)

@@ -42,6 +42,20 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("streaming session_window agg == batch session_window agg (q75)") {
+    val stream = EventStream.sessionWindowAgg(EventStream.readEvents(spark, sf))
+    val q = stream.writeStream
+      .format("memory").queryName("swin_out").outputMode("complete").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val streamed = spark.table("swin_out")
+      .orderBy("user_id", "session_start_ms")
+      .collect().map(_.toSeq).toSeq
+    val batch = queries.Analytics.q75(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(streamed.size == batch.size)
+    assert(streamed == batch)
+  }
+
   test("sessionize runs in a real stream; closed sessions match the batch plan") {
     // flushOpen=false: the trailing open session per user stays in state, so
     // the streamed output must equal batch sessions minus each user's last
