@@ -109,4 +109,28 @@ class PlanQualitySpec extends AnyFunSuite {
     val windows = "\\bWindow\\b".r.findAllIn(p).length
     assert(windows == 1, s"expected a single shared Window operator, got $windows\n$p")
   }
+
+  test("runtime bloom-filter pruning injects on a selective dim → fact shuffle join") {
+    // At 100 TB a selective dimension filter should prune the fact scan
+    // BEFORE the shuffle — Spark's runtime bloom filter does exactly that.
+    // The fixture is far below the default application-side threshold
+    // (10 GB), so lower it to prove the rewrite fires; production inputs
+    // cross the default on their own.
+    import org.apache.spark.sql.functions.col
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> conf.get(k))
+    try {
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force a shuffle join
+      val l = Tables.load(spark, sf, "lineitem")
+      val p = Tables.load(spark, sf, "part").filter(col("p_size") > 48)
+      val j = l.join(p, l("l_partkey") === p("p_partkey")).groupBy("p_brand").count()
+      j.collect()
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("might_contain"),
+        s"expected a runtime bloom filter on the fact side:\n$plan")
+    } finally saved.foreach { case (k, v) => conf.set(k, v) }
+  }
 }
