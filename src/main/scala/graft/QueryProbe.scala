@@ -7,8 +7,10 @@ package graft
   */
 object QueryProbe {
   def main(args: Array[String]): Unit = {
-    require(args.nonEmpty, s"usage: QueryProbe <name> [sfDir] [reps]; names: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}")
+    def usage = s"usage: QueryProbe <name> [sfDir] [reps]; names: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}"
+    require(args.nonEmpty, usage)
     val name = args(0)
+    require(SparkEntry.queries.contains(name), s"unknown query '$name'; $usage")
     val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val reps = if (args.length > 2) args(2).toInt else 3
     val fn = SparkEntry.queries(name)

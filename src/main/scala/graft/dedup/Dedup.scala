@@ -184,11 +184,11 @@ object Dedup {
     // jaccard=0 rows: a doc with no shingles has no set to compare, and
     // this matches the oracle's unnest-of-empty-list semantics exactly.
     // The guard is written on the token count — equivalent to
-    // size(shingles) > 0, but cheap enough that its pushed-down copy in the
-    // scan filter costs one split() instead of re-running the whole shingle
-    // transform per row.
+    // size(shingles) > 0 (spaces+1 == size(split(text,' ',-1)), empties
+    // included on both), but its pushed-down copy in the scan filter costs
+    // length arithmetic per row instead of a per-row array allocation.
     val grams = docs
-      .filter(size(split(col("text"), " ", -1)) >= n)
+      .filter(T.tokenCount(col("text")) >= n)
       .select(col("doc_id"),
         array_distinct(T.wordShingles(col("text"), n)).as("g"))
     val a = grams.select(col("doc_id").as("doc_a"), col("g").as("g_a"))

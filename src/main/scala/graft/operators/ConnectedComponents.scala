@@ -10,15 +10,16 @@ import org.apache.spark.storage.StorageLevel
   * id, so "keep one doc per cluster" is a deterministic groupBy.
   *
   * Algorithm: every vertex starts labeled with its own id; each round every
-  * vertex lowers its label to the minimum of its own and its neighbors'.
-  * A round is one hash-shuffle of the edge list joined against the current
-  * labels plus one aggregate — no driver-side graph state, so it runs at any
-  * corpus size. Convergence needs O(diameter) rounds; near-dup graphs are
-  * low-diameter (cliques and short chains around a shared template), which
-  * in practice means a handful of rounds. For adversarially long chains the
-  * known fix is alternating large-star/small-star contraction (Kiveris et
-  * al., "Connected Components in MapReduce and Beyond", SoCC'14) — same
-  * join-shape per round, O(log²) rounds; not needed for dedup-shaped graphs.
+  * vertex (a) lowers its label to the minimum of its own and its neighbors',
+  * then (b) pointer-jumps: follows its label one hop (comp := label(comp)),
+  * which halves the length of any label chain. A round is two hash-joins of
+  * bounded-size frames plus one aggregate — no driver-side graph state, so
+  * it runs at any corpus size. Neighbor-min alone needs O(diameter) rounds,
+  * and PATHS are the typical output of adjacent-pair dedup discovery (a run
+  * of k consecutive near-dup docs is a chain of diameter k−1); the jump
+  * step cuts that to O(log diameter), the same doubling idea as the
+  * large-star/small-star contraction of Kiveris et al., "Connected
+  * Components in MapReduce and Beyond" (SoCC'14).
   *
   * Determinism: min() is order-insensitive, so the fixpoint is unique — the
   * same (vertices, edges) input yields the same labeling on any cluster
@@ -47,45 +48,53 @@ object ConnectedComponents {
     // loop's working set scales with the duplicates, not the data.
     var labels = sym.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("comp"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    // the handle that actually owns cached blocks this round (labels is a
-    // projection of it after round 1, and unpersisting a projection is a
-    // no-op — plans must match the cache entry)
-    var cached = labels
+      .localCheckpoint(eager = true)
 
     var changed = 1L
     var iters = 0
     try {
       while (changed > 0 && iters < maxIters) {
-        // min label among each vertex's neighbors (one shuffle on dst→src)
+        // (a) min label among each vertex's neighbors (one shuffle dst→src)
         val nbrMin = sym
           .join(labels.select(col("id").as("dst"), col("comp")), "dst")
           .groupBy(col("src").as("id")).agg(min("comp").as("nbr"))
-        val next = labels.join(nbrMin, Seq("id"), "left")
+        val stepped = labels.join(nbrMin, Seq("id"), "left")
           .select(col("id"),
             least(col("comp"), coalesce(col("nbr"), col("comp"))).as("comp"),
             (coalesce(col("nbr"), col("comp")) < col("comp")).as("chg"))
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        changed = next.filter(col("chg")).count() // also truncates re-execution
-        cached.unpersist(blocking = false)
-        cached = next
-        labels = next.drop("chg") // served from next's cache
+          .persist(StorageLevel.MEMORY_AND_DISK) // consumed twice by the jump join
+        // (b) pointer-jump: comp := min(comp, label(comp)). Labels only ever
+        // decrease toward the component's min id, so the fixpoint is the
+        // same — but a length-k label chain becomes length ⌈k/2⌉ per round.
+        // The round result is local-checkpointed, not just persisted: the
+        // jump self-join references the round's plan TWICE, so carrying
+        // lineage forward would double the logical plan every round —
+        // checkpointing keeps the per-round plan constant-size.
+        val jmap = stepped.select(col("id").as("jid"), col("comp").as("jump"))
+        val next = stepped.join(jmap, col("comp") === col("jid"), "left")
+          .select(col("id"),
+            least(col("comp"), coalesce(col("jump"), col("comp"))).as("comp"),
+            (col("chg") || coalesce(col("jump"), col("comp")) < col("comp")).as("chg"))
+          .localCheckpoint(eager = true)
+        changed = next.filter(col("chg")).count() // cheap: runs on checkpointed blocks
+        stepped.unpersist(blocking = false)
+        labels = next.drop("chg")
         iters += 1
       }
       require(changed == 0,
         s"connected components did not converge in $maxIters rounds — " +
-          "graph diameter exceeds the dedup-shaped assumption; " +
-          "raise maxIters or switch to star-contraction")
+          s"with pointer jumping this needs a component of diameter ~2^$maxIters; " +
+          "check the edge input before raising maxIters")
       // singletons rejoin here: left join against the converged labels is one
       // broadcast-or-hash join, not O(rounds) of them
       val all = vertices.select(col("id"))
         .join(labels.withColumnRenamed("comp", "lbl"), Seq("id"), "left")
         .select(col("id"), coalesce(col("lbl"), col("id")).as("comp"))
-      // detach the result from the iteration caches: the caller gets a plan
-      // over a stable local checkpoint, not over a cache we must keep alive
+      // detach the result from the iteration state: the caller gets a plan
+      // over a stable local checkpoint; the per-round checkpointed RDDs
+      // become unreferenced here and are reaped by the ContextCleaner
       all.localCheckpoint(eager = true)
     } finally {
-      cached.unpersist(blocking = false)
       sym.unpersist(blocking = false)
     }
   }

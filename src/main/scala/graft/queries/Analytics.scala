@@ -201,9 +201,13 @@ object Analytics {
     * of q38's flatMapGroupsWithState sessionizer). Session semantics: a new
     * session starts when the gap is ≥ the duration (windows are
     * half-open [t, t+gap)). One shuffle on user_id; the session merge is
-    * sort-based within partitions. */
+    * sort-based within partitions. Event times are truncated to the engine's
+    * declared millisecond session granularity (`epoch_ms` on the oracle
+    * side) BEFORE windowing, so a gap within 1 ms of exactly 30 minutes
+    * cannot split in one engine and merge in the other. */
   def q75(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "events")
+      .withColumn("ts", timestamp_millis(unix_millis(col("ts"))))
       .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
       .agg(count(lit(1)).as("n_events"))
       .select(col("user_id"),

@@ -70,8 +70,13 @@ object Training {
   def q59(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.parallelized(Tables.load(spark, dir, "documents"))
       .withColumn("is_eval", T.hashBucket(col("doc_id"), 10) === 0)
+    // persisted: the gram explode (corpus scan + shingles + array_distinct)
+    // is the dominant cost and is consumed by BOTH the eval-gram side and
+    // the train-gram side — without the cache it runs twice. Bench/Verify
+    // clear the session cache between queries.
     val grams = docs.select(col("doc_id"), col("is_eval"),
       explode(array_distinct(T.wordShingles(col("text"), 4))).as("g"))
+      .persist()
     val evalGrams = grams.filter(col("is_eval")).select("g").distinct()
     val contaminated = grams.filter(!col("is_eval"))
       .join(evalGrams, Seq("g"), "left_semi")

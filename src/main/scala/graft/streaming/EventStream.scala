@@ -67,7 +67,11 @@ object EventStream {
     * its close + gap, so state is O(open sessions), not O(stream). */
   def sessionWindowAgg(events: DataFrame, gap: String = "30 minutes",
       watermark: String = "1 hour"): DataFrame =
-    events.withWatermark("ts", watermark)
+    events
+      // ms truncation before windowing — same declared session granularity
+      // as the q75 batch twin (see its scaladoc on the 30-min knife edge)
+      .withColumn("ts", timestamp_millis(unix_millis(col("ts"))))
+      .withWatermark("ts", watermark)
       .groupBy(col("user_id"), session_window(col("ts"), gap).as("w"))
       .agg(count(lit(1)).as("n_events"))
       .select(col("user_id"),

@@ -32,6 +32,18 @@ class OperatorSemanticsSpec extends AnyFunSuite {
     assert(rev == got)
   }
 
+  test("connected components: a 300-vertex path converges within default rounds (pointer jumping)") {
+    // Adjacent-pair dedup discovery (q58's edge producer) emits PATHS: a run
+    // of k consecutive near-dup docs is a chain of diameter k−1. Neighbor-min
+    // alone would need ~300 rounds here and abort at maxIters; the jump step
+    // makes it O(log k).
+    val verts = (0L to 300L).toDF("id")
+    val chain = (0L until 300L).map(i => (i, i + 1)).toDF("src", "dst")
+    val got = ConnectedComponents.run(verts, chain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 301 && got.values.forall(_ == 0L))
+  }
+
   test("connected components: non-convergence within maxIters is an error, not a wrong answer") {
     val verts = (0L to 5L).toDF("id")
     val chain = (0L until 5L).map(i => (i, i + 1)).toDF("src", "dst")
