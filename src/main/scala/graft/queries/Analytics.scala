@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import graft.functions.{TextFunctions => T}
 import org.apache.spark.sql.{Column, DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.expressions.{Aggregator, Window}
 import org.apache.spark.sql.functions._
@@ -258,6 +259,87 @@ object Analytics {
       |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
       |ORDER BY o_custkey""".stripMargin
 
+  /** q77 argmin/argmax aggregates: the order carrying each priority's
+    * highest / lowest total, via `max_by`/`min_by` with an explicit
+    * (cents, orderkey) struct tiebreak — bare max_by is nondeterministic
+    * under value ties, which a hash-checked surface cannot tolerate. The
+    * oracle expresses the identical semantics as a join-back (max cents,
+    * then max key). One partial+final aggregate, no join on the Spark side. */
+  def q77(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "orders")
+      .select(col("o_orderpriority").as("priority"), col("o_orderkey"),
+        cents(col("o_totalprice")).as("c"))
+      .groupBy("priority")
+      .agg(
+        max_by(col("o_orderkey"), struct(col("c"), col("o_orderkey"))).as("top_order"),
+        min_by(col("o_orderkey"), struct(col("c"), col("o_orderkey"))).as("bottom_order"),
+        max("c").as("top_cents"))
+      .orderBy("priority")
+
+  val q77Sql =
+    """WITH o AS (
+      |  SELECT o_orderpriority AS priority, o_orderkey,
+      |    CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS c
+      |  FROM orders),
+      |hi AS (SELECT priority, MAX(c) AS mx FROM o GROUP BY 1),
+      |lo AS (SELECT priority, MIN(c) AS mn FROM o GROUP BY 1)
+      |SELECT o.priority,
+      |  MAX(CASE WHEN o.c = hi.mx THEN o.o_orderkey END) AS top_order,
+      |  MIN(CASE WHEN o.c = lo.mn THEN o.o_orderkey END) AS bottom_order,
+      |  MAX(hi.mx) AS top_cents
+      |FROM o JOIN hi USING (priority) JOIN lo USING (priority)
+      |GROUP BY o.priority ORDER BY o.priority""".stripMargin
+
+  /** q78 boolean / conditional aggregates: bool_and, bool_or, count_if —
+    * the data-quality assertion shape ("every row non-negative, any row
+    * discounted, how many high-tax") as single-pass aggregates instead of
+    * three separate filtered counts. */
+  def q78(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        bool_and(col("l_quantity") > 0).as("all_positive_qty"),
+        bool_or(col("l_discount") > lit(0.06)).as("any_deep_discount"),
+        count_if(col("l_tax") > lit(0.05)).as("n_high_tax"))
+      .orderBy("l_returnflag")
+
+  val q78Sql =
+    """SELECT l_returnflag,
+      |  bool_and(l_quantity > 0) AS all_positive_qty,
+      |  bool_or(l_discount > 0.06) AS any_deep_discount,
+      |  CAST(count_if(l_tax > 0.05) AS BIGINT) AS n_high_tax
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** q79 corpus text normalization: the canonical pre-tokenization cleanup
+    * (lowercase → strip non-alphanumerics → collapse runs of spaces →
+    * trim), reported as per-source length/token deltas. Pure narrow map
+    * work — normalization at 100 TB is scan-bound, and this plan keeps it
+    * in one whole-stage-codegen'd pass with the aggregate's partial phase. */
+  def q79(spark: SparkSession, dir: String): DataFrame = {
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+    Tables.load(spark, dir, "documents")
+      .select(col("source"), col("text"), norm.as("norm"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("docs"),
+        sum(length(col("text")).cast(LongType)).as("raw_chars"),
+        sum(length(col("norm")).cast(LongType)).as("norm_chars"),
+        sum(T.tokenCount(col("norm")).cast(LongType)).as("norm_tokens"))
+      .orderBy("source")
+  }
+
+  val q79Sql =
+    """WITH n AS (
+      |  SELECT source, text,
+      |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+      |         ' +', ' ', 'g')) AS norm
+      |  FROM documents)
+      |SELECT source, COUNT(*) AS docs,
+      |  CAST(SUM(length(text)) AS BIGINT) AS raw_chars,
+      |  CAST(SUM(length(norm)) AS BIGINT) AS norm_chars,
+      |  CAST(SUM(length(norm) - length(replace(norm, ' ', '')) + 1) AS BIGINT) AS norm_tokens
+      |FROM n GROUP BY source ORDER BY source""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q69_unpivot", q69 _, Some(q69Sql)),
     ("q70_islands", q70 _, Some(q70Sql)),
@@ -266,7 +348,10 @@ object Analytics {
     ("q73_weighted_udaf", q73 _, Some(q73Sql)),
     ("q74_map_funcs", q74 _, Some(q74Sql)),
     ("q75_session_window", q75 _, Some(q75Sql)),
-    ("q76_value_window", q76 _, Some(q76Sql)))
+    ("q76_value_window", q76 _, Some(q76Sql)),
+    ("q77_argminmax", q77 _, Some(q77Sql)),
+    ("q78_bool_aggs", q78 _, Some(q78Sql)),
+    ("q79_text_normalize", q79 _, Some(q79Sql)))
 }
 
 /** Typed input/buffer rows for [[WeightedCents]] — top-level case classes so

@@ -88,6 +88,18 @@ object EventStream {
     events.withWatermark("ts", watermark)
       .dropDuplicates(keys :+ "ts")
 
+  /** Jitter-tolerant streaming dedup: `dropDuplicatesWithinWatermark` keys
+    * on the business key ALONE — a redelivered record whose event time was
+    * re-stamped (broker retry, clock skew) still collapses, where
+    * [[dedupStream]]'s (key, ts) identity would pass both copies through.
+    * State for a key is dropped once the watermark passes its first-seen
+    * time, so memory is bounded by keys-per-watermark-window; the trade is
+    * that a duplicate arriving later than the watermark gap re-emits. */
+  def dedupStreamJittered(events: DataFrame, keys: Seq[String],
+      watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keys)
+
   /** Incremental mart load — the strategy the reference explicitly deferred
     * ("we typically use partitioning or incremental load, but for this
     * project, we'll use DELETE for simplicity", `Project Plan6.md:111-112`).

@@ -24,7 +24,8 @@ class SqlSurfaceSpec extends AnyFunSuite {
     "GROUPING(", // multi-arg GROUPING is DuckDB; Spark's form is grouping_id
     "len(", // DuckDB list length; Spark spells it size/cardinality
     "- DATE '", // DATE − DATE is integer days in DuckDB, an interval in Spark
-    "strftime") // DuckDB's formatter; Spark spells it date_format
+    "strftime", // DuckDB's formatter; Spark spells it date_format
+    "', 'g')") // DuckDB 4-arg regexp_replace global flag; Spark is global by default
 
   test("oracle SQL in the common subset matches the DataFrame plans on spark.sql") {
     Tables.registerViews(spark, sf)

@@ -171,6 +171,22 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch, s"$streamed != $batch")
   }
 
+  test("jittered redelivery: dropDuplicatesWithinWatermark collapses re-stamped copies") {
+    import org.apache.spark.sql.functions._
+    val once = EventStream.readEvents(spark, sf)
+    // the redelivered copy carries a re-stamped event time (+1 ms): exact
+    // (key, ts) dedup keeps both, within-watermark dedup must not
+    val jittered = once.unionByName(
+      once.withColumn("ts", timestamp_millis(unix_millis(col("ts")) + 1)))
+    val q = EventStream.dedupStreamJittered(jittered, Seq("event_id"))
+      .writeStream.format("memory").queryName("jdedup_out")
+      .outputMode("append").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val streamed = spark.table("jdedup_out").count()
+    val batch = Tables.load(spark, sf, "events").count()
+    assert(streamed == batch, s"$streamed != $batch")
+  }
+
   test("sessionization: hand-built gaps produce the expected sessions") {
     import spark.implicits._
     def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
