@@ -206,4 +206,52 @@ object EventStream {
           out.iterator
       }
   }
+
+  /** Production-shape sessionization: like [[sessionize]] but idle sessions
+    * CLOSE on the watermark, not on the user's next event. `EventTimeTimeout`
+    * registers each open session for `last + gap`; when the watermark passes
+    * it, the group's handler fires with an empty iterator (`hasTimedOut`),
+    * emits the session, and drops its state — so a user who never returns
+    * still gets their session emitted, and state size stays bounded by the
+    * gap window instead of growing with one-visit users forever. */
+  def sessionizeTimeout(events: DataFrame, gapMinutes: Int = 30,
+      watermark: String = "0 seconds"): Dataset[Session] = {
+    val gapMs = gapMinutes * 60000L
+    implicit val longEnc = Encoders.scalaLong
+    implicit val eEnc = Encoders.product[Event]
+    implicit val sEnc = Encoders.product[SessionState]
+    implicit val outEnc = Encoders.product[Session]
+    events
+      .withWatermark("ts", watermark)
+      .select("event_id", "ts", "user_id", "event_type", "value").as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(userId, s.start, s.last, s.n))
+          } else {
+            val evs = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            val out = scala.collection.mutable.ArrayBuffer[Session]()
+            var st = state.getOption.orNull
+            for (e <- evs) {
+              val t = e.ts.getTime
+              st match {
+                case null => st = SessionState(t, t, 1)
+                case s if t - s.last <= gapMs => st = s.copy(last = t, n = s.n + 1)
+                case s =>
+                  out += Session(userId, s.start, s.last, s.n)
+                  st = SessionState(t, t, 1)
+              }
+            }
+            if (st != null) {
+              state.update(st)
+              state.setTimeoutTimestamp(st.last + gapMs)
+            }
+            out.iterator
+          }
+      }
+  }
 }

@@ -110,6 +110,26 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(windows == 1, s"expected a single shared Window operator, got $windows\n$p")
   }
 
+  test("q70: islands chain reuses partitioning — exactly two keyed shuffles") {
+    // one exchange for the (user, day) distinct, one on user_id that the
+    // window AND both aggregates all share (Catalyst exchange reuse)
+    val p = plan("q70_islands")
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashExchanges == 2, s"expected 2 keyed shuffles, got $hashExchanges\n$p")
+  }
+
+  test("q72: the generated date spine joins by broadcast (fact side never reshuffles for it)") {
+    val p = plan("q72_date_spine")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q79: normalization aggregates in one keyed shuffle with map-side partials") {
+    val p = plan("q79_text_normalize")
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashExchanges == 1, s"expected 1 keyed shuffle, got $hashExchanges\n$p")
+    assert(p.contains("partial_"), s"aggregate must combine map-side:\n$p")
+  }
+
   test("runtime bloom-filter pruning injects on a selective dim → fact shuffle join") {
     // At 100 TB a selective dimension filter should prune the fact scan
     // BEFORE the shuffle — Spark's runtime bloom filter does exactly that.

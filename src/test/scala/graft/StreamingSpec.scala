@@ -171,6 +171,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch, s"$streamed != $batch")
   }
 
+  test("event-time timeout closes idle sessions without waiting for the user's next event") {
+    import org.apache.spark.sql.functions._
+    val gapMs = 30 * 60000L
+    val stream = EventStream.sessionizeTimeout(EventStream.readEvents(spark, sf))
+    val q = stream.writeStream
+      .format("memory").queryName("tsess_out").outputMode("append").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val streamed = spark.table("tsess_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+
+    // expected: every batch session EXCEPT those still open at the final
+    // watermark (= max event time with a 0s delay): end + gap >= wm stays
+    // in state, everything else — including trailing sessions of users who
+    // never returned — must have been flushed by the timeout
+    val batchEvents = Tables.load(spark, sf, "events")
+    val wmMs = batchEvents.agg(max(unix_millis(col("ts")))).head.getLong(0)
+    val all = EventStream.sessionize(batchEvents, flushOpen = true)
+      .collect().map(s => (s.user_id, s.start_ms, s.end_ms, s.n_events))
+    val expected = all.filter { case (_, _, end, _) => end + gapMs < wmMs }.toSet
+    assert(streamed == expected, s"streamed=${streamed.size} expected=${expected.size}")
+    // the timeout must flush sessions the no-timeout variant would retain:
+    // at least one user's TRAILING session is closed here
+    val trailing = all.groupBy(_._1).map { case (_, ss) => ss.maxBy(_._2) }.toSet
+    assert(streamed.exists(trailing.contains),
+      "no trailing session was closed by the watermark timeout")
+  }
+
   test("jittered redelivery: dropDuplicatesWithinWatermark collapses re-stamped copies") {
     import org.apache.spark.sql.functions._
     val once = EventStream.readEvents(spark, sf)
