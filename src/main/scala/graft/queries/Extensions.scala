@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ann.Knn
+import graft.ann.{Knn, Pq}
 import graft.dedup.Dedup
 import graft.functions.{TextFunctions => T}
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -107,6 +107,17 @@ object Extensions {
   def q49(spark: SparkSession, dir: String): DataFrame = {
     val embs = Tables.load(spark, dir, "embeddings")
     Knn.ivfTopK(embs, Knn.queryVector(embs, 0L), excludeId = 0L, k = 10)
+  }
+
+  /** q80 product-quantization ANN (ann/Pq): 16 subspaces × 16 codes plus
+    * exact re-rank of the ADC candidates — the memory-compression path for
+    * 100 TB similarity search; candidate scoring is m distance-table lookups
+    * per row, zero shuffles, and the re-rank touches only topK×refine rows.
+    * Spark-only: codebook means are float-accumulation-order dependent, so
+    * the oracle is the recall property in AnnSpec, not a hash match. */
+  def q80(spark: SparkSession, dir: String): DataFrame = {
+    val embs = Tables.load(spark, dir, "embeddings")
+    Pq.pqTopK(embs, Knn.queryVector(embs, 0L), excludeId = 0L, topK = 10, dim = 64)
   }
 
   /** q33 per-document quality stats: token count, avg word length (×100),
@@ -299,5 +310,6 @@ object Extensions {
     ("q37_multimodal_features", q37 _, None),
     ("q38_sessionize", q38 _, Some(q38Sql)),
     ("q49_knn_ivf", q49 _, None),
-    ("q54_corpus_prepare", q54 _, Some(q54Sql)))
+    ("q54_corpus_prepare", q54 _, Some(q54Sql)),
+    ("q80_knn_pq", q80 _, None))
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.ann.Knn
+import graft.ann.{Knn, Pq}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** ANN quality: the approximate paths must return k rows and substantially
@@ -57,5 +57,39 @@ class AnnSpec extends AnyFunSuite {
     val lsh = topIds(Knn.lshTopK(embs, q, excludeId = 0L, k = 10, dim = 64))
     assert(lsh.size == 10)
     assert((lsh & exact).nonEmpty)
+  }
+
+  // exact L2 top-10 (PQ's ADC approximates L2, so its recall floor is
+  // measured against the L2 ranking, not the cosine one above)
+  lazy val exactL2: Set[Long] = {
+    val rows = embs.collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    rows.filter(_._1 != 0L).map { case (id, v) =>
+      var d = 0.0; var i = 0
+      while (i < v.length) { val x = v(i) - q(i); d += x * x; i += 1 }
+      (id, d)
+    }.sortBy(x => (x._2, x._1)).take(10).map(_._1).toSet
+  }
+
+  test("PQ top-10: k rows, recall vs exact L2 >= 0.7") {
+    val pq = topIds(Pq.pqTopK(embs, q, excludeId = 0L, topK = 10, dim = 64))
+    assert(pq.size == 10)
+    val recall = (pq & exactL2).size
+    assert(recall >= 7, s"PQ recall too low: $recall/10 (pq=$pq exact=$exactL2)")
+  }
+
+  test("PQ codebooks: m×k entries of subspace width, empty codes keep old centroids") {
+    val cbs = Pq.pqTrain(embs, dim = 64, m = 8, k = 16, iters = 2)
+    assert(cbs.length == 8)
+    assert(cbs.forall(_.length == 16))
+    assert(cbs.forall(_.forall(_.length == 8)))
+  }
+
+  test("PQ candidate scoring is a narrow map: zero shuffles, codes only") {
+    val cbs = Pq.pqTrain(embs, dim = 64, m = 8, k = 16, iters = 1)
+    val scored = Pq.adcScores(Pq.encode(embs, cbs, dim = 64), cbs, q, dim = 64)
+    val p = scored.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"ADC scoring must not shuffle the corpus:\n$p")
+    assert(!p.contains("Join"), s"ADC scoring must not join:\n$p")
   }
 }
