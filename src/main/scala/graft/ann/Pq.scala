@@ -36,14 +36,20 @@ object Pq {
   private def subSlice(vec: Column, s: Int, w: Int): Column =
     slice(vec, s * w + 1, w)
 
-  /** Per-row nearest-code argmin for one subspace as a pure expression: the
-    * codebook travels as ONE nested-array literal, distances come from a
-    * single `transform` lambda, and the argmin is array_position of the
-    * minimum — first occurrence, so exact ties resolve to the smaller code.
-    * A compact plan (one lambda per subspace, not one per code) keeps
-    * Catalyst planning and codegen time flat as k grows. No join, no
-    * shuffle. */
-  private def nearestCode(sub: Column, codebook: Array[Array[Float]]): Column = {
+  /** All m nearest-code ids in one native expression (plans/PqExpressions):
+    * the codebooks ride as ONE foldable literal child, the argmin is a fused
+    * primitive loop in codegen, and exact ties resolve to the smaller code.
+    * The HOF form this replaced (one `transform`+`aggregate` lambda pair per
+    * subspace×code) was quadratically slow to PLAN — m·k = 256 lambda
+    * subtrees cost Catalyst seconds per Lloyd iteration at any data size.
+    * No join, no shuffle. */
+  private def encodeCol(vec: Column, codebooks: Array[Array[Array[Float]]]): Column =
+    call_function("pq_encode", vec,
+      typedlit(codebooks.map(_.map(_.map(_.toDouble).toSeq).toSeq).toSeq))
+
+  /** HOF reference encoder for ONE subspace — parity-tested against the
+    * native `pq_encode` path in AnnSpec, never on the hot path. */
+  def nearestCodeHof(sub: Column, codebook: Array[Array[Float]]): Column = {
     val cbLit = typedlit(codebook.map(_.map(_.toDouble).toSeq).toSeq)
     val dists = transform(cbLit, cvec => l2sq(sub, cvec))
     (array_position(dists, array_min(dists)) - 1).cast(IntegerType)
@@ -70,11 +76,10 @@ object Pq {
         Array.tabulate(m)(s => initRows.map(_.slice(s * w, s * w + w)))
       for (_ <- 0 until iters) {
         // ALL subspaces update in one job: assign m codes per row (narrow
-        // map over literal codebooks), posexplode once, recover (subspace,
-        // within-subspace pos) from the flat position — one shuffle per
-        // Lloyd iteration total, not one per subspace
-        val codesCol = array((0 until m).map(s =>
-          nearestCode(subSlice(col("embedding"), s, w), codebooks(s))): _*)
+        // native map), posexplode once, recover (subspace, within-subspace
+        // pos) from the flat position — one shuffle per Lloyd iteration
+        // total, not one per subspace
+        val codesCol = encodeCol(col("embedding"), codebooks)
         val updated = base
           .select(col("embedding"), codesCol.as("codes"))
           .select(col("codes"), posexplode(col("embedding")).as(Seq("pos", "v")))
@@ -101,13 +106,9 @@ object Pq {
   /** Encode every vector to its `m` nearest-code ids — one narrow map, the
     * write-once step that shrinks the corpus to m small ints per row. */
   def encode(embs: DataFrame, codebooks: Array[Array[Array[Float]]],
-      dim: Int): DataFrame = {
-    val m = codebooks.length
-    val w = dim / m
+      dim: Int): DataFrame =
     graft.Tables.parallelized(embs).select(col("vec_id"),
-      array((0 until m).map(s =>
-        nearestCode(subSlice(col("embedding"), s, w), codebooks(s))): _*).as("codes"))
-  }
+      encodeCol(col("embedding"), codebooks).as("codes"))
 
   /** ADC scoring over pre-encoded codes: the query's per-subspace distance
     * tables are computed on the driver (m×k doubles — a parameter, not data)
@@ -126,12 +127,9 @@ object Pq {
         d
       }.toSeq
     }
-    val dtLit = typedlit(dt)
     encoded.select(col("vec_id"),
-      floor(aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
-        (acc, s) => acc + element_at(element_at(dtLit, s + 1),
-          element_at(col("codes"), s + 1) + 1)) * 1e6).cast(LongType)
-        .as("adist_x1e6"))
+      floor(call_function("adc_dist", col("codes"), typedlit(dt)) * 1e6)
+        .cast(LongType).as("adist_x1e6"))
   }
 
   /** PQ top-k = ADC candidate generation + exact re-rank, the standard

@@ -41,6 +41,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         SimHash64(children.head)
       }))
 
+    // pq_encode(vec, codebooks) / adc_dist(codes, tables): the trained
+    // parameter must be a foldable nested-double-array literal — it is a
+    // model parameter shipped with the plan, extracted once at first eval.
+    ext.injectFunction((
+      FunctionIdentifier("pq_encode"),
+      new ExpressionInfo(classOf[PqEncodeCodes].getName, "pq_encode"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "pq_encode(vec, codebooks literal)")
+        PqEncodeCodes(children.head, children(1))
+      }))
+
+    ext.injectFunction((
+      FunctionIdentifier("adc_dist"),
+      new ExpressionInfo(classOf[AdcDistance].getName, "adc_dist"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "adc_dist(codes, tables literal)")
+        AdcDistance(children.head, children(1))
+      }))
+
     // hyperplane_sig(vec, dim, bits, seed): dim/bits/seed must be literals —
     // the seeded plane matrix is derived at plan time and baked into the
     // expression, so executors never re-derive it.

@@ -84,6 +84,32 @@ class AnnSpec extends AnyFunSuite {
     assert(cbs.forall(_.forall(_.length == 8)))
   }
 
+  test("native pq_encode is bit-identical to the HOF per-subspace argmin") {
+    import org.apache.spark.sql.functions._
+    val cbs = Pq.pqTrain(embs, dim = 64, m = 8, k = 16, iters = 2)
+    val native = Pq.encode(embs, cbs, dim = 64)
+      .orderBy("vec_id").collect().map(r => (r.getLong(0), r.getSeq[Int](1)))
+    val hof = embs.select(col("vec_id"),
+        array((0 until 8).map(s =>
+          Pq.nearestCodeHof(slice(col("embedding"), s * 8 + 1, 8), cbs(s))): _*)
+          .as("codes"))
+      .orderBy("vec_id").collect().map(r => (r.getLong(0), r.getSeq[Int](1)))
+    assert(native.sameElements(hof))
+  }
+
+  test("adc_dist degenerate codes: wrong length and out-of-range code go null") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val tables = Seq(Seq(1.0, 2.0), Seq(10.0, 20.0))
+    val rows = Seq((1L, Seq(0, 1)), (2L, Seq(0)), (3L, Seq(0, 5)))
+      .toDF("id", "codes")
+      .select(col("id"),
+        call_function("adc_dist", col("codes"), typedlit(tables)).as("d"))
+      .orderBy("id").collect()
+    assert(rows(0).getDouble(1) == 21.0)
+    assert(rows(1).isNullAt(1) && rows(2).isNullAt(1))
+  }
+
   test("PQ candidate scoring is a narrow map: zero shuffles, codes only") {
     val cbs = Pq.pqTrain(embs, dim = 64, m = 8, k = 16, iters = 1)
     val scored = Pq.adcScores(Pq.encode(embs, cbs, dim = 64), cbs, q, dim = 64)
