@@ -1,0 +1,221 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.{TextFunctions => T}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Corpus-assembly operators: the steps between a cleaned document table and
+  * training shards — sequence packing, weighted sampling, outlier clipping,
+  * global shuffle, and token-budget selection. Everything except the
+  * priority keys is integer math; all five queries are DuckDB-oracle
+  * hash-checked (q81 via a recursive CTE that replays the packing state
+  * machine).
+  */
+object Corpus {
+
+  /** q81 next-fit sequence packing: documents are packed, in deterministic
+    * (source, shard, doc_id) order, into context windows of `budget`
+    * whitespace tokens — a doc that does not fit closes the pack and opens
+    * the next (an oversized doc sits alone in its own pack). The physical
+    * shape is the scale-correct one for a sequential state machine: ONE
+    * shuffle on (source, shard), a within-partition sort, and a streaming
+    * `mapPartitions` whose state is O(1) — no per-group materialization, so
+    * a source with a billion documents packs with bounded memory (the shard
+    * key bounds chain length and parallelism, not memory). `mapPartitions`
+    * is the right tool here (brief's last-resort clause): packing is
+    * inherently order-sequential, inexpressible as window cumsum because a
+    * pack boundary depends on the running remainder. */
+  def q81(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val budget = 128L
+    val packIn = Tables.parallelized(Tables.load(spark, dir, "documents"))
+      .select(col("doc_id"), col("source"),
+        T.hashBucket(col("doc_id"), 4).as("shard"),
+        size(split(col("text"), " ")).cast(LongType).as("n_tokens"))
+      .as[(Long, String, Long, Long)]
+    val packed = packIn
+      .repartition(col("source"), col("shard"))
+      .sortWithinPartitions("source", "shard", "doc_id")
+      .mapPartitions { it =>
+        // `budget + 1` is the forced-new-pack sentinel: the first doc of a
+        // (source, shard) chain can never fit, so it always opens pack 1
+        var curKey: (String, Long) = null
+        var packIdx = 0L; var packPos = 0L; var used = budget + 1
+        it.map { case (docId, source, shard, nTokens) =>
+          if (curKey != ((source, shard))) {
+            curKey = (source, shard); packIdx = 0L; used = budget + 1
+          }
+          if (used + nTokens <= budget) { packPos += 1; used += nTokens }
+          else { packIdx += 1; packPos = 1L; used = nTokens }
+          (docId, source, shard, nTokens, packIdx, packPos)
+        }
+      }
+      .toDF("doc_id", "source", "shard", "n_tokens", "pack_idx", "pack_pos")
+    packed.orderBy("doc_id")
+  }
+
+  val q81Sql =
+    """WITH RECURSIVE d AS (
+      |  SELECT doc_id, source,
+      |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 4 AS shard,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents
+      |), seq AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY source, shard ORDER BY doc_id) AS rn
+      |  FROM d
+      |), rec AS (
+      |  SELECT doc_id, source, shard, n_tokens, rn,
+      |    CAST(1 AS BIGINT) AS pack_idx, CAST(1 AS BIGINT) AS pack_pos,
+      |    n_tokens AS used
+      |  FROM seq WHERE rn = 1
+      |  UNION ALL
+      |  SELECT s.doc_id, s.source, s.shard, s.n_tokens, s.rn,
+      |    CASE WHEN r.used + s.n_tokens <= 128 THEN r.pack_idx ELSE r.pack_idx + 1 END,
+      |    CASE WHEN r.used + s.n_tokens <= 128 THEN r.pack_pos + 1 ELSE CAST(1 AS BIGINT) END,
+      |    CASE WHEN r.used + s.n_tokens <= 128 THEN r.used + s.n_tokens ELSE s.n_tokens END
+      |  FROM rec r JOIN seq s
+      |    ON s.source = r.source AND s.shard = r.shard AND s.rn = r.rn + 1
+      |)
+      |SELECT doc_id, source, shard, n_tokens, pack_idx, pack_pos
+      |FROM rec ORDER BY doc_id""".stripMargin
+
+  /** q82 priority sampling (Duffield–Lund–Thorup, JACM 2007): each doc gets
+    * priority w/u with weight w = n_chars and u a deterministic md5-uniform
+    * in [1, 1000000007]; the top-25 by priority form a weighted sample
+    * without replacement, reproducible on any engine. The priority is ONE
+    * multiply and ONE IEEE division over exactly-representable integers —
+    * correctly rounded identically everywhere, so even the floored double is
+    * hash-stable cross-engine (no ln/exp, whose libm rounding differs). The
+    * plan is a narrow scan + TakeOrderedAndProject: no shuffle, no window. */
+  def q82(spark: SparkSession, dir: String): DataFrame = {
+    val u = T.hashBucket(col("doc_id"), 1000000007) + lit(1L)
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("n_chars"),
+        floor(lit(1000000000.0) * col("n_chars") / u).as("priority_x1e9"))
+      .orderBy(desc("priority_x1e9"), col("doc_id"))
+      .limit(25)
+  }
+
+  val q82Sql =
+    """SELECT doc_id, n_chars,
+      |  CAST(FLOOR(1000000000.0 * n_chars /
+      |    (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+      |      % 1000000007 + 1)) AS BIGINT) AS priority_x1e9
+      |FROM documents
+      |ORDER BY priority_x1e9 DESC, doc_id LIMIT 25""".stripMargin
+
+  /** q83 winsorization: per-language p05/p95 of n_chars as DISCRETE order
+    * statistics (the value at row ceil(q·n) of the sorted column — integer
+    * exact, no interpolated doubles to drift cross-engine), then each doc's
+    * length clipped into [p05, p95]. One (lang) shuffle serves the
+    * row-number window; the per-lang cutoffs are grouping-key-cardinality
+    * rows, so the join back is a broadcast at any corpus size. */
+  def q83(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    val ranked = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("lang")))
+    val cuts = ranked
+      .filter(col("rn") === floor((col("n") + 19) / 20) ||
+        col("rn") === floor(lit(19) * (col("n") + 1) / 20))
+      .groupBy("lang")
+      .agg(min("n_chars").as("p05"), max("n_chars").as("p95"))
+    ranked.join(broadcast(cuts), "lang")
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("p05"), col("p95"),
+        greatest(col("p05"), least(col("p95"), col("n_chars"))).as("clipped"))
+      .orderBy("doc_id")
+  }
+
+  val q83Sql =
+    """WITH ranked AS (
+      |  SELECT doc_id, lang, n_chars,
+      |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
+      |    COUNT(*) OVER (PARTITION BY lang) AS n
+      |  FROM documents
+      |), cuts AS (
+      |  SELECT lang, MIN(n_chars) AS p05, MAX(n_chars) AS p95
+      |  FROM ranked
+      |  WHERE rn = (n + 19) // 20 OR rn = (19 * (n + 1)) // 20
+      |  GROUP BY lang
+      |)
+      |SELECT r.doc_id, r.lang, r.n_chars, c.p05, c.p95,
+      |  GREATEST(c.p05, LEAST(c.p95, r.n_chars)) AS clipped
+      |FROM ranked r JOIN cuts c USING (lang)
+      |ORDER BY r.doc_id""".stripMargin
+
+  /** q84 global deterministic shuffle into training shards: each doc lands
+    * in shard md5(doc_id) % 8, ordered within its shard by a SECOND
+    * independent hash — the write-ready (shard, position) layout every
+    * training run wants, reproducible without rand(). One shuffle on shard;
+    * the per-shard sort is distributed (each shard sorts in parallel). */
+  def q84(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("shard")
+      .orderBy(col("ord"), col("doc_id"))
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        T.hashBucket(col("doc_id"), 8).as("shard"),
+        T.hashBucket(concat(col("doc_id").cast(StringType), lit("#ord")), 999983)
+          .as("ord"))
+      .withColumn("pos", row_number().over(w).cast(LongType))
+      .select("doc_id", "shard", "pos")
+      .orderBy("shard", "pos")
+  }
+
+  val q84Sql =
+    """WITH h AS (
+      |  SELECT doc_id,
+      |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 8 AS shard,
+      |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#ord'), 1, 8) AS BIGINT)
+      |      % 999983 AS ord
+      |  FROM documents
+      |)
+      |SELECT doc_id, shard,
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY ord, doc_id) AS BIGINT) AS pos
+      |FROM h ORDER BY shard, pos""".stripMargin
+
+  /** q85 token-budget-capped selection: per source, documents are taken in a
+    * deterministic hash-shuffled order until the source's running character
+    * total passes 20 000 — the "fill each mixture component to its budget"
+    * step of corpus assembly. The running total is one cumulative-sum window
+    * per source (a single shuffle); the budget filter is a row-local
+    * predicate on the cumsum, so nothing is re-scanned or re-joined. */
+  def q85(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Window.partitionBy("source")
+      .orderBy(col("ord"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        T.hashBucket(concat(col("doc_id").cast(StringType), lit("#sel")), 999983)
+          .as("ord"))
+      .withColumn("cum_chars", sum("n_chars").over(ord))
+      .filter(col("cum_chars") <= 20000L)
+      .select("doc_id", "source", "n_chars", "cum_chars")
+      .orderBy("doc_id")
+  }
+
+  val q85Sql =
+    """WITH h AS (
+      |  SELECT doc_id, source, n_chars,
+      |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#sel'), 1, 8) AS BIGINT)
+      |      % 999983 AS ord
+      |  FROM documents
+      |), c AS (
+      |  SELECT doc_id, source, n_chars,
+      |    SUM(n_chars) OVER (PARTITION BY source ORDER BY ord, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_chars
+      |  FROM h
+      |)
+      |SELECT doc_id, source, n_chars, cum_chars FROM c
+      |WHERE cum_chars <= 20000 ORDER BY doc_id""".stripMargin
+
+  val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    ("q81_pack_sequences", q81 _, Some(q81Sql)),
+    ("q82_priority_sample", q82 _, Some(q82Sql)),
+    ("q83_winsorize", q83 _, Some(q83Sql)),
+    ("q84_shuffle_shards", q84 _, Some(q84Sql)),
+    ("q85_budget_select", q85 _, Some(q85Sql)))
+}
