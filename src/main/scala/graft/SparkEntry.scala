@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Advanced, Analytics, Extensions, Mart, Relational, Training}
+import graft.queries.{Advanced, Analytics, Corpus, Extensions, Mart, Relational, Training}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -19,7 +19,8 @@ object SparkEntry {
   private lazy val registry
       : Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Relational.registry ++ Mart.registry ++ Extensions.registry ++
-      Advanced.registry ++ Training.registry ++ Analytics.registry
+      Advanced.registry ++ Training.registry ++ Analytics.registry ++
+      Corpus.registry
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

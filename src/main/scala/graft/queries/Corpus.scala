@@ -139,7 +139,8 @@ object Corpus {
       |), cuts AS (
       |  SELECT lang, MIN(n_chars) AS p05, MAX(n_chars) AS p95
       |  FROM ranked
-      |  WHERE rn = (n + 19) // 20 OR rn = (19 * (n + 1)) // 20
+      |  WHERE rn = CAST(FLOOR((n + 19) / 20.0) AS BIGINT)
+      |     OR rn = CAST(FLOOR(19 * (n + 1) / 20.0) AS BIGINT)
       |  GROUP BY lang
       |)
       |SELECT r.doc_id, r.lang, r.n_chars, c.p05, c.p95,
@@ -205,8 +206,8 @@ object Corpus {
       |  FROM documents
       |), c AS (
       |  SELECT doc_id, source, n_chars,
-      |    SUM(n_chars) OVER (PARTITION BY source ORDER BY ord, doc_id
-      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_chars
+      |    CAST(SUM(n_chars) OVER (PARTITION BY source ORDER BY ord, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_chars
       |  FROM h
       |)
       |SELECT doc_id, source, n_chars, cum_chars FROM c
