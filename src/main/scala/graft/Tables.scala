@@ -46,9 +46,22 @@ object Tables {
     * a small-file artifact that would not exist on a real multi-row-group /
     * multi-file 100 TB table. The explicit partition count keeps AQE from
     * coalescing the exchange back to one partition; when the scan already
-    * has enough partitions this is a no-op with no shuffle. */
+    * has enough partitions this is a no-op with no shuffle.
+    *
+    * The partition count is ESTIMATED from logical-plan statistics
+    * (`stats.sizeInBytes / maxPartitionBytes` — file-listing data the
+    * relation already holds) instead of `df.rdd.getNumPartitions`, which
+    * would force a full physical planning + RDD conversion of the query
+    * just to read a number, planning every caller's query twice. The
+    * estimate errs small only for compressed single-file fixtures — exactly
+    * the case where repartitioning is wanted anyway — and at warehouse
+    * scale sizeInBytes is orders of magnitude past the threshold, making
+    * this a plan-free no-op. */
   def parallelized(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    val spark = df.sparkSession
+    val target = spark.sparkContext.defaultParallelism
+    val maxPart = BigInt(spark.sessionState.conf.filesMaxPartitionBytes)
+    val estParts = df.queryExecution.optimizedPlan.stats.sizeInBytes / maxPart + 1
+    if (estParts < target) df.repartition(target) else df
   }
 }

@@ -119,9 +119,14 @@ object Knn {
       }
       if (na == 0.0 || nb == 0.0) -2.0 else d / (math.sqrt(na) * math.sqrt(nb))
     }
+    // tie-break MUST mirror nearestCid's executor-side rule (greatest struct
+    // → larger cid wins exact cosine ties): with duplicate centroids (e.g. a
+    // corpus whose k lowest ids are identical vectors, so every init centroid
+    // is the same point) the rows all land in the LARGEST tied cid — probing
+    // the smallest tied cid instead would miss every one of them.
     val probeCids = centroids
       .map { case (cid, vec) => (cos(qd, vec), cid) }
-      .sortBy { case (c, cid) => (-c, cid) }.take(nProbe).map(_._2)
+      .sortBy { case (c, cid) => (-c, -cid) }.take(nProbe).map(_._2)
     val qLit = typedlit(qd.toSeq)
     graft.Tables.parallelized(embs)
       .withColumn("cid", nearestCid(centroids))

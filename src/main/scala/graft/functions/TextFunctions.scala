@@ -125,4 +125,28 @@ object TextFunctions {
   /** Winnowing-style min-hash fingerprint: min over shingle hashes. */
   def minShingleHash(shingleHashes: Column): Column =
     array_min(shingleHashes)
+
+  /** Engine-portable 60-bit hash: first 15 hex digits of md5, as a long.
+    * Identical arithmetic in DuckDB (`CAST('0x'||substr(md5(x),1,15) AS
+    * BIGINT)`) — 60 bits so it can never overflow a signed 64-bit int in
+    * either engine. The fingerprint twin of [[hashBucket]]; use where a
+    * fingerprint must hash-match the oracle (xxhash64 is Spark-only). */
+  def portableHash60(c: Column): Column =
+    conv(substring(md5(c.cast(StringType)), 1, 15), 16, 10).cast(LongType)
+
+  /** Per-shingle portable 60-bit hashes, document order, duplicates kept —
+    * the order-sensitive feed for [[portableRollingFp]]. */
+  def portableShingleHashes(text: Column, n: Int): Column =
+    transform(wordShingles(text, n), s => portableHash60(s))
+
+  private val RollMod = 1000000007L
+
+  /** Order-sensitive polynomial rolling fingerprint over a hash stream:
+    * fp' = (fp·31 + h mod M) mod M, M = 1e9+7 — plain 64-bit-safe modular
+    * arithmetic both engines fold identically (DuckDB:
+    * `list_reduce(list_prepend(0, hs), (acc,h) -> ...)`), unlike the
+    * xxhash64 chain in [[rollingFingerprint]]. */
+  def portableRollingFp(hashes: Column): Column =
+    aggregate(hashes, lit(0L),
+      (acc, h) => (acc * lit(31L) + h % lit(RollMod)) % lit(RollMod))
 }

@@ -28,15 +28,27 @@ object Corpus {
     * is the right tool here (brief's last-resort clause): packing is
     * inherently order-sequential, inexpressible as window cumsum because a
     * pack boundary depends on the running remainder. */
-  def q81(spark: SparkSession, dir: String): DataFrame = {
+  def q81(spark: SparkSession, dir: String): DataFrame =
+    packSequences(Tables.parallelized(Tables.load(spark, dir, "documents")),
+      budget = 128L, shards = 4)
+      .orderBy("doc_id")
+
+  /** The packing operator behind q81, parameterized: `shards` bounds the
+    * longest sequential chain (max parallelism = |sources| × shards — size it
+    * to the cluster, the fixture query uses 4) and `budget` is the context
+    * window in whitespace tokens. Per-(source, shard) chains are independent,
+    * so raising `shards` re-shards the work without changing any pack's
+    * internal shape. Semantics property-tested across shard counts in
+    * OperatorSemanticsSpec. */
+  def packSequences(docs: DataFrame, budget: Long, shards: Int): DataFrame = {
+    val spark = docs.sparkSession
     import spark.implicits._
-    val budget = 128L
-    val packIn = Tables.parallelized(Tables.load(spark, dir, "documents"))
+    val packIn = docs
       .select(col("doc_id"), col("source"),
-        T.hashBucket(col("doc_id"), 4).as("shard"),
+        T.hashBucket(col("doc_id"), shards).as("shard"),
         size(split(col("text"), " ")).cast(LongType).as("n_tokens"))
       .as[(Long, String, Long, Long)]
-    val packed = packIn
+    packIn
       .repartition(col("source"), col("shard"))
       .sortWithinPartitions("source", "shard", "doc_id")
       .mapPartitions { it =>
@@ -54,7 +66,6 @@ object Corpus {
         }
       }
       .toDF("doc_id", "source", "shard", "n_tokens", "pack_idx", "pack_pos")
-    packed.orderBy("doc_id")
   }
 
   val q81Sql =

@@ -184,18 +184,38 @@ object Extensions {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
-  /** q35 document fingerprints: whole-text xxhash64, rolling polynomial
-    * fingerprint over the shingle-hash stream, winnowing min-hash.
-    * Spark-only (hash functions differ across engines by design). */
+  /** q35 document fingerprints — all three columns engine-portable md5
+    * arithmetic (the 60-bit [[T.portableHash60]] primitive), so the query is
+    * hash-checked against the oracle: whole-text fingerprint, order-sensitive
+    * polynomial rolling fingerprint over the 3-gram shingle-hash stream, and
+    * the winnowing min-shingle hash. (The xxhash64 chain variants remain as
+    * the faster Spark-internal primitives, parity-covered in
+    * TextVectorSpec.) */
   def q35(spark: SparkSession, dir: String): DataFrame = {
-    val sh = T.shingleHashes(col("text"), 3)
+    val sh = T.portableShingleHashes(col("text"), 3)
     Tables.parallelized(Tables.load(spark, dir, "documents"))
       .select(col("doc_id"),
-        xxhash64(col("text")).as("xx64"),
-        T.rollingFingerprint(sh).as("rolling_fp"),
+        T.portableHash60(col("text")).as("fp60"),
+        T.portableRollingFp(sh).as("rolling_fp"),
         T.minShingleHash(sh).as("min_shingle"))
       .orderBy("doc_id")
   }
+
+  val q35Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, text, string_split(text, ' ') AS w FROM documents
+      |), sh AS (
+      |  SELECT doc_id, text,
+      |    list_transform(range(1, len(w) - 1),
+      |      i -> CAST('0x' || substr(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]), 1, 15) AS BIGINT)) AS hs
+      |  FROM toks
+      |)
+      |SELECT doc_id,
+      |  CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) AS fp60,
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT), hs),
+      |    (acc, h) -> (acc * 31 + h % 1000000007) % 1000000007) AS rolling_fp,
+      |  list_min(hs) AS min_shingle
+      |FROM sh ORDER BY doc_id""".stripMargin
 
   /** q36 subword (BPE-ish) token-count estimate per source — scales as a
     * narrow map + one small aggregation. Oracle-checked: the ceil(len/6)
@@ -295,6 +315,31 @@ object Extensions {
       |FROM g JOIN s ON g.doc_id = s.doc_id
       |ORDER BY g.doc_id""".stripMargin
 
+  /** q86 conversion attribution — the stream-stream time-range join
+    * (EventStream.conversions) replayed on the batch frame: purchases within
+    * 60 min after a view by the same user. The SAME plan the streaming
+    * deployment runs (watermarks are no-ops in batch), here under the DuckDB
+    * hash gate via a time-range self-join. Timestamps are ms-truncated on
+    * both sides (the q38/q75 convention) so the interval arithmetic is
+    * engine-identical. */
+  def q86(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.load(spark, dir, "events")
+      .withColumn("ts", timestamp_millis(unix_millis(col("ts"))))
+    graft.streaming.EventStream.conversions(events, withinMinutes = 60)
+      .orderBy("view_id", "purchase_id")
+  }
+
+  val q86Sql =
+    """WITH e AS (
+      |  SELECT event_id, user_id, event_type, epoch_ms(ts) AS tms FROM events
+      |)
+      |SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id
+      |FROM e v JOIN e p
+      |  ON p.user_id = v.user_id
+      | AND v.event_type = 'view' AND p.event_type = 'purchase'
+      | AND p.tms >= v.tms AND p.tms <= v.tms + 3600000
+      |ORDER BY view_id, purchase_id""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q26_dedup_exact", q26 _, Some(q26Sql)),
     ("q27_dedup_minhash_lsh", q27 _, None),
@@ -305,11 +350,12 @@ object Extensions {
     ("q32_knn_lsh", q32 _, None),
     ("q33_text_quality", q33 _, Some(q33Sql)),
     ("q34_langid", q34 _, Some(q34Sql)),
-    ("q35_fingerprint", q35 _, None),
+    ("q35_fingerprint", q35 _, Some(q35Sql)),
     ("q36_token_count", q36 _, Some(q36Sql)),
     ("q37_multimodal_features", q37 _, None),
     ("q38_sessionize", q38 _, Some(q38Sql)),
     ("q49_knn_ivf", q49 _, None),
     ("q54_corpus_prepare", q54 _, Some(q54Sql)),
-    ("q80_knn_pq", q80 _, None))
+    ("q80_knn_pq", q80 _, None),
+    ("q86_conversions", q86 _, Some(q86Sql)))
 }

@@ -110,6 +110,31 @@ class AnnSpec extends AnyFunSuite {
     assert(rows(1).isNullAt(1) && rows(2).isNullAt(1))
   }
 
+  test("clustered duplicates: IVF and PQ keep full recall when the k lowest ids are identical vectors") {
+    import spark.implicits._
+    // Adversarial fixture: ids 1..40 are copies of the query vector (id 0),
+    // so EVERY deterministic lowest-id init centroid/codebook entry is the
+    // same point and all assignment/probe decisions are pure tie-breaking —
+    // the regime where empty-cluster keep-alive and mismatched tie rules
+    // historically broke. ids 41..99 are distinct filler.
+    val dim = 8
+    def ring(i: Long): Seq[Float] = (0 until dim).map(d =>
+      (math.cos(0.7 * i + d) + 0.1 * d).toFloat)
+    val rows = (0L until 100L).map { i =>
+      (i, if (i <= 40L) ring(0L) else ring(i))
+    }
+    val dup = rows.toDF("vec_id", "embedding")
+    val qv = rows.head._2.toArray
+    val exactDup = topIds(Knn.bruteForce(dup, qv, excludeId = 0L, k = 10))
+    assert(exactDup == (1L to 10L).toSet) // cosine ties resolve to lowest ids
+    val ivf = topIds(Knn.ivfTopK(dup, qv, excludeId = 0L, k = 10,
+      nClusters = 6, nProbe = 2, iters = 3))
+    assert(ivf == exactDup, s"IVF lost duplicates to a tie-broken cluster: $ivf")
+    val pq = topIds(Pq.pqTopK(dup, qv, excludeId = 0L, topK = 10,
+      dim = dim, m = 4, k = 16, iters = 2, sampleMod = 1))
+    assert(pq == exactDup, s"PQ lost duplicates: $pq")
+  }
+
   test("PQ candidate scoring is a narrow map: zero shuffles, codes only") {
     val cbs = Pq.pqTrain(embs, dim = 64, m = 8, k = 16, iters = 1)
     val scored = Pq.adcScores(Pq.encode(embs, cbs, dim = 64), cbs, q, dim = 64)

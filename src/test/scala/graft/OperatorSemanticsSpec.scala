@@ -203,6 +203,41 @@ class OperatorSemanticsSpec extends AnyFunSuite {
     assert(p.contains("PushedFilters: [IsNotNull(id), GreaterThan(id,1)]"), p)
   }
 
+  test("q81 packing invariants hold across shard counts (1/3/8): exact-once, budget, greedy boundaries") {
+    // 400 docs, token counts 1..80 — some exceed the budget of 50, so the
+    // oversized-singleton branch is exercised; two sources so chains split.
+    val budget = 50L
+    val docRows = (1 to 400).map { i =>
+      val n = 1 + rnd.nextInt(80)
+      (i.toLong, if (i % 3 == 0) "books" else "web", Seq.fill(n)("tok").mkString(" "))
+    }
+    val docs = docRows.toDF("doc_id", "source", "text")
+    for (shards <- Seq(1, 3, 8)) {
+      val out = graft.queries.Corpus.packSequences(docs, budget, shards)
+        .select("doc_id", "source", "shard", "n_tokens", "pack_idx", "pack_pos")
+        .as[(Long, String, Long, Long, Long, Long)].collect()
+      // every doc packed exactly once
+      assert(out.length == 400 && out.map(_._1).distinct.length == 400, s"shards=$shards")
+      // per-pack token sum within budget, or a single oversized doc alone
+      out.groupBy(r => (r._2, r._3, r._5)).foreach { case (key, pack) =>
+        val total = pack.map(_._4).sum
+        assert(total <= budget || pack.length == 1, s"shards=$shards pack=$key total=$total n=${pack.length}")
+        // pack_pos is contiguous 1..n in doc_id order
+        assert(pack.sortBy(_._1).map(_._6).toSeq == (1L to pack.length).toSeq, s"shards=$shards pack=$key")
+      }
+      // exact next-fit replay: the distributed state machine must agree with
+      // a sequential fold over each (source, shard) chain in doc_id order
+      out.groupBy(r => (r._2, r._3)).foreach { case (key, chain) =>
+        var idx = 0L; var pos = 0L; var used = budget + 1
+        chain.sortBy(_._1).foreach { case (docId, _, _, n, gotIdx, gotPos) =>
+          if (used + n <= budget) { pos += 1; used += n }
+          else { idx += 1; pos = 1L; used = n }
+          assert((gotIdx, gotPos) == ((idx, pos)), s"shards=$shards chain=$key doc=$docId")
+        }
+      }
+    }
+  }
+
   test("A1/P6 audits: count and null-key check") {
     val df = Seq((1, Some(10L)), (2, None), (3, Some(30L))).toDF("id", "key")
     assert(Audit.rowCount(df) == 3)
