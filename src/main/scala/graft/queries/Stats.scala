@@ -1,0 +1,315 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Statistical / frequency analytics beyond the q39–q86 surface: explicit
+  * GROUPING SETS, integer-exact distribution moments, histograms, bigram
+  * association, heavy hitters, bitwise aggregates, vocabulary coverage,
+  * event funnels, and inverted-index posting statistics. Everything here is
+  * exact integer or string math with a total ORDER BY, so every query is
+  * DuckDB-oracle hash-checked (SURVEY §5 conventions).
+  */
+object Stats {
+
+  private def cents(c: Column) = floor(c * 100).cast(LongType)
+
+  private def tokens(spark: SparkSession, dir: String): DataFrame =
+    Tables.parallelized(Tables.load(spark, dir, "documents"))
+      .select(col("doc_id"), col("source"),
+        explode(split(col("text"), " ")).as("token"))
+
+  /** q87 explicit GROUPING SETS — the third grouping-set shape next to q39's
+    * CUBE and q22's ROLLUP: exactly ((priority), (status), ()) with no cross
+    * products. Catalyst plans one Expand (3 projections) + a single hash
+    * aggregate — one scan regardless of how many sets are named, which is the
+    * property that matters on a 100 TB fact table. */
+  def q87(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "orders")
+      .withColumn("cents", cents(col("o_totalprice")))
+      .createOrReplaceTempView("q87_orders")
+    spark.sql(
+      """SELECT CAST(grouping_id(o_orderpriority, o_orderstatus) AS INT) AS gid,
+        |  COALESCE(o_orderpriority, 'ALL') AS priority,
+        |  COALESCE(o_orderstatus, 'ALL') AS status,
+        |  COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS revenue_cents
+        |FROM q87_orders
+        |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+        |ORDER BY gid, priority, status""".stripMargin)
+  }
+
+  val q87Sql =
+    """SELECT CAST(GROUPING(o_orderpriority, o_orderstatus) AS INTEGER) AS gid,
+      |  COALESCE(o_orderpriority, 'ALL') AS priority,
+      |  COALESCE(o_orderstatus, 'ALL') AS status,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+      |ORDER BY gid, priority, status""".stripMargin
+
+  /** q88 distribution moments, integer-exact: per-flag count and the raw
+    * power sums Σx, Σx² over integral quantities, plus the sample-variance
+    * RATIONAL (numerator n·Σx²−(Σx)², denominator n·(n−1)) kept as exact
+    * BIGINTs — the cross-engine-safe form of stddev/variance (no double
+    * accumulation order, no sqrt). The native double `stddev_samp` is
+    * spec-bound to this rational in StatsSpec. One partial-agg shuffle. */
+  def q88(spark: SparkSession, dir: String): DataFrame = {
+    val q = col("l_quantity").cast(LongType)
+    Tables.load(spark, dir, "lineitem")
+      .select(col("l_returnflag"), q.as("q"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), sum("q").as("sum_q"),
+        sum(col("q") * col("q")).as("sum_q2"))
+      .select(col("l_returnflag"), col("n"), col("sum_q"), col("sum_q2"),
+        (col("n") * col("sum_q2") - col("sum_q") * col("sum_q"))
+          .as("var_num"),
+        (col("n") * (col("n") - 1)).as("var_den"))
+      .orderBy("l_returnflag")
+  }
+
+  val q88Sql =
+    """WITH m AS (
+      |  SELECT l_returnflag, COUNT(*) AS n,
+      |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_q,
+      |    CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_q2
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag, n, sum_q, sum_q2,
+      |  CAST(n * sum_q2 - sum_q * sum_q AS BIGINT) AS var_num,
+      |  CAST(n * (n - 1) AS BIGINT) AS var_den
+      |FROM m ORDER BY l_returnflag""".stripMargin
+
+  /** q89 fixed-width histogram of document length: bucket = n_chars div 50.
+    * Explicit integer bucketing instead of width_bucket keeps the bucket
+    * function engine-portable AND pushes as plain arithmetic into the scan
+    * projection — one partial-agg shuffle over ~(range/50) groups. */
+  def q89(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select((col("n_chars") / 50).cast(LongType).as("bucket"),
+        col("n_chars"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
+        min("n_chars").as("min_chars"), max("n_chars").as("max_chars"))
+      .withColumn("lo_chars", col("bucket") * 50)
+      .select("bucket", "lo_chars", "n_docs", "sum_chars", "min_chars", "max_chars")
+      .orderBy("bucket")
+
+  val q89Sql =
+    """SELECT CAST((n_chars - n_chars % 50) / 50 AS BIGINT) AS bucket,
+      |  CAST((n_chars - n_chars % 50) / 50 AS BIGINT) * 50 AS lo_chars,
+      |  COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+      |FROM documents GROUP BY 1 ORDER BY bucket""".stripMargin
+
+  /** q90 bigram association: adjacent token pairs scored by next-token
+    * conditional probability p(w2|w1) and the Dice coefficient, both as
+    * exact parts-per-million integer ratios (floor division is deterministic
+    * across engines where log-based PMI is not). Unigram counts are a few
+    * thousand rows after aggregation, so the bigram←unigram joins broadcast;
+    * the only big shuffles are the two token-keyed partial aggregates. */
+  def q90(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.parallelized(Tables.load(spark, dir, "documents"))
+      .select(split(col("text"), " ").as("w"))
+    val uni = docs.select(explode(col("w")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("cnt"))
+    val bi = docs.select(explode(
+        zip_with(slice(col("w"), 1, 1000000),
+          slice(col("w"), 2, 1000000),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("bg.w1"), col("bg.w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("cnt_xy"))
+    bi.join(broadcast(uni.select(col("t").as("w1"), col("cnt").as("cnt_x"))), "w1")
+      .join(broadcast(uni.select(col("t").as("w2"), col("cnt").as("cnt_y"))), "w2")
+      .select(col("w1"), col("w2"), col("cnt_xy"),
+        ((col("cnt_xy") * 1000000L) / col("cnt_x")).cast(LongType)
+          .as("p_next_ppm"),
+        ((col("cnt_xy") * 2000000L) / (col("cnt_x") + col("cnt_y")))
+          .cast(LongType).as("dice_ppm"))
+      .orderBy(desc("cnt_xy"), col("w1"), col("w2"))
+      .limit(20)
+  }
+
+  val q90Sql =
+    """WITH toks AS (
+      |  SELECT string_split(text, ' ') AS w FROM documents
+      |), uni AS (
+      |  SELECT t, COUNT(*) AS cnt
+      |  FROM (SELECT unnest(w) AS t FROM toks) GROUP BY t
+      |), bi AS (
+      |  SELECT w1, w2, COUNT(*) AS cnt_xy FROM (
+      |    SELECT unnest(list_transform(range(1, len(w)),
+      |      i -> struct_pack(w1 := w[i], w2 := w[i+1])), recursive := true)
+      |    FROM toks)
+      |  GROUP BY w1, w2
+      |)
+      |SELECT b.w1, b.w2, b.cnt_xy,
+      |  (b.cnt_xy * 1000000) // ux.cnt AS p_next_ppm,
+      |  (b.cnt_xy * 2000000) // (ux.cnt + uy.cnt) AS dice_ppm
+      |FROM bi b JOIN uni ux ON ux.t = b.w1 JOIN uni uy ON uy.t = b.w2
+      |ORDER BY cnt_xy DESC, w1, w2 LIMIT 20""".stripMargin
+
+  /** q91 exact heavy hitters: tokens above a 2% frequency threshold
+    * (freq·50 > N), with exact ppm share and dense rank. The token count is
+    * one partial-agg shuffle; the global total rides along as a broadcast
+    * scalar. The O(1)-memory alternative at 100 TB is a count-min/TopK
+    * sketch — this is the exact gate it trades against. */
+  def q91(spark: SparkSession, dir: String): DataFrame = {
+    val tok = tokens(spark, dir)
+    val counts = tok.groupBy("token").agg(count(lit(1)).as("freq"))
+    val total = counts.agg(sum("freq").as("total"))
+    counts.join(broadcast(total))
+      .filter(col("freq") * 50 > col("total"))
+      .select(col("token"), col("freq"),
+        ((col("freq") * 1000000L) / col("total")).cast(LongType).as("ppm"))
+      .withColumn("rnk",
+        row_number().over(Window.orderBy(desc("freq"), col("token")))
+          .cast(LongType))
+      .orderBy("rnk")
+  }
+
+  val q91Sql =
+    """WITH c AS (
+      |  SELECT w AS token, COUNT(*) AS freq
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      |  GROUP BY w
+      |), t AS (SELECT CAST(SUM(freq) AS BIGINT) AS total FROM c)
+      |SELECT token, freq, (freq * 1000000) // total AS ppm,
+      |  CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, token) AS BIGINT) AS rnk
+      |FROM c, t WHERE freq * 50 > total ORDER BY rnk""".stripMargin
+
+  /** q92 bitwise aggregates: BIT_AND / BIT_OR / BIT_XOR of part keys per
+    * return flag — the bitmask-rollup family (feature-flag unions, shard
+    * masks). Plain partial-aggregable functions: map-side combine works
+    * because all three are associative+commutative, so the shuffle carries
+    * one long per (flag, agg). */
+  def q92(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(bit_and(col("l_partkey")).as("and_key"),
+        bit_or(col("l_partkey")).as("or_key"),
+        bit_xor(col("l_partkey")).as("xor_key"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
+  val q92Sql =
+    """SELECT l_returnflag,
+      |  BIT_AND(l_partkey) AS and_key, BIT_OR(l_partkey) AS or_key,
+      |  BIT_XOR(l_partkey) AS xor_key, COUNT(*) AS n
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** q93 vocabulary coverage curve: tokens ranked by frequency with the
+    * running share of all token occurrences each prefix of the vocabulary
+    * covers (the "how big a vocab do we need" curve), as exact ppm. The
+    * global-ordering window runs on the AGGREGATED vocabulary (thousands of
+    * rows at any corpus scale), not the corpus, so the single-partition
+    * window is safe by construction. */
+  def q93(spark: SparkSession, dir: String): DataFrame = {
+    val counts = tokens(spark, dir).groupBy("token")
+      .agg(count(lit(1)).as("freq"))
+    val w = Window.orderBy(desc("freq"), col("token"))
+    val total = counts.agg(sum("freq").as("total"))
+    counts.join(broadcast(total))
+      .withColumn("rnk", row_number().over(w).cast(LongType))
+      .withColumn("cum_freq",
+        sum("freq").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("rnk") <= 20)
+      .select(col("rnk"), col("token"), col("freq"), col("cum_freq"),
+        ((col("cum_freq") * 1000000L) / col("total")).cast(LongType)
+          .as("coverage_ppm"))
+      .orderBy("rnk")
+  }
+
+  val q93Sql =
+    """WITH c AS (
+      |  SELECT w AS token, COUNT(*) AS freq
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      |  GROUP BY w
+      |), r AS (
+      |  SELECT token, freq,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, token) AS BIGINT) AS rnk,
+      |    CAST(SUM(freq) OVER (ORDER BY freq DESC, token
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_freq,
+      |    CAST(SUM(freq) OVER () AS BIGINT) AS total
+      |  FROM c)
+      |SELECT rnk, token, freq, cum_freq, (cum_freq * 1000000) // total AS coverage_ppm
+      |FROM r WHERE rnk <= 20 ORDER BY rnk""".stripMargin
+
+  /** q94 strict event funnel view → click → purchase: per user, the first
+    * view, the first click AT OR AFTER that view, and the first purchase at
+    * or after that click; counts per stage. Each stage is one user-keyed
+    * aggregate joined back on user_id — all three shuffles share the same
+    * key, so Catalyst reuses the partitioning instead of re-exchanging.
+    * Timestamps compared as epoch millis (engine-identical integers). */
+  def q94(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("event_type"), unix_millis(col("ts")).as("tms"))
+    val v = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("tms").as("mv"))
+    val c = e.filter(col("event_type") === "click").join(v, "user_id")
+      .filter(col("tms") >= col("mv"))
+      .groupBy("user_id").agg(min("tms").as("mc"))
+    val p = e.filter(col("event_type") === "purchase").join(c, "user_id")
+      .filter(col("tms") >= col("mc"))
+      .groupBy("user_id").agg(min("tms").as("mp"))
+    v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+      .agg(count(col("mv")).as("n_view"),
+        count(col("mc")).as("n_click_after_view"),
+        count(col("mp")).as("n_purchase_after_click"))
+  }
+
+  val q94Sql =
+    """WITH e AS (
+      |  SELECT user_id, event_type, epoch_ms(ts) AS tms FROM events
+      |), v AS (
+      |  SELECT user_id, MIN(tms) AS mv FROM e WHERE event_type = 'view' GROUP BY 1
+      |), c AS (
+      |  SELECT e.user_id, MIN(e.tms) AS mc
+      |  FROM e JOIN v ON v.user_id = e.user_id
+      |  WHERE e.event_type = 'click' AND e.tms >= v.mv GROUP BY 1
+      |), p AS (
+      |  SELECT e.user_id, MIN(e.tms) AS mp
+      |  FROM e JOIN c ON c.user_id = e.user_id
+      |  WHERE e.event_type = 'purchase' AND e.tms >= c.mc GROUP BY 1
+      |)
+      |SELECT COUNT(v.mv) AS n_view,
+      |  COUNT(c.mc) AS n_click_after_view,
+      |  COUNT(p.mp) AS n_purchase_after_click
+      |FROM v LEFT JOIN c ON c.user_id = v.user_id
+      |LEFT JOIN p ON p.user_id = v.user_id""".stripMargin
+
+  /** q95 inverted-index posting statistics: per token, document frequency
+    * (distinct docs), total term frequency, and the posting-list bounds
+    * (min/max doc id) — the index-build summary a retrieval pipeline emits.
+    * df and tf come out of ONE aggregate (count distinct + count share the
+    * token-keyed shuffle via Catalyst's Expand rewrite); top-20 by df is
+    * TakeOrderedAndProject, never a global sort of the vocabulary. */
+  def q95(spark: SparkSession, dir: String): DataFrame =
+    tokens(spark, dir)
+      .groupBy("token")
+      .agg(countDistinct(col("doc_id")).as("df"),
+        count(lit(1)).as("tf"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+      .orderBy(desc("df"), desc("tf"), col("token"))
+      .limit(20)
+
+  val q95Sql =
+    """SELECT w AS token, COUNT(DISTINCT doc_id) AS df, COUNT(*) AS tf,
+      |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+      |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+      |GROUP BY w ORDER BY df DESC, tf DESC, token LIMIT 20""".stripMargin
+
+  val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    ("q87_grouping_sets", q87 _, Some(q87Sql)),
+    ("q88_stats_moments", q88 _, Some(q88Sql)),
+    ("q89_length_histogram", q89 _, Some(q89Sql)),
+    ("q90_bigram_assoc", q90 _, Some(q90Sql)),
+    ("q91_heavy_hitters", q91 _, Some(q91Sql)),
+    ("q92_bitwise_aggs", q92 _, Some(q92Sql)),
+    ("q93_vocab_coverage", q93 _, Some(q93Sql)),
+    ("q94_event_funnel", q94 _, Some(q94Sql)),
+    ("q95_posting_stats", q95 _, Some(q95Sql)))
+}
