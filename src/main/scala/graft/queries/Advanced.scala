@@ -565,6 +565,29 @@ object Advanced {
       |          AND o2.o_orderstatus = 'F')
       |ORDER BY c_custkey""".stripMargin
 
+  /** q98 skew-salted equi-join: the [[graft.operators.SkewSalt]] operator on
+    * the fact→dim join, proven result-identical to the plain join by the
+    * DuckDB oracle (which runs the unsalted SQL). Salting trades |dim| × 4
+    * replication for spreading any hot part key over 4 reducers — the manual
+    * tool for skew that AQE's sort-merge splitting can't reach (e.g. a
+    * salted key feeding a downstream keyed aggregation). */
+  def q98(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.load(spark, dir, "lineitem")
+      .select(col("l_partkey"), cents(col("l_extendedprice")).as("cents"))
+    val p = Tables.load(spark, dir, "part")
+      .select(col("p_partkey"), col("p_brand"))
+    graft.operators.SkewSalt.saltedEquiJoin(l, p, "l_partkey", "p_partkey", salts = 4)
+      .groupBy(col("p_brand").as("brand"))
+      .agg(count(lit(1)).as("n_lines"), sum("cents").as("revenue_cents"))
+      .orderBy("brand")
+  }
+
+  val q98Sql =
+    """SELECT p.p_brand AS brand, COUNT(*) AS n_lines,
+      |  CAST(SUM(CAST(FLOOR(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+      |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      |GROUP BY p.p_brand ORDER BY brand""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q39_cube", q39 _, Some(q39Sql)),
     ("q40_pivot", q40 _, Some(q40Sql)),
@@ -586,5 +609,6 @@ object Advanced {
     ("q62_scd2_intervals", q62 _, Some(q62Sql)),
     ("q63_sliding_window", q63 _, Some(q63Sql)),
     ("q64_scd1_upsert", q64 _, Some(q64Sql)),
-    ("q65_exists_subquery", q65 _, Some(q65Sql)))
+    ("q65_exists_subquery", q65 _, Some(q65Sql)),
+    ("q98_salted_skew_join", q98 _, Some(q98Sql)))
 }

@@ -340,6 +340,55 @@ object Extensions {
       | AND p.tms >= v.tms AND p.tms <= v.tms + 3600000
       |ORDER BY view_id, purchase_id""".stripMargin
 
+  /** q96 PII masking: digit runs in customer names replaced with 'X' plus a
+    * per-row count of masked characters — the redaction primitive a privacy
+    * scrub runs before a corpus leaves the trust boundary. A narrow
+    * codegen'd map (regexp_replace + length arithmetic), no UDF, no
+    * shuffle before the final sort. */
+  def q96(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "customer")
+      .select(col("c_custkey").as("customer_id"),
+        regexp_replace(col("c_name"), "[0-9]", "X").as("masked_name"),
+        (length(col("c_name")) -
+          length(regexp_replace(col("c_name"), "[0-9]", "")))
+          .cast(LongType).as("n_masked"),
+        col("c_mktsegment").as("segment"))
+      .orderBy("customer_id")
+
+  val q96Sql =
+    """SELECT c_custkey AS customer_id,
+      |  regexp_replace(c_name, '[0-9]', 'X', 'g') AS masked_name,
+      |  CAST(length(c_name) - length(regexp_replace(c_name, '[0-9]', '', 'g'))
+      |    AS BIGINT) AS n_masked,
+      |  c_mktsegment AS segment
+      |FROM customer ORDER BY customer_id""".stripMargin
+
+  /** q97 streaming delivery-dedup replayed on batch: the EXACT
+    * [[graft.streaming.EventStream.dedupStream]] plan (watermark is a no-op
+    * in batch) collapsing redelivered (user, type, event-time) records, then
+    * per-type uniqueness stats. Only key columns and deterministic
+    * aggregates are emitted — dropDuplicates' survivor choice for non-key
+    * columns is execution-order-dependent by contract, so it never reaches
+    * the output. Timestamps ms-truncated first (the q86 convention) so both
+    * engines dedup at the same granularity. */
+  def q97(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventStream
+      .dedupStream(Tables.load(spark, dir, "events")
+          .withColumn("ts", timestamp_millis(unix_millis(col("ts")))),
+        Seq("user_id", "event_type"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_unique"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy("event_type")
+
+  val q97Sql =
+    """WITH d AS (
+      |  SELECT DISTINCT user_id, event_type, epoch_ms(ts) AS tms FROM events
+      |)
+      |SELECT event_type, COUNT(*) AS n_unique,
+      |  COUNT(DISTINCT user_id) AS n_users
+      |FROM d GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q26_dedup_exact", q26 _, Some(q26Sql)),
     ("q27_dedup_minhash_lsh", q27 _, None),
@@ -357,5 +406,7 @@ object Extensions {
     ("q49_knn_ivf", q49 _, None),
     ("q54_corpus_prepare", q54 _, Some(q54Sql)),
     ("q80_knn_pq", q80 _, None),
-    ("q86_conversions", q86 _, Some(q86Sql)))
+    ("q86_conversions", q86 _, Some(q86Sql)),
+    ("q96_pii_mask", q96 _, Some(q96Sql)),
+    ("q97_dedup_replay", q97 _, Some(q97Sql)))
 }
