@@ -122,6 +122,65 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard_x1e6")
   }
 
+  // ------------------------------------------------- MinHash (portable)
+
+  /** MinHash+LSH with ENGINE-PORTABLE hashing: md5-60-bit shingle hashes
+    * (T.portableHash60) permuted by fixed Carter-Wegman maps
+    * h_i(x) = (a_i·(x mod P) + b_i) mod P over the Mersenne prime P=2^31−1 —
+    * pure integer arithmetic both engines evaluate identically, so the WHOLE
+    * LSH pipeline (signatures → 4×2 banding → candidate pairs → exact
+    * Jaccard verify) is DuckDB-oracle hash-checkable, where the production
+    * q27 path (xxhash64 signatures, Spark-native) is rows-only by nature.
+    * Same scale shape as [[minHashPairs]]: narrow signature map, band-bucket
+    * join, candidate-only shingle re-join. The intermediates stay well
+    * inside 64-bit: a_i·(x mod P) < 2^27·2^31 = 2^58. */
+  def minHashPairsPortable(docs0: DataFrame,
+      minJaccardX1e6: Long = 800000L): DataFrame = {
+    val P = 2147483647L
+    val as = Seq(1299709L, 15485863L, 32452843L, 49979687L,
+      67867967L, 86028121L, 104395301L, 122949823L)
+    val bs = Seq(7L, 101L, 1009L, 10007L, 100003L, 1000003L, 9999991L, 999983L)
+    val docs = graft.Tables.parallelized(docs0)
+    val hs = array_distinct(T.portableShingleHashes(col("text"), 3))
+    val sigs = docs
+      .select(col("doc_id") +: (0 until 8).map { i =>
+        array_min(transform(hs, h => (lit(as(i)) * (h % P) + bs(i)) % P))
+          .as(s"s$i")
+      }: _*)
+      .filter(col("s0").isNotNull) // no shingles → no signature (q27 semantics)
+    val bandCols = (0 until 4).map { j =>
+      struct(lit(j).as("band"),
+        col(s"s${2 * j}").as("k1"), col(s"s${2 * j + 1}").as("k2"))
+    }
+    val exploded = sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"),
+        col("bk.k1").as("k1"), col("bk.k2").as("k2"))
+    val cand = exploded.select(col("band"), col("k1"), col("k2"),
+        col("doc_id").as("doc_a"))
+      .join(exploded.select(col("band"), col("k1"), col("k2"),
+        col("doc_id").as("doc_b")), Seq("band", "k1", "k2"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .dropDuplicates("doc_a", "doc_b")
+      .persist()
+    cand.count() // LSH barrier (see minHashPairs: one materialization, 3 consumers)
+    val candDocs = cand.select(col("doc_a").as("doc_id"))
+      .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+    val shingles = graft.Tables.parallelized(docs0)
+      .join(candDocs, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"),
+        array_distinct(T.portableShingleHashes(col("text"), 3)).as("sh"))
+    cand
+      .join(shingles.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(shingles.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast(LongType))
+      .withColumn("uni",
+        size(col("sh_a")).cast(LongType) + size(col("sh_b")).cast(LongType) - col("inter"))
+      .withColumn("jaccard_x1e6", floor(lit(1000000.0) * col("inter") / col("uni")))
+      .filter(col("jaccard_x1e6") >= minJaccardX1e6)
+      .select("doc_a", "doc_b", "jaccard_x1e6")
+  }
+
   // ---------------------------------------------------------------- SimHash
 
   /** doc_id + 64-bit SimHash fingerprint.

@@ -389,6 +389,50 @@ object Extensions {
       |  COUNT(DISTINCT user_id) AS n_users
       |FROM d GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** q99 portable MinHash+LSH near-dup pairs — the q27 pipeline's algebra
+    * (signature → banding → candidates → exact-Jaccard verify) under the
+    * DuckDB hash gate: md5 shingle hashes + fixed Carter-Wegman permutations
+    * are evaluated identically by both engines, so the oracle replays the
+    * ENTIRE LSH pipeline, not just row counts. q27 remains the production
+    * path (native codegen'd xxhash64 signatures, 64 perms); this is its
+    * cross-engine proof at 8 perms × 4 bands. */
+  def q99(spark: SparkSession, dir: String): DataFrame =
+    graft.dedup.Dedup
+      .minHashPairsPortable(Tables.load(spark, dir, "documents"))
+      .orderBy("doc_a", "doc_b")
+
+  val q99Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      |), sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
+      |    i -> CAST('0x' || substr(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]), 1, 15) AS BIGINT))) AS hs
+      |  FROM toks WHERE len(w) >= 3
+      |), sig AS (
+      |  SELECT doc_id, hs,
+      |    list_min(list_transform(hs, h -> (1299709 * (h % 2147483647) + 7) % 2147483647)) AS s0,
+      |    list_min(list_transform(hs, h -> (15485863 * (h % 2147483647) + 101) % 2147483647)) AS s1,
+      |    list_min(list_transform(hs, h -> (32452843 * (h % 2147483647) + 1009) % 2147483647)) AS s2,
+      |    list_min(list_transform(hs, h -> (49979687 * (h % 2147483647) + 10007) % 2147483647)) AS s3,
+      |    list_min(list_transform(hs, h -> (67867967 * (h % 2147483647) + 100003) % 2147483647)) AS s4,
+      |    list_min(list_transform(hs, h -> (86028121 * (h % 2147483647) + 1000003) % 2147483647)) AS s5,
+      |    list_min(list_transform(hs, h -> (104395301 * (h % 2147483647) + 9999991) % 2147483647)) AS s6,
+      |    list_min(list_transform(hs, h -> (122949823 * (h % 2147483647) + 999983) % 2147483647)) AS s7
+      |  FROM sh
+      |), cand AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.hs AS hs_a, b.hs AS hs_b
+      |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND (
+      |    (a.s0 = b.s0 AND a.s1 = b.s1) OR (a.s2 = b.s2 AND a.s3 = b.s3) OR
+      |    (a.s4 = b.s4 AND a.s5 = b.s5) OR (a.s6 = b.s6 AND a.s7 = b.s7))
+      |), j AS (
+      |  SELECT doc_a, doc_b, len(list_intersect(hs_a, hs_b)) AS i,
+      |    len(hs_a) + len(hs_b) - len(list_intersect(hs_a, hs_b)) AS u
+      |  FROM cand
+      |)
+      |SELECT doc_a, doc_b, CAST(FLOOR(1000000.0 * i / u) AS BIGINT) AS jaccard_x1e6
+      |FROM j WHERE FLOOR(1000000.0 * i / u) >= 800000
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q26_dedup_exact", q26 _, Some(q26Sql)),
     ("q27_dedup_minhash_lsh", q27 _, None),
@@ -408,5 +452,6 @@ object Extensions {
     ("q80_knn_pq", q80 _, None),
     ("q86_conversions", q86 _, Some(q86Sql)),
     ("q96_pii_mask", q96 _, Some(q96Sql)),
-    ("q97_dedup_replay", q97 _, Some(q97Sql)))
+    ("q97_dedup_replay", q97 _, Some(q97Sql)),
+    ("q99_minhash_portable", q99 _, Some(q99Sql)))
 }

@@ -26,6 +26,21 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.toSeq == Seq((1L, 2L, 1000000L)))
   }
 
+  test("portable minhash LSH finds exact and near duplicates, drops unrelated") {
+    val words = (1 to 60).map(i => s"tok$i")
+    val a = words.mkString(" ")
+    val b = words.updated(30, "CHANGED").mkString(" ")
+    val d = docs((1L, a), (2L, a), (3L, b),
+      (4L, (200 to 260).map(i => s"z$i").mkString(" ")))
+    val pairs = Dedup.minHashPairsPortable(d)
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    // identical docs always share every band; the one-token edit keeps
+    // J = 55/61 ≈ 0.90 ≥ 0.8 and must band-collide at 4×2 with high margin
+    assert(pairs.map(p => (p._1, p._2)) == Seq((1L, 2L), (1L, 3L), (2L, 3L)))
+    assert(pairs.head._3 == 1000000L)
+    assert(pairs.filter(p => p._2 == 3L).forall(_._3 == 1000000L * 55 / 61))
+  }
+
   test("minhash LSH finds a near-duplicate (one token changed)") {
     val words = (1 to 60).map(i => s"tok$i")
     val a = words.mkString(" ")
