@@ -130,6 +130,34 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("partial_"), s"aggregate must combine map-side:\n$p")
   }
 
+  test("q87: grouping sets plan one Expand + one scan, not a scan per set") {
+    val p = plan("q87_grouping_sets")
+    assert("Expand".r.findAllIn(p).length == 1, s"expected exactly 1 Expand:\n$p")
+    assert("Scan parquet".r.findAllIn(p).length == 1,
+      s"grouping sets must not rescan the table per set:\n$p")
+  }
+
+  test("q90: tiny unigram aggregates broadcast into the bigram join") {
+    val p = plan("q90_bigram_assoc")
+    assert("BroadcastHashJoin".r.findAllIn(p).length == 2,
+      s"both unigram lookups must broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-20 must not global-sort:\n$p")
+  }
+
+  test("q95: posting stats combine map-side and take-order the top-20") {
+    val p = plan("q95_posting_stats")
+    assert(p.contains("partial_"), s"df/tf must combine map-side:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-20 must not global-sort:\n$p")
+  }
+
+  test("q94: funnel stage joins reuse the user_id partitioning (no re-exchange per stage)") {
+    val p = plan("q94_event_funnel")
+    // one scan feeding three stage aggregates + joins on the same key: the
+    // physical plan must not exceed one exchange per distinct input branch
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashExchanges <= 5, s"funnel re-exchanges per stage ($hashExchanges):\n$p")
+  }
+
   test("runtime bloom-filter pruning injects on a selective dim → fact shuffle join") {
     // At 100 TB a selective dimension filter should prune the fact scan
     // BEFORE the shuffle — Spark's runtime bloom filter does exactly that.
