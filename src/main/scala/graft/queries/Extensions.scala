@@ -433,6 +433,45 @@ object Extensions {
       |FROM j WHERE FLOOR(1000000.0 * i / u) >= 800000
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** q100 multimodal frame sampling under the hash gate: the
+    * [[graft.multimodal.Multimodal.sampleFrames]] flatMap (16-byte "frames",
+    * keep every 4th — the video-frame-extraction plumbing) aggregated to
+    * per-media frame stats. The payload is the document's ASCII text bytes,
+    * so frame counts and kept-byte totals are pure length arithmetic the
+    * oracle replays exactly — the binary-column pipeline (BinaryType payload
+    * → typed flatMap → explode to frames) is what's actually under test;
+    * q37 keeps covering the feature-decode half, stubbed for lack of codecs. */
+  def q100(spark: SparkSession, dir: String): DataFrame = {
+    val media = graft.multimodal.Multimodal.mediaFromDocuments(
+      Tables.parallelized(Tables.load(spark, dir, "documents")))
+    graft.multimodal.Multimodal.sampleFrames(media, frameBytes = 16, stride = 4)
+      .groupBy("media_id")
+      .agg(count(lit(1)).as("n_frames"),
+        sum(length(col("frame"))).cast(LongType).as("bytes_kept"),
+        max(col("frame_no")).cast(LongType).as("last_frame"))
+      .orderBy("media_id")
+  }
+
+  val q100Sql =
+    """WITH m AS (
+      |  SELECT doc_id AS media_id, CAST(length(text) AS BIGINT) AS L
+      |  FROM documents WHERE length(text) > 0
+      |), f AS (
+      |  SELECT media_id, L,
+      |    CAST((L + 15 - (L + 15) % 16) / 16 AS BIGINT) AS nf
+      |  FROM m
+      |), g AS (
+      |  SELECT media_id, L, nf,
+      |    CAST((nf + 3 - (nf + 3) % 4) / 4 AS BIGINT) AS n_frames
+      |  FROM f
+      |)
+      |SELECT media_id, n_frames,
+      |  CAST(CASE WHEN (nf - 1) % 4 = 0
+      |    THEN (n_frames - 1) * 16 + (L - (nf - 1) * 16)
+      |    ELSE n_frames * 16 END AS BIGINT) AS bytes_kept,
+      |  CAST((nf - 1) - (nf - 1) % 4 AS BIGINT) AS last_frame
+      |FROM g ORDER BY media_id""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q26_dedup_exact", q26 _, Some(q26Sql)),
     ("q27_dedup_minhash_lsh", q27 _, None),
@@ -453,5 +492,6 @@ object Extensions {
     ("q86_conversions", q86 _, Some(q86Sql)),
     ("q96_pii_mask", q96 _, Some(q96Sql)),
     ("q97_dedup_replay", q97 _, Some(q97Sql)),
-    ("q99_minhash_portable", q99 _, Some(q99Sql)))
+    ("q99_minhash_portable", q99 _, Some(q99Sql)),
+    ("q100_frame_sample", q100 _, Some(q100Sql)))
 }
