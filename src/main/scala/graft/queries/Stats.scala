@@ -302,6 +302,79 @@ object Stats {
       |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
       |GROUP BY w ORDER BY df DESC, tf DESC, token LIMIT 20""".stripMargin
 
+  /** q101 forward fill (last-observation-carried-forward): per-user event
+    * values with 'error' readings nulled out, then gap-filled by the last
+    * non-null value via an IGNORE NULLS running window — the sensor/telemetry
+    * repair primitive. One user-keyed shuffle; the frame is running (no
+    * full-partition buffering). Rows before a user's first reading stay
+    * null by design. */
+  def q101(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("tms", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.load(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), unix_millis(col("ts")).as("tms"),
+        when(col("event_type") =!= "error",
+          floor(col("value") * 100).cast(LongType)).as("cents"))
+      .withColumn("filled_cents", last(col("cents"), ignoreNulls = true).over(w))
+      .select("event_id", "user_id", "tms", "filled_cents")
+      .orderBy("event_id")
+  }
+
+  val q101Sql =
+    """WITH e AS (
+      |  SELECT event_id, user_id, epoch_ms(ts) AS tms,
+      |    CASE WHEN event_type <> 'error'
+      |      THEN CAST(FLOOR(value * 100) AS BIGINT) END AS cents
+      |  FROM events)
+      |SELECT event_id, user_id, tms,
+      |  LAST_VALUE(cents IGNORE NULLS) OVER (PARTITION BY user_id
+      |    ORDER BY tms, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_cents
+      |FROM e ORDER BY event_id""".stripMargin
+
+  /** q102 column profiler: row count, null count, distinct count, and
+    * min/max rendered to strings, one output row per profiled column — the
+    * data-quality audit a warehouse runs after every load. All metrics for
+    * all columns come from ONE aggregate over ONE scan (then a 3-row
+    * unpivot), not a scan per column. */
+  def q102(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(spark, dir, "orders")
+      .withColumn("cents", cents(col("o_totalprice")))
+    def prof(c: String) = Seq(
+      count(col(c)).as(s"${c}_nn"),
+      countDistinct(col(c)).as(s"${c}_nd"),
+      min(col(c)).cast(StringType).as(s"${c}_min"),
+      max(col(c)).cast(StringType).as(s"${c}_max"))
+    val agg0 = o.agg(count(lit(1)).as("n"),
+      (Seq("cents", "o_custkey", "o_orderstatus").flatMap(prof)): _*)
+    agg0.select(expr(
+      """stack(3,
+        |  'cents', n, n - cents_nn, cents_nd, cents_min, cents_max,
+        |  'o_custkey', n, n - o_custkey_nn, o_custkey_nd, o_custkey_min, o_custkey_max,
+        |  'o_orderstatus', n, n - o_orderstatus_nn, o_orderstatus_nd, o_orderstatus_min, o_orderstatus_max)
+        |  AS (col_name, n_rows, n_null, n_distinct, min_s, max_s)""".stripMargin))
+      .orderBy("col_name")
+  }
+
+  val q102Sql =
+    """WITH o AS (
+      |  SELECT *, CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents FROM orders)
+      |SELECT 'cents' AS col_name, COUNT(*) AS n_rows,
+      |  COUNT(*) - COUNT(cents) AS n_null, COUNT(DISTINCT cents) AS n_distinct,
+      |  CAST(MIN(cents) AS VARCHAR) AS min_s, CAST(MAX(cents) AS VARCHAR) AS max_s
+      |FROM o
+      |UNION ALL
+      |SELECT 'o_custkey', COUNT(*), COUNT(*) - COUNT(o_custkey),
+      |  COUNT(DISTINCT o_custkey),
+      |  CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR)
+      |FROM o
+      |UNION ALL
+      |SELECT 'o_orderstatus', COUNT(*), COUNT(*) - COUNT(o_orderstatus),
+      |  COUNT(DISTINCT o_orderstatus),
+      |  CAST(MIN(o_orderstatus) AS VARCHAR), CAST(MAX(o_orderstatus) AS VARCHAR)
+      |FROM o
+      |ORDER BY col_name""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q87_grouping_sets", q87 _, Some(q87Sql)),
     ("q88_stats_moments", q88 _, Some(q88Sql)),
@@ -311,5 +384,7 @@ object Stats {
     ("q92_bitwise_aggs", q92 _, Some(q92Sql)),
     ("q93_vocab_coverage", q93 _, Some(q93Sql)),
     ("q94_event_funnel", q94 _, Some(q94Sql)),
-    ("q95_posting_stats", q95 _, Some(q95Sql)))
+    ("q95_posting_stats", q95 _, Some(q95Sql)),
+    ("q101_forward_fill", q101 _, Some(q101Sql)),
+    ("q102_column_profile", q102 _, Some(q102Sql)))
 }
