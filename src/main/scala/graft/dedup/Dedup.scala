@@ -90,27 +90,41 @@ object Dedup {
     val exploded = sigs
       .select(col("doc_id"), explode(array(bandKeys: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    lshJaccardPairs(docs, exploded, Seq("band", "bkey"),
+      T.shingleHashes(col("text"), p.shingleLen), minJaccardX1e6)
+  }
 
-    val cand = exploded.select(col("band"), col("bkey"), col("doc_id").as("doc_a"))
-      .join(exploded.select(col("band"), col("bkey"), col("doc_id").as("doc_b")),
-        Seq("band", "bkey"))
+  /** Shared LSH tail: band-bucket self-join → candidate pairs → exact-Jaccard
+    * verify. `exploded` carries one row per (doc, band) with the band-key
+    * columns named in `bandKeyCols`; `shingleSet` is the distinct-shingle
+    * expression over `text` used for verification.
+    *
+    * Candidates are deduped BEFORE verification (the same pair may collide in
+    * many bands), then persisted: the candidate frame feeds three consumers
+    * (the output and both legs of the doc-id union), which would otherwise
+    * re-run the band join per consumer — materializing it is the natural
+    * barrier of any LSH pipeline. The cache belongs to the session (see the
+    * minHashPairs scaladoc). Shingle sets are computed only for candidate
+    * docs via an unhinted semi-join: the candidate set is data-dependent, so
+    * AQE decides at runtime whether it is broadcast-sized — a forced
+    * broadcast would OOM the driver in the worst case at 100 TB. */
+  private def lshJaccardPairs(docs: DataFrame, exploded: DataFrame,
+      bandKeyCols: Seq[String], shingleSet: org.apache.spark.sql.Column,
+      minJaccardX1e6: Long): DataFrame = {
+    val keyCols = bandKeyCols.map(col)
+    val cand = exploded.select(keyCols :+ col("doc_id").as("doc_a"): _*)
+      .join(exploded.select(keyCols :+ col("doc_id").as("doc_b"): _*), bandKeyCols)
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b")
-      .dropDuplicates("doc_a", "doc_b") // same pair may collide in many bands
+      .dropDuplicates("doc_a", "doc_b")
       .persist()
     cand.count() // the LSH barrier: candidates materialize exactly once
 
-    // Compute shingle sets only for docs that appear in a candidate pair —
-    // the expensive per-doc shingling never runs corpus-wide twice. The
-    // semi-join is left unhinted: the candidate doc-id set is data-dependent
-    // (a near-dup-heavy corpus makes it a large fraction of the corpus), so
-    // AQE decides at runtime whether it is broadcast-sized — a forced
-    // broadcast would OOM the driver in the worst case at 100 TB.
     val candDocs = cand.select(col("doc_a").as("doc_id"))
       .union(cand.select(col("doc_b").as("doc_id"))).distinct()
     val shingles = graft.Tables.parallelized(docs)
       .join(candDocs, Seq("doc_id"), "left_semi")
-      .select(col("doc_id"), T.shingleHashes(col("text"), p.shingleLen).as("sh"))
+      .select(col("doc_id"), shingleSet.as("sh"))
     cand
       .join(shingles.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(shingles.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
@@ -155,30 +169,8 @@ object Dedup {
     val exploded = sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"),
         col("bk.k1").as("k1"), col("bk.k2").as("k2"))
-    val cand = exploded.select(col("band"), col("k1"), col("k2"),
-        col("doc_id").as("doc_a"))
-      .join(exploded.select(col("band"), col("k1"), col("k2"),
-        col("doc_id").as("doc_b")), Seq("band", "k1", "k2"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b")
-      .dropDuplicates("doc_a", "doc_b")
-      .persist()
-    cand.count() // LSH barrier (see minHashPairs: one materialization, 3 consumers)
-    val candDocs = cand.select(col("doc_a").as("doc_id"))
-      .union(cand.select(col("doc_b").as("doc_id"))).distinct()
-    val shingles = graft.Tables.parallelized(docs0)
-      .join(candDocs, Seq("doc_id"), "left_semi")
-      .select(col("doc_id"),
-        array_distinct(T.portableShingleHashes(col("text"), 3)).as("sh"))
-    cand
-      .join(shingles.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-      .join(shingles.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast(LongType))
-      .withColumn("uni",
-        size(col("sh_a")).cast(LongType) + size(col("sh_b")).cast(LongType) - col("inter"))
-      .withColumn("jaccard_x1e6", floor(lit(1000000.0) * col("inter") / col("uni")))
-      .filter(col("jaccard_x1e6") >= minJaccardX1e6)
-      .select("doc_a", "doc_b", "jaccard_x1e6")
+    lshJaccardPairs(docs0, exploded, Seq("band", "k1", "k2"),
+      array_distinct(T.portableShingleHashes(col("text"), 3)), minJaccardX1e6)
   }
 
   // ---------------------------------------------------------------- SimHash

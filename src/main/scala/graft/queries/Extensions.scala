@@ -438,8 +438,10 @@ object Extensions {
     * keep every 4th — the video-frame-extraction plumbing) aggregated to
     * per-media frame stats. The payload is the document's ASCII text bytes,
     * so frame counts and kept-byte totals are pure length arithmetic the
-    * oracle replays exactly — the binary-column pipeline (BinaryType payload
-    * → typed flatMap → explode to frames) is what's actually under test;
+    * oracle replays exactly (strlen = BYTES on the oracle side, matching the
+    * UTF-8 payload length even for non-ASCII text) — the binary-column
+    * pipeline (BinaryType payload → typed flatMap → explode to frames) is
+    * what's actually under test;
     * q37 keeps covering the feature-decode half, stubbed for lack of codecs. */
   def q100(spark: SparkSession, dir: String): DataFrame = {
     val media = graft.multimodal.Multimodal.mediaFromDocuments(
@@ -454,8 +456,8 @@ object Extensions {
 
   val q100Sql =
     """WITH m AS (
-      |  SELECT doc_id AS media_id, CAST(length(text) AS BIGINT) AS L
-      |  FROM documents WHERE length(text) > 0
+      |  SELECT doc_id AS media_id, CAST(strlen(text) AS BIGINT) AS L
+      |  FROM documents WHERE strlen(text) > 0
       |), f AS (
       |  SELECT media_id, L,
       |    CAST((L + 15 - (L + 15) % 16) / 16 AS BIGINT) AS nf

@@ -52,11 +52,13 @@ object Stats {
       |ORDER BY gid, priority, status""".stripMargin
 
   /** q88 distribution moments, integer-exact: per-flag count and the raw
-    * power sums Σx, Σx² over integral quantities, plus the sample-variance
-    * RATIONAL (numerator n·Σx²−(Σx)², denominator n·(n−1)) kept as exact
-    * BIGINTs — the cross-engine-safe form of stddev/variance (no double
-    * accumulation order, no sqrt). The native double `stddev_samp` is
-    * spec-bound to this rational in StatsSpec. One partial-agg shuffle. */
+    * power sums Σx, Σx² over integral quantities — the cross-engine-safe,
+    * mergeable form of variance/stddev (no double accumulation order). With
+    * values ≤ 50, Σx² ≤ 2500·n stays inside BIGINT past 10^15 rows per
+    * group; the variance rational n·Σx²−(Σx)² does NOT (it overflows near
+    * 2·10^9 rows/group), so the finishing division lives in the consumer
+    * (StatsSpec binds it to the native double `stddev_samp`), not in the
+    * shuffled aggregate. One partial-agg shuffle. */
   def q88(spark: SparkSession, dir: String): DataFrame = {
     val q = col("l_quantity").cast(LongType)
     Tables.load(spark, dir, "lineitem")
@@ -64,23 +66,14 @@ object Stats {
       .groupBy("l_returnflag")
       .agg(count(lit(1)).as("n"), sum("q").as("sum_q"),
         sum(col("q") * col("q")).as("sum_q2"))
-      .select(col("l_returnflag"), col("n"), col("sum_q"), col("sum_q2"),
-        (col("n") * col("sum_q2") - col("sum_q") * col("sum_q"))
-          .as("var_num"),
-        (col("n") * (col("n") - 1)).as("var_den"))
       .orderBy("l_returnflag")
   }
 
   val q88Sql =
-    """WITH m AS (
-      |  SELECT l_returnflag, COUNT(*) AS n,
-      |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_q,
-      |    CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_q2
-      |  FROM lineitem GROUP BY l_returnflag)
-      |SELECT l_returnflag, n, sum_q, sum_q2,
-      |  CAST(n * sum_q2 - sum_q * sum_q AS BIGINT) AS var_num,
-      |  CAST(n * (n - 1) AS BIGINT) AS var_den
-      |FROM m ORDER BY l_returnflag""".stripMargin
+    """SELECT l_returnflag, COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_q,
+      |  CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_q2
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   /** q89 fixed-width histogram of document length: bucket = n_chars div 50.
     * Explicit integer bucketing instead of width_bucket keeps the bucket
@@ -116,19 +109,22 @@ object Stats {
       .select(split(col("text"), " ").as("w"))
     val uni = docs.select(explode(col("w")).as("t"))
       .groupBy("t").agg(count(lit(1)).as("cnt"))
+    // both slices are exactly size(w)-1 long, so zip_with never null-pads —
+    // no phantom (last_token, NULL) bigram rides the groupBy shuffle
+    val nBigrams = size(col("w")) - 1
     val bi = docs.select(explode(
-        zip_with(slice(col("w"), 1, 1000000),
-          slice(col("w"), 2, 1000000),
+        zip_with(slice(col("w"), lit(1), nBigrams),
+          slice(col("w"), lit(2), nBigrams),
           (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
       .select(col("bg.w1"), col("bg.w2"))
       .groupBy("w1", "w2").agg(count(lit(1)).as("cnt_xy"))
+    // `div` = exact integral division, matching the oracle's `//` — a double
+    // `/` would round k−ε up to k once counts pass 2^53-scale products
     bi.join(broadcast(uni.select(col("t").as("w1"), col("cnt").as("cnt_x"))), "w1")
       .join(broadcast(uni.select(col("t").as("w2"), col("cnt").as("cnt_y"))), "w2")
       .select(col("w1"), col("w2"), col("cnt_xy"),
-        ((col("cnt_xy") * 1000000L) / col("cnt_x")).cast(LongType)
-          .as("p_next_ppm"),
-        ((col("cnt_xy") * 2000000L) / (col("cnt_x") + col("cnt_y")))
-          .cast(LongType).as("dice_ppm"))
+        expr("cnt_xy * 1000000 div cnt_x").as("p_next_ppm"),
+        expr("cnt_xy * 2000000 div (cnt_x + cnt_y)").as("dice_ppm"))
       .orderBy(desc("cnt_xy"), col("w1"), col("w2"))
       .limit(20)
   }
@@ -164,7 +160,7 @@ object Stats {
     counts.join(broadcast(total))
       .filter(col("freq") * 50 > col("total"))
       .select(col("token"), col("freq"),
-        ((col("freq") * 1000000L) / col("total")).cast(LongType).as("ppm"))
+        expr("freq * 1000000 div total").as("ppm")) // integral ÷, matches `//`
       .withColumn("rnk",
         row_number().over(Window.orderBy(desc("freq"), col("token")))
           .cast(LongType))
@@ -218,8 +214,7 @@ object Stats {
         sum("freq").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .filter(col("rnk") <= 20)
       .select(col("rnk"), col("token"), col("freq"), col("cum_freq"),
-        ((col("cum_freq") * 1000000L) / col("total")).cast(LongType)
-          .as("coverage_ppm"))
+        expr("cum_freq * 1000000 div total").as("coverage_ppm")) // integral ÷
       .orderBy("rnk")
   }
 
