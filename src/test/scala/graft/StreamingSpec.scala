@@ -146,6 +146,45 @@ class StreamingSpec extends AnyFunSuite {
       Seq("1970-01-01 01:00:00", "C", 1L, 700L)))
   }
 
+  test("checkpoint restart: a new query resumes exactly-once with recovered state") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("inc_mart_restart").toString
+    def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
+    def write(rows: Seq[(Long, java.sql.Timestamp, Long, String, Double, String)]) =
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("append").parquet(s"$base/in")
+    val schema = Tables.load(spark, sf, "events").schema
+    def start() = EventStream.incrementalHourlyMart(
+      spark.readStream.schema(schema).parquet(s"$base/in"),
+      s"$base/mart", s"$base/ckpt")
+
+    write(Seq((1L, ts(10), 1L, "A", 1.0, "{}"), (2L, ts(20), 1L, "B", 2.0, "{}")))
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+
+    // data lands while the query is DOWN; the restarted query must pick it
+    // up from the SAME checkpoint
+    write(Seq((3L, ts(30), 2L, "A", 3.0, "{}")))
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      // exactly-once resume: the restart reads ONLY the new file — the two
+      // already-committed rows are never re-ingested
+      assert(q2.recentProgress.map(_.numInputRows).sum == 1,
+        s"restart must not replay committed input: ${q2.recentProgress.map(_.numInputRows).toSeq}")
+    } finally q2.stop()
+
+    // state recovery: (hour 0, A) merges the pre-restart row (n=1) with the
+    // post-restart row into n=2 even though q2 ingested just one row —
+    // impossible unless the aggregate state was restored from the checkpoint
+    val mart = spark.read.parquet(s"$base/mart")
+      .select(col("hour").cast("string"), col("event_type"), col("n"), col("sum_cents"))
+      .collect().map(_.toSeq).toSet
+    assert(mart == Set(
+      Seq("1970-01-01 00:00:00", "A", 2L, 400L),
+      Seq("1970-01-01 00:00:00", "B", 1L, 200L)))
+  }
+
   test("stream-stream conversion join matches the same plan run in batch") {
     val q = EventStream.conversions(EventStream.readEvents(spark, sf))
       .writeStream.format("memory").queryName("conv_out")
