@@ -106,6 +106,51 @@ object Load {
       true
     }
   }
+
+  /** Overwrite with a range-clustered layout (ZORDER-lite): rows are range-
+    * partitioned on `sortCols` and sorted inside each file, so every file
+    * owns a DISJOINT key range and its parquet row-group min/max statistics
+    * actually prune — a point or range predicate on the sort key touches
+    * one file (plus row-group skipping inside it) instead of all of them.
+    * Hash layouts spread every key range over every file, which is why a
+    * sorted rewrite is the standard layout step before publishing a
+    * scan-heavy 100 TB table. Disjointness is asserted per-file in
+    * OperatorSemanticsSpec. `files` controls layout granularity (at scale:
+    * total bytes / target file size). */
+  def overwriteSorted(df: DataFrame, path: String,
+      sortCols: Seq[String], files: Int): Boolean = {
+    if (df.isEmpty) false
+    else {
+      val cols = sortCols.map(col)
+      df.repartitionByRange(files, cols: _*)
+        .sortWithinPartitions(cols: _*)
+        .write.mode("overwrite").parquet(path)
+      true
+    }
+  }
+
+  /** Compact a directory of small files to ~`targetBytes` files — the
+    * maintenance pass that keeps streaming/incremental sinks readable: a
+    * micro-batch writer leaves one file per trigger per partition, and a
+    * 100 TB table of kilobyte files dies on open() overhead, not I/O.
+    * File count derives from the ACTUAL on-disk bytes (never a row-count
+    * heuristic); coalesce() avoids re-shuffling data that is merely being
+    * re-grouped. Returns the new file count. */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String,
+      targetBytes: Long): Int = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(hPath).getLength
+    val files = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    val tmp = new org.apache.hadoop.fs.Path(path + "__compacting")
+    spark.read.parquet(path).coalesce(files)
+      .write.mode("overwrite").parquet(tmp.toString)
+    // swap: the rewrite lands next to the original, then replaces it — the
+    // window without `path` is the rename pair, not the whole rewrite
+    fs.delete(hPath, true)
+    fs.rename(tmp, hPath)
+    files
+  }
 }
 
 /** V1–V3: the reference's post-load audit queries (`Project Plan6.md:154-163`)

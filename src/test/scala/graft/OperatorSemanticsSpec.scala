@@ -170,6 +170,42 @@ class OperatorSemanticsSpec extends AnyFunSuite {
     }
   }
 
+  test("sorted overwrite: files own disjoint key ranges and round-trip losslessly") {
+    import graft.operators.Load
+    val dir = java.nio.file.Files.createTempDirectory("sorted_load").toString
+    val rnd = new scala.util.Random(7)
+    val df = (1 to 2000).map(_ => (rnd.nextLong().abs % 100000, rnd.nextInt()))
+      .toDF("k", "v")
+    assert(Load.overwriteSorted(df, dir, Seq("k"), files = 4))
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 2000)
+    assert(back.except(df).isEmpty && df.except(back).isEmpty)
+    // per-file (min, max) intervals must not overlap — the property that
+    // makes parquet min/max stats prune range predicates to one file
+    val ranges = back.groupBy(input_file_name().as("f"))
+      .agg(min("k").as("lo"), max("k").as("hi"))
+      .orderBy("lo").as[(String, Long, Long)].collect()
+    assert(ranges.length == 4)
+    ranges.sliding(2).foreach { case Array((_, _, hi1), (_, lo2, _)) =>
+      assert(hi1 <= lo2, s"overlapping file ranges: $hi1 > $lo2")
+    }
+  }
+
+  test("compact: small-file sink rewritten to byte-targeted file count, data intact") {
+    import graft.operators.Load
+    val dir = java.nio.file.Files.createTempDirectory("compact").toString
+    val df = (1 to 500).map(i => (i.toLong, s"row$i")).toDF("id", "s")
+    df.repartition(32).write.mode("overwrite").parquet(dir) // 32 tiny files
+    def dataFiles() = new java.io.File(dir).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(dataFiles() == 32)
+    val n = Load.compact(spark, dir, targetBytes = 1L << 20)
+    assert(n < 32 && dataFiles() == n)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 500)
+    assert(back.except(df).isEmpty && df.except(back).isEmpty)
+  }
+
   test("csv and json sources round-trip with explicit schemas") {
     import org.apache.spark.sql.types._
     val dir = java.nio.file.Files.createTempDirectory("fmt").toString
