@@ -43,7 +43,7 @@ object Knn {
     * picks the best match lexicographically — max cosine, larger cid on
     * exact ties. A narrow map: NO join, NO shuffle, regardless of corpus
     * size. */
-  private def nearestCid(centroids: Array[(Long, Array[Float])]) = {
+  private[ann] def nearestCid(centroids: Array[(Long, Array[Float])]) = {
     val scored = centroids.map { case (cid, vec) =>
       struct(
         V.cosine(col("embedding"), typedlit(vec.map(_.toDouble).toSeq)).as("cos"),

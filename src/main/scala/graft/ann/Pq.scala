@@ -28,7 +28,7 @@ import org.apache.spark.sql.types._
 object Pq {
 
   /** Squared L2 distance between two float arrays (HOF — stays codegen'd). */
-  private def l2sq(a: Column, b: Column): Column =
+  private[ann] def l2sq(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
       lit(0.0), (acc, v) => acc + v)
 
@@ -43,7 +43,7 @@ object Pq {
     * subspace×code) was quadratically slow to PLAN — m·k = 256 lambda
     * subtrees cost Catalyst seconds per Lloyd iteration at any data size.
     * No join, no shuffle. */
-  private def encodeCol(vec: Column, codebooks: Array[Array[Array[Float]]]): Column =
+  private[ann] def encodeCol(vec: Column, codebooks: Array[Array[Array[Float]]]): Column =
     call_function("pq_encode", vec,
       typedlit(codebooks.map(_.map(_.map(_.toDouble).toSeq).toSeq).toSeq))
 

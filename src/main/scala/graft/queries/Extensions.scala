@@ -120,6 +120,18 @@ object Extensions {
     Pq.pqTopK(embs, Knn.queryVector(embs, 0L), excludeId = 0L, topK = 10, dim = 64)
   }
 
+  /** q103 IVF-PQ ANN (ann/IvfPq): the composed index — coarse lists +
+    * residual product quantization + per-list ADC + exact re-rank, the
+    * architecture a 100 TB similarity search actually deploys (probes read
+    * nProbe partition-pruned code lists, never the corpus). Spark-only:
+    * centroid/codebook means are float-accumulation-order dependent, so the
+    * oracle is the recall floor in AnnSpec, not a hash match. */
+  def q103(spark: SparkSession, dir: String): DataFrame = {
+    val embs = Tables.load(spark, dir, "embeddings")
+    graft.ann.IvfPq.ivfPqTopK(embs, Knn.queryVector(embs, 0L),
+      excludeId = 0L, topK = 10, dim = 64)
+  }
+
   /** q33 per-document quality stats: token count, avg word length (×100),
     * quality flag — all integer math, oracle-checked. */
   def q33(spark: SparkSession, dir: String): DataFrame = {
@@ -495,5 +507,6 @@ object Extensions {
     ("q96_pii_mask", q96 _, Some(q96Sql)),
     ("q97_dedup_replay", q97 _, Some(q97Sql)),
     ("q99_minhash_portable", q99 _, Some(q99Sql)),
-    ("q100_frame_sample", q100 _, Some(q100Sql)))
+    ("q100_frame_sample", q100 _, Some(q100Sql)),
+    ("q103_knn_ivfpq", q103 _, None))
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.ann.{Knn, Pq}
+import graft.ann.{IvfPq, Knn, Pq}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** ANN quality: the approximate paths must return k rows and substantially
@@ -75,6 +75,16 @@ class AnnSpec extends AnyFunSuite {
     assert(pq.size == 10)
     val recall = (pq & exactL2).size
     assert(recall >= 7, s"PQ recall too low: $recall/10 (pq=$pq exact=$exactL2)")
+  }
+
+  test("IVF-PQ top-10: k rows, recall vs exact L2 >= 0.6, probes only nProbe lists") {
+    // residual-PQ over nProbe of 8 lists sees a FRACTION of the corpus, so
+    // its floor sits between raw PQ (full-corpus ADC) and IVF-flat
+    val ivfpq = topIds(IvfPq.ivfPqTopK(embs, q, excludeId = 0L, topK = 10,
+      dim = 64, nClusters = 8, nProbe = 4))
+    assert(ivfpq.size == 10)
+    val recall = (ivfpq & exactL2).size
+    assert(recall >= 6, s"IVF-PQ recall too low: $recall/10 (ivfpq=$ivfpq exact=$exactL2)")
   }
 
   test("PQ codebooks: m×k entries of subspace width, empty codes keep old centroids") {
