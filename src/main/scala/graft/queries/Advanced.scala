@@ -588,6 +588,46 @@ object Advanced {
       |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
       |GROUP BY p.p_brand ORDER BY brand""".stripMargin
 
+  /** q104 six-way star join (the TPC-H Q5 "local supplier volume" shape):
+    * lineitem ⨝ orders ⨝ customer ⨝ supplier ⨝ nation ⨝ region, revenue per
+    * nation where customer and supplier share the nation. The optimizer
+    * stress case q06's 3-way star doesn't reach: Catalyst must broadcast
+    * all four dimension joins (region/nation/customer/supplier — none of
+    * them may shuffle the fact table) and leave lineitem⨝orders as the one
+    * keyed exchange; AQE re-plans it if orders outgrows the threshold.
+    * Money in DecimalType (order-independent exact sums). */
+  def q104(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.load(spark, dir, "lineitem")
+    val o = Tables.load(spark, dir, "orders")
+    val c = Tables.load(spark, dir, "customer")
+    val s = Tables.load(spark, dir, "supplier")
+    val n = Tables.load(spark, dir, "nation")
+    val r = Tables.load(spark, dir, "region")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(s, l("l_suppkey") === s("s_suppkey") &&
+        c("c_nationkey") === s("s_nationkey"))
+      .join(n, s("s_nationkey") === n("n_nationkey"))
+      .join(r, n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name").as("region"), col("n_name").as("nation"))
+      .agg(count(lit(1)).as("n_lines"),
+        (sum(col("l_extendedprice").cast(DecimalType(18, 2))) * 100)
+          .cast(LongType).as("revenue_cents"))
+      .orderBy("region", "nation")
+  }
+
+  val q104Sql =
+    """SELECT r.r_name AS region, n.n_name AS nation, COUNT(*) AS n_lines,
+      |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS revenue_cents
+      |FROM lineitem l
+      |JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |JOIN customer c ON o.o_custkey = c.c_custkey
+      |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  AND c.c_nationkey = s.s_nationkey
+      |JOIN nation n ON s.s_nationkey = n.n_nationkey
+      |JOIN region r ON n.n_regionkey = r.r_regionkey
+      |GROUP BY r.r_name, n.n_name ORDER BY region, nation""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q39_cube", q39 _, Some(q39Sql)),
     ("q40_pivot", q40 _, Some(q40Sql)),
@@ -610,5 +650,6 @@ object Advanced {
     ("q63_sliding_window", q63 _, Some(q63Sql)),
     ("q64_scd1_upsert", q64 _, Some(q64Sql)),
     ("q65_exists_subquery", q65 _, Some(q65Sql)),
-    ("q98_salted_skew_join", q98 _, Some(q98Sql)))
+    ("q98_salted_skew_join", q98 _, Some(q98Sql)),
+    ("q104_star_six_way", q104 _, Some(q104Sql)))
 }

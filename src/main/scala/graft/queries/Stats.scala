@@ -370,6 +370,46 @@ object Stats {
       |FROM o
       |ORDER BY col_name""".stripMargin
 
+  /** q105 cohort retention matrix: users bucketed by first-activity week
+    * (the cohort), then each cohort's distinct-active count per week offset,
+    * with retention as exact ppm of the cohort's week-0 size — the classic
+    * product-analytics triangle. Two user-keyed aggregates share one
+    * shuffle key; the offset aggregate and the week-0 window both run on
+    * the tiny (cohort × offset) grid, not the event stream. */
+  def q105(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "events")
+      .select(col("user_id"), expr("unix_millis(ts) div 604800000").as("wk"))
+    val firsts = e.groupBy("user_id").agg(min("wk").as("cohort"))
+    val grid = e.join(firsts, "user_id")
+      .groupBy(col("cohort"), (col("wk") - col("cohort")).as("offset"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+    val w = Window.partitionBy("cohort")
+    grid
+      .withColumn("cohort_size",
+        max(when(col("offset") === 0, col("n_active"))).over(w))
+      .withColumn("retention_ppm", expr("n_active * 1000000 div cohort_size"))
+      .select("cohort", "offset", "n_active", "cohort_size", "retention_ppm")
+      .orderBy("cohort", "offset")
+  }
+
+  val q105Sql =
+    """WITH e AS (
+      |  SELECT user_id, epoch_ms(ts) // 604800000 AS wk FROM events
+      |), f AS (
+      |  SELECT user_id, MIN(wk) AS cohort FROM e GROUP BY user_id
+      |), a AS (
+      |  SELECT f.cohort, e.wk - f.cohort AS "offset",
+      |    COUNT(DISTINCT e.user_id) AS n_active
+      |  FROM e JOIN f USING (user_id) GROUP BY 1, 2
+      |), s AS (
+      |  SELECT *, MAX(CASE WHEN "offset" = 0 THEN n_active END)
+      |    OVER (PARTITION BY cohort) AS cohort_size
+      |  FROM a
+      |)
+      |SELECT cohort, "offset", n_active, cohort_size,
+      |  n_active * 1000000 // cohort_size AS retention_ppm
+      |FROM s ORDER BY cohort, "offset"""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q87_grouping_sets", q87 _, Some(q87Sql)),
     ("q88_stats_moments", q88 _, Some(q88Sql)),
@@ -381,5 +421,6 @@ object Stats {
     ("q94_event_funnel", q94 _, Some(q94Sql)),
     ("q95_posting_stats", q95 _, Some(q95Sql)),
     ("q101_forward_fill", q101 _, Some(q101Sql)),
-    ("q102_column_profile", q102 _, Some(q102Sql)))
+    ("q102_column_profile", q102 _, Some(q102Sql)),
+    ("q105_cohort_retention", q105 _, Some(q105Sql)))
 }
