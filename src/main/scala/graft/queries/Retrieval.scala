@@ -1,0 +1,224 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.{TextFunctions => T}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Retrieval / corpus-hygiene operators a training-data pipeline runs after
+  * the q26–q30 dedup family: duplicated-passage detection (the exact-substring
+  * dedup primitive), overlapping-interval coverage, exact discrete percentiles,
+  * and fixed-point BM25 ranking. Everything is integer/string math with a
+  * total ORDER BY, so every query is DuckDB-oracle hash-checked (SURVEY §5).
+  */
+object Retrieval {
+
+  /** q106 duplicated-passage detection — the exact-substring-dedup primitive
+    * (Lee et al., "Deduplicating Training Data Makes Language Models Better"):
+    * every 8-token passage window, counted across documents; passages occurring
+    * in ≥2 distinct docs are cross-document duplication the suffix-array method
+    * would remove. Per-doc `array_distinct` first (a passage repeated INSIDE a
+    * doc is q61 repetition, not cross-doc dup), then one explode → hash
+    * aggregate — at 100 TB the explode is linear in corpus tokens and the agg
+    * is one map-side-combined shuffle on the passage key; no pairwise anything.
+    * Top-20 passages by (n_docs desc, passage) keeps the result driver-safe. */
+  def q106(spark: SparkSession, dir: String): DataFrame = {
+    Tables.parallelized(Tables.load(spark, dir, "documents"))
+      .select(col("doc_id"),
+        explode(array_distinct(T.wordShingles(col("text"), 8))).as("passage"))
+      .groupBy("passage")
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(desc("n_docs"), col("passage"))
+      .limit(20)
+  }
+
+  val q106Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      |), p AS (
+      |  SELECT DISTINCT doc_id,
+      |    unnest(list_transform(range(1, len(w) - 6),
+      |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' ||
+      |           w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7])) AS passage
+      |  FROM toks
+      |)
+      |SELECT passage, COUNT(*) AS n_docs FROM p
+      |GROUP BY passage HAVING COUNT(*) >= 2
+      |ORDER BY n_docs DESC, passage LIMIT 20""".stripMargin
+
+  /** q107 interval union (merge-overlaps): each event opens a 5-minute
+    * activity interval; per user, overlapping/adjacent intervals are merged
+    * and the query reports how many merged intervals remain and the total
+    * covered milliseconds — the classic "total active time" rollup that
+    * naive SUM(duration) double-counts. The merge is the one-pass sweep:
+    * an interval starts a new island iff its start exceeds the running max
+    * end of everything before it (window: rows unbounded preceding → 1
+    * preceding), then island id = running count of starts. Both windows and
+    * the final aggregate share one hash partitioning on user_id — a single
+    * shuffle regardless of corpus size, and epoch-ms integer arithmetic
+    * end-to-end. */
+  def q107(spark: SparkSession, dir: String): DataFrame = {
+    val iv = Tables.load(spark, dir, "events")
+      .select(col("user_id"), unix_millis(col("ts")).as("s"),
+        (unix_millis(col("ts")) + 300000L).as("e"))
+    val byStart = Window.partitionBy("user_id").orderBy(col("s"), col("e"))
+    val prevMaxE = max("e").over(byStart.rowsBetween(Window.unboundedPreceding, -1))
+    iv.withColumn("new_island",
+        when(col("s") > coalesce(prevMaxE, lit(-1L)), 1L).otherwise(0L))
+      .withColumn("island", sum("new_island").over(byStart))
+      .groupBy("user_id", "island")
+      .agg(min("s").as("is_"), max("e").as("ie"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(col("ie") - col("is_")).as("covered_ms"))
+      .orderBy("user_id")
+  }
+
+  val q107Sql =
+    """WITH iv AS (
+      |  SELECT user_id, epoch_ms(ts) AS s, epoch_ms(ts) + 300000 AS e FROM events
+      |), marked AS (
+      |  SELECT user_id, s, e,
+      |    CASE WHEN s > COALESCE(MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+      |      THEN 1 ELSE 0 END AS new_island
+      |  FROM iv
+      |), isl AS (
+      |  SELECT user_id, s, e,
+      |    SUM(new_island) OVER (PARTITION BY user_id ORDER BY s, e) AS island
+      |  FROM marked
+      |), merged AS (
+      |  SELECT user_id, island, MIN(s) AS is_, MAX(e) AS ie
+      |  FROM isl GROUP BY 1, 2
+      |)
+      |SELECT user_id, COUNT(*) AS n_intervals,
+      |  CAST(SUM(ie - is_) AS BIGINT) AS covered_ms
+      |FROM merged GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** q108 exact discrete percentiles per group — p50/p90/p99 of order value
+    * (cents) per priority, as the ceil(p·n)-th smallest value. The explicit
+    * rank arithmetic ((n·p + 99) div 100 over integers) is the engine-portable
+    * definition of quantile_disc, and the plan is ONE window partitioning
+    * (row_number + count over priority) followed by a conditional aggregate —
+    * a single shuffle, no per-percentile passes, which is the property that
+    * matters when the group is a billion rows. */
+  def q108(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("priority").orderBy("cents")
+    val wAll = Window.partitionBy("priority")
+    val ranked = Tables.load(spark, dir, "orders")
+      .select(col("o_orderpriority").as("priority"),
+        floor(col("o_totalprice") * 100).cast(LongType).as("cents"))
+      .withColumn("rn", row_number().over(w).cast(LongType))
+      .withColumn("n", count(lit(1)).over(wAll))
+    ranked
+      .groupBy("priority")
+      .agg(max("n").as("n"),
+        max(when(col("rn") === expr("(n * 50 + 99) div 100"), col("cents"))).as("p50_cents"),
+        max(when(col("rn") === expr("(n * 90 + 99) div 100"), col("cents"))).as("p90_cents"),
+        max(when(col("rn") === expr("(n * 99 + 99) div 100"), col("cents"))).as("p99_cents"))
+      .orderBy("priority")
+  }
+
+  val q108Sql =
+    """WITH v AS (
+      |  SELECT o_orderpriority AS priority,
+      |    CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders
+      |), ranked AS (
+      |  SELECT priority, cents,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY priority ORDER BY cents) AS BIGINT) AS rn,
+      |    COUNT(*) OVER (PARTITION BY priority) AS n
+      |  FROM v
+      |)
+      |SELECT priority, MAX(n) AS n,
+      |  MAX(CASE WHEN rn = (n * 50 + 99) // 100 THEN cents END) AS p50_cents,
+      |  MAX(CASE WHEN rn = (n * 90 + 99) // 100 THEN cents END) AS p90_cents,
+      |  MAX(CASE WHEN rn = (n * 99 + 99) // 100 THEN cents END) AS p99_cents
+      |FROM ranked GROUP BY priority ORDER BY priority""".stripMargin
+
+  /** BM25 constants in fixed point: k1 = 1.2 (×10), b = 0.75 (×100). */
+  private val QueryTerms = Seq("hash", "join", "vector")
+
+  /** q109 BM25 top-10 — the retrieval primitive under every RAG corpus, in
+    * engine-portable fixed-point integer arithmetic:
+    *
+    *   tfsat_x1e6 = ⌊1e6 · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))⌋
+    *   idf_x1e6   = ⌊1e6 · (2(N−df)+1) / (2df+1)⌋   (the Robertson–Sparck
+    *                Jones odds WITHOUT the log — a monotone rational
+    *                surrogate, so ordering is preserved and the score is
+    *                exact integer math both engines reproduce bit-for-bit)
+    *   score      = Σ_terms ⌊idf·tfsat / 1e6⌋
+    *
+    * Plan shape: corpus stats (N, Σdl) are one tiny aggregate broadcast into
+    * a per-(doc,term) tf aggregate that only materializes rows for the 3
+    * query terms (the `isin` filter lands before the shuffle — the inverted-
+    * index access path), df is a second 3-row aggregate, and the final top-10
+    * is TakeOrderedAndProject. Intermediates stay < 2^63 for corpora past
+    * 10^9 docs (idf < 2e6·N/df, tfsat < 2.2e6). */
+  def q109(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.parallelized(Tables.load(spark, dir, "documents"))
+      .select(col("doc_id"), T.tokens(col("text")).as("w"))
+      .select(col("doc_id"), col("w"), size(col("w")).cast(LongType).as("dl"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"), sum("dl").as("total_dl"))
+      .withColumn("avgdl_x1e6", expr("total_dl * 1000000 div n_docs"))
+    val tf = docs
+      .select(col("doc_id"), col("dl"), explode(col("w")).as("term"))
+      .filter(col("term").isin(QueryTerms: _*))
+      .groupBy("doc_id", "dl", "term")
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("ratio_x1e6", expr("dl * 1000000000000 div avgdl_x1e6"))
+      .withColumn("denom_x1e6",
+        expr("tf * 1000000 + (12 * (250000 + ratio_x1e6 * 75 div 100)) div 10"))
+      .withColumn("tfsat_x1e6", expr("tf * 2200000000000 div denom_x1e6"))
+      .withColumn("idf_x1e6",
+        expr("(2 * (n_docs - df) + 1) * 1000000 div (2 * df + 1)"))
+      .groupBy("doc_id", "dl")
+      .agg(sum(expr("idf_x1e6 * tfsat_x1e6 div 1000000")).as("score_x1e6"),
+        count(lit(1)).as("n_terms_hit"))
+      .orderBy(desc("score_x1e6"), col("doc_id"))
+      .limit(10)
+  }
+
+  val q109Sql =
+    """WITH docs AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      |), d AS (
+      |  SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM docs
+      |), stats AS (
+      |  SELECT COUNT(*) AS n_docs, SUM(dl) AS total_dl,
+      |    SUM(dl) * 1000000 // COUNT(*) AS avgdl_x1e6
+      |  FROM d
+      |), tf AS (
+      |  SELECT doc_id, dl, term, COUNT(*) AS tf FROM (
+      |    SELECT d.doc_id, d.dl, unnest(docs.w) AS term
+      |    FROM docs JOIN d USING (doc_id)
+      |  ) WHERE term IN ('hash', 'join', 'vector')
+      |  GROUP BY 1, 2, 3
+      |), dfreq AS (
+      |  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+      |), scored AS (
+      |  SELECT tf.doc_id, tf.dl,
+      |    (2 * (s.n_docs - dfreq.df) + 1) * 1000000 // (2 * dfreq.df + 1) AS idf_x1e6,
+      |    tf.tf * 2200000000000 // (tf.tf * 1000000 +
+      |      (12 * (250000 + (tf.dl * 1000000000000 // s.avgdl_x1e6) * 75 // 100)) // 10)
+      |      AS tfsat_x1e6
+      |  FROM tf JOIN dfreq USING (term) CROSS JOIN stats s
+      |)
+      |SELECT doc_id, dl,
+      |  CAST(SUM(idf_x1e6 * tfsat_x1e6 // 1000000) AS BIGINT) AS score_x1e6,
+      |  COUNT(*) AS n_terms_hit
+      |FROM scored GROUP BY doc_id, dl
+      |ORDER BY score_x1e6 DESC, doc_id LIMIT 10""".stripMargin
+
+  val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    ("q106_dup_passages", q106 _, Some(q106Sql)),
+    ("q107_interval_union", q107 _, Some(q107Sql)),
+    ("q108_percentiles_exact", q108 _, Some(q108Sql)),
+    ("q109_bm25_topk", q109 _, Some(q109Sql)))
+}

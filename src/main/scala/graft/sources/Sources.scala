@@ -1,0 +1,82 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+/** Text-format sources beside the parquet scans in [[graft.Tables]] — the
+  * ingest edge of the engine. The reference's only source is a SQL Server
+  * extract (`config.py:4`, `pd.read_sql` in `etl_category.py:13`); a
+  * warehouse engine additionally lands CSV/JSONL drops, so these readers
+  * make that edge first-class:
+  *
+  *   - schema is ALWAYS explicit. `inferSchema` would scan 100 TB twice and
+  *     silently re-type columns between drops; a declared `StructType` is
+  *     both faster and a contract.
+  *   - malformed rows must neither kill the job (FAILFAST) nor vanish
+  *     (DROPMALFORMED): they land in a `_corrupt` capture column and are
+  *     routed to quarantine by [[splitCorrupt]] — the same observe-don't-
+  *     abort posture as the audit pipeline (V2).
+  *   - the readers scan with the `text` source and parse via the
+  *     `from_csv`/`from_json` EXPRESSIONS rather than the raw CSV/JSON file
+  *     formats. Same line-split parallelism (one large file still fans out
+  *     across executors), but the corrupt column is an ordinary computed
+  *     column — the raw-file formats refuse any plan that references only
+  *     the corrupt column (SPARK-21610: `bad.count()` is exactly such a
+  *     plan) and the documented workaround is caching the whole input,
+  *     a non-starter at 100 TB.
+  *   - JSONL is the only JSON shape offered: multiLine JSON documents
+  *     cannot be split, serializing the read through one task.
+  */
+object Sources {
+
+  val CorruptCol = "_corrupt"
+
+  private def withCorrupt(schema: StructType): StructType =
+    StructType(schema.fields :+ StructField(CorruptCol, StringType, nullable = true))
+
+  private def parseOpts = Map(
+    "mode" -> "PERMISSIVE",
+    "columnNameOfCorruptRecord" -> CorruptCol)
+
+  /** CSV with a `fieldNames.mkString(",")` header convention, explicit
+    * schema, malformed rows captured. Header lines are removed by value —
+    * per-file first-line bookkeeping doesn't exist once a file is split
+    * across tasks, and the header text is fully determined by the declared
+    * schema. */
+  def csv(spark: SparkSession, path: String, schema: StructType): DataFrame = {
+    val header = schema.fieldNames.mkString(",")
+    spark.read.text(path)
+      .filter(col("value") =!= lit(header))
+      .select(from_csv(col("value"), withCorrupt(schema), parseOpts).as("r"))
+      .select(col("r.*"))
+  }
+
+  /** JSON Lines (one object per line), explicit schema, malformed rows
+    * captured. */
+  def jsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.text(path)
+      .select(from_json(col("value"), withCorrupt(schema), parseOpts).as("r"))
+      .select(col("r.*"))
+
+  /** (clean rows with the declared schema, quarantined raw lines). The clean
+    * side drops the capture column; the corrupt side keeps only the raw
+    * line for replay/inspection. Both are projections of the same scan. */
+  def splitCorrupt(df: DataFrame): (DataFrame, DataFrame) = {
+    val clean = df.filter(col(CorruptCol).isNull).drop(CorruptCol)
+    val bad = df.filter(col(CorruptCol).isNotNull).select(col(CorruptCol).as("raw"))
+    (clean, bad)
+  }
+
+  /** Mirror sinks for round-tripping the text formats (header'd CSV /
+    * JSONL), with the same empty-input guard as [[graft.operators.Load]]. */
+  def writeCsv(df: DataFrame, path: String): Boolean = {
+    if (df.isEmpty) false
+    else { df.write.mode("overwrite").option("header", "true").csv(path); true }
+  }
+
+  def writeJsonl(df: DataFrame, path: String): Boolean = {
+    if (df.isEmpty) false
+    else { df.write.mode("overwrite").json(path); true }
+  }
+}

@@ -1,0 +1,100 @@
+package graft
+
+import graft.queries.Retrieval
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantics of the q106–q109 retrieval/hygiene family beyond the smoke /
+  * oracle gates: passage windows have exactly the declared width, interval
+  * union never exceeds the naive sum and the merge agrees with an
+  * independent sweep, percentiles are order statistics of their own group,
+  * and BM25 scores respect the saturation bound and term monotonicity.
+  */
+class RetrievalSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("q106 passages are 8 tokens wide and all counts are >= 2") {
+    val rows = Retrieval.q106(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    rows.foreach { r =>
+      assert(r.getString(0).split(" ").length == 8)
+      assert(r.getLong(1) >= 2)
+    }
+    // ranking is by n_docs desc
+    val counts = rows.map(_.getLong(1))
+    assert(counts.sameElements(counts.sortBy(-_)))
+  }
+
+  test("q107 covered time is bounded by [one interval, naive sum] per user") {
+    val naive = Tables.load(spark, sf, "events")
+      .groupBy("user_id").agg(count(lit(1)).as("n_events"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rows = Retrieval.q107(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).toSet == naive.keySet)
+    rows.foreach { r =>
+      val (user, nIv, covered) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(nIv >= 1 && nIv <= naive(user))
+      assert(covered >= 300000L, s"user $user covered $covered < one interval")
+      assert(covered <= naive(user) * 300000L,
+        s"user $user covered $covered exceeds naive sum")
+    }
+  }
+
+  test("q107 merge agrees with an independent per-user sweep") {
+    val events = Tables.load(spark, sf, "events")
+      .select(col("user_id"), unix_millis(col("ts")).as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (u, rs) => u -> rs.map(_._2).sorted }
+    val expected = events.map { case (u, starts) =>
+      var nIv = 0L; var covered = 0L
+      var curS = Long.MinValue; var curE = Long.MinValue
+      starts.foreach { s =>
+        if (s > curE) {
+          if (nIv > 0) covered += curE - curS
+          nIv += 1; curS = s; curE = s + 300000L
+        } else curE = math.max(curE, s + 300000L)
+      }
+      covered += curE - curS
+      u -> (nIv, covered)
+    }
+    val got = Retrieval.q107(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == expected)
+  }
+
+  test("q108 percentiles are ordered and drawn from their own group") {
+    val rows = Retrieval.q108(spark, sf).collect()
+    val byGroup = Tables.load(spark, sf, "orders")
+      .select(col("o_orderpriority"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      .collect().groupBy(_.getString(0))
+      .map { case (k, rs) => k -> rs.map(_.getLong(1)).sorted }
+    rows.foreach { r =>
+      val (p, n) = (r.getString(0), r.getLong(1))
+      val (p50, p90, p99) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      val vals = byGroup(p)
+      assert(n == vals.length)
+      assert(p50 <= p90 && p90 <= p99)
+      // each percentile IS the ceil(p*n)-th smallest value of the group
+      assert(p50 == vals(((n * 50 + 99) / 100 - 1).toInt))
+      assert(p90 == vals(((n * 90 + 99) / 100 - 1).toInt))
+      assert(p99 == vals(((n * 99 + 99) / 100 - 1).toInt))
+    }
+  }
+
+  test("q109 scores respect the saturation bound and rank monotonically") {
+    val rows = Retrieval.q109(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    val scores = rows.map(_.getLong(2))
+    assert(scores.sameElements(scores.sortBy(-_)))
+    // tfsat < (k1+1) = 2.2 in x1e6 fixed point, idf <= (2N+1)x1e6 / 3,
+    // 3 terms: a loose but absolute algebraic ceiling on any score
+    val nDocs = Tables.load(spark, sf, "documents").count()
+    val ceiling = 3L * ((2 * nDocs + 1) * 1000000L / 3) / 1000000L * 2200000L
+    rows.foreach { r =>
+      assert(r.getLong(2) > 0 && r.getLong(2) <= ceiling)
+      assert(r.getLong(3) >= 1 && r.getLong(3) <= 3)
+    }
+  }
+}
