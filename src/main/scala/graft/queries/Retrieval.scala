@@ -216,9 +216,120 @@ object Retrieval {
       |FROM scored GROUP BY doc_id, dl
       |ORDER BY score_x1e6 DESC, doc_id LIMIT 10""".stripMargin
 
+  /** q110 exact all-pairs cosine top-20 over ×100-quantized embeddings — the
+    * gold-standard kernel every ANN path (q30/q32/q49/q80) approximates, made
+    * engine-portable: components quantized to ⌊100x⌋ (exact in IEEE double on
+    * both engines), then the ranking statistic is the integer rational
+    * sign(dot)·⌊1e6·dot²/(‖a‖²‖b‖²)⌋ — monotone in |cos| per sign, exact, and
+    * worst-case safe in 64-bit for ANY input with |x_i| ≤ 1: |q_i| ≤ 100 ⇒
+    * dot ≤ 64·10⁴ ⇒ dot²·1e6 ≤ 4.1e17. O(n²) pairs is deliberately NOT the
+    * 100 TB path (that's the LSH/IVF candidate generators); this is the
+    * verify/recall-oracle kernel you run on a hash-sample or on candidate
+    * pairs — and at fixture scale it doubles as the cross-engine proof that
+    * the similarity algebra itself is right. */
+  def q110(spark: SparkSession, dir: String): DataFrame = {
+    val q = Tables.parallelized(Tables.load(spark, dir, "embeddings"))
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          x => floor(x.cast(DoubleType) * 100).cast(LongType)).as("qv"))
+      .withColumn("nrm",
+        aggregate(col("qv"), lit(0L), (s, x) => s + x * x))
+      .filter(col("nrm") > 0)
+    val a = q.select(col("vec_id").as("id_a"), col("qv").as("qa"), col("nrm").as("na"))
+    val b = q.select(col("vec_id").as("id_b"), col("qv").as("qb"), col("nrm").as("nb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("dot",
+        aggregate(zip_with(col("qa"), col("qb"), (x, y) => x * y),
+          lit(0L), (s, x) => s + x))
+      .withColumn("score_x1e6",
+        when(col("dot") >= 0, expr("dot * dot * 1000000 div (na * nb)"))
+          .otherwise(-expr("dot * dot * 1000000 div (na * nb)")))
+      .select("id_a", "id_b", "score_x1e6")
+      .orderBy(desc("score_x1e6"), col("id_a"), col("id_b"))
+      .limit(20)
+  }
+
+  val q110Sql =
+    """WITH q AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 100) AS BIGINT)) AS qv
+      |  FROM embeddings
+      |), n AS (
+      |  SELECT vec_id, qv,
+      |    CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS nrm
+      |  FROM q WHERE CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) > 0
+      |), pairs AS (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.nrm AS na, b.nrm AS nb,
+      |    CAST(list_sum(list_transform(range(1, len(a.qv) + 1),
+      |      i -> a.qv[i] * b.qv[i])) AS BIGINT) AS dot
+      |  FROM n a JOIN n b ON a.vec_id < b.vec_id
+      |)
+      |SELECT id_a, id_b,
+      |  CASE WHEN dot >= 0 THEN dot * dot * 1000000 // (na * nb)
+      |       ELSE -(dot * dot * 1000000 // (na * nb)) END AS score_x1e6
+      |FROM pairs
+      |ORDER BY score_x1e6 DESC, id_a, id_b LIMIT 20""".stripMargin
+
+  /** Fixed-point logistic-regression quality-filter weights (the linear
+    * logit — the sigmoid is monotone, so gating on logit ≥ 0 IS gating on
+    * p ≥ 0.5 with no transcendental in the plan): intercept plus weights on
+    * tokens-per-doc, distinct-token ratio, and stopword ratio, all ×1e6. */
+  private val W0 = -1000000L  // intercept
+  private val WLen = 20000L   // per token
+  private val WDistinct = 4L  // per ppm of distinct ratio (×1e6 /1e6)
+  private val WStop = -30L    // per ppm of stopword ratio
+
+  /** q111 model-based quality filtering — the classifier gate of a training
+    * pipeline (the step between the q33 heuristics and the q54 corpus prep),
+    * with the model as DATA: literal fixed-point weights applied as one
+    * narrow projection, the gate decided on the exact integer logit, and the
+    * per-source keep/drop accounting as the single aggregate. At 100 TB the
+    * weights ride into codegen as constants (a real model's coefficient
+    * vector broadcasts); nothing here shuffles except the final 4-row agg. */
+  def q111(spark: SparkSession, dir: String): DataFrame = {
+    val w = split(col("text"), " ")
+    Tables.load(spark, dir, "documents")
+      .withColumn("n_tokens", size(w).cast(LongType))
+      .withColumn("distinct_ppm",
+        expr("cast(size(array_distinct(split(text, ' '))) as bigint) * 1000000 div n_tokens"))
+      .withColumn("stop_ppm",
+        expr("cast(size(filter(split(text, ' '), t -> t = 'the' OR t = 'a')) as bigint) * 1000000 div n_tokens"))
+      .withColumn("logit_x1e6",
+        lit(W0) + lit(WLen) * col("n_tokens") +
+          lit(WDistinct) * col("distinct_ppm") + lit(WStop) * col("stop_ppm"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("logit_x1e6") >= 0, 1L).otherwise(0L)).as("n_kept"),
+        sum("logit_x1e6").as("sum_logit_x1e6"))
+      .orderBy("source")
+  }
+
+  val q111Sql =
+    s"""WITH f AS (
+      |  SELECT source,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) * 1000000
+      |      // len(string_split(text, ' ')) AS distinct_ppm,
+      |    CAST(len(list_filter(string_split(text, ' '),
+      |      t -> t = 'the' OR t = 'a')) AS BIGINT) * 1000000
+      |      // len(string_split(text, ' ')) AS stop_ppm
+      |  FROM documents
+      |), s AS (
+      |  SELECT source,
+      |    ${W0} + ${WLen} * n_tokens + ${WDistinct} * distinct_ppm
+      |      + (${WStop}) * stop_ppm AS logit_x1e6
+      |  FROM f
+      |)
+      |SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN logit_x1e6 >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  CAST(SUM(logit_x1e6) AS BIGINT) AS sum_logit_x1e6
+      |FROM s GROUP BY source ORDER BY source""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q106_dup_passages", q106 _, Some(q106Sql)),
     ("q107_interval_union", q107 _, Some(q107Sql)),
     ("q108_percentiles_exact", q108 _, Some(q108Sql)),
-    ("q109_bm25_topk", q109 _, Some(q109Sql)))
+    ("q109_bm25_topk", q109 _, Some(q109Sql)),
+    ("q110_allpairs_cosine", q110 _, Some(q110Sql)),
+    ("q111_quality_logit", q111 _, Some(q111Sql)))
 }

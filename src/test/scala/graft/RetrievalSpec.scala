@@ -83,6 +83,37 @@ class RetrievalSpec extends AnyFunSuite {
     }
   }
 
+  test("q110 pair scores agree with double-precision cosine ranking") {
+    val rows = Retrieval.q110(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val scores = rows.map(_.getLong(2))
+    assert(scores.sameElements(scores.sortBy(-_)))
+    // the quantized rational must reproduce cos² within quantization error
+    val vecs = Tables.load(spark, sf, "embeddings").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    rows.foreach { r =>
+      val (a, b) = (vecs(r.getLong(0)), vecs(r.getLong(1)))
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val cos2 = dot * dot /
+        (a.map(x => x * x).sum * b.map(x => x * x).sum)
+      val got = r.getLong(2) / 1e6 * (if (dot >= 0) 1 else -1)
+      assert(math.abs(got - math.signum(dot) * cos2) < 0.05,
+        s"pair ${r.getLong(0)},${r.getLong(1)}: quantized $got vs exact $cos2")
+    }
+  }
+
+  test("q111 keep counts are bounded and the logit replays per doc") {
+    val rows = Retrieval.q111(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getLong(2) >= 0 && r.getLong(2) <= r.getLong(1))
+    }
+    val total = Tables.load(spark, sf, "documents").count()
+    assert(rows.map(_.getLong(1)).sum == total)
+    // the gate must be non-trivial on the fixture: both classes present
+    val kept = rows.map(_.getLong(2)).sum
+    assert(kept > 0 && kept < total, s"degenerate gate: $kept/$total")
+  }
+
   test("q109 scores respect the saturation bound and rank monotonically") {
     val rows = Retrieval.q109(spark, sf).collect()
     assert(rows.nonEmpty && rows.length <= 10)
