@@ -40,8 +40,16 @@ object TextFunctions {
     aggregate(tokens(text), lit(0L),
       (acc, w) => acc + ceil(length(w).cast(DoubleType) / 6.0).cast(LongType))
 
-  /** Word n-gram shingles (space-joined); empty array when too few tokens. */
-  def wordShingles(text: Column, n: Int): Column = {
+  /** Word n-gram shingles (space-joined); empty array when too few tokens.
+    * Computed by the native [[graft.plans.WordShingles]] one-loop expression;
+    * bit-identical to the HOF composition [[wordShinglesHof]] (asserted in
+    * DedupSpec), kept as the parity reference. */
+  def wordShingles(text: Column, n: Int): Column =
+    call_function("word_shingles", text, lit(n))
+
+  /** The composed higher-order-function reference for [[wordShingles]] —
+    * parity oracle only; not used in query paths. */
+  def wordShinglesHof(text: Column, n: Int): Column = {
     val w = tokens(text)
     when(size(w) >= n,
       transform(sequence(lit(0), size(w) - n),
@@ -50,9 +58,20 @@ object TextFunctions {
   }
 
   /** xxhash64 per word n-gram shingle, duplicates kept — feed for
-    * explode+aggregate paths where the aggregate enforces distinctness. */
+    * explode+aggregate paths where the aggregate enforces distinctness.
+    * Computed by the native [[graft.plans.ShingleHashesRaw]] one-loop
+    * expression; bit-identical to the HOF composition
+    * [[wordShingleHashesRawHof]] (asserted in DedupSpec), which stays as the
+    * parity reference. The HOF chain never enters codegen and its interpreted
+    * eval is JIT-bimodal — a pushed-down null filter re-evaluating it stalled
+    * single tasks for minutes on the sf0.1 bench. */
   def wordShingleHashesRaw(text: Column, n: Int): Column =
-    transform(wordShingles(text, n), s => xxhash64(s))
+    call_function("shingle_hashes", text, lit(n))
+
+  /** The composed higher-order-function reference for
+    * [[wordShingleHashesRaw]] — parity oracle only; not used in query paths. */
+  def wordShingleHashesRawHof(text: Column, n: Int): Column =
+    transform(wordShinglesHof(text, n), s => xxhash64(s))
 
   /** Distinct xxhash64 values of word n-gram shingles — the set MinHash and
     * Jaccard verification operate on. */

@@ -33,6 +33,30 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "minhash_sig(shingle_hashes, numPerms: int literal)")
       }))
 
+    // word_shingles(text, n): n must be a literal — the window width is a
+    // plan-time constant baked into the compiled loop.
+    ext.injectFunction((
+      FunctionIdentifier("word_shingles"),
+      new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
+      (children: Seq[Expression]) => children match {
+        case Seq(text, Literal(n: Int, IntegerType)) =>
+          WordShingles(text, n)
+        case _ => throw new IllegalArgumentException(
+          "word_shingles(text, n: int literal)")
+      }))
+
+    // shingle_hashes(text, n): n must be a literal — the window width is a
+    // plan-time constant baked into the compiled loop.
+    ext.injectFunction((
+      FunctionIdentifier("shingle_hashes"),
+      new ExpressionInfo(classOf[ShingleHashesRaw].getName, "shingle_hashes"),
+      (children: Seq[Expression]) => children match {
+        case Seq(text, Literal(n: Int, IntegerType)) =>
+          ShingleHashesRaw(text, n)
+        case _ => throw new IllegalArgumentException(
+          "shingle_hashes(text, n: int literal)")
+      }))
+
     ext.injectFunction((
       FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),

@@ -173,3 +173,125 @@ case class SimHash64(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** Raw word-n-gram shingle hashes of a text column, duplicates kept, in
+  * document order — the native twin of
+  * `transform(wordShingles(text, n), xxhash64)` and the input feed for
+  * [[MinHashSignature]]/[[SimHash64]].
+  *
+  * Why native: higher-order functions never enter whole-stage codegen, so the
+  * HOF composition bottoms out in `ArrayTransform.eval` → `ConcatWs.eval` →
+  * per-element `ClassTag`/`ArrayDataIndexedSeq` dispatch — an allocation-heavy
+  * interpreted loop that is also re-evaluated wholesale when a downstream
+  * null-filter is pushed into the scan. Measured on the sf0.1 fixture, a
+  * single task stuck on that path ran 60–180 s while 31 cores idled (JIT-luck
+  * bimodality). This expression is ONE compiled loop per row calling the same
+  * primitives the interpreted chain bottoms out in — `UTF8String.split`,
+  * `UTF8String.concatWs`, `XxHash64Function.hash` — so the output is
+  * bit-identical (asserted in DedupSpec) at a fraction of the cost, and the
+  * whole dedup-family pipeline stays inside codegen.
+  *
+  * Null propagation: a NULL text yields NULL (standard unary semantics); the
+  * HOF composition yields an empty array instead. Identical downstream — both
+  * produce NULL signatures that the dedup pipelines filter — and the fixture
+  * corpus has no NULL texts; documented for parity-spec scoping. */
+case class ShingleHashesRaw(child: Expression, n: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "shingle_hashes"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${other.simpleString(10)}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleHashesRaw.compute(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.plans.ShingleHashesRaw.compute($a, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object ShingleHashesRaw {
+  import org.apache.spark.unsafe.types.UTF8String
+  private val Space = UTF8String.fromString(" ")
+
+  /** One tight loop per document. Calls the exact primitives the reference
+    * HOF chain uses — `split(" ", -1)` (trailing empties kept, as in
+    * `functions.split`), `concatWs`, and the interpreted xxhash64 entry point
+    * (seed 42) — so results are bit-identical to the composed plan. */
+  def compute(text: UTF8String, n: Int): ArrayData = {
+    val words = text.split(Space, -1)
+    if (words.length < n) return new GenericArrayData(Array.emptyLongArray)
+    val out = new Array[Long](words.length - n + 1)
+    val window = new Array[UTF8String](n)
+    var i = 0
+    while (i < out.length) {
+      var j = 0
+      while (j < n) { window(j) = words(i + j); j += 1 }
+      val sh = UTF8String.concatWs(Space, window: _*)
+      out(i) = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+        .hash(sh, StringType, 42L)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** Word n-gram shingle STRINGS (space-joined, duplicates kept, document
+  * order) — the native twin of the `transform(sequence, concat_ws(slice))`
+  * HOF composition in `TextFunctions.wordShinglesHof`, for the query paths
+  * that need the passage text itself (n-gram Jaccard, decontamination,
+  * duplicated-passage detection) rather than its hash. Same motivation and
+  * same null semantics note as [[ShingleHashesRaw]]. */
+case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "word_shingles"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${other.simpleString(10)}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    WordShingles.compute(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.plans.WordShingles.compute($a, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object WordShingles {
+  import org.apache.spark.unsafe.types.UTF8String
+  private val Space = UTF8String.fromString(" ")
+
+  def compute(text: UTF8String, n: Int): ArrayData = {
+    val words = text.split(Space, -1)
+    if (words.length < n)
+      return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](words.length - n + 1)
+    val window = new Array[UTF8String](n)
+    var i = 0
+    while (i < out.length) {
+      var j = 0
+      while (j < n) { window(j) = words(i + j); j += 1 }
+      out(i) = UTF8String.concatWs(Space, window: _*)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}

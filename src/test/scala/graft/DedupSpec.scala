@@ -91,6 +91,30 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("native shingle_hashes is bit-identical to the HOF composition") {
+    import org.apache.spark.sql.functions._
+    val T = graft.functions.TextFunctions
+    // fixture corpus plus the edge shapes: too-few tokens, exactly n tokens,
+    // repeated shingles, empty tokens from double/trailing spaces, empty text
+    val edge = Seq("", "a", "a b", "a b c", "a b c d", "x x x x x",
+      "a  b c ", " leading", "one two three four five").toDF("text")
+    val corpus = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select("text").union(edge)
+    Seq(2, 3, 8).foreach { n =>
+      val both = corpus.select(
+        T.wordShingleHashesRaw(col("text"), n).as("native"),
+        T.wordShingleHashesRawHof(col("text"), n).as("hof"),
+        T.wordShingles(col("text"), n).as("native_s"),
+        T.wordShinglesHof(col("text"), n).as("hof_s"))
+      both.collect().foreach { r =>
+        assert(r.getSeq[Long](0) == r.getSeq[Long](1),
+          s"n=$n hash mismatch: ${r.getSeq[Long](0)} vs ${r.getSeq[Long](1)}")
+        assert(r.getSeq[String](2) == r.getSeq[String](3),
+          s"n=$n shingle mismatch: ${r.getSeq[String](2)} vs ${r.getSeq[String](3)}")
+      }
+    }
+  }
+
   test("native simhash64 matches the HOF simHash reference") {
     import org.apache.spark.sql.functions._
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")

@@ -26,6 +26,7 @@ class SqlSurfaceSpec extends AnyFunSuite {
     "- DATE '", // DATE − DATE is integer days in DuckDB, an interval in Spark
     "strftime", // DuckDB's formatter; Spark spells it date_format
     "strlen", // DuckDB byte length; Spark spells it octet_length
+    " // ", // DuckDB integer floor division; Spark spells it div
     "', 'g')") // DuckDB 4-arg regexp_replace global flag; Spark is global by default
 
   test("oracle SQL in the common subset matches the DataFrame plans on spark.sql") {
