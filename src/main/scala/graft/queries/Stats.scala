@@ -410,6 +410,96 @@ object Stats {
       |  n_active * 1000000 // cohort_size AS retention_ppm
       |FROM s ORDER BY cohort, "offset"""".stripMargin
 
+  /** q112 exact per-label embedding centroids — the E-step of k-means /
+    * class-prototype computation, in engine-portable integer math: components
+    * quantized to ⌊1000x⌋, positionally exploded (`posexplode` — the
+    * generator surface), and summed per (label, dim). The mean is the
+    * consumer's division `sum_q / n` — shipping the raw (Σ, n) pair instead
+    * keeps the aggregate MERGEABLE (the property that lets 1000 executors
+    * combine partial centroids without float drift) and the oracle exact.
+    * One partial-agg shuffle on (label, dim); output is labels × dims rows. */
+  def q112(spark: SparkSession, dir: String): DataFrame = {
+    Tables.parallelized(Tables.load(spark, dir, "embeddings"))
+      .select(col("label"),
+        posexplode(transform(col("embedding"),
+          x => floor(x.cast(DoubleType) * 1000).cast(LongType))).as(Seq("dim", "q")))
+      .groupBy(col("label"), col("dim").cast(LongType).as("dim"))
+      .agg(count(lit(1)).as("n"), sum("q").as("sum_q"))
+      .orderBy("label", "dim")
+  }
+
+  val q112Sql =
+    """WITH q AS (
+      |  SELECT label,
+      |    list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+      |  FROM embeddings
+      |), e AS (
+      |  SELECT label, unnest(range(1, len(qv) + 1)) AS i, qv FROM q
+      |)
+      |SELECT label, CAST(i - 1 AS BIGINT) AS dim, COUNT(*) AS n,
+      |  CAST(SUM(qv[i]) AS BIGINT) AS sum_q
+      |FROM e GROUP BY label, i ORDER BY label, dim""".stripMargin
+
+  /** q113 robust outlier gate per group — median absolute deviation, the
+    * robust-statistics twin of the q88 moments (one far outlier moves a mean
+    * and stddev arbitrarily; it moves a median/MAD not at all). Medians are
+    * the explicit lower-median rank statistic ((n+1) div 2, the q108
+    * arithmetic), the deviation median reuses the same single partitioning,
+    * and the flag is the classic |x − med| > 3·MAD. Everything rides ONE
+    * hash partitioning on the group key through three window sorts and the
+    * final aggregate — no per-group collect, no percentile_approx drift. */
+  def q113(spark: SparkSession, dir: String): DataFrame = {
+    val wAll = Window.partitionBy("priority")
+    val byVal = wAll.orderBy("cents")
+    val ranked = Tables.load(spark, dir, "orders")
+      .select(col("o_orderpriority").as("priority"),
+        floor(col("o_totalprice") * 100).cast(LongType).as("cents"))
+      .withColumn("rn", row_number().over(byVal).cast(LongType))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("med",
+        max(when(col("rn") === expr("(n + 1) div 2"), col("cents"))).over(wAll))
+      .withColumn("dev", abs(col("cents") - col("med")))
+    val byDev = wAll.orderBy("dev")
+    ranked
+      .withColumn("rn2", row_number().over(byDev).cast(LongType))
+      .withColumn("mad",
+        max(when(col("rn2") === expr("(n + 1) div 2"), col("dev"))).over(wAll))
+      .groupBy("priority")
+      .agg(count(lit(1)).as("n"), max("med").as("med_cents"),
+        max("mad").as("mad_cents"),
+        sum(when(col("dev") > col("mad") * 3, 1L).otherwise(0L)).as("n_outliers"))
+      .orderBy("priority")
+  }
+
+  val q113Sql =
+    """WITH v AS (
+      |  SELECT o_orderpriority AS priority,
+      |    CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders
+      |), r1 AS (
+      |  SELECT priority, cents,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY priority ORDER BY cents) AS BIGINT) AS rn,
+      |    COUNT(*) OVER (PARTITION BY priority) AS n
+      |  FROM v
+      |), m1 AS (
+      |  SELECT *, MAX(CASE WHEN rn = (n + 1) // 2 THEN cents END)
+      |    OVER (PARTITION BY priority) AS med
+      |  FROM r1
+      |), d AS (
+      |  SELECT *, ABS(cents - med) AS dev FROM m1
+      |), r2 AS (
+      |  SELECT *,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY priority ORDER BY dev) AS BIGINT) AS rn2
+      |  FROM d
+      |), m2 AS (
+      |  SELECT *, MAX(CASE WHEN rn2 = (n + 1) // 2 THEN dev END)
+      |    OVER (PARTITION BY priority) AS mad
+      |  FROM r2
+      |)
+      |SELECT priority, COUNT(*) AS n, MAX(med) AS med_cents, MAX(mad) AS mad_cents,
+      |  CAST(SUM(CASE WHEN dev > mad * 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      |FROM m2 GROUP BY priority ORDER BY priority""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q87_grouping_sets", q87 _, Some(q87Sql)),
     ("q88_stats_moments", q88 _, Some(q88Sql)),
@@ -422,5 +512,7 @@ object Stats {
     ("q95_posting_stats", q95 _, Some(q95Sql)),
     ("q101_forward_fill", q101 _, Some(q101Sql)),
     ("q102_column_profile", q102 _, Some(q102Sql)),
-    ("q105_cohort_retention", q105 _, Some(q105Sql)))
+    ("q105_cohort_retention", q105 _, Some(q105Sql)),
+    ("q112_label_centroids", q112 _, Some(q112Sql)),
+    ("q113_mad_outliers", q113 _, Some(q113Sql)))
 }

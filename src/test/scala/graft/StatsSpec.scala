@@ -108,4 +108,40 @@ class StatsSpec extends AnyFunSuite {
     }
     assert(rows.nonEmpty)
   }
+
+  test("q112 centroid sums replay against a driver-side computation") {
+    val got = Stats.q112(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    val vecs = Tables.load(spark, sf, "embeddings").collect()
+      .map(r => r.getInt(2) -> r.getSeq[Float](1))
+    val expected = vecs.flatMap { case (label, v) =>
+      v.zipWithIndex.map { case (x, d) =>
+        (label, d.toLong) -> math.floor(x.toDouble * 1000).toLong }
+    }.groupBy(_._1).map { case (k, xs) => k -> (xs.length.toLong, xs.map(_._2).sum) }
+    assert(got == expected)
+  }
+
+  test("q113 MAD statistics are internally consistent per group") {
+    val rows = Stats.q113(spark, sf).collect()
+    val byGroup = Tables.load(spark, sf, "orders")
+      .select(col("o_orderpriority"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      .collect().groupBy(_.getString(0))
+      .map { case (k, rs) => k -> rs.map(_.getLong(1)).sorted }
+    assert(rows.map(_.getString(0)).toSet == byGroup.keySet)
+    rows.foreach { r =>
+      val (p, n) = (r.getString(0), r.getLong(1))
+      val (med, mad, out) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      val vals = byGroup(p)
+      assert(n == vals.length)
+      // med is the explicit lower median of the group
+      assert(med == vals(((n + 1) / 2 - 1).toInt))
+      // mad is the lower median of deviations; replay it
+      val devs = vals.map(v => math.abs(v - med)).sorted
+      assert(mad == devs(((n + 1) / 2 - 1).toInt))
+      assert(out == vals.count(v => math.abs(v - med) > 3 * mad))
+      // at most half the points can exceed any multiple >=1 of the MAD
+      assert(out <= n / 2)
+    }
+  }
 }
