@@ -158,6 +158,42 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(hashExchanges <= 5, s"funnel re-exchanges per stage ($hashExchanges):\n$p")
   }
 
+  test("q106: passage detection is one explode + one combined aggregate + top-k") {
+    val p = plan("q106_dup_passages")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("partial_count"), p)
+    // the shingle expression is the native compiled loop, not the HOF chain
+    assert(p.contains("word_shingles"), p)
+    assert(!p.contains("transform("), p)
+  }
+
+  test("q107: interval union rides ONE hash partitioning on user_id end-to-end") {
+    val p = plan("q107_interval_union")
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashExchanges == 1, s"expected 1 keyed shuffle, got $hashExchanges\n$p")
+  }
+
+  test("q109: BM25 stats/df broadcast; top-10 is TakeOrderedAndProject") {
+    val p = plan("q109_bm25_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastExchange"), p)
+    // the term filter lands before the per-(doc,term) aggregate — the
+    // inverted-index access path, not a full-vocabulary aggregate
+    assert(p.contains("partial_count"), p)
+  }
+
+  test("q113: median+MAD+gate ride one partitioning (no per-statistic shuffle)") {
+    val p = plan("q113_mad_outliers")
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashExchanges == 1, s"expected 1 keyed shuffle, got $hashExchanges\n$p")
+  }
+
+  test("q28: simhash pipeline stays out of the interpreted HOF path") {
+    val p = plan("q28_dedup_simhash")
+    assert(p.contains("shingle_hashes"), p)
+    assert(!p.contains("lambdafunction"), p)
+  }
+
   test("runtime bloom-filter pruning injects on a selective dim → fact shuffle join") {
     // At 100 TB a selective dimension filter should prune the fact scan
     // BEFORE the shuffle — Spark's runtime bloom filter does exactly that.
