@@ -191,6 +191,35 @@ class OperatorSemanticsSpec extends AnyFunSuite {
     }
   }
 
+  test("z-ordered overwrite: files are compact rectangles in BOTH dimensions") {
+    import graft.operators.{Load, ZOrder}
+    val rnd = new scala.util.Random(11)
+    val df = (1 to 4096).map(_ => (rnd.nextInt(1024), rnd.nextInt(1024)))
+      .toDF("a", "b")
+    val zdir = java.nio.file.Files.createTempDirectory("zorder").toString
+    assert(ZOrder.overwriteZordered(df, zdir, "a", "b", files = 16))
+    val back = spark.read.parquet(zdir)
+    assert(back.count() == 4096)
+    assert(back.except(df).isEmpty && df.except(back).isEmpty)
+    // per-file coverage of each dimension's domain: a Z-ordered file owns a
+    // compact rectangle, so BOTH dims stay well under full span
+    def coverage(data: org.apache.spark.sql.DataFrame, c: String): Double = {
+      val spans = data.groupBy(input_file_name().as("f"))
+        .agg((max(col(c)) - min(col(c))).as("span"))
+        .collect().map(_.getAs[Int]("span").toDouble / 1024)
+      spans.sum / spans.length
+    }
+    val (za, zb) = (coverage(back, "a"), coverage(back, "b"))
+    assert(za < 0.7 && zb < 0.7, s"z-order coverage not compact: a=$za b=$zb")
+    // contrast: a plain range sort on a leaves b spanning ~its full domain
+    val sdir = java.nio.file.Files.createTempDirectory("sorted1d").toString
+    assert(Load.overwriteSorted(df, sdir, Seq("a"), files = 16))
+    val sortedBack = spark.read.parquet(sdir)
+    assert(coverage(sortedBack, "b") > 0.85)
+    assert(zb < coverage(sortedBack, "b") / 2,
+      "z-order should at least halve the secondary dimension's file span")
+  }
+
   test("compact: small-file sink rewritten to byte-targeted file count, data intact") {
     import graft.operators.Load
     val dir = java.nio.file.Files.createTempDirectory("compact").toString
