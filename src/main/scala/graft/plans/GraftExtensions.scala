@@ -33,6 +33,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "minhash_sig(shingle_hashes, numPerms: int literal)")
       }))
 
+    ext.injectFunction((
+      FunctionIdentifier("dot_i64"),
+      new ExpressionInfo(classOf[DotProductLong].getName, "dot_i64"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "dot_i64(arrayA, arrayB)")
+        DotProductLong(children.head, children(1))
+      }))
+
     // word_shingles(text, n): n must be a literal — the window width is a
     // plan-time constant baked into the compiled loop.
     ext.injectFunction((

@@ -295,3 +295,50 @@ object WordShingles {
     new GenericArrayData(out)
   }
 }
+
+/** Exact integer dot product of two array<bigint> columns (Σ a_i·b_i over
+  * the common prefix, null elements skipped pairwise) — the compiled kernel
+  * under the quantized-similarity family (q110's all-pairs scan evaluates it
+  * once per PAIR, where the zip_with/aggregate HOF composition it replaces
+  * would run interpreted — the same JIT-bimodal hazard [[ShingleHashesRaw]]
+  * removes from the shingle family). Returns NULL if either side is NULL. */
+case class DotProductLong(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "dot_i64"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two array<bigint> arguments, got " +
+          s"${l.simpleString(10)} and ${r.simpleString(10)}")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    DotProductLong.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.plans.DotProductLong.compute($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object DotProductLong {
+  def compute(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i) && !b.isNullAt(i)) acc += a.getLong(i) * b.getLong(i)
+      i += 1
+    }
+    acc
+  }
+}

@@ -232,15 +232,14 @@ object Retrieval {
       .select(col("vec_id"),
         transform(col("embedding"),
           x => floor(x.cast(DoubleType) * 100).cast(LongType)).as("qv"))
-      .withColumn("nrm",
-        aggregate(col("qv"), lit(0L), (s, x) => s + x * x))
+      // norm and the per-pair dot run through the native dot_i64 kernel —
+      // the HOF zip_with/aggregate would evaluate interpreted once per PAIR
+      .withColumn("nrm", call_function("dot_i64", col("qv"), col("qv")))
       .filter(col("nrm") > 0)
     val a = q.select(col("vec_id").as("id_a"), col("qv").as("qa"), col("nrm").as("na"))
     val b = q.select(col("vec_id").as("id_b"), col("qv").as("qb"), col("nrm").as("nb"))
     a.join(b, col("id_a") < col("id_b"))
-      .withColumn("dot",
-        aggregate(zip_with(col("qa"), col("qb"), (x, y) => x * y),
-          lit(0L), (s, x) => s + x))
+      .withColumn("dot", call_function("dot_i64", col("qa"), col("qb")))
       .withColumn("score_x1e6",
         when(col("dot") >= 0, expr("dot * dot * 1000000 div (na * nb)"))
           .otherwise(-expr("dot * dot * 1000000 div (na * nb)")))
