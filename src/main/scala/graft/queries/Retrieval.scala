@@ -324,11 +324,58 @@ object Retrieval {
       |  CAST(SUM(logit_x1e6) AS BIGINT) AS sum_logit_x1e6
       |FROM s GROUP BY source ORDER BY source""".stripMargin
 
+  /** Chunking constants: 32-token windows advancing 24 tokens (8 overlap) —
+    * the shape RAG ingestion uses so no boundary sentence is lost. */
+  private val ChunkSize = 32
+  private val ChunkStride = 24
+
+  /** q114 document chunking — the ingestion step between a raw corpus and a
+    * retrieval index (every RAG pipeline runs exactly this): fixed-size token
+    * windows with overlap, one row per chunk with a portable md5-60-bit
+    * fingerprint of the chunk text. The plan is a generator, not a join:
+    * `posexplode(sequence(1, len, stride))` yields chunk starts and
+    * slice/concat are plain codegen'd expressions (no HOF lambdas — the
+    * engine's no-interpreted-hot-loop rule), so chunking a 100 TB corpus is
+    * a single narrow scan whose output is ~len/stride rows per doc. The
+    * fingerprint makes chunk-level exact dedup (q26) compose directly. */
+  def q114(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.parallelized(Tables.load(spark, dir, "documents"))
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), col("w"),
+        posexplode(sequence(lit(1), size(col("w")), lit(ChunkStride)))
+          .as(Seq("chunk_idx", "start")))
+      .select(col("doc_id"), col("chunk_idx").cast(LongType).as("chunk_idx"),
+        slice(col("w"), col("start"), lit(ChunkSize)).as("chunk"))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(col("chunk")).cast(LongType).as("n_tokens"),
+        T.portableHash60(concat_ws(" ", col("chunk"))).as("chunk_fp"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  val q114Sql =
+    s"""WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      |), s AS (
+      |  SELECT doc_id, w, unnest(range(1, len(w) + 1, $ChunkStride)) AS start
+      |  FROM t
+      |), c AS (
+      |  SELECT doc_id,
+      |    CAST((start - 1) // $ChunkStride AS BIGINT) AS chunk_idx,
+      |    list_slice(w, start, LEAST(start + ${ChunkSize - 1}, len(w))) AS chunk
+      |  FROM s
+      |)
+      |SELECT doc_id, chunk_idx, CAST(len(chunk) AS BIGINT) AS n_tokens,
+      |  CAST('0x' || substr(md5(array_to_string(chunk, ' ')), 1, 15) AS BIGINT)
+      |    AS chunk_fp
+      |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q106_dup_passages", q106 _, Some(q106Sql)),
     ("q107_interval_union", q107 _, Some(q107Sql)),
     ("q108_percentiles_exact", q108 _, Some(q108Sql)),
     ("q109_bm25_topk", q109 _, Some(q109Sql)),
     ("q110_allpairs_cosine", q110 _, Some(q110Sql)),
-    ("q111_quality_logit", q111 _, Some(q111Sql)))
+    ("q111_quality_logit", q111 _, Some(q111Sql)),
+    ("q114_chunk_documents", q114 _, Some(q114Sql)))
 }

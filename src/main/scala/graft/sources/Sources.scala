@@ -59,6 +59,17 @@ object Sources {
       .select(from_json(col("value"), withCorrupt(schema), parseOpts).as("r"))
       .select(col("r.*"))
 
+  /** Streaming twin of [[jsonl]]: the same explicit-schema parse with
+    * corrupt capture over a file-source text stream, so a landing directory
+    * of JSONL drops ingests incrementally (new files per micro-batch) with
+    * the identical quarantine contract — route each micro-batch through
+    * [[splitCorrupt]] in `foreachBatch`. Tested end-to-end in
+    * StreamingSpec. */
+  def jsonlStream(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.readStream.text(path)
+      .select(from_json(col("value"), withCorrupt(schema), parseOpts).as("r"))
+      .select(col("r.*"))
+
   /** (clean rows with the declared schema, quarantined raw lines). The clean
     * side drops the capture column; the corrupt side keeps only the raw
     * line for replay/inspection. Both are projections of the same scan. */

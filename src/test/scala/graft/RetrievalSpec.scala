@@ -114,6 +114,26 @@ class RetrievalSpec extends AnyFunSuite {
     assert(kept > 0 && kept < total, s"degenerate gate: $kept/$total")
   }
 
+  test("q114 chunks tile every document with the declared stride and tail") {
+    val lens = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("len"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byDoc = Retrieval.q114(spark, sf).collect()
+      .groupBy(_.getLong(0)).map { case (d, rs) =>
+        d -> rs.sortBy(_.getLong(1)).map(_.getLong(2)) }
+    assert(byDoc.keySet == lens.keySet)
+    byDoc.foreach { case (d, chunks) =>
+      val len = lens(d)
+      // chunk count is the stride tiling of the token run
+      assert(chunks.length == (len - 1) / 24 + 1, s"doc $d: ${chunks.length} chunks for $len tokens")
+      // every chunk holds exactly the window that remains at its offset
+      chunks.zipWithIndex.foreach { case (n, i) =>
+        assert(n == math.min(32L, len - 24L * i),
+          s"doc $d chunk $i: $n tokens, len $len")
+      }
+    }
+  }
+
   test("q109 scores respect the saturation bound and rank monotonically") {
     val rows = Retrieval.q109(spark, sf).collect()
     assert(rows.nonEmpty && rows.length <= 10)

@@ -72,6 +72,42 @@ class SourcesSpec extends AnyFunSuite {
     assert(quarantined.head.getString(0).contains("not json"))
   }
 
+  test("streaming JSONL ingest quarantines malformed lines per micro-batch") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("jsonl_stream").toString
+    def land(name: String, lines: Seq[String]): Unit =
+      lines.toDF("value").coalesce(1).write.mode("append").text(s"$base/in")
+    land("drop1", Seq(
+      """{"n_nationkey":1,"n_name":"ALGERIA","n_regionkey":0}""",
+      """not json""",
+      """{"n_nationkey":2,"n_name":"BRAZIL","n_regionkey":1}"""))
+    val stream = Sources.jsonlStream(spark, s"$base/in", schema)
+    val q = stream.writeStream
+      .option("checkpointLocation", s"$base/ckpt")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val (clean, bad) = Sources.splitCorrupt(batch)
+        clean.write.mode("append").parquet(s"$base/clean")
+        bad.write.mode("append").parquet(s"$base/quarantine")
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      land("drop2", Seq(
+        """{"n_nationkey":3,"n_name":"CANADA","n_regionkey":1}""",
+        """{"broken": [unterminated"""))
+      q.processAllAvailable()
+    } finally q.stop()
+    val clean = spark.read.parquet(s"$base/clean")
+    assert(clean.count() == 3)
+    assert(clean.schema == schema)
+    assert(clean.select("n_name").collect().map(_.getString(0)).toSet ==
+      Set("ALGERIA", "BRAZIL", "CANADA"))
+    val bad = spark.read.parquet(s"$base/quarantine").collect()
+    assert(bad.length == 2)
+    assert(bad.map(_.getString(0)).exists(_.contains("not json")))
+    assert(bad.map(_.getString(0)).exists(_.contains("unterminated")))
+  }
+
   test("empty input writes nothing for both text sinks") {
     val empty = nation.filter(lit(false))
     assert(!Sources.writeCsv(empty, s"$tmp/never_csv"))
