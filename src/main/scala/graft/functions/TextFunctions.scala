@@ -154,9 +154,19 @@ object TextFunctions {
     conv(substring(md5(c.cast(StringType)), 1, 15), 16, 10).cast(LongType)
 
   /** Per-shingle portable 60-bit hashes, document order, duplicates kept —
-    * the order-sensitive feed for [[portableRollingFp]]. */
+    * the order-sensitive feed for [[portableRollingFp]]. Computed by the
+    * native [[graft.plans.PortableShingleHashes]] one-loop expression
+    * (per-shingle MD5 without the hex-format/base-16-reparse round trip);
+    * bit-identical to the HOF composition [[portableShingleHashesHof]]
+    * (asserted in DedupSpec), which stays as the parity reference. */
   def portableShingleHashes(text: Column, n: Int): Column =
-    transform(wordShingles(text, n), s => portableHash60(s))
+    call_function("portable_shingle_hashes", text, lit(n))
+
+  /** The composed higher-order-function reference for
+    * [[portableShingleHashes]] — parity oracle only; not used in query
+    * paths. */
+  def portableShingleHashesHof(text: Column, n: Int): Column =
+    transform(wordShinglesHof(text, n), s => portableHash60(s))
 
   private val RollMod = 1000000007L
 

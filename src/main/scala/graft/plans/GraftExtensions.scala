@@ -53,6 +53,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "word_shingles(text, n: int literal)")
       }))
 
+    ext.injectFunction((
+      FunctionIdentifier("portable_shingle_hashes"),
+      new ExpressionInfo(classOf[PortableShingleHashes].getName,
+        "portable_shingle_hashes"),
+      (children: Seq[Expression]) => children match {
+        case Seq(text, Literal(n: Int, IntegerType)) =>
+          PortableShingleHashes(text, n)
+        case _ => throw new IllegalArgumentException(
+          "portable_shingle_hashes(text, n: int literal)")
+      }))
+
     // shingle_hashes(text, n): n must be a literal — the window width is a
     // plan-time constant baked into the compiled loop.
     ext.injectFunction((

@@ -342,3 +342,77 @@ object DotProductLong {
     acc
   }
 }
+
+/** Engine-portable md5-60-bit shingle hashes (duplicates kept, document
+  * order) — the native twin of
+  * `transform(wordShingles(text, n), conv(substring(md5(s),1,15),16,10))`
+  * that feeds the cross-engine-checkable dedup/fingerprint paths (q99, q35):
+  * the value of each element is the first 60 bits of the MD5 of the shingle's
+  * UTF-8 bytes, exactly what DuckDB's `CAST('0x'||substr(md5(s),1,15) AS
+  * BIGINT)` computes. Same interpreted-HOF motivation as [[ShingleHashesRaw]];
+  * here the per-shingle MD5 makes the interpreted chain (string build + hex
+  * format + base-16 re-parse) even heavier, so the native loop digests the
+  * shingle bytes and folds the leading 7.5 bytes directly — no hex string at
+  * either end. Bit-parity with the composed plan is asserted in DedupSpec. */
+case class PortableShingleHashes(child: Expression, n: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "portable_shingle_hashes"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${other.simpleString(10)}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    PortableShingleHashes.compute(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.plans.PortableShingleHashes.compute($a, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object PortableShingleHashes {
+  import org.apache.spark.unsafe.types.UTF8String
+  private val Space = UTF8String.fromString(" ")
+  private val Digest = ThreadLocal.withInitial(
+    new java.util.function.Supplier[java.security.MessageDigest] {
+      def get(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    })
+
+  /** First 60 bits of md5(bytes): 15 hex digits = 7 full bytes + the high
+    * nibble of the 8th — identical to parsing `substr(hex(md5), 1, 15)` in
+    * base 16 on either engine. */
+  private def md560(md: java.security.MessageDigest, s: UTF8String): Long = {
+    md.reset()
+    val d = md.digest(s.getBytes)
+    var acc = 0L
+    var i = 0
+    while (i < 7) { acc = (acc << 8) | (d(i) & 0xffL); i += 1 }
+    (acc << 4) | ((d(7) & 0xf0L) >> 4)
+  }
+
+  def compute(text: UTF8String, n: Int): ArrayData = {
+    val words = text.split(Space, -1)
+    if (words.length < n) return new GenericArrayData(Array.emptyLongArray)
+    val md = Digest.get()
+    val out = new Array[Long](words.length - n + 1)
+    val window = new Array[UTF8String](n)
+    var i = 0
+    while (i < out.length) {
+      var j = 0
+      while (j < n) { window(j) = words(i + j); j += 1 }
+      out(i) = md560(md, UTF8String.concatWs(Space, window: _*))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}

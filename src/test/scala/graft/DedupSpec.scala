@@ -105,12 +105,16 @@ class DedupSpec extends AnyFunSuite {
         T.wordShingleHashesRaw(col("text"), n).as("native"),
         T.wordShingleHashesRawHof(col("text"), n).as("hof"),
         T.wordShingles(col("text"), n).as("native_s"),
-        T.wordShinglesHof(col("text"), n).as("hof_s"))
+        T.wordShinglesHof(col("text"), n).as("hof_s"),
+        T.portableShingleHashes(col("text"), n).as("native_p"),
+        T.portableShingleHashesHof(col("text"), n).as("hof_p"))
       both.collect().foreach { r =>
         assert(r.getSeq[Long](0) == r.getSeq[Long](1),
           s"n=$n hash mismatch: ${r.getSeq[Long](0)} vs ${r.getSeq[Long](1)}")
         assert(r.getSeq[String](2) == r.getSeq[String](3),
           s"n=$n shingle mismatch: ${r.getSeq[String](2)} vs ${r.getSeq[String](3)}")
+        assert(r.getSeq[Long](4) == r.getSeq[Long](5),
+          s"n=$n portable mismatch: ${r.getSeq[Long](4)} vs ${r.getSeq[Long](5)}")
       }
     }
   }
