@@ -79,6 +79,50 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("dot_i64 equals the BigInt reference on arbitrary long arrays") {
+    val vec = Gen.chooseNum(1, 64).flatMap(d =>
+      Gen.listOfN(d, Gen.chooseNum(-1000000L, 1000000L)))
+    val pairs = sample(Gen.zip(vec, vec), 150)
+    val got = pairs.toDF("a", "b")
+      .select(call_function("dot_i64", col("a"), col("b"))).as[Long].collect()
+    pairs.zip(got).foreach { case ((a, b), d) =>
+      val want = a.zip(b).map { case (x, y) => BigInt(x) * y }.sum
+      assert(BigInt(d) == want, s"a=$a b=$b")
+    }
+  }
+
+  test("portable_shingle_hashes equals an independent MessageDigest replay") {
+    val docs = sample(doc, 150)
+    val got = docs.toDF("text")
+      .select(T.portableShingleHashes(col("text"), 3)).as[Seq[Long]].collect()
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h60(s: String): Long = {
+      md.reset()
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    docs.zip(got).foreach { case (d, hs) =>
+      val w = d.split(" ", -1)
+      val want = (0 to w.length - 3).map(i => h60(w.slice(i, i + 3).mkString(" ")))
+      assert(hs == want, s"doc='$d'")
+    }
+  }
+
+  test("morton key de-interleaves back to its inputs (exact inverse)") {
+    val coord = Gen.chooseNum(0, Int.MaxValue)
+    val pairs = sample(Gen.zip(coord, coord), 200)
+    val keys = pairs.toDF("a", "b")
+      .select(graft.operators.ZOrder.mortonKey(col("a"), col("b"))).as[Long].collect()
+    pairs.zip(keys).foreach { case ((a, b), k) =>
+      var (ra, rb) = (0L, 0L)
+      (0 until 32).foreach { i =>
+        ra |= ((k >>> (2 * i + 1)) & 1L) << i
+        rb |= ((k >>> (2 * i)) & 1L) << i
+      }
+      assert(ra == a.toLong && rb == b.toLong, s"a=$a b=$b key=$k")
+    }
+  }
+
   test("self-similarity: identical adjacent docs score jaccard 1e6; disjoint score 0") {
     val docs = sample(doc, 50).filter(_.split(" ", -1).length >= 2)
     // pairs (2i, 2i+1) identical — every adjacent (even, odd) pair scores 1e6
