@@ -340,6 +340,76 @@ object Analytics {
       |  CAST(SUM(length(norm) - length(replace(norm, ' ', '')) + 1) AS BIGINT) AS norm_tokens
       |FROM n GROUP BY source ORDER BY source""".stripMargin
 
+  /** q115 ordered string aggregation (LISTAGG/STRING_AGG) — the collect
+    * surface: per order priority, the comma-joined sorted list of distinct
+    * statuses plus supporting counts. Sorting INSIDE the aggregate
+    * (`sort_array(collect_set(..))`) is what makes a collected string
+    * deterministic under any partitioning — the unsorted variant is a
+    * nondeterminism bug at any scale. Distinct-collect keeps the aggregated
+    * state tiny (bounded by the domain, not the row count). */
+  def q115(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "orders")
+      .groupBy(col("o_orderpriority").as("priority"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("o_orderstatus")).as("n_status"),
+        concat_ws(",", sort_array(collect_set(col("o_orderstatus"))))
+          .as("statuses"))
+      .orderBy("priority")
+  }
+
+  val q115Sql =
+    """SELECT o_orderpriority AS priority, COUNT(*) AS n,
+      |  COUNT(DISTINCT o_orderstatus) AS n_status,
+      |  STRING_AGG(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses
+      |FROM orders GROUP BY o_orderpriority ORDER BY priority""".stripMargin
+
+  /** q116 share-of-total windows (RATIO_TO_REPORT): each nation's revenue as
+    * ppm of its region's total and of the grand total — the percent-of-
+    * parent rollup every BI layer asks of a star schema. Integer ppm via
+    * exact cents sums; the region window and the grand-total window reuse
+    * the one aggregated frame (25 rows), so the windows cost nothing after
+    * the single fact-side aggregate. */
+  def q116(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.load(spark, dir, "lineitem")
+    val s = Tables.load(spark, dir, "supplier")
+    val n = Tables.load(spark, dir, "nation")
+    val r = Tables.load(spark, dir, "region")
+    val perNation = l
+      .join(s, l("l_suppkey") === s("s_suppkey"))
+      .join(n, s("s_nationkey") === n("n_nationkey"))
+      .join(r, n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name").as("region"), col("n_name").as("nation"))
+      .agg(sum(cents(col("l_extendedprice"))).as("rev_cents"))
+    perNation
+      .withColumn("region_cents",
+        sum("rev_cents").over(Window.partitionBy("region")))
+      .withColumn("total_cents",
+        sum("rev_cents").over(Window.partitionBy()))
+      .withColumn("share_region_ppm", expr("rev_cents * 1000000 div region_cents"))
+      .withColumn("share_total_ppm", expr("rev_cents * 1000000 div total_cents"))
+      .select("region", "nation", "rev_cents", "share_region_ppm", "share_total_ppm")
+      .orderBy("region", "nation")
+  }
+
+  val q116Sql =
+    """WITH pn AS (
+      |  SELECT r.r_name AS region, n.n_name AS nation,
+      |    SUM(CAST(FLOOR(l.l_extendedprice * 100) AS BIGINT)) AS rev_cents
+      |  FROM lineitem l
+      |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+      |  JOIN region r ON n.n_regionkey = r.r_regionkey
+      |  GROUP BY r.r_name, n.n_name
+      |), w AS (
+      |  SELECT *, SUM(rev_cents) OVER (PARTITION BY region) AS region_cents,
+      |    SUM(rev_cents) OVER () AS total_cents
+      |  FROM pn
+      |)
+      |SELECT region, nation, CAST(rev_cents AS BIGINT) AS rev_cents,
+      |  CAST(rev_cents * 1000000 // region_cents AS BIGINT) AS share_region_ppm,
+      |  CAST(rev_cents * 1000000 // total_cents AS BIGINT) AS share_total_ppm
+      |FROM w ORDER BY region, nation""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q69_unpivot", q69 _, Some(q69Sql)),
     ("q70_islands", q70 _, Some(q70Sql)),
@@ -351,7 +421,9 @@ object Analytics {
     ("q76_value_window", q76 _, Some(q76Sql)),
     ("q77_argminmax", q77 _, Some(q77Sql)),
     ("q78_bool_aggs", q78 _, Some(q78Sql)),
-    ("q79_text_normalize", q79 _, Some(q79Sql)))
+    ("q79_text_normalize", q79 _, Some(q79Sql)),
+    ("q115_string_agg", q115 _, Some(q115Sql)),
+    ("q116_share_of_total", q116 _, Some(q116Sql)))
 }
 
 /** Typed input/buffer rows for [[WeightedCents]] — top-level case classes so

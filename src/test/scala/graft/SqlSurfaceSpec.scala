@@ -27,6 +27,7 @@ class SqlSurfaceSpec extends AnyFunSuite {
     "strftime", // DuckDB's formatter; Spark spells it date_format
     "strlen", // DuckDB byte length; Spark spells it octet_length
     " // ", // DuckDB integer floor division; Spark spells it div
+    "STRING_AGG(DISTINCT", // DuckDB inline ORDER BY in aggregate args; Spark is WITHIN GROUP
     "', 'g')") // DuckDB 4-arg regexp_replace global flag; Spark is global by default
 
   test("oracle SQL in the common subset matches the DataFrame plans on spark.sql") {
