@@ -71,6 +71,34 @@ object Multimodal {
       .toDF("media_id", "frame_no", "frame")
   }
 
+  /** Typed rows for [[byteBuckets]]. */
+  final case class ByteBucket(media_id: Long, bucket: Int, n: Long)
+
+  /** Integer byte-value bucket counts per media item, through the same
+    * partition-parallel iterator contract as [[extractFeatures]] — the
+    * exact-arithmetic twin of `decodeStub`'s normalized histogram. Because
+    * the counts are integers over the payload's raw bytes, a byte-level
+    * oracle can replay them exactly (q117), which puts the decode path's
+    * CONTENT — not just its length arithmetic (q100) — under the
+    * cross-engine hash gate. */
+  def byteBuckets(media: DataFrame, dims: Int = 8): DataFrame = {
+    val items = media.select("media_id", "kind", "payload")
+      .as(Encoders.product[MediaItem])
+    items.mapPartitions { it =>
+      it.flatMap { m =>
+        val counts = new Array[Long](dims)
+        var i = 0
+        while (i < m.payload.length) {
+          counts(((m.payload(i) & 0xff) * dims) / 256) += 1
+          i += 1
+        }
+        counts.zipWithIndex.collect {
+          case (n, bkt) if n > 0 => ByteBucket(m.media_id, bkt, n)
+        }
+      }
+    }(Encoders.product[ByteBucket]).toDF()
+  }
+
   /** "Resize" stub: truncate or zero-pad the payload to `targetBytes` —
     * the shape of an image resize (fixed-size output per row). */
   def resizePayload(media: DataFrame, targetBytes: Int): DataFrame = {

@@ -486,6 +486,35 @@ object Extensions {
       |  CAST((nf - 1) - (nf - 1) % 4 AS BIGINT) AS last_frame
       |FROM g ORDER BY media_id""".stripMargin
 
+  /** q117 multimodal byte-content histogram under the hash gate: the
+    * partition-parallel decode path ([[graft.multimodal.Multimodal
+    * .byteBuckets]] — the same mapPartitions iterator contract as the
+    * feature extractor) emits integer byte-bucket counts per media item,
+    * rolled up corpus-wide. The oracle replays the bucket arithmetic from
+    * the text characters (`ord` == byte value on the fixture's ASCII
+    * corpus), so the decode path's CONTENT is cross-engine-verified, where
+    * q100 verified only its length arithmetic. */
+  def q117(spark: SparkSession, dir: String): DataFrame = {
+    val media = graft.multimodal.Multimodal.mediaFromDocuments(
+      Tables.parallelized(Tables.load(spark, dir, "documents")))
+    graft.multimodal.Multimodal.byteBuckets(media, dims = 32)
+      .groupBy(col("bucket").cast(LongType).as("bucket"))
+      .agg(countDistinct(col("media_id")).as("n_media"),
+        sum(col("n")).as("n_bytes"))
+      .orderBy("bucket")
+  }
+
+  val q117Sql =
+    """WITH pos AS (
+      |  SELECT doc_id, unnest(range(1, strlen(text) + 1)) AS i, text
+      |  FROM documents
+      |), b AS (
+      |  SELECT doc_id, (ord(substr(text, i, 1)) * 32) // 256 AS bucket FROM pos
+      |)
+      |SELECT CAST(bucket AS BIGINT) AS bucket,
+      |  COUNT(DISTINCT doc_id) AS n_media, COUNT(*) AS n_bytes
+      |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q26_dedup_exact", q26 _, Some(q26Sql)),
     ("q27_dedup_minhash_lsh", q27 _, None),
@@ -508,5 +537,6 @@ object Extensions {
     ("q97_dedup_replay", q97 _, Some(q97Sql)),
     ("q99_minhash_portable", q99 _, Some(q99Sql)),
     ("q100_frame_sample", q100 _, Some(q100Sql)),
-    ("q103_knn_ivfpq", q103 _, None))
+    ("q103_knn_ivfpq", q103 _, None),
+    ("q117_byte_histogram", q117 _, Some(q117Sql)))
 }
