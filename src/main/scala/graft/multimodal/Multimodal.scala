@@ -33,18 +33,25 @@ object Multimodal {
       struct(col("n_chars").as("len"), col("lang").as("lang"),
         col("source").as("source")).as("meta"))
 
-  /** STUB decoder: a real implementation would hand `bytes` to a codec;
-    * this one computes a normalized byte-value histogram so the pipeline is
-    * deterministic and testable end-to-end. */
-  private[multimodal] def decodeStub(bytes: Array[Byte], dims: Int): Array[Float] = {
-    val hist = new Array[Float](dims)
+  /** The one byte-bucket counting kernel: shared by the stub decoder and
+    * [[byteBuckets]] so the normalized features and the oracle-gated integer
+    * counts (q117) can never desynchronize. */
+  private def byteHist(bytes: Array[Byte], dims: Int): Array[Long] = {
+    val hist = new Array[Long](dims)
     var i = 0
     while (i < bytes.length) {
-      hist(((bytes(i) & 0xff) * dims) / 256) += 1f
+      hist(((bytes(i) & 0xff) * dims) / 256) += 1L
       i += 1
     }
+    hist
+  }
+
+  /** STUB decoder: a real implementation would hand `bytes` to a codec;
+    * this one normalizes [[byteHist]] so the pipeline is deterministic and
+    * testable end-to-end. */
+  private[multimodal] def decodeStub(bytes: Array[Byte], dims: Int): Array[Float] = {
     val n = math.max(bytes.length, 1).toFloat
-    hist.map(_ / n)
+    byteHist(bytes, dims).map(_ / n)
   }
 
   /** Feature extraction as a partition-parallel typed map. The iterator →
@@ -86,13 +93,7 @@ object Multimodal {
       .as(Encoders.product[MediaItem])
     items.mapPartitions { it =>
       it.flatMap { m =>
-        val counts = new Array[Long](dims)
-        var i = 0
-        while (i < m.payload.length) {
-          counts(((m.payload(i) & 0xff) * dims) / 256) += 1
-          i += 1
-        }
-        counts.zipWithIndex.collect {
+        byteHist(m.payload, dims).zipWithIndex.collect {
           case (n, bkt) if n > 0 => ByteBucket(m.media_id, bkt, n)
         }
       }

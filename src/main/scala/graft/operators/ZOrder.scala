@@ -24,15 +24,21 @@ import org.apache.spark.sql.types.LongType
 object ZOrder {
 
   /** 64-bit Morton code of two non-negative 32-bit ints: bit i of `a` lands
-    * at position 2i+1, bit i of `b` at position 2i. */
+    * at position 2i+1, bit i of `b` at position 2i. Negative inputs raise at
+    * run time rather than silently producing a negative key (a sign-extended
+    * bit 31 would land at key bit 63, sorting those rows before everything
+    * and voiding the compact-rectangle guarantee the layout exists for). */
   def mortonKey(a: Column, b: Column): Column = {
     val al = a.cast(LongType)
     val bl = b.cast(LongType)
-    (0 until 32).foldLeft(lit(0L)) { (acc, i) =>
+    val key = (0 until 32).foldLeft(lit(0L)) { (acc, i) =>
       acc
         .bitwiseOR(shiftleft(shiftright(al, i).bitwiseAND(lit(1L)), 2 * i + 1))
         .bitwiseOR(shiftleft(shiftright(bl, i).bitwiseAND(lit(1L)), 2 * i))
     }
+    when(al < 0 || bl < 0,
+      raise_error(lit("mortonKey requires non-negative inputs")))
+      .otherwise(key)
   }
 
   /** Overwrite with a Z-ordered layout on (colA, colB): range-partition and

@@ -366,9 +366,13 @@ object Analytics {
   /** q116 share-of-total windows (RATIO_TO_REPORT): each nation's revenue as
     * ppm of its region's total and of the grand total — the percent-of-
     * parent rollup every BI layer asks of a star schema. Integer ppm via
-    * exact cents sums; the region window and the grand-total window reuse
-    * the one aggregated frame (25 rows), so the windows cost nothing after
-    * the single fact-side aggregate. */
+    * exact sums; the region window and the grand-total window reuse the one
+    * aggregated frame (25 rows), so the windows cost nothing after the
+    * single fact-side aggregate. The share arithmetic runs on whole DOLLARS
+    * (cents div 100), not cents: `x * 1e6` must stay inside 64 bits on BOTH
+    * engines, and dollars push the wrap point from ~9.2e12 cents/nation
+    * (≈ TPC-H sf10 — real) to ~9.2e12 dollars/nation (≈ sf1000 — not). The
+    * reported revenue stays exact cents. */
   def q116(spark: SparkSession, dir: String): DataFrame = {
     val l = Tables.load(spark, dir, "lineitem")
     val s = Tables.load(spark, dir, "supplier")
@@ -380,13 +384,14 @@ object Analytics {
       .join(r, n("n_regionkey") === r("r_regionkey"))
       .groupBy(col("r_name").as("region"), col("n_name").as("nation"))
       .agg(sum(cents(col("l_extendedprice"))).as("rev_cents"))
+      .withColumn("rev_usd", expr("rev_cents div 100"))
     perNation
-      .withColumn("region_cents",
-        sum("rev_cents").over(Window.partitionBy("region")))
-      .withColumn("total_cents",
-        sum("rev_cents").over(Window.partitionBy()))
-      .withColumn("share_region_ppm", expr("rev_cents * 1000000 div region_cents"))
-      .withColumn("share_total_ppm", expr("rev_cents * 1000000 div total_cents"))
+      .withColumn("region_usd",
+        sum("rev_usd").over(Window.partitionBy("region")))
+      .withColumn("total_usd",
+        sum("rev_usd").over(Window.partitionBy()))
+      .withColumn("share_region_ppm", expr("rev_usd * 1000000 div region_usd"))
+      .withColumn("share_total_ppm", expr("rev_usd * 1000000 div total_usd"))
       .select("region", "nation", "rev_cents", "share_region_ppm", "share_total_ppm")
       .orderBy("region", "nation")
   }
@@ -394,20 +399,21 @@ object Analytics {
   val q116Sql =
     """WITH pn AS (
       |  SELECT r.r_name AS region, n.n_name AS nation,
-      |    SUM(CAST(FLOOR(l.l_extendedprice * 100) AS BIGINT)) AS rev_cents
+      |    SUM(CAST(FLOOR(l.l_extendedprice * 100) AS BIGINT)) AS rev_cents,
+      |    SUM(CAST(FLOOR(l.l_extendedprice * 100) AS BIGINT)) // 100 AS rev_usd
       |  FROM lineitem l
       |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
       |  JOIN nation n ON s.s_nationkey = n.n_nationkey
       |  JOIN region r ON n.n_regionkey = r.r_regionkey
       |  GROUP BY r.r_name, n.n_name
       |), w AS (
-      |  SELECT *, SUM(rev_cents) OVER (PARTITION BY region) AS region_cents,
-      |    SUM(rev_cents) OVER () AS total_cents
+      |  SELECT *, SUM(rev_usd) OVER (PARTITION BY region) AS region_usd,
+      |    SUM(rev_usd) OVER () AS total_usd
       |  FROM pn
       |)
       |SELECT region, nation, CAST(rev_cents AS BIGINT) AS rev_cents,
-      |  CAST(rev_cents * 1000000 // region_cents AS BIGINT) AS share_region_ppm,
-      |  CAST(rev_cents * 1000000 // total_cents AS BIGINT) AS share_total_ppm
+      |  CAST(rev_usd * 1000000 // region_usd AS BIGINT) AS share_region_ppm,
+      |  CAST(rev_usd * 1000000 // total_usd AS BIGINT) AS share_total_ppm
       |FROM w ORDER BY region, nation""".stripMargin
 
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(

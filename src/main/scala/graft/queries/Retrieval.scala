@@ -146,24 +146,28 @@ object Retrieval {
     * engine-portable fixed-point integer arithmetic:
     *
     *   tfsat_x1e6 = ⌊1e6 · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))⌋
-    *   idf_x1e6   = ⌊1e6 · (2(N−df)+1) / (2df+1)⌋   (the Robertson–Sparck
+    *   idf_x1e3   = ⌊1e3 · (2(N−df)+1) / (2df+1)⌋   (the Robertson–Sparck
     *                Jones odds WITHOUT the log — a monotone rational
     *                surrogate, so ordering is preserved and the score is
     *                exact integer math both engines reproduce bit-for-bit)
-    *   score      = Σ_terms ⌊idf·tfsat / 1e6⌋
+    *   score_x1e6 = Σ_terms ⌊idf_x1e3·tfsat_x1e6 / 1e3⌋
     *
     * Plan shape: corpus stats (N, Σdl) are one tiny aggregate broadcast into
     * a per-(doc,term) tf aggregate that only materializes rows for the 3
     * query terms (the `isin` filter lands before the shuffle — the inverted-
     * index access path), df is a second 3-row aggregate, and the final top-10
-    * is TakeOrderedAndProject. Intermediates stay < 2^63 for corpora past
-    * 10^9 docs (idf < 2e6·N/df, tfsat < 2.2e6). */
+    * is TakeOrderedAndProject. 64-bit bounds (why idf is ×1e3 where the tf
+    * side is ×1e6): the hottest product idf_x1e3·tfsat_x1e6 ≤ 4.4e9·N/df —
+    * safe for any N/df ≤ 2.1e9, i.e. a 2-billion-doc corpus with a df=1
+    * term; per-row terms need dl ≤ 9.2e9 tokens and tf ≤ 4.2e6, and Σdl·1e3
+    * caps the corpus at 9.2e15 tokens. Each a documented bound, not a
+    * silent wrap point hit at realistic scale. */
   def q109(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.parallelized(Tables.load(spark, dir, "documents"))
       .select(col("doc_id"), T.tokens(col("text")).as("w"))
       .select(col("doc_id"), col("w"), size(col("w")).cast(LongType).as("dl"))
     val stats = docs.agg(count(lit(1)).as("n_docs"), sum("dl").as("total_dl"))
-      .withColumn("avgdl_x1e6", expr("total_dl * 1000000 div n_docs"))
+      .withColumn("avgdl_x1e3", expr("total_dl * 1000 div n_docs"))
     val tf = docs
       .select(col("doc_id"), col("dl"), explode(col("w")).as("term"))
       .filter(col("term").isin(QueryTerms: _*))
@@ -172,14 +176,14 @@ object Retrieval {
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     tf.join(broadcast(dfreq), "term")
       .crossJoin(broadcast(stats))
-      .withColumn("ratio_x1e6", expr("dl * 1000000000000 div avgdl_x1e6"))
+      .withColumn("ratio_x1e6", expr("dl * 1000000000 div avgdl_x1e3"))
       .withColumn("denom_x1e6",
         expr("tf * 1000000 + (12 * (250000 + ratio_x1e6 * 75 div 100)) div 10"))
       .withColumn("tfsat_x1e6", expr("tf * 2200000000000 div denom_x1e6"))
-      .withColumn("idf_x1e6",
-        expr("(2 * (n_docs - df) + 1) * 1000000 div (2 * df + 1)"))
+      .withColumn("idf_x1e3",
+        expr("(2 * (n_docs - df) + 1) * 1000 div (2 * df + 1)"))
       .groupBy("doc_id", "dl")
-      .agg(sum(expr("idf_x1e6 * tfsat_x1e6 div 1000000")).as("score_x1e6"),
+      .agg(sum(expr("idf_x1e3 * tfsat_x1e6 div 1000")).as("score_x1e6"),
         count(lit(1)).as("n_terms_hit"))
       .orderBy(desc("score_x1e6"), col("doc_id"))
       .limit(10)
@@ -192,7 +196,7 @@ object Retrieval {
       |  SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM docs
       |), stats AS (
       |  SELECT COUNT(*) AS n_docs, SUM(dl) AS total_dl,
-      |    SUM(dl) * 1000000 // COUNT(*) AS avgdl_x1e6
+      |    SUM(dl) * 1000 // COUNT(*) AS avgdl_x1e3
       |  FROM d
       |), tf AS (
       |  SELECT doc_id, dl, term, COUNT(*) AS tf FROM (
@@ -204,14 +208,14 @@ object Retrieval {
       |  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
       |), scored AS (
       |  SELECT tf.doc_id, tf.dl,
-      |    (2 * (s.n_docs - dfreq.df) + 1) * 1000000 // (2 * dfreq.df + 1) AS idf_x1e6,
+      |    (2 * (s.n_docs - dfreq.df) + 1) * 1000 // (2 * dfreq.df + 1) AS idf_x1e3,
       |    tf.tf * 2200000000000 // (tf.tf * 1000000 +
-      |      (12 * (250000 + (tf.dl * 1000000000000 // s.avgdl_x1e6) * 75 // 100)) // 10)
+      |      (12 * (250000 + (tf.dl * 1000000000 // s.avgdl_x1e3) * 75 // 100)) // 10)
       |      AS tfsat_x1e6
       |  FROM tf JOIN dfreq USING (term) CROSS JOIN stats s
       |)
       |SELECT doc_id, dl,
-      |  CAST(SUM(idf_x1e6 * tfsat_x1e6 // 1000000) AS BIGINT) AS score_x1e6,
+      |  CAST(SUM(idf_x1e3 * tfsat_x1e6 // 1000) AS BIGINT) AS score_x1e6,
       |  COUNT(*) AS n_terms_hit
       |FROM scored GROUP BY doc_id, dl
       |ORDER BY score_x1e6 DESC, doc_id LIMIT 10""".stripMargin
@@ -286,13 +290,16 @@ object Retrieval {
     * weights ride into codegen as constants (a real model's coefficient
     * vector broadcasts); nothing here shuffles except the final 4-row agg. */
   def q111(spark: SparkSession, dir: String): DataFrame = {
-    val w = split(col("text"), " ")
+    // split once; stopword occurrences are counted by size-difference under
+    // array_remove — plain codegen'd collection expressions, no HOF lambda
+    // on the full-corpus scan (the engine's no-interpreted-hot-loop rule)
     Tables.load(spark, dir, "documents")
-      .withColumn("n_tokens", size(w).cast(LongType))
+      .withColumn("w", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("w")).cast(LongType))
       .withColumn("distinct_ppm",
-        expr("cast(size(array_distinct(split(text, ' '))) as bigint) * 1000000 div n_tokens"))
+        expr("cast(size(array_distinct(w)) as bigint) * 1000000 div n_tokens"))
       .withColumn("stop_ppm",
-        expr("cast(size(filter(split(text, ' '), t -> t = 'the' OR t = 'a')) as bigint) * 1000000 div n_tokens"))
+        expr("cast(2 * size(w) - size(array_remove(w, 'the')) - size(array_remove(w, 'a')) as bigint) * 1000000 div n_tokens"))
       .withColumn("logit_x1e6",
         lit(W0) + lit(WLen) * col("n_tokens") +
           lit(WDistinct) * col("distinct_ppm") + lit(WStop) * col("stop_ppm"))

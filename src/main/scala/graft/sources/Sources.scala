@@ -39,6 +39,21 @@ object Sources {
     "mode" -> "PERMISSIVE",
     "columnNameOfCorruptRecord" -> CorruptCol)
 
+  /** Expand the parsed struct, with a backstop for the parser's blind spot:
+    * `from_json` returns a NULL struct (corrupt column unset) for blank or
+    * literal-`null` lines rather than capturing them, which would otherwise
+    * surface as all-null CLEAN rows — exactly the "malformed rows vanish"
+    * failure this module exists to prevent. A null struct (or a blank line)
+    * quarantines the raw line like any other malformed row. */
+  private def expandParsed(parsed: DataFrame, schema: StructType): DataFrame = {
+    val fields = schema.fields.map(f => col("r").getField(f.name).as(f.name))
+    val corrupt = coalesce(
+      col("r").getField(CorruptCol),
+      when(col("r").isNull || trim(col("value")) === "", col("value")))
+      .as(CorruptCol)
+    parsed.select(fields :+ corrupt: _*)
+  }
+
   /** CSV with a `fieldNames.mkString(",")` header convention, explicit
     * schema, malformed rows captured. Header lines are removed by value —
     * per-file first-line bookkeeping doesn't exist once a file is split
@@ -46,18 +61,22 @@ object Sources {
     * schema. */
   def csv(spark: SparkSession, path: String, schema: StructType): DataFrame = {
     val header = schema.fieldNames.mkString(",")
-    spark.read.text(path)
-      .filter(col("value") =!= lit(header))
-      .select(from_csv(col("value"), withCorrupt(schema), parseOpts).as("r"))
-      .select(col("r.*"))
+    expandParsed(
+      spark.read.text(path)
+        .filter(col("value") =!= lit(header))
+        .select(col("value"),
+          from_csv(col("value"), withCorrupt(schema), parseOpts).as("r")),
+      schema)
   }
 
   /** JSON Lines (one object per line), explicit schema, malformed rows
     * captured. */
   def jsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
-    spark.read.text(path)
-      .select(from_json(col("value"), withCorrupt(schema), parseOpts).as("r"))
-      .select(col("r.*"))
+    expandParsed(
+      spark.read.text(path)
+        .select(col("value"),
+          from_json(col("value"), withCorrupt(schema), parseOpts).as("r")),
+      schema)
 
   /** Streaming twin of [[jsonl]]: the same explicit-schema parse with
     * corrupt capture over a file-source text stream, so a landing directory
@@ -66,9 +85,11 @@ object Sources {
     * [[splitCorrupt]] in `foreachBatch`. Tested end-to-end in
     * StreamingSpec. */
   def jsonlStream(spark: SparkSession, path: String, schema: StructType): DataFrame =
-    spark.readStream.text(path)
-      .select(from_json(col("value"), withCorrupt(schema), parseOpts).as("r"))
-      .select(col("r.*"))
+    expandParsed(
+      spark.readStream.text(path)
+        .select(col("value"),
+          from_json(col("value"), withCorrupt(schema), parseOpts).as("r")),
+      schema)
 
   /** (clean rows with the declared schema, quarantined raw lines). The clean
     * side drops the capture column; the corrupt side keeps only the raw

@@ -220,6 +220,15 @@ class OperatorSemanticsSpec extends AnyFunSuite {
       "z-order should at least halve the secondary dimension's file span")
   }
 
+  test("mortonKey raises on negative inputs instead of producing a broken layout") {
+    import graft.operators.ZOrder
+    val df = Seq((-1, 5), (3, 4)).toDF("a", "b")
+    val e = intercept[Exception] {
+      df.select(ZOrder.mortonKey(col("a"), col("b"))).collect()
+    }
+    assert(e.getMessage.contains("non-negative"), e.getMessage)
+  }
+
   test("compact: small-file sink rewritten to byte-targeted file count, data intact") {
     import graft.operators.Load
     val dir = java.nio.file.Files.createTempDirectory("compact").toString

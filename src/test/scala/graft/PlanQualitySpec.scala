@@ -194,6 +194,11 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("lambdafunction"), p)
   }
 
+  test("q111: the full-corpus quality gate carries no interpreted HOF lambda") {
+    val p = plan("q111_quality_logit")
+    assert(!p.contains("lambdafunction"), p)
+  }
+
   test("runtime bloom-filter pruning injects on a selective dim → fact shuffle join") {
     // At 100 TB a selective dimension filter should prune the fact scan
     // BEFORE the shuffle — Spark's runtime bloom filter does exactly that.

@@ -96,7 +96,8 @@ class RetrievalSpec extends AnyFunSuite {
       val dot = a.zip(b).map { case (x, y) => x * y }.sum
       val cos2 = dot * dot /
         (a.map(x => x * x).sum * b.map(x => x * x).sum)
-      val got = r.getLong(2) / 1e6 * (if (dot >= 0) 1 else -1)
+      // score_x1e6 is already signed; compare directly with signum(dot)·cos²
+      val got = r.getLong(2) / 1e6
       assert(math.abs(got - math.signum(dot) * cos2) < 0.05,
         s"pair ${r.getLong(0)},${r.getLong(1)}: quantized $got vs exact $cos2")
     }

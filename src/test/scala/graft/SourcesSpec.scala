@@ -108,6 +108,22 @@ class SourcesSpec extends AnyFunSuite {
     assert(bad.map(_.getString(0)).exists(_.contains("unterminated")))
   }
 
+  test("blank and literal-null JSONL lines are quarantined, never all-null clean rows") {
+    val dir = s"$tmp/blank_jsonl"
+    import spark.implicits._
+    Seq("""{"n_nationkey":1,"n_name":"ALGERIA","n_regionkey":0}""",
+      "",              // blank line: from_json returns a NULL struct, corrupt unset
+      "null",          // literal JSON null: same parser blind spot
+      "   ",           // whitespace-only
+      """{"n_nationkey":2,"n_name":"BRAZIL","n_regionkey":1}""")
+      .toDF("value").coalesce(1).write.mode("overwrite").text(dir)
+    val (clean, bad) = Sources.splitCorrupt(Sources.jsonl(spark, dir, schema))
+    assert(clean.count() == 2)
+    assert(!clean.collect().exists(r => (0 until r.length).forall(r.isNullAt)),
+      "an all-null row leaked into the clean frame")
+    assert(bad.count() == 3)
+  }
+
   test("empty input writes nothing for both text sinks") {
     val empty = nation.filter(lit(false))
     assert(!Sources.writeCsv(empty, s"$tmp/never_csv"))
