@@ -224,10 +224,58 @@ object Corpus {
       |SELECT doc_id, source, n_chars, cum_chars FROM c
       |WHERE cum_chars <= 20000 ORDER BY doc_id""".stripMargin
 
+  /** q118 dataset card — the per-(source, split) publication rollup every
+    * released training set ships: document counts, exact token totals,
+    * quality-gate pass counts (the q33 heuristics), and a language tally,
+    * under the q54 deterministic md5 split. One scan, one partial-agg
+    * shuffle on (source, split); at 100 TB this is the cheap audit you run
+    * after every corpus rebuild, so it must never cost more than one pass. */
+  def q118(spark: SparkSession, dir: String): DataFrame = {
+    val t = col("text")
+    val spaces = length(t) - length(regexp_replace(t, " ", ""))
+    val toks = (spaces + 1).cast(LongType)
+    val awl = floor(lit(100.0) * (length(t) - spaces) / toks)
+    Tables.load(spark, dir, "documents")
+      .withColumn("split",
+        when(T.hashBucket(col("doc_id"), 10) === 0, "val").otherwise("train"))
+      .withColumn("n_tokens", toks)
+      .withColumn("quality_ok",
+        (toks >= 5 && toks <= 1000 && awl >= 200 && awl <= 1500).cast(IntegerType))
+      .groupBy("source", "split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("tokens"),
+        sum("quality_ok").cast(LongType).as("n_quality_ok"),
+        countDistinct(col("lang")).as("n_langs"))
+      .orderBy("source", "split")
+  }
+
+  val q118Sql =
+    """WITH d AS (
+      |  SELECT source, lang,
+      |    CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 10 = 0
+      |      THEN 'val' ELSE 'train' END AS split,
+      |    length(text) - length(replace(text, ' ', '')) AS spaces,
+      |    length(replace(text, ' ', '')) AS nonspace
+      |  FROM documents
+      |), f AS (
+      |  SELECT source, split, lang,
+      |    CAST(spaces + 1 AS BIGINT) AS n_tokens,
+      |    CAST(spaces + 1 BETWEEN 5 AND 1000
+      |      AND FLOOR(100.0 * nonspace / (spaces + 1)) BETWEEN 200 AND 1500
+      |      AS INTEGER) AS quality_ok
+      |  FROM d
+      |)
+      |SELECT source, split, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_tokens) AS BIGINT) AS tokens,
+      |  CAST(SUM(quality_ok) AS BIGINT) AS n_quality_ok,
+      |  COUNT(DISTINCT lang) AS n_langs
+      |FROM f GROUP BY source, split ORDER BY source, split""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q81_pack_sequences", q81 _, Some(q81Sql)),
     ("q82_priority_sample", q82 _, Some(q82Sql)),
     ("q83_winsorize", q83 _, Some(q83Sql)),
     ("q84_shuffle_shards", q84 _, Some(q84Sql)),
-    ("q85_budget_select", q85 _, Some(q85Sql)))
+    ("q85_budget_select", q85 _, Some(q85Sql)),
+    ("q118_dataset_card", q118 _, Some(q118Sql)))
 }
