@@ -111,4 +111,28 @@ object Sources {
     if (df.isEmpty) false
     else { df.write.mode("overwrite").json(path); true }
   }
+
+  /** ORC, the second columnar format next to parquet (stripe-level min/max
+    * statistics, same pushdown story). Explicit schema on read, as always. */
+  def orc(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).orc(path)
+
+  def writeOrc(df: DataFrame, path: String): Boolean = {
+    if (df.isEmpty) false
+    else { df.write.mode("overwrite").orc(path); true }
+  }
+
+  /** Evolved-schema read over a parquet directory written in generations
+    * (old files missing newer columns): per-file footers merge into the
+    * union schema and missing columns surface as NULL — the contract a
+    * long-lived 100 TB table relies on when a column is added without
+    * rewriting history. */
+  def parquetMerged(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
+
+  /** Union two generations of a frame by NAME, tolerating added columns
+    * (missing side filled with NULL) — the in-flight analog of
+    * [[parquetMerged]]; positional union would silently mis-align. */
+  def unionEvolved(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b, allowMissingColumns = true)
 }

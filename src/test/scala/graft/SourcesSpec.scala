@@ -124,9 +124,36 @@ class SourcesSpec extends AnyFunSuite {
     assert(bad.count() == 3)
   }
 
+  test("ORC round-trip preserves rows and declared schema") {
+    assert(Sources.writeOrc(nation, s"$tmp/nation_orc"))
+    val back = Sources.orc(spark, s"$tmp/nation_orc", schema)
+    assert(back.schema == schema)
+    assert(back.collect().toSet == nation.collect().toSet)
+  }
+
+  test("schema evolution: merged parquet read and unionByName fill missing columns with NULL") {
+    import spark.implicits._
+    val dir = s"$tmp/evolve"
+    val v1 = Seq((1L, "alpha"), (2L, "beta")).toDF("id", "name")
+    val v2 = Seq((3L, "gamma", 9.5)).toDF("id", "name", "score")
+    v1.write.mode("overwrite").parquet(dir)
+    v2.write.mode("append").parquet(dir)
+    val merged = Sources.parquetMerged(spark, dir)
+    assert(merged.columns.sorted.toSeq == Seq("id", "name", "score"))
+    assert(merged.count() == 3)
+    // generation-1 rows surface the new column as NULL, not as an error
+    assert(merged.filter(col("id") === 1L).select("score").collect().head.isNullAt(0))
+    assert(merged.filter(col("id") === 3L).select("score").collect().head.getDouble(0) == 9.5)
+    // the in-flight analog
+    val u = Sources.unionEvolved(v1, v2)
+    assert(u.columns.sorted.toSeq == Seq("id", "name", "score") && u.count() == 3)
+    assert(u.filter(col("id") === 2L).select("score").collect().head.isNullAt(0))
+  }
+
   test("empty input writes nothing for both text sinks") {
     val empty = nation.filter(lit(false))
     assert(!Sources.writeCsv(empty, s"$tmp/never_csv"))
     assert(!Sources.writeJsonl(empty, s"$tmp/never_jsonl"))
+    assert(!Sources.writeOrc(empty, s"$tmp/never_orc"))
   }
 }
