@@ -377,6 +377,56 @@ object Retrieval {
       |    AS chunk_fp
       |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
 
+  /** q119 chunk-level duplication rate — what the q114 fingerprints exist
+    * FOR: the fraction of each source's chunks whose exact content recurs
+    * elsewhere in the corpus (the chunk-granular analog of q26's document
+    * dedup, and the number a RAG index quotes when deciding whether to
+    * dedup before embedding). Chunks reuse q114's plan verbatim; the
+    * duplicate set is one aggregate on the 60-bit fingerprint (no text
+    * re-comparison), semi-joined back — candidates ∝ duplicates, never
+    * corpus². */
+  def q119(spark: SparkSession, dir: String): DataFrame = {
+    val chunks = q114(spark, dir)
+      .join(Tables.load(spark, dir, "documents").select("doc_id", "source"), "doc_id")
+    val dupFps = chunks.groupBy("chunk_fp").count()
+      .filter(col("count") >= 2).select("chunk_fp")
+    val totals = chunks.groupBy("source").agg(count(lit(1)).as("n_chunks"))
+    val dups = chunks.join(dupFps, Seq("chunk_fp"), "left_semi")
+      .groupBy("source").agg(count(lit(1)).as("n_dup_chunks"))
+    totals // left join: a source with ZERO duplicated chunks still reports
+      .join(dups, Seq("source"), "left")
+      .withColumn("n_dup_chunks", coalesce(col("n_dup_chunks"), lit(0L)))
+      .withColumn("dup_ppm", expr("n_dup_chunks * 1000000 div n_chunks"))
+      .select("source", "n_chunks", "n_dup_chunks", "dup_ppm")
+      .orderBy("source")
+  }
+
+  val q119Sql =
+    s"""WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      |), s AS (
+      |  SELECT doc_id, w, unnest(range(1, len(w) + 1, $ChunkStride)) AS start
+      |  FROM t
+      |), c AS (
+      |  SELECT doc_id,
+      |    CAST('0x' || substr(md5(array_to_string(
+      |      list_slice(w, start, LEAST(start + ${ChunkSize - 1}, len(w))), ' ')), 1, 15)
+      |      AS BIGINT) AS chunk_fp
+      |  FROM s
+      |), j AS (
+      |  SELECT d.source, c.chunk_fp FROM c JOIN documents d USING (doc_id)
+      |), dup AS (
+      |  SELECT chunk_fp FROM c GROUP BY chunk_fp HAVING COUNT(*) >= 2
+      |), agg AS (
+      |  SELECT source, COUNT(*) AS n_chunks,
+      |    CAST(SUM(CASE WHEN chunk_fp IN (SELECT chunk_fp FROM dup)
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks
+      |  FROM j GROUP BY source
+      |)
+      |SELECT source, n_chunks, n_dup_chunks,
+      |  CAST(n_dup_chunks * 1000000 // n_chunks AS BIGINT) AS dup_ppm
+      |FROM agg ORDER BY source""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q106_dup_passages", q106 _, Some(q106Sql)),
     ("q107_interval_union", q107 _, Some(q107Sql)),
@@ -384,5 +434,6 @@ object Retrieval {
     ("q109_bm25_topk", q109 _, Some(q109Sql)),
     ("q110_allpairs_cosine", q110 _, Some(q110Sql)),
     ("q111_quality_logit", q111 _, Some(q111Sql)),
-    ("q114_chunk_documents", q114 _, Some(q114Sql)))
+    ("q114_chunk_documents", q114 _, Some(q114Sql)),
+    ("q119_chunk_dup_rate", q119 _, Some(q119Sql)))
 }
