@@ -199,6 +199,23 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("lambdafunction"), p)
   }
 
+  test("q114: chunking is a pure generator pipeline — zero keyed shuffles") {
+    val p = plan("q114_chunk_documents")
+    assert(p.contains("Generate"), p)
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashExchanges == 0, s"expected 0 keyed shuffles, got $hashExchanges\n$p")
+  }
+
+  test("q119: duplicate filtering is a semi-join on the fingerprint, not a re-compare") {
+    val p = plan("q119_chunk_dup_rate")
+    assert(p.contains("LeftSemi"), p)
+  }
+
+  test("q117: byte-bucket rollup combines map-side before the shuffle") {
+    val p = plan("q117_byte_histogram")
+    assert(p.contains("partial_count"), p)
+  }
+
   test("runtime bloom-filter pruning injects on a selective dim → fact shuffle join") {
     // At 100 TB a selective dimension filter should prune the fact scan
     // BEFORE the shuffle — Spark's runtime bloom filter does exactly that.
