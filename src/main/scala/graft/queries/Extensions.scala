@@ -352,6 +352,32 @@ object Extensions {
       | AND p.tms >= v.tms AND p.tms <= v.tms + 3600000
       |ORDER BY view_id, purchase_id""".stripMargin
 
+  /** q120 abandoned views — batch replay of the LEFT OUTER stream-stream
+    * join ([[graft.streaming.EventStream.unconvertedViews]]): every view
+    * with its in-window purchases, unconverted views carrying a NULL
+    * purchase_id. The SAME plan the streaming deployment runs (watermarks
+    * are a no-op on a batch frame); the oracle is a plain time-range LEFT
+    * JOIN. Streaming-mode state expiry for the null rows is asserted in
+    * StreamingSpec. */
+  def q120(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.load(spark, dir, "events")
+      .withColumn("ts", timestamp_millis(unix_millis(col("ts"))))
+    graft.streaming.EventStream.unconvertedViews(events, withinMinutes = 60)
+      .orderBy("view_id", "purchase_id")
+  }
+
+  val q120Sql =
+    """WITH e AS (
+      |  SELECT event_id, user_id, event_type, epoch_ms(ts) AS tms FROM events
+      |)
+      |SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id
+      |FROM e v LEFT JOIN e p
+      |  ON p.user_id = v.user_id
+      | AND p.event_type = 'purchase'
+      | AND p.tms >= v.tms AND p.tms <= v.tms + 3600000
+      |WHERE v.event_type = 'view'
+      |ORDER BY view_id, purchase_id""".stripMargin
+
   /** q96 PII masking: digit runs in customer names replaced with 'X' plus a
     * per-row count of masked characters — the redaction primitive a privacy
     * scrub runs before a corpus leaves the trust boundary. A narrow
@@ -538,5 +564,6 @@ object Extensions {
     ("q99_minhash_portable", q99 _, Some(q99Sql)),
     ("q100_frame_sample", q100 _, Some(q100Sql)),
     ("q103_knn_ivfpq", q103 _, None),
-    ("q117_byte_histogram", q117 _, Some(q117Sql)))
+    ("q117_byte_histogram", q117 _, Some(q117Sql)),
+    ("q120_abandoned_views", q120 _, Some(q120Sql)))
 }

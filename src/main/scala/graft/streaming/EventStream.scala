@@ -158,6 +158,33 @@ object EventStream {
       .select(col("user_id"), col("view_id"), col("purchase_id"))
   }
 
+  /** LEFT OUTER twin of [[conversions]] — the abandonment funnel: every view
+    * pairs with its in-window purchases, and a view with NO purchase emits
+    * once with a NULL purchase_id. In streaming mode that null row can only
+    * be produced when the watermark passes the view's join window (until
+    * then a matching purchase could still arrive), so this is the state-
+    * expiry semantics of an outer stream-stream join — asserted across
+    * triggers in StreamingSpec. Batch-replayed (same plan, watermark a
+    * no-op) under the DuckDB oracle as q120. */
+  def unconvertedViews(events: DataFrame, withinMinutes: Int = 60): DataFrame = {
+    val wm = s"${math.max(120, withinMinutes)} minutes"
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"),
+        col("ts").as("view_ts"))
+      .withWatermark("view_ts", wm)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"),
+        col("event_id").as("purchase_id"), col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", wm)
+    views.join(purchases,
+        col("user_id") === col("p_user_id") &&
+          col("purchase_ts") >= col("view_ts") &&
+          col("purchase_ts") <=
+            col("view_ts") + expr(s"INTERVAL $withinMinutes MINUTES"),
+        "leftOuter")
+      .select(col("user_id"), col("view_id"), col("purchase_id"))
+  }
+
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
   final case class SessionState(start: Long, last: Long, n: Int)

@@ -28,6 +28,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("outer stream-stream join: unmatched views emit NULL only after state expiry") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("outer_join").toString
+    def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
+    def write(rows: Seq[(Long, java.sql.Timestamp, Long, String, Double, String)]) =
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("append").parquet(s"$base/in")
+
+    // trigger 1: user 1 converts inside the 60-min window; user 2 does not
+    write(Seq((10L, ts(10), 1L, "view", 0.0, "{}"),
+      (11L, ts(30), 1L, "purchase", 9.0, "{}"),
+      (20L, ts(15), 2L, "view", 0.0, "{}")))
+    val schema = Tables.load(spark, sf, "events").schema
+    val stream = EventStream.unconvertedViews(
+      spark.readStream.schema(schema).parquet(s"$base/in"), withinMinutes = 60)
+    val q = stream.writeStream
+      .option("checkpointLocation", s"$base/ckpt")
+      .format("memory").queryName("outer_out").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val early = spark.table("outer_out").collect()
+      // the match emits eagerly; user 2's null row CANNOT have emitted yet —
+      // a purchase could still arrive inside its window
+      assert(early.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 10L)))
+      assert(early.forall(!_.isNullAt(2)))
+      // trigger 2 advances the watermark far past view 20's join window;
+      // trigger 3 gives the expired state a batch to emit in
+      write(Seq((90L, ts(600), 9L, "view", 0.0, "{}")))
+      q.processAllAvailable()
+      write(Seq((91L, ts(610), 9L, "purchase", 1.0, "{}")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("outer_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    assert(rows.contains((2L, 20L, -1L)),
+      s"expired unmatched view must emit with NULL purchase: $rows")
+    assert(rows.contains((1L, 10L, 11L)) && rows.contains((9L, 90L, 91L)))
+  }
+
   test("streaming sliding-window agg == batch sliding-window agg (q63)") {
     val stream = EventStream.slidingAgg(EventStream.readEvents(spark, sf))
     val q = stream.writeStream
