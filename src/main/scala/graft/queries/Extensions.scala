@@ -5,6 +5,7 @@ import graft.ann.{Knn, Pq}
 import graft.dedup.Dedup
 import graft.functions.{TextFunctions => T}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -194,6 +195,48 @@ object Extensions {
        |    WHEN $fr > 0 THEN 'fr'
        |    ELSE 'und' END = lang AS INTEGER) AS agree
        |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  /** q121 lang-ID confusion matrix — the evaluation rollup every deployed
+    * classifier publishes: per (labeled, predicted) cell counts with row
+    * shares in exact ppm, over the q34 scorer. One scan + one tiny-key
+    * aggregate; precision/recall for any language are exact ratios of these
+    * cells, so this IS the model-eval artifact, not a step toward it. */
+  def q121(spark: SparkSession, dir: String): DataFrame = {
+    val t = col("text")
+    val perLabel = Window.partitionBy("lang")
+    Tables.load(spark, dir, "documents")
+      .select(col("lang"), T.langId(t).as("predicted"))
+      .groupBy("lang", "predicted")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("label_total", sum("n").over(perLabel))
+      .withColumn("share_ppm", expr("n * 1000000 div label_total"))
+      .select("lang", "predicted", "n", "label_total", "share_ppm")
+      .orderBy("lang", "predicted")
+  }
+
+  val q121Sql = {
+    def occ(w: String) =
+      s"CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' $w ', ''))) / ${w.length + 2} AS BIGINT)"
+    val en = s"(${occ("the")} + ${occ("and")} + ${occ("of")})"
+    val de = s"(${occ("der")} + ${occ("und")} + ${occ("nicht")})"
+    val fr = s"(${occ("le")} + ${occ("et")} + ${occ("les")})"
+    s"""WITH p AS (
+       |  SELECT lang,
+       |    CASE
+       |      WHEN $en >= $de AND $en >= $fr AND $en > 0 THEN 'en'
+       |      WHEN $de >= $fr AND $de > 0 THEN 'de'
+       |      WHEN $fr > 0 THEN 'fr'
+       |      ELSE 'und' END AS predicted
+       |  FROM documents
+       |), c AS (
+       |  SELECT lang, predicted, COUNT(*) AS n FROM p GROUP BY 1, 2
+       |), w AS (
+       |  SELECT *, SUM(n) OVER (PARTITION BY lang) AS label_total FROM c
+       |)
+       |SELECT lang, predicted, n, CAST(label_total AS BIGINT) AS label_total,
+       |  CAST(n * 1000000 // label_total AS BIGINT) AS share_ppm
+       |FROM w ORDER BY lang, predicted""".stripMargin
   }
 
   /** q35 document fingerprints — all three columns engine-portable md5
@@ -565,5 +608,6 @@ object Extensions {
     ("q100_frame_sample", q100 _, Some(q100Sql)),
     ("q103_knn_ivfpq", q103 _, None),
     ("q117_byte_histogram", q117 _, Some(q117Sql)),
-    ("q120_abandoned_views", q120 _, Some(q120Sql)))
+    ("q120_abandoned_views", q120 _, Some(q120Sql)),
+    ("q121_langid_confusion", q121 _, Some(q121Sql)))
 }
