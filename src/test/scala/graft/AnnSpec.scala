@@ -87,6 +87,33 @@ class AnnSpec extends AnyFunSuite {
     assert(recall >= 6, s"IVF-PQ recall too low: $recall/10 (ivfpq=$ivfpq exact=$exactL2)")
   }
 
+  test("persisted IVF-PQ index: query from disk == direct path; probes prune partitions") {
+    val path = java.nio.file.Files.createTempDirectory("ivfpq_index").toString
+    val model = graft.ann.IvfPqIndex.build(spark, embs, path, dim = 64,
+      nClusters = 8)
+    // the saved model round-trips exactly
+    val loaded = graft.ann.IvfPqIndex.loadModel(spark, path)
+    assert(loaded.centroids.map(_._1).toSeq == model.centroids.map(_._1).toSeq)
+    assert(loaded.centroids.zip(model.centroids)
+      .forall { case ((_, a), (_, b)) => a.toSeq == b.toSeq })
+    assert(loaded.codebooks.flatten.flatten.toSeq ==
+      model.codebooks.flatten.flatten.toSeq)
+    // serving from the persisted index reproduces the direct in-flight path
+    // (training is deterministic, so both sides carry the same model)
+    val fromIndex = graft.ann.IvfPqIndex.query(spark, path, embs, q,
+      excludeId = 0L, topK = 10, dim = 64)
+    val direct = IvfPq.ivfPqTopK(embs, q, excludeId = 0L, topK = 10,
+      dim = 64, nClusters = 8)
+    assert(fromIndex.collect().map(_.toSeq).toSeq ==
+      direct.collect().map(_.toSeq).toSeq)
+    // the probed-list scan is partition-pruned on cid — the property that
+    // makes a billion-vector probe read m bytes/row of ONE list, not all
+    val codesScan = graft.ann.IvfPqIndex.codes(spark, path)
+      .filter(org.apache.spark.sql.functions.col("cid") === model.centroids.head._1)
+    val plan = codesScan.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(cid"), plan)
+  }
+
   test("PQ codebooks: m×k entries of subspace width, empty codes keep old centroids") {
     val cbs = Pq.pqTrain(embs, dim = 64, m = 8, k = 16, iters = 2)
     assert(cbs.length == 8)
