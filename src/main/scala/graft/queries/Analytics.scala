@@ -416,6 +416,48 @@ object Analytics {
       |  CAST(rev_usd * 1000000 // total_usd AS BIGINT) AS share_total_ppm
       |FROM w ORDER BY region, nation""".stripMargin
 
+  /** q122 market-basket pair mining — top co-occurring part pairs across
+    * orders, with support in exact ppm of total orders. The pair explosion
+    * is an equi-self-join ON THE ORDER KEY, so it scales with Σ basket²
+    * (baskets are bounded — ≤7 lines in TPC-H shape), never corpus²; the
+    * distinct-per-order guard runs BEFORE pairing so duplicate part lines
+    * don't inflate support. One shuffle for the self-join (both sides share
+    * the orderkey partitioning), one for the pair count, top-20 via
+    * TakeOrderedAndProject. */
+  def q122(spark: SparkSession, dir: String): DataFrame = {
+    val items = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("okey"), col("l_partkey").as("part"))
+      .distinct()
+    val nOrders = Tables.load(spark, dir, "orders")
+      .agg(count(lit(1)).as("n_orders"))
+    val a = items.select(col("okey"), col("part").as("part_a"))
+    val b = items.select(col("okey").as("okey_b"), col("part").as("part_b"))
+    a.join(b, col("okey") === col("okey_b") && col("part_a") < col("part_b"))
+      .groupBy("part_a", "part_b")
+      .agg(count(lit(1)).as("n_baskets"))
+      .crossJoin(broadcast(nOrders))
+      .withColumn("support_ppm", expr("n_baskets * 1000000 div n_orders"))
+      .select("part_a", "part_b", "n_baskets", "support_ppm")
+      .orderBy(desc("n_baskets"), col("part_a"), col("part_b"))
+      .limit(20)
+  }
+
+  val q122Sql =
+    """WITH items AS (
+      |  SELECT DISTINCT l_orderkey AS okey, l_partkey AS part FROM lineitem
+      |), n AS (
+      |  SELECT COUNT(*) AS n_orders FROM orders
+      |), pairs AS (
+      |  SELECT a.part AS part_a, b.part AS part_b, COUNT(*) AS n_baskets
+      |  FROM items a JOIN items b
+      |    ON a.okey = b.okey AND a.part < b.part
+      |  GROUP BY 1, 2
+      |)
+      |SELECT part_a, part_b, n_baskets,
+      |  CAST(n_baskets * 1000000 // n.n_orders AS BIGINT) AS support_ppm
+      |FROM pairs CROSS JOIN n
+      |ORDER BY n_baskets DESC, part_a, part_b LIMIT 20""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q69_unpivot", q69 _, Some(q69Sql)),
     ("q70_islands", q70 _, Some(q70Sql)),
@@ -429,7 +471,8 @@ object Analytics {
     ("q78_bool_aggs", q78 _, Some(q78Sql)),
     ("q79_text_normalize", q79 _, Some(q79Sql)),
     ("q115_string_agg", q115 _, Some(q115Sql)),
-    ("q116_share_of_total", q116 _, Some(q116Sql)))
+    ("q116_share_of_total", q116 _, Some(q116Sql)),
+    ("q122_basket_pairs", q122 _, Some(q122Sql)))
 }
 
 /** Typed input/buffer rows for [[WeightedCents]] — top-level case classes so
