@@ -458,6 +458,64 @@ object Analytics {
       |FROM pairs CROSS JOIN n
       |ORDER BY n_baskets DESC, part_a, part_b LIMIT 20""".stripMargin
 
+  /** q123 association rules over the q122 pairs — confidence and lift in
+    * exact fixed point:
+    *
+    *   confidence(a→b)_ppm = ⌊1e6·n_ab / n_a⌋
+    *   lift_x1e6           = ⌊⌊1e6·n_ab / n_a⌋·n_orders / n_b⌋
+    *
+    * (the nested-floor form keeps every intermediate ≤ 1e6·n_orders, safe in
+    * 64 bits to ~9.2e12 orders; a single-expression n_ab·n_orders·1e6 wraps
+    * at billions). Per-part supports broadcast into the pair aggregate; the
+    * top-20 by lift surfaces genuinely associated pairs rather than merely
+    * popular ones — the difference between co-occurrence and association. */
+  def q123(spark: SparkSession, dir: String): DataFrame = {
+    val items = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("okey"), col("l_partkey").as("part"))
+      .distinct()
+    val nOrders = Tables.load(spark, dir, "orders")
+      .agg(count(lit(1)).as("n_orders"))
+    val partSupport = items.groupBy("part").agg(count(lit(1)).as("n_part"))
+    val a = items.select(col("okey"), col("part").as("part_a"))
+    val b = items.select(col("okey").as("okey_b"), col("part").as("part_b"))
+    a.join(b, col("okey") === col("okey_b") && col("part_a") < col("part_b"))
+      .groupBy("part_a", "part_b")
+      .agg(count(lit(1)).as("n_ab"))
+      .join(broadcast(partSupport.withColumnRenamed("part", "part_a")
+        .withColumnRenamed("n_part", "n_a")), "part_a")
+      .join(broadcast(partSupport.withColumnRenamed("part", "part_b")
+        .withColumnRenamed("n_part", "n_b")), "part_b")
+      .crossJoin(broadcast(nOrders))
+      .withColumn("confidence_ppm", expr("n_ab * 1000000 div n_a"))
+      .withColumn("lift_x1e6", expr("(n_ab * 1000000 div n_a) * n_orders div n_b"))
+      .select("part_a", "part_b", "n_ab", "confidence_ppm", "lift_x1e6")
+      .orderBy(desc("lift_x1e6"), col("part_a"), col("part_b"))
+      .limit(20)
+  }
+
+  val q123Sql =
+    """WITH items AS (
+      |  SELECT DISTINCT l_orderkey AS okey, l_partkey AS part FROM lineitem
+      |), n AS (
+      |  SELECT COUNT(*) AS n_orders FROM orders
+      |), ps AS (
+      |  SELECT part, COUNT(*) AS n_part FROM items GROUP BY part
+      |), pairs AS (
+      |  SELECT a.part AS part_a, b.part AS part_b, COUNT(*) AS n_ab
+      |  FROM items a JOIN items b
+      |    ON a.okey = b.okey AND a.part < b.part
+      |  GROUP BY 1, 2
+      |)
+      |SELECT part_a, part_b, n_ab,
+      |  CAST(n_ab * 1000000 // sa.n_part AS BIGINT) AS confidence_ppm,
+      |  CAST((n_ab * 1000000 // sa.n_part) * n.n_orders // sb.n_part AS BIGINT)
+      |    AS lift_x1e6
+      |FROM pairs
+      |JOIN ps sa ON sa.part = pairs.part_a
+      |JOIN ps sb ON sb.part = pairs.part_b
+      |CROSS JOIN n
+      |ORDER BY lift_x1e6 DESC, part_a, part_b LIMIT 20""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q69_unpivot", q69 _, Some(q69Sql)),
     ("q70_islands", q70 _, Some(q70Sql)),
@@ -472,7 +530,8 @@ object Analytics {
     ("q79_text_normalize", q79 _, Some(q79Sql)),
     ("q115_string_agg", q115 _, Some(q115Sql)),
     ("q116_share_of_total", q116 _, Some(q116Sql)),
-    ("q122_basket_pairs", q122 _, Some(q122Sql)))
+    ("q122_basket_pairs", q122 _, Some(q122Sql)),
+    ("q123_association_lift", q123 _, Some(q123Sql)))
 }
 
 /** Typed input/buffer rows for [[WeightedCents]] — top-level case classes so
