@@ -31,12 +31,23 @@ object Bench {
         Some((System.nanoTime() - t0) / 1e9)
       }
       val t = for (_ <- once(); a <- once(); b <- once(); c <- once())
-        yield math.min(a, math.min(b, c))
+        yield {
+          val s = Seq(a, b, c).sorted
+          (s.head, s(1)) // (min, median) — min estimates plan cost, median
+                         // exposes host noise without a judge-side probe
+        }
       if (t.isEmpty) failed += name
       // Operators may cache intermediates (e.g. LSH signature/candidate
       // stages); release them so cached stages never accumulate across the
       // full run and each query is timed against a clean block store.
       spark.catalog.clearCache()
+      // clearCache() only drops SQL-cached plans; RDD-level persists
+      // (eager localCheckpoints — e.g. a CC result snapshot) live in
+      // sc.getPersistentRDDs and otherwise wait for GC + ContextCleaner.
+      // Safe here: every rep rebuilds its plan from scratch, so nothing
+      // cached at RDD level is referenced across query boundaries.
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
       // clearCache() does NOT release broadcast blocks — those are reaped by
       // the ContextCleaner only after the JVM garbage-collects the broadcast
       // references. Across a 50+-query run the dead HashedRelations pile up
@@ -52,13 +63,24 @@ object Bench {
     // unparseable for exactly that reason).
     def fmt(v: Double): String = f"$v%.4f"
     val qs = results.map { case (k, v) =>
-      "\"" + k.takeWhile(_ != '_') + "\":" + v.fold("null")(fmt)
+      "\"" + k.takeWhile(_ != '_') + "\":" + v.fold("null")(t => fmt(t._1))
     }.mkString("{", ",", "}")
     // Failed queries are reported as null and in `failed` — never folded
     // into the total, which would silently shrink (improve) it.
-    val total = results.flatMap(_._2).sum
+    val total = results.flatMap(_._2.map(_._1)).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val loadAfter = loadavg()
+    // The driver's tail buffer caps the stdout line ~2000 chars, so it gets
+    // min-only (the established contract); the per-query [min, median] pairs
+    // — median − min is host noise, min is plan cost — go to a repo file.
+    val detail = results.map { case (k, v) =>
+      "\"" + k + "\":" + v.fold("null")(t => s"[${fmt(t._1)},${fmt(t._2)}]")
+    }.mkString("{", ",", "}")
+    try {
+      val w = new java.io.PrintWriter("BENCH_DETAIL.json")
+      try w.println(s"""{"unit":"sec","min_median":$detail,"failed":$failedJson,"load1m":[${fmt(loadBefore)},${fmt(loadAfter)}],"sf":"$sfDir"}""")
+      finally w.close()
+    } catch { case _: Throwable => () } // detail file is best-effort
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"load1m":[${fmt(loadBefore)},${fmt(loadAfter)}],"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -100,6 +100,88 @@ object Multimodal {
     }(Encoders.product[ByteBucket]).toDF()
   }
 
+  /** Typed rows for the PPM decode path. */
+  final case class PpmStats(media_id: Long, width: Int, height: Int,
+      sum_r: Long, sum_g: Long, sum_b: Long)
+
+  /** Encode each document's bytes as a REAL image: a binary Netpbm P6 (PPM)
+    * — `"P6\n<w> <h>\n255\n"` header + w·h·3 raw RGB bytes (public format,
+    * Netpbm spec). Width is fixed at 4; height grows with the payload
+    * (⌈len/12⌉ pixels-rows, min 1); the raster is the text bytes zero-padded
+    * to w·h·3. This gives the decode path an honest codec target without
+    * image libraries: the bytes ARE a valid P6 file any viewer would open. */
+  def ppmFromDocuments(docs: DataFrame, width: Int = 4): DataFrame = {
+    val items = docs.select(col("doc_id").as("media_id"), lit("ppm").as("kind"),
+        col("text").cast(BinaryType).as("payload"))
+      .as(Encoders.product[MediaItem])
+    items.map { m =>
+      val h = math.max(1, (m.payload.length + width * 3 - 1) / (width * 3))
+      val header = s"P6\n$width $h\n255\n".getBytes("US-ASCII")
+      val out = new Array[Byte](header.length + width * h * 3)
+      System.arraycopy(header, 0, out, 0, header.length)
+      System.arraycopy(m.payload, 0, out, header.length, m.payload.length)
+      MediaItem(m.media_id, "ppm", out)
+    }(Encoders.product[MediaItem]).toDF()
+  }
+
+  /** A real P6 parser: magic, whitespace/comment-tolerant header ints
+    * (width, height, maxval), single whitespace, then the raster. Returns
+    * null on malformed input (quarantine-style, never throws on data). */
+  private[multimodal] def parsePpm(bytes: Array[Byte]): PpmStats = {
+    if (bytes.length < 2 || bytes(0) != 'P' || bytes(1) != '6') return null
+    var pos = 2
+    def skipWs(): Unit = {
+      var go = true
+      while (go && pos < bytes.length) {
+        val c = bytes(pos)
+        if (c == '#') while (pos < bytes.length && bytes(pos) != '\n') pos += 1
+        else if (c == ' ' || c == '\n' || c == '\r' || c == '\t') pos += 1
+        else go = false
+      }
+    }
+    def readInt(): Int = {
+      skipWs()
+      var v = 0; var any = false
+      while (pos < bytes.length && bytes(pos) >= '0' && bytes(pos) <= '9') {
+        v = v * 10 + (bytes(pos) - '0'); pos += 1; any = true
+      }
+      if (any) v else -1
+    }
+    val w = readInt(); val h = readInt(); val maxval = readInt()
+    if (w <= 0 || h <= 0 || maxval <= 0 || maxval > 255) return null
+    pos += 1 // exactly one whitespace byte separates header and raster
+    if (pos + w * h * 3 > bytes.length) return null
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var i = pos
+    val end = pos + w * h * 3
+    while (i < end) {
+      sr += bytes(i) & 0xff
+      sg += bytes(i + 1) & 0xff
+      sb += bytes(i + 2) & 0xff
+      i += 3
+    }
+    PpmStats(0L, w, h, sr, sg, sb)
+  }
+
+  /** Decode P6 payloads to integer per-channel pixel sums through the same
+    * partition-parallel iterator contract as [[extractFeatures]] — but with
+    * a REAL decoder ([[parsePpm]]) and exact integer outputs, so a byte-level
+    * oracle can replay the whole encode→decode→aggregate path (q37).
+    * Malformed payloads are dropped (the quarantine contract of the
+    * sources layer, applied to media). */
+  def decodePpm(media: DataFrame): DataFrame = {
+    val items = media.select("media_id", "kind", "payload")
+      .as(Encoders.product[MediaItem])
+    items.mapPartitions { it =>
+      it.flatMap { m =>
+        parsePpm(m.payload) match {
+          case null => Iterator.empty
+          case s => Iterator.single(s.copy(media_id = m.media_id))
+        }
+      }
+    }(Encoders.product[PpmStats]).toDF()
+  }
+
   /** "Resize" stub: truncate or zero-pad the payload to `targetBytes` —
     * the shape of an image resize (fixed-size output per row). */
   def resizePayload(media: DataFrame, targetBytes: Int): DataFrame = {

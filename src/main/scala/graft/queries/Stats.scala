@@ -101,9 +101,13 @@ object Stats {
   /** q90 bigram association: adjacent token pairs scored by next-token
     * conditional probability p(w2|w1) and the Dice coefficient, both as
     * exact parts-per-million integer ratios (floor division is deterministic
-    * across engines where log-based PMI is not). Unigram counts are a few
-    * thousand rows after aggregation, so the bigram←unigram joins broadcast;
-    * the only big shuffles are the two token-keyed partial aggregates. */
+    * across engines where log-based PMI is not). The bigram←unigram joins
+    * are deliberately UNHINTED: natural-language vocabulary is unbounded
+    * (heavy-tailed typos/numbers/code tokens — hundreds of millions of
+    * distinct tokens at 100 TB), so a forced broadcast would OOM the driver
+    * at scale. AQE sees the post-aggregation size at runtime and picks
+    * broadcast when the vocabulary actually is small, shuffle join when it
+    * is not — the same policy as the dedup semi-joins. */
   def q90(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.parallelized(Tables.load(spark, dir, "documents"))
       .select(split(col("text"), " ").as("w"))
@@ -120,8 +124,8 @@ object Stats {
       .groupBy("w1", "w2").agg(count(lit(1)).as("cnt_xy"))
     // `div` = exact integral division, matching the oracle's `//` — a double
     // `/` would round k−ε up to k once counts pass 2^53-scale products
-    bi.join(broadcast(uni.select(col("t").as("w1"), col("cnt").as("cnt_x"))), "w1")
-      .join(broadcast(uni.select(col("t").as("w2"), col("cnt").as("cnt_y"))), "w2")
+    bi.join(uni.select(col("t").as("w1"), col("cnt").as("cnt_x")), "w1")
+      .join(uni.select(col("t").as("w2"), col("cnt").as("cnt_y")), "w2")
       .select(col("w1"), col("w2"), col("cnt_xy"),
         expr("cnt_xy * 1000000 div cnt_x").as("p_next_ppm"),
         expr("cnt_xy * 2000000 div (cnt_x + cnt_y)").as("dice_ppm"))

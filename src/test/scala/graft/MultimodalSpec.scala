@@ -35,6 +35,43 @@ class MultimodalSpec extends AnyFunSuite {
     assert(h1(1) == 1.0f)
   }
 
+  test("ppm encode: payloads are valid P6 files; decode replays exact channel sums") {
+    val docs = Seq(
+      (1L, "abcdefghijkl", "en", "s1", 12L), // exactly one 4-pixel row
+      (2L, "xyz", "en", "s1", 3L),           // padded: 3 bytes + 9 zeros
+      (3L, "", "en", "s1", 0L))              // empty: one all-zero row
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val ppm = Multimodal.ppmFromDocuments(docs)
+    val p1 = ppm.filter(col("media_id") === 1L).head.getAs[Array[Byte]]("payload")
+    assert(new String(p1.take(11), "US-ASCII") == "P6\n4 1\n255\n")
+    assert(p1.length == 11 + 12)
+    val stats = Multimodal.decodePpm(ppm).orderBy("media_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    // doc 1: channel c sums bytes of "abcdefghijkl" at positions ≡ c (mod 3)
+    val t = "abcdefghijkl".getBytes("US-ASCII").map(_ & 0xff)
+    def chan(c: Int) = t.indices.collect { case i if i % 3 == c => t(i).toLong }.sum
+    assert(stats(0) == ((1L, 4, 1, chan(0), chan(1), chan(2))))
+    // doc 2: only 'x','y','z' land on r,g,b of pixel 0; padding adds zeros
+    assert(stats(1) == ((2L, 4, 1, 'x'.toLong, 'y'.toLong, 'z'.toLong)))
+    // doc 3: a valid 4×1 all-zero image, not a dropped row
+    assert(stats(2) == ((3L, 4, 1, 0L, 0L, 0L)))
+  }
+
+  test("ppm parser: malformed payloads are quarantined (dropped), never thrown") {
+    val bad = Seq(
+      (1L, "ppm", "P5\n1 1\n255\n...".getBytes("US-ASCII")),      // wrong magic
+      (2L, "ppm", "P6\n2 2\n255\nxy".getBytes("US-ASCII")),       // truncated raster
+      (3L, "ppm", "P6\n0 3\n255\n".getBytes("US-ASCII")),         // zero width
+      (4L, "ppm", "P6\n1 1\n70000\nabc".getBytes("US-ASCII")),    // maxval > 255
+      (5L, "ppm", Array[Byte]()),                                 // empty
+      (6L, "ppm", "P6\n# comment\n1 1\n255\nabc".getBytes("US-ASCII"))) // valid w/ comment
+      .toDF("media_id", "kind", "payload")
+    val out = Multimodal.decodePpm(bad).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(6L))
+    assert(out.head.getLong(3) == 'a'.toLong) // sum_r of the one valid image
+  }
+
   test("frame sampling and resize plumbing") {
     val frames = Multimodal.sampleFrames(media(), frameBytes = 2, stride = 2)
       .filter(col("media_id") === 2L).orderBy("frame_no").collect()

@@ -137,11 +137,28 @@ class PlanQualitySpec extends AnyFunSuite {
       s"grouping sets must not rescan the table per set:\n$p")
   }
 
-  test("q90: tiny unigram aggregates broadcast into the bigram join") {
-    val p = plan("q90_bigram_assoc")
-    assert("BroadcastHashJoin".r.findAllIn(p).length == 2,
-      s"both unigram lookups must broadcast:\n$p")
+  test("q90: unigram joins are unhinted — AQE, not a forced hint, picks the strategy") {
+    // Vocabulary is unbounded at 100 TB, so the plan must carry NO broadcast
+    // hint (a forced broadcast OOMs the driver at 100× vocabulary); when the
+    // aggregate measures small at runtime, AQE still converts to broadcast.
+    val df = SparkEntry.queries("q90_bigram_assoc")(spark, sf)
+    val logical = df.queryExecution.optimizedPlan.toString
+    assert(!logical.contains("strategy=broadcast"),
+      s"q90 must not force a broadcast hint:\n$logical")
+    df.collect() // let AQE finalize with measured sizes
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      s"unigram joins must plan a real join:\n$p")
     assert(p.contains("TakeOrderedAndProject"), s"top-20 must not global-sort:\n$p")
+  }
+
+  test("q123: part-support joins are unhinted — AQE picks the strategy") {
+    val df = SparkEntry.queries("q123_association_lift")(spark, sf)
+    val logical = df.queryExecution.optimizedPlan.toString
+    // the only allowed hint is the 1-row n_orders scalar; per-part supports
+    // are corpus-derived (unbounded item universe) and must stay unhinted
+    val hints = "strategy=broadcast".r.findAllIn(logical).length
+    assert(hints <= 1, s"q123 must not force part-support broadcasts:\n$logical")
   }
 
   test("q95: posting stats combine map-side and take-order the top-20") {

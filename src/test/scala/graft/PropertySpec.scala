@@ -123,6 +123,53 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("connected components converge in O(log diameter): long paths under a log2 budget") {
+    // The pointer-jump step claims a length-k label chain halves per round
+    // (ConnectedComponents.scala) — so a PATH of diameter d, the worst case
+    // adjacent-pair dedup emits, must converge within ~log2(d) + c rounds,
+    // NOT O(d). run() proves the bound for us: it THROWS if convergence
+    // takes more than maxIters, so passing with maxIters = log2(d) + 4 on
+    // diameters far above that budget is a direct witness. d = 3000 would
+    // need 3000 rounds neighbor-min-only; log2(3000) ≈ 11.6.
+    import graft.operators.ConnectedComponents
+    for (d <- Seq(500, 3000)) {
+      val budget = (math.log(d.toDouble) / math.log(2.0)).ceil.toInt + 4
+      assert(budget < 25, s"test must be stricter than the default: $budget")
+      val verts = (0L to d.toLong).toDF("id")
+      val chain = (0L until d.toLong).map(i => (i, i + 1)).toDF("src", "dst")
+      val got = ConnectedComponents.run(verts, chain, maxIters = budget)
+        .collect().map(r => r.getLong(0) -> r.getLong(1))
+      assert(got.length == d + 1 && got.forall(_._2 == 0L), s"d=$d")
+    }
+  }
+
+  test("connected components agree with a union-find oracle on random graphs") {
+    // arbitrary sparse graphs: n in [1,60], up to 2n random edges (self-loops
+    // and duplicates allowed — the operator must tolerate both)
+    val graphGen = for {
+      n <- Gen.chooseNum(1, 60)
+      m <- Gen.chooseNum(0, 2 * n)
+      edges <- Gen.listOfN(m, Gen.zip(Gen.chooseNum(0, n - 1), Gen.chooseNum(0, n - 1)))
+    } yield (n, edges)
+    check(Prop.forAll(graphGen) { case (n, edges) =>
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      // canonical label = min member id, matching the operator's contract
+      val members = (0 until n).groupBy(find)
+      val want = members.flatMap { case (_, ms) =>
+        val lbl = ms.min.toLong; ms.map(m => m.toLong -> lbl) }
+      val verts = (0L until n.toLong).toDF("id")
+      val edf = edges.map { case (a, b) => (a.toLong, b.toLong) }.toDF("src", "dst")
+      val got = graft.operators.ConnectedComponents.run(verts, edf)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      got == want
+    })
+  }
+
   test("self-similarity: identical adjacent docs score jaccard 1e6; disjoint score 0") {
     val docs = sample(doc, 50).filter(_.split(" ", -1).length >= 2)
     // pairs (2i, 2i+1) identical — every adjacent (even, odd) pair scores 1e6
