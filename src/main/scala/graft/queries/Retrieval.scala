@@ -427,6 +427,65 @@ object Retrieval {
       |  CAST(n_dup_chunks * 1000000 // n_chunks AS BIGINT) AS dup_ppm
       |FROM agg ORDER BY source""".stripMargin
 
+  /** q125 batch exact kNN — top-10 neighbors for EVERY query in a query SET
+    * in one pass (q31/q110 serve one query / all pairs; serving infrastructure
+    * answers BATCHES). The ×100-quantized integer-cosine kernel of q110 makes
+    * it hash-exact cross-engine. Scale shape: the batch (20 query vectors) is
+    * PARAMETER-sized, so broadcasting it is the correct plan at any corpus
+    * size — the corpus streams through one narrow scan, scored rows are
+    * batch×corpus by construction (the deliberate exact baseline the ANN
+    * paths trade against), and the per-query top-10 is one window over the
+    * batch key. The forced broadcast here is scale-SAFE, unlike a
+    * corpus-derived side: batch size is a knob, not data. */
+  def q125(spark: SparkSession, dir: String): DataFrame = {
+    val qv = Tables.parallelized(Tables.load(spark, dir, "embeddings"))
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          x => floor(x.cast(DoubleType) * 100).cast(LongType)).as("qv"))
+      .withColumn("nrm", call_function("dot_i64", col("qv"), col("qv")))
+      .filter(col("nrm") > 0)
+    val batch = qv.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("qv").as("bq"), col("nrm").as("nq"))
+    val scored = qv.join(broadcast(batch), col("vec_id") =!= col("qid"))
+      .withColumn("dot", call_function("dot_i64", col("qv"), col("bq")))
+      .withColumn("score_x1e6",
+        when(col("dot") >= 0, expr("dot * dot * 1000000 div (nrm * nq)"))
+          .otherwise(-expr("dot * dot * 1000000 div (nrm * nq)")))
+    scored
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("qid").orderBy(desc("score_x1e6"), col("vec_id")))
+        .cast(LongType))
+      .filter(col("rnk") <= 10)
+      .select(col("qid"), col("vec_id").as("neighbor"), col("score_x1e6"), col("rnk"))
+      .orderBy("qid", "rnk")
+  }
+
+  val q125Sql =
+    """WITH q AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 100) AS BIGINT)) AS qv
+      |  FROM embeddings
+      |), n AS (
+      |  SELECT vec_id, qv,
+      |    CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS nrm
+      |  FROM q WHERE CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) > 0
+      |), scored AS (
+      |  SELECT b.vec_id AS qid, c.vec_id AS neighbor,
+      |    CASE WHEN d.dot >= 0 THEN d.dot * d.dot * 1000000 // (c.nrm * b.nrm)
+      |         ELSE -(d.dot * d.dot * 1000000 // (c.nrm * b.nrm)) END AS score_x1e6
+      |  FROM n b JOIN n c ON c.vec_id <> b.vec_id,
+      |  LATERAL (SELECT CAST(list_sum(list_transform(range(1, len(b.qv) + 1),
+      |    i -> b.qv[i] * c.qv[i])) AS BIGINT) AS dot) d
+      |  WHERE b.vec_id < 20
+      |), ranked AS (
+      |  SELECT qid, neighbor, score_x1e6,
+      |    row_number() OVER (PARTITION BY qid ORDER BY score_x1e6 DESC, neighbor)
+      |      AS rnk
+      |  FROM scored
+      |)
+      |SELECT qid, neighbor, score_x1e6, CAST(rnk AS BIGINT) AS rnk
+      |FROM ranked WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q106_dup_passages", q106 _, Some(q106Sql)),
     ("q107_interval_union", q107 _, Some(q107Sql)),
@@ -435,5 +494,6 @@ object Retrieval {
     ("q110_allpairs_cosine", q110 _, Some(q110Sql)),
     ("q111_quality_logit", q111 _, Some(q111Sql)),
     ("q114_chunk_documents", q114 _, Some(q114Sql)),
-    ("q119_chunk_dup_rate", q119 _, Some(q119Sql)))
+    ("q119_chunk_dup_rate", q119 _, Some(q119Sql)),
+    ("q125_batch_knn", q125 _, Some(q125Sql)))
 }

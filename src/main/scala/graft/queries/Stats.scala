@@ -504,6 +504,70 @@ object Stats {
       |  CAST(SUM(CASE WHEN dev > mad * 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
       |FROM m2 GROUP BY priority ORDER BY priority""".stripMargin
 
+  /** q126 per-group OLS trend — the closed-form least-squares slope of
+    * monthly revenue per nation, entirely in exact integer rationals:
+    *
+    *   slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+    *
+    * with x = months since 2020-01 and y = monthly revenue cents. The five
+    * sufficient statistics (n, Σx, Σy, Σxy, Σx²) are plain mergeable sums —
+    * the whole regression is ONE map-side-combined aggregate per group, the
+    * cheapest possible distributed shape (no covariance double-pass, no
+    * float accumulation-order dependence), and they are emitted alongside
+    * the ×1e3 slope so any downstream re-derivation is exact. Overflow:
+    * Σxy ≤ months·x_max·y_max ≈ 1e13 at sf0.1, ×n×1e3 ≈ 8e17 < 2^63. */
+  def q126(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("okey"),
+        cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("c"))
+    val o = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey").as("okey"), col("o_custkey"),
+        ((year(col("o_orderdate")) - 2020) * 12 + month(col("o_orderdate")) - 1)
+          .cast(LongType).as("x"))
+    val cust = Tables.load(spark, dir, "customer")
+      .select(col("c_custkey").as("o_custkey"), col("c_nationkey"))
+    val nat = Tables.load(spark, dir, "nation")
+      .select(col("n_nationkey").as("c_nationkey"), col("n_name"))
+    val monthly = li.join(o, "okey").join(cust, "o_custkey").join(nat, "c_nationkey")
+      .groupBy(col("n_name").as("nation"), col("x"))
+      .agg(sum("c").as("y"))
+    monthly.groupBy("nation")
+      .agg(count(lit(1)).as("n_months"),
+        sum("x").as("sum_x"), sum("y").as("sum_y"),
+        sum(col("x") * col("y")).as("sum_xy"),
+        sum(col("x") * col("x")).as("sum_x2"))
+      .withColumn("slope_x1e3",
+        when(col("n_months") * col("sum_x2") - col("sum_x") * col("sum_x") > 0,
+          expr("1000 * (n_months * sum_xy - sum_x * sum_y) div " +
+            "(n_months * sum_x2 - sum_x * sum_x)")))
+      .orderBy("nation")
+  }
+
+  val q126Sql =
+    """WITH monthly AS (
+      |  SELECT n.n_name AS nation,
+      |    CAST((date_part('year', o.o_orderdate) - 2020) * 12
+      |      + date_part('month', o.o_orderdate) - 1 AS BIGINT) AS x,
+      |    CAST(SUM(FLOOR((l.l_extendedprice * (1 - l.l_discount)) * 100)) AS BIGINT) AS y
+      |  FROM lineitem l
+      |  JOIN orders o ON o.o_orderkey = l.l_orderkey
+      |  JOIN customer c ON c.c_custkey = o.o_custkey
+      |  JOIN nation n ON n.n_nationkey = c.c_nationkey
+      |  GROUP BY 1, 2
+      |), s AS (
+      |  SELECT nation, COUNT(*) AS n_months,
+      |    CAST(SUM(x) AS BIGINT) AS sum_x, CAST(SUM(y) AS BIGINT) AS sum_y,
+      |    CAST(SUM(x * y) AS BIGINT) AS sum_xy,
+      |    CAST(SUM(x * x) AS BIGINT) AS sum_x2
+      |  FROM monthly GROUP BY nation
+      |)
+      |SELECT nation, n_months, sum_x, sum_y, sum_xy, sum_x2,
+      |  CASE WHEN n_months * sum_x2 - sum_x * sum_x > 0
+      |    THEN 1000 * (n_months * sum_xy - sum_x * sum_y)
+      |      // (n_months * sum_x2 - sum_x * sum_x)
+      |  END AS slope_x1e3
+      |FROM s ORDER BY nation""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q87_grouping_sets", q87 _, Some(q87Sql)),
     ("q88_stats_moments", q88 _, Some(q88Sql)),
@@ -518,5 +582,6 @@ object Stats {
     ("q102_column_profile", q102 _, Some(q102Sql)),
     ("q105_cohort_retention", q105 _, Some(q105Sql)),
     ("q112_label_centroids", q112 _, Some(q112Sql)),
-    ("q113_mad_outliers", q113 _, Some(q113Sql)))
+    ("q113_mad_outliers", q113 _, Some(q113Sql)),
+    ("q126_trend_ols", q126 _, Some(q126Sql)))
 }
