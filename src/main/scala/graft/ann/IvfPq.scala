@@ -210,20 +210,13 @@ object IvfPqIndex {
   def ensureBuilt(spark: SparkSession, embs: DataFrame, corpusDir: String,
       dim: Int, nClusters: Int = 16, m: Int = 16, k: Int = 16,
       iters: Int = 2): String = synchronized {
-    val hconf = spark.sparkContext.hadoopConfiguration
-    val corpus = new org.apache.hadoop.fs.Path(s"$corpusDir/embeddings.parquet")
-    val cfs = corpus.getFileSystem(hconf)
-    var stamp = 17L
-    val it = cfs.listFiles(corpus, true)
-    while (it.hasNext) {
-      val f = it.next()
-      stamp = (stamp * 31L + f.getLen) * 31L + f.getModificationTime
-    }
+    val stamp = Models.corpusStamp(spark, corpusDir)
     val slug = corpusDir.replaceAll("[^A-Za-z0-9]+", "-").replaceAll("^-|-$", "")
-    val path = s"${System.getProperty("java.io.tmpdir")}/graft-ivfpq-$slug-" +
-      java.lang.Long.toHexString(stamp)
+    val path =
+      s"${System.getProperty("java.io.tmpdir")}/graft-ivfpq-$slug-$stamp"
     val marker = new org.apache.hadoop.fs.Path(s"$path/codes/_SUCCESS")
-    if (!marker.getFileSystem(hconf).exists(marker))
+    if (!marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(marker))
       build(spark, embs, path, dim, nClusters, m, k, iters)
     path
   }

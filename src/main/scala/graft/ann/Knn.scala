@@ -109,8 +109,15 @@ object Knn {
     * and the table written partitioned/bucketed by `cid`, making the probe a
     * partition-pruned scan. */
   def ivfTopK(embs: DataFrame, q: Array[Float], excludeId: Long, k: Int,
-      nClusters: Int = 16, nProbe: Int = 4, iters: Int = 2): DataFrame = {
-    val centroids = ivfTrain(embs, nClusters, iters)
+      nClusters: Int = 16, nProbe: Int = 4, iters: Int = 2): DataFrame =
+    ivfTopKWith(embs, ivfTrain(embs, nClusters, iters), q, excludeId, k, nProbe)
+
+  /** The serve half of [[ivfTopK]] — query with an already-trained model
+    * (from [[Models]] or a fresh [[ivfTrain]]): probe-list ranking on the
+    * driver, narrow assignment + filter + TakeOrderedAndProject on the
+    * executors. Zero shuffles; training cost paid once per corpus. */
+  def ivfTopKWith(embs: DataFrame, centroids: Array[(Long, Array[Float])],
+      q: Array[Float], excludeId: Long, k: Int, nProbe: Int = 4): DataFrame = {
     val qd = q.map(_.toDouble)
     def cos(a: Array[Double], b: Array[Float]): Double = {
       var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0

