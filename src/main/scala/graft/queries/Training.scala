@@ -247,7 +247,136 @@ object Training {
       |  CAST(list_position(embedding, list_max(embedding)) AS BIGINT) AS argmax_pos
       |FROM embeddings ORDER BY vec_id""".stripMargin
 
+  /** q127 BPE merge step — the inner loop of byte-pair-encoding tokenizer
+    * training (Sennrich et al., "Neural Machine Translation of Rare Words
+    * with Subword Units", ACL 2016): over the word-frequency table (the real
+    * algorithm's working set — corpus-vocabulary-sized, never corpus-sized),
+    * count adjacent symbol pairs weighted by word frequency, pick the most
+    * frequent pair, MERGE it (left-to-right non-overlapping `replace`, the
+    * greedy BPE application order), and re-count — the exact state the next
+    * merge round would consume. The merged symbol travels as chr(1) (absent
+    * from the corpus) and is rendered back for the output. Everything is
+    * string/integer ops both engines evaluate identically, so the
+    * data-dependent fixed point (the chosen pair CHANGES the round-2 counts)
+    * is hash-verified cross-engine.
+    *
+    * Scale shape: word frequencies are one map-combined aggregate; each
+    * round is one explode over vocabulary words + one pair aggregate; the
+    * chosen pair is a 1-row broadcast (parameter-sized by construction). */
+  def q127(spark: SparkSession, dir: String): DataFrame = {
+    def pairCounts(df: DataFrame, wcol: String): DataFrame = df
+      .filter(length(col(wcol)) >= 2) // guard: sequence(1,0) would DESCEND
+      .select(col("f"), col(wcol).as("w"),
+        explode(sequence(lit(1), length(col(wcol)) - 1)).as("i"))
+      .select(expr("substring(w, i, 1)").as("a"),
+        expr("substring(w, i + 1, 1)").as("b"), col("f"))
+      .groupBy("a", "b").agg(sum("f").as("cnt"))
+
+    val words = Tables.parallelized(Tables.load(spark, dir, "documents"))
+      .select(explode(split(col("text"), " ")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("f"))
+      .persist() // consumed by the round-1 count AND the merge pass
+    val best = pairCounts(words, "word")
+      .orderBy(desc("cnt"), col("a"), col("b")).limit(1)
+      .select(concat(col("a"), col("b")).as("bp"))
+    val merged = words.crossJoin(broadcast(best))
+      .select(expr("replace(word, bp, chr(1))").as("w2"), col("f"))
+    pairCounts(merged, "w2").crossJoin(broadcast(best))
+      .select(expr("replace(a, chr(1), bp)").as("sym_a"),
+        expr("replace(b, chr(1), bp)").as("sym_b"), col("cnt"))
+      .orderBy(desc("cnt"), col("sym_a"), col("sym_b"))
+      .limit(10)
+  }
+
+  val q127Sql =
+    """WITH wf AS (
+      |  SELECT word, COUNT(*) AS f FROM
+      |    (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      |  GROUP BY word
+      |), p1 AS (
+      |  SELECT substr(word, i, 1) AS a, substr(word, i + 1, 1) AS b,
+      |    CAST(SUM(f) AS BIGINT) AS cnt
+      |  FROM (SELECT word, f, unnest(range(1, length(word))) AS i FROM wf)
+      |  GROUP BY 1, 2
+      |), best AS (
+      |  SELECT a || b AS bp FROM p1 ORDER BY cnt DESC, a, b LIMIT 1
+      |), merged AS (
+      |  SELECT replace(word, bp, chr(1)) AS w2, f FROM wf CROSS JOIN best
+      |), p2 AS (
+      |  SELECT substr(w2, i, 1) AS a, substr(w2, i + 1, 1) AS b,
+      |    CAST(SUM(f) AS BIGINT) AS cnt
+      |  FROM (SELECT w2, f, unnest(range(1, length(w2))) AS i FROM merged)
+      |  GROUP BY 1, 2
+      |)
+      |SELECT replace(a, chr(1), bp) AS sym_a, replace(b, chr(1), bp) AS sym_b,
+      |  cnt
+      |FROM p2 CROSS JOIN best
+      |ORDER BY cnt DESC, sym_a, sym_b LIMIT 10""".stripMargin
+
+  /** q128 incremental-batch dedup — dedup AT INGESTION, the production shape
+    * (a new batch arrives; the corpus is already indexed): batch docs whose
+    * portable 60-bit content fingerprint already exists in the corpus are
+    * dropped, then in-batch duplicates keep the min doc_id, and the
+    * per-source ingest report (batch / dropped-vs-existing / dropped-in-batch
+    * / ingested) is the audit a continuous pipeline publishes. The batch is
+    * the md5 doc_id bucket 0 (the q59 split convention). Scale shape: the
+    * existing-corpus side is ONE distinct-fingerprint aggregate (write-once
+    * in a real deployment — the fingerprint index); the batch joins it on
+    * the fingerprint key (AQE decides strategy; the batch is typically the
+    * small side but is data, so no forced hint), and in-batch survivorship
+    * is one more fingerprint aggregate. Candidates ∝ batch, never corpus². */
+  def q128(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.parallelized(Tables.load(spark, dir, "documents"))
+      .withColumn("fp", T.portableHash60(col("text")))
+      .withColumn("is_new", T.hashBucket(col("doc_id"), 10) === 0)
+    val existingFps = docs.filter(!col("is_new")).select("fp").distinct()
+    val batch = docs.filter(col("is_new"))
+      .join(existingFps.withColumn("hit", lit(1)), Seq("fp"), "left")
+      .withColumn("dup_existing", col("hit").isNotNull)
+    val survivorIds = batch.filter(!col("dup_existing"))
+      .groupBy("fp").agg(min("doc_id").as("keep_id"))
+    batch
+      .join(survivorIds, Seq("fp"), "left")
+      .withColumn("ingested", !col("dup_existing") && col("doc_id") === col("keep_id"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_batch"),
+        sum(when(col("dup_existing"), 1L).otherwise(0L)).as("n_dup_existing"),
+        sum(when(!col("dup_existing") && !col("ingested"), 1L).otherwise(0L))
+          .as("n_dup_in_batch"),
+        sum(when(col("ingested"), 1L).otherwise(0L)).as("n_ingested"))
+      .orderBy("source")
+  }
+
+  val q128Sql =
+    """WITH d AS (
+      |  SELECT doc_id, source,
+      |    CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) AS fp,
+      |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 10 = 0
+      |      AS is_new
+      |  FROM documents
+      |), ex AS (
+      |  SELECT DISTINCT fp FROM d WHERE NOT is_new
+      |), b AS (
+      |  SELECT d.doc_id, d.source, d.fp,
+      |    d.fp IN (SELECT fp FROM ex) AS dup_existing
+      |  FROM d WHERE is_new
+      |), surv AS (
+      |  SELECT fp, MIN(doc_id) AS keep_id FROM b WHERE NOT dup_existing
+      |  GROUP BY fp
+      |)
+      |SELECT b.source, COUNT(*) AS n_batch,
+      |  CAST(SUM(CASE WHEN b.dup_existing THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_dup_existing,
+      |  CAST(SUM(CASE WHEN NOT b.dup_existing AND b.doc_id <> s.keep_id
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_in_batch,
+      |  CAST(SUM(CASE WHEN NOT b.dup_existing AND b.doc_id = s.keep_id
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_ingested
+      |FROM b LEFT JOIN surv s USING (fp)
+      |GROUP BY b.source ORDER BY b.source""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    ("q127_bpe_merge", q127 _, Some(q127Sql)),
+    ("q128_ingest_dedup", q128 _, Some(q128Sql)),
     ("q58_dedup_clusters", q58 _, Some(q58Sql)),
     ("q59_decontaminate", q59 _, Some(q59Sql)),
     ("q60_distinctive_terms", q60 _, Some(q60Sql)),
