@@ -40,7 +40,12 @@ object Derive {
 
 /** J2: the surrogate-key lookup — `pd.merge(left_on=..., right_on=...,
   * how='left')` + drop of the duplicated key column (`etl_orders.py:57-75`).
-  * The dimension side is broadcast: the fact never shuffles for a lookup. */
+  * The dimension side is broadcast: the fact never shuffles for a lookup.
+  * The hint encodes a CONTRACT, not a guess: this operator is for
+  * catalog-bounded mart dimensions (categories, products — the reference's
+  * 8/77-row dims), whose size is set by the business domain, not by data
+  * volume. For corpus-scaling lookup sides, join unhinted and let size
+  * stats / AQE decide (the q05/q90/q123 policy). */
 object Lookup {
   def surrogate(fact: DataFrame, dim: DataFrame,
       factKey: String, dimKey: String): DataFrame =

@@ -78,11 +78,16 @@ object Relational {
       |ORDER BY o.o_orderkey, l.l_linenumber""".stripMargin
 
   /** Q5 [J2] left-join surrogate lookup — the `pd.merge(how='left')` dimension
-    * lookup of `etl_orders.py:57-63`; dimension side broadcast. */
+    * lookup of `etl_orders.py:57-63`. UNHINTED: `part` scales with the
+    * corpus (unlike the reference's 77-row catalog dim), so the broadcast
+    * decision belongs to the planner's measured size stats / AQE — which
+    * still picks broadcast whenever the dimension actually fits, and a
+    * scalable shuffle join when it doesn't. (Mart-dim lookups with
+    * genuinely catalog-bounded sides keep the hint — `Lookup.surrogate`.) */
   def q05(spark: SparkSession, dir: String): DataFrame = {
     val l = Tables.load(spark, dir, "lineitem")
     val p = Tables.load(spark, dir, "part")
-    l.join(broadcast(p), l("l_partkey") === p("p_partkey"), "left")
+    l.join(p, l("l_partkey") === p("p_partkey"), "left")
       .select("l_orderkey", "l_linenumber", "p_brand")
       .orderBy("l_orderkey", "l_linenumber")
   }
@@ -94,15 +99,17 @@ object Relational {
 
   /** Q6 [J3,A2,O1] flagship star query — `Project Plan7.md:24-36` analog:
     * fact ⨝ dims → GROUP BY → SUM(revenue) → ORDER BY DESC. Money summed in
-    * decimal (exact, order-independent) then cast to double. Dimension chain
-    * (customer→nation) is broadcast; only lineitem⨝orders shuffles. */
+    * decimal (exact, order-independent) then cast to double. `nation` (25
+    * rows, fixed by geography) keeps its broadcast hint; `customer` SCALES
+    * with the corpus, so its join is unhinted — size stats / AQE broadcast
+    * it while it fits and fall back to a shuffle join at warehouse scale. */
   def q06(spark: SparkSession, dir: String): DataFrame = {
     val l = Tables.load(spark, dir, "lineitem")
     val o = Tables.load(spark, dir, "orders")
     val c = Tables.load(spark, dir, "customer")
     val n = Tables.load(spark, dir, "nation")
     l.join(o, l("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .groupBy(col("n_name"))
       .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
@@ -144,11 +151,12 @@ object Relational {
       |ORDER BY net_cents DESC, l_orderkey, l_linenumber LIMIT 10""".stripMargin
 
   /** Q9 [P6,J2] failed-lookup audit — `Project Plan6.md:159`; expressed as the
-    * left-anti join Spark plans natively for the IS NULL pattern. */
+    * left-anti join Spark plans natively for the IS NULL pattern. Unhinted
+    * for the same reason as Q5: `part` scales with the corpus. */
   def q09(spark: SparkSession, dir: String): DataFrame = {
     val l = Tables.load(spark, dir, "lineitem")
     val p = Tables.load(spark, dir, "part")
-    l.join(broadcast(p), l("l_partkey") === p("p_partkey"), "left_anti")
+    l.join(p, l("l_partkey") === p("p_partkey"), "left_anti")
       .agg(count(lit(1)).as("missing"))
   }
 
