@@ -374,8 +374,89 @@ object Training {
       |FROM b LEFT JOIN surv s USING (fp)
       |GROUP BY b.source ORDER BY b.source""".stripMargin
 
+  /** q129 Markov next-event model, trained AND evaluated in-engine with a
+    * temporal split — the shape of every sequence-model eval: transitions
+    * observed up to the global 80th-percentile timestamp train a bigram
+    * (first-order Markov) model, the argmax next-event per state is the
+    * prediction, and transitions landing after the cut are the held-out
+    * test set. Leakage-free by construction: a transition trains iff its
+    * TARGET is at or before the cut, so no test-period observation touches
+    * the model. Everything is exact — the cut is 80% of the observed time
+    * RANGE in integer milliseconds (min + (max−min)·8 div 10: one
+    * distributed min/max aggregate — a global rank statistic would need a
+    * single-partition sort, the plan shape this engine bans); the argmax
+    * resolves ties lexicographically; accuracy is floor-ppm.
+    *
+    * Scale shape: transitions are one per-user window pass (a single keyed
+    * shuffle); the model is states×states counts (event-vocabulary-sized,
+    * not corpus-sized); the cut is a 1-row broadcast; the model join keys
+    * on the state (AQE-decided — the state vocabulary is data). */
+  def q129(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_millis(col("ts")).as("tms"))
+    // the temporal cut: 80% of the time range — a 1-row parameter, broadcast
+    val cut = e.agg(
+      expr("min(tms) + (max(tms) - min(tms)) * 8 div 10").as("cut_ms"))
+    val nxt = Window.partitionBy("user_id").orderBy("tms", "event_id")
+    val pairs = e
+      .withColumn("b", lead("event_type", 1).over(nxt))
+      .withColumn("b_tms", lead("tms", 1).over(nxt))
+      .filter(col("b").isNotNull)
+      .crossJoin(broadcast(cut))
+      .withColumn("is_train", col("b_tms") <= col("cut_ms"))
+      .select(col("event_type").as("a"), col("b"), col("is_train"))
+    val model = pairs.filter(col("is_train"))
+      .groupBy("a", "b").agg(count(lit(1)).as("cnt"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("a").orderBy(desc("cnt"), col("b"))))
+      .filter(col("rk") === 1)
+      .select(col("a"), col("b").as("predicted"))
+    pairs.filter(!col("is_train"))
+      .join(model, Seq("a"), "left")
+      .groupBy(col("a").as("prev_event"))
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("b") === col("predicted"), 1L).otherwise(0L))
+          .as("n_correct"),
+        max("predicted").as("predicted")) // ≤1 prediction per state: max = it
+      .withColumn("acc_ppm", expr("n_correct * 1000000 div n_test"))
+      .orderBy("prev_event")
+  }
+
+  val q129Sql =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type, epoch_ms(ts) AS tms FROM events
+      |), cut AS (
+      |  SELECT MIN(tms) + (MAX(tms) - MIN(tms)) * 8 // 10 AS cut_ms FROM e
+      |), pairs AS (
+      |  SELECT event_type AS a,
+      |    lead(event_type) OVER w AS b,
+      |    lead(tms) OVER w AS b_tms
+      |  FROM e
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY tms, event_id)
+      |), tagged AS (
+      |  SELECT a, b, b_tms <= cut_ms AS is_train
+      |  FROM pairs CROSS JOIN cut WHERE b IS NOT NULL
+      |), model AS (
+      |  SELECT a, b AS predicted FROM (
+      |    SELECT a, b, ROW_NUMBER() OVER
+      |      (PARTITION BY a ORDER BY COUNT(*) DESC, b) AS rk
+      |    FROM tagged WHERE is_train GROUP BY a, b)
+      |  WHERE rk = 1
+      |)
+      |SELECT t.a AS prev_event, COUNT(*) AS n_test,
+      |  CAST(SUM(CASE WHEN t.b = m.predicted THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_correct,
+      |  MAX(m.predicted) AS predicted,
+      |  CAST(SUM(CASE WHEN t.b = m.predicted THEN 1 ELSE 0 END) * 1000000
+      |    // COUNT(*) AS BIGINT) AS acc_ppm
+      |FROM tagged t LEFT JOIN model m USING (a)
+      |WHERE NOT t.is_train
+      |GROUP BY t.a ORDER BY prev_event""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q127_bpe_merge", q127 _, Some(q127Sql)),
+    ("q129_markov_eval", q129 _, Some(q129Sql)),
     ("q128_ingest_dedup", q128 _, Some(q128Sql)),
     ("q58_dedup_clusters", q58 _, Some(q58Sql)),
     ("q59_decontaminate", q59 _, Some(q59Sql)),
