@@ -100,6 +100,26 @@ object EventStream {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keys)
 
+  /** Stream-static ENRICHMENT join: each micro-batch of the stream joins a
+    * static dimension (left join keeps unmatched events — an enrichment
+    * must never drop data). The static side is planned per micro-batch, so
+    * Catalyst broadcasts it while it fits and shuffle-joins when it does
+    * not — no hint, same policy as the batch side of the engine. No
+    * watermark needed: a static side holds no state. */
+  def enrichStream(events: DataFrame, dim: DataFrame,
+      key: String): DataFrame =
+    events.join(dim, Seq(key), "left")
+
+  /** Stream-static INGEST GATE — the streaming twin of q128's dedup-at-
+    * ingestion: events whose key already exists in the static known-set
+    * (the corpus fingerprint index of a deployed pipeline) are dropped via
+    * a LEFT ANTI join, evaluated fresh each micro-batch. Composed with
+    * [[dedupStream]] downstream it yields exactly-once ingestion against
+    * both the historical corpus AND the stream's own redeliveries. */
+  def ingestGateStream(events: DataFrame, known: DataFrame,
+      key: String): DataFrame =
+    events.join(known, Seq(key), "left_anti")
+
   /** Incremental mart load — the strategy the reference explicitly deferred
     * ("we typically use partitioning or incremental load, but for this
     * project, we'll use DELETE for simplicity", `Project Plan6.md:111-112`).

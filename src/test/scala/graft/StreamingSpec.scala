@@ -293,6 +293,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch, s"$streamed != $batch")
   }
 
+  test("stream-static enrichment and ingest gate match their batch twins") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("ss_join").toString
+    val events = EventStream.readEvents(spark, sf)
+    val schema = Tables.load(spark, sf, "events").schema
+    // static sides: a user dimension (every 3rd user labeled) and a
+    // known-key set (every 4th event_id "already ingested")
+    val dim = Tables.load(spark, sf, "events")
+      .select(col("user_id")).distinct()
+      .filter(col("user_id") % 3 === 0)
+      .withColumn("segment", concat(lit("seg"), col("user_id") % 7))
+    val known = Tables.load(spark, sf, "events")
+      .select(col("event_id")).filter(col("event_id") % 4 === 0)
+
+    val enriched = EventStream.enrichStream(events, dim, "user_id")
+      .select("event_id", "user_id", "segment")
+    val gated = EventStream.ingestGateStream(events, known, "event_id")
+      .select("event_id")
+    val q1 = enriched.writeStream.option("checkpointLocation", s"$base/c1")
+      .format("memory").queryName("enrich_out").outputMode("append").start()
+    val q2 = gated.writeStream.option("checkpointLocation", s"$base/c2")
+      .format("memory").queryName("gate_out").outputMode("append").start()
+    try { q1.processAllAvailable(); q2.processAllAvailable() }
+    finally { q1.stop(); q2.stop() }
+
+    val batchEvents = Tables.load(spark, sf, "events")
+    val wantEnriched = batchEvents.join(dim, Seq("user_id"), "left")
+      .select("event_id", "user_id", "segment")
+      .collect().map(_.toSeq).toSet
+    val gotEnriched = spark.table("enrich_out").collect().map(_.toSeq).toSet
+    assert(gotEnriched == wantEnriched)
+    // left join kept every event, matched or not
+    assert(gotEnriched.size == batchEvents.count())
+
+    val wantGated = batchEvents.join(known, Seq("event_id"), "left_anti")
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    val gotGated = spark.table("gate_out").collect().map(_.getLong(0)).toSet
+    assert(gotGated == wantGated)
+    assert(gotGated.nonEmpty && gotGated.forall(_ % 4 != 0))
+  }
+
   test("sessionization: hand-built gaps produce the expected sessions") {
     import spark.implicits._
     def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
