@@ -233,6 +233,45 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("partial_count"), p)
   }
 
+  // an AQE-finalized plan prints Final AND Initial sections — node counts
+  // must look at the final section only or every operator double-counts
+  private def finalSection(p: String): String =
+    p.split("== Initial Plan ==").head
+
+  test("q125: the corpus side of batch kNN is never broadcast — only the batch is") {
+    val df = SparkEntry.queries("q125_batch_knn")(spark, sf)
+    df.collect()
+    val p = finalSection(df.queryExecution.executedPlan.toString)
+    // exactly one broadcast exchange: the parameter-sized query batch;
+    // a second one would mean the corpus got shipped to every executor
+    val b = "BroadcastExchange".r.findAllIn(p).length
+    assert(b == 1, s"expected exactly 1 broadcast (the batch), got $b:\n$p")
+    // the per-query top-10 pre-prunes map-side (rank-limit pushdown), so
+    // only ≤ 10·|batch| rows per partition survive to the rnk window
+    assert(p.contains("WindowGroupLimit"), s"rank-limit pushdown missing:\n$p")
+  }
+
+  test("q126: the whole regression is map-side-combined aggregates (no window, no sort-all)") {
+    val p = plan("q126_trend_ols")
+    assert(p.contains("partial_"), s"sufficient statistics must combine map-side:\n$p")
+    assert(!p.contains("Window"), s"OLS must not need a window pass:\n$p")
+  }
+
+  test("q129: model training carries no global single-partition exchange") {
+    // the temporal cut is a plain aggregate; a global rank statistic would
+    // plan Exchange SinglePartition + a global Sort — the banned shape
+    val p = finalSection(plan("q129_markov_eval"))
+    // the only single-partition exchanges allowed are the 1-row temporal-cut
+    // aggregate's finalize stages (map-combined partial_min/partial_max —
+    // one per consumer branch); a global rank cut would instead plan a
+    // single-partition SORT over the events, the banned shape
+    val sp = "Exchange SinglePartition".r.findAllIn(p).length
+    val scalarAggs = "partial_min\\(tms".r.findAllIn(p).length
+    assert(sp == scalarAggs,
+      s"single-partition exchanges ($sp) beyond the scalar cut aggregates ($scalarAggs):\n$p")
+    assert(!p.contains("Sort [tms"), s"no global time sort may exist:\n$p")
+  }
+
   test("runtime bloom-filter pruning injects on a selective dim → fact shuffle join") {
     // At 100 TB a selective dimension filter should prune the fact scan
     // BEFORE the shuffle — Spark's runtime bloom filter does exactly that.
