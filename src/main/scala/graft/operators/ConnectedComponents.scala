@@ -28,19 +28,25 @@ import org.apache.spark.storage.StorageLevel
   * same (vertices, edges) input yields the same labeling on any cluster
   * layout, which is what makes the result DuckDB-oracle-checkable.
   */
+/** Checkpoint hygiene for iterative operators (connected components,
+  * PageRank): the block-store RDD behind a `localCheckpoint(eager = true)`
+  * Dataset — its plan is a single [[LogicalRDD]] leaf holding the
+  * materialized InternalRow RDD. Iterative loops free each round's blocks
+  * the moment the next round has materialized: the ContextCleaner only
+  * reaps checkpoint blocks after the JVM happens to GC the Dataset
+  * reference, which across a long-lived session (or a 129-query bench run)
+  * leaves O(rounds) dead snapshots pinned in storage memory, and later
+  * workloads pay for them in GC pressure (VERDICT r6: q58 benched 3.9× its
+  * solo time for exactly this reason). */
+private[graft] object Checkpoints {
+  def rddOf(df: DataFrame): Option[RDD[InternalRow]] =
+    df.queryExecution.analyzed.collectFirst { case lr: LogicalRDD => lr.rdd }
+}
+
 object ConnectedComponents {
 
-  /** The block-store RDD behind a `localCheckpoint(eager = true)` Dataset —
-    * its plan is a single [[LogicalRDD]] leaf holding the materialized
-    * InternalRow RDD. Exposed so the loop can free each round's blocks the
-    * moment the next round has materialized: the ContextCleaner only reaps
-    * checkpoint blocks after the JVM happens to GC the Dataset reference,
-    * which across a long-lived session (or a 123-query bench run) leaves
-    * O(rounds) dead label snapshots pinned in storage memory, and later
-    * workloads pay for them in GC pressure (VERDICT r6: q58 benched 3.9×
-    * its solo time for exactly this reason). */
   private def checkpointRdd(df: DataFrame): Option[RDD[InternalRow]] =
-    df.queryExecution.analyzed.collectFirst { case lr: LogicalRDD => lr.rdd }
+    Checkpoints.rddOf(df)
 
   /** @param vertices one column `id` (LongType) — every vertex to label,
     *                 including isolated ones (they come back as singletons).

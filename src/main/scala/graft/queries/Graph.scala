@@ -46,30 +46,53 @@ object Graph {
     // (okey, ln) is NOT unique in the fixture — the transition sequence must
     // ride a TOTAL order or lead() is engine/partition-layout dependent
     val nxt = Window.partitionBy("okey").orderBy(col("ln"), col("pk"))
-    val edges = li.withColumn("dst", lead("pk", 1).over(nxt))
+    val rawEdges = li.withColumn("dst", lead("pk", 1).over(nxt))
       .filter(col("dst").isNotNull && col("dst") =!= col("pk"))
       .groupBy(col("pk").as("src"), col("dst"))
       .agg(count(lit(1)).as("wt"))
-      .persist() // consumed once per round; Bench/Verify clear the cache
-    val outW = edges.groupBy("src").agg(sum("wt").as("wout"))
-    val nodes = edges.select(col("src").as("node"))
-      .union(edges.select(col("dst").as("node"))).distinct()
+    // Out-weights are folded into the edge list ONCE (inside the round loop
+    // that join would re-run a groupBy + join per iteration), and the cache
+    // is laid out hash(src) so every round's edges⋈ranks join reuses the
+    // cached partitioning — only the rank frame moves between rounds.
+    val edges = rawEdges
+      .join(rawEdges.groupBy("src").agg(sum("wt").as("wout")), "src")
+      .repartition(col("src"))
+      .persist() // consumed once per round; released before returning
 
-    var ranks = nodes.select(col("node"), lit(1000000L).as("r"))
-    for (_ <- 1 to 5) {
-      val contrib = edges
-        .join(outW, "src")
-        .join(ranks.select(col("node").as("src"), col("r")), "src")
+    // The rank frame carries ONLY in-edge (dst) nodes: a node nobody points
+    // at holds the constant 150000 from round 1 on (1e6 in round 0), so its
+    // value rides as a coalesce DEFAULT instead of |V| join rows per round —
+    // the frame is bounded by the pointed-at set, and the per-round plan is
+    // exactly one join + one map-combined aggregate. Rounds materialize via
+    // persist+count so each round's measured size feeds the next round's
+    // join planning; retired rounds release their cache immediately.
+    var ranks: DataFrame = null
+    for (i <- 1 to 5) {
+      val joined =
+        if (i == 1) edges.withColumn("r", lit(1000000L))
+        else edges
+          .join(ranks.select(col("node").as("src"), col("r")), Seq("src"), "left")
+          .withColumn("r", coalesce(col("r"), lit(150000L)))
+      val next = joined
         .select(col("dst").as("node"),
           expr("850000 * r * wt div (1000000 * wout)").as("c"))
-        .groupBy("node").agg(sum("c").as("cin"))
-      ranks = nodes.join(contrib, Seq("node"), "left")
-        .select(col("node"),
-          (lit(150000L) + coalesce(col("cin"), lit(0L))).as("r"))
+        .groupBy("node").agg((lit(150000L) + sum("c")).as("r"))
+        .persist()
+      next.count()
+      if (ranks != null) ranks.unpersist(blocking = false)
+      ranks = next
     }
-    ranks.select(col("node").as("part"), col("r").as("rank_micro"))
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct()
+    val out = nodes.join(ranks, Seq("node"), "left")
+      .select(col("node").as("part"),
+        coalesce(col("r"), lit(150000L)).as("rank_micro"))
       .orderBy(desc("rank_micro"), col("part"))
       .limit(20)
+    // the returned plan still reads the edge cache (via `nodes`) and the
+    // final round's cache; both belong to the session — Bench/Verify clear
+    // them between queries (the standard cache-ownership contract)
+    out
   }
 
   /** The oracle unrolls the same 5 rounds as chained CTEs (r1..r5), each
