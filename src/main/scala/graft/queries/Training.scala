@@ -454,9 +454,93 @@ object Training {
       |WHERE NOT t.is_train
       |GROUP BY t.a ORDER BY prev_event""".stripMargin
 
+  /** q130 class-balanced downsampling — equalize class sizes by keeping,
+    * per class, exactly min-class-size rows chosen by deterministic hash
+    * order (the md5-of-key ranking every reproducible sampler here uses):
+    * the majority-class downsampling step of a classifier training set,
+    * with a selection any engine can replay. One lang-keyed window ranks
+    * candidates (a single keyed shuffle); the min class size is a 1-row
+    * broadcast parameter. */
+  def q130(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.parallelized(Tables.load(spark, dir, "documents"))
+      .select(col("doc_id"), col("lang"))
+      .withColumn("hk", md5(col("doc_id").cast(StringType)))
+    val minSize = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+      .agg(min("n").as("m"))
+    docs
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("lang").orderBy("hk", "doc_id")).cast(LongType))
+      .crossJoin(broadcast(minSize))
+      .filter(col("rk") <= col("m"))
+      .select("lang", "doc_id", "rk")
+      .orderBy("lang", "rk")
+  }
+
+  val q130Sql =
+    """WITH d AS (
+      |  SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS hk FROM documents
+      |), m AS (
+      |  SELECT MIN(n) AS m FROM
+      |    (SELECT COUNT(*) AS n FROM d GROUP BY lang)
+      |), r AS (
+      |  SELECT lang, doc_id,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY hk, doc_id)
+      |      AS BIGINT) AS rk
+      |  FROM d
+      |)
+      |SELECT lang, doc_id, rk FROM r CROSS JOIN m
+      |WHERE rk <= m ORDER BY lang, rk""".stripMargin
+
+  /** q131 dedup-cluster size distribution — the corpus-health histogram the
+    * q58 clustering exists to feed: how many near-dup clusters of each size
+    * the corpus contains (size 1 = unique docs; a heavy tail means the
+    * dedup threshold or upstream crawl needs attention). Composes the q58
+    * connected components verbatim with two map-combined aggregates; the
+    * oracle replays the same recursive-CTE reachability. */
+  def q131(spark: SparkSession, dir: String): DataFrame =
+    q58(spark, dir)
+      .groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+      .orderBy("cluster_size")
+
+  val q131Sql =
+    """WITH RECURSIVE toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      |), grams AS (
+      |  SELECT DISTINCT doc_id,
+      |    unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS bg
+      |  FROM toks
+      |), gsets AS (
+      |  SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id
+      |), inter AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+      |  FROM grams a JOIN grams b ON b.doc_id = a.doc_id + 1 AND a.bg = b.bg
+      |  GROUP BY 1, 2
+      |), pairs AS (
+      |  SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b
+      |  FROM gsets sa JOIN gsets sb ON sb.doc_id = sa.doc_id + 1
+      |  LEFT JOIN inter i ON i.doc_a = sa.doc_id
+      |  WHERE FLOOR(1000000.0 * COALESCE(i.i, 0) / (sa.n + sb.n - COALESCE(i.i, 0))) >= 60000
+      |), edges AS (
+      |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+      |  UNION ALL SELECT doc_b, doc_a FROM pairs
+      |), reach(a, b) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b
+      |), labels AS (
+      |  SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a
+      |), sizes AS (
+      |  SELECT cluster_id, COUNT(*) AS cluster_size FROM labels GROUP BY cluster_id
+      |)
+      |SELECT cluster_size, COUNT(*) AS n_clusters FROM sizes
+      |GROUP BY cluster_size ORDER BY cluster_size""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q127_bpe_merge", q127 _, Some(q127Sql)),
     ("q129_markov_eval", q129 _, Some(q129Sql)),
+    ("q130_class_balance", q130 _, Some(q130Sql)),
+    ("q131_cluster_sizes", q131 _, Some(q131Sql)),
     ("q128_ingest_dedup", q128 _, Some(q128Sql)),
     ("q58_dedup_clusters", q58 _, Some(q58Sql)),
     ("q59_decontaminate", q59 _, Some(q59Sql)),
