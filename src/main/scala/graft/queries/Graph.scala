@@ -39,35 +39,32 @@ object Graph {
     * "no-redistribution" PageRank variant) — redistribution needs a global
     * scalar per round, and the variant keeps every round a pure local
     * join/aggregate, the property that matters at 100 TB. */
-  def q124(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.load(spark, dir, "lineitem")
-      .select(col("l_orderkey").as("okey"), col("l_linenumber").as("ln"),
-        col("l_partkey").as("pk"))
-    // (okey, ln) is NOT unique in the fixture — the transition sequence must
-    // ride a TOTAL order or lead() is engine/partition-layout dependent
-    val nxt = Window.partitionBy("okey").orderBy(col("ln"), col("pk"))
-    val rawEdges = li.withColumn("dst", lead("pk", 1).over(nxt))
-      .filter(col("dst").isNotNull && col("dst") =!= col("pk"))
-      .groupBy(col("pk").as("src"), col("dst"))
-      .agg(count(lit(1)).as("wt"))
-    // Out-weights are folded into the edge list ONCE (inside the round loop
-    // that join would re-run a groupBy + join per iteration), and the cache
-    // is laid out hash(src) so every round's edges⋈ranks join reuses the
-    // cached partitioning — only the rank frame moves between rounds.
+  /** The reusable iteration core: weighted PageRank over an edge frame
+    * (`src`, `dst`, `wt` — longs), `rounds` synchronous rounds of the exact
+    * ppm recurrence, returning (`node`, `r`) for every vertex. Generator-
+    * driven parity with a driver-side reference implementation is asserted
+    * in PropertySpec.
+    *
+    * Out-weights are folded into the edge list ONCE (inside the round loop
+    * that join would re-run a groupBy + join per iteration), and the cache
+    * is laid out hash(src) so every round's edges⋈ranks join reuses the
+    * cached partitioning — only the rank frame moves between rounds.
+    * The rank frame carries ONLY in-edge (dst) nodes: a node nobody points
+    * at holds the constant 150000 from round 1 on (1e6 in round 0), so its
+    * value rides as a coalesce DEFAULT instead of |V| join rows per round —
+    * the frame is bounded by the pointed-at set, and the per-round plan is
+    * exactly one join + one map-combined aggregate. Rounds materialize via
+    * persist+count so each round's measured size feeds the next round's
+    * join planning; retired rounds release their cache immediately. The
+    * returned plan reads the edge and final-round caches; both belong to
+    * the session (Bench/Verify clear between queries). */
+  def pageRank(rawEdges: DataFrame, rounds: Int): DataFrame = {
     val edges = rawEdges
       .join(rawEdges.groupBy("src").agg(sum("wt").as("wout")), "src")
       .repartition(col("src"))
-      .persist() // consumed once per round; released before returning
-
-    // The rank frame carries ONLY in-edge (dst) nodes: a node nobody points
-    // at holds the constant 150000 from round 1 on (1e6 in round 0), so its
-    // value rides as a coalesce DEFAULT instead of |V| join rows per round —
-    // the frame is bounded by the pointed-at set, and the per-round plan is
-    // exactly one join + one map-combined aggregate. Rounds materialize via
-    // persist+count so each round's measured size feeds the next round's
-    // join planning; retired rounds release their cache immediately.
+      .persist()
     var ranks: DataFrame = null
-    for (i <- 1 to 5) {
+    for (i <- 1 to rounds) {
       val joined =
         if (i == 1) edges.withColumn("r", lit(1000000L))
         else edges
@@ -84,15 +81,25 @@ object Graph {
     }
     val nodes = edges.select(col("src").as("node"))
       .union(edges.select(col("dst").as("node"))).distinct()
-    val out = nodes.join(ranks, Seq("node"), "left")
-      .select(col("node").as("part"),
-        coalesce(col("r"), lit(150000L)).as("rank_micro"))
+    nodes.join(ranks, Seq("node"), "left")
+      .select(col("node"), coalesce(col("r"), lit(150000L)).as("r"))
+  }
+
+  def q124(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("okey"), col("l_linenumber").as("ln"),
+        col("l_partkey").as("pk"))
+    // (okey, ln) is NOT unique in the fixture — the transition sequence must
+    // ride a TOTAL order or lead() is engine/partition-layout dependent
+    val nxt = Window.partitionBy("okey").orderBy(col("ln"), col("pk"))
+    val edges = li.withColumn("dst", lead("pk", 1).over(nxt))
+      .filter(col("dst").isNotNull && col("dst") =!= col("pk"))
+      .groupBy(col("pk").as("src"), col("dst"))
+      .agg(count(lit(1)).as("wt"))
+    pageRank(edges, rounds = 5)
+      .select(col("node").as("part"), col("r").as("rank_micro"))
       .orderBy(desc("rank_micro"), col("part"))
       .limit(20)
-    // the returned plan still reads the edge cache (via `nodes`) and the
-    // final round's cache; both belong to the session — Bench/Verify clear
-    // them between queries (the standard cache-ownership contract)
-    out
   }
 
   /** The oracle unrolls the same 5 rounds as chained CTEs (r1..r5), each

@@ -263,7 +263,11 @@ object Training {
     * Scale shape: word frequencies are one map-combined aggregate; each
     * round is one explode over vocabulary words + one pair aggregate; the
     * chosen pair is a 1-row broadcast (parameter-sized by construction). */
-  def q127(spark: SparkSession, dir: String): DataFrame = {
+  /** The reusable BPE step over a word-frequency frame (`word`, `f`):
+    * round-1 pair counts → argmax merge → round-2 pair counts with the
+    * merged symbol rendered back. Generator-driven parity with a
+    * driver-side reference implementation is asserted in PropertySpec. */
+  def bpeMergeStep(words0: DataFrame): DataFrame = {
     def pairCounts(df: DataFrame, wcol: String): DataFrame = df
       .filter(length(col(wcol)) >= 2) // guard: sequence(1,0) would DESCEND
       .select(col("f"), col(wcol).as("w"),
@@ -272,10 +276,7 @@ object Training {
         expr("substring(w, i + 1, 1)").as("b"), col("f"))
       .groupBy("a", "b").agg(sum("f").as("cnt"))
 
-    val words = Tables.parallelized(Tables.load(spark, dir, "documents"))
-      .select(explode(split(col("text"), " ")).as("word"))
-      .groupBy("word").agg(count(lit(1)).as("f"))
-      .persist() // consumed by the round-1 count AND the merge pass
+    val words = words0.persist() // consumed by round-1 count AND merge pass
     val best = pairCounts(words, "word")
       .orderBy(desc("cnt"), col("a"), col("b")).limit(1)
       .select(concat(col("a"), col("b")).as("bp"))
@@ -285,7 +286,13 @@ object Training {
       .select(expr("replace(a, chr(1), bp)").as("sym_a"),
         expr("replace(b, chr(1), bp)").as("sym_b"), col("cnt"))
       .orderBy(desc("cnt"), col("sym_a"), col("sym_b"))
-      .limit(10)
+  }
+
+  def q127(spark: SparkSession, dir: String): DataFrame = {
+    val words = Tables.parallelized(Tables.load(spark, dir, "documents"))
+      .select(explode(split(col("text"), " ")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("f"))
+    bpeMergeStep(words).limit(10)
   }
 
   val q127Sql =

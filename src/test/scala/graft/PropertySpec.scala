@@ -170,6 +170,74 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("pageRank agrees with a driver-side exact reference on random weighted graphs") {
+    // arbitrary digraphs: n ≤ 40 vertices, weighted multi-edges collapse
+    // upstream in q124, so here every (src, dst) is distinct with wt ≥ 1
+    val graphGen = for {
+      n <- Gen.chooseNum(2, 40)
+      m <- Gen.chooseNum(1, 2 * n)
+      es <- Gen.listOfN(m, for {
+        s <- Gen.chooseNum(0, n - 1); d <- Gen.chooseNum(0, n - 1)
+        w <- Gen.chooseNum(1L, 9L)
+      } yield (s.toLong, d.toLong, w))
+    } yield es.filter { case (s, d, _) => s != d }
+      .groupBy(e => (e._1, e._2)).map { case ((s, d), g) => (s, d, g.map(_._3).sum) }
+      .toSeq
+    def ref(edges: Seq[(Long, Long, Long)], rounds: Int): Map[Long, Long] = {
+      val wout = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._3).sum }
+      val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+      var r = nodes.map(_ -> 1000000L).toMap
+      for (_ <- 1 to rounds) {
+        val contrib = edges.groupBy(_._2).map { case (d, es) =>
+          d -> es.map { case (s, _, w) =>
+            850000L * r(s) * w / (1000000L * wout(s)) }.sum
+        }
+        r = nodes.map(v => v -> (150000L + contrib.getOrElse(v, 0L))).toMap
+      }
+      r
+    }
+    val params = SCTest.Parameters.default.withMinSuccessfulTests(5)
+    val res = SCTest.check(params, Prop.forAll(graphGen) { edges =>
+      edges.isEmpty || {
+        val got = graft.queries.Graph.pageRank(
+            edges.toDF("src", "dst", "wt"), rounds = 3)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        got == ref(edges, 3)
+      }
+    })
+    assert(res.passed, res.status.toString)
+  }
+
+  test("bpeMergeStep agrees with a driver-side reference on random word tables") {
+    val wordsGen = Gen.chooseNum(3, 25).flatMap(k => Gen.listOfN(k,
+      for { w <- word; f <- Gen.chooseNum(1L, 20L) } yield (w, f)))
+    def ref(words0: Seq[(String, Long)]): Seq[(String, String, Long)] = {
+      val words = words0.groupBy(_._1).map { case (w, g) => (w, g.map(_._2).sum) }.toSeq
+      def pairs(ws: Seq[(String, Long)]): Map[(String, String), Long] =
+        ws.flatMap { case (w, f) =>
+          w.sliding(2).filter(_.length == 2).map(p =>
+            (p.substring(0, 1), p.substring(1, 2)) -> f)
+        }.groupBy(_._1).map { case (p, g) => p -> g.map(_._2).sum }
+      val p1 = pairs(words)
+      if (p1.isEmpty) return Seq.empty
+      val best = p1.toSeq.minBy { case ((a, b), c) => (-c, a, b) }._1
+      val bp = best._1 + best._2
+      val merged = words.map { case (w, f) => (w.replace(bp, "\u0001"), f) }
+      pairs(merged).toSeq
+        .map { case ((a, b), c) =>
+          (a.replace("\u0001", bp), b.replace("\u0001", bp), c) }
+        .sortBy { case (a, b, c) => (-c, a, b) }
+    }
+    val params = SCTest.Parameters.default.withMinSuccessfulTests(5)
+    val res = SCTest.check(params, Prop.forAll(wordsGen) { rows =>
+      val wf = rows.groupBy(_._1).map { case (w, g) => (w, g.map(_._2).sum) }.toSeq
+      val got = graft.queries.Training.bpeMergeStep(wf.toDF("word", "f"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+      got == ref(rows)
+    })
+    assert(res.passed, res.status.toString)
+  }
+
   test("self-similarity: identical adjacent docs score jaccard 1e6; disjoint score 0") {
     val docs = sample(doc, 50).filter(_.split(" ", -1).length >= 2)
     // pairs (2i, 2i+1) identical — every adjacent (even, odd) pair scores 1e6
