@@ -238,6 +238,12 @@ object Dedup {
     // size(shingles) > 0 (spaces+1 == size(split(text,' ',-1)), empties
     // included on both), but its pushed-down copy in the scan filter costs
     // length arithmetic per row instead of a per-row array allocation.
+    // Deliberately NOT persisted, although both join sides consume the same
+    // gram frame: caching string-array columns pays InMemoryRelation encode
+    // + per-read deserialization that MEASURES ~2× slower than recomputing
+    // the codegen'd shingle expression per side (probed r7, 1.5s cached vs
+    // 0.8s recomputed at sf0.1) — and at 100 TB caching corpus shingles is
+    // a non-starter anyway. The 2-eval shape is asserted in PlanQualitySpec.
     val grams = docs
       .filter(T.tokenCount(col("text")) >= n)
       .select(col("doc_id"),
