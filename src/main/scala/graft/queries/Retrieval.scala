@@ -486,6 +486,51 @@ object Retrieval {
       |SELECT qid, neighbor, score_x1e6, CAST(rnk AS BIGINT) AS rnk
       |FROM ranked WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin
 
+  /** q133 per-document keyword extraction — the top-3 most distinctive
+    * tokens per document by integer TF-IDF surrogate (tf·1e6 div df): the
+    * per-doc twin of q60's per-source distinctive terms, and the keyword
+    * step of a retrieval/tagging pipeline. Document frequencies are one
+    * fingerprint-style aggregate (vocabulary-sized); the per-doc top-3 is a
+    * rank-limited window (WindowGroupLimit pre-prunes map-side, so ≤3 rows
+    * per doc survive to the final sort). Restricted to doc_id < 20 for a
+    * bounded declared output; the plan is corpus-scale regardless. */
+  def q133(spark: SparkSession, dir: String): DataFrame = {
+    val tf = Tables.parallelized(Tables.load(spark, dir, "documents"))
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    tf.filter(col("doc_id") < 20)
+      .join(df, "token")
+      .withColumn("score_x1e6", expr("tf * 1000000 div df"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("doc_id")
+          .orderBy(desc("score_x1e6"), col("token"))).cast(LongType))
+      .filter(col("rk") <= 3)
+      .select("doc_id", "rk", "token", "tf", "df", "score_x1e6")
+      .orderBy("doc_id", "rk")
+  }
+
+  val q133Sql =
+    """WITH tf AS (
+      |  SELECT doc_id, token, COUNT(*) AS tf FROM
+      |    (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      |     FROM documents)
+      |  GROUP BY doc_id, token
+      |), dfreq AS (
+      |  SELECT token, COUNT(*) AS df FROM tf GROUP BY token
+      |), scored AS (
+      |  SELECT tf.doc_id, tf.token, tf.tf, dfreq.df,
+      |    tf.tf * 1000000 // dfreq.df AS score_x1e6
+      |  FROM tf JOIN dfreq USING (token)
+      |  WHERE tf.doc_id < 20
+      |), ranked AS (
+      |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+      |    ORDER BY score_x1e6 DESC, token) AS BIGINT) AS rk
+      |  FROM scored
+      |)
+      |SELECT doc_id, rk, token, tf, df, score_x1e6 FROM ranked
+      |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q106_dup_passages", q106 _, Some(q106Sql)),
     ("q107_interval_union", q107 _, Some(q107Sql)),
@@ -495,5 +540,6 @@ object Retrieval {
     ("q111_quality_logit", q111 _, Some(q111Sql)),
     ("q114_chunk_documents", q114 _, Some(q114Sql)),
     ("q119_chunk_dup_rate", q119 _, Some(q119Sql)),
-    ("q125_batch_knn", q125 _, Some(q125Sql)))
+    ("q125_batch_knn", q125 _, Some(q125Sql)),
+    ("q133_doc_keywords", q133 _, Some(q133Sql)))
 }

@@ -568,6 +568,49 @@ object Stats {
       |  END AS slope_x1e3
       |FROM s ORDER BY nation""".stripMargin
 
+  /** q132 windowed co-occurrence counts — the GloVe-style statistic word
+    * embeddings are trained from (Pennington et al., "GloVe: Global Vectors
+    * for Word Representation", EMNLP 2014): unordered token pairs within a
+    * ±2 window, weighted by inverse distance. The 1/d weight is kept exact
+    * by scaling ×6 (d=1 → 6, d=2 → 3 — integers, no float accumulation).
+    * NO self-join: the d=1 and d=2 pair streams are zip_with slices of the
+    * token array (the q90 shape), so the work is linear in corpus tokens —
+    * a position self-join would be Σ tokens²/doc. One map-combined pair
+    * aggregate; top-20 via TakeOrderedAndProject. */
+  def q132(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.parallelized(Tables.load(spark, dir, "documents"))
+      .select(split(col("text"), " ").as("w"))
+    def pairsAt(d: Int, weightX6: Int): DataFrame = {
+      val n = size(col("w")) - d
+      docs.filter(size(col("w")) > d)
+        .select(explode(zip_with(
+          slice(col("w"), lit(1), n), slice(col("w"), lit(1 + d), n),
+          (x, y) => struct(least(x, y).as("wa"), greatest(x, y).as("wb"))))
+          .as("p"))
+        .select(col("p.wa"), col("p.wb"), lit(weightX6.toLong).as("wt_x6"))
+    }
+    pairsAt(1, 6).union(pairsAt(2, 3))
+      .groupBy("wa", "wb")
+      .agg(count(lit(1)).as("n_pairs"), sum("wt_x6").as("cooc_x6"))
+      .orderBy(desc("cooc_x6"), col("wa"), col("wb"))
+      .limit(20)
+  }
+
+  val q132Sql =
+    """WITH toks AS (
+      |  SELECT string_split(text, ' ') AS w FROM documents
+      |), p AS (
+      |  SELECT LEAST(w[i], w[i+1]) AS wa, GREATEST(w[i], w[i+1]) AS wb,
+      |    CAST(6 AS BIGINT) AS wt_x6
+      |  FROM (SELECT w, unnest(range(1, len(w))) AS i FROM toks)
+      |  UNION ALL
+      |  SELECT LEAST(w[i], w[i+2]), GREATEST(w[i], w[i+2]), 3
+      |  FROM (SELECT w, unnest(range(1, len(w) - 1)) AS i FROM toks)
+      |)
+      |SELECT wa, wb, COUNT(*) AS n_pairs, CAST(SUM(wt_x6) AS BIGINT) AS cooc_x6
+      |FROM p GROUP BY wa, wb
+      |ORDER BY cooc_x6 DESC, wa, wb LIMIT 20""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q87_grouping_sets", q87 _, Some(q87Sql)),
     ("q88_stats_moments", q88 _, Some(q88Sql)),
@@ -583,5 +626,6 @@ object Stats {
     ("q105_cohort_retention", q105 _, Some(q105Sql)),
     ("q112_label_centroids", q112 _, Some(q112Sql)),
     ("q113_mad_outliers", q113 _, Some(q113Sql)),
-    ("q126_trend_ols", q126 _, Some(q126Sql)))
+    ("q126_trend_ols", q126 _, Some(q126Sql)),
+    ("q132_cooccurrence", q132 _, Some(q132Sql)))
 }
