@@ -46,4 +46,30 @@ object AsOfJoin {
       .filter(col("__side") === 1)
       .select(leftCols.map(c => col(s"__row.$c").as(c)) :+ col(outCol): _*)
   }
+
+  /** Left-outer FORWARD as-of: for each left row, the least right timestamp
+    * `rightTs >= leftTs` within the same key (inclusive), or NULL when no
+    * right row follows. The mirror image of [[backward]] — same single
+    * keyed shuffle + one within-partition sort, traversed in DESCENDING
+    * time order so the running window carries the nearest FUTURE right
+    * timestamp; right rows still sort before left rows at equal timestamps
+    * (side 0 first under the (t DESC, side ASC) order), keeping the match
+    * inclusive. The "next scheduled event" lookup of a time-series join. */
+  def forward(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, outCol: String): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val l = left.select(
+      col(key).as("__k"), col(leftTs).as("__t"), lit(1).as("__side"),
+      struct(leftCols.map(col): _*).as("__row"))
+    val r = right.select(
+      col(key).as("__k"), col(rightTs).as("__t"), lit(0).as("__side"),
+      lit(null).cast(l.schema("__row").dataType).as("__row"))
+    val w = Window.partitionBy("__k").orderBy(col("__t").desc, col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    r.unionByName(l)
+      .withColumn(outCol,
+        last(when(col("__side") === 0, col("__t")), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(leftCols.map(c => col(s"__row.$c").as(c)) :+ col(outCol): _*)
+  }
 }

@@ -172,6 +172,32 @@ object Advanced {
       |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
       |ORDER BY e.event_id""".stripMargin
 
+  /** q134 FORWARD as-of join (operators/AsOfJoin.forward) — each event
+    * matched to the NEXT order date of the same user (least o_orderdate ≥
+    * ts): the "next scheduled/observed" lookup of a time-series pipeline,
+    * completing the as-of family next to q45's backward match. Same merge
+    * shape: one keyed shuffle + one within-partition sort, no candidate
+    * blow-up. The oracle is algorithmically INDEPENDENT — a correlated
+    * scalar MIN subquery, not a window replay — so the merge formulation is
+    * cross-checked against first principles. */
+  def q134(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "events").select("event_id", "user_id", "ts")
+    val o = Tables.load(spark, dir, "orders")
+      .select(col("o_custkey").as("user_id"), col("o_orderdate"))
+    AsOfJoin.forward(e, o, key = "user_id", leftTs = "ts",
+        rightTs = "o_orderdate", outCol = "next_order_ts")
+      .select(col("event_id"), col("user_id"),
+        col("next_order_ts").cast(StringType).as("next_order_ts"))
+      .orderBy("event_id")
+  }
+
+  val q134Sql =
+    """SELECT e.event_id, e.user_id,
+      |  CAST((SELECT MIN(o.o_orderdate) FROM orders o
+      |        WHERE o.o_custkey = e.user_id AND o.o_orderdate >= e.ts)
+      |    AS VARCHAR) AS next_order_ts
+      |FROM events e ORDER BY e.event_id""".stripMargin
+
   /** q46 range (band) join: parts priced into irregular bands via a non-equi
     * join. The band table is tiny and broadcast, so Spark plans a
     * BroadcastNestedLoopJoin — each part row tests 4 predicates, no shuffle.
@@ -636,6 +662,7 @@ object Advanced {
     ("q43_vocab_topk", q43 _, Some(q43Sql)),
     ("q44_hash_sample", q44 _, Some(q44Sql)),
     ("q45_asof_join", q45 _, Some(q45Sql)),
+    ("q134_asof_forward", q134 _, Some(q134Sql)),
     ("q46_range_band_join", q46 _, Some(q46Sql)),
     ("q47_topk_per_group", q47 _, Some(q47Sql)),
     ("q48_median_exact", q48 _, Some(q48Sql)),

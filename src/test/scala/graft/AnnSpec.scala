@@ -144,6 +144,25 @@ class AnnSpec extends AnyFunSuite {
     assert(servedPq == directPq)
   }
 
+  test("ensureBuilt: unchanged corpus reuses the index; a rewritten corpus rebuilds") {
+    // stage a private copy of the corpus so mutating it is safe
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_stale").toString
+    val src = java.nio.file.Paths.get(s"$sf/embeddings.parquet")
+    val dst = java.nio.file.Paths.get(s"$dir/embeddings.parquet")
+    java.nio.file.Files.copy(src, dst)
+    val embs = spark.read.parquet(dst.toString)
+    val p1 = graft.ann.IvfPqIndex.ensureBuilt(spark, embs, dir, dim = 64)
+    val p2 = graft.ann.IvfPqIndex.ensureBuilt(spark, embs, dir, dim = 64)
+    assert(p1 == p2, "unchanged corpus must reuse the same index path")
+    // a corpus rewrite (different mtime) must produce a NEW index path —
+    // the staleness contract that makes the in-process model cache safe
+    java.nio.file.Files.setLastModifiedTime(dst,
+      java.nio.file.attribute.FileTime.fromMillis(
+        java.nio.file.Files.getLastModifiedTime(dst).toMillis + 60000))
+    val p3 = graft.ann.IvfPqIndex.ensureBuilt(spark, embs, dir, dim = 64)
+    assert(p3 != p1, "rewritten corpus must get a fresh index")
+  }
+
   test("PQ codebooks: m×k entries of subspace width, empty codes keep old centroids") {
     val cbs = Pq.pqTrain(embs, dim = 64, m = 8, k = 16, iters = 2)
     assert(cbs.length == 8)

@@ -60,6 +60,12 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(hashExchanges == 1, s"expected 1 keyed shuffle, got $hashExchanges\n$p")
   }
 
+  test("q134: forward as-of keeps the same single-shuffle merge shape") {
+    val p = plan("q134_asof_forward")
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashExchanges == 1, s"expected 1 keyed shuffle, got $hashExchanges\n$p")
+  }
+
   test("q65: correlated EXISTS/NOT EXISTS decorrelate to semi + anti joins") {
     val p = plan("q65_exists_subquery")
     assert(p.contains("LeftSemi"), s"EXISTS must plan a left-semi join:\n$p")
