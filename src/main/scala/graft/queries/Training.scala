@@ -277,14 +277,20 @@ object Training {
       .groupBy("a", "b").agg(sum("f").as("cnt"))
 
     val words = words0.persist() // consumed by round-1 count AND merge pass
-    val best = pairCounts(words, "word")
+    // the chosen pair is a 1-row PARAMETER (like an ANN query vector): fetch
+    // it once instead of re-evaluating the round-1 aggregate under two
+    // crossJoin consumers — this is also the real trainer's shape, where
+    // the merge table lives on the driver and grows one entry per step
+    val bp = pairCounts(words, "word")
       .orderBy(desc("cnt"), col("a"), col("b")).limit(1)
       .select(concat(col("a"), col("b")).as("bp"))
-    val merged = words.crossJoin(broadcast(best))
-      .select(expr("replace(word, bp, chr(1))").as("w2"), col("f"))
-    pairCounts(merged, "w2").crossJoin(broadcast(best))
-      .select(expr("replace(a, chr(1), bp)").as("sym_a"),
-        expr("replace(b, chr(1), bp)").as("sym_b"), col("cnt"))
+      .head().getString(0)
+    val mergedSym = lit("\u0001") // chr(1): absent from any text corpus
+    val merged = words
+      .select(replace(col("word"), lit(bp), mergedSym).as("w2"), col("f"))
+    pairCounts(merged, "w2")
+      .select(replace(col("a"), mergedSym, lit(bp)).as("sym_a"),
+        replace(col("b"), mergedSym, lit(bp)).as("sym_b"), col("cnt"))
       .orderBy(desc("cnt"), col("sym_a"), col("sym_b"))
   }
 
