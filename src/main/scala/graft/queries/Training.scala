@@ -301,6 +301,102 @@ object Training {
     bpeMergeStep(words).limit(10)
   }
 
+  /** q135 BPE merge TABLE — the artifact a tokenizer trainer actually
+    * produces: the first `steps` merges in order, each row the argmax
+    * adjacent-symbol pair (rendered to full strings) with its
+    * frequency-weighted count at selection time. The q127 single step run
+    * as the real induction loop: after each merge the vocabulary is
+    * rewritten with a fresh placeholder symbol (chr(step), absent from any
+    * text corpus) and the next round counts over the MERGED symbols, so
+    * step 2 can and does pick pairs containing step 1's token. Each round
+    * is one vocabulary-sized aggregate; the chosen pair is a 1-row
+    * parameter fetch; retired vocabulary caches are released per step.
+    * The oracle chains the same rounds as CTEs and renders placeholders
+    * back through the earlier merges — hash-verifying the whole
+    * data-dependent induction. */
+  def q135(spark: SparkSession, dir: String, steps: Int = 3): DataFrame = {
+    def pairCounts(df: DataFrame, wcol: String): DataFrame = df
+      .filter(length(col(wcol)) >= 2)
+      .select(col("f"), col(wcol).as("w"),
+        explode(sequence(lit(1), length(col(wcol)) - 1)).as("i"))
+      .select(expr("substring(w, i, 1)").as("a"),
+        expr("substring(w, i + 1, 1)").as("b"), col("f"))
+      .groupBy("a", "b").agg(sum("f").as("cnt"))
+
+    var words = Tables.parallelized(Tables.load(spark, dir, "documents"))
+      .select(explode(split(col("text"), " ")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("f"))
+      .persist()
+    var render = Map.empty[Char, String] // placeholder -> plain expansion
+    def expand(s: String): String =
+      s.flatMap(c => render.getOrElse(c, c.toString))
+    val merges = (1 to steps).map { step =>
+      val best = pairCounts(words, "word")
+        .orderBy(desc("cnt"), col("a"), col("b")).limit(1)
+        .head() // 1-row parameter fetch, like the ANN query vector
+      val (a, b, cnt) = (best.getString(0), best.getString(1), best.getLong(2))
+      val sym = step.toChar // chr(1), chr(2), ... — never in corpus text
+      render += sym -> expand(a + b)
+      val next = words
+        .select(replace(col("word"), lit(a + b), lit(sym.toString)).as("word"),
+          col("f"))
+        .persist()
+      next.count()
+      words.unpersist(blocking = false)
+      words = next
+      (step.toLong, expand(a), expand(b), cnt)
+    }
+    words.unpersist(blocking = false)
+    spark.createDataFrame(merges)
+      .toDF("step", "sym_a", "sym_b", "pair_count")
+      .orderBy("step")
+  }
+
+  val q135Sql =
+    """WITH wf AS (
+      |  SELECT word, COUNT(*) AS f FROM
+      |    (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      |  GROUP BY word
+      |), p1 AS (
+      |  SELECT substr(word, i, 1) AS a, substr(word, i + 1, 1) AS b,
+      |    CAST(SUM(f) AS BIGINT) AS cnt
+      |  FROM (SELECT word, f, unnest(range(1, length(word))) AS i FROM wf)
+      |  GROUP BY 1, 2
+      |), b1 AS (SELECT a, b, cnt FROM p1 ORDER BY cnt DESC, a, b LIMIT 1
+      |), w2 AS (
+      |  SELECT replace(word, b1.a || b1.b, chr(1)) AS word, f
+      |  FROM wf CROSS JOIN b1
+      |), p2 AS (
+      |  SELECT substr(word, i, 1) AS a, substr(word, i + 1, 1) AS b,
+      |    CAST(SUM(f) AS BIGINT) AS cnt
+      |  FROM (SELECT word, f, unnest(range(1, length(word))) AS i FROM w2)
+      |  GROUP BY 1, 2
+      |), b2 AS (SELECT a, b, cnt FROM p2 ORDER BY cnt DESC, a, b LIMIT 1
+      |), w3 AS (
+      |  SELECT replace(word, b2.a || b2.b, chr(2)) AS word, f
+      |  FROM w2 CROSS JOIN b2
+      |), p3 AS (
+      |  SELECT substr(word, i, 1) AS a, substr(word, i + 1, 1) AS b,
+      |    CAST(SUM(f) AS BIGINT) AS cnt
+      |  FROM (SELECT word, f, unnest(range(1, length(word))) AS i FROM w3)
+      |  GROUP BY 1, 2
+      |), b3 AS (SELECT a, b, cnt FROM p3 ORDER BY cnt DESC, a, b LIMIT 1
+      |), x1 AS (SELECT b1.a || b1.b AS e FROM b1
+      |), x2 AS (
+      |  SELECT replace(b2.a || b2.b, chr(1), x1.e) AS e FROM b2 CROSS JOIN x1
+      |)
+      |SELECT CAST(1 AS BIGINT) AS step, b1.a AS sym_a, b1.b AS sym_b,
+      |  b1.cnt AS pair_count FROM b1
+      |UNION ALL
+      |SELECT 2, replace(b2.a, chr(1), x1.e), replace(b2.b, chr(1), x1.e),
+      |  b2.cnt FROM b2 CROSS JOIN x1
+      |UNION ALL
+      |SELECT 3,
+      |  replace(replace(b3.a, chr(2), x2.e), chr(1), x1.e),
+      |  replace(replace(b3.b, chr(2), x2.e), chr(1), x1.e),
+      |  b3.cnt FROM b3 CROSS JOIN x1 CROSS JOIN x2
+      |ORDER BY step""".stripMargin
+
   val q127Sql =
     """WITH wf AS (
       |  SELECT word, COUNT(*) AS f FROM
@@ -551,6 +647,7 @@ object Training {
 
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q127_bpe_merge", q127 _, Some(q127Sql)),
+    ("q135_bpe_table", (s: SparkSession, d: String) => q135(s, d), Some(q135Sql)),
     ("q129_markov_eval", q129 _, Some(q129Sql)),
     ("q130_class_balance", q130 _, Some(q130Sql)),
     ("q131_cluster_sizes", q131 _, Some(q131Sql)),
