@@ -136,6 +136,173 @@ object Graph {
        |ORDER BY rank_micro DESC, part LIMIT 20""".stripMargin
   }
 
+  /** The undirected co-purchase graph both q136 and q138 analyze: vertices
+    * are parts, an edge links two parts that ever share an order. Built by
+    * one basket self-join (Σ basket² pair instances, bounded by basket
+    * size like q122) and normalized to `a < b` so each undirected edge is
+    * exactly one row. */
+  private def coPurchaseEdges(spark: SparkSession, dir: String): DataFrame = {
+    val items = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("okey"), col("l_partkey").as("part"))
+      .distinct()
+    items.select(col("okey"), col("part").as("a"))
+      .join(items.select(col("okey").as("okey_b"), col("part").as("b")),
+        col("okey") === col("okey_b") && col("a") < col("b"))
+      .select("a", "b").distinct()
+  }
+
+  /** q136 triangle counting with degree orientation — the graph kernel
+    * behind clustering-coefficient quality signals on web/link corpora.
+    * Naive wedge enumeration joins the edge list with itself on the shared
+    * vertex, and a single high-degree hub (every corpus has one) produces
+    * deg² wedge rows — the "curse of the last reducer". The fix is the
+    * standard orientation trick (Suri & Vassilvitskii, "Counting Triangles
+    * and the Curse of the Last Reducer", WWW'11): orient every edge from
+    * its lower-(degree, id) endpoint to the higher one. The oriented graph
+    * is acyclic, every triangle survives as exactly one wedge + closing
+    * edge, and out-degrees are bounded by O(√m), so the wedge join
+    * produces at most O(m^1.5) rows no matter how skewed the degree
+    * distribution — the hub's wedges are charged to its low-degree
+    * neighbors. Plan shape: two edge-list joins plus bounded aggregates,
+    * no driver-side graph state; everything integer-exact, closure ratio
+    * in ppm by floor division. */
+  def q136(spark: SparkSession, dir: String): DataFrame = {
+    val edges = coPurchaseEdges(spark, dir)
+      .persist() // consumed 4×: degrees, orientation, wedge closure, count
+    val deg = edges.select(col("a").as("v"))
+      .union(edges.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    val lowFirst = edges
+      .join(deg.select(col("v").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("d").as("db")), "b")
+      .withColumn("fwd",
+        col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")))
+    val oriented = lowFirst.select(
+        when(col("fwd"), col("a")).otherwise(col("b")).as("src"),
+        when(col("fwd"), col("b")).otherwise(col("a")).as("dst"))
+      .persist() // the wedge join reads it twice
+    // wedges (src→x, src→y), x<y: both endpoints rank above src, so the
+    // closing edge {x,y} is already normalized as (a=x, b=y) in `edges`
+    val wedges = oriented
+      .join(oriented.select(col("src").as("src2"), col("dst").as("dst2")),
+        col("src") === col("src2") && col("dst") < col("dst2"))
+      .select(col("dst").as("x"), col("dst2").as("y"))
+    val nTri = wedges
+      .join(edges, wedges("x") === edges("a") && wedges("y") === edges("b"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val nV = deg.agg(count(lit(1)).as("n_vertices"))
+    val nE = edges.agg(count(lit(1)).as("n_edges"))
+    val nW = deg.agg(sum(expr("d * (d - 1) div 2")).as("n_wedges"))
+    nV.crossJoin(nE).crossJoin(nW).crossJoin(nTri)
+      .withColumn("closure_ppm",
+        expr("3 * n_triangles * 1000000 div n_wedges"))
+  }
+
+  val q136Sql: String =
+    """WITH items AS (
+      |  SELECT DISTINCT l_orderkey AS okey, l_partkey AS part FROM lineitem
+      |), edges AS (
+      |  SELECT DISTINCT a.part AS a, b.part AS b
+      |  FROM items a JOIN items b ON a.okey = b.okey AND a.part < b.part
+      |), deg AS (
+      |  SELECT v, COUNT(*) AS d FROM
+      |    (SELECT a AS v FROM edges UNION ALL SELECT b FROM edges)
+      |  GROUP BY v
+      |), o AS (
+      |  SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND e.a < e.b)
+      |           THEN e.a ELSE e.b END AS src,
+      |         CASE WHEN da.d < db.d OR (da.d = db.d AND e.a < e.b)
+      |           THEN e.b ELSE e.a END AS dst
+      |  FROM edges e JOIN deg da ON da.v = e.a JOIN deg db ON db.v = e.b
+      |), w AS (
+      |  SELECT o1.dst AS x, o2.dst AS y
+      |  FROM o o1 JOIN o o2 ON o1.src = o2.src AND o1.dst < o2.dst
+      |), t AS (
+      |  SELECT COUNT(*) AS nt FROM w JOIN edges ON w.x = edges.a AND w.y = edges.b
+      |)
+      |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_vertices,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM edges) AS n_edges,
+      |  (SELECT CAST(SUM(d * (d - 1) // 2) AS BIGINT) FROM deg) AS n_wedges,
+      |  CAST(t.nt AS BIGINT) AS n_triangles,
+      |  CAST(3 * t.nt * 1000000 // (SELECT SUM(d * (d - 1) // 2) FROM deg)
+      |    AS BIGINT) AS closure_ppm
+      |FROM t""".stripMargin
+
+  /** q138 single-source shortest hops (BFS) — the third fixed-point family
+    * member after components and PageRank: level-synchronous label-
+    * correcting rounds, dist'(v) = min(dist(v), min over neighbors + 1),
+    * from the minimum part id over the co-purchase graph. A fixed 6-round
+    * frontier expansion (the graph's diameter at any SF is far below — the
+    * final rounds are cheap no-change passes), each round one edges⋈dist
+    * hash join + one map-combined min aggregate, the same
+    * bounded-per-round shape as [[pageRank]]: no frontier queue on the
+    * driver, rounds materialized via localCheckpoint-free persist/count so
+    * retired rounds release immediately. Unreached vertices report -1.
+    * The oracle unrolls the identical rounds as chained CTEs. */
+  def q138(spark: SparkSession, dir: String): DataFrame = {
+    val edges = coPurchaseEdges(spark, dir)
+    val sym = edges.select(col("a").as("u"), col("b").as("v"))
+      .union(edges.select(col("b").as("u"), col("a").as("v")))
+      .persist() // one consume per round
+    val src = sym.agg(min(least(col("u"), col("v"))).as("s"))
+    var dist = sym.select(col("u").as("node")).distinct()
+      .crossJoin(src)
+      .select(col("node"),
+        when(col("node") === col("s"), lit(0L)).otherwise(lit(null)).as("dist"))
+      .persist()
+    dist.count()
+    for (_ <- 1 to 6) {
+      val hop = sym
+        .join(dist.select(col("node").as("u"), col("dist")), Seq("u"))
+        .filter(col("dist").isNotNull)
+        .groupBy(col("v").as("node")).agg(min(col("dist") + 1).as("nd"))
+      val next = dist.join(hop, Seq("node"), "left")
+        .select(col("node"), least(
+          coalesce(col("dist"), col("nd")),
+          coalesce(col("nd"), col("dist"))).as("dist"))
+        .persist()
+      next.count()
+      dist.unpersist(blocking = false)
+      dist = next
+    }
+    dist.select(col("node").as("part"), coalesce(col("dist"), lit(-1L)).as("dist"))
+      .orderBy(col("dist"), col("part"))
+  }
+
+  val q138Sql: String = {
+    val rounds = (1 to 6).map { i =>
+      s"""d$i AS (
+         |  SELECT n.node,
+         |    LEAST(COALESCE(p.dist, m.nd + 1), COALESCE(m.nd + 1, p.dist)) AS dist
+         |  FROM nodes n
+         |  LEFT JOIN d${i - 1} p ON p.node = n.node
+         |  LEFT JOIN (
+         |    SELECT s.v AS node, MIN(q.dist) AS nd
+         |    FROM sym s JOIN d${i - 1} q ON q.node = s.u
+         |    WHERE q.dist IS NOT NULL GROUP BY s.v
+         |  ) m ON m.node = n.node
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH items AS (
+       |  SELECT DISTINCT l_orderkey AS okey, l_partkey AS part FROM lineitem
+       |), edges AS (
+       |  SELECT DISTINCT a.part AS a, b.part AS b
+       |  FROM items a JOIN items b ON a.okey = b.okey AND a.part < b.part
+       |), sym AS (
+       |  SELECT a AS u, b AS v FROM edges
+       |  UNION ALL SELECT b AS u, a AS v FROM edges
+       |), nodes AS (
+       |  SELECT DISTINCT u AS node FROM sym
+       |), d0 AS (
+       |  SELECT node, CASE WHEN node = (SELECT MIN(node) FROM nodes)
+       |    THEN CAST(0 AS BIGINT) END AS dist FROM nodes
+       |), $rounds
+       |SELECT node AS part, CAST(COALESCE(dist, -1) AS BIGINT) AS dist
+       |FROM d6 ORDER BY dist, part""".stripMargin
+  }
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
-    Seq(("q124_pagerank", q124 _, Some(q124Sql)))
+    Seq(("q124_pagerank", q124 _, Some(q124Sql)),
+      ("q136_triangles", q136 _, Some(q136Sql)),
+      ("q138_bfs_hops", q138 _, Some(q138Sql)))
 }
