@@ -314,7 +314,14 @@ object Training {
     * The oracle chains the same rounds as CTEs and renders placeholders
     * back through the earlier merges — hash-verifying the whole
     * data-dependent induction. */
-  def q135(spark: SparkSession, dir: String, steps: Int = 3): DataFrame = {
+  /** The q135/q137 induction core: run `steps` BPE merge rounds over the
+    * corpus word-frequency table and return (the merged vocabulary — still
+    * persisted, callers that don't read it unpersist it; the merge log;
+    * the placeholder→expansion render map). Each round is one
+    * vocabulary-sized aggregate, the argmax pair is a 1-row driver
+    * parameter fetch, and retired vocabulary caches release per step. */
+  private def bpeInduction(spark: SparkSession, dir: String, steps: Int)
+      : (DataFrame, Seq[(Long, String, String, Long)], Map[Char, String]) = {
     def pairCounts(df: DataFrame, wcol: String): DataFrame = df
       .filter(length(col(wcol)) >= 2)
       .select(col("f"), col(wcol).as("w"),
@@ -346,10 +353,38 @@ object Training {
       words = next
       (step.toLong, expand(a), expand(b), cnt)
     }
-    words.unpersist(blocking = false)
+    (words, merges, render)
+  }
+
+  def q135(spark: SparkSession, dir: String, steps: Int = 3): DataFrame = {
+    val (words, merges, _) = bpeInduction(spark, dir, steps)
+    words.unpersist(blocking = false) // the merge log doesn't read it
     spark.createDataFrame(merges)
       .toDF("step", "sym_a", "sym_b", "pair_count")
       .orderBy("step")
+  }
+
+  /** q137 tokenizer vocabulary — the second artifact a BPE trainer ships:
+    * the per-symbol frequency table of the corpus AFTER the learned merges
+    * are applied (q135 produces the merge log; this produces the vocab).
+    * The merged vocabulary is exploded back to single symbols (placeholders
+    * included), aggregated by frequency-weighted count, and the
+    * placeholders are rendered to their full expansions through the driver-
+    * side render map — a 3-entry literal map lookup, never a join. The
+    * returned plan reads the final round's vocabulary cache, one
+    * vocabulary-sized explode + aggregate on top of the induction loop.
+    * The oracle replays the merges as chained CTEs and renders via CASE. */
+  def q137(spark: SparkSession, dir: String, steps: Int = 3): DataFrame = {
+    val (words, _, render) = bpeInduction(spark, dir, steps)
+    val renderMap = typedLit(render.map { case (k, v) => (k.toString, v) })
+    words
+      .select(col("f"), col("word").as("w"),
+        explode(sequence(lit(1), length(col("word")))).as("i"))
+      .select(expr("substring(w, i, 1)").as("s"), col("f"))
+      .withColumn("symbol", coalesce(element_at(renderMap, col("s")), col("s")))
+      .groupBy("symbol").agg(sum("f").as("freq"))
+      .orderBy(desc("freq"), col("symbol"))
+      .limit(30)
   }
 
   val q135Sql =
@@ -396,6 +431,122 @@ object Training {
       |  replace(replace(b3.b, chr(2), x2.e), chr(1), x1.e),
       |  b3.cnt FROM b3 CROSS JOIN x1 CROSS JOIN x2
       |ORDER BY step""".stripMargin
+
+  val q137Sql =
+    """WITH wf AS (
+      |  SELECT word, COUNT(*) AS f FROM
+      |    (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      |  GROUP BY word
+      |), p1 AS (
+      |  SELECT substr(word, i, 1) AS a, substr(word, i + 1, 1) AS b,
+      |    CAST(SUM(f) AS BIGINT) AS cnt
+      |  FROM (SELECT word, f, unnest(range(1, length(word))) AS i FROM wf)
+      |  GROUP BY 1, 2
+      |), b1 AS (SELECT a, b, cnt FROM p1 ORDER BY cnt DESC, a, b LIMIT 1
+      |), w2 AS (
+      |  SELECT replace(word, b1.a || b1.b, chr(1)) AS word, f
+      |  FROM wf CROSS JOIN b1
+      |), p2 AS (
+      |  SELECT substr(word, i, 1) AS a, substr(word, i + 1, 1) AS b,
+      |    CAST(SUM(f) AS BIGINT) AS cnt
+      |  FROM (SELECT word, f, unnest(range(1, length(word))) AS i FROM w2)
+      |  GROUP BY 1, 2
+      |), b2 AS (SELECT a, b, cnt FROM p2 ORDER BY cnt DESC, a, b LIMIT 1
+      |), w3 AS (
+      |  SELECT replace(word, b2.a || b2.b, chr(2)) AS word, f
+      |  FROM w2 CROSS JOIN b2
+      |), p3 AS (
+      |  SELECT substr(word, i, 1) AS a, substr(word, i + 1, 1) AS b,
+      |    CAST(SUM(f) AS BIGINT) AS cnt
+      |  FROM (SELECT word, f, unnest(range(1, length(word))) AS i FROM w3)
+      |  GROUP BY 1, 2
+      |), b3 AS (SELECT a, b, cnt FROM p3 ORDER BY cnt DESC, a, b LIMIT 1
+      |), w4 AS (
+      |  SELECT replace(word, b3.a || b3.b, chr(3)) AS word, f
+      |  FROM w3 CROSS JOIN b3
+      |), x1 AS (SELECT b1.a || b1.b AS e FROM b1
+      |), x2 AS (
+      |  SELECT replace(b2.a || b2.b, chr(1), x1.e) AS e FROM b2 CROSS JOIN x1
+      |), x3 AS (
+      |  SELECT replace(replace(b3.a || b3.b, chr(2), x2.e), chr(1), x1.e) AS e
+      |  FROM b3 CROSS JOIN x2 CROSS JOIN x1
+      |), syms AS (
+      |  SELECT substr(word, i, 1) AS s, f
+      |  FROM (SELECT word, f, unnest(range(1, length(word) + 1)) AS i FROM w4)
+      |)
+      |SELECT CASE s WHEN chr(1) THEN x1.e WHEN chr(2) THEN x2.e
+      |    WHEN chr(3) THEN x3.e ELSE s END AS symbol,
+      |  CAST(SUM(f) AS BIGINT) AS freq
+      |FROM syms CROSS JOIN x1 CROSS JOIN x2 CROSS JOIN x3
+      |GROUP BY 1
+      |ORDER BY freq DESC, symbol LIMIT 30""".stripMargin
+
+  /** q139 temperature-weighted mixture sampling — how a pretraining corpus
+    * balances its sources: a source with n docs gets sampling weight
+    * n^(1/2) (temperature τ=2 in the Σnᵢ^(1/τ) convention — upweights
+    * small sources, damps the head), a document budget is split by floor
+    * division over the weights, and each source's quota is realized
+    * deterministically by ranking docs on an engine-portable md5 hash —
+    * the same "hash as reproducible randomness" contract as q44/q84.
+    * Everything is integer-exact EXCEPT sqrt, which IEEE 754 requires to
+    * be correctly rounded — the one transcendental-looking function that
+    * is still bit-identical across engines, so ⌊√n⌋ hash-matches where
+    * ⌊n^0.9⌋ would not. Plan: one count aggregate, a scalar cross join,
+    * one per-source window rank (single keyed shuffle), one aggregate —
+    * no collect, quota realization scales with the corpus. The checksum
+    * column proves ROW-LEVEL selection parity, not just quota counts. */
+  def q139(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents").select("doc_id", "source")
+    val bySrc = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      .withColumn("weight", floor(sqrt(col("n_docs"))))
+    val wsum = bySrc.agg(sum("weight").as("wsum"))
+    val target = bySrc.crossJoin(wsum) // 1-row scalar side
+      .withColumn("target_docs",
+        least(col("n_docs"), expr("1000 * weight div wsum")))
+    val ranked = docs
+      .withColumn("hk", T.portableHash60(col("doc_id")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("source").orderBy(col("hk"), col("doc_id"))))
+    val picked = ranked
+      .join(target.select("source", "target_docs"), "source")
+      .filter(col("rk") <= col("target_docs"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("picked_docs"), sum("doc_id").as("picked_checksum"))
+    target.join(picked, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("weight"), col("target_docs"),
+        coalesce(col("picked_docs"), lit(0L)).as("picked_docs"),
+        coalesce(col("picked_checksum"), lit(0L)).as("picked_checksum"))
+      .orderBy("source")
+  }
+
+  val q139Sql =
+    """WITH bys AS (
+      |  SELECT source, COUNT(*) AS n_docs,
+      |    CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT) AS weight
+      |  FROM documents GROUP BY source
+      |), tot AS (SELECT SUM(weight) AS wsum FROM bys
+      |), tgt AS (
+      |  SELECT source, n_docs, weight,
+      |    LEAST(n_docs, 1000 * weight // tot.wsum) AS target_docs
+      |  FROM bys CROSS JOIN tot
+      |), ranked AS (
+      |  SELECT source, doc_id,
+      |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY
+      |      CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT),
+      |      doc_id) AS rk
+      |  FROM documents
+      |), picked AS (
+      |  SELECT r.source, COUNT(*) AS picked_docs, SUM(r.doc_id) AS picked_checksum
+      |  FROM ranked r JOIN tgt ON tgt.source = r.source
+      |  WHERE r.rk <= tgt.target_docs
+      |  GROUP BY r.source
+      |)
+      |SELECT t.source, CAST(t.n_docs AS BIGINT) AS n_docs, t.weight,
+      |  CAST(t.target_docs AS BIGINT) AS target_docs,
+      |  CAST(COALESCE(p.picked_docs, 0) AS BIGINT) AS picked_docs,
+      |  CAST(COALESCE(p.picked_checksum, 0) AS BIGINT) AS picked_checksum
+      |FROM tgt t LEFT JOIN picked p ON p.source = t.source
+      |ORDER BY t.source""".stripMargin
 
   val q127Sql =
     """WITH wf AS (
@@ -648,6 +799,8 @@ object Training {
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q127_bpe_merge", q127 _, Some(q127Sql)),
     ("q135_bpe_table", (s: SparkSession, d: String) => q135(s, d), Some(q135Sql)),
+    ("q137_bpe_vocab", (s: SparkSession, d: String) => q137(s, d), Some(q137Sql)),
+    ("q139_mixture_sample", q139 _, Some(q139Sql)),
     ("q129_markov_eval", q129 _, Some(q129Sql)),
     ("q130_class_balance", q130 _, Some(q130Sql)),
     ("q131_cluster_sizes", q131 _, Some(q131Sql)),
