@@ -166,8 +166,14 @@ object Graph {
     * neighbors. Plan shape: two edge-list joins plus bounded aggregates,
     * no driver-side graph state; everything integer-exact, closure ratio
     * in ppm by floor division. */
-  def q136(spark: SparkSession, dir: String): DataFrame = {
-    val edges = coPurchaseEdges(spark, dir)
+  def q136(spark: SparkSession, dir: String): DataFrame =
+    triangleStats(coPurchaseEdges(spark, dir))
+
+  /** The reusable kernel: `edges` must be the normalized undirected edge
+    * set (columns `a` < `b`, distinct). Property-tested against a
+    * driver-side brute-force triple count in PropertySpec. */
+  def triangleStats(rawEdges: DataFrame): DataFrame = {
+    val edges = rawEdges
       .persist() // consumed 4×: degrees, orientation, wedge closure, count
     val deg = edges.select(col("a").as("v"))
       .union(edges.select(col("b").as("v")))
@@ -195,7 +201,7 @@ object Graph {
     val nW = deg.agg(sum(expr("d * (d - 1) div 2")).as("n_wedges"))
     nV.crossJoin(nE).crossJoin(nW).crossJoin(nTri)
       .withColumn("closure_ppm",
-        expr("3 * n_triangles * 1000000 div n_wedges"))
+        expr("case when n_wedges > 0 then 3 * n_triangles * 1000000 div n_wedges end"))
   }
 
   val q136Sql: String =
@@ -239,8 +245,17 @@ object Graph {
     * driver, rounds materialized via localCheckpoint-free persist/count so
     * retired rounds release immediately. Unreached vertices report -1.
     * The oracle unrolls the identical rounds as chained CTEs. */
-  def q138(spark: SparkSession, dir: String): DataFrame = {
-    val edges = coPurchaseEdges(spark, dir)
+  def q138(spark: SparkSession, dir: String): DataFrame =
+    bfsHops(coPurchaseEdges(spark, dir), rounds = 6)
+      .select(col("node").as("part"), col("dist"))
+      .orderBy(col("dist"), col("part"))
+
+  /** The reusable kernel: label-correcting BFS from the minimum vertex id,
+    * `rounds` synchronous rounds, over the normalized undirected edge set
+    * (`a` < `b`). Returns (`node`, `dist`) for every edge-touched vertex,
+    * -1 where the frontier hasn't reached within the budget. Property-
+    * tested against a driver-side BFS in PropertySpec. */
+  def bfsHops(edges: DataFrame, rounds: Int): DataFrame = {
     val sym = edges.select(col("a").as("u"), col("b").as("v"))
       .union(edges.select(col("b").as("u"), col("a").as("v")))
       .persist() // one consume per round
@@ -251,7 +266,7 @@ object Graph {
         when(col("node") === col("s"), lit(0L)).otherwise(lit(null)).as("dist"))
       .persist()
     dist.count()
-    for (_ <- 1 to 6) {
+    for (_ <- 1 to rounds) {
       val hop = sym
         .join(dist.select(col("node").as("u"), col("dist")), Seq("u"))
         .filter(col("dist").isNotNull)
@@ -265,8 +280,7 @@ object Graph {
       dist.unpersist(blocking = false)
       dist = next
     }
-    dist.select(col("node").as("part"), coalesce(col("dist"), lit(-1L)).as("dist"))
-      .orderBy(col("dist"), col("part"))
+    dist.select(col("node"), coalesce(col("dist"), lit(-1L)).as("dist"))
   }
 
   val q138Sql: String = {

@@ -238,6 +238,67 @@ class PropertySpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  // arbitrary sparse undirected graphs, normalized to a<b distinct edges —
+  // the input contract of Graph.triangleStats / Graph.bfsHops
+  private val undirGraphGen: Gen[Seq[(Long, Long)]] = for {
+    n <- Gen.chooseNum(3, 40)
+    m <- Gen.chooseNum(1, 3 * n)
+    es <- Gen.listOfN(m, Gen.zip(Gen.chooseNum(0, n - 1), Gen.chooseNum(0, n - 1)))
+  } yield es.collect { case (a, b) if a != b =>
+    (math.min(a, b).toLong, math.max(a, b).toLong)
+  }.distinct
+
+  test("triangleStats agrees with a brute-force triple count on random graphs") {
+    val params = SCTest.Parameters.default.withMinSuccessfulTests(5)
+    val res = SCTest.check(params, Prop.forAll(undirGraphGen) { edges =>
+      edges.isEmpty || {
+        // adjacency keyed lower→higher, matching the a<b normalization
+        val adj = edges.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+        val nT = edges.map { case (a, b) =>
+          adj.getOrElse(a, Set.empty[Long])
+            .count(c => c > b && adj.getOrElse(b, Set.empty[Long]).contains(c)).toLong
+        }.sum
+        val deg = (edges.map(_._1) ++ edges.map(_._2))
+          .groupBy(identity).map { case (v, g) => v -> g.size.toLong }
+        val nW = deg.values.map(d => d * (d - 1) / 2).sum
+        val row = graft.queries.Graph.triangleStats(edges.toDF("a", "b"))
+          .collect().head
+        row.getLong(row.fieldIndex("n_vertices")) == deg.size.toLong &&
+          row.getLong(row.fieldIndex("n_edges")) == edges.size.toLong &&
+          row.getLong(row.fieldIndex("n_wedges")) == nW &&
+          row.getLong(row.fieldIndex("n_triangles")) == nT &&
+          (if (nW == 0) row.isNullAt(row.fieldIndex("closure_ppm"))
+           else row.getLong(row.fieldIndex("closure_ppm")) == 3 * nT * 1000000L / nW)
+      }
+    })
+    assert(res.passed, res.status.toString)
+  }
+
+  test("bfsHops matches driver-side BFS layers, -1 beyond the round budget") {
+    val rounds = 4 // below many generated diameters, so the -1 path is exercised
+    val params = SCTest.Parameters.default.withMinSuccessfulTests(5)
+    val res = SCTest.check(params, Prop.forAll(undirGraphGen) { edges =>
+      edges.isEmpty || {
+        val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+        val adj = (edges ++ edges.map(_.swap))
+          .groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+        val distRef = scala.collection.mutable.Map(nodes.min -> 0L)
+        var frontier = Seq(nodes.min)
+        while (frontier.nonEmpty) {
+          frontier = frontier.flatMap(adj(_)).distinct.filterNot(distRef.contains)
+          val d = distRef.values.max + 1
+          frontier.foreach(distRef(_) = d)
+        }
+        val want = nodes.map(v =>
+          v -> distRef.get(v).filter(_ <= rounds).getOrElse(-1L)).toMap
+        val got = graft.queries.Graph.bfsHops(edges.toDF("a", "b"), rounds)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        got == want
+      }
+    })
+    assert(res.passed, res.status.toString)
+  }
+
   test("self-similarity: identical adjacent docs score jaccard 1e6; disjoint score 0") {
     val docs = sample(doc, 50).filter(_.split(" ", -1).length >= 2)
     // pairs (2i, 2i+1) identical — every adjacent (even, odd) pair scores 1e6
