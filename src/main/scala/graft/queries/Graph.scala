@@ -4,6 +4,7 @@ import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Iterative graph analytics over derived relational graphs. The engine's
   * second fixed-point operator family after connected components
@@ -186,16 +187,26 @@ object Graph {
     val oriented = lowFirst.select(
         when(col("fwd"), col("a")).otherwise(col("b")).as("src"),
         when(col("fwd"), col("b")).otherwise(col("a")).as("dst"))
-      .persist() // the wedge join reads it twice
-    // wedges (src→x, src→y), x<y: both endpoints rank above src, so the
-    // closing edge {x,y} is already normalized as (a=x, b=y) in `edges`
-    val wedges = oriented
-      .join(oriented.select(col("src").as("src2"), col("dst").as("dst2")),
-        col("src") === col("src2") && col("dst") < col("dst2"))
-      .select(col("dst").as("x"), col("dst2").as("y"))
-    val nTri = wedges
-      .join(edges, wedges("x") === edges("a") && wedges("y") === edges("b"))
-      .agg(count(lit(1)).as("n_triangles"))
+      .persist() // consumed three times: adjacency build + two probe joins
+    // Edge-iterator formulation (Schank & Wagner, "Finding, Counting and
+    // Listing All Triangles in Large Graphs", WEA'05): a triangle's unique
+    // lowest-ranked vertex u orients it u→v, u→w, v→w, so it is counted
+    // exactly once at edge (u, v) as w ∈ N⁺(u) ∩ N⁺(v). Wedge ENUMERATION
+    // (oriented ⋈ oriented on src, then a closing-edge probe) materializes
+    // and shuffles O(m^1.5) wedge rows — 41M at sf0.1, and the shuffle of
+    // those rows dominated the whole kernel (r7: 7–10 s). Intersecting
+    // adjacency ARRAYS instead keeps every frame at m rows: the orientation
+    // bounds |N⁺| by O(√m), so each adjacency list is a small array (max 97
+    // at sf0.1), the per-edge intersect is O(√m) codegen'd work, and the
+    // only shuffles are the adjacency groupBy plus two m-row joins. Skew-
+    // safe for the same reason the orientation fixes the wedge join: a
+    // degree hub's triangles are charged to its low-degree neighbors.
+    val adj = oriented.groupBy(col("src")).agg(collect_list(col("dst")).as("nbrs"))
+    val nTri = oriented
+      .join(adj.select(col("src"), col("nbrs").as("nu")), Seq("src"))
+      .join(adj.select(col("src").as("dst"), col("nbrs").as("nv")), Seq("dst"))
+      .select(size(array_intersect(col("nu"), col("nv"))).cast(LongType).as("c"))
+      .agg(coalesce(sum("c"), lit(0L)).as("n_triangles"))
     val nV = deg.agg(count(lit(1)).as("n_vertices"))
     val nE = edges.agg(count(lit(1)).as("n_edges"))
     val nW = deg.agg(sum(expr("d * (d - 1) div 2")).as("n_wedges"))
@@ -254,32 +265,61 @@ object Graph {
     * `rounds` synchronous rounds, over the normalized undirected edge set
     * (`a` < `b`). Returns (`node`, `dist`) for every edge-touched vertex,
     * -1 where the frontier hasn't reached within the budget. Property-
-    * tested against a driver-side BFS in PropertySpec. */
+    * tested against a driver-side BFS in PropertySpec.
+    *
+    * Two load-bearing choices, both learned the hard way (r7: the naive
+    * persist/count loop took 88 s at sf0.1 on a 20k-vertex graph):
+    *
+    *  - Rounds truncate lineage via `localCheckpoint(eager = true)`, not
+    *    persist: each round references `dist` TWICE (frontier filter +
+    *    carry-forward join), so carrying lineage doubles the analyzed plan
+    *    every round and cache-lookup canonicalization goes exponential in
+    *    the round count — the cost was driver-side planning, not
+    *    execution. Retired rounds' checkpoint RDDs are freed explicitly
+    *    ([[graft.operators.Checkpoints]]), the ConnectedComponents
+    *    discipline.
+    *  - Only the FRONTIER (nodes first settled in the previous round)
+    *    propagates, not the whole settled set. Identical labels: in
+    *    single-source level-synchronous BFS an unsettled vertex can only
+    *    have settled neighbors at exactly distance r−1 (a closer neighbor
+    *    would have settled it a round earlier), so the min over all
+    *    settled neighbors IS the frontier min — and the per-round join
+    *    shrinks from |E|⋈|V| to the frontier's incident edges. */
   def bfsHops(edges: DataFrame, rounds: Int): DataFrame = {
+    // cached hash(u): the per-round frontier join keys on u, so the cache's
+    // partitioning is reused every round and only the frontier moves —
+    // the q124 PageRank edge-cache discipline
     val sym = edges.select(col("a").as("u"), col("b").as("v"))
       .union(edges.select(col("b").as("u"), col("a").as("v")))
+      .repartition(col("u"))
       .persist() // one consume per round
     val src = sym.agg(min(least(col("u"), col("v"))).as("s"))
     var dist = sym.select(col("u").as("node")).distinct()
       .crossJoin(src)
       .select(col("node"),
         when(col("node") === col("s"), lit(0L)).otherwise(lit(null)).as("dist"))
-      .persist()
-    dist.count()
-    for (_ <- 1 to rounds) {
-      val hop = sym
-        .join(dist.select(col("node").as("u"), col("dist")), Seq("u"))
-        .filter(col("dist").isNotNull)
-        .groupBy(col("v").as("node")).agg(min(col("dist") + 1).as("nd"))
+      .localCheckpoint(eager = true)
+    var retired = graft.operators.Checkpoints.rddOf(dist)
+    for (r <- 1 to rounds) {
+      val frontier = dist.filter(col("dist") === lit(r - 1L))
+        .select(col("node").as("u"))
+      // distinct, not groupBy-min: every frontier-adjacent unsettled node
+      // gets exactly distance r, but a node with several frontier
+      // neighbors must not fan out the carry-forward left join
+      val hop = sym.join(frontier, "u")
+        .select(col("v").as("node")).distinct()
+        .withColumn("nd", lit(r.toLong))
       val next = dist.join(hop, Seq("node"), "left")
-        .select(col("node"), least(
-          coalesce(col("dist"), col("nd")),
-          coalesce(col("nd"), col("dist"))).as("dist"))
-        .persist()
-      next.count()
-      dist.unpersist(blocking = false)
+        .select(col("node"), coalesce(col("dist"), col("nd")).as("dist"))
+        .localCheckpoint(eager = true)
+      // `next` is materialized, so the previous snapshot is unreachable —
+      // free it now rather than after an eventual GC+ContextCleaner cycle
+      retired.foreach(_.unpersist(blocking = false))
+      retired = graft.operators.Checkpoints.rddOf(next)
       dist = next
     }
+    sym.unpersist(blocking = false)
+    // the final round's checkpoint backs the returned plan — left live
     dist.select(col("node"), coalesce(col("dist"), lit(-1L)).as("dist"))
   }
 
