@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Advanced, Analytics, Corpus, Extensions, Graph, Mart, Relational, Retrieval, Stats, Training}
+import graft.queries.{Advanced, Analytics, Corpus, Evaluation, Extensions, Graph, Mart, Relational, Retrieval, Stats, Training}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -20,7 +20,8 @@ object SparkEntry {
       : Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Relational.registry ++ Mart.registry ++ Extensions.registry ++
       Advanced.registry ++ Training.registry ++ Analytics.registry ++
-      Corpus.registry ++ Stats.registry ++ Retrieval.registry ++ Graph.registry
+      Corpus.registry ++ Stats.registry ++ Retrieval.registry ++ Graph.registry ++
+      Evaluation.registry
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,239 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Model-evaluation analytics — the metrics a training pipeline computes
+  * AFTER the classifier/ranker stages (q111 quality gate, q125 batch kNN,
+  * q129 Markov eval) to decide whether a model or heuristic is good enough
+  * to gate data on: AUC, rank agreement, distribution drift, label purity.
+  *
+  * All four are reformulated so the answer is exact integer arithmetic on
+  * GROUPED counts — never a per-row global sort. The classic textbook
+  * formulations (sort all scores and scan) are driver-shaped; at 100 TB the
+  * only scalable shape is aggregate-by-value first (the value domain is
+  * bounded — scores, lengths, labels), then run the O(|domain|) rank/ECDF
+  * pass over the grouped frame. Every output is a floor-division ppm or an
+  * exact integer, so the DuckDB oracle hash-matches bit-for-bit.
+  */
+object Evaluation {
+
+  /** q140 exact AUC via the Mann–Whitney rank-sum — the standard evaluation
+    * of a score column as a binary classifier (here: does document length
+    * predict English?), per source. AUC = P(score⁺ > score⁻) + ½P(tie),
+    * computed exactly as U2 = Σ_s np(s)·(2·N⁻(<s) + nn(s)) over DISTINCT
+    * score values s — twice the U statistic, so ties contribute integer 1
+    * instead of ½ and everything stays int64.
+    *
+    * Scale shape: one map-combined aggregate to (source, score) — the frame
+    * shrinks from corpus rows to |sources|×|distinct scores| — then a
+    * per-source window over distinct scores (bounded domain, each source's
+    * partition is one task regardless of corpus size) and a final
+    * per-source rollup. No global sort of raw rows anywhere. The ppm
+    * division guards n_pos·n_neg = 0 (single-class sources report NULL,
+    * the honest answer). */
+  def q140(spark: SparkSession, dir: String): DataFrame =
+    aucByGroup(Tables.load(spark, dir, "documents")
+      .select(col("source").as("grp"), col("n_chars").as("score"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("pos")))
+      .withColumnRenamed("grp", "source")
+      .orderBy("source")
+
+  /** The reusable kernel: per-group exact 2·U and AUC over a labeled score
+    * frame (`grp`, `score`, `pos` ∈ {0,1}). Semantics (perfect / reversed /
+    * all-tied separation, hand-computed tie cases) asserted in
+    * EvaluationSpec. */
+  def aucByGroup(labeled: DataFrame): DataFrame = {
+    val byScore = labeled
+      .groupBy("grp", "score")
+      .agg(sum("pos").as("np"), (count(lit(1)) - sum("pos")).as("nn"))
+    val below = Window.partitionBy("grp").orderBy("score")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    byScore
+      .withColumn("negs_below", coalesce(sum("nn").over(below), lit(0L)))
+      .groupBy("grp")
+      .agg(sum("np").as("n_pos"), sum("nn").as("n_neg"),
+        sum(col("np") * (lit(2L) * col("negs_below") + col("nn"))).as("u2"))
+      .withColumn("auc_ppm", expr(
+        "case when n_pos > 0 and n_neg > 0 then u2 * 1000000 div (2 * n_pos * n_neg) end"))
+  }
+
+  val q140Sql: String =
+    """WITH g AS (
+      |  SELECT source, n_chars AS score,
+      |    SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS np,
+      |    SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS nn
+      |  FROM documents GROUP BY 1, 2
+      |), c AS (
+      |  SELECT source, np, nn,
+      |    COALESCE(SUM(nn) OVER (PARTITION BY source ORDER BY score
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS negs_below
+      |  FROM g
+      |)
+      |SELECT source, CAST(SUM(np) AS BIGINT) AS n_pos,
+      |  CAST(SUM(nn) AS BIGINT) AS n_neg,
+      |  CAST(SUM(np * (2 * negs_below + nn)) AS BIGINT) AS u2,
+      |  CAST(CASE WHEN SUM(np) > 0 AND SUM(nn) > 0
+      |    THEN SUM(np * (2 * negs_below + nn)) * 1000000
+      |      // (2 * SUM(np) * SUM(nn)) END AS BIGINT) AS auc_ppm
+      |FROM c GROUP BY source ORDER BY source""".stripMargin
+
+  /** q141 Spearman rank agreement — do two per-entity metrics induce the
+    * same ranking? Here: suppliers ranked within nation by net revenue vs
+    * by shipment count (the "does volume proxy for value" question every
+    * marketplace asks). Σd² between the two min-rank sequences, plus the
+    * classic ρ = 1 − 6Σd²/(n(n²−1)) rendered in ppm by floor division —
+    * exact, deterministic under ties (rank() assigns equal ranks to equal
+    * keys in both engines regardless of physical row order).
+    *
+    * Scale shape: one supplier-keyed aggregate of lineitem (map-combined),
+    * one broadcast-sized join to supplier, then per-nation windows over
+    * entity rows — |suppliers| per nation, catalog-sized, each partition
+    * one task. The corpus-sized table is touched exactly once. */
+  def q141(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables.load(spark, dir, "lineitem")
+      .select(col("l_suppkey"),
+        floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * lit(100.0))
+          .cast("long").as("cents"))
+      .groupBy("l_suppkey")
+      .agg(sum("cents").as("rev_cents"), count(lit(1)).as("n_items"))
+      .join(Tables.load(spark, dir, "supplier")
+          .select(col("s_suppkey"), col("s_nationkey").cast("long").as("nation")),
+        col("l_suppkey") === col("s_suppkey"))
+    val byRev = Window.partitionBy("nation").orderBy(desc("rev_cents"))
+    val byCnt = Window.partitionBy("nation").orderBy(desc("n_items"))
+    per
+      .withColumn("d", rank().over(byRev).cast("long") - rank().over(byCnt).cast("long"))
+      .groupBy("nation")
+      .agg(count(lit(1)).as("n_suppliers"), sum(col("d") * col("d")).as("sum_d2"))
+      .withColumn("rho_ppm", expr(
+        """case when n_suppliers >= 2 then 1000000 -
+          |  6 * sum_d2 * 1000000 div (n_suppliers * (n_suppliers * n_suppliers - 1))
+          |end""".stripMargin))
+      .orderBy("nation")
+  }
+
+  val q141Sql: String =
+    """WITH per AS (
+      |  SELECT l_suppkey,
+      |    SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 100.0) AS BIGINT)) AS rev_cents,
+      |    COUNT(*) AS n_items
+      |  FROM lineitem GROUP BY 1
+      |), r AS (
+      |  SELECT CAST(s.s_nationkey AS BIGINT) AS nation,
+      |    RANK() OVER (PARTITION BY s.s_nationkey ORDER BY per.rev_cents DESC)
+      |      - RANK() OVER (PARTITION BY s.s_nationkey ORDER BY per.n_items DESC) AS d
+      |  FROM per JOIN supplier s ON per.l_suppkey = s.s_suppkey
+      |)
+      |SELECT nation, CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+      |  CAST(SUM(d * d) AS BIGINT) AS sum_d2,
+      |  CAST(CASE WHEN COUNT(*) >= 2 THEN 1000000 - 6 * SUM(d * d) * 1000000
+      |    // (COUNT(*) * (COUNT(*) * COUNT(*) - 1)) END AS BIGINT) AS rho_ppm
+      |FROM r GROUP BY nation ORDER BY nation""".stripMargin
+
+  /** q142 Kolmogorov–Smirnov distance between the English and non-English
+    * document-length distributions — the drift/shift statistic a data
+    * pipeline runs between a new crawl slice and the reference corpus
+    * before admitting it. D = max_x |F₁(x) − F₂(x)|, with both ECDFs
+    * quantized to ppm by floor division so the statistic is exact integer
+    * cross-engine (the exact-rational form |n₂·c₁ − n₁·c₂| overflows int64
+    * once n₁·n₂ passes 9·10¹⁸ — ppm quantization is the 100 TB-safe
+    * formulation, biased by < 2 ppm).
+    *
+    * Scale shape: one map-combined aggregate by length value (the domain,
+    * not the corpus), one window pass over distinct values for the running
+    * ECDFs, a 1-row totals cross join, and a 2-pass argmax (max, then min
+    * value attaining it — deterministic, no max_by tie lottery). */
+  def q142(spark: SparkSession, dir: String): DataFrame =
+    ksDistance(Tables.load(spark, dir, "documents")
+      .select(col("n_chars").as("v"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("in1")))
+
+  /** The reusable kernel: ppm-quantized two-sample KS over a tagged value
+    * frame (`v`, `in1` ∈ {0,1}); returns one row (`n1`, `n2`, `ks_ppm`,
+    * `ks_at`). Identical/disjoint-sample bounds asserted in
+    * EvaluationSpec. */
+  def ksDistance(tagged: DataFrame): DataFrame = {
+    val g = tagged
+      .groupBy("v")
+      .agg(sum("in1").as("c1"), (count(lit(1)) - sum("in1")).as("c2"))
+    val cum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    val ecdf = g
+      .withColumn("f1", sum("c1").over(cum))
+      .withColumn("f2", sum("c2").over(cum))
+      .crossJoin(g.agg(sum("c1").as("n1"), sum("c2").as("n2")))
+      .withColumn("d_ppm",
+        abs(expr("f1 * 1000000 div n1") - expr("f2 * 1000000 div n2")))
+      .persist() // consumed twice: max pass + argmax pass
+    val ks = ecdf.agg(max("d_ppm").as("ks_ppm"))
+    ecdf.join(ks, ecdf("d_ppm") === ks("ks_ppm"))
+      .groupBy("n1", "n2", "ks_ppm")
+      .agg(min("v").as("ks_at"))
+      .select("n1", "n2", "ks_ppm", "ks_at")
+  }
+
+  val q142Sql: String =
+    """WITH g AS (
+      |  SELECT n_chars AS v,
+      |    SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS c1,
+      |    SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS c2
+      |  FROM documents GROUP BY 1
+      |), e AS (
+      |  SELECT v,
+      |    SUM(c1) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f1,
+      |    SUM(c2) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f2,
+      |    (SELECT SUM(c1) FROM g) AS n1, (SELECT SUM(c2) FROM g) AS n2
+      |  FROM g
+      |), d AS (
+      |  SELECT v, n1, n2, ABS(f1 * 1000000 // n1 - f2 * 1000000 // n2) AS d_ppm FROM e
+      |)
+      |SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+      |  CAST(MAX(d_ppm) AS BIGINT) AS ks_ppm,
+      |  CAST(MIN(CASE WHEN d_ppm = (SELECT MAX(d_ppm) FROM d) THEN v END) AS BIGINT) AS ks_at
+      |FROM d GROUP BY n1, n2""".stripMargin
+
+  /** q143 label-purity profile — per-source Gini impurity of the language
+    * distribution, the "how mixed is this slice" score a curriculum /
+    * mixture designer reads before weighting sources. Shares quantized to
+    * ppm by floor division, impurity 1e6 − Σ⌊share²/1e6⌋ — the per-term
+    * floor makes the quantization itself part of the spec, so both engines
+    * agree exactly (Σcnt² without quantization overflows int64 at corpus
+    * counts past 3·10⁹).
+    *
+    * Scale shape: one map-combined (source, lang) aggregate — the frame is
+    * |sources|×|langs| from there on — then a per-source window for totals
+    * and one rollup. The corpus is scanned once, two columns. */
+  def q143(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .groupBy("source", "lang").agg(count(lit(1)).as("cnt"))
+      .withColumn("share_ppm",
+        expr("cnt * 1000000 div sum(cnt) over (partition by source)"))
+      .groupBy("source")
+      .agg(sum("cnt").as("n_docs"), count(lit(1)).as("n_langs"),
+        max("share_ppm").as("majority_ppm"),
+        (lit(1000000L) - sum(expr("share_ppm * share_ppm div 1000000")))
+          .as("gini_ppm"))
+      .orderBy("source")
+
+  val q143Sql: String =
+    """WITH g AS (
+      |  SELECT source, lang, COUNT(*) AS cnt FROM documents GROUP BY 1, 2
+      |), s AS (
+      |  SELECT source, cnt,
+      |    cnt * 1000000 // SUM(cnt) OVER (PARTITION BY source) AS share_ppm
+      |  FROM g
+      |)
+      |SELECT source, CAST(SUM(cnt) AS BIGINT) AS n_docs,
+      |  CAST(COUNT(*) AS BIGINT) AS n_langs,
+      |  CAST(MAX(share_ppm) AS BIGINT) AS majority_ppm,
+      |  CAST(1000000 - SUM(share_ppm * share_ppm // 1000000) AS BIGINT) AS gini_ppm
+      |FROM s GROUP BY source ORDER BY source""".stripMargin
+
+  val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
+    Seq(("q140_auc_ranksum", q140 _, Some(q140Sql)),
+      ("q141_rank_agreement", q141 _, Some(q141Sql)),
+      ("q142_ks_distance", q142 _, Some(q142Sql)),
+      ("q143_gini_purity", q143 _, Some(q143Sql)))
+}

@@ -1,0 +1,92 @@
+package graft
+
+import graft.queries.Evaluation
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantics of the q140–q143 model-evaluation family beyond the smoke /
+  * oracle gates: AUC hits its algebraic bounds on perfect / reversed /
+  * all-tied separation and reproduces a hand-computed tie case; the KS
+  * kernel is 0 on identical samples, 1e6 on disjoint supports, and agrees
+  * with a hand-computed mixed case; the Gini profile respects its bounds.
+  */
+class EvaluationSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+  import scala.jdk.CollectionConverters._
+
+  private def auc(rows: Seq[(Long, Long)]): (Long, Long, Long, Option[Long]) = {
+    import spark.implicits._
+    val df = rows.map { case (s, p) => ("g", s, p) }.toDF("grp", "score", "pos")
+    val r = Evaluation.aucByGroup(df).collect().head
+    (r.getLong(1), r.getLong(2), r.getLong(3),
+      if (r.isNullAt(4)) None else Some(r.getLong(4)))
+  }
+
+  test("AUC kernel: perfect separation scores 1e6, reversed 0, all-tied 5e5") {
+    assert(auc(Seq((10L, 1L), (11L, 1L), (1L, 0L), (2L, 0L)))
+      == ((2L, 2L, 8L, Some(1000000L))))
+    assert(auc(Seq((1L, 1L), (2L, 1L), (10L, 0L), (11L, 0L)))
+      == ((2L, 2L, 0L, Some(0L))))
+    // every score identical: U2 = np·nn (each pair a tie), AUC exactly ½
+    assert(auc(Seq((5L, 1L), (5L, 1L), (5L, 0L), (5L, 0L), (5L, 0L)))
+      == ((2L, 3L, 6L, Some(500000L))))
+  }
+
+  test("AUC kernel: hand-computed tie case and single-class NULL") {
+    // pos scores {3, 5}, neg {3, 4}: pairs (3,3)=tie 1, (3,4)=0, (5,3)=2,
+    // (5,4)=2 → U2 = 5 of max 8 → 625000 ppm
+    assert(auc(Seq((3L, 1L), (5L, 1L), (3L, 0L), (4L, 0L)))
+      == ((2L, 2L, 5L, Some(625000L))))
+    assert(auc(Seq((3L, 1L), (5L, 1L))) == ((2L, 0L, 0L, None)))
+  }
+
+  private def ks(a: Seq[Long], b: Seq[Long]): (Long, Long, Long, Long) = {
+    import spark.implicits._
+    val df = (a.map((_, 1L)) ++ b.map((_, 0L))).toDF("v", "in1")
+    val r = Evaluation.ksDistance(df).collect().head
+    (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+  }
+
+  test("KS kernel: identical samples → 0, disjoint supports → 1e6") {
+    assert(ks(Seq(1L, 2L, 3L), Seq(1L, 2L, 3L)) == ((3L, 3L, 0L, 1L)))
+    assert(ks(Seq(1L, 2L), Seq(10L, 11L)) == ((2L, 2L, 1000000L, 2L)))
+  }
+
+  test("KS kernel: hand-computed mixed case reports max gap and first value attaining it") {
+    // sample1 {1,2,3,4}, sample2 {3,4,5,6}: at v=2 gap = |500000-0|,
+    // peak stays 500000 through v=4 (first attained at 2)
+    assert(ks(Seq(1L, 2L, 3L, 4L), Seq(3L, 4L, 5L, 6L))
+      == ((4L, 4L, 500000L, 2L)))
+  }
+
+  test("q143 Gini bounds: 0 ≤ gini < 1e6, majority ≥ floor(1e6/n_langs), counts reconcile") {
+    val rows = Evaluation.q143(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, k, maj, gini) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(k >= 1 && n >= k)
+      assert(maj >= 1000000L / k && maj <= 1000000L)
+      assert(gini >= 0L && gini < 1000000L)
+      // single-language source must report exactly 0 impurity
+      if (k == 1) assert(gini == 0L)
+    }
+    val total = Tables.load(spark, sf, "documents").count()
+    assert(rows.map(_.getLong(1)).sum == total)
+  }
+
+  test("q141 rank agreement: sum_d2 = 0 iff the two rankings agree; rho bounded") {
+    val rows = Evaluation.q141(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, d2) = (r.getLong(1), r.getLong(2))
+      assert(d2 >= 0)
+      if (!r.isNullAt(3)) {
+        // with min-rank ties rho can undershoot -1 slightly; the upper
+        // bound 1e6 (perfect agreement) is hard
+        assert(r.getLong(3) <= 1000000L)
+        if (d2 == 0) assert(r.getLong(3) == 1000000L)
+      } else assert(n < 2)
+    }
+  }
+}
