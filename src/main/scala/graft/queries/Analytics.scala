@@ -520,6 +520,58 @@ object Analytics {
       |CROSS JOIN n
       |ORDER BY lift_x1e6 DESC, part_a, part_b LIMIT 20""".stripMargin
 
+  /** q145 frequent triple itemsets — the k=3 level of the A-Priori lattice
+    * over the q122 pairs (Agrawal & Srikant, "Fast Algorithms for Mining
+    * Association Rules", VLDB 1994). The monotonicity theorem is the whole
+    * design: a triple with support ≥ s has every sub-pair ≥ s, so the
+    * basket-pair instances are SEMI-JOINED against the frequent-pair set
+    * before the third item is attached — the candidate frame is bounded by
+    * frequent-pair instances × basket size, never the Σ C(basket,3) of a
+    * naive 3-way self-join. The pruned count is exactly the brute-force
+    * count (nothing above threshold is lost), which is what the oracle's
+    * unpruned triple join verifies. Frequent pairs are an aggregated,
+    * thresholded frame, so AQE sizes that join from measurement (unhinted —
+    * at low thresholds the frequent set is corpus-shaped). */
+  def q145(spark: SparkSession, dir: String, minSupport: Long = 2L): DataFrame = {
+    val items = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("okey"), col("l_partkey").as("part"))
+      .distinct()
+      .persist() // consumed 3x: pair build, pair instances, third-item probe
+    val a = items.select(col("okey"), col("part").as("part_a"))
+    val b = items.select(col("okey").as("okey_b"), col("part").as("part_b"))
+    val pairInstances = a
+      .join(b, col("okey") === col("okey_b") && col("part_a") < col("part_b"))
+      .select("okey", "part_a", "part_b")
+    val freqPairs = pairInstances
+      .groupBy("part_a", "part_b").agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minSupport)
+      .select("part_a", "part_b")
+    pairInstances
+      .join(freqPairs, Seq("part_a", "part_b"), "left_semi")
+      .join(items.select(col("okey").as("okey_c"), col("part").as("part_c")),
+        col("okey") === col("okey_c") && col("part_c") > col("part_b"))
+      .groupBy("part_a", "part_b", "part_c")
+      .agg(count(lit(1)).as("n_baskets"))
+      .filter(col("n_baskets") >= minSupport)
+      .orderBy(desc("n_baskets"), col("part_a"), col("part_b"), col("part_c"))
+  }
+
+  /** The oracle counts UNPRUNED triples — proving the a-priori pruning
+    * loses nothing above threshold. */
+  val q145Sql: String =
+    """WITH items AS (
+      |  SELECT DISTINCT l_orderkey AS okey, l_partkey AS part FROM lineitem
+      |), t AS (
+      |  SELECT a.part AS part_a, b.part AS part_b, c.part AS part_c,
+      |    COUNT(*) AS n_baskets
+      |  FROM items a
+      |  JOIN items b ON a.okey = b.okey AND a.part < b.part
+      |  JOIN items c ON b.okey = c.okey AND b.part < c.part
+      |  GROUP BY 1, 2, 3 HAVING COUNT(*) >= 2
+      |)
+      |SELECT part_a, part_b, part_c, CAST(n_baskets AS BIGINT) AS n_baskets
+      |FROM t ORDER BY n_baskets DESC, part_a, part_b, part_c""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q69_unpivot", q69 _, Some(q69Sql)),
     ("q70_islands", q70 _, Some(q70Sql)),
@@ -535,7 +587,9 @@ object Analytics {
     ("q115_string_agg", q115 _, Some(q115Sql)),
     ("q116_share_of_total", q116 _, Some(q116Sql)),
     ("q122_basket_pairs", q122 _, Some(q122Sql)),
-    ("q123_association_lift", q123 _, Some(q123Sql)))
+    ("q123_association_lift", q123 _, Some(q123Sql)),
+    ("q145_triple_itemsets",
+      (s: SparkSession, d: String) => q145(s, d), Some(q145Sql)))
 }
 
 /** Typed input/buffer rows for [[WeightedCents]] — top-level case classes so

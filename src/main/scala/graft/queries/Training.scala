@@ -14,6 +14,13 @@ import org.apache.spark.sql.types._
   * term scoring, repetition-based quality, stratified sampling. All integer
   * or string math — every query here is DuckDB-oracle hash-checked.
   */
+/** One learned BPE merge: the argmax pair in symbol space (`rawA`/`rawB`,
+  * placeholder chars included — what a tokenizer's merge table stores and
+  * what an encoder replays) and rendered to plain text (`expandedA`/
+  * `expandedB` — what humans read), with its selection-time count. */
+case class BpeMerge(step: Long, rawA: String, rawB: String,
+    expandedA: String, expandedB: String, cnt: Long)
+
 object Training {
 
   /** q58 dedup clusters: near-dup PAIRS (exact adjacent-bigram Jaccard ≥
@@ -320,8 +327,8 @@ object Training {
     * the placeholder→expansion render map). Each round is one
     * vocabulary-sized aggregate, the argmax pair is a 1-row driver
     * parameter fetch, and retired vocabulary caches release per step. */
-  private def bpeInduction(spark: SparkSession, dir: String, steps: Int)
-      : (DataFrame, Seq[(Long, String, String, Long)], Map[Char, String]) = {
+  private[queries] def bpeInduction(spark: SparkSession, dir: String, steps: Int)
+      : (DataFrame, Seq[BpeMerge], Map[Char, String]) = {
     def pairCounts(df: DataFrame, wcol: String): DataFrame = df
       .filter(length(col(wcol)) >= 2)
       .select(col("f"), col(wcol).as("w"),
@@ -351,7 +358,7 @@ object Training {
       next.count()
       words.unpersist(blocking = false)
       words = next
-      (step.toLong, expand(a), expand(b), cnt)
+      BpeMerge(step.toLong, a, b, expand(a), expand(b), cnt)
     }
     (words, merges, render)
   }
@@ -359,7 +366,8 @@ object Training {
   def q135(spark: SparkSession, dir: String, steps: Int = 3): DataFrame = {
     val (words, merges, _) = bpeInduction(spark, dir, steps)
     words.unpersist(blocking = false) // the merge log doesn't read it
-    spark.createDataFrame(merges)
+    spark.createDataFrame(
+        merges.map(m => (m.step, m.expandedA, m.expandedB, m.cnt)))
       .toDF("step", "sym_a", "sym_b", "pair_count")
       .orderBy("step")
   }
@@ -480,6 +488,92 @@ object Training {
       |FROM syms CROSS JOIN x1 CROSS JOIN x2 CROSS JOIN x3
       |GROUP BY 1
       |ORDER BY freq DESC, symbol LIMIT 30""".stripMargin
+
+  /** q144 BPE ENCODING — the apply side of the tokenizer the q135 induction
+    * trains, closing the family (q127 one step, q135 merge table, q137
+    * vocabulary, q144 encoder): replay the learned merges over every
+    * document and report per-source token economics — word count, raw
+    * chars, post-merge token count, and tokens-per-million-chars (the
+    * compression ratio a pretraining-budget planner actually reads).
+    *
+    * The merge table is applied exactly the way a real BPE encoder does:
+    * in training order, each merge a left-to-right non-overlapping
+    * `replace` in SYMBOL space (placeholders chr(1..k) stand for earlier
+    * merges, so merge 3 can consume merge 1's token — the raw pairs, not
+    * the rendered expansions, are what an encoder stores and replays).
+    *
+    * Scale shape: induction runs over the vocabulary-sized word-frequency
+    * table (the q135 loop); the learned merges then ride into codegen as
+    * chained literal `replace` calls — the corpus-sized pass is ONE narrow
+    * projection + one map-combined aggregate, no join against a vocabulary
+    * table and no shuffle before the |sources|-row rollup. A production
+    * encoder with 50k merges would compile the merge table into a trie
+    * expression rather than 50k replaces, but the per-row contract — merge
+    * table as broadcast-sized parameter, encode as a narrow map — is
+    * exactly this. */
+  def q144(spark: SparkSession, dir: String, steps: Int = 3): DataFrame = {
+    val (words, merges, _) = bpeInduction(spark, dir, steps)
+    words.unpersist(blocking = false) // the encoder replays merges, not vocab
+    val encoded = merges.foldLeft(col("w")) { (c, m) =>
+      replace(c, lit(m.rawA + m.rawB), lit(m.step.toChar.toString))
+    }
+    Tables.parallelized(Tables.load(spark, dir, "documents"))
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .withColumn("m", encoded)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_words"),
+        sum(length(col("w"))).cast(LongType).as("sum_chars"),
+        sum(length(col("m"))).cast(LongType).as("n_tokens"))
+      .withColumn("tokens_per_mchar",
+        expr("n_tokens * 1000000 div sum_chars"))
+      .orderBy("source")
+  }
+
+  /** The oracle re-learns the same 3 merges as chained CTEs (the q135Sql
+    * prefix) and replays them over the exploded corpus with the identical
+    * replace chain — hash-verifying induction AND application. */
+  val q144Sql: String =
+    """WITH wf AS (
+      |  SELECT word, COUNT(*) AS f FROM
+      |    (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      |  GROUP BY word
+      |), p1 AS (
+      |  SELECT substr(word, i, 1) AS a, substr(word, i + 1, 1) AS b,
+      |    CAST(SUM(f) AS BIGINT) AS cnt
+      |  FROM (SELECT word, f, unnest(range(1, length(word))) AS i FROM wf)
+      |  GROUP BY 1, 2
+      |), b1 AS (SELECT a, b, cnt FROM p1 ORDER BY cnt DESC, a, b LIMIT 1
+      |), w2 AS (
+      |  SELECT replace(word, b1.a || b1.b, chr(1)) AS word, f
+      |  FROM wf CROSS JOIN b1
+      |), p2 AS (
+      |  SELECT substr(word, i, 1) AS a, substr(word, i + 1, 1) AS b,
+      |    CAST(SUM(f) AS BIGINT) AS cnt
+      |  FROM (SELECT word, f, unnest(range(1, length(word))) AS i FROM w2)
+      |  GROUP BY 1, 2
+      |), b2 AS (SELECT a, b, cnt FROM p2 ORDER BY cnt DESC, a, b LIMIT 1
+      |), w3 AS (
+      |  SELECT replace(word, b2.a || b2.b, chr(2)) AS word, f
+      |  FROM w2 CROSS JOIN b2
+      |), p3 AS (
+      |  SELECT substr(word, i, 1) AS a, substr(word, i + 1, 1) AS b,
+      |    CAST(SUM(f) AS BIGINT) AS cnt
+      |  FROM (SELECT word, f, unnest(range(1, length(word))) AS i FROM w3)
+      |  GROUP BY 1, 2
+      |), b3 AS (SELECT a, b, cnt FROM p3 ORDER BY cnt DESC, a, b LIMIT 1
+      |), dw AS (
+      |  SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+      |), enc AS (
+      |  SELECT source, w,
+      |    replace(replace(replace(w,
+      |      b1.a || b1.b, chr(1)), b2.a || b2.b, chr(2)), b3.a || b3.b, chr(3)) AS m
+      |  FROM dw CROSS JOIN b1 CROSS JOIN b2 CROSS JOIN b3
+      |)
+      |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_words,
+      |  CAST(SUM(length(w)) AS BIGINT) AS sum_chars,
+      |  CAST(SUM(length(m)) AS BIGINT) AS n_tokens,
+      |  CAST(SUM(length(m)) * 1000000 // SUM(length(w)) AS BIGINT) AS tokens_per_mchar
+      |FROM enc GROUP BY source ORDER BY source""".stripMargin
 
   /** q139 temperature-weighted mixture sampling — how a pretraining corpus
     * balances its sources: a source with n docs gets sampling weight
@@ -800,6 +894,7 @@ object Training {
     ("q127_bpe_merge", q127 _, Some(q127Sql)),
     ("q135_bpe_table", (s: SparkSession, d: String) => q135(s, d), Some(q135Sql)),
     ("q137_bpe_vocab", (s: SparkSession, d: String) => q137(s, d), Some(q137Sql)),
+    ("q144_bpe_encode", (s: SparkSession, d: String) => q144(s, d), Some(q144Sql)),
     ("q139_mixture_sample", q139 _, Some(q139Sql)),
     ("q129_markov_eval", q129 _, Some(q129Sql)),
     ("q130_class_balance", q130 _, Some(q130Sql)),

@@ -1,0 +1,58 @@
+package graft
+
+import graft.queries.{Analytics, Training}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantics of the pattern-mining additions (q144 BPE encoding, q145
+  * frequent triples) beyond the smoke / oracle gates: the encoder's word
+  * and char accounting reconciles with an independent scan, encoding never
+  * inflates, and every reported triple respects the A-Priori monotonicity
+  * bound against independently-computed pair supports.
+  */
+class MiningSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("q144 word/char accounting reconciles; encoding only ever shrinks") {
+    val rows = Training.q144(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    val native = Tables.load(spark, sf, "documents")
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("nw"), sum(length(col("w"))).as("nc"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows.keySet == native.keySet)
+    rows.foreach { case (src, (nWords, sumChars, nTokens, perMchar)) =>
+      assert((nWords, sumChars) == native(src), s"$src accounting")
+      // 3 learned merges must compress SOMETHING but can never inflate
+      assert(nTokens <= sumChars, s"$src inflated")
+      assert(perMchar == nTokens * 1000000L / sumChars)
+    }
+    assert(rows.values.map(_._3).sum < rows.values.map(_._2).sum,
+      "corpus-level: merges found nothing to compress")
+  }
+
+  test("q145 triples: support >= 2 and every sub-pair respects monotonicity") {
+    val triples = Analytics.q145(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(triples.nonEmpty)
+    val items = Tables.load(spark, sf, "lineitem")
+      .select(col("l_orderkey").as("okey"), col("l_partkey").as("part"))
+      .distinct()
+    val pairs = items.select(col("okey"), col("part").as("pa"))
+      .join(items.select(col("okey").as("o2"), col("part").as("pb")),
+        col("okey") === col("o2") && col("pa") < col("pb"))
+      .groupBy("pa", "pb").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    triples.foreach { case (a, b, c, n) =>
+      assert(n >= 2, s"($a,$b,$c) below threshold")
+      assert(a < b && b < c, s"($a,$b,$c) not normalized")
+      Seq((a, b), (a, c), (b, c)).foreach { p =>
+        assert(pairs.getOrElse(p, 0L) >= n,
+          s"sub-pair $p support ${pairs.getOrElse(p, 0L)} < triple support $n")
+      }
+    }
+  }
+}
