@@ -425,9 +425,11 @@ object Analytics {
     * the orderkey partitioning), one for the pair count, top-20 via
     * TakeOrderedAndProject. */
   def q122(spark: SparkSession, dir: String): DataFrame = {
+    // persisted: both self-join sides read it — one scan+distinct, not two
     val items = Tables.load(spark, dir, "lineitem")
       .select(col("l_orderkey").as("okey"), col("l_partkey").as("part"))
       .distinct()
+      .persist()
     val nOrders = Tables.load(spark, dir, "orders")
       .agg(count(lit(1)).as("n_orders"))
     val a = items.select(col("okey"), col("part").as("part_a"))
@@ -474,9 +476,12 @@ object Analytics {
     * genuinely associated pairs rather than merely popular ones — the
     * difference between co-occurrence and association. */
   def q123(spark: SparkSession, dir: String): DataFrame = {
+    // persisted: consumed 4x (both pair sides + both support lookups) — four
+    // scan+distinct recomputations of a corpus-sized frame otherwise
     val items = Tables.load(spark, dir, "lineitem")
       .select(col("l_orderkey").as("okey"), col("l_partkey").as("part"))
       .distinct()
+      .persist()
     val nOrders = Tables.load(spark, dir, "orders")
       .agg(count(lit(1)).as("n_orders"))
     val partSupport = items.groupBy("part").agg(count(lit(1)).as("n_part"))

@@ -300,7 +300,9 @@ object Graph {
         when(col("node") === col("s"), lit(0L)).otherwise(lit(null)).as("dist"))
       .localCheckpoint(eager = true)
     var retired = graft.operators.Checkpoints.rddOf(dist)
-    for (r <- 1 to rounds) {
+    var r = 1
+    var settling = true
+    while (r <= rounds && settling) {
       val frontier = dist.filter(col("dist") === lit(r - 1L))
         .select(col("node").as("u"))
       // distinct, not groupBy-min: every frontier-adjacent unsettled node
@@ -317,6 +319,14 @@ object Graph {
       retired.foreach(_.unpersist(blocking = false))
       retired = graft.operators.Checkpoints.rddOf(next)
       dist = next
+      // early exit at the fixed point: once a round settles NOBODY, every
+      // later round is the identity (its frontier is empty), so stopping
+      // returns bit-identical results to running the full budget — the
+      // rounds the oracle unrolls past the diameter are no-op CTEs. The
+      // count is a narrow scan of the just-checkpointed snapshot, and it
+      // saves (budget − diameter) full join/materialize rounds.
+      settling = next.filter(col("dist") === lit(r.toLong)).limit(1).count() > 0
+      r += 1
     }
     sym.unpersist(blocking = false)
     // the final round's checkpoint backs the returned plan — left live
