@@ -577,6 +577,84 @@ object Analytics {
       |SELECT part_a, part_b, part_c, CAST(n_baskets AS BIGINT) AS n_baskets
       |FROM t ORDER BY n_baskets DESC, part_a, part_b, part_c""".stripMargin
 
+  /** q147 marketing attribution — for every purchase, credit the user's
+    * LAST non-purchase touch (the event that "closed") and FIRST
+    * non-purchase touch (the event that "opened"), the two canonical
+    * single-touch attribution models, with purchase value in exact floor
+    * cents. The window trick makes it portable and skew-free without any
+    * IGNORE-NULLS vendor syntax: a running count of non-purchase events
+    * per user gives every purchase the ORDINAL of its preceding touch, and
+    * the touch stream (numbered by the same ordinal) is joined back on
+    * (user, ordinal) for last-touch and (user, 1) for first-touch. Both
+    * engines agree on ms-truncated timestamps with event_id tie-breaks
+    * (the q129 idiom).
+    *
+    * Scale shape: one user-keyed window shuffle, then two (user, ordinal)-
+    * keyed equi-joins — purchases and touches are both corpus-sized but
+    * the join keys are high-cardinality composites, so the hash joins
+    * partition evenly (no channel-keyed skew; channels only appear in the
+    * final 5-row aggregate). A full outer join merges the two 5-row
+    * rollups. */
+  def q147(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("tms", "event_id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val e = Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_millis(col("ts")).as("tms"),
+        floor(col("value") * 100).cast(LongType).as("cents"))
+      .withColumn("ord",
+        sum(when(col("event_type") =!= "purchase", 1L).otherwise(0L)).over(w))
+      .persist() // consumed 3x: purchases + both touch-join probe sides
+    val touches = e.filter(col("event_type") =!= "purchase")
+      .select(col("user_id").as("tu"), col("ord").as("tord"),
+        col("event_type").as("channel"))
+    val purchases = e.filter(col("event_type") === "purchase" && col("ord") > 0)
+      .select("user_id", "ord", "cents")
+    def rollup(onOrd: Column, n: String, c: String): DataFrame = purchases
+      .join(touches, col("user_id") === col("tu") && onOrd === col("tord"))
+      .groupBy("channel")
+      .agg(count(lit(1)).as(n), sum("cents").as(c))
+    rollup(col("ord"), "last_n", "last_cents")
+      .join(rollup(lit(1L), "first_n", "first_cents"), Seq("channel"), "full_outer")
+      .select(col("channel"),
+        coalesce(col("last_n"), lit(0L)).as("last_n"),
+        coalesce(col("last_cents"), lit(0L)).as("last_cents"),
+        coalesce(col("first_n"), lit(0L)).as("first_n"),
+        coalesce(col("first_cents"), lit(0L)).as("first_cents"))
+      .orderBy("channel")
+  }
+
+  val q147Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type, epoch_ms(ts) AS tms,
+      |    CAST(FLOOR(value * 100) AS BIGINT) AS cents,
+      |    SUM(CASE WHEN event_type <> 'purchase' THEN 1 ELSE 0 END) OVER
+      |      (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ord
+      |  FROM events
+      |), touches AS (
+      |  SELECT user_id AS tu, ord AS tord, event_type AS channel FROM e
+      |  WHERE event_type <> 'purchase'
+      |), purchases AS (
+      |  SELECT user_id, ord, cents FROM e
+      |  WHERE event_type = 'purchase' AND ord > 0
+      |), lastt AS (
+      |  SELECT channel, COUNT(*) AS last_n, SUM(cents) AS last_cents
+      |  FROM purchases p JOIN touches t ON p.user_id = t.tu AND p.ord = t.tord
+      |  GROUP BY channel
+      |), firstt AS (
+      |  SELECT channel, COUNT(*) AS first_n, SUM(cents) AS first_cents
+      |  FROM purchases p JOIN touches t ON p.user_id = t.tu AND t.tord = 1
+      |  GROUP BY channel
+      |)
+      |SELECT COALESCE(l.channel, f.channel) AS channel,
+      |  CAST(COALESCE(l.last_n, 0) AS BIGINT) AS last_n,
+      |  CAST(COALESCE(l.last_cents, 0) AS BIGINT) AS last_cents,
+      |  CAST(COALESCE(f.first_n, 0) AS BIGINT) AS first_n,
+      |  CAST(COALESCE(f.first_cents, 0) AS BIGINT) AS first_cents
+      |FROM lastt l FULL OUTER JOIN firstt f ON l.channel = f.channel
+      |ORDER BY channel""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q69_unpivot", q69 _, Some(q69Sql)),
     ("q70_islands", q70 _, Some(q70Sql)),
@@ -594,7 +672,8 @@ object Analytics {
     ("q122_basket_pairs", q122 _, Some(q122Sql)),
     ("q123_association_lift", q123 _, Some(q123Sql)),
     ("q145_triple_itemsets",
-      (s: SparkSession, d: String) => q145(s, d), Some(q145Sql)))
+      (s: SparkSession, d: String) => q145(s, d), Some(q145Sql)),
+    ("q147_attribution", q147 _, Some(q147Sql)))
 }
 
 /** Typed input/buffer rows for [[WeightedCents]] — top-level case classes so

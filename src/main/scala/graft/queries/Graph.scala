@@ -365,8 +365,63 @@ object Graph {
        |FROM d6 ORDER BY dist, part""".stripMargin
   }
 
+  /** q146 degree assortativity moments — does the co-purchase graph wire
+    * hubs to hubs (assortative, r > 0) or hubs to leaves (disassortative,
+    * r < 0)? The classic Pearson-over-edges statistic (Newman,
+    * "Assortative mixing in networks", PRL 2002), shipped the q88 way: the
+    * EXACT integer moment sums over the symmetrized edge list (n = 2m
+    * directed endpoints; Σx, Σx², Σxy with x the source degree, y the
+    * destination degree — Σy ≡ Σx by symmetry), so the mergeable partial
+    * sums are the deliverable and the consumer finishes
+    * r = (nΣxy − (Σx)²) / (nΣx² − (Σx)²) in whatever precision it wants —
+    * no sqrt, no doubles, bit-exact cross-engine.
+    *
+    * Scale shape: one degree aggregate, two broadcast-or-shuffle joins of
+    * the edge list against the |V|-row degree frame (AQE decides — degrees
+    * are corpus-derived, never force-broadcast), one map-combined final
+    * sum. Int64 bounds: Σd·d' ≤ 2m·dmax², fine to dmax ~ 3M at 1e12 edges;
+    * past that the sums decompose per-shard (they are mergeable by
+    * construction). */
+  def q146(spark: SparkSession, dir: String): DataFrame =
+    assortativityMoments(coPurchaseEdges(spark, dir))
+
+  /** The reusable kernel over the normalized undirected edge set (`a` < `b`,
+    * distinct). Parity with a driver-side reference on random graphs is
+    * asserted in PropertySpec. */
+  def assortativityMoments(rawEdges: DataFrame): DataFrame = {
+    val sym = rawEdges.select(col("a").as("u"), col("b").as("v"))
+      .union(rawEdges.select(col("b").as("u"), col("a").as("v")))
+    val deg = sym.groupBy(col("u").as("n")).agg(count(lit(1)).as("d"))
+    sym
+      .join(deg.select(col("n").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("n").as("v"), col("d").as("dv")), "v")
+      .agg(count(lit(1)).as("n_endpoints"),
+        sum("du").as("s_x"),
+        sum(expr("du * du")).as("s_xx"),
+        sum(expr("du * dv")).as("s_xy"))
+  }
+
+  val q146Sql: String =
+    """WITH items AS (
+      |  SELECT DISTINCT l_orderkey AS okey, l_partkey AS part FROM lineitem
+      |), edges AS (
+      |  SELECT DISTINCT a.part AS a, b.part AS b
+      |  FROM items a JOIN items b ON a.okey = b.okey AND a.part < b.part
+      |), sym AS (
+      |  SELECT a AS u, b AS v FROM edges
+      |  UNION ALL SELECT b AS u, a AS v FROM edges
+      |), deg AS (
+      |  SELECT u AS n, COUNT(*) AS d FROM sym GROUP BY u
+      |)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_endpoints,
+      |  CAST(SUM(du.d) AS BIGINT) AS s_x,
+      |  CAST(SUM(du.d * du.d) AS BIGINT) AS s_xx,
+      |  CAST(SUM(du.d * dv.d) AS BIGINT) AS s_xy
+      |FROM sym JOIN deg du ON du.n = sym.u JOIN deg dv ON dv.n = sym.v""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(("q124_pagerank", q124 _, Some(q124Sql)),
       ("q136_triangles", q136 _, Some(q136Sql)),
-      ("q138_bfs_hops", q138 _, Some(q138Sql)))
+      ("q138_bfs_hops", q138 _, Some(q138Sql)),
+      ("q146_assortativity", q146 _, Some(q146Sql)))
 }

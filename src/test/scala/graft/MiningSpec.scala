@@ -34,6 +34,22 @@ class MiningSpec extends AnyFunSuite {
       "corpus-level: merges found nothing to compress")
   }
 
+  test("q147 attribution: both models credit exactly the attributable purchases") {
+    val rows = Analytics.q147(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (ch, _, _, _, _) => assert(ch != "purchase") }
+    // every purchase with at least one preceding touch is credited once
+    // under EACH model, so the counts and cents reconcile across models
+    assert(rows.map(_._2).sum == rows.map(_._4).sum, "credited purchase counts differ")
+    assert(rows.map(_._3).sum == rows.map(_._5).sum, "credited cents differ")
+    // the only uncredited purchases are ones BEFORE a user's first touch
+    val purchases = Tables.load(spark, sf, "events")
+      .filter(col("event_type") === "purchase").count()
+    assert(rows.map(_._2).sum <= purchases)
+    assert(rows.map(_._2).sum > 0)
+  }
+
   test("q145 triples: support >= 2 and every sub-pair respects monotonicity") {
     val triples = Analytics.q145(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))

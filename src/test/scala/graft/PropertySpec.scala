@@ -274,6 +274,25 @@ class PropertySpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("assortativityMoments agrees with driver-side degree sums on random graphs") {
+    val params = SCTest.Parameters.default.withMinSuccessfulTests(5)
+    val res = SCTest.check(params, Prop.forAll(undirGraphGen) { edges =>
+      edges.isEmpty || {
+        val deg = (edges.map(_._1) ++ edges.map(_._2))
+          .groupBy(identity).map { case (v, g) => v -> g.size.toLong }
+        val sym = edges ++ edges.map { case (a, b) => (b, a) }
+        val sx = sym.map { case (u, _) => deg(u) }.sum
+        val sxx = sym.map { case (u, _) => deg(u) * deg(u) }.sum
+        val sxy = sym.map { case (u, v) => deg(u) * deg(v) }.sum
+        val row = graft.queries.Graph.assortativityMoments(edges.toDF("a", "b"))
+          .collect().head
+        row.getLong(0) == 2L * edges.size && row.getLong(1) == sx &&
+          row.getLong(2) == sxx && row.getLong(3) == sxy
+      }
+    })
+    assert(res.passed, res.status.toString)
+  }
+
   test("bfsHops matches driver-side BFS layers, -1 beyond the round budget") {
     val rounds = 4 // below many generated diameters, so the -1 path is exercised
     val params = SCTest.Parameters.default.withMinSuccessfulTests(5)
