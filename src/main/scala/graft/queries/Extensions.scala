@@ -492,6 +492,48 @@ object Extensions {
       |  c_mktsegment AS segment
       |FROM customer ORDER BY customer_id""".stripMargin
 
+  /** q148 k-anonymity audit — the release gate that runs AFTER the q96
+    * masking pass: group the table by its quasi-identifier tuple (here
+    * nation × market segment × thousand-unit balance band — the classic
+    * "harmless" columns that jointly re-identify; Sweeney, "k-Anonymity: A
+    * Model for Protecting Privacy", IJUFKS 2002) and report the dataset's
+    * achieved k (the smallest equivalence class), the singleton rows that
+    * are outright re-identifiable, and the class/row mass below the
+    * conventional k=5 release threshold.
+    *
+    * Scale shape: one map-combined aggregate to equivalence classes (the
+    * frame collapses from rows to |QI-value combinations|), then a 1-row
+    * rollup over classes. Nothing else — a privacy audit at 100 TB is two
+    * aggregates. Band edges use floor division so both engines bin
+    * identically, including negative balances. */
+  def q148(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "customer")
+      .groupBy(col("c_nationkey").cast(LongType).as("nation"),
+        col("c_mktsegment").as("segment"),
+        floor(col("c_acctbal") / 1000.0).cast(LongType).as("bal_band"))
+      .agg(count(lit(1)).as("cls_n"))
+      .agg(sum("cls_n").as("n_rows"),
+        count(lit(1)).as("n_classes"),
+        min("cls_n").as("k_anonymity"),
+        sum(when(col("cls_n") === 1, 1L).otherwise(0L)).as("n_unique_rows"),
+        sum(when(col("cls_n") < 5, 1L).otherwise(0L)).as("classes_lt5"),
+        sum(when(col("cls_n") < 5, col("cls_n")).otherwise(0L)).as("rows_lt5"))
+
+  val q148Sql: String =
+    """WITH cls AS (
+      |  SELECT c_nationkey, c_mktsegment,
+      |    CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+      |    COUNT(*) AS cls_n
+      |  FROM customer GROUP BY 1, 2, 3
+      |)
+      |SELECT CAST(SUM(cls_n) AS BIGINT) AS n_rows,
+      |  CAST(COUNT(*) AS BIGINT) AS n_classes,
+      |  CAST(MIN(cls_n) AS BIGINT) AS k_anonymity,
+      |  CAST(SUM(CASE WHEN cls_n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique_rows,
+      |  CAST(SUM(CASE WHEN cls_n < 5 THEN 1 ELSE 0 END) AS BIGINT) AS classes_lt5,
+      |  CAST(SUM(CASE WHEN cls_n < 5 THEN cls_n ELSE 0 END) AS BIGINT) AS rows_lt5
+      |FROM cls""".stripMargin
+
   /** q97 streaming delivery-dedup replayed on batch: the EXACT
     * [[graft.streaming.EventStream.dedupStream]] plan (watermark is a no-op
     * in batch) collapsing redelivered (user, type, event-time) records, then
@@ -651,6 +693,7 @@ object Extensions {
     ("q80_knn_pq", q80 _, None),
     ("q86_conversions", q86 _, Some(q86Sql)),
     ("q96_pii_mask", q96 _, Some(q96Sql)),
+    ("q148_k_anonymity", q148 _, Some(q148Sql)),
     ("q97_dedup_replay", q97 _, Some(q97Sql)),
     ("q99_minhash_portable", q99 _, Some(q99Sql)),
     ("q100_frame_sample", q100 _, Some(q100Sql)),

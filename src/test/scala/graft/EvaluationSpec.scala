@@ -75,6 +75,18 @@ class EvaluationSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(1)).sum == total)
   }
 
+  test("q148 k-anonymity: invariants among classes, uniques, and thresholds") {
+    val r = graft.queries.Extensions.q148(spark, sf).collect().head
+    val (nRows, nCls, k, uniq, clsLt5, rowsLt5) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+    assert(nRows == Tables.load(spark, sf, "customer").count())
+    assert(k >= 1 && nCls >= 1 && nRows >= nCls)
+    assert(uniq <= clsLt5 && uniq <= rowsLt5)
+    assert(rowsLt5 < 5 * clsLt5 + 1)
+    // the dataset's k is witnessed: if any singleton exists, k must be 1
+    if (uniq > 0) assert(k == 1)
+  }
+
   test("q141 rank agreement: sum_d2 = 0 iff the two rankings agree; rho bounded") {
     val rows = Evaluation.q141(spark, sf).collect()
     assert(rows.nonEmpty)
