@@ -655,6 +655,76 @@ object Analytics {
       |FROM lastt l FULL OUTER JOIN firstt f ON l.channel = f.channel
       |ORDER BY channel""".stripMargin
 
+  /** q149 position-based (U-shaped) multi-touch attribution over each
+    * user's CONVERSION PATH — the touches before their first purchase —
+    * completing the q147 single-touch pair: first and last touch get
+    * 400000 ppm each, the interior splits the remaining 200000 by floor
+    * division (the conventional 40/20/40 U-shape; a 1-touch path gets the
+    * full 1e6, a 2-touch path 500000 each). Floor remainders are dropped,
+    * not redistributed — per-path credit ≤ 1e6 exactly, which the spec
+    * states and the test asserts, rather than a hidden rounding lottery.
+    *
+    * Scale shape: ONE user-keyed window pass — no purchase×touch join at
+    * all. The first-purchase cut, each touch's position, and the path
+    * length all come from the same partitioning, then one map-combined
+    * channel rollup; credit assignment is pure per-row arithmetic. This is
+    * the formulation that survives users with million-event histories,
+    * where the naive per-purchase path join is quadratic. */
+  def q149(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("tms", "event_id")
+    val all = Window.partitionBy("user_id")
+      .orderBy("tms", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val e = Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_millis(col("ts")).as("tms"))
+      .withColumn("cum_purch",
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+    // conversion-path touches: non-purchase events strictly before the
+    // user's first purchase (cum_purch still 0 at the touch itself)
+    val path = e
+      .filter(col("event_type") =!= "purchase" && col("cum_purch") === 0)
+      .withColumn("pos", row_number().over(byUser))
+      .withColumn("n", count(lit(1)).over(all))
+    // converted users only: paths of users who never purchase earn nothing
+    val converted = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("cu")).distinct()
+    path.join(converted, col("user_id") === col("cu"), "left_semi")
+      .withColumn("w_ppm", expr(
+        """case when n = 1 then 1000000
+          |     when n = 2 then 500000
+          |     when pos = 1 or pos = n then 400000
+          |     else 200000 div (n - 2) end""".stripMargin))
+      .groupBy(col("event_type").as("channel"))
+      .agg(count(lit(1)).as("n_touches"), sum("w_ppm").as("credit_ppm"))
+      .orderBy("channel")
+  }
+
+  val q149Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type, epoch_ms(ts) AS tms,
+      |    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) OVER
+      |      (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_purch
+      |  FROM events
+      |), path AS (
+      |  SELECT user_id, event_type,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY tms, event_id) AS pos,
+      |    COUNT(*) OVER (PARTITION BY user_id) AS n
+      |  FROM e WHERE event_type <> 'purchase' AND cum_purch = 0
+      |), converted AS (
+      |  SELECT DISTINCT user_id FROM e WHERE event_type = 'purchase'
+      |)
+      |SELECT p.event_type AS channel,
+      |  CAST(COUNT(*) AS BIGINT) AS n_touches,
+      |  CAST(SUM(CASE WHEN n = 1 THEN 1000000
+      |    WHEN n = 2 THEN 500000
+      |    WHEN pos = 1 OR pos = n THEN 400000
+      |    ELSE 200000 // (n - 2) END) AS BIGINT) AS credit_ppm
+      |FROM path p JOIN converted c ON p.user_id = c.user_id
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q69_unpivot", q69 _, Some(q69Sql)),
     ("q70_islands", q70 _, Some(q70Sql)),
@@ -673,7 +743,8 @@ object Analytics {
     ("q123_association_lift", q123 _, Some(q123Sql)),
     ("q145_triple_itemsets",
       (s: SparkSession, d: String) => q145(s, d), Some(q145Sql)),
-    ("q147_attribution", q147 _, Some(q147Sql)))
+    ("q147_attribution", q147 _, Some(q147Sql)),
+    ("q149_path_attribution", q149 _, Some(q149Sql)))
 }
 
 /** Typed input/buffer rows for [[WeightedCents]] — top-level case classes so

@@ -50,6 +50,32 @@ class MiningSpec extends AnyFunSuite {
     assert(rows.map(_._2).sum > 0)
   }
 
+  test("q149 U-shaped credit: per-path credit sums to <= 1e6, floor loss bounded") {
+    val rows = Analytics.q149(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // reconstruct the per-user paths and check the channel rollup implies
+    // per-path conservation: total credit = sum over converted users of
+    // (1e6 - floor loss), where loss < (n-2) per path
+    val totalCredit = rows.map(_.getLong(2)).sum
+    val e = Tables.load(spark, sf, "events")
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .collect()
+      .groupBy(_.getLong(0))
+    val perUser = e.values.flatMap { evs =>
+      val sorted = evs.sortBy(r => (r.getAs[java.sql.Timestamp](2).getTime, r.getLong(3)))
+      val firstPurchase = sorted.indexWhere(_.getString(1) == "purchase")
+      if (firstPurchase < 0) None // never converted
+      else {
+        val n = sorted.take(firstPurchase).count(_.getString(1) != "purchase").toLong
+        if (n == 0) None
+        else if (n <= 2) Some(1000000L)
+        else Some(800000L + (200000L / (n - 2)) * (n - 2))
+      }
+    }
+    assert(totalCredit == perUser.sum,
+      s"channel rollup $totalCredit != per-path reconstruction ${perUser.sum}")
+  }
+
   test("q145 triples: support >= 2 and every sub-pair respects monotonicity") {
     val triples = Analytics.q145(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
