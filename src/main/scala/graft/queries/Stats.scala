@@ -432,6 +432,70 @@ object Stats {
       .orderBy("label", "dim")
   }
 
+  /** q151 label-centroid affinity matrix — how close are the embedding
+    * classes to each other, the confusion-risk signal an active-learning /
+    * relabeling loop reads (two labels with near-parallel centroids are
+    * the ones a classifier will mix up). Builds on the q112 quantized
+    * sums: each label's centroid is the per-dimension integer-truncated MEAN
+    * (sum_q div n — truncation toward zero, identical in Spark div and DuckDB // — dividing BEFORE any product keeps every later term ≤
+    * 1000² per dimension, int64-safe at ANY corpus size, where dotting raw
+    * sums overflows past ~10⁹ rows per label), and each label pair ships
+    * the exact integer dot and squared norms — the consumer finishes
+    * cosine in whatever precision it wants, the engine never touches a
+    * double after quantization.
+    *
+    * Scale shape: one map-combined (label, dim) aggregate collapses the
+    * corpus; everything after lives on |labels|×|dims| rows (a dim-keyed
+    * self-join bounded by labels² per dim). */
+  def q151(spark: SparkSession, dir: String): DataFrame = {
+    val cent = Tables.parallelized(Tables.load(spark, dir, "embeddings"))
+      .select(col("label").cast(LongType).as("label"),
+        posexplode(transform(col("embedding"),
+          x => floor(x.cast(DoubleType) * 1000).cast(LongType))).as(Seq("dim", "q")))
+      .groupBy("label", "dim")
+      .agg(expr("sum(q) div count(1)").as("m"))
+      .persist() // consumed 3x: both pair sides + the norm frame
+    val norms = cent.groupBy("label")
+      .agg(sum(expr("m * m")).as("norm2"))
+    cent.select(col("label").as("label_a"), col("dim"), col("m").as("ma"))
+      .join(cent.select(col("label").as("label_b"), col("dim"), col("m").as("mb")),
+        Seq("dim"))
+      .filter(col("label_a") < col("label_b"))
+      .groupBy("label_a", "label_b")
+      .agg(sum(expr("ma * mb")).as("dot_mm"))
+      .join(norms.select(col("label").as("label_a"), col("norm2").as("norm2_a")),
+        "label_a")
+      .join(norms.select(col("label").as("label_b"), col("norm2").as("norm2_b")),
+        "label_b")
+      .select("label_a", "label_b", "dot_mm", "norm2_a", "norm2_b")
+      .orderBy("label_a", "label_b")
+  }
+
+  val q151Sql: String =
+    """WITH q AS (
+      |  SELECT label,
+      |    list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+      |  FROM embeddings
+      |), e AS (
+      |  SELECT label, unnest(range(1, len(qv) + 1)) AS i, qv FROM q
+      |), cent AS (
+      |  SELECT CAST(label AS BIGINT) AS label, i AS dim,
+      |    SUM(qv[i]) // COUNT(*) AS m
+      |  FROM e GROUP BY label, i
+      |), norms AS (
+      |  SELECT label, SUM(m * m) AS norm2 FROM cent GROUP BY label
+      |), pairs AS (
+      |  SELECT a.label AS label_a, b.label AS label_b, SUM(a.m * b.m) AS dot_mm
+      |  FROM cent a JOIN cent b ON a.dim = b.dim AND a.label < b.label
+      |  GROUP BY 1, 2
+      |)
+      |SELECT label_a, label_b, CAST(dot_mm AS BIGINT) AS dot_mm,
+      |  CAST(na.norm2 AS BIGINT) AS norm2_a, CAST(nb.norm2 AS BIGINT) AS norm2_b
+      |FROM pairs
+      |JOIN norms na ON na.label = label_a
+      |JOIN norms nb ON nb.label = label_b
+      |ORDER BY label_a, label_b""".stripMargin
+
   val q112Sql =
     """WITH q AS (
       |  SELECT label,
@@ -625,6 +689,7 @@ object Stats {
     ("q102_column_profile", q102 _, Some(q102Sql)),
     ("q105_cohort_retention", q105 _, Some(q105Sql)),
     ("q112_label_centroids", q112 _, Some(q112Sql)),
+    ("q151_centroid_affinity", q151 _, Some(q151Sql)),
     ("q113_mad_outliers", q113 _, Some(q113Sql)),
     ("q126_trend_ols", q126 _, Some(q126Sql)),
     ("q132_cooccurrence", q132 _, Some(q132Sql)))

@@ -117,6 +117,66 @@ object Training {
       |WHERE d.doc_id NOT IN (SELECT doc_id FROM ev)
       |GROUP BY d.source ORDER BY d.source""".stripMargin
 
+  /** q150 cross-source contamination matrix — WHICH sources share content,
+    * the pairwise generalization of the q59 train/eval decontamination
+    * check (the audit a corpus curator runs before treating sources as
+    * independent: mirror sites, scraped re-posts, and syndicated text make
+    * "different source" a lie). For every source pair: the count of shared
+    * distinct 4-gram fingerprints and the containment in ppm
+    * (shared / min(|A|, |B|) — the directional-overlap form that flags a
+    * small source wholly swallowed by a big one, which plain Jaccard
+    * dilutes away).
+    *
+    * Scale shape: the corpus collapses to the DISTINCT (source, gram)
+    * frame first — one map-combined aggregate — and the pair counts come
+    * from the gram-keyed self-join of that frame: candidates are
+    * Σ_g C(k_g, 2) with k_g ≤ |sources|, so the output is bounded by
+    * |sources|² and the join never touches corpus-scale pair counts. A
+    * syndication hub gram (present in every source) is exactly the AQE
+    * skew-split case; per-source totals join in at |sources| rows. */
+  def q150(spark: SparkSession, dir: String): DataFrame = {
+    val grams = Tables.parallelized(Tables.load(spark, dir, "documents"))
+      .select(col("source"),
+        explode(array_distinct(T.wordShingles(col("text"), 4))).as("g"))
+      .distinct()
+      .persist() // consumed 3x: both self-join sides + per-source totals
+    val per = grams.groupBy("source").agg(count(lit(1)).as("n"))
+    grams.select(col("source").as("source_a"), col("g"))
+      .join(grams.select(col("source").as("source_b"), col("g")),
+        Seq("g"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .join(per.select(col("source").as("source_a"), col("n").as("na")), "source_a")
+      .join(per.select(col("source").as("source_b"), col("n").as("nb")), "source_b")
+      .withColumn("containment_ppm",
+        expr("n_shared * 1000000 div least(na, nb)"))
+      .select("source_a", "source_b", "n_shared", "containment_ppm")
+      .orderBy("source_a", "source_b")
+  }
+
+  val q150Sql: String =
+    """WITH toks AS (
+      |  SELECT source, string_split(text, ' ') AS w FROM documents
+      |), grams AS (
+      |  SELECT DISTINCT source,
+      |    unnest(list_transform(range(1, len(w) - 2),
+      |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS g
+      |  FROM toks
+      |), per AS (
+      |  SELECT source, COUNT(*) AS n FROM grams GROUP BY source
+      |), sh AS (
+      |  SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_shared
+      |  FROM grams a JOIN grams b ON a.g = b.g AND a.source < b.source
+      |  GROUP BY 1, 2
+      |)
+      |SELECT source_a, source_b, CAST(n_shared AS BIGINT) AS n_shared,
+      |  CAST(n_shared * 1000000 // LEAST(pa.n, pb.n) AS BIGINT) AS containment_ppm
+      |FROM sh
+      |JOIN per pa ON pa.source = source_a
+      |JOIN per pb ON pb.source = source_b
+      |ORDER BY source_a, source_b""".stripMargin
+
   /** q60 distinctive terms (TF-IDF shape, integer-exact): term frequency per
     * source vs corpus-wide document frequency, scored as floor(1e6·tf/df) —
     * the rational-number rank avoids cross-engine log()/double drift while
@@ -902,6 +962,7 @@ object Training {
     ("q128_ingest_dedup", q128 _, Some(q128Sql)),
     ("q58_dedup_clusters", q58 _, Some(q58Sql)),
     ("q59_decontaminate", q59 _, Some(q59Sql)),
+    ("q150_source_overlap", q150 _, Some(q150Sql)),
     ("q60_distinctive_terms", q60 _, Some(q60Sql)),
     ("q61_repetition", q61 _, Some(q61Sql)),
     ("q66_stratified_sample", q66 _, Some(q66Sql)),

@@ -87,6 +87,20 @@ class EvaluationSpec extends AnyFunSuite {
     if (uniq > 0) assert(k == 1)
   }
 
+  test("q151 centroid affinity: Cauchy-Schwarz holds on every label pair") {
+    val rows = graft.queries.Stats.q151(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val labels = rows.map(r => Set(r.getLong(0), r.getLong(1))).reduce(_ ++ _)
+    // complete strict upper triangle over the label universe
+    assert(rows.length == labels.size * (labels.size - 1) / 2)
+    rows.foreach { r =>
+      val (dot, na, nb) = (BigInt(r.getLong(2)), BigInt(r.getLong(3)), BigInt(r.getLong(4)))
+      assert(na >= 0 && nb >= 0)
+      assert(dot * dot <= na * nb,
+        s"(${r.getLong(0)},${r.getLong(1)}): dot=$dot exceeds Cauchy-Schwarz")
+    }
+  }
+
   test("q141 rank agreement: sum_d2 = 0 iff the two rankings agree; rho bounded") {
     val rows = Evaluation.q141(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -76,6 +76,25 @@ class MiningSpec extends AnyFunSuite {
       s"channel rollup $totalCredit != per-path reconstruction ${perUser.sum}")
   }
 
+  test("q150 overlap matrix: containment bounded by 1e6 and by source gram counts") {
+    val rows = graft.queries.Training.q150(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    val per = Tables.load(spark, sf, "documents")
+      .select(col("source"),
+        explode(array_distinct(
+          graft.functions.TextFunctions.wordShingles(col("text"), 4))).as("g"))
+      .distinct()
+      .groupBy("source").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { case (a, b, shared, ppm) =>
+      assert(a < b, s"($a,$b) not normalized")
+      val mn = math.min(per(a), per(b))
+      assert(shared >= 1 && shared <= mn, s"($a,$b) shared=$shared > min=$mn")
+      assert(ppm == shared * 1000000L / mn && ppm <= 1000000L)
+    }
+  }
+
   test("q145 triples: support >= 2 and every sub-pair respects monotonicity") {
     val triples = Analytics.q145(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
