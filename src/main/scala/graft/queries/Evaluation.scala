@@ -231,9 +231,72 @@ object Evaluation {
       |  CAST(1000000 - SUM(share_ppm * share_ppm // 1000000) AS BIGINT) AS gini_ppm
       |FROM s GROUP BY source ORDER BY source""".stripMargin
 
+  /** q152 week-over-week distribution drift — the monitoring statistic a
+    * live ingestion pipeline alarms on (is this week's event mix still
+    * last week's?): total-variation-style L1 distance between consecutive
+    * weekly event-type distributions, in ppm. PSI/KL need logs; the L1
+    * form is exact integer arithmetic after ppm quantization, which is
+    * what makes it hash-verifiable cross-engine and mergeable. Weeks are
+    * epoch-day div 7 buckets — calendar-free integer arithmetic both
+    * engines share, immune to week-start/locale conventions.
+    *
+    * The distributions are compared on the DENSE week × type grid
+    * (missing types count as share 0 — dropping them would silently
+    * understate drift when a type vanishes), built by a cross join of two
+    * aggregated, domain-sized frames.
+    *
+    * Scale shape: one map-combined (week, type) aggregate collapses the
+    * corpus; the grid, shares, and consecutive-week join all live on
+    * |weeks|×|types| rows. */
+  def q152(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.load(spark, dir, "events")
+      .select(expr("unix_millis(ts) div 86400000 div 7").as("wk"),
+        col("event_type"))
+      .groupBy("wk", "event_type").agg(count(lit(1)).as("cnt"))
+    val grid = counts.select("wk").distinct()
+      .crossJoin(counts.select("event_type").distinct())
+      .join(counts, Seq("wk", "event_type"), "left")
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+      .withColumn("share_ppm",
+        expr("cnt * 1000000 div sum(cnt) over (partition by wk)"))
+    grid.select(col("wk"), col("event_type"), col("share_ppm").as("pa"))
+      .join(grid.select((col("wk") - 1).as("wk"), col("event_type"),
+        col("share_ppm").as("pb")), Seq("wk", "event_type"))
+      .groupBy(col("wk").as("wk_from"))
+      .agg(sum(abs(col("pa") - col("pb"))).as("l1_ppm"),
+        sum(when(col("pa") === 0 || col("pb") === 0, 1L).otherwise(0L))
+          .as("n_vanished_or_new"))
+      .withColumn("wk_to", col("wk_from") + 1)
+      .select("wk_from", "wk_to", "l1_ppm", "n_vanished_or_new")
+      .orderBy("wk_from")
+  }
+
+  val q152Sql: String =
+    """WITH c AS (
+      |  SELECT (epoch_ms(ts) // 86400000) // 7 AS wk, event_type,
+      |    COUNT(*) AS cnt
+      |  FROM events GROUP BY 1, 2
+      |), grid AS (
+      |  SELECT w.wk, t.event_type, COALESCE(c.cnt, 0) AS cnt
+      |  FROM (SELECT DISTINCT wk FROM c) w
+      |  CROSS JOIN (SELECT DISTINCT event_type FROM c) t
+      |  LEFT JOIN c ON c.wk = w.wk AND c.event_type = t.event_type
+      |), s AS (
+      |  SELECT wk, event_type,
+      |    cnt * 1000000 // SUM(cnt) OVER (PARTITION BY wk) AS share_ppm
+      |  FROM grid
+      |)
+      |SELECT a.wk AS wk_from, a.wk + 1 AS wk_to,
+      |  CAST(SUM(ABS(a.share_ppm - b.share_ppm)) AS BIGINT) AS l1_ppm,
+      |  CAST(SUM(CASE WHEN a.share_ppm = 0 OR b.share_ppm = 0 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_vanished_or_new
+      |FROM s a JOIN s b ON b.wk = a.wk + 1 AND b.event_type = a.event_type
+      |GROUP BY a.wk ORDER BY wk_from""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(("q140_auc_ranksum", q140 _, Some(q140Sql)),
       ("q141_rank_agreement", q141 _, Some(q141Sql)),
       ("q142_ks_distance", q142 _, Some(q142Sql)),
-      ("q143_gini_purity", q143 _, Some(q143Sql)))
+      ("q143_gini_purity", q143 _, Some(q143Sql)),
+      ("q152_weekly_drift", q152 _, Some(q152Sql)))
 }

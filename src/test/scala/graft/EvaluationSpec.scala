@@ -87,6 +87,19 @@ class EvaluationSpec extends AnyFunSuite {
     if (uniq > 0) assert(k == 1)
   }
 
+  test("q152 weekly drift: L1 bounded by 2e6, consecutive weeks, counts sane") {
+    val rows = Evaluation.q152(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (from, to, l1, vanished) =>
+      assert(to == from + 1)
+      // total variation: Σ|p−q| ≤ 2 (both distributions sum to ~1e6)
+      assert(l1 >= 0 && l1 <= 2000000L, s"week $from l1=$l1")
+      assert(vanished >= 0)
+    }
+    assert(rows.map(_._1).distinct.length == rows.length)
+  }
+
   test("q151 centroid affinity: Cauchy-Schwarz holds on every label pair") {
     val rows = graft.queries.Stats.q151(spark, sf).collect()
     assert(rows.nonEmpty)
