@@ -278,6 +278,47 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("Sort [tms"), s"no global time sort may exist:\n$p")
   }
 
+  test("q145: pair instances are semi-joined against frequent pairs before the third item") {
+    val df = SparkEntry.queries("q145_triple_itemsets")(spark, sf)
+    df.collect()
+    val p = finalSection(df.queryExecution.executedPlan.toString)
+    // the a-priori prune must plan as a LeftSemi, never materialize the
+    // frequent-pair set as a column join
+    assert(p.contains("LeftSemi"), s"a-priori semi-join missing:\n$p")
+  }
+
+  test("q149: path attribution is one window pass — no purchase×touch join anywhere") {
+    val p = finalSection(plan("q149_path_attribution"))
+    // the only join allowed is the converted-users LeftSemi gate; a
+    // purchase×touch join would be the quadratic shape the design bans
+    val joins = "Join".r.findAllIn(p).length
+    val semis = "LeftSemi".r.findAllIn(p).length
+    assert(semis >= 1 && joins == semis,
+      s"expected only the converted-user semi gate, got $joins joins ($semis semi):\n$p")
+    assert(p.contains("Window"), s"the ordinal window must exist:\n$p")
+  }
+
+  test("q144: the encoder is a narrow map — no join against a vocabulary table") {
+    val df = SparkEntry.queries("q144_bpe_encode")(spark, sf)
+    df.collect()
+    val p = finalSection(df.queryExecution.executedPlan.toString)
+    assert(!p.contains("Join"),
+      s"the merge table must ride as literals, not join as data:\n$p")
+    assert(p.contains("partial_"), s"token economics must combine map-side:\n$p")
+  }
+
+  test("q140/q142: rank statistics aggregate by value before any window pass") {
+    // the scale contract of the evaluation family: the window input is the
+    // grouped (value-domain) frame, so a HashAggregate must sit BELOW every
+    // Window in the plan tree (textually: aggregate appears after/inside)
+    Seq("q140_auc_ranksum", "q142_ks_distance").foreach { name =>
+      val p = finalSection(plan(name))
+      assert(p.contains("Window"), s"$name: window missing:\n$p")
+      assert(p.contains("partial_sum") || p.contains("partial_count"),
+        s"$name: value-domain pre-aggregation must combine map-side:\n$p")
+    }
+  }
+
   test("runtime bloom-filter pruning injects on a selective dim → fact shuffle join") {
     // At 100 TB a selective dimension filter should prune the fact scan
     // BEFORE the shuffle — Spark's runtime bloom filter does exactly that.
