@@ -238,18 +238,8 @@ object Extensions {
   }
 
   val q121Sql = {
-    def occ(w: String) =
-      s"CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' $w ', ''))) / ${w.length + 2} AS BIGINT)"
-    val en = s"(${occ("the")} + ${occ("and")} + ${occ("of")})"
-    val de = s"(${occ("der")} + ${occ("und")} + ${occ("nicht")})"
-    val fr = s"(${occ("le")} + ${occ("et")} + ${occ("les")})"
     s"""WITH p AS (
-       |  SELECT lang,
-       |    CASE
-       |      WHEN $en >= $de AND $en >= $fr AND $en > 0 THEN 'en'
-       |      WHEN $de >= $fr AND $de > 0 THEN 'de'
-       |      WHEN $fr > 0 THEN 'fr'
-       |      ELSE 'und' END AS predicted
+       |  SELECT lang, $langIdSqlPredicted AS predicted
        |  FROM documents
        |), c AS (
        |  SELECT lang, predicted, COUNT(*) AS n FROM p GROUP BY 1, 2
@@ -260,6 +250,76 @@ object Extensions {
        |  CAST(n * 1000000 // label_total AS BIGINT) AS share_ppm
        |FROM w ORDER BY lang, predicted""".stripMargin
   }
+
+  /** The q121/q154 oracle predictor: the lang-ID heuristic rendered as the
+    * equivalent DuckDB CASE expression over marker-word counts. */
+  private def langIdSqlPredicted: String = {
+    def occ(w: String) =
+      s"CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' $w ', ''))) / ${w.length + 2} AS BIGINT)"
+    val en = s"(${occ("the")} + ${occ("and")} + ${occ("of")})"
+    val de = s"(${occ("der")} + ${occ("und")} + ${occ("nicht")})"
+    val fr = s"(${occ("le")} + ${occ("et")} + ${occ("les")})"
+    s"""CASE
+       |      WHEN $en >= $de AND $en >= $fr AND $en > 0 THEN 'en'
+       |      WHEN $de >= $fr AND $de > 0 THEN 'de'
+       |      WHEN $fr > 0 THEN 'fr'
+       |      ELSE 'und' END""".stripMargin
+  }
+
+  /** q154 Cohen's kappa — chance-corrected agreement between the q34/q121
+    * lang-ID heuristic and the ground-truth label, THE summary number a
+    * labeling pipeline reports next to its confusion matrix (Cohen, "A
+    * Coefficient of Agreement for Nominal Scales", 1960). Multiplied out to
+    * one exact integer ratio:
+    *
+    *   κ_ppm = ⌊1e6 · (N·Σdiag − Σ_c row_c·col_c) / (N² − Σ_c row_c·col_c)⌋
+    *
+    * — observed minus expected agreement over maximal minus expected, no
+    * doubles anywhere. Negative κ (worse than chance) truncates toward
+    * zero identically in both engines (verified). N² bounds int64 to ~3e9
+    * rows; past that an eval runs on a sample by construction, and the
+    * numerator/denominator terms are shipped alongside κ so a consumer can
+    * recombine shards exactly.
+    *
+    * Scale shape: the corpus collapses at the (label, predicted) confusion
+    * aggregate — |langs|² rows; margins, the diagonal, and the ratio are
+    * all domain-sized arithmetic after that. */
+  def q154(spark: SparkSession, dir: String): DataFrame = {
+    val cm = Tables.load(spark, dir, "documents")
+      .select(col("lang"), T.langId(col("text")).as("predicted"))
+      .groupBy("lang", "predicted").agg(count(lit(1)).as("n"))
+      .persist() // consumed 4x: N, diagonal, both margins
+    val total = cm.agg(sum("n").as("n_docs"))
+    val agree = cm.filter(col("lang") === col("predicted"))
+      .agg(coalesce(sum("n"), lit(0L)).as("n_agree"))
+    val rowcol = cm.groupBy("lang").agg(sum("n").as("rn"))
+      .join(cm.groupBy(col("predicted").as("lang")).agg(sum("n").as("cn")), "lang")
+      .agg(coalesce(sum(expr("rn * cn")), lit(0L)).as("sum_rowcol"))
+    total.crossJoin(agree).crossJoin(rowcol)
+      .withColumn("kappa_ppm", expr(
+        "(n_docs * n_agree - sum_rowcol) * 1000000 div (n_docs * n_docs - sum_rowcol)"))
+  }
+
+  val q154Sql: String =
+    s"""WITH p AS (
+       |  SELECT lang, $langIdSqlPredicted AS predicted
+       |  FROM documents
+       |), c AS (
+       |  SELECT lang, predicted, COUNT(*) AS n FROM p GROUP BY 1, 2
+       |), t AS (SELECT SUM(n) AS n_docs FROM c
+       |), a AS (
+       |  SELECT COALESCE(SUM(n), 0) AS n_agree FROM c WHERE lang = predicted
+       |), rc AS (
+       |  SELECT COALESCE(SUM(r.rn * k.cn), 0) AS sum_rowcol FROM
+       |    (SELECT lang, SUM(n) AS rn FROM c GROUP BY lang) r
+       |    JOIN (SELECT predicted AS lang, SUM(n) AS cn FROM c GROUP BY predicted) k
+       |    USING (lang)
+       |)
+       |SELECT CAST(n_docs AS BIGINT) AS n_docs, CAST(n_agree AS BIGINT) AS n_agree,
+       |  CAST(sum_rowcol AS BIGINT) AS sum_rowcol,
+       |  CAST((n_docs * n_agree - sum_rowcol) * 1000000
+       |    // (n_docs * n_docs - sum_rowcol) AS BIGINT) AS kappa_ppm
+       |FROM t CROSS JOIN a CROSS JOIN rc""".stripMargin
 
   /** q35 document fingerprints — all three columns engine-portable md5
     * arithmetic (the 60-bit [[T.portableHash60]] primitive), so the query is
@@ -694,6 +754,7 @@ object Extensions {
     ("q86_conversions", q86 _, Some(q86Sql)),
     ("q96_pii_mask", q96 _, Some(q96Sql)),
     ("q148_k_anonymity", q148 _, Some(q148Sql)),
+    ("q154_cohens_kappa", q154 _, Some(q154Sql)),
     ("q97_dedup_replay", q97 _, Some(q97Sql)),
     ("q99_minhash_portable", q99 _, Some(q99Sql)),
     ("q100_frame_sample", q100 _, Some(q100Sql)),

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.{TextFunctions => T}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -162,7 +162,15 @@ object Retrieval {
     * term; per-row terms need dl ≤ 9.2e9 tokens and tf ≤ 4.2e6, and Σdl·1e3
     * caps the corpus at 9.2e15 tokens. Each a documented bound, not a
     * silent wrap point hit at realistic scale. */
-  def q109(spark: SparkSession, dir: String): DataFrame = {
+  def q109(spark: SparkSession, dir: String): DataFrame =
+    bm25Scored(spark, dir)
+      .orderBy(desc("score_x1e6"), col("doc_id"))
+      .limit(10)
+
+  /** The q109/q153 scoring core: every candidate document (≥1 query-term
+    * hit) with its fixed-point BM25 score and graded relevance
+    * (`n_terms_hit`), pre-limit. */
+  private def bm25Scored(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.parallelized(Tables.load(spark, dir, "documents"))
       .select(col("doc_id"), T.tokens(col("text")).as("w"))
       .select(col("doc_id"), col("w"), size(col("w")).cast(LongType).as("dl"))
@@ -185,8 +193,84 @@ object Retrieval {
       .groupBy("doc_id", "dl")
       .agg(sum(expr("idf_x1e3 * tfsat_x1e6 div 1000")).as("score_x1e6"),
         count(lit(1)).as("n_terms_hit"))
-      .orderBy(desc("score_x1e6"), col("doc_id"))
-      .limit(10)
+  }
+
+  /** The nDCG@10 position-discount table: ⌊1e6 / log₂(i+1)⌋ for ranks
+    * 1..10 — SPEC constants (the discount curve is part of the metric's
+    * definition, so it ships as literals and no engine ever evaluates a
+    * log). */
+  private val DcgDiscounts = Seq(1000000L, 630929L, 500000L, 430676L,
+    386852L, 356207L, 333333L, 315464L, 301029L, 289064L)
+
+  /** q153 nDCG@10 of the BM25 ranking — the retrieval-quality score a RAG
+    * pipeline tracks per index build (Järvelin & Kekäläinen, "Cumulated
+    * Gain-Based Evaluation of IR Techniques", TOIS 2002): DCG of the
+    * score-ordered top-10 with graded relevance = query-term coverage
+    * (1..3), against the ideal DCG of the relevance-ordered top-10 from the
+    * same candidate pool, normalized in ppm. By the rearrangement
+    * inequality IDCG ≥ DCG, so ndcg_ppm ∈ [0, 1e6] (asserted in spec).
+    *
+    * Scale shape: the candidate pool already collapses at the BM25
+    * aggregate; both orderings plan TakeOrderedAndProject(10) and the rank
+    * windows run on 10-row frames — no global window over candidates. The
+    * discount lookup is an `element_at` on a literal array. */
+  def q153(spark: SparkSession, dir: String): DataFrame = {
+    val cand = bm25Scored(spark, dir)
+      .persist() // consumed twice: actual ranking + ideal ranking
+    val disc = typedLit(DcgDiscounts)
+    def gain(ordered: Seq[Column], out: String): DataFrame = cand
+      .orderBy(ordered: _*).limit(10)
+      .withColumn("rk", row_number().over(Window.orderBy(ordered: _*)))
+      .agg(sum(col("n_terms_hit") * element_at(disc, col("rk"))).as(out))
+    gain(Seq(desc("score_x1e6"), col("doc_id")), "dcg_x1e6")
+      .crossJoin(gain(Seq(desc("n_terms_hit"), col("doc_id")), "idcg_x1e6"))
+      .withColumn("ndcg_ppm", expr("dcg_x1e6 * 1000000 div idcg_x1e6"))
+  }
+
+  val q153Sql: String = {
+    val values = DcgDiscounts.zipWithIndex
+      .map { case (w, i) => s"(${i + 1}, $w)" }.mkString(", ")
+    s"""WITH docs AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+       |), d AS (
+       |  SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM docs
+       |), stats AS (
+       |  SELECT COUNT(*) AS n_docs, SUM(dl) * 1000 // COUNT(*) AS avgdl_x1e3
+       |  FROM d
+       |), tf AS (
+       |  SELECT doc_id, dl, term, COUNT(*) AS tf FROM (
+       |    SELECT d.doc_id, d.dl, unnest(docs.w) AS term
+       |    FROM docs JOIN d USING (doc_id)
+       |  ) WHERE term IN ('hash', 'join', 'vector')
+       |  GROUP BY 1, 2, 3
+       |), dfreq AS (
+       |  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+       |), scored AS (
+       |  SELECT tf.doc_id, tf.dl,
+       |    (2 * (s.n_docs - dfreq.df) + 1) * 1000 // (2 * dfreq.df + 1) AS idf_x1e3,
+       |    tf.tf * 2200000000000 // (tf.tf * 1000000 +
+       |      (12 * (250000 + (tf.dl * 1000000000 // s.avgdl_x1e3) * 75 // 100)) // 10)
+       |      AS tfsat_x1e6
+       |  FROM tf JOIN dfreq USING (term) CROSS JOIN stats s
+       |), cand AS (
+       |  SELECT doc_id,
+       |    CAST(SUM(idf_x1e3 * tfsat_x1e6 // 1000) AS BIGINT) AS score_x1e6,
+       |    COUNT(*) AS rel
+       |  FROM scored GROUP BY doc_id, dl
+       |), disc(rk, w) AS (VALUES $values
+       |), top AS (
+       |  SELECT rel, ROW_NUMBER() OVER (ORDER BY score_x1e6 DESC, doc_id) AS rk
+       |  FROM cand ORDER BY score_x1e6 DESC, doc_id LIMIT 10
+       |), ideal AS (
+       |  SELECT rel, ROW_NUMBER() OVER (ORDER BY rel DESC, doc_id) AS rk
+       |  FROM cand ORDER BY rel DESC, doc_id LIMIT 10
+       |), g AS (SELECT CAST(SUM(rel * w) AS BIGINT) AS dcg_x1e6
+       |         FROM top JOIN disc USING (rk)
+       |), ig AS (SELECT CAST(SUM(rel * w) AS BIGINT) AS idcg_x1e6
+       |          FROM ideal JOIN disc USING (rk))
+       |SELECT dcg_x1e6, idcg_x1e6,
+       |  CAST(dcg_x1e6 * 1000000 // idcg_x1e6 AS BIGINT) AS ndcg_ppm
+       |FROM g CROSS JOIN ig""".stripMargin
   }
 
   val q109Sql =
@@ -536,6 +620,7 @@ object Retrieval {
     ("q107_interval_union", q107 _, Some(q107Sql)),
     ("q108_percentiles_exact", q108 _, Some(q108Sql)),
     ("q109_bm25_topk", q109 _, Some(q109Sql)),
+    ("q153_ndcg", q153 _, Some(q153Sql)),
     ("q110_allpairs_cosine", q110 _, Some(q110Sql)),
     ("q111_quality_logit", q111 _, Some(q111Sql)),
     ("q114_chunk_documents", q114 _, Some(q114Sql)),

@@ -100,6 +100,31 @@ class EvaluationSpec extends AnyFunSuite {
     assert(rows.map(_._1).distinct.length == rows.length)
   }
 
+  test("q153 nDCG: rearrangement bound holds (dcg <= idcg, ndcg in [0, 1e6])") {
+    val r = graft.queries.Retrieval.q153(spark, sf).collect().head
+    val (dcg, idcg, ndcg) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(idcg > 0 && dcg > 0)
+    assert(dcg <= idcg, s"DCG $dcg exceeds ideal $idcg")
+    assert(ndcg == dcg * 1000000L / idcg && ndcg <= 1000000L)
+  }
+
+  test("q154 kappa reconciles with a driver-side confusion-matrix computation") {
+    val r = graft.queries.Extensions.q154(spark, sf).collect().head
+    val (n, agree, rowcol, kappa) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    // rebuild the confusion matrix from the q121 query (same predictor)
+    val cm = graft.queries.Extensions.q121(spark, sf).collect()
+      .map(row => (row.getString(0), row.getString(1), row.getLong(2)))
+    val nRef = cm.map(_._3).sum
+    val agreeRef = cm.filter(t => t._1 == t._2).map(_._3).sum
+    val rows = cm.groupBy(_._1).map { case (k, g) => k -> g.map(_._3).sum }
+    val cols = cm.groupBy(_._2).map { case (k, g) => k -> g.map(_._3).sum }
+    val rcRef = rows.map { case (k, rn) => rn * cols.getOrElse(k, 0L) }.sum
+    assert((n, agree, rowcol) == ((nRef, agreeRef, rcRef)))
+    assert(kappa == (n * agree - rowcol) * 1000000L / (n * n - rowcol))
+    assert(kappa <= 1000000L)
+  }
+
   test("q151 centroid affinity: Cauchy-Schwarz holds on every label pair") {
     val rows = graft.queries.Stats.q151(spark, sf).collect()
     assert(rows.nonEmpty)
