@@ -293,10 +293,81 @@ object Evaluation {
       |FROM s a JOIN s b ON b.wk = a.wk + 1 AND b.event_type = a.event_type
       |GROUP BY a.wk ORDER BY wk_from""".stripMargin
 
+  /** q155 reliability (calibration) bins — the curve behind the q140 AUC:
+    * bucket the score (document length, 50-char bins), and per bucket
+    * report how often the positive class actually occurs. A well-calibrated
+    * score has pos_ppm monotone in the bin; AUC alone can't show the
+    * plateau shape. Value-based bins (floor division), never ntile — rank
+    * bins put tied scores on both sides of a boundary and make the curve
+    * depend on row order.
+    *
+    * Scale shape: one map-combined aggregate to |bins| rows; the rest is
+    * per-row arithmetic on the domain-sized frame. */
+  def q155(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select((col("n_chars") / 50).cast("long").as("bin"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum("pos").as("n_pos"))
+      .withColumn("lo_chars", col("bin") * 50)
+      .withColumn("pos_ppm", expr("n_pos * 1000000 div n"))
+      .select("bin", "lo_chars", "n", "n_pos", "pos_ppm")
+      .orderBy("bin")
+
+  val q155Sql: String =
+    """WITH b AS (
+      |  SELECT CAST((n_chars - n_chars % 50) / 50 AS BIGINT) AS bin,
+      |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+      |  FROM documents
+      |)
+      |SELECT bin, bin * 50 AS lo_chars, COUNT(*) AS n,
+      |  CAST(SUM(pos) AS BIGINT) AS n_pos,
+      |  CAST(SUM(pos) * 1000000 // COUNT(*) AS BIGINT) AS pos_ppm
+      |FROM b GROUP BY bin ORDER BY bin""".stripMargin
+
+  /** q156 leave-one-source-out jackknife of lang-ID accuracy — the
+    * robustness check behind the q154 kappa: if dropping ONE source moves
+    * corpus accuracy materially, that source dominates the metric (the
+    * sensitivity audit an eval pipeline runs before trusting a corpus-wide
+    * number). Exact by algebra, not resampling: per-source (n, agree)
+    * partial sums recombine into every leave-one-out accuracy with window
+    * totals — N resamples for the price of one aggregate.
+    *
+    * Scale shape: the corpus collapses at the per-source (n, agree)
+    * aggregate; the jackknife itself is |sources|-row window arithmetic. */
+  def q156(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(col("source"), col("lang"),
+        graft.functions.TextFunctions.langId(col("text")).as("predicted"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("lang") === col("predicted"), 1L).otherwise(0L)).as("agree"))
+      .withColumn("acc_ppm", expr("agree * 1000000 div n"))
+      .withColumn("acc_without_ppm", expr(
+        "(sum(agree) over () - agree) * 1000000 div (sum(n) over () - n)"))
+      .select("source", "n", "agree", "acc_ppm", "acc_without_ppm")
+      .orderBy("source")
+
+  val q156Sql: String =
+    s"""WITH p AS (
+       |  SELECT source,
+       |    CASE WHEN lang = (${Extensions.langIdSqlPredicted}) THEN 1 ELSE 0 END AS ok
+       |  FROM documents
+       |), s AS (
+       |  SELECT source, COUNT(*) AS n, SUM(ok) AS agree FROM p GROUP BY source
+       |)
+       |SELECT source, CAST(n AS BIGINT) AS n, CAST(agree AS BIGINT) AS agree,
+       |  CAST(agree * 1000000 // n AS BIGINT) AS acc_ppm,
+       |  CAST((SUM(agree) OVER () - agree) * 1000000
+       |    // (SUM(n) OVER () - n) AS BIGINT) AS acc_without_ppm
+       |FROM s ORDER BY source""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(("q140_auc_ranksum", q140 _, Some(q140Sql)),
       ("q141_rank_agreement", q141 _, Some(q141Sql)),
       ("q142_ks_distance", q142 _, Some(q142Sql)),
       ("q143_gini_purity", q143 _, Some(q143Sql)),
-      ("q152_weekly_drift", q152 _, Some(q152Sql)))
+      ("q152_weekly_drift", q152 _, Some(q152Sql)),
+      ("q155_reliability_bins", q155 _, Some(q155Sql)),
+      ("q156_jackknife_langid", q156 _, Some(q156Sql)))
 }

@@ -253,7 +253,7 @@ object Extensions {
 
   /** The q121/q154 oracle predictor: the lang-ID heuristic rendered as the
     * equivalent DuckDB CASE expression over marker-word counts. */
-  private def langIdSqlPredicted: String = {
+  private[queries] def langIdSqlPredicted: String = {
     def occ(w: String) =
       s"CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' $w ', ''))) / ${w.length + 2} AS BIGINT)"
     val en = s"(${occ("the")} + ${occ("and")} + ${occ("of")})"

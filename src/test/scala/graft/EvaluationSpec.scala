@@ -125,6 +125,26 @@ class EvaluationSpec extends AnyFunSuite {
     assert(kappa <= 1000000L)
   }
 
+  test("q155/q156 reconcile across the family: bins sum to corpus, jackknife to kappa inputs") {
+    val nDocs = Tables.load(spark, sf, "documents").count()
+    val bins = Evaluation.q155(spark, sf).collect()
+    assert(bins.map(_.getLong(2)).sum == nDocs)
+    bins.foreach { r =>
+      val (n, np, ppm) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(np >= 0 && np <= n && ppm == np * 1000000L / n)
+    }
+    val jk = Evaluation.q156(spark, sf).collect()
+    val (totN, totA) = (jk.map(_.getLong(1)).sum, jk.map(_.getLong(2)).sum)
+    assert(totN == nDocs)
+    // the q154 kappa runs the same predictor: its N and agreement must match
+    val kap = graft.queries.Extensions.q154(spark, sf).collect().head
+    assert((kap.getLong(0), kap.getLong(1)) == ((totN, totA)))
+    jk.foreach { r =>
+      val (n, a, without) = (r.getLong(1), r.getLong(2), r.getLong(4))
+      assert(without == (totA - a) * 1000000L / (totN - n))
+    }
+  }
+
   test("q151 centroid affinity: Cauchy-Schwarz holds on every label pair") {
     val rows = graft.queries.Stats.q151(spark, sf).collect()
     assert(rows.nonEmpty)
