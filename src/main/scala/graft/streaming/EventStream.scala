@@ -43,6 +43,22 @@ object EventStream {
       .select(col("window.start").cast(StringType).as("hour"),
         col("event_type"), col("n"), col("sum_cents"))
 
+  /** Watermarked DAILY event-mix counts — the streaming input of the q152
+    * drift monitor's deployment shape: the monitor's expensive half (the
+    * corpus-sized count collapse) runs incrementally with O(open days ×
+    * types) state, and the ppm-L1 drift arithmetic (domain-sized, exact)
+    * composes downstream on the emitted frame exactly as in the batch
+    * query. Day buckets are epoch-day integers, matching q152's
+    * calendar-free convention. Verified equal to the batch aggregate in
+    * StreamingSpec. */
+  def dailyMixAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(expr("unix_millis(window.start) div 86400000").as("day"),
+        col("event_type"), col("n"))
+
   /** Watermarked SLIDING-window aggregation (1 h window, 30 min slide — the
     * q63 batch query's streaming twin): each event expands into exactly two
     * overlapping windows before the same hash aggregate a tumbling window

@@ -28,6 +28,20 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("streaming daily mix == batch daily mix (the q152 drift monitor's input)") {
+    val stream = EventStream.dailyMixAgg(EventStream.readEvents(spark, sf))
+    val q = stream.writeStream
+      .format("memory").queryName("daily_mix_out").outputMode("complete").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val streamed = spark.table("daily_mix_out")
+      .orderBy("day", "event_type").collect().map(_.toSeq).toSeq
+    val batch = Tables.load(spark, sf, "events")
+      .groupBy(expr("unix_millis(ts) div 86400000").as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("day", "event_type").collect().map(_.toSeq).toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("outer stream-stream join: unmatched views emit NULL only after state expiry") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("outer_join").toString
