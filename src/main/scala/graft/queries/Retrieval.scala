@@ -521,15 +521,23 @@ object Retrieval {
     * paths trade against), and the per-query top-10 is one window over the
     * batch key. The forced broadcast here is scale-SAFE, unlike a
     * corpus-derived side: batch size is a knob, not data. */
-  def q125(spark: SparkSession, dir: String): DataFrame = {
+  def q125(spark: SparkSession, dir: String): DataFrame =
+    knnRanked(spark, dir)
+      .select(col("qid"), col("neighbor"), col("score_x1e6"), col("rnk"))
+      .orderBy("qid", "rnk")
+
+  /** The q125/q157 kernel: the 20-query batch's top-10 neighbors with both
+    * endpoint labels riding along (for label-relevance evaluation). */
+  private def knnRanked(spark: SparkSession, dir: String): DataFrame = {
     val qv = Tables.parallelized(Tables.load(spark, dir, "embeddings"))
-      .select(col("vec_id"),
+      .select(col("vec_id"), col("label").cast(LongType).as("lbl"),
         transform(col("embedding"),
           x => floor(x.cast(DoubleType) * 100).cast(LongType)).as("qv"))
       .withColumn("nrm", call_function("dot_i64", col("qv"), col("qv")))
       .filter(col("nrm") > 0)
     val batch = qv.filter(col("vec_id") < 20)
-      .select(col("vec_id").as("qid"), col("qv").as("bq"), col("nrm").as("nq"))
+      .select(col("vec_id").as("qid"), col("lbl").as("qlbl"),
+        col("qv").as("bq"), col("nrm").as("nq"))
     val scored = qv.join(broadcast(batch), col("vec_id") =!= col("qid"))
       .withColumn("dot", call_function("dot_i64", col("qv"), col("bq")))
       .withColumn("score_x1e6",
@@ -540,9 +548,31 @@ object Retrieval {
         Window.partitionBy("qid").orderBy(desc("score_x1e6"), col("vec_id")))
         .cast(LongType))
       .filter(col("rnk") <= 10)
-      .select(col("qid"), col("vec_id").as("neighbor"), col("score_x1e6"), col("rnk"))
-      .orderBy("qid", "rnk")
+      .select(col("qid"), col("qlbl"), col("vec_id").as("neighbor"),
+        col("lbl").as("nlbl"), col("score_x1e6"), col("rnk"))
   }
+
+  /** q157 label-relevance retrieval metrics over the q125 batch — MRR@10
+    * and hits@10 per query, with relevance = "neighbor shares the query's
+    * class label" (the standard proxy eval when no human judgments exist;
+    * exactly how embedding models are scored on labeled corpora). The
+    * reciprocal rank is ⌊1e6/r⌋ — exact, no averaging until the consumer
+    * chooses to (per-query rows ship so shards/slices recombine exactly).
+    *
+    * Scale shape: everything rides the q125 kernel (parameter-sized batch
+    * broadcast, one corpus scan, map-side rank-limit); the metric itself
+    * is one aggregate over 200 rows. */
+  def q157(spark: SparkSession, dir: String): DataFrame =
+    knnRanked(spark, dir)
+      .groupBy("qid")
+      .agg(
+        sum(when(col("nlbl") === col("qlbl"), 1L).otherwise(0L)).as("hits_at10"),
+        min(when(col("nlbl") === col("qlbl"), col("rnk"))).as("fr"))
+      .withColumn("first_hit_rank", coalesce(col("fr"), lit(-1L)))
+      .withColumn("rr_ppm",
+        coalesce(expr("1000000 div fr"), lit(0L)))
+      .select("qid", "hits_at10", "first_hit_rank", "rr_ppm")
+      .orderBy("qid")
 
   val q125Sql =
     """WITH q AS (
@@ -569,6 +599,40 @@ object Retrieval {
       |)
       |SELECT qid, neighbor, score_x1e6, CAST(rnk AS BIGINT) AS rnk
       |FROM ranked WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin
+
+  val q157Sql: String =
+    """WITH q AS (
+      |  SELECT vec_id, CAST(label AS BIGINT) AS lbl,
+      |    list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 100) AS BIGINT)) AS qv
+      |  FROM embeddings
+      |), n AS (
+      |  SELECT vec_id, lbl, qv,
+      |    CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS nrm
+      |  FROM q WHERE CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) > 0
+      |), scored AS (
+      |  SELECT b.vec_id AS qid, b.lbl AS qlbl, c.vec_id AS neighbor,
+      |    c.lbl AS nlbl,
+      |    CASE WHEN d.dot >= 0 THEN d.dot * d.dot * 1000000 // (c.nrm * b.nrm)
+      |         ELSE -(d.dot * d.dot * 1000000 // (c.nrm * b.nrm)) END AS score_x1e6
+      |  FROM n b JOIN n c ON c.vec_id <> b.vec_id,
+      |  LATERAL (SELECT CAST(list_sum(list_transform(range(1, len(b.qv) + 1),
+      |    i -> b.qv[i] * c.qv[i])) AS BIGINT) AS dot) d
+      |  WHERE b.vec_id < 20
+      |), ranked AS (
+      |  SELECT qid, qlbl, nlbl,
+      |    row_number() OVER (PARTITION BY qid ORDER BY score_x1e6 DESC, neighbor)
+      |      AS rnk
+      |  FROM scored
+      |), topk AS (
+      |  SELECT * FROM ranked WHERE rnk <= 10
+      |)
+      |SELECT qid,
+      |  CAST(SUM(CASE WHEN nlbl = qlbl THEN 1 ELSE 0 END) AS BIGINT) AS hits_at10,
+      |  CAST(COALESCE(MIN(CASE WHEN nlbl = qlbl THEN rnk END), -1) AS BIGINT)
+      |    AS first_hit_rank,
+      |  CAST(COALESCE(1000000 // MIN(CASE WHEN nlbl = qlbl THEN rnk END), 0)
+      |    AS BIGINT) AS rr_ppm
+      |FROM topk GROUP BY qid ORDER BY qid""".stripMargin
 
   /** q133 per-document keyword extraction — the top-3 most distinctive
     * tokens per document by integer TF-IDF surrogate (tf·1e6 div df): the
@@ -621,6 +685,7 @@ object Retrieval {
     ("q108_percentiles_exact", q108 _, Some(q108Sql)),
     ("q109_bm25_topk", q109 _, Some(q109Sql)),
     ("q153_ndcg", q153 _, Some(q153Sql)),
+    ("q157_knn_mrr", q157 _, Some(q157Sql)),
     ("q110_allpairs_cosine", q110 _, Some(q110Sql)),
     ("q111_quality_logit", q111 _, Some(q111Sql)),
     ("q114_chunk_documents", q114 _, Some(q114Sql)),

@@ -145,6 +145,20 @@ class EvaluationSpec extends AnyFunSuite {
     }
   }
 
+  test("q157 MRR: reciprocal ranks consistent with first hits, hits bounded") {
+    val rows = graft.queries.Retrieval.q157(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty && rows.map(_._1).distinct.length == rows.length)
+    rows.foreach { case (qid, hits, fr, rr) =>
+      assert(hits >= 0 && hits <= 10, s"q$qid hits=$hits")
+      if (fr == -1L) assert(hits == 0 && rr == 0, s"q$qid missing-hit row inconsistent")
+      else {
+        assert(fr >= 1 && fr <= 10 && hits >= 1)
+        assert(rr == 1000000L / fr, s"q$qid rr=$rr fr=$fr")
+      }
+    }
+  }
+
   test("q151 centroid affinity: Cauchy-Schwarz holds on every label pair") {
     val rows = graft.queries.Stats.q151(spark, sf).collect()
     assert(rows.nonEmpty)
