@@ -496,6 +496,71 @@ object Stats {
       |JOIN norms nb ON nb.label = label_b
       |ORDER BY label_a, label_b""".stripMargin
 
+  /** q158 per-dimension Fisher discriminant ratio — which embedding
+    * dimensions actually separate the classes (the feature-scoring pass
+    * before a linear probe or a dimensionality cut; Fisher, "The Use of
+    * Multiple Measurements in Taxonomic Problems", 1936). Between-class
+    * over within-class scatter per dimension, everything derived from the
+    * same mergeable (n, Σq, Σq²) triples as q88/q151:
+    *
+    *   within_l  = Σq² − 2·m_l·Σq + n·m_l²   (m_l = Σq div n, truncated)
+    *   between_l = n·(m_l − g)²              (g = global truncated mean)
+    *   fisher_x1e6 = ⌊1e6·Σbetween / Σwithin⌋
+    *
+    * The truncated means make the decomposition a deterministic SPEC
+    * (within + between no longer telescopes exactly — the ⌊⌋ residue is
+    * part of the definition), which is what lets two engines agree
+    * bit-for-bit where a float variance ratio never would.
+    *
+    * Scale shape: the corpus collapses at the (label, dim) moment
+    * aggregate; scatter algebra runs on |labels|×|dims| rows, the global
+    * means on |dims|. */
+  def q158(spark: SparkSession, dir: String): DataFrame = {
+    val m = Tables.parallelized(Tables.load(spark, dir, "embeddings"))
+      .select(col("label").cast(LongType).as("label"),
+        posexplode(transform(col("embedding"),
+          x => floor(x.cast(DoubleType) * 1000).cast(LongType))).as(Seq("dim", "q")))
+      .groupBy(col("dim").cast(LongType).as("dim"), col("label"))
+      .agg(count(lit(1)).as("n"), sum("q").as("s"), sum(expr("q * q")).as("ss"))
+      .withColumn("m", expr("s div n"))
+    val g = m.groupBy("dim")
+      .agg(expr("sum(s) div sum(n)").as("g"))
+    m.join(g, "dim")
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n_labels"),
+        sum(expr("ss - 2 * m * s + n * m * m")).as("within_sc"),
+        sum(expr("n * (m - g) * (m - g)")).as("between_sc"))
+      .withColumn("fisher_x1e6",
+        expr("case when within_sc > 0 then between_sc * 1000000 div within_sc end"))
+      .orderBy("dim")
+  }
+
+  val q158Sql: String =
+    """WITH q AS (
+      |  SELECT CAST(label AS BIGINT) AS label,
+      |    list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+      |  FROM embeddings
+      |), e AS (
+      |  SELECT label, unnest(range(1, len(qv) + 1)) AS i, qv FROM q
+      |), mo AS (
+      |  SELECT CAST(i - 1 AS BIGINT) AS dim, label, COUNT(*) AS n,
+      |    CAST(SUM(qv[i]) AS BIGINT) AS s,
+      |    CAST(SUM(qv[i] * qv[i]) AS BIGINT) AS ss
+      |  FROM e GROUP BY 1, 2
+      |), mm AS (
+      |  SELECT *, s // n AS m FROM mo
+      |), gg AS (
+      |  SELECT dim, SUM(s) // SUM(n) AS g FROM mo GROUP BY dim
+      |)
+      |SELECT mm.dim, CAST(COUNT(*) AS BIGINT) AS n_labels,
+      |  CAST(SUM(ss - 2 * m * s + n * m * m) AS BIGINT) AS within_sc,
+      |  CAST(SUM(n * (m - gg.g) * (m - gg.g)) AS BIGINT) AS between_sc,
+      |  CAST(CASE WHEN SUM(ss - 2 * m * s + n * m * m) > 0
+      |    THEN SUM(n * (m - gg.g) * (m - gg.g)) * 1000000
+      |      // SUM(ss - 2 * m * s + n * m * m) END AS BIGINT) AS fisher_x1e6
+      |FROM mm JOIN gg USING (dim)
+      |GROUP BY mm.dim ORDER BY mm.dim""".stripMargin
+
   val q112Sql =
     """WITH q AS (
       |  SELECT label,
@@ -690,6 +755,7 @@ object Stats {
     ("q105_cohort_retention", q105 _, Some(q105Sql)),
     ("q112_label_centroids", q112 _, Some(q112Sql)),
     ("q151_centroid_affinity", q151 _, Some(q151Sql)),
+    ("q158_fisher_ratio", q158 _, Some(q158Sql)),
     ("q113_mad_outliers", q113 _, Some(q113Sql)),
     ("q126_trend_ols", q126 _, Some(q126Sql)),
     ("q132_cooccurrence", q132 _, Some(q132Sql)))

@@ -159,6 +159,20 @@ class EvaluationSpec extends AnyFunSuite {
     }
   }
 
+  test("q158 Fisher: scatters non-negative, within bounds the truncation-exact total") {
+    val rows = graft.queries.Stats.q158(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (k, w, b) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(k >= 1)
+      // ss − 2·m·s + n·m² = Σ(q−m)² exactly for ANY integer m, so both
+      // scatters are sums of squares — non-negative by identity
+      assert(w >= 0, s"dim ${r.getLong(0)}: within=$w")
+      assert(b >= 0, s"dim ${r.getLong(0)}: between=$b")
+      if (!r.isNullAt(4)) assert(r.getLong(4) == b * 1000000L / w)
+    }
+  }
+
   test("q151 centroid affinity: Cauchy-Schwarz holds on every label pair") {
     val rows = graft.queries.Stats.q151(spark, sf).collect()
     assert(rows.nonEmpty)
