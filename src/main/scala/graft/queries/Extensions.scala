@@ -594,6 +594,43 @@ object Extensions {
       |  CAST(SUM(CASE WHEN cls_n < 5 THEN cls_n ELSE 0 END) AS BIGINT) AS rows_lt5
       |FROM cls""".stripMargin
 
+  /** q161 l-diversity release audit — the companion to q148's k-anonymity:
+    * k bounds RE-IDENTIFICATION, l bounds ATTRIBUTE disclosure. Even a
+    * large equivalence class leaks its sensitive attribute if every member
+    * shares one value (the homogeneity attack), so the release gate is the
+    * MINIMUM count of distinct sensitive values (market segment) across the
+    * quasi-identifier classes (nation × account-balance band — q148's QI
+    * minus the segment, which moves to the sensitive side). Scale shape:
+    * one exact distinct-aggregate keyed by the QI tuple (the distinct runs
+    * inside the same hash shuffle as the count — no second pass), then a
+    * single-row rollup; class cardinality is QI-bounded, never corpus-
+    * bounded. */
+  def q161(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "customer")
+      .groupBy(col("c_nationkey").cast(LongType).as("nation"),
+        floor(col("c_acctbal") / 1000.0).cast(LongType).as("bal_band"))
+      .agg(count(lit(1)).as("cls_n"),
+        countDistinct(col("c_mktsegment")).as("l"))
+      .agg(sum("cls_n").as("n_rows"), count(lit(1)).as("n_classes"),
+        min("l").as("l_diversity"),
+        sum(when(col("l") < 3, 1L).otherwise(0L)).as("classes_lt3"),
+        sum(when(col("l") < 3, col("cls_n")).otherwise(0L)).as("rows_lt3"))
+
+  val q161Sql: String =
+    """WITH cls AS (
+      |  SELECT c_nationkey,
+      |    CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+      |    COUNT(*) AS cls_n,
+      |    COUNT(DISTINCT c_mktsegment) AS l
+      |  FROM customer GROUP BY 1, 2
+      |)
+      |SELECT CAST(SUM(cls_n) AS BIGINT) AS n_rows,
+      |  CAST(COUNT(*) AS BIGINT) AS n_classes,
+      |  CAST(MIN(l) AS BIGINT) AS l_diversity,
+      |  CAST(SUM(CASE WHEN l < 3 THEN 1 ELSE 0 END) AS BIGINT) AS classes_lt3,
+      |  CAST(SUM(CASE WHEN l < 3 THEN cls_n ELSE 0 END) AS BIGINT) AS rows_lt3
+      |FROM cls""".stripMargin
+
   /** q97 streaming delivery-dedup replayed on batch: the EXACT
     * [[graft.streaming.EventStream.dedupStream]] plan (watermark is a no-op
     * in batch) collapsing redelivered (user, type, event-time) records, then
@@ -754,6 +791,7 @@ object Extensions {
     ("q86_conversions", q86 _, Some(q86Sql)),
     ("q96_pii_mask", q96 _, Some(q96Sql)),
     ("q148_k_anonymity", q148 _, Some(q148Sql)),
+    ("q161_l_diversity", q161 _, Some(q161Sql)),
     ("q154_cohens_kappa", q154 _, Some(q154Sql)),
     ("q97_dedup_replay", q97 _, Some(q97Sql)),
     ("q99_minhash_portable", q99 _, Some(q99Sql)),

@@ -679,9 +679,175 @@ object Retrieval {
       |SELECT doc_id, rk, token, tf, df, score_x1e6 FROM ranked
       |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
 
+  /** q162 interval-OVERLAP join — the two-sided generalization of the q46
+    * band join and the q45/q134 as-of family: both join sides are interval
+    * SETS (per-user merged browse sessions from the q107 island kernel ×
+    * per-type high-activity windows: hours with ≥ 6 events, adjacent hours
+    * merged), matched on `a.start < b.end AND b.start < a.end`. A naive
+    * inequality join is a cartesian; the scalable shape used here is
+    * RANGE-BIN BLOCKING — explode each interval to the day buckets it
+    * covers (`sequence(s div D, (e−1) div D)`, bucket count bounded because
+    * sessions are gap-bounded and activity windows are merged), equi-join
+    * on the bucket, dedup pairs that share several days, THEN apply the
+    * exact overlap predicate and measure. Candidates ∝ co-bucketed pairs —
+    * the interval-join analog of the LSH band trick — and the bucket width
+    * is the knob that trades fan-out against selectivity. Both interval
+    * derivations are one-window-partitioning islands; overlap_ms is exact
+    * integer arithmetic the oracle replays verbatim. */
+  def q162(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+    val iv = ev.select(col("user_id"), unix_millis(col("ts")).as("s"),
+      (unix_millis(col("ts")) + 300000L).as("e"))
+    val byStart = Window.partitionBy("user_id").orderBy(col("s"), col("e"))
+    val prevMaxE = max("e").over(byStart.rowsBetween(Window.unboundedPreceding, -1))
+    val sess = iv
+      .withColumn("ni", when(col("s") > coalesce(prevMaxE, lit(-1L)), 1L).otherwise(0L))
+      .withColumn("island", sum("ni").over(byStart))
+      .groupBy("user_id", "island")
+      .agg(min("s").as("a_s"), max("e").as("a_e"))
+    val hot = ev.select(col("event_type"), expr("unix_millis(ts) div 3600000").as("h"))
+      .groupBy("event_type", "h").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 6)
+    val byHour = Window.partitionBy("event_type").orderBy("h")
+    val act = hot
+      .withColumn("ni",
+        when(col("h") > coalesce(lag("h", 1).over(byHour), lit(Long.MinValue + 1)) + 1, 1L)
+          .otherwise(0L))
+      .withColumn("w", sum("ni").over(byHour))
+      .groupBy("event_type", "w")
+      .agg((min("h") * 3600000L).as("b_s"), ((max("h") + 1L) * 3600000L).as("b_e"))
+    val sessExp = sess.withColumn("d",
+      explode(sequence(expr("a_s div 86400000"), expr("(a_e - 1) div 86400000"))))
+    val actExp = act.withColumn("d",
+      explode(sequence(expr("b_s div 86400000"), expr("(b_e - 1) div 86400000"))))
+    sessExp.join(actExp, Seq("d"))
+      .filter(col("a_s") < col("b_e") && col("b_s") < col("a_e"))
+      .select("user_id", "island", "event_type", "w", "a_s", "a_e", "b_s", "b_e")
+      .distinct()
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(least(col("a_e"), col("b_e")) - greatest(col("a_s"), col("b_s")))
+          .as("overlap_ms"))
+      .orderBy("event_type")
+  }
+
+  val q162Sql =
+    """WITH iv AS (
+      |  SELECT user_id, epoch_ms(ts) AS s, epoch_ms(ts) + 300000 AS e FROM events
+      |), marked AS (
+      |  SELECT user_id, s, e,
+      |    CASE WHEN s > COALESCE(MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+      |      THEN 1 ELSE 0 END AS ni
+      |  FROM iv
+      |), isl AS (
+      |  SELECT user_id, s, e,
+      |    SUM(ni) OVER (PARTITION BY user_id ORDER BY s, e) AS island
+      |  FROM marked
+      |), sess AS (
+      |  SELECT user_id, island, MIN(s) AS a_s, MAX(e) AS a_e FROM isl GROUP BY 1, 2
+      |), hot AS (
+      |  SELECT event_type, epoch_ms(ts) // 3600000 AS h, COUNT(*) AS c
+      |  FROM events GROUP BY 1, 2 HAVING COUNT(*) >= 6
+      |), hm AS (
+      |  SELECT event_type, h,
+      |    CASE WHEN h > COALESCE(LAG(h) OVER (PARTITION BY event_type ORDER BY h),
+      |      -9223372036854775807) + 1 THEN 1 ELSE 0 END AS ni
+      |  FROM hot
+      |), hisl AS (
+      |  SELECT event_type, h,
+      |    SUM(ni) OVER (PARTITION BY event_type ORDER BY h) AS w
+      |  FROM hm
+      |), act AS (
+      |  SELECT event_type, w, MIN(h) * 3600000 AS b_s, (MAX(h) + 1) * 3600000 AS b_e
+      |  FROM hisl GROUP BY 1, 2
+      |), p AS (
+      |  SELECT s.user_id, a.event_type, LEAST(s.a_e, a.b_e) - GREATEST(s.a_s, a.b_s) AS ov
+      |  FROM sess s JOIN act a ON s.a_s < a.b_e AND a.b_s < s.a_e
+      |)
+      |SELECT event_type, COUNT(*) AS n_pairs,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+      |  CAST(SUM(ov) AS BIGINT) AS overlap_ms
+      |FROM p GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** q163 contrastive triplet mining — the data-side inner loop of metric /
+    * embedding-model training: for each anchor in a parameter-sized batch,
+    * the HARDEST POSITIVE (least-similar vector sharing the anchor's label)
+    * and HARDEST NEGATIVE (most-similar vector with a different label),
+    * under the q110 integer-exact quantized-cosine kernel. Semi-hard and
+    * hard mining are the standard curriculum for triplet-loss training;
+    * both reduce to exactly this argmin/argmax over the scored frame. Scale
+    * shape is the q125 contract: the batch is a knob (broadcast-safe by
+    * construction), the corpus streams through one narrow scan, and both
+    * extremes come out of ONE window over (anchor, side) — the direction
+    * flip (min for positives, max for negatives) is folded into the sort
+    * key, so positives and negatives ride the same partitioning. */
+  def q163(spark: SparkSession, dir: String): DataFrame = {
+    val qv = Tables.parallelized(Tables.load(spark, dir, "embeddings"))
+      .select(col("vec_id"), col("label").cast(LongType).as("lbl"),
+        transform(col("embedding"),
+          x => floor(x.cast(DoubleType) * 100).cast(LongType)).as("qv"))
+      .withColumn("nrm", call_function("dot_i64", col("qv"), col("qv")))
+      .filter(col("nrm") > 0)
+    val batch = qv.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("lbl").as("qlbl"),
+        col("qv").as("bq"), col("nrm").as("nq"))
+    val scored = qv.join(broadcast(batch), col("vec_id") =!= col("qid"))
+      .withColumn("dot", call_function("dot_i64", col("qv"), col("bq")))
+      .withColumn("score_x1e6",
+        when(col("dot") >= 0, expr("dot * dot * 1000000 div (nrm * nq)"))
+          .otherwise(-expr("dot * dot * 1000000 div (nrm * nq)")))
+      .withColumn("side",
+        when(col("lbl") === col("qlbl"), lit("pos")).otherwise(lit("neg")))
+    val hardness =
+      when(col("side") === "pos", col("score_x1e6")).otherwise(-col("score_x1e6"))
+    scored
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("qid", "side").orderBy(hardness.asc, col("vec_id"))))
+      .filter(col("rnk") === 1)
+      .select(col("qid"), col("side"), col("vec_id").as("mined_id"),
+        col("score_x1e6"))
+      .orderBy("qid", "side")
+  }
+
+  val q163Sql =
+    """WITH q AS (
+      |  SELECT vec_id, CAST(label AS BIGINT) AS lbl,
+      |    list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 100) AS BIGINT)) AS qv
+      |  FROM embeddings
+      |), n AS (
+      |  SELECT vec_id, lbl, qv,
+      |    CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS nrm
+      |  FROM q WHERE CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) > 0
+      |), b AS (
+      |  SELECT vec_id AS qid, lbl AS qlbl, qv AS bq, nrm AS nq FROM n WHERE vec_id < 20
+      |), s AS (
+      |  SELECT qid, vec_id,
+      |    CASE WHEN lbl = qlbl THEN 'pos' ELSE 'neg' END AS side,
+      |    CASE WHEN dot >= 0 THEN dot * dot * 1000000 // (nrm * nq)
+      |         ELSE -(dot * dot * 1000000 // (nrm * nq)) END AS score_x1e6
+      |  FROM (
+      |    SELECT a.vec_id, a.lbl, a.nrm, b.qid, b.qlbl, b.nq,
+      |      CAST(list_sum(list_transform(range(1, len(a.qv) + 1),
+      |        i -> a.qv[i] * b.bq[i])) AS BIGINT) AS dot
+      |    FROM n a JOIN b ON a.vec_id <> b.qid
+      |  )
+      |), t AS (
+      |  SELECT qid, side, vec_id, score_x1e6,
+      |    ROW_NUMBER() OVER (PARTITION BY qid, side
+      |      ORDER BY CASE WHEN side = 'pos' THEN score_x1e6 ELSE -score_x1e6 END,
+      |        vec_id) AS rnk
+      |  FROM s
+      |)
+      |SELECT qid, side, vec_id AS mined_id, score_x1e6
+      |FROM t WHERE rnk = 1 ORDER BY qid, side""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q106_dup_passages", q106 _, Some(q106Sql)),
     ("q107_interval_union", q107 _, Some(q107Sql)),
+    ("q162_interval_overlap", q162 _, Some(q162Sql)),
+    ("q163_triplet_mining", q163 _, Some(q163Sql)),
     ("q108_percentiles_exact", q108 _, Some(q108Sql)),
     ("q109_bm25_topk", q109 _, Some(q109Sql)),
     ("q153_ndcg", q153 _, Some(q153Sql)),

@@ -950,6 +950,149 @@ object Training {
       |SELECT cluster_size, COUNT(*) AS n_clusters FROM sizes
       |GROUP BY cluster_size ORDER BY cluster_size""".stripMargin
 
+  /** q159 semantic (embedding-space) dedup — the SemDeDup shape: cluster the
+    * corpus, compare pairs only WITHIN a cluster, drop every vector that has
+    * a more-similar-than-threshold neighbor with a smaller id (deterministic
+    * min-id survivorship, the q26 rule lifted into embedding space). Here
+    * the cluster key is the label column — a deterministic stand-in for the
+    * IVF coarse cell (q49/q103) that the 100 TB deployment would use, chosen
+    * so the DuckDB oracle can replay the whole pipeline: k-means cells are
+    * seed-dependent, labels are data. Pair count is bounded by Σ cell² —
+    * never corpus² — and the similarity statistic is the q110 integer-exact
+    * quantized-cosine kernel, so the scan stays codegen'd end to end. The
+    * threshold (0.15 in cos² ppm) is a calibration knob; on the synthetic
+    * near-orthogonal fixture it sits in the tail of the within-label
+    * similarity distribution, exactly where a production threshold sits on
+    * a real near-dup tail. */
+  def q159(spark: SparkSession, dir: String): DataFrame = {
+    val q = Tables.parallelized(Tables.load(spark, dir, "embeddings"))
+      .select(col("vec_id"), col("label").cast(LongType).as("label"),
+        transform(col("embedding"),
+          x => floor(x.cast(DoubleType) * 100).cast(LongType)).as("qv"))
+      .withColumn("nrm", call_function("dot_i64", col("qv"), col("qv")))
+      .filter(col("nrm") > 0)
+    val a = q.select(col("label"), col("vec_id").as("id_a"),
+      col("qv").as("qa"), col("nrm").as("na"))
+    val b = q.select(col("label"), col("vec_id").as("id_b"),
+      col("qv").as("qb"), col("nrm").as("nb"))
+    val dropped = a.join(b, Seq("label")).filter(col("id_a") < col("id_b"))
+      .withColumn("dot", call_function("dot_i64", col("qa"), col("qb")))
+      .withColumn("score_x1e6",
+        when(col("dot") >= 0, expr("dot * dot * 1000000 div (na * nb)"))
+          .otherwise(-expr("dot * dot * 1000000 div (na * nb)")))
+      .filter(col("score_x1e6") >= 150000)
+      .select(col("label"), col("id_b").as("vec_id")).distinct()
+      .withColumn("hit", lit(1))
+    q.join(dropped, Seq("label", "vec_id"), "left")
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"), count(col("hit")).as("n_dropped"),
+        (count(lit(1)) - count(col("hit"))).as("n_kept"))
+      .orderBy("label")
+  }
+
+  val q159Sql =
+    """WITH q AS (
+      |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+      |    list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 100) AS BIGINT)) AS qv
+      |  FROM embeddings
+      |), n AS (
+      |  SELECT vec_id, label, qv,
+      |    CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS nrm
+      |  FROM q WHERE CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) > 0
+      |), pairs AS (
+      |  SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b, a.nrm AS na, b.nrm AS nb,
+      |    CAST(list_sum(list_transform(range(1, len(a.qv) + 1),
+      |      i -> a.qv[i] * b.qv[i])) AS BIGINT) AS dot
+      |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+      |), dropped AS (
+      |  SELECT DISTINCT label, id_b AS vec_id FROM pairs
+      |  WHERE (CASE WHEN dot >= 0 THEN dot * dot * 1000000 // (na * nb)
+      |              ELSE -(dot * dot * 1000000 // (na * nb)) END) >= 150000
+      |)
+      |SELECT n.label, COUNT(*) AS n_vecs, COUNT(d.vec_id) AS n_dropped,
+      |  COUNT(*) - COUNT(d.vec_id) AS n_kept
+      |FROM n LEFT JOIN dropped d ON d.label = n.label AND d.vec_id = n.vec_id
+      |GROUP BY n.label ORDER BY n.label""".stripMargin
+
+  /** q160 LM-based quality scoring — the CCNet/Wikipedia-LM filter shape:
+    * train a bigram language model on the held-in split, score every held-out
+    * document by its mean per-bigram surprisal, roll up per source. The whole
+    * statistic is INTEGER-EXACT cross-engine: surprisal of a seen bigram is
+    * bitlen(ctx_count) − bitlen(bigram_count) — an exact integer-bit
+    * log₂-ratio surrogate (bitlen n = ⌊log₂ n⌋ + 1, Spark `length(bin(n))`,
+    * DuckDB `length(printf('%b', n))`) — and an unseen bigram pays a flat
+    * 20-bit OOV penalty, the literal-parameterized stand-in for a backoff
+    * model. No engine evaluates a floating log anywhere. Scale shape: the
+    * model IS an aggregate (two map-combined groupBys of the train split);
+    * scoring is a fact→model equi-join on the bigram key — model size is
+    * vocabulary-bounded, joined unhinted so AQE picks broadcast vs shuffle
+    * by measured size (the q90 lesson: vocabulary is corpus-derived, never
+    * force-broadcast it). */
+  def q160(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.parallelized(Tables.load(spark, dir, "documents"))
+      .withColumn("is_eval", T.hashBucket(col("doc_id"), 10) === 0)
+      .select(col("doc_id"), col("source"), col("is_eval"),
+        split(col("text"), " ").as("w"))
+    val nB = size(col("w")) - 1
+    val bi = docs.select(col("doc_id"), col("source"), col("is_eval"),
+        explode(zip_with(slice(col("w"), lit(1), nB), slice(col("w"), lit(2), nB),
+          (x, y) => struct(x.as("w1"), y.as("w2")))).as("bg"))
+      .select(col("doc_id"), col("source"), col("is_eval"),
+        col("bg.w1"), col("bg.w2"))
+    val trainBi = bi.filter(!col("is_eval"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c_xy"))
+    val trainCtx = trainBi.groupBy("w1").agg(sum("c_xy").as("c_x"))
+    val scoredDocs = bi.filter(col("is_eval"))
+      .join(trainBi, Seq("w1", "w2"), "left")
+      .join(trainCtx, Seq("w1"), "left")
+      .withColumn("bits",
+        when(col("c_xy").isNotNull,
+          (length(bin(col("c_x"))) - length(bin(col("c_xy")))).cast(LongType))
+          .otherwise(lit(20L)))
+      .groupBy("doc_id", "source")
+      .agg(sum("bits").as("doc_bits"), count(lit(1)).as("n_bg"))
+    scoredDocs.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_bg").as("n_bigrams"),
+        sum("doc_bits").as("total_bits"))
+      .withColumn("mean_surprisal_x1e3",
+        expr("total_bits * 1000 div n_bigrams"))
+      .orderBy("source")
+  }
+
+  val q160Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, source,
+      |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 10 = 0 AS is_eval,
+      |    string_split(text, ' ') AS w
+      |  FROM documents
+      |), bi AS (
+      |  SELECT doc_id, source, is_eval,
+      |    unnest(list_transform(range(1, len(w)), i -> w[i])) AS w1,
+      |    unnest(list_transform(range(1, len(w)), i -> w[i + 1])) AS w2
+      |  FROM toks
+      |), train AS (
+      |  SELECT w1, w2, COUNT(*) AS c_xy FROM bi WHERE NOT is_eval GROUP BY 1, 2
+      |), ctx AS (
+      |  SELECT w1, CAST(SUM(c_xy) AS BIGINT) AS c_x FROM train GROUP BY 1
+      |), ev AS (
+      |  SELECT b.doc_id, b.source,
+      |    CASE WHEN t.c_xy IS NOT NULL
+      |         THEN length(printf('%b', c.c_x)) - length(printf('%b', t.c_xy))
+      |         ELSE 20 END AS bits
+      |  FROM bi b
+      |  LEFT JOIN train t ON t.w1 = b.w1 AND t.w2 = b.w2
+      |  LEFT JOIN ctx c ON c.w1 = b.w1
+      |  WHERE b.is_eval
+      |), doc AS (
+      |  SELECT doc_id, source, CAST(SUM(bits) AS BIGINT) AS doc_bits,
+      |    COUNT(*) AS n_bg
+      |  FROM ev GROUP BY 1, 2
+      |)
+      |SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_bg) AS BIGINT) AS n_bigrams,
+      |  CAST(SUM(doc_bits) AS BIGINT) AS total_bits,
+      |  CAST(SUM(doc_bits) * 1000 // SUM(n_bg) AS BIGINT) AS mean_surprisal_x1e3
+      |FROM doc GROUP BY source ORDER BY source""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q127_bpe_merge", q127 _, Some(q127Sql)),
     ("q135_bpe_table", (s: SparkSession, d: String) => q135(s, d), Some(q135Sql)),
@@ -960,6 +1103,8 @@ object Training {
     ("q130_class_balance", q130 _, Some(q130Sql)),
     ("q131_cluster_sizes", q131 _, Some(q131Sql)),
     ("q128_ingest_dedup", q128 _, Some(q128Sql)),
+    ("q159_semantic_dedup", q159 _, Some(q159Sql)),
+    ("q160_lm_surprisal", q160 _, Some(q160Sql)),
     ("q58_dedup_clusters", q58 _, Some(q58Sql)),
     ("q59_decontaminate", q59 _, Some(q59Sql)),
     ("q150_source_overlap", q150 _, Some(q150Sql)),
