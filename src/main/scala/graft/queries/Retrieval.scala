@@ -682,8 +682,9 @@ object Retrieval {
   /** q162 interval-OVERLAP join — the two-sided generalization of the q46
     * band join and the q45/q134 as-of family: both join sides are interval
     * SETS (per-user merged browse sessions from the q107 island kernel ×
-    * per-type high-activity windows: hours with ≥ 6 events, adjacent hours
-    * merged), matched on `a.start < b.end AND b.start < a.end`. A naive
+    * per-type high-activity windows: hours at ≥ 1.5× the type's mean rate,
+    * adjacent hours merged), matched on `a.start < b.end AND b.start < a.end`.
+    * A naive
     * inequality join is a cartesian; the scalable shape used here is
     * RANGE-BIN BLOCKING — explode each interval to the day buckets it
     * covers (`sequence(s div D, (e−1) div D)`, bucket count bounded because
@@ -705,9 +706,16 @@ object Retrieval {
       .withColumn("island", sum("ni").over(byStart))
       .groupBy("user_id", "island")
       .agg(min("s").as("a_s"), max("e").as("a_e"))
-    val hot = ev.select(col("event_type"), expr("unix_millis(ts) div 3600000").as("h"))
+    // "high-activity" is RELATIVE — an hour with ≥ 1.5× the type's mean
+    // events-per-active-hour (2cB ≥ 3T in exact integers, so the rule is
+    // scale-free: the same query is non-vacuous at sf0.001 and sf100)
+    val hrs = ev.select(col("event_type"), expr("unix_millis(ts) div 3600000").as("h"))
       .groupBy("event_type", "h").agg(count(lit(1)).as("c"))
-      .filter(col("c") >= 6)
+    val typeStats = hrs.groupBy("event_type")
+      .agg(sum("c").as("tot"), count(lit(1)).as("nb"))
+    val hot = hrs.join(typeStats, Seq("event_type"))
+      .filter(col("c") * col("nb") * 2 >= col("tot") * 3)
+      .select("event_type", "h", "c")
     val byHour = Window.partitionBy("event_type").orderBy("h")
     val act = hot
       .withColumn("ni",
@@ -747,9 +755,14 @@ object Retrieval {
       |  FROM marked
       |), sess AS (
       |  SELECT user_id, island, MIN(s) AS a_s, MAX(e) AS a_e FROM isl GROUP BY 1, 2
-      |), hot AS (
+      |), hrs AS (
       |  SELECT event_type, epoch_ms(ts) // 3600000 AS h, COUNT(*) AS c
-      |  FROM events GROUP BY 1, 2 HAVING COUNT(*) >= 6
+      |  FROM events GROUP BY 1, 2
+      |), ty AS (
+      |  SELECT event_type, SUM(c) AS tot, COUNT(*) AS nb FROM hrs GROUP BY 1
+      |), hot AS (
+      |  SELECT hrs.event_type, h FROM hrs JOIN ty ON ty.event_type = hrs.event_type
+      |  WHERE c * nb * 2 >= tot * 3
       |), hm AS (
       |  SELECT event_type, h,
       |    CASE WHEN h > COALESCE(LAG(h) OVER (PARTITION BY event_type ORDER BY h),

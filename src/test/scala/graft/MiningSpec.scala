@@ -116,4 +116,78 @@ class MiningSpec extends AnyFunSuite {
       }
     }
   }
+
+  // The q110/q159/q163 quantized-cosine statistic, recomputed independently
+  // on the driver for replay tests (overflow-safe: |q_i| <= 100, 64 dims =>
+  // dot^2 * 1e6 <= 4.1e17).
+  private def quant(e: Seq[Float]): Array[Long] =
+    e.map(x => math.floor(x.toDouble * 100).toLong).toArray
+  private def qscore(a: Array[Long], b: Array[Long]): Long = {
+    val dot = a.indices.map(i => a(i) * b(i)).sum
+    val na = a.map(x => x * x).sum
+    val nb = b.map(x => x * x).sum
+    val m = dot * dot * 1000000L / (na * nb)
+    if (dot >= 0) m else -m
+  }
+
+  test("q159 semantic dedup agrees with a driver-side brute-force replay") {
+    val vecs = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("label").cast("long"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), quant(r.getSeq[Float](2))))
+      .filter { case (_, _, q) => q.map(x => x * x).sum > 0 }
+    val expected = vecs.groupBy(_._2).map { case (lbl, vs) =>
+      val dropped = vs.count { case (idB, _, qb) =>
+        vs.exists { case (idA, _, qa) => idA < idB && qscore(qa, qb) >= 150000L }
+      }
+      lbl -> (vs.length.toLong, dropped.toLong)
+    }
+    val got = Training.q159(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (lbl, (n, d, k)) =>
+      val (en, ed) = expected(lbl)
+      assert((n, d, k) == ((en, ed, en - ed)),
+        s"label $lbl: got ($n,$d,$k) want ($en,$ed,${en - ed})")
+    }
+    assert(got.values.map(_._2).sum > 0, "threshold never fired — test is vacuous")
+  }
+
+  test("q160 surprisal replays exactly from a driver-side bigram LM") {
+    def bucket(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16) % 10
+    }
+    def bitlen(c: Long): Long = java.lang.Long.toBinaryString(c).length.toLong
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("source"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2).split(" ", -1).toSeq))
+    val (evalDocs, trainDocs) = docs.partition(d => bucket(d._1) == 0)
+    def bigrams(w: Seq[String]): Seq[(String, String)] =
+      if (w.length < 2) Nil else w.sliding(2).map(p => (p(0), p(1))).toSeq
+    val train = trainDocs.flatMap(d => bigrams(d._3))
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val ctx = train.groupBy(_._1._1).map { case (w1, m) => w1 -> m.values.sum }
+    val perSource = evalDocs.flatMap { case (_, src, w) =>
+      bigrams(w).map { bg =>
+        val bits = train.get(bg) match {
+          case Some(cxy) => bitlen(ctx(bg._1)) - bitlen(cxy)
+          case None      => 20L
+        }
+        (src, bits)
+      }
+    }.groupBy(_._1).map { case (src, xs) =>
+      val total = xs.map(_._2).sum
+      src -> (xs.size.toLong, total, total * 1000L / xs.size)
+    }
+    val got = Training.q160(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got.keySet == perSource.keySet)
+    got.foreach { case (src, t) =>
+      assert(t == perSource(src), s"$src: got $t want ${perSource(src)}")
+    }
+    assert(got.values.exists(_._2 > 0), "no surprisal accumulated — vacuous")
+  }
 }

@@ -149,4 +149,82 @@ class RetrievalSpec extends AnyFunSuite {
       assert(r.getLong(3) >= 1 && r.getLong(3) <= 3)
     }
   }
+
+  test("q162 interval-overlap join replays from a driver-side sweep") {
+    val evs = Tables.load(spark, sf, "events")
+      .select(col("user_id"), expr("unix_millis(ts)").as("ms"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    // per-user merged sessions ([ms, ms+5min), islands by running-max end)
+    def merge(xs: Seq[(Long, Long)]): Seq[(Long, Long)] =
+      xs.sorted.foldLeft(Vector.empty[(Long, Long)]) {
+        case (acc, (s, e)) if acc.nonEmpty && s <= acc.last._2 =>
+          acc.init :+ ((acc.last._1, math.max(acc.last._2, e)))
+        case (acc, iv) => acc :+ iv
+      }
+    val sess = evs.groupBy(_._1).toSeq.flatMap { case (u, xs) =>
+      merge(xs.map(x => (x._2, x._2 + 300000L))).map { case (s, e) => (u, s, e) }
+    }
+    // per-type high-activity windows: hours at >= 1.5x the type's mean
+    // events-per-active-hour, adjacent merged
+    val buckets = evs.groupBy(x => (x._3, x._2 / 3600000L))
+      .map { case (k, xs) => (k._1, k._2, xs.size.toLong) }.toSeq
+    val tyStats = buckets.groupBy(_._1)
+      .map { case (t, bs) => t -> ((bs.map(_._3).sum, bs.size.toLong)) }
+    val act = buckets.collect {
+      case (t, h, c) if c * tyStats(t)._2 * 2 >= tyStats(t)._1 * 3 => (t, h)
+    }.groupBy(_._1).toSeq.flatMap { case (t, hs) =>
+      val sortedH = hs.map(_._2).sorted
+      sortedH.foldLeft(Vector.empty[Vector[Long]]) {
+        case (acc, h) if acc.nonEmpty && h == acc.last.last + 1 =>
+          acc.init :+ (acc.last :+ h)
+        case (acc, h) => acc :+ Vector(h)
+      }.map(run => (t, run.head * 3600000L, (run.last + 1) * 3600000L))
+    }
+    val expAgg = (for {
+      (u, as_, ae) <- sess
+      (t, bs, be)  <- act
+      if as_ < be && bs < ae
+    } yield (t, u, math.min(ae, be) - math.max(as_, bs)))
+      .groupBy(_._1).map { case (t, xs) =>
+        t -> ((xs.size.toLong, xs.map(_._2).distinct.size.toLong,
+          xs.map(_._3).sum))
+      }
+    val got = Retrieval.q162(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got.keySet == expAgg.keySet)
+    got.foreach { case (t, v) =>
+      assert(v == expAgg(t), s"$t: got $v want ${expAgg(t)}")
+    }
+    assert(expAgg.nonEmpty, "no overlapping pairs — vacuous")
+  }
+
+  test("q163 triplet mining replays from a driver-side exhaustive scan") {
+    def quant(e: Seq[Float]): Array[Long] =
+      e.map(x => math.floor(x.toDouble * 100).toLong).toArray
+    def qscore(a: Array[Long], b: Array[Long]): Long = {
+      val dot = a.indices.map(i => a(i) * b(i)).sum
+      val m = dot * dot * 1000000L /
+        (a.map(x => x * x).sum * b.map(x => x * x).sum)
+      if (dot >= 0) m else -m
+    }
+    val vecs = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("label").cast("long"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), quant(r.getSeq[Float](2))))
+      .filter { case (_, _, q) => q.map(x => x * x).sum > 0 }
+    val expected = vecs.filter(_._1 < 20).sortBy(_._1).flatMap {
+      case (qid, qlbl, bq) =>
+        val scored = vecs.filter(_._1 != qid)
+          .map { case (id, lbl, qv) => (id, lbl, qscore(qv, bq)) }
+        val neg = scored.filter(_._2 != qlbl).sortBy(t => (-t._3, t._1))
+          .headOption.map(t => (qid, "neg", t._1, t._3))
+        val pos = scored.filter(_._2 == qlbl).sortBy(t => (t._3, t._1))
+          .headOption.map(t => (qid, "pos", t._1, t._3))
+        neg.toSeq ++ pos.toSeq // "neg" sorts before "pos" in the query's order
+    }
+    val got = Retrieval.q163(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == expected.toSeq)
+  }
 }
