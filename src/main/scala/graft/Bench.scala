@@ -56,23 +56,15 @@ object Bench {
       System.gc()
       name -> t
     }
-    // The driver reads this line from a bounded tail buffer, so it must stay
-    // short: keys are the qNN prefix (the contract's own example shape) and
-    // seconds carry 4 decimals — the full line stays well under 2000 chars
-    // for ~90 queries where full names + raw doubles did not (r03/r04 were
-    // unparseable for exactly that reason).
     def fmt(v: Double): String = f"$v%.4f"
-    val qs = results.map { case (k, v) =>
-      "\"" + k.takeWhile(_ != '_') + "\":" + v.fold("null")(t => fmt(t._1))
-    }.mkString("{", ",", "}")
     // Failed queries are reported as null and in `failed` — never folded
     // into the total, which would silently shrink (improve) it.
     val total = results.flatMap(_._2.map(_._1)).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val loadAfter = loadavg()
-    // The driver's tail buffer caps the stdout line ~2000 chars, so it gets
-    // min-only (the established contract); the per-query [min, median] pairs
-    // — median − min is host noise, min is plan cost — go to a repo file.
+    // Complete per-query [min, median] record — median − min is host noise,
+    // min is plan cost — goes to a repo file; the stdout contract line below
+    // cannot carry all of it.
     val detail = results.map { case (k, v) =>
       "\"" + k + "\":" + v.fold("null")(t => s"[${fmt(t._1)},${fmt(t._2)}]")
     }.mkString("{", ",", "}")
@@ -81,7 +73,27 @@ object Bench {
       try w.println(s"""{"unit":"sec","min_median":$detail,"failed":$failedJson,"load1m":[${fmt(loadBefore)},${fmt(loadAfter)}],"sf":"$sfDir"}""")
       finally w.close()
     } catch { case _: Throwable => () } // detail file is best-effort
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"load1m":[${fmt(loadBefore)},${fmt(loadAfter)}],"sf":"$sfDir"}""")
+    // The driver reads this line from a bounded tail buffer (~1.8 KB,
+    // shared with sbt's trailing "[success]" line). 163 queries at ~14
+    // chars/entry no longer fit — r07's capture was truncated mid-JSON and
+    // parsed as null, losing the whole record. So the line self-limits to a
+    // strict byte budget: entries are emitted SLOWEST FIRST (failed queries
+    // first of all — a dropped failure must never hide) until the budget is
+    // spent; whatever is cut is exactly the sub-noise fast tail, and the
+    // complete record is always in BENCH_DETAIL.json (`queries_full`).
+    def qkey(k: String): String = k.takeWhile(_ != '_')
+    val bySlowest = results.sortBy { case (_, v) =>
+      -v.fold(Double.MaxValue)(_._1) // failed (None) sort first
+    }
+    val mapBudget = 1250
+    val entries = scala.collection.mutable.ArrayBuffer[String]()
+    var used = 0
+    bySlowest.foreach { case (k, v) =>
+      val e = "\"" + qkey(k) + "\":" + v.fold("null")(t => f"${t._1}%.3f")
+      if (used + e.length + 1 <= mapBudget) { entries += e; used += e.length + 1 }
+    }
+    val qs = entries.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"n_reported":${entries.size},"queries_full":"BENCH_DETAIL.json","queries":$qs,"failed":$failedJson,"load1m":[${fmt(loadBefore)},${fmt(loadAfter)}],"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -71,9 +71,11 @@ object Schemas {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** Physical read schema: the file stores TIMESTAMP(NANOS) which Spark's
-    * parquet reader rejects; with `spark.sql.legacy.parquet.nanosAsLong` it
-    * surfaces as epoch-nanos INT64 and Tables.load converts ns→µs. */
+  /** Physical read schema for LEGACY nanos fixtures only: a TIMESTAMP(NANOS)
+    * column is rejected by Spark's parquet reader, but with
+    * `spark.sql.legacy.parquet.nanosAsLong` it surfaces as epoch-nanos INT64
+    * and Tables.load converts ns→µs. Micros fixtures read with [[events]]
+    * directly; Tables picks the path from the parquet footer. */
   val eventsRaw: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType),

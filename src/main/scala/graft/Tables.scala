@@ -19,18 +19,42 @@ object Tables {
 
   def path(dir: String, name: String): String = s"$dir/$name.parquet"
 
+  /** Per-file cache of the events `ts` physical unit (true = TIMESTAMP(NANOS)).
+    *
+    * The fixture generator has shipped `ts` both as TIMESTAMP(NANOS) — which
+    * Spark's vectorized reader rejects unless the nanosAsLong shim surfaces it
+    * as raw INT64 — and as TIMESTAMP(MICROS), which Spark reads natively. The
+    * unit is a property of the FILE, not of the engine, so it is read from the
+    * parquet footer (one driver-side metadata read, cached per path) rather
+    * than hardcoded. Footer schema inference under the shim yields LongType
+    * for a nanos column and TimestampType for a micros one.
+    */
+  private val tsIsNanosCache = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  private[graft] def eventsTsIsNanos(spark: SparkSession, file: String): Boolean =
+    tsIsNanosCache.computeIfAbsent(file, { f =>
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(f).schema("ts").dataType ==
+        org.apache.spark.sql.types.LongType
+    })
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame = name match {
     case "events" =>
-      // The fixture stores ts as parquet TIMESTAMP(NANOS), which Spark's
-      // reader rejects outright; read it as epoch-nanos and truncate to the
-      // engine's µs precision (matches how the oracle's ns values behave
-      // under any sub-second-insensitive operation).
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.schema(Schemas.eventsRaw).parquet(path(dir, name))
-        .select(
-          F.col("event_id"),
-          F.timestamp_micros(F.expr("ts div 1000")).as("ts"),
-          F.col("user_id"), F.col("event_type"), F.col("value"), F.col("props"))
+      val file = path(dir, name)
+      if (eventsTsIsNanos(spark, file)) {
+        // Legacy nanos fixture: read epoch-nanos INT64 and truncate to the
+        // engine's µs precision (matches how the oracle's ns values behave
+        // under any sub-second-insensitive operation).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.read.schema(Schemas.eventsRaw).parquet(file)
+          .select(
+            F.col("event_id"),
+            F.timestamp_micros(F.expr("ts div 1000")).as("ts"),
+            F.col("user_id"), F.col("event_type"), F.col("value"), F.col("props"))
+      } else {
+        // TIMESTAMP(MICROS) fixture: Spark reads it natively — no shim.
+        spark.read.schema(Schemas.events).parquet(file)
+      }
     case _ =>
       spark.read.schema(Schemas.all(name)).parquet(path(dir, name))
   }

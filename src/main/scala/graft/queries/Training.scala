@@ -950,20 +950,36 @@ object Training {
       |SELECT cluster_size, COUNT(*) AS n_clusters FROM sizes
       |GROUP BY cluster_size ORDER BY cluster_size""".stripMargin
 
-  /** q159 semantic (embedding-space) dedup — the SemDeDup shape: cluster the
-    * corpus, compare pairs only WITHIN a cluster, drop every vector that has
-    * a more-similar-than-threshold neighbor with a smaller id (deterministic
-    * min-id survivorship, the q26 rule lifted into embedding space). Here
-    * the cluster key is the label column — a deterministic stand-in for the
-    * IVF coarse cell (q49/q103) that the 100 TB deployment would use, chosen
-    * so the DuckDB oracle can replay the whole pipeline: k-means cells are
-    * seed-dependent, labels are data. Pair count is bounded by Σ cell² —
-    * never corpus² — and the similarity statistic is the q110 integer-exact
-    * quantized-cosine kernel, so the scan stays codegen'd end to end. The
-    * threshold (0.15 in cos² ppm) is a calibration knob; on the synthetic
-    * near-orthogonal fixture it sits in the tail of the within-label
-    * similarity distribution, exactly where a production threshold sits on
-    * a real near-dup tail. */
+  /** q159 semantic (embedding-space) dedup — the SemDeDup shape: generate
+    * candidate pairs from a BLOCKING structure, verify each candidate with
+    * the exact integer quantized-cosine kernel (q110), drop every vector
+    * whose verified neighbor has a smaller id (deterministic min-id
+    * survivorship, the q26 rule lifted into embedding space).
+    *
+    * Blocking is TWO-level — (label, hyperplane-LSH band) — because either
+    * level alone fails at scale: the label (the deterministic stand-in for
+    * the IVF coarse cell of q49/q103) is corpus-sized in real deployments,
+    * so label-only blocking is Σ label² ≈ corpus² pairs; the band level cuts
+    * every label block to its band-collision subsets, making candidate count
+    * ∝ collisions (observed ~10× under all-pairs on the fixture, and the
+    * reduction grows with block size since collisions are per-pair
+    * probability, not per-block). Banded candidates are the declared
+    * semantics, exactly as in every production ANN-backed dedup: the recall
+    * of the banding (9 bands × 7 bits here) against the threshold is the
+    * calibration tradeoff, and both band shape and the 0.15 cos²-ppm
+    * threshold are knobs (SURVEY §2.13).
+    *
+    * The signature is PORTABLE (the q99 MinHash pattern): bit t of the
+    * 63-bit signature is [Σ_j qv_j·c(t,j) ≥ 0] with integer plane
+    * coefficients c(t,j) = ((1299709·(t·dim+j) + 15485863) mod 1000003) −
+    * 500001 — pure int64 arithmetic both engines evaluate identically, so
+    * the DuckDB oracle replays the ENTIRE pipeline (banding included), not
+    * just row counts. The native `hyperplane_sig` expression (q30) remains
+    * the production signature path; its JVM-seeded plane matrix is exactly
+    * what an external oracle cannot replay. Scale shape: the band explode is
+    * 9 slim rows per vector, candidates dedup to (label, id_a, id_b) before
+    * the two corpus hash-joins fetch vectors, and every per-row loop is a
+    * rank-1 HOF over a 64-dim array. */
   def q159(spark: SparkSession, dir: String): DataFrame = {
     val q = Tables.parallelized(Tables.load(spark, dir, "embeddings"))
       .select(col("vec_id"), col("label").cast(LongType).as("label"),
@@ -971,11 +987,31 @@ object Training {
           x => floor(x.cast(DoubleType) * 100).cast(LongType)).as("qv"))
       .withColumn("nrm", call_function("dot_i64", col("qv"), col("qv")))
       .filter(col("nrm") > 0)
-    val a = q.select(col("label"), col("vec_id").as("id_a"),
-      col("qv").as("qa"), col("nrm").as("na"))
-    val b = q.select(col("label"), col("vec_id").as("id_b"),
-      col("qv").as("qb"), col("nrm").as("nb"))
-    val dropped = a.join(b, Seq("label")).filter(col("id_a") < col("id_b"))
+    // 63-bit portable hyperplane signature, sliced into 9 bands × 7 bits.
+    val bands = q
+      .withColumn("sig", expr(
+        """aggregate(sequence(0, 62), CAST(0 AS BIGINT), (acc, t) ->
+          |  acc + shiftleft(CASE WHEN aggregate(
+          |    transform(qv, (x, j) ->
+          |      x * ((CAST(1299709 AS BIGINT) * (t * size(qv) + j)
+          |            + 15485863) % 1000003 - 500001)),
+          |    CAST(0 AS BIGINT), (a, v) -> a + v) >= 0
+          |  THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END, t))""".stripMargin))
+      .select(col("label"), col("vec_id"),
+        explode(sequence(lit(0), lit(8))).as("band_id"), col("sig"))
+      .withColumn("band_val", expr("shiftright(sig, band_id * 7) & 127"))
+      .select("label", "vec_id", "band_id", "band_val")
+    val cand = bands.select(col("label"), col("band_id"), col("band_val"),
+        col("vec_id").as("id_a"))
+      .join(bands.select(col("label"), col("band_id"), col("band_val"),
+        col("vec_id").as("id_b")), Seq("label", "band_id", "band_val"))
+      .filter(col("id_a") < col("id_b"))
+      .select("label", "id_a", "id_b").distinct()
+    val dropped = cand
+      .join(q.select(col("label"), col("vec_id").as("id_a"),
+        col("qv").as("qa"), col("nrm").as("na")), Seq("label", "id_a"))
+      .join(q.select(col("label"), col("vec_id").as("id_b"),
+        col("qv").as("qb"), col("nrm").as("nb")), Seq("label", "id_b"))
       .withColumn("dot", call_function("dot_i64", col("qa"), col("qb")))
       .withColumn("score_x1e6",
         when(col("dot") >= 0, expr("dot * dot * 1000000 div (na * nb)"))
@@ -999,11 +1035,31 @@ object Training {
       |  SELECT vec_id, label, qv,
       |    CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS nrm
       |  FROM q WHERE CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) > 0
+      |), s AS (
+      |  SELECT vec_id, label,
+      |    CAST(list_sum(list_transform(range(0, 63), t ->
+      |      CASE WHEN list_sum(list_transform(range(1, len(qv) + 1), j ->
+      |        qv[j] * ((1299709 * (t * len(qv) + j - 1) + 15485863) % 1000003
+      |                 - 500001))) >= 0
+      |      THEN (CAST(1 AS BIGINT) << CAST(t AS INTEGER)) ELSE 0 END))
+      |      AS BIGINT) AS sig
+      |  FROM n
+      |), bands AS (
+      |  SELECT label, vec_id, r.b AS band_id,
+      |    (sig >> CAST(r.b * 7 AS INTEGER)) & 127 AS band_val
+      |  FROM s CROSS JOIN range(0, 9) r(b)
+      |), cand AS (
+      |  SELECT DISTINCT a.label, a.vec_id AS id_a, b.vec_id AS id_b
+      |  FROM bands a JOIN bands b
+      |    ON a.label = b.label AND a.band_id = b.band_id
+      |   AND a.band_val = b.band_val AND a.vec_id < b.vec_id
       |), pairs AS (
-      |  SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b, a.nrm AS na, b.nrm AS nb,
-      |    CAST(list_sum(list_transform(range(1, len(a.qv) + 1),
-      |      i -> a.qv[i] * b.qv[i])) AS BIGINT) AS dot
-      |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+      |  SELECT c.label, c.id_a, c.id_b, x.nrm AS na, y.nrm AS nb,
+      |    CAST(list_sum(list_transform(range(1, len(x.qv) + 1),
+      |      i -> x.qv[i] * y.qv[i])) AS BIGINT) AS dot
+      |  FROM cand c
+      |  JOIN n x ON x.label = c.label AND x.vec_id = c.id_a
+      |  JOIN n y ON y.label = c.label AND y.vec_id = c.id_b
       |), dropped AS (
       |  SELECT DISTINCT label, id_b AS vec_id FROM pairs
       |  WHERE (CASE WHEN dot >= 0 THEN dot * dot * 1000000 // (na * nb)

@@ -17,17 +17,21 @@ import org.apache.spark.sql.types._
   */
 object EventStream {
 
-  /** The event stream, ns→µs-normalized like Tables.load. */
+  /** The event stream, unit-normalized like Tables.load: the physical unit of
+    * `ts` is read from the parquet footer (Tables' cached check), so both
+    * nanos- and micros-typed fixtures stream identically. */
   def readEvents(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(Schemas.eventsRaw)
+    val nanos = graft.Tables.eventsTsIsNanos(spark, s"$sfDir/events.parquet")
+    val base = spark.readStream
+      .schema(if (nanos) Schemas.eventsRaw else Schemas.events)
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
-      .select(
+    if (nanos)
+      base.select(
         col("event_id"),
         timestamp_micros(expr("ts div 1000")).as("ts"),
         col("user_id"), col("event_type"), col("value"), col("props"))
+    else base
   }
 
   /** Watermarked tumbling-hour aggregation — the streaming twin of the batch

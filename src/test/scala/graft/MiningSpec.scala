@@ -130,15 +130,47 @@ class MiningSpec extends AnyFunSuite {
     if (dot >= 0) m else -m
   }
 
-  test("q159 semantic dedup agrees with a driver-side brute-force replay") {
+  // q159's portable 63-bit hyperplane signature, recomputed independently:
+  // bit t = [Σ_j q_j·c(t,j) ≥ 0], c(t,j) = ((1299709·(t·dim+j) + 15485863)
+  // mod 1000003) − 500001.
+  private def psig(q: Array[Long]): Long = {
+    val d = q.length
+    var s = 0L
+    var t = 0
+    while (t < 63) {
+      var acc = 0L
+      var j = 0
+      while (j < d) {
+        acc += q(j) * ((1299709L * (t * d + j) + 15485863L) % 1000003L - 500001L)
+        j += 1
+      }
+      if (acc >= 0L) s |= (1L << t)
+      t += 1
+    }
+    s
+  }
+  private def bandCollide(sa: Long, sb: Long): Boolean =
+    (0 until 9).exists(b => ((sa >> (b * 7)) & 127L) == ((sb >> (b * 7)) & 127L))
+
+  test("q159 semantic dedup agrees with a driver-side banded replay") {
     val vecs = Tables.load(spark, sf, "embeddings")
       .select(col("vec_id"), col("label").cast("long"), col("embedding"))
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), quant(r.getSeq[Float](2))))
       .filter { case (_, _, q) => q.map(x => x * x).sum > 0 }
+    val sigs = vecs.map { case (id, _, q) => id -> psig(q) }.toMap
+    var allPairs = 0L
+    var candPairs = 0L
     val expected = vecs.groupBy(_._2).map { case (lbl, vs) =>
+      for (a <- vs; b <- vs if a._1 < b._1) {
+        allPairs += 1
+        if (bandCollide(sigs(a._1), sigs(b._1))) candPairs += 1
+      }
       val dropped = vs.count { case (idB, _, qb) =>
-        vs.exists { case (idA, _, qa) => idA < idB && qscore(qa, qb) >= 150000L }
+        vs.exists { case (idA, _, qa) =>
+          idA < idB && bandCollide(sigs(idA), sigs(idB)) &&
+            qscore(qa, qb) >= 150000L
+        }
       }
       lbl -> (vs.length.toLong, dropped.toLong)
     }
@@ -151,6 +183,10 @@ class MiningSpec extends AnyFunSuite {
         s"label $lbl: got ($n,$d,$k) want ($en,$ed,${en - ed})")
     }
     assert(got.values.map(_._2).sum > 0, "threshold never fired — test is vacuous")
+    // The point of the banding: candidates must be a real reduction over
+    // all-pairs-within-label, not a disguised Σ label².
+    assert(candPairs * 4 < allPairs,
+      s"banding is not sub-quadratic: $candPairs candidates of $allPairs pairs")
   }
 
   test("q160 surprisal replays exactly from a driver-side bigram LM") {
