@@ -137,19 +137,39 @@ object Graph {
        |ORDER BY rank_micro DESC, part LIMIT 20""".stripMargin
   }
 
-  /** The undirected co-purchase graph both q136 and q138 analyze: vertices
-    * are parts, an edge links two parts that ever share an order. Built by
-    * one basket self-join (Σ basket² pair instances, bounded by basket
-    * size like q122) and normalized to `a < b` so each undirected edge is
-    * exactly one row. */
+  /** The undirected co-purchase graph q136, q138 and q146 all analyze:
+    * vertices are parts, an edge links two parts that ever share an order.
+    * Built by one basket self-join (Σ basket² pair instances, bounded by
+    * basket size like q122) and normalized to `a < b` so each undirected
+    * edge is exactly one row.
+    *
+    * The frame is shared per (session, dir, corpus stamp) — the
+    * [[graft.ann.Models]] fingerprint discipline applied to a derived
+    * frame: the basket self-join is the dominant cost of every graph-family
+    * query, and a session running several of them (q136 + q138 + q146)
+    * would otherwise rebuild it each time. The shared frame is persisted at
+    * creation; the kernels' own entry persists are no-ops on a
+    * still-cached frame and transparently re-cache it after an external
+    * unpersist sweep (e.g. Bench's between-query block-store reset, which
+    * deliberately keeps timed queries independent). A rewritten lineitem
+    * invalidates via the stamp; a restarted session via the session
+    * identity in the key. */
+  private val edgeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
   private def coPurchaseEdges(spark: SparkSession, dir: String): DataFrame = {
-    val items = Tables.load(spark, dir, "lineitem")
-      .select(col("l_orderkey").as("okey"), col("l_partkey").as("part"))
-      .distinct()
-    items.select(col("okey"), col("part").as("a"))
-      .join(items.select(col("okey").as("okey_b"), col("part").as("b")),
-        col("okey") === col("okey_b") && col("a") < col("b"))
-      .select("a", "b").distinct()
+    val key = System.identityHashCode(spark).toString + ":" + dir + ":" +
+      graft.ann.Models.corpusStamp(spark, dir, "lineitem")
+    edgeCache.computeIfAbsent(key, { _ =>
+      val items = Tables.load(spark, dir, "lineitem")
+        .select(col("l_orderkey").as("okey"), col("l_partkey").as("part"))
+        .distinct()
+      items.select(col("okey"), col("part").as("a"))
+        .join(items.select(col("okey").as("okey_b"), col("part").as("b")),
+          col("okey") === col("okey_b") && col("a") < col("b"))
+        .select("a", "b").distinct()
+        .persist()
+    })
   }
 
   /** q136 triangle counting with degree orientation — the graph kernel

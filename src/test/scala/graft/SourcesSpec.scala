@@ -156,4 +156,85 @@ class SourcesSpec extends AnyFunSuite {
     assert(!Sources.writeJsonl(empty, s"$tmp/never_jsonl"))
     assert(!Sources.writeOrc(empty, s"$tmp/never_orc"))
   }
+
+  // The events fixture has shipped ts as TIMESTAMP(NANOS) in one generation
+  // and TIMESTAMP(MICROS) in another, and the unit can change back: the
+  // reader must produce IDENTICAL values for both physical encodings of the
+  // same instant (the nanos path truncates sub-µs, so a ns value of µs·1000
+  // + ε is the same instant). A ns fixture can't be written through Spark
+  // (its writer has no nanos output), so the test writes it with the
+  // parquet-mr Group API directly.
+  test("events reader yields identical values for nanos- and micros-typed fixtures") {
+    import org.apache.parquet.example.data.simple.SimpleGroupFactory
+    import org.apache.parquet.hadoop.example.ExampleParquetWriter
+    import org.apache.parquet.schema.{LogicalTypeAnnotation, Types}
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+
+    // (event_id, epoch-µs, user_id, type, value, props) — sub-ms precision
+    // on purpose so a silent ÷1000 or ×1000 cannot cancel out.
+    val rows = Seq(
+      (1L, 1704067200123456L, 10L, "view", 1.5, "{}"),
+      (2L, 1704067200123457L, 10L, "click", 2.5, "{\"a\":1}"),
+      (3L, 1706745599999999L, 11L, "buy", 0.25, "{}"))
+
+    val nsDir = s"$tmp/events-ns"
+    val usDir = s"$tmp/events-us"
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    Seq(nsDir, usDir).foreach(d =>
+      fs.delete(new org.apache.hadoop.fs.Path(d), true))
+
+    val nsSchema = Types.buildMessage()
+      .required(INT64).named("event_id")
+      .required(INT64).as(LogicalTypeAnnotation.timestampType(
+        true, LogicalTypeAnnotation.TimeUnit.NANOS)).named("ts")
+      .required(INT64).named("user_id")
+      .required(BINARY).as(LogicalTypeAnnotation.stringType()).named("event_type")
+      .required(DOUBLE).named("value")
+      .required(BINARY).as(LogicalTypeAnnotation.stringType()).named("props")
+      .named("events")
+    val writer = ExampleParquetWriter
+      .builder(new org.apache.hadoop.fs.Path(s"$nsDir/events.parquet"))
+      .withConf(spark.sparkContext.hadoopConfiguration)
+      .withType(nsSchema)
+      .build()
+    val gf = new SimpleGroupFactory(nsSchema)
+    try rows.foreach { case (id, us, uid, et, v, p) =>
+      val g = gf.newGroup()
+      g.add("event_id", id)
+      g.add("ts", us * 1000L + 789L) // sub-µs ε the reader must truncate
+      g.add("user_id", uid)
+      g.add("event_type", et)
+      g.add("value", v)
+      g.add("props", p)
+      writer.write(g)
+    } finally writer.close()
+
+    val prevOut = spark.conf.getOption("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    try {
+      import spark.implicits._
+      rows.toDF("event_id", "us", "user_id", "event_type", "value", "props")
+        .select(col("event_id"), timestamp_micros(col("us")).as("ts"),
+          col("user_id"), col("event_type"), col("value"), col("props"))
+        .write.parquet(s"$usDir/events.parquet")
+    } finally prevOut match {
+      case Some(v) => spark.conf.set("spark.sql.parquet.outputTimestampType", v)
+      case None => spark.conf.unset("spark.sql.parquet.outputTimestampType")
+    }
+
+    val fromNs = Tables.load(spark, nsDir, "events")
+    val fromUs = Tables.load(spark, usDir, "events")
+    assert(fromNs.schema == Schemas.events && fromUs.schema == Schemas.events,
+      "both unit paths must surface the one logical events schema")
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("event_id"), unix_micros(col("ts")).as("us"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getDouble(4), r.getString(5))).toSet
+    val gotNs = canon(fromNs)
+    assert(gotNs == canon(fromUs), "ns and µs fixtures must read identically")
+    assert(gotNs == rows.map(t => (t._1, t._2, t._3, t._4, t._5, t._6)).toSet,
+      "values must be the written instants, µs-exact")
+  }
 }
