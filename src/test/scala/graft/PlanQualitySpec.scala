@@ -96,6 +96,21 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("Join") || p.contains("join"), p)
   }
 
+  test("q159: banded candidates are equi-joins, unhinted — no cartesian anywhere") {
+    // The whole point of the (label, band) blocking: every candidate pair
+    // comes out of an equi-join on the band key, and the exact verify joins
+    // candidates back to the corpus by key. A cartesian here is the
+    // Σ label² scale bug again. Every side is corpus-derived, so no
+    // broadcast may be FORCED (static stats legitimately broadcast the
+    // tiny fixture; at 100 TB the same unhinted plan shuffles).
+    val df = SparkEntry.queries("q159_semantic_dedup")(spark, sf)
+    val logical = df.queryExecution.optimizedPlan.toString
+    assert(!logical.contains("strategy=broadcast"),
+      s"q159 must not force a broadcast hint:\n$logical")
+    val p = plan("q159_semantic_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q73: typed UDAF aggregates in two phases (map-side partial + merge)") {
     val p = plan("q73_weighted_udaf")
     assert(p.contains("partial_weightedcents"), s"no partial aggregation:\n$p")
