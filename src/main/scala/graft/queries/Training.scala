@@ -1149,6 +1149,179 @@ object Training {
       |  CAST(SUM(doc_bits) * 1000 // SUM(n_bg) AS BIGINT) AS mean_surprisal_x1e3
       |FROM doc GROUP BY source ORDER BY source""".stripMargin
 
+  /** q164 implicit-preference pair mining — the data-side construction step
+    * of pairwise ranking / DPO-style training: for each (user, day), every
+    * PURCHASED item is paired against every item the user merely VIEWED
+    * that day and did not also purchase — (chosen, rejected) pairs from
+    * implicit feedback, the standard construction when no explicit labels
+    * exist (BPR's sampling rule, made exhaustive and deterministic). The
+    * item id lives inside the JSON `props` payload; extraction is the
+    * codegen'd `get_json_object` path, no UDF. Scale shape: positives and
+    * negatives are distinct-reduced BEFORE pairing, the pair join is an
+    * equi-join on (user, day) so fan-out is Σ (day-positives ×
+    * day-negatives) per user — bounded by daily activity exactly like
+    * q122's basket bound, never corpus² — and the anti-join that removes
+    * same-day purchases from the negative side is a semi-structured
+    * LeftAnti on the same key. Output is per CHOSEN item (item-vocabulary
+    * rows, aggregates map-combine). */
+  def q164(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+      .withColumn("item", get_json_object(col("props"), "$.k").cast(LongType))
+      .withColumn("day", expr("unix_millis(ts) div 86400000"))
+      .filter(col("item").isNotNull)
+    val pos = ev.filter(col("event_type") === "purchase")
+      .select("user_id", "day", "item").distinct()
+    val neg = ev.filter(col("event_type") === "view")
+      .select("user_id", "day", "item").distinct()
+      .join(pos, Seq("user_id", "day", "item"), "left_anti")
+    pos.select(col("user_id"), col("day"), col("item").as("chosen"))
+      .join(neg.select(col("user_id"), col("day"), col("item").as("rejected")),
+        Seq("user_id", "day"))
+      .groupBy("chosen")
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("user_id")).as("n_users"),
+        countDistinct(col("rejected")).as("n_rejected"))
+      .orderBy("chosen")
+  }
+
+  val q164Sql =
+    """WITH ev AS (
+      |  SELECT user_id, epoch_ms(ts) // 86400000 AS day, event_type,
+      |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+      |  FROM events
+      |  WHERE json_extract_string(props, '$.k') IS NOT NULL
+      |), pos AS (
+      |  SELECT DISTINCT user_id, day, item FROM ev WHERE event_type = 'purchase'
+      |), neg AS (
+      |  SELECT DISTINCT v.user_id, v.day, v.item
+      |  FROM ev v
+      |  WHERE v.event_type = 'view' AND NOT EXISTS (
+      |    SELECT 1 FROM pos p
+      |    WHERE p.user_id = v.user_id AND p.day = v.day AND p.item = v.item)
+      |)
+      |SELECT p.item AS chosen, COUNT(*) AS n_pairs,
+      |  CAST(COUNT(DISTINCT p.user_id) AS BIGINT) AS n_users,
+      |  CAST(COUNT(DISTINCT n.item) AS BIGINT) AS n_rejected
+      |FROM pos p JOIN neg n ON n.user_id = p.user_id AND n.day = p.day
+      |GROUP BY p.item ORDER BY chosen""".stripMargin
+
+  /** q165 duplicate-aware flattened sampling — the "don't let one template
+    * dominate" step between dedup and mixing: cluster documents by a
+    * portable MinHash band key (the q99 algebra: md5 3-gram shingle hashes
+    * + two fixed Carter–Wegman permutations — near-identical docs collide,
+    * both engines compute the key bit-identically), then keep only ⌊√size⌋
+    * members of each cluster — realized by the PURE-INTEGER rule r² ≤ size
+    * on the doc_id-ordered rank, no float sqrt anywhere. Keeping √size
+    * instead of 1 (dedup) or size (nothing) is the standard compromise when
+    * near-dup clusters carry some diversity worth sampling. Scale shape:
+    * the signature is a narrow codegen'd map, and ONE window over the
+    * cluster key yields rank and size in a single keyed shuffle; docs with
+    * no shingles (< 3 tokens) are excluded, same as the whole q27/q99 LSH
+    * family. The checksum proves row-level selection parity. */
+  def q165(spark: SparkSession, dir: String): DataFrame = {
+    val P = 2147483647L
+    val docs = Tables.parallelized(Tables.load(spark, dir, "documents"))
+      .select(col("doc_id"), col("source"),
+        array_distinct(T.portableShingleHashes(col("text"), 3)).as("hs"))
+    val sig = docs
+      .select(col("doc_id"), col("source"),
+        array_min(transform(col("hs"), h => (lit(1299709L) * (h % P) + 7L) % P))
+          .as("s0"),
+        array_min(transform(col("hs"), h => (lit(15485863L) * (h % P) + 101L) % P))
+          .as("s1"))
+      .filter(col("s0").isNotNull)
+    val w = Window.partitionBy("s0", "s1")
+    val flagged = sig
+      .withColumn("rk", row_number().over(w.orderBy("doc_id")))
+      .withColumn("sz", count(lit(1)).over(w))
+      .withColumn("keep", col("rk") * col("rk") <= col("sz"))
+    flagged.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("keep"), col("doc_id")).otherwise(0L)).as("kept_checksum"))
+      .withColumn("n_dropped", col("n_docs") - col("n_kept"))
+      .select("source", "n_docs", "n_kept", "n_dropped", "kept_checksum")
+      .orderBy("source")
+  }
+
+  val q165Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
+      |), sh AS (
+      |  SELECT doc_id, source, list_distinct(list_transform(range(1, len(w) - 1),
+      |    i -> CAST('0x' || substr(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]), 1, 15) AS BIGINT))) AS hs
+      |  FROM toks WHERE len(w) >= 3
+      |), sig AS (
+      |  SELECT doc_id, source,
+      |    list_min(list_transform(hs, h -> (1299709 * (h % 2147483647) + 7) % 2147483647)) AS s0,
+      |    list_min(list_transform(hs, h -> (15485863 * (h % 2147483647) + 101) % 2147483647)) AS s1
+      |  FROM sh
+      |), flagged AS (
+      |  SELECT doc_id, source,
+      |    ROW_NUMBER() OVER (PARTITION BY s0, s1 ORDER BY doc_id) AS rk,
+      |    COUNT(*) OVER (PARTITION BY s0, s1) AS sz
+      |  FROM sig
+      |)
+      |SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN rk * rk <= sz THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  CAST(COUNT(*) - SUM(CASE WHEN rk * rk <= sz THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+      |  CAST(SUM(CASE WHEN rk * rk <= sz THEN doc_id ELSE 0 END) AS BIGINT) AS kept_checksum
+      |FROM flagged GROUP BY source ORDER BY source""".stripMargin
+
+  /** q166 largest-remainder (Hamilton) token-budget apportionment — the
+    * exact version of the mixture step q139 approximates with floors: a
+    * literal budget of 1,000,000 training tokens is split across sources
+    * proportionally to their token counts, floor quotas first, then the
+    * leftover seats go to the largest fractional remainders (ties broken
+    * by source asc) so the allocations sum EXACTLY to the budget — floor
+    * division alone under-allocates by up to |sources|−1 tokens, and at
+    * thousands of mixture cells that slack becomes a real skew. All
+    * integer: quota = B·tokᵢ div T, remainder = B·tokᵢ mod T. Scale
+    * shape: one map-combined count aggregate over the corpus; everything
+    * after runs on |sources| rows (one broadcast-size window). Int64
+    * bound: B·tokᵢ overflows past tokᵢ ≈ 9.2e12/B — decompose B or lift
+    * to decimal before that, noted here because the query is otherwise
+    * scale-free. */
+  def q166(spark: SparkSession, dir: String): DataFrame = {
+    val budget = 1000000L
+    val bySrc = Tables.parallelized(Tables.load(spark, dir, "documents"))
+      .select(col("source"), size(split(col("text"), " ")).cast(LongType).as("nt"))
+      .groupBy("source").agg(sum("nt").as("n_tokens"))
+    val tot = bySrc.agg(sum("n_tokens").as("t_tokens"))
+    val quotas = bySrc.crossJoin(broadcast(tot)) // 1-row scalar side
+      .withColumn("base", expr(s"$budget * n_tokens div t_tokens"))
+      .withColumn("rem", expr(s"$budget * n_tokens % t_tokens"))
+    val spare = quotas.agg((lit(budget) - sum("base")).as("n_spare"))
+    quotas.crossJoin(broadcast(spare)) // 1-row scalar side
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("rem").desc, col("source"))))
+      .withColumn("alloc_tokens",
+        col("base") + when(col("rk") <= col("n_spare"), 1L).otherwise(0L))
+      .select("source", "n_tokens", "base", "alloc_tokens")
+      .orderBy("source")
+  }
+
+  val q166Sql =
+    """WITH bys AS (
+      |  SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY source
+      |), tot AS (SELECT SUM(n_tokens) AS t_tokens FROM bys
+      |), q AS (
+      |  SELECT source, n_tokens,
+      |    1000000 * n_tokens // tot.t_tokens AS base,
+      |    1000000 * n_tokens % tot.t_tokens AS rem
+      |  FROM bys CROSS JOIN tot
+      |), sp AS (SELECT 1000000 - SUM(base) AS n_spare FROM q
+      |), rk AS (
+      |  SELECT source, n_tokens, base,
+      |    ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rk
+      |  FROM q
+      |)
+      |SELECT source, n_tokens, CAST(base AS BIGINT) AS base,
+      |  CAST(base + CASE WHEN rk <= sp.n_spare THEN 1 ELSE 0 END AS BIGINT)
+      |    AS alloc_tokens
+      |FROM rk CROSS JOIN sp ORDER BY source""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q127_bpe_merge", q127 _, Some(q127Sql)),
     ("q135_bpe_table", (s: SparkSession, d: String) => q135(s, d), Some(q135Sql)),
@@ -1161,6 +1334,9 @@ object Training {
     ("q128_ingest_dedup", q128 _, Some(q128Sql)),
     ("q159_semantic_dedup", q159 _, Some(q159Sql)),
     ("q160_lm_surprisal", q160 _, Some(q160Sql)),
+    ("q164_preference_pairs", q164 _, Some(q164Sql)),
+    ("q165_flattened_sample", q165 _, Some(q165Sql)),
+    ("q166_token_apportion", q166 _, Some(q166Sql)),
     ("q58_dedup_clusters", q58 _, Some(q58Sql)),
     ("q59_decontaminate", q59 _, Some(q59Sql)),
     ("q150_source_overlap", q150 _, Some(q150Sql)),

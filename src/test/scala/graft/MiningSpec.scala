@@ -189,6 +189,61 @@ class MiningSpec extends AnyFunSuite {
       s"banding is not sub-quadratic: $candPairs candidates of $allPairs pairs")
   }
 
+  test("q164 preference pairs: exhaustive, deduped, purchase-views excluded") {
+    val ev = Tables.load(spark, sf, "events")
+      .select(col("user_id"), expr("unix_millis(ts) div 86400000").as("day"),
+        col("event_type"), get_json_object(col("props"), "$.k").cast("long").as("item"))
+      .collect()
+      .filter(!_.isNullAt(3))
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val pos = ev.collect { case (u, d, "purchase", i) => (u, d, i) }.toSet
+    val neg = ev.collect { case (u, d, "view", i) => (u, d, i) }.toSet -- pos
+    val pairs = for {
+      (u, d, c) <- pos.toSeq
+      (u2, d2, rj) <- neg if u2 == u && d2 == d
+    } yield (u, d, c, rj)
+    val expected = pairs.groupBy(_._3).map { case (c, ps) =>
+      c -> ((ps.size.toLong, ps.map(_._1).distinct.size.toLong,
+        ps.map(_._4).distinct.size.toLong))
+    }
+    val got = Training.q164(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == expected)
+    assert(got.nonEmpty && got.values.map(_._1).sum > 0, "no pairs — vacuous")
+  }
+
+  test("q165 flattening keeps exactly the r²≤size prefix of every dup cluster") {
+    val rows = Training.q165(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    rows.foreach { case (src, n, kept, dropped, _) =>
+      assert(kept + dropped == n, s"$src: kept+dropped != n_docs")
+      assert(kept >= 1, s"$src: a source lost every doc")
+    }
+    // non-vacuous: the fixture has multi-member band clusters, so the
+    // √-flattening must drop SOMETHING corpus-wide
+    assert(rows.map(_._4).sum > 0, "no cluster ever shrank — vacuous")
+    // independent total: every shingled doc is accounted exactly once
+    val nShingled = Tables.load(spark, sf, "documents")
+      .filter(size(split(col("text"), " ")) >= 3).count()
+    assert(rows.map(_._2).sum == nShingled)
+  }
+
+  test("q166 Hamilton apportionment: allocations sum exactly to the budget") {
+    val rows = Training.q166(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    rows.foreach { case (src, _, base, alloc) =>
+      assert(alloc == base || alloc == base + 1, s"$src: alloc not base or base+1")
+    }
+    assert(rows.map(_._4).sum == 1000000L, "largest-remainder must spend the budget exactly")
+    // the floor quotas alone must NOT reach the budget (the slack Hamilton
+    // distributes is the whole point of the query)
+    assert(rows.map(_._3).sum < 1000000L)
+    val totalTokens = Tables.load(spark, sf, "documents")
+      .select(size(split(col("text"), " ")).cast("long").as("nt"))
+      .agg(sum("nt")).collect().head.getLong(0)
+    assert(rows.map(_._2).sum == totalTokens)
+  }
+
   test("q160 surprisal replays exactly from a driver-side bigram LM") {
     def bucket(id: Long): Long = {
       val md = java.security.MessageDigest.getInstance("MD5")
