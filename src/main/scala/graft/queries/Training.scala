@@ -381,12 +381,30 @@ object Training {
     * The oracle chains the same rounds as CTEs and renders placeholders
     * back through the earlier merges — hash-verifying the whole
     * data-dependent induction. */
-  /** The q135/q137 induction core: run `steps` BPE merge rounds over the
-    * corpus word-frequency table and return (the merged vocabulary — still
-    * persisted, callers that don't read it unpersist it; the merge log;
-    * the placeholder→expansion render map). Each round is one
-    * vocabulary-sized aggregate, the argmax pair is a 1-row driver
-    * parameter fetch, and retired vocabulary caches release per step. */
+  /** The q135/q137/q144 induction core, TRAIN-ONCE: run `steps` BPE merge
+    * rounds over the corpus word-frequency table and return (merge log,
+    * placeholder→expansion render map) — both small deterministic DRIVER
+    * values, so they memoize safely in the [[graft.ann.Models]] registry
+    * keyed by (session, corpus stamp, steps): the data-dependent fixed
+    * point (the expensive half — `steps` vocabulary aggregates with
+    * per-round materialization) runs once per corpus and every consumer
+    * (merge table, vocabulary, encoder) replays the learned merges as a
+    * lazy narrow expression. The tokenizer-serving contract, same as the
+    * ANN model registry: train per corpus, serve per query. */
+  private[queries] def bpeMerges(spark: SparkSession, dir: String, steps: Int)
+      : (Seq[BpeMerge], Map[Char, String]) =
+    graft.ann.Models.cached(
+      "bpe:" + System.identityHashCode(spark) + ":" + steps + ":" + dir + ":" +
+        graft.ann.Models.corpusStamp(spark, dir, "documents")) {
+      val (words, merges, render) = bpeInduction(spark, dir, steps)
+      words.unpersist(blocking = false) // consumers rebuild lazily from merges
+      (merges, render)
+    }
+
+  /** One full induction run (no memo): each round is one vocabulary-sized
+    * aggregate, the argmax pair is a 1-row driver parameter fetch, and
+    * retired vocabulary caches release per step. The returned vocabulary
+    * frame is still persisted; callers that don't read it unpersist it. */
   private[queries] def bpeInduction(spark: SparkSession, dir: String, steps: Int)
       : (DataFrame, Seq[BpeMerge], Map[Char, String]) = {
     def pairCounts(df: DataFrame, wcol: String): DataFrame = df
@@ -424,8 +442,7 @@ object Training {
   }
 
   def q135(spark: SparkSession, dir: String, steps: Int = 3): DataFrame = {
-    val (words, merges, _) = bpeInduction(spark, dir, steps)
-    words.unpersist(blocking = false) // the merge log doesn't read it
+    val (merges, _) = bpeMerges(spark, dir, steps)
     spark.createDataFrame(
         merges.map(m => (m.step, m.expandedA, m.expandedB, m.cnt)))
       .toDF("step", "sym_a", "sym_b", "pair_count")
@@ -439,12 +456,25 @@ object Training {
     * included), aggregated by frequency-weighted count, and the
     * placeholders are rendered to their full expansions through the driver-
     * side render map — a 3-entry literal map lookup, never a join. The
-    * returned plan reads the final round's vocabulary cache, one
-    * vocabulary-sized explode + aggregate on top of the induction loop.
-    * The oracle replays the merges as chained CTEs and renders via CASE. */
+    * merged vocabulary is served lazily from the memoized merge log (one
+    * fold of replaces over the base word aggregate — see [[bpeMerges]]),
+    * so only the first tokenizer-family query per corpus pays the fixed
+    * point. The oracle replays the merges as chained CTEs and renders via
+    * CASE. */
   def q137(spark: SparkSession, dir: String, steps: Int = 3): DataFrame = {
-    val (words, _, render) = bpeInduction(spark, dir, steps)
+    val (merges, render) = bpeMerges(spark, dir, steps)
     val renderMap = typedLit(render.map { case (k, v) => (k.toString, v) })
+    // Rebuild the post-merge vocabulary LAZILY: the sequential per-round
+    // rewrites compose to one fold of replaces over the base word table
+    // (identical composition to the loop's materialized rounds), so serving
+    // the vocab costs one narrow map over one aggregate — no fixed point.
+    val mergedWord = merges.foldLeft(col("word")) { (c, m) =>
+      replace(c, lit(m.rawA + m.rawB), lit(m.step.toChar.toString))
+    }
+    val words = Tables.parallelized(Tables.load(spark, dir, "documents"))
+      .select(explode(split(col("text"), " ")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("f"))
+      .select(mergedWord.as("word"), col("f"))
     words
       .select(col("f"), col("word").as("w"),
         explode(sequence(lit(1), length(col("word")))).as("i"))
@@ -572,8 +602,7 @@ object Training {
     * table as broadcast-sized parameter, encode as a narrow map — is
     * exactly this. */
   def q144(spark: SparkSession, dir: String, steps: Int = 3): DataFrame = {
-    val (words, merges, _) = bpeInduction(spark, dir, steps)
-    words.unpersist(blocking = false) // the encoder replays merges, not vocab
+    val (merges, _) = bpeMerges(spark, dir, steps)
     val encoded = merges.foldLeft(col("w")) { (c, m) =>
       replace(c, lit(m.rawA + m.rawB), lit(m.step.toChar.toString))
     }
