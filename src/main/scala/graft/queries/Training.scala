@@ -348,10 +348,26 @@ object Training {
     // it once instead of re-evaluating the round-1 aggregate under two
     // crossJoin consumers — this is also the real trainer's shape, where
     // the merge table lives on the driver and grows one entry per step
-    val bp = pairCounts(words, "word")
+    val bpRow = pairCounts(words, "word")
       .orderBy(desc("cnt"), col("a"), col("b")).limit(1)
       .select(concat(col("a"), col("b")).as("bp"))
-      .head().getString(0)
+      .take(1)
+    if (bpRow.isEmpty) {
+      // degenerate vocabulary (every word a single symbol): nothing to
+      // merge, and round 2 would be identical — return the empty pair
+      // table rather than crashing on the missing argmax
+      words.unpersist(blocking = false)
+      return words0.sparkSession.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("sym_a",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("sym_b",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("cnt",
+            org.apache.spark.sql.types.LongType))))
+    }
+    val bp = bpRow.head.getString(0)
     val mergedSym = lit("\u0001") // chr(1): absent from any text corpus
     val merged = words
       .select(replace(col("word"), lit(bp), mergedSym).as("w2"), col("f"))
@@ -422,23 +438,34 @@ object Training {
     var render = Map.empty[Char, String] // placeholder -> plain expansion
     def expand(s: String): String =
       s.flatMap(c => render.getOrElse(c, c.toString))
-    val merges = (1 to steps).map { step =>
+    val merges = scala.collection.mutable.ArrayBuffer.empty[BpeMerge]
+    var step = 1
+    var exhausted = false
+    while (step <= steps && !exhausted) {
       val best = pairCounts(words, "word")
         .orderBy(desc("cnt"), col("a"), col("b")).limit(1)
-        .head() // 1-row parameter fetch, like the ANN query vector
-      val (a, b, cnt) = (best.getString(0), best.getString(1), best.getLong(2))
-      val sym = step.toChar // chr(1), chr(2), ... — never in corpus text
-      render += sym -> expand(a + b)
-      val next = words
-        .select(replace(col("word"), lit(a + b), lit(sym.toString)).as("word"),
-          col("f"))
-        .persist()
-      next.count()
-      words.unpersist(blocking = false)
-      words = next
-      BpeMerge(step.toLong, a, b, expand(a), expand(b), cnt)
+        .take(1) // 1-row parameter fetch, like the ANN query vector
+      if (best.isEmpty) {
+        // every word merged down to a single symbol — no pair left to
+        // learn; a real trainer stops here too
+        exhausted = true
+      } else {
+        val (a, b, cnt) =
+          (best.head.getString(0), best.head.getString(1), best.head.getLong(2))
+        val sym = step.toChar // chr(1), chr(2), ... — never in corpus text
+        render += sym -> expand(a + b)
+        val next = words
+          .select(replace(col("word"), lit(a + b), lit(sym.toString)).as("word"),
+            col("f"))
+          .persist()
+        next.count()
+        words.unpersist(blocking = false)
+        words = next
+        merges += BpeMerge(step.toLong, a, b, expand(a), expand(b), cnt)
+        step += 1
+      }
     }
-    (words, merges, render)
+    (words, merges.toSeq, render)
   }
 
   def q135(spark: SparkSession, dir: String, steps: Int = 3): DataFrame = {

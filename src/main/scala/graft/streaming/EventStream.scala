@@ -167,6 +167,55 @@ object EventStream {
       }
       .start()
 
+  /** Incremental implicit-preference pair construction — the streaming twin
+    * of the batch q164 (DPO/BPR data prep) and the deployment shape of a
+    * preference-data service: when the watermark closes a (user, day), that
+    * day's (chosen, rejected) pairs ship downstream.
+    *
+    * Deliberately ONE stateful operator: a watermarked day-window
+    * aggregation collecting the user's purchased-item and viewed-item SETS
+    * (state per open (user, day) is two daily-activity-bounded sets — the
+    * same bound as the batch query's pair fan-out). The pairing itself —
+    * explode(purchased) × explode(viewed ∖ purchased) — is STATELESS on
+    * the aggregation's append-mode output, so the batch plan's anti-join
+    * and pair join cost no join state at all here. A cascade of
+    * stream-stream joins (views outer-anti purchases, then × purchases)
+    * computes the same set, but the outer join's watermark-expiry rows
+    * re-enter a second join whose state expires on the SAME watermark —
+    * the day-tail rows land as late input there and silently drop, an
+    * operator-composition hazard the single-aggregation shape avoids by
+    * construction.
+    * Day windows are UTC-aligned `window(ts, '1 day')`, so `day` equals the
+    * batch query's epoch-day buckets. Works unchanged on batch frames (the
+    * same plan minus state); streamed-vs-batch parity over the real fixture
+    * is asserted in StreamingSpec. */
+  def preferencePairsStream(events: DataFrame): DataFrame =
+    events
+      // NOTE the watermark advances only on rows that survive the type/item
+      // filter (Catalyst pushes source-column predicates below the watermark
+      // node regardless of call order): a quiet period carrying only
+      // non-feedback events does NOT close open days. Deployments that need
+      // wall-clock-bounded emission under feedback silence add a processing-
+      // time fallback; the fixture replay advances event time with ordinary
+      // feedback rows, as StreamingSpec's sentinels do.
+      .withWatermark("ts", "1 day")
+      .withColumn("item", get_json_object(col("props"), "$.k").cast(LongType))
+      .filter(col("item").isNotNull &&
+        col("event_type").isin("view", "purchase"))
+      .groupBy(col("user_id"), window(col("ts"), "1 day").as("w"))
+      .agg(
+        collect_set(when(col("event_type") === "purchase", col("item")))
+          .as("purchased"),
+        collect_set(when(col("event_type") === "view", col("item")))
+          .as("viewed"))
+      .filter(size(col("purchased")) > 0)
+      .select(col("user_id"),
+        expr("unix_millis(w.start) div 86400000").as("day"),
+        explode(col("purchased")).as("chosen"),
+        array_except(col("viewed"), col("purchased")).as("rej"))
+      .select(col("user_id"), col("day"), col("chosen"),
+        explode(col("rej")).as("rejected"))
+
   /** Watermarked stream-stream join: purchases within `withinMinutes` after
     * a view by the same user (the conversion-attribution shape). Works
     * unchanged on batch DataFrames — the same plan, minus state. In

@@ -236,6 +236,11 @@ class PropertySpec extends AnyFunSuite {
       got == ref(rows)
     })
     assert(res.passed, res.status.toString)
+    // pinned regression: an all-single-symbol vocabulary has NO pair to
+    // merge — the step must return the empty pair table, not crash on the
+    // missing argmax (the generator reaches this only on rare seeds)
+    val degenerate = Seq(("a", 3L), ("b", 1L), ("c", 2L)).toDF("word", "f")
+    assert(graft.queries.Training.bpeMergeStep(degenerate).collect().isEmpty)
   }
 
   // arbitrary sparse undirected graphs, normalized to a<b distinct edges —

@@ -42,6 +42,57 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
+  test("streaming preference pairs == batch q164 over the real fixture") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("pref_pairs").toString
+    // Copy the real events into a mutable stream dir. The far-future
+    // sentinels must be FEEDBACK rows (a lone view by a non-fixture user —
+    // contributes no pairs on either side): the type/item filter is pushed
+    // below the watermark node, so only view/purchase rows advance event
+    // time and close the final fixture days.
+    Tables.load(spark, sf, "events").write.parquet(s"$base/in")
+    def sentinel(id: Long, day: String) =
+      Seq((id, java.sql.Timestamp.valueOf(s"$day 00:00:00"), -1L, "view", 0.0,
+          "{\"k\": 0}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("append").parquet(s"$base/in")
+    def source(streaming: Boolean) =
+      if (streaming) spark.readStream.schema(Schemas.events).parquet(s"$base/in")
+      else spark.read.schema(Schemas.events).parquet(s"$base/in")
+
+    val q = EventStream.preferencePairsStream(source(streaming = true))
+      .writeStream
+      .option("checkpointLocation", s"$base/ckpt")
+      .format("memory").queryName("pref_out").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      sentinel(9000001L, "2024-06-01") // advance the watermark...
+      q.processAllAvailable()
+      sentinel(9000002L, "2024-07-01") // ...and give expired state a batch
+      q.processAllAvailable()
+    } finally q.stop()
+
+    def pset(df: org.apache.spark.sql.DataFrame) = df
+      .select("user_id", "day", "chosen", "rejected").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val streamed = pset(spark.table("pref_out"))
+    // the same plan on the batch frame (watermark = no-op, agg = plain)
+    val batch = pset(EventStream.preferencePairsStream(source(streaming = false)))
+    assert(streamed.nonEmpty, "no pairs streamed — vacuous")
+    assert(streamed == batch)
+    // and the aggregated pairs reproduce the declared batch query exactly
+    // (q164 reads the pristine fixture dir; the sentinel user's lone views
+    // create no pairs, so the two inputs agree on the pair set)
+    val aggStreamed = streamed.toSeq
+      .groupBy(_._3).map { case (c, ps) =>
+        (c, ps.size.toLong, ps.map(_._1).distinct.size.toLong,
+          ps.map(_._4).distinct.size.toLong)
+      }.toSet
+    val q164 = queries.Training.q164(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(aggStreamed == q164)
+  }
+
   test("outer stream-stream join: unmatched views emit NULL only after state expiry") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("outer_join").toString
