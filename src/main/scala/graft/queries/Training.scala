@@ -1212,33 +1212,27 @@ object Training {
     * implicit feedback, the standard construction when no explicit labels
     * exist (BPR's sampling rule, made exhaustive and deterministic). The
     * item id lives inside the JSON `props` payload; extraction is the
-    * codegen'd `get_json_object` path, no UDF. Scale shape: positives and
-    * negatives are distinct-reduced BEFORE pairing, the pair join is an
-    * equi-join on (user, day) so fan-out is Σ (day-positives ×
-    * day-negatives) per user — bounded by daily activity exactly like
-    * q122's basket bound, never corpus² — and the anti-join that removes
-    * same-day purchases from the negative side is a semi-structured
-    * LeftAnti on the same key. Output is per CHOSEN item (item-vocabulary
-    * rows, aggregates map-combine). */
-  def q164(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.load(spark, dir, "events")
-      .withColumn("item", get_json_object(col("props"), "$.k").cast(LongType))
-      .withColumn("day", expr("unix_millis(ts) div 86400000"))
-      .filter(col("item").isNotNull)
-    val pos = ev.filter(col("event_type") === "purchase")
-      .select("user_id", "day", "item").distinct()
-    val neg = ev.filter(col("event_type") === "view")
-      .select("user_id", "day", "item").distinct()
-      .join(pos, Seq("user_id", "day", "item"), "left_anti")
-    pos.select(col("user_id"), col("day"), col("item").as("chosen"))
-      .join(neg.select(col("user_id"), col("day"), col("item").as("rejected")),
-        Seq("user_id", "day"))
+    * codegen'd `get_json_object` path, no UDF.
+    *
+    * Scale shape — ONE corpus scan: the per-(user, day) purchased and
+    * viewed item SETS come out of a single keyed aggregate (set size
+    * bounded by daily activity, the q122 basket bound), and the distinct
+    * reduction, the purchased-anti rule (`array_except`) and the pair
+    * fan-out (explode × explode) are all stateless array operations on the
+    * aggregate's output — no self-joins, so the events table is read once
+    * where the naive pos⋈neg formulation scans it twice and shuffles three
+    * times. This is the SAME plan the streaming twin runs
+    * ([[graft.streaming.EventStream.preferencePairsStream]]) with state
+    * bounds instead of a shuffle. Output is per CHOSEN item
+    * (item-vocabulary rows, aggregates map-combine). */
+  def q164(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventStream.preferencePairsStream(
+        Tables.load(spark, dir, "events"))
       .groupBy("chosen")
       .agg(count(lit(1)).as("n_pairs"),
         countDistinct(col("user_id")).as("n_users"),
         countDistinct(col("rejected")).as("n_rejected"))
       .orderBy("chosen")
-  }
 
   val q164Sql =
     """WITH ev AS (

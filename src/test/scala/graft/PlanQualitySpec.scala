@@ -111,6 +111,15 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q164: preference pairs read events ONCE — no self-join anywhere") {
+    val p = plan("q164_preference_pairs")
+    // the set-aggregate formulation replaces the pos/neg self-joins: one
+    // corpus scan, one keyed shuffle, stateless explode fan-out
+    assert("Scan parquet".r.findAllIn(p).length == 1,
+      s"preference pairs must scan events exactly once:\n$p")
+    assert(!p.contains("Join"), s"no join belongs in this plan:\n$p")
+  }
+
   test("q73: typed UDAF aggregates in two phases (map-side partial + merge)") {
     val p = plan("q73_weighted_udaf")
     assert(p.contains("partial_weightedcents"), s"no partial aggregation:\n$p")
