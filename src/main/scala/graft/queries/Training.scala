@@ -1327,24 +1327,27 @@ object Training {
     * division alone under-allocates by up to |sources|−1 tokens, and at
     * thousands of mixture cells that slack becomes a real skew. All
     * integer: quota = B·tokᵢ div T, remainder = B·tokᵢ mod T. Scale
-    * shape: one map-combined count aggregate over the corpus; everything
-    * after runs on |sources| rows (one broadcast-size window). Int64
-    * bound: B·tokᵢ overflows past tokᵢ ≈ 9.2e12/B — decompose B or lift
-    * to decimal before that, noted here because the query is otherwise
-    * scale-free. */
+    * shape: ONE map-combined aggregate is the only corpus pass; the total,
+    * the slack, and the remainder ranking are window passes over the
+    * |sources|-row aggregate (deliberately single-partition — the frame is
+    * mixture-cell-sized by construction; the scalar-crossJoin formulation
+    * of the same math re-planned the corpus aggregate under every consumer
+    * and cost five scans). Int64 bound: B·tokᵢ overflows past
+    * tokᵢ ≈ 9.2e12/B — decompose B or lift to decimal before that, noted
+    * here because the query is otherwise scale-free. */
   def q166(spark: SparkSession, dir: String): DataFrame = {
     val budget = 1000000L
-    val bySrc = Tables.parallelized(Tables.load(spark, dir, "documents"))
+    val all = Window.partitionBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.parallelized(Tables.load(spark, dir, "documents"))
       .select(col("source"), size(split(col("text"), " ")).cast(LongType).as("nt"))
       .groupBy("source").agg(sum("nt").as("n_tokens"))
-    val tot = bySrc.agg(sum("n_tokens").as("t_tokens"))
-    val quotas = bySrc.crossJoin(broadcast(tot)) // 1-row scalar side
+      .withColumn("t_tokens", sum("n_tokens").over(all))
       .withColumn("base", expr(s"$budget * n_tokens div t_tokens"))
       .withColumn("rem", expr(s"$budget * n_tokens % t_tokens"))
-    val spare = quotas.agg((lit(budget) - sum("base")).as("n_spare"))
-    quotas.crossJoin(broadcast(spare)) // 1-row scalar side
+      .withColumn("n_spare", lit(budget) - sum("base").over(all))
       .withColumn("rk", row_number().over(
-        Window.orderBy(col("rem").desc, col("source"))))
+        Window.partitionBy(lit(1)).orderBy(col("rem").desc, col("source"))))
       .withColumn("alloc_tokens",
         col("base") + when(col("rk") <= col("n_spare"), 1L).otherwise(0L))
       .select("source", "n_tokens", "base", "alloc_tokens")
