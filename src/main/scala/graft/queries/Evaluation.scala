@@ -362,8 +362,78 @@ object Evaluation {
        |    // (SUM(n) OVER () - n) AS BIGINT) AS acc_without_ppm
        |FROM s ORDER BY source""".stripMargin
 
+  /** q168 nearest-centroid classification eval — the simplest embedding
+    * probe (Rocchio / nearest-class-mean): assign every vector to its
+    * nearest label centroid and score per-label accuracy. The centroids
+    * are the q151 kernel verbatim — per-dimension integer-truncated means
+    * of the ×1000-quantized vectors — so the whole statistic is exact
+    * int64 arithmetic the oracle replays bit-for-bit (squared Euclidean,
+    * deterministic (dist², label) tie-break).
+    *
+    * Scale shape — the model-serving contract: the centroid frame is
+    * |classes| rows (class-count-bounded, the same parameter-sized
+    * contract as the ANN model registry), so broadcasting it is the
+    * correct plan at any corpus size; the corpus streams through ONE scan
+    * against it, the per-vector argmin is a vec_id-keyed window on the
+    * |corpus|×|classes| scored frame, and the rollup is one aggregate. */
+  def q168(spark: SparkSession, dir: String): DataFrame = {
+    val q = Tables.parallelized(Tables.load(spark, dir, "embeddings"))
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * 1000).cast("long")).as("qv"))
+    val cent = q
+      .select(col("label").as("c_label"),
+        posexplode(col("qv")).as(Seq("dim", "qd")))
+      .groupBy("c_label", "dim")
+      .agg(expr("sum(qd) div count(1)").as("m"))
+      .groupBy("c_label")
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
+        s => s("m")).as("cv"))
+    q.crossJoin(broadcast(cent)) // |classes| rows — model-sized by contract
+      .withColumn("dist2", expr(
+        """aggregate(zip_with(qv, cv, (a, b) -> (a - b) * (a - b)),
+          |  CAST(0 AS BIGINT), (acc, v) -> acc + v)""".stripMargin))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("dist2"), col("c_label"))))
+      .filter(col("rn") === 1)
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("c_label") === col("label"), 1L).otherwise(0L))
+          .as("n_correct"))
+      .withColumn("acc_ppm", expr("n_correct * 1000000 div n_vecs"))
+      .orderBy("label")
+  }
+
+  val q168Sql: String =
+    """WITH q AS (
+      |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+      |    list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+      |  FROM embeddings
+      |), e AS (
+      |  SELECT label, unnest(range(1, len(qv) + 1)) AS i, qv FROM q
+      |), cd AS (
+      |  SELECT label AS c_label, i, CAST(SUM(qv[i]) // COUNT(*) AS BIGINT) AS m
+      |  FROM e GROUP BY label, i
+      |), cent AS (
+      |  SELECT c_label, list(m ORDER BY i) AS cv FROM cd GROUP BY c_label
+      |), scored AS (
+      |  SELECT q.vec_id, q.label, c.c_label,
+      |    CAST(list_sum(list_transform(range(1, len(q.qv) + 1),
+      |      i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i]))) AS BIGINT) AS dist2
+      |  FROM q CROSS JOIN cent c
+      |), best AS (
+      |  SELECT vec_id, label, c_label,
+      |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist2, c_label) AS rn
+      |  FROM scored
+      |)
+      |SELECT label, COUNT(*) AS n_vecs,
+      |  CAST(SUM(CASE WHEN c_label = label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+      |  CAST(SUM(CASE WHEN c_label = label THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT) AS acc_ppm
+      |FROM best WHERE rn = 1 GROUP BY label ORDER BY label""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(("q140_auc_ranksum", q140 _, Some(q140Sql)),
+      ("q168_centroid_eval", q168 _, Some(q168Sql)),
       ("q141_rank_agreement", q141 _, Some(q141Sql)),
       ("q142_ks_distance", q142 _, Some(q142Sql)),
       ("q143_gini_purity", q143 _, Some(q143Sql)),

@@ -740,8 +740,70 @@ object Stats {
       |FROM p GROUP BY wa, wb
       |ORDER BY cooc_x6 DESC, wa, wb LIMIT 20""".stripMargin
 
+  /** q167 vocabulary power-law (Zipf) health check — the corpus-quality
+    * diagnostic tokenizer and data teams run on term frequencies: a healthy
+    * natural-language corpus has a heavy-tailed (power-law) vocabulary, and
+    * a slope collapse signals boilerplate/template contamination. The
+    * textbook fit — rank every term globally, regress log f on log rank —
+    * needs a TOTAL ORDER over the vocabulary (a global single-partition
+    * window, the anti-pattern q140/q142 exist to avoid). The octave
+    * histogram estimator needs no rank at all: bucket terms by
+    * bitlen(frequency) (the frequency's integer log₂ — `length(bin(f))`,
+    * the q160 bitlen surrogate), count terms per octave, and OLS-fit
+    * bitlen(count) against the octave index with the q126 moment kernel.
+    * Two map-combined aggregates over the corpus and an O(64)-row fit;
+    * every statistic is an exact int64 the oracle replays bit-for-bit
+    * (both engines truncate negative integer division toward zero).
+    * On the synthetic fixture the slope comes out POSITIVE — the
+    * near-uniform random vocabulary is precisely the un-natural
+    * distribution the check exists to flag, and the spec asserts it
+    * flags it. */
+  def q167(spark: SparkSession, dir: String): DataFrame = {
+    val octaves = Tables.parallelized(Tables.load(spark, dir, "documents"))
+      .select(explode(split(col("text"), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy("term").agg(count(lit(1)).as("f"))
+      .select(length(bin(col("f"))).cast(LongType).as("octave"))
+      .groupBy("octave").agg(count(lit(1)).as("n_terms"))
+    octaves
+      .agg(count(lit(1)).as("n_octaves"),
+        sum("n_terms").as("n_terms"),
+        sum("octave").as("sum_x"),
+        sum(length(bin(col("n_terms"))).cast(LongType)).as("sum_y"),
+        sum(col("octave") * length(bin(col("n_terms"))).cast(LongType))
+          .as("sum_xy"),
+        sum(col("octave") * col("octave")).as("sum_x2"))
+      .withColumn("slope_x1e6",
+        when(col("n_octaves") * col("sum_x2") - col("sum_x") * col("sum_x") > 0,
+          expr("1000000 * (n_octaves * sum_xy - sum_x * sum_y) div " +
+            "(n_octaves * sum_x2 - sum_x * sum_x)")))
+  }
+
+  val q167Sql: String =
+    """WITH tf AS (
+      |  SELECT term, COUNT(*) AS f FROM
+      |    (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+      |  WHERE length(term) > 0 GROUP BY term
+      |), oct AS (
+      |  SELECT CAST(length(printf('%b', f)) AS BIGINT) AS octave,
+      |    COUNT(*) AS n_terms
+      |  FROM tf GROUP BY 1
+      |)
+      |SELECT COUNT(*) AS n_octaves, CAST(SUM(n_terms) AS BIGINT) AS n_terms,
+      |  CAST(SUM(octave) AS BIGINT) AS sum_x,
+      |  CAST(SUM(length(printf('%b', n_terms))) AS BIGINT) AS sum_y,
+      |  CAST(SUM(octave * length(printf('%b', n_terms))) AS BIGINT) AS sum_xy,
+      |  CAST(SUM(octave * octave) AS BIGINT) AS sum_x2,
+      |  CASE WHEN COUNT(*) * SUM(octave * octave) - SUM(octave) * SUM(octave) > 0
+      |    THEN CAST(1000000 * (COUNT(*) * SUM(octave * length(printf('%b', n_terms)))
+      |           - SUM(octave) * SUM(length(printf('%b', n_terms))))
+      |         // (COUNT(*) * SUM(octave * octave) - SUM(octave) * SUM(octave))
+      |         AS BIGINT) END AS slope_x1e6
+      |FROM oct""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q87_grouping_sets", q87 _, Some(q87Sql)),
+    ("q167_zipf_slope", q167 _, Some(q167Sql)),
     ("q88_stats_moments", q88 _, Some(q88Sql)),
     ("q89_length_histogram", q89 _, Some(q89Sql)),
     ("q90_bigram_assoc", q90 _, Some(q90Sql)),

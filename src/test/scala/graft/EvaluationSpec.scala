@@ -201,4 +201,55 @@ class EvaluationSpec extends AnyFunSuite {
       } else assert(n < 2)
     }
   }
+
+  test("q167 Zipf slope: moments reconcile, terms conserved, flags the synthetic corpus") {
+    import org.apache.spark.sql.functions._
+    val r = queries.Stats.q167(spark, sf).collect().head
+    val (nOct, nTerms, sx, sy, sxy, sx2) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+    val nDistinct = Tables.load(spark, sf, "documents")
+      .select(explode(split(col("text"), " ")).as("t"))
+      .filter(length(col("t")) > 0).select("t").distinct().count()
+    assert(nTerms == nDistinct, "octave histogram must conserve the vocabulary")
+    assert(nOct >= 2 && nOct <= 64)
+    val denom = nOct * sx2 - sx * sx
+    assert(denom > 0)
+    assert(r.getLong(6) == 1000000L * (nOct * sxy - sx * sy) / denom)
+    // a NATURAL corpus is heavy-tailed (negative slope); the synthetic
+    // fixture's near-uniform random vocabulary is exactly the distribution
+    // this diagnostic exists to flag, and it flags it: slope ≥ 0
+    assert(r.getLong(6) >= 0,
+      s"synthetic fixture unexpectedly Zipfian: ${r.getLong(6)}")
+  }
+
+  test("q168 centroid eval agrees with a driver-side replay") {
+    import org.apache.spark.sql.functions._
+    val vecs = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("label").cast("long"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getSeq[Float](2).map(x => math.floor(x.toDouble * 1000).toLong).toArray))
+    val cents = vecs.groupBy(_._2).map { case (l, vs) =>
+      val d = vs.head._3.length
+      l -> Array.tabulate(d) { i =>
+        val s = vs.map(_._3(i)).sum
+        // integer-truncated mean, the q151 kernel (div truncates toward 0)
+        s / vs.length
+      }
+    }
+    val expected = vecs.groupBy(_._2).map { case (l, vs) =>
+      val correct = vs.count { case (_, _, qv) =>
+        val best = cents.toSeq.map { case (cl, cv) =>
+          (qv.indices.map(i => (qv(i) - cv(i)) * (qv(i) - cv(i))).sum, cl)
+        }.min
+        best._2 == l
+      }
+      l -> ((vs.length.toLong, correct.toLong))
+    }
+    val got = Evaluation.q168(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (l, (n, c)) => assert((n, c) == expected(l), s"label $l") }
+    assert(got.values.map(_._2).sum > 0, "no vector classified correctly — vacuous")
+  }
 }
