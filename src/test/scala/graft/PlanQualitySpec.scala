@@ -111,6 +111,20 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q165/q166/q167: the new corpus passes are single-scan and join-free") {
+    val p165 = plan("q165_flattened_sample")
+    assert("Scan parquet".r.findAllIn(p165).length == 1, p165)
+    assert(!p165.contains("Join"), s"flattening needs no join:\n$p165")
+    val p166 = plan("q166_token_apportion")
+    assert("Scan parquet".r.findAllIn(p166).length == 1, p166)
+    assert(!p166.contains("Join"),
+      s"apportionment must window the tiny aggregate, not re-join the corpus:\n$p166")
+    val p167 = plan("q167_zipf_slope")
+    assert("Scan parquet".r.findAllIn(p167).length == 1, p167)
+    assert(!p167.contains("Join") && !p167.contains("Window"),
+      s"the octave estimator needs neither a join nor a rank window:\n$p167")
+  }
+
   test("q164: preference pairs read events ONCE — no self-join anywhere") {
     val p = plan("q164_preference_pairs")
     // the set-aggregate formulation replaces the pos/neg self-joins: one
