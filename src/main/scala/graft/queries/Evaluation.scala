@@ -431,9 +431,62 @@ object Evaluation {
       |  CAST(SUM(CASE WHEN c_label = label THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT) AS acc_ppm
       |FROM best WHERE rn = 1 GROUP BY label ORDER BY label""".stripMargin
 
+  /** q169 split-half centroid stability — the sampling-noise audit behind
+    * "is this eval set big enough": deterministically hash-split each
+    * label's vectors into two halves (the portable md5 bucket, the
+    * q66/q139 reproducible-randomness contract), compute both halves'
+    * integer-truncated centroids (the q151/q168 kernel), and report the
+    * exact squared distance between them. A class whose two half-centroids
+    * sit far apart relative to its size has a mean you cannot trust at
+    * that sample size — the statistic that decides how many labeled
+    * examples the q168 probe needs. Scale shape: one corpus scan, one
+    * keyed aggregate; the half-to-half comparison joins the
+    * |labels|×2×dim model-sized centroid frame against itself, never the
+    * corpus. */
+  def q169(spark: SparkSession, dir: String): DataFrame = {
+    val T = graft.functions.TextFunctions
+    val cent = Tables.parallelized(Tables.load(spark, dir, "embeddings"))
+      .select(col("label").cast("long").as("label"),
+        T.hashBucket(col("vec_id"), 2).as("half"),
+        posexplode(transform(col("embedding"),
+          x => floor(x.cast("double") * 1000).cast("long"))).as(Seq("dim", "qd")))
+      .groupBy("label", "half", "dim")
+      .agg(expr("sum(qd) div count(1)").as("m"), count(lit(1)).as("n"))
+    cent.filter(col("half") === 0)
+      .select(col("label"), col("dim"), col("m").as("ma"), col("n").as("n_a"))
+      .join(cent.filter(col("half") === 1)
+          .select(col("label"), col("dim"), col("m").as("mb"), col("n").as("n_b")),
+        Seq("label", "dim"))
+      .groupBy("label")
+      .agg(max("n_a").as("n_a"), max("n_b").as("n_b"),
+        sum(expr("(ma - mb) * (ma - mb)")).as("dist2"))
+      .orderBy("label")
+  }
+
+  val q169Sql: String =
+    """WITH q AS (
+      |  SELECT CAST(label AS BIGINT) AS label,
+      |    CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8) AS BIGINT) % 2 AS half,
+      |    list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+      |  FROM embeddings
+      |), e AS (
+      |  SELECT label, half, unnest(range(1, len(qv) + 1)) AS i, qv FROM q
+      |), cent AS (
+      |  SELECT label, half, i, CAST(SUM(qv[i]) // COUNT(*) AS BIGINT) AS m,
+      |    COUNT(*) AS n
+      |  FROM e GROUP BY label, half, i
+      |)
+      |SELECT a.label, CAST(MAX(a.n) AS BIGINT) AS n_a,
+      |  CAST(MAX(b.n) AS BIGINT) AS n_b,
+      |  CAST(SUM((a.m - b.m) * (a.m - b.m)) AS BIGINT) AS dist2
+      |FROM cent a JOIN cent b ON a.label = b.label AND a.i = b.i
+      |  AND a.half = 0 AND b.half = 1
+      |GROUP BY a.label ORDER BY a.label""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(("q140_auc_ranksum", q140 _, Some(q140Sql)),
       ("q168_centroid_eval", q168 _, Some(q168Sql)),
+      ("q169_centroid_stability", q169 _, Some(q169Sql)),
       ("q141_rank_agreement", q141 _, Some(q141Sql)),
       ("q142_ks_distance", q142 _, Some(q142Sql)),
       ("q143_gini_purity", q143 _, Some(q143Sql)),

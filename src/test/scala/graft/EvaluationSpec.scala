@@ -222,6 +222,21 @@ class EvaluationSpec extends AnyFunSuite {
       s"synthetic fixture unexpectedly Zipfian: ${r.getLong(6)}")
   }
 
+  test("q169 split-half stability: halves partition each label, distances sane") {
+    import org.apache.spark.sql.functions._
+    val rows = Evaluation.q169(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val byLabel = Tables.load(spark, sf, "embeddings")
+      .groupBy(col("label").cast("long").as("l")).count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.nonEmpty)
+    rows.foreach { case (l, na, nb, d2) =>
+      assert(na + nb == byLabel(l), s"label $l: halves must partition the class")
+      assert(na > 0 && nb > 0 && d2 >= 0)
+    }
+    assert(rows.map(_._4).sum > 0, "all half-centroids identical — vacuous")
+  }
+
   test("q168 centroid eval agrees with a driver-side replay") {
     import org.apache.spark.sql.functions._
     val vecs = Tables.load(spark, sf, "embeddings")
