@@ -41,6 +41,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         DotProductLong(children.head, children(1))
       }))
 
+    ext.injectFunction((
+      FunctionIdentifier("portable_hyperplane_sig"),
+      new ExpressionInfo(classOf[PortableHyperplaneSig].getName,
+        "portable_hyperplane_sig"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "portable_hyperplane_sig(arr_i64)")
+        PortableHyperplaneSig(children.head)
+      }))
+
     // word_shingles(text, n): n must be a literal — the window width is a
     // plan-time constant baked into the compiled loop.
     ext.injectFunction((

@@ -302,6 +302,68 @@ object WordShingles {
   * once per PAIR, where the zip_with/aggregate HOF composition it replaces
   * would run interpreted — the same JIT-bimodal hazard [[ShingleHashesRaw]]
   * removes from the shingle family). Returns NULL if either side is NULL. */
+/** The q159 portable 63-bit hyperplane signature as one fused native loop:
+  * bit t (t = 0..62) is [Σ_j v[j]·c(t,j) ≥ 0] with arithmetic plane
+  * coefficients c(t,j) = ((1299709·(t·dim+j) + 15485863) mod 1000003) −
+  * 500001 — the integer algebra the DuckDB oracle replays verbatim (the
+  * q99 portability pattern: no JVM RNG anywhere, unlike
+  * [[HyperplaneSignature]]'s seeded plane matrix). The composed
+  * nested-HOF form (aggregate over sequence(0,62) of an indexed transform)
+  * is interpreted per row per bit; this loop runs 63·dim fused
+  * multiply-accumulates in codegen with the coefficient computed inline —
+  * no plane matrix in memory at all. Bit-parity with the HOF composition is
+  * asserted in TextVectorSpec.
+  *
+  * Degenerate inputs (empty array, any null element) yield 0L — the
+  * [[HyperplaneSignature]] convention. (The HOF composition maps an EMPTY
+  * array to all-ones instead — its aggregate seed 0 satisfies every
+  * `≥ 0` test — and DuckDB's empty `list_sum` is NULL, so 0L is also the
+  * only cross-engine-consistent choice; q159 filters zero-norm vectors
+  * before signing either way.) */
+case class PortableHyperplaneSig(child: Expression)
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "portable_hyperplane_sig"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    HashElem.check(prettyName, child.dataType)
+
+  override def nullSafeEval(input: Any): Any =
+    PortableHyperplaneSig.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.plans.PortableHyperplaneSig.compute($v);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object PortableHyperplaneSig {
+  def compute(v: ArrayData): Long = {
+    val d = v.numElements()
+    if (d == 0) return 0L
+    var j = 0
+    while (j < d) { if (v.isNullAt(j)) return 0L; j += 1 }
+    var sig = 0L
+    var t = 0
+    while (t < 63) {
+      var s = 0L
+      val base = t.toLong * d
+      var i = 0
+      while (i < d) {
+        s += v.getLong(i) *
+          ((1299709L * (base + i) + 15485863L) % 1000003L - 500001L)
+        i += 1
+      }
+      if (s >= 0L) sig |= (1L << t)
+      t += 1
+    }
+    sig
+  }
+}
+
 case class DotProductLong(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
 

@@ -1030,12 +1030,14 @@ object Training {
     * coefficients c(t,j) = ((1299709·(t·dim+j) + 15485863) mod 1000003) −
     * 500001 — pure int64 arithmetic both engines evaluate identically, so
     * the DuckDB oracle replays the ENTIRE pipeline (banding included), not
-    * just row counts. The native `hyperplane_sig` expression (q30) remains
-    * the production signature path; its JVM-seeded plane matrix is exactly
-    * what an external oracle cannot replay. Scale shape: the band explode is
+    * just row counts — and it is native: `portable_hyperplane_sig` runs the
+    * 63×dim multiply-accumulate as one codegen'd loop with the coefficients
+    * computed inline (the seeded-plane `hyperplane_sig` of q30 stays for
+    * callers that don't need oracle replay; its JVM RNG is exactly what an
+    * external engine cannot reproduce). Scale shape: the band explode is
     * 9 slim rows per vector, candidates dedup to (label, id_a, id_b) before
-    * the two corpus hash-joins fetch vectors, and every per-row loop is a
-    * rank-1 HOF over a 64-dim array. */
+    * the two corpus hash-joins fetch vectors, and the verify kernel is the
+    * codegen'd `dot_i64`. */
   def q159(spark: SparkSession, dir: String): DataFrame = {
     val q = Tables.parallelized(Tables.load(spark, dir, "embeddings"))
       .select(col("vec_id"), col("label").cast(LongType).as("label"),
@@ -1043,16 +1045,11 @@ object Training {
           x => floor(x.cast(DoubleType) * 100).cast(LongType)).as("qv"))
       .withColumn("nrm", call_function("dot_i64", col("qv"), col("qv")))
       .filter(col("nrm") > 0)
-    // 63-bit portable hyperplane signature, sliced into 9 bands × 7 bits.
+    // 63-bit portable hyperplane signature (native codegen'd expression,
+    // one fused 63×dim loop per row — the nested-HOF composition of the
+    // same algebra is interpreted per bit), sliced into 9 bands × 7 bits.
     val bands = q
-      .withColumn("sig", expr(
-        """aggregate(sequence(0, 62), CAST(0 AS BIGINT), (acc, t) ->
-          |  acc + shiftleft(CASE WHEN aggregate(
-          |    transform(qv, (x, j) ->
-          |      x * ((CAST(1299709 AS BIGINT) * (t * size(qv) + j)
-          |            + 15485863) % 1000003 - 500001)),
-          |    CAST(0 AS BIGINT), (a, v) -> a + v) >= 0
-          |  THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END, t))""".stripMargin))
+      .withColumn("sig", call_function("portable_hyperplane_sig", col("qv")))
       .select(col("label"), col("vec_id"),
         explode(sequence(lit(0), lit(8))).as("band_id"), col("sig"))
       .withColumn("band_val", expr("shiftright(sig, band_id * 7) & 127"))

@@ -96,6 +96,45 @@ class TextVectorSpec extends AnyFunSuite {
     out.foreach(r => assert(r.getLong(0) == r.getLong(1)))
   }
 
+  test("native portable_hyperplane_sig matches the HOF algebra and a driver replay") {
+    val rnd = new scala.util.Random(17)
+    val rows = Seq.fill(100)(Seq.fill(rnd.nextInt(64) + 1)(
+      rnd.nextInt(201).toLong - 100L))
+    val df = rows.toDF("qv")
+    val hof =
+      """aggregate(sequence(0, 62), CAST(0 AS BIGINT), (acc, t) ->
+        |  acc + shiftleft(CASE WHEN aggregate(
+        |    transform(qv, (x, j) ->
+        |      x * ((CAST(1299709 AS BIGINT) * (t * size(qv) + j)
+        |            + 15485863) % 1000003 - 500001)),
+        |    CAST(0 AS BIGINT), (a, v) -> a + v) >= 0
+        |  THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END, t))""".stripMargin
+    val out = df.select(
+      call_function("portable_hyperplane_sig", col("qv")).as("native"),
+      expr(hof).as("hofv")).collect()
+    out.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+    // driver-side replay of the algebra, independent of both Spark paths
+    def psig(q: Seq[Long]): Long = {
+      val d = q.length
+      (0 until 63).foldLeft(0L) { (sig, t) =>
+        val s = q.indices.map(j =>
+          q(j) * ((1299709L * (t.toLong * d + j) + 15485863L) % 1000003L - 500001L)).sum
+        if (s >= 0L) sig | (1L << t) else sig
+      }
+    }
+    val natives = df.select(call_function("portable_hyperplane_sig", col("qv")))
+      .collect().map(_.getLong(0))
+    rows.zip(natives).foreach { case (q, n) => assert(psig(q) == n) }
+    // degenerate inputs follow the native convention: 0L
+    val degen = Seq((Seq.empty[Long], 1), (Seq(1L, 2L), 2)).toDF("qv", "tag")
+      .select(when(col("tag") === 2, lit(null).cast("array<bigint>"))
+        .otherwise(col("qv")).as("qv"))
+    val dout = degen.select(
+      call_function("portable_hyperplane_sig", col("qv"))).collect()
+    assert(dout(0).getLong(0) == 0L) // empty array
+    assert(dout(1).isNullAt(0))      // null array stays null (nullSafeEval)
+  }
+
   test("cosine_sim degenerate inputs: length mismatch and zero norm → null") {
     val df = Seq(
       (Seq(1f, 2f), Seq(1f, 2f, 3f)), // length mismatch
