@@ -157,6 +157,32 @@ class SourcesSpec extends AnyFunSuite {
     assert(!Sources.writeOrc(empty, s"$tmp/never_orc"))
   }
 
+  // The driver regenerates /root/testdata between rounds and has already
+  // changed a physical type under the engine once (events.ts, ns → µs).
+  // This diagnostic pins every table's footer schema against the declared
+  // read schema so the NEXT drift fails one test that names the column,
+  // instead of a hundred cryptic query mismatches. Events is checked
+  // through Tables.load (its reader is unit-adaptive by design).
+  test("fixture footer schemas match the declared read schemas") {
+    for (t <- Tables.names) {
+      val got =
+        if (t == "events") Tables.load(spark, sf, t).schema
+        else spark.read.parquet(Tables.path(sf, t)).schema
+      val want = if (t == "events") Schemas.events else Schemas.all(t)
+      // NTZ-vs-LTZ is NOT drift: the fixtures store naive timestamps
+      // (isAdjustedToUTC=false → NTZ in the footer), the declared schemas
+      // read them as instants, and under the engine's fixed UTC session
+      // the values are identical — the oracle hash gate proves it.
+      def shape(s: org.apache.spark.sql.types.StructType) =
+        s.fields.map(f => (f.name, f.dataType match {
+          case TimestampNTZType => TimestampType
+          case dt => dt
+        })).toSeq
+      assert(shape(got) == shape(want),
+        s"fixture drift in table '$t': footer ${shape(got)} vs declared ${shape(want)}")
+    }
+  }
+
   // The events fixture has shipped ts as TIMESTAMP(NANOS) in one generation
   // and TIMESTAMP(MICROS) in another, and the unit can change back: the
   // reader must produce IDENTICAL values for both physical encodings of the
