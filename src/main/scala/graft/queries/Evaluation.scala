@@ -389,10 +389,15 @@ object Evaluation {
       .groupBy("c_label")
       .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
         s => s("m")).as("cv"))
-    q.crossJoin(broadcast(cent)) // |classes| rows — model-sized by contract
-      .withColumn("dist2", expr(
-        """aggregate(zip_with(qv, cv, (a, b) -> (a - b) * (a - b)),
-          |  CAST(0 AS BIGINT), (acc, v) -> acc + v)""".stripMargin))
+    // ‖q−c‖² = ‖q‖² + ‖c‖² − 2·q·c keeps the distance inside the codegen'd
+    // dot_i64 kernel (a zip_with/aggregate HOF is interpreted per row per
+    // class); the norms are computed once per row / once per centroid
+    q.withColumn("nq", call_function("dot_i64", col("qv"), col("qv")))
+      .crossJoin(broadcast( // |classes| rows — model-sized by contract
+        cent.withColumn("nc", call_function("dot_i64", col("cv"), col("cv")))))
+      .withColumn("dist2",
+        col("nq") + col("nc") -
+          lit(2L) * call_function("dot_i64", col("qv"), col("cv")))
       .withColumn("rn", row_number().over(
         Window.partitionBy("vec_id").orderBy(col("dist2"), col("c_label"))))
       .filter(col("rn") === 1)
