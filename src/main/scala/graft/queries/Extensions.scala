@@ -771,8 +771,47 @@ object Extensions {
       |  COUNT(DISTINCT doc_id) AS n_media, COUNT(*) AS n_bytes
       |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
 
+  /** q170 cross-source near-dup rate matrix — WHERE duplication lives: the
+    * q99 portable MinHash pairs (the whole LSH pipeline, oracle-replayed)
+    * rolled up to unordered (source, source) cells with pair counts and the
+    * cell's max Jaccard. Within-source cells measure internal redundancy;
+    * cross-source cells measure syndication — the evidence a corpus team
+    * uses to decide which source to dedup against which (q150 gives the
+    * same matrix n-gram-containment evidence; this gives it near-dup-pair
+    * evidence). Scale shape: pair count ∝ band collisions (never corpus²),
+    * then two doc-keyed fetch joins against the slim (doc_id, source)
+    * projection and one map-combined rollup over ≤ |sources|² cells. */
+  def q170(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = graft.dedup.Dedup
+      .minHashPairsPortable(Tables.load(spark, dir, "documents"))
+    val src = Tables.load(spark, dir, "documents").select("doc_id", "source")
+    pairs
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("src_a")),
+        "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("src_b")),
+        "doc_b")
+      .select(least(col("src_a"), col("src_b")).as("source_x"),
+        greatest(col("src_a"), col("src_b")).as("source_y"),
+        col("jaccard_x1e6"))
+      .groupBy("source_x", "source_y")
+      .agg(count(lit(1)).as("n_pairs"),
+        max("jaccard_x1e6").as("max_jaccard_x1e6"))
+      .orderBy("source_x", "source_y")
+  }
+
+  val q170Sql: String =
+    s"""SELECT LEAST(da.source, db.source) AS source_x,
+       |  GREATEST(da.source, db.source) AS source_y,
+       |  COUNT(*) AS n_pairs,
+       |  CAST(MAX(p.jaccard_x1e6) AS BIGINT) AS max_jaccard_x1e6
+       |FROM ($q99Sql) p
+       |JOIN documents da ON da.doc_id = p.doc_a
+       |JOIN documents db ON db.doc_id = p.doc_b
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q26_dedup_exact", q26 _, Some(q26Sql)),
+    ("q170_source_dup_matrix", q170 _, Some(q170Sql)),
     ("q27_dedup_minhash_lsh", q27 _, None),
     ("q28_dedup_simhash", q28 _, None),
     ("q29_ngram_jaccard", q29 _, Some(q29Sql)),

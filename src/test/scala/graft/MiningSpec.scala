@@ -244,6 +244,19 @@ class MiningSpec extends AnyFunSuite {
     assert(rows.map(_._2).sum == totalTokens)
   }
 
+  test("q170 source matrix conserves the q99 pair set and respects the threshold") {
+    val cells = queries.Extensions.q170(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val nPairs = queries.Extensions.q99(spark, sf).count()
+    assert(cells.nonEmpty && nPairs > 0)
+    assert(cells.map(_._3).sum == nPairs, "matrix must conserve every pair")
+    cells.foreach { case (x, y, n, mj) =>
+      assert(x <= y, s"cells must be unordered: ($x,$y)")
+      assert(n > 0 && mj >= 800000L && mj <= 1000000L,
+        s"($x,$y) max jaccard $mj outside [threshold, 1e6]")
+    }
+  }
+
   test("q160 surprisal replays exactly from a driver-side bigram LM") {
     def bucket(id: Long): Long = {
       val md = java.security.MessageDigest.getInstance("MD5")
