@@ -39,4 +39,38 @@ object Models {
     * hyperparameter that shapes the model. */
   def cached[T <: AnyRef](key: String)(train: => T): T =
     cache.computeIfAbsent(key, _ => train).asInstanceOf[T]
+
+  /** Genuinely unique live-session identity for cache keys.
+    * `identityHashCode` alone is NOT unique across a session's lifetime —
+    * a stopped session's hash can recycle into a NEW session, which would
+    * serve a frame bound to a dead SparkContext. Prefixing the
+    * applicationId closes that hole (a stopped context's successor gets a
+    * fresh appId), and identity hashes ARE distinct among simultaneously
+    * live sessions sharing one context (`newSession()`). */
+  def sessionId(spark: SparkSession): String =
+    spark.sparkContext.applicationId + "-" +
+      System.identityHashCode(spark).toHexString
+
+  private val latest =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, AnyRef)]()
+
+  /** Latest-stamp variant of [[cached]]: one live entry per `baseKey`, keyed
+    * by the corpus `stamp`. A stamp change (the driver regenerates fixtures
+    * between rounds) EVICTS the superseded value through `onEvict` — the
+    * plain registry would accumulate entries for dead corpora for the
+    * process lifetime, and a persisted DataFrame in such an entry would pin
+    * executor storage for data that can never be read again. `baseKey` must
+    * embed a genuinely unique session id ([[org.apache.spark.sql.SparkSession.sessionUUID]],
+    * not `identityHashCode` — hash values recycle across stopped sessions)
+    * plus every hyperparameter; `stamp` carries only the corpus
+    * fingerprint. */
+  def cachedLatest[T <: AnyRef](baseKey: String, stamp: String,
+      onEvict: T => Unit = (_: T) => ())(train: => T): T =
+    latest.compute(baseKey, (_, prev) =>
+      if (prev != null && prev._1 == stamp) prev
+      else {
+        if (prev != null) onEvict(prev._2.asInstanceOf[T])
+        (stamp, train)
+      }
+    )._2.asInstanceOf[T]
 }

@@ -425,11 +425,9 @@ object Analytics {
     * the orderkey partitioning), one for the pair count, top-20 via
     * TakeOrderedAndProject. */
   def q122(spark: SparkSession, dir: String): DataFrame = {
-    // persisted: both self-join sides read it — one scan+distinct, not two
-    val items = Tables.load(spark, dir, "lineitem")
-      .select(col("l_orderkey").as("okey"), col("l_partkey").as("part"))
-      .distinct()
-      .persist()
+    // shared corpus-stamped frame: both self-join sides read it, and
+    // q123/q145/the graph family start from the same (okey, part) distinct
+    val items = SharedFrames.basketItems(spark, dir)
     val nOrders = Tables.load(spark, dir, "orders")
       .agg(count(lit(1)).as("n_orders"))
     val a = items.select(col("okey"), col("part").as("part_a"))
@@ -476,12 +474,9 @@ object Analytics {
     * genuinely associated pairs rather than merely popular ones — the
     * difference between co-occurrence and association. */
   def q123(spark: SparkSession, dir: String): DataFrame = {
-    // persisted: consumed 4x (both pair sides + both support lookups) — four
-    // scan+distinct recomputations of a corpus-sized frame otherwise
-    val items = Tables.load(spark, dir, "lineitem")
-      .select(col("l_orderkey").as("okey"), col("l_partkey").as("part"))
-      .distinct()
-      .persist()
+    // shared corpus-stamped frame, consumed 4x here (both pair sides +
+    // both support lookups)
+    val items = SharedFrames.basketItems(spark, dir)
     val nOrders = Tables.load(spark, dir, "orders")
       .agg(count(lit(1)).as("n_orders"))
     val partSupport = items.groupBy("part").agg(count(lit(1)).as("n_part"))
@@ -538,15 +533,19 @@ object Analytics {
     * thresholded frame, so AQE sizes that join from measurement (unhinted —
     * at low thresholds the frequent set is corpus-shaped). */
   def q145(spark: SparkSession, dir: String, minSupport: Long = 2L): DataFrame = {
-    val items = Tables.load(spark, dir, "lineitem")
-      .select(col("l_orderkey").as("okey"), col("l_partkey").as("part"))
-      .distinct()
-      .persist() // consumed 3x: pair build, pair instances, third-item probe
+    // shared corpus-stamped frame, consumed 3x: pair build, pair
+    // instances, third-item probe
+    val items = SharedFrames.basketItems(spark, dir)
     val a = items.select(col("okey"), col("part").as("part_a"))
     val b = items.select(col("okey").as("okey_b"), col("part").as("part_b"))
+    // persisted: consumed twice (the frequent-pair aggregate AND the
+    // semi-join probe) — unpersisted, the Σ basket² okey self-join runs
+    // twice per execution. Bounded by frequent-pair instances × basket
+    // size, spills to disk if storage is tight (default MEMORY_AND_DISK).
     val pairInstances = a
       .join(b, col("okey") === col("okey_b") && col("part_a") < col("part_b"))
       .select("okey", "part_a", "part_b")
+      .persist()
     val freqPairs = pairInstances
       .groupBy("part_a", "part_b").agg(count(lit(1)).as("n_ab"))
       .filter(col("n_ab") >= minSupport)

@@ -152,32 +152,18 @@ object Graph {
     * still-cached frame and transparently re-cache it after an external
     * unpersist sweep (e.g. Bench's between-query block-store reset, which
     * deliberately keeps timed queries independent). A rewritten lineitem
-    * invalidates via the stamp; a restarted session via the session
-    * identity in the key. */
-  private val edgeCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
-
-  private def coPurchaseEdges(spark: SparkSession, dir: String): DataFrame = {
-    val key = System.identityHashCode(spark).toString + ":" + dir + ":" +
-      graft.ann.Models.corpusStamp(spark, dir, "lineitem")
-    val df = edgeCache.computeIfAbsent(key, { _ =>
-      val items = Tables.load(spark, dir, "lineitem")
-        .select(col("l_orderkey").as("okey"), col("l_partkey").as("part"))
-        .distinct()
+    * invalidates via the stamp (unpersisting the superseded frame); a
+    * restarted session via `sessionUUID` in the key. Built FROM the shared
+    * [[SharedFrames.basketItems]] frame, so a session mixing basket-mining
+    * and graph queries pays the corpus scan + distinct exactly once. */
+  private def coPurchaseEdges(spark: SparkSession, dir: String): DataFrame =
+    SharedFrames.sharedFrame(spark, dir, "lineitem", "copurchase-edges") {
+      val items = SharedFrames.basketItems(spark, dir)
       items.select(col("okey"), col("part").as("a"))
         .join(items.select(col("okey").as("okey_b"), col("part").as("b")),
           col("okey") === col("okey_b") && col("a") < col("b"))
         .select("a", "b").distinct()
-    })
-    // (Re-)persist on every access: an external cache sweep (Bench's
-    // between-query block-store reset, a session's own clearCache) clears
-    // the marker silently, and an unpersisted shared frame would recompute
-    // the self-join per consumer — the exact cost the cache exists to pay
-    // once.
-    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
-      df.persist()
-    df
-  }
+    }
 
   /** q136 triangle counting with degree orientation — the graph kernel
     * behind clustering-coefficient quality signals on web/link corpora.

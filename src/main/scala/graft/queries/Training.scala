@@ -409,9 +409,9 @@ object Training {
     * ANN model registry: train per corpus, serve per query. */
   private[queries] def bpeMerges(spark: SparkSession, dir: String, steps: Int)
       : (Seq[BpeMerge], Map[Char, String]) =
-    graft.ann.Models.cached(
-      "bpe:" + System.identityHashCode(spark) + ":" + steps + ":" + dir + ":" +
-        graft.ann.Models.corpusStamp(spark, dir, "documents")) {
+    graft.ann.Models.cachedLatest[(Seq[BpeMerge], Map[Char, String])](
+      "bpe:" + graft.ann.Models.sessionId(spark) + ":" + steps + ":" + dir,
+      graft.ann.Models.corpusStamp(spark, dir, "documents")) {
       val (words, merges, render) = bpeInduction(spark, dir, steps)
       words.unpersist(blocking = false) // consumers rebuild lazily from merges
       (merges, render)
