@@ -374,8 +374,13 @@ object Evaluation {
     * |classes| rows (class-count-bounded, the same parameter-sized
     * contract as the ANN model registry), so broadcasting it is the
     * correct plan at any corpus size; the corpus streams through ONE scan
-    * against it, the per-vector argmin is a vec_id-keyed window on the
-    * |corpus|×|classes| scored frame, and the rollup is one aggregate. */
+    * against it, the per-vector argmin is a `min_by` AGGREGATE on the
+    * |corpus|×|classes| scored frame — partial aggregation combines
+    * map-side, so the argmin shuffle carries one row per vector where a
+    * row_number window would shuffle all |corpus|×|classes| scored rows —
+    * and the rollup is one aggregate. The (dist2, c_label) ordering struct
+    * keeps the tie-break total, so the aggregate is deterministic and
+    * matches the oracle's ROW_NUMBER replay exactly. */
   def q168(spark: SparkSession, dir: String): DataFrame = {
     val q = Tables.parallelized(Tables.load(spark, dir, "embeddings"))
       .select(col("vec_id"), col("label").cast("long").as("label"),
@@ -398,9 +403,9 @@ object Evaluation {
       .withColumn("dist2",
         col("nq") + col("nc") -
           lit(2L) * call_function("dot_i64", col("qv"), col("cv")))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("vec_id").orderBy(col("dist2"), col("c_label"))))
-      .filter(col("rn") === 1)
+      .groupBy("vec_id", "label") // label is functionally dependent on vec_id
+      .agg(min_by(col("c_label"),
+        struct(col("dist2"), col("c_label"))).as("c_label"))
       .groupBy("label")
       .agg(count(lit(1)).as("n_vecs"),
         sum(when(col("c_label") === col("label"), 1L).otherwise(0L))

@@ -203,20 +203,33 @@ object Stats {
 
   /** q93 vocabulary coverage curve: tokens ranked by frequency with the
     * running share of all token occurrences each prefix of the vocabulary
-    * covers (the "how big a vocab do we need" curve), as exact ppm. The
-    * global-ordering window runs on the AGGREGATED vocabulary (thousands of
-    * rows at any corpus scale), not the corpus, so the single-partition
-    * window is safe by construction. */
+    * covers (the "how big a vocab do we need" curve), as exact ppm.
+    *
+    * Scale shape: the query keeps only the top-20 prefix, so the top-20 is
+    * taken FIRST — `orderBy(...).limit(20)` plans as TakeOrderedAndProject
+    * (per-partition heaps, 20-row driver merge) — and the rank/running-sum
+    * window runs on those 20 rows. The naive alternative (window over the
+    * aggregated vocabulary, filter rnk ≤ 20 after) moves the WHOLE
+    * vocabulary through one partition — an open web corpus has 10⁸–10⁹
+    * distinct tokens, and the running `sum` in the window spec blocks
+    * Spark's rank-only InferWindowGroupLimit map-side prune, so nothing
+    * saves that plan at scale. The 20-row prefix of the global (freq desc,
+    * token) order is identical either way, so the outputs are
+    * bit-identical. The vocab aggregate is persisted: both the grand total
+    * and the top-20 read it, and unpersisted each would re-tokenize the
+    * corpus (vocab-sized persist — bounded by distinct tokens, never the
+    * corpus). */
   def q93(spark: SparkSession, dir: String): DataFrame = {
     val counts = tokens(spark, dir).groupBy("token")
       .agg(count(lit(1)).as("freq"))
-    val w = Window.orderBy(desc("freq"), col("token"))
+      .persist()
     val total = counts.agg(sum("freq").as("total"))
-    counts.join(broadcast(total))
+    val top = counts.orderBy(desc("freq"), col("token")).limit(20)
+    val w = Window.orderBy(desc("freq"), col("token"))
+    top.join(broadcast(total))
       .withColumn("rnk", row_number().over(w).cast(LongType))
       .withColumn("cum_freq",
         sum("freq").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .filter(col("rnk") <= 20)
       .select(col("rnk"), col("token"), col("freq"), col("cum_freq"),
         expr("cum_freq * 1000000 div total").as("coverage_ppm")) // integral ÷
       .orderBy("rnk")

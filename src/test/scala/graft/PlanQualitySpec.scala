@@ -211,6 +211,27 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), s"top-20 must not global-sort:\n$p")
   }
 
+  test("q93: top-20 taken before the window — no vocab-wide single-partition window") {
+    val p = plan("q93_vocab_coverage")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the top-20 must plan per-partition heaps, not a global sort:\n$p")
+    // the rank/running-sum window must sit ABOVE the 20-row limit (parents
+    // print first): a window whose input is the full aggregated vocabulary
+    // moves 10⁸–10⁹ distinct tokens through one partition at corpus scale
+    val wIdx = p.indexOf("Window")
+    val tIdx = p.indexOf("TakeOrderedAndProject")
+    assert(wIdx >= 0 && tIdx > wIdx,
+      s"the window must consume the 20-row prefix, never the full vocabulary:\n$p")
+  }
+
+  test("q168: per-vector argmin is a partial-combining min_by aggregate, not a window") {
+    val p = plan("q168_centroid_eval")
+    assert(p.contains("partial_min_by"),
+      s"the argmin must combine map-side before the vec_id shuffle:\n$p")
+    assert(!p.contains("Window"),
+      s"no window may consume the |corpus|×|classes| scored frame:\n$p")
+  }
+
   test("q94: funnel stage joins reuse the user_id partitioning (no re-exchange per stage)") {
     val p = plan("q94_event_funnel")
     // one scan feeding three stage aggregates + joins on the same key: the
