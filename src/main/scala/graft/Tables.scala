@@ -19,33 +19,61 @@ object Tables {
 
   def path(dir: String, name: String): String = s"$dir/$name.parquet"
 
-  /** Per-file cache of the events `ts` physical unit (true = TIMESTAMP(NANOS)).
+  /** Cache of the events `ts` physical unit (true = TIMESTAMP(NANOS)),
+    * keyed by (file, corpus stamp).
     *
     * The fixture generator has shipped `ts` both as TIMESTAMP(NANOS) — which
     * Spark's vectorized reader rejects unless the nanosAsLong shim surfaces it
     * as raw INT64 — and as TIMESTAMP(MICROS), which Spark reads natively. The
     * unit is a property of the FILE, not of the engine, so it is read from the
-    * parquet footer (one driver-side metadata read, cached per path) rather
-    * than hardcoded. Footer schema inference under the shim yields LongType
-    * for a nanos column and TimestampType for a micros one.
-    */
+    * parquet footer (one driver-side metadata read, cached) rather than
+    * hardcoded. The corpus stamp in the key means a fixture REWRITTEN under a
+    * live session (the driver regenerates /root/testdata between rounds, and
+    * has flipped the unit once already) re-probes instead of serving the
+    * stale unit. Footer schema inference under the shim yields LongType for a
+    * nanos column and TimestampType for a micros one.
+    *
+    * The shim conf is scoped to the probe and RESTORED afterwards: it is a
+    * session-global mode, and leaving it flipped as a side effect of a
+    * metadata read would make a future nanos-typed column in any OTHER table
+    * silently surface as raw longs. */
   private val tsIsNanosCache = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
 
-  private[graft] def eventsTsIsNanos(spark: SparkSession, file: String): Boolean =
-    tsIsNanosCache.computeIfAbsent(file, { f =>
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(f).schema("ts").dataType ==
-        org.apache.spark.sql.types.LongType
+  private val NanosConfKey = "spark.sql.legacy.parquet.nanosAsLong"
+
+  private[graft] def eventsTsIsNanos(spark: SparkSession, dir: String): Boolean = {
+    val file = path(dir, "events")
+    val key = file + ":" + graft.ann.Models.corpusStamp(spark, dir, "events")
+    tsIsNanosCache.computeIfAbsent(key, { _ =>
+      val prior = spark.conf.getOption(NanosConfKey)
+      spark.conf.set(NanosConfKey, "true")
+      try
+        spark.read.parquet(file).schema("ts").dataType ==
+          org.apache.spark.sql.types.LongType
+      finally prior match {
+        case Some(v) => spark.conf.set(NanosConfKey, v)
+        case None    => spark.conf.unset(NanosConfKey)
+      }
     })
+  }
+
+  /** Arm the nanos shim for a NANOS-typed events read. This one cannot be
+    * scoped-and-restored: DataFrame execution is lazy, so the conf must
+    * still be set when the plan RUNS, long after the reader built it. It is
+    * therefore only flipped on the branch that actually consumes a nanos
+    * file — a session that only ever reads µs fixtures never sees the
+    * mode change. */
+  private[graft] def ensureNanosShim(spark: SparkSession): Unit =
+    spark.conf.set(NanosConfKey, "true")
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = name match {
     case "events" =>
       val file = path(dir, name)
-      if (eventsTsIsNanos(spark, file)) {
+      if (eventsTsIsNanos(spark, dir)) {
         // Legacy nanos fixture: read epoch-nanos INT64 and truncate to the
         // engine's µs precision (matches how the oracle's ns values behave
         // under any sub-second-insensitive operation).
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        ensureNanosShim(spark)
         spark.read.schema(Schemas.eventsRaw).parquet(file)
           .select(
             F.col("event_id"),

@@ -21,7 +21,10 @@ object EventStream {
     * `ts` is read from the parquet footer (Tables' cached check), so both
     * nanos- and micros-typed fixtures stream identically. */
   def readEvents(spark: SparkSession, sfDir: String): DataFrame = {
-    val nanos = graft.Tables.eventsTsIsNanos(spark, s"$sfDir/events.parquet")
+    val nanos = graft.Tables.eventsTsIsNanos(spark, sfDir)
+    // the stream executes long after this builder returns, so the nanos
+    // branch must arm the shim itself (the probe restores the conf)
+    if (nanos) graft.Tables.ensureNanosShim(spark)
     val base = spark.readStream
       .schema(if (nanos) Schemas.eventsRaw else Schemas.events)
       .option("pathGlobFilter", "events.parquet")

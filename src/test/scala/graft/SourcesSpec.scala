@@ -263,4 +263,35 @@ class SourcesSpec extends AnyFunSuite {
     assert(gotNs == rows.map(t => (t._1, t._2, t._3, t._4, t._5, t._6)).toSet,
       "values must be the written instants, µs-exact")
   }
+
+  // The unit probe flips a session-GLOBAL mode (nanosAsLong) to read the
+  // footer; it must restore it — left set, a future nanos-typed column in
+  // any other table would silently read as raw longs. Only the branch that
+  // actually consumes a nanos file may arm the shim (execution is lazy, so
+  // that one cannot be scoped). A µs-only session must see no mode change.
+  test("loading a micros events fixture leaves the session nanosAsLong conf untouched") {
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val usDir = s"$tmp/events-us-conf"
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(usDir), true)
+    val prevOut = spark.conf.getOption("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    try {
+      import spark.implicits._
+      Seq((1L, 1704067200123456L, 10L, "view", 1.5, "{}"))
+        .toDF("event_id", "us", "user_id", "event_type", "value", "props")
+        .select(col("event_id"), timestamp_micros(col("us")).as("ts"),
+          col("user_id"), col("event_type"), col("value"), col("props"))
+        .write.parquet(s"$usDir/events.parquet")
+    } finally prevOut match {
+      case Some(v) => spark.conf.set("spark.sql.parquet.outputTimestampType", v)
+      case None => spark.conf.unset("spark.sql.parquet.outputTimestampType")
+    }
+    spark.conf.set(key, "false")
+    assert(Tables.load(spark, usDir, "events").count() == 1L)
+    assert(spark.conf.get(key) == "false",
+      "the footer probe must restore the session nanosAsLong conf")
+    spark.conf.unset(key)
+  }
 }
