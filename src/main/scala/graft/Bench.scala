@@ -76,24 +76,40 @@ object Bench {
     // The driver reads this line from a bounded tail buffer (~1.8 KB,
     // shared with sbt's trailing "[success]" line). 163 queries at ~14
     // chars/entry no longer fit — r07's capture was truncated mid-JSON and
-    // parsed as null, losing the whole record. So the line self-limits to a
-    // strict byte budget: entries are emitted SLOWEST FIRST (failed queries
-    // first of all — a dropped failure must never hide) until the budget is
-    // spent; whatever is cut is exactly the sub-noise fast tail, and the
-    // complete record is always in BENCH_DETAIL.json (`queries_full`).
+    // parsed as null, losing the whole record. So EVERYTHING variable-length
+    // on the line is charged against ONE strict byte budget:
+    //  - the failed list first (a dropped failure must never hide), as qNN
+    //    prefixes with an always-exact n_failed count — full names live in
+    //    BENCH_DETAIL.json, and a mass-failure run must not be the one run
+    //    whose record truncates to unparseable;
+    //  - then timed entries SLOWEST FIRST, stopping at the FIRST entry that
+    //    does not fit, so the reported set is exactly the slowest-first
+    //    prefix the contract claims (no shorter-faster entry admitted past
+    //    the cut). Whatever is cut is the sub-noise fast tail; the complete
+    //    record is always in BENCH_DETAIL.json (`queries_full`).
     def qkey(k: String): String = k.takeWhile(_ != '_')
     val bySlowest = results.sortBy { case (_, v) =>
       -v.fold(Double.MaxValue)(_._1) // failed (None) sort first
     }
-    val mapBudget = 1250
-    val entries = scala.collection.mutable.ArrayBuffer[String]()
+    val lineBudget = 1250
     var used = 0
+    val failedOut = scala.collection.mutable.ArrayBuffer[String]()
+    failed.sorted.foreach { k =>
+      val e = "\"" + qkey(k) + "\""
+      if (used + e.length + 1 <= lineBudget) { failedOut += e; used += e.length + 1 }
+    }
+    val entries = scala.collection.mutable.ArrayBuffer[String]()
+    var fits = true
     bySlowest.foreach { case (k, v) =>
-      val e = "\"" + qkey(k) + "\":" + v.fold("null")(t => f"${t._1}%.3f")
-      if (used + e.length + 1 <= mapBudget) { entries += e; used += e.length + 1 }
+      v.foreach { t =>
+        val e = "\"" + qkey(k) + "\":" + f"${t._1}%.3f"
+        if (fits && used + e.length + 1 <= lineBudget) {
+          entries += e; used += e.length + 1
+        } else fits = false
+      }
     }
     val qs = entries.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"n_reported":${entries.size},"queries_full":"BENCH_DETAIL.json","queries":$qs,"failed":$failedJson,"load1m":[${fmt(loadBefore)},${fmt(loadAfter)}],"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"n_reported":${entries.size},"n_failed":${failed.size},"queries_full":"BENCH_DETAIL.json","queries":$qs,"failed":${failedOut.mkString("[", ",", "]")},"load1m":[${fmt(loadBefore)},${fmt(loadAfter)}],"sf":"$sfDir"}""")
     spark.stop()
   }
 }

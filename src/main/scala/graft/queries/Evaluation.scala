@@ -449,11 +449,17 @@ object Evaluation {
     * exact squared distance between them. A class whose two half-centroids
     * sit far apart relative to its size has a mean you cannot trust at
     * that sample size — the statistic that decides how many labeled
-    * examples the q168 probe needs. Scale shape: one corpus scan, one
-    * keyed aggregate; the half-to-half comparison joins the
+    * examples the q168 probe needs. `stableDist2` is the declared
+    * calibration knob (SURVEY §2.13): a label is flagged `stable` = 1 when
+    * its half-to-half squared distance is at or under the threshold —
+    * 80000 in quantized-coordinate units sits mid-range of the observed
+    * fixture distances, so the flag actually separates classes; raise it
+    * for noisier embeddings or smaller eval sets. Scale shape: one corpus
+    * scan, one keyed aggregate; the half-to-half comparison joins the
     * |labels|×2×dim model-sized centroid frame against itself, never the
     * corpus. */
-  def q169(spark: SparkSession, dir: String): DataFrame = {
+  def q169(spark: SparkSession, dir: String,
+      stableDist2: Long = 80000L): DataFrame = {
     val T = graft.functions.TextFunctions
     val cent = Tables.parallelized(Tables.load(spark, dir, "embeddings"))
       .select(col("label").cast("long").as("label"),
@@ -470,6 +476,8 @@ object Evaluation {
       .groupBy("label")
       .agg(max("n_a").as("n_a"), max("n_b").as("n_b"),
         sum(expr("(ma - mb) * (ma - mb)")).as("dist2"))
+      .withColumn("stable",
+        when(col("dist2") <= stableDist2, 1L).otherwise(0L))
       .orderBy("label")
   }
 
@@ -488,7 +496,9 @@ object Evaluation {
       |)
       |SELECT a.label, CAST(MAX(a.n) AS BIGINT) AS n_a,
       |  CAST(MAX(b.n) AS BIGINT) AS n_b,
-      |  CAST(SUM((a.m - b.m) * (a.m - b.m)) AS BIGINT) AS dist2
+      |  CAST(SUM((a.m - b.m) * (a.m - b.m)) AS BIGINT) AS dist2,
+      |  CAST(CASE WHEN SUM((a.m - b.m) * (a.m - b.m)) <= 80000
+      |    THEN 1 ELSE 0 END AS BIGINT) AS stable
       |FROM cent a JOIN cent b ON a.label = b.label AND a.i = b.i
       |  AND a.half = 0 AND b.half = 1
       |GROUP BY a.label ORDER BY a.label""".stripMargin
@@ -496,7 +506,8 @@ object Evaluation {
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(("q140_auc_ranksum", q140 _, Some(q140Sql)),
       ("q168_centroid_eval", q168 _, Some(q168Sql)),
-      ("q169_centroid_stability", q169 _, Some(q169Sql)),
+      ("q169_centroid_stability",
+        (s: SparkSession, d: String) => q169(s, d), Some(q169Sql)),
       ("q141_rank_agreement", q141 _, Some(q141Sql)),
       ("q142_ks_distance", q142 _, Some(q142Sql)),
       ("q143_gini_purity", q143 _, Some(q143Sql)),

@@ -1234,9 +1234,9 @@ object Training {
   val q164Sql =
     """WITH ev AS (
       |  SELECT user_id, epoch_ms(ts) // 86400000 AS day, event_type,
-      |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+      |    TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
       |  FROM events
-      |  WHERE json_extract_string(props, '$.k') IS NOT NULL
+      |  WHERE TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL
       |), pos AS (
       |  SELECT DISTINCT user_id, day, item FROM ev WHERE event_type = 'purchase'
       |), neg AS (

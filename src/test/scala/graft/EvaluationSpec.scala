@@ -225,14 +225,18 @@ class EvaluationSpec extends AnyFunSuite {
   test("q169 split-half stability: halves partition each label, distances sane") {
     import org.apache.spark.sql.functions._
     val rows = Evaluation.q169(spark, sf).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
     val byLabel = Tables.load(spark, sf, "embeddings")
       .groupBy(col("label").cast("long").as("l")).count().collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(rows.nonEmpty)
-    rows.foreach { case (l, na, nb, d2) =>
+    rows.foreach { case (l, na, nb, d2, st) =>
       assert(na + nb == byLabel(l), s"label $l: halves must partition the class")
       assert(na > 0 && nb > 0 && d2 >= 0)
+      // the declared stability knob (SURVEY §2.13): stable ⟺ dist2 ≤ 80000
+      assert(st == (if (d2 <= 80000L) 1L else 0L),
+        s"label $l: stable flag must replay the threshold")
     }
     assert(rows.map(_._4).sum > 0, "all half-centroids identical — vacuous")
   }
