@@ -173,6 +173,40 @@ object Dedup {
       array_distinct(T.portableShingleHashes(col("text"), 3)), minJaccardX1e6)
   }
 
+  /** Per-document LEAKAGE-FREE split side assignment — the eval-split
+    * contract a training pipeline needs between dedup and mixing: plain
+    * per-document hash splits (q54) put near-identical documents on BOTH
+    * sides of a train/test boundary, and the test half stops measuring
+    * generalization. Here documents are first clustered by the q165
+    * two-permutation portable MinHash key (near-identical docs collide on
+    * both permuted minima), and the ENTIRE cluster is assigned one side by
+    * an md5 bucket of the cluster KEY itself — no second pass, no window:
+    * every row derives its side from values it already carries, so cluster
+    * cohesion is a per-row algebraic identity rather than a join invariant.
+    * Documents too short to shingle (< 3 tokens) are their own singleton
+    * clusters, keyed (-1, doc_id) — the sentinel cannot collide with a real
+    * signature (permuted minima are non-negative). Everything is the q99
+    * portable algebra (md5 shingles, Carter–Wegman permutations, md5
+    * bucket), so a DuckDB oracle replays the whole assignment bit-for-bit.
+    * Scale shape: one narrow codegen'd map over the corpus — zero shuffles
+    * until the consumer aggregates. */
+  def splitSides(docs0: DataFrame): DataFrame = {
+    val P = 2147483647L
+    val docs = graft.Tables.parallelized(docs0)
+    val hs = array_distinct(T.portableShingleHashes(col("text"), 3))
+    docs
+      .select(col("doc_id"), col("source"),
+        array_min(transform(hs, h => (lit(1299709L) * (h % P) + 7L) % P))
+          .as("s0"),
+        array_min(transform(hs, h => (lit(15485863L) * (h % P) + 101L) % P))
+          .as("s1"))
+      .withColumn("c0", when(col("s0").isNotNull, col("s0")).otherwise(lit(-1L)))
+      .withColumn("c1", when(col("s0").isNotNull, col("s1")).otherwise(col("doc_id")))
+      .withColumn("side",
+        T.hashBucket(concat_ws(":", col("c0"), col("c1")), 2))
+      .select("doc_id", "source", "c0", "c1", "side")
+  }
+
   // ---------------------------------------------------------------- SimHash
 
   /** doc_id + 64-bit SimHash fingerprint.

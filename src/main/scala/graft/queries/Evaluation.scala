@@ -503,6 +503,49 @@ object Evaluation {
       |  AND a.half = 0 AND b.half = 1
       |GROUP BY a.label ORDER BY a.label""".stripMargin
 
+  /** q173 embedding-table quality audit — the data-quality gate that runs
+    * BEFORE any ANN index build or centroid eval: per label, vector count,
+    * the min/max array length (a ragged table breaks every fixed-dim
+    * kernel downstream — min ≠ max is the alarm), zero-vector count (an
+    * all-zero embedding is an upstream encoder failure and poisons cosine
+    * math with 0/0), and min/max/mean squared norm in the exact quantized
+    * integer units of the q151/q168 centroid kernel (a norm wildly off the
+    * cohort's range flags an unnormalized or corrupted batch). One narrow
+    * codegen'd map (the norm rides the dot_i64 kernel), one map-combined
+    * aggregate — the profile never shuffles the vectors themselves. */
+  def q173(spark: SparkSession, dir: String): DataFrame =
+    Tables.parallelized(Tables.load(spark, dir, "embeddings"))
+      .select(col("label").cast("long").as("label"),
+        size(col("embedding")).cast("long").as("ndim"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * 1000).cast("long")).as("qv"))
+      .select(col("label"), col("ndim"),
+        call_function("dot_i64", col("qv"), col("qv")).as("norm2"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        min("ndim").as("min_dim"), max("ndim").as("max_dim"),
+        sum(when(col("norm2") === 0L, 1L).otherwise(0L)).as("n_zero"),
+        min("norm2").as("min_norm2"), max("norm2").as("max_norm2"),
+        expr("sum(norm2) div count(1)").as("avg_norm2"))
+      .orderBy("label")
+
+  val q173Sql: String =
+    """WITH q AS (
+      |  SELECT CAST(label AS BIGINT) AS label,
+      |    CAST(len(embedding) AS BIGINT) AS ndim,
+      |    list_sum(list_transform(embedding,
+      |      x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)
+      |         * CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT))) AS norm2
+      |  FROM embeddings
+      |)
+      |SELECT label, COUNT(*) AS n_vecs,
+      |  CAST(MIN(ndim) AS BIGINT) AS min_dim, CAST(MAX(ndim) AS BIGINT) AS max_dim,
+      |  CAST(SUM(CASE WHEN norm2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+      |  CAST(MIN(norm2) AS BIGINT) AS min_norm2,
+      |  CAST(MAX(norm2) AS BIGINT) AS max_norm2,
+      |  CAST(SUM(norm2) // COUNT(*) AS BIGINT) AS avg_norm2
+      |FROM q GROUP BY label ORDER BY label""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(("q140_auc_ranksum", q140 _, Some(q140Sql)),
       ("q168_centroid_eval", q168 _, Some(q168Sql)),
@@ -513,5 +556,6 @@ object Evaluation {
       ("q143_gini_purity", q143 _, Some(q143Sql)),
       ("q152_weekly_drift", q152 _, Some(q152Sql)),
       ("q155_reliability_bins", q155 _, Some(q155Sql)),
-      ("q156_jackknife_langid", q156 _, Some(q156Sql)))
+      ("q156_jackknife_langid", q156 _, Some(q156Sql)),
+      ("q173_embedding_audit", q173 _, Some(q173Sql)))
 }

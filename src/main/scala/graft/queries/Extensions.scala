@@ -809,9 +809,69 @@ object Extensions {
        |JOIN documents db ON db.doc_id = p.doc_b
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** q172 split-leakage audit — the adversarial check on the q171 split:
+    * roll the q99 banded near-dup pairs up by the UNORDERED side pair of
+    * their endpoints. The cross-side cell (0, 1) counts near-duplicate
+    * pairs that ended up straddling the train/test boundary — test-set
+    * contamination a plain hash split leaves invisible. Pairs that collide
+    * on the FIRST band (s0, s1) share a q171 cluster by construction and
+    * can never leak; what this surfaces is the recall gap of clustering on
+    * one band while detection runs four — the quantity you tune the
+    * cluster key against. Scale shape: pair count ∝ band collisions (never
+    * corpus²), sides join in as a slim narrow-map projection, and the
+    * rollup is three cells. */
+  def q172(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = graft.dedup.Dedup
+      .minHashPairsPortable(Tables.load(spark, dir, "documents"))
+    val sides = graft.dedup.Dedup
+      .splitSides(Tables.load(spark, dir, "documents"))
+      .select("doc_id", "side")
+    pairs
+      .join(sides.select(col("doc_id").as("doc_a"), col("side").as("side_a")),
+        "doc_a")
+      .join(sides.select(col("doc_id").as("doc_b"), col("side").as("side_b")),
+        "doc_b")
+      .select(least(col("side_a"), col("side_b")).as("side_x"),
+        greatest(col("side_a"), col("side_b")).as("side_y"),
+        col("jaccard_x1e6"))
+      .groupBy("side_x", "side_y")
+      .agg(count(lit(1)).as("n_pairs"),
+        max("jaccard_x1e6").as("max_jaccard_x1e6"))
+      .orderBy("side_x", "side_y")
+  }
+
+  val q172Sql: String =
+    s"""WITH toks2 AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+       |), sh2 AS (
+       |  SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
+       |    i -> CAST('0x' || substr(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]), 1, 15) AS BIGINT))) AS hs
+       |  FROM toks2
+       |), sig2 AS (
+       |  SELECT doc_id,
+       |    list_min(list_transform(hs, h -> (1299709 * (h % 2147483647) + 7) % 2147483647)) AS s0,
+       |    list_min(list_transform(hs, h -> (15485863 * (h % 2147483647) + 101) % 2147483647)) AS s1
+       |  FROM sh2
+       |), sides AS (
+       |  SELECT doc_id,
+       |    CAST('0x' || substr(md5(
+       |      CAST(CASE WHEN s0 IS NOT NULL THEN s0 ELSE -1 END AS VARCHAR) || ':' ||
+       |      CAST(CASE WHEN s0 IS NOT NULL THEN s1 ELSE doc_id END AS VARCHAR)), 1, 8) AS BIGINT) % 2 AS side
+       |  FROM sig2
+       |)
+       |SELECT LEAST(sa.side, sb.side) AS side_x,
+       |  GREATEST(sa.side, sb.side) AS side_y,
+       |  COUNT(*) AS n_pairs,
+       |  CAST(MAX(p.jaccard_x1e6) AS BIGINT) AS max_jaccard_x1e6
+       |FROM ($q99Sql) p
+       |JOIN sides sa ON sa.doc_id = p.doc_a
+       |JOIN sides sb ON sb.doc_id = p.doc_b
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q26_dedup_exact", q26 _, Some(q26Sql)),
     ("q170_source_dup_matrix", q170 _, Some(q170Sql)),
+    ("q172_split_leakage", q172 _, Some(q172Sql)),
     ("q27_dedup_minhash_lsh", q27 _, None),
     ("q28_dedup_simhash", q28 _, None),
     ("q29_ngram_jaccard", q29 _, Some(q29Sql)),

@@ -1372,7 +1372,56 @@ object Training {
       |    AS alloc_tokens
       |FROM rk CROSS JOIN sp ORDER BY source""".stripMargin
 
+  /** q171 leakage-free cluster-aware train/test split — the eval-split audit
+    * between dedup and mixing: a plain per-document hash split (q54) puts
+    * near-identical documents on BOTH sides of the boundary and the test
+    * half stops measuring generalization. [[graft.dedup.Dedup.splitSides]]
+    * clusters documents by the q165 two-permutation portable MinHash key
+    * and assigns WHOLE clusters a side by an md5 bucket of the cluster key
+    * — per-row algebra, no window, no join, so the assignment costs one
+    * narrow codegen'd map. This query reports the resulting split per
+    * (source, side): document count, distinct-cluster count, and the
+    * doc_id checksum proving row-level assignment parity against the
+    * oracle's full replay (the q165 convention). Scale shape: the only
+    * shuffle is the final 2·|sources|-cell aggregate (count-distinct adds
+    * its standard two-level expansion — keyed, never corpus²). */
+  def q171(spark: SparkSession, dir: String): DataFrame =
+    graft.dedup.Dedup.splitSides(Tables.load(spark, dir, "documents"))
+      .groupBy("source", "side")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("c0"), col("c1")).as("n_clusters"),
+        sum("doc_id").as("doc_checksum"))
+      .orderBy("source", "side")
+
+  val q171Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
+      |), sh AS (
+      |  SELECT doc_id, source, list_distinct(list_transform(range(1, len(w) - 1),
+      |    i -> CAST('0x' || substr(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]), 1, 15) AS BIGINT))) AS hs
+      |  FROM toks
+      |), sig AS (
+      |  SELECT doc_id, source,
+      |    list_min(list_transform(hs, h -> (1299709 * (h % 2147483647) + 7) % 2147483647)) AS s0,
+      |    list_min(list_transform(hs, h -> (15485863 * (h % 2147483647) + 101) % 2147483647)) AS s1
+      |  FROM sh
+      |), cl AS (
+      |  SELECT doc_id, source,
+      |    CASE WHEN s0 IS NOT NULL THEN s0 ELSE -1 END AS c0,
+      |    CASE WHEN s0 IS NOT NULL THEN s1 ELSE doc_id END AS c1
+      |  FROM sig
+      |), sides AS (
+      |  SELECT doc_id, source, c0, c1,
+      |    CAST('0x' || substr(md5(CAST(c0 AS VARCHAR) || ':' || CAST(c1 AS VARCHAR)), 1, 8) AS BIGINT) % 2 AS side
+      |  FROM cl
+      |)
+      |SELECT source, side, COUNT(*) AS n_docs,
+      |  CAST(COUNT(DISTINCT (c0, c1)) AS BIGINT) AS n_clusters,
+      |  CAST(SUM(doc_id) AS BIGINT) AS doc_checksum
+      |FROM sides GROUP BY source, side ORDER BY source, side""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    ("q171_cluster_split", q171 _, Some(q171Sql)),
     ("q127_bpe_merge", q127 _, Some(q127Sql)),
     ("q135_bpe_table", (s: SparkSession, d: String) => q135(s, d), Some(q135Sql)),
     ("q137_bpe_vocab", (s: SparkSession, d: String) => q137(s, d), Some(q137Sql)),

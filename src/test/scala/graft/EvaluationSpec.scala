@@ -241,6 +241,23 @@ class EvaluationSpec extends AnyFunSuite {
     assert(rows.map(_._4).sum > 0, "all half-centroids identical — vacuous")
   }
 
+  test("q173 embedding audit: fixed-dim fixture, norm bounds ordered, counts conserve") {
+    import org.apache.spark.sql.functions._
+    val rows = Evaluation.q173(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    assert(rows.nonEmpty)
+    val total = Tables.load(spark, sf, "embeddings").count()
+    assert(rows.map(_._2).sum == total, "audit must cover every vector")
+    rows.foreach { case (l, n, mind, maxd, nzero, minn, maxn, avgn) =>
+      assert(n > 0 && mind == maxd && mind > 0,
+        s"label $l: fixture must be fixed-dim, got [$mind, $maxd]")
+      assert(minn <= avgn && avgn <= maxn,
+        s"label $l: norm bounds out of order")
+      assert(nzero >= 0 && nzero <= n)
+    }
+  }
+
   test("q168 centroid eval agrees with a driver-side replay") {
     import org.apache.spark.sql.functions._
     val vecs = Tables.load(spark, sf, "embeddings")

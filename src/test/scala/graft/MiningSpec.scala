@@ -257,6 +257,49 @@ class MiningSpec extends AnyFunSuite {
     }
   }
 
+  test("q171 split: sides partition the corpus and never split a cluster") {
+    val sides = graft.dedup.Dedup
+      .splitSides(Tables.load(spark, sf, "documents"))
+    val nDocs = Tables.load(spark, sf, "documents").count()
+    assert(sides.count() == nDocs, "every document must be assigned a side")
+    assert(sides.filter(!col("side").isin(0L, 1L)).count() == 0)
+    // cluster cohesion: a (c0, c1) cluster must sit entirely on one side
+    val split = sides.groupBy("c0", "c1")
+      .agg(countDistinct("side").as("ns"))
+      .filter(col("ns") > 1).count()
+    assert(split == 0, s"$split clusters straddle the boundary")
+    // both sides populated at this SF (md5 balance) and the rollup conserves
+    val cells = queries.Training.q171(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(cells.map(_._3).sum == nDocs)
+    assert(cells.map(_._2).distinct.sorted.sameElements(Seq(0L, 1L)),
+      "both sides must be populated")
+  }
+
+  test("q172 leakage cells conserve the q99 pair set; first-band pairs never leak") {
+    val cells = queries.Extensions.q172(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val nPairs = queries.Extensions.q99(spark, sf).count()
+    assert(cells.map(_._3).sum == nPairs, "cells must conserve every pair")
+    cells.foreach { case (x, y, n, mj) =>
+      assert(x <= y && x >= 0 && y <= 1)
+      assert(n > 0 && mj >= 800000L && mj <= 1000000L)
+    }
+    // by construction: pairs agreeing on (s0, s1) share a cluster → a side
+    val sides = graft.dedup.Dedup
+      .splitSides(Tables.load(spark, sf, "documents"))
+      .select(col("doc_id"), col("c0"), col("c1"), col("side"))
+    val leaked = queries.Extensions.q99(spark, sf)
+      .join(sides.select(col("doc_id").as("doc_a"), col("c0").as("ca0"),
+        col("c1").as("ca1"), col("side").as("sa")), "doc_a")
+      .join(sides.select(col("doc_id").as("doc_b"), col("c0").as("cb0"),
+        col("c1").as("cb1"), col("side").as("sb")), "doc_b")
+      .filter(col("ca0") === col("cb0") && col("ca1") === col("cb1") &&
+        col("sa") =!= col("sb"))
+      .count()
+    assert(leaked == 0, "same-cluster pairs must never straddle the boundary")
+  }
+
   test("q160 surprisal replays exactly from a driver-side bigram LM") {
     def bucket(id: Long): Long = {
       val md = java.security.MessageDigest.getInstance("MD5")
