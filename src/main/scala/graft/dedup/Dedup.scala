@@ -138,6 +138,37 @@ object Dedup {
 
   // ------------------------------------------------- MinHash (portable)
 
+  private val MersenneP = 2147483647L
+  private val PermAs = Seq(1299709L, 15485863L, 32452843L, 49979687L,
+    67867967L, 86028121L, 104395301L, 122949823L)
+  private val PermBs = Seq(7L, 101L, 1009L, 10007L, 100003L, 1000003L,
+    9999991L, 999983L)
+
+  /** The shared slim portable-signature frame: (doc_id, source, s0..s7) for
+    * EVERY document (nulls for docs too short to shingle — consumers pick
+    * their own semantics for those). The md5 shingle hashing behind the
+    * eight permuted minima is the expensive narrow map of the whole
+    * portable-LSH family, and FIVE registry queries start from it (q99
+    * pairs, q165 flattening, q170/q172 matrices, q171 split), so the frame
+    * is corpus-stamped and cached once per session ([[graft.queries.SharedFrames]]
+    * discipline). Unlike the shingle SETS — deliberately computed only for
+    * candidate docs via the semi-join in [[lshJaccardPairs]] — the
+    * signature frame is ~10 longs per document, cheap to keep resident at
+    * any corpus size. */
+  def portableSigs(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    graft.queries.SharedFrames.sharedFrame(spark, dir, "documents",
+      "portable-sigs") {
+      val docs = graft.Tables.parallelized(
+        graft.Tables.load(spark, dir, "documents"))
+      val hs = array_distinct(T.portableShingleHashes(col("text"), 3))
+      docs.select(Seq(col("doc_id"), col("source")) ++ (0 until 8).map { i =>
+        array_min(transform(hs,
+          h => (lit(PermAs(i)) * (h % MersenneP) + PermBs(i)) % MersenneP))
+          .as(s"s$i")
+      }: _*)
+    }
+
   /** MinHash+LSH with ENGINE-PORTABLE hashing: md5-60-bit shingle hashes
     * (T.portableHash60) permuted by fixed Carter-Wegman maps
     * h_i(x) = (a_i·(x mod P) + b_i) mod P over the Mersenne prime P=2^31−1 —
@@ -145,22 +176,33 @@ object Dedup {
     * LSH pipeline (signatures → 4×2 banding → candidate pairs → exact
     * Jaccard verify) is DuckDB-oracle hash-checkable, where the production
     * q27 path (xxhash64 signatures, Spark-native) is rows-only by nature.
-    * Same scale shape as [[minHashPairs]]: narrow signature map, band-bucket
-    * join, candidate-only shingle re-join. The intermediates stay well
-    * inside 64-bit: a_i·(x mod P) < 2^27·2^31 = 2^58. */
-  def minHashPairsPortable(docs0: DataFrame,
+    * Same scale shape as [[minHashPairs]]: narrow signature map (served
+    * from the shared [[portableSigs]] frame), band-bucket join,
+    * candidate-only shingle re-join. The intermediates stay well inside
+    * 64-bit: a_i·(x mod P) < 2^27·2^31 = 2^58. */
+  def minHashPairsPortable(spark: org.apache.spark.sql.SparkSession,
+      dir: String, minJaccardX1e6: Long = 800000L): DataFrame =
+    portableBandPairs(portableSigs(spark, dir),
+      graft.Tables.load(spark, dir, "documents"), minJaccardX1e6)
+
+  /** [[minHashPairsPortable]] over an arbitrary document frame (no shared
+    * cache) — the spec-fixture entry point; the registry path goes through
+    * the corpus-stamped frame. */
+  def minHashPairsPortableFrom(docs0: DataFrame,
       minJaccardX1e6: Long = 800000L): DataFrame = {
-    val P = 2147483647L
-    val as = Seq(1299709L, 15485863L, 32452843L, 49979687L,
-      67867967L, 86028121L, 104395301L, 122949823L)
-    val bs = Seq(7L, 101L, 1009L, 10007L, 100003L, 1000003L, 9999991L, 999983L)
     val docs = graft.Tables.parallelized(docs0)
     val hs = array_distinct(T.portableShingleHashes(col("text"), 3))
-    val sigs = docs
-      .select(col("doc_id") +: (0 until 8).map { i =>
-        array_min(transform(hs, h => (lit(as(i)) * (h % P) + bs(i)) % P))
-          .as(s"s$i")
-      }: _*)
+    val sigs = docs.select(col("doc_id") +: (0 until 8).map { i =>
+      array_min(transform(hs,
+        h => (lit(PermAs(i)) * (h % MersenneP) + PermBs(i)) % MersenneP))
+        .as(s"s$i")
+    }: _*)
+    portableBandPairs(sigs, docs0, minJaccardX1e6)
+  }
+
+  private def portableBandPairs(sigs0: DataFrame, docs: DataFrame,
+      minJaccardX1e6: Long): DataFrame = {
+    val sigs = sigs0
       .filter(col("s0").isNotNull) // no shingles → no signature (q27 semantics)
     val bandCols = (0 until 4).map { j =>
       struct(lit(j).as("band"),
@@ -169,7 +211,7 @@ object Dedup {
     val exploded = sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"),
         col("bk.k1").as("k1"), col("bk.k2").as("k2"))
-    lshJaccardPairs(docs0, exploded, Seq("band", "k1", "k2"),
+    lshJaccardPairs(docs, exploded, Seq("band", "k1", "k2"),
       array_distinct(T.portableShingleHashes(col("text"), 3)), minJaccardX1e6)
   }
 
@@ -188,24 +230,18 @@ object Dedup {
     * signature (permuted minima are non-negative). Everything is the q99
     * portable algebra (md5 shingles, Carter–Wegman permutations, md5
     * bucket), so a DuckDB oracle replays the whole assignment bit-for-bit.
-    * Scale shape: one narrow codegen'd map over the corpus — zero shuffles
-    * until the consumer aggregates. */
-  def splitSides(docs0: DataFrame): DataFrame = {
-    val P = 2147483647L
-    val docs = graft.Tables.parallelized(docs0)
-    val hs = array_distinct(T.portableShingleHashes(col("text"), 3))
-    docs
-      .select(col("doc_id"), col("source"),
-        array_min(transform(hs, h => (lit(1299709L) * (h % P) + 7L) % P))
-          .as("s0"),
-        array_min(transform(hs, h => (lit(15485863L) * (h % P) + 101L) % P))
-          .as("s1"))
+    * Scale shape: one narrow codegen'd map over the corpus (the two
+    * signature minima come from the shared [[portableSigs]] frame) — zero
+    * shuffles until the consumer aggregates. */
+  def splitSides(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    portableSigs(spark, dir)
+      .select(col("doc_id"), col("source"), col("s0"), col("s1"))
       .withColumn("c0", when(col("s0").isNotNull, col("s0")).otherwise(lit(-1L)))
       .withColumn("c1", when(col("s0").isNotNull, col("s1")).otherwise(col("doc_id")))
       .withColumn("side",
         T.hashBucket(concat_ws(":", col("c0"), col("c1")), 2))
       .select("doc_id", "source", "c0", "c1", "side")
-  }
 
   // ---------------------------------------------------------------- SimHash
 

@@ -666,7 +666,7 @@ object Extensions {
     * cross-engine proof at 8 perms × 4 bands. */
   def q99(spark: SparkSession, dir: String): DataFrame =
     graft.dedup.Dedup
-      .minHashPairsPortable(Tables.load(spark, dir, "documents"))
+      .minHashPairsPortable(spark, dir)
       .orderBy("doc_a", "doc_b")
 
   val q99Sql =
@@ -783,7 +783,7 @@ object Extensions {
     * projection and one map-combined rollup over ≤ |sources|² cells. */
   def q170(spark: SparkSession, dir: String): DataFrame = {
     val pairs = graft.dedup.Dedup
-      .minHashPairsPortable(Tables.load(spark, dir, "documents"))
+      .minHashPairsPortable(spark, dir)
     val src = Tables.load(spark, dir, "documents").select("doc_id", "source")
     pairs
       .join(src.select(col("doc_id").as("doc_a"), col("source").as("src_a")),
@@ -822,9 +822,9 @@ object Extensions {
     * rollup is three cells. */
   def q172(spark: SparkSession, dir: String): DataFrame = {
     val pairs = graft.dedup.Dedup
-      .minHashPairsPortable(Tables.load(spark, dir, "documents"))
+      .minHashPairsPortable(spark, dir)
     val sides = graft.dedup.Dedup
-      .splitSides(Tables.load(spark, dir, "documents"))
+      .splitSides(spark, dir)
       .select("doc_id", "side")
     pairs
       .join(sides.select(col("doc_id").as("doc_a"), col("side").as("side_a")),

@@ -1266,16 +1266,10 @@ object Training {
     * no shingles (< 3 tokens) are excluded, same as the whole q27/q99 LSH
     * family. The checksum proves row-level selection parity. */
   def q165(spark: SparkSession, dir: String): DataFrame = {
-    val P = 2147483647L
-    val docs = Tables.parallelized(Tables.load(spark, dir, "documents"))
-      .select(col("doc_id"), col("source"),
-        array_distinct(T.portableShingleHashes(col("text"), 3)).as("hs"))
-    val sig = docs
-      .select(col("doc_id"), col("source"),
-        array_min(transform(col("hs"), h => (lit(1299709L) * (h % P) + 7L) % P))
-          .as("s0"),
-        array_min(transform(col("hs"), h => (lit(15485863L) * (h % P) + 101L) % P))
-          .as("s1"))
+    // the two permuted minima come from the shared corpus-stamped
+    // portable-signature frame (five registry queries start there)
+    val sig = graft.dedup.Dedup.portableSigs(spark, dir)
+      .select(col("doc_id"), col("source"), col("s0"), col("s1"))
       .filter(col("s0").isNotNull)
     val w = Window.partitionBy("s0", "s1")
     val flagged = sig
@@ -1386,7 +1380,7 @@ object Training {
     * shuffle is the final 2·|sources|-cell aggregate (count-distinct adds
     * its standard two-level expansion — keyed, never corpus²). */
   def q171(spark: SparkSession, dir: String): DataFrame =
-    graft.dedup.Dedup.splitSides(Tables.load(spark, dir, "documents"))
+    graft.dedup.Dedup.splitSides(spark, dir)
       .groupBy("source", "side")
       .agg(count(lit(1)).as("n_docs"),
         countDistinct(col("c0"), col("c1")).as("n_clusters"),

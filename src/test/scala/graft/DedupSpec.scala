@@ -32,7 +32,7 @@ class DedupSpec extends AnyFunSuite {
     val b = words.updated(30, "CHANGED").mkString(" ")
     val d = docs((1L, a), (2L, a), (3L, b),
       (4L, (200 to 260).map(i => s"z$i").mkString(" ")))
-    val pairs = Dedup.minHashPairsPortable(d)
+    val pairs = Dedup.minHashPairsPortableFrom(d)
       .as[(Long, Long, Long)].collect().toSeq.sorted
     // identical docs always share every band; the one-token edit keeps
     // J = 55/61 ≈ 0.90 ≥ 0.8 and must band-collide at 4×2 with high margin

@@ -259,7 +259,7 @@ class MiningSpec extends AnyFunSuite {
 
   test("q171 split: sides partition the corpus and never split a cluster") {
     val sides = graft.dedup.Dedup
-      .splitSides(Tables.load(spark, sf, "documents"))
+      .splitSides(spark, sf)
     val nDocs = Tables.load(spark, sf, "documents").count()
     assert(sides.count() == nDocs, "every document must be assigned a side")
     assert(sides.filter(!col("side").isin(0L, 1L)).count() == 0)
@@ -287,7 +287,7 @@ class MiningSpec extends AnyFunSuite {
     }
     // by construction: pairs agreeing on (s0, s1) share a cluster → a side
     val sides = graft.dedup.Dedup
-      .splitSides(Tables.load(spark, sf, "documents"))
+      .splitSides(spark, sf)
       .select(col("doc_id"), col("c0"), col("c1"), col("side"))
     val leaked = queries.Extensions.q99(spark, sf)
       .join(sides.select(col("doc_id").as("doc_a"), col("c0").as("ca0"),
