@@ -200,6 +200,39 @@ object Dedup {
     portableBandPairs(sigs, docs0, minJaccardX1e6)
   }
 
+  /** Calibration rows for the portable banding: every banded candidate
+    * pair with (a) how many of the 8 permuted minima agree — the MinHash
+    * similarity ESTIMATE, matches/8 ≈ Jaccard — and (b) the exact verified
+    * Jaccard. The (estimate, truth) join is what tunes banding parameters:
+    * if high-agreement pairs show low exact Jaccard the permutation count
+    * is too small; if near-threshold pairs cluster at low agreement the
+    * band shape is recall-starved. Unthresholded on purpose (the
+    * calibration needs the sub-threshold candidates), so consumers see the
+    * full candidate population, still ∝ band collisions, never corpus². */
+  def portableCalibrationPairs(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val sigs = portableSigs(spark, dir).filter(col("s0").isNotNull)
+    val bandCols = (0 until 4).map { j =>
+      struct(lit(j).as("band"),
+        col(s"s${2 * j}").as("k1"), col(s"s${2 * j + 1}").as("k2"))
+    }
+    val exploded = sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"),
+        col("bk.k1").as("k1"), col("bk.k2").as("k2"))
+    val exact = lshJaccardPairs(graft.Tables.load(spark, dir, "documents"),
+      exploded, Seq("band", "k1", "k2"),
+      array_distinct(T.portableShingleHashes(col("text"), 3)), 0L)
+    val sa = sigs.select(col("doc_id").as("doc_a") +:
+      (0 until 8).map(i => col(s"s$i").as(s"a$i")): _*)
+    val sb = sigs.select(col("doc_id").as("doc_b") +:
+      (0 until 8).map(i => col(s"s$i").as(s"b$i")): _*)
+    exact.join(sa, "doc_a").join(sb, "doc_b")
+      .withColumn("n_sig_match",
+        (0 until 8).map(i =>
+          when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L)).reduce(_ + _))
+      .select("doc_a", "doc_b", "n_sig_match", "jaccard_x1e6")
+  }
+
   private def portableBandPairs(sigs0: DataFrame, docs: DataFrame,
       minJaccardX1e6: Long): DataFrame = {
     val sigs = sigs0

@@ -868,10 +868,69 @@ object Extensions {
        |JOIN sides sb ON sb.doc_id = p.doc_b
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** q174 MinHash banding calibration — the estimate-vs-truth audit of the
+    * dedup detector itself: banded candidate pairs binned by how many of
+    * the 8 permuted minima agree (the MinHash estimate: matches/8 ≈
+    * Jaccard), each bin carrying the count and the exact verified Jaccard's
+    * mean/min/max. A healthy banding shows the mean exact Jaccard rising
+    * monotonically with agreement (spec-asserted end-to-end); a flat curve
+    * means the permutation family is too small to discriminate, and mass
+    * in low-agreement bins prices the banding's false-candidate overhead.
+    * Fully portable algebra — the oracle replays signatures, banding,
+    * agreement count, and exact verification. Scale shape: candidates ∝
+    * band collisions, two slim signature fetch joins, one 9-cell rollup. */
+  def q174(spark: SparkSession, dir: String): DataFrame =
+    Dedup.portableCalibrationPairs(spark, dir)
+      .groupBy("n_sig_match")
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("sum(jaccard_x1e6) div count(1)").as("avg_jaccard_x1e6"),
+        min("jaccard_x1e6").as("min_jaccard_x1e6"),
+        max("jaccard_x1e6").as("max_jaccard_x1e6"))
+      .orderBy("n_sig_match")
+
+  val q174Sql: String =
+    """WITH toks3 AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      |), sh3 AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
+      |    i -> CAST('0x' || substr(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]), 1, 15) AS BIGINT))) AS hs
+      |  FROM toks3 WHERE len(w) >= 3
+      |), sig3 AS (
+      |  SELECT doc_id, hs,
+      |    list_min(list_transform(hs, h -> (1299709 * (h % 2147483647) + 7) % 2147483647)) AS s0,
+      |    list_min(list_transform(hs, h -> (15485863 * (h % 2147483647) + 101) % 2147483647)) AS s1,
+      |    list_min(list_transform(hs, h -> (32452843 * (h % 2147483647) + 1009) % 2147483647)) AS s2,
+      |    list_min(list_transform(hs, h -> (49979687 * (h % 2147483647) + 10007) % 2147483647)) AS s3,
+      |    list_min(list_transform(hs, h -> (67867967 * (h % 2147483647) + 100003) % 2147483647)) AS s4,
+      |    list_min(list_transform(hs, h -> (86028121 * (h % 2147483647) + 1000003) % 2147483647)) AS s5,
+      |    list_min(list_transform(hs, h -> (104395301 * (h % 2147483647) + 9999991) % 2147483647)) AS s6,
+      |    list_min(list_transform(hs, h -> (122949823 * (h % 2147483647) + 999983) % 2147483647)) AS s7
+      |  FROM sh3
+      |), cand AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.hs AS hs_a, b.hs AS hs_b,
+      |    (CASE WHEN a.s0 = b.s0 THEN 1 ELSE 0 END + CASE WHEN a.s1 = b.s1 THEN 1 ELSE 0 END +
+      |     CASE WHEN a.s2 = b.s2 THEN 1 ELSE 0 END + CASE WHEN a.s3 = b.s3 THEN 1 ELSE 0 END +
+      |     CASE WHEN a.s4 = b.s4 THEN 1 ELSE 0 END + CASE WHEN a.s5 = b.s5 THEN 1 ELSE 0 END +
+      |     CASE WHEN a.s6 = b.s6 THEN 1 ELSE 0 END + CASE WHEN a.s7 = b.s7 THEN 1 ELSE 0 END) AS m
+      |  FROM sig3 a JOIN sig3 b ON a.doc_id < b.doc_id AND (
+      |    (a.s0 = b.s0 AND a.s1 = b.s1) OR (a.s2 = b.s2 AND a.s3 = b.s3) OR
+      |    (a.s4 = b.s4 AND a.s5 = b.s5) OR (a.s6 = b.s6 AND a.s7 = b.s7))
+      |), j3 AS (
+      |  SELECT m, CAST(FLOOR(1000000.0 * len(list_intersect(hs_a, hs_b)) /
+      |    (len(hs_a) + len(hs_b) - len(list_intersect(hs_a, hs_b)))) AS BIGINT) AS jac
+      |  FROM cand
+      |)
+      |SELECT CAST(m AS BIGINT) AS n_sig_match, COUNT(*) AS n_pairs,
+      |  CAST(SUM(jac) // COUNT(*) AS BIGINT) AS avg_jaccard_x1e6,
+      |  CAST(MIN(jac) AS BIGINT) AS min_jaccard_x1e6,
+      |  CAST(MAX(jac) AS BIGINT) AS max_jaccard_x1e6
+      |FROM j3 GROUP BY m ORDER BY n_sig_match""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q26_dedup_exact", q26 _, Some(q26Sql)),
     ("q170_source_dup_matrix", q170 _, Some(q170Sql)),
     ("q172_split_leakage", q172 _, Some(q172Sql)),
+    ("q174_minhash_calibration", q174 _, Some(q174Sql)),
     ("q27_dedup_minhash_lsh", q27 _, None),
     ("q28_dedup_simhash", q28 _, None),
     ("q29_ngram_jaccard", q29 _, Some(q29Sql)),

@@ -300,6 +300,23 @@ class MiningSpec extends AnyFunSuite {
     assert(leaked == 0, "same-cluster pairs must never straddle the boundary")
   }
 
+  test("q174 calibration: bins cover the candidates; agreement tracks exact Jaccard") {
+    val bins = queries.Extensions.q174(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(bins.nonEmpty)
+    bins.foreach { case (m, n, avg, mn, mx) =>
+      // a banded candidate agrees on at least one FULL band → ≥ 2 perms
+      assert(m >= 2 && m <= 8, s"bin $m outside the band-collision range")
+      assert(n > 0 && mn <= avg && avg <= mx && mx <= 1000000L)
+    }
+    val nCand = graft.dedup.Dedup.portableCalibrationPairs(spark, sf).count()
+    assert(bins.map(_._2).sum == nCand, "bins must conserve the candidate set")
+    // discrimination: full agreement must not read BELOW the weakest bin
+    assert(bins.maxBy(_._1)._3 >= bins.minBy(_._1)._3,
+      "estimate and truth anti-correlated — banding is broken")
+  }
+
   test("q160 surprisal replays exactly from a driver-side bigram LM") {
     def bucket(id: Long): Long = {
       val md = java.security.MessageDigest.getInstance("MD5")
