@@ -110,8 +110,10 @@ object Extensions {
     * the recall property tested in AnnSpec, not a hash match. */
   def q49(spark: SparkSession, dir: String): DataFrame = {
     val embs = Tables.load(spark, dir, "embeddings")
-    val centroids = graft.ann.Models.cached(
-      s"ivf:${graft.ann.Models.corpusStamp(spark, dir)}:16:2") {
+    // latest-stamp registry: a regenerated corpus retrains AND releases the
+    // superseded model instead of accumulating entries for dead corpora
+    val centroids = graft.ann.Models.cachedLatest[Array[(Long, Array[Float])]](
+      s"ivf:$dir:16:2", graft.ann.Models.corpusStamp(spark, dir)) {
       Knn.ivfTrain(embs, nClusters = 16, iters = 2)
     }
     Knn.ivfTopKWith(embs, centroids, Knn.queryVector(embs, 0L),
@@ -129,8 +131,8 @@ object Extensions {
     * property in AnnSpec, not a hash match. */
   def q80(spark: SparkSession, dir: String): DataFrame = {
     val embs = Tables.load(spark, dir, "embeddings")
-    val codebooks = graft.ann.Models.cached(
-      s"pq:${graft.ann.Models.corpusStamp(spark, dir)}:16:16:2") {
+    val codebooks = graft.ann.Models.cachedLatest[Array[Array[Array[Float]]]](
+      s"pq:$dir:16:16:2", graft.ann.Models.corpusStamp(spark, dir)) {
       Pq.pqTrain(embs, dim = 64, m = 16, k = 16, iters = 2)
     }
     Pq.pqTopKWith(embs, codebooks, Knn.queryVector(embs, 0L),
