@@ -271,7 +271,58 @@ object Corpus {
       |  COUNT(DISTINCT lang) AS n_langs
       |FROM f GROUP BY source, split ORDER BY source, split""".stripMargin
 
+  /** q177 length-bucketed batching audit — the padding-waste economics of
+    * static-shape training (every XLA/TPU-style trainer pads each batch to
+    * a fixed shape; bucketing by length is the standard mitigation): bucket
+    * every document by the BITLEN of its whitespace token count (power-of-2
+    * length buckets — the q160/q167 integer-log surrogate, so bucket caps
+    * are the structural 2^b − 1), and report per bucket the doc count, real
+    * token mass, the bucket's padded cap, total padding tokens
+    * Σ(cap − len), and the padded-compute waste share in ppm. The
+    * complement q81 (packing) eliminates padding by concatenation; this
+    * measures what bucketed padding would cost instead — the number a team
+    * compares against packing's cross-doc attention contamination.
+    *
+    * Scale shape: one corpus scan, one narrow codegen'd map (split + size +
+    * bin), one map-side-combined aggregate over ≤64 structural buckets.
+    * Nothing shuffles except ≤64 partial rows per task. */
+  def q177(spark: SparkSession, dir: String): DataFrame =
+    Tables.parallelized(Tables.load(spark, dir, "documents"))
+      .select(size(T.tokens(col("text"))).cast(LongType).as("n_tok"))
+      .filter(col("n_tok") > 0)
+      .withColumn("bucket_bits", length(bin(col("n_tok"))).cast(LongType))
+      .withColumn("bucket_cap",
+        expr("shiftleft(cast(1 as bigint), cast(bucket_bits as int)) - 1"))
+      .groupBy("bucket_bits", "bucket_cap")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tok").as("sum_tokens"),
+        sum(col("bucket_cap") - col("n_tok")).as("pad_tokens"))
+      .withColumn("pad_waste_ppm",
+        expr("pad_tokens * 1000000 div (bucket_cap * n_docs)"))
+      .orderBy("bucket_bits")
+
+  val q177Sql: String =
+    """WITH t AS (
+      |  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      |  FROM documents
+      |), b AS (
+      |  SELECT n_tok,
+      |    CAST(length(printf('%b', n_tok)) AS BIGINT) AS bucket_bits
+      |  FROM t WHERE n_tok > 0
+      |), c AS (
+      |  SELECT n_tok, bucket_bits,
+      |    CAST((1 << bucket_bits) - 1 AS BIGINT) AS bucket_cap
+      |  FROM b
+      |)
+      |SELECT bucket_bits, bucket_cap,
+      |  COUNT(*) AS n_docs,
+      |  CAST(SUM(n_tok) AS BIGINT) AS sum_tokens,
+      |  CAST(SUM(bucket_cap - n_tok) AS BIGINT) AS pad_tokens,
+      |  CAST(SUM(bucket_cap - n_tok) * 1000000 // (bucket_cap * COUNT(*)) AS BIGINT) AS pad_waste_ppm
+      |FROM c GROUP BY bucket_bits, bucket_cap ORDER BY bucket_bits""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    ("q177_padding_waste", q177 _, Some(q177Sql)),
     ("q81_pack_sequences", q81 _, Some(q81Sql)),
     ("q82_priority_sample", q82 _, Some(q82Sql)),
     ("q83_winsorize", q83 _, Some(q83Sql)),

@@ -546,6 +546,121 @@ object Evaluation {
       |  CAST(SUM(norm2) // COUNT(*) AS BIGINT) AS avg_norm2
       |FROM q GROUP BY label ORDER BY label""".stripMargin
 
+  /** q178 one full Lloyd k-means round in-engine — the clustering refresh a
+    * training pipeline schedules over its embedding store (MacQueen 1967 /
+    * Lloyd 1982; the distributed shape is the classic MapReduce k-means):
+    * seed centroids = the q151/q168 per-label integer centroids, E-step =
+    * exact squared-Euclidean argmin assignment (the q168 `min_by` kernel),
+    * M-step = per-cluster integer-truncated mean recompute, then report per
+    * cluster the member count, how many members DEFECTED from their seed
+    * label, and the centroid's squared shift — the convergence telemetry
+    * (shift → 0) that decides whether another round is worth scheduling.
+    * All-integer (×1000 quantization), so the DuckDB oracle replays the
+    * entire round as chained CTEs (the q124 unrolled-fixed-point pattern).
+    *
+    * Scale shape: centroids are |classes|-row model frames (broadcast by
+    * contract); the corpus streams through TWO scans (assign, recompute) —
+    * the E-step argmin combines map-side via `min_by`, the M-step is one
+    * posexplode aggregate keyed by (cluster, dim), and the shift/defector
+    * rollups join model-sized frames only. The assignment join back to the
+    * vectors is the round's one corpus-keyed shuffle — exactly what a
+    * 1000-executor k-means round costs per iteration. */
+  def q178(spark: SparkSession, dir: String): DataFrame = {
+    val q = Tables.parallelized(Tables.load(spark, dir, "embeddings"))
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * 1000).cast("long")).as("qv"))
+    val cent0 = q
+      .select(col("label").as("c_label"),
+        posexplode(col("qv")).as(Seq("dim", "qd")))
+      .groupBy("c_label", "dim")
+      .agg(expr("sum(qd) div count(1)").as("m"))
+      .groupBy("c_label")
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
+        s => s("m")).as("cv"))
+    val assign = q
+      .withColumn("nq", call_function("dot_i64", col("qv"), col("qv")))
+      .crossJoin(broadcast( // |classes| rows — model-sized by contract
+        cent0.withColumn("nc", call_function("dot_i64", col("cv"), col("cv")))))
+      .withColumn("dist2",
+        col("nq") + col("nc") -
+          lit(2L) * call_function("dot_i64", col("qv"), col("cv")))
+      .groupBy("vec_id", "label")
+      .agg(min_by(col("c_label"), struct(col("dist2"), col("c_label")))
+        .as("cluster"))
+    val members = q.select(col("vec_id"), col("qv")).join(assign, "vec_id")
+    val stats = members.groupBy("cluster")
+      .agg(count(lit(1)).as("n_members"),
+        sum(when(col("label") =!= col("cluster"), 1L).otherwise(0L))
+          .as("n_defectors"))
+    val cent1 = members
+      .select(col("cluster"), posexplode(col("qv")).as(Seq("dim", "qd")))
+      .groupBy("cluster", "dim")
+      .agg(expr("sum(qd) div count(1)").as("m1"))
+      .groupBy("cluster")
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("m1")))),
+        s => s("m1")).as("cv1"))
+    cent0.select(col("c_label").as("cluster"), col("cv"))
+      .join(stats, Seq("cluster"), "left")
+      .join(cent1, Seq("cluster"), "left")
+      .select(col("cluster"),
+        coalesce(col("n_members"), lit(0L)).as("n_members"),
+        coalesce(col("n_defectors"), lit(0L)).as("n_defectors"),
+        when(col("cv1").isNotNull, // model-sized frame: HOF cost is |classes|·dim
+          aggregate(zip_with(col("cv"), col("cv1"), (a, b) => (a - b) * (a - b)),
+            lit(0L), (acc, x) => acc + x)).as("shift_dist2"))
+      .orderBy("cluster")
+  }
+
+  val q178Sql: String =
+    """WITH q AS (
+      |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+      |    list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+      |  FROM embeddings
+      |), e AS (
+      |  SELECT label, unnest(range(1, len(qv) + 1)) AS i, qv FROM q
+      |), cd AS (
+      |  SELECT label AS c_label, i, CAST(SUM(qv[i]) // COUNT(*) AS BIGINT) AS m
+      |  FROM e GROUP BY label, i
+      |), cent AS (
+      |  SELECT c_label, list(m ORDER BY i) AS cv FROM cd GROUP BY c_label
+      |), scored AS (
+      |  SELECT q.vec_id, q.label, c.c_label,
+      |    CAST(list_sum(list_transform(range(1, len(q.qv) + 1),
+      |      i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i]))) AS BIGINT) AS dist2
+      |  FROM q CROSS JOIN cent c
+      |), best AS (
+      |  SELECT vec_id, label, c_label AS cluster,
+      |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist2, c_label) AS rn
+      |  FROM scored
+      |), assign AS (
+      |  SELECT vec_id, label, cluster FROM best WHERE rn = 1
+      |), members AS (
+      |  SELECT a.cluster, a.label, q.qv FROM assign a JOIN q USING (vec_id)
+      |), stats AS (
+      |  SELECT cluster, COUNT(*) AS n_members,
+      |    CAST(SUM(CASE WHEN label <> cluster THEN 1 ELSE 0 END) AS BIGINT) AS n_defectors
+      |  FROM members GROUP BY cluster
+      |), e1 AS (
+      |  SELECT cluster, unnest(range(1, len(qv) + 1)) AS i, qv FROM members
+      |), cd1 AS (
+      |  SELECT cluster, i, CAST(SUM(qv[i]) // COUNT(*) AS BIGINT) AS m1
+      |  FROM e1 GROUP BY cluster, i
+      |), cent1 AS (
+      |  SELECT cluster, list(m1 ORDER BY i) AS cv1 FROM cd1 GROUP BY cluster
+      |)
+      |SELECT c.c_label AS cluster,
+      |  CAST(COALESCE(s.n_members, 0) AS BIGINT) AS n_members,
+      |  CAST(COALESCE(s.n_defectors, 0) AS BIGINT) AS n_defectors,
+      |  CASE WHEN c1.cv1 IS NOT NULL THEN
+      |    CAST(list_sum(list_transform(range(1, len(c.cv) + 1),
+      |      i -> (c.cv[i] - c1.cv1[i]) * (c.cv[i] - c1.cv1[i]))) AS BIGINT)
+      |  END AS shift_dist2
+      |FROM cent c
+      |LEFT JOIN stats s ON s.cluster = c.c_label
+      |LEFT JOIN cent1 c1 ON c1.cluster = c.c_label
+      |ORDER BY cluster""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(("q140_auc_ranksum", q140 _, Some(q140Sql)),
       ("q168_centroid_eval", q168 _, Some(q168Sql)),
@@ -557,5 +672,6 @@ object Evaluation {
       ("q152_weekly_drift", q152 _, Some(q152Sql)),
       ("q155_reliability_bins", q155 _, Some(q155Sql)),
       ("q156_jackknife_langid", q156 _, Some(q156Sql)),
-      ("q173_embedding_audit", q173 _, Some(q173Sql)))
+      ("q173_embedding_audit", q173 _, Some(q173Sql)),
+      ("q178_kmeans_round", q178 _, Some(q178Sql)))
 }

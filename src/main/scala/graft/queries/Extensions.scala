@@ -870,6 +870,78 @@ object Extensions {
        |JOIN sides sb ON sb.doc_id = p.doc_b
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** q176 fuzzy decontamination — the ACTION the q172 leakage audit
+    * motivates: every train-side document (q171's leakage-free split, side
+    * 0) that near-dup-collides with a test-side document is flagged for
+    * removal, rolled up per source as (train docs, contaminated count,
+    * flagged-id checksum). This is the MinHash analog of the q59 exact
+    * n-gram benchmark decontamination (Brown et al., GPT-3 appendix C
+    * dedups eval overlap fuzzily, not exactly) — clean evals need the
+    * TRAIN side scrubbed of near-copies of test documents, not just exact
+    * copies. Fully portable algebra: pairs are the q99 oracle-replayed LSH
+    * pipeline, sides the q171 oracle-replayed cluster split, so the DuckDB
+    * oracle replays flagging end-to-end and the checksum pins row identity.
+    *
+    * Scale shape: straddling pairs ∝ band collisions (never corpus²), the
+    * side lookup is two slim doc-keyed fetch joins, the flag set is
+    * duplicate-bounded and semi-joins back into one per-source aggregate. */
+  def q176(spark: SparkSession, dir: String): DataFrame = {
+    val sides = Dedup.splitSides(spark, dir).select("doc_id", "source", "side")
+    val flagged = Dedup.minHashPairsPortable(spark, dir)
+      .join(sides.select(col("doc_id").as("doc_a"), col("side").as("side_a")),
+        "doc_a")
+      .join(sides.select(col("doc_id").as("doc_b"), col("side").as("side_b")),
+        "doc_b")
+      .filter(col("side_a") =!= col("side_b"))
+      .select(when(col("side_a") === 0, col("doc_a")).otherwise(col("doc_b"))
+        .as("doc_id"))
+      .distinct()
+      .withColumn("flag", lit(1L))
+    sides.filter(col("side") === 0)
+      .join(flagged, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_train_docs"),
+        sum(coalesce(col("flag"), lit(0L))).as("n_contaminated"),
+        coalesce(sum(when(col("flag") === 1L, col("doc_id"))), lit(0L))
+          .as("contaminated_checksum"))
+      .orderBy("source")
+  }
+
+  val q176Sql: String =
+    s"""WITH toks4 AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+       |), sh4 AS (
+       |  SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
+       |    i -> CAST('0x' || substr(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]), 1, 15) AS BIGINT))) AS hs
+       |  FROM toks4
+       |), sig4 AS (
+       |  SELECT doc_id,
+       |    list_min(list_transform(hs, h -> (1299709 * (h % 2147483647) + 7) % 2147483647)) AS s0,
+       |    list_min(list_transform(hs, h -> (15485863 * (h % 2147483647) + 101) % 2147483647)) AS s1
+       |  FROM sh4
+       |), sides AS (
+       |  SELECT doc_id,
+       |    CAST('0x' || substr(md5(
+       |      CAST(CASE WHEN s0 IS NOT NULL THEN s0 ELSE -1 END AS VARCHAR) || ':' ||
+       |      CAST(CASE WHEN s0 IS NOT NULL THEN s1 ELSE doc_id END AS VARCHAR)), 1, 8) AS BIGINT) % 2 AS side
+       |  FROM sig4
+       |), strad AS (
+       |  SELECT DISTINCT CASE WHEN sa.side = 0 THEN p.doc_a ELSE p.doc_b END AS doc_id
+       |  FROM ($q99Sql) p
+       |  JOIN sides sa ON sa.doc_id = p.doc_a
+       |  JOIN sides sb ON sb.doc_id = p.doc_b
+       |  WHERE sa.side <> sb.side
+       |)
+       |SELECT d.source,
+       |  COUNT(*) AS n_train_docs,
+       |  CAST(SUM(CASE WHEN f.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+       |  CAST(COALESCE(SUM(CASE WHEN f.doc_id IS NOT NULL THEN d.doc_id END), 0) AS BIGINT) AS contaminated_checksum
+       |FROM sides s
+       |JOIN documents d ON d.doc_id = s.doc_id
+       |LEFT JOIN strad f ON f.doc_id = s.doc_id
+       |WHERE s.side = 0
+       |GROUP BY d.source ORDER BY d.source""".stripMargin
+
   /** q174 MinHash banding calibration — the estimate-vs-truth audit of the
     * dedup detector itself: banded candidate pairs binned by how many of
     * the 8 permuted minima agree (the MinHash estimate: matches/8 ≈
@@ -933,6 +1005,7 @@ object Extensions {
     ("q170_source_dup_matrix", q170 _, Some(q170Sql)),
     ("q172_split_leakage", q172 _, Some(q172Sql)),
     ("q174_minhash_calibration", q174 _, Some(q174Sql)),
+    ("q176_fuzzy_decontamination", q176 _, Some(q176Sql)),
     ("q27_dedup_minhash_lsh", q27 _, None),
     ("q28_dedup_simhash", q28 _, None),
     ("q29_ngram_jaccard", q29 _, Some(q29Sql)),

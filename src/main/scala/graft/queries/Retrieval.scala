@@ -273,6 +273,119 @@ object Retrieval {
        |FROM g CROSS JOIN ig""".stripMargin
   }
 
+  /** q175 hybrid retrieval via reciprocal-rank fusion — the standard way a
+    * RAG stack combines its lexical and vector indexes (Cormack, Clarke &
+    * Buettcher, "Reciprocal Rank Fusion outperforms Condorcet and individual
+    * rank learning methods", SIGIR 2009): take the top-50 of the q109 BM25
+    * ranking and the top-50 of the exact integer-cosine ranking against a
+    * fixed query vector (vec_id 0 — the q110 quantized kernel; doc_id and
+    * vec_id share the corpus id space), then fuse with the classic k=60 RRF
+    * weight ⌊1e6/(60+rank)⌋ summed per document, absent-list contributions
+    * zero. All-integer, so the fusion is oracle hash-checked end-to-end.
+    *
+    * Scale shape: each leg collapses to TakeOrderedAndProject(50) (the rank
+    * windows run on 50-row frames), the fusion is a full-outer join of two
+    * ≤50-row lists, and the final top-10 sorts ≤100 rows. The vector leg
+    * streams the corpus once against a 1-row broadcast query; the lexical
+    * leg is the q109 inverted-index shape. Nothing here grows with corpus
+    * size except the two single-scan legs. */
+  def q175(spark: SparkSession, dir: String): DataFrame = {
+    val lexOrder = Seq(desc("score_x1e6"), col("doc_id"))
+    val lex = bm25Scored(spark, dir)
+      .orderBy(lexOrder: _*).limit(50)
+      .withColumn("lex_rank",
+        row_number().over(Window.orderBy(lexOrder: _*)).cast(LongType))
+      .select(col("doc_id"), col("lex_rank"))
+    val q = Tables.parallelized(Tables.load(spark, dir, "embeddings"))
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          x => floor(x.cast(DoubleType) * 100).cast(LongType)).as("qv"))
+      .withColumn("nrm", call_function("dot_i64", col("qv"), col("qv")))
+    val qvec = q.filter(col("vec_id") === 0 && col("nrm") > 0)
+      .select(col("qv").as("qq"), col("nrm").as("nq"))
+    val vecOrder = Seq(desc("vscore_x1e6"), col("vec_id"))
+    val vec = q.filter(col("vec_id") =!= 0 && col("nrm") > 0)
+      .crossJoin(broadcast(qvec)) // 1-row query parameter
+      .withColumn("dot", call_function("dot_i64", col("qv"), col("qq")))
+      .withColumn("vscore_x1e6",
+        when(col("dot") >= 0, expr("dot * dot * 1000000 div (nrm * nq)"))
+          .otherwise(-expr("dot * dot * 1000000 div (nrm * nq)")))
+      .orderBy(vecOrder: _*).limit(50)
+      .withColumn("vec_rank",
+        row_number().over(Window.orderBy(vecOrder: _*)).cast(LongType))
+      .select(col("vec_id"), col("vec_rank"))
+    lex.join(vec, lex("doc_id") === vec("vec_id"), "full_outer")
+      .select(coalesce(col("doc_id"), col("vec_id")).as("doc_id"),
+        col("lex_rank"), col("vec_rank"))
+      .withColumn("rrf_x1e6",
+        coalesce(expr("1000000 div (60 + lex_rank)"), lit(0L)) +
+          coalesce(expr("1000000 div (60 + vec_rank)"), lit(0L)))
+      .orderBy(desc("rrf_x1e6"), col("doc_id"))
+      .limit(10)
+  }
+
+  val q175Sql: String =
+    """WITH docs AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      |), d AS (
+      |  SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM docs
+      |), stats AS (
+      |  SELECT COUNT(*) AS n_docs, SUM(dl) * 1000 // COUNT(*) AS avgdl_x1e3
+      |  FROM d
+      |), tf AS (
+      |  SELECT doc_id, dl, term, COUNT(*) AS tf FROM (
+      |    SELECT d.doc_id, d.dl, unnest(docs.w) AS term
+      |    FROM docs JOIN d USING (doc_id)
+      |  ) WHERE term IN ('hash', 'join', 'vector')
+      |  GROUP BY 1, 2, 3
+      |), dfreq AS (
+      |  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+      |), scored AS (
+      |  SELECT tf.doc_id, tf.dl,
+      |    (2 * (s.n_docs - dfreq.df) + 1) * 1000 // (2 * dfreq.df + 1) AS idf_x1e3,
+      |    tf.tf * 2200000000000 // (tf.tf * 1000000 +
+      |      (12 * (250000 + (tf.dl * 1000000000 // s.avgdl_x1e3) * 75 // 100)) // 10)
+      |      AS tfsat_x1e6
+      |  FROM tf JOIN dfreq USING (term) CROSS JOIN stats s
+      |), cand AS (
+      |  SELECT doc_id,
+      |    CAST(SUM(idf_x1e3 * tfsat_x1e6 // 1000) AS BIGINT) AS score_x1e6
+      |  FROM scored GROUP BY doc_id, dl
+      |), lex AS (
+      |  SELECT doc_id,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY score_x1e6 DESC, doc_id) AS BIGINT) AS lex_rank
+      |  FROM cand ORDER BY score_x1e6 DESC, doc_id LIMIT 50
+      |), qe AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 100) AS BIGINT)) AS qv
+      |  FROM embeddings
+      |), n AS (
+      |  SELECT vec_id, qv,
+      |    CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS nrm
+      |  FROM qe
+      |), qv0 AS (
+      |  SELECT qv AS qq, nrm AS nq FROM n WHERE vec_id = 0 AND nrm > 0
+      |), vs AS (
+      |  SELECT b.vec_id, b.nrm, q.nq,
+      |    CAST(list_sum(list_transform(range(1, len(b.qv) + 1),
+      |      i -> b.qv[i] * q.qq[i])) AS BIGINT) AS dot
+      |  FROM n b CROSS JOIN qv0 q WHERE b.vec_id <> 0 AND b.nrm > 0
+      |), vscore AS (
+      |  SELECT vec_id,
+      |    CASE WHEN dot >= 0 THEN dot * dot * 1000000 // (nrm * nq)
+      |         ELSE -(dot * dot * 1000000 // (nrm * nq)) END AS vscore_x1e6
+      |  FROM vs
+      |), vec AS (
+      |  SELECT vec_id,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY vscore_x1e6 DESC, vec_id) AS BIGINT) AS vec_rank
+      |  FROM vscore ORDER BY vscore_x1e6 DESC, vec_id LIMIT 50
+      |)
+      |SELECT COALESCE(l.doc_id, v.vec_id) AS doc_id, l.lex_rank, v.vec_rank,
+      |  CAST(COALESCE(1000000 // (60 + l.lex_rank), 0)
+      |     + COALESCE(1000000 // (60 + v.vec_rank), 0) AS BIGINT) AS rrf_x1e6
+      |FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.vec_id
+      |ORDER BY rrf_x1e6 DESC, doc_id LIMIT 10""".stripMargin
+
   val q109Sql =
     """WITH docs AS (
       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
@@ -863,6 +976,7 @@ object Retrieval {
     ("q163_triplet_mining", q163 _, Some(q163Sql)),
     ("q108_percentiles_exact", q108 _, Some(q108Sql)),
     ("q109_bm25_topk", q109 _, Some(q109Sql)),
+    ("q175_rrf_fusion", q175 _, Some(q175Sql)),
     ("q153_ndcg", q153 _, Some(q153Sql)),
     ("q157_knn_mrr", q157 _, Some(q157Sql)),
     ("q110_allpairs_cosine", q110 _, Some(q110Sql)),

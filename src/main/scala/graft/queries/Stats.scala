@@ -814,7 +814,58 @@ object Stats {
       |         AS BIGINT) END AS slope_x1e6
       |FROM oct""".stripMargin
 
+  /** q180 out-of-vocabulary rate per source — the tokenizer-coverage gate a
+    * pipeline runs before committing a vocabulary (the operational question
+    * behind q93's coverage curve): fix the reference vocabulary to the
+    * top-`VocabSize` corpus tokens under the total (freq desc, token)
+    * order, then score every source by the ppm of its token OCCURRENCES
+    * falling outside it. A source with a high OOV rate is the one that
+    * will fragment into subwords (q36's estimate) or <unk> at training
+    * time. `VocabSize` = 20 is the declared calibration knob (the fixture
+    * vocabulary holds 31 distinct tokens, so the audit has real OOV mass;
+    * production sets it to the tokenizer's vocab size).
+    *
+    * Scale shape: the vocabulary is LIMIT-bounded by construction —
+    * TakeOrderedAndProject(|vocab|) over the one map-combined (term, freq)
+    * aggregate — so broadcasting it is the correct plan at any corpus
+    * size; the token stream then makes ONE pass against the broadcast
+    * (left join + conditional count), and the rollup is |sources| cells.
+    * The corpus-derived-never-broadcast rule does not apply: the limit is
+    * structural, not data-dependent. */
+  def q180(spark: SparkSession, dir: String): DataFrame = {
+    val VocabSize = 20
+    val toks = Tables.parallelized(Tables.load(spark, dir, "documents"))
+      .select(col("source"),
+        explode(graft.functions.TextFunctions.tokens(col("text"))).as("term"))
+      .filter(length(col("term")) > 0)
+    val vocab = toks.groupBy("term").agg(count(lit(1)).as("f"))
+      .orderBy(desc("f"), col("term")).limit(VocabSize)
+      .select(col("term"), lit(1L).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("term"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_ppm", expr("n_oov * 1000000 div n_tokens"))
+      .orderBy("source")
+  }
+
+  val q180Sql: String =
+    """WITH t AS (
+      |  SELECT source, unnest(string_split(text, ' ')) AS term FROM documents
+      |), tt AS (
+      |  SELECT source, term FROM t WHERE length(term) > 0
+      |), vocab AS (
+      |  SELECT term FROM (SELECT term, COUNT(*) AS f FROM tt GROUP BY term)
+      |  ORDER BY f DESC, term LIMIT 20
+      |)
+      |SELECT source, COUNT(*) AS n_tokens,
+      |  CAST(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+      |  CAST(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT) AS oov_ppm
+      |FROM tt LEFT JOIN vocab v ON tt.term = v.term
+      |GROUP BY source ORDER BY source""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    ("q180_oov_rate", q180 _, Some(q180Sql)),
     ("q87_grouping_sets", q87 _, Some(q87Sql)),
     ("q167_zipf_slope", q167 _, Some(q167Sql)),
     ("q88_stats_moments", q88 _, Some(q88Sql)),

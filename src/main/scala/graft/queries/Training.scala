@@ -1414,7 +1414,91 @@ object Training {
       |  CAST(SUM(doc_id) AS BIGINT) AS doc_checksum
       |FROM sides GROUP BY source, side ORDER BY source, side""".stripMargin
 
+  /** q179 data-selection importance weights (DSIR shape — Xie et al.,
+    * "Data Selection for Language Models via Importance Resampling",
+    * NeurIPS 2023): score every document by how much its hashed-bigram
+    * feature profile looks like a TARGET domain (source `src0` here)
+    * relative to the RAW corpus, in the exact integer-log surrogate the
+    * engine uses everywhere (q160/q167): per bigram occurrence,
+    * [bitlen(1 + target count of its bucket) − bitlen(1 + raw count)]
+    * + [bitlen(total raw) − bitlen(total target)] — the second term is the
+    * global size normalization that turns the raw count ratio into the
+    * log PROBABILITY ratio log(p_target/p_raw); without it every weight
+    * is ≤ 0 by target ⊂ raw and the sign carries nothing. Positive-weight
+    * mass is what importance resampling would upsample. Rolled up per
+    * source (n docs, mean/min/max weight, positive-doc count). Portable
+    * algebra end-to-end: the md5 hash bucket is the q44/q54 primitive, so
+    * the oracle replays feature hashing, both count profiles, the
+    * normalizer, and every per-doc sum bit-for-bit (and the spec replays
+    * it all a third time driver-side).
+    *
+    * Scale shape — the two-model contract: the feature space is CLOSED at
+    * 1024 buckets by construction, so the (raw, target) count table is a
+    * model-sized frame built by ONE conditional aggregate over the bigram
+    * stream and broadcast back against it; documents stream through twice
+    * (model build, scoring — same as q160's train/score split), the
+    * per-doc sum combines map-side, and the rollup is |sources| cells.
+    * Nothing pairwise, nothing corpus-broadcast. */
+  def q179(spark: SparkSession, dir: String): DataFrame = {
+    def bigrams(df: DataFrame): DataFrame = df
+      .select(col("doc_id"), col("source"),
+        explode(T.wordShingles(col("text"), 2)).as("bg"))
+      .withColumn("bucket", T.hashBucket(col("bg"), 1024))
+      .drop("bg")
+    val docs = Tables.parallelized(Tables.load(spark, dir, "documents"))
+    val model = bigrams(docs)
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("cnt_raw"),
+        sum(when(col("source") === "src0", 1L).otherwise(0L)).as("cnt_tgt"))
+    // 1-row normalizer: bitlen(Σraw) − bitlen(Σtgt) ≈ log2(|corpus|/|target|)
+    val norm = model.agg(
+      (length(bin(sum("cnt_raw"))) - length(bin(sum("cnt_tgt"))))
+        .cast(LongType).as("z"))
+    val scored = bigrams(docs)
+      .join(broadcast(model), "bucket") // ≤1024 rows by construction
+      .crossJoin(broadcast(norm))
+      .groupBy("doc_id", "source")
+      .agg(sum(length(bin(col("cnt_tgt") + 1)).cast(LongType) -
+        length(bin(col("cnt_raw") + 1)).cast(LongType) + col("z")).as("w"))
+    scored.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        expr("sum(w) div count(1)").as("mean_w"),
+        min("w").as("min_w"), max("w").as("max_w"),
+        sum(when(col("w") > 0, 1L).otherwise(0L)).as("n_positive"))
+      .orderBy("source")
+  }
+
+  val q179Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
+      |), bg AS (
+      |  SELECT doc_id, source,
+      |    CAST('0x' || substr(md5(w[i] || ' ' || w[i+1]), 1, 8) AS BIGINT) % 1024 AS bucket
+      |  FROM toks, unnest(range(1, len(w))) AS t(i)
+      |), model AS (
+      |  SELECT bucket, COUNT(*) AS cnt_raw,
+      |    SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS cnt_tgt
+      |  FROM bg GROUP BY bucket
+      |), norm AS (
+      |  SELECT CAST(length(printf('%b', CAST(SUM(cnt_raw) AS BIGINT)))
+      |       - length(printf('%b', CAST(SUM(cnt_tgt) AS BIGINT))) AS BIGINT) AS z
+      |  FROM model
+      |), scored AS (
+      |  SELECT bg.doc_id, bg.source,
+      |    CAST(SUM(CAST(length(printf('%b', CAST(m.cnt_tgt + 1 AS BIGINT))) AS BIGINT)
+      |           - CAST(length(printf('%b', CAST(m.cnt_raw + 1 AS BIGINT))) AS BIGINT)
+      |           + n.z) AS BIGINT) AS w
+      |  FROM bg JOIN model m USING (bucket) CROSS JOIN norm n
+      |  GROUP BY bg.doc_id, bg.source
+      |)
+      |SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(w) // COUNT(*) AS BIGINT) AS mean_w,
+      |  CAST(MIN(w) AS BIGINT) AS min_w, CAST(MAX(w) AS BIGINT) AS max_w,
+      |  CAST(SUM(CASE WHEN w > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_positive
+      |FROM scored GROUP BY source ORDER BY source""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    ("q179_dsir_weights", q179 _, Some(q179Sql)),
     ("q171_cluster_split", q171 _, Some(q171Sql)),
     ("q127_bpe_merge", q127 _, Some(q127Sql)),
     ("q135_bpe_table", (s: SparkSession, d: String) => q135(s, d), Some(q135Sql)),

@@ -288,4 +288,28 @@ class EvaluationSpec extends AnyFunSuite {
     got.foreach { case (l, (n, c)) => assert((n, c) == expected(l), s"label $l") }
     assert(got.values.map(_._2).sum > 0, "no vector classified correctly — vacuous")
   }
+
+  test("q178 Lloyd round: membership conserves the corpus and defectors match q168") {
+    val rows = Evaluation.q178(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))
+    val nVecs = Tables.load(spark, sf, "embeddings").count()
+    val labels = Tables.load(spark, sf, "embeddings")
+      .selectExpr("cast(label as long)").distinct()
+      .collect().map(_.getLong(0)).sorted
+    assert(rows.map(_._1).sorted.sameElements(labels),
+      "one output row per seed centroid (label), populated or not")
+    assert(rows.map(_._2).sum == nVecs, "E-step must assign every vector once")
+    rows.foreach { case (c, n, d, shift) =>
+      assert(d >= 0 && d <= n, s"cluster $c: $d defectors of $n members")
+      assert(shift.isDefined == (n > 0),
+        s"cluster $c: shift defined iff the M-step saw members")
+      shift.foreach(s => assert(s >= 0))
+    }
+    // the E-step IS the q168 assignment: defectors == misclassifications
+    val mis168 = Evaluation.q168(spark, sf).collect()
+      .map(r => r.getLong(1) - r.getLong(2)).sum
+    assert(rows.map(_._3).sum == mis168,
+      "q178 defector total must equal q168's misclassified total")
+  }
 }

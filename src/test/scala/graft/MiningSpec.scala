@@ -354,4 +354,74 @@ class MiningSpec extends AnyFunSuite {
     }
     assert(got.values.exists(_._2 > 0), "no surprisal accumulated — vacuous")
   }
+
+  test("q176 decontamination: flags replay exactly from pairs × sides") {
+    val rows = queries.Extensions.q176(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (src, n, c, _) =>
+      assert(c >= 0 && c <= n, s"$src: $c contaminated of $n train docs")
+    }
+    val sides = graft.dedup.Dedup.splitSides(spark, sf)
+    assert(rows.map(_._2).sum == sides.filter(col("side") === 0).count(),
+      "per-source train counts must conserve the side-0 population")
+    // independent replay of the flag set: train endpoints of straddling pairs
+    val flagged = graft.dedup.Dedup.minHashPairsPortable(spark, sf)
+      .join(sides.select(col("doc_id").as("doc_a"), col("side").as("sa")),
+        "doc_a")
+      .join(sides.select(col("doc_id").as("doc_b"), col("side").as("sb")),
+        "doc_b")
+      .filter(col("sa") =!= col("sb"))
+      .select(when(col("sa") === 0, col("doc_a")).otherwise(col("doc_b"))
+        .as("doc_id"))
+      .distinct().collect().map(_.getLong(0))
+    assert(rows.map(_._3).sum == flagged.length,
+      "contaminated counts must equal the distinct straddling train docs")
+    assert(rows.map(_._4).sum == flagged.sum,
+      "checksums must pin the exact flagged id set")
+  }
+
+  test("q179 DSIR weights replay exactly from a driver-side feature model") {
+    val rows = Training.q179(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (src, n, mean, mn, mx, pos) =>
+      assert(n > 0 && pos >= 0 && pos <= n, src)
+      assert(mn <= mean && mean <= mx, s"$src: mean $mean outside [$mn, $mx]")
+    }
+    // full driver-side replay: md5 buckets, both count profiles, the
+    // normalizer, per-doc sums, per-source rollup
+    def bucket(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.take(8)
+      java.lang.Long.parseLong(hex, 16) % 1024
+    }
+    def bitlen(x: Long): Long = 64L - java.lang.Long.numberOfLeadingZeros(x)
+    val docs = Tables.load(spark, sf, "documents").collect()
+      .map(r => (r.getLong(0), r.getString(3),
+        r.getString(1).split(" ").toSeq))
+      .map { case (id, src, w) =>
+        (id, src, w.indices.dropRight(1).map(i => bucket(w(i) + " " + w(i + 1))))
+      }
+      .filter(_._3.nonEmpty)
+    val raw = docs.flatMap(_._3).groupBy(identity).view.mapValues(_.length.toLong)
+    val tgt = docs.filter(_._2 == "src0").flatMap(_._3)
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val z = bitlen(raw.values.sum) - bitlen(docs.filter(_._2 == "src0").map(_._3.length.toLong).sum)
+    val perDoc = docs.map { case (_, src, bs) =>
+      src -> bs.map(b =>
+        bitlen(tgt.getOrElse(b, 0L) + 1) - bitlen(raw(b) + 1) + z).sum
+    }
+    val expected = perDoc.groupBy(_._1).map { case (src, xs) =>
+      val ws = xs.map(_._2)
+      src -> ((ws.length.toLong, ws.sum / ws.length, ws.min, ws.max,
+        ws.count(_ > 0).toLong))
+    }
+    assert(rows.map(_._1).toSet == expected.keySet)
+    rows.foreach { case (src, n, mean, mn, mx, pos) =>
+      assert((n, mean, mn, mx, pos) == expected(src), s"$src mismatch")
+    }
+  }
 }

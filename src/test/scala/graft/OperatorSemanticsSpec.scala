@@ -317,4 +317,29 @@ class OperatorSemanticsSpec extends AnyFunSuite {
     assert(Audit.rowCount(df) == 3)
     assert(Audit.nullKeyCount(df, "key") == 1)
   }
+
+  test("q177 padding audit: bucket caps are structural and the token identity holds") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = graft.queries.Corpus.q177(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    assert(rows.map(_._1).sameElements(rows.map(_._1).sorted.distinct),
+      "buckets ascending and unique")
+    rows.foreach { case (bits, cap, n, tok, pad, ppm) =>
+      assert(cap == (1L << bits) - 1, s"bucket $bits cap $cap not structural")
+      // every member's length is in (cap/2, cap]: pad < cap/2 per doc on avg
+      assert(tok + pad == cap * n, s"bucket $bits: token identity broken")
+      assert(tok > cap / 2 * n && tok <= cap * n,
+        s"bucket $bits holds a doc outside its half-open length range")
+      assert(ppm >= 0 && ppm < 500000,
+        s"bucket $bits waste $ppm outside [0, 50%) — power-of-2 bound")
+    }
+    // mass conservation against an independent scan
+    val total = graft.Tables.load(spark, sf, "documents")
+      .selectExpr("cast(size(split(text, ' ')) as bigint) as n")
+      .filter("n > 0").agg(org.apache.spark.sql.functions.sum("n"))
+      .collect()(0).getLong(0)
+    assert(rows.map(_._4).sum == total, "bucketed token mass must conserve")
+  }
 }

@@ -227,4 +227,25 @@ class RetrievalSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
     assert(got.toSeq == expected.toSeq)
   }
+
+  test("q175 RRF: fused scores replay from the ranks with the k=60 weights") {
+    val rows = Retrieval.q175(spark, sf).collect()
+    assert(rows.length == 10)
+    def contrib(r: org.apache.spark.sql.Row, i: Int): Long =
+      if (r.isNullAt(i)) 0L else {
+        val rk = r.getLong(i)
+        assert(rk >= 1 && rk <= 50, s"rank $rk outside the top-50 leg")
+        1000000L / (60L + rk)
+      }
+    rows.foreach { r =>
+      assert(!r.isNullAt(1) || !r.isNullAt(2),
+        "a fused row must come from at least one leg")
+      assert(r.getLong(3) == contrib(r, 1) + contrib(r, 2),
+        s"rrf mismatch for doc ${r.getLong(0)}")
+    }
+    val scores = rows.map(_.getLong(3))
+    assert(scores.sameElements(scores.sortBy(-_)), "must be rrf-descending")
+    // both legs contribute to the fused top-10 at this SF
+    assert(rows.exists(!_.isNullAt(1)) && rows.exists(!_.isNullAt(2)))
+  }
 }

@@ -144,4 +144,27 @@ class StatsSpec extends AnyFunSuite {
       assert(out <= n / 2)
     }
   }
+
+  test("q180 OOV rate replays from a driver-side top-20 vocabulary") {
+    val rows = Stats.q180(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    // independent replay: count tokens, build the (freq desc, term) top-20,
+    // recount OOV occurrences per source
+    val toks = Tables.load(spark, sf, "documents").collect()
+      .flatMap(r => r.getString(1).split(" ").filter(_.nonEmpty)
+        .map(t => (r.getString(3), t)))
+    val vocab = toks.groupBy(_._2).view.mapValues(_.length).toSeq
+      .sortBy { case (t, f) => (-f, t) }.take(20).map(_._1).toSet
+    val expected = toks.groupBy(_._1).map { case (src, xs) =>
+      val oov = xs.count(x => !vocab(x._2))
+      src -> ((xs.length.toLong, oov.toLong,
+        oov.toLong * 1000000L / xs.length))
+    }
+    assert(rows.map(_._1).toSet == expected.keySet)
+    rows.foreach { case (src, n, oov, ppm) =>
+      assert((n, oov, ppm) == expected(src), s"$src mismatch")
+    }
+    assert(rows.map(_._3).sum > 0, "no OOV mass — the cutoff knob is vacuous")
+  }
 }
