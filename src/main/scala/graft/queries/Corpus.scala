@@ -321,8 +321,48 @@ object Corpus {
       |  CAST(SUM(bucket_cap - n_tok) * 1000000 // (bucket_cap * COUNT(*)) AS BIGINT) AS pad_waste_ppm
       |FROM c GROUP BY bucket_bits, bucket_cap ORDER BY bucket_bits""".stripMargin
 
+  /** q181 documents-table contract audit — the intake gate that runs before
+    * any operator TRUSTS the table (the documents twin of q173's embedding
+    * audit): per source, doc count vs distinct-id count (a duplicate doc_id
+    * silently double-counts through every downstream join), declared
+    * `n_chars` vs actual `length(text)` mismatches (a stale derived column
+    * poisons every length-based gate: q33, q89, q111), empty-text count,
+    * the token-count range, and the distinct-language count. All-zero alarm
+    * columns ARE the healthy state — the audit's value is that a 100 TB
+    * ingest run where they are NOT zero fails loudly before training.
+    * Scale shape: one scan, one narrow codegen'd map, one map-combined
+    * aggregate (count-distinct adds its standard two-level expansion,
+    * keyed by source). */
+  def q181(spark: SparkSession, dir: String): DataFrame =
+    Tables.parallelized(Tables.load(spark, dir, "documents"))
+      .select(col("source"), col("doc_id"), col("lang"),
+        col("n_chars"),
+        length(col("text")).cast(LongType).as("len_actual"),
+        size(T.tokens(col("text"))).cast(LongType).as("n_tok"),
+        (length(col("text")) === 0).as("is_empty"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct("doc_id").as("n_distinct_ids"),
+        sum(when(col("n_chars") =!= col("len_actual"), 1L).otherwise(0L))
+          .as("n_chars_mismatch"),
+        sum(when(col("is_empty"), 1L).otherwise(0L)).as("n_empty_text"),
+        min("n_tok").as("min_tokens"), max("n_tok").as("max_tokens"),
+        countDistinct("lang").as("n_langs"))
+      .orderBy("source")
+
+  val q181Sql: String =
+    """SELECT source, COUNT(*) AS n_docs,
+      |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_distinct_ids,
+      |  CAST(SUM(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END) AS BIGINT) AS n_chars_mismatch,
+      |  CAST(SUM(CASE WHEN length(text) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_empty_text,
+      |  CAST(MIN(len(string_split(text, ' '))) AS BIGINT) AS min_tokens,
+      |  CAST(MAX(len(string_split(text, ' '))) AS BIGINT) AS max_tokens,
+      |  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q177_padding_waste", q177 _, Some(q177Sql)),
+    ("q181_documents_audit", q181 _, Some(q181Sql)),
     ("q81_pack_sequences", q81 _, Some(q81Sql)),
     ("q82_priority_sample", q82 _, Some(q82Sql)),
     ("q83_winsorize", q83 _, Some(q83Sql)),

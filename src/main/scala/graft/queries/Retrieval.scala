@@ -528,6 +528,77 @@ object Retrieval {
       |  CAST(SUM(logit_x1e6) AS BIGINT) AS sum_logit_x1e6
       |FROM s GROUP BY source ORDER BY source""".stripMargin
 
+  /** q182 per-source score-percentile table — the cross-source score
+    * calibration step before mixing (q111's logit, like any quality model's
+    * score, is not comparable ACROSS sources; mixing on raw scores
+    * over-samples whichever domain the model happens to score high): build,
+    * per source, the value→percentile lookup table over fixed 1e5-wide
+    * logit bins, each bin carrying its doc count, exact logit range,
+    * cumulative count, and cumulative share in ppm. A consumer joins a
+    * document's bin against this model-sized table to read its within-
+    * source percentile — quantile normalization without ever ranking the
+    * corpus.
+    *
+    * Scale shape — why a bin table and not ntile: a per-source rank window
+    * sorts each source's full document set in one partition (the q108
+    * per-group-sort cost, unacceptable for fact-scale sources). Here the
+    * corpus makes ONE map-combined pass into the (source × bins) aggregate
+    * — bins are value-bounded by the fixed grid (the q142 discipline:
+    * quantize scores to a fixed grid to bound the domain) — and every
+    * window below runs partitioned-by-source over that bounded frame.
+    * Integer `div` truncation-toward-zero binning is identical in both
+    * engines (declared: bin 0 spans (−1e5, 1e5)). */
+  def q182(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("source").orderBy("bin")
+    val wAll = Window.partitionBy("source")
+    Tables.load(spark, dir, "documents")
+      .withColumn("w", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("w")).cast(LongType))
+      .withColumn("distinct_ppm",
+        expr("cast(size(array_distinct(w)) as bigint) * 1000000 div n_tokens"))
+      .withColumn("stop_ppm",
+        expr("cast(2 * size(w) - size(array_remove(w, 'the')) - size(array_remove(w, 'a')) as bigint) * 1000000 div n_tokens"))
+      .withColumn("logit_x1e6",
+        lit(W0) + lit(WLen) * col("n_tokens") +
+          lit(WDistinct) * col("distinct_ppm") + lit(WStop) * col("stop_ppm"))
+      .withColumn("bin", expr("logit_x1e6 div 100000"))
+      .groupBy("source", "bin")
+      .agg(count(lit(1)).as("n_docs"),
+        min("logit_x1e6").as("lo_x1e6"), max("logit_x1e6").as("hi_x1e6"))
+      .withColumn("cum_docs", sum("n_docs").over(w))
+      .withColumn("total_docs", sum("n_docs").over(wAll))
+      .withColumn("pct_ppm", expr("cum_docs * 1000000 div total_docs"))
+      .drop("total_docs")
+      .orderBy("source", "bin")
+  }
+
+  val q182Sql: String =
+    s"""WITH f AS (
+       |  SELECT source,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) * 1000000
+       |      // len(string_split(text, ' ')) AS distinct_ppm,
+       |    CAST(len(list_filter(string_split(text, ' '),
+       |      t -> t = 'the' OR t = 'a')) AS BIGINT) * 1000000
+       |      // len(string_split(text, ' ')) AS stop_ppm
+       |  FROM documents
+       |), s AS (
+       |  SELECT source,
+       |    ${W0} + ${WLen} * n_tokens + ${WDistinct} * distinct_ppm
+       |      + (${WStop}) * stop_ppm AS logit_x1e6
+       |  FROM f
+       |), b AS (
+       |  SELECT source, logit_x1e6 // 100000 AS bin, COUNT(*) AS n_docs,
+       |    CAST(MIN(logit_x1e6) AS BIGINT) AS lo_x1e6,
+       |    CAST(MAX(logit_x1e6) AS BIGINT) AS hi_x1e6
+       |  FROM s GROUP BY source, bin
+       |)
+       |SELECT source, CAST(bin AS BIGINT) AS bin, n_docs, lo_x1e6, hi_x1e6,
+       |  CAST(SUM(n_docs) OVER (PARTITION BY source ORDER BY bin) AS BIGINT) AS cum_docs,
+       |  CAST(SUM(n_docs) OVER (PARTITION BY source ORDER BY bin) * 1000000
+       |    // SUM(n_docs) OVER (PARTITION BY source) AS BIGINT) AS pct_ppm
+       |FROM b ORDER BY source, bin""".stripMargin
+
   /** Chunking constants: 32-token windows advancing 24 tokens (8 overlap) —
     * the shape RAG ingestion uses so no boundary sentence is lost. */
   private val ChunkSize = 32
@@ -982,6 +1053,7 @@ object Retrieval {
     ("q110_allpairs_cosine", q110 _, Some(q110Sql)),
     ("q111_quality_logit", q111 _, Some(q111Sql)),
     ("q114_chunk_documents", q114 _, Some(q114Sql)),
+    ("q182_score_percentiles", q182 _, Some(q182Sql)),
     ("q119_chunk_dup_rate", q119 _, Some(q119Sql)),
     ("q125_batch_knn", q125 _, Some(q125Sql)),
     ("q133_doc_keywords", q133 _, Some(q133Sql)))

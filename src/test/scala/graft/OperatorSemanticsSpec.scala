@@ -342,4 +342,21 @@ class OperatorSemanticsSpec extends AnyFunSuite {
       .collect()(0).getLong(0)
     assert(rows.map(_._4).sum == total, "bucketed token mass must conserve")
   }
+
+  test("q181 documents audit: healthy fixture reports zero alarms and conserves counts") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = graft.queries.Corpus.q181(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    assert(rows.nonEmpty)
+    val nDocs = graft.Tables.load(spark, sf, "documents").count()
+    assert(rows.map(_._2).sum == nDocs, "per-source counts must conserve")
+    rows.foreach { case (src, n, ids, mism, empty, mn, mx, langs) =>
+      assert(ids == n, s"$src: duplicate doc_ids in a healthy fixture")
+      assert(mism == 0, s"$src: n_chars out of sync with text")
+      assert(empty == 0, s"$src: empty documents in a healthy fixture")
+      assert(mn >= 1 && mn <= mx, s"$src: token range [$mn, $mx] broken")
+      assert(langs >= 1, src)
+    }
+  }
 }

@@ -401,4 +401,45 @@ class PlanQualitySpec extends AnyFunSuite {
         s"expected a runtime bloom filter on the fact side:\n$plan")
     } finally saved.foreach { case (k, v) => conf.set(k, v) }
   }
+
+  test("q175: both RRF legs are TakeOrderedAndProject(50) with windows above the limits") {
+    val p = plan("q175_rrf_fusion")
+    assert(p.contains("TakeOrderedAndProject(limit=50"),
+      s"each leg's top-50 must plan per-partition heaps:\n$p")
+    // both rank windows must consume a 50-row prefix, never a corpus-sized
+    // frame: every Window node must appear ABOVE (print before) some
+    // TakeOrderedAndProject(limit=50)
+    val lastWindow = p.lastIndexOf("Window")
+    val lastTop50 = p.lastIndexOf("TakeOrderedAndProject(limit=50")
+    assert(lastWindow >= 0 && lastTop50 > lastWindow,
+      s"a rank window consumes an unlimited frame:\n$p")
+    assert(p.contains("TakeOrderedAndProject(limit=10"),
+      s"the fused top-10 must be a limit, not a global sort:\n$p")
+  }
+
+  test("q178: centroids broadcast; the E-step argmin combines map-side") {
+    val p = plan("q178_kmeans_round")
+    assert(p.contains("partial_min_by"),
+      s"the assignment argmin must combine before the vec_id shuffle:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"the |classes|-row centroid frame must broadcast:\n$p")
+    assert(!p.contains("Window"),
+      s"no window may touch the |corpus|×|classes| scored frame:\n$p")
+  }
+
+  test("q180: the LIMIT-bounded vocabulary broadcasts against the token stream") {
+    val p = plan("q180_oov_rate")
+    assert(p.contains("TakeOrderedAndProject(limit=20"),
+      s"the vocabulary cut must plan per-partition heaps:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the 20-row vocabulary must broadcast — never shuffle the token stream:\n$p")
+  }
+
+  test("q179: the closed 1024-bucket feature model broadcasts; no corpus-side broadcast") {
+    val p = plan("q179_dsir_weights")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the ≤1024-row count model must broadcast against the bigram stream:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"nothing in the scoring path may shuffle-join the corpus:\n$p")
+  }
 }

@@ -248,4 +248,28 @@ class RetrievalSpec extends AnyFunSuite {
     // both legs contribute to the fused top-10 at this SF
     assert(rows.exists(!_.isNullAt(1)) && rows.exists(!_.isNullAt(2)))
   }
+
+  test("q182 percentile table: bins partition each source's mass, CDF closes at 1e6") {
+    val rows = Retrieval.q182(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(rows.nonEmpty)
+    val nDocs = Tables.load(spark, sf, "documents").count()
+    assert(rows.map(_._3).sum == nDocs, "bin masses must conserve the corpus")
+    rows.groupBy(_._1).foreach { case (src, bins0) =>
+      val bins = bins0.sortBy(_._2)
+      assert(bins.map(_._2).distinct.length == bins.length, src)
+      // cum_docs is the running sum of n_docs and the CDF ends at 1e6
+      var running = 0L
+      bins.foreach { case (_, bin, n, lo, hi, cum, ppm) =>
+        running += n
+        assert(cum == running, s"$src bin $bin: cum $cum != $running")
+        assert(lo <= hi && lo / 100000 == bin && hi / 100000 == bin,
+          s"$src bin $bin: range [$lo, $hi] escapes the bin")
+        assert(ppm == cum * 1000000L / bins.map(_._3).sum,
+          s"$src bin $bin: ppm")
+      }
+      assert(bins.last._7 == 1000000L, s"$src: CDF must close at 1e6")
+    }
+  }
 }
