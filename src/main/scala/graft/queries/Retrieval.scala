@@ -474,10 +474,10 @@ object Retrieval {
     * logit — the sigmoid is monotone, so gating on logit ≥ 0 IS gating on
     * p ≥ 0.5 with no transcendental in the plan): intercept plus weights on
     * tokens-per-doc, distinct-token ratio, and stopword ratio, all ×1e6. */
-  private val W0 = -1000000L  // intercept
-  private val WLen = 20000L   // per token
-  private val WDistinct = 4L  // per ppm of distinct ratio (×1e6 /1e6)
-  private val WStop = -30L    // per ppm of stopword ratio
+  private[queries] val W0 = -1000000L  // intercept
+  private[queries] val WLen = 20000L   // per token
+  private[queries] val WDistinct = 4L  // per ppm of distinct ratio (×1e6 /1e6)
+  private[queries] val WStop = -30L    // per ppm of stopword ratio
 
   /** q111 model-based quality filtering — the classifier gate of a training
     * pipeline (the step between the q33 heuristics and the q54 corpus prep),

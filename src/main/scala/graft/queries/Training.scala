@@ -1497,8 +1497,103 @@ object Training {
       |  CAST(SUM(CASE WHEN w > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_positive
       |FROM scored GROUP BY source ORDER BY source""".stripMargin
 
+  /** q183 quality-aware dedup survivorship — production near-dup dedup
+    * (CCNet, RefinedWeb) keeps the BEST copy of each duplicate cluster,
+    * not the first: clusters are the q165/q171 two-permutation portable
+    * MinHash key (short docs are singleton clusters, the (-1, doc_id)
+    * sentinel), the survivor is the cluster's argmax under the exact
+    * (q111 quality logit, then lowest doc_id) order, and the rollup is
+    * q165's per-source shape (docs / kept / removed / kept checksum) so
+    * the two survivorship policies diff directly. The checksum pins row
+    * identity: min-id and best-quality survivors differ (spec-asserted
+    * against a driver-side replay).
+    *
+    * Scale shape: the logit is a narrow codegen'd map joined to the shared
+    * corpus-stamped signature frame on doc_id (one corpus-keyed shuffle),
+    * the argmax is ONE `max_by` aggregate keyed by cluster — partial
+    * aggregation combines map-side, where q165's rank window shuffles
+    * every row to its cluster's sort — and both rollups are |sources|
+    * cells. */
+  def q183(spark: SparkSession, dir: String): DataFrame = {
+    val sig = Dedup.portableSigs(spark, dir)
+      .select(col("doc_id"), col("source"),
+        when(col("s0").isNotNull, col("s0")).otherwise(lit(-1L)).as("c0"),
+        when(col("s0").isNotNull, col("s1")).otherwise(col("doc_id")).as("c1"))
+    val logit = Tables.load(spark, dir, "documents")
+      .withColumn("w", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("w")).cast(LongType))
+      .withColumn("distinct_ppm",
+        expr("cast(size(array_distinct(w)) as bigint) * 1000000 div n_tokens"))
+      .withColumn("stop_ppm",
+        expr("cast(2 * size(w) - size(array_remove(w, 'the')) - size(array_remove(w, 'a')) as bigint) * 1000000 div n_tokens"))
+      .withColumn("logit_x1e6", // the q111 declared weights, shared
+        expr(s"${Retrieval.W0} + ${Retrieval.WLen} * n_tokens + " +
+          s"${Retrieval.WDistinct} * distinct_ppm + (${Retrieval.WStop}) * stop_ppm"))
+      .select(col("doc_id"), col("logit_x1e6"))
+    val winners = sig.join(logit, "doc_id")
+      .groupBy("c0", "c1")
+      .agg(max_by(
+        struct(col("doc_id").as("w_doc"), col("source").as("w_src")),
+        struct(col("logit_x1e6"), -col("doc_id"))).as("w"))
+      .select(col("w.w_doc").as("doc_id"), col("w.w_src").as("source"))
+    sig.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      .join(winners.groupBy("source")
+          .agg(count(lit(1)).as("n_kept"), sum("doc_id").as("kept_checksum")),
+        Seq("source"), "left")
+      .select(col("source"), col("n_docs"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_docs") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("kept_checksum"), lit(0L)).as("kept_checksum"))
+      .orderBy("source")
+  }
+
+  val q183Sql: String =
+    s"""WITH toks AS (
+      |  SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
+      |), sh AS (
+      |  SELECT doc_id, source, list_distinct(list_transform(range(1, len(w) - 1),
+      |    i -> CAST('0x' || substr(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]), 1, 15) AS BIGINT))) AS hs
+      |  FROM toks
+      |), sig AS (
+      |  SELECT doc_id, source,
+      |    list_min(list_transform(hs, h -> (1299709 * (h % 2147483647) + 7) % 2147483647)) AS s0,
+      |    list_min(list_transform(hs, h -> (15485863 * (h % 2147483647) + 101) % 2147483647)) AS s1
+      |  FROM sh
+      |), cl AS (
+      |  SELECT doc_id, source,
+      |    CASE WHEN s0 IS NOT NULL THEN s0 ELSE -1 END AS c0,
+      |    CASE WHEN s0 IS NOT NULL THEN s1 ELSE doc_id END AS c1
+      |  FROM sig
+      |), lg AS (
+      |  SELECT doc_id,
+      |    ${Retrieval.W0} + ${Retrieval.WLen} * CAST(len(string_split(text, ' ')) AS BIGINT)
+      |    + ${Retrieval.WDistinct} * (CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) * 1000000
+      |           // len(string_split(text, ' ')))
+      |    + (${Retrieval.WStop}) * (CAST(len(list_filter(string_split(text, ' '),
+      |             t -> t = 'the' OR t = 'a')) AS BIGINT) * 1000000
+      |           // len(string_split(text, ' '))) AS logit_x1e6
+      |  FROM documents
+      |), ranked AS (
+      |  SELECT cl.doc_id, cl.source, cl.c0, cl.c1,
+      |    ROW_NUMBER() OVER (PARTITION BY cl.c0, cl.c1
+      |      ORDER BY lg.logit_x1e6 DESC, cl.doc_id) AS rk
+      |  FROM cl JOIN lg USING (doc_id)
+      |), win AS (
+      |  SELECT source, COUNT(*) AS n_kept, SUM(doc_id) AS kept_checksum
+      |  FROM ranked WHERE rk = 1 GROUP BY source
+      |), tot AS (
+      |  SELECT source, COUNT(*) AS n_docs FROM cl GROUP BY source
+      |)
+      |SELECT t.source, t.n_docs,
+      |  CAST(COALESCE(w.n_kept, 0) AS BIGINT) AS n_kept,
+      |  CAST(t.n_docs - COALESCE(w.n_kept, 0) AS BIGINT) AS n_removed,
+      |  CAST(COALESCE(w.kept_checksum, 0) AS BIGINT) AS kept_checksum
+      |FROM tot t LEFT JOIN win w ON w.source = t.source
+      |ORDER BY t.source""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q179_dsir_weights", q179 _, Some(q179Sql)),
+    ("q183_quality_dedup", q183 _, Some(q183Sql)),
     ("q171_cluster_split", q171 _, Some(q171Sql)),
     ("q127_bpe_merge", q127 _, Some(q127Sql)),
     ("q135_bpe_table", (s: SparkSession, d: String) => q135(s, d), Some(q135Sql)),

@@ -424,4 +424,40 @@ class MiningSpec extends AnyFunSuite {
       assert((n, mean, mn, mx, pos) == expected(src), s"$src mismatch")
     }
   }
+
+  test("q183 quality survivorship replays from a driver-side per-cluster argmax") {
+    val rows = Training.q183(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (src, n, kept, removed, _) =>
+      assert(kept >= 1 && kept + removed == n, src)
+    }
+    // clusters + logits replayed driver-side
+    val clusters = graft.dedup.Dedup.splitSides(spark, sf)
+      .select("doc_id", "source", "c0", "c1").collect()
+      .map(r => (r.getLong(0), r.getString(1), (r.getLong(2), r.getLong(3))))
+    val logit = Tables.load(spark, sf, "documents").collect().map { r =>
+      val w = r.getString(1).split(" ")
+      val n = w.length.toLong
+      val distinctPpm = w.distinct.length.toLong * 1000000L / n
+      val stopPpm = w.count(t => t == "the" || t == "a").toLong * 1000000L / n
+      r.getLong(0) -> (-1000000L + 20000L * n + 4L * distinctPpm - 30L * stopPpm)
+    }.toMap
+    val winners = clusters.groupBy(_._3).map { case (_, docs) =>
+      docs.minBy { case (id, _, _) => (-logit(id), id) }
+    }
+    val expected = winners.groupBy(_._2).map { case (src, ws) =>
+      src -> ((ws.size.toLong, ws.map(_._1).sum))
+    }
+    val total = clusters.groupBy(_._2).map { case (s, xs) => s -> xs.length.toLong }
+    rows.foreach { case (src, n, kept, _, cks) =>
+      assert(n == total(src), s"$src doc count")
+      assert((kept, cks) == expected.getOrElse(src, (0L, 0L)),
+        s"$src winners mismatch")
+    }
+    // non-vacuous: the argmax must have had a real choice somewhere
+    assert(clusters.groupBy(_._3).exists(_._2.length > 1),
+      "no multi-doc dup cluster at this SF — survivorship untested")
+  }
 }
