@@ -167,10 +167,18 @@ object Retrieval {
       .orderBy(desc("score_x1e6"), col("doc_id"))
       .limit(10)
 
-  /** The q109/q153 scoring core: every candidate document (≥1 query-term
-    * hit) with its fixed-point BM25 score and graded relevance
-    * (`n_terms_hit`), pre-limit. */
-  private def bm25Scored(spark: SparkSession, dir: String): DataFrame = {
+  /** The q109/q153/q175 scoring core: every candidate document (≥1
+    * query-term hit) with its fixed-point BM25 score and graded relevance
+    * (`n_terms_hit`), pre-limit — served from the corpus-stamped shared
+    * cache (the basket-frame discipline): three registry queries start
+    * from this exact frame, and a session running more than one of them
+    * should pay the corpus scan + tf aggregate once. */
+  private def bm25Scored(spark: SparkSession, dir: String): DataFrame =
+    SharedFrames.sharedFrame(spark, dir, "documents", "bm25-cand") {
+      bm25ScoredUncached(spark, dir)
+    }
+
+  private def bm25ScoredUncached(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.parallelized(Tables.load(spark, dir, "documents"))
       .select(col("doc_id"), T.tokens(col("text")).as("w"))
       .select(col("doc_id"), col("w"), size(col("w")).cast(LongType).as("dl"))
@@ -215,8 +223,8 @@ object Retrieval {
     * windows run on 10-row frames — no global window over candidates. The
     * discount lookup is an `element_at` on a literal array. */
   def q153(spark: SparkSession, dir: String): DataFrame = {
-    val cand = bm25Scored(spark, dir)
-      .persist() // consumed twice: actual ranking + ideal ranking
+    val cand = bm25Scored(spark, dir) // shared-cache persisted; consumed
+      // twice here (actual + ideal ranking) and by q109/q175
     val disc = typedLit(DcgDiscounts)
     def gain(ordered: Seq[Column], out: String): DataFrame = cand
       .orderBy(ordered: _*).limit(10)
