@@ -253,6 +253,75 @@ object Extensions {
        |FROM w ORDER BY lang, predicted""".stripMargin
   }
 
+  /** q184 per-class precision / recall / F1 of the lang-ID classifier — the
+    * standard per-class eval table (the q121 confusion matrix's canonical
+    * consumer; q154's kappa is the single-number summary, this is the
+    * per-class breakdown that says WHICH language the classifier fails).
+    * All-integer: tp/fp/fn from the confusion counts, precision and recall
+    * in exact ppm, and F1 computed as 2·tp·1e6 div (2·tp + fp + fn) — the
+    * algebraic identity that avoids compounding the rounding of P and R.
+    * Classes with no predictions (or no support) carry NULL for the
+    * undefined ratio rather than a fabricated zero, both engines agreeing.
+    *
+    * Scale shape: the corpus collapses at the (lang, predicted) aggregate
+    * — |langs|² cells — and everything after is model-sized arithmetic
+    * (two rollups of the cell frame, one |classes|-row full-outer join). */
+  def q184(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(spark, dir, "documents")
+      .select(col("lang"), T.langId(col("text")).as("predicted"))
+      .groupBy("lang", "predicted")
+      .agg(count(lit(1)).as("n"))
+    val byLabel = c.groupBy(col("lang").as("cls"))
+      .agg(sum("n").as("n_label"),
+        sum(when(col("predicted") === col("lang"), col("n")).otherwise(0L))
+          .as("tp"))
+    val byPred = c.groupBy(col("predicted").as("cls"))
+      .agg(sum("n").as("n_pred"))
+    byLabel.join(byPred, Seq("cls"), "full_outer")
+      .select(col("cls"),
+        coalesce(col("tp"), lit(0L)).as("tp"),
+        (coalesce(col("n_pred"), lit(0L)) - coalesce(col("tp"), lit(0L)))
+          .as("fp"),
+        (coalesce(col("n_label"), lit(0L)) - coalesce(col("tp"), lit(0L)))
+          .as("fn"))
+      .withColumn("precision_ppm",
+        when(col("tp") + col("fp") > 0,
+          expr("tp * 1000000 div (tp + fp)")))
+      .withColumn("recall_ppm",
+        when(col("tp") + col("fn") > 0,
+          expr("tp * 1000000 div (tp + fn)")))
+      .withColumn("f1_ppm",
+        when(lit(2L) * col("tp") + col("fp") + col("fn") > 0,
+          expr("2 * tp * 1000000 div (2 * tp + fp + fn)")))
+      .orderBy("cls")
+  }
+
+  val q184Sql: String =
+    s"""WITH p AS (
+       |  SELECT lang, $langIdSqlPredicted AS predicted
+       |  FROM documents
+       |), c AS (
+       |  SELECT lang, predicted, COUNT(*) AS n FROM p GROUP BY 1, 2
+       |), bl AS (
+       |  SELECT lang AS cls, SUM(n) AS n_label,
+       |    SUM(CASE WHEN predicted = lang THEN n ELSE 0 END) AS tp
+       |  FROM c GROUP BY lang
+       |), bp AS (
+       |  SELECT predicted AS cls, SUM(n) AS n_pred FROM c GROUP BY predicted
+       |), j AS (
+       |  SELECT COALESCE(bl.cls, bp.cls) AS cls,
+       |    COALESCE(bl.tp, 0) AS tp,
+       |    COALESCE(bp.n_pred, 0) - COALESCE(bl.tp, 0) AS fp,
+       |    COALESCE(bl.n_label, 0) - COALESCE(bl.tp, 0) AS fn
+       |  FROM bl FULL OUTER JOIN bp ON bl.cls = bp.cls
+       |)
+       |SELECT cls, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+       |  CAST(fn AS BIGINT) AS fn,
+       |  CAST(CASE WHEN tp + fp > 0 THEN tp * 1000000 // (tp + fp) END AS BIGINT) AS precision_ppm,
+       |  CAST(CASE WHEN tp + fn > 0 THEN tp * 1000000 // (tp + fn) END AS BIGINT) AS recall_ppm,
+       |  CAST(CASE WHEN 2 * tp + fp + fn > 0 THEN 2 * tp * 1000000 // (2 * tp + fp + fn) END AS BIGINT) AS f1_ppm
+       |FROM j ORDER BY cls""".stripMargin
+
   /** The q121/q154 oracle predictor: the lang-ID heuristic rendered as the
     * equivalent DuckDB CASE expression over marker-word counts. */
   private[queries] def langIdSqlPredicted: String = {
@@ -1006,6 +1075,7 @@ object Extensions {
     ("q172_split_leakage", q172 _, Some(q172Sql)),
     ("q174_minhash_calibration", q174 _, Some(q174Sql)),
     ("q176_fuzzy_decontamination", q176 _, Some(q176Sql)),
+    ("q184_class_prf1", q184 _, Some(q184Sql)),
     ("q27_dedup_minhash_lsh", q27 _, None),
     ("q28_dedup_simhash", q28 _, None),
     ("q29_ngram_jaccard", q29 _, Some(q29Sql)),

@@ -312,4 +312,28 @@ class EvaluationSpec extends AnyFunSuite {
     assert(rows.map(_._3).sum == mis168,
       "q178 defector total must equal q168's misclassified total")
   }
+
+  test("q184 P/R/F1 reconciles cell-for-cell with the q121 confusion matrix") {
+    val cm = graft.queries.Extensions.q121(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    val rows = graft.queries.Extensions.q184(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val n = cm.values.sum
+    // micro identities: Σtp + Σfp = Σtp + Σfn = N
+    val (tps, fps, fns) = (rows.map(_.getLong(1)).sum,
+      rows.map(_.getLong(2)).sum, rows.map(_.getLong(3)).sum)
+    assert(tps + fps == n && tps + fns == n)
+    rows.foreach { r =>
+      val cls = r.getString(0)
+      val tp = cm.getOrElse((cls, cls), 0L)
+      val fp = cm.collect { case ((l, p), v) if p == cls && l != cls => v }.sum
+      val fn = cm.collect { case ((l, p), v) if l == cls && p != cls => v }.sum
+      assert((r.getLong(1), r.getLong(2), r.getLong(3)) == ((tp, fp, fn)), cls)
+      if (!r.isNullAt(6)) {
+        val f1 = r.getLong(6)
+        assert(f1 >= 0 && f1 <= 1000000)
+        assert(f1 == 2 * tp * 1000000 / (2 * tp + fp + fn), cls)
+      }
+    }
+  }
 }
