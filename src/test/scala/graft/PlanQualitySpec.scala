@@ -442,4 +442,36 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"),
       s"nothing in the scoring path may shuffle-join the corpus:\n$p")
   }
+
+  test("q177/q181: intake audits are single-scan map-combined aggregates") {
+    for (q <- Seq("q177_padding_waste", "q181_documents_audit")) {
+      val p = plan(q)
+      assert(p.contains("partial_count") || p.contains("partial count"),
+        s"$q must combine map-side before its one shuffle:\n$p")
+      assert(!p.contains("Join"), s"$q must not join anything:\n$p")
+      assert(!p.contains("Window"), s"$q must not window anything:\n$p")
+      val scans = p.split("Scan parquet").length - 1
+      assert(scans == 1, s"$q must scan the corpus exactly once, saw $scans:\n$p")
+    }
+  }
+
+  test("q182: windows run over the bounded bin frame, after the corpus collapses") {
+    val p = plan("q182_score_percentiles")
+    // parents print first: every Window must sit ABOVE the HashAggregate
+    // that collapses documents into (source, bin) cells
+    val aggIdx = p.lastIndexOf("HashAggregate")
+    val winIdx = p.lastIndexOf("Window")
+    assert(winIdx >= 0 && aggIdx > winIdx,
+      s"a window consumes pre-aggregate (fact-scale) rows:\n$p")
+    val scans = p.split("Scan parquet").length - 1
+    assert(scans == 1, s"one corpus pass expected, saw $scans:\n$p")
+  }
+
+  test("q183: the survivor argmax is a partial-combining max_by, not a rank window") {
+    val p = plan("q183_quality_dedup")
+    assert(p.contains("partial_max_by"),
+      s"the per-cluster argmax must combine map-side:\n$p")
+    assert(!p.contains("Window"),
+      s"no rank window may shuffle the full cluster membership:\n$p")
+  }
 }
