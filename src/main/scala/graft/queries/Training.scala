@@ -1591,8 +1591,98 @@ object Training {
       |FROM tot t LEFT JOIN win w ON w.source = t.source
       |ORDER BY t.source""".stripMargin
 
+  /** q185 incremental NEAR-dup ingest gate — the fuzzy twin of q128's
+    * exact-fingerprint ingestion dedup (production pipelines run both: an
+    * exact gate, then a MinHash gate): the arriving batch (the q128 md5
+    * bucket convention, ~10% of docs) is checked against the EXISTING
+    * corpus via the q99 portable banded pairs — a batch doc near-dupping
+    * any existing doc is rejected (`n_neardup_existing`); within the
+    * batch, the PAIRWISE lower-id rule drops a doc when any lower-id batch
+    * doc is its verified near-dup (`n_neardup_in_batch`) — deliberately
+    * pairwise, not transitive-closure (chains live in q58's connected
+    * components; an ingest gate decides per document, online). Ingested
+    * survivors carry an id checksum. The oracle replays banding, exact
+    * verification, batch split, and both rules end-to-end.
+    *
+    * Scale shape: pairs ∝ band collisions (never corpus²), directionalized
+    * by a union and collapsed by ONE map-combining max-flag aggregate
+    * keyed by the batch doc; the final rollup is |sources| cells. In a
+    * real deployment the existing side's band keys come from the persisted
+    * signature index (the IvfPqIndex discipline) — here both sides derive
+    * from the shared corpus-stamped signature frame. */
+  def q185(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Dedup.portableSigs(spark, dir)
+      .select(col("doc_id"), col("source"),
+        (T.hashBucket(col("doc_id"), 10) === 0).as("is_new"))
+    val pairs = Dedup.minHashPairsPortable(spark, dir)
+    val e = pairs.select(col("doc_a").as("me"), col("doc_b").as("other"))
+      .union(pairs.select(col("doc_b").as("me"), col("doc_a").as("other")))
+    val flags = e
+      .join(docs.select(col("doc_id").as("me"), col("is_new").as("me_new")),
+        "me")
+      .filter(col("me_new"))
+      .join(docs.select(col("doc_id").as("other"),
+        col("is_new").as("other_new")), "other")
+      .groupBy("me")
+      .agg(max(when(!col("other_new"), 1L).otherwise(0L)).as("hit_existing"),
+        max(when(col("other_new") && col("other") < col("me"), 1L)
+          .otherwise(0L)).as("hit_lower_batch"))
+    docs.filter(col("is_new"))
+      .join(flags, docs("doc_id") === flags("me"), "left")
+      .withColumn("dup_existing",
+        coalesce(col("hit_existing"), lit(0L)) === 1L)
+      .withColumn("dup_in_batch", !col("dup_existing") &&
+        coalesce(col("hit_lower_batch"), lit(0L)) === 1L)
+      .withColumn("ingested", !col("dup_existing") && !col("dup_in_batch"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_batch"),
+        sum(when(col("dup_existing"), 1L).otherwise(0L))
+          .as("n_neardup_existing"),
+        sum(when(col("dup_in_batch"), 1L).otherwise(0L))
+          .as("n_neardup_in_batch"),
+        sum(when(col("ingested"), 1L).otherwise(0L)).as("n_ingested"),
+        sum(when(col("ingested"), col("doc_id")).otherwise(0L))
+          .as("ingested_checksum"))
+      .orderBy("source")
+  }
+
+  val q185Sql: String =
+    s"""WITH d5 AS (
+       |  SELECT doc_id, source,
+       |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 10 = 0
+       |      AS is_new
+       |  FROM documents
+       |), e5 AS (
+       |  SELECT doc_a AS me, doc_b AS other FROM (${Extensions.q99Sql}) p
+       |  UNION ALL
+       |  SELECT doc_b AS me, doc_a AS other FROM (${Extensions.q99Sql}) p
+       |), f5 AS (
+       |  SELECT e5.me,
+       |    MAX(CASE WHEN NOT dn.is_new THEN 1 ELSE 0 END) AS hit_existing,
+       |    MAX(CASE WHEN dn.is_new AND e5.other < e5.me THEN 1 ELSE 0 END) AS hit_lower
+       |  FROM e5
+       |  JOIN d5 dm ON dm.doc_id = e5.me
+       |  JOIN d5 dn ON dn.doc_id = e5.other
+       |  WHERE dm.is_new
+       |  GROUP BY e5.me
+       |), b5 AS (
+       |  SELECT d5.doc_id, d5.source,
+       |    COALESCE(f5.hit_existing, 0) = 1 AS dup_existing,
+       |    COALESCE(f5.hit_existing, 0) = 0 AND COALESCE(f5.hit_lower, 0) = 1
+       |      AS dup_in_batch
+       |  FROM d5 LEFT JOIN f5 ON f5.me = d5.doc_id
+       |  WHERE d5.is_new
+       |)
+       |SELECT source, COUNT(*) AS n_batch,
+       |  CAST(SUM(CASE WHEN dup_existing THEN 1 ELSE 0 END) AS BIGINT) AS n_neardup_existing,
+       |  CAST(SUM(CASE WHEN dup_in_batch THEN 1 ELSE 0 END) AS BIGINT) AS n_neardup_in_batch,
+       |  CAST(SUM(CASE WHEN NOT dup_existing AND NOT dup_in_batch THEN 1 ELSE 0 END) AS BIGINT) AS n_ingested,
+       |  CAST(SUM(CASE WHEN NOT dup_existing AND NOT dup_in_batch THEN doc_id ELSE 0 END) AS BIGINT) AS ingested_checksum
+       |FROM b5 GROUP BY source ORDER BY source""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q179_dsir_weights", q179 _, Some(q179Sql)),
+    ("q185_neardup_ingest", q185 _, Some(q185Sql)),
     ("q183_quality_dedup", q183 _, Some(q183Sql)),
     ("q171_cluster_split", q171 _, Some(q171Sql)),
     ("q127_bpe_merge", q127 _, Some(q127Sql)),

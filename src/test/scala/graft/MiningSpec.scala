@@ -460,4 +460,43 @@ class MiningSpec extends AnyFunSuite {
     assert(clusters.groupBy(_._3).exists(_._2.length > 1),
       "no multi-doc dup cluster at this SF — survivorship untested")
   }
+
+  test("q185 near-dup ingest gate replays from the pair set and the batch split") {
+    val rows = Training.q185(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (src, n, de, db, ing, _) =>
+      assert(de + db + ing == n, s"$src: gate outcomes must partition the batch")
+    }
+    def bucket10(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.take(8)
+      java.lang.Long.parseLong(hex, 16) % 10
+    }
+    val docs = Tables.load(spark, sf, "documents").collect()
+      .map(r => (r.getLong(0), r.getString(3)))
+    val isNew = docs.map { case (id, _) => id -> (bucket10(id) == 0) }.toMap
+    val pairs = graft.dedup.Dedup.minHashPairsPortable(spark, sf)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val neigh = (pairs ++ pairs.map(_.swap)).groupBy(_._1)
+      .view.mapValues(_.map(_._2)).toMap
+    val expected = docs.filter(d => isNew(d._1)).map { case (id, src) =>
+      val ns = neigh.getOrElse(id, Array.empty[Long])
+      val dupExisting = ns.exists(o => !isNew(o))
+      val dupInBatch = !dupExisting && ns.exists(o => isNew(o) && o < id)
+      (src, dupExisting, dupInBatch, id)
+    }.groupBy(_._1).map { case (src, xs) =>
+      src -> ((xs.length.toLong, xs.count(_._2).toLong,
+        xs.count(_._3).toLong,
+        xs.filter(x => !x._2 && !x._3).map(_._4).sum))
+    }
+    assert(rows.map(_._1).toSet == expected.keySet)
+    rows.foreach { case (src, n, de, db, _, cks) =>
+      val (en, ede, edb, ecks) = expected(src)
+      assert((n, de, db, cks) == ((en, ede, edb, ecks)), s"$src mismatch")
+    }
+  }
 }
