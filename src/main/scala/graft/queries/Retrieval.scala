@@ -1048,8 +1048,68 @@ object Retrieval {
       |SELECT qid, side, vec_id AS mined_id, score_x1e6
       |FROM t WHERE rnk = 1 ORDER BY qid, side""".stripMargin
 
+  /** q186 per-source boilerplate detection — the step before boilerplate
+    * REMOVAL (headers, footers, navigation chrome — the dominant junk in
+    * any crawled corpus): per source, the top-3 8-token passages by
+    * cross-document occurrence (each doc counted once per passage — q106's
+    * within-doc distinct rule), with the passage's document-share of its
+    * source in ppm. A passage appearing in a large share of one source's
+    * documents IS that source's template; the (source, passage) pairs here
+    * feed a q106-style removal filter. Only passages in ≥2 docs of the
+    * source qualify (a singleton is content, not boilerplate).
+    *
+    * Scale shape: linear explode (tokens × 8-gram windows), ONE
+    * map-combined (source, passage) aggregate, then a rank-limited window
+    * over the aggregated frame — `row_number ≤ 3` plans a WindowGroupLimit
+    * map-side prune (the q133 shape), so the per-source sort never sees
+    * more than each partition's top-3 candidates. Doc totals are a
+    * |sources|-row broadcast. */
+  def q186(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.parallelized(Tables.load(spark, dir, "documents"))
+    val totals = docs.groupBy("source").agg(count(lit(1)).as("n_docs_src"))
+    docs
+      .select(col("source"), col("doc_id"),
+        explode(array_distinct(T.wordShingles(col("text"), 8))).as("passage"))
+      .groupBy("source", "passage")
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+      .join(broadcast(totals), "source")
+      .withColumn("share_ppm", expr("n_docs * 1000000 div n_docs_src"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("source")
+          .orderBy(desc("n_docs"), col("passage"))).cast(LongType))
+      .filter(col("rk") <= 3)
+      .select("source", "rk", "passage", "n_docs", "share_ppm")
+      .orderBy("source", "rk")
+  }
+
+  val q186Sql: String =
+    """WITH toks AS (
+      |  SELECT source, doc_id, string_split(text, ' ') AS w FROM documents
+      |), pass AS (
+      |  SELECT source, doc_id,
+      |    unnest(list_distinct(list_transform(range(1, len(w) - 6),
+      |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' ||
+      |           w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7]))) AS passage
+      |  FROM toks
+      |), cnt AS (
+      |  SELECT source, passage, COUNT(*) AS n_docs
+      |  FROM pass GROUP BY source, passage HAVING COUNT(*) >= 2
+      |), tot AS (
+      |  SELECT source, COUNT(*) AS n_docs_src FROM documents GROUP BY source
+      |), ranked AS (
+      |  SELECT cnt.source, cnt.passage, cnt.n_docs,
+      |    cnt.n_docs * 1000000 // tot.n_docs_src AS share_ppm,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY cnt.source
+      |      ORDER BY cnt.n_docs DESC, cnt.passage) AS BIGINT) AS rk
+      |  FROM cnt JOIN tot USING (source)
+      |)
+      |SELECT source, rk, passage, n_docs, CAST(share_ppm AS BIGINT) AS share_ppm
+      |FROM ranked WHERE rk <= 3 ORDER BY source, rk""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q106_dup_passages", q106 _, Some(q106Sql)),
+    ("q186_boilerplate", q186 _, Some(q186Sql)),
     ("q107_interval_union", q107 _, Some(q107Sql)),
     ("q162_interval_overlap", q162 _, Some(q162Sql)),
     ("q163_triplet_mining", q163 _, Some(q163Sql)),

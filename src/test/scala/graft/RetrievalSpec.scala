@@ -272,4 +272,27 @@ class RetrievalSpec extends AnyFunSuite {
       assert(bins.last._7 == 1000000L, s"$src: CDF must close at 1e6")
     }
   }
+
+  test("q186 boilerplate replays from a driver-side per-source passage count") {
+    val rows = Retrieval.q186(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.nonEmpty)
+    val docs = Tables.load(spark, sf, "documents").collect()
+      .map(r => (r.getString(3), r.getString(1).split(" ")))
+    val counts = docs.flatMap { case (src, w) =>
+      w.sliding(8).filter(_.length == 8).map(_.mkString(" ")).toSeq.distinct
+        .map(p => (src, p))
+    }.groupBy(identity).view.mapValues(_.length.toLong)
+      .filter(_._2 >= 2).toMap
+    val totals = docs.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val expected = counts.toSeq.map { case ((src, p), n) => (src, p, n) }
+      .groupBy(_._1).flatMap { case (src, xs) =>
+        xs.sortBy { case (_, p, n) => (-n, p) }.take(3).zipWithIndex
+          .map { case ((_, p, n), i) =>
+            (src, i + 1L, p, n, n * 1000000L / totals(src))
+          }
+      }.toSeq.sortBy(r => (r._1, r._2))
+    assert(rows.toSeq == expected, "per-source top-3 must replay exactly")
+  }
 }
