@@ -525,6 +525,60 @@ object Extensions {
       |  CAST(MAX(n_events) AS INTEGER) AS max_session_events
       |FROM per GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** q187 per-user EWMA anomaly rollup — the batch face of
+    * [[graft.streaming.EventStream.ewmaAnomaly]] (the SAME
+    * flatMapGroupsWithState plan the streaming deployment runs, q38/q86
+    * convention): every event updates an exact-integer α=1/4 EWMA of its
+    * user's value-in-cents, an event spiking past 4× the carried EWMA
+    * emits an alert, and the rollup reports per user the event count,
+    * spike count, and spike event-id checksum (row-identity pin). The
+    * oracle replays the sequential recurrence as a RECURSIVE CTE (the q81
+    * state-machine-replay pattern) — the cross-engine proof that the
+    * stateful streaming operator computes the declared algebra.
+    *
+    * Scale shape: one keyed shuffle into the state machine (state = two
+    * longs per user), alerts ∝ spikes, and the rollup joins the
+    * |users|-keyed count aggregate with the spike aggregate. */
+  def q187(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.load(spark, dir, "events")
+    val spikes = graft.streaming.EventStream.ewmaAnomaly(events).toDF()
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_spikes"),
+        sum("event_id").as("spike_checksum"))
+    events.groupBy("user_id").agg(count(lit(1)).as("n_events"))
+      .join(spikes, Seq("user_id"), "left")
+      .select(col("user_id"), col("n_events"),
+        coalesce(col("n_spikes"), lit(0L)).as("n_spikes"),
+        coalesce(col("spike_checksum"), lit(0L)).as("spike_checksum"))
+      .orderBy("user_id")
+  }
+
+  val q187Sql: String =
+    """WITH RECURSIVE ev AS (
+      |  SELECT user_id, event_id,
+      |    CAST(FLOOR(value * 100) AS BIGINT) AS cents,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id
+      |      ORDER BY epoch_ms(ts), event_id) AS rn
+      |  FROM events
+      |), st AS (
+      |  SELECT user_id, rn, cents AS ewma,
+      |    CAST(0 AS BIGINT) AS spikes, CAST(0 AS BIGINT) AS cks
+      |  FROM ev WHERE rn = 1
+      |  UNION ALL
+      |  SELECT ev.user_id, ev.rn,
+      |    (3 * st.ewma + ev.cents) // 4,
+      |    st.spikes + CASE WHEN ev.cents > 4 * st.ewma THEN 1 ELSE 0 END,
+      |    st.cks + CASE WHEN ev.cents > 4 * st.ewma THEN ev.event_id ELSE 0 END
+      |  FROM st JOIN ev ON ev.user_id = st.user_id AND ev.rn = st.rn + 1
+      |), fin AS (
+      |  SELECT user_id, MAX(rn) AS n_events FROM st GROUP BY user_id
+      |)
+      |SELECT st.user_id, fin.n_events,
+      |  CAST(st.spikes AS BIGINT) AS n_spikes,
+      |  CAST(st.cks AS BIGINT) AS spike_checksum
+      |FROM st JOIN fin ON fin.user_id = st.user_id AND fin.n_events = st.rn
+      |ORDER BY st.user_id""".stripMargin
+
   /** q54 the corpus-preparation transform (quality gate → exact-dedup
     * survivors → deterministic split) under the hash gate — the flagship
     * LLM-pipeline composition, oracle-checked end to end. */
@@ -1088,6 +1142,7 @@ object Extensions {
     ("q36_token_count", q36 _, Some(q36Sql)),
     ("q37_multimodal_features", q37 _, Some(q37Sql)),
     ("q38_sessionize", q38 _, Some(q38Sql)),
+    ("q187_ewma_anomaly", q187 _, Some(q187Sql)),
     ("q49_knn_ivf", q49 _, None),
     ("q54_corpus_prepare", q54 _, Some(q54Sql)),
     ("q80_knn_pq", q80 _, None),

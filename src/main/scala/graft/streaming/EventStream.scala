@@ -326,6 +326,51 @@ object EventStream {
       }
   }
 
+  final case class EwmaState(ewma: Long, n: Long)
+  final case class EwmaSpike(user_id: Long, event_id: Long, cents: Long,
+      ewma_before: Long)
+
+  /** Per-user EWMA rate-anomaly detector — the streaming alert primitive a
+    * pipeline runs over its ingest telemetry: maintain, per user, an
+    * exact-integer exponentially-weighted moving average of the event
+    * value in cents (α = 1/4: ewma' = (3·ewma + cents) div 4 — all-integer,
+    * so batch, stream, and the DuckDB oracle agree bit-for-bit), and EMIT
+    * one row per spike — an event whose cents exceed 4× the ewma carried
+    * into it. Alerts stream out in Append mode as they are detected; the
+    * ewma state survives across triggers, so a spike in trigger N is judged
+    * against history from triggers 1..N−1 (state size: one (long, long)
+    * per user). Within a trigger events sort by (ts, event_id) — the q38
+    * batch-replay convention; a production deployment would add a
+    * watermark-bounded reorder buffer. */
+  def ewmaAnomaly(events: DataFrame): Dataset[EwmaSpike] = {
+    implicit val longEnc = Encoders.scalaLong
+    implicit val eEnc = Encoders.product[Event]
+    implicit val sEnc = Encoders.product[EwmaState]
+    implicit val outEnc = Encoders.product[EwmaSpike]
+    events
+      .select("event_id", "ts", "user_id", "event_type", "value").as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[EwmaState, EwmaSpike](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, it: Iterator[Event], state: GroupState[EwmaState]) =>
+          val evs = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val out = scala.collection.mutable.ArrayBuffer[EwmaSpike]()
+          var st = state.getOption.orNull
+          for (e <- evs) {
+            val cents = math.floor(e.value * 100).toLong
+            st match {
+              case null => st = EwmaState(cents, 1)
+              case s =>
+                if (cents > 4 * s.ewma)
+                  out += EwmaSpike(userId, e.event_id, cents, s.ewma)
+                st = EwmaState((3 * s.ewma + cents) / 4, s.n + 1)
+            }
+          }
+          if (st != null) state.update(st)
+          out.iterator
+      }
+  }
+
   /** Production-shape sessionization: like [[sessionize]] but idle sessions
     * CLOSE on the watermark, not on the user's next event. `EventTimeTimeout`
     * registers each open session for `last + gap`; when the watermark passes

@@ -342,6 +342,34 @@ class StreamingSpec extends AnyFunSuite {
       "no trailing session was closed by the watermark timeout")
   }
 
+  test("EWMA anomaly alerts stream out identically to the batch state machine") {
+    val stream = EventStream.ewmaAnomaly(EventStream.readEvents(spark, sf))
+    val q = stream.writeStream
+      .format("memory").queryName("ewma_out").outputMode("append").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val streamed = spark.table("ewma_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(x => (x._1, x._2)).toSeq
+    val batch = EventStream.ewmaAnomaly(Tables.load(spark, sf, "events"))
+      .collect().map(s => (s.user_id, s.event_id, s.cents, s.ewma_before))
+      .sortBy(x => (x._1, x._2)).toSeq
+    assert(streamed == batch)
+    assert(streamed.nonEmpty, "no spike fired at this SF — detector untested")
+    // every alert really spikes past 4x its carried ewma
+    streamed.foreach { case (u, e, c, w) =>
+      assert(c > 4 * w, s"user $u event $e: $c not a spike over ewma $w")
+    }
+    // and the q187 rollup counts exactly these alerts
+    val rolled = graft.queries.Extensions.q187(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    val bySpikes = streamed.groupBy(_._1).view
+      .mapValues(xs => (xs.size.toLong, xs.map(_._2).sum)).toMap
+    bySpikes.foreach { case (u, t) =>
+      assert(rolled(u) == t, s"user $u rollup mismatch")
+    }
+    assert(rolled.values.map(_._1).sum == streamed.size)
+  }
+
   test("jittered redelivery: dropDuplicatesWithinWatermark collapses re-stamped copies") {
     import org.apache.spark.sql.functions._
     val once = EventStream.readEvents(spark, sf)
