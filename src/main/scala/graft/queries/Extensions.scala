@@ -993,6 +993,52 @@ object Extensions {
        |JOIN sides sb ON sb.doc_id = p.doc_b
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** q188 per-source duplication inflation — the corpus-health number
+    * behind every dedup decision ("how much of my 100 TB is copies"): per
+    * source, the raw token mass vs the token mass of its DISTINCT texts
+    * (within-source exact dedup, the q26 semantics scoped per source), and
+    * the inflation ratio in ppm — 1e6 means copy-free, 2e6 means half the
+    * source's compute would be spent re-training on byte-identical text.
+    * Texts group by their portable md5-60 fingerprint (the q26/q128 key),
+    * so the shuffle carries a 8-byte key + counts, never the text itself;
+    * token counts are per-fingerprint constants (same text ⇒ same count),
+    * making the two-level aggregate exact.
+    *
+    * Scale shape: one scan, one (source, fp) map-combined aggregate, one
+    * |sources| rollup. The fingerprint shuffle is the same cardinality as
+    * exact dedup's — this is the measurement that precedes it. */
+  def q188(spark: SparkSession, dir: String): DataFrame =
+    Tables.parallelized(Tables.load(spark, dir, "documents"))
+      .select(col("source"), T.portableHash60(col("text")).as("fp"),
+        size(T.tokens(col("text"))).cast(LongType).as("n_tok"))
+      .groupBy("source", "fp")
+      .agg(count(lit(1)).as("dup_n"), max("n_tok").as("n_tok"))
+      .groupBy("source")
+      .agg(sum("dup_n").as("n_docs"),
+        sum(expr("dup_n * n_tok")).as("raw_tokens"),
+        count(lit(1)).as("n_unique_texts"),
+        sum("n_tok").as("unique_tokens"))
+      .withColumn("inflation_ppm",
+        expr("raw_tokens * 1000000 div unique_tokens"))
+      .orderBy("source")
+
+  val q188Sql: String =
+    """WITH f AS (
+      |  SELECT source,
+      |    CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) AS fp,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      |  FROM documents
+      |), g AS (
+      |  SELECT source, fp, COUNT(*) AS dup_n, MAX(n_tok) AS n_tok
+      |  FROM f GROUP BY source, fp
+      |)
+      |SELECT source, CAST(SUM(dup_n) AS BIGINT) AS n_docs,
+      |  CAST(SUM(dup_n * n_tok) AS BIGINT) AS raw_tokens,
+      |  COUNT(*) AS n_unique_texts,
+      |  CAST(SUM(n_tok) AS BIGINT) AS unique_tokens,
+      |  CAST(SUM(dup_n * n_tok) * 1000000 // SUM(n_tok) AS BIGINT) AS inflation_ppm
+      |FROM g GROUP BY source ORDER BY source""".stripMargin
+
   /** q176 fuzzy decontamination — the ACTION the q172 leakage audit
     * motivates: every train-side document (q171's leakage-free split, side
     * 0) that near-dup-collides with a test-side document is flagged for
@@ -1130,6 +1176,7 @@ object Extensions {
     ("q174_minhash_calibration", q174 _, Some(q174Sql)),
     ("q176_fuzzy_decontamination", q176 _, Some(q176Sql)),
     ("q184_class_prf1", q184 _, Some(q184Sql)),
+    ("q188_dup_inflation", q188 _, Some(q188Sql)),
     ("q27_dedup_minhash_lsh", q27 _, None),
     ("q28_dedup_simhash", q28 _, None),
     ("q29_ngram_jaccard", q29 _, Some(q29Sql)),

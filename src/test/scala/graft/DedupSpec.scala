@@ -142,4 +142,25 @@ class DedupSpec extends AnyFunSuite {
     assert(out.head._1 == 1L && out.head._2 == 2L)
     assert(out.head._3 >= 999999L) // cos(v,v) ~ 1.0 (floor may give 999999)
   }
+
+  test("q188 duplication inflation replays from a driver-side distinct-text count") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = graft.queries.Extensions.q188(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    val byDoc = graft.Tables.load(spark, sf, "documents").collect()
+      .map(r => (r.getString(3), r.getString(1)))
+    val expected = byDoc.groupBy(_._1).map { case (src, xs) =>
+      val raw = xs.map(_._2.split(" ").length.toLong).sum
+      val uniq = xs.map(_._2).distinct.map(_.split(" ").length.toLong).sum
+      src -> ((xs.length.toLong, raw, xs.map(_._2).distinct.length.toLong,
+        uniq, raw * 1000000L / uniq))
+    }
+    assert(rows.map(_._1).toSet == expected.keySet)
+    rows.foreach { case (src, n, raw, nu, uniq, ppm) =>
+      assert((n, raw, nu, uniq, ppm) == expected(src), s"$src mismatch")
+      assert(ppm >= 1000000L, s"$src: inflation below 1 is impossible")
+    }
+  }
 }
