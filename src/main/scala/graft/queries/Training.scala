@@ -1680,8 +1680,60 @@ object Training {
        |  CAST(SUM(CASE WHEN NOT dup_existing AND NOT dup_in_batch THEN doc_id ELSE 0 END) AS BIGINT) AS ingested_checksum
        |FROM b5 GROUP BY source ORDER BY source""".stripMargin
 
+  /** q189 marginal n-gram novelty per source — the corpus-ACQUISITION
+    * metric: when sources are admitted in lexicographic order, how many
+    * distinct 4-grams does each source add that no earlier source already
+    * contributed? A source whose novelty share is low is mostly buying
+    * text you already have (the q150/q170 overlap matrices say WHO it
+    * overlaps; this prices the marginal value of keeping it at all). The
+    * sequential "admit one source at a time" definition computes ORDER-FREE:
+    * a gram is novel to exactly the MIN source that carries it, so one
+    * min-aggregate attributes every gram without any loop over sources.
+    *
+    * Scale shape: linear gram explode, per-source-distinct first (the q59
+    * discipline), then ONE gram-keyed min-aggregate + one count per
+    * attribution — all map-combined; output is |sources| cells. */
+  def q189(spark: SparkSession, dir: String): DataFrame = {
+    val grams = Tables.parallelized(Tables.load(spark, dir, "documents"))
+      .select(col("source"),
+        explode(array_distinct(T.wordShingles(col("text"), 4))).as("g"))
+      .distinct() // per-source distinct grams
+      .persist()  // consumed by both the per-source count and the min side
+    val perSource = grams.groupBy("source")
+      .agg(count(lit(1)).as("n_distinct_grams"))
+    val novel = grams.groupBy("g").agg(min("source").as("source"))
+      .groupBy("source").agg(count(lit(1)).as("n_novel_grams"))
+    perSource.join(novel, Seq("source"), "left")
+      .select(col("source"), col("n_distinct_grams"),
+        coalesce(col("n_novel_grams"), lit(0L)).as("n_novel_grams"))
+      .withColumn("novelty_ppm",
+        expr("n_novel_grams * 1000000 div n_distinct_grams"))
+      .orderBy("source")
+  }
+
+  val q189Sql: String =
+    """WITH toks AS (
+      |  SELECT source, string_split(text, ' ') AS w FROM documents
+      |), g0 AS (
+      |  SELECT DISTINCT source, unnest(list_distinct(list_transform(range(1, len(w) - 2),
+      |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]))) AS g
+      |  FROM toks
+      |), per AS (
+      |  SELECT source, COUNT(*) AS n_distinct_grams FROM g0 GROUP BY source
+      |), nov AS (
+      |  SELECT source, COUNT(*) AS cnt
+      |  FROM (SELECT g, MIN(source) AS source FROM g0 GROUP BY g)
+      |  GROUP BY source
+      |)
+      |SELECT per.source, per.n_distinct_grams,
+      |  CAST(COALESCE(nov.cnt, 0) AS BIGINT) AS n_novel_grams,
+      |  CAST(COALESCE(nov.cnt, 0) * 1000000 // per.n_distinct_grams AS BIGINT) AS novelty_ppm
+      |FROM per LEFT JOIN nov ON nov.source = per.source
+      |ORDER BY per.source""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q179_dsir_weights", q179 _, Some(q179Sql)),
+    ("q189_gram_novelty", q189 _, Some(q189Sql)),
     ("q185_neardup_ingest", q185 _, Some(q185Sql)),
     ("q183_quality_dedup", q183 _, Some(q183Sql)),
     ("q171_cluster_split", q171 _, Some(q171Sql)),

@@ -499,4 +499,29 @@ class MiningSpec extends AnyFunSuite {
       assert((n, de, db, cks) == ((en, ede, edb, ecks)), s"$src mismatch")
     }
   }
+
+  test("q189 novelty: attribution partitions the gram universe; first source gets 1e6") {
+    val rows = Training.q189(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    // driver-side replay
+    val bySrc = Tables.load(spark, sf, "documents").collect()
+      .map(r => (r.getString(3), r.getString(1).split(" ")))
+      .groupBy(_._1).view.mapValues(_.flatMap { case (_, w) =>
+        w.sliding(4).filter(_.length == 4).map(_.mkString(" "))
+      }.toSet).toMap
+    val firstOf = bySrc.toSeq.flatMap { case (s, gs) => gs.map(_ -> s) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    rows.foreach { case (src, nd, nn, ppm) =>
+      assert(nd == bySrc(src).size.toLong, s"$src distinct grams")
+      assert(nn == firstOf.count(_._2 == src).toLong, s"$src novel grams")
+      assert(ppm == nn * 1000000L / nd, src)
+      assert(nn <= nd)
+    }
+    // every gram is attributed to exactly one source
+    assert(rows.map(_._3).sum == firstOf.size.toLong)
+    // the lexicographically first source is all-novel by definition
+    val first = rows.map(_._1).min
+    assert(rows.find(_._1 == first).get._4 == 1000000L)
+  }
 }
