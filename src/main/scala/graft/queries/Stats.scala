@@ -864,8 +864,78 @@ object Stats {
       |FROM tt LEFT JOIN vocab v ON tt.term = v.term
       |GROUP BY source ORDER BY source""".stripMargin
 
+  /** q190 per-source unigram divergence from the corpus — distribution-
+    * shift detection for source curation (the q152 ppm total-variation
+    * kernel pointed at the vocabulary axis): TV(source, corpus) =
+    * ½·Σ_t |share_src(t) − share_corpus(t)| with both shares ppm-quantized
+    * (the declared q152 grid). A source far from the corpus mix is either
+    * a domain you WANT over-represented or contamination — either way the
+    * number that flags it for a human. The absent-term mass needs NO dense
+    * source×vocab grid: Σ over terms the source lacks of share_corpus(t)
+    * equals the 1-row total Σ_t share_corpus(t) minus the sum over terms
+    * present in the source — so the whole statistic reads off the sparse
+    * (source, term) frame plus one scalar broadcast.
+    *
+    * Scale shape: one token explode, one (source, term) map-combined
+    * aggregate (cells ≤ \|sources\|·\|vocab\|), the corpus term frame joined
+    * unhinted (vocabulary is corpus-derived — the q160 rule), and a
+    * \|sources\| rollup. */
+  def q190(spark: SparkSession, dir: String): DataFrame = {
+    // ONE corpus pass: every statistic below (source totals, corpus term
+    // counts, grand total) derives from this vocab×sources-bounded cell
+    // frame, never from a re-explode of the corpus
+    val st = Tables.parallelized(Tables.load(spark, dir, "documents"))
+      .select(col("source"),
+        explode(graft.functions.TextFunctions.tokens(col("text"))).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy("source", "term").agg(count(lit(1)).as("n_st"))
+      .withColumn("n_s", sum("n_st").over(Window.partitionBy("source")))
+    val t = st.groupBy("term").agg(sum("n_st").as("n_t"))
+      .crossJoin(broadcast(
+        st.agg(sum("n_st").as("n_total")))) // 1-row scalar
+      .withColumn("share_t", expr("n_t * 1000000 div n_total"))
+    val totalShare = t.agg(sum("share_t").as("t_share")) // 1 row
+    st.join(t.select("term", "share_t"), Seq("term"))
+      .groupBy("source")
+      .agg(max("n_s").as("n_tokens"),
+        sum(expr("abs(n_st * 1000000 div n_s - share_t)")).as("present_l1"),
+        sum("share_t").as("present_share"))
+      .crossJoin(broadcast(totalShare))
+      .withColumn("tv_ppm",
+        expr("(present_l1 + t_share - present_share) div 2"))
+      .select("source", "n_tokens", "tv_ppm")
+      .orderBy("source")
+  }
+
+  val q190Sql: String =
+    """WITH tk AS (
+      |  SELECT source, term FROM (
+      |    SELECT source, unnest(string_split(text, ' ')) AS term FROM documents
+      |  ) WHERE length(term) > 0
+      |), st AS (
+      |  SELECT source, term, COUNT(*) AS n_st FROM tk GROUP BY source, term
+      |), s AS (
+      |  SELECT source, SUM(n_st) AS n_s FROM st GROUP BY source
+      |), t AS (
+      |  SELECT term, COUNT(*) * 1000000 // (SELECT COUNT(*) FROM tk) AS share_t
+      |  FROM tk GROUP BY term
+      |), tt AS (
+      |  SELECT SUM(share_t) AS t_share FROM t
+      |), per AS (
+      |  SELECT st.source,
+      |    SUM(ABS(st.n_st * 1000000 // s.n_s - t.share_t)) AS present_l1,
+      |    SUM(t.share_t) AS present_share
+      |  FROM st JOIN s USING (source) JOIN t USING (term)
+      |  GROUP BY st.source
+      |)
+      |SELECT per.source, CAST(s.n_s AS BIGINT) AS n_tokens,
+      |  CAST((per.present_l1 + tt.t_share - per.present_share) // 2 AS BIGINT) AS tv_ppm
+      |FROM per JOIN s USING (source) CROSS JOIN tt
+      |ORDER BY per.source""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q180_oov_rate", q180 _, Some(q180Sql)),
+    ("q190_source_divergence", q190 _, Some(q190Sql)),
     ("q87_grouping_sets", q87 _, Some(q87Sql)),
     ("q167_zipf_slope", q167 _, Some(q167Sql)),
     ("q88_stats_moments", q88 _, Some(q88Sql)),

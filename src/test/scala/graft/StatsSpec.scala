@@ -167,4 +167,29 @@ class StatsSpec extends AnyFunSuite {
     }
     assert(rows.map(_._3).sum > 0, "no OOV mass — the cutoff knob is vacuous")
   }
+
+  test("q190 source divergence replays from a driver-side TV computation") {
+    val rows = Stats.q190(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    val toks = Tables.load(spark, sf, "documents").collect()
+      .flatMap(r => r.getString(1).split(" ").filter(_.nonEmpty)
+        .map(t => (r.getString(3), t)))
+    val n = toks.length.toLong
+    val shareT = toks.groupBy(_._2).view
+      .mapValues(_.length.toLong * 1000000L / n).toMap
+    val expected = toks.groupBy(_._1).map { case (src, xs) =>
+      val ns = xs.length.toLong
+      val cnt = xs.groupBy(_._2).view.mapValues(_.length.toLong)
+      val l1 = shareT.map { case (t, s) =>
+        math.abs(cnt.getOrElse(t, 0L) * 1000000L / ns - s)
+      }.sum
+      src -> ((ns, l1 / 2))
+    }
+    assert(rows.map(_._1).toSet == expected.keySet)
+    rows.foreach { case (src, nt, tv) =>
+      assert((nt, tv) == expected(src), s"$src mismatch")
+      assert(tv >= 0 && tv <= 1000000L, src)
+    }
+  }
 }
