@@ -933,8 +933,63 @@ object Stats {
       |FROM per JOIN s USING (source) CROSS JOIN tt
       |ORDER BY per.source""".stripMargin
 
+  /** q191 cross-source semantic proximity matrix — the embedding-level
+    * companion of q150 (n-gram containment) and q170 (near-dup pairs):
+    * per-source integer-truncated centroids (the q151 kernel keyed by
+    * SOURCE — embeddings align to documents by the shared id space,
+    * vec_id = doc_id) and the exact squared Euclidean distance between
+    * every unordered source pair. Two sources whose centroids nearly
+    * coincide are the same distribution twice — mixture weights (q139/
+    * q166) should see them as one; a source far from everything is the
+    * candidate for upweighting or review. All-integer, oracle-replayed.
+    *
+    * Scale shape: one corpus pass into the (source, dim) centroid frame
+    * (model-sized: \|sources\|·dim), then pair arithmetic entirely on that
+    * frame — the distance join is dim-keyed over model-sized inputs,
+    * never the corpus. */
+  def q191(spark: SparkSession, dir: String): DataFrame = {
+    val cent = Tables.parallelized(Tables.load(spark, dir, "embeddings"))
+      .join(Tables.load(spark, dir, "documents").select(
+        col("doc_id").as("vec_id"), col("source")), "vec_id")
+      .select(col("source"),
+        posexplode(transform(col("embedding"),
+          x => floor(x.cast(DoubleType) * 1000).cast(LongType)))
+          .as(Seq("dim", "q")))
+      .groupBy("source", "dim")
+      .agg(expr("sum(q) div count(1)").as("m"), count(lit(1)).as("n"))
+      .persist() // model-sized; consumed by both pair sides
+    cent.select(col("source").as("source_x"), col("dim"),
+        col("m").as("mx"), col("n").as("n_x"))
+      .join(cent.select(col("source").as("source_y"), col("dim"),
+        col("m").as("my"), col("n").as("n_y")), Seq("dim"))
+      .filter(col("source_x") < col("source_y"))
+      .groupBy("source_x", "source_y")
+      .agg(max("n_x").as("n_x"), max("n_y").as("n_y"),
+        sum(expr("(mx - my) * (mx - my)")).as("dist2"))
+      .orderBy("source_x", "source_y")
+  }
+
+  val q191Sql: String =
+    """WITH q AS (
+      |  SELECT d.source,
+      |    list_transform(e.embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+      |  FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+      |), ex AS (
+      |  SELECT source, unnest(range(1, len(qv) + 1)) AS i, qv FROM q
+      |), cent AS (
+      |  SELECT source, i AS dim, CAST(SUM(qv[i]) // COUNT(*) AS BIGINT) AS m,
+      |    COUNT(*) AS n
+      |  FROM ex GROUP BY source, i
+      |)
+      |SELECT a.source AS source_x, b.source AS source_y,
+      |  CAST(MAX(a.n) AS BIGINT) AS n_x, CAST(MAX(b.n) AS BIGINT) AS n_y,
+      |  CAST(SUM((a.m - b.m) * (a.m - b.m)) AS BIGINT) AS dist2
+      |FROM cent a JOIN cent b ON a.dim = b.dim AND a.source < b.source
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q180_oov_rate", q180 _, Some(q180Sql)),
+    ("q191_source_centroids", q191 _, Some(q191Sql)),
     ("q190_source_divergence", q190 _, Some(q190Sql)),
     ("q87_grouping_sets", q87 _, Some(q87Sql)),
     ("q167_zipf_slope", q167 _, Some(q167Sql)),

@@ -192,4 +192,35 @@ class StatsSpec extends AnyFunSuite {
       assert(tv >= 0 && tv <= 1000000L, src)
     }
   }
+
+  test("q191 source-centroid matrix is symmetric-complete with sane distances") {
+    val rows = Stats.q191(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.nonEmpty)
+    val srcs = rows.flatMap(r => Seq(r._1, r._2)).distinct.sorted
+    assert(rows.length == srcs.length * (srcs.length - 1) / 2,
+      "every unordered source pair must appear exactly once")
+    rows.foreach { case (x, y, nx, ny, d) =>
+      assert(x < y && nx > 0 && ny > 0 && d >= 0, s"($x,$y)")
+    }
+    // distances obey the metric's symmetry by construction; spot-check one
+    // pair against a driver-side centroid computation
+    val (px, py, _, _, pd) = rows.head
+    val emb = Tables.load(spark, sf, "embeddings").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val srcOf = Tables.load(spark, sf, "documents").collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    def centroid(s: String): Array[Long] = {
+      val vs = emb.filter { case (id, _) => srcOf(id) == s }.values.toSeq
+      val dim = vs.head.length
+      Array.tabulate(dim) { i =>
+        val q = vs.map(v => math.floor(v(i).toDouble * 1000).toLong)
+        q.sum / q.length
+      }
+    }
+    val (ca, cb) = (centroid(px), centroid(py))
+    val d2 = ca.zip(cb).map { case (a, b) => (a - b) * (a - b) }.sum
+    assert(d2 == pd, s"($px,$py): driver $d2 != query $pd")
+  }
 }
