@@ -987,8 +987,50 @@ object Stats {
       |FROM cent a JOIN cent b ON a.dim = b.dim AND a.source < b.source
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** q192 join-key skew profiler — the diagnostic that DECIDES when the
+    * q98 salting operator (or AQE's skew-join split) is worth its cost:
+    * for the fact table's join key (`l_partkey`), the top-10 heaviest
+    * keys with their row share in ppm, each carrying the key-population
+    * statistics (distinct keys, total rows, the uniform share a balanced
+    * key would hold, and the key's skew factor = share/uniform). A top
+    * key whose skew factor is large is the straggler task in every
+    * shuffle join on this key; the profile is what a pipeline checks
+    * BEFORE picking partitioning. The hot-key list at 100 TB is exactly
+    * what `operators/SkewSalt` consumes.
+    *
+    * Scale shape: one map-combined key aggregate, TakeOrderedAndProject
+    * for the top-10, population stats a 1-row broadcast. */
+  def q192(spark: SparkSession, dir: String): DataFrame = {
+    val keys = Tables.load(spark, dir, "lineitem")
+      .groupBy(col("l_partkey").as("key")).agg(count(lit(1)).as("n_rows"))
+    val pop = keys.agg(count(lit(1)).as("n_keys"),
+      sum("n_rows").as("total_rows"))
+    keys.orderBy(desc("n_rows"), col("key")).limit(10)
+      .crossJoin(broadcast(pop))
+      .withColumn("share_ppm", expr("n_rows * 1000000 div total_rows"))
+      .withColumn("uniform_ppm", expr("1000000 div n_keys"))
+      .withColumn("skew_x1000",
+        expr("n_rows * n_keys * 1000 div total_rows"))
+      .orderBy(desc("n_rows"), col("key"))
+  }
+
+  val q192Sql: String =
+    """WITH k AS (
+      |  SELECT l_partkey AS key, COUNT(*) AS n_rows FROM lineitem GROUP BY 1
+      |), pop AS (
+      |  SELECT COUNT(*) AS n_keys, SUM(n_rows) AS total_rows FROM k
+      |)
+      |SELECT key, n_rows, CAST(pop.n_keys AS BIGINT) AS n_keys,
+      |  CAST(pop.total_rows AS BIGINT) AS total_rows,
+      |  CAST(n_rows * 1000000 // pop.total_rows AS BIGINT) AS share_ppm,
+      |  CAST(1000000 // pop.n_keys AS BIGINT) AS uniform_ppm,
+      |  CAST(n_rows * pop.n_keys * 1000 // pop.total_rows AS BIGINT) AS skew_x1000
+      |FROM k CROSS JOIN pop
+      |ORDER BY n_rows DESC, key LIMIT 10""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q180_oov_rate", q180 _, Some(q180Sql)),
+    ("q192_skew_profile", q192 _, Some(q192Sql)),
     ("q191_source_centroids", q191 _, Some(q191Sql)),
     ("q190_source_divergence", q190 _, Some(q190Sql)),
     ("q87_grouping_sets", q87 _, Some(q87Sql)),

@@ -223,4 +223,23 @@ class StatsSpec extends AnyFunSuite {
     val d2 = ca.zip(cb).map { case (a, b) => (a - b) * (a - b) }.sum
     assert(d2 == pd, s"($px,$py): driver $d2 != query $pd")
   }
+
+  test("q192 skew profile replays from a driver-side key histogram") {
+    val rows = Stats.q192(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(rows.nonEmpty && rows.length <= 10)
+    val keys = Tables.load(spark, sf, "lineitem").collect()
+      .map(_.getLong(1)) // l_partkey
+    val hist = keys.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val top = hist.toSeq.sortBy { case (k, n) => (-n, k) }.take(10)
+    assert(rows.map(r => (r._1, r._2)).toSeq == top, "top-10 keys mismatch")
+    val (nk, tot) = (hist.size.toLong, keys.length.toLong)
+    rows.foreach { case (k, n, nks, t, share, uni, skew) =>
+      assert(nks == nk && t == tot, s"key $k population")
+      assert(share == n * 1000000L / tot && uni == 1000000L / nk)
+      assert(skew == n * nk * 1000L / tot, s"key $k skew")
+      assert(skew >= 1000L, "a top-10 key cannot be below uniform at this SF")
+    }
+  }
 }
