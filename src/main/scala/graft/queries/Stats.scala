@@ -1028,8 +1028,63 @@ object Stats {
       |FROM k CROSS JOIN pop
       |ORDER BY n_rows DESC, key LIMIT 10""".stripMargin
 
+  /** The Benford first-digit expectation ⌊1e6·log₁₀(1+1/d)⌋ for d = 1..9 —
+    * SPEC constants (the q153 discount-table discipline: the law is part
+    * of the metric's definition, no engine evaluates a log). */
+  private val BenfordPpm = Seq(301029L, 176091L, 124938L, 96910L, 79181L,
+    66946L, 57991L, 51152L, 45757L)
+
+  /** q193 Benford first-digit audit of order totals — the classic
+    * fabricated-data screen (Benford 1938; the auditor's test that
+    * invented-looking amounts fail): the leading digit of each order's
+    * cents against the logarithmic expectation, per digit the observed
+    * share in ppm, the Benford expectation (literal table), and the
+    * signed deviation. Natural multi-scale amounts follow the law;
+    * uniform synthetic ones (this fixture, deliberately) deviate hard —
+    * the audit's output IS the evidence either way. Leading digit via
+    * string head of the integer cents, identical in both engines.
+    *
+    * Scale shape: one narrow map + one ≤9-cell map-combined aggregate +
+    * a 1-row total broadcast. */
+  def q193(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(spark, dir, "orders")
+      .select(cents(col("o_totalprice")).as("c"))
+      .filter(col("c") > 0)
+      .select(substring(col("c").cast(StringType), 1, 1).cast(LongType)
+        .as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    d.crossJoin(broadcast(d.agg(sum("n").as("total"))))
+      .withColumn("share_ppm", expr("n * 1000000 div total"))
+      .withColumn("benford_ppm",
+        element_at(typedLit(BenfordPpm), col("digit").cast("int")))
+      .withColumn("delta_ppm", col("share_ppm") - col("benford_ppm"))
+      .select("digit", "n", "share_ppm", "benford_ppm", "delta_ppm")
+      .orderBy("digit")
+  }
+
+  val q193Sql: String = {
+    val values = BenfordPpm.zipWithIndex
+      .map { case (w, i) => s"(${i + 1}, $w)" }.mkString(", ")
+    s"""WITH c AS (
+       |  SELECT CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS c FROM orders
+       |), d AS (
+       |  SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS BIGINT) AS digit
+       |  FROM c WHERE c > 0
+       |), g AS (
+       |  SELECT digit, COUNT(*) AS n FROM d GROUP BY digit
+       |), t AS (SELECT SUM(n) AS total FROM g
+       |), bf(digit, benford_ppm) AS (VALUES $values)
+       |SELECT g.digit, g.n,
+       |  CAST(g.n * 1000000 // t.total AS BIGINT) AS share_ppm,
+       |  CAST(bf.benford_ppm AS BIGINT) AS benford_ppm,
+       |  CAST(g.n * 1000000 // t.total - bf.benford_ppm AS BIGINT) AS delta_ppm
+       |FROM g CROSS JOIN t JOIN bf ON bf.digit = g.digit
+       |ORDER BY g.digit""".stripMargin
+  }
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q180_oov_rate", q180 _, Some(q180Sql)),
+    ("q193_benford_audit", q193 _, Some(q193Sql)),
     ("q192_skew_profile", q192 _, Some(q192Sql)),
     ("q191_source_centroids", q191 _, Some(q191Sql)),
     ("q190_source_divergence", q190 _, Some(q190Sql)),

@@ -242,4 +242,24 @@ class StatsSpec extends AnyFunSuite {
       assert(skew >= 1000L, "a top-10 key cannot be below uniform at this SF")
     }
   }
+
+  test("q193 Benford audit: digits partition the orders; the literal table is the law") {
+    val rows = Stats.q193(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (d, _, share, bf, delta) =>
+      assert(d >= 1 && d <= 9)
+      assert(delta == share - bf)
+      // the literal table IS floor(1e6*log10(1+1/d)) — verified, not trusted
+      assert(bf == math.floor(1000000.0 * math.log10(1.0 + 1.0 / d)).toLong, d)
+    }
+    val cents = Tables.load(spark, sf, "orders").collect()
+      .map(r => math.floor(r.getDouble(3) * 100).toLong).filter(_ > 0)
+    assert(rows.map(_._2).sum == cents.length.toLong,
+      "digit cells must partition the positive orders")
+    val hist = cents.map(_.toString.head.asDigit.toLong)
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    rows.foreach { case (d, n, _, _, _) => assert(n == hist(d), s"digit $d") }
+  }
 }
