@@ -1082,8 +1082,49 @@ object Stats {
        |ORDER BY g.digit""".stripMargin
   }
 
+  /** q194 per-source lexical concentration (Herfindahl–Hirschman index) —
+    * the diversity flag that complements q190's divergence: HHI =
+    * Σ_t share(t)² over the source's token distribution, in ppm (1e6 =
+    * a single-token monopoly, 1e6/|vocab| = perfectly uniform). A source
+    * whose HHI is far above its peers is low-entropy text — templated,
+    * repetitive, or degenerate — exactly what a mixture (q139/q166)
+    * should downweight per token. Shares ppm-quantized (the declared
+    * grid), squares exact in int64 (share² ≤ 1e12, × vocab ≪ 2⁶³).
+    *
+    * Scale shape: one corpus pass into the (source, term) cell frame;
+    * the HHI is a rollup of those cells — no second corpus touch. */
+  def q194(spark: SparkSession, dir: String): DataFrame =
+    Tables.parallelized(Tables.load(spark, dir, "documents"))
+      .select(col("source"),
+        explode(graft.functions.TextFunctions.tokens(col("text"))).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy("source", "term").agg(count(lit(1)).as("n_st"))
+      .withColumn("n_s", sum("n_st").over(Window.partitionBy("source")))
+      .groupBy("source")
+      .agg(max("n_s").as("n_tokens"),
+        count(lit(1)).as("n_terms"),
+        expr("sum((n_st * 1000000 div n_s) * (n_st * 1000000 div n_s)) div 1000000")
+          .as("hhi_ppm"))
+      .orderBy("source")
+
+  val q194Sql: String =
+    """WITH st AS (
+      |  SELECT source, term, COUNT(*) AS n_st FROM (
+      |    SELECT source, unnest(string_split(text, ' ')) AS term FROM documents
+      |  ) WHERE length(term) > 0 GROUP BY source, term
+      |), s AS (
+      |  SELECT source, SUM(n_st) AS n_s FROM st GROUP BY source
+      |)
+      |SELECT st.source, CAST(MAX(s.n_s) AS BIGINT) AS n_tokens,
+      |  COUNT(*) AS n_terms,
+      |  CAST(SUM((st.n_st * 1000000 // s.n_s) * (st.n_st * 1000000 // s.n_s))
+      |    // 1000000 AS BIGINT) AS hhi_ppm
+      |FROM st JOIN s USING (source)
+      |GROUP BY st.source ORDER BY st.source""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q180_oov_rate", q180 _, Some(q180Sql)),
+    ("q194_lexical_hhi", q194 _, Some(q194Sql)),
     ("q193_benford_audit", q193 _, Some(q193Sql)),
     ("q192_skew_profile", q192 _, Some(q192Sql)),
     ("q191_source_centroids", q191 _, Some(q191Sql)),

@@ -262,4 +262,29 @@ class StatsSpec extends AnyFunSuite {
       .groupBy(identity).view.mapValues(_.length.toLong).toMap
     rows.foreach { case (d, n, _, _, _) => assert(n == hist(d), s"digit $d") }
   }
+
+  test("q194 lexical HHI replays and sits between uniform and monopoly") {
+    val rows = Stats.q194(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    val toks = Tables.load(spark, sf, "documents").collect()
+      .flatMap(r => r.getString(1).split(" ").filter(_.nonEmpty)
+        .map(t => (r.getString(3), t)))
+    val expected = toks.groupBy(_._1).map { case (src, xs) =>
+      val n = xs.length.toLong
+      val shares = xs.groupBy(_._2).values
+        .map(g => g.size.toLong * 1000000L / n)
+      src -> ((n, shares.size.toLong,
+        shares.map(s => s * s).sum / 1000000L))
+    }
+    assert(rows.map(_._1).toSet == expected.keySet)
+    rows.foreach { case (src, nt, nd, hhi) =>
+      assert((nt, nd, hhi) == expected(src), s"$src mismatch")
+      // quantized HHI is bounded by the monopoly value and cannot dip
+      // meaningfully below the uniform floor (floor-rounding only shrinks)
+      assert(hhi <= 1000000L && hhi >= 0L, src)
+      assert(hhi >= (1000000L / nd) * (1000000L / nd) * nd / 1000000L - nd,
+        s"$src: HHI below the uniform floor")
+    }
+  }
 }
