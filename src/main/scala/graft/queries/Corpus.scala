@@ -360,8 +360,50 @@ object Corpus {
       |  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
+  /** q195 pack-fill audit — the fragmentation economics of q81's next-fit
+    * packing (the packing-side complement of q177's padding waste: packing
+    * trades padding for FRAGMENTATION, the tail token slots each pack
+    * leaves unfilled): per pack the token fill against the 128-token
+    * budget, histogrammed by fill decile (bucket 10 = ≥100%, i.e. exactly
+    * full or an oversized singleton). Mass in low deciles prices the
+    * next-fit heuristic against smarter bin-packing; the oracle replays
+    * packing itself (the q81 recursive CTE) and audits on top of it, so
+    * the histogram is proof the state machine and its replay still agree
+    * at the aggregate level.
+    *
+    * Scale shape: q81's one keyed shuffle + O(1)-state scan, then a
+    * (source, shard, pack) map-combined rollup and an ≤11-cell histogram. */
+  def q195(spark: SparkSession, dir: String): DataFrame =
+    packSequences(Tables.parallelized(Tables.load(spark, dir, "documents")),
+      budget = 128L, shards = 4)
+      .groupBy("source", "shard", "pack_idx")
+      .agg(sum("n_tokens").as("pack_tokens"), count(lit(1)).as("n_docs"))
+      .withColumn("fill_ppm", expr("pack_tokens * 1000000 div 128"))
+      .withColumn("bucket", expr("least(fill_ppm div 100000, 10)"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_packs"), sum("n_docs").as("n_docs"),
+        sum("pack_tokens").as("sum_tokens"))
+      .orderBy("bucket")
+
+  val q195Sql: String =
+    s"""WITH packs AS (
+       |  SELECT source, shard, pack_idx, SUM(n_tokens) AS pack_tokens,
+       |    COUNT(*) AS n_docs
+       |  FROM ($q81Sql)
+       |  GROUP BY source, shard, pack_idx
+       |), f AS (
+       |  SELECT LEAST(pack_tokens * 1000000 // 128 // 100000, 10) AS bucket,
+       |    n_docs, pack_tokens
+       |  FROM packs
+       |)
+       |SELECT CAST(bucket AS BIGINT) AS bucket, COUNT(*) AS n_packs,
+       |  CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+       |  CAST(SUM(pack_tokens) AS BIGINT) AS sum_tokens
+       |FROM f GROUP BY bucket ORDER BY bucket""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q177_padding_waste", q177 _, Some(q177Sql)),
+    ("q195_pack_fill", q195 _, Some(q195Sql)),
     ("q181_documents_audit", q181 _, Some(q181Sql)),
     ("q81_pack_sequences", q81 _, Some(q81Sql)),
     ("q82_priority_sample", q82 _, Some(q82Sql)),

@@ -359,4 +359,26 @@ class OperatorSemanticsSpec extends AnyFunSuite {
       assert(langs >= 1, src)
     }
   }
+
+  test("q195 pack-fill histogram conserves q81's packs, docs, and tokens") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = graft.queries.Corpus.q195(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (b, np, nd, _) =>
+      assert(b >= 0 && b <= 10 && np > 0 && nd >= np)
+    }
+    // conservation against the packing output itself
+    val packs = graft.queries.Corpus.q81(spark, sf).collect()
+      .map(r => ((r.getString(1), r.getLong(2), r.getLong(4)), r.getLong(3)))
+    val perPack = packs.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    assert(rows.map(_._2).sum == perPack.size.toLong, "pack count conserved")
+    assert(rows.map(_._3).sum == packs.length.toLong, "doc count conserved")
+    assert(rows.map(_._4).sum == packs.map(_._2).sum, "token mass conserved")
+    // the histogram assigns each pack to its fill decile
+    val expected = perPack.values
+      .map(t => math.min(t * 1000000L / 128L / 100000L, 10L))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(rows.map(r => r._1 -> r._2).toMap == expected)
+  }
 }
