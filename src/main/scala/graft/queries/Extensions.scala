@@ -579,6 +579,63 @@ object Extensions {
       |FROM st JOIN fin ON fin.user_id = st.user_id AND fin.n_events = st.rn
       |ORDER BY st.user_id""".stripMargin
 
+  /** q196 time-to-conversion with censoring — the discrete survival curve
+    * (the Kaplan–Meier primitive's input) behind funnel latency: per user
+    * the first `view` and the first `purchase` AT OR AFTER it; converting
+    * users histogram by whole days waited, users who never purchase after
+    * their first view are RIGHT-CENSORED and reported as their own row
+    * (day = −1) rather than dropped — discarding censored mass is the
+    * classic survival-analysis bug, and the −1 row keeps the histogram a
+    * partition of the at-risk population. Day deltas in epoch-ms div
+    * 86400000 (the q162 calendar-free convention).
+    *
+    * Scale shape: one conditional-min aggregate per user (map-combined,
+    * one keyed shuffle), then an ≤ observation-window-days histogram. */
+  def q196(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("event_type"),
+        expr("unix_millis(ts)").as("tms"))
+    e.groupBy("user_id")
+      .agg(min(when(col("event_type") === "view", col("tms"))).as("t_view"))
+      .filter(col("t_view").isNotNull)
+      .join(e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("tms").as("t_buy")),
+        Seq("user_id"), "left")
+      .groupBy("user_id", "t_view")
+      .agg(min(when(col("t_buy") >= col("t_view"), col("t_buy")))
+        .as("t_conv"))
+      .select(col("user_id"),
+        when(col("t_conv").isNotNull,
+          expr("(t_conv - t_view) div 86400000")).otherwise(lit(-1L))
+          .as("days_to_convert"))
+      .groupBy("days_to_convert")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("days_to_convert")
+  }
+
+  val q196Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type, epoch_ms(ts) AS tms FROM events
+      |), v AS (
+      |  SELECT user_id, MIN(CASE WHEN event_type = 'view' THEN tms END) AS t_view
+      |  FROM e GROUP BY user_id
+      |), c AS (
+      |  SELECT v.user_id,
+      |    MIN(CASE WHEN e.event_type = 'purchase' AND e.tms >= v.t_view
+      |        THEN e.tms END) AS t_conv,
+      |    MAX(v.t_view) AS t_view
+      |  FROM v JOIN e ON e.user_id = v.user_id
+      |  WHERE v.t_view IS NOT NULL
+      |  GROUP BY v.user_id
+      |), d AS (
+      |  SELECT CASE WHEN t_conv IS NOT NULL
+      |    THEN (t_conv - t_view) // 86400000 ELSE -1 END AS days_to_convert
+      |  FROM c
+      |)
+      |SELECT CAST(days_to_convert AS BIGINT) AS days_to_convert,
+      |  COUNT(*) AS n_users
+      |FROM d GROUP BY days_to_convert ORDER BY days_to_convert""".stripMargin
+
   /** q54 the corpus-preparation transform (quality gate → exact-dedup
     * survivors → deterministic split) under the hash gate — the flagship
     * LLM-pipeline composition, oracle-checked end to end. */
@@ -1190,6 +1247,7 @@ object Extensions {
     ("q37_multimodal_features", q37 _, Some(q37Sql)),
     ("q38_sessionize", q38 _, Some(q38Sql)),
     ("q187_ewma_anomaly", q187 _, Some(q187Sql)),
+    ("q196_time_to_convert", q196 _, Some(q196Sql)),
     ("q49_knn_ivf", q49 _, None),
     ("q54_corpus_prepare", q54 _, Some(q54Sql)),
     ("q80_knn_pq", q80 _, None),

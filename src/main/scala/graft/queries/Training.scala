@@ -1731,8 +1731,57 @@ object Training {
       |FROM per LEFT JOIN nov ON nov.source = per.source
       |ORDER BY per.source""".stripMargin
 
+  /** q197 duplicate-cluster source census — the cluster-level view of
+    * q170's pair-level matrix: every multi-doc MinHash cluster (the
+    * q165/q171 key) cross-tabulated by (cluster size, distinct sources
+    * inside it). The n_sources = 1 column is internal redundancy (one
+    * source repeating itself — dedup is cheap, locality is good); the
+    * n_sources ≥ 2 mass is SYNDICATION (the same text bought twice from
+    * different vendors — the clusters q171's whole-cluster split exists
+    * to keep on one side). Cells are (size, n_sources)-bounded, sizes
+    * duplicate-bounded, so the output is a small census at any scale.
+    *
+    * Scale shape: one cluster-keyed aggregate over the shared signature
+    * frame (count + count-distinct, map-combined), then an aggregate of
+    * the cluster frame — candidates ∝ documents, never pairs. */
+  def q197(spark: SparkSession, dir: String): DataFrame =
+    Dedup.splitSides(spark, dir)
+      .groupBy("c0", "c1")
+      .agg(count(lit(1)).as("sz"), countDistinct("source").as("n_sources"))
+      .filter(col("sz") >= 2)
+      .groupBy("sz", "n_sources")
+      .agg(count(lit(1)).as("n_clusters"),
+        sum("sz").as("n_docs"))
+      .orderBy("sz", "n_sources")
+
+  val q197Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
+      |), sh AS (
+      |  SELECT doc_id, source, list_distinct(list_transform(range(1, len(w) - 1),
+      |    i -> CAST('0x' || substr(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]), 1, 15) AS BIGINT))) AS hs
+      |  FROM toks
+      |), sig AS (
+      |  SELECT doc_id, source,
+      |    list_min(list_transform(hs, h -> (1299709 * (h % 2147483647) + 7) % 2147483647)) AS s0,
+      |    list_min(list_transform(hs, h -> (15485863 * (h % 2147483647) + 101) % 2147483647)) AS s1
+      |  FROM sh
+      |), cl AS (
+      |  SELECT doc_id, source,
+      |    CASE WHEN s0 IS NOT NULL THEN s0 ELSE -1 END AS c0,
+      |    CASE WHEN s0 IS NOT NULL THEN s1 ELSE doc_id END AS c1
+      |  FROM sig
+      |), g AS (
+      |  SELECT c0, c1, COUNT(*) AS sz, COUNT(DISTINCT source) AS n_sources
+      |  FROM cl GROUP BY c0, c1 HAVING COUNT(*) >= 2
+      |)
+      |SELECT CAST(sz AS BIGINT) AS sz, CAST(n_sources AS BIGINT) AS n_sources,
+      |  COUNT(*) AS n_clusters, CAST(SUM(sz) AS BIGINT) AS n_docs
+      |FROM g GROUP BY sz, n_sources ORDER BY sz, n_sources""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q179_dsir_weights", q179 _, Some(q179Sql)),
+    ("q197_cluster_census", q197 _, Some(q197Sql)),
     ("q189_gram_novelty", q189 _, Some(q189Sql)),
     ("q185_neardup_ingest", q185 _, Some(q185Sql)),
     ("q183_quality_dedup", q183 _, Some(q183Sql)),

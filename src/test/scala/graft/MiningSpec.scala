@@ -524,4 +524,23 @@ class MiningSpec extends AnyFunSuite {
     val first = rows.map(_._1).min
     assert(rows.find(_._1 == first).get._4 == 1000000L)
   }
+
+  test("q197 cluster census replays from the split-side cluster keys") {
+    val rows = Training.q197(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty, "no multi-doc cluster at this SF — census untested")
+    val clusters = graft.dedup.Dedup.splitSides(spark, sf)
+      .select("doc_id", "source", "c0", "c1").collect()
+      .map(r => ((r.getLong(2), r.getLong(3)), r.getString(1)))
+      .groupBy(_._1).values
+      .map(xs => (xs.size.toLong, xs.map(_._2).distinct.size.toLong))
+      .filter(_._1 >= 2).toSeq
+    val expected = clusters.groupBy(identity).map { case ((sz, ns), cs) =>
+      (sz, ns) -> ((cs.size.toLong, cs.size.toLong * sz))
+    }
+    assert(rows.map(r => (r._1, r._2) -> ((r._3, r._4))).toMap == expected)
+    rows.foreach { case (sz, ns, _, _) =>
+      assert(sz >= 2 && ns >= 1 && ns <= sz)
+    }
+  }
 }

@@ -287,4 +287,25 @@ class StatsSpec extends AnyFunSuite {
         s"$src: HHI below the uniform floor")
     }
   }
+
+  test("q196 conversion curve partitions the at-risk users, censored included") {
+    val rows = graft.queries.Extensions.q196(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.nonEmpty)
+    val events = Tables.load(spark, sf, "events").collect()
+      .map(r => (r.getLong(2), r.getString(3),
+        r.getTimestamp(1).getTime))
+    val expected = events.groupBy(_._1).flatMap { case (_, evs) =>
+      val views = evs.filter(_._2 == "view").map(_._3)
+      if (views.isEmpty) None
+      else {
+        val tv = views.min
+        val buys = evs.filter(e => e._2 == "purchase" && e._3 >= tv).map(_._3)
+        Some(if (buys.isEmpty) -1L else (buys.min - tv) / 86400000L)
+      }
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(rows.toMap == expected, "histogram must replay exactly")
+    assert(rows.map(_._2).sum == expected.values.sum)
+    rows.foreach { case (d, n) => assert(d >= -1 && n > 0) }
+  }
 }
