@@ -401,8 +401,120 @@ object Corpus {
        |  CAST(SUM(pack_tokens) AS BIGINT) AS sum_tokens
        |FROM f GROUP BY bucket ORDER BY bucket""".stripMargin
 
+  /** q198 training-shard balance audit — the straggler check on q84's
+    * md5 shard assignment (synchronous data-parallel training steps at
+    * the speed of the HEAVIEST shard, so shard skew is wasted
+    * accelerator time): per shard the doc count, token mass, and token
+    * share vs the uniform share in ppm, plus the shard's skew factor
+    * ×1000 (the q192 framing pointed at the OUTPUT layout instead of
+    * the join key). An md5 split should sit within sampling noise of
+    * uniform — a skew factor far from 1000 means the assignment is
+    * broken or the token distribution needs q83's winsorization first.
+    *
+    * Scale shape: one corpus pass, one ≤|shards| map-combined
+    * aggregate, population stats a 1-row broadcast. */
+  def q198(spark: SparkSession, dir: String): DataFrame = {
+    val s = Tables.load(spark, dir, "documents")
+      .select(T.hashBucket(col("doc_id"), 8).as("shard"),
+        size(T.tokens(col("text"))).cast(LongType).as("n_tok"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+    s.crossJoin(broadcast(s.agg(sum("n_tokens").as("total_tokens"),
+        count(lit(1)).as("n_shards"))))
+      .withColumn("share_ppm", expr("n_tokens * 1000000 div total_tokens"))
+      .withColumn("skew_x1000",
+        expr("n_tokens * n_shards * 1000 div total_tokens"))
+      .select("shard", "n_docs", "n_tokens", "share_ppm", "skew_x1000")
+      .orderBy("shard")
+  }
+
+  val q198Sql: String =
+    """WITH s AS (
+      |  SELECT CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 8 AS shard,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      |  FROM documents
+      |), g AS (
+      |  SELECT shard, COUNT(*) AS n_docs, SUM(n_tok) AS n_tokens
+      |  FROM s GROUP BY shard
+      |), pop AS (
+      |  SELECT SUM(n_tokens) AS total_tokens, COUNT(*) AS n_shards FROM g
+      |)
+      |SELECT shard, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
+      |  CAST(n_tokens * 1000000 // pop.total_tokens AS BIGINT) AS share_ppm,
+      |  CAST(n_tokens * pop.n_shards * 1000 // pop.total_tokens AS BIGINT) AS skew_x1000
+      |FROM g CROSS JOIN pop ORDER BY shard""".stripMargin
+
+  /** q200 corpus datasheet — the one-row passport ("Datasheets for
+    * Datasets", Gebru et al., CACM 2021) a release ships next to the
+    * shards: document/source/language counts, total token mass, distinct
+    * text count with the global duplication-inflation ppm (the q188
+    * number corpus-wide), and the mean q111 quality logit — the header
+    * every per-source audit in this registry drills under. Two aggregates
+    * total: one flat pass for the counts/means, one fingerprint-keyed
+    * pass for the dup stats, joined as 1-row frames.
+    *
+    * Scale shape: two corpus passes (flat + fp-keyed), everything else
+    * 1-row arithmetic. */
+  def q200(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+      .withColumn("w", split(col("text"), " "))
+      .withColumn("n_tok", size(col("w")).cast(LongType))
+      .withColumn("logit_x1e6",
+        expr(s"${Retrieval.W0} + ${Retrieval.WLen} * n_tok + " +
+          s"${Retrieval.WDistinct} * (cast(size(array_distinct(w)) as bigint) * 1000000 div n_tok) + " +
+          s"(${Retrieval.WStop}) * (cast(2 * size(w) - size(array_remove(w, 'the')) - size(array_remove(w, 'a')) as bigint) * 1000000 div n_tok)"))
+    val flat = docs.agg(count(lit(1)).as("n_docs"),
+      countDistinct("source").as("n_sources"),
+      countDistinct("lang").as("n_langs"),
+      sum("n_tok").as("total_tokens"),
+      expr("sum(logit_x1e6) div count(1)").as("mean_logit_x1e6"))
+    val dup = docs
+      .select(graft.functions.TextFunctions.portableHash60(col("text"))
+        .as("fp"), col("n_tok"))
+      .groupBy("fp").agg(max("n_tok").as("n_tok"))
+      .agg(count(lit(1)).as("n_distinct_texts"),
+        sum("n_tok").as("unique_tokens"))
+    flat.crossJoin(broadcast(dup))
+      .withColumn("dup_inflation_ppm",
+        expr("total_tokens * 1000000 div unique_tokens"))
+      .select("n_docs", "n_sources", "n_langs", "total_tokens",
+        "n_distinct_texts", "dup_inflation_ppm", "mean_logit_x1e6")
+  }
+
+  val q200Sql: String =
+    s"""WITH d AS (
+       |  SELECT source, lang,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+       |    ${Retrieval.W0} + ${Retrieval.WLen} * CAST(len(string_split(text, ' ')) AS BIGINT)
+       |    + ${Retrieval.WDistinct} * (CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) * 1000000
+       |           // len(string_split(text, ' ')))
+       |    + (${Retrieval.WStop}) * (CAST(len(list_filter(string_split(text, ' '),
+       |             t -> t = 'the' OR t = 'a')) AS BIGINT) * 1000000
+       |           // len(string_split(text, ' '))) AS logit_x1e6,
+       |    CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) AS fp
+       |  FROM documents
+       |), flat AS (
+       |  SELECT COUNT(*) AS n_docs,
+       |    CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+       |    CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+       |    CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+       |    CAST(SUM(logit_x1e6) // COUNT(*) AS BIGINT) AS mean_logit_x1e6
+       |  FROM d
+       |), u AS (
+       |  SELECT COUNT(*) AS n_distinct_texts,
+       |    CAST(SUM(n_tok) AS BIGINT) AS unique_tokens
+       |  FROM (SELECT fp, MAX(n_tok) AS n_tok FROM d GROUP BY fp)
+       |)
+       |SELECT flat.n_docs, flat.n_sources, flat.n_langs, flat.total_tokens,
+       |  u.n_distinct_texts,
+       |  CAST(flat.total_tokens * 1000000 // u.unique_tokens AS BIGINT) AS dup_inflation_ppm,
+       |  flat.mean_logit_x1e6
+       |FROM flat CROSS JOIN u""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q177_padding_waste", q177 _, Some(q177Sql)),
+    ("q198_shard_balance", q198 _, Some(q198Sql)),
+    ("q200_corpus_datasheet", q200 _, Some(q200Sql)),
     ("q195_pack_fill", q195 _, Some(q195Sql)),
     ("q181_documents_audit", q181 _, Some(q181Sql)),
     ("q81_pack_sequences", q81 _, Some(q81Sql)),

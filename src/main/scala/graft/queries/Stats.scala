@@ -1122,8 +1122,72 @@ object Stats {
       |FROM st JOIN s USING (source)
       |GROUP BY st.source ORDER BY st.source""".stripMargin
 
+  /** q199 hourly traffic anomaly via the robust MAD gate — the q113 kernel
+    * pointed at the time axis (and the series-level complement of q187's
+    * per-user EWMA): hourly event counts, the exact lower-median of the
+    * hourly series, the median absolute deviation, and a 3×MAD flag per
+    * hour. Median/MAD instead of mean/stddev because traffic anomalies
+    * are exactly the points that poison the mean — the robust gate is the
+    * one that still fires during an incident. All-integer order
+    * statistics (the q108/q113 rank arithmetic).
+    *
+    * Scale shape: the corpus collapses at the hourly aggregate; the rank
+    * windows below run on the HOURLY frame — observation-window-bounded
+    * (24·days rows; the q142 aggregate-by-value discipline, listed in the
+    * §2.13 window inventory), and both median and MAD ship as 1-row
+    * broadcasts. */
+  def q199(spark: SparkSession, dir: String): DataFrame = {
+    val hours = Tables.load(spark, dir, "events")
+      .select(expr("unix_millis(ts) div 3600000").as("hour"))
+      .groupBy("hour").agg(count(lit(1)).as("n_events"))
+    def lowerMedian(df: DataFrame, c: String): DataFrame = df
+      .withColumn("rn", row_number()
+        .over(Window.orderBy(col(c), col("hour"))).cast(LongType))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy()))
+      .filter(col("rn") === expr("(cnt + 1) div 2"))
+      .select(col(c).as("m"))
+    val med = lowerMedian(hours, "n_events")
+    val withDev = hours.crossJoin(broadcast(med))
+      .withColumn("dev", abs(col("n_events") - col("m")))
+    val mad = lowerMedian(withDev.select(col("hour"), col("dev")), "dev")
+      .select(col("m").as("mad"))
+    withDev.crossJoin(broadcast(mad))
+      .select(col("hour"), col("n_events"), col("m").as("median_n"),
+        col("mad"),
+        when(col("dev") > lit(3L) * col("mad"), 1L).otherwise(0L)
+          .as("is_anomaly"))
+      .orderBy("hour")
+  }
+
+  val q199Sql: String =
+    """WITH h AS (
+      |  SELECT epoch_ms(ts) // 3600000 AS hour, COUNT(*) AS n_events
+      |  FROM events GROUP BY 1
+      |), med AS (
+      |  SELECT n_events AS m FROM (
+      |    SELECT n_events,
+      |      ROW_NUMBER() OVER (ORDER BY n_events, hour) AS rn,
+      |      COUNT(*) OVER () AS cnt
+      |    FROM h
+      |  ) WHERE rn = (cnt + 1) // 2
+      |), dv AS (
+      |  SELECT h.hour, h.n_events, med.m, ABS(h.n_events - med.m) AS dev
+      |  FROM h CROSS JOIN med
+      |), mad AS (
+      |  SELECT dev AS mad FROM (
+      |    SELECT dev, ROW_NUMBER() OVER (ORDER BY dev, hour) AS rn,
+      |      COUNT(*) OVER () AS cnt
+      |    FROM dv
+      |  ) WHERE rn = (cnt + 1) // 2
+      |)
+      |SELECT CAST(dv.hour AS BIGINT) AS hour, dv.n_events,
+      |  CAST(dv.m AS BIGINT) AS median_n, CAST(mad.mad AS BIGINT) AS mad,
+      |  CAST(CASE WHEN dv.dev > 3 * mad.mad THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+      |FROM dv CROSS JOIN mad ORDER BY hour""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q180_oov_rate", q180 _, Some(q180Sql)),
+    ("q199_hourly_anomaly", q199 _, Some(q199Sql)),
     ("q194_lexical_hhi", q194 _, Some(q194Sql)),
     ("q193_benford_audit", q193 _, Some(q193Sql)),
     ("q192_skew_profile", q192 _, Some(q192Sql)),

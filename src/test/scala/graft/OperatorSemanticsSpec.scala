@@ -381,4 +381,43 @@ class OperatorSemanticsSpec extends AnyFunSuite {
       .groupBy(identity).view.mapValues(_.size.toLong).toMap
     assert(rows.map(r => r._1 -> r._2).toMap == expected)
   }
+
+  test("q198 shard balance agrees with q84's assignment and its own algebra") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = graft.queries.Corpus.q198(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.nonEmpty && rows.forall(r => r._1 >= 0 && r._1 <= 7))
+    val q84Counts = graft.queries.Corpus.q84(spark, sf).collect()
+      .map(_.getLong(1)).groupBy(identity).view.mapValues(_.length.toLong)
+      .toMap
+    assert(rows.map(r => r._1 -> r._2).toMap == q84Counts,
+      "q198 must audit the exact q84 shard assignment")
+    val tot = rows.map(_._3).sum
+    val nSh = rows.length.toLong
+    rows.foreach { case (s, _, t, share, skew) =>
+      assert(share == t * 1000000L / tot, s"shard $s share")
+      assert(skew == t * nSh * 1000L / tot, s"shard $s skew")
+    }
+  }
+
+  test("q200 datasheet reconciles with the per-source audits it summarizes") {
+    val sf = "/root/testdata/sf0.001"
+    val r = graft.queries.Corpus.q200(spark, sf).collect()
+    assert(r.length == 1)
+    val row = r.head
+    val docs = graft.Tables.load(spark, sf, "documents").collect()
+      .map(x => (x.getString(3), x.getString(2), x.getString(1)))
+    assert(row.getLong(0) == docs.length.toLong)
+    assert(row.getLong(1) == docs.map(_._1).distinct.length.toLong)
+    assert(row.getLong(2) == docs.map(_._2).distinct.length.toLong)
+    val totalTok = docs.map(_._3.split(" ").length.toLong).sum
+    assert(row.getLong(3) == totalTok)
+    assert(row.getLong(4) == docs.map(_._3).distinct.length.toLong)
+    // global distinct can only be <= the sum of per-source distincts (q188)
+    val q188Uniq = graft.queries.Extensions.q188(spark, sf).collect()
+      .map(_.getLong(3)).sum
+    assert(row.getLong(4) <= q188Uniq)
+    assert(row.getLong(5) >= 1000000L, "inflation below 1 is impossible")
+  }
 }

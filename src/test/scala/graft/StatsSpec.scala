@@ -308,4 +308,26 @@ class StatsSpec extends AnyFunSuite {
     assert(rows.map(_._2).sum == expected.values.sum)
     rows.foreach { case (d, n) => assert(d >= -1 && n > 0) }
   }
+
+  test("q199 MAD anomaly gate replays from a driver-side order statistic") {
+    val rows = graft.queries.Stats.q199(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.nonEmpty)
+    val hours = Tables.load(spark, sf, "events").collect()
+      .map(_.getTimestamp(1).getTime / 3600000L)
+      .groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .sortBy(_._1).toMap
+    def lowerMed(xs: Seq[Long]): Long = {
+      val s = xs.sorted
+      s((s.length + 1) / 2 - 1)
+    }
+    val med = lowerMed(hours.values.toSeq)
+    val mad = lowerMed(hours.values.map(v => math.abs(v - med)).toSeq)
+    assert(rows.map(r => r._1 -> r._2).toMap == hours)
+    rows.foreach { case (h, n, m, md, fl) =>
+      assert(m == med && md == mad, s"hour $h stats")
+      assert(fl == (if (math.abs(n - med) > 3 * mad) 1L else 0L), s"hour $h")
+    }
+  }
 }
