@@ -474,4 +474,53 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("Window"),
       s"no rank window may shuffle the full cluster membership:\n$p")
   }
+
+  test("q186: the per-source top-3 plans a WindowGroupLimit map-side prune") {
+    val p = plan("q186_boilerplate")
+    assert(p.contains("WindowGroupLimit"),
+      s"the rank-limited window must pre-prune per partition:\n$p")
+    assert(p.contains("Partial") && p.contains("Final"),
+      s"the group limit must run in both partial and final mode:\n$p")
+  }
+
+  test("q188/q194: corpus-health rollups are join-free single-scan aggregates") {
+    for (q <- Seq("q188_dup_inflation", "q194_lexical_hhi")) {
+      val p = plan(q)
+      val scans = p.split("Scan parquet").length - 1
+      assert(scans == 1, s"$q must scan the corpus exactly once, saw $scans:\n$p")
+      assert(!p.contains("Join"), s"$q must not join anything:\n$p")
+    }
+  }
+
+  test("q192/q198: skew profiles broadcast their 1-row population stats") {
+    for (q <- Seq("q192_skew_profile", "q198_shard_balance")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+        s"$q's population stats must broadcast, never shuffle-join:\n$p")
+      assert(!p.contains("SortMergeJoin"),
+        s"$q must not shuffle-join anything:\n$p")
+    }
+    // the top-10 key cut is a limit, not a global sort
+    val p = plan("q192_skew_profile")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the hot-key cut must plan per-partition heaps:\n$p")
+  }
+
+  test("q199: rank windows consume the hourly aggregate, never raw events") {
+    val p = plan("q199_hourly_anomaly")
+    // parents print first: every Window must sit ABOVE the HashAggregate
+    // that collapses events into hours
+    val aggIdx = p.lastIndexOf("HashAggregate")
+    val winIdx = p.lastIndexOf("Window")
+    assert(winIdx >= 0 && aggIdx > winIdx,
+      s"a window consumes pre-aggregate (event-scale) rows:\n$p")
+  }
+
+  test("q196: the survival rollup carries no window — conditional-min aggregates only") {
+    val p = plan("q196_time_to_convert")
+    assert(!p.contains("Window"),
+      s"first-view/first-purchase must be min aggregates, not rank windows:\n$p")
+    assert(p.contains("partial_min") || p.contains("partial min"),
+      s"the conditional mins must combine map-side:\n$p")
+  }
 }
