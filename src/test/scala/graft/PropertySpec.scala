@@ -334,4 +334,33 @@ class PropertySpec extends AnyFunSuite {
     assert(out.length == docs.length)
     assert(out.forall(_._3 == 1000000L))
   }
+
+  test("ewmaAnomaly equals a driver-side fold on random event streams") {
+    val evGen = for {
+      n <- Gen.chooseNum(1, 40)
+      users <- Gen.listOfN(n, Gen.chooseNum(1L, 5L))
+      vals <- Gen.listOfN(n, Gen.chooseNum(1, 50000))
+    } yield users.zip(vals).zipWithIndex.map { case ((u, v), i) =>
+      (i.toLong, new java.sql.Timestamp(1700000000000L + i * 1000L),
+        u, "view", v / 100.0)
+    }
+    check(Prop.forAll(evGen) { rows =>
+      val df = rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      val got = graft.streaming.EventStream.ewmaAnomaly(df).collect()
+        .map(s => (s.user_id, s.event_id)).toSet
+      // .toSeq before flatMap: flatMapping a Map with tuple results would
+      // rebuild a Map and silently collapse a user's spikes to the last one
+      val expected = rows.groupBy(_._3).toSeq.flatMap { case (u, evs) =>
+        val sorted = evs.sortBy(e => (e._2.getTime, e._1))
+        var ewma = -1L
+        sorted.flatMap { e =>
+          val cents = math.floor(e._5 * 100).toLong
+          val spike = if (ewma >= 0 && cents > 4 * ewma) Some((u, e._1)) else None
+          ewma = if (ewma < 0) cents else (3 * ewma + cents) / 4
+          spike
+        }
+      }.toSet
+      got == expected
+    })
+  }
 }
