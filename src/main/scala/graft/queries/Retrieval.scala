@@ -607,6 +607,80 @@ object Retrieval {
        |    // SUM(n_docs) OVER (PARTITION BY source) AS BIGINT) AS pct_ppm
        |FROM b ORDER BY source, bin""".stripMargin
 
+  /** The q202 threshold grid: five logit cut points ×1e6 around the q111
+    * gate's zero — SPEC constants (the operating points a team actually
+    * compares; extend the literal list to refine the sweep). */
+  private val GateThresholds = Seq(-2000000L, -1000000L, 0L, 1000000L, 2000000L)
+
+  /** q202 quality-gate operating-point sweep — the tradeoff curve behind
+    * choosing q111's threshold: for each literal cut point, how many
+    * documents survive (keep rate in ppm) and how many tokens they carry
+    * (token keep rate in ppm). Moving the gate up buys precision and
+    * starves token budget — this table is the evidence for picking the
+    * operating point, computed in ONE corpus pass (each document joins
+    * the 5-row threshold grid, an aggregate per cell).
+    *
+    * Scale shape: the logit is the same narrow codegen'd map as q111, the
+    * threshold grid is a literal 5-row broadcast (parameter-sized by
+    * construction), and the rollup is ≤\|thresholds\| cells plus a 1-row
+    * population broadcast for the ppm denominators. */
+  def q202(spark: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.load(spark, dir, "documents")
+      .withColumn("w", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("w")).cast(LongType))
+      .withColumn("distinct_ppm",
+        expr("cast(size(array_distinct(w)) as bigint) * 1000000 div n_tokens"))
+      .withColumn("stop_ppm",
+        expr("cast(2 * size(w) - size(array_remove(w, 'the')) - size(array_remove(w, 'a')) as bigint) * 1000000 div n_tokens"))
+      .withColumn("logit_x1e6",
+        lit(W0) + lit(WLen) * col("n_tokens") +
+          lit(WDistinct) * col("distinct_ppm") + lit(WStop) * col("stop_ppm"))
+      .select("n_tokens", "logit_x1e6")
+    val pop = scored.agg(count(lit(1)).as("n_docs"),
+      sum("n_tokens").as("total_tokens"))
+    scored
+      .crossJoin(broadcast(
+        spark.range(1).select(explode(typedLit(GateThresholds)).as("threshold_x1e6"))))
+      .groupBy("threshold_x1e6")
+      .agg(sum(when(col("logit_x1e6") >= col("threshold_x1e6"), 1L)
+        .otherwise(0L)).as("n_kept"),
+        sum(when(col("logit_x1e6") >= col("threshold_x1e6"), col("n_tokens"))
+          .otherwise(0L)).as("kept_tokens"))
+      .crossJoin(broadcast(pop))
+      .withColumn("keep_ppm", expr("n_kept * 1000000 div n_docs"))
+      .withColumn("token_keep_ppm",
+        expr("kept_tokens * 1000000 div total_tokens"))
+      .select("threshold_x1e6", "n_kept", "kept_tokens", "keep_ppm",
+        "token_keep_ppm")
+      .orderBy("threshold_x1e6")
+  }
+
+  val q202Sql: String = {
+    val values = GateThresholds.map(t => s"($t)").mkString(", ")
+    s"""WITH f AS (
+       |  SELECT
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |    ${W0} + ${WLen} * CAST(len(string_split(text, ' ')) AS BIGINT)
+       |    + ${WDistinct} * (CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) * 1000000
+       |           // len(string_split(text, ' ')))
+       |    + (${WStop}) * (CAST(len(list_filter(string_split(text, ' '),
+       |             t -> t = 'the' OR t = 'a')) AS BIGINT) * 1000000
+       |           // len(string_split(text, ' '))) AS logit_x1e6
+       |  FROM documents
+       |), th(threshold_x1e6) AS (VALUES $values
+       |), pop AS (
+       |  SELECT COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens FROM f
+       |)
+       |SELECT CAST(th.threshold_x1e6 AS BIGINT) AS threshold_x1e6,
+       |  CAST(SUM(CASE WHEN f.logit_x1e6 >= th.threshold_x1e6 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  CAST(SUM(CASE WHEN f.logit_x1e6 >= th.threshold_x1e6 THEN f.n_tokens ELSE 0 END) AS BIGINT) AS kept_tokens,
+       |  CAST(SUM(CASE WHEN f.logit_x1e6 >= th.threshold_x1e6 THEN 1 ELSE 0 END) * 1000000 // pop.n_docs AS BIGINT) AS keep_ppm,
+       |  CAST(SUM(CASE WHEN f.logit_x1e6 >= th.threshold_x1e6 THEN f.n_tokens ELSE 0 END) * 1000000 // pop.total_tokens AS BIGINT) AS token_keep_ppm
+       |FROM f CROSS JOIN th CROSS JOIN pop
+       |GROUP BY th.threshold_x1e6, pop.n_docs, pop.total_tokens
+       |ORDER BY threshold_x1e6""".stripMargin
+  }
+
   /** Chunking constants: 32-token windows advancing 24 tokens (8 overlap) —
     * the shape RAG ingestion uses so no boundary sentence is lost. */
   private val ChunkSize = 32
@@ -1122,6 +1196,7 @@ object Retrieval {
     ("q111_quality_logit", q111 _, Some(q111Sql)),
     ("q114_chunk_documents", q114 _, Some(q114Sql)),
     ("q182_score_percentiles", q182 _, Some(q182Sql)),
+    ("q202_gate_sweep", q202 _, Some(q202Sql)),
     ("q119_chunk_dup_rate", q119 _, Some(q119Sql)),
     ("q125_batch_knn", q125 _, Some(q125Sql)),
     ("q133_doc_keywords", q133 _, Some(q133Sql)))

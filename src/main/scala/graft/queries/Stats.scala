@@ -1185,8 +1185,47 @@ object Stats {
       |  CAST(CASE WHEN dv.dev > 3 * mad.mad THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
       |FROM dv CROSS JOIN mad ORDER BY hour""".stripMargin
 
+  /** q201 per-language tokenizer fertility — the tokenizer-equity audit
+    * (Petrov et al., "Language Model Tokenizers Introduce Unfairness
+    * Between Languages", 2023): subword units per word, per language, in
+    * exact ×1000 fixed point, using the declared q36 subword estimate
+    * (ceil(len/6) units per word — the deterministic stand-in for a real
+    * tokenizer's compression curve). A language paying 2–3× the units per
+    * word gets proportionally less effective context and pays more per
+    * token — the number a multilingual corpus team budgets against
+    * (q166's apportionment should weight by UNITS, not words, when this
+    * table is uneven).
+    *
+    * Scale shape: one corpus pass, one narrow codegen'd map (the ceil is
+    * integer arithmetic), one ≤\|langs\| map-combined aggregate. */
+  def q201(spark: SparkSession, dir: String): DataFrame =
+    Tables.parallelized(Tables.load(spark, dir, "documents"))
+      .select(col("lang"),
+        explode(graft.functions.TextFunctions.tokens(col("text"))).as("w"))
+      .filter(length(col("w")) > 0)
+      .select(col("lang"),
+        expr("(length(w) + 5) div 6").as("units"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_words"),
+        sum("units").as("n_units"))
+      .withColumn("fertility_x1000", expr("n_units * 1000 div n_words"))
+      .orderBy("lang")
+
+  val q201Sql: String =
+    """WITH w AS (
+      |  SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents
+      |), u AS (
+      |  SELECT lang, (length(w) + 5) // 6 AS units
+      |  FROM w WHERE length(w) > 0
+      |)
+      |SELECT lang, COUNT(*) AS n_words,
+      |  CAST(SUM(units) AS BIGINT) AS n_units,
+      |  CAST(SUM(units) * 1000 // COUNT(*) AS BIGINT) AS fertility_x1000
+      |FROM u GROUP BY lang ORDER BY lang""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q180_oov_rate", q180 _, Some(q180Sql)),
+    ("q201_tokenizer_fertility", q201 _, Some(q201Sql)),
     ("q199_hourly_anomaly", q199 _, Some(q199Sql)),
     ("q194_lexical_hhi", q194 _, Some(q194Sql)),
     ("q193_benford_audit", q193 _, Some(q193Sql)),

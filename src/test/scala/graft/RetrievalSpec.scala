@@ -295,4 +295,26 @@ class RetrievalSpec extends AnyFunSuite {
       }.toSeq.sortBy(r => (r._1, r._2))
     assert(rows.toSeq == expected, "per-source top-3 must replay exactly")
   }
+
+  test("q202 gate sweep is monotone and its zero row matches q111's keep total") {
+    val rows = Retrieval.q202(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.length == 5)
+    assert(rows.map(_._1).sameElements(
+      Seq(-2000000L, -1000000L, 0L, 1000000L, 2000000L)))
+    // raising the threshold can only shrink what survives
+    rows.sliding(2).foreach { pair =>
+      val (lo, hi) = (pair(0), pair(1))
+      assert(hi._2 <= lo._2 && hi._3 <= lo._3,
+        s"keep counts must be non-increasing: $lo -> $hi")
+    }
+    rows.foreach { case (_, _, _, kp, tp) =>
+      assert(kp >= 0 && kp <= 1000000L && tp >= 0 && tp <= 1000000L)
+    }
+    // the threshold-0 operating point IS q111's gate
+    val q111Kept = Retrieval.q111(spark, sf).collect().map(_.getLong(2)).sum
+    assert(rows.find(_._1 == 0L).get._2 == q111Kept,
+      "threshold 0 must reproduce the q111 keep total")
+  }
 }

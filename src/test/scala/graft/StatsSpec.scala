@@ -330,4 +330,22 @@ class StatsSpec extends AnyFunSuite {
       assert(fl == (if (math.abs(n - med) > 3 * mad) 1L else 0L), s"hour $h")
     }
   }
+
+  test("q201 fertility replays from the declared ceil(len/6) unit estimate") {
+    val rows = Stats.q201(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    val words = Tables.load(spark, sf, "documents").collect()
+      .flatMap(r => r.getString(1).split(" ").filter(_.nonEmpty)
+        .map(w => (r.getString(2), w)))
+    val expected = words.groupBy(_._1).map { case (lang, xs) =>
+      val units = xs.map(x => (x._2.length.toLong + 5) / 6).sum
+      lang -> ((xs.length.toLong, units, units * 1000L / xs.length))
+    }
+    assert(rows.map(_._1).toSet == expected.keySet)
+    rows.foreach { case (lang, nw, nu, f) =>
+      assert((nw, nu, f) == expected(lang), s"$lang mismatch")
+      assert(f >= 1000L, s"$lang: a word is at least one unit")
+    }
+  }
 }
