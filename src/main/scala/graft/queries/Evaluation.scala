@@ -661,8 +661,61 @@ object Evaluation {
       |LEFT JOIN cent1 c1 ON c1.cluster = c.c_label
       |ORDER BY cluster""".stripMargin
 
+  /** q204 int8 quantization calibration table — the per-dimension range
+    * audit that precedes serving an embedding table at 100 TB: symmetric
+    * int8 quantization (the standard ANN-memory trade, the disk format
+    * `ann/Pq` compresses further) needs one scale per dimension, and a
+    * per-tensor scale silently crushes narrow dimensions. Per dimension of
+    * the ×1000-quantized coordinates (the q151/q168 grid): min, max,
+    * absolute max, the derived int8 step in micro-units
+    * (absmax·1e6 div 127 — micro-quantized-coordinates per int8 level),
+    * and the mass that a literal clip at ±400 would saturate (count + ppm)
+    * — the clipping-calibration decision (absmax vs percentile clip) made
+    * with exact numbers instead of a histogram eyeball. The ±400 literal
+    * is a declared calibration knob (SURVEY §2.13): fixture absmax spans
+    * 337–526 per dim, so the clip genuinely saturates some dims and not
+    * others.
+    *
+    * Scale shape: one corpus pass — posexplode of the quantized vector
+    * into (dim, q) cells — and ONE map-combined aggregate keyed by the
+    * \|dims\|-bounded dimension id; partial aggregation collapses each
+    * task to ≤\|dims\| rows before the shuffle, so shuffle bytes are
+    * executor-count-, not corpus-, sized. No window, no join. */
+  def q204(spark: SparkSession, dir: String): DataFrame =
+    Tables.parallelized(Tables.load(spark, dir, "embeddings"))
+      .select(posexplode(transform(col("embedding"),
+        x => floor(x.cast("double") * 1000).cast("long"))).as(Seq("pos", "q")))
+      .select((col("pos") + 1).cast("long").as("dim"), col("q"))
+      .groupBy("dim")
+      .agg(min("q").as("q_min"), max("q").as("q_max"),
+        max(greatest(col("q"), -col("q"))).as("absmax"),
+        count(lit(1)).as("n_vals"),
+        sum(when(greatest(col("q"), -col("q")) > 400, 1L).otherwise(0L))
+          .as("n_sat"))
+      .withColumn("scale_micro", expr("absmax * 1000000 div 127"))
+      .withColumn("sat_ppm", expr("n_sat * 1000000 div n_vals"))
+      .select("dim", "q_min", "q_max", "absmax", "scale_micro", "n_sat",
+        "sat_ppm")
+      .orderBy("dim")
+
+  val q204Sql: String =
+    """WITH c AS (
+      |  SELECT i, CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) AS q
+      |  FROM (SELECT embedding, unnest(range(1, len(embedding) + 1)) AS i
+      |        FROM embeddings)
+      |)
+      |SELECT i AS dim, MIN(q) AS q_min, MAX(q) AS q_max,
+      |  MAX(GREATEST(q, -q)) AS absmax,
+      |  MAX(GREATEST(q, -q)) * 1000000 // 127 AS scale_micro,
+      |  CAST(SUM(CASE WHEN GREATEST(q, -q) > 400 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_sat,
+      |  CAST(SUM(CASE WHEN GREATEST(q, -q) > 400 THEN 1 ELSE 0 END) * 1000000
+      |    // COUNT(*) AS BIGINT) AS sat_ppm
+      |FROM c GROUP BY i ORDER BY dim""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(("q140_auc_ranksum", q140 _, Some(q140Sql)),
+      ("q204_int8_calibration", q204 _, Some(q204Sql)),
       ("q168_centroid_eval", q168 _, Some(q168Sql)),
       ("q169_centroid_stability",
         (s: SparkSession, d: String) => q169(s, d), Some(q169Sql)),

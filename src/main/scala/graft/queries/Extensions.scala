@@ -1226,8 +1226,72 @@ object Extensions {
       |  CAST(MAX(jac) AS BIGINT) AS max_jaccard_x1e6
       |FROM j3 GROUP BY m ORDER BY n_sig_match""".stripMargin
 
+  /** q205 heuristic quality-rule sweep — the C4-family rule filter (Raffel
+    * et al. 2020 §2.2's "we removed any page…" rule list) as a per-source
+    * audit, the rule-based complement of q111's model-based gate and
+    * q202's threshold sweep: three literal, interpretable rules
+    * (calibration knobs, SURVEY §2.13) evaluated per document —
+    * R1 too-short (< 30 tokens; fixture fires on 106/500),
+    * R2 no-stopword (neither 'the' nor 'a' present — the C4 "contains no
+    * terminal-punctuation sentence" analog on the fixture's unpunctuated
+    * token stream; 118/500),
+    * R3 low type-token ratio (distinct·1e6 div tokens < 400,000 — global
+    * token reuse, the boilerplate signal q203's LOCAL top-bigram gate
+    * complements; fixture median TTR is 462k, so the rule separates).
+    * Per source: docs, per-rule failure counts, docs failing ANY rule, and
+    * the surviving share in ppm — the table a curation team reads to see
+    * WHICH rule is destroying WHICH source before turning the gate on.
+    *
+    * Scale shape: one corpus pass, one narrow codegen'd map (split /
+    * array_distinct / array_contains — no explode: per-doc flags only),
+    * ONE ≤\|sources\| map-combined aggregate. No window, no join. */
+  def q205(spark: SparkSession, dir: String): DataFrame =
+    Tables.parallelized(Tables.load(spark, dir, "documents"))
+      .select(col("source"), split(col("text"), " ").as("w"))
+      .select(col("source"), size(col("w")).cast(LongType).as("nt"),
+        size(array_distinct(col("w"))).cast(LongType).as("nd"),
+        (array_contains(col("w"), "the") || array_contains(col("w"), "a"))
+          .as("has_stop"))
+      .select(col("source"),
+        (col("nt") < 30).as("r_short"),
+        (!col("has_stop")).as("r_nostop"),
+        // `div` = exact integral division matching the oracle's `//` — `/`
+        // on longs is double division and rounds near the threshold
+        expr("nd * 1000000 div nt < 400000").as("r_lowttr"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("r_short"), 1L).otherwise(0L)).as("n_short"),
+        sum(when(col("r_nostop"), 1L).otherwise(0L)).as("n_nostop"),
+        sum(when(col("r_lowttr"), 1L).otherwise(0L)).as("n_lowttr"),
+        sum(when(col("r_short") || col("r_nostop") || col("r_lowttr"), 1L)
+          .otherwise(0L)).as("n_fail_any"))
+      .withColumn("pass_ppm",
+        expr("(n_docs - n_fail_any) * 1000000 div n_docs"))
+      .orderBy("source")
+
+  val q205Sql: String =
+    """WITH d AS (
+      |  SELECT source, string_split(text, ' ') AS w FROM documents
+      |), f AS (
+      |  SELECT source,
+      |    len(w) < 30 AS r_short,
+      |    NOT (list_contains(w, 'the') OR list_contains(w, 'a')) AS r_nostop,
+      |    len(list_distinct(w)) * 1000000 // len(w) < 400000 AS r_lowttr
+      |  FROM d
+      |)
+      |SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN r_short THEN 1 ELSE 0 END) AS BIGINT) AS n_short,
+      |  CAST(SUM(CASE WHEN r_nostop THEN 1 ELSE 0 END) AS BIGINT) AS n_nostop,
+      |  CAST(SUM(CASE WHEN r_lowttr THEN 1 ELSE 0 END) AS BIGINT) AS n_lowttr,
+      |  CAST(SUM(CASE WHEN r_short OR r_nostop OR r_lowttr THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_fail_any,
+      |  CAST((COUNT(*) - SUM(CASE WHEN r_short OR r_nostop OR r_lowttr
+      |    THEN 1 ELSE 0 END)) * 1000000 // COUNT(*) AS BIGINT) AS pass_ppm
+      |FROM f GROUP BY source ORDER BY source""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q26_dedup_exact", q26 _, Some(q26Sql)),
+    ("q205_quality_rules", q205 _, Some(q205Sql)),
     ("q170_source_dup_matrix", q170 _, Some(q170Sql)),
     ("q172_split_leakage", q172 _, Some(q172Sql)),
     ("q174_minhash_calibration", q174 _, Some(q174Sql)),

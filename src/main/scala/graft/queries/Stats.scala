@@ -1223,7 +1223,76 @@ object Stats {
       |  CAST(SUM(units) * 1000 // COUNT(*) AS BIGINT) AS fertility_x1000
       |FROM u GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** q203 per-source repetition gate — the Gopher-family repetition filter
+    * (Rae et al. 2021 §A1.1's "fraction of characters in the most common
+    * n-gram") re-expressed on the token axis: per document, the share of
+    * adjacent bigram slots taken by the document's SINGLE most frequent
+    * bigram, in exact ppm; a document whose top bigram exceeds the literal
+    * 60,000 ppm (6%) threshold is loop/boilerplate-shaped and flagged.
+    * Rolled up per source: docs, flagged docs, flagged share, worst
+    * offender. q66's duplicate-token gate catches global token reuse; this
+    * catches the LOCAL "same phrase over and over" degeneracy that
+    * generation loops and templated chrome produce, which a type-token
+    * ratio misses (a looping doc can still have high TTR around the loop).
+    *
+    * Scale shape: the q90 bigram extraction verbatim (exact-length slices
+    * zip_with'd — no null-padded phantom pair), then two map-combining
+    * aggregates — (doc, bigram) counts, per-doc max — and the ≤\|sources\|
+    * rollup. Everything is keyed by doc or source; no window, no join, and
+    * the bigram cell frame is the only shuffle that scales with the corpus
+    * (linear in tokens). The 60,000 ppm literal is a declared calibration
+    * knob (SURVEY §2.13) — at the fixture it flags 74/500 docs, mid-range
+    * by construction. */
+  def q203(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.parallelized(Tables.load(spark, dir, "documents"))
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 2)
+    val nBigrams = size(col("w")) - 1
+    docs
+      .select(col("doc_id"), col("source"), nBigrams.cast(LongType).as("nb"),
+        explode(zip_with(slice(col("w"), lit(1), nBigrams),
+          slice(col("w"), lit(2), nBigrams),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      // nb is functionally dependent on doc_id; riding the keys keeps it
+      // out of a separate length join
+      .groupBy(col("doc_id"), col("source"), col("nb"),
+        col("bg.w1"), col("bg.w2"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy("doc_id", "source", "nb").agg(max("c").as("topc"))
+      .withColumn("share_ppm", expr("topc * 1000000 div nb"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("share_ppm") > 60000, 1L).otherwise(0L)).as("n_flagged"),
+        max("share_ppm").as("max_share_ppm"))
+      .withColumn("flagged_ppm", expr("n_flagged * 1000000 div n_docs"))
+      .select("source", "n_docs", "n_flagged", "flagged_ppm", "max_share_ppm")
+      .orderBy("source")
+  }
+
+  val q203Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
+      |), big AS (
+      |  SELECT doc_id, source, len(w) - 1 AS nb, w[i] AS w1, w[i+1] AS w2,
+      |    COUNT(*) AS c
+      |  FROM (SELECT doc_id, source, w, unnest(range(1, len(w))) AS i
+      |        FROM toks WHERE len(w) >= 2)
+      |  GROUP BY 1, 2, 3, 4, 5
+      |), top AS (
+      |  SELECT doc_id, source, nb, MAX(c) AS topc FROM big GROUP BY 1, 2, 3
+      |), sh AS (
+      |  SELECT source, topc * 1000000 // nb AS share_ppm FROM top
+      |)
+      |SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN share_ppm > 60000 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_flagged,
+      |  CAST(SUM(CASE WHEN share_ppm > 60000 THEN 1 ELSE 0 END) * 1000000
+      |    // COUNT(*) AS BIGINT) AS flagged_ppm,
+      |  CAST(MAX(share_ppm) AS BIGINT) AS max_share_ppm
+      |FROM sh GROUP BY source ORDER BY source""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    ("q203_repetition_gate", q203 _, Some(q203Sql)),
     ("q180_oov_rate", q180 _, Some(q180Sql)),
     ("q201_tokenizer_fertility", q201 _, Some(q201Sql)),
     ("q199_hourly_anomaly", q199 _, Some(q199Sql)),

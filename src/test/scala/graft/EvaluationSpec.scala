@@ -336,4 +336,30 @@ class EvaluationSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("q204 int8 calibration replays from a driver-side per-dim fold") {
+    val rows = Evaluation.q204(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(rows.nonEmpty)
+    val vecs = graft.Tables.load(spark, sf, "embeddings").collect()
+      .map(_.getSeq[Float](1).toArray)
+    val nDims = vecs.head.length
+    assert(rows.length == nDims, "one calibration row per dimension")
+    val byDim = rows.map(r => r._1 -> r).toMap
+    (0 until nDims).foreach { d =>
+      val qs = vecs.map(v => math.floor(v(d).toDouble * 1000).toLong)
+      val (qmin, qmax) = (qs.min, qs.max)
+      val absmax = math.max(math.abs(qmin), math.abs(qmax))
+      val nSat = qs.count(q => math.abs(q) > 400).toLong
+      val r = byDim(d + 1L)
+      assert(r._2 == qmin && r._3 == qmax && r._4 == absmax, s"dim ${d + 1}")
+      assert(r._5 == absmax * 1000000L / 127L, s"dim ${d + 1} scale")
+      assert(r._6 == nSat, s"dim ${d + 1} saturation")
+      assert(r._7 == nSat * 1000000L / qs.length, s"dim ${d + 1} sat ppm")
+    }
+    // the ±400 clip knob separates: some dims saturate, some do not
+    assert(rows.exists(_._6 > 0L) || rows.forall(_._4 <= 400L))
+    assert(rows.exists(_._6 == 0L), "every dim saturates — clip too low")
+  }
 }

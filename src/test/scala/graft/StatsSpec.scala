@@ -331,6 +331,35 @@ class StatsSpec extends AnyFunSuite {
     }
   }
 
+  test("q203 repetition gate replays from a driver-side top-bigram fold") {
+    val rows = Stats.q203(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).sortBy(_._1)
+    assert(rows.nonEmpty)
+    val docs = Tables.load(spark, sf, "documents").collect()
+      .map(r => (r.getString(3), r.getString(1).split(" ")))
+      .filter(_._2.length >= 2)
+    val perDoc = docs.map { case (src, w) =>
+      // sliding yields Arrays (reference equality) — materialize to Lists
+      val topc =
+        w.sliding(2).map(_.toList).toSeq.groupBy(identity).values.map(_.size).max
+      (src, topc.toLong * 1000000L / (w.length - 1))
+    }
+    val expected = perDoc.groupBy(_._1).map { case (src, xs) =>
+      val flagged = xs.count(_._2 > 60000L).toLong
+      src -> ((xs.length.toLong, flagged,
+        flagged * 1000000L / xs.length, xs.map(_._2).max))
+    }
+    assert(rows.map(_._1).toSet == expected.keySet)
+    rows.foreach { case (src, nd, nf, fppm, mx) =>
+      assert((nd, nf, fppm, mx) == expected(src), s"$src mismatch")
+    }
+    // the literal knob separates: at least one doc on each side corpus-wide
+    assert(rows.map(_._3).sum > 0L, "no doc flagged — threshold too high")
+    assert(rows.exists { case (_, nd, nf, _, _) => nf < nd },
+      "every doc flagged — threshold too low")
+  }
+
   test("q201 fertility replays from the declared ceil(len/6) unit estimate") {
     val rows = Stats.q201(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))

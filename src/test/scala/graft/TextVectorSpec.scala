@@ -156,4 +156,33 @@ class TextVectorSpec extends AnyFunSuite {
       "SELECT cosine_sim(array(1.0f, 0.0f), array(1.0f, 0.0f)) AS c").head.getDouble(0)
     assert(n == 1.0)
   }
+
+  test("q205 quality rules replay from a driver-side per-doc fold") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = graft.queries.Extensions.q205(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(rows.nonEmpty)
+    val docs = graft.Tables.load(spark, sf, "documents").collect()
+      .map(r => (r.getString(3), r.getString(1).split(" ")))
+    val expected = docs.groupBy(_._1).map { case (src, xs) =>
+      val flags = xs.map { case (_, w) =>
+        val rShort = w.length < 30
+        val rNostop = !(w.contains("the") || w.contains("a"))
+        val rLowTtr = w.distinct.length.toLong * 1000000L / w.length < 400000L
+        (rShort, rNostop, rLowTtr)
+      }
+      val any = flags.count(f => f._1 || f._2 || f._3).toLong
+      src -> ((xs.length.toLong, flags.count(_._1).toLong,
+        flags.count(_._2).toLong, flags.count(_._3).toLong, any,
+        (xs.length - any) * 1000000L / xs.length))
+    }
+    assert(rows.map(_._1).toSet == expected.keySet)
+    rows.foreach { case (src, nd, ns, nn, nl, na, pp) =>
+      assert((nd, ns, nn, nl, na, pp) == expected(src), s"$src mismatch")
+    }
+    // each rule fires somewhere, and no source is wiped out entirely
+    assert(rows.map(_._3).sum > 0L && rows.map(_._4).sum > 0L)
+    assert(rows.forall(_._7 > 0L), "a rule set must not zero a source")
+  }
 }
