@@ -698,6 +698,86 @@ object Evaluation {
         "sat_ppm")
       .orderBy("dim")
 
+  /** q207 top principal direction by MATRIX-FREE power iteration — the
+    * PCA probe over the embedding table (dominant direction of the
+    * uncentered second-moment matrix M = Σ x·xᵀ; uncentered on purpose —
+    * no mean pass, and for the spherical fixtures the top direction of
+    * M and of the covariance coincide): three fixed iterations of
+    * v ← normalize(M·v), computed WITHOUT materializing M — M·v =
+    * Σ_rows x·(x·v), so each round is ONE corpus pass (a codegen'd
+    * dot_i64 against the broadcast 64-long v, one posexplode, one
+    * \|dims\|-keyed map-combined aggregate), where materializing M costs
+    * \|dims\|² cells per row. The inter-round v is a \|dims\|-long
+    * driver-side parameter fetch (the q127 argmax discipline); v₀ is the
+    * all-1000 vector, and normalization is the exact integer
+    * sign·(\|u\| div (max\|u\| div 1024 + 1)) — floor-of-positive on BOTH
+    * engines, sidestepping the div-truncates / //-floors disagreement on
+    * negatives. The oracle replays all three rounds as chained CTEs (the
+    * q124/q178 pattern). Rounds = 3 is the declared knob (SURVEY §2.13);
+    * convergence rate is spectrum-gap-dependent — the fixture's spherical
+    * synthetic embeddings have close top eigenvalues, so three rounds
+    * stabilize the direction to cos(v₂,v₃) ≈ 0.98 (spec-asserted
+    * monotone); raise the knob for a tighter direction.
+    *
+    * Scale shape: three corpus scans, deliberately UNCACHED — a 100 TB
+    * working set does not fit and the scan is the cheap part of a narrow
+    * codegen'd map; shuffle bytes are \|dims\|×tasks (map-combined).
+    * Int64 bound: u accumulates Σ q_d·dot ≤ n·1000·(dims·1000·1024) —
+    * lift the aggregate to decimal(38,0) past n ≈ 10¹⁴ rows. */
+  def q207(spark: SparkSession, dir: String): DataFrame = {
+    val qv = Tables.parallelized(Tables.load(spark, dir, "embeddings"))
+      .select(transform(col("embedding"),
+        x => floor(x.cast("double") * 1000).cast("long")).as("qv"))
+    val all = Window.partitionBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    def round(v: Array[Long]): DataFrame =
+      qv.withColumn("dot", call_function("dot_i64", col("qv"),
+          array(v.map(lit(_)): _*)))
+        .select(posexplode(col("qv")).as(Seq("pos", "qd")), col("dot"))
+        .groupBy("pos").agg(sum(expr("qd * dot")).as("u"))
+        // the normalization window runs on the |dims|-row aggregate —
+        // model-sized by construction (unpartitioned-window inventory)
+        .withColumn("m", max(greatest(col("u"), -col("u"))).over(all))
+        .withColumn("s", expr("m div 1024 + 1"))
+        .withColumn("v",
+          expr("CASE WHEN u < 0 THEN -((-u) div s) ELSE u div s END"))
+    val dims = qv.select(size(col("qv"))).head.getInt(0)
+    var v = Array.fill(dims)(1000L)
+    for (_ <- 1 to 2) // rounds 1–2 fetch the |dims|-long parameter
+      v = round(v).select("pos", "v").collect()
+        .sortBy(_.getInt(0)).map(_.getLong(1))
+    round(v) // round 3 is the returned frame
+      .select((col("pos") + 1).cast("long").as("dim"), col("v").as("v_comp"))
+      .orderBy("dim")
+  }
+
+  val q207Sql: String = {
+    def round(prev: String, next: String): String =
+      s"""dot$next AS (
+         |  SELECT c.vec_id, CAST(SUM(c.qd * v.v) AS BIGINT) AS dot
+         |  FROM cells c JOIN v$prev v ON v.i = c.i GROUP BY c.vec_id
+         |), u$next AS (
+         |  SELECT c.i, CAST(SUM(c.qd * d.dot) AS BIGINT) AS u
+         |  FROM cells c JOIN dot$next d ON d.vec_id = c.vec_id GROUP BY c.i
+         |), v$next AS (
+         |  SELECT i, CASE WHEN u < 0 THEN -((-u) // s) ELSE u // s END AS v
+         |  FROM (SELECT i, u,
+         |    (SELECT MAX(GREATEST(u, -u)) FROM u$next) // 1024 + 1 AS s
+         |    FROM u$next)
+         |)""".stripMargin
+    s"""WITH q AS (
+       |  SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+       |  FROM embeddings
+       |), cells AS (
+       |  SELECT vec_id, i, qv[i] AS qd
+       |  FROM (SELECT vec_id, qv, unnest(range(1, len(qv) + 1)) AS i FROM q)
+       |), v0 AS (
+       |  SELECT DISTINCT i, CAST(1000 AS BIGINT) AS v FROM cells
+       |), ${round("0", "1")}, ${round("1", "2")}, ${round("2", "3")}
+       |SELECT i AS dim, v AS v_comp FROM v3 ORDER BY dim""".stripMargin
+  }
+
   val q204Sql: String =
     """WITH c AS (
       |  SELECT i, CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) AS q
@@ -716,6 +796,7 @@ object Evaluation {
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(("q140_auc_ranksum", q140 _, Some(q140Sql)),
       ("q204_int8_calibration", q204 _, Some(q204Sql)),
+      ("q207_power_iteration", q207 _, Some(q207Sql)),
       ("q168_centroid_eval", q168 _, Some(q168Sql)),
       ("q169_centroid_stability",
         (s: SparkSession, d: String) => q169(s, d), Some(q169Sql)),

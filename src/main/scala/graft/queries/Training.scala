@@ -1366,6 +1366,112 @@ object Training {
       |    AS alloc_tokens
       |FROM rk CROSS JOIN sp ORDER BY source""".stripMargin
 
+  /** q206 cap-constrained token apportionment (water-filling) — q166's
+    * Hamilton split under a PER-SOURCE CEILING, the constrained mixture
+    * step every real data budget hits (Muennighoff et al. 2023's repeated-
+    * epoch caps; privacy/diversity ceilings): budget B = 5·T div 4 (a
+    * derived 1.25-epoch global budget — exact integers off the corpus
+    * total), each source's allocation capped at the literal 1,800 tokens
+    * (declared knob, SURVEY §2.13). Plain proportional shares would hand
+    * big sources more than their ceiling; the classic fix is water-filling:
+    * Hamilton-apportion the remaining budget over UNCAPPED sources, clamp
+    * any share that crosses the cap, return the freed budget to the pool,
+    * repeat. Rounds are a literal 3 (each non-final round either caps ≥1
+    * source or is already the fixed point, so 3 rounds settle any instance
+    * that caps ≤2 waves deep; the fixture caps 4 sources in round 1, 1 in
+    * round 2, and round 3 verifies the fixed point — Σalloc = B exactly).
+    * Output per source: mass, capped flag, final allocation.
+    *
+    * Scale shape: ONE map-combined corpus aggregate is the only corpus
+    * pass (the q166 contract); all three rounds are window arithmetic over
+    * the \|sources\|-row frame — deliberately single-partition,
+    * mixture-cell-sized by construction. Int64 bound: R·massᵢ overflows
+    * past massᵢ ≈ 9.2e18/B, same ceiling as q166 — lift to decimal
+    * before a 10¹³-token corpus meets a 10⁶-cell mixture. */
+  def q206(spark: SparkSession, dir: String): DataFrame = {
+    val cap = 1800L
+    val all = Window.partitionBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    var df = Tables.parallelized(Tables.load(spark, dir, "documents"))
+      .select(col("source"), size(split(col("text"), " ")).cast(LongType).as("nt"))
+      .groupBy("source").agg(sum("nt").as("n_tokens"))
+      .withColumn("t_tokens", sum("n_tokens").over(all))
+      .withColumn("budget", expr("5 * t_tokens div 4"))
+      .withColumn("capped", lit(false))
+      .withColumn("alloc", lit(0L))
+    for (_ <- 1 to 3) {
+      df = df
+        .withColumn("m_active",
+          sum(when(!col("capped"), col("n_tokens")).otherwise(0L)).over(all))
+        .withColumn("r_budget", col("budget") -
+          lit(cap) * sum(when(col("capped"), 1L).otherwise(0L)).over(all))
+        .withColumn("base",
+          when(!col("capped"), expr("r_budget * n_tokens div m_active")))
+        .withColumn("rem",
+          when(!col("capped"), expr("r_budget * n_tokens % m_active")))
+        .withColumn("spare", col("r_budget") -
+          sum(coalesce(col("base"), lit(0L))).over(all))
+        .withColumn("rk", row_number().over(Window.partitionBy(col("capped"))
+          .orderBy(col("rem").desc_nulls_last, col("source"))))
+        .withColumn("alloc", when(col("capped"), lit(cap))
+          .otherwise(col("base") +
+            when(col("rk") <= col("spare"), 1L).otherwise(0L)))
+        .withColumn("capped", col("capped") || col("alloc") > cap)
+        .drop("m_active", "r_budget", "base", "rem", "spare", "rk")
+    }
+    df.select(col("source"), col("n_tokens"),
+        when(col("capped"), 1L).otherwise(0L).as("capped"),
+        when(col("capped"), cap).otherwise(col("alloc")).as("alloc_tokens"))
+      .orderBy("source")
+  }
+
+  val q206Sql: String = {
+    // one water-filling round as a CTE block: rPrev -> rNext
+    def round(prev: String, next: String): String =
+      s"""w$next AS (
+         |  SELECT r.source, r.n_tokens, r.capped, p.b,
+         |    SUM(CASE WHEN NOT r.capped THEN r.n_tokens ELSE 0 END) OVER ()
+         |      AS m_active,
+         |    p.b - 1800 * SUM(CASE WHEN r.capped THEN 1 ELSE 0 END) OVER ()
+         |      AS rb
+         |  FROM r$prev r CROSS JOIN par p
+         |), b$next AS (
+         |  SELECT *,
+         |    CASE WHEN NOT capped THEN rb * n_tokens // m_active END AS base,
+         |    CASE WHEN NOT capped THEN rb * n_tokens % m_active END AS rem
+         |  FROM w$next
+         |), s$next AS (
+         |  SELECT *, rb - SUM(COALESCE(base, 0)) OVER () AS spare,
+         |    ROW_NUMBER() OVER (PARTITION BY capped
+         |      ORDER BY rem DESC NULLS LAST, source) AS rk
+         |  FROM b$next
+         |), r$next AS (
+         |  SELECT source, n_tokens,
+         |    capped OR (CASE WHEN capped THEN 1800
+         |      ELSE base + CASE WHEN rk <= spare THEN 1 ELSE 0 END END) > 1800
+         |      AS capped,
+         |    CAST(CASE WHEN capped THEN 1800
+         |      ELSE base + CASE WHEN rk <= spare THEN 1 ELSE 0 END END
+         |      AS BIGINT) AS alloc
+         |  FROM s$next
+         |)""".stripMargin
+    s"""WITH bys AS (
+       |  SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+       |    AS n_tokens
+       |  FROM documents GROUP BY source
+       |), par AS (
+       |  SELECT SUM(n_tokens) AS t, 5 * SUM(n_tokens) // 4 AS b FROM bys
+       |), r0 AS (
+       |  SELECT source, n_tokens, FALSE AS capped, CAST(0 AS BIGINT) AS alloc
+       |  FROM bys
+       |), ${round("0", "1")}, ${round("1", "2")}, ${round("2", "3")}
+       |SELECT source, n_tokens,
+       |  CAST(CASE WHEN capped THEN 1 ELSE 0 END AS BIGINT) AS capped,
+       |  CAST(CASE WHEN capped THEN 1800 ELSE alloc END AS BIGINT)
+       |    AS alloc_tokens
+       |FROM r3 ORDER BY source""".stripMargin
+  }
+
   /** q171 leakage-free cluster-aware train/test split — the eval-split audit
     * between dedup and mixing: a plain per-document hash split (q54) puts
     * near-identical documents on BOTH sides of the boundary and the test
@@ -1800,6 +1906,7 @@ object Training {
     ("q164_preference_pairs", q164 _, Some(q164Sql)),
     ("q165_flattened_sample", q165 _, Some(q165Sql)),
     ("q166_token_apportion", q166 _, Some(q166Sql)),
+    ("q206_capped_apportion", q206 _, Some(q206Sql)),
     ("q58_dedup_clusters", q58 _, Some(q58Sql)),
     ("q59_decontaminate", q59 _, Some(q59Sql)),
     ("q150_source_overlap", q150 _, Some(q150Sql)),

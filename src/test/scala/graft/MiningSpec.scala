@@ -244,6 +244,47 @@ class MiningSpec extends AnyFunSuite {
     assert(rows.map(_._2).sum == totalTokens)
   }
 
+  test("q206 water-filling: caps respected, budget spent exactly at the fixed point") {
+    val rows = Training.q206(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    val totalTokens = rows.map(_._2).sum
+    val budget = 5L * totalTokens / 4L
+    rows.foreach { case (src, _, capped, alloc) =>
+      assert(capped == 0L || capped == 1L, src)
+      if (capped == 1L) assert(alloc == 1800L, s"$src: capped but alloc != cap")
+      else assert(alloc <= 1800L, s"$src: uncapped alloc over the ceiling")
+    }
+    // mixed outcome: the knob genuinely binds on some sources, not all
+    assert(rows.exists(_._3 == 1L), "no source capped — ceiling too high")
+    assert(rows.exists(_._3 == 0L), "every source capped — ceiling too low")
+    // at the fixed point (round 3 caps nobody new) the budget is spent
+    // exactly — this is the invariant plain floor shares cannot give
+    assert(rows.map(_._4).sum == budget,
+      s"allocations ${rows.map(_._4).sum} != budget $budget")
+    // replay the declared 3-round algebra driver-side
+    var capped = Set.empty[String]
+    val mass = rows.map(r => r._1 -> r._2).toMap
+    var alloc = Map.empty[String, Long]
+    for (_ <- 1 to 3) {
+      val active = mass.keySet -- capped
+      val m = active.toSeq.map(mass).sum
+      val r = budget - 1800L * capped.size
+      val base = active.map(s => s -> r * mass(s) / m).toMap
+      val rem = active.map(s => s -> r * mass(s) % m).toMap
+      val spare = r - base.values.sum
+      val order = active.toSeq.sortBy(s => (-rem(s), s))
+      alloc = order.zipWithIndex
+        .map { case (s, i) => s -> (base(s) + (if (i < spare) 1L else 0L)) }
+        .toMap
+      capped = capped ++ active.filter(s => alloc(s) > 1800L)
+    }
+    rows.foreach { case (src, _, c, a) =>
+      assert(c == (if (capped(src)) 1L else 0L), s"$src capped flag")
+      assert(a == (if (capped(src)) 1800L else alloc(src)), s"$src alloc")
+    }
+  }
+
   test("q170 source matrix conserves the q99 pair set and respects the threshold") {
     val cells = queries.Extensions.q170(spark, sf).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
