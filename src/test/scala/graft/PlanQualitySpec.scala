@@ -523,4 +523,51 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("partial_min") || p.contains("partial min"),
       s"the conditional mins must combine map-side:\n$p")
   }
+
+  test("q203/q204: repetition gate and int8 calibration are join-free single-scan stacks") {
+    for (q <- Seq("q203_repetition_gate", "q204_int8_calibration")) {
+      val p = plan(q)
+      val scans = p.split("Scan parquet").length - 1
+      assert(scans == 1, s"$q must scan the corpus exactly once, saw $scans:\n$p")
+      assert(!p.contains("Join"), s"$q must not join anything:\n$p")
+      assert(!p.contains("Window"),
+        s"$q's maxima are aggregates, not rank windows:\n$p")
+    }
+  }
+
+  test("q205: the rule sweep is one narrow map — no explode, no join, no window") {
+    val p = plan("q205_quality_rules")
+    val scans = p.split("Scan parquet").length - 1
+    assert(scans == 1, s"one corpus scan, saw $scans:\n$p")
+    assert(!p.contains("Generate"),
+      s"per-doc flags must not explode the token stream:\n$p")
+    assert(!p.contains("Join") && !p.contains("Window"), p)
+  }
+
+  test("q206: all water-filling rounds run above ONE corpus aggregate") {
+    val p = plan("q206_capped_apportion")
+    val scans = p.split("Scan parquet").length - 1
+    assert(scans == 1, s"the corpus streams once (q166 contract), saw $scans:\n$p")
+    // parents print first: every round's Window sits ABOVE the HashAggregate
+    // that collapses the corpus into |sources| rows
+    val aggIdx = p.lastIndexOf("HashAggregate")
+    val winIdx = p.lastIndexOf("Window")
+    assert(winIdx >= 0 && aggIdx > winIdx,
+      s"a round's window consumes pre-aggregate (corpus-scale) rows:\n$p")
+    assert(!p.contains("Join"), s"rounds are window arithmetic, not joins:\n$p")
+  }
+
+  test("q207: each power-iteration round is one scan against a literal v — no join") {
+    // the returned frame is round 3; rounds 1–2 ran as parameter fetches
+    val p = plan("q207_power_iteration")
+    val scans = p.split("Scan parquet").length - 1
+    assert(scans == 1, s"M·v is one corpus pass, saw $scans:\n$p")
+    assert(!p.contains("Join"),
+      s"v must ride as a literal array, never a join:\n$p")
+    // the normalization window consumes the |dims|-row aggregate only
+    val aggIdx = p.lastIndexOf("HashAggregate")
+    val winIdx = p.lastIndexOf("Window")
+    assert(winIdx >= 0 && aggIdx > winIdx,
+      s"normalization must sit above the per-dim aggregate:\n$p")
+  }
 }
