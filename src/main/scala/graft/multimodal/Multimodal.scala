@@ -127,7 +127,9 @@ object Multimodal {
   /** A real P6 parser: magic, whitespace/comment-tolerant header ints
     * (width, height, maxval), single whitespace, then the raster. Returns
     * null on malformed input (quarantine-style, never throws on data). */
-  private[multimodal] def parsePpm(bytes: Array[Byte]): PpmStats = {
+  /** Header parse shared by [[parsePpm]] and [[resizePpm]]: returns
+    * (width, height, raster offset) or null on malformed input. */
+  private[multimodal] def parsePpmHeader(bytes: Array[Byte]): Array[Int] = {
     if (bytes.length < 2 || bytes(0) != 'P' || bytes(1) != '6') return null
     var pos = 2
     def skipWs(): Unit = {
@@ -151,6 +153,13 @@ object Multimodal {
     if (w <= 0 || h <= 0 || maxval <= 0 || maxval > 255) return null
     pos += 1 // exactly one whitespace byte separates header and raster
     if (pos + w * h * 3 > bytes.length) return null
+    Array(w, h, pos)
+  }
+
+  private[multimodal] def parsePpm(bytes: Array[Byte]): PpmStats = {
+    val hdr = parsePpmHeader(bytes)
+    if (hdr == null) return null
+    val Array(w, h, pos) = hdr
     var sr = 0L; var sg = 0L; var sb = 0L
     var i = pos
     val end = pos + w * h * 3
@@ -183,12 +192,55 @@ object Multimodal {
   }
 
   /** "Resize" stub: truncate or zero-pad the payload to `targetBytes` —
-    * the shape of an image resize (fixed-size output per row). */
+    * the shape of an image resize (fixed-size output per row). For the
+    * REAL codec-level transform see [[resizePpm]]. */
   def resizePayload(media: DataFrame, targetBytes: Int): DataFrame = {
     val items = media.select("media_id", "kind", "payload").as(Encoders.product[MediaItem])
     items.map { m =>
       val out = java.util.Arrays.copyOf(m.payload, targetBytes)
       MediaItem(m.media_id, m.kind, out)
+    }(Encoders.product[MediaItem]).toDF()
+  }
+
+  /** REAL nearest-neighbor P6 resize — decode, sample, re-encode, through
+    * the same partition-parallel iterator contract as [[decodePpm]]: each
+    * target pixel (ty, tx) samples source pixel (ty·h div th, tx·w div tw)
+    * — the standard floor-rule NN kernel, exact integer arithmetic so a
+    * byte-level oracle can replay the sampling from the original payload
+    * (q208). The output is itself a valid P6 any viewer opens, so resize
+    * chains compose with [[decodePpm]] and with further resizes.
+    * Malformed payloads are dropped (the quarantine contract). */
+  def resizePpm(media: DataFrame, tw: Int, th: Int): DataFrame = {
+    require(tw > 0 && th > 0, "target dimensions must be positive")
+    val items = media.select("media_id", "kind", "payload")
+      .as(Encoders.product[MediaItem])
+    items.mapPartitions { it =>
+      it.flatMap { m =>
+        parsePpmHeader(m.payload) match {
+          case null => Iterator.empty
+          case hdr =>
+            val w = hdr(0); val h = hdr(1); val off = hdr(2)
+            val header = s"P6\n$tw $th\n255\n".getBytes("US-ASCII")
+            val out = new Array[Byte](header.length + tw * th * 3)
+            System.arraycopy(header, 0, out, 0, header.length)
+            var o = header.length
+            var ty = 0
+            while (ty < th) {
+              val sy = ty * h / th
+              var tx = 0
+              while (tx < tw) {
+                val sx = tx * w / tw
+                val base = off + 3 * (sy * w + sx)
+                out(o) = m.payload(base)
+                out(o + 1) = m.payload(base + 1)
+                out(o + 2) = m.payload(base + 2)
+                o += 3; tx += 1
+              }
+              ty += 1
+            }
+            Iterator.single(MediaItem(m.media_id, "ppm", out))
+        }
+      }
     }(Encoders.product[MediaItem]).toDF()
   }
 }

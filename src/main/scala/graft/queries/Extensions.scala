@@ -491,6 +491,62 @@ object Extensions {
       |FROM dims d LEFT JOIN ch c USING (doc_id)
       |GROUP BY d.source ORDER BY d.source""".stripMargin
 
+  /** q208 image thumbnail pipeline — the resize stage of a multimodal
+    * training pipeline made REAL: every document's P6 image (the q37
+    * encoding) is nearest-neighbor resized to a 2×2 thumbnail by
+    * [[graft.multimodal.Multimodal.resizePpm]] (decode → floor-rule NN
+    * sample → re-encode, a valid P6 out), the thumbnails are decoded by
+    * the same parser the full-size path uses, and per-source integer
+    * channel sums of the sampled pixels roll up. Because the sampled
+    * pixels are specific bytes of the original text (raster offset
+    * 3·(sy·w + sx), zero-padded tail), the oracle replays the ENTIRE
+    * encode → resize → decode → aggregate chain from the text characters
+    * — content-level cross-engine proof for a lossy geometric transform,
+    * one step past q37's lossless decode. Scale shape: two
+    * iterator-contract mapPartitions stages (no shuffle between them — the
+    * thumbnail frame is narrow), one slim broadcast-eligible join to fetch
+    * `source`, one ≤\|sources\| aggregate. */
+  def q208(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val media = graft.multimodal.Multimodal.ppmFromDocuments(
+      Tables.parallelized(docs))
+    val thumbs = graft.multimodal.Multimodal.resizePpm(media, 2, 2)
+    val stats = graft.multimodal.Multimodal.decodePpm(thumbs)
+    stats.join(docs.select(col("doc_id"), col("source")),
+        stats("media_id") === col("doc_id"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_media"),
+        sum("sum_r").as("thumb_r"), sum("sum_g").as("thumb_g"),
+        sum("sum_b").as("thumb_b"))
+      .orderBy("source")
+  }
+
+  val q208Sql: String =
+    """WITH dims AS (
+      |  SELECT doc_id, source, text,
+      |    GREATEST(1, CAST(ceil(strlen(text) / 12.0) AS BIGINT)) AS h
+      |  FROM documents
+      |), base AS (
+      |  SELECT doc_id, source, text,
+      |    unnest([CAST(0 AS BIGINT), CAST(6 AS BIGINT),
+      |            12 * (h // 2), 12 * (h // 2) + 6]) AS b
+      |  FROM dims
+      |), px AS (
+      |  SELECT doc_id, source,
+      |    CASE WHEN b < strlen(text)
+      |      THEN ord(substr(text, CAST(b + 1 AS BIGINT), 1)) ELSE 0 END AS r,
+      |    CASE WHEN b + 1 < strlen(text)
+      |      THEN ord(substr(text, CAST(b + 2 AS BIGINT), 1)) ELSE 0 END AS g,
+      |    CASE WHEN b + 2 < strlen(text)
+      |      THEN ord(substr(text, CAST(b + 3 AS BIGINT), 1)) ELSE 0 END AS bl
+      |  FROM base
+      |)
+      |SELECT source, COUNT(DISTINCT doc_id) AS n_media,
+      |  CAST(SUM(r) AS BIGINT) AS thumb_r,
+      |  CAST(SUM(g) AS BIGINT) AS thumb_g,
+      |  CAST(SUM(bl) AS BIGINT) AS thumb_b
+      |FROM px GROUP BY source ORDER BY source""".stripMargin
+
   /** q38 stateful sessionization (flatMapGroupsWithState, 30-min gap) —
     * per-user session counts. Oracle-checked: the gap-and-count logic is
     * replayed in SQL with lag + a running new-session sum at the same ms
@@ -1309,6 +1365,7 @@ object Extensions {
     ("q35_fingerprint", q35 _, Some(q35Sql)),
     ("q36_token_count", q36 _, Some(q36Sql)),
     ("q37_multimodal_features", q37 _, Some(q37Sql)),
+    ("q208_thumbnail_resize", q208 _, Some(q208Sql)),
     ("q38_sessionize", q38 _, Some(q38Sql)),
     ("q187_ewma_anomaly", q187 _, Some(q187Sql)),
     ("q196_time_to_convert", q196 _, Some(q196Sql)),

@@ -80,4 +80,29 @@ class MultimodalSpec extends AnyFunSuite {
       .orderBy("media_id").collect()
     assert(resized.forall(_.getAs[Array[Byte]]("payload").length == 6))
   }
+
+  test("resizePpm: floor-rule NN sampling, valid P6 out, malformed quarantined") {
+    // 4×2 source image: rows "ABCDEFGHIJKL" / "MNOPQRSTUVWX" (24 raster
+    // bytes = 8 pixels); 2×2 target samples (sy, sx) ∈ {0,1}×{0,2}
+    val docs = Seq((1L, "ABCDEFGHIJKLMNOPQRSTUVWX", "en", "s1", 24L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val thumbs = Multimodal.resizePpm(Multimodal.ppmFromDocuments(docs), 2, 2)
+      .collect()
+    assert(thumbs.length == 1)
+    val payload = thumbs.head.getAs[Array[Byte]]("payload")
+    val headerLen = "P6\n2 2\n255\n".length
+    assert(new String(payload.take(headerLen), "US-ASCII") == "P6\n2 2\n255\n")
+    // sampled pixels: (0,0)="ABC", (0,2)="GHI", (1,0)="MNO", (1,2)="STU"
+    assert(new String(payload.drop(headerLen), "US-ASCII") == "ABCGHIMNOSTU")
+    // the thumbnail is itself decodable by the shared parser
+    val stats = Multimodal.decodePpm(
+      Multimodal.resizePpm(Multimodal.ppmFromDocuments(docs), 2, 2)).head
+    assert(stats.getInt(1) == 2 && stats.getInt(2) == 2)
+    assert(stats.getLong(3) == "AGMS".map(_.toLong).sum) // sum_r
+    // malformed payloads never survive the resize
+    import spark.implicits._
+    val bad = Seq((9L, "ppm", "not a ppm".getBytes("US-ASCII")))
+      .toDF("media_id", "kind", "payload")
+    assert(Multimodal.resizePpm(bad, 2, 2).count() == 0)
+  }
 }
