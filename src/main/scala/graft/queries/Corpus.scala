@@ -511,7 +511,85 @@ object Corpus {
        |  flat.mean_logit_x1e6
        |FROM flat CROSS JOIN u""".stripMargin
 
+  /** q210 shard shuffle-quality audit — are q84's training shards actually
+    * WELL-SHUFFLED? Synchronous training consumes each shard in its
+    * materialized order, and runs of same-source examples (bad shuffling)
+    * bias gradients exactly like the skew q198 measures in SIZE. Per
+    * shard, in the shard's own (ord, doc_id) training order: observed
+    * adjacent same-source pairs vs the expectation under a uniformly
+    * random permutation — E[same] = Σ_src n_s(n_s−1) / (n(n−1)) per
+    * adjacent slot (the birthday-style collision rate), both in exact ppm,
+    * and the excess (observed − expected; ≈ 0 healthy, ≫ 0 runs, ≪ 0
+    * suspiciously anti-correlated). The md5 ord key IS the shuffle under
+    * test, so the fixture's excess hovers near zero — spec-asserted.
+    *
+    * Scale shape: the lag window is partitioned by shard — the same keyed
+    * per-shard sort q84 itself performs to materialize the order (the
+    * q108 documented trade); the composition term is two map-combined
+    * aggregates. Int64 bound: n_s(n_s−1)·1e6 overflows past n_s ≈ 3e6 —
+    * compute expected_ppm with divide-before-multiply (pair_mass div
+    * (n(n−1)) first) past that shard size. */
+  def q210(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("shard").orderBy(col("ord"), col("doc_id"))
+    val docs = Tables.parallelized(Tables.load(spark, dir, "documents"))
+      .select(col("doc_id"), col("source"),
+        T.hashBucket(col("doc_id"), 8).as("shard"),
+        T.hashBucket(concat(col("doc_id").cast(StringType), lit("#ord")),
+          999983).as("ord"))
+    val adj = docs.withColumn("prev_src", lag("source", 1).over(w))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("prev_src") === col("source"), 1L).otherwise(0L))
+          .as("same_adj"))
+    val comp = docs.groupBy("shard", "source").agg(count(lit(1)).as("ns"))
+      .groupBy("shard").agg(sum(expr("ns * (ns - 1)")).as("pair_mass"))
+    adj.join(comp, "shard")
+      .withColumn("same_ppm", when(col("n_docs") > 1,
+        expr("same_adj * 1000000 div (n_docs - 1)")))
+      .withColumn("expected_ppm", when(col("n_docs") > 1,
+        expr("pair_mass * 1000000 div (n_docs * (n_docs - 1))")))
+      .withColumn("excess_ppm", col("same_ppm") - col("expected_ppm"))
+      .select("shard", "n_docs", "same_adj", "same_ppm", "expected_ppm",
+        "excess_ppm")
+      .orderBy("shard")
+  }
+
+  val q210Sql: String =
+    """WITH h AS (
+      |  SELECT doc_id, source,
+      |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+      |      % 8 AS shard,
+      |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#ord'), 1, 8)
+      |      AS BIGINT) % 999983 AS ord
+      |  FROM documents
+      |), adj AS (
+      |  SELECT shard, COUNT(*) AS n_docs,
+      |    SUM(CASE WHEN prev_src = source THEN 1 ELSE 0 END) AS same_adj
+      |  FROM (SELECT shard, source,
+      |          LAG(source) OVER (PARTITION BY shard ORDER BY ord, doc_id)
+      |            AS prev_src
+      |        FROM h)
+      |  GROUP BY shard
+      |), comp AS (
+      |  SELECT shard, SUM(ns * (ns - 1)) AS pair_mass
+      |  FROM (SELECT shard, source, COUNT(*) AS ns FROM h GROUP BY 1, 2)
+      |  GROUP BY shard
+      |)
+      |SELECT a.shard, a.n_docs, CAST(a.same_adj AS BIGINT) AS same_adj,
+      |  CAST(CASE WHEN a.n_docs > 1
+      |    THEN a.same_adj * 1000000 // (a.n_docs - 1) END AS BIGINT)
+      |    AS same_ppm,
+      |  CAST(CASE WHEN a.n_docs > 1
+      |    THEN c.pair_mass * 1000000 // (a.n_docs * (a.n_docs - 1)) END
+      |    AS BIGINT) AS expected_ppm,
+      |  CAST(CASE WHEN a.n_docs > 1
+      |    THEN a.same_adj * 1000000 // (a.n_docs - 1)
+      |       - c.pair_mass * 1000000 // (a.n_docs * (a.n_docs - 1)) END
+      |    AS BIGINT) AS excess_ppm
+      |FROM adj a JOIN comp c USING (shard) ORDER BY shard""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    ("q210_shuffle_quality", q210 _, Some(q210Sql)),
     ("q177_padding_waste", q177 _, Some(q177Sql)),
     ("q198_shard_balance", q198 _, Some(q198Sql)),
     ("q200_corpus_datasheet", q200 _, Some(q200Sql)),

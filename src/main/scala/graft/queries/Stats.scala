@@ -1291,8 +1291,78 @@ object Stats {
       |  CAST(MAX(share_ppm) AS BIGINT) AS max_share_ppm
       |FROM sh GROUP BY source ORDER BY source""".stripMargin
 
+  /** q209 Heaps-law vocabulary-growth audit — the GROWTH-axis companion of
+    * q167's Zipf (frequency-axis) health check: as a corpus grows, the
+    * number of distinct 3-token shingle types should grow sublinearly
+    * (Heaps/Herdan V ∝ n^β, β < 1); a type-rate curve that refuses to
+    * fall signals synthetic/adversarial text, one that collapses signals
+    * mass duplication. Corpus order is doc_id order; docs bucket into
+    * OCTAVES (bitlen(doc_id+1), the q160/q167 integer-log surrogate), and
+    * each shingle type is attributed to the octave of its FIRST occurrence
+    * — the order-free min-doc attribution q189 uses for source novelty,
+    * applied to the time axis. Per octave: new types, shingle slots, and
+    * the cumulative type rate in ppm (falls from 1e6 toward 0 on healthy
+    * text; spec asserts monotone non-increase).
+    *
+    * Scale shape: shingles hash to portable 60-bit keys (8-byte shuffle
+    * rows, the q188 discipline) through the native codegen'd expression;
+    * ONE type-keyed min aggregate + ONE octave-keyed count are the only
+    * corpus-scale shuffles; the cumulative windows run on the ≤64-row
+    * octave frame (unpartitioned-window inventory — bitlen-bounded by
+    * construction). */
+  def q209(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Tables.parallelized(Tables.load(spark, dir, "documents"))
+      .filter(size(split(col("text"), " ")) >= 3)
+      .select(col("doc_id"),
+        explode(graft.functions.TextFunctions
+          .portableShingleHashes(col("text"), 3)).as("g"))
+    val newTypes = sh.groupBy("g").agg(min("doc_id").as("d0"))
+      .select(length(bin(col("d0") + 1)).cast(LongType).as("octave"))
+      .groupBy("octave").agg(count(lit(1)).as("new_types"))
+    val slots = sh
+      .select(length(bin(col("doc_id") + 1)).cast(LongType).as("octave"))
+      .groupBy("octave").agg(count(lit(1)).as("slots"))
+    val cum = Window.partitionBy(lit(1)).orderBy("octave")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    slots.join(newTypes, Seq("octave"), "left")
+      .withColumn("new_types", coalesce(col("new_types"), lit(0L)))
+      .withColumn("cum_types", sum("new_types").over(cum))
+      .withColumn("cum_slots", sum("slots").over(cum))
+      .withColumn("type_rate_ppm", expr("cum_types * 1000000 div cum_slots"))
+      .select("octave", "new_types", "slots", "cum_types", "cum_slots",
+        "type_rate_ppm")
+      .orderBy("octave")
+  }
+
+  val q209Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      |), sh AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
+      |    i -> CAST('0x' || substr(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]),
+      |      1, 15) AS BIGINT))) AS g
+      |  FROM toks WHERE len(w) >= 3
+      |), newt AS (
+      |  SELECT length(printf('%b', d0 + 1)) AS octave, COUNT(*) AS new_types
+      |  FROM (SELECT g, MIN(doc_id) AS d0 FROM sh GROUP BY g) GROUP BY 1
+      |), slots AS (
+      |  SELECT length(printf('%b', doc_id + 1)) AS octave, COUNT(*) AS slots
+      |  FROM sh GROUP BY 1
+      |), j AS (
+      |  SELECT s.octave, COALESCE(n.new_types, 0) AS new_types, s.slots
+      |  FROM slots s LEFT JOIN newt n USING (octave)
+      |)
+      |SELECT CAST(octave AS BIGINT) AS octave,
+      |  CAST(new_types AS BIGINT) AS new_types, CAST(slots AS BIGINT) AS slots,
+      |  CAST(SUM(new_types) OVER (ORDER BY octave) AS BIGINT) AS cum_types,
+      |  CAST(SUM(slots) OVER (ORDER BY octave) AS BIGINT) AS cum_slots,
+      |  CAST(SUM(new_types) OVER (ORDER BY octave) * 1000000
+      |    // SUM(slots) OVER (ORDER BY octave) AS BIGINT) AS type_rate_ppm
+      |FROM j ORDER BY octave""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q203_repetition_gate", q203 _, Some(q203Sql)),
+    ("q209_heaps_growth", q209 _, Some(q209Sql)),
     ("q180_oov_rate", q180 _, Some(q180Sql)),
     ("q201_tokenizer_fertility", q201 _, Some(q201Sql)),
     ("q199_hourly_anomaly", q199 _, Some(q199Sql)),

@@ -401,6 +401,28 @@ class OperatorSemanticsSpec extends AnyFunSuite {
     }
   }
 
+  test("q210 shuffle quality audits the exact q84 layout and hovers near zero excess") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = graft.queries.Corpus.q210(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty && rows.forall(r => r._1 >= 0 && r._1 <= 7))
+    // same shard population as q84 (the layout under audit)
+    val q84Counts = graft.queries.Corpus.q84(spark, sf).collect()
+      .map(_.getLong(1)).groupBy(identity).view.mapValues(_.length.toLong)
+      .toMap
+    assert(rows.map(r => r._1 -> r._2).toMap == q84Counts)
+    rows.foreach { case (s, n, same, samePpm, expPpm, excess) =>
+      assert(same >= 0L && same <= n - 1, s"shard $s adjacency count")
+      assert(samePpm == same * 1000000L / (n - 1), s"shard $s observed ppm")
+      assert(expPpm > 0L && expPpm < 1000000L, s"shard $s expectation")
+      assert(excess == samePpm - expPpm, s"shard $s excess identity")
+      // the md5 ord key IS the shuffle under test: a healthy shuffle sits
+      // within sampling noise of the random-permutation expectation
+      assert(math.abs(excess) < 200000L, s"shard $s excess $excess")
+    }
+  }
+
   test("q200 datasheet reconciles with the per-source audits it summarizes") {
     val sf = "/root/testdata/sf0.001"
     val r = graft.queries.Corpus.q200(spark, sf).collect()

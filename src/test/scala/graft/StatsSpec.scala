@@ -360,6 +360,39 @@ class StatsSpec extends AnyFunSuite {
       "every doc flagged — threshold too low")
   }
 
+  test("q209 Heaps curve: conservation, bounds, and fixture monotone decay") {
+    val rows = Stats.q209(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).sortBy(_._1)
+    assert(rows.nonEmpty)
+    // cumulative columns are exact prefix sums of the per-octave columns
+    var (ct, cs) = (0L, 0L)
+    rows.foreach { case (o, nt, sl, cumT, cumS, rate) =>
+      ct += nt; cs += sl
+      assert(cumT == ct && cumS == cs, s"octave $o cumulative mismatch")
+      assert(nt <= sl, s"octave $o: more new types than slots")
+      assert(rate == cumT * 1000000L / cumS && rate <= 1000000L, s"octave $o")
+    }
+    // conservation against independent totals
+    val docs = Tables.load(spark, sf, "documents").collect()
+      .map(_.getString(1).split(" ")).filter(_.length >= 3)
+    assert(rows.last._5 == docs.map(w => w.length - 2L).sum,
+      "cum slots must equal the shingle count")
+    val types = docs.flatMap(w => w.sliding(3).map(_.mkString(" "))).distinct
+    assert(rows.last._4 == types.length.toLong,
+      "cum types must equal the distinct shingle count (hash-collision-free fixture)")
+    // the health signal: sublinear growth — the cumulative type rate decays
+    // from saturation toward zero across the curve (small octaves are
+    // sample-noisy, so assert the trend, not per-step monotonicity)
+    assert(rows.head._6 == 1000000L, "octave 1 of one doc is all-new types")
+    assert(rows.last._6 < 700000L,
+      s"type rate ${rows.last._6} did not decay — no Heaps sublinearity")
+    val back = rows.takeRight(4).map(_._6)
+    back.sliding(2).foreach { w =>
+      assert(w(1) < w(0), "the settled tail of the curve must strictly decay")
+    }
+  }
+
   test("q201 fertility replays from the declared ceil(len/6) unit estimate") {
     val rows = Stats.q201(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
