@@ -78,6 +78,27 @@ object Multimodal {
       .toDF("media_id", "frame_no", "frame")
   }
 
+  /** Typed rows for [[frameEnergy]]. */
+  final case class FrameEnergy(media_id: Long, frame_no: Int, energy: Long)
+
+  /** Per-frame integer energy (Σ byte², the audio RMS-energy analog on
+    * opaque payloads) through the partition-parallel iterator contract —
+    * the feature-extraction stage that follows [[sampleFrames]] in a
+    * waveform pipeline. Exact integers over the raw bytes, so a byte-level
+    * oracle replays it (q213). */
+  def frameEnergy(frames: DataFrame): DataFrame = {
+    val items = frames.select("media_id", "frame_no", "frame")
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.scalaInt, Encoders.BINARY))
+    items.mapPartitions { it =>
+      it.map { case (id, no, b) =>
+        var e = 0L
+        var i = 0
+        while (i < b.length) { val v = b(i) & 0xff; e += v.toLong * v; i += 1 }
+        FrameEnergy(id, no, e)
+      }
+    }(Encoders.product[FrameEnergy]).toDF()
+  }
+
   /** Typed rows for [[byteBuckets]]. */
   final case class ByteBucket(media_id: Long, bucket: Int, n: Long)
 

@@ -547,6 +547,69 @@ object Extensions {
       |  CAST(SUM(bl) AS BIGINT) AS thumb_b
       |FROM px GROUP BY source ORDER BY source""".stripMargin
 
+  /** q213 peak-frame detection — the argmax stage of an audio/waveform
+    * feature pipeline on opaque payloads: q100's frame sampling (16-byte
+    * frames, stride 4) feeds [[graft.multimodal.Multimodal.frameEnergy]]
+    * (Σ byte² per frame, the RMS-energy analog in exact integers), each
+    * media item keeps its single loudest frame (highest energy, lowest
+    * frame_no tie-break — the deterministic q73 argmax discipline via ONE
+    * struct-max aggregate, no rank window on the frame stream), and the
+    * per-source rollup reports count, total/max peak energy, and the
+    * peak-frame-index checksum proving row-level argmax parity. The oracle
+    * replays sample → energy → argmax → rollup from the text bytes.
+    * Scale shape: frames are generator rows (linear, stride-pruned), the
+    * argmax is a map-combining aggregate keyed by media id, and the rollup
+    * is ≤\|sources\| cells. */
+  def q213(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val media = graft.multimodal.Multimodal.mediaFromDocuments(
+      Tables.parallelized(docs))
+    val en = graft.multimodal.Multimodal.frameEnergy(
+      graft.multimodal.Multimodal.sampleFrames(media, frameBytes = 16, stride = 4))
+    en.groupBy("media_id")
+      .agg(max(struct(col("energy").as("e"),
+        (-col("frame_no")).as("negf"))).as("pk"))
+      .select(col("media_id"), col("pk.e").as("peak_energy"),
+        (-col("pk.negf")).cast(LongType).as("peak_frame"))
+      .join(docs.select(col("doc_id"), col("source")),
+        col("media_id") === col("doc_id"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_media"),
+        sum("peak_energy").as("peak_sum"),
+        max("peak_energy").as("peak_max"),
+        sum("peak_frame").as("frame_checksum"))
+      .orderBy("source")
+  }
+
+  val q213Sql: String =
+    """WITH m AS (
+      |  SELECT doc_id, source, text, strlen(text) AS L,
+      |    CAST(ceil(strlen(text) / 16.0) AS BIGINT) AS nf
+      |  FROM documents WHERE strlen(text) > 0
+      |), kept AS (
+      |  SELECT * FROM (
+      |    SELECT doc_id, source, text, L, unnest(range(0, nf)) AS i FROM m)
+      |  WHERE i % 4 = 0
+      |), px AS (
+      |  SELECT doc_id, source, i,
+      |    unnest(range(i * 16 + 1, LEAST(i * 16 + 16, L) + 1)) AS p, text
+      |  FROM kept
+      |), en AS (
+      |  SELECT doc_id, source, i,
+      |    SUM(ord(substr(text, p, 1)) * ord(substr(text, p, 1))) AS energy
+      |  FROM px GROUP BY 1, 2, 3
+      |), pk AS (
+      |  SELECT doc_id, source, energy, i,
+      |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY energy DESC, i)
+      |      AS rk
+      |  FROM en
+      |)
+      |SELECT source, COUNT(*) AS n_media,
+      |  CAST(SUM(energy) AS BIGINT) AS peak_sum,
+      |  CAST(MAX(energy) AS BIGINT) AS peak_max,
+      |  CAST(SUM(i) AS BIGINT) AS frame_checksum
+      |FROM pk WHERE rk = 1 GROUP BY source ORDER BY source""".stripMargin
+
   /** q38 stateful sessionization (flatMapGroupsWithState, 30-min gap) —
     * per-user session counts. Oracle-checked: the gap-and-count logic is
     * replayed in SQL with lag + a running new-session sum at the same ms
@@ -868,6 +931,74 @@ object Extensions {
       |  CAST(SUM(CASE WHEN l < 3 THEN 1 ELSE 0 END) AS BIGINT) AS classes_lt3,
       |  CAST(SUM(CASE WHEN l < 3 THEN cls_n ELSE 0 END) AS BIGINT) AS rows_lt3
       |FROM cls""".stripMargin
+
+  /** q212 t-closeness release audit — the third classic release gate after
+    * q148's k-anonymity (class sizes) and q161's l-diversity (distinct
+    * sensitive values): a class can be large AND diverse yet still leak if
+    * its sensitive-value DISTRIBUTION diverges from the global one (the
+    * skewness attack l-diversity misses — Li et al., ICDE 2007). Per
+    * (nation, balance-band) equivalence class: the exact ppm L1 distance
+    * between the class's market-segment distribution and the corpus-wide
+    * one (the q152/q190 total-variation kernel on the sensitive axis),
+    * with absent-segment mass closed WITHOUT a dense class×segment grid
+    * (Σ_absent g = Σ_all g − Σ_present g, the q190 identity), and a breach
+    * flag at the literal L1 > 800,000 ppm knob (fixture range
+    * 17k–1.6M — mid-range by construction, SURVEY §2.13).
+    *
+    * Scale shape: the table collapses at ONE (class, segment) cell
+    * aggregate; every later frame is class- or segment-bounded; the
+    * global distribution and its total ride as broadcast scalars. */
+  def q212(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.load(spark, dir, "customer")
+      .groupBy(col("c_nationkey").cast(LongType).as("nation"),
+        floor(col("c_acctbal") / 1000.0).cast(LongType).as("bal_band"),
+        col("c_mktsegment").as("seg"))
+      .agg(count(lit(1)).as("n"))
+    val cn = cells.groupBy("nation", "bal_band").agg(sum("n").as("cls_n"))
+    val tot = cells.agg(sum("n").as("t")) // 1-row scalar
+    val gp = cells.groupBy("seg").agg(sum("n").as("gn"))
+      .crossJoin(broadcast(tot))
+      .select(col("seg"), expr("gn * 1000000 div t").as("g_ppm"))
+    val gAll = gp.agg(sum("g_ppm").as("g_all")) // 1-row scalar
+    cells.join(cn, Seq("nation", "bal_band")).join(gp, "seg")
+      .withColumn("d", abs(expr("n * 1000000 div cls_n") - col("g_ppm")))
+      .groupBy("nation", "bal_band", "cls_n")
+      .agg(sum("d").as("l1_pres"), sum("g_ppm").as("g_pres"))
+      .crossJoin(broadcast(gAll))
+      .withColumn("l1_ppm", col("l1_pres") + col("g_all") - col("g_pres"))
+      .withColumn("breach", when(col("l1_ppm") > 800000L, 1L).otherwise(0L))
+      .select("nation", "bal_band", "cls_n", "l1_ppm", "breach")
+      .orderBy("nation", "bal_band")
+  }
+
+  val q212Sql: String =
+    """WITH cls AS (
+      |  SELECT c_nationkey AS nation,
+      |    CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+      |    c_mktsegment AS seg, COUNT(*) AS n
+      |  FROM customer GROUP BY 1, 2, 3
+      |), cn AS (
+      |  SELECT nation, bal_band, SUM(n) AS cls_n FROM cls GROUP BY 1, 2
+      |), tot AS (SELECT SUM(n) AS t FROM cls
+      |), gp AS (
+      |  SELECT seg, SUM(n) * 1000000 // tot.t AS g_ppm
+      |  FROM cls CROSS JOIN tot GROUP BY seg, tot.t
+      |), gall AS (SELECT SUM(g_ppm) AS g_all FROM gp
+      |), pres AS (
+      |  SELECT c.nation, c.bal_band, cn.cls_n,
+      |    SUM(ABS(c.n * 1000000 // cn.cls_n - gp.g_ppm)) AS l1_pres,
+      |    SUM(gp.g_ppm) AS g_pres
+      |  FROM cls c
+      |  JOIN cn USING (nation, bal_band)
+      |  JOIN gp ON gp.seg = c.seg
+      |  GROUP BY 1, 2, 3
+      |)
+      |SELECT CAST(nation AS BIGINT) AS nation, bal_band,
+      |  CAST(cls_n AS BIGINT) AS cls_n,
+      |  CAST(l1_pres + gall.g_all - g_pres AS BIGINT) AS l1_ppm,
+      |  CAST(CASE WHEN l1_pres + gall.g_all - g_pres > 800000 THEN 1 ELSE 0
+      |    END AS BIGINT) AS breach
+      |FROM pres CROSS JOIN gall ORDER BY nation, bal_band""".stripMargin
 
   /** q97 streaming delivery-dedup replayed on batch: the EXACT
     * [[graft.streaming.EventStream.dedupStream]] plan (watermark is a no-op
@@ -1348,6 +1479,8 @@ object Extensions {
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q26_dedup_exact", q26 _, Some(q26Sql)),
     ("q205_quality_rules", q205 _, Some(q205Sql)),
+    ("q212_t_closeness", q212 _, Some(q212Sql)),
+    ("q213_peak_frame", q213 _, Some(q213Sql)),
     ("q170_source_dup_matrix", q170 _, Some(q170Sql)),
     ("q172_split_leakage", q172 _, Some(q172Sql)),
     ("q174_minhash_calibration", q174 _, Some(q174Sql)),

@@ -1360,9 +1360,74 @@ object Stats {
       |    // SUM(slots) OVER (ORDER BY octave) AS BIGINT) AS type_rate_ppm
       |FROM j ORDER BY octave""".stripMargin
 
+  /** q211 count-min sketch heavy hitters — the O(1)-memory estimator q91's
+    * exact gate documents as its 100 TB alternative, built for real
+    * (Cormode & Muthukrishnan 2005) and verified cross-engine: a d=4 ×
+    * w=256 counter array (independent md5 row hashes, the engine-portable
+    * q44/q84 bucket primitive), point estimate = min over the 4 rows, and
+    * the top-20 tokens by ESTIMATE with their exact counts and the
+    * (always ≥ 0) overestimate. Because the sketch is deterministic
+    * integer arithmetic, the DuckDB oracle replays the ENTIRE sketch —
+    * cell counts, min-of-rows estimate, ranking — so the classic
+    * "estimate ≥ truth, error bounded by collisions" contract is
+    * hash-checked, not just spec-asserted.
+    *
+    * Scale shape — why a sketch at all: the cell frame is ≤ d·w = 1024
+    * rows NO MATTER the corpus (each task combines map-side into ≤1024
+    * cells; shuffle bytes are executor-count-sized), where q91's exact
+    * count shuffles the full vocabulary. The candidate probe set here is
+    * the distinct-token frame (fixture-sized); in production the probe set
+    * is whatever watchlist you query the sketch with — the sketch itself
+    * never stores a token. The estimate join is 1024-row broadcast-sized
+    * by construction. */
+  def q211(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(spark, dir)
+    val rows = explode(array((0 until 4).map(lit): _*)).as("r")
+    val cells = toks.select(col("token"), rows)
+      .select(col("r"), graft.functions.TextFunctions
+        .hashBucket(concat(col("token"), lit("#"), col("r").cast(StringType)), 256).as("bucket"))
+      .groupBy("r", "bucket").agg(count(lit(1)).as("cnt"))
+    val exact = toks.groupBy("token").agg(count(lit(1)).as("exact_cnt"))
+    exact.select(col("token"), col("exact_cnt"), rows)
+      .withColumn("bucket", graft.functions.TextFunctions
+        .hashBucket(concat(col("token"), lit("#"), col("r").cast(StringType)), 256))
+      .join(broadcast(cells), Seq("r", "bucket")) // ≤1024 rows by construction
+      .groupBy("token", "exact_cnt").agg(min("cnt").as("est_cnt"))
+      .withColumn("over_cnt", col("est_cnt") - col("exact_cnt"))
+      .select("token", "est_cnt", "exact_cnt", "over_cnt")
+      .orderBy(desc("est_cnt"), col("token"))
+      .limit(20)
+  }
+
+  val q211Sql: String =
+    """WITH toks AS (
+      |  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+      |), occ AS (
+      |  SELECT token, r,
+      |    CAST('0x' || substr(md5(token || '#' || CAST(r AS VARCHAR)), 1, 8)
+      |      AS BIGINT) % 256 AS bucket
+      |  FROM toks, (SELECT unnest([0, 1, 2, 3]) AS r)
+      |), cells AS (
+      |  SELECT r, bucket, COUNT(*) AS cnt FROM occ GROUP BY r, bucket
+      |), exact AS (
+      |  SELECT token, COUNT(*) AS exact_cnt FROM toks GROUP BY token
+      |), probe AS (
+      |  SELECT e.token, e.exact_cnt, r,
+      |    CAST('0x' || substr(md5(e.token || '#' || CAST(r AS VARCHAR)), 1, 8)
+      |      AS BIGINT) % 256 AS bucket
+      |  FROM exact e, (SELECT unnest([0, 1, 2, 3]) AS r)
+      |)
+      |SELECT p.token, CAST(MIN(c.cnt) AS BIGINT) AS est_cnt,
+      |  CAST(p.exact_cnt AS BIGINT) AS exact_cnt,
+      |  CAST(MIN(c.cnt) - p.exact_cnt AS BIGINT) AS over_cnt
+      |FROM probe p JOIN cells c ON c.r = p.r AND c.bucket = p.bucket
+      |GROUP BY p.token, p.exact_cnt
+      |ORDER BY est_cnt DESC, token LIMIT 20""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q203_repetition_gate", q203 _, Some(q203Sql)),
     ("q209_heaps_growth", q209 _, Some(q209Sql)),
+    ("q211_count_min_sketch", q211 _, Some(q211Sql)),
     ("q180_oov_rate", q180 _, Some(q180Sql)),
     ("q201_tokenizer_fertility", q201 _, Some(q201Sql)),
     ("q199_hourly_anomaly", q199 _, Some(q199Sql)),

@@ -337,6 +337,29 @@ class EvaluationSpec extends AnyFunSuite {
     }
   }
 
+  test("q212 t-closeness: identities, bounds, and agreement with the q161 class set") {
+    val rows = spark_q212(spark, sf)
+    val custRows = graft.Tables.load(spark, sf, "customer").count()
+    assert(rows.map(_._3).sum == custRows, "classes must partition the table")
+    rows.foreach { case (n, b, clsN, l1, breach) =>
+      assert(clsN > 0L, s"($n,$b)")
+      assert(l1 >= 0L && l1 <= 2000000L, s"($n,$b): L1 outside [0, 2e6]")
+      assert(breach == (if (l1 > 800000L) 1L else 0L), s"($n,$b) breach flag")
+    }
+    // the knob separates: some classes breach, some hold
+    assert(rows.exists(_._5 == 1L) && rows.exists(_._5 == 0L))
+    // same equivalence classes as the l-diversity audit (q161 reports the
+    // count; the two gates must audit the same partition)
+    val q161Row = graft.queries.Extensions.q161(spark, sf).head
+    assert(rows.length.toLong == q161Row.getLong(1),
+      "t-closeness and l-diversity must see the same class set")
+  }
+
+  private def spark_q212(spark: org.apache.spark.sql.SparkSession, sf: String) =
+    graft.queries.Extensions.q212(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+
   test("q204 int8 calibration replays from a driver-side per-dim fold") {
     val rows = Evaluation.q204(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),

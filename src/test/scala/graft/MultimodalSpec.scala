@@ -81,6 +81,33 @@ class MultimodalSpec extends AnyFunSuite {
     assert(resized.forall(_.getAs[Array[Byte]]("payload").length == 6))
   }
 
+  test("frameEnergy + q213 argmax replay from the raw bytes") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = graft.queries.Extensions.q213(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.nonEmpty)
+    val docs = graft.Tables.load(spark, sf, "documents").collect()
+      .map(r => (r.getString(3), r.getString(1).getBytes("US-ASCII")))
+      .filter(_._2.nonEmpty)
+    val perDoc = docs.map { case (src, bytes) =>
+      val peaks = bytes.grouped(16).zipWithIndex
+        .collect { case (chunk, i) if i % 4 == 0 =>
+          (i, chunk.map(b => { val v = b & 0xff; v.toLong * v }).sum)
+        }.toSeq
+      val (pf, pe) = peaks.maxBy { case (i, e) => (e, -i) }
+      (src, pe, pf.toLong)
+    }
+    val expected = perDoc.groupBy(_._1).map { case (src, xs) =>
+      src -> ((xs.length.toLong, xs.map(_._2).sum, xs.map(_._2).max,
+        xs.map(_._3).sum))
+    }
+    assert(rows.map(_._1).toSet == expected.keySet)
+    rows.foreach { case (src, n, s, mx, fc) =>
+      assert((n, s, mx, fc) == expected(src), s"$src mismatch")
+    }
+  }
+
   test("resizePpm: floor-rule NN sampling, valid P6 out, malformed quarantined") {
     // 4×2 source image: rows "ABCDEFGHIJKL" / "MNOPQRSTUVWX" (24 raster
     // bytes = 8 pixels); 2×2 target samples (sy, sx) ∈ {0,1}×{0,2}

@@ -393,6 +393,42 @@ class StatsSpec extends AnyFunSuite {
     }
   }
 
+  test("q211 count-min sketch: estimates dominate truth and replay exactly") {
+    val rows = Stats.q211(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length == 20)
+    rows.foreach { case (t, est, exact, over) =>
+      assert(over == est - exact, t)
+      assert(over >= 0L, s"$t: CMS can never underestimate")
+    }
+    // driver-side replay of the whole sketch (d=4, w=256, md5 row hashes)
+    val occs = Tables.load(spark, sf, "documents").collect()
+      .flatMap(_.getString(1).split(" "))
+    def bucket(token: String, r: Int): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$token#$r".getBytes("UTF-8"))
+      java.lang.Long.parseLong(md.take(4).map(b => f"$b%02x").mkString, 16) % 256
+    }
+    val cells = scala.collection.mutable.Map.empty[(Int, Long), Long]
+    occs.foreach { t =>
+      (0 until 4).foreach { r =>
+        val k = (r, bucket(t, r)); cells(k) = cells.getOrElse(k, 0L) + 1L
+      }
+    }
+    assert(cells.size <= 1024, "the sketch is structurally 4x256")
+    val exactCnt = occs.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val est = exactCnt.keys.map { t =>
+      t -> (0 until 4).map(r => cells((r, bucket(t, r)))).min
+    }.toMap
+    val expected = est.toSeq.map { case (t, e) => (t, e, exactCnt(t)) }
+      .sortBy { case (t, e, _) => (-e, t) }.take(20)
+    assert(rows.map(r => (r._1, r._2, r._3)).toSeq == expected,
+      "sketch replay mismatch")
+    // the sketch's ranking still surfaces the true heaviest token
+    val trueTop = exactCnt.maxBy { case (t, c) => (c, t) }._1
+    assert(rows.map(_._1).contains(trueTop))
+  }
+
   test("q201 fertility replays from the declared ceil(len/6) unit estimate") {
     val rows = Stats.q201(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
