@@ -644,6 +644,58 @@ object Extensions {
       |  CAST(MAX(n_events) AS INTEGER) AS max_session_events
       |FROM per GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** q214 per-user top-3 purchase leaderboard — the batch twin of
+    * [[graft.streaming.EventStream.topPurchasesStream]], the streaming
+    * deployment built on Spark 4's arbitrary-state v2 API
+    * (`transformWithState` + ListState/ValueState; StreamingSpec proves
+    * the stream's final Update-mode emission per user equals this rollup
+    * exactly). Per user: purchase count, the sum of the top-3 purchase
+    * cents under the deterministic (cents desc, event_id asc) order, and
+    * the top event-id checksum (row-identity pin, the q187 convention).
+    *
+    * Scale shape: the rank window is deliberately RANK-ONLY so Spark's
+    * InferWindowGroupLimit prunes to 3 rows per user MAP-SIDE (the q93
+    * lesson — riding the count in the same window spec would block the
+    * prune and shuffle every purchase); the per-user count is a separate
+    * map-combined aggregate, and the two \|users\|-sized frames join
+    * post-aggregation (AQE picks broadcast when users are few). */
+  def q214(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.load(spark, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"),
+        floor(col("value") * 100).cast(LongType).as("cents"), col("event_id"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(desc("cents"), col("event_id"))
+    val top = p.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .groupBy("user_id")
+      .agg(sum("cents").as("top_sum_cents"),
+        sum("event_id").as("top_checksum"))
+    p.groupBy("user_id").agg(count(lit(1)).as("n_purchases"))
+      .join(top, "user_id")
+      .select("user_id", "n_purchases", "top_sum_cents", "top_checksum")
+      .orderBy("user_id")
+  }
+
+  val q214Sql: String =
+    """WITH p AS (
+      |  SELECT user_id, event_id, CAST(FLOOR(value * 100) AS BIGINT) AS cents
+      |  FROM events WHERE event_type = 'purchase'
+      |), cnt AS (
+      |  SELECT user_id, COUNT(*) AS n_purchases FROM p GROUP BY user_id
+      |), rk AS (
+      |  SELECT user_id, cents, event_id,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id
+      |      ORDER BY cents DESC, event_id) AS rk
+      |  FROM p
+      |)
+      |SELECT c.user_id, c.n_purchases,
+      |  CAST(SUM(r.cents) AS BIGINT) AS top_sum_cents,
+      |  CAST(SUM(r.event_id) AS BIGINT) AS top_checksum
+      |FROM rk r JOIN cnt c ON c.user_id = r.user_id
+      |WHERE r.rk <= 3
+      |GROUP BY c.user_id, c.n_purchases ORDER BY c.user_id""".stripMargin
+
   /** q187 per-user EWMA anomaly rollup — the batch face of
     * [[graft.streaming.EventStream.ewmaAnomaly]] (the SAME
     * flatMapGroupsWithState plan the streaming deployment runs, q38/q86
@@ -1481,6 +1533,7 @@ object Extensions {
     ("q205_quality_rules", q205 _, Some(q205Sql)),
     ("q212_t_closeness", q212 _, Some(q212Sql)),
     ("q213_peak_frame", q213 _, Some(q213Sql)),
+    ("q214_top_purchases", q214 _, Some(q214Sql)),
     ("q170_source_dup_matrix", q170 _, Some(q170Sql)),
     ("q172_split_leakage", q172 _, Some(q172Sql)),
     ("q174_minhash_calibration", q174 _, Some(q174Sql)),

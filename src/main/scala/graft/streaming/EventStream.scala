@@ -418,4 +418,70 @@ object EventStream {
           }
       }
   }
+
+  /** One ranked survivor in the [[TopPurchaseProcessor]] list state. */
+  final case class TopEntry(cents: Long, event_id: Long)
+
+  /** Per-user running purchase leaderboard emission. */
+  final case class TopPurchases(user_id: Long, n_purchases: Long,
+      top_sum_cents: Long, top_checksum: Long)
+
+  /** The Spark-4 arbitrary-state v2 API ([[org.apache.spark.sql.streaming.StatefulProcessor]]
+    * / `transformWithState`) exercised on a genuinely LIST-shaped state: a
+    * per-user running top-`k` purchase leaderboard — ListState holds the k
+    * survivors (cents desc, event_id asc — the deterministic q73 argmax
+    * order), ValueState the purchase count, and each trigger emits the
+    * user's refreshed rollup (Update-mode semantics: the LAST emission per
+    * user is the answer). State size is k+1 longs per user by
+    * construction — the bounded-state property that distinguishes a
+    * leaderboard from a naive per-user sort. Events inside a trigger sort
+    * by (ts, event_id) — the q38 batch-replay convention. Requires the
+    * RocksDB state-store provider (the v2 state API's backend);
+    * StreamingSpec scopes that conf to the stream and restores it. */
+  final class TopPurchaseProcessor(k: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Event, TopPurchases] {
+    import org.apache.spark.sql.streaming.{ListState, TTLConfig, TimeMode, ValueState}
+    @transient private var top: ListState[TopEntry] = _
+    @transient private var seen: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      top = getHandle.getListState[TopEntry]("top",
+        Encoders.product[TopEntry], TTLConfig.NONE)
+      seen = getHandle.getValueState[Long]("seen",
+        Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(user: Long, rows: Iterator[Event],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[TopPurchases] = {
+      val cur = scala.collection.mutable.ArrayBuffer[TopEntry]()
+      if (top.exists()) cur ++= top.get()
+      var n = if (seen.exists()) seen.get() else 0L
+      rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+        n += 1
+        cur += TopEntry(math.floor(e.value * 100).toLong, e.event_id)
+        val kept = cur.sortBy(t => (-t.cents, t.event_id)).take(k)
+        cur.clear(); cur ++= kept
+      }
+      top.put(cur.toArray)
+      seen.update(n)
+      Iterator.single(TopPurchases(user, n, cur.map(_.cents).sum,
+        cur.map(_.event_id).sum))
+    }
+  }
+
+  /** Per-user top-k purchase leaderboard as a stream — the batch twin is
+    * q214's rank-window rollup; StreamingSpec proves the final Update-mode
+    * emission per user equals it trigger-for-trigger. */
+  def topPurchasesStream(events: DataFrame, k: Int = 3): Dataset[TopPurchases] = {
+    implicit val longEnc = Encoders.scalaLong
+    implicit val eEnc = Encoders.product[Event]
+    implicit val outEnc = Encoders.product[TopPurchases]
+    events.filter(col("event_type") === "purchase")
+      .select("event_id", "ts", "user_id", "event_type", "value").as[Event]
+      .groupByKey(_.user_id)
+      .transformWithState(new TopPurchaseProcessor(k),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
 }

@@ -557,6 +557,14 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"rounds are window arithmetic, not joins:\n$p")
   }
 
+  test("q214: the leaderboard window is rank-only so WindowGroupLimit prunes map-side") {
+    val p = plan("q214_top_purchases")
+    assert(p.contains("WindowGroupLimit"),
+      s"rank window must pre-prune to 3 rows per user before the shuffle:\n$p")
+    assert(!p.contains("SortMergeJoin") || p.contains("HashAggregate"),
+      s"the post-aggregate frames should join small:\n$p")
+  }
+
   test("q207: each power-iteration round is one scan against a literal v — no join") {
     // the returned frame is round 3; rounds 1–2 ran as parameter fetches
     val p = plan("q207_power_iteration")

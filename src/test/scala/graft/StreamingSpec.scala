@@ -445,4 +445,34 @@ class StreamingSpec extends AnyFunSuite {
       Seq((7L, 3), (7L, 2), (8L, 1)))
     assert(sessions(0).end_ms == 20 * 60000L)
   }
+
+  test("transformWithState top-3 leaderboard: final emissions equal the q214 batch rollup") {
+    // the arbitrary-state v2 API runs on the RocksDB provider — scope the
+    // conf to this stream and restore it (the Tables nanos discipline)
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val q = EventStream.topPurchasesStream(EventStream.readEvents(spark, sf))
+        .writeStream.format("memory").queryName("topk_out")
+        .outputMode("update").start()
+      try { q.processAllAvailable() } finally { q.stop() }
+      // Update mode re-emits a user's rollup each trigger; the emission
+      // with the highest n_purchases is the final state
+      val streamed = spark.table("topk_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .groupBy(_._1).map { case (_, xs) => xs.maxBy(_._2) }
+        .toSeq.sortBy(_._1)
+      val batch = queries.Extensions.q214(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSeq.sortBy(_._1)
+      assert(streamed.nonEmpty, "no purchases at this SF — leaderboard untested")
+      assert(streamed == batch,
+        "transformWithState leaderboard diverged from the batch rank window")
+    } finally prior match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
 }
