@@ -365,6 +365,56 @@ object Advanced {
           .as("approx_p99_cents"))
       .orderBy("o_orderpriority")
 
+  /** q215 HyperLogLog register table — where q53's built-in HLL++ is
+    * engine-specific by nature, this is the SAME sketch (Flajolet et al.
+    * 2007) made engine-PORTABLE and hash-checkable: distinct-text
+    * cardinality registers over the portable md5-60 hash — bucket = the
+    * hash's top 6 bits (m = 64 registers), ρ = position of the first set
+    * bit in the remaining 54 (55 − bitlen, the q160 integer-log kernel;
+    * 55 for an all-zero tail), register value = max ρ per bucket. The
+    * DuckDB oracle replays every register exactly; AdvancedSpec finishes
+    * the harmonic-mean estimate driver-side (the q88 "consumer finishes"
+    * discipline — the α·m²/Σ2^−M finishing is float math that has no
+    * business inside a hash-gated plan) and bounds it against the exact
+    * distinct count.
+    *
+    * Scale shape — the reason HLL exists: max is associative over
+    * DUPLICATED hashes, so the register table needs NO distinct
+    * pre-aggregate — ONE map-combined aggregate collapses every task to
+    * ≤64 rows, shuffle bytes executor-count-sized (the q211 CMS contract,
+    * on the distinct-count axis), and shard register tables merge by MAX
+    * — the mergeability q53's opaque sketch buffer provides only through
+    * its own binary format. */
+  def q215(spark: SparkSession, dir: String): DataFrame = {
+    val p54 = 1L << 54
+    Tables.parallelized(Tables.load(spark, dir, "documents"))
+      .select(graft.functions.TextFunctions.portableHash60(col("text")).as("h"))
+      .select(expr(s"h div ${p54}L").as("bucket"), expr(s"h % ${p54}L").as("rest"))
+      .select(col("bucket"),
+        when(col("rest") === 0L, lit(55L))
+          .otherwise(lit(55L) - length(bin(col("rest"))).cast(LongType))
+          .as("rho"))
+      .groupBy("bucket").agg(max("rho").as("max_rho"))
+      .orderBy("bucket")
+  }
+
+  val q215Sql: String =
+    """WITH h AS (
+      |  SELECT CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) AS h
+      |  FROM documents
+      |), c AS (
+      |  SELECT h // 18014398509481984 AS bucket,
+      |         h %  18014398509481984 AS rest
+      |  FROM h
+      |), r AS (
+      |  SELECT bucket, CASE WHEN rest = 0 THEN 55
+      |    ELSE 55 - length(printf('%b', rest)) END AS rho
+      |  FROM c
+      |)
+      |SELECT CAST(bucket AS BIGINT) AS bucket,
+      |  CAST(MAX(rho) AS BIGINT) AS max_rho
+      |FROM r GROUP BY bucket ORDER BY bucket""".stripMargin
+
   /** q55 value-RANGE window frame (vs q17's ROWS frames): running sum over
     * all orders within 10,000.00 of the current price per customer — frame
     * membership by value distance, peers included, deterministic. */
@@ -670,6 +720,7 @@ object Advanced {
     ("q51_string_funcs", q51 _, Some(q51Sql)),
     ("q52_count_distinct", q52 _, Some(q52Sql)),
     ("q53_sketches", q53 _, None),
+    ("q215_hll_registers", q215 _, Some(q215Sql)),
     ("q55_range_frame", q55 _, Some(q55Sql)),
     ("q56_regex_tokens", q56 _, Some(q56Sql)),
     ("q57_null_funcs", q57 _, Some(q57Sql)),

@@ -131,4 +131,42 @@ class AdvancedSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSeq
     assert(a == b && a.nonEmpty)
   }
+
+  test("q215 HLL registers: replay, mergeability, and a bounded finished estimate") {
+    val sf = "/root/testdata/sf0.001"
+    val regs = graft.queries.Advanced.q215(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(regs.nonEmpty && regs.keys.forall(b => b >= 0 && b < 64))
+    assert(regs.values.forall(r => r >= 1 && r <= 55))
+    // driver-side replay over the raw texts + the MAX-merge property:
+    // registers from any two halves merge by max into the full table
+    val texts = graft.Tables.load(spark, sf, "documents").collect()
+      .map(_.getString(1))
+    def h60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        md.take(8).map(b => f"$b%02x").mkString.take(15), 16)
+    }
+    def registers(ts: Seq[String]): Map[Long, Long] =
+      ts.map { t =>
+        val h = h60(t); val bucket = h >> 54; val rest = h & ((1L << 54) - 1)
+        bucket -> (if (rest == 0L) 55L else 55L - (64 - java.lang.Long.numberOfLeadingZeros(rest)))
+      }.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    assert(registers(texts.toSeq) == regs, "register replay mismatch")
+    val (l, r) = texts.splitAt(texts.length / 2)
+    val merged = (registers(l.toSeq).toSeq ++ registers(r.toSeq).toSeq)
+      .groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    assert(merged == regs, "shard registers must MAX-merge into the full table")
+    // finish the estimate (consumer-side float math, the q88 discipline)
+    val m = 64
+    val s = (0 until m).map(b => math.pow(2.0, -regs.getOrElse(b.toLong, 0L).toDouble)).sum
+    val alpha = 0.7213 / (1 + 1.079 / m)
+    val rawEst = alpha * m * m / s
+    val v = (0 until m).count(b => !regs.contains(b.toLong))
+    val est = if (rawEst < 2.5 * m && v > 0) m * math.log(m.toDouble / v) else rawEst
+    val exact = texts.distinct.length.toDouble
+    assert(math.abs(est - exact) / exact < 0.25,
+      s"HLL estimate $est vs exact $exact outside 25%")
+  }
 }
