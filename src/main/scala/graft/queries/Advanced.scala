@@ -415,6 +415,59 @@ object Advanced {
       |  CAST(MAX(rho) AS BIGINT) AS max_rho
       |FROM r GROUP BY bucket ORDER BY bucket""".stripMargin
 
+  /** q216 portable Bloom filter — the third mergeable sketch next to
+    * q211's CMS (frequency) and q215's HLL (cardinality): set MEMBERSHIP
+    * over document texts as a 2048-bit array packed into 32 bigint words,
+    * k = 4 md5 probe hashes (the engine-portable q44/q84 bucket
+    * primitive). Emitted as (word, packed bits, popcount) rows the DuckDB
+    * oracle replays bit-for-bit — the 1L<<63 sign-bit mask is spelled as
+    * an explicit CASE because DuckDB raises on a left-shift into the sign
+    * bit while two's-complement BIT_OR/bit_count then agree everywhere.
+    * This is the exact filter behind the runtime bloom joins
+    * PlanQualitySpec asserts Catalyst injects — here as a declared,
+    * shippable artifact (e.g. the q128/q185 ingest gates can pre-screen
+    * against it before the semi-join).
+    *
+    * Scale shape: OR is associative over duplicate keys, so ONE
+    * map-combined aggregate collapses every task to ≤32 rows (the
+    * q211/q215 bounded-shuffle contract); shard filters merge by OR
+    * (spec-proved), and the false-positive rate follows the
+    * (1−e^(−kn/m))^k curve (spec-bounded). */
+  def q216(spark: SparkSession, dir: String): DataFrame = {
+    val probes = explode(array((0 until 4).map(lit): _*)).as("j")
+    Tables.parallelized(Tables.load(spark, dir, "documents"))
+      .select(col("text"), probes)
+      .select(graft.functions.TextFunctions.hashBucket(
+        concat(col("text"), lit("#bf"), col("j").cast(StringType)), 2048)
+        .as("b"))
+      .select(expr("b div 64").as("word"), expr("b % 64").as("bit"))
+      .select(col("word"),
+        when(col("bit") === 63L, lit(Long.MinValue))
+          .otherwise(expr("shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))"))
+          .as("mask"))
+      .groupBy("word").agg(expr("bit_or(mask)").as("bits"))
+      .withColumn("n_set", bit_count(col("bits")).cast(LongType))
+      .orderBy("word")
+  }
+
+  val q216Sql: String =
+    """WITH k AS (
+      |  SELECT text, unnest([0, 1, 2, 3]) AS j FROM documents
+      |), b AS (
+      |  SELECT CAST('0x' || substr(md5(text || '#bf' || CAST(j AS VARCHAR)),
+      |    1, 8) AS BIGINT) % 2048 AS b
+      |  FROM k
+      |), w AS (
+      |  SELECT b // 64 AS word,
+      |    CASE WHEN b % 64 = 63 THEN CAST(-9223372036854775808 AS BIGINT)
+      |      ELSE CAST(1 AS BIGINT) << CAST(b % 64 AS INT) END AS mask
+      |  FROM b
+      |)
+      |SELECT CAST(word AS BIGINT) AS word,
+      |  CAST(BIT_OR(mask) AS BIGINT) AS bits,
+      |  CAST(bit_count(BIT_OR(mask)) AS BIGINT) AS n_set
+      |FROM w GROUP BY word ORDER BY word""".stripMargin
+
   /** q55 value-RANGE window frame (vs q17's ROWS frames): running sum over
     * all orders within 10,000.00 of the current price per customer — frame
     * membership by value distance, peers included, deterministic. */
@@ -721,6 +774,7 @@ object Advanced {
     ("q52_count_distinct", q52 _, Some(q52Sql)),
     ("q53_sketches", q53 _, None),
     ("q215_hll_registers", q215 _, Some(q215Sql)),
+    ("q216_bloom_filter", q216 _, Some(q216Sql)),
     ("q55_range_frame", q55 _, Some(q55Sql)),
     ("q56_regex_tokens", q56 _, Some(q56Sql)),
     ("q57_null_funcs", q57 _, Some(q57Sql)),

@@ -724,7 +724,56 @@ object Analytics {
       |FROM path p JOIN converted c ON p.user_id = c.user_id
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q217 time-decayed item popularity — the recency-weighted ranking a
+    * recommender/trending feed runs instead of a raw count: each lineitem
+    * contributes ⌊1e6 / 2^(age div 28 days)⌋ (a 4-week half-life, the
+    * declared knob), so items cold for ~1.5 years decay to zero while raw
+    * volume from years ago cannot dominate. The exponential is the EXACT
+    * integer shift kernel (the q187 EWMA / q160 bitlen family — no float
+    * pow in the plan), capped at 20 halvings so the shift never leaves
+    * int64; the corpus max date rides as a 1-row broadcast scalar. Output:
+    * top-20 parts by decayed score with the raw count alongside — the
+    * "trending vs all-time" contrast is the point of the query.
+    *
+    * Scale shape: one narrow map (datediff + shift), ONE map-combined
+    * part-keyed aggregate, TakeOrderedAndProject(20). */
+  def q217(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_partkey"), to_date(col("l_shipdate")).as("d"))
+    val mx = li.agg(max("d").as("mx")) // 1-row scalar
+    li.crossJoin(broadcast(mx))
+      .withColumn("age_h", expr("datediff(mx, d) div 28"))
+      .withColumn("wt", when(col("age_h") >= 20L, 0L)
+        .otherwise(expr(
+          "1000000 div shiftleft(CAST(1 AS BIGINT), CAST(age_h AS INT))")))
+      .groupBy("l_partkey")
+      .agg(count(lit(1)).as("n_items"), sum("wt").as("decayed"))
+      .orderBy(desc("decayed"), col("l_partkey"))
+      .limit(20)
+  }
+
+  val q217Sql: String =
+    """WITH li AS (
+      |  SELECT l_partkey, CAST(l_shipdate AS DATE) AS d FROM lineitem
+      |), mx AS (SELECT MAX(d) AS mx FROM li
+      |), w AS (
+      |  SELECT l_partkey,
+      |    datediff('day', d, mx.mx) // 28 AS age_h
+      |  FROM li CROSS JOIN mx
+      |), s AS (
+      |  SELECT l_partkey,
+      |    CASE WHEN age_h >= 20 THEN 0
+      |      ELSE 1000000 // (CAST(1 AS BIGINT) << CAST(age_h AS INT)) END
+      |      AS wt
+      |  FROM w
+      |)
+      |SELECT l_partkey, COUNT(*) AS n_items,
+      |  CAST(SUM(wt) AS BIGINT) AS decayed
+      |FROM s GROUP BY l_partkey
+      |ORDER BY decayed DESC, l_partkey LIMIT 20""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    ("q217_decayed_popularity", q217 _, Some(q217Sql)),
     ("q69_unpivot", q69 _, Some(q69Sql)),
     ("q70_islands", q70 _, Some(q70Sql)),
     ("q71_fuzzy_block_join", q71 _, Some(q71Sql)),

@@ -332,6 +332,137 @@ object Retrieval {
       .limit(10)
   }
 
+  /** q218 two-stage retrieval (retrieve-then-rerank) with a Kendall-τ
+    * stage-agreement statistic — the production RAG/search shape q175's
+    * rank FUSION sits beside: the cheap lexical stage (q109 BM25,
+    * TakeOrderedAndProject(50)) nominates candidates, the expensive
+    * semantic stage re-ranks ONLY those 50 by the exact integer-cosine
+    * kernel, and the output is the exact Kendall τ between the two
+    * orderings over all candidate pairs — (concordant − discordant) in
+    * ppm of n(n−1)/2. τ near 1e6 means the re-ranker rubber-stamps BM25
+    * (skip stage 2); near 0 means the stages disagree enough that
+    * stage-2 depth matters; this one number is how you budget re-ranker
+    * compute. Both ranks are row_number (tie-free), so no tie correction.
+    *
+    * Scale shape: stage 2's cost is candidate-bounded BY CONSTRUCTION
+    * (the LIMIT-50 frame joins to embeddings on the key — the whole point
+    * of two-stage architectures), and the τ pair frame is the 50-row
+    * candidate set self-joined — model-sized, the q125 batch contract.
+    * The corpus is touched only by the BM25 scan and the 50-key fetch. */
+  def q218(spark: SparkSession, dir: String): DataFrame = {
+    val lexOrder = Seq(desc("score_x1e6"), col("doc_id"))
+    val lex = bm25Scored(spark, dir)
+      .orderBy(lexOrder: _*).limit(50)
+      .withColumn("lex_rank",
+        row_number().over(Window.orderBy(lexOrder: _*)).cast(LongType))
+      .select(col("doc_id"), col("lex_rank"))
+    val q = Tables.parallelized(Tables.load(spark, dir, "embeddings"))
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          x => floor(x.cast(DoubleType) * 100).cast(LongType)).as("qv"))
+      .withColumn("nrm", call_function("dot_i64", col("qv"), col("qv")))
+    val qvec = q.filter(col("vec_id") === 0 && col("nrm") > 0)
+      .select(col("qv").as("qq"), col("nrm").as("nq"))
+    val rer = lex
+      .join(q.filter(col("vec_id") =!= 0 && col("nrm") > 0),
+        lex("doc_id") === col("vec_id"))
+      .crossJoin(broadcast(qvec)) // 1-row query parameter
+      .withColumn("dot", call_function("dot_i64", col("qv"), col("qq")))
+      .withColumn("vscore_x1e6",
+        when(col("dot") >= 0, expr("dot * dot * 1000000 div (nrm * nq)"))
+          .otherwise(-expr("dot * dot * 1000000 div (nrm * nq)")))
+      .withColumn("sem_rank", row_number()
+        .over(Window.orderBy(desc("vscore_x1e6"), col("doc_id")))
+        .cast(LongType))
+      .select(col("doc_id"), col("lex_rank"), col("sem_rank"))
+    val a = rer.select(col("doc_id").as("id_a"), col("lex_rank").as("lex_a"),
+      col("sem_rank").as("sem_a"))
+    val b = rer.select(col("doc_id").as("id_b"), col("lex_rank").as("lex_b"),
+      col("sem_rank").as("sem_b"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b")) // 50-row candidate set²
+      .select(((col("lex_a") < col("lex_b")) === (col("sem_a") < col("sem_b")))
+        .as("conc"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("conc"), 1L).otherwise(0L)).as("concordant"))
+      .withColumn("discordant", col("n_pairs") - col("concordant"))
+      // sign-decomposed so floor-of-positive agrees across div/floor
+      // semantics when tau is negative (the q175 vscore discipline)
+      .withColumn("tau_ppm", expr(
+        """CASE WHEN concordant >= discordant
+          |  THEN (concordant - discordant) * 1000000 div n_pairs
+          |  ELSE -((discordant - concordant) * 1000000 div n_pairs)
+          |END""".stripMargin))
+      .select("n_pairs", "concordant", "discordant", "tau_ppm")
+  }
+
+  val q218Sql: String =
+    """WITH docs AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      |), d AS (
+      |  SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM docs
+      |), stats AS (
+      |  SELECT COUNT(*) AS n_docs, SUM(dl) * 1000 // COUNT(*) AS avgdl_x1e3
+      |  FROM d
+      |), tf AS (
+      |  SELECT doc_id, dl, term, COUNT(*) AS tf FROM (
+      |    SELECT d.doc_id, d.dl, unnest(docs.w) AS term
+      |    FROM docs JOIN d USING (doc_id)
+      |  ) WHERE term IN ('hash', 'join', 'vector')
+      |  GROUP BY 1, 2, 3
+      |), dfreq AS (
+      |  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+      |), scored AS (
+      |  SELECT tf.doc_id, tf.dl,
+      |    (2 * (s.n_docs - dfreq.df) + 1) * 1000 // (2 * dfreq.df + 1) AS idf_x1e3,
+      |    tf.tf * 2200000000000 // (tf.tf * 1000000 +
+      |      (12 * (250000 + (tf.dl * 1000000000 // s.avgdl_x1e3) * 75 // 100)) // 10)
+      |      AS tfsat_x1e6
+      |  FROM tf JOIN dfreq USING (term) CROSS JOIN stats s
+      |), cand AS (
+      |  SELECT doc_id,
+      |    CAST(SUM(idf_x1e3 * tfsat_x1e6 // 1000) AS BIGINT) AS score_x1e6
+      |  FROM scored GROUP BY doc_id, dl
+      |), lex AS (
+      |  SELECT doc_id,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY score_x1e6 DESC, doc_id) AS BIGINT) AS lex_rank
+      |  FROM cand ORDER BY score_x1e6 DESC, doc_id LIMIT 50
+      |), qe AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 100) AS BIGINT)) AS qv
+      |  FROM embeddings
+      |), n AS (
+      |  SELECT vec_id, qv,
+      |    CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS nrm
+      |  FROM qe
+      |), qv0 AS (
+      |  SELECT qv AS qq, nrm AS nq FROM n WHERE vec_id = 0 AND nrm > 0
+      |), rer AS (
+      |  SELECT l.doc_id, l.lex_rank,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY
+      |      CASE WHEN dt.dot >= 0 THEN dt.dot * dt.dot * 1000000 // (dt.nrm * dt.nq)
+      |           ELSE -(dt.dot * dt.dot * 1000000 // (dt.nrm * dt.nq)) END DESC,
+      |      l.doc_id) AS BIGINT) AS sem_rank
+      |  FROM lex l JOIN (
+      |    SELECT b.vec_id, b.nrm, q.nq,
+      |      CAST(list_sum(list_transform(range(1, len(b.qv) + 1),
+      |        i -> b.qv[i] * q.qq[i])) AS BIGINT) AS dot
+      |    FROM n b CROSS JOIN qv0 q WHERE b.vec_id <> 0 AND b.nrm > 0
+      |  ) dt ON dt.vec_id = l.doc_id
+      |), pairs AS (
+      |  SELECT (a.lex_rank < b.lex_rank) = (a.sem_rank < b.sem_rank) AS conc
+      |  FROM rer a JOIN rer b ON a.doc_id < b.doc_id
+      |)
+      |SELECT COUNT(*) AS n_pairs,
+      |  CAST(SUM(CASE WHEN conc THEN 1 ELSE 0 END) AS BIGINT) AS concordant,
+      |  CAST(COUNT(*) - SUM(CASE WHEN conc THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS discordant,
+      |  CAST(CASE WHEN 2 * SUM(CASE WHEN conc THEN 1 ELSE 0 END) >= COUNT(*)
+      |    THEN (2 * SUM(CASE WHEN conc THEN 1 ELSE 0 END) - COUNT(*)) * 1000000
+      |      // COUNT(*)
+      |    ELSE -((COUNT(*) - 2 * SUM(CASE WHEN conc THEN 1 ELSE 0 END)) * 1000000
+      |      // COUNT(*)) END AS BIGINT) AS tau_ppm
+      |FROM pairs""".stripMargin
+
   val q175Sql: String =
     """WITH docs AS (
       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
@@ -1190,6 +1321,7 @@ object Retrieval {
     ("q108_percentiles_exact", q108 _, Some(q108Sql)),
     ("q109_bm25_topk", q109 _, Some(q109Sql)),
     ("q175_rrf_fusion", q175 _, Some(q175Sql)),
+    ("q218_rerank_agreement", q218 _, Some(q218Sql)),
     ("q153_ndcg", q153 _, Some(q153Sql)),
     ("q157_knn_mrr", q157 _, Some(q157Sql)),
     ("q110_allpairs_cosine", q110 _, Some(q110Sql)),

@@ -132,6 +132,53 @@ class AdvancedSpec extends AnyFunSuite {
     assert(a == b && a.nonEmpty)
   }
 
+  test("q216 Bloom filter: no false negatives, OR-merge, calibrated FPR") {
+    val sf = "/root/testdata/sf0.001"
+    val words = graft.queries.Advanced.q216(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(words.forall(w => java.lang.Long.bitCount(w._2) == w._3))
+    val bits = words.map(r => r._1 -> r._2).toMap
+    def md5bucket(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(md.take(4).map(b => f"$b%02x").mkString, 16) % 2048
+    }
+    def contains(key: String): Boolean = (0 until 4).forall { j =>
+      val b = md5bucket(s"$key#bf$j")
+      val w = bits.getOrElse(b / 64, 0L)
+      (w & (1L << (b % 64).toInt)) != 0L
+    }
+    val texts = graft.Tables.load(spark, sf, "documents").collect()
+      .map(_.getString(1))
+    // the defining guarantee: every inserted key passes the probe
+    assert(texts.forall(contains), "Bloom filters never false-negative")
+    // driver replay: rebuilding the words from the texts matches exactly
+    val replay = scala.collection.mutable.Map.empty[Long, Long]
+    texts.foreach { t =>
+      (0 until 4).foreach { j =>
+        val b = md5bucket(s"$t#bf$j")
+        replay(b / 64) = replay.getOrElse(b / 64, 0L) | (1L << (b % 64).toInt)
+      }
+    }
+    assert(replay.toMap == bits, "word replay mismatch")
+    // shard filters OR-merge into the full filter
+    val (l, r) = texts.splitAt(texts.length / 2)
+    def build(ts: Seq[String]): Map[Long, Long] = {
+      val m = scala.collection.mutable.Map.empty[Long, Long]
+      ts.foreach { t => (0 until 4).foreach { j =>
+        val b = md5bucket(s"$t#bf$j")
+        m(b / 64) = m.getOrElse(b / 64, 0L) | (1L << (b % 64).toInt)
+      } }
+      m.toMap
+    }
+    val merged = (build(l.toSeq).toSeq ++ build(r.toSeq).toSeq)
+      .groupBy(_._1).view.mapValues(_.map(_._2).reduce(_ | _)).toMap
+    assert(merged == bits, "shard filters must OR-merge into the full filter")
+    // FPR on definitely-absent probes tracks the (1-e^(-kn/m))^k curve
+    val fp = (0 until 1000).count(i => contains(s"absent-probe-$i"))
+    assert(fp > 10 && fp < 400, s"FPR $fp/1000 outside the calibrated band")
+  }
+
   test("q215 HLL registers: replay, mergeability, and a bounded finished estimate") {
     val sf = "/root/testdata/sf0.001"
     val regs = graft.queries.Advanced.q215(spark, sf).collect()

@@ -285,6 +285,32 @@ class MiningSpec extends AnyFunSuite {
     }
   }
 
+  test("q217 decayed popularity replays from a driver-side shift fold") {
+    val rows = queries.Analytics.q217(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length == 20)
+    val li = Tables.load(spark, sf, "lineitem")
+      .select(col("l_partkey"), to_date(col("l_shipdate")).as("d")).collect()
+      .map(r => (r.getLong(0), r.getAs[java.sql.Date](1).toLocalDate))
+    val mx = li.map(_._2).max
+    val perPart = li.groupBy(_._1).map { case (p, xs) =>
+      val dec = xs.map { case (_, d) =>
+        val ageH = java.time.temporal.ChronoUnit.DAYS.between(d, mx) / 28
+        if (ageH >= 20) 0L else 1000000L / (1L << ageH.toInt)
+      }.sum
+      p -> ((xs.length.toLong, dec))
+    }
+    val expected = perPart.toSeq
+      .sortBy { case (p, (_, dec)) => (-dec, p) }.take(20)
+      .map { case (p, (n, dec)) => (p, n, dec) }
+    assert(rows.toSeq == expected, "decay replay mismatch")
+    // decay reorders: the decayed top-20 is NOT the raw-count top-20
+    val rawTop = perPart.toSeq.sortBy { case (p, (n, _)) => (-n, p) }
+      .take(20).map(_._1).toSet
+    assert(rows.map(_._1).toSet != rawTop,
+      "fixture should separate trending from all-time popularity")
+  }
+
   test("q170 source matrix conserves the q99 pair set and respects the threshold") {
     val cells = queries.Extensions.q170(spark, sf).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))

@@ -317,4 +317,19 @@ class RetrievalSpec extends AnyFunSuite {
     assert(rows.find(_._1 == 0L).get._2 == q111Kept,
       "threshold 0 must reproduce the q111 keep total")
   }
+
+  test("q218 rerank agreement: triangular pairs, tau identity and bounds") {
+    val r = Retrieval.q218(spark, sf).head
+    val (n, c, d, tau) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(c + d == n, "every pair is concordant xor discordant")
+    // n is triangular: k(k-1)/2 for the candidate count k, and most of the
+    // lexical top-50 must have survived the embedding join
+    val k = ((1 + math.sqrt(1.0 + 8.0 * n)) / 2).round
+    assert(k * (k - 1) / 2 == n, s"n_pairs $n not triangular")
+    assert(k >= 45, s"only $k candidates re-ranked — stage-2 join losing docs")
+    assert(tau >= -1000000L && tau <= 1000000L)
+    val expectedTau =
+      if (c >= d) (c - d) * 1000000L / n else -((d - c) * 1000000L / n)
+    assert(tau == expectedTau, "tau must be the sign-decomposed exact ratio")
+  }
 }
