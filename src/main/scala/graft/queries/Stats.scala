@@ -1424,10 +1424,127 @@ object Stats {
       |GROUP BY p.token, p.exact_cnt
       |ORDER BY est_cnt DESC, token LIMIT 20""".stripMargin
 
+  /** q219 inter-event burstiness histogram — the traffic-shape audit
+    * behind bot/replay detection (and the hazard-model complement of
+    * q196's survival curve): per event type, each user's consecutive
+    * inter-event gaps in ms, bucketed into OCTAVES (bitlen, the
+    * q160/q209 integer-log surrogate — sub-ms replay storms land in low
+    * octaves, human think-time spreads over high ones, and a too-narrow
+    * octave profile is the "suspiciously regular" cadence flag q187's
+    * magnitude EWMA cannot see). Zero-gap (same-ms) arrivals get their
+    * own octave 0 — collapsing them into octave 1 would hide exactly the
+    * replay signature the histogram exists to catch.
+    *
+    * Scale shape: ONE lag window keyed by (user, type) — the q38/q187
+    * per-user ordering the stream processors already impose — then one
+    * ≤\|types\|·64-cell map-combined aggregate; shares in exact ppm of
+    * each type's gap population. */
+  def q219(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type").orderBy("ms", "event_id")
+    val all = Window.partitionBy("event_type")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_millis(col("ts")).as("ms"))
+      .withColumn("gap", col("ms") - lag("ms", 1).over(w))
+      .filter(col("gap").isNotNull)
+      .select(col("event_type"),
+        when(col("gap") === 0L, 0L)
+          .otherwise(length(bin(col("gap"))).cast(LongType)).as("octave"))
+      .groupBy("event_type", "octave")
+      .agg(count(lit(1)).as("n_gaps"))
+      .withColumn("t_gaps", sum("n_gaps").over(all))
+      .withColumn("share_ppm", expr("n_gaps * 1000000 div t_gaps"))
+      .select("event_type", "octave", "n_gaps", "share_ppm")
+      .orderBy("event_type", "octave")
+  }
+
+  val q219Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type, event_id,
+      |    epoch_ms(ts) AS ms
+      |  FROM events
+      |), g AS (
+      |  SELECT event_type,
+      |    ms - LAG(ms) OVER (PARTITION BY user_id, event_type
+      |      ORDER BY ms, event_id) AS gap
+      |  FROM e
+      |), o AS (
+      |  SELECT event_type,
+      |    CASE WHEN gap = 0 THEN 0
+      |      ELSE length(printf('%b', gap)) END AS octave
+      |  FROM g WHERE gap IS NOT NULL
+      |), c AS (
+      |  SELECT event_type, octave, COUNT(*) AS n_gaps FROM o GROUP BY 1, 2
+      |)
+      |SELECT event_type, CAST(octave AS BIGINT) AS octave,
+      |  CAST(n_gaps AS BIGINT) AS n_gaps,
+      |  CAST(n_gaps * 1000000 // SUM(n_gaps) OVER (PARTITION BY event_type)
+      |    AS BIGINT) AS share_ppm
+      |FROM c ORDER BY event_type, octave""".stripMargin
+
+  /** q220 range-partition boundary planner — the table behind every
+    * globally-sorted layout (`Load.overwriteSorted`, sort-merge shuffles,
+    * Spark's own RangePartitioner sampling): 31 cut points splitting
+    * orders into 32 near-equal ranges by total price. Spark PLANS these
+    * boundaries by driver-side reservoir sampling (approximate,
+    * nondeterministic); this is the EXACT, deterministic version at grid
+    * granularity — values quantize to 100-dollar bins first (the
+    * q142/q182 bound-the-domain discipline: an ECDF over raw near-unique
+    * prices would be a corpus-sized single-partition window, the q108
+    * cost), the ECDF is one cumulative window over the ≤\|bins\| frame,
+    * and boundary k = min bin whose cumulative count reaches
+    * ⌈k·N/32⌉ (exact ceil in integers). The 31-target frame joins the
+    * bin ECDF by a ≥ predicate — a BroadcastNestedLoopJoin over a
+    * literal-sized side (the q46 band-join shape), never a shuffle.
+    *
+    * Scale shape: ONE map-combined bin aggregate is the only corpus
+    * pass; everything after is bin-frame arithmetic. Grid width is the
+    * declared knob — tighten it for finer boundaries at the cost of a
+    * larger (still value-bounded) bin frame. */
+  def q220(spark: SparkSession, dir: String): DataFrame = {
+    val bins = Tables.load(spark, dir, "orders")
+      .select(expr("CAST(FLOOR(o_totalprice * 100) AS BIGINT) div 10000")
+        .as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("n"))
+    val cum = bins.withColumn("cum", sum("n").over(Window.orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val tot = bins.agg(sum("n").as("N")) // 1-row scalar
+    spark.range(1, 32).select(col("id").as("k"))
+      .crossJoin(broadcast(tot))
+      .withColumn("target_rank", expr("(k * N + 31) div 32"))
+      .join(cum, col("cum") >= col("target_rank"))
+      .groupBy("k", "target_rank").agg(min("bin").as("boundary_bin"))
+      .withColumn("boundary_cents", expr("boundary_bin * 10000"))
+      .select("k", "target_rank", "boundary_bin", "boundary_cents")
+      .orderBy("k")
+  }
+
+  val q220Sql: String =
+    """WITH c AS (
+      |  SELECT CAST(FLOOR(o_totalprice * 100) AS BIGINT) // 10000 AS bin
+      |  FROM orders
+      |), b AS (
+      |  SELECT bin, COUNT(*) AS n FROM c GROUP BY bin
+      |), cum AS (
+      |  SELECT bin, SUM(n) OVER (ORDER BY bin) AS cum FROM b
+      |), tot AS (SELECT COUNT(*) AS N FROM c
+      |), t AS (
+      |  SELECT r.k, (r.k * tot.N + 31) // 32 AS target_rank
+      |  FROM range(1, 32) r(k) CROSS JOIN tot
+      |)
+      |SELECT t.k, CAST(t.target_rank AS BIGINT) AS target_rank,
+      |  CAST(MIN(cum.bin) AS BIGINT) AS boundary_bin,
+      |  CAST(MIN(cum.bin) * 10000 AS BIGINT) AS boundary_cents
+      |FROM t JOIN cum ON cum.cum >= t.target_rank
+      |GROUP BY t.k, t.target_rank ORDER BY t.k""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q203_repetition_gate", q203 _, Some(q203Sql)),
     ("q209_heaps_growth", q209 _, Some(q209Sql)),
     ("q211_count_min_sketch", q211 _, Some(q211Sql)),
+    ("q219_gap_burstiness", q219 _, Some(q219Sql)),
+    ("q220_range_boundaries", q220 _, Some(q220Sql)),
     ("q180_oov_rate", q180 _, Some(q180Sql)),
     ("q201_tokenizer_fertility", q201 _, Some(q201Sql)),
     ("q199_hourly_anomaly", q199 _, Some(q199Sql)),

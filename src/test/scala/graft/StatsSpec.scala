@@ -429,6 +429,66 @@ class StatsSpec extends AnyFunSuite {
     assert(rows.map(_._1).contains(trueTop))
   }
 
+  test("q219 burstiness histogram replays from a driver-side lag fold") {
+    val rows = Stats.q219(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    val events = Tables.load(spark, sf, "events")
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_millis(col("ts")).as("ms")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val gaps = events.groupBy(e => (e._1, e._2)).toSeq.flatMap { case (_, xs) =>
+      xs.sortBy(e => (e._4, e._3)).sliding(2).collect {
+        case Array(a, b) => (a._2, b._4 - a._4)
+      }
+    }
+    val expected = gaps.map { case (t, g) =>
+      (t, if (g == 0L) 0L else 64L - java.lang.Long.numberOfLeadingZeros(g))
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val byType = expected.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    rows.foreach { case (t, o, n, share) =>
+      assert(expected((t, o)) == n, s"($t,$o) count")
+      assert(share == n * 1000000L / byType(t), s"($t,$o) share")
+    }
+    assert(rows.map(r => (r._1, r._2)).toSet == expected.keySet)
+    // shares per type sum to ~1e6 (floor slack < cells)
+    rows.groupBy(_._1).foreach { case (t, xs) =>
+      val s = xs.map(_._4).sum
+      assert(s <= 1000000L && s > 1000000L - xs.length, t)
+    }
+  }
+
+  test("q220 boundaries: monotone, rank-correct, near-even ranges") {
+    val rows = Stats.q220(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length == 31 && rows.map(_._1).toSeq == (1L to 31L))
+    assert(rows.forall(r => r._4 == r._3 * 10000L))
+    rows.sliding(2).foreach { w =>
+      assert(w(1)._3 >= w(0)._3, "boundaries must be non-decreasing")
+    }
+    // rank-correctness against the driver-side ECDF
+    val bins = Tables.load(spark, sf, "orders").collect()
+      .map(r => math.floor(r.getDouble(3) * 100).toLong / 10000L)
+    val n = bins.length.toLong
+    val ecdf = bins.groupBy(identity).view.mapValues(_.length.toLong)
+      .toSeq.sortBy(_._1)
+      .scanLeft((Long.MinValue, 0L)) { case ((_, c), (b, cnt)) => (b, c + cnt) }
+      .drop(1)
+    rows.foreach { case (k, target, bin, _) =>
+      assert(target == (k * n + 31) / 32, s"k=$k target")
+      val expectedBin = ecdf.find(_._2 >= target).get._1
+      assert(bin == expectedBin, s"k=$k boundary")
+    }
+    // the 32 ranges are near-even: no range holds more than 2x its share
+    // plus one bin's worth of ties (grid granularity is the declared trade)
+    val cuts = rows.map(_._3)
+    val counts = (Seq(Long.MinValue) ++ cuts).zip(cuts ++ Seq(Long.MaxValue))
+      .map { case (lo, hi) => bins.count(b => b > lo && b <= hi).toLong }
+    assert(counts.sum == n, "the 32 ranges must partition every order")
+    assert(counts.max <= 2 * (n / 32) + bins.groupBy(identity)
+      .values.map(_.length).max, "a range is badly oversized for the grid")
+  }
+
   test("q201 fertility replays from the declared ceil(len/6) unit estimate") {
     val rows = Stats.q201(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
