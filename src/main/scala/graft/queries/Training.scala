@@ -1472,6 +1472,119 @@ object Training {
        |FROM r3 ORDER BY source""".stripMargin
   }
 
+  /** q221 curation-funnel capstone — the WHOLE cleaning pipeline as one
+    * per-source survivorship funnel, each stage the registry's own kernel
+    * applied to the previous stage's survivors: documents → q205's
+    * heuristic rules → q111's model gate (logit ≥ 0) → exact dedup
+    * (min-id per md5-60 fingerprint, the q26 kernel) → near-dup cluster
+    * survivorship (min-id per two-permutation portable MinHash key, the
+    * q165/q171 cluster algebra from the shared [[graft.dedup.Dedup.portableSigs]]
+    * frame) → surviving token mass. This is the table a curation review
+    * actually reads: WHICH stage costs WHICH source how much — and the
+    * cross-engine proof that the composed pipeline, not just each stage in
+    * isolation, computes the declared algebra. Per-source counts are
+    * monotone through the first three stages; dedup stages may move a
+    * cluster's survivor across sources (global monotonicity only — the
+    * spec asserts both).
+    *
+    * Scale shape: one corpus map (rules + logit + fingerprint), one
+    * doc-keyed join to the shared signature frame, two survivor
+    * aggregates (fingerprint- and cluster-keyed, candidates ∝ survivors),
+    * two slim survivor-id semi-join backflags, one ≤\|sources\| rollup. */
+  def q221(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = graft.dedup.Dedup.portableSigs(spark, dir)
+      .select(col("doc_id"), col("s0"), col("s1"))
+    val flagged = Tables.parallelized(Tables.load(spark, dir, "documents"))
+      .withColumn("w", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("w")).cast(LongType))
+      .withColumn("distinct_ppm",
+        expr("cast(size(array_distinct(w)) as bigint) * 1000000 div n_tokens"))
+      .withColumn("stop_ppm",
+        expr("cast(2 * size(w) - size(array_remove(w, 'the')) - size(array_remove(w, 'a')) as bigint) * 1000000 div n_tokens"))
+      .withColumn("pass_rules",
+        !(col("n_tokens") < 30 ||
+          !(array_contains(col("w"), "the") || array_contains(col("w"), "a")) ||
+          col("distinct_ppm") < 400000))
+      .withColumn("logit_x1e6",
+        lit(-1000000L) + lit(20000L) * col("n_tokens") +
+          lit(4L) * col("distinct_ppm") + lit(-30L) * col("stop_ppm"))
+      .withColumn("pass_model", col("pass_rules") && col("logit_x1e6") >= 0)
+      .withColumn("fp60",
+        graft.functions.TextFunctions.portableHash60(col("text")))
+      .select("doc_id", "source", "n_tokens", "pass_rules", "pass_model",
+        "fp60")
+      .join(sigs, Seq("doc_id"))
+    val m = flagged.filter(col("pass_model"))
+    val ex = m.groupBy("fp60").agg(min("doc_id").as("doc_id"))
+      .select(col("doc_id"), lit(1L).as("is_exact"))
+    val nr = m.join(ex, Seq("doc_id"))
+      .groupBy("s0", "s1").agg(min("doc_id").as("doc_id"))
+      .select(col("doc_id"), lit(1L).as("is_near"))
+    flagged.join(ex, Seq("doc_id"), "left").join(nr, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("pass_rules"), 1L).otherwise(0L)).as("n_rules"),
+        sum(when(col("pass_model"), 1L).otherwise(0L)).as("n_model"),
+        sum(when(col("is_exact").isNotNull, 1L).otherwise(0L)).as("n_exact"),
+        sum(when(col("is_near").isNotNull, 1L).otherwise(0L)).as("n_near"),
+        sum(when(col("is_near").isNotNull, col("n_tokens")).otherwise(0L))
+          .as("tokens_final"))
+      .orderBy("source")
+  }
+
+  val q221Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, source, text, string_split(text, ' ') AS w
+      |  FROM documents
+      |), f AS (
+      |  SELECT doc_id, source, CAST(len(w) AS BIGINT) AS n_tokens,
+      |    len(w) < 30 AS r_short,
+      |    NOT (list_contains(w, 'the') OR list_contains(w, 'a')) AS r_nostop,
+      |    CAST(len(list_distinct(w)) AS BIGINT) * 1000000 // len(w)
+      |      AS distinct_ppm,
+      |    CAST(len(list_filter(w, t -> t = 'the' OR t = 'a')) AS BIGINT)
+      |      * 1000000 // len(w) AS stop_ppm,
+      |    CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) AS fp60
+      |  FROM toks
+      |), g AS (
+      |  SELECT *,
+      |    NOT (r_short OR r_nostop OR distinct_ppm < 400000) AS pass_rules,
+      |    NOT (r_short OR r_nostop OR distinct_ppm < 400000)
+      |      AND -1000000 + 20000 * n_tokens + 4 * distinct_ppm
+      |        + (-30) * stop_ppm >= 0 AS pass_model
+      |  FROM f
+      |), sig AS (
+      |  SELECT doc_id,
+      |    list_min(list_transform(hs,
+      |      h -> (1299709 * (h % 2147483647) + 7) % 2147483647)) AS s0,
+      |    list_min(list_transform(hs,
+      |      h -> (15485863 * (h % 2147483647) + 101) % 2147483647)) AS s1
+      |  FROM (SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
+      |    i -> CAST('0x' || substr(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]),
+      |      1, 15) AS BIGINT))) AS hs FROM toks)
+      |), ex AS (
+      |  SELECT MIN(doc_id) AS doc_id FROM g WHERE pass_model GROUP BY fp60
+      |), nr AS (
+      |  SELECT MIN(e.doc_id) AS doc_id
+      |  FROM ex e JOIN sig s ON s.doc_id = e.doc_id
+      |  GROUP BY s.s0, s.s1
+      |)
+      |SELECT g.source, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN g.pass_rules THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_rules,
+      |  CAST(SUM(CASE WHEN g.pass_model THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_model,
+      |  CAST(SUM(CASE WHEN e.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_exact,
+      |  CAST(SUM(CASE WHEN n.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_near,
+      |  CAST(SUM(CASE WHEN n.doc_id IS NOT NULL THEN g.n_tokens ELSE 0 END)
+      |    AS BIGINT) AS tokens_final
+      |FROM g
+      |LEFT JOIN ex e ON e.doc_id = g.doc_id
+      |LEFT JOIN nr n ON n.doc_id = g.doc_id
+      |GROUP BY g.source ORDER BY g.source""".stripMargin
+
   /** q171 leakage-free cluster-aware train/test split — the eval-split audit
     * between dedup and mixing: a plain per-document hash split (q54) puts
     * near-identical documents on BOTH sides of the boundary and the test
@@ -1907,6 +2020,7 @@ object Training {
     ("q165_flattened_sample", q165 _, Some(q165Sql)),
     ("q166_token_apportion", q166 _, Some(q166Sql)),
     ("q206_capped_apportion", q206 _, Some(q206Sql)),
+    ("q221_curation_funnel", q221 _, Some(q221Sql)),
     ("q58_dedup_clusters", q58 _, Some(q58Sql)),
     ("q59_decontaminate", q59 _, Some(q59Sql)),
     ("q150_source_overlap", q150 _, Some(q150Sql)),

@@ -311,6 +311,38 @@ class MiningSpec extends AnyFunSuite {
       "fixture should separate trending from all-time popularity")
   }
 
+  test("q221 funnel: stage monotonicity and agreement with the standalone gates") {
+    val rows = Training.q221(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(rows.nonEmpty)
+    // per-source monotone through the row-local stages; dedup stages can
+    // move survivors across sources, so only the global chain is monotone
+    rows.foreach { case (s, n0, n1, n2, n3, n4, _) =>
+      assert(n0 >= n1 && n1 >= n2, s"$s: row-local stages must be monotone")
+      assert(n3 <= n2 && n4 <= n3,
+        s"$s: a source's survivors are a subset of its own model-passers")
+    }
+    def tot(f: ((String, Long, Long, Long, Long, Long, Long)) => Long) =
+      rows.map(f).sum
+    assert(tot(_._2) >= tot(_._3) && tot(_._3) >= tot(_._4) &&
+      tot(_._4) >= tot(_._5) && tot(_._5) >= tot(_._6),
+      "the global funnel must narrow at every stage")
+    assert(tot(_._6) > 0L, "an empty final corpus means a stage is broken")
+    // stage 1 agrees with q205: survivors = docs - fail_any per source
+    val q205 = graft.queries.Extensions.q205(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1) - r.getLong(5))).toMap
+    rows.foreach { case (s, _, n1, _, _, _, _) =>
+      assert(n1 == q205(s), s"$s: rules stage diverges from q205")
+    }
+    // stage 2 can never keep more than q111's unconditioned gate
+    val q111 = graft.queries.Retrieval.q111(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    rows.foreach { case (s, _, _, n2, _, _, _) =>
+      assert(n2 <= q111(s), s"$s: model stage exceeds the q111 gate")
+    }
+  }
+
   test("q170 source matrix conserves the q99 pair set and respects the threshold") {
     val cells = queries.Extensions.q170(spark, sf).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
