@@ -381,7 +381,10 @@ object Evaluation {
     * and the rollup is one aggregate. The (dist2, c_label) ordering struct
     * keeps the tie-break total, so the aggregate is deterministic and
     * matches the oracle's ROW_NUMBER replay exactly. */
-  def q168(spark: SparkSession, dir: String): DataFrame = {
+  /** The q168 scoring kernel, shared with q223: every vector against every
+    * label centroid with the exact squared-Euclidean distance. Returns
+    * (vec_id, label, c_label, dist2). */
+  private def centroidScored(spark: SparkSession, dir: String): DataFrame = {
     val q = Tables.parallelized(Tables.load(spark, dir, "embeddings"))
       .select(col("vec_id"), col("label").cast("long").as("label"),
         transform(col("embedding"),
@@ -403,6 +406,11 @@ object Evaluation {
       .withColumn("dist2",
         col("nq") + col("nc") -
           lit(2L) * call_function("dot_i64", col("qv"), col("cv")))
+      .select("vec_id", "label", "c_label", "dist2")
+  }
+
+  def q168(spark: SparkSession, dir: String): DataFrame = {
+    centroidScored(spark, dir)
       .groupBy("vec_id", "label") // label is functionally dependent on vec_id
       .agg(min_by(col("c_label"),
         struct(col("dist2"), col("c_label"))).as("c_label"))
@@ -413,6 +421,96 @@ object Evaluation {
       .withColumn("acc_ppm", expr("n_correct * 1000000 div n_vecs"))
       .orderBy("label")
   }
+
+  /** q223 classification margin audit — the confidence companion of the
+    * q168 accuracy table: per vector, the margin = dist²(runner-up) −
+    * dist²(best) over the label centroids (the q168 kernel verbatim via
+    * [[centroidScored]]); per true label: vectors, correct, exact mean
+    * margin, the count under the literal 8,000 low-margin knob (≈ the
+    * fixture's lower quartile — SURVEY §2.13), and the MODAL runner-up
+    * class ((count desc, label) argmax) — which class is the confuser,
+    * the actionable output when q168 says accuracy dropped. Low-margin
+    * mass predicts which labels flip under retraining noise; it is the
+    * per-class drill-down of q169's stability flag.
+    *
+    * Scale shape: the top-2 per vector is ONE collect_list aggregate
+    * whose per-key list is \|classes\|-bounded by the model contract
+    * (the q168 broadcast argument — never a rank window over the
+    * corpus×classes frame); the runner-mode argmax runs on the
+    * \|labels\|² cell frame. */
+  def q223(spark: SparkSession, dir: String): DataFrame = {
+    val top2 = centroidScored(spark, dir)
+      .groupBy("vec_id", "label")
+      .agg(slice(array_sort(collect_list(struct(col("dist2"), col("c_label")))),
+        1, 2).as("t2"))
+      .select(col("vec_id"), col("label"),
+        col("t2")(0)("c_label").as("best"),
+        col("t2")(1)("c_label").as("runner"),
+        (col("t2")(1)("dist2") - col("t2")(0)("dist2")).as("margin"))
+    val roll = top2.groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("best") === col("label"), 1L).otherwise(0L))
+          .as("n_correct"),
+        sum("margin").as("margin_sum"),
+        sum(when(col("margin") < 8000L, 1L).otherwise(0L))
+          .as("n_low_margin"))
+      .withColumn("mean_margin", expr("margin_sum div n_vecs"))
+    val mode = top2.groupBy("label", "runner")
+      .agg(count(lit(1)).as("rc"))
+      .groupBy("label")
+      .agg(min_by(col("runner"), struct(-col("rc"), col("runner")))
+        .as("runner_mode"))
+    roll.join(mode, "label")
+      .select("label", "n_vecs", "n_correct", "mean_margin", "n_low_margin",
+        "runner_mode")
+      .orderBy("label")
+  }
+
+  val q223Sql: String =
+    """WITH q AS (
+      |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+      |    list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+      |  FROM embeddings
+      |), e AS (
+      |  SELECT label, unnest(range(1, len(qv) + 1)) AS i, qv FROM q
+      |), cd AS (
+      |  SELECT label AS c_label, i, CAST(SUM(qv[i]) // COUNT(*) AS BIGINT) AS m
+      |  FROM e GROUP BY label, i
+      |), cent AS (
+      |  SELECT c_label, list(m ORDER BY i) AS cv FROM cd GROUP BY c_label
+      |), scored AS (
+      |  SELECT q.vec_id, q.label, c.c_label,
+      |    CAST(list_sum(list_transform(range(1, len(q.qv) + 1),
+      |      i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i]))) AS BIGINT) AS dist2
+      |  FROM q CROSS JOIN cent c
+      |), rk AS (
+      |  SELECT vec_id, label, c_label, dist2,
+      |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist2, c_label) AS rn
+      |  FROM scored
+      |), t2 AS (
+      |  SELECT a.vec_id, a.label, a.c_label AS best, b.c_label AS runner,
+      |    b.dist2 - a.dist2 AS margin
+      |  FROM rk a JOIN rk b ON b.vec_id = a.vec_id AND a.rn = 1 AND b.rn = 2
+      |), roll AS (
+      |  SELECT label, COUNT(*) AS n_vecs,
+      |    SUM(CASE WHEN best = label THEN 1 ELSE 0 END) AS n_correct,
+      |    SUM(margin) AS margin_sum,
+      |    SUM(CASE WHEN margin < 8000 THEN 1 ELSE 0 END) AS n_low_margin
+      |  FROM t2 GROUP BY label
+      |), rmode AS (
+      |  SELECT label, runner AS runner_mode FROM (
+      |    SELECT label, runner, COUNT(*) AS rc,
+      |      ROW_NUMBER() OVER (PARTITION BY label ORDER BY COUNT(*) DESC,
+      |        runner) AS mrn
+      |    FROM t2 GROUP BY label, runner)
+      |  WHERE mrn = 1
+      |)
+      |SELECT r.label, r.n_vecs, CAST(r.n_correct AS BIGINT) AS n_correct,
+      |  CAST(r.margin_sum // r.n_vecs AS BIGINT) AS mean_margin,
+      |  CAST(r.n_low_margin AS BIGINT) AS n_low_margin,
+      |  m.runner_mode
+      |FROM roll r JOIN rmode m ON m.label = r.label
+      |ORDER BY r.label""".stripMargin
 
   val q168Sql: String =
     """WITH q AS (
@@ -797,6 +895,7 @@ object Evaluation {
     Seq(("q140_auc_ranksum", q140 _, Some(q140Sql)),
       ("q204_int8_calibration", q204 _, Some(q204Sql)),
       ("q207_power_iteration", q207 _, Some(q207Sql)),
+      ("q223_margin_audit", q223 _, Some(q223Sql)),
       ("q168_centroid_eval", q168 _, Some(q168Sql)),
       ("q169_centroid_stability",
         (s: SparkSession, d: String) => q169(s, d), Some(q169Sql)),

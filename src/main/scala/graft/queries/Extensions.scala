@@ -253,6 +253,51 @@ object Extensions {
        |FROM w ORDER BY lang, predicted""".stripMargin
   }
 
+  /** q222 cost-sensitive classifier evaluation — the q121 confusion matrix
+    * under a LITERAL misclassification cost model (the deployment-facing
+    * eval: not all errors are equal — routing a zh document to a Latin
+    * pipeline breaks tokenization outright, while es↔fr merely degrades):
+    * correct = 0, Latin↔Latin confusion = 1, cross-script (zh vs Latin)
+    * confusion = 3 (declared knob, SURVEY §2.13). Per true label: docs,
+    * errors, total cost, and expected cost ×1e6 per document — the number
+    * that reorders "which class to fix first" away from raw accuracy
+    * (a frequent cheap error can matter less than a rare catastrophic
+    * one). Scale shape: one narrow codegen'd map (the q34 marker-argmax
+    * classifier + a CASE), one ≤\|langs\| map-combined aggregate. */
+  def q222(spark: SparkSession, dir: String): DataFrame =
+    Tables.parallelized(Tables.load(spark, dir, "documents"))
+      .select(col("lang"), T.langId(col("text")).as("predicted"))
+      .withColumn("cost", expr(
+        """CAST(CASE WHEN predicted = lang THEN 0
+          |  WHEN (lang = 'zh') != (predicted = 'zh') THEN 3
+          |  ELSE 1 END AS BIGINT)""".stripMargin))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("predicted") =!= col("lang"), 1L).otherwise(0L))
+          .as("n_err"),
+        sum("cost").as("total_cost"))
+      .withColumn("cost_x1e6", expr("total_cost * 1000000 div n_docs"))
+      .select("lang", "n_docs", "n_err", "total_cost", "cost_x1e6")
+      .orderBy("lang")
+
+  val q222Sql: String =
+    s"""WITH p AS (
+       |  SELECT lang, $langIdSqlPredicted AS predicted
+       |  FROM documents
+       |), c AS (
+       |  SELECT lang, predicted,
+       |    CAST(CASE WHEN predicted = lang THEN 0
+       |      WHEN (lang = 'zh') != (predicted = 'zh') THEN 3
+       |      ELSE 1 END AS BIGINT) AS cost
+       |  FROM p
+       |)
+       |SELECT lang, COUNT(*) AS n_docs,
+       |  CAST(SUM(CASE WHEN predicted <> lang THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_err,
+       |  CAST(SUM(cost) AS BIGINT) AS total_cost,
+       |  CAST(SUM(cost) * 1000000 // COUNT(*) AS BIGINT) AS cost_x1e6
+       |FROM c GROUP BY lang ORDER BY lang""".stripMargin
+
   /** q184 per-class precision / recall / F1 of the lang-ID classifier — the
     * standard per-class eval table (the q121 confusion matrix's canonical
     * consumer; q154's kappa is the single-number summary, this is the
@@ -1534,6 +1579,7 @@ object Extensions {
     ("q212_t_closeness", q212 _, Some(q212Sql)),
     ("q213_peak_frame", q213 _, Some(q213Sql)),
     ("q214_top_purchases", q214 _, Some(q214Sql)),
+    ("q222_cost_eval", q222 _, Some(q222Sql)),
     ("q170_source_dup_matrix", q170 _, Some(q170Sql)),
     ("q172_split_leakage", q172 _, Some(q172Sql)),
     ("q174_minhash_calibration", q174 _, Some(q174Sql)),

@@ -360,6 +360,49 @@ class EvaluationSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
         r.getLong(4)))
 
+  test("q222 cost-sensitive eval reconciles with the q121 confusion matrix") {
+    val sf2 = "/root/testdata/sf0.001"
+    val rows = graft.queries.Extensions.q222(spark, sf2).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.nonEmpty)
+    val cells = graft.queries.Extensions.q121(spark, sf2).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    def cost(l: String, p: String): Long =
+      if (l == p) 0L else if ((l == "zh") != (p == "zh")) 3L else 1L
+    val expected = cells.groupBy(_._1).map { case (l, xs) =>
+      l -> ((xs.map(_._3).sum, xs.filter(x => x._2 != l).map(_._3).sum,
+        xs.map(x => x._3 * cost(l, x._2)).sum))
+    }
+    assert(rows.map(_._1).toSet == expected.keySet)
+    rows.foreach { case (l, n, err, tc, cpm) =>
+      val (en, eerr, etc) = expected(l)
+      assert((n, err, tc) == ((en, eerr, etc)), s"$l mismatch")
+      assert(cpm == tc * 1000000L / n, l)
+      // cost dominates errors only through the literal weights
+      assert(tc >= eerr && tc <= 3 * eerr, l)
+    }
+  }
+
+  test("q223 margin audit agrees with q168 and bounds its own algebra") {
+    val rows = Evaluation.q223(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    val q168 = Evaluation.q168(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    rows.foreach { case (l, n, correct, meanMargin, lowMargin, runnerMode) =>
+      assert((n, correct) == q168(l),
+        s"label $l: margin audit diverges from the q168 accuracy table")
+      assert(meanMargin >= 0L, s"label $l: margins are rank gaps, never negative")
+      assert(lowMargin >= 0L && lowMargin <= n, l.toString)
+      assert(q168.contains(runnerMode), s"label $l: runner mode not a label")
+    }
+    // the knob separates: some labels carry low-margin mass, none drown
+    assert(rows.exists(_._5 > 0L), "no low-margin vectors — knob too tight")
+    assert(rows.exists(r => r._5 < r._2), "all vectors low-margin — knob too loose")
+  }
+
   test("q204 int8 calibration replays from a driver-side per-dim fold") {
     val rows = Evaluation.q204(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
