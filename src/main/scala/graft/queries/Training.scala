@@ -1472,6 +1472,106 @@ object Training {
        |FROM r3 ORDER BY source""".stripMargin
   }
 
+  /** q224 Bloom-screened ingest gate — q216's portable filter doing its
+    * actual job in the q128 ingest pipeline: the existing corpus builds a
+    * 2048-bit / 4-probe Bloom over document texts, and the arriving batch
+    * probes it BEFORE the exact fingerprint semi-join — a bloom-negative
+    * document is provably new and skips the expensive check entirely
+    * (`saved_ppm` is the screened share), a bloom-positive goes to exact
+    * verification, which splits it into true duplicates and the filter's
+    * false positives. `n_false_neg` is emitted and must be 0 — the Bloom
+    * no-false-negative guarantee, hash-checked cross-engine rather than
+    * just asserted. The whole composition (split → build → probe → verify)
+    * replays in the oracle.
+    *
+    * Scale shape: the filter is a ≤32-row broadcast (the q216 contract) —
+    * the probe join costs a map-side lookup per batch doc, while the exact
+    * check it screens is a shuffle against the corpus-sized fingerprint
+    * set; at a 1% duplicate rate the screen drops that shuffle's probe
+    * side by ~the true-negative rate (fixture: ~88%). */
+  def q224(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.parallelized(Tables.load(spark, dir, "documents"))
+      .withColumn("fp", T.portableHash60(col("text")))
+      .withColumn("is_new", T.hashBucket(col("doc_id"), 10) === 0)
+    val probes = explode(array((0 until 4).map(lit): _*)).as("j")
+    def buckets(df: DataFrame): DataFrame =
+      df.select(col("doc_id"), col("source"), col("fp"), col("text"), probes)
+        .withColumn("b", T.hashBucket(
+          concat(col("text"), lit("#bf"), col("j").cast(StringType)), 2048))
+        .withColumn("word", expr("b div 64"))
+        .withColumn("mask", when(expr("b % 64") === 63L, lit(Long.MinValue))
+          .otherwise(expr("shiftleft(CAST(1 AS BIGINT), CAST(b % 64 AS INT))")))
+    val bloom = buckets(docs.filter(!col("is_new")))
+      .groupBy("word").agg(expr("bit_or(mask)").as("bits"))
+    val existingFps = docs.filter(!col("is_new")).select("fp").distinct()
+    val probed = buckets(docs.filter(col("is_new")))
+      .join(broadcast(bloom), Seq("word"), "left") // ≤32 rows by construction
+      .withColumn("hit",
+        coalesce(col("bits").bitwiseAND(col("mask")) =!= 0L, lit(false)))
+      .groupBy("doc_id", "source", "fp")
+      .agg(min(when(col("hit"), 1L).otherwise(0L)).as("allhit"))
+    probed.join(existingFps.withColumn("dup", lit(1)), Seq("fp"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_batch"),
+        sum(when(col("allhit") === 1L, 1L).otherwise(0L)).as("n_bloom_pos"),
+        sum(when(col("dup").isNotNull, 1L).otherwise(0L)).as("n_true_dup"),
+        sum(when(col("allhit") === 1L && col("dup").isNull, 1L).otherwise(0L))
+          .as("n_false_pos"),
+        sum(when(col("allhit") === 0L && col("dup").isNotNull, 1L)
+          .otherwise(0L)).as("n_false_neg"))
+      .withColumn("saved_ppm",
+        expr("(n_batch - n_bloom_pos) * 1000000 div n_batch"))
+      .orderBy("source")
+  }
+
+  val q224Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, source, text,
+      |    CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) AS fp,
+      |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+      |      % 10 = 0 AS is_new
+      |  FROM documents
+      |), cb AS (
+      |  SELECT CAST('0x' || substr(md5(text || '#bf' || CAST(j AS VARCHAR)),
+      |    1, 8) AS BIGINT) % 2048 AS b
+      |  FROM d, (SELECT unnest([0, 1, 2, 3]) AS j) WHERE NOT is_new
+      |), bloom AS (
+      |  SELECT b // 64 AS word,
+      |    BIT_OR(CASE WHEN b % 64 = 63
+      |      THEN CAST(-9223372036854775808 AS BIGINT)
+      |      ELSE CAST(1 AS BIGINT) << CAST(b % 64 AS INT) END) AS bits
+      |  FROM cb GROUP BY 1
+      |), efp AS (SELECT DISTINCT fp FROM d WHERE NOT is_new
+      |), bp AS (
+      |  SELECT doc_id, source, fp,
+      |    CAST('0x' || substr(md5(text || '#bf' || CAST(j AS VARCHAR)),
+      |      1, 8) AS BIGINT) % 2048 AS b
+      |  FROM d, (SELECT unnest([0, 1, 2, 3]) AS j) WHERE is_new
+      |), hits AS (
+      |  SELECT bp.doc_id, bp.source, bp.fp,
+      |    MIN(CASE WHEN bl.bits IS NOT NULL AND
+      |      (bl.bits & (CASE WHEN bp.b % 64 = 63
+      |        THEN CAST(-9223372036854775808 AS BIGINT)
+      |        ELSE CAST(1 AS BIGINT) << CAST(bp.b % 64 AS INT) END)) <> 0
+      |      THEN 1 ELSE 0 END) AS allhit
+      |  FROM bp LEFT JOIN bloom bl ON bl.word = bp.b // 64
+      |  GROUP BY 1, 2, 3
+      |), v AS (
+      |  SELECT h.source, h.allhit, e.fp IS NOT NULL AS dup
+      |  FROM hits h LEFT JOIN efp e ON e.fp = h.fp
+      |)
+      |SELECT source, COUNT(*) AS n_batch,
+      |  CAST(SUM(CASE WHEN allhit = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_bloom_pos,
+      |  CAST(SUM(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_true_dup,
+      |  CAST(SUM(CASE WHEN allhit = 1 AND NOT dup THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_false_pos,
+      |  CAST(SUM(CASE WHEN allhit = 0 AND dup THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_false_neg,
+      |  CAST((COUNT(*) - SUM(CASE WHEN allhit = 1 THEN 1 ELSE 0 END))
+      |    * 1000000 // COUNT(*) AS BIGINT) AS saved_ppm
+      |FROM v GROUP BY source ORDER BY source""".stripMargin
+
   /** q221 curation-funnel capstone — the WHOLE cleaning pipeline as one
     * per-source survivorship funnel, each stage the registry's own kernel
     * applied to the previous stage's survivors: documents → q205's
@@ -2021,6 +2121,7 @@ object Training {
     ("q166_token_apportion", q166 _, Some(q166Sql)),
     ("q206_capped_apportion", q206 _, Some(q206Sql)),
     ("q221_curation_funnel", q221 _, Some(q221Sql)),
+    ("q224_bloom_ingest_gate", q224 _, Some(q224Sql)),
     ("q58_dedup_clusters", q58 _, Some(q58Sql)),
     ("q59_decontaminate", q59 _, Some(q59Sql)),
     ("q150_source_overlap", q150 _, Some(q150Sql)),

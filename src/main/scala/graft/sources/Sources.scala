@@ -135,4 +135,43 @@ object Sources {
     * [[parquetMerged]]; positional union would silently mis-align. */
   def unionEvolved(a: DataFrame, b: DataFrame): DataFrame =
     a.unionByName(b, allowMissingColumns = true)
+
+  /** Binary-file ingestion for multimodal payloads — the path an
+    * image/audio corpus actually arrives by at 100 TB: loose object-store
+    * files, not parquet cells. Spark's built-in `binaryFile` source lists
+    * and reads each matching file as one row; this adapter shapes it into
+    * the multimodal (media_id, kind, payload) contract so it feeds
+    * [[graft.multimodal.Multimodal.decodePpm]]/`resizePpm`/`frameEnergy`
+    * directly. media_id is the portable md5-60 of the RELATIVE file name
+    * (stable across hosts and re-lists — an absolute path would bake the
+    * mount point into identity), kind the lowercase extension.
+    *
+    * Scale notes: `pathGlobFilter` prunes at LISTING time (no read of
+    * non-matching files), and the source parallelizes over files — one
+    * giant file is the anti-pattern here, many medium files the contract.
+    * `maxBytesPerFile` guards against a stray multi-GB object OOMing an
+    * executor: larger files are SKIPPED (listed but not read) and
+    * surfaced with a NULL payload so the caller can quarantine, not die. */
+  def binaryMedia(spark: SparkSession, path: String, glob: String = "*",
+      maxBytesPerFile: Long = 64L * 1024 * 1024): DataFrame = {
+    def base = spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(path)
+    def shaped(payload: org.apache.spark.sql.Column,
+        df: DataFrame): DataFrame =
+      df.select(
+        graft.functions.TextFunctions
+          .portableHash60(regexp_extract(col("path"), "([^/]+)$", 1))
+          .as("media_id"),
+        lower(regexp_extract(col("path"), "\\.([^./]+)$", 1)).as("kind"),
+        payload.as("payload"),
+        col("length").as("n_bytes"),
+        regexp_extract(col("path"), "([^/]+)$", 1).as("file_name"))
+    // the length predicate PUSHES DOWN to the binaryFile source, and the
+    // oversized leg never references `content` — column pruning means the
+    // stray multi-GB object is listed but its bytes are never read
+    shaped(col("content"), base.filter(col("length") <= maxBytesPerFile))
+      .unionByName(shaped(lit(null).cast("binary"),
+        base.filter(col("length") > maxBytesPerFile)))
+  }
 }

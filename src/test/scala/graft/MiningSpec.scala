@@ -311,6 +311,29 @@ class MiningSpec extends AnyFunSuite {
       "fixture should separate trending from all-time popularity")
   }
 
+  test("q224 Bloom ingest gate: no false negatives, reconciles with q128") {
+    val rows = Training.q224(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (s, n, pos, dup, fp, fn, saved) =>
+      assert(fn == 0L, s"$s: a Bloom filter can NEVER false-negative")
+      assert(pos == dup + fp,
+        s"$s: positives must split exactly into true dups and false positives")
+      assert(saved == (n - pos) * 1000000L / n, s"$s saved share")
+    }
+    // the same batch the exact gate q128 audits, duplicate-for-duplicate
+    val byK = Training.q128(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    rows.foreach { case (s, n, _, dup, _, _, _) =>
+      assert(byK(s)._1 == n, s"$s: batch populations diverge from q128")
+      assert(byK(s)._2 == dup, s"$s: true-dup counts diverge from q128")
+    }
+    // the screen saves real work at the fixture's duplicate rate
+    val (tn, tpos) = (rows.map(_._2).sum, rows.map(_._3).sum)
+    assert(tpos * 3 < tn, "bloom-positive share too high — filter undersized")
+  }
+
   test("q221 funnel: stage monotonicity and agreement with the standalone gates") {
     val rows = Training.q221(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),

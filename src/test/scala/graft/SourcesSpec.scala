@@ -294,4 +294,44 @@ class SourcesSpec extends AnyFunSuite {
       "the footer probe must restore the session nanosAsLong conf")
     spark.conf.unset(key)
   }
+
+  test("binaryMedia: P6 files round-trip the multimodal decode; oversize quarantined") {
+    import graft.multimodal.Multimodal
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("binmedia")
+    // two real P6 files written from the shared encoder's payloads
+    val docs = Seq((1L, "ABCDEFGHIJKLMNOPQRSTUVWX", "en", "s1", 24L),
+        (2L, "zzzz", "en", "s1", 4L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val payloads = Multimodal.ppmFromDocuments(docs).collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]]("payload")).toMap
+    java.nio.file.Files.write(dir.resolve("a.ppm"), payloads(1L))
+    java.nio.file.Files.write(dir.resolve("b.ppm"), payloads(2L))
+    java.nio.file.Files.write(dir.resolve("ignore.txt"),
+      "not an image".getBytes("US-ASCII"))
+    val media = graft.sources.Sources.binaryMedia(spark, dir.toString, "*.ppm")
+    val rows = media.collect()
+    assert(rows.length == 2, "the glob must prune at listing time")
+    assert(rows.forall(_.getAs[String]("kind") == "ppm"))
+    // identity is the md5-60 of the file NAME, payloads byte-identical
+    val byName = rows.map(r =>
+      r.getAs[String]("file_name") -> r.getAs[Array[Byte]]("payload")).toMap
+    assert(byName("a.ppm").toSeq == payloads(1L).toSeq)
+    assert(byName("b.ppm").toSeq == payloads(2L).toSeq)
+    // the file-sourced payloads decode through the SAME parser as the
+    // column-sourced path — sums match the direct encode->decode
+    val viaFiles = Multimodal.decodePpm(media).collect()
+      .map(r => r.getLong(3)).sorted.toSeq
+    val direct = Multimodal.decodePpm(Multimodal.ppmFromDocuments(docs))
+      .collect().map(r => r.getLong(3)).sorted.toSeq
+    assert(viaFiles == direct, "file and column ingestion must decode equal")
+    // an oversized object is listed but its payload is NULL-quarantined
+    val small = graft.sources.Sources
+      .binaryMedia(spark, dir.toString, "*.ppm", maxBytesPerFile = 30L)
+      .collect()
+    assert(small.length == 2)
+    val (kept, dropped) = small.partition(r => !r.isNullAt(2))
+    assert(kept.nonEmpty && kept.forall(_.getAs[Long]("n_bytes") <= 30L))
+    assert(dropped.nonEmpty && dropped.forall(_.getAs[Long]("n_bytes") > 30L))
+  }
 }
