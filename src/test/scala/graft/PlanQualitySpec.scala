@@ -565,6 +565,58 @@ class PlanQualitySpec extends AnyFunSuite {
       s"the post-aggregate frames should join small:\n$p")
   }
 
+  test("q215/q216: sketch builders are single-scan join-free bounded aggregates") {
+    for (q <- Seq("q215_hll_registers", "q216_bloom_filter")) {
+      val p = plan(q)
+      val scans = p.split("Scan parquet").length - 1
+      assert(scans == 1, s"$q must scan the corpus exactly once, saw $scans:\n$p")
+      assert(!p.contains("Join"), s"$q is one map-combined aggregate:\n$p")
+      assert(!p.contains("Window"), p)
+      assert(p.contains("partial"), s"$q must combine map-side:\n$p")
+    }
+  }
+
+  test("q211/q224: sketch probes ride broadcast joins, never shuffles") {
+    for (q <- Seq("q211_count_min_sketch", "q224_bloom_ingest_gate")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+        s"$q's bounded cell frame must broadcast:\n$p")
+      assert(!p.contains("SortMergeJoin") || q == "q224_bloom_ingest_gate",
+        s"$q must not shuffle-join the sketch:\n$p")
+    }
+  }
+
+  test("q217: decay ranking plans per-partition heaps over one aggregate") {
+    val p = plan("q217_decayed_popularity")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-20 must be a limit, not a global sort:\n$p")
+    assert(!p.contains("Window"), p)
+  }
+
+  test("q219: the burstiness lag window is keyed — no unpartitioned window") {
+    val p = plan("q219_gap_burstiness")
+    assert(p.contains("Window"), p)
+    // every Window's partition spec names user_id or event_type — the raw
+    // event stream is never funneled through a single partition
+    val winLines = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(winLines.nonEmpty &&
+      winLines.forall(l => l.contains("user_id") || l.contains("event_type")),
+      s"an unkeyed window over raw events:\n$p")
+  }
+
+  test("q220: boundary targets attach by broadcast, ECDF runs on the bin frame") {
+    val p = plan("q220_range_boundaries")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the >= target join must broadcast the literal-sized side:\n$p")
+    assert(!p.contains("SortMergeJoin"), p)
+    // parents print first: the cumulative Window sits above the bin
+    // HashAggregate, never on raw orders
+    val aggIdx = p.lastIndexOf("HashAggregate")
+    val winIdx = p.lastIndexOf("Window")
+    assert(winIdx >= 0 && aggIdx > winIdx,
+      s"the ECDF window consumes pre-aggregate rows:\n$p")
+  }
+
   test("q207: each power-iteration round is one scan against a literal v — no join") {
     // the returned frame is round 3; rounds 1–2 ran as parameter fetches
     val p = plan("q207_power_iteration")
