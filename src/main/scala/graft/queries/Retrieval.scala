@@ -738,6 +738,76 @@ object Retrieval {
        |    // SUM(n_docs) OVER (PARTITION BY source) AS BIGINT) AS pct_ppm
        |FROM b ORDER BY source, bin""".stripMargin
 
+  /** q225 quantile-normalized quality gate — the APPLY step of q182's
+    * percentile table (which exists because raw quality scores are not
+    * comparable ACROSS sources — a global cut over-keeps whichever domain
+    * the model flatters): each source keeps its own upper half, at bin
+    * granularity — a bin survives when the bins strictly below it already
+    * hold ≥ half the source's documents (2·cum_before ≥ total, exact
+    * integers; partial bins go whole-bin by the declared grid trade). Per
+    * source: docs, kept, kept share (≈ 500,000 ppm everywhere — the
+    * NORMALIZATION property, spec-asserted), and the effective logit
+    * threshold the rule implies (`threshold_lo_x1e6` — DIFFERENT per
+    * source; that spread is exactly the cross-source bias a single global
+    * cut would have baked in, made visible).
+    *
+    * Scale shape: the corpus is touched once, inside [[q182]]; the gate
+    * and rollup are windows/aggregates over the source×bin frame
+    * (value-bounded, the q182 contract). */
+  def q225(spark: SparkSession, dir: String): DataFrame = {
+    val wAll = Window.partitionBy("source")
+    q182(spark, dir)
+      .withColumn("total", sum("n_docs").over(wAll))
+      .withColumn("cum_before", col("cum_docs") - col("n_docs"))
+      .withColumn("keep", expr("2 * cum_before >= total"))
+      .groupBy("source")
+      .agg(sum("n_docs").as("n_docs"),
+        sum(when(col("keep"), col("n_docs")).otherwise(0L)).as("n_kept"),
+        min(when(col("keep"), col("bin"))).as("threshold_bin"),
+        min(when(col("keep"), col("lo_x1e6"))).as("threshold_lo_x1e6"))
+      .withColumn("kept_ppm", expr("n_kept * 1000000 div n_docs"))
+      .select("source", "n_docs", "n_kept", "kept_ppm", "threshold_bin",
+        "threshold_lo_x1e6")
+      .orderBy("source")
+  }
+
+  val q225Sql: String =
+    s"""WITH f AS (
+       |  SELECT source,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) * 1000000
+       |      // len(string_split(text, ' ')) AS distinct_ppm,
+       |    CAST(len(list_filter(string_split(text, ' '),
+       |      t -> t = 'the' OR t = 'a')) AS BIGINT) * 1000000
+       |      // len(string_split(text, ' ')) AS stop_ppm
+       |  FROM documents
+       |), s AS (
+       |  SELECT source,
+       |    ${W0} + ${WLen} * n_tokens + ${WDistinct} * distinct_ppm
+       |      + (${WStop}) * stop_ppm AS logit_x1e6
+       |  FROM f
+       |), b AS (
+       |  SELECT source, logit_x1e6 // 100000 AS bin, COUNT(*) AS n_docs,
+       |    CAST(MIN(logit_x1e6) AS BIGINT) AS lo_x1e6
+       |  FROM s GROUP BY source, bin
+       |), g AS (
+       |  SELECT source, bin, n_docs, lo_x1e6,
+       |    SUM(n_docs) OVER (PARTITION BY source ORDER BY bin)
+       |      - n_docs AS cum_before,
+       |    SUM(n_docs) OVER (PARTITION BY source) AS total
+       |  FROM b
+       |)
+       |SELECT source, CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+       |  CAST(SUM(CASE WHEN 2 * cum_before >= total THEN n_docs ELSE 0 END)
+       |    AS BIGINT) AS n_kept,
+       |  CAST(SUM(CASE WHEN 2 * cum_before >= total THEN n_docs ELSE 0 END)
+       |    * 1000000 // SUM(n_docs) AS BIGINT) AS kept_ppm,
+       |  CAST(MIN(CASE WHEN 2 * cum_before >= total THEN bin END) AS BIGINT)
+       |    AS threshold_bin,
+       |  CAST(MIN(CASE WHEN 2 * cum_before >= total THEN lo_x1e6 END)
+       |    AS BIGINT) AS threshold_lo_x1e6
+       |FROM g GROUP BY source ORDER BY source""".stripMargin
+
   /** The q202 threshold grid: five logit cut points ×1e6 around the q111
     * gate's zero — SPEC constants (the operating points a team actually
     * compares; extend the literal list to refine the sweep). */
@@ -1322,6 +1392,7 @@ object Retrieval {
     ("q109_bm25_topk", q109 _, Some(q109Sql)),
     ("q175_rrf_fusion", q175 _, Some(q175Sql)),
     ("q218_rerank_agreement", q218 _, Some(q218Sql)),
+    ("q225_quantile_gate", q225 _, Some(q225Sql)),
     ("q153_ndcg", q153 _, Some(q153Sql)),
     ("q157_knn_mrr", q157 _, Some(q157Sql)),
     ("q110_allpairs_cosine", q110 _, Some(q110Sql)),

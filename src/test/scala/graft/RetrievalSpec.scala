@@ -318,6 +318,44 @@ class RetrievalSpec extends AnyFunSuite {
       "threshold 0 must reproduce the q111 keep total")
   }
 
+  test("q225 quantile gate: per-source keep rates normalize, thresholds spread") {
+    val rows = Retrieval.q225(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    // replay the bin-granular upper-half rule from the q182 table
+    val bins = Retrieval.q182(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val expected = bins.groupBy(_._1).map { case (src, xs) =>
+      val ordered = xs.sortBy(_._2)
+      val total = ordered.map(_._3).sum
+      var cum = 0L
+      val kept = ordered.flatMap { case (_, bin, n, lo) =>
+        val keep = 2 * cum >= total; cum += n
+        if (keep) Some((bin, n, lo)) else None
+      }
+      src -> ((total, kept.map(_._2).sum,
+        kept.headOption.map(_._1), kept.headOption.map(_._3)))
+    }
+    rows.foreach { case (src, n, k, kppm, tb, tlo) =>
+      val (en, ek, etb, etlo) = expected(src)
+      assert(n == en && k == ek, s"$src counts")
+      assert(Some(tb) == etb && Some(tlo) == etlo, s"$src threshold")
+      assert(kppm == k * 1000000L / n, src)
+      // the hard half of the normalization property: the rule can NEVER
+      // keep more than half a source; the lower bound is soft because a
+      // single wide bin straddling the median keeps whole-bin (at 25
+      // docs/source the fixture's granularity costs up to ~2 bins)
+      assert(kppm <= 500000L, s"$src kept $kppm over half")
+      assert(kppm >= 150000L, s"$src kept $kppm — a degenerate bin profile")
+    }
+    // the whole point: effective thresholds DIFFER across sources — the
+    // bias a single global cut would have baked in
+    val thresholds = rows.map(_._6)
+    assert(thresholds.max - thresholds.min > 100000L,
+      "thresholds collapsed — quantile normalization shows no cross-source spread")
+  }
+
   test("q218 rerank agreement: triangular pairs, tau identity and bounds") {
     val r = Retrieval.q218(spark, sf).head
     val (n, c, d, tau) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
