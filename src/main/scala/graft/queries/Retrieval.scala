@@ -49,6 +49,82 @@ object Retrieval {
       |GROUP BY passage HAVING COUNT(*) >= 2
       |ORDER BY n_docs DESC, passage LIMIT 20""".stripMargin
 
+  /** q226 duplicated-passage coverage — q106 DETECTS cross-document
+    * duplicated 8-token passages; this prices them: per source, the share
+    * of token positions lying inside at least one such passage — the
+    * "how much of my corpus is boilerplate passage mass" number that
+    * decides whether a q106-style excision filter is worth building
+    * (q188 prices whole-document copies; this is the sub-document
+    * remainder exact dedup cannot touch). Overlapping windows never
+    * double-count: coverage is the DISTINCT (doc, token-position) set
+    * under the union of duplicated windows.
+    *
+    * Scale shape: windows explode linearly (the q106 kernel) and shuffle
+    * by the md5-60 passage hash (8-byte keys, the q188 discipline); the
+    * duplicated set is one aggregate over distinct (hash, doc); covered
+    * positions explode ×8 on DUPLICATED windows only (candidates ∝
+    * duplication, never corpus); the distinct and the rollups are keyed
+    * by doc/source. */
+  def q226(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.parallelized(Tables.load(spark, dir, "documents"))
+      .select(col("doc_id"), col("source"), col("text"),
+        size(split(col("text"), " ")).cast(LongType).as("nt"))
+    val wins = docs
+      .select(col("doc_id"), col("source"),
+        posexplode(T.wordShingles(col("text"), 8)).as(Seq("pos", "passage")))
+      .withColumn("ph", T.portableHash60(col("passage")))
+      .select("doc_id", "source", "pos", "ph")
+    val dup = wins.select("ph", "doc_id").distinct()
+      .groupBy("ph").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2).select("ph")
+    val covered = wins.join(dup, "ph")
+      .select(col("doc_id"), col("source"),
+        explode(sequence(col("pos"), col("pos") + 7)).as("tp"))
+      .distinct()
+      .groupBy("source").agg(count(lit(1)).as("covered_tokens"))
+    docs.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("nt").as("n_tokens"))
+      .join(covered, Seq("source"), "left")
+      .withColumn("covered_tokens", coalesce(col("covered_tokens"), lit(0L)))
+      .withColumn("coverage_ppm",
+        expr("covered_tokens * 1000000 div n_tokens"))
+      .select("source", "n_docs", "n_tokens", "covered_tokens",
+        "coverage_ppm")
+      .orderBy("source")
+  }
+
+  val q226Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
+      |), wins AS (
+      |  SELECT doc_id, source, i - 1 AS pos,
+      |    CAST('0x' || substr(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' '
+      |      || w[i+3] || ' ' || w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' '
+      |      || w[i+7]), 1, 15) AS BIGINT) AS ph
+      |  FROM (SELECT doc_id, source, w, unnest(range(1, len(w) - 6)) AS i
+      |        FROM toks)
+      |), dup AS (
+      |  SELECT ph FROM (SELECT DISTINCT ph, doc_id FROM wins)
+      |  GROUP BY ph HAVING COUNT(*) >= 2
+      |), cov AS (
+      |  SELECT DISTINCT doc_id, source, tp FROM (
+      |    SELECT w2.doc_id, w2.source,
+      |      unnest(range(w2.pos, w2.pos + 8)) AS tp
+      |    FROM wins w2 JOIN dup d ON d.ph = w2.ph)
+      |), tot AS (
+      |  SELECT source, COUNT(*) AS n_docs,
+      |    CAST(SUM(len(w)) AS BIGINT) AS n_tokens
+      |  FROM toks GROUP BY source
+      |), c AS (
+      |  SELECT source, COUNT(*) AS covered FROM cov GROUP BY source
+      |)
+      |SELECT t.source, t.n_docs, t.n_tokens,
+      |  CAST(COALESCE(c.covered, 0) AS BIGINT) AS covered_tokens,
+      |  CAST(COALESCE(c.covered, 0) * 1000000 // t.n_tokens AS BIGINT)
+      |    AS coverage_ppm
+      |FROM tot t LEFT JOIN c ON c.source = t.source
+      |ORDER BY t.source""".stripMargin
+
   /** q107 interval union (merge-overlaps): each event opens a 5-minute
     * activity interval; per user, overlapping/adjacent intervals are merged
     * and the query reports how many merged intervals remain and the total
@@ -1393,6 +1469,7 @@ object Retrieval {
     ("q175_rrf_fusion", q175 _, Some(q175Sql)),
     ("q218_rerank_agreement", q218 _, Some(q218Sql)),
     ("q225_quantile_gate", q225 _, Some(q225Sql)),
+    ("q226_passage_coverage", q226 _, Some(q226Sql)),
     ("q153_ndcg", q153 _, Some(q153Sql)),
     ("q157_knn_mrr", q157 _, Some(q157Sql)),
     ("q110_allpairs_cosine", q110 _, Some(q110Sql)),

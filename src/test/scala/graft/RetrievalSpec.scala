@@ -356,6 +356,35 @@ class RetrievalSpec extends AnyFunSuite {
       "thresholds collapsed — quantile normalization shows no cross-source spread")
   }
 
+  test("q226 passage coverage replays from a driver-side window fold") {
+    val rows = Retrieval.q226(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.nonEmpty)
+    val docs = graft.Tables.load(spark, sf, "documents").collect()
+      .map(r => (r.getLong(0), r.getString(3), r.getString(1).split(" ")))
+    val wins = docs.flatMap { case (id, src, w) =>
+      w.sliding(8).filter(_.length == 8).zipWithIndex
+        .map { case (p, i) => (p.mkString(" "), id, src, i) }
+    }
+    val dup = wins.groupBy(_._1).filter(_._2.map(_._2).distinct.size >= 2).keySet
+    val covered = wins.filter(w => dup(w._1))
+      .flatMap { case (_, id, src, pos) => (pos until pos + 8).map(p => (id, src, p)) }
+      .distinct
+    val expected = docs.groupBy(_._2).map { case (src, xs) =>
+      val toks = xs.map(_._3.length.toLong).sum
+      val cov = covered.count(_._2 == src).toLong
+      src -> ((xs.length.toLong, toks, cov, cov * 1000000L / toks))
+    }
+    assert(rows.map(_._1).toSet == expected.keySet)
+    rows.foreach { case (src, nd, nt, cov, ppm) =>
+      assert((nd, nt, cov, ppm) == expected(src), s"$src mismatch")
+      assert(cov <= nt, s"$src: coverage cannot exceed the token mass")
+    }
+    assert(rows.map(_._4).sum > 0L,
+      "no duplicated-passage mass — the q106 detector should disagree")
+  }
+
   test("q218 rerank agreement: triangular pairs, tau identity and bounds") {
     val r = Retrieval.q218(spark, sf).head
     val (n, c, d, tau) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
