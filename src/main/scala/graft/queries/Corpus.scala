@@ -588,8 +588,57 @@ object Corpus {
       |    AS BIGINT) AS excess_ppm
       |FROM adj a JOIN comp c USING (shard) ORDER BY shard""".stripMargin
 
+  /** q227 per-source document-length inequality (exact Gini) — the
+    * long-document dominance flag for corpus layout: a source whose token
+    * mass concentrates in a few giant documents packs badly (q81's bins
+    * fragment, q177's buckets pad) and lets single documents dominate a
+    * mixture cell, invisibly to the mean length. Exact rank-formula Gini
+    * over each source's per-document token counts, in ppm:
+    * G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx) with documents ranked ascending
+    * by (tokens, doc_id) — deterministic under ties, all int64 (overflow
+    * past Σ(i·xᵢ) ≈ 9e18: i ≤ n, so n·Σx bounds it — lift to decimal
+    * past ~3e9 docs·tokens per source). 0 = all docs equal, →1e6 = one
+    * doc is the source. The income-inequality statistic q143 applies to
+    * LABELS, pointed at document mass (and the docs-axis companion of
+    * q194's token-axis HHI).
+    *
+    * Scale shape: one corpus map, one rank window KEYED by source (the
+    * q108/q210 per-group-sort trade, stated), one ≤\|sources\| rollup. */
+  def q227(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("source").orderBy(col("nt"), col("doc_id"))
+    Tables.parallelized(Tables.load(spark, dir, "documents"))
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast(LongType).as("nt"))
+      .withColumn("rk", row_number().over(w).cast(LongType))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("nt").as("n_tokens"),
+        sum(expr("rk * nt")).as("rank_mass"))
+      .withColumn("gini_ppm", expr(
+        "(2 * rank_mass - (n_docs + 1) * n_tokens) * 1000000 div (n_docs * n_tokens)"))
+      .select("source", "n_docs", "n_tokens", "gini_ppm")
+      .orderBy("source")
+  }
+
+  val q227Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+      |  FROM documents
+      |), r AS (
+      |  SELECT source, nt,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY nt, doc_id)
+      |      AS BIGINT) AS rk
+      |  FROM d
+      |)
+      |SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(nt) AS BIGINT) AS n_tokens,
+      |  CAST((2 * SUM(rk * nt) - (COUNT(*) + 1) * SUM(nt)) * 1000000
+      |    // (COUNT(*) * SUM(nt)) AS BIGINT) AS gini_ppm
+      |FROM r GROUP BY source ORDER BY source""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q210_shuffle_quality", q210 _, Some(q210Sql)),
+    ("q227_length_gini", q227 _, Some(q227Sql)),
     ("q177_padding_waste", q177 _, Some(q177Sql)),
     ("q198_shard_balance", q198 _, Some(q198Sql)),
     ("q200_corpus_datasheet", q200 _, Some(q200Sql)),

@@ -423,6 +423,34 @@ class OperatorSemanticsSpec extends AnyFunSuite {
     }
   }
 
+  test("q227 Gini: bounds, invariance checks, driver-side rank-formula replay") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = graft.queries.Corpus.q227(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    val docs = Tables.load(spark, sf, "documents").collect()
+      .map(r => (r.getLong(0), r.getString(3),
+        r.getString(1).split(" ").length.toLong))
+    val expected = docs.groupBy(_._2).map { case (src, xs) =>
+      val sorted = xs.sortBy(x => (x._3, x._1)).map(_._3)
+      val n = sorted.length.toLong
+      val tot = sorted.sum
+      val rankMass = sorted.zipWithIndex.map { case (x, i) => (i + 1) * x }.sum
+      src -> ((n, tot,
+        (2 * rankMass - (n + 1) * tot) * 1000000L / (n * tot)))
+    }
+    rows.foreach { case (src, n, tot, gini) =>
+      assert((n, tot, gini) == expected(src), s"$src mismatch")
+      // Gini of a finite positive sample: 0 <= G < 1 (strictly, <= (n-1)/n)
+      assert(gini >= 0L && gini < 1000000L * (n - 1) / n + 1, src)
+    }
+    // a uniform synthetic sample really scores ~0 through the same formula
+    val uni = Seq.fill(10)(7L)
+    val un = uni.length.toLong
+    val uMass = uni.zipWithIndex.map { case (x, i) => (i + 1) * x }.sum
+    assert((2 * uMass - (un + 1) * uni.sum) * 1000000L / (un * uni.sum) == 0L)
+  }
+
   test("q200 datasheet reconciles with the per-source audits it summarizes") {
     val sf = "/root/testdata/sf0.001"
     val r = graft.queries.Corpus.q200(spark, sf).collect()
