@@ -636,9 +636,99 @@ object Corpus {
       |    // (COUNT(*) * SUM(nt)) AS BIGINT) AS gini_ppm
       |FROM r GROUP BY source ORDER BY source""".stripMargin
 
+  /** q228 pack-boundary split contamination — the cross-doc leak the
+    * packing stage can introduce AFTER a clean split: q81 packs documents
+    * into fixed context windows, and a pack holding BOTH q171 train-side
+    * and test-side documents exposes eval text to training attention
+    * (full-attention packing has no document mask by default). Per source:
+    * packs, mixed packs (both sides present), mixed share in ppm, and the
+    * documents riding in mixed packs — the exposure the fix (pack WITHIN
+    * side, or attention-mask at doc boundaries) must drive to zero. The
+    * oracle replays the packing state machine (the q81 recursive CTE) AND
+    * the cluster-side assignment (the q171 algebra) end-to-end —
+    * composition proved cross-engine, like q221/q224.
+    *
+    * Scale shape: the pack frame joins the side frame on doc_id (both
+    * corpus-keyed, one shuffle), then two bounded aggregates — per
+    * (source, shard, pack) cells, then the ≤\|sources\| rollup. */
+  def q228(spark: SparkSession, dir: String): DataFrame = {
+    val packs = packSequences(
+      Tables.parallelized(Tables.load(spark, dir, "documents")),
+      budget = 128L, shards = 4)
+      .select("doc_id", "source", "shard", "pack_idx")
+    val sides = graft.dedup.Dedup.splitSides(spark, dir)
+      .select(col("doc_id"), col("side"))
+    packs.join(sides, "doc_id")
+      .groupBy("source", "shard", "pack_idx")
+      .agg(count(lit(1)).as("n_docs"),
+        min("side").as("lo"), max("side").as("hi"))
+      .withColumn("mixed", col("lo") =!= col("hi"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_packs"),
+        sum(when(col("mixed"), 1L).otherwise(0L)).as("n_mixed"),
+        sum(when(col("mixed"), col("n_docs")).otherwise(0L))
+          .as("docs_exposed"))
+      .withColumn("mixed_ppm", expr("n_mixed * 1000000 div n_packs"))
+      .select("source", "n_packs", "n_mixed", "mixed_ppm", "docs_exposed")
+      .orderBy("source")
+  }
+
+  val q228Sql: String =
+    """WITH RECURSIVE d AS (
+      |  SELECT doc_id, source,
+      |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 4 AS shard,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents
+      |), seq AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY source, shard ORDER BY doc_id) AS rn
+      |  FROM d
+      |), rec AS (
+      |  SELECT doc_id, source, shard, n_tokens, rn,
+      |    CAST(1 AS BIGINT) AS pack_idx, n_tokens AS used
+      |  FROM seq WHERE rn = 1
+      |  UNION ALL
+      |  SELECT s.doc_id, s.source, s.shard, s.n_tokens, s.rn,
+      |    CASE WHEN r.used + s.n_tokens <= 128 THEN r.pack_idx ELSE r.pack_idx + 1 END,
+      |    CASE WHEN r.used + s.n_tokens <= 128 THEN r.used + s.n_tokens ELSE s.n_tokens END
+      |  FROM rec r JOIN seq s
+      |    ON s.source = r.source AND s.shard = r.shard AND s.rn = r.rn + 1
+      |), toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      |), sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
+      |    i -> CAST('0x' || substr(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]), 1, 15) AS BIGINT))) AS hs
+      |  FROM toks
+      |), sig AS (
+      |  SELECT doc_id,
+      |    list_min(list_transform(hs, h -> (1299709 * (h % 2147483647) + 7) % 2147483647)) AS s0,
+      |    list_min(list_transform(hs, h -> (15485863 * (h % 2147483647) + 101) % 2147483647)) AS s1
+      |  FROM sh
+      |), sides AS (
+      |  SELECT doc_id,
+      |    CAST('0x' || substr(md5(
+      |      CAST(CASE WHEN s0 IS NOT NULL THEN s0 ELSE -1 END AS VARCHAR)
+      |      || ':' ||
+      |      CAST(CASE WHEN s0 IS NOT NULL THEN s1 ELSE doc_id END AS VARCHAR)),
+      |      1, 8) AS BIGINT) % 2 AS side
+      |  FROM sig
+      |), cells AS (
+      |  SELECT r.source, r.shard, r.pack_idx, COUNT(*) AS n_docs,
+      |    MIN(sd.side) AS lo, MAX(sd.side) AS hi
+      |  FROM rec r JOIN sides sd ON sd.doc_id = r.doc_id
+      |  GROUP BY 1, 2, 3
+      |)
+      |SELECT source, COUNT(*) AS n_packs,
+      |  CAST(SUM(CASE WHEN lo <> hi THEN 1 ELSE 0 END) AS BIGINT) AS n_mixed,
+      |  CAST(SUM(CASE WHEN lo <> hi THEN 1 ELSE 0 END) * 1000000 // COUNT(*)
+      |    AS BIGINT) AS mixed_ppm,
+      |  CAST(SUM(CASE WHEN lo <> hi THEN n_docs ELSE 0 END) AS BIGINT)
+      |    AS docs_exposed
+      |FROM cells GROUP BY source ORDER BY source""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q210_shuffle_quality", q210 _, Some(q210Sql)),
     ("q227_length_gini", q227 _, Some(q227Sql)),
+    ("q228_pack_contamination", q228 _, Some(q228Sql)),
     ("q177_padding_waste", q177 _, Some(q177Sql)),
     ("q198_shard_balance", q198 _, Some(q198Sql)),
     ("q200_corpus_datasheet", q200 _, Some(q200Sql)),

@@ -451,6 +451,38 @@ class OperatorSemanticsSpec extends AnyFunSuite {
     assert((2 * uMass - (un + 1) * uni.sum) * 1000000L / (un * uni.sum) == 0L)
   }
 
+  test("q228 pack contamination reconciles with the q81 packs and q171 sides") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = graft.queries.Corpus.q228(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.nonEmpty)
+    // replay from the q81 pack frame joined to the splitSides assignment
+    val packs = graft.queries.Corpus.q81(spark, sf).collect()
+      .map(r => (r.getLong(0), (r.getString(1), r.getLong(2), r.getLong(4))))
+      .toMap
+    val sides = graft.dedup.Dedup.splitSides(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(4)).toMap
+    val cells = packs.toSeq.groupBy(_._2).map { case (k, xs) =>
+      val ss = xs.map(x => sides(x._1)).distinct
+      (k._1, xs.size.toLong, ss.size > 1)
+    }
+    val expected = cells.groupBy(_._1).map { case (src, xs) =>
+      val mixed = xs.filter(_._3)
+      src -> ((xs.size.toLong, mixed.size.toLong, mixed.map(_._2).sum))
+    }
+    rows.foreach { case (src, np, nm, ppm, exposed) =>
+      val (en, em, eexp) = expected(src)
+      assert((np, nm, exposed) == ((en, em, eexp)), s"$src mismatch")
+      assert(ppm == nm * 1000000L / np, src)
+      // a mixed pack needs at least two documents per mixed pack
+      assert(exposed >= 2 * nm, src)
+    }
+    // the fixture packs ACROSS the split, so contamination is visibly
+    // non-zero — the condition this audit exists to expose
+    assert(rows.map(_._3).sum > 0L, "no mixed packs — audit has no signal")
+  }
+
   test("q200 datasheet reconciles with the per-source audits it summarizes") {
     val sf = "/root/testdata/sf0.001"
     val r = graft.queries.Corpus.q200(spark, sf).collect()
