@@ -772,8 +772,68 @@ object Analytics {
       |FROM s GROUP BY l_partkey
       |ORDER BY decayed DESC, l_partkey LIMIT 20""".stripMargin
 
+  /** q230 RFM segmentation — the classic recency/frequency/monetary user
+    * grid, in the engine's octave algebra so it is exact cross-engine:
+    * per user over purchase events, recency = days since last purchase
+    * (vs the corpus max event time, a 1-row broadcast "now"), frequency =
+    * purchase count, monetary = lifetime cents; each dimension buckets by
+    * bitlen octave (the q219/q160 integer-log surrogate — RFM's classic
+    * quintiles need per-dimension global sorts; octaves are the
+    * shuffle-free scale-safe rendering, and the q108/q53 trade applies if
+    * true quintiles are required). Segments roll up to (code, users,
+    * total cents) — the marketing/retention table, and the behavioral
+    * companion of q105's cohort grid.
+    *
+    * Scale shape: one user-keyed map-combined aggregate, the octave map,
+    * one ≤\|codes\| rollup; no window, one scalar broadcast. */
+  def q230(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.load(spark, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_millis(col("ts")).as("ms"),
+        floor(col("value") * 100).cast(LongType).as("cents"))
+    val now = p.agg(max("ms").as("now_ms")) // 1-row scalar
+    p.groupBy("user_id")
+      .agg(max("ms").as("last_ms"), count(lit(1)).as("n_purch"),
+        sum("cents").as("tot_cents"))
+      .crossJoin(broadcast(now))
+      .withColumn("r_oct", length(bin(
+        expr("(now_ms - last_ms) div 86400000") + 1)).cast(LongType))
+      .withColumn("f_oct", length(bin(col("n_purch"))).cast(LongType))
+      .withColumn("m_oct", length(bin(col("tot_cents") + 1)).cast(LongType))
+      .withColumn("rfm_code",
+        expr("r_oct * 10000 + f_oct * 100 + m_oct"))
+      .groupBy("rfm_code", "r_oct", "f_oct", "m_oct")
+      .agg(count(lit(1)).as("n_users"), sum("tot_cents").as("seg_cents"))
+      .orderBy("rfm_code")
+  }
+
+  val q230Sql: String =
+    """WITH p AS (
+      |  SELECT user_id, epoch_ms(ts) AS ms,
+      |    CAST(FLOOR(value * 100) AS BIGINT) AS cents
+      |  FROM events WHERE event_type = 'purchase'
+      |), now AS (SELECT MAX(ms) AS now_ms FROM p
+      |), u AS (
+      |  SELECT user_id, MAX(ms) AS last_ms, COUNT(*) AS n_purch,
+      |    CAST(SUM(cents) AS BIGINT) AS tot_cents
+      |  FROM p GROUP BY user_id
+      |), o AS (
+      |  SELECT
+      |    CAST(length(printf('%b', (now.now_ms - last_ms) // 86400000 + 1))
+      |      AS BIGINT) AS r_oct,
+      |    CAST(length(printf('%b', n_purch)) AS BIGINT) AS f_oct,
+      |    CAST(length(printf('%b', tot_cents + 1)) AS BIGINT) AS m_oct,
+      |    tot_cents
+      |  FROM u CROSS JOIN now
+      |)
+      |SELECT r_oct * 10000 + f_oct * 100 + m_oct AS rfm_code,
+      |  r_oct, f_oct, m_oct, COUNT(*) AS n_users,
+      |  CAST(SUM(tot_cents) AS BIGINT) AS seg_cents
+      |FROM o GROUP BY 1, 2, 3, 4 ORDER BY rfm_code""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q217_decayed_popularity", q217 _, Some(q217Sql)),
+    ("q230_rfm_segments", q230 _, Some(q230Sql)),
     ("q69_unpivot", q69 _, Some(q69Sql)),
     ("q70_islands", q70 _, Some(q70Sql)),
     ("q71_fuzzy_block_join", q71 _, Some(q71Sql)),

@@ -125,6 +125,81 @@ object Retrieval {
       |FROM tot t LEFT JOIN c ON c.source = t.source
       |ORDER BY t.source""".stripMargin
 
+  /** q229 retrieval diversity audit — is the q109 BM25 top-50 dominated by
+    * one source? Search/RAG quality degrades silently when one domain
+    * crowds the candidate list (the retrieval-side cousin of q225's
+    * mixing bias): over the lexical top-50, the distinct-source count,
+    * the heaviest source's share, and the source-concentration HHI
+    * (Σ share², the q194 kernel on the result list) — 1e6 = one source
+    * owns the page, 1e6/\|sources\| = perfectly diverse. One row; the
+    * deliverable is the trend across index rebuilds.
+    *
+    * Scale shape: the candidate list is TakeOrderedAndProject(50)
+    * (LIMIT-bounded ⇒ everything after is 50-row arithmetic); the source
+    * fetch is one slim key join against the LIMIT-bounded frame. */
+  def q229(spark: SparkSession, dir: String): DataFrame = {
+    val lex = bm25Scored(spark, dir)
+      .orderBy(desc("score_x1e6"), col("doc_id")).limit(50)
+      .select("doc_id")
+    val srcs = lex.join(Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), col("source")), "doc_id")
+      .groupBy("source").agg(count(lit(1)).as("n"))
+    val all = Window.partitionBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    srcs
+      .withColumn("t", sum("n").over(all)) // ≤|sources| rows by construction
+      .withColumn("share_ppm", expr("n * 1000000 div t"))
+      .agg(max("t").as("k"),
+        count(lit(1)).as("n_sources"),
+        max("share_ppm").as("top_share_ppm"),
+        sum(expr("share_ppm * share_ppm div 1000000")).as("hhi_ppm"))
+      .select("k", "n_sources", "top_share_ppm", "hhi_ppm")
+  }
+
+  val q229Sql: String =
+    """WITH docs AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      |), d AS (
+      |  SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM docs
+      |), stats AS (
+      |  SELECT COUNT(*) AS n_docs, SUM(dl) * 1000 // COUNT(*) AS avgdl_x1e3
+      |  FROM d
+      |), tf AS (
+      |  SELECT doc_id, dl, term, COUNT(*) AS tf FROM (
+      |    SELECT d.doc_id, d.dl, unnest(docs.w) AS term
+      |    FROM docs JOIN d USING (doc_id)
+      |  ) WHERE term IN ('hash', 'join', 'vector')
+      |  GROUP BY 1, 2, 3
+      |), dfreq AS (
+      |  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+      |), scored AS (
+      |  SELECT tf.doc_id, tf.dl,
+      |    (2 * (s.n_docs - dfreq.df) + 1) * 1000 // (2 * dfreq.df + 1) AS idf_x1e3,
+      |    tf.tf * 2200000000000 // (tf.tf * 1000000 +
+      |      (12 * (250000 + (tf.dl * 1000000000 // s.avgdl_x1e3) * 75 // 100)) // 10)
+      |      AS tfsat_x1e6
+      |  FROM tf JOIN dfreq USING (term) CROSS JOIN stats s
+      |), cand AS (
+      |  SELECT doc_id,
+      |    CAST(SUM(idf_x1e3 * tfsat_x1e6 // 1000) AS BIGINT) AS score_x1e6
+      |  FROM scored GROUP BY doc_id, dl
+      |), lex AS (
+      |  SELECT doc_id FROM cand ORDER BY score_x1e6 DESC, doc_id LIMIT 50
+      |), srcs AS (
+      |  SELECT dd.source, COUNT(*) AS n
+      |  FROM lex l JOIN documents dd ON dd.doc_id = l.doc_id
+      |  GROUP BY dd.source
+      |), sh AS (
+      |  SELECT n, n * 1000000 // (SELECT SUM(n) FROM srcs) AS share_ppm,
+      |    (SELECT SUM(n) FROM srcs) AS t
+      |  FROM srcs
+      |)
+      |SELECT CAST(MAX(t) AS BIGINT) AS k,
+      |  COUNT(*) AS n_sources,
+      |  CAST(MAX(share_ppm) AS BIGINT) AS top_share_ppm,
+      |  CAST(SUM(share_ppm * share_ppm // 1000000) AS BIGINT) AS hhi_ppm
+      |FROM sh""".stripMargin
+
   /** q107 interval union (merge-overlaps): each event opens a 5-minute
     * activity interval; per user, overlapping/adjacent intervals are merged
     * and the query reports how many merged intervals remain and the total
@@ -249,7 +324,7 @@ object Retrieval {
     * cache (the basket-frame discipline): three registry queries start
     * from this exact frame, and a session running more than one of them
     * should pay the corpus scan + tf aggregate once. */
-  private def bm25Scored(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def bm25Scored(spark: SparkSession, dir: String): DataFrame =
     SharedFrames.sharedFrame(spark, dir, "documents", "bm25-cand") {
       bm25ScoredUncached(spark, dir)
     }
@@ -1470,6 +1545,7 @@ object Retrieval {
     ("q218_rerank_agreement", q218 _, Some(q218Sql)),
     ("q225_quantile_gate", q225 _, Some(q225Sql)),
     ("q226_passage_coverage", q226 _, Some(q226Sql)),
+    ("q229_retrieval_diversity", q229 _, Some(q229Sql)),
     ("q153_ndcg", q153 _, Some(q153Sql)),
     ("q157_knn_mrr", q157 _, Some(q157Sql)),
     ("q110_allpairs_cosine", q110 _, Some(q110Sql)),

@@ -285,6 +285,34 @@ class MiningSpec extends AnyFunSuite {
     }
   }
 
+  test("q230 RFM segments replay from a driver-side octave fold") {
+    val rows = queries.Analytics.q230(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    val p = Tables.load(spark, sf, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_millis(col("ts")).as("ms"),
+        floor(col("value") * 100).cast("long").as("cents")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val now = p.map(_._2).max
+    def oct(x: Long): Long = 64L - java.lang.Long.numberOfLeadingZeros(x)
+    val expected = p.groupBy(_._1).toSeq.map { case (_, xs) =>
+      val (r, f, m) = (oct((now - xs.map(_._2).max) / 86400000L + 1),
+        oct(xs.length.toLong), oct(xs.map(_._3).sum + 1))
+      (r * 10000 + f * 100 + m, r, f, m, xs.map(_._3).sum)
+    }.groupBy(t => (t._1, t._2, t._3, t._4)).map { case (k, xs) =>
+      (k._1, k._2, k._3, k._4, xs.size.toLong, xs.map(_._5).sum)
+    }.toSeq.sortBy(_._1)
+    assert(rows.toSeq == expected, "RFM segment replay mismatch")
+    // codes decompose and users conserve
+    rows.foreach { case (code, r, f, m, _, _) =>
+      assert(code == r * 10000 + f * 100 + m)
+    }
+    assert(rows.map(_._5).sum == p.map(_._1).distinct.length.toLong,
+      "segments must partition the purchasing users")
+  }
+
   test("q217 decayed popularity replays from a driver-side shift fold") {
     val rows = queries.Analytics.q217(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))

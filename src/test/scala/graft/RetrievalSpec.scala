@@ -385,6 +385,26 @@ class RetrievalSpec extends AnyFunSuite {
       "no duplicated-passage mass — the q106 detector should disagree")
   }
 
+  test("q229 retrieval diversity replays from the scored top-50") {
+    val r = Retrieval.q229(spark, sf).head
+    val (k, ns, top, hhi) = (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3))
+    assert(k == 50L, "the audit list is the lexical top-50")
+    // replay: top-50 of the shared BM25 scoring, sources counted driver-side
+    val scored = Retrieval.bm25Scored(spark, sf).collect()
+      .map(x => (x.getAs[Long]("doc_id"), x.getAs[Long]("score_x1e6")))
+      .sortBy { case (id, s) => (-s, id) }.take(50).map(_._1).toSet
+    val srcOf = graft.Tables.load(spark, sf, "documents").collect()
+      .map(x => x.getLong(0) -> x.getString(3)).toMap
+    val counts = scored.toSeq.map(srcOf).groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    assert(ns == counts.size.toLong, "distinct-source count")
+    val shares = counts.values.map(_ * 1000000L / 50L)
+    assert(top == shares.max, "top share")
+    assert(hhi == shares.map(s => s * s / 1000000L).sum, "hhi")
+    assert(hhi >= 1000000L / ns && hhi <= 1000000L, "hhi algebraic bounds")
+  }
+
   test("q218 rerank agreement: triangular pairs, tau identity and bounds") {
     val r = Retrieval.q218(spark, sf).head
     val (n, c, d, tau) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
