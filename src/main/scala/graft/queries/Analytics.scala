@@ -831,8 +831,55 @@ object Analytics {
       |  CAST(SUM(tot_cents) AS BIGINT) AS seg_cents
       |FROM o GROUP BY 1, 2, 3, 4 ORDER BY rfm_code""".stripMargin
 
+  /** q231 sourcing-risk concentration — per part, how concentrated is its
+    * supply across suppliers? The procurement twin of q194's lexical HHI:
+    * per (part, supplier) shipped-quantity cells, per-part supplier count
+    * and the quantity-share HHI in exact ppm; a part with HHI near 1e6
+    * has a single point of failure even if it nominally lists several
+    * suppliers. Output: the 20 most concentrated multi-supplier parts
+    * (single-supplier parts are trivially 1e6 and filtered — the
+    * actionable list is the nominally-diversified-but-actually-captive
+    * tail).
+    *
+    * Scale shape: ONE map-combined (part, supplier) aggregate collapses
+    * the fact table; the share window is keyed by part over
+    * supplier-bounded cells; the cut is TakeOrderedAndProject(20). */
+  def q231(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("l_partkey")
+    Tables.load(spark, dir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey"),
+        floor(col("l_quantity")).cast(LongType).as("qty"))
+      .groupBy("l_partkey", "l_suppkey").agg(sum("qty").as("q"))
+      .withColumn("t", sum("q").over(w))
+      .withColumn("share_ppm", expr("q * 1000000 div t"))
+      .groupBy("l_partkey")
+      .agg(count(lit(1)).as("n_suppliers"), max("t").as("total_qty"),
+        sum(expr("share_ppm * share_ppm div 1000000")).as("hhi_ppm"))
+      .filter(col("n_suppliers") >= 2)
+      .orderBy(desc("hhi_ppm"), col("l_partkey"))
+      .limit(20)
+  }
+
+  val q231Sql: String =
+    """WITH cells AS (
+      |  SELECT l_partkey, l_suppkey,
+      |    CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT) AS q
+      |  FROM lineitem GROUP BY 1, 2
+      |), sh AS (
+      |  SELECT l_partkey, q,
+      |    CAST(SUM(q) OVER (PARTITION BY l_partkey) AS BIGINT) AS t
+      |  FROM cells
+      |)
+      |SELECT l_partkey, COUNT(*) AS n_suppliers,
+      |  CAST(MAX(t) AS BIGINT) AS total_qty,
+      |  CAST(SUM((q * 1000000 // t) * (q * 1000000 // t) // 1000000)
+      |    AS BIGINT) AS hhi_ppm
+      |FROM sh GROUP BY l_partkey HAVING COUNT(*) >= 2
+      |ORDER BY hhi_ppm DESC, l_partkey LIMIT 20""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q217_decayed_popularity", q217 _, Some(q217Sql)),
+    ("q231_sourcing_hhi", q231 _, Some(q231Sql)),
     ("q230_rfm_segments", q230 _, Some(q230Sql)),
     ("q69_unpivot", q69 _, Some(q69Sql)),
     ("q70_islands", q70 _, Some(q70Sql)),

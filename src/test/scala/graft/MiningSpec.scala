@@ -285,6 +285,33 @@ class MiningSpec extends AnyFunSuite {
     }
   }
 
+  test("q231 sourcing HHI: bounds, multi-supplier filter, driver replay") {
+    val rows = queries.Analytics.q231(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length == 20)
+    val cells = Tables.load(spark, sf, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey"),
+        floor(col("l_quantity")).cast("long").as("q")).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val perPart = cells.groupBy(_._1._1).map { case (p, xs) =>
+      val t = xs.values.sum
+      val hhi = xs.values.map { q =>
+        val s = q * 1000000L / t; s * s / 1000000L
+      }.sum
+      p -> ((xs.size.toLong, t, hhi))
+    }.filter(_._2._1 >= 2)
+    val expected = perPart.toSeq
+      .sortBy { case (p, (_, _, h)) => (-h, p) }.take(20)
+      .map { case (p, (n, t, h)) => (p, n, t, h) }
+    assert(rows.toSeq == expected, "HHI replay mismatch")
+    rows.foreach { case (p, n, _, hhi) =>
+      assert(n >= 2L, s"part $p: single-supplier parts are filtered")
+      // n shares summing to <=1e6: HHI bounded by (1e6/n, 1e6)
+      assert(hhi <= 1000000L && hhi >= 1000000L / n - n, s"part $p hhi $hhi")
+    }
+  }
+
   test("q230 RFM segments replay from a driver-side octave fold") {
     val rows = queries.Analytics.q230(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
