@@ -32,3 +32,14 @@ javaOptions ++= jdk17AddOpens ++ Seq(
 // larger JIT code cache (default 240m); no GC tuning needed (G1 pauses
 // measured <12ms on the full bench).
 javaOptions += "-XX:ReservedCodeCacheSize=512m"
+// The bench contract line (one JSON object on stdout) must be the LAST
+// line the `sbt runMain graft.Bench` invocation prints, UNWRAPPED: the
+// harness reads a bounded stdout tail and parses the JSON line, and sbt
+// both prefixes forked-process stdout with "[info] " (via its logger) and
+// appends a "[success] Total time: ..." footer — either can break a
+// strict line parser. StdoutOutput pipes the forked JVM's streams straight
+// through, and showSuccess drops the footer, so the contract line is the
+// final, prefix-free line of the invocation.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+ThisBuild / showSuccess := false
+Global / excludeLintKeys += showSuccess

@@ -18,8 +18,12 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      // release operator-cached intermediates (see Bench) between queries
+      // release operator-cached intermediates (see Bench) between queries;
+      // the RDD sweep also reaps scratch-checkpoint blocks
+      // (Checkpoints.scratch) without waiting for a GC+ContextCleaner cycle
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -100,11 +100,13 @@ object Dedup {
     * expression over `text` used for verification.
     *
     * Candidates are deduped BEFORE verification (the same pair may collide in
-    * many bands), then persisted: the candidate frame feeds three consumers
-    * (the output and both legs of the doc-id union), which would otherwise
-    * re-run the band join per consumer — materializing it is the natural
-    * barrier of any LSH pipeline. The cache belongs to the session (see the
-    * minHashPairs scaladoc). Shingle sets are computed only for candidate
+    * many bands), then eagerly scratch-checkpointed: the candidate frame
+    * feeds three consumers (the output and both legs of the doc-id union),
+    * which would otherwise re-run the band join per consumer —
+    * materializing it is the natural barrier of any LSH pipeline, and the
+    * checkpoint blocks die with the frame instead of stranding a session
+    * cache entry ([[graft.operators.Checkpoints.scratch]]). Shingle sets
+    * are computed only for candidate
     * docs via an unhinted semi-join: the candidate set is data-dependent, so
     * AQE decides at runtime whether it is broadcast-sized — a forced
     * broadcast would OOM the driver in the worst case at 100 TB. */
@@ -112,13 +114,15 @@ object Dedup {
       bandKeyCols: Seq[String], shingleSet: org.apache.spark.sql.Column,
       minJaccardX1e6: Long): DataFrame = {
     val keyCols = bandKeyCols.map(col)
-    val cand = exploded.select(keyCols :+ col("doc_id").as("doc_a"): _*)
+    // the LSH barrier: candidates materialize exactly once — an eager
+    // scratch checkpoint (not persist+count: a cache entry on a lazily-
+    // returned plan has no release point, Checkpoints.scratch scaladoc)
+    val cand = graft.operators.Checkpoints.scratch(
+      exploded.select(keyCols :+ col("doc_id").as("doc_a"): _*)
       .join(exploded.select(keyCols :+ col("doc_id").as("doc_b"): _*), bandKeyCols)
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b")
-      .dropDuplicates("doc_a", "doc_b")
-      .persist()
-    cand.count() // the LSH barrier: candidates materialize exactly once
+      .dropDuplicates("doc_a", "doc_b"))
 
     val candDocs = cand.select(col("doc_a").as("doc_id"))
       .union(cand.select(col("doc_b").as("doc_id"))).distinct()

@@ -41,6 +41,22 @@ import org.apache.spark.storage.StorageLevel
 private[graft] object Checkpoints {
   def rddOf(df: DataFrame): Option[RDD[InternalRow]] =
     df.queryExecution.analyzed.collectFirst { case lr: LogicalRDD => lr.rdd }
+
+  /** Materialize a mid-query scratch frame ONCE (eager local checkpoint)
+    * so several consumer branches of a lazily-returned plan share a single
+    * computation WITHOUT a `persist()` entry: a kernel that returns a lazy
+    * result has no post-action point at which to unpersist, so a cache
+    * entry it creates outlives the query in the session's CacheManager
+    * (the r9 leak class — nine sites, "Asked to cache already cached
+    * data" warnings on every re-execution). Checkpoint blocks instead die
+    * with the frame reference (ContextCleaner periodic GC, or
+    * Bench/Verify's between-query RDD sweep). The standard localCheckpoint
+    * trade applies at cluster scale: blocks are unreplicated, so an
+    * executor loss fails the query instead of recomputing — acceptable
+    * for within-query scratch, NOT for cross-query shared frames (those
+    * stay in the stamped [[graft.queries.SharedFrames]] registry, which
+    * owns an explicit eviction lifecycle). */
+  def scratch(df: DataFrame): DataFrame = df.localCheckpoint(eager = true)
 }
 
 object ConnectedComponents {

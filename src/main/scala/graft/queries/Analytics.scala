@@ -538,14 +538,14 @@ object Analytics {
     val items = SharedFrames.basketItems(spark, dir)
     val a = items.select(col("okey"), col("part").as("part_a"))
     val b = items.select(col("okey").as("okey_b"), col("part").as("part_b"))
-    // persisted: consumed twice (the frequent-pair aggregate AND the
-    // semi-join probe) — unpersisted, the Σ basket² okey self-join runs
-    // twice per execution. Bounded by frequent-pair instances × basket
-    // size, spills to disk if storage is tight (default MEMORY_AND_DISK).
-    val pairInstances = a
+    // scratch-checkpointed: consumed twice (the frequent-pair aggregate AND
+    // the semi-join probe) — unmaterialized, the Σ basket² okey self-join
+    // runs twice per execution; a persist() here would strand a cache
+    // entry past the lazily-returned result (Checkpoints.scratch scaladoc).
+    // Bounded by basket-pair instances, MEMORY_AND_DISK blocks.
+    val pairInstances = graft.operators.Checkpoints.scratch(a
       .join(b, col("okey") === col("okey_b") && col("part_a") < col("part_b"))
-      .select("okey", "part_a", "part_b")
-      .persist()
+      .select("okey", "part_a", "part_b"))
     val freqPairs = pairInstances
       .groupBy("part_a", "part_b").agg(count(lit(1)).as("n_ab"))
       .filter(col("n_ab") >= minSupport)
@@ -597,13 +597,15 @@ object Analytics {
   def q147(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("tms", "event_id")
       .rowsBetween(Window.unboundedPreceding, 0)
-    val e = Tables.load(spark, dir, "events")
+    // scratch-checkpointed (consumed 3x: purchases + both touch-join probe
+    // sides) — one materialization of the user-keyed window pass, no
+    // stranded cache entry (Checkpoints.scratch discipline)
+    val e = graft.operators.Checkpoints.scratch(Tables.load(spark, dir, "events")
       .select(col("user_id"), col("event_id"), col("event_type"),
         unix_millis(col("ts")).as("tms"),
         floor(col("value") * 100).cast(LongType).as("cents"))
       .withColumn("ord",
-        sum(when(col("event_type") =!= "purchase", 1L).otherwise(0L)).over(w))
-      .persist() // consumed 3x: purchases + both touch-join probe sides
+        sum(when(col("event_type") =!= "purchase", 1L).otherwise(0L)).over(w)))
     val touches = e.filter(col("event_type") =!= "purchase")
       .select(col("user_id").as("tu"), col("ord").as("tord"),
         col("event_type").as("channel"))
@@ -799,7 +801,12 @@ object Analytics {
       .withColumn("r_oct", length(bin(
         expr("(now_ms - last_ms) div 86400000") + 1)).cast(LongType))
       .withColumn("f_oct", length(bin(col("n_purch"))).cast(LongType))
-      .withColumn("m_oct", length(bin(col("tot_cents") + 1)).cast(LongType))
+      // monetary mass clamped at 0: a refund-heavy user can go net-negative,
+      // and Spark bin() renders negatives as 64-char two's complement while
+      // DuckDB printf('%b') does not — the clamp keeps the octave domain
+      // explicitly non-negative so both engines agree on every input
+      .withColumn("m_oct",
+        length(bin(greatest(col("tot_cents"), lit(0L)) + 1)).cast(LongType))
       .withColumn("rfm_code",
         expr("r_oct * 10000 + f_oct * 100 + m_oct"))
       .groupBy("rfm_code", "r_oct", "f_oct", "m_oct")
@@ -822,7 +829,7 @@ object Analytics {
       |    CAST(length(printf('%b', (now.now_ms - last_ms) // 86400000 + 1))
       |      AS BIGINT) AS r_oct,
       |    CAST(length(printf('%b', n_purch)) AS BIGINT) AS f_oct,
-      |    CAST(length(printf('%b', tot_cents + 1)) AS BIGINT) AS m_oct,
+      |    CAST(length(printf('%b', GREATEST(tot_cents, 0) + 1)) AS BIGINT) AS m_oct,
       |    tot_cents
       |  FROM u CROSS JOIN now
       |)

@@ -526,9 +526,13 @@ object Corpus {
     * Scale shape: the lag window is partitioned by shard — the same keyed
     * per-shard sort q84 itself performs to materialize the order (the
     * q108 documented trade); the composition term is two map-combined
-    * aggregates. Int64 bound: n_s(n_s−1)·1e6 overflows past n_s ≈ 3e6 —
-    * compute expected_ppm with divide-before-multiply (pair_mass div
-    * (n(n−1)) first) past that shard size. */
+    * aggregates. Int64 bound: the code (and oracle) keep the EXACT
+    * multiply-first form `pair_mass * 1e6 div (n(n−1))`, which overflows
+    * int64 once pair_mass passes ~9.2e12 (n_s ≈ 3e6 same-source docs in
+    * one shard) — past that shard size the expression itself must be
+    * LIFTED (decimal, or divide-before-multiply at the cost of ≤1e6-ppm
+    * truncation error), not merely re-derived; the sf-scale fixture is
+    * ~12 orders of magnitude below the bound. */
   def q210(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("shard").orderBy(col("ord"), col("doc_id"))
     val docs = Tables.parallelized(Tables.load(spark, dir, "documents"))

@@ -166,7 +166,12 @@ object Evaluation {
       .crossJoin(g.agg(sum("c1").as("n1"), sum("c2").as("n2")))
       .withColumn("d_ppm",
         abs(expr("f1 * 1000000 div n1") - expr("f2 * 1000000 div n2")))
-      .persist() // consumed twice: max pass + argmax pass
+    // consumed twice (max pass + argmax pass) but deliberately NOT
+    // materialized: the frame is value-domain-sized (distinct v, tiny next
+    // to the corpus) and cheap to recompute from the domain aggregate,
+    // while a persist() on a lazily-returned plan would strand a cache
+    // entry (Checkpoints.scratch scaladoc) and a checkpoint would hide the
+    // window from the returned plan — the ≤2×-and-cheap drop case.
     val ks = ecdf.agg(max("d_ppm").as("ks_ppm"))
     ecdf.join(ks, ecdf("d_ppm") === ks("ks_ppm"))
       .groupBy("n1", "n2", "ks_ppm")

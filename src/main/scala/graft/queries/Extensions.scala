@@ -401,10 +401,13 @@ object Extensions {
     * aggregate — |langs|² rows; margins, the diagonal, and the ratio are
     * all domain-sized arithmetic after that. */
   def q154(spark: SparkSession, dir: String): DataFrame = {
-    val cm = Tables.load(spark, dir, "documents")
+    // |langs|²-sized scratch checkpoint: consumed 4x (N, diagonal, both
+    // margins), each rebuild would re-pay the corpus langId scan — one
+    // materialization, no stranded cache entry (Checkpoints.scratch)
+    val cm = graft.operators.Checkpoints.scratch(
+      Tables.load(spark, dir, "documents")
       .select(col("lang"), T.langId(col("text")).as("predicted"))
-      .groupBy("lang", "predicted").agg(count(lit(1)).as("n"))
-      .persist() // consumed 4x: N, diagonal, both margins
+      .groupBy("lang", "predicted").agg(count(lit(1)).as("n")))
     val total = cm.agg(sum("n").as("n_docs"))
     val agree = cm.filter(col("lang") === col("predicted"))
       .agg(coalesce(sum("n"), lit(0L)).as("n_agree"))
@@ -1537,11 +1540,12 @@ object Extensions {
         (array_contains(col("w"), "the") || array_contains(col("w"), "a"))
           .as("has_stop"))
       .select(col("source"),
-        (col("nt") < 30).as("r_short"),
+        (col("nt") < Retrieval.RuleMinTokens).as("r_short"),
         (!col("has_stop")).as("r_nostop"),
         // `div` = exact integral division matching the oracle's `//` — `/`
         // on longs is double division and rounds near the threshold
-        expr("nd * 1000000 div nt < 400000").as("r_lowttr"))
+        expr(s"nd * 1000000 div nt < ${Retrieval.RuleMinDistinctPpm}")
+          .as("r_lowttr"))
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("r_short"), 1L).otherwise(0L)).as("n_short"),
@@ -1554,13 +1558,14 @@ object Extensions {
       .orderBy("source")
 
   val q205Sql: String =
-    """WITH d AS (
+    s"""WITH d AS (
       |  SELECT source, string_split(text, ' ') AS w FROM documents
       |), f AS (
       |  SELECT source,
-      |    len(w) < 30 AS r_short,
+      |    len(w) < ${Retrieval.RuleMinTokens} AS r_short,
       |    NOT (list_contains(w, 'the') OR list_contains(w, 'a')) AS r_nostop,
-      |    len(list_distinct(w)) * 1000000 // len(w) < 400000 AS r_lowttr
+      |    len(list_distinct(w)) * 1000000 // len(w)
+      |      < ${Retrieval.RuleMinDistinctPpm} AS r_lowttr
       |  FROM d
       |)
       |SELECT source, COUNT(*) AS n_docs,

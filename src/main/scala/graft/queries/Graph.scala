@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import graft.operators.Checkpoints
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -55,15 +56,18 @@ object Graph {
     * value rides as a coalesce DEFAULT instead of |V| join rows per round —
     * the frame is bounded by the pointed-at set, and the per-round plan is
     * exactly one join + one map-combined aggregate. Rounds materialize via
-    * persist+count so each round's measured size feeds the next round's
-    * join planning; retired rounds release their cache immediately. The
-    * returned plan reads the edge and final-round caches; both belong to
-    * the session (Bench/Verify clear between queries). */
+    * eager scratch checkpoints (the [[graft.operators.Checkpoints]]
+    * discipline) so each round's measured size feeds the next round's join
+    * planning WITHOUT stranding CacheManager entries; each retired round's
+    * blocks are freed the moment the round that read them has itself
+    * materialized (localCheckpoint preserves the hash(src) layout in the
+    * LogicalRDD, so the per-round join still reuses the partitioning).
+    * The returned lazy plan reads only the edge and final-round
+    * checkpoints, whose blocks die with the result reference. */
   def pageRank(rawEdges: DataFrame, rounds: Int): DataFrame = {
-    val edges = rawEdges
+    val edges = Checkpoints.scratch(rawEdges
       .join(rawEdges.groupBy("src").agg(sum("wt").as("wout")), "src")
-      .repartition(col("src"))
-      .persist()
+      .repartition(col("src")))
     var ranks: DataFrame = null
     for (i <- 1 to rounds) {
       val joined =
@@ -71,13 +75,14 @@ object Graph {
         else edges
           .join(ranks.select(col("node").as("src"), col("r")), Seq("src"), "left")
           .withColumn("r", coalesce(col("r"), lit(150000L)))
-      val next = joined
+      val next = Checkpoints.scratch(joined
         .select(col("dst").as("node"),
           expr("850000 * r * wt div (1000000 * wout)").as("c"))
-        .groupBy("node").agg((lit(150000L) + sum("c")).as("r"))
-        .persist()
-      next.count()
-      if (ranks != null) ranks.unpersist(blocking = false)
+        .groupBy("node").agg((lit(150000L) + sum("c")).as("r")))
+      // `next` is materialized, so the previous round's snapshot can never
+      // be read again — free its blocks now, not at some future GC
+      if (ranks != null)
+        Checkpoints.rddOf(ranks).foreach(_.unpersist(blocking = false))
       ranks = next
     }
     val nodes = edges.select(col("src").as("node"))
@@ -187,8 +192,12 @@ object Graph {
     * set (columns `a` < `b`, distinct). Property-tested against a
     * driver-side brute-force triple count in PropertySpec. */
   def triangleStats(rawEdges: DataFrame): DataFrame = {
+    // NOT persisted here: the q136 path passes the SharedFrames-cached
+    // co-purchase frame (already materialized, registry-owned lifecycle),
+    // and a kernel-entry persist() on a lazily-returned result has no
+    // release point — it would strand a CacheManager entry per call (the
+    // r9 leak class). Direct callers pass cached or cheap edge frames.
     val edges = rawEdges
-      .persist() // consumed 4×: degrees, orientation, wedge closure, count
     val deg = edges.select(col("a").as("v"))
       .union(edges.select(col("b").as("v")))
       .groupBy("v").agg(count(lit(1)).as("d"))
@@ -197,10 +206,13 @@ object Graph {
       .join(deg.select(col("v").as("b"), col("d").as("db")), "b")
       .withColumn("fwd",
         col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")))
-    val oriented = lowFirst.select(
+    // scratch-checkpointed, not persisted: consumed three times (adjacency
+    // build + two probe joins) — one materialization shared by all three,
+    // blocks freed with the frame reference instead of stranding a cache
+    // entry (graft.operators.Checkpoints.scratch discipline)
+    val oriented = graft.operators.Checkpoints.scratch(lowFirst.select(
         when(col("fwd"), col("a")).otherwise(col("b")).as("src"),
-        when(col("fwd"), col("b")).otherwise(col("a")).as("dst"))
-      .persist() // consumed three times: adjacency build + two probe joins
+        when(col("fwd"), col("b")).otherwise(col("a")).as("dst")))
     // Edge-iterator formulation (Schank & Wagner, "Finding, Counting and
     // Listing All Triangles in Large Graphs", WEA'05): a triangle's unique
     // lowest-ranked vertex u orients it u→v, u→w, v→w, so it is counted

@@ -15,6 +15,46 @@ import org.apache.spark.sql.types._
   */
 object Retrieval {
 
+  /** The fixed 3-term benchmark query (SURVEY §2.13 declared knob) shared
+    * by the whole BM25 family — declared FIRST so the oracle-SQL vals
+    * below can interpolate it at object init. */
+  private val QueryTerms = Seq("hash", "join", "vector")
+
+  /** The q109 BM25 scoring kernel (tokenize → per-(doc,term) tf → idf /
+    * saturated-tf fixed point) as ONE DuckDB CTE prefix, shared by every
+    * BM25-consuming oracle (q109/q153/q175/q218/q229) — a k1/b/query-term
+    * knob change updates all five oracles at once instead of silently
+    * desynchronizing a hand-copied block. Ends at CTE `scored`
+    * (doc_id, dl, idf_x1e3, tfsat_x1e6); consumers append their own
+    * aggregation/ranking CTEs. */
+  private val Bm25ScoredCtes: String = {
+    val terms = QueryTerms.map(t => s"'$t'").mkString(", ")
+    s"""WITH docs AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+       |), d AS (
+       |  SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM docs
+       |), stats AS (
+       |  SELECT COUNT(*) AS n_docs, SUM(dl) AS total_dl,
+       |    SUM(dl) * 1000 // COUNT(*) AS avgdl_x1e3
+       |  FROM d
+       |), tf AS (
+       |  SELECT doc_id, dl, term, COUNT(*) AS tf FROM (
+       |    SELECT d.doc_id, d.dl, unnest(docs.w) AS term
+       |    FROM docs JOIN d USING (doc_id)
+       |  ) WHERE term IN ($terms)
+       |  GROUP BY 1, 2, 3
+       |), dfreq AS (
+       |  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+       |), scored AS (
+       |  SELECT tf.doc_id, tf.dl,
+       |    (2 * (s.n_docs - dfreq.df) + 1) * 1000 // (2 * dfreq.df + 1) AS idf_x1e3,
+       |    tf.tf * 2200000000000 // (tf.tf * 1000000 +
+       |      (12 * (250000 + (tf.dl * 1000000000 // s.avgdl_x1e3) * 75 // 100)) // 10)
+       |      AS tfsat_x1e6
+       |  FROM tf JOIN dfreq USING (term) CROSS JOIN stats s
+       |)""".stripMargin
+  }
+
   /** q106 duplicated-passage detection — the exact-substring-dedup primitive
     * (Lee et al., "Deduplicating Training Data Makes Language Models Better"):
     * every 8-token passage window, counted across documents; passages occurring
@@ -157,29 +197,7 @@ object Retrieval {
   }
 
   val q229Sql: String =
-    """WITH docs AS (
-      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
-      |), d AS (
-      |  SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM docs
-      |), stats AS (
-      |  SELECT COUNT(*) AS n_docs, SUM(dl) * 1000 // COUNT(*) AS avgdl_x1e3
-      |  FROM d
-      |), tf AS (
-      |  SELECT doc_id, dl, term, COUNT(*) AS tf FROM (
-      |    SELECT d.doc_id, d.dl, unnest(docs.w) AS term
-      |    FROM docs JOIN d USING (doc_id)
-      |  ) WHERE term IN ('hash', 'join', 'vector')
-      |  GROUP BY 1, 2, 3
-      |), dfreq AS (
-      |  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
-      |), scored AS (
-      |  SELECT tf.doc_id, tf.dl,
-      |    (2 * (s.n_docs - dfreq.df) + 1) * 1000 // (2 * dfreq.df + 1) AS idf_x1e3,
-      |    tf.tf * 2200000000000 // (tf.tf * 1000000 +
-      |      (12 * (250000 + (tf.dl * 1000000000 // s.avgdl_x1e3) * 75 // 100)) // 10)
-      |      AS tfsat_x1e6
-      |  FROM tf JOIN dfreq USING (term) CROSS JOIN stats s
-      |), cand AS (
+    s"""$Bm25ScoredCtes, cand AS (
       |  SELECT doc_id,
       |    CAST(SUM(idf_x1e3 * tfsat_x1e6 // 1000) AS BIGINT) AS score_x1e6
       |  FROM scored GROUP BY doc_id, dl
@@ -290,8 +308,9 @@ object Retrieval {
       |  MAX(CASE WHEN rn = (n * 99 + 99) // 100 THEN cents END) AS p99_cents
       |FROM ranked GROUP BY priority ORDER BY priority""".stripMargin
 
-  /** BM25 constants in fixed point: k1 = 1.2 (×10), b = 0.75 (×100). */
-  private val QueryTerms = Seq("hash", "join", "vector")
+  // BM25 constants in fixed point: k1 = 1.2 (×10), b = 0.75 (×100);
+  // QueryTerms is declared at the top of the object (the oracle CTE
+  // prefix interpolates it at init).
 
   /** q109 BM25 top-10 — the retrieval primitive under every RAG corpus, in
     * engine-portable fixed-point integer arithmetic:
@@ -389,29 +408,7 @@ object Retrieval {
   val q153Sql: String = {
     val values = DcgDiscounts.zipWithIndex
       .map { case (w, i) => s"(${i + 1}, $w)" }.mkString(", ")
-    s"""WITH docs AS (
-       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
-       |), d AS (
-       |  SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM docs
-       |), stats AS (
-       |  SELECT COUNT(*) AS n_docs, SUM(dl) * 1000 // COUNT(*) AS avgdl_x1e3
-       |  FROM d
-       |), tf AS (
-       |  SELECT doc_id, dl, term, COUNT(*) AS tf FROM (
-       |    SELECT d.doc_id, d.dl, unnest(docs.w) AS term
-       |    FROM docs JOIN d USING (doc_id)
-       |  ) WHERE term IN ('hash', 'join', 'vector')
-       |  GROUP BY 1, 2, 3
-       |), dfreq AS (
-       |  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
-       |), scored AS (
-       |  SELECT tf.doc_id, tf.dl,
-       |    (2 * (s.n_docs - dfreq.df) + 1) * 1000 // (2 * dfreq.df + 1) AS idf_x1e3,
-       |    tf.tf * 2200000000000 // (tf.tf * 1000000 +
-       |      (12 * (250000 + (tf.dl * 1000000000 // s.avgdl_x1e3) * 75 // 100)) // 10)
-       |      AS tfsat_x1e6
-       |  FROM tf JOIN dfreq USING (term) CROSS JOIN stats s
-       |), cand AS (
+    s"""$Bm25ScoredCtes, cand AS (
        |  SELECT doc_id,
        |    CAST(SUM(idf_x1e3 * tfsat_x1e6 // 1000) AS BIGINT) AS score_x1e6,
        |    COUNT(*) AS rel
@@ -547,29 +544,7 @@ object Retrieval {
   }
 
   val q218Sql: String =
-    """WITH docs AS (
-      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
-      |), d AS (
-      |  SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM docs
-      |), stats AS (
-      |  SELECT COUNT(*) AS n_docs, SUM(dl) * 1000 // COUNT(*) AS avgdl_x1e3
-      |  FROM d
-      |), tf AS (
-      |  SELECT doc_id, dl, term, COUNT(*) AS tf FROM (
-      |    SELECT d.doc_id, d.dl, unnest(docs.w) AS term
-      |    FROM docs JOIN d USING (doc_id)
-      |  ) WHERE term IN ('hash', 'join', 'vector')
-      |  GROUP BY 1, 2, 3
-      |), dfreq AS (
-      |  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
-      |), scored AS (
-      |  SELECT tf.doc_id, tf.dl,
-      |    (2 * (s.n_docs - dfreq.df) + 1) * 1000 // (2 * dfreq.df + 1) AS idf_x1e3,
-      |    tf.tf * 2200000000000 // (tf.tf * 1000000 +
-      |      (12 * (250000 + (tf.dl * 1000000000 // s.avgdl_x1e3) * 75 // 100)) // 10)
-      |      AS tfsat_x1e6
-      |  FROM tf JOIN dfreq USING (term) CROSS JOIN stats s
-      |), cand AS (
+    s"""$Bm25ScoredCtes, cand AS (
       |  SELECT doc_id,
       |    CAST(SUM(idf_x1e3 * tfsat_x1e6 // 1000) AS BIGINT) AS score_x1e6
       |  FROM scored GROUP BY doc_id, dl
@@ -615,29 +590,7 @@ object Retrieval {
       |FROM pairs""".stripMargin
 
   val q175Sql: String =
-    """WITH docs AS (
-      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
-      |), d AS (
-      |  SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM docs
-      |), stats AS (
-      |  SELECT COUNT(*) AS n_docs, SUM(dl) * 1000 // COUNT(*) AS avgdl_x1e3
-      |  FROM d
-      |), tf AS (
-      |  SELECT doc_id, dl, term, COUNT(*) AS tf FROM (
-      |    SELECT d.doc_id, d.dl, unnest(docs.w) AS term
-      |    FROM docs JOIN d USING (doc_id)
-      |  ) WHERE term IN ('hash', 'join', 'vector')
-      |  GROUP BY 1, 2, 3
-      |), dfreq AS (
-      |  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
-      |), scored AS (
-      |  SELECT tf.doc_id, tf.dl,
-      |    (2 * (s.n_docs - dfreq.df) + 1) * 1000 // (2 * dfreq.df + 1) AS idf_x1e3,
-      |    tf.tf * 2200000000000 // (tf.tf * 1000000 +
-      |      (12 * (250000 + (tf.dl * 1000000000 // s.avgdl_x1e3) * 75 // 100)) // 10)
-      |      AS tfsat_x1e6
-      |  FROM tf JOIN dfreq USING (term) CROSS JOIN stats s
-      |), cand AS (
+    s"""$Bm25ScoredCtes, cand AS (
       |  SELECT doc_id,
       |    CAST(SUM(idf_x1e3 * tfsat_x1e6 // 1000) AS BIGINT) AS score_x1e6
       |  FROM scored GROUP BY doc_id, dl
@@ -677,30 +630,7 @@ object Retrieval {
       |ORDER BY rrf_x1e6 DESC, doc_id LIMIT 10""".stripMargin
 
   val q109Sql =
-    """WITH docs AS (
-      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
-      |), d AS (
-      |  SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM docs
-      |), stats AS (
-      |  SELECT COUNT(*) AS n_docs, SUM(dl) AS total_dl,
-      |    SUM(dl) * 1000 // COUNT(*) AS avgdl_x1e3
-      |  FROM d
-      |), tf AS (
-      |  SELECT doc_id, dl, term, COUNT(*) AS tf FROM (
-      |    SELECT d.doc_id, d.dl, unnest(docs.w) AS term
-      |    FROM docs JOIN d USING (doc_id)
-      |  ) WHERE term IN ('hash', 'join', 'vector')
-      |  GROUP BY 1, 2, 3
-      |), dfreq AS (
-      |  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
-      |), scored AS (
-      |  SELECT tf.doc_id, tf.dl,
-      |    (2 * (s.n_docs - dfreq.df) + 1) * 1000 // (2 * dfreq.df + 1) AS idf_x1e3,
-      |    tf.tf * 2200000000000 // (tf.tf * 1000000 +
-      |      (12 * (250000 + (tf.dl * 1000000000 // s.avgdl_x1e3) * 75 // 100)) // 10)
-      |      AS tfsat_x1e6
-      |  FROM tf JOIN dfreq USING (term) CROSS JOIN stats s
-      |)
+    s"""$Bm25ScoredCtes
       |SELECT doc_id, dl,
       |  CAST(SUM(idf_x1e3 * tfsat_x1e6 // 1000) AS BIGINT) AS score_x1e6,
       |  COUNT(*) AS n_terms_hit
@@ -768,6 +698,12 @@ object Retrieval {
   private[queries] val WLen = 20000L   // per token
   private[queries] val WDistinct = 4L  // per ppm of distinct ratio (×1e6 /1e6)
   private[queries] val WStop = -30L    // per ppm of stopword ratio
+
+  /** The q205 heuristic-rule knobs, shared by every consumer of the rule
+    * gate (q205's sweep, q221's funnel) so a knob change can never
+    * desynchronize the standalone gate from the pipelines replaying it. */
+  private[queries] val RuleMinTokens = 30L       // R1 too-short
+  private[queries] val RuleMinDistinctPpm = 400000L // R3 low type-token ratio
 
   /** q111 model-based quality filtering — the classifier gate of a training
     * pipeline (the step between the q33 heuristics and the q54 corpus prep),

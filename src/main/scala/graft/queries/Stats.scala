@@ -215,14 +215,17 @@ object Stats {
     * Spark's rank-only InferWindowGroupLimit map-side prune, so nothing
     * saves that plan at scale. The 20-row prefix of the global (freq desc,
     * token) order is identical either way, so the outputs are
-    * bit-identical. The vocab aggregate is persisted: both the grand total
-    * and the top-20 read it, and unpersisted each would re-tokenize the
-    * corpus (vocab-sized persist — bounded by distinct tokens, never the
-    * corpus). */
+    * bit-identical. The vocab aggregate is scratch-checkpointed: both the
+    * grand total and the top-20 read it, and unmaterialized each would
+    * re-tokenize the corpus (vocab-sized blocks — bounded by distinct
+    * tokens, never the corpus; released with the frame, no stranded
+    * cache entry). */
   def q93(spark: SparkSession, dir: String): DataFrame = {
-    val counts = tokens(spark, dir).groupBy("token")
-      .agg(count(lit(1)).as("freq"))
-      .persist()
+    // scratch checkpoint, not persist: both the grand total and the top-20
+    // read the vocab aggregate, and a persist on a lazily-returned plan
+    // has no release point (Checkpoints.scratch scaladoc)
+    val counts = graft.operators.Checkpoints.scratch(
+      tokens(spark, dir).groupBy("token").agg(count(lit(1)).as("freq")))
     val total = counts.agg(sum("freq").as("total"))
     val top = counts.orderBy(desc("freq"), col("token")).limit(20)
     val w = Window.orderBy(desc("freq"), col("token"))
@@ -461,13 +464,17 @@ object Stats {
     * corpus; everything after lives on |labels|×|dims| rows (a dim-keyed
     * self-join bounded by labels² per dim). */
   def q151(spark: SparkSession, dir: String): DataFrame = {
-    val cent = Tables.parallelized(Tables.load(spark, dir, "embeddings"))
+    // model-sized (|labels|·|dims|) scratch checkpoint: consumed 3x (both
+    // pair sides + the norm frame), and each rebuild would re-pay the
+    // corpus-collapsing explode — one materialization, no stranded cache
+    // entry (Checkpoints.scratch discipline)
+    val cent = graft.operators.Checkpoints.scratch(
+      Tables.parallelized(Tables.load(spark, dir, "embeddings"))
       .select(col("label").cast(LongType).as("label"),
         posexplode(transform(col("embedding"),
           x => floor(x.cast(DoubleType) * 1000).cast(LongType))).as(Seq("dim", "q")))
       .groupBy("label", "dim")
-      .agg(expr("sum(q) div count(1)").as("m"))
-      .persist() // consumed 3x: both pair sides + the norm frame
+      .agg(expr("sum(q) div count(1)").as("m")))
     val norms = cent.groupBy("label")
       .agg(sum(expr("m * m")).as("norm2"))
     cent.select(col("label").as("label_a"), col("dim"), col("m").as("ma"))
@@ -957,10 +964,12 @@ object Stats {
           .as(Seq("dim", "q")))
       .groupBy("source", "dim")
       .agg(expr("sum(q) div count(1)").as("m"), count(lit(1)).as("n"))
-      .persist() // model-sized; consumed by both pair sides
-    cent.select(col("source").as("source_x"), col("dim"),
+    // model-sized scratch checkpoint; consumed by both pair sides — one
+    // materialization of the corpus collapse, no stranded cache entry
+    val cent2 = graft.operators.Checkpoints.scratch(cent)
+    cent2.select(col("source").as("source_x"), col("dim"),
         col("m").as("mx"), col("n").as("n_x"))
-      .join(cent.select(col("source").as("source_y"), col("dim"),
+      .join(cent2.select(col("source").as("source_y"), col("dim"),
         col("m").as("my"), col("n").as("n_y")), Seq("dim"))
       .filter(col("source_x") < col("source_y"))
       .groupBy("source_x", "source_y")

@@ -77,13 +77,14 @@ object Training {
   def q59(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.parallelized(Tables.load(spark, dir, "documents"))
       .withColumn("is_eval", T.hashBucket(col("doc_id"), 10) === 0)
-    // persisted: the gram explode (corpus scan + shingles + array_distinct)
-    // is the dominant cost and is consumed by BOTH the eval-gram side and
-    // the train-gram side — without the cache it runs twice. Bench/Verify
-    // clear the session cache between queries.
-    val grams = docs.select(col("doc_id"), col("is_eval"),
-      explode(array_distinct(T.wordShingles(col("text"), 4))).as("g"))
-      .persist()
+    // scratch-checkpointed: the gram explode (corpus scan + shingles +
+    // array_distinct) is the dominant cost and is consumed by BOTH the
+    // eval-gram side and the train-gram side — without the barrier it runs
+    // twice, and a persist() would strand a cache entry past the
+    // lazily-returned result (Checkpoints.scratch scaladoc).
+    val grams = graft.operators.Checkpoints.scratch(
+      docs.select(col("doc_id"), col("is_eval"),
+        explode(array_distinct(T.wordShingles(col("text"), 4))).as("g")))
     val evalGrams = grams.filter(col("is_eval")).select("g").distinct()
     val contaminated = grams.filter(!col("is_eval"))
       .join(evalGrams, Seq("g"), "left_semi")
@@ -135,11 +136,14 @@ object Training {
     * syndication hub gram (present in every source) is exactly the AQE
     * skew-split case; per-source totals join in at |sources| rows. */
   def q150(spark: SparkSession, dir: String): DataFrame = {
-    val grams = Tables.parallelized(Tables.load(spark, dir, "documents"))
+    // scratch-checkpointed: consumed 3x (both self-join sides + per-source
+    // totals) — one materialization of the explode+distinct, no stranded
+    // cache entry (Checkpoints.scratch discipline)
+    val grams = graft.operators.Checkpoints.scratch(
+      Tables.parallelized(Tables.load(spark, dir, "documents"))
       .select(col("source"),
         explode(array_distinct(T.wordShingles(col("text"), 4))).as("g"))
-      .distinct()
-      .persist() // consumed 3x: both self-join sides + per-source totals
+      .distinct())
     val per = grams.groupBy("source").agg(count(lit(1)).as("n"))
     grams.select(col("source").as("source_a"), col("g"))
       .join(grams.select(col("source").as("source_b"), col("g")),
@@ -1380,7 +1384,11 @@ object Training {
     * source or is already the fixed point, so 3 rounds settle any instance
     * that caps ≤2 waves deep; the fixture caps 4 sources in round 1, 1 in
     * round 2, and round 3 verifies the fixed point — Σalloc = B exactly).
-    * Output per source: mass, capped flag, final allocation.
+    * Output per source: mass, capped flag, final allocation, and
+    * `residual` = B − Σalloc — the fixed-point witness: 0 iff the rounds
+    * converged, so an instance that caps deeper than the literal 3 waves
+    * is VISIBLE in the output (non-zero residual), not a silent
+    * under-allocation. The spec asserts residual = 0 on the fixture.
     *
     * Scale shape: ONE map-combined corpus aggregate is the only corpus
     * pass (the q166 contract); all three rounds are window arithmetic over
@@ -1419,9 +1427,11 @@ object Training {
         .withColumn("capped", col("capped") || col("alloc") > cap)
         .drop("m_active", "r_budget", "base", "rem", "spare", "rk")
     }
-    df.select(col("source"), col("n_tokens"),
+    df.withColumn("fin", when(col("capped"), cap).otherwise(col("alloc")))
+      .withColumn("residual", col("budget") - sum("fin").over(all))
+      .select(col("source"), col("n_tokens"),
         when(col("capped"), 1L).otherwise(0L).as("capped"),
-        when(col("capped"), cap).otherwise(col("alloc")).as("alloc_tokens"))
+        col("fin").as("alloc_tokens"), col("residual"))
       .orderBy("source")
   }
 
@@ -1468,8 +1478,10 @@ object Training {
        |SELECT source, n_tokens,
        |  CAST(CASE WHEN capped THEN 1 ELSE 0 END AS BIGINT) AS capped,
        |  CAST(CASE WHEN capped THEN 1800 ELSE alloc END AS BIGINT)
-       |    AS alloc_tokens
-       |FROM r3 ORDER BY source""".stripMargin
+       |    AS alloc_tokens,
+       |  CAST(par.b - SUM(CASE WHEN capped THEN 1800 ELSE alloc END) OVER ()
+       |    AS BIGINT) AS residual
+       |FROM r3 CROSS JOIN par ORDER BY source""".stripMargin
   }
 
   /** q224 Bloom-screened ingest gate — q216's portable filter doing its
@@ -1601,13 +1613,16 @@ object Training {
         expr("cast(size(array_distinct(w)) as bigint) * 1000000 div n_tokens"))
       .withColumn("stop_ppm",
         expr("cast(2 * size(w) - size(array_remove(w, 'the')) - size(array_remove(w, 'a')) as bigint) * 1000000 div n_tokens"))
+      // gate knobs referenced from Retrieval, never re-hardcoded: the
+      // funnel must replay EXACTLY the standalone q205/q111 gates
       .withColumn("pass_rules",
-        !(col("n_tokens") < 30 ||
+        !(col("n_tokens") < Retrieval.RuleMinTokens ||
           !(array_contains(col("w"), "the") || array_contains(col("w"), "a")) ||
-          col("distinct_ppm") < 400000))
+          col("distinct_ppm") < Retrieval.RuleMinDistinctPpm))
       .withColumn("logit_x1e6",
-        lit(-1000000L) + lit(20000L) * col("n_tokens") +
-          lit(4L) * col("distinct_ppm") + lit(-30L) * col("stop_ppm"))
+        lit(Retrieval.W0) + lit(Retrieval.WLen) * col("n_tokens") +
+          lit(Retrieval.WDistinct) * col("distinct_ppm") +
+          lit(Retrieval.WStop) * col("stop_ppm"))
       .withColumn("pass_model", col("pass_rules") && col("logit_x1e6") >= 0)
       .withColumn("fp60",
         graft.functions.TextFunctions.portableHash60(col("text")))
@@ -1633,12 +1648,12 @@ object Training {
   }
 
   val q221Sql: String =
-    """WITH toks AS (
+    s"""WITH toks AS (
       |  SELECT doc_id, source, text, string_split(text, ' ') AS w
       |  FROM documents
       |), f AS (
       |  SELECT doc_id, source, CAST(len(w) AS BIGINT) AS n_tokens,
-      |    len(w) < 30 AS r_short,
+      |    len(w) < ${Retrieval.RuleMinTokens} AS r_short,
       |    NOT (list_contains(w, 'the') OR list_contains(w, 'a')) AS r_nostop,
       |    CAST(len(list_distinct(w)) AS BIGINT) * 1000000 // len(w)
       |      AS distinct_ppm,
@@ -1648,10 +1663,13 @@ object Training {
       |  FROM toks
       |), g AS (
       |  SELECT *,
-      |    NOT (r_short OR r_nostop OR distinct_ppm < 400000) AS pass_rules,
-      |    NOT (r_short OR r_nostop OR distinct_ppm < 400000)
-      |      AND -1000000 + 20000 * n_tokens + 4 * distinct_ppm
-      |        + (-30) * stop_ppm >= 0 AS pass_model
+      |    NOT (r_short OR r_nostop
+      |      OR distinct_ppm < ${Retrieval.RuleMinDistinctPpm}) AS pass_rules,
+      |    NOT (r_short OR r_nostop
+      |      OR distinct_ppm < ${Retrieval.RuleMinDistinctPpm})
+      |      AND ${Retrieval.W0} + ${Retrieval.WLen} * n_tokens
+      |        + ${Retrieval.WDistinct} * distinct_ppm
+      |        + (${Retrieval.WStop}) * stop_ppm >= 0 AS pass_model
       |  FROM f
       |), sig AS (
       |  SELECT doc_id,
@@ -2013,11 +2031,14 @@ object Training {
     * discipline), then ONE gram-keyed min-aggregate + one count per
     * attribution — all map-combined; output is |sources| cells. */
   def q189(spark: SparkSession, dir: String): DataFrame = {
-    val grams = Tables.parallelized(Tables.load(spark, dir, "documents"))
+    // scratch-checkpointed: consumed by both the per-source count and the
+    // min side — one materialization of the explode+distinct, no stranded
+    // cache entry (Checkpoints.scratch discipline)
+    val grams = graft.operators.Checkpoints.scratch(
+      Tables.parallelized(Tables.load(spark, dir, "documents"))
       .select(col("source"),
         explode(array_distinct(T.wordShingles(col("text"), 4))).as("g"))
-      .distinct() // per-source distinct grams
-      .persist()  // consumed by both the per-source count and the min side
+      .distinct()) // per-source distinct grams
     val perSource = grams.groupBy("source")
       .agg(count(lit(1)).as("n_distinct_grams"))
     val novel = grams.groupBy("g").agg(min("source").as("source"))

@@ -142,9 +142,11 @@ object Sources {
     * and reads each matching file as one row; this adapter shapes it into
     * the multimodal (media_id, kind, payload) contract so it feeds
     * [[graft.multimodal.Multimodal.decodePpm]]/`resizePpm`/`frameEnergy`
-    * directly. media_id is the portable md5-60 of the RELATIVE file name
-    * (stable across hosts and re-lists — an absolute path would bake the
-    * mount point into identity), kind the lowercase extension.
+    * directly. media_id is the portable md5-60 of the file path RELATIVE
+    * to the load root (stable across hosts and re-lists — an absolute
+    * path would bake the mount point into identity; a bare basename would
+    * collide two same-named files in different subdirectories into one
+    * identity), kind the lowercase extension.
     *
     * Scale notes: `pathGlobFilter` prunes at LISTING time (no read of
     * non-matching files), and the source parallelizes over files — one
@@ -157,16 +159,21 @@ object Sources {
     def base = spark.read.format("binaryFile")
       .option("pathGlobFilter", glob)
       .load(path)
+    // `path` arrives as a URI (file:/..., s3a://...); identity is the part
+    // AFTER the load root, so nested same-named files stay distinct and the
+    // mount point stays out of the hash. Greedy `.*` anchors on the LAST
+    // occurrence of the root segment — the one the listing actually used.
+    val rootSeg = java.util.regex.Pattern.quote(
+      path.stripSuffix("/").replaceAll("^[a-zA-Z0-9+.-]+:/+", "/")) + "/"
+    val relName = regexp_replace(col("path"), "^.*" + rootSeg, "")
     def shaped(payload: org.apache.spark.sql.Column,
         df: DataFrame): DataFrame =
       df.select(
-        graft.functions.TextFunctions
-          .portableHash60(regexp_extract(col("path"), "([^/]+)$", 1))
-          .as("media_id"),
+        graft.functions.TextFunctions.portableHash60(relName).as("media_id"),
         lower(regexp_extract(col("path"), "\\.([^./]+)$", 1)).as("kind"),
         payload.as("payload"),
         col("length").as("n_bytes"),
-        regexp_extract(col("path"), "([^/]+)$", 1).as("file_name"))
+        relName.as("file_name"))
     // the length predicate PUSHES DOWN to the binaryFile source, and the
     // oversized leg never references `content` — column pruning means the
     // stray multi-GB object is listed but its bytes are never read

@@ -246,11 +246,16 @@ class MiningSpec extends AnyFunSuite {
 
   test("q206 water-filling: caps respected, budget spent exactly at the fixed point") {
     val rows = Training.q206(spark, sf).collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
     assert(rows.nonEmpty)
+    // the residual column is the in-band fixed-point witness: exactly 0
+    // when the 3 rounds converged (every row carries the same value)
+    assert(rows.forall(_._5 == 0L),
+      s"non-zero residual ${rows.head._5}: rounds did not reach the fixed point")
     val totalTokens = rows.map(_._2).sum
     val budget = 5L * totalTokens / 4L
-    rows.foreach { case (src, _, capped, alloc) =>
+    rows.foreach { case (src, _, capped, alloc, _) =>
       assert(capped == 0L || capped == 1L, src)
       if (capped == 1L) assert(alloc == 1800L, s"$src: capped but alloc != cap")
       else assert(alloc <= 1800L, s"$src: uncapped alloc over the ceiling")
@@ -279,7 +284,7 @@ class MiningSpec extends AnyFunSuite {
         .toMap
       capped = capped ++ active.filter(s => alloc(s) > 1800L)
     }
-    rows.foreach { case (src, _, c, a) =>
+    rows.foreach { case (src, _, c, a, _) =>
       assert(c == (if (capped(src)) 1L else 0L), s"$src capped flag")
       assert(a == (if (capped(src)) 1800L else alloc(src)), s"$src alloc")
     }
