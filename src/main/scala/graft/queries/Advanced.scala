@@ -415,6 +415,62 @@ object Advanced {
       |  CAST(MAX(rho) AS BIGINT) AS max_rho
       |FROM r GROUP BY bucket ORDER BY bucket""".stripMargin
 
+  /** q233 HyperLogLog TIME-ROLLUP merge — q215's register sketch doing the
+    * job register tables exist for: the hour→corpus rollup a traffic
+    * dashboard runs (distinct users per hour, per day, all-time) without
+    * ever re-touching raw events. Each HOUR builds its own 64-register
+    * table over the portable md5-60 of user_id; the corpus-level registers
+    * are the REGISTER-WISE MAX of the hourly tables (max is associative
+    * and idempotent — the defining HLL merge, Flajolet et al. 2007 §4),
+    * emitted with each register's contributing-hour count. The DuckDB
+    * oracle builds the corpus registers the direct one-pass way, so the
+    * hash gate is the rollup-correctness proof: hourly build + MAX-merge
+    * ≡ direct build, register for register — the time axis of exactly
+    * the shard-axis proof q232 runs for count-min.
+    *
+    * Scale shape: ONE event-scan pass; tasks map-combine into
+    * ≤ hours·64 cells (time-bounded, not corpus-bounded), the merge
+    * collapses to ≤64 rows. The same plan rolls hours→days→months:
+    * only the grouping key coarsens, registers never rebuild. */
+  def q233(spark: SparkSession, dir: String): DataFrame = {
+    val p54 = 1L << 54
+    Tables.load(spark, dir, "events")
+      .select(expr("unix_millis(ts) div 3600000").as("hr"),
+        graft.functions.TextFunctions.portableHash60(col("user_id")).as("h"))
+      .select(col("hr"), expr(s"h div ${p54}L").as("bucket"),
+        expr(s"h % ${p54}L").as("rest"))
+      .select(col("hr"), col("bucket"),
+        when(col("rest") === 0L, lit(55L))
+          .otherwise(lit(55L) - length(bin(col("rest"))).cast(LongType))
+          .as("rho"))
+      .groupBy("hr", "bucket").agg(max("rho").as("hr_rho")) // hourly tables
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_hours"), max("hr_rho").as("max_rho"))
+      .orderBy("bucket")
+  }
+
+  /** Direct single-pass corpus registers (no hourly stage) — equality with
+    * the Spark side's MAX-merged hourly registers proves the rollup. */
+  val q233Sql: String =
+    """WITH h AS (
+      |  SELECT epoch_ms(ts) // 3600000 AS hr,
+      |    CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT)
+      |      AS h
+      |  FROM events
+      |), c AS (
+      |  SELECT hr, h // 18014398509481984 AS bucket,
+      |         h %  18014398509481984 AS rest
+      |  FROM h
+      |), r AS (
+      |  SELECT hr, bucket, CASE WHEN rest = 0 THEN 55
+      |    ELSE 55 - length(printf('%b', rest)) END AS rho
+      |  FROM c
+      |)
+      |SELECT CAST(bucket AS BIGINT) AS bucket,
+      |  CAST(COUNT(DISTINCT hr) AS BIGINT) AS n_hours,
+      |  CAST(MAX(rho) AS BIGINT) AS max_rho
+      |FROM r GROUP BY bucket ORDER BY bucket""".stripMargin
+
   /** q216 portable Bloom filter — the third mergeable sketch next to
     * q211's CMS (frequency) and q215's HLL (cardinality): set MEMBERSHIP
     * over document texts as a 2048-bit array packed into 32 bigint words,
@@ -774,6 +830,7 @@ object Advanced {
     ("q52_count_distinct", q52 _, Some(q52Sql)),
     ("q53_sketches", q53 _, None),
     ("q215_hll_registers", q215 _, Some(q215Sql)),
+    ("q233_hll_hour_merge", q233 _, Some(q233Sql)),
     ("q216_bloom_filter", q216 _, Some(q216Sql)),
     ("q55_range_frame", q55 _, Some(q55Sql)),
     ("q56_regex_tokens", q56 _, Some(q56Sql)),

@@ -607,7 +607,13 @@ object Corpus {
     * q194's token-axis HHI).
     *
     * Scale shape: one corpus map, one rank window KEYED by source (the
-    * q108/q210 per-group-sort trade, stated), one ≤\|sources\| rollup. */
+    * q108/q210 per-group-sort trade, stated): at open-web scale a single
+    * giant source straggles its partition's sort — the documented swap is
+    * the q53 sketch path (approx quantiles of the length distribution) or
+    * the q230-style octave/bitlen rendering, both sort-free; the exact
+    * keyed sort stays the default because Gini is an AUDIT number read by
+    * humans per rebuild, not a per-query serving path. One ≤\|sources\|
+    * rollup finishes. */
   def q227(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("source").orderBy(col("nt"), col("doc_id"))
     Tables.parallelized(Tables.load(spark, dir, "documents"))

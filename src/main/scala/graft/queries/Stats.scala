@@ -1433,6 +1433,61 @@ object Stats {
       |GROUP BY p.token, p.exact_cnt
       |ORDER BY est_cnt DESC, token LIMIT 20""".stripMargin
 
+  /** q232 count-min SHARD MERGE — the deployment path of q211's sketch,
+    * built and proved in-engine: at 100 TB a sketch is never built in one
+    * reduce — each shard (here the q84/q210 md5 doc-shard, in production a
+    * partition, a day, a data center) builds its OWN d×w counter array,
+    * and the corpus sketch is the CELL-WISE SUM of the shard sketches
+    * (count-min's defining property: the cell counters are linear, so the
+    * merge is exact, not approximate — Cormode & Muthukrishnan 2005 §4.2).
+    * This query runs exactly that topology: per-(shard, row, bucket)
+    * counts, then the ≤1024-cell merge with each cell's contributing-shard
+    * count — and the DuckDB oracle builds the SAME sketch the direct
+    * one-pass way, so the hash gate IS the associativity proof: sharded
+    * build + merge ≡ single-pass build, cross-engine, cell for cell.
+    *
+    * Scale shape: ONE corpus pass; every task map-combines into
+    * ≤ shards·d·w cells before the shuffle (8·1024 here — still
+    * executor-count-sized bytes), the merge collapses to ≤1024 rows NO
+    * MATTER the corpus, and nothing token-shaped ever shuffles. The same
+    * plan merges month-sketches into a year-sketch: only the shard key
+    * changes. */
+  def q232(spark: SparkSession, dir: String): DataFrame = {
+    val rows = explode(array((0 until 4).map(lit): _*)).as("r")
+    val shardCells = tokens(spark, dir)
+      .select(graft.functions.TextFunctions.hashBucket(col("doc_id"), 8)
+          .as("shard"),
+        col("token"), rows)
+      .select(col("shard"), col("r").cast(LongType).as("r"),
+        graft.functions.TextFunctions
+          .hashBucket(concat(col("token"), lit("#"), col("r").cast(StringType)), 256)
+          .as("bucket"))
+      .groupBy("shard", "r", "bucket").agg(count(lit(1)).as("cnt"))
+    shardCells
+      .groupBy("r", "bucket")
+      .agg(count(lit(1)).as("n_shards"), sum("cnt").as("cnt"))
+      .orderBy("r", "bucket")
+  }
+
+  /** The oracle builds the sketch the direct single-pass way (no shard
+    * stage) — equality with the Spark side's shard-merged cells is the
+    * merge-correctness proof. */
+  val q232Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+      |), occ AS (
+      |  SELECT CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+      |      AS BIGINT) % 8 AS shard,
+      |    r,
+      |    CAST('0x' || substr(md5(token || '#' || CAST(r AS VARCHAR)), 1, 8)
+      |      AS BIGINT) % 256 AS bucket
+      |  FROM toks, (SELECT unnest([0, 1, 2, 3]) AS r)
+      |)
+      |SELECT CAST(r AS BIGINT) AS r, bucket,
+      |  CAST(COUNT(DISTINCT shard) AS BIGINT) AS n_shards,
+      |  CAST(COUNT(*) AS BIGINT) AS cnt
+      |FROM occ GROUP BY r, bucket ORDER BY r, bucket""".stripMargin
+
   /** q219 inter-event burstiness histogram — the traffic-shape audit
     * behind bot/replay detection (and the hazard-model complement of
     * q196's survival curve): per event type, each user's consecutive
@@ -1552,6 +1607,7 @@ object Stats {
     ("q203_repetition_gate", q203 _, Some(q203Sql)),
     ("q209_heaps_growth", q209 _, Some(q209Sql)),
     ("q211_count_min_sketch", q211 _, Some(q211Sql)),
+    ("q232_cms_shard_merge", q232 _, Some(q232Sql)),
     ("q219_gap_burstiness", q219 _, Some(q219Sql)),
     ("q220_range_boundaries", q220 _, Some(q220Sql)),
     ("q180_oov_rate", q180 _, Some(q180Sql)),

@@ -179,6 +179,32 @@ class AdvancedSpec extends AnyFunSuite {
     assert(fp > 10 && fp < 400, s"FPR $fp/1000 outside the calibrated band")
   }
 
+  test("q233 HLL hour merge: merged registers equal the direct build") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = graft.queries.Advanced.q233(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty && rows.length <= 64, "structurally bounded by m=64")
+    rows.foreach { case (b, nHours, rho) =>
+      assert(b >= 0 && b < 64, s"bucket $b outside m=64")
+      assert(nHours >= 1, s"bucket $b: a present register needs >=1 hour")
+      assert(rho >= 1 && rho <= 55, s"bucket $b: rho $rho outside [1,55]")
+    }
+    // independent in-engine direct build (q215 shape, no hourly stage):
+    // register-for-register equality is the MAX-merge rollup proof
+    import org.apache.spark.sql.functions._
+    val p54 = 1L << 54
+    val direct = graft.Tables.load(spark, sf, "events")
+      .select(graft.functions.TextFunctions.portableHash60(col("user_id")).as("h"))
+      .select(expr(s"h div ${p54}L").as("bucket"), expr(s"h % ${p54}L").as("rest"))
+      .select(col("bucket"),
+        when(col("rest") === 0L, lit(55L))
+          .otherwise(lit(55L) - length(bin(col("rest"))).cast("long")).as("rho"))
+      .groupBy("bucket").agg(max("rho").as("mr"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.map(r => r._1 -> r._3).toMap == direct,
+      "hour-merged registers diverge from the direct build")
+  }
+
   test("q215 HLL registers: replay, mergeability, and a bounded finished estimate") {
     val sf = "/root/testdata/sf0.001"
     val regs = graft.queries.Advanced.q215(spark, sf).collect()

@@ -576,6 +576,20 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("q232/q233: sketch merges are single-scan join-free bounded aggregates") {
+    // the shard/hour stage and the merge are TWO aggregate levels over ONE
+    // scan — a join, window, or second scan would mean the merge re-touched
+    // data instead of merging sketch cells
+    for (q <- Seq("q232_cms_shard_merge", "q233_hll_hour_merge")) {
+      val p = plan(q)
+      val scans = p.split("Scan parquet").length - 1
+      assert(scans == 1, s"$q must scan the corpus exactly once, saw $scans:\n$p")
+      assert(!p.contains("Join"), s"$q merges cells, it never joins data:\n$p")
+      assert(!p.contains("Window"), p)
+      assert(p.contains("partial"), s"$q must combine map-side:\n$p")
+    }
+  }
+
   test("q211/q224: sketch probes ride broadcast joins, never shuffles") {
     for (q <- Seq("q211_count_min_sketch", "q224_bloom_ingest_gate")) {
       val p = plan(q)

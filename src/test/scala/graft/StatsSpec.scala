@@ -429,6 +429,41 @@ class StatsSpec extends AnyFunSuite {
     assert(rows.map(_._1).contains(trueTop))
   }
 
+  test("q232 CMS shard merge: merged cells equal an independent direct build") {
+    val rows = Stats.q232(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3))))
+    assert(rows.nonEmpty && rows.length <= 1024, "structurally bounded by d*w")
+    val merged = rows.toMap
+    assert(merged.values.forall { case (nShards, _) => nShards >= 1 && nShards <= 8 },
+      "contributing-shard counts must sit in the 8-shard universe")
+    // driver-side direct single-pass replay (no shard stage) — the
+    // independent twin of the oracle's path: equality of both counter
+    // values AND contributing-shard counts is the merge-associativity proof
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    def cmsBucket(token: String, r: Int): Long =
+      java.lang.Long.parseLong(md5hex(s"$token#$r").take(8), 16) % 256
+    def docShard(id: Long): Long =
+      java.lang.Long.parseLong(md5hex(id.toString).take(8), 16) % 8
+    val cells = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    val shardSets =
+      scala.collection.mutable.Map.empty[(Long, Long), scala.collection.mutable.Set[Long]]
+    Tables.load(spark, sf, "documents").collect().foreach { row =>
+      val s = docShard(row.getLong(0))
+      row.getString(1).split(" ").foreach { t =>
+        (0 until 4).foreach { r =>
+          val k = (r.toLong, cmsBucket(t, r))
+          cells(k) = cells.getOrElse(k, 0L) + 1L
+          shardSets.getOrElseUpdate(k, scala.collection.mutable.Set.empty) += s
+        }
+      }
+    }
+    val direct = cells.keys
+      .map(k => k -> (shardSets(k).size.toLong, cells(k))).toMap
+    assert(merged == direct, "shard-merged cells diverge from the direct build")
+  }
+
   test("q219 burstiness histogram replays from a driver-side lag fold") {
     val rows = Stats.q219(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
