@@ -4,6 +4,7 @@ import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
 
 /** Model-evaluation analytics — the metrics a training pipeline computes
   * AFTER the classifier/ranker stages (q111 quality gate, q125 batch kNN,
@@ -896,8 +897,94 @@ object Evaluation {
       |    // COUNT(*) AS BIGINT) AS sat_ppm
       |FROM c GROUP BY i ORDER BY dim""".stripMargin
 
+  /** q235 kNN label-noise audit — which labels are dirty? For every
+    * embedding, its 5 nearest neighbors by the exact q110 integer-cosine
+    * statistic (self excluded, (score desc, id) tie-break), and the count
+    * of neighbors SHARING its label; per label: vectors, mean agreement in
+    * exact ppm, and the count of low-agreement vectors (≤2 of 5 — the
+    * relabel-review queue). A mislabeled example sits in a neighborhood of
+    * the true class, so its agreement collapses — the neighborhood-
+    * consistency signal behind confident-learning-style noise detection
+    * (Northcutt et al., "Confident Learning", JAIR 2021), on the exact
+    * kernel so it is hash-checkable.
+    *
+    * Scale shape: the all-pairs scoring is the q110 gold-standard kernel,
+    * run on the PROBE set (here the whole fixture; at open scale a hash
+    * sample, or the ANN candidate generators q32/q49/q103 feeding the same
+    * verify shape — the documented swap). The per-vector top-5 is a
+    * rank-only row_number window ⇒ WindowGroupLimit pre-prunes to 5 rows
+    * per vector map-side (CI-asserted); everything after is a ≤\|labels\|
+    * rollup. dot²·1e6 ≤ 4.1e17 for unit-bounded inputs — the q110 bound. */
+  def q235(spark: SparkSession, dir: String): DataFrame = {
+    val q = Tables.parallelized(Tables.load(spark, dir, "embeddings"))
+      .select(col("vec_id"), col("label").cast(LongType).as("label"),
+        transform(col("embedding"),
+          x => floor(x.cast(DoubleType) * 100).cast(LongType)).as("qv"))
+      .withColumn("nrm", call_function("dot_i64", col("qv"), col("qv")))
+      .filter(col("nrm") > 0)
+    val a = q.select(col("vec_id").as("id_a"), col("label").as("la"),
+      col("qv").as("qa"), col("nrm").as("na"))
+    val b = q.select(col("vec_id").as("id_b"), col("label").as("lb"),
+      col("qv").as("qb"), col("nrm").as("nb"))
+    val rk = Window.partitionBy("id_a")
+      .orderBy(desc("score_x1e6"), col("id_b"))
+    a.join(b, col("id_a") =!= col("id_b"))
+      .withColumn("dot", call_function("dot_i64", col("qa"), col("qb")))
+      .withColumn("score_x1e6",
+        when(col("dot") >= 0, expr("dot * dot * 1000000 div (na * nb)"))
+          .otherwise(-expr("dot * dot * 1000000 div (na * nb)")))
+      .select("id_a", "la", "id_b", "lb", "score_x1e6")
+      .withColumn("rk", row_number().over(rk))
+      .filter(col("rk") <= 5)
+      .groupBy("id_a", "la")
+      .agg(sum(when(col("lb") === col("la"), 1L).otherwise(0L)).as("n_agree"))
+      .groupBy(col("la").as("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        expr("sum(n_agree) * 1000000 div (5 * count(1))").as("agree_ppm"),
+        sum(when(col("n_agree") <= 2, 1L).otherwise(0L)).as("n_noisy"))
+      .orderBy("label")
+  }
+
+  val q235Sql: String =
+    """WITH q AS (
+      |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+      |    list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 100) AS BIGINT)) AS qv
+      |  FROM embeddings
+      |), n AS (
+      |  SELECT vec_id, label, qv,
+      |    CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS nrm
+      |  FROM q
+      |), nz AS (SELECT * FROM n WHERE nrm > 0
+      |), pairs AS (
+      |  SELECT a.vec_id AS id_a, a.label AS la, b.vec_id AS id_b,
+      |    b.label AS lb, a.nrm AS na, b.nrm AS nb,
+      |    CAST(list_sum(list_transform(range(1, len(a.qv) + 1),
+      |      i -> a.qv[i] * b.qv[i])) AS BIGINT) AS dot
+      |  FROM nz a JOIN nz b ON a.vec_id <> b.vec_id
+      |), scored AS (
+      |  SELECT id_a, la, lb,
+      |    CASE WHEN dot >= 0 THEN dot * dot * 1000000 // (na * nb)
+      |         ELSE -(dot * dot * 1000000 // (na * nb)) END AS score_x1e6,
+      |    id_b
+      |  FROM pairs
+      |), top5 AS (
+      |  SELECT id_a, la, lb,
+      |    ROW_NUMBER() OVER (PARTITION BY id_a
+      |      ORDER BY score_x1e6 DESC, id_b) AS rk
+      |  FROM scored
+      |), per AS (
+      |  SELECT id_a, la,
+      |    SUM(CASE WHEN lb = la THEN 1 ELSE 0 END) AS n_agree
+      |  FROM top5 WHERE rk <= 5 GROUP BY id_a, la
+      |)
+      |SELECT la AS label, COUNT(*) AS n_vecs,
+      |  CAST(SUM(n_agree) * 1000000 // (5 * COUNT(*)) AS BIGINT) AS agree_ppm,
+      |  CAST(SUM(CASE WHEN n_agree <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_noisy
+      |FROM per GROUP BY la ORDER BY label""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(("q140_auc_ranksum", q140 _, Some(q140Sql)),
+      ("q235_knn_label_noise", q235 _, Some(q235Sql)),
       ("q204_int8_calibration", q204 _, Some(q204Sql)),
       ("q207_power_iteration", q207 _, Some(q207Sql)),
       ("q223_margin_audit", q223 _, Some(q223Sql)),

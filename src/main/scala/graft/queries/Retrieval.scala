@@ -1065,6 +1065,83 @@ object Retrieval {
       |  CAST(n_dup_chunks * 1000000 // n_chunks AS BIGINT) AS dup_ppm
       |FROM agg ORDER BY source""".stripMargin
 
+  /** q234 passage-dedup REMOVAL audit — what q106/q119 detect, applied as
+    * the removal policy and priced per source (Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better", at chunk granularity —
+    * the practical approximation of suffix-array exact-substring dedup a
+    * production pipeline actually ships): a q114 chunk whose fingerprint
+    * occurs in ≥2 DISTINCT documents is cross-doc duplicated text; the
+    * policy keeps it only in its OWNER (the minimum doc_id carrying the
+    * fingerprint — deterministic, the q26 min-survivor rule at chunk
+    * grain) and drops every other copy. Per source: docs, chunks,
+    * cross-doc-duplicated chunks, dropped chunks, retained token mass,
+    * and the drop rate in ppm — the table that prices what passage-level
+    * dedup would actually delete from each source before anyone runs it.
+    *
+    * Scale shape: chunks reuse q114's plan verbatim (linear explode); the
+    * ownership frame is ONE fp-keyed aggregate (min doc + distinct-doc
+    * count, map-combined); the back-join is fp-keyed with candidates ∝
+    * chunks; one slim (doc_id, source) scan joins identity; the rollup is
+    * ≤\|sources\|. Never corpus² — the fingerprint aggregate plays the
+    * role the suffix array plays in the exact algorithm. */
+  def q234(spark: SparkSession, dir: String): DataFrame = {
+    val chunks = q114(spark, dir)
+      .join(Tables.load(spark, dir, "documents").select("doc_id", "source"),
+        "doc_id")
+    // one aggregate carries BOTH dedup facts: the owner and the spread
+    val owners = chunks.groupBy("chunk_fp")
+      .agg(min("doc_id").as("owner"), countDistinct("doc_id").as("n_docs_fp"))
+    chunks.join(owners, "chunk_fp") // fp-keyed, candidates ∝ chunks; AQE sizes it
+      .withColumn("is_dup", col("n_docs_fp") >= 2)
+      .withColumn("dropped", col("is_dup") && col("doc_id") =!= col("owner"))
+      .groupBy("source")
+      .agg(countDistinct("doc_id").as("n_docs"),
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup_chunks"),
+        sum(when(col("dropped"), 1L).otherwise(0L)).as("n_dropped"),
+        sum(when(!col("dropped"), col("n_tokens")).otherwise(0L))
+          .as("retained_tokens"))
+      .withColumn("drop_ppm", expr("n_dropped * 1000000 div n_chunks"))
+      .orderBy("source")
+  }
+
+  val q234Sql: String =
+    s"""WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      |), s AS (
+      |  SELECT doc_id, w, unnest(range(1, len(w) + 1, $ChunkStride)) AS start
+      |  FROM t
+      |), c AS (
+      |  SELECT doc_id,
+      |    CAST(len(list_slice(w, start, LEAST(start + ${ChunkSize - 1}, len(w))))
+      |      AS BIGINT) AS n_tokens,
+      |    CAST('0x' || substr(md5(array_to_string(
+      |      list_slice(w, start, LEAST(start + ${ChunkSize - 1}, len(w))), ' ')), 1, 15)
+      |      AS BIGINT) AS chunk_fp
+      |  FROM s
+      |), own AS (
+      |  SELECT chunk_fp, MIN(doc_id) AS owner,
+      |    COUNT(DISTINCT doc_id) AS n_docs_fp
+      |  FROM c GROUP BY chunk_fp
+      |), f AS (
+      |  SELECT d.source, c.doc_id, c.n_tokens,
+      |    own.n_docs_fp >= 2 AS is_dup,
+      |    own.n_docs_fp >= 2 AND c.doc_id <> own.owner AS dropped
+      |  FROM c JOIN own USING (chunk_fp) JOIN documents d USING (doc_id)
+      |), agg AS (
+      |  SELECT source, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+      |    COUNT(*) AS n_chunks,
+      |    CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+      |    CAST(SUM(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+      |    CAST(SUM(CASE WHEN NOT dropped THEN n_tokens ELSE 0 END) AS BIGINT)
+      |      AS retained_tokens
+      |  FROM f GROUP BY source
+      |)
+      |SELECT source, n_docs, n_chunks, n_dup_chunks, n_dropped,
+      |  retained_tokens,
+      |  CAST(n_dropped * 1000000 // n_chunks AS BIGINT) AS drop_ppm
+      |FROM agg ORDER BY source""".stripMargin
+
   /** q125 batch exact kNN — top-10 neighbors for EVERY query in a query SET
     * in one pass (q31/q110 serve one query / all pairs; serving infrastructure
     * answers BATCHES). The ×100-quantized integer-cosine kernel of q110 makes
@@ -1490,6 +1567,7 @@ object Retrieval {
     ("q182_score_percentiles", q182 _, Some(q182Sql)),
     ("q202_gate_sweep", q202 _, Some(q202Sql)),
     ("q119_chunk_dup_rate", q119 _, Some(q119Sql)),
+    ("q234_passage_dedup", q234 _, Some(q234Sql)),
     ("q125_batch_knn", q125 _, Some(q125Sql)),
     ("q133_doc_keywords", q133 _, Some(q133Sql)))
 }

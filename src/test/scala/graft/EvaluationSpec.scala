@@ -14,6 +14,24 @@ class EvaluationSpec extends AnyFunSuite {
   private val sf = "/root/testdata/sf0.001"
   import scala.jdk.CollectionConverters._
 
+  test("q235 label-noise audit: agreement bounded, noisy count sane, labels covered") {
+    val rows = Evaluation.q235(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (l, n, ppm, noisy) =>
+      assert(n >= 1, s"label $l")
+      assert(ppm >= 0L && ppm <= 1000000L, s"label $l: agree_ppm $ppm")
+      assert(noisy >= 0L && noisy <= n, s"label $l: n_noisy $noisy of $n")
+    }
+    // every audited label exists in the data (zero-norm vectors may drop
+    // a label from the audit, never invent one)
+    import org.apache.spark.sql.functions.col
+    val all = graft.Tables.load(spark, sf, "embeddings")
+      .select(col("label").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(rows.map(_._1).toSet.subsetOf(all))
+  }
+
   private def auc(rows: Seq[(Long, Long)]): (Long, Long, Long, Option[Long]) = {
     import spark.implicits._
     val df = rows.map { case (s, p) => ("g", s, p) }.toDF("grp", "score", "pos")

@@ -590,6 +590,19 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("q235: the per-vector top-5 is a rank-only window — WindowGroupLimit prunes map-side") {
+    val p = plan("q235_knn_label_noise")
+    assert(p.contains("WindowGroupLimit"),
+      s"top-5 must pre-prune to 5 rows per vector before the shuffle:\n$p")
+  }
+
+  test("q234: ownership is one fp-keyed aggregate — no window over the chunk stream") {
+    val p = plan("q234_passage_dedup")
+    assert(!p.contains("Window"),
+      s"the min-owner rule must be an aggregate, not a rank window:\n$p")
+    assert(p.contains("partial_"), s"owner/spread must combine map-side:\n$p")
+  }
+
   test("q211/q224: sketch probes ride broadcast joins, never shuffles") {
     for (q <- Seq("q211_count_min_sketch", "q224_bloom_ingest_gate")) {
       val p = plan(q)

@@ -405,6 +405,37 @@ class RetrievalSpec extends AnyFunSuite {
     assert(hhi >= 1000000L / ns && hhi <= 1000000L, "hhi algebraic bounds")
   }
 
+  test("q234 passage dedup: drops only non-owner duplicates, loses no content") {
+    val rows = Retrieval.q234(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (src, nDocs, nChunks, nDup, nDropped, retained, ppm) =>
+      assert(nDropped <= nDup, s"$src: can only drop duplicated chunks")
+      assert(nDup <= nChunks && nDocs >= 1, src)
+      assert(ppm == nDropped * 1000000L / nChunks, s"$src: drop_ppm identity")
+      assert(retained >= 0L, src)
+    }
+    // the policy must fire on the fixture (cross-doc duplication exists)
+    assert(rows.exists(_._5 > 0L), "no chunk dropped — fixture has known dups")
+    // NO CONTENT LOST: every distinct chunk fingerprint survives in its
+    // owner doc, so kept-chunk distinct fps == all distinct fps
+    val chunks = Retrieval.q114(spark, sf)
+      .select(col("doc_id"), col("chunk_fp")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val owner = chunks.groupBy(_._2).view.mapValues(_.map(_._1).min).toMap
+    val keptFps = chunks.collect {
+      case (doc, fp) if owner(fp) == doc => fp
+    }.toSet
+    assert(keptFps == chunks.map(_._2).toSet,
+      "removal must keep every distinct passage exactly once per owner")
+    // dropped total reconciles with the driver-side replay of the policy
+    // (owner != doc already implies the fp spans >= 2 distinct docs)
+    val droppedReplay = chunks.count { case (doc, fp) => owner(fp) != doc }
+    assert(rows.map(_._5).sum == droppedReplay.toLong,
+      "per-source dropped counts must sum to the global policy replay")
+  }
+
   test("q218 rerank agreement: triangular pairs, tau identity and bounds") {
     val r = Retrieval.q218(spark, sf).head
     val (n, c, d, tau) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
