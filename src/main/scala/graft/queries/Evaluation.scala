@@ -144,9 +144,11 @@ object Evaluation {
     * formulation, biased by < 2 ppm).
     *
     * Scale shape: one map-combined aggregate by length value (the domain,
-    * not the corpus), one window pass over distinct values for the running
-    * ECDFs, a 1-row totals cross join, and a 2-pass argmax (max, then min
-    * value attaining it — deterministic, no max_by tie lottery). */
+    * not the corpus), then ONE sorted single-partition window pass over
+    * distinct values carrying the running ECDFs, the totals, AND the
+    * sup-statistic (whole-frame max) together; the argmax resolves as a
+    * filter + min(v) — deterministic, no max_by tie lottery, no totals
+    * cross join, no second consume of the domain frame. */
   def q142(spark: SparkSession, dir: String): DataFrame =
     ksDistance(Tables.load(spark, dir, "documents")
       .select(col("n_chars").as("v"),
@@ -161,20 +163,22 @@ object Evaluation {
       .groupBy("v")
       .agg(sum("in1").as("c1"), (count(lit(1)) - sum("in1")).as("c2"))
     val cum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-    val ecdf = g
-      .withColumn("f1", sum("c1").over(cum))
+    // totals AND the sup-statistic ride the SAME single-partition sorted
+    // pass as the running ECDFs (unbounded frames over the already-sorted
+    // domain frame): no totals cross join, no max-pass self-join, and the
+    // domain frame is consumed exactly once — nothing to persist, nothing
+    // to recompute. The whole-frame window is the documented domain-sized
+    // single-partition trade the cum window already takes.
+    val all = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    g.withColumn("f1", sum("c1").over(cum))
       .withColumn("f2", sum("c2").over(cum))
-      .crossJoin(g.agg(sum("c1").as("n1"), sum("c2").as("n2")))
+      .withColumn("n1", sum("c1").over(all))
+      .withColumn("n2", sum("c2").over(all))
       .withColumn("d_ppm",
         abs(expr("f1 * 1000000 div n1") - expr("f2 * 1000000 div n2")))
-    // consumed twice (max pass + argmax pass) but deliberately NOT
-    // materialized: the frame is value-domain-sized (distinct v, tiny next
-    // to the corpus) and cheap to recompute from the domain aggregate,
-    // while a persist() on a lazily-returned plan would strand a cache
-    // entry (Checkpoints.scratch scaladoc) and a checkpoint would hide the
-    // window from the returned plan — the ≤2×-and-cheap drop case.
-    val ks = ecdf.agg(max("d_ppm").as("ks_ppm"))
-    ecdf.join(ks, ecdf("d_ppm") === ks("ks_ppm"))
+      .withColumn("ks_ppm", max("d_ppm").over(all))
+      .filter(col("d_ppm") === col("ks_ppm"))
       .groupBy("n1", "n2", "ks_ppm")
       .agg(min("v").as("ks_at"))
       .select("n1", "n2", "ks_ppm", "ks_at")
