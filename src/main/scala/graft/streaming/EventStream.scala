@@ -66,6 +66,37 @@ object EventStream {
       .select(expr("unix_millis(window.start) div 86400000").as("day"),
         col("event_type"), col("n"))
 
+  /** Streaming HyperLogLog register maintenance — q233's hourly register
+    * build as a watermarked streaming aggregate: the distinct-user
+    * cardinality registers a traffic dashboard keeps warm without ever
+    * re-touching raw events. MAX over the per-event ρ is associative and
+    * idempotent, so the windowed aggregate IS the sketch build — state is
+    * O(open hours × 64 registers), retired by the watermark, late events
+    * within the watermark fold in exactly (a register can only grow).
+    * Chaining the corpus-level MAX-merge here would be a second stateful
+    * aggregate in one streaming query (unsupported shape); the merge is
+    * the trivially cheap ≤64-row fold (q233's tail) any consumer runs on
+    * the emitted hourly frame — StreamingSpec asserts the streamed hourly
+    * table equals the batch stage AND that its driver-side MAX-merge
+    * equals q233's corpus registers. */
+  def hllRegistersStream(events: DataFrame): DataFrame = {
+    val p54 = 1L << 54
+    events
+      .withWatermark("ts", "1 hour")
+      .select(col("ts"),
+        graft.functions.TextFunctions.portableHash60(col("user_id")).as("h"))
+      .select(col("ts"), expr(s"h div ${p54}L").as("bucket"),
+        expr(s"h % ${p54}L").as("rest"))
+      .select(col("ts"), col("bucket"),
+        when(col("rest") === 0L, lit(55L))
+          .otherwise(lit(55L) - length(bin(col("rest"))).cast(LongType))
+          .as("rho"))
+      .groupBy(window(col("ts"), "1 hour"), col("bucket"))
+      .agg(max("rho").as("hr_rho"))
+      .select(expr("unix_millis(window.start) div 3600000").as("hr"),
+        col("bucket"), col("hr_rho"))
+  }
+
   /** Watermarked SLIDING-window aggregation (1 h window, 30 min slide — the
     * q63 batch query's streaming twin): each event expands into exactly two
     * overlapping windows before the same hash aggregate a tumbling window

@@ -42,6 +42,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
+  test("streaming HLL registers == batch hourly stage; MAX-merge == q233") {
+    val stream = EventStream.hllRegistersStream(EventStream.readEvents(spark, sf))
+    val q = stream.writeStream
+      .format("memory").queryName("hll_out").outputMode("complete").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val streamed = spark.table("hll_out")
+      .orderBy("hr", "bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // batch twin of the hourly stage (q233's first aggregate)
+    val p54 = 1L << 54
+    val batch = Tables.load(spark, sf, "events")
+      .select(expr("unix_millis(ts) div 3600000").as("hr"),
+        graft.functions.TextFunctions.portableHash60(col("user_id")).as("h"))
+      .select(col("hr"), expr(s"h div ${p54}L").as("bucket"),
+        expr(s"h % ${p54}L").as("rest"))
+      .select(col("hr"), col("bucket"),
+        when(col("rest") === 0L, lit(55L))
+          .otherwise(lit(55L) - length(bin(col("rest"))).cast("long")).as("rho"))
+      .groupBy("hr", "bucket").agg(max("rho").as("hr_rho"))
+      .orderBy("hr", "bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(streamed.nonEmpty && streamed == batch,
+      "streamed hourly registers must equal the batch stage")
+    // the consumer-side MAX-merge of the streamed table IS q233's output
+    val merged = streamed.groupBy(_._2).view
+      .mapValues(rs => (rs.length.toLong, rs.map(_._3).max)).toMap
+    val q233 = queries.Advanced.q233(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(merged == q233,
+      "MAX-merge of streamed hourly registers must equal the q233 corpus table")
+  }
+
   test("streaming preference pairs == batch q164 over the real fixture") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("pref_pairs").toString
