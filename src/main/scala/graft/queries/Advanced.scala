@@ -471,6 +471,48 @@ object Advanced {
       |  CAST(MAX(rho) AS BIGINT) AS max_rho
       |FROM r GROUP BY bucket ORDER BY bucket""".stripMargin
 
+  /** q236 distributed top-k MERGE proof — the serving topology of every
+    * ranked leaderboard at 100 TB, completing the merge-proof family next
+    * to q232 (CMS cell-sum) and q233 (HLL register-max) on the RANKING
+    * axis: the per-part revenue aggregate is KEY-partitioned (each part's
+    * whole sum lives in exactly one md5 shard), each shard emits its LOCAL
+    * top-20 under the total (revenue desc, part) order, and the global
+    * top-20 re-ranks the ≤ shards·20 merged candidates. Correct by
+    * construction: with shard k ≥ global k and grouping keys never
+    * straddling shards, every global top-20 row is inside its own shard's
+    * top-20. The DuckDB oracle computes the top-20 the direct global way —
+    * the hash gate proves the merge, row for row.
+    *
+    * Scale shape: one fact scan into a map-combined (shard, part)
+    * aggregate; the shard-local rank is a rank-only row_number window ⇒
+    * WindowGroupLimit prunes to 20 rows per shard map-side (CI-asserted);
+    * the final cut is TakeOrderedAndProject over ≤ 8·20 candidate rows —
+    * driver-safe at any corpus size. */
+  def q236(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.load(spark, dir, "lineitem")
+      .select(col("l_partkey").as("part"),
+        cents(col("l_extendedprice")).as("cents"))
+      .withColumn("shard",
+        graft.functions.TextFunctions.hashBucket(col("part"), 8))
+      .groupBy("shard", "part").agg(sum("cents").as("revenue_cents"))
+    val local = Window.partitionBy("shard")
+      .orderBy(desc("revenue_cents"), col("part"))
+    cells.withColumn("rk", row_number().over(local))
+      .filter(col("rk") <= 20) // shard-local top-20, k equal to global k
+      .orderBy(desc("revenue_cents"), col("part"))
+      .limit(20)
+      .select("part", "revenue_cents")
+  }
+
+  /** Direct global top-20 (no shard stage) — equality with the Spark
+    * side's shard-merged ranking is the distributed top-k proof. */
+  val q236Sql: String =
+    """SELECT l_partkey AS part,
+      |  CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+      |    AS revenue_cents
+      |FROM lineitem GROUP BY 1
+      |ORDER BY revenue_cents DESC, part LIMIT 20""".stripMargin
+
   /** q216 portable Bloom filter — the third mergeable sketch next to
     * q211's CMS (frequency) and q215's HLL (cardinality): set MEMBERSHIP
     * over document texts as a 2048-bit array packed into 32 bigint words,
@@ -831,6 +873,7 @@ object Advanced {
     ("q53_sketches", q53 _, None),
     ("q215_hll_registers", q215 _, Some(q215Sql)),
     ("q233_hll_hour_merge", q233 _, Some(q233Sql)),
+    ("q236_topk_shard_merge", q236 _, Some(q236Sql)),
     ("q216_bloom_filter", q216 _, Some(q216Sql)),
     ("q55_range_frame", q55 _, Some(q55Sql)),
     ("q56_regex_tokens", q56 _, Some(q56Sql)),

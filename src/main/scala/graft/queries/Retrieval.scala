@@ -1142,6 +1142,74 @@ object Retrieval {
       |  CAST(n_dropped * 1000000 // n_chunks AS BIGINT) AS drop_ppm
       |FROM agg ORDER BY source""".stripMargin
 
+  /** q237 FILTERED vector search — kNN under a metadata predicate, the
+    * query shape every production vector index actually serves ("nearest
+    * English documents", "nearest docs from source X"): the q110 exact
+    * integer-cosine kernel against the fixed query vector (vec_id 0, the
+    * q175 convention), with candidates GATED by a relational predicate
+    * (documents.lang = 'en') BEFORE any distance is computed — pre-filter
+    * semantics, so the top-10 is exact over the filtered set (post-filter
+    * top-k can return < k or miss qualifying neighbors; the difference is
+    * the classic filtered-ANN correctness trap this query pins down).
+    *
+    * Scale shape: the predicate joins vectors to the slim (doc_id, lang,
+    * source) projection — pushed-down scan columns, candidates ∝ the
+    * filter's selectivity, distance work only on survivors; the query
+    * vector is a 1-row broadcast; the cut is TakeOrderedAndProject(10).
+    * At IVF scale the same pre-filter composes with the q103 partition-
+    * pruned serve path (probe lists ∩ filtered ids) — the verify shape
+    * stays exactly this query. */
+  def q237(spark: SparkSession, dir: String): DataFrame = {
+    val q = Tables.parallelized(Tables.load(spark, dir, "embeddings"))
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          x => floor(x.cast(DoubleType) * 100).cast(LongType)).as("qv"))
+      .withColumn("nrm", call_function("dot_i64", col("qv"), col("qv")))
+    val query = q.filter(col("vec_id") === 0L && col("nrm") > 0)
+      .select(col("qv").as("qq"), col("nrm").as("nq"))
+    val gate = Tables.load(spark, dir, "documents")
+      .filter(col("lang") === "en")
+      .select(col("doc_id").as("vec_id"), col("source"))
+    q.filter(col("vec_id") =!= 0L && col("nrm") > 0)
+      .join(gate, "vec_id") // the metadata gate fires BEFORE any distance
+      .crossJoin(broadcast(query))
+      .withColumn("dot", call_function("dot_i64", col("qv"), col("qq")))
+      .withColumn("score_x1e6",
+        when(col("dot") >= 0, expr("dot * dot * 1000000 div (nrm * nq)"))
+          .otherwise(-expr("dot * dot * 1000000 div (nrm * nq)")))
+      .select("vec_id", "source", "score_x1e6")
+      .orderBy(desc("score_x1e6"), col("vec_id"))
+      .limit(10)
+  }
+
+  val q237Sql: String =
+    """WITH q AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 100) AS BIGINT)) AS qv
+      |  FROM embeddings
+      |), n AS (
+      |  SELECT vec_id, qv,
+      |    CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS nrm
+      |  FROM q
+      |), qv0 AS (
+      |  SELECT qv AS qq, nrm AS nq FROM n WHERE vec_id = 0 AND nrm > 0
+      |), cand AS (
+      |  SELECT n.vec_id, d.source, n.qv, n.nrm
+      |  FROM n JOIN documents d ON d.doc_id = n.vec_id
+      |  WHERE d.lang = 'en' AND n.vec_id <> 0 AND n.nrm > 0
+      |), scored AS (
+      |  SELECT c.vec_id, c.source, c.nrm, v.nq,
+      |    CAST(list_sum(list_transform(range(1, len(c.qv) + 1),
+      |      i -> c.qv[i] * v.qq[i])) AS BIGINT) AS dot
+      |  FROM cand c CROSS JOIN qv0 v
+      |)
+      |SELECT vec_id, source,
+      |  CAST(CASE WHEN dot >= 0 THEN dot * dot * 1000000 // (nrm * nq)
+      |       ELSE -(dot * dot * 1000000 // (nrm * nq)) END AS BIGINT)
+      |    AS score_x1e6
+      |FROM scored
+      |ORDER BY score_x1e6 DESC, vec_id LIMIT 10""".stripMargin
+
   /** q125 batch exact kNN — top-10 neighbors for EVERY query in a query SET
     * in one pass (q31/q110 serve one query / all pairs; serving infrastructure
     * answers BATCHES). The ×100-quantized integer-cosine kernel of q110 makes
@@ -1568,6 +1636,7 @@ object Retrieval {
     ("q202_gate_sweep", q202 _, Some(q202Sql)),
     ("q119_chunk_dup_rate", q119 _, Some(q119Sql)),
     ("q234_passage_dedup", q234 _, Some(q234Sql)),
+    ("q237_filtered_knn", q237 _, Some(q237Sql)),
     ("q125_batch_knn", q125 _, Some(q125Sql)),
     ("q133_doc_keywords", q133 _, Some(q133Sql)))
 }

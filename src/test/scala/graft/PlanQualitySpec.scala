@@ -603,6 +603,24 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("partial_"), s"owner/spread must combine map-side:\n$p")
   }
 
+  test("q236: shard-local top-20 prunes map-side; the merge is a bounded limit") {
+    val p = plan("q236_topk_shard_merge")
+    assert(p.contains("WindowGroupLimit"),
+      s"the shard-local rank must pre-prune to 20 rows per shard:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the global cut must be a limit over merged candidates, not a sort:\n$p")
+  }
+
+  test("q237: filtered kNN takes the top-10 as a limit with one query-vector broadcast") {
+    val df = SparkEntry.queries("q237_filtered_knn")(spark, sf)
+    df.collect()
+    val p = finalSection(df.queryExecution.executedPlan.toString)
+    assert(p.contains("TakeOrderedAndProject"), s"top-10 must not global-sort:\n$p")
+    // the 1-row query vector must broadcast; the corpus-shaped candidate
+    // gate is free to pick its own strategy at runtime
+    assert(p.contains("BroadcastExchange"), s"query vector must broadcast:\n$p")
+  }
+
   test("q211/q224: sketch probes ride broadcast joins, never shuffles") {
     for (q <- Seq("q211_count_min_sketch", "q224_bloom_ingest_gate")) {
       val p = plan(q)

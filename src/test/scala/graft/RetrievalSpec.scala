@@ -436,6 +436,47 @@ class RetrievalSpec extends AnyFunSuite {
       "per-source dropped counts must sum to the global policy replay")
   }
 
+  test("q237 filtered kNN: pre-filter semantics — every hit passes the gate, k is full") {
+    val rows = Retrieval.q237(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(rows.length == 10, "the filtered set must still fill k")
+    // every returned neighbor satisfies the metadata predicate
+    val en = graft.Tables.load(spark, sf, "documents")
+      .filter(col("lang") === "en").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(rows.forall(r => en(r._1)), "a hit escaped the lang gate")
+    assert(!rows.exists(_._1 == 0L), "the query vector must exclude itself")
+    // scores are the exact kernel's and non-increasing in output order
+    rows.map(_._3).sliding(2).foreach { w =>
+      assert(w(1) <= w(0), "ranking must be score-descending")
+    }
+    // driver-side replay of the same integer kernel over the gated set —
+    // and the pre-vs-post-filter trap: post-filtering the UNFILTERED
+    // global top-10 must lose qualifying neighbors the filtered query keeps
+    val vecs = graft.Tables.load(spark, sf, "embeddings").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x => math.floor(x.toDouble * 100).toLong).toArray)
+      .toMap
+    def score(a: Array[Long], b: Array[Long]): Long = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val (na, nb) = (a.map(x => x * x).sum, b.map(x => x * x).sum)
+      val m = dot * dot * 1000000L / (na * nb)
+      if (dot >= 0) m else -m
+    }
+    val qv = vecs(0L)
+    def topK(ids: Iterable[Long], k: Int): Seq[(Long, Long)] =
+      ids.filter(id => id != 0L && vecs(id).exists(_ != 0L))
+        .map(id => (id, score(vecs(id), qv))).toSeq
+        .sortBy { case (id, s) => (-s, id) }.take(k)
+    val filteredReplay = topK(vecs.keys.filter(en), 10)
+    assert(rows.map(r => (r._1, r._3)).toSeq == filteredReplay,
+      "filtered top-10 must equal the driver replay over the gated set")
+    val postFiltered = topK(vecs.keys, 10).map(_._1).filter(en)
+    assert(postFiltered.length < 10 ||
+        postFiltered.toSet == rows.map(_._1).toSet,
+      "if post-filtering still fills k it must agree; otherwise it LOSES hits")
+  }
+
   test("q218 rerank agreement: triangular pairs, tau identity and bounds") {
     val r = Retrieval.q218(spark, sf).head
     val (n, c, d, tau) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
