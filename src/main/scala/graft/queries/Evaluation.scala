@@ -4,7 +4,7 @@ import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType}
 
 /** Model-evaluation analytics — the metrics a training pipeline computes
   * AFTER the classifier/ranker stages (q111 quality gate, q125 batch kNN,
@@ -986,8 +986,102 @@ object Evaluation {
       |  CAST(SUM(CASE WHEN n_agree <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_noisy
       |FROM per GROUP BY la ORDER BY label""".stripMargin
 
+  /** q238 deterministic Poisson-bootstrap confidence interval — error bars
+    * for a corpus metric (per-source mean tokens/doc) computed the way a
+    * distributed engine actually can: the classic resample-n-rows
+    * bootstrap is driver-shaped (it needs n draws WITH replacement per
+    * replicate), but Poisson(1) row weights approximate multinomial
+    * resampling exactly in the large-n limit (Chamandy et al., "Estimating
+    * Uncertainty for Massive Data Streams", Google TR 2012 — the
+    * "Poisson bootstrap"), and a deterministic md5 uniform per (doc,
+    * replicate) makes every weight reproducible and cross-engine exact:
+    * u = md5(doc#b) mod 1e6, w = Poisson(1) inverse-CDF bucket of u
+    * (thresholds 367879/735759/919699/981012, truncated at 4 — the
+    * omitted tail is 0.37% of mass). B = 32 replicates; the interval is
+    * the deterministic rank convention [2nd smallest, 2nd largest] of the
+    * replicate means — the central ~94% band, no float percentiles.
+    *
+    * Scale shape: ONE corpus scan exploded ×B (the stated linear ×32
+    * cost), collapsing map-side into the (source, b) cell frame
+    * (\|sources\|·32 rows); the rank pass runs per source over exactly 32
+    * cells. Means in exact ×1e3 floor fixed point; Σ(w·nt)·1e3 bounds
+    * int64 past ~2e15 corpus tokens per (source, replicate) — lift to
+    * decimal beyond. */
+  def q238(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.parallelized(Tables.load(spark, dir, "documents"))
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast(LongType).as("nt"))
+    val reps = docs.select(col("doc_id"), col("source"), col("nt"),
+        explode(array((0 until 32).map(lit): _*)).as("b"))
+      .withColumn("u", graft.functions.TextFunctions.hashBucket(
+        concat(col("doc_id").cast(StringType), lit("#b"),
+          col("b").cast(StringType)), 1000000))
+      .withColumn("w",
+        when(col("u") < 367879L, 0L).when(col("u") < 735759L, 1L)
+          .when(col("u") < 919699L, 2L).when(col("u") < 981012L, 3L)
+          .otherwise(4L))
+      .groupBy("source", "b")
+      .agg(sum("w").as("sw"), sum(expr("w * nt")).as("swx"))
+      .withColumn("rep_mean_x1e3",
+        when(col("sw") > 0, expr("swx * 1000 div sw")))
+    val rk = Window.partitionBy("source")
+      .orderBy(col("rep_mean_x1e3").asc_nulls_last, col("b"))
+    val point = docs.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        expr("sum(nt) * 1000 div count(1)").as("mean_x1e3"))
+    reps.withColumn("r", row_number().over(rk))
+      .filter(col("r") === 2 || col("r") === 31)
+      .groupBy("source")
+      .agg(min("rep_mean_x1e3").as("boot_lo_x1e3"),
+        max("rep_mean_x1e3").as("boot_hi_x1e3"))
+      .join(point, "source")
+      .select("source", "n_docs", "mean_x1e3", "boot_lo_x1e3", "boot_hi_x1e3")
+      .orderBy("source")
+  }
+
+  val q238Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+      |  FROM documents
+      |), r AS (
+      |  SELECT doc_id, source, nt, b,
+      |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#b'
+      |      || CAST(b AS VARCHAR)), 1, 8) AS BIGINT) % 1000000 AS u
+      |  FROM d, (SELECT unnest(range(0, 32)) AS b)
+      |), w AS (
+      |  SELECT source, b,
+      |    CASE WHEN u < 367879 THEN 0 WHEN u < 735759 THEN 1
+      |         WHEN u < 919699 THEN 2 WHEN u < 981012 THEN 3 ELSE 4 END AS w,
+      |    nt
+      |  FROM r
+      |), cells AS (
+      |  SELECT source, b, SUM(w) AS sw, SUM(w * nt) AS swx FROM w GROUP BY 1, 2
+      |), means AS (
+      |  SELECT source, b,
+      |    CASE WHEN sw > 0 THEN swx * 1000 // sw END AS rep_mean_x1e3,
+      |    ROW_NUMBER() OVER (PARTITION BY source
+      |      ORDER BY CASE WHEN sw > 0 THEN swx * 1000 // sw END ASC NULLS LAST,
+      |        b) AS r
+      |  FROM cells
+      |), ci AS (
+      |  SELECT source,
+      |    MIN(rep_mean_x1e3) AS boot_lo_x1e3,
+      |    MAX(rep_mean_x1e3) AS boot_hi_x1e3
+      |  FROM means WHERE r = 2 OR r = 31 GROUP BY source
+      |), pt AS (
+      |  SELECT source, COUNT(*) AS n_docs,
+      |    CAST(SUM(nt) * 1000 // COUNT(*) AS BIGINT) AS mean_x1e3
+      |  FROM d GROUP BY source
+      |)
+      |SELECT pt.source, pt.n_docs, pt.mean_x1e3,
+      |  CAST(ci.boot_lo_x1e3 AS BIGINT) AS boot_lo_x1e3,
+      |  CAST(ci.boot_hi_x1e3 AS BIGINT) AS boot_hi_x1e3
+      |FROM pt JOIN ci USING (source) ORDER BY source""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(("q140_auc_ranksum", q140 _, Some(q140Sql)),
+      ("q238_bootstrap_ci", q238 _, Some(q238Sql)),
       ("q235_knn_label_noise", q235 _, Some(q235Sql)),
       ("q204_int8_calibration", q204 _, Some(q204Sql)),
       ("q207_power_iteration", q207 _, Some(q207Sql)),

@@ -14,6 +14,46 @@ class EvaluationSpec extends AnyFunSuite {
   private val sf = "/root/testdata/sf0.001"
   import scala.jdk.CollectionConverters._
 
+  test("q238 bootstrap CI: interval ordered, covers the point estimate, replays") {
+    val rows = Evaluation.q238(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (src, n, mean, lo, hi) =>
+      assert(n >= 1, src)
+      assert(lo <= hi, s"$src: interval inverted")
+      // deterministic on the fixture: the central 30/32 band brackets the
+      // point estimate (a bootstrap that misses its own sample mean would
+      // signal a weight bug, not sampling noise)
+      assert(lo <= mean && mean <= hi, s"$src: point $mean outside [$lo, $hi]")
+    }
+    // full driver-side replay for one source: all 32 replicate means, then
+    // the same rank-2 / rank-31 convention must reproduce [lo, hi] exactly
+    import org.apache.spark.sql.functions.{col, size, split}
+    val src0 = rows.head._1
+    val docs = graft.Tables.load(spark, sf, "documents")
+      .filter(col("source") === src0)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    def u(id: Long, b: Int): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id#b$b".getBytes("UTF-8"))
+      java.lang.Long.parseLong(md.take(4).map(x => f"$x%02x").mkString, 16) % 1000000L
+    }
+    def w(uu: Long): Long =
+      if (uu < 367879L) 0L else if (uu < 735759L) 1L
+      else if (uu < 919699L) 2L else if (uu < 981012L) 3L else 4L
+    val means = (0 until 32).map { b =>
+      val rep = docs.map { case (id, nt) => (w(u(id, b)), nt) }
+      val (sw, swx) = (rep.map(_._1).sum, rep.map { case (a, x) => a * x }.sum)
+      assert(sw > 0, s"degenerate replicate b=$b on the fixture")
+      (swx * 1000L / sw, b)
+    }.sorted
+    val (_, _, _, lo0, hi0) = rows.head
+    assert(means(1)._1 == lo0 && means(30)._1 == hi0,
+      s"$src0: replayed CI [${means(1)._1}, ${means(30)._1}] != [$lo0, $hi0]")
+  }
+
   test("q235 label-noise audit: agreement bounded, noisy count sane, labels covered") {
     val rows = Evaluation.q235(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
