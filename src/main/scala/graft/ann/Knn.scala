@@ -117,7 +117,28 @@ object Knn {
     * driver, narrow assignment + filter + TakeOrderedAndProject on the
     * executors. Zero shuffles; training cost paid once per corpus. */
   def ivfTopKWith(embs: DataFrame, centroids: Array[(Long, Array[Float])],
-      q: Array[Float], excludeId: Long, k: Int, nProbe: Int = 4): DataFrame = {
+      q: Array[Float], excludeId: Long, k: Int, nProbe: Int = 4): DataFrame =
+    ivfServe(embs, centroids, q, excludeId, k, nProbe, None)
+
+  /** FILTERED serve — [[ivfTopKWith]] under a metadata predicate:
+    * `allowed` is a slim one-column (`vec_id`) frame of ids passing the
+    * caller's relational gate (lang, source, license, freshness...),
+    * semi-joined into the probed lists BEFORE any cosine is computed.
+    * PRE-filter semantics (the q237 correctness contract): the top-k is
+    * exact over the filtered probed set — a post-filtered global top-k
+    * can come up short of k or miss qualifying neighbors entirely when
+    * the filter is selective. Plan: probe-pruned scan → left-semi gate
+    * (AQE broadcasts a selective id set; a corpus-shaped gate falls back
+    * to a hash semi-join on vec_id) → narrow cosine →
+    * TakeOrderedAndProject. */
+  def ivfTopKFiltered(embs: DataFrame, centroids: Array[(Long, Array[Float])],
+      q: Array[Float], excludeId: Long, k: Int, nProbe: Int,
+      allowed: DataFrame): DataFrame =
+    ivfServe(embs, centroids, q, excludeId, k, nProbe, Some(allowed))
+
+  private def ivfServe(embs: DataFrame, centroids: Array[(Long, Array[Float])],
+      q: Array[Float], excludeId: Long, k: Int, nProbe: Int,
+      gate: Option[DataFrame]): DataFrame = {
     val qd = q.map(_.toDouble)
     def cos(a: Array[Double], b: Array[Float]): Double = {
       var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
@@ -135,9 +156,13 @@ object Knn {
       .map { case (cid, vec) => (cos(qd, vec), cid) }
       .sortBy { case (c, cid) => (-c, -cid) }.take(nProbe).map(_._2)
     val qLit = typedlit(qd.toSeq)
-    graft.Tables.parallelized(embs)
+    val probed = graft.Tables.parallelized(embs)
       .withColumn("cid", nearestCid(centroids))
       .filter(col("cid").isin(probeCids: _*) && col("vec_id") =!= excludeId)
+    // the metadata gate fires on the PROBED lists, before any cosine
+    val gated = gate.fold(probed)(g =>
+      probed.join(g.select("vec_id"), Seq("vec_id"), "left_semi"))
+    gated
       .select(col("vec_id"),
         floor(V.cosine(col("embedding"), qLit) * 10000.0).as("cos_x10k"))
       .orderBy(desc("cos_x10k"), col("vec_id"))

@@ -1156,9 +1156,11 @@ object Retrieval {
     * source) projection — pushed-down scan columns, candidates ∝ the
     * filter's selectivity, distance work only on survivors; the query
     * vector is a 1-row broadcast; the cut is TakeOrderedAndProject(10).
-    * At IVF scale the same pre-filter composes with the q103 partition-
-    * pruned serve path (probe lists ∩ filtered ids) — the verify shape
-    * stays exactly this query. */
+    * At IVF scale the same pre-filter is BUILT into the serve path —
+    * [[graft.ann.Knn.ivfTopKFiltered]] semi-joins the gate into the
+    * probed lists before any cosine (AnnSpec: hard gate + recall floor
+    * vs the filtered exact ranking); this query is its exact-kernel
+    * verify shape. */
   def q237(spark: SparkSession, dir: String): DataFrame = {
     val q = Tables.parallelized(Tables.load(spark, dir, "embeddings"))
       .select(col("vec_id"),

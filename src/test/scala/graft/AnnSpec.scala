@@ -25,6 +25,29 @@ class AnnSpec extends AnyFunSuite {
     assert(recall >= 5, s"IVF recall too low: $recall/10 (ivf=$ivf exact=$exact)")
   }
 
+  test("filtered IVF serve: hard gate honored, k filled, recall vs filtered exact >= 0.5") {
+    import org.apache.spark.sql.functions.col
+    // metadata gate: even vec_ids only (a ~50%-selective relational filter)
+    val allowed = embs.select(col("vec_id")).filter(col("vec_id") % 2 === 0)
+    val allowedSet = allowed.collect().map(_.getLong(0)).toSet
+    val cents = Knn.ivfTrain(embs, nClusters = 8, iters = 2)
+    val got = Knn.ivfTopKFiltered(embs, cents, q, excludeId = 0L, k = 10,
+      nProbe = 3, allowed = allowed).collect().map(_.getLong(0))
+    assert(got.length == 10, "the filtered probe set must still fill k")
+    assert(got.forall(allowedSet), "a hit escaped the metadata gate") // HARD
+    // recall vs the exact ranking over the SAME gated universe
+    val exactFiltered = topIds(Knn.bruteForce(
+      embs.join(allowed, Seq("vec_id"), "left_semi"), q, excludeId = 0L, k = 10))
+    val recall = (got.toSet & exactFiltered).size
+    assert(recall >= 5,
+      s"filtered recall too low: $recall/10 (got=${got.toSet} exact=$exactFiltered)")
+    // pre-filter beats post-filter: the unfiltered top-10 post-filtered to
+    // the gate loses qualifying neighbors the filtered serve keeps
+    assert((exact & allowedSet).size < 10 ||
+      (exact & allowedSet) == got.toSet,
+      "post-filtering should come up short or agree exactly")
+  }
+
   test("IVF centroids: nClusters entries of the right dimensionality") {
     val cents = Knn.ivfTrain(embs, nClusters = 8, iters = 2)
     assert(cents.length == 8)
