@@ -67,16 +67,17 @@ object Dedup {
     * The shingle sets are joined back only for the candidate pairs — the
     * full corpus never carries its shingle arrays through the band shuffle.
     *
-    * Cache ownership: ONE DataFrame (the candidate pairs) is persisted and
-    * eagerly materialized here — it feeds three consumers (the pair output
-    * and both legs of the doc-id union), which would otherwise re-run the
-    * band join per consumer, and materializing it is the natural barrier of
-    * any LSH pipeline. The cache belongs to the session: callers running
-    * many corpora through a long-lived session should release it after
-    * consuming the result (`spark.catalog.clearCache()`, as Bench/Verify
-    * do). Signatures are NOT cached — since they became a narrow
-    * per-row expression, both band-join legs share one computed exchange
-    * via ReuseExchange. */
+    * Materialization: ONE frame (the candidate pairs) is eagerly
+    * scratch-checkpointed here ([[graft.operators.Checkpoints.scratch]]) —
+    * it feeds three consumers (the pair output and both legs of the doc-id
+    * union), which would otherwise re-run the band join per consumer, and
+    * materializing it is the natural barrier of any LSH pipeline. The
+    * checkpoint blocks are NOT CacheManager entries (`clearCache` does not
+    * touch them); they die with the frame reference — reaped by the
+    * ContextCleaner's periodic GC, or immediately by the between-query
+    * RDD sweep Bench/Verify run. Signatures are NOT cached — since they
+    * became a narrow per-row expression, both band-join legs share one
+    * computed exchange via ReuseExchange. */
   def minHashPairs(docs: DataFrame, p: MinHashParams = MinHashParams(),
       minJaccardX1e6: Long = 800000L): DataFrame = {
     val sigs = minHashSignatures(docs, p)

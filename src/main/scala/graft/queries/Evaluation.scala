@@ -999,7 +999,14 @@ object Evaluation {
     * (thresholds 367879/735759/919699/981012, truncated at 4 — the
     * omitted tail is 0.37% of mass). B = 32 replicates; the interval is
     * the deterministic rank convention [2nd smallest, 2nd largest] of the
-    * replicate means — the central ~94% band, no float percentiles.
+    * DEFINED replicate means — the central ~94% band, no float
+    * percentiles. A replicate whose Poisson weights are all zero (a
+    * realistic event for sources of only a few documents: P ≈ 0.37ⁿ per
+    * replicate) has no mean and is EXCLUDED from the ranking, with the
+    * rank picks clamped to [1, n_defined] — naive rank-31 over a NULLS
+    * LAST ordering would silently collapse the interval onto its low
+    * bound; a source with zero defined replicates reports NULL bounds
+    * (left join), never a fabricated interval.
     *
     * Scale shape: ONE corpus scan exploded ×B (the stated linear ×32
     * cost), collapsing map-side into the (source, b) cell frame
@@ -1007,10 +1014,16 @@ object Evaluation {
     * cells. Means in exact ×1e3 floor fixed point; Σ(w·nt)·1e3 bounds
     * int64 past ~2e15 corpus tokens per (source, replicate) — lift to
     * decimal beyond. */
-  def q238(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.parallelized(Tables.load(spark, dir, "documents"))
+  def q238(spark: SparkSession, dir: String): DataFrame =
+    bootstrapCi(Tables.parallelized(Tables.load(spark, dir, "documents"))
       .select(col("doc_id"), col("source"),
-        size(split(col("text"), " ")).cast(LongType).as("nt"))
+        size(split(col("text"), " ")).cast(LongType).as("nt")))
+
+  /** The reusable kernel over a (doc_id, source, nt) frame — frame-shaped
+    * so the degenerate single-doc-source path (zero-weight replicates,
+    * clamped rank picks, NULL bounds) is literal-testable in
+    * EvaluationSpec. */
+  private[graft] def bootstrapCi(docs: DataFrame): DataFrame = {
     val reps = docs.select(col("doc_id"), col("source"), col("nt"),
         explode(array((0 until 32).map(lit): _*)).as("b"))
       .withColumn("u", graft.functions.TextFunctions.hashBucket(
@@ -1022,19 +1035,21 @@ object Evaluation {
           .otherwise(4L))
       .groupBy("source", "b")
       .agg(sum("w").as("sw"), sum(expr("w * nt")).as("swx"))
-      .withColumn("rep_mean_x1e3",
-        when(col("sw") > 0, expr("swx * 1000 div sw")))
+      .filter(col("sw") > 0) // zero-weight replicates have no mean
+      .withColumn("rep_mean_x1e3", expr("swx * 1000 div sw"))
     val rk = Window.partitionBy("source")
-      .orderBy(col("rep_mean_x1e3").asc_nulls_last, col("b"))
+      .orderBy(col("rep_mean_x1e3"), col("b"))
     val point = docs.groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
         expr("sum(nt) * 1000 div count(1)").as("mean_x1e3"))
-    reps.withColumn("r", row_number().over(rk))
-      .filter(col("r") === 2 || col("r") === 31)
+    val ci = reps.withColumn("r", row_number().over(rk))
+      .withColumn("n_def", count(lit(1)).over(Window.partitionBy("source")))
+      .filter(col("r") === least(lit(2), col("n_def")) ||
+        col("r") === greatest(col("n_def") - 1, lit(1)))
       .groupBy("source")
       .agg(min("rep_mean_x1e3").as("boot_lo_x1e3"),
         max("rep_mean_x1e3").as("boot_hi_x1e3"))
-      .join(point, "source")
+    point.join(ci, Seq("source"), "left")
       .select("source", "n_docs", "mean_x1e3", "boot_lo_x1e3", "boot_hi_x1e3")
       .orderBy("source")
   }
@@ -1058,17 +1073,18 @@ object Evaluation {
       |), cells AS (
       |  SELECT source, b, SUM(w) AS sw, SUM(w * nt) AS swx FROM w GROUP BY 1, 2
       |), means AS (
-      |  SELECT source, b,
-      |    CASE WHEN sw > 0 THEN swx * 1000 // sw END AS rep_mean_x1e3,
+      |  SELECT source, b, swx * 1000 // sw AS rep_mean_x1e3,
       |    ROW_NUMBER() OVER (PARTITION BY source
-      |      ORDER BY CASE WHEN sw > 0 THEN swx * 1000 // sw END ASC NULLS LAST,
-      |        b) AS r
-      |  FROM cells
+      |      ORDER BY swx * 1000 // sw, b) AS r,
+      |    COUNT(*) OVER (PARTITION BY source) AS n_def
+      |  FROM cells WHERE sw > 0
       |), ci AS (
       |  SELECT source,
       |    MIN(rep_mean_x1e3) AS boot_lo_x1e3,
       |    MAX(rep_mean_x1e3) AS boot_hi_x1e3
-      |  FROM means WHERE r = 2 OR r = 31 GROUP BY source
+      |  FROM means
+      |  WHERE r = LEAST(2, n_def) OR r = GREATEST(n_def - 1, 1)
+      |  GROUP BY source
       |), pt AS (
       |  SELECT source, COUNT(*) AS n_docs,
       |    CAST(SUM(nt) * 1000 // COUNT(*) AS BIGINT) AS mean_x1e3
@@ -1077,7 +1093,7 @@ object Evaluation {
       |SELECT pt.source, pt.n_docs, pt.mean_x1e3,
       |  CAST(ci.boot_lo_x1e3 AS BIGINT) AS boot_lo_x1e3,
       |  CAST(ci.boot_hi_x1e3 AS BIGINT) AS boot_hi_x1e3
-      |FROM pt JOIN ci USING (source) ORDER BY source""".stripMargin
+      |FROM pt LEFT JOIN ci USING (source) ORDER BY source""".stripMargin
 
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(("q140_auc_ranksum", q140 _, Some(q140Sql)),

@@ -1085,9 +1085,12 @@ object Retrieval {
     * ≤\|sources\|. Never corpus² — the fingerprint aggregate plays the
     * role the suffix array plays in the exact algorithm. */
   def q234(spark: SparkSession, dir: String): DataFrame = {
-    val chunks = q114(spark, dir)
+    // scratch-checkpointed: consumed twice (ownership aggregate + the
+    // back-join), and each rebuild would re-pay the chunk explode + the
+    // identity join (the q59/q150/q189 discipline)
+    val chunks = graft.operators.Checkpoints.scratch(q114(spark, dir)
       .join(Tables.load(spark, dir, "documents").select("doc_id", "source"),
-        "doc_id")
+        "doc_id"))
     // one aggregate carries BOTH dedup facts: the owner and the spread
     val owners = chunks.groupBy("chunk_fp")
       .agg(min("doc_id").as("owner"), countDistinct("doc_id").as("n_docs_fp"))

@@ -161,11 +161,15 @@ object Sources {
       .load(path)
     // `path` arrives as a URI (file:/..., s3a://...); identity is the part
     // AFTER the load root, so nested same-named files stay distinct and the
-    // mount point stays out of the hash. Greedy `.*` anchors on the LAST
-    // occurrence of the root segment — the one the listing actually used.
+    // mount point stays out of the hash. RELUCTANT `.*?` anchors on the
+    // FIRST occurrence of the root segment — the listing root itself; a
+    // greedy match would anchor on a repeated segment inside a
+    // subdirectory (e.g. root/backup/<root>/x) and collide its files with
+    // root-level ones, the exact identity-collision class relName exists
+    // to eliminate.
     val rootSeg = java.util.regex.Pattern.quote(
       path.stripSuffix("/").replaceAll("^[a-zA-Z0-9+.-]+:/+", "/")) + "/"
-    val relName = regexp_replace(col("path"), "^.*" + rootSeg, "")
+    val relName = regexp_replace(col("path"), "^.*?" + rootSeg, "")
     def shaped(payload: org.apache.spark.sql.Column,
         df: DataFrame): DataFrame =
       df.select(

@@ -54,6 +54,31 @@ class EvaluationSpec extends AnyFunSuite {
       s"$src0: replayed CI [${means(1)._1}, ${means(30)._1}] != [$lo0, $hi0]")
   }
 
+  test("bootstrapCi degenerate sources: zero-weight replicates excluded, bounds never collapse") {
+    import spark.implicits._
+    // one single-doc source (⅓ of its replicates carry weight 0) beside a
+    // healthy source; the kernel must clamp its rank picks to the defined
+    // means instead of letting NULLS-LAST rank 31 collapse the interval
+    val docs = (Seq((1L, "tiny", 40L)) ++
+      (2L to 41L).map(i => (i, "big", 10L + i))).toDF("doc_id", "source", "nt")
+    val rows = Evaluation.bootstrapCi(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        if (r.isNullAt(4)) None else Some(r.getLong(4))))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq("big", "tiny"))
+    val big = rows.head
+    assert(big._4.isDefined && big._5.isDefined && big._4.get <= big._5.get)
+    assert(big._4.get <= big._3 && big._3 <= big._5.get,
+      "healthy source: band must bracket the point estimate")
+    val tiny = rows(1)
+    // tiny's defined replicates all consist of copies of the one doc, so
+    // every defined mean equals nt exactly: lo == hi == 40000, never a
+    // collapsed-to-low-bound artifact, never a fabricated spread
+    assert(tiny._4.contains(40000L) && tiny._5.contains(40000L),
+      s"single-doc source CI must be the degenerate point: $tiny")
+  }
+
   test("q235 label-noise audit: agreement bounded, noisy count sane, labels covered") {
     val rows = Evaluation.q235(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
