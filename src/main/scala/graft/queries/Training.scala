@@ -1584,6 +1584,72 @@ object Training {
       |    * 1000000 // COUNT(*) AS BIGINT) AS saved_ppm
       |FROM v GROUP BY source ORDER BY source""".stripMargin
 
+  /** q239 PURGED temporal split with embargo — the leakage-hygiene upgrade
+    * of q129's plain 80% time cut (López de Prado, "Advances in Financial
+    * Machine Learning" ch. 7, the purged/embargoed split): events inside
+    * an EMBARGO window after the cut belong to NEITHER side. A model
+    * trained to the cut and evaluated immediately after it leaks through
+    * temporally-correlated behavior that straddles the boundary (a user
+    * session, a trend, a label horizon); dropping the embargo band makes
+    * train and eval separated by a declared gap (1 day here — the
+    * SURVEY §2.13 knob convention). Output: one row per split (train /
+    * embargo_dropped / eval) with event count, distinct users, and the
+    * exact ms bounds — the auditable split manifest, plus the count of
+    * users present on BOTH retained sides (the residual cross-boundary
+    * exposure the embargo does NOT remove; user-level splits — q171 —
+    * are the stronger tool when that number matters).
+    *
+    * Scale shape: one scan; the cut is a 1-row broadcast aggregate (no
+    * global sort — the q129 discipline); the split tag is a narrow map;
+    * one ≤3-row rollup plus a users-both 1-row semi-free aggregate
+    * (distinct users per side collapses at the user grain first). */
+  def q239(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "events")
+      .select(col("user_id"), unix_millis(col("ts")).as("tms"))
+    val cut = e.agg(
+      expr("min(tms) + (max(tms) - min(tms)) * 8 div 10").as("cut_ms"))
+    val embargoMs = 86400000L // 1 day
+    val tagged = e.crossJoin(broadcast(cut))
+      .withColumn("split",
+        when(col("tms") <= col("cut_ms"), "train")
+          .when(col("tms") <= col("cut_ms") + embargoMs, "embargo_dropped")
+          .otherwise("eval"))
+    tagged.groupBy("split")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct("user_id").as("n_users"),
+        min("tms").as("min_ms"), max("tms").as("max_ms"))
+      .crossJoin(broadcast(tagged.filter(col("split") =!= "embargo_dropped")
+        .select(col("user_id"), col("split")).distinct()
+        .groupBy("user_id").agg(count(lit(1)).as("sides"))
+        .agg(coalesce(sum(when(col("sides") === 2, 1L).otherwise(0L)), lit(0L))
+          .as("users_on_both_sides"))))
+      .orderBy("split")
+  }
+
+  val q239Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_ms(ts) AS tms FROM events
+      |), cut AS (
+      |  SELECT MIN(tms) + (MAX(tms) - MIN(tms)) * 8 // 10 AS cut_ms FROM e
+      |), tagged AS (
+      |  SELECT user_id, tms,
+      |    CASE WHEN tms <= cut_ms THEN 'train'
+      |         WHEN tms <= cut_ms + 86400000 THEN 'embargo_dropped'
+      |         ELSE 'eval' END AS split
+      |  FROM e CROSS JOIN cut
+      |), both_sides AS (
+      |  SELECT COALESCE(SUM(CASE WHEN sides = 2 THEN 1 ELSE 0 END), 0)
+      |    AS users_on_both_sides
+      |  FROM (SELECT user_id, COUNT(DISTINCT split) AS sides
+      |        FROM tagged WHERE split <> 'embargo_dropped' GROUP BY user_id)
+      |)
+      |SELECT split, COUNT(*) AS n_events,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+      |  CAST(MIN(tms) AS BIGINT) AS min_ms, CAST(MAX(tms) AS BIGINT) AS max_ms,
+      |  CAST(b.users_on_both_sides AS BIGINT) AS users_on_both_sides
+      |FROM tagged CROSS JOIN both_sides b
+      |GROUP BY split, b.users_on_both_sides ORDER BY split""".stripMargin
+
   /** q221 curation-funnel capstone — the WHOLE cleaning pipeline as one
     * per-source survivorship funnel, each stage the registry's own kernel
     * applied to the previous stage's survivors: documents → q205's
@@ -2142,6 +2208,7 @@ object Training {
     ("q166_token_apportion", q166 _, Some(q166Sql)),
     ("q206_capped_apportion", q206 _, Some(q206Sql)),
     ("q221_curation_funnel", q221 _, Some(q221Sql)),
+    ("q239_purged_split", q239 _, Some(q239Sql)),
     ("q224_bloom_ingest_gate", q224 _, Some(q224Sql)),
     ("q58_dedup_clusters", q58 _, Some(q58Sql)),
     ("q59_decontaminate", q59 _, Some(q59Sql)),

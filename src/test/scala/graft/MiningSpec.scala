@@ -244,6 +244,26 @@ class MiningSpec extends AnyFunSuite {
     assert(rows.map(_._2).sum == totalTokens)
   }
 
+  test("q239 purged split: retained sides separated by more than the embargo") {
+    val rows = Training.q239(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.map(_._1).sorted.toSeq ==
+      Seq("embargo_dropped", "eval", "train"))
+    val bySplit = rows.map(r => r._1 -> r).toMap
+    val (train, ev) = (bySplit("train"), bySplit("eval"))
+    // eval starts strictly more than the 1-day embargo after train ends:
+    // eval.min > cut + 1d >= train.max + 1d
+    assert(ev._4 - train._5 > 86400000L,
+      s"gap ${ev._4 - train._5} ms does not clear the embargo")
+    // the split partitions the event stream exactly
+    val total = Tables.load(spark, sf, "events").count()
+    assert(rows.map(_._2).sum == total, "splits must partition all events")
+    // the residual-exposure column is a single global number on every row
+    assert(rows.map(_._6).distinct.length == 1)
+    assert(rows.head._6 >= 0L && rows.head._6 <= train._3.min(ev._3))
+  }
+
   test("q206 water-filling: caps respected, budget spent exactly at the fixed point") {
     val rows = Training.q206(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
