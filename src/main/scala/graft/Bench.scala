@@ -14,6 +14,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Engine.session("graft-bench")
+    Engine.quietSweepLogging() // the RDD sweep below is intentional
     val loadBefore = loadavg()
     // Each query runs four times: one untimed warmup (Janino codegen + JIT
     // of the generated classes — a per-plan one-time cost that amortizes to

@@ -46,4 +46,19 @@ object Engine {
     spark.sparkContext.setLogLevel("WARN")
     spark
   }
+
+  /** Quiet the per-RDD WARN that `org.apache.spark.rdd.RDD` logs when a
+    * locally-checkpointed RDD is unpersisted ("lineage has been truncated
+    * and cannot be recomputed"). Bench/Verify sweep
+    * `getPersistentRDDs` between queries precisely to reap dead
+    * scratch-checkpoint blocks ([[graft.operators.Checkpoints.scratch]]),
+    * so the condition is intentional there — and hundreds of these lines
+    * in the bench tail nearly crowded the stdout contract JSON out of the
+    * driver's bounded capture buffer (VERDICT r10 #2). Called by the
+    * sweep-owning entry points only; ordinary sessions keep the warning. */
+  def quietSweepLogging(): Unit =
+    // the message is emitted under the CONCRETE RDD subclass's logger
+    // (MapPartitionsRDD, ShuffledRowRDD, ...), so quiet the rdd package
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd", org.apache.logging.log4j.Level.ERROR)
 }

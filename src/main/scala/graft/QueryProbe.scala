@@ -15,12 +15,24 @@ object QueryProbe {
     val reps = if (args.length > 2) args(2).toInt else 3
     val fn = SparkEntry.queries(name)
     val spark = Engine.session("query-probe")
+    // Bench semantics: the block store is NOT reset between reps (Bench
+    // clears between QUERIES, so a query's warmup rep warms any
+    // SharedFrames entry for its timed reps) — a probe that cleared per
+    // rep reproduced numbers no bench run would ever show. Set
+    // SPARK_GRAFT_PROBE_COLD=1 to clear per rep (every rep pays the
+    // shared-frame build: the cold-session cost model).
+    val coldReps = sys.env.get("SPARK_GRAFT_PROBE_COLD").exists(_.nonEmpty)
     (0 to reps).foreach { i =>
       val t0 = System.nanoTime()
       val n = fn(spark, dir).count()
       val tag = if (i == 0) "warmup" else s"run$i"
       println(f"PROBE $name $tag ${(System.nanoTime - t0) / 1e9}%.2f s ($n rows)")
-      spark.catalog.clearCache()
+      if (coldReps) {
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+        System.gc()
+      }
     }
     val df = fn(spark, dir)
     df.count()

@@ -23,7 +23,22 @@ object SparkEntry {
       Corpus.registry ++ Stats.registry ++ Retrieval.registry ++ Graph.registry ++
       Evaluation.registry
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2.
+    *
+    * CALLER CONTRACT (r10 ADVICE): a builder `fn(spark, dir)` MAY run Spark
+    * jobs eagerly during plan CONSTRUCTION — iterative kernels (connected
+    * components, BFS, k-means, BPE) execute their rounds there, and
+    * mid-query scratch frames are materialized eagerly
+    * ([[graft.operators.Checkpoints.scratch]]). Keep the builder call
+    * inside your timing / error-handling scope, not just the action on the
+    * returned frame. Additionally, the returned plan (and any scratch
+    * blocks backing it) is only guaranteed valid until the session's next
+    * block-store sweep: Bench/Verify unpersist all RDDs BETWEEN queries,
+    * which destroys localCheckpoint blocks irrecoverably — so no builder
+    * may defer reading a scratch frame across a sweep boundary — re-invoke
+    * the builder (a fresh construction re-checkpoints) rather than
+    * re-executing a frame obtained before the sweep. Bench/Verify already
+    * follow this: every rep calls the builder anew. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map { case (n, f, _) => n -> f }.toMap
 

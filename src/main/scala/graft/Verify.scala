@@ -7,6 +7,7 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir, only) = (args(0), args(1), args.drop(2).toSet)
     val spark = Engine.session("graft-verify")
+    Engine.quietSweepLogging() // the between-query RDD sweep is intentional
     new java.io.File(outDir).mkdirs()
     // extra args (local dev only — the driver passes two) restrict the dump
     // to the named queries for a fast edit→duckdb-compare loop

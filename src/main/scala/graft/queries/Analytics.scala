@@ -538,14 +538,22 @@ object Analytics {
     val items = SharedFrames.basketItems(spark, dir)
     val a = items.select(col("okey"), col("part").as("part_a"))
     val b = items.select(col("okey").as("okey_b"), col("part").as("part_b"))
-    // scratch-checkpointed: consumed twice (the frequent-pair aggregate AND
-    // the semi-join probe) — unmaterialized, the Σ basket² okey self-join
-    // runs twice per execution; a persist() here would strand a cache
-    // entry past the lazily-returned result (Checkpoints.scratch scaladoc).
-    // Bounded by basket-pair instances, MEMORY_AND_DISK blocks.
-    val pairInstances = graft.operators.Checkpoints.scratch(a
+    // Consumed twice (the frequent-pair aggregate AND the semi-join probe)
+    // but deliberately NOT materialized: the duplicated subtree's expensive
+    // part is its shuffles, and Spark's exchange reuse computes each
+    // identical Exchange once per execution (both copies of the okey-hash
+    // shuffle share one set of shuffle files; basketItems itself is the
+    // SharedFrames storage cache) — so only the post-shuffle join CPU runs
+    // twice, which an r11 A/B measured CHEAPER than an eager
+    // localCheckpoint's block write + re-materialization (scratch min
+    // 1.34 s vs recompute 1.00 s warm at sf0.1, and scratch's disk-backed
+    // blocks made the query load-sensitive — the r10 driver-bench 7.5 s
+    // median pathology). Same argument holds on a cluster: shuffle files
+    // are served by the shuffle service, no unreplicated checkpoint blocks
+    // to lose.
+    val pairInstances = a
       .join(b, col("okey") === col("okey_b") && col("part_a") < col("part_b"))
-      .select("okey", "part_a", "part_b"))
+      .select("okey", "part_a", "part_b")
     val freqPairs = pairInstances
       .groupBy("part_a", "part_b").agg(count(lit(1)).as("n_ab"))
       .filter(col("n_ab") >= minSupport)

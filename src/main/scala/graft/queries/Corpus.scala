@@ -526,13 +526,14 @@ object Corpus {
     * Scale shape: the lag window is partitioned by shard — the same keyed
     * per-shard sort q84 itself performs to materialize the order (the
     * q108 documented trade); the composition term is two map-combined
-    * aggregates. Int64 bound: the code (and oracle) keep the EXACT
-    * multiply-first form `pair_mass * 1e6 div (n(n−1))`, which overflows
-    * int64 once pair_mass passes ~9.2e12 (n_s ≈ 3e6 same-source docs in
-    * one shard) — past that shard size the expression itself must be
-    * LIFTED (decimal, or divide-before-multiply at the cost of ≤1e6-ppm
-    * truncation error), not merely re-derived; the sf-scale fixture is
-    * ~12 orders of magnitude below the bound. */
+    * aggregates. Int64 bound (CLOSED in r11): the expectation term is
+    * computed in 128-bit fixed point on BOTH engines — Spark lifts
+    * `pair_mass` and `n(n−1)` to decimal(38,0) before the multiply
+    * (IntegralDivide on decimals, exact, still returns BIGINT), DuckDB to
+    * HUGEINT — so the exact multiply-first form now holds to
+    * pair_mass ≈ 1e31 (≈ 3e15 same-source docs per shard), far past any
+    * physical shard. No truncation trade was needed: the lift keeps the
+    * exact ppm floor semantics. */
   def q210(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("shard").orderBy(col("ord"), col("doc_id"))
     val docs = Tables.parallelized(Tables.load(spark, dir, "documents"))
@@ -551,7 +552,9 @@ object Corpus {
       .withColumn("same_ppm", when(col("n_docs") > 1,
         expr("same_adj * 1000000 div (n_docs - 1)")))
       .withColumn("expected_ppm", when(col("n_docs") > 1,
-        expr("pair_mass * 1000000 div (n_docs * (n_docs - 1))")))
+        expr("""cast(pair_mass as decimal(38,0)) * 1000000
+               | div (cast(n_docs as decimal(38,0)) * (n_docs - 1))"""
+          .stripMargin.replace("\n", " "))))
       .withColumn("excess_ppm", col("same_ppm") - col("expected_ppm"))
       .select("shard", "n_docs", "same_adj", "same_ppm", "expected_ppm",
         "excess_ppm")
@@ -584,11 +587,13 @@ object Corpus {
       |    THEN a.same_adj * 1000000 // (a.n_docs - 1) END AS BIGINT)
       |    AS same_ppm,
       |  CAST(CASE WHEN a.n_docs > 1
-      |    THEN c.pair_mass * 1000000 // (a.n_docs * (a.n_docs - 1)) END
+      |    THEN CAST(c.pair_mass AS HUGEINT) * 1000000
+      |       // (CAST(a.n_docs AS HUGEINT) * (a.n_docs - 1)) END
       |    AS BIGINT) AS expected_ppm,
       |  CAST(CASE WHEN a.n_docs > 1
       |    THEN a.same_adj * 1000000 // (a.n_docs - 1)
-      |       - c.pair_mass * 1000000 // (a.n_docs * (a.n_docs - 1)) END
+      |       - CAST(c.pair_mass AS HUGEINT) * 1000000
+      |         // (CAST(a.n_docs AS HUGEINT) * (a.n_docs - 1)) END
       |    AS BIGINT) AS excess_ppm
       |FROM adj a JOIN comp c USING (shard) ORDER BY shard""".stripMargin
 

@@ -209,7 +209,12 @@ object Graph {
     // scratch-checkpointed, not persisted: consumed three times (adjacency
     // build + two probe joins) — one materialization shared by all three,
     // blocks freed with the frame reference instead of stranding a cache
-    // entry (graft.operators.Checkpoints.scratch discipline)
+    // entry (graft.operators.Checkpoints.scratch discipline). An r11 A/B
+    // tried plain recompute here (the fix that won for q145's
+    // pairInstances): 5.7–10.3 s vs 2.5–3.3 s scratch at sf0.1 — the three
+    // consumers are NOT identical subtrees (adjacency collect_list vs two
+    // probe joins), so exchange reuse cannot dedupe the duplicated
+    // orientation work the way it dedupes q145's twice-read self-join.
     val oriented = graft.operators.Checkpoints.scratch(lowFirst.select(
         when(col("fwd"), col("a")).otherwise(col("b")).as("src"),
         when(col("fwd"), col("b")).otherwise(col("a")).as("dst")))
