@@ -48,6 +48,25 @@ class AnnSpec extends AnyFunSuite {
       "post-filtering should come up short or agree exactly")
   }
 
+  test("filtered IVF serve widens probing under a selective gate: recall >= 0.8") {
+    import org.apache.spark.sql.functions.col
+    // a 10%-selective gate: fixed nProbe=1 would see only a handful of
+    // qualifying candidates; the adaptive serve must widen until the gated
+    // pool covers >= 3k and recover the filtered exact ranking
+    val allowed = embs.select(col("vec_id")).filter(col("vec_id") % 10 === 0)
+    val allowedSet = allowed.collect().map(_.getLong(0)).toSet
+    val cents = Knn.ivfTrain(embs, nClusters = 8, iters = 2)
+    val got = Knn.ivfTopKFiltered(embs, cents, q, excludeId = 0L, k = 10,
+      nProbe = 1, allowed = allowed).collect().map(_.getLong(0))
+    assert(got.length == 10, "the widened probe set must fill k")
+    assert(got.forall(allowedSet), "a hit escaped the metadata gate")
+    val exactFiltered = topIds(Knn.bruteForce(
+      embs.join(allowed, Seq("vec_id"), "left_semi"), q, excludeId = 0L, k = 10))
+    val recall = (got.toSet & exactFiltered).size
+    assert(recall >= 8,
+      s"adaptive filtered recall too low: $recall/10 (got=${got.toSet} exact=$exactFiltered)")
+  }
+
   test("IVF centroids: nClusters entries of the right dimensionality") {
     val cents = Knn.ivfTrain(embs, nClusters = 8, iters = 2)
     assert(cents.length == 8)
