@@ -25,7 +25,19 @@ object Bench {
     // right estimator, and min-of-3 rides out single-run load spikes that
     // min-of-2 recorded verbatim in rounds 2-3.
     val failed = scala.collection.mutable.ArrayBuffer[String]()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Opt-in subset (SPARK_GRAFT_BENCH_ONLY="q138,q136_triangles,..."):
+    // time only the queries whose name starts with one of the
+    // comma-separated prefixes — the scale-validation loop (several
+    // fixture sizes × the heavy family) needs one JVM per fixture, not
+    // one per (query, fixture). Off (empty/unset) = the full surface.
+    val only: String => Boolean =
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').map(_.trim)
+        .filter(_.nonEmpty)) match {
+        case Some(ps) if ps.nonEmpty => name => ps.exists(name.startsWith)
+        case _ => _ => true
+      }
+    val results = SparkEntry.queries.toSeq.filter(p => only(p._1))
+      .sortBy(_._1).map { case (name, fn) =>
       def once(): Option[Double] = {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => return None }
@@ -55,7 +67,12 @@ object Bench {
       // in storage memory and the late memory-heavy queries pay for them in
       // GC pressure; nudge the cleaner between queries.
       System.gc()
-      name -> t
+      // host load sampled right after this query's reps: lets a reader
+      // normalize each [min, median] for CONTEMPORANEOUS host contention
+      // instead of inferring it from the run-level [before, after] pair
+      // (VERDICT r10 next-round #6 — per-query, because /proc/loadavg is
+      // 1-minute-smoothed and sub-second reps can't resolve finer).
+      (name, t, loadavg())
     }
     def fmt(v: Double): String = f"$v%.4f"
     // Opt-in second pass (SPARK_GRAFT_BENCH_SHUFFLED=1): one more timed run
@@ -95,12 +112,18 @@ object Bench {
     // Complete per-query [min, median] record — median − min is host noise,
     // min is plan cost — goes to a repo file; the stdout contract line below
     // cannot carry all of it.
-    val detail = results.map { case (k, v) =>
+    val detail = results.map { case (k, v, _) =>
       "\"" + k + "\":" + v.fold("null")(t => s"[${fmt(t._1)},${fmt(t._2)}]")
+    }.mkString("{", ",", "}")
+    // per-query contemporaneous host load (1-min loadavg sampled as each
+    // query's reps finished) — parallel map so min_median stays
+    // schema-stable for round-over-round diffs
+    val loadTrace = results.map { case (k, _, l) =>
+      "\"" + k + "\":" + fmt(l)
     }.mkString("{", ",", "}")
     try {
       val w = new java.io.PrintWriter("BENCH_DETAIL.json")
-      try w.println(s"""{"unit":"sec","min_median":$detail,"failed":$failedJson,"load1m":[${fmt(loadBefore)},${fmt(loadAfter)}],"sf":"$sfDir"}""")
+      try w.println(s"""{"unit":"sec","min_median":$detail,"load1m_after_query":$loadTrace,"failed":$failedJson,"load1m":[${fmt(loadBefore)},${fmt(loadAfter)}],"sf":"$sfDir"}""")
       finally w.close()
     } catch { case _: Throwable => () } // detail file is best-effort
     // The driver reads this line from a bounded tail buffer (~1.8 KB,
@@ -118,7 +141,7 @@ object Bench {
     //    the cut). Whatever is cut is the sub-noise fast tail; the complete
     //    record is always in BENCH_DETAIL.json (`queries_full`).
     def qkey(k: String): String = k.takeWhile(_ != '_')
-    val bySlowest = results.sortBy { case (_, v) =>
+    val bySlowest = results.sortBy { case (_, v, _) =>
       -v.fold(Double.MaxValue)(_._1) // failed (None) sort first
     }
     val lineBudget = 1250
@@ -130,7 +153,7 @@ object Bench {
     }
     val entries = scala.collection.mutable.ArrayBuffer[String]()
     var fits = true
-    bySlowest.foreach { case (k, v) =>
+    bySlowest.foreach { case (k, v, _) =>
       v.foreach { t =>
         val e = "\"" + qkey(k) + "\":" + f"${t._1}%.3f"
         if (fits && used + e.length + 1 <= lineBudget) {

@@ -986,6 +986,163 @@ object Evaluation {
       |  CAST(SUM(CASE WHEN n_agree <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_noisy
       |FROM per GROUP BY la ORDER BY label""".stripMargin
 
+  /** The q240 blocking model: `Bands` sign-random-projection bands of
+    * `BitsPerBand` bits over `Dim` embedding dimensions, every projection
+    * sign derived from md5("rp<band>:<bit>:<dim>") — PORTABLE pseudo-
+    * randomness (the q99 md5-minhash discipline applied to hyperplanes),
+    * so DuckDB rebuilds the identical hyperplanes from the same strings
+    * and the whole blocked audit is hash-checkable, unlike the seeded
+    * q30/q32 signatures. Signs are data-independent constants: computed
+    * once driver-side, shipped as 24 array literals into a codegen'd
+    * `dot_i64` each — no per-row hashing on the Spark side at all. */
+  private[queries] val LshBands = 4
+  private[queries] val LshBitsPerBand = 6
+  private[queries] val LshDim = 64
+  private[queries] def lshSign(band: Int, bit: Int, dim: Int): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"rp$band:$bit:$dim".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    if (java.lang.Long.parseLong(md.substring(0, 8), 16) % 2 == 0) -1L else 1L
+  }
+
+  /** q240 LSH-blocked kNN label-noise audit — the SUBQUADRATIC serve shape
+    * of q235, with the approximation itself cross-engine PROVED: the r11
+    * scaling study measured q235's all-pairs probe at n^1.78 (×59.8 wall-
+    * clock at ×10 data, `SCALING_r11.json`) — the one superlinear query on
+    * the surface — and this is the documented swap, made hash-checkable.
+    * Candidate pairs are restricted to vectors sharing at least one of 4
+    * six-bit sign-random-projection band buckets ([[lshSign]]: hyperplane
+    * signs from md5, so the ORACLE rebuilds the same hyperplanes and
+    * replays the same buckets); within candidates the exact q110 integer-
+    * cosine top-5 + agreement rollup of q235 runs unchanged. A vector with
+    * fewer than 5 collision candidates keeps denominator 5 — missing
+    * neighbors count as disagreement, deliberately conservative: an
+    * isolated vector lands in the review queue, which is the audit's
+    * fail-open direction. Vectors with NO collisions still appear (left
+    * join, n_agree 0).
+    *
+    * Scale shape: signatures are 24 codegen'd `dot_i64`s against literal
+    * sign vectors (narrow map); the candidate join is keyed by
+    * (band, bucket) so pairs ∝ Σ_{band,bucket} |bucket|² — at uniform
+    * spread n²·Bands/2^bits, 16× under the all-pairs frame at these
+    * constants, and the knobs (bands, bits) turn independently of the
+    * query; the pair `distinct` and rank window are keyed by the pair/
+    * vector ids (no skewed key); everything after is q235's ≤|labels|
+    * rollup. Measured on the ScaleUp fixtures (fresh-JVM min-of-3,
+    * SCALING_r11.json): ×10 data → 0.68 s → 0.89 s (×1.3; the 28M-pair
+    * candidate frame rides the idle-core headroom) where q235's all-pairs
+    * frame paid ×59.8 — and the ×10 result still hash-matches the DuckDB
+    * replay of the same hyperplanes. */
+  def q240(spark: SparkSession, dir: String): DataFrame = {
+    val q = Tables.parallelized(Tables.load(spark, dir, "embeddings"))
+      .select(col("vec_id"), col("label").cast(LongType).as("label"),
+        transform(col("embedding"),
+          x => floor(x.cast(DoubleType) * 100).cast(LongType)).as("qv"))
+      .withColumn("nrm", call_function("dot_i64", col("qv"), col("qv")))
+      .filter(col("nrm") > 0)
+    val sigStructs = (0 until LshBands).map { band =>
+      val bucket = (0 until LshBitsPerBand).map { bit =>
+        val signs = (0 until LshDim).map(d => lshSign(band, bit, d))
+        when(call_function("dot_i64", col("qv"),
+          typedlit(signs)) >= 0L, lit(1L << bit)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      struct(lit(band.toLong).as("band"), bucket.as("bucket"))
+    }
+    val sig = q.select(col("vec_id"),
+        explode(array(sigStructs: _*)).as("s"))
+      .select(col("vec_id"), col("s.band").as("band"),
+        col("s.bucket").as("bucket"))
+    val cand = sig.as("x")
+      .join(sig.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.bucket") === col("y.bucket") &&
+          col("x.vec_id") =!= col("y.vec_id"))
+      .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
+      .distinct() // a pair colliding in 2 bands must score once
+    val a = q.select(col("vec_id").as("id_a"), col("label").as("la"),
+      col("qv").as("qa"), col("nrm").as("na"))
+    val b = q.select(col("vec_id").as("id_b"), col("label").as("lb"),
+      col("qv").as("qb"), col("nrm").as("nb"))
+    val rk = Window.partitionBy("id_a")
+      .orderBy(desc("score_x1e6"), col("id_b"))
+    val perVec = cand.join(a, "id_a").join(b, "id_b")
+      .withColumn("dot", call_function("dot_i64", col("qa"), col("qb")))
+      .withColumn("score_x1e6",
+        when(col("dot") >= 0, expr("dot * dot * 1000000 div (na * nb)"))
+          .otherwise(-expr("dot * dot * 1000000 div (na * nb)")))
+      .select("id_a", "la", "lb", "score_x1e6", "id_b")
+      .withColumn("rk", row_number().over(rk))
+      .filter(col("rk") <= 5)
+      .groupBy("id_a")
+      .agg(sum(when(col("lb") === col("la"), 1L).otherwise(0L)).as("n_agree"))
+    a.select(col("id_a"), col("la"))
+      .join(perVec, Seq("id_a"), "left")
+      .withColumn("n_agree", coalesce(col("n_agree"), lit(0L)))
+      .groupBy(col("la").as("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        expr("sum(n_agree) * 1000000 div (5 * count(1))").as("agree_ppm"),
+        sum(when(col("n_agree") <= 2, 1L).otherwise(0L)).as("n_noisy"))
+      .orderBy("label")
+  }
+
+  /** The oracle REBUILDS the hyperplanes from the same md5 strings and
+    * replays the identical blocking — the approximation, not just the
+    * arithmetic, is what hash-matches. */
+  val q240Sql: String =
+    """WITH q AS (
+      |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+      |    list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 100) AS BIGINT)) AS qv
+      |  FROM embeddings
+      |), nz AS (
+      |  SELECT vec_id, label, qv,
+      |    CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS nrm
+      |  FROM q
+      |  WHERE CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) > 0
+      |), rp AS (
+      |  SELECT band, bit, dim,
+      |    CASE WHEN CAST('0x' || substr(md5('rp' || band || ':' || bit
+      |           || ':' || dim), 1, 8) AS BIGINT) % 2 = 0
+      |      THEN -1 ELSE 1 END AS s
+      |  FROM range(4) t1(band), range(6) t2(bit), range(64) t3(dim)
+      |), bits AS (
+      |  SELECT nz.vec_id, r.band, r.bit,
+      |    CASE WHEN SUM(r.s * nz.qv[r.dim + 1]) >= 0 THEN 1 ELSE 0 END AS b
+      |  FROM nz, rp r GROUP BY nz.vec_id, r.band, r.bit
+      |), sig AS (
+      |  SELECT vec_id, band, CAST(SUM(b * (1 << bit)) AS BIGINT) AS bucket
+      |  FROM bits GROUP BY vec_id, band
+      |), cand AS (
+      |  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+      |  FROM sig x JOIN sig y
+      |    ON x.band = y.band AND x.bucket = y.bucket AND x.vec_id <> y.vec_id
+      |), scored AS (
+      |  SELECT c.id_a, a.label AS la, b.label AS lb,
+      |    CASE WHEN d.dot >= 0 THEN d.dot * d.dot * 1000000 // (a.nrm * b.nrm)
+      |         ELSE -(d.dot * d.dot * 1000000 // (a.nrm * b.nrm)) END
+      |      AS score_x1e6,
+      |    c.id_b
+      |  FROM cand c
+      |  JOIN nz a ON a.vec_id = c.id_a
+      |  JOIN nz b ON b.vec_id = c.id_b,
+      |  LATERAL (SELECT CAST(list_sum(list_transform(range(1, len(a.qv) + 1),
+      |    i -> a.qv[i] * b.qv[i])) AS BIGINT) AS dot) d
+      |), top5 AS (
+      |  SELECT id_a, la, lb,
+      |    ROW_NUMBER() OVER (PARTITION BY id_a
+      |      ORDER BY score_x1e6 DESC, id_b) AS rk
+      |  FROM scored
+      |), agr AS (
+      |  SELECT id_a, SUM(CASE WHEN lb = la THEN 1 ELSE 0 END) AS n_agree
+      |  FROM top5 WHERE rk <= 5 GROUP BY id_a
+      |), per AS (
+      |  SELECT nz.vec_id, nz.label AS la, COALESCE(agr.n_agree, 0) AS n_agree
+      |  FROM nz LEFT JOIN agr ON agr.id_a = nz.vec_id
+      |)
+      |SELECT la AS label, COUNT(*) AS n_vecs,
+      |  CAST(SUM(n_agree) * 1000000 // (5 * COUNT(*)) AS BIGINT) AS agree_ppm,
+      |  CAST(SUM(CASE WHEN n_agree <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_noisy
+      |FROM per GROUP BY la ORDER BY label""".stripMargin
+
   /** q238 deterministic Poisson-bootstrap confidence interval — error bars
     * for a corpus metric (per-source mean tokens/doc) computed the way a
     * distributed engine actually can: the classic resample-n-rows
@@ -1099,6 +1256,7 @@ object Evaluation {
     Seq(("q140_auc_ranksum", q140 _, Some(q140Sql)),
       ("q238_bootstrap_ci", q238 _, Some(q238Sql)),
       ("q235_knn_label_noise", q235 _, Some(q235Sql)),
+      ("q240_label_noise_lsh", q240 _, Some(q240Sql)),
       ("q204_int8_calibration", q204 _, Some(q204Sql)),
       ("q207_power_iteration", q207 _, Some(q207Sql)),
       ("q223_margin_audit", q223 _, Some(q223Sql)),

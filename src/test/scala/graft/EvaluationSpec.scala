@@ -97,6 +97,32 @@ class EvaluationSpec extends AnyFunSuite {
     assert(rows.map(_._1).toSet.subsetOf(all))
   }
 
+  test("q240 blocked audit: invariants hold and it tracks the exact q235 answer") {
+    val approx = Evaluation.q240(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val exact = Evaluation.q235(spark, sf).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(approx.nonEmpty)
+    approx.foreach { case (l, n, ppm, noisy) =>
+      assert(n >= 1 && ppm >= 0L && ppm <= 1000000L && noisy >= 0L && noisy <= n,
+        s"label $l: n=$n ppm=$ppm noisy=$noisy")
+      // the blocking audits the same vector population per label
+      assert(exact.contains(l) && exact(l)._1 == n,
+        s"label $l: population $n vs exact ${exact.get(l).map(_._1)}")
+      // the blocked agreement tracks the exact one but is NOT monotone
+      // under candidate restriction (a missed disagreeing exact neighbor
+      // can be replaced by an agreeing lower-ranked candidate), so the
+      // sound assertion is closeness, both directions: measured max drift
+      // on the fixture is 35k ppm, floor set at ~3x that
+      assert(math.abs(exact(l)._2 - ppm) <= 100000L,
+        s"label $l: blocked agreement $ppm vs exact ${exact(l)._2}")
+      // review queues agree to within a couple of borderline vectors
+      assert(math.abs(noisy - exact(l)._3) <= math.max(2L, n / 10),
+        s"label $l: blocked queue $noisy vs exact ${exact(l)._3}")
+    }
+  }
+
   private def auc(rows: Seq[(Long, Long)]): (Long, Long, Long, Option[Long]) = {
     import spark.implicits._
     val df = rows.map { case (s, p) => ("g", s, p) }.toDF("grp", "score", "pos")
