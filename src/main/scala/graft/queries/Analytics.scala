@@ -80,29 +80,132 @@ object Analytics {
       |FROM isl GROUP BY user_id ORDER BY user_id""".stripMargin
 
   /** q71 blocked fuzzy self-match: near-identical part names (edit distance
-    * ≤ 3) within a brand block, counted per brand. Blocking is what makes
-    * fuzzy matching feasible at scale — the quadratic term is bounded per
-    * block and the self-join is a plain equi-join on the block key, never a
-    * cartesian. The length-band guard (`|len(a)−len(b)| ≤ 3`) is implied by
-    * the distance bound (edit distance ≥ length difference), so it prunes
-    * candidates before the O(n·m) levenshtein without changing the result.
-    * At 100 TB you'd tighten blocks further (size + first-token prefix);
-    * the plan shape stays identical. */
+    * ≤ 3) within a brand, counted per brand.
+    *
+    * REWRITTEN in r11 after the full-surface scaling sweep measured the
+    * r10 plan (one equi-join blocked on `p_brand` alone) at ×5.5
+    * wall-clock for ×3 data (`SCALING_r11.json`): brand cardinality is
+    * FIXED (~25 values), so block sizes grow linearly with the catalog
+    * and candidate pairs quadratically — the one blocking key on the
+    * surface that could not survive 100×. Two stages now:
+    *
+    * 1. VALUE-DOMAIN COLLAPSE — aggregate to distinct (brand, name) with
+    *    multiplicity g. Name domains are vocabulary-shaped, and on this
+    *    catalog (64 distinct names over 20k parts) the true pair set is
+    *    quadratic in the duplicate groups, so pair ENUMERATION at row
+    *    grain is unsalvageable no matter the blocking; counts are instead
+    *    recovered combinatorially — C(g,2) identical-name pairs at
+    *    distance 0 per value, ga·gb row pairs behind every surviving
+    *    cross-value pair. One map-combined shuffle; everything after
+    *    runs on the value frame.
+    * 2. PASS-JOIN over the value frame (Li, Deng, Wang & Feng,
+    *    "Pass-Join: A Partition-based Method for Similarity Joins",
+    *    PVLDB 5(3), 2011): split every indexed name into k+1 = 4
+    *    contiguous segments; if ed(a, b) ≤ k, the ≤ k edit sites touch
+    *    at most k segments, so SOME segment of b survives verbatim in a,
+    *    displaced by at most k positions. Candidates are an EQUI-join on
+    *    (brand, |b|, segment index, segment text) — keys whose
+    *    cardinality grows with the name domain — between b's 4 segments
+    *    and a's ≤ (2k+1)²(k+1) ≈ 150 substring probes per name (the
+    *    simple ±k window; Pass-Join's multi-match-aware selection would
+    *    shave a further ~2×). Survivors are verified with the
+    *    threshold-Levenshtein (early-exit DP, O(n·k) per value pair).
+    *    Names shorter than k+1 chars can lack 4 non-empty segments, so
+    *    value pairs whose shorter side is ≤ k chars go through a
+    *    residual brand-block over the ≤ 2k-char sliver (both sides of
+    *    such a pair are ≤ 2k chars; empty on this catalog, bounded by
+    *    the short-name value population at any scale). The length band
+    *    |len(a)−len(b)| ≤ k is implied by the distance bound and built
+    *    into the probe's target-length enumeration.
+    *
+    * PropertySpec replays the whole scheme against a driver-side
+    * brute force on an adversarial 3-letter-alphabet catalog (dense
+    * near-matches, lengths crossing both the segment boundary and the
+    * short-name path). Int64 note: n_pairs/total_dist bound by C(n,2)
+    * per brand — the same bound the row-grain plan had. */
   def q71(spark: SparkSession, dir: String): DataFrame = {
+    val k = 3 // edit-distance threshold; k+1 segments
     val p = Tables.load(spark, dir, "part").select("p_partkey", "p_brand", "p_name")
-    // the probe side fans the per-block pair generation across cores (the
-    // single-row-group fixture would otherwise run the whole filter serially)
-    val a = Tables.parallelized(p).toDF("a_key", "p_brand", "a_name")
-    val b = p.toDF("b_key", "p_brand", "b_name")
-    a.join(b, Seq("p_brand"))
-      .filter(col("a_key") < col("b_key") &&
-        abs(length(col("a_name")) - length(col("b_name"))) <= 3)
+    // STAGE 1 — value-domain collapse: distinct (brand, name) with its
+    // multiplicity. Name domains are vocabulary-shaped (templates × finite
+    // word lists), so this one map-combined shuffle shrinks the fuzzy-join
+    // input from corpus rows to the value domain, and every identical-name
+    // pair is counted COMBINATORIALLY (C(g,2), distance 0) instead of
+    // being enumerated — the aggregate-by-value-first principle of the
+    // evaluation family applied to similarity joins. This is what makes a
+    // count-aggregated fuzzy match scale: on this catalog (64 distinct
+    // names over 20k parts) no pair-enumeration scheme can be subquadratic
+    // because the TRUE pair set is quadratic in the duplicate groups.
+    val v = Tables.parallelized(p)
+      .groupBy("p_brand", "p_name").agg(count(lit(1)).as("g"))
+      .withColumn("len", length(col("p_name")))
+
+    // STAGE 2 — Pass-Join over the (already distinct per brand) value
+    // frame; unordered value pairs oriented by name so each is counted
+    // once, with ga·gb row pairs behind every surviving value pair
+    val idx = v.filter(col("len") >= k + 1)
+      .select(col("p_brand"), col("p_name").as("b_name"),
+        col("g").as("gb"), col("len").as("lb"))
+      .select(col("*"), explode(sequence(lit(0), lit(k))).as("j"))
+      .withColumn("lj",
+        expr(s"((j + 1) * lb) div ${k + 1} - (j * lb) div ${k + 1}"))
+      .filter(col("lj") > 0)
+      .withColumn("seg",
+        expr(s"substring(b_name, (j * lb) div ${k + 1} + 1, lj)"))
+      .select("p_brand", "lb", "j", "seg", "b_name", "gb")
+
+    val probe = v.filter(col("len") >= k + 1)
+      .select(col("p_brand"), col("p_name").as("a_name"),
+        col("g").as("ga"), col("len").as("la"))
+      .select(col("*"), explode(sequence(
+        greatest(col("la") - k, lit(k + 1)), col("la") + k)).as("lb"))
+      .select(col("*"), explode(sequence(lit(0), lit(k))).as("j"))
+      .withColumn("sj", expr(s"(j * lb) div ${k + 1}"))
+      .withColumn("lj",
+        expr(s"((j + 1) * lb) div ${k + 1} - (j * lb) div ${k + 1}"))
+      .filter(col("lj") > 0)
+      .withColumn("pstart", greatest(col("sj") - k, lit(0)))
+      .withColumn("pend", least(col("sj") + k, col("la") - col("lj")))
+      .filter(col("pstart") <= col("pend"))
+      .select(col("a_name"), col("p_brand"), col("ga"), col("lb"),
+        col("j"), col("lj"),
+        explode(sequence(col("pstart"), col("pend"))).as("pp"))
+      .withColumn("seg", expr("substring(a_name, pp + 1, lj)"))
+      .select("p_brand", "lb", "j", "seg", "a_name", "ga")
+
+    val candidates = probe.join(idx, Seq("p_brand", "lb", "j", "seg"))
+      .filter(col("a_name") < col("b_name"))
+      .select("p_brand", "a_name", "b_name", "ga", "gb")
+      .distinct() // a value pair may collide on several (j, position) keys
+
+    // residual: value pairs whose shorter side is <= k chars (both sides
+    // then <= 2k) — the pigeonhole needs k+1 non-empty segments
+    val short = v.filter(col("len") <= 2 * k)
+    val shortPairs = short
+      .select(col("p_brand"), col("p_name").as("a_name"), col("g").as("ga"))
+      .join(short.select(col("p_brand"), col("p_name").as("b_name"),
+        col("g").as("gb")), Seq("p_brand"))
+      .filter(col("a_name") < col("b_name") &&
+        least(length(col("a_name")), length(col("b_name"))) <= k)
+      .select("p_brand", "a_name", "b_name", "ga", "gb")
+
+    val cross = candidates.unionAll(shortPairs)
       // threshold form early-exits the DP once distance must exceed 3
-      // (returns -1 above the bound) — O(n·k) per pair instead of O(n·m)
+      // (returns -1 above the bound) — O(n·k) per value pair
       .withColumn("dist", levenshtein(col("a_name"), col("b_name"), 3))
       .filter(col("dist") >= 0)
       .groupBy("p_brand")
-      .agg(count(lit(1)).as("n_pairs"), sum("dist").as("total_dist"))
+      .agg(sum(expr("ga * gb")).as("cross_pairs"),
+        sum(expr("dist * ga * gb")).as("cross_dist"))
+
+    // identical-name pairs: C(g, 2) per value, distance 0
+    v.groupBy("p_brand")
+      .agg(sum(expr("g * (g - 1) div 2")).as("dup_pairs"))
+      .join(cross, Seq("p_brand"), "left")
+      .select(col("p_brand"),
+        (col("dup_pairs") + coalesce(col("cross_pairs"), lit(0L)))
+          .as("n_pairs"),
+        coalesce(col("cross_dist"), lit(0L)).as("total_dist"))
       .orderBy("p_brand")
   }
 

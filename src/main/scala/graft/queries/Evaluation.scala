@@ -914,8 +914,10 @@ object Evaluation {
     *
     * Scale shape: the all-pairs scoring is the q110 gold-standard kernel,
     * run on the PROBE set (here the whole fixture; at open scale a hash
-    * sample, or the ANN candidate generators q32/q49/q103 feeding the same
-    * verify shape — the documented swap). The per-vector top-5 is a
+    * sample — or [[q240]], the r11 LSH-blocked twin of this exact audit,
+    * which the scaling study measured flat at ×10 data where this
+    * all-pairs frame paid ×59.8, `SCALING_r11.json`). The per-vector
+    * top-5 is a
     * rank-only row_number window ⇒ WindowGroupLimit pre-prunes to 5 rows
     * per vector map-side (CI-asserted); everything after is a ≤\|labels\|
     * rollup. dot²·1e6 ≤ 4.1e17 for unit-bounded inputs — the q110 bound. */

@@ -75,7 +75,21 @@ object ScaleUp {
       }.reduce(_ unionAll _)
 
     save("customer", copies(cust, Seq("c_custkey" -> custS)))
-    save("part", copies(part, Seq("p_partkey" -> partS)))
+    // part names get a copy-suffix with PAIRWISE edit distance > 3 from
+    // the original and from every other copy's suffix (4 repeated letters
+    // differ in >= 4 positions; a naive " cpy$i" differs by ONE digit
+    // between copies and would fuzzy-match): cloned/near-cloned names
+    // would otherwise be LEGITIMATE q71 matches, so the true result set
+    // itself — not any plan — would grow quadratically in the copy
+    // factor, and the measured slope would again be a generator artifact
+    def nameSuffix(i: Int): String = {
+      val c1 = ('a' + i % 26).toChar.toString * 4
+      val c2 = if (i >= 26) ('a' + i / 26).toChar.toString * 4 else ""
+      s" $c1$c2"
+    }
+    save("part", copies(part, Seq("p_partkey" -> partS), (d, i) =>
+      if (i == 0) d
+      else d.withColumn("p_name", concat(col("p_name"), lit(nameSuffix(i))))))
     save("supplier", copies(supp, Seq("s_suppkey" -> supS)))
     save("orders", copies(ords,
       Seq("o_orderkey" -> ordS, "o_custkey" -> custS)))

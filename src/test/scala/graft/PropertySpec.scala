@@ -363,4 +363,39 @@ class PropertySpec extends AnyFunSuite {
       got == expected
     })
   }
+  test("q71 Pass-Join blocking is lossless vs a driver-side brute force") {
+    // Adversarial catalog: a 3-letter alphabet makes near-matches dense, and
+    // lengths 1..12 cross both the k+1-segment boundary and the short-name
+    // residual path. Deterministic seed so the fixture (and any failure) is
+    // reproducible.
+    val rnd = new scala.util.Random(42)
+    val names = Seq("a", "ab", "abc", "abcd", "aaa", "bbb", "aabb") ++
+      (0 until 90).map(_ =>
+        (0 until (1 + rnd.nextInt(12)))
+          .map(_ => ('a' + rnd.nextInt(3)).toChar).mkString)
+    val rows = names.zipWithIndex.map { case (n, i) =>
+      (i.toLong, n, s"B${i % 3}", "t", i, 1.0)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("q71prop").toString
+    rows.toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size",
+        "p_retailprice")
+      .write.parquet(s"$dir/part.parquet")
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val expected = rows.combinations(2).toSeq.collect {
+      case Seq(a, b) if a._3 == b._3 && a._1 < b._1 && lev(a._2, b._2) <= 3 =>
+        (a._3, lev(a._2, b._2).toLong)
+    }.groupBy(_._1).map { case (br, ps) =>
+      br -> (ps.size.toLong, ps.map(_._2).sum)
+    }
+    val got = graft.queries.Analytics.q71(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == expected, s"blocked pairs $got != brute-force $expected")
+  }
 }
