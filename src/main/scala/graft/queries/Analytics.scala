@@ -98,9 +98,11 @@ object Analytics {
     *    distance 0 per value, ga·gb row pairs behind every surviving
     *    cross-value pair. One map-combined shuffle; everything after
     *    runs on the value frame.
-    * 2. PASS-JOIN over the value frame (Li, Deng, Wang & Feng,
-    *    "Pass-Join: A Partition-based Method for Similarity Joins",
-    *    PVLDB 5(3), 2011): split every indexed name into k+1 = 4
+    * 2. PASS-JOIN over the value frame — the reusable
+    *    [[graft.operators.FuzzyJoin.passJoinCandidates]] operator (Li,
+    *    Deng, Wang & Feng, "Pass-Join: A Partition-based Method for
+    *    Similarity Joins", PVLDB 5(3), 2011): split every indexed name
+    *    into k+1 = 4
     *    contiguous segments; if ed(a, b) ≤ k, the ≤ k edit sites touch
     *    at most k segments, so SOME segment of b survives verbatim in a,
     *    displaced by at most k positions. Candidates are an EQUI-join on
@@ -124,7 +126,7 @@ object Analytics {
     * short-name path). Int64 note: n_pairs/total_dist bound by C(n,2)
     * per brand — the same bound the row-grain plan had. */
   def q71(spark: SparkSession, dir: String): DataFrame = {
-    val k = 3 // edit-distance threshold; k+1 segments
+    val k = 3 // edit-distance threshold
     val p = Tables.load(spark, dir, "part").select("p_partkey", "p_brand", "p_name")
     // STAGE 1 — value-domain collapse: distinct (brand, name) with its
     // multiplicity. Name domains are vocabulary-shaped (templates × finite
@@ -138,65 +140,19 @@ object Analytics {
     // because the TRUE pair set is quadratic in the duplicate groups.
     val v = Tables.parallelized(p)
       .groupBy("p_brand", "p_name").agg(count(lit(1)).as("g"))
-      .withColumn("len", length(col("p_name")))
 
-    // STAGE 2 — Pass-Join over the (already distinct per brand) value
-    // frame; unordered value pairs oriented by name so each is counted
-    // once, with ga·gb row pairs behind every surviving value pair
-    val idx = v.filter(col("len") >= k + 1)
-      .select(col("p_brand"), col("p_name").as("b_name"),
-        col("g").as("gb"), col("len").as("lb"))
-      .select(col("*"), explode(sequence(lit(0), lit(k))).as("j"))
-      .withColumn("lj",
-        expr(s"((j + 1) * lb) div ${k + 1} - (j * lb) div ${k + 1}"))
-      .filter(col("lj") > 0)
-      .withColumn("seg",
-        expr(s"substring(b_name, (j * lb) div ${k + 1} + 1, lj)"))
-      .select("p_brand", "lb", "j", "seg", "b_name", "gb")
-
-    val probe = v.filter(col("len") >= k + 1)
-      .select(col("p_brand"), col("p_name").as("a_name"),
-        col("g").as("ga"), col("len").as("la"))
-      .select(col("*"), explode(sequence(
-        greatest(col("la") - k, lit(k + 1)), col("la") + k)).as("lb"))
-      .select(col("*"), explode(sequence(lit(0), lit(k))).as("j"))
-      .withColumn("sj", expr(s"(j * lb) div ${k + 1}"))
-      .withColumn("lj",
-        expr(s"((j + 1) * lb) div ${k + 1} - (j * lb) div ${k + 1}"))
-      .filter(col("lj") > 0)
-      .withColumn("pstart", greatest(col("sj") - k, lit(0)))
-      .withColumn("pend", least(col("sj") + k, col("la") - col("lj")))
-      .filter(col("pstart") <= col("pend"))
-      .select(col("a_name"), col("p_brand"), col("ga"), col("lb"),
-        col("j"), col("lj"),
-        explode(sequence(col("pstart"), col("pend"))).as("pp"))
-      .withColumn("seg", expr("substring(a_name, pp + 1, lj)"))
-      .select("p_brand", "lb", "j", "seg", "a_name", "ga")
-
-    val candidates = probe.join(idx, Seq("p_brand", "lb", "j", "seg"))
-      .filter(col("a_name") < col("b_name"))
-      .select("p_brand", "a_name", "b_name", "ga", "gb")
-      .distinct() // a value pair may collide on several (j, position) keys
-
-    // residual: value pairs whose shorter side is <= k chars (both sides
-    // then <= 2k) — the pigeonhole needs k+1 non-empty segments
-    val short = v.filter(col("len") <= 2 * k)
-    val shortPairs = short
-      .select(col("p_brand"), col("p_name").as("a_name"), col("g").as("ga"))
-      .join(short.select(col("p_brand"), col("p_name").as("b_name"),
-        col("g").as("gb")), Seq("p_brand"))
-      .filter(col("a_name") < col("b_name") &&
-        least(length(col("a_name")), length(col("b_name"))) <= k)
-      .select("p_brand", "a_name", "b_name", "ga", "gb")
-
-    val cross = candidates.unionAll(shortPairs)
-      // threshold form early-exits the DP once distance must exceed 3
-      // (returns -1 above the bound) — O(n·k) per value pair
-      .withColumn("dist", levenshtein(col("a_name"), col("b_name"), 3))
+    // STAGE 2 — Pass-Join candidates over the value frame (the reusable
+    // [[graft.operators.FuzzyJoin]] operator), verified with the
+    // threshold-Levenshtein (early-exit DP: returns -1 once the distance
+    // must exceed k), with ga·gb row pairs behind every surviving value
+    // pair
+    val cross = graft.operators.FuzzyJoin
+      .passJoinCandidates(v, Seq("p_brand"), "p_name", k, carry = Seq("g"))
+      .withColumn("dist", levenshtein(col("a_name"), col("b_name"), k))
       .filter(col("dist") >= 0)
       .groupBy("p_brand")
-      .agg(sum(expr("ga * gb")).as("cross_pairs"),
-        sum(expr("dist * ga * gb")).as("cross_dist"))
+      .agg(sum(expr("g_a * g_b")).as("cross_pairs"),
+        sum(expr("dist * g_a * g_b")).as("cross_dist"))
 
     // identical-name pairs: C(g, 2) per value, distance 0
     v.groupBy("p_brand")

@@ -502,4 +502,42 @@ class OperatorSemanticsSpec extends AnyFunSuite {
     assert(row.getLong(4) <= q188Uniq)
     assert(row.getLong(5) >= 1000000L, "inflation below 1 is impossible")
   }
+
+  test("FuzzyJoin.passJoinCandidates is complete, blockless, with carry columns") {
+    // candidates must be a SUPERSET of all pairs at edit distance <= k;
+    // a 2-letter alphabet makes near-pairs dense, lengths 1..9 cross the
+    // segment boundary (k+1 = 3) and the short-string residual
+    val rnd = new scala.util.Random(7)
+    val words = (Seq("a", "ab", "ba", "aab") ++ (0 until 40).map(_ =>
+      (0 until (1 + rnd.nextInt(9)))
+        .map(_ => ('a' + rnd.nextInt(2)).toChar).mkString)).distinct
+    val v = words.zipWithIndex.map { case (w, i) => (w, i.toLong) }
+      .toDF("name", "wid")
+    val k = 2
+    val got = FuzzyJoin.passJoinCandidates(v, Nil, "name", k,
+        carry = Seq("wid")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val expected = words.combinations(2).map(_.sorted).collect {
+      case Seq(u, w) if lev(u, w) <= k => (u, w)
+    }.toSet
+    val gotPairs = got.map(t => (t._1, t._2)).toSet
+    assert(expected.subsetOf(gotPairs),
+      s"missed true pairs: ${expected -- gotPairs}")
+    // orientation + carry integrity: a_name < b_name and wid_a/wid_b are
+    // the right rows' ids
+    val byWord = words.zipWithIndex.map { case (w, i) => w -> i.toLong }.toMap
+    got.foreach { case (a, b, wa, wb) =>
+      assert(a < b && byWord(a) == wa && byWord(b) == wb, s"($a,$b,$wa,$wb)")
+    }
+    // no duplicate candidate pairs
+    assert(gotPairs.size == got.length, "candidate pairs must be distinct")
+  }
 }
