@@ -154,7 +154,10 @@ object Analytics {
       .agg(sum(expr("g_a * g_b")).as("cross_pairs"),
         sum(expr("dist * g_a * g_b")).as("cross_dist"))
 
-    // identical-name pairs: C(g, 2) per value, distance 0
+    // identical-name pairs: C(g, 2) per value, distance 0. Brands with NO
+    // qualifying pair are dropped — the oracle's GROUP BY over the joined
+    // pair set never emits them (SqlSurfaceSpec caught the zero-row
+    // difference at sf0.001, where some brands genuinely have no pair).
     v.groupBy("p_brand")
       .agg(sum(expr("g * (g - 1) div 2")).as("dup_pairs"))
       .join(cross, Seq("p_brand"), "left")
@@ -162,6 +165,7 @@ object Analytics {
         (col("dup_pairs") + coalesce(col("cross_pairs"), lit(0L)))
           .as("n_pairs"),
         coalesce(col("cross_dist"), lit(0L)).as("total_dist"))
+      .filter(col("n_pairs") > 0)
       .orderBy("p_brand")
   }
 
