@@ -432,18 +432,33 @@ object Graph {
 
   /** The reusable kernel over the normalized undirected edge set (`a` < `b`,
     * distinct). Parity with a driver-side reference on random graphs is
-    * asserted in PropertySpec. */
+    * asserted in PropertySpec.
+    *
+    * Moment algebra (r11): over the symmetric endpoint list, vertex u
+    * contributes its degree d_u exactly d_u times, so three of the four
+    * moments are DEGREE-LOCAL — n_endpoints = Σd, s_x = Σd², s_xx = Σd³ —
+    * and need no join at all; only the cross-moment s_xy needs degrees on
+    * both endpoints, and by du·dv symmetry it is 2·Σ_edges d_a·d_b over
+    * the HALF-size oriented edge list. Same output values as the naive
+    * twice-joined symmetric frame (PropertySpec pins this), half the join
+    * input, three fewer corpus-sized aggregate columns. Joins stay
+    * unhinted: the degree frame is vertex-domain-sized (corpus-shaped at
+    * open scale), so AQE decides broadcast vs shuffle from measurement. */
   def assortativityMoments(rawEdges: DataFrame): DataFrame = {
     val sym = rawEdges.select(col("a").as("u"), col("b").as("v"))
       .union(rawEdges.select(col("b").as("u"), col("a").as("v")))
     val deg = sym.groupBy(col("u").as("n")).agg(count(lit(1)).as("d"))
-    sym
-      .join(deg.select(col("n").as("u"), col("d").as("du")), "u")
-      .join(deg.select(col("n").as("v"), col("d").as("dv")), "v")
-      .agg(count(lit(1)).as("n_endpoints"),
-        sum("du").as("s_x"),
-        sum(expr("du * du")).as("s_xx"),
-        sum(expr("du * dv")).as("s_xy"))
+    // empty-graph contract matches the joined form and the oracle:
+    // COUNT over no rows is 0, SUMs over no rows stay NULL
+    val local = deg.agg(coalesce(sum("d"), lit(0L)).as("n_endpoints"),
+      sum(expr("d * d")).as("s_x"),
+      sum(expr("d * d * d")).as("s_xx"))
+    val cross = rawEdges
+      .join(deg.select(col("n").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("n").as("b"), col("d").as("db")), "b")
+      .agg(sum(expr("2 * da * db")).as("s_xy"))
+    local.crossJoin(cross)
+      .select(col("n_endpoints"), col("s_x"), col("s_xx"), col("s_xy"))
   }
 
   val q146Sql: String =
