@@ -58,9 +58,10 @@ object Bench {
       // (eager localCheckpoints — e.g. a CC result snapshot) live in
       // sc.getPersistentRDDs and otherwise wait for GC + ContextCleaner.
       // Safe here: every rep rebuilds its plan from scratch, so nothing
-      // cached at RDD level is referenced across query boundaries.
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+      // cached at RDD level is referenced across query boundaries. The
+      // sweep is scratch-tagged: it skips any checkpoint RDD not minted by
+      // Checkpoints.scratch, whose truncated lineage could never recompute.
+      graft.operators.Checkpoints.sweepScratch(spark.sparkContext)
       // clearCache() does NOT release broadcast blocks — those are reaped by
       // the ContextCleaner only after the JVM garbage-collects the broadcast
       // references. Across a 50+-query run the dead HashedRelations pile up
@@ -93,8 +94,7 @@ object Bench {
           val t = try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
             catch { case _: Throwable => None }
           spark.catalog.clearCache()
-          spark.sparkContext.getPersistentRDDs.values
-            .foreach(_.unpersist(blocking = false))
+          graft.operators.Checkpoints.sweepScratch(spark.sparkContext)
           System.gc()
           "\"" + name + "\":" + t.fold("null")(fmt)
         }

@@ -29,8 +29,7 @@ object QueryProbe {
       println(f"PROBE $name $tag ${(System.nanoTime - t0) / 1e9}%.2f s ($n rows)")
       if (coldReps) {
         spark.catalog.clearCache()
-        spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = false))
+        graft.operators.Checkpoints.sweepScratch(spark.sparkContext)
         System.gc()
       }
     }

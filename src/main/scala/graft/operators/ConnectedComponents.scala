@@ -56,7 +56,35 @@ private[graft] object Checkpoints {
     * for within-query scratch, NOT for cross-query shared frames (those
     * stay in the stamped [[graft.queries.SharedFrames]] registry, which
     * owns an explicit eviction lifecycle). */
-  def scratch(df: DataFrame): DataFrame = df.localCheckpoint(eager = true)
+  def scratch(df: DataFrame): DataFrame = {
+    val out = df.localCheckpoint(eager = true)
+    rddOf(out).foreach(r => scratchIds.add(r.id))
+    out
+  }
+
+  /** Ids of every checkpoint RDD minted by [[scratch]] and not yet swept.
+    * Ids are cheap ints, so a freed-by-its-loop id lingering here until the
+    * next sweep is harmless; the set is drained on every sweep. */
+  private val scratchIds =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+
+  /** The between-query block-store sweep used by Bench/Verify/the probes.
+    * Scope: plain persisted RDDs (always recomputable from lineage) plus
+    * checkpoint RDDs minted by [[scratch]] (dead at any query boundary by
+    * the scratch invariant). A locally-checkpointed RDD NOT minted here is
+    * left alone — its lineage is truncated, so unpersisting it would turn a
+    * future consumer's recompute into "Checkpoint block not found" instead
+    * of a recompute. No such RDD exists today (every eager checkpoint in
+    * the engine goes through [[scratch]]), but a checkpoint-rooted shared
+    * frame would be exactly that, and this guard is what lets it survive
+    * the sweep. */
+  def sweepScratch(sc: org.apache.spark.SparkContext): Unit = {
+    sc.getPersistentRDDs.values.foreach { rdd =>
+      if (!rdd.isCheckpointed || scratchIds.contains(rdd.id))
+        rdd.unpersist(blocking = false)
+    }
+    scratchIds.clear()
+  }
 }
 
 object ConnectedComponents {
@@ -83,9 +111,9 @@ object ConnectedComponents {
     // unioned back as a singleton at the end. In a dedup corpus the touched
     // subgraph is the near-dup fraction — a sliver of the corpus — so the
     // loop's working set scales with the duplicates, not the data.
-    var labels = sym.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("comp"))
-      .localCheckpoint(eager = true)
+    var labels = Checkpoints.scratch(
+      sym.select(col("src").as("id")).distinct()
+        .select(col("id"), col("id").as("comp")))
 
     var changed = 1L
     var iters = 0
@@ -112,11 +140,11 @@ object ConnectedComponents {
         // lineage forward would double the logical plan every round —
         // checkpointing keeps the per-round plan constant-size.
         val jmap = stepped.select(col("id").as("jid"), col("comp").as("jump"))
-        val next = stepped.join(jmap, col("comp") === col("jid"), "left")
-          .select(col("id"),
-            least(col("comp"), coalesce(col("jump"), col("comp"))).as("comp"),
-            (col("chg") || coalesce(col("jump"), col("comp")) < col("comp")).as("chg"))
-          .localCheckpoint(eager = true)
+        val next = Checkpoints.scratch(
+          stepped.join(jmap, col("comp") === col("jid"), "left")
+            .select(col("id"),
+              least(col("comp"), coalesce(col("jump"), col("comp"))).as("comp"),
+              (col("chg") || coalesce(col("jump"), col("comp")) < col("comp")).as("chg")))
         changed = next.filter(col("chg")).count() // cheap: runs on checkpointed blocks
         stepped.unpersist(blocking = false)
         // `next` is materialized (eager checkpoint), so the PREVIOUS round's
@@ -140,7 +168,7 @@ object ConnectedComponents {
       // over ONE stable local checkpoint; the final round's snapshot (the
       // only per-round blocks still held) is freed right after this
       // materializes, so run() leaves exactly the result's blocks behind
-      val out = all.localCheckpoint(eager = true)
+      val out = Checkpoints.scratch(all)
       retired.foreach(_.unpersist(blocking = false))
       retired = None
       out

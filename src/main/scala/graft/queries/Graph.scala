@@ -339,11 +339,11 @@ object Graph {
       .repartition(col("u"))
       .persist() // one consume per round
     val src = sym.agg(min(least(col("u"), col("v"))).as("s"))
-    var dist = sym.select(col("u").as("node")).distinct()
-      .crossJoin(src)
-      .select(col("node"),
-        when(col("node") === col("s"), lit(0L)).otherwise(lit(null)).as("dist"))
-      .localCheckpoint(eager = true)
+    var dist = graft.operators.Checkpoints.scratch(
+      sym.select(col("u").as("node")).distinct()
+        .crossJoin(src)
+        .select(col("node"),
+          when(col("node") === col("s"), lit(0L)).otherwise(lit(null)).as("dist")))
     var retired = graft.operators.Checkpoints.rddOf(dist)
     var r = 1
     var settling = true
@@ -356,9 +356,9 @@ object Graph {
       val hop = sym.join(frontier, "u")
         .select(col("v").as("node")).distinct()
         .withColumn("nd", lit(r.toLong))
-      val next = dist.join(hop, Seq("node"), "left")
-        .select(col("node"), coalesce(col("dist"), col("nd")).as("dist"))
-        .localCheckpoint(eager = true)
+      val next = graft.operators.Checkpoints.scratch(
+        dist.join(hop, Seq("node"), "left")
+          .select(col("node"), coalesce(col("dist"), col("nd")).as("dist")))
       // `next` is materialized, so the previous snapshot is unreachable —
       // free it now rather than after an eventual GC+ContextCleaner cycle
       retired.foreach(_.unpersist(blocking = false))

@@ -57,8 +57,7 @@ object AbProbe {
         println(f"AB $tag $lbl ${(System.nanoTime - t0) / 1e9}%.2f s ($rows rows)")
       }
       spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+      graft.operators.Checkpoints.sweepScratch(spark.sparkContext)
       System.gc()
     }
 
