@@ -56,9 +56,17 @@ object Engine {
     * in the bench tail nearly crowded the stdout contract JSON out of the
     * driver's bounded capture buffer (VERDICT r10 #2). Called by the
     * sweep-owning entry points only; ordinary sessions keep the warning. */
-  def quietSweepLogging(): Unit =
+  def quietSweepLogging(): Unit = {
     // the message is emitted under the CONCRETE RDD subclass's logger
     // (MapPartitionsRDD, ShuffledRowRDD, ...), so quiet the rdd package
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.rdd", org.apache.logging.log4j.Level.ERROR)
+    // the sweep's unpersist of a partially-materialized or already-freed
+    // RDD also draws benign "Asked to remove block ..., which does not
+    // exist" WARNs from the BlockManager — the same intentional-condition
+    // class, and the last thing printed above the contract JSON line
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.storage.BlockManager",
+      org.apache.logging.log4j.Level.ERROR)
+  }
 }
