@@ -15,6 +15,7 @@ object QueryProbe {
     val reps = if (args.length > 2) args(2).toInt else 3
     val fn = SparkEntry.queries(name)
     val spark = Engine.session("query-probe")
+    Engine.quietSweepLogging() // cold-rep sweeps below are intentional
     // Bench semantics: the block store is NOT reset between reps (Bench
     // clears between QUERIES, so a query's warmup rep warms any
     // SharedFrames entry for its timed reps) — a probe that cleared per

@@ -42,6 +42,7 @@ object AbProbe {
     val dir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val reps = if (args.length > 1) args(1).toInt else 3
     val spark = Engineered.session()
+    graft.Engine.quietSweepLogging() // between-strategy sweeps are intentional
     val n = pairInstances(spark, dir).count()
     println(f"AB pairInstances rows=$n")
 
