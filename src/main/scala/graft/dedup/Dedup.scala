@@ -331,6 +331,52 @@ object Dedup {
       .dropDuplicates("doc_a", "doc_b")
   }
 
+  /** doc_id + 60-bit ENGINE-PORTABLE SimHash fingerprint: the same one-loop
+    * native shape as [[simHashes]] ([[graft.plans.PortableSimHash60]] over
+    * [[graft.plans.PortableShingleHashes]]), but every bit derives from md5
+    * arithmetic a DuckDB oracle replays verbatim — the q99 portability move
+    * applied to SimHash (md5-derived bit weights, r11 VERDICT #1). Distinct
+    * shingles, mirroring the portable MinHash family's set semantics. */
+  def simHashesPortable(docs0: DataFrame, shingleLen: Int = 3): DataFrame = {
+    val docs = graft.Tables.parallelized(docs0)
+    docs.select(col("doc_id"),
+        call_function("portable_simhash60",
+          array_distinct(T.portableShingleHashes(col("text"), shingleLen)))
+          .as("simhash"))
+      .filter(col("simhash").isNotNull)
+  }
+
+  /** Near-dup pairs by Hamming distance ≤ maxHamming over the PORTABLE
+    * 60-bit fingerprint, via 10×6-bit band buckets (pigeonhole: a pair
+    * within Hamming 9 of a 60-bit hash must agree exactly on at least one
+    * of 10 bands — comfortably covering the default maxHamming = 6).
+    * Identical scale shape to [[simHashPairs]]: narrow fingerprint map →
+    * slim 10-rows-per-doc band explode → bucket self-join → codegen'd
+    * bit_count Hamming filter BEFORE the pair dedup shuffle. The whole
+    * pipeline — fingerprint bits included — hash-matches the DuckDB oracle
+    * (Extensions.q28Sql). */
+  def simHashPairsPortable(docs: DataFrame, maxHamming: Int = 6): DataFrame = {
+    val hashed = simHashesPortable(docs)
+    val bands = (0 until 10).map { j =>
+      struct(lit(j).as("band"),
+        shiftright(col("simhash"), j * 6).bitwiseAND(lit(0x3fL)).as("bkey"))
+    }
+    val exploded = hashed.select(col("doc_id"), col("simhash"),
+        explode(array(bands: _*)).as("bk"))
+      .select(col("doc_id"), col("simhash"),
+        col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    val l = exploded.select(col("band"), col("bkey"),
+      col("doc_id").as("doc_a"), col("simhash").as("sim_a"))
+    val r = exploded.select(col("band"), col("bkey"),
+      col("doc_id").as("doc_b"), col("simhash").as("sim_b"))
+    l.join(r, Seq("band", "bkey")).filter(col("doc_a") < col("doc_b"))
+      .withColumn("hamming",
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast(LongType))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+      .dropDuplicates("doc_a", "doc_b")
+  }
+
   // ------------------------------------------------- n-gram Jaccard (exact)
 
   /** Exact word-bigram Jaccard for a linear pair stream (adjacent doc_ids) —

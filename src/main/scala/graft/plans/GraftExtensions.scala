@@ -93,6 +93,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         SimHash64(children.head)
       }))
 
+    ext.injectFunction((
+      FunctionIdentifier("portable_simhash60"),
+      new ExpressionInfo(classOf[PortableSimHash60].getName,
+        "portable_simhash60"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "portable_simhash60(shingle_hashes)")
+        PortableSimHash60(children.head)
+      }))
+
     // pq_encode(vec, codebooks) / adc_dist(codes, tables): the trained
     // parameter must be a foldable nested-double-array literal — it is a
     // model parameter shipped with the plan, extracted once at first eval.

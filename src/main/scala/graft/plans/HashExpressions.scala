@@ -478,3 +478,80 @@ object PortableShingleHashes {
     new GenericArrayData(out)
   }
 }
+
+/** 60-bit SimHash over the md5-60-bit shingle-hash array — the
+  * engine-portable twin of [[SimHash64]] (q28's cross-engine gate, the same
+  * portability move [[PortableHyperplaneSig]] makes for q159): bit t
+  * (t = 0..59) of the result is set iff Σ_h sign(bit t of h) > 0, where the
+  * h are [[PortableShingleHashes]] values both engines compute identically,
+  * so a DuckDB oracle replays the ENTIRE fingerprint from the raw text.
+  * 60 bits (not 64) because the portable hash itself is 60 bits — a signed
+  * 64-bit value in either engine, never negative, so `>>`/`&`/`xor`
+  * band-and-Hamming arithmetic agrees with no unsigned-shift caveats.
+  * Conventions mirror [[SimHash64]]: NULL for an empty array, null elements
+  * skipped, strict `> 0` majority per bit. */
+case class PortableSimHash60(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "portable_simhash60"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    HashElem.check(prettyName, child.dataType)
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n == 0) return null
+    val counts = new Array[Long](60)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val h = arr.getLong(i)
+        var b = 0
+        while (b < 60) {
+          counts(b) += (if (((h >>> b) & 1L) == 1L) 1L else -1L)
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var acc = 0L
+    var b = 0
+    while (b < 60) { if (counts(b) > 0) acc |= (1L << b); b += 1 }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val b = ctx.freshName("b")
+      val h = ctx.freshName("h")
+      val acc = ctx.freshName("acc")
+      val counts = ctx.freshName("counts")
+      s"""
+         |int $n = $a.numElements();
+         |if ($n == 0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long[] $counts = new long[60];
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i)) continue;
+         |    long $h = $a.getLong($i);
+         |    for (int $b = 0; $b < 60; $b++) {
+         |      $counts[$b] += ((($h >>> $b) & 1L) == 1L) ? 1L : -1L;
+         |    }
+         |  }
+         |  long $acc = 0L;
+         |  for (int $b = 0; $b < 60; $b++) {
+         |    if ($counts[$b] > 0) $acc |= (1L << $b);
+         |  }
+         |  ${ev.value} = $acc;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

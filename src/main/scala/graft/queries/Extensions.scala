@@ -28,16 +28,54 @@ object Extensions {
       |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin
 
   /** q27 MinHash+LSH near-dup pairs (shingle→minhash→band→bucket-join→
-    * exact-Jaccard verify). Spark-only: pair discovery is not expressible in
-    * SQL without corpus²; determinism is seeded. */
+    * exact-Jaccard verify) at the 0.70 Jaccard threshold — the WIDER gate of
+    * the two registered LSH dedup points (q99 runs the same pipeline at
+    * 0.80). Re-keyed on the PORTABLE Carter-Wegman permutations (r11
+    * VERDICT #1): every random bit derives from md5 + fixed integer maps, so
+    * the DuckDB oracle replays the whole pipeline and q27 graduates from
+    * rows-only to the hash gate. The xxhash64 native-signature variant
+    * ([[Dedup.minHashPairs]], 64 perms fused in one codegen loop) remains
+    * the maximal-codegen alternative, spec-covered in DedupSpec. */
   def q27(spark: SparkSession, dir: String): DataFrame =
-    Dedup.minHashPairs(Tables.load(spark, dir, "documents"))
+    Dedup.minHashPairsPortable(spark, dir, minJaccardX1e6 = 700000L)
       .orderBy("doc_a", "doc_b")
 
-  /** q28 SimHash near-dup pairs (Hamming ≤ 6 via 8×8-bit bands). */
+  val q27Sql: String = portableLshSql(700000L)
+
+  /** q28 SimHash near-dup pairs (Hamming ≤ 6 via 10×6-bit bands) over the
+    * PORTABLE 60-bit fingerprint — md5-derived bit weights (r11 VERDICT #1)
+    * make every fingerprint bit, band key, and Hamming distance integer
+    * arithmetic both engines evaluate identically, so the oracle replays the
+    * full pipeline. The 64-bit xxhash64 variant ([[Dedup.simHashPairs]])
+    * stays spec-covered in DedupSpec. */
   def q28(spark: SparkSession, dir: String): DataFrame =
-    Dedup.simHashPairs(Tables.load(spark, dir, "documents"))
+    Dedup.simHashPairsPortable(Tables.load(spark, dir, "documents"))
       .orderBy("doc_a", "doc_b")
+
+  val q28Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      |), sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
+      |    i -> CAST('0x' || substr(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]), 1, 15) AS BIGINT))) AS hs
+      |  FROM toks WHERE len(w) >= 3
+      |), fp AS (
+      |  SELECT doc_id,
+      |    CAST(list_sum(list_transform(range(0, 60), t ->
+      |      CASE WHEN list_sum(list_transform(hs,
+      |        h -> CASE WHEN ((h >> CAST(t AS INTEGER)) & 1) = 1 THEN 1 ELSE -1 END)) > 0
+      |      THEN (CAST(1 AS BIGINT) << CAST(t AS INTEGER)) ELSE 0 END)) AS BIGINT) AS f
+      |  FROM sh
+      |), bands AS (
+      |  SELECT doc_id, f, r.b AS band, (f >> CAST(r.b * 6 AS INTEGER)) & 63 AS bkey
+      |  FROM fp CROSS JOIN range(0, 10) r(b)
+      |)
+      |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  CAST(bit_count(xor(a.f, b.f)) AS BIGINT) AS hamming
+      |FROM bands a JOIN bands b
+      |  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.f, b.f)) <= 6
+      |ORDER BY doc_a, doc_b""".stripMargin
 
   /** q29 exact word-bigram Jaccard over a linear pair stream — the dedup
     * verification kernel, oracle-checked. */
@@ -1130,16 +1168,19 @@ object Extensions {
     * (signature → banding → candidates → exact-Jaccard verify) under the
     * DuckDB hash gate: md5 shingle hashes + fixed Carter-Wegman permutations
     * are evaluated identically by both engines, so the oracle replays the
-    * ENTIRE LSH pipeline, not just row counts. q27 remains the production
-    * path (native codegen'd xxhash64 signatures, 64 perms); this is its
-    * cross-engine proof at 8 perms × 4 bands. */
+    * ENTIRE LSH pipeline, not just row counts. Since r12, q27 runs the same
+    * portable pipeline at the wider 0.70 threshold — this entry is the
+    * 0.80-gate point of the pair. */
   def q99(spark: SparkSession, dir: String): DataFrame =
     graft.dedup.Dedup
       .minHashPairsPortable(spark, dir)
       .orderBy("doc_a", "doc_b")
 
-  val q99Sql =
-    """WITH toks AS (
+  /** The portable-LSH DuckDB replay (signatures → 4×2 banding → candidates →
+    * exact-Jaccard verify), parameterized by the verify threshold — shared
+    * by q27 (0.70) and q99 (0.80), which differ ONLY in that gate. */
+  private def portableLshSql(minJaccardX1e6: Long): String =
+    s"""WITH toks AS (
       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
       |), sh AS (
       |  SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
@@ -1167,8 +1208,10 @@ object Extensions {
       |  FROM cand
       |)
       |SELECT doc_a, doc_b, CAST(FLOOR(1000000.0 * i / u) AS BIGINT) AS jaccard_x1e6
-      |FROM j WHERE FLOOR(1000000.0 * i / u) >= 800000
+      |FROM j WHERE FLOOR(1000000.0 * i / u) >= $minJaccardX1e6
       |ORDER BY doc_a, doc_b""".stripMargin
+
+  val q99Sql: String = portableLshSql(800000L)
 
   /** q100 multimodal frame sampling under the hash gate: the
     * [[graft.multimodal.Multimodal.sampleFrames]] flatMap (16-byte "frames",
@@ -1591,8 +1634,8 @@ object Extensions {
     ("q176_fuzzy_decontamination", q176 _, Some(q176Sql)),
     ("q184_class_prf1", q184 _, Some(q184Sql)),
     ("q188_dup_inflation", q188 _, Some(q188Sql)),
-    ("q27_dedup_minhash_lsh", q27 _, None),
-    ("q28_dedup_simhash", q28 _, None),
+    ("q27_dedup_minhash_lsh", q27 _, Some(q27Sql)),
+    ("q28_dedup_simhash", q28 _, Some(q28Sql)),
     ("q29_ngram_jaccard", q29 _, Some(q29Sql)),
     ("q30_embed_neardup_lsh", q30 _, None),
     ("q31_knn_cosine_brute", q31 _, Some(q31Sql)),

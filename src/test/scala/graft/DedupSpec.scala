@@ -62,6 +62,45 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.toSeq == Seq((1L, 2L, 0)))
   }
 
+  test("portable simhash: identical docs at hamming 0, near-dup within gate, unrelated dropped") {
+    val words = (1 to 300).map(i => s"tok$i")
+    val a = words.mkString(" ")
+    val b = words.updated(150, "CHANGED").mkString(" ")
+    val d = docs((1L, a), (2L, a), (3L, b),
+      (4L, (500 to 800).map(i => s"q$i").mkString(" ")))
+    val pairs = Dedup.simHashPairsPortable(d)
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    val byPair = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    assert(byPair((1L, 2L)) == 0L)
+    // a one-token edit flips 3 of ~300 shingles — set cosine ≈ 0.99, so the
+    // expected fingerprint movement (60·θ/π ≈ 2–3 bits) sits well inside
+    // the default Hamming ≤ 6 gate
+    assert(byPair.contains((1L, 3L)) && byPair((1L, 3L)) <= 6L)
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("native portable_simhash60 is bit-identical to the per-bit HOF composition") {
+    val d = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val hs = array_distinct(graft.functions.TextFunctions
+      .portableShingleHashes(col("text"), 3))
+    val native = Dedup.simHashesPortable(d)
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    // reference: one aggregate per bit over the same distinct hash array
+    val ref = d.select(col("doc_id"),
+        aggregate(sequence(lit(0), lit(59)), lit(0L), (acc, t) =>
+          acc + when(
+            aggregate(hs, lit(0L), (s, h) =>
+              s + when(call_function("shiftright", h, t.cast("int"))
+                  .bitwiseAND(lit(1L)) === 1L,
+                lit(1L)).otherwise(lit(-1L))) > 0,
+            call_function("shiftleft", lit(1L), t.cast("int")))
+            .otherwise(lit(0L)))
+          .as("f"))
+      .filter(size(hs) > 0)
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    assert(native == ref)
+  }
+
   test("adjacent n-gram jaccard: hand-computed value") {
     // doc1 bigrams {a b, b c}; doc2 bigrams {a b, b x} → J = 1/3
     val d = docs((1L, "a b c"), (2L, "a b x"))

@@ -272,7 +272,10 @@ class PlanQualitySpec extends AnyFunSuite {
 
   test("q28: simhash pipeline stays out of the interpreted HOF path") {
     val p = plan("q28_dedup_simhash")
-    assert(p.contains("shingle_hashes"), p)
+    // portable fingerprint: native md5 shingle hashing + native 60-bit
+    // simhash, no interpreted lambda anywhere in the pipeline
+    assert(p.contains("portable_shingle_hashes"), p)
+    assert(p.contains("portable_simhash60"), p)
     assert(!p.contains("lambdafunction"), p)
   }
 
