@@ -243,4 +243,51 @@ object Knn {
       .orderBy(desc("cos_x10k"), col("vec_id"))
       .limit(k)
   }
+
+  /** [[lshTopK]] with ENGINE-PORTABLE randomness (r11 VERDICT #1): the q159
+    * integer algebra as a serve path. Embeddings quantize to int64 (⌊x·100⌋);
+    * the 63-bit arithmetic hyperplane signature
+    * ([[graft.plans.PortableHyperplaneSig]]) splits into 9×7-bit bands; the
+    * candidate set is every vector sharing ≥ 1 band with the query — the
+    * multi-probe analog (a near neighbor's small signature Hamming distance
+    * makes an exact band match likely, the SimHash pigeonhole argument) —
+    * and candidates rank by the signed integer cos²-ppm score. Every step is
+    * md5/integer arithmetic the DuckDB oracle replays verbatim
+    * (Extensions.q32Sql), so the LSH serve itself sits under the hash gate.
+    *
+    * Scale shape: narrow signature map, slim 9-rows-per-vector band explode,
+    * band semi-join against the query's 9 band keys (broadcast — the query
+    * is a parameter), candidate-only fetch join, one broadcast 1-row
+    * parameter join for the query vector, TakeOrderedAndProject. Zero
+    * corpus-sized shuffles. */
+  def lshTopKPortable(embs0: DataFrame, queryId: Long, k: Int): DataFrame = {
+    val q = graft.Tables.parallelized(embs0)
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          x => floor(x.cast(DoubleType) * 100).cast(LongType)).as("qv"))
+      .withColumn("nrm", call_function("dot_i64", col("qv"), col("qv")))
+      .filter(col("nrm") > 0)
+    val bands = q
+      .withColumn("sig", call_function("portable_hyperplane_sig", col("qv")))
+      .select(col("vec_id"), explode(sequence(lit(0), lit(8))).as("band_id"),
+        col("sig"))
+      .withColumn("band_val", expr("shiftright(sig, band_id * 7) & 127"))
+      .select("vec_id", "band_id", "band_val")
+    val qBands = bands.filter(col("vec_id") === queryId)
+      .select("band_id", "band_val")
+    val cand = bands.filter(col("vec_id") =!= queryId)
+      .join(broadcast(qBands), Seq("band_id", "band_val"), "left_semi")
+      .select("vec_id").distinct()
+    val qRow = q.filter(col("vec_id") === queryId)
+      .select(col("qv").as("qq"), col("nrm").as("qn"))
+    cand.join(q, "vec_id")
+      .crossJoin(broadcast(qRow))
+      .withColumn("dot", call_function("dot_i64", col("qv"), col("qq")))
+      .withColumn("score_x1e6",
+        when(col("dot") >= 0, expr("dot * dot * 1000000 div (nrm * qn)"))
+          .otherwise(-expr("dot * dot * 1000000 div (nrm * qn)")))
+      .select("vec_id", "score_x1e6")
+      .orderBy(desc("score_x1e6"), col("vec_id"))
+      .limit(k)
+  }
 }

@@ -421,6 +421,50 @@ object Dedup {
 
   // --------------------------------------------- embedding cosine near-dup
 
+  /** [[embeddingNearDups]] with ENGINE-PORTABLE randomness — the q159
+    * algebra as a pair-discovery operator: embeddings quantize to int64
+    * (⌊x·100⌋), the 63-bit arithmetic hyperplane signature
+    * ([[graft.plans.PortableHyperplaneSig]] — no JVM RNG anywhere) splits
+    * into 9×7-bit bands, only band-colliding pairs are compared, and the
+    * verify kernel is the signed integer cos²-ppm score (dot²·1e6 div
+    * na·nb, negated for obtuse pairs) — every step replayed bit-for-bit by
+    * the DuckDB oracle (Extensions.q30Sql). Returns the top `k` candidate
+    * pairs by that score. Scale shape unchanged: narrow signature map →
+    * slim 9-rows-per-vector band explode → bucket self-join → candidate-only
+    * vector fetch joins → TakeOrderedAndProject. */
+  def embeddingNearDupsPortable(embs0: DataFrame, k: Int = 20): DataFrame = {
+    val q = graft.Tables.parallelized(embs0)
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          x => floor(x.cast(DoubleType) * 100).cast(LongType)).as("qv"))
+      .withColumn("nrm", call_function("dot_i64", col("qv"), col("qv")))
+      .filter(col("nrm") > 0)
+    val bands = q
+      .withColumn("sig", call_function("portable_hyperplane_sig", col("qv")))
+      .select(col("vec_id"), explode(sequence(lit(0), lit(8))).as("band_id"),
+        col("sig"))
+      .withColumn("band_val", expr("shiftright(sig, band_id * 7) & 127"))
+      .select("vec_id", "band_id", "band_val")
+    val cand = bands.select(col("band_id"), col("band_val"),
+        col("vec_id").as("vec_a"))
+      .join(bands.select(col("band_id"), col("band_val"),
+        col("vec_id").as("vec_b")), Seq("band_id", "band_val"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select("vec_a", "vec_b").distinct()
+    cand
+      .join(q.select(col("vec_id").as("vec_a"), col("qv").as("qa"),
+        col("nrm").as("na")), "vec_a")
+      .join(q.select(col("vec_id").as("vec_b"), col("qv").as("qb"),
+        col("nrm").as("nb")), "vec_b")
+      .withColumn("dot", call_function("dot_i64", col("qa"), col("qb")))
+      .withColumn("score_x1e6",
+        when(col("dot") >= 0, expr("dot * dot * 1000000 div (na * nb)"))
+          .otherwise(-expr("dot * dot * 1000000 div (na * nb)")))
+      .select("vec_a", "vec_b", "score_x1e6")
+      .orderBy(desc("score_x1e6"), col("vec_a"), col("vec_b"))
+      .limit(k)
+  }
+
   /** Embedding near-dup candidates via random-hyperplane LSH buckets: only
     * vectors sharing a bucket are compared (corpus² never materializes), then
     * exact cosine ranks the candidates. Returns the top `k` candidate pairs

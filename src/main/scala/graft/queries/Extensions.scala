@@ -104,11 +104,62 @@ object Extensions {
       |LEFT JOIN inter i ON i.doc_a = sa.doc_id
       |ORDER BY doc_a""".stripMargin
 
-  /** q30 embedding near-dup candidates via hyperplane-LSH buckets + exact
-    * cosine (top-20). Spark-only (seeded LSH). */
+  /** q30 embedding near-dup candidates via hyperplane-LSH bands + integer
+    * cos²-ppm verify (top-20) — PORTABLE since r12 (r11 VERDICT #1): the
+    * 63-bit arithmetic hyperplane signature and the signed quantized score
+    * are pure integer algebra, so the DuckDB oracle replays the whole
+    * pipeline (banding included). The JVM-seeded variant
+    * ([[Dedup.embeddingNearDups]]) stays spec-covered in DedupSpec. */
   def q30(spark: SparkSession, dir: String): DataFrame =
-    Dedup.embeddingNearDups(Tables.load(spark, dir, "embeddings"), dim = 64)
-      .orderBy(desc("cos_x1e6"), col("vec_a"), col("vec_b"))
+    Dedup.embeddingNearDupsPortable(Tables.load(spark, dir, "embeddings"))
+
+  /** Shared DuckDB CTE prefix for the portable hyperplane family (q30/q32):
+    * quantize → norm-filter → 63-bit signature → 9×7-bit bands — the exact
+    * integer algebra of [[graft.plans.PortableHyperplaneSig]]. */
+  private val portableSigBandsCte: String =
+    """q AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 100) AS BIGINT)) AS qv
+      |  FROM embeddings
+      |), n AS (
+      |  SELECT vec_id, qv,
+      |    CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS nrm
+      |  FROM q WHERE CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) > 0
+      |), s AS (
+      |  SELECT vec_id,
+      |    CAST(list_sum(list_transform(range(0, 63), t ->
+      |      CASE WHEN list_sum(list_transform(range(1, len(qv) + 1), j ->
+      |        qv[j] * ((1299709 * (t * len(qv) + j - 1) + 15485863) % 1000003
+      |                 - 500001))) >= 0
+      |      THEN (CAST(1 AS BIGINT) << CAST(t AS INTEGER)) ELSE 0 END))
+      |      AS BIGINT) AS sig
+      |  FROM n
+      |), bands AS (
+      |  SELECT vec_id, r.b AS band_id,
+      |    (sig >> CAST(r.b * 7 AS INTEGER)) & 127 AS band_val
+      |  FROM s CROSS JOIN range(0, 9) r(b)
+      |)""".stripMargin
+
+  val q30Sql: String =
+    s"""WITH $portableSigBandsCte, cand AS (
+      |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      |  FROM bands a JOIN bands b
+      |    ON a.band_id = b.band_id AND a.band_val = b.band_val
+      |   AND a.vec_id < b.vec_id
+      |), pairs AS (
+      |  SELECT c.vec_a, c.vec_b, x.nrm AS na, y.nrm AS nb,
+      |    CAST(list_sum(list_transform(range(1, len(x.qv) + 1),
+      |      i -> x.qv[i] * y.qv[i])) AS BIGINT) AS dot
+      |  FROM cand c
+      |  JOIN n x ON x.vec_id = c.vec_a
+      |  JOIN n y ON y.vec_id = c.vec_b
+      |)
+      |SELECT vec_a, vec_b,
+      |  CAST(CASE WHEN dot >= 0 THEN dot * dot * 1000000 // (na * nb)
+      |       ELSE -(dot * dot * 1000000 // (na * nb)) END AS BIGINT) AS score_x1e6
+      |FROM pairs
+      |ORDER BY score_x1e6 DESC, vec_a, vec_b
+      |LIMIT 20""".stripMargin
 
   /** q31 brute-force cosine top-10 vs the vec_id=0 embedding — oracle-checked
     * similarity-search baseline. */
@@ -132,12 +183,38 @@ object Extensions {
       |FROM pairs GROUP BY vec_id
       |ORDER BY cos_x10k DESC, vec_id LIMIT 10""".stripMargin
 
-  /** q32 LSH-bucketed approximate top-10 (multi-probe Hamming ≤ 1).
-    * Spark-only (seeded LSH). */
-  def q32(spark: SparkSession, dir: String): DataFrame = {
-    val embs = Tables.load(spark, dir, "embeddings")
-    Knn.lshTopK(embs, Knn.queryVector(embs, 0L), excludeId = 0L, k = 10, dim = 64)
-  }
+  /** q32 LSH-bucketed approximate top-10 vs the vec_id=0 query — PORTABLE
+    * since r12 (r11 VERDICT #1): candidates are the vectors sharing ≥ 1 of
+    * the query's 9 signature bands (the multi-probe analog), ranked by the
+    * signed integer cos²-ppm score, every step replayed by the DuckDB
+    * oracle. The JVM-seeded multi-probe variant ([[Knn.lshTopK]]) stays
+    * spec-covered in AnnSpec. */
+  def q32(spark: SparkSession, dir: String): DataFrame =
+    Knn.lshTopKPortable(Tables.load(spark, dir, "embeddings"),
+      queryId = 0L, k = 10)
+
+  val q32Sql: String =
+    s"""WITH $portableSigBandsCte, qb AS (
+      |  SELECT band_id, band_val FROM bands WHERE vec_id = 0
+      |), cand AS (
+      |  SELECT DISTINCT b.vec_id
+      |  FROM bands b JOIN qb
+      |    ON b.band_id = qb.band_id AND b.band_val = qb.band_val
+      |  WHERE b.vec_id <> 0
+      |), q0 AS (
+      |  SELECT qv, nrm FROM n WHERE vec_id = 0
+      |), scored AS (
+      |  SELECT c.vec_id, x.nrm AS na, q0.nrm AS nb,
+      |    CAST(list_sum(list_transform(range(1, len(x.qv) + 1),
+      |      i -> x.qv[i] * q0.qv[i])) AS BIGINT) AS dot
+      |  FROM cand c JOIN n x ON x.vec_id = c.vec_id CROSS JOIN q0
+      |)
+      |SELECT vec_id,
+      |  CAST(CASE WHEN dot >= 0 THEN dot * dot * 1000000 // (na * nb)
+      |       ELSE -(dot * dot * 1000000 // (na * nb)) END AS BIGINT) AS score_x1e6
+      |FROM scored
+      |ORDER BY score_x1e6 DESC, vec_id
+      |LIMIT 10""".stripMargin
 
   /** q49 IVF-flat approximate top-10 (hash-sampled k-means coarse quantizer,
     * probe the 4 nearest inverted lists), served through the fingerprint-
@@ -1637,9 +1714,9 @@ object Extensions {
     ("q27_dedup_minhash_lsh", q27 _, Some(q27Sql)),
     ("q28_dedup_simhash", q28 _, Some(q28Sql)),
     ("q29_ngram_jaccard", q29 _, Some(q29Sql)),
-    ("q30_embed_neardup_lsh", q30 _, None),
+    ("q30_embed_neardup_lsh", q30 _, Some(q30Sql)),
     ("q31_knn_cosine_brute", q31 _, Some(q31Sql)),
-    ("q32_knn_lsh", q32 _, None),
+    ("q32_knn_lsh", q32 _, Some(q32Sql)),
     ("q33_text_quality", q33 _, Some(q33Sql)),
     ("q34_langid", q34 _, Some(q34Sql)),
     ("q35_fingerprint", q35 _, Some(q35Sql)),

@@ -17,6 +17,39 @@ class AnnSpec extends AnyFunSuite {
   lazy val q = Knn.queryVector(embs, 0L)
   lazy val exact = topIds(Knn.bruteForce(embs, q, excludeId = 0L, k = 10))
 
+  test("portable LSH top-k: k rows, an exact duplicate of the query ranks first at score 1e6") {
+    import org.apache.spark.sql.functions.{col, lit, when, transform => tf}
+    // clone the query vector onto a fresh id — the serve must surface it
+    // first with the exact integer score 1.0 (ppm), since quantization and
+    // scoring are deterministic integer algebra
+    val cloneId = 999999L
+    val withClone = embs.select(col("vec_id"), col("embedding"))
+      .union(embs.filter(col("vec_id") === 0L)
+        .select(lit(cloneId).as("vec_id"), col("embedding")))
+    val out = Knn.lshTopKPortable(withClone, queryId = 0L, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.length == 10)
+    assert(out.head == ((cloneId, 1000000L)), out.toSeq.toString)
+    // recall vs exact on the unmodified corpus: this synthetic fixture's
+    // nearest neighbors are only weakly similar (cos ≈ 0.3), where ANY
+    // banded LSH has probabilistic recall — same floor discipline as the
+    // seeded lshTopK test (overlap, not majority)
+    val portable = topIds(Knn.lshTopKPortable(embs, queryId = 0L, k = 10))
+    val recall = (portable & exact).size
+    assert(recall >= 2, s"portable LSH recall too low: $recall/10")
+  }
+
+  test("portable embedding near-dup pairs: a planted duplicate pair tops the ranking") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val cloneId = 999999L
+    val withClone = embs.select(col("vec_id"), col("embedding"))
+      .union(embs.filter(col("vec_id") === 7L)
+        .select(lit(cloneId).as("vec_id"), col("embedding")))
+    val top = graft.dedup.Dedup.embeddingNearDupsPortable(withClone, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(top.head == ((7L, cloneId, 1000000L)), top.toSeq.toString)
+  }
+
   test("IVF top-10: k rows, recall vs brute force >= 0.5") {
     val ivf = topIds(Knn.ivfTopK(embs, q, excludeId = 0L, k = 10,
       nClusters = 8, nProbe = 3))
