@@ -1,0 +1,386 @@
+package graft.ann
+
+import graft.functions.{TextFunctions => T}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** ENGINE-PORTABLE integer-arithmetic ANN (r11 VERDICT #2): the same
+  * IVF / PQ / IVF-PQ architectures as [[Knn]]/[[Pq]]/[[IvfPq]], with every
+  * arithmetic step replayable bit-for-bit by a SQL engine — which puts the
+  * WHOLE family (training included) under the driver's DuckDB hash gate
+  * instead of the recall-floor specs the float variants rest on.
+  *
+  * The float variants are legitimately unportable because Lloyd centroid
+  * means depend on float accumulation order. This module removes floats
+  * entirely:
+  *  - embeddings quantize to int64 (⌊x·100⌋ — the q30/q32/q159 convention);
+  *  - distances are integer squared L2 (exact, associative — any
+  *    accumulation order gives the same value);
+  *  - centroid updates are integer truncating-division means (`div` in
+  *    Spark, `//` in DuckDB — both truncate toward zero);
+  *  - the training sample and every tie-break derive from md5 / integer
+  *    comparisons, never a JVM RNG or float rounding.
+  * So the trained model, the encoded corpus, and the served top-k are a
+  * pure function of the corpus bytes, identical in any engine.
+  *
+  * Scale shape matches the float family: training scans a hash-sample;
+  * assignment/encoding are narrow maps with model-as-literal (the int
+  * codebooks ride through the same native `pq_encode`/`adc_dist`/`dot_i64`
+  * codegen'd expressions — integer values are exact in double, so the
+  * double kernels compute exact integer distances); serves are probe-pruned
+  * scans + TakeOrderedAndProject with zero corpus-sized shuffles.
+  */
+object PortableAnn {
+
+  /** Quantized corpus: (vec_id, qv: array<long> = ⌊x·100⌋, nrm = ⟨qv,qv⟩),
+    * zero vectors dropped (cosine undefined). */
+  def quantized(embs: DataFrame): DataFrame =
+    graft.Tables.parallelized(embs)
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          x => floor(x.cast(DoubleType) * 100).cast(LongType)).as("qv"))
+      .withColumn("nrm", call_function("dot_i64", col("qv"), col("qv")))
+      .filter(col("nrm") > 0)
+
+  /** Portable hash-sample (md5-60-bit of the id — what DuckDB's
+    * `CAST('0x'||substr(md5(id),1,15) AS BIGINT)` computes), topped up with
+    * `vec_id < topUp` so tiny fixtures always cover the init set. */
+  private def sampled(q: DataFrame, mod: Int, topUp: Int): DataFrame =
+    q.filter(T.portableHash60(col("vec_id")) % mod === 0 ||
+      col("vec_id") < topUp)
+
+  private def l2Int(a: Array[Long], b: Array[Long]): Long = {
+    var d = 0L; var i = 0
+    while (i < a.length && i < b.length) {
+      val x = a(i) - b(i); d += x * x; i += 1
+    }
+    d
+  }
+
+  // ------------------------------------------------------------ integer IVF
+
+  /** argmin integer-L2 over literal centroids, ties → smaller cid: `least`
+    * over (key, cid) structs where key = ‖c‖² − 2⟨v,c⟩ — the per-row-constant
+    * ‖v‖² is dropped, which preserves ordering AND ties exactly (the SQL
+    * replay ranks by the full ‖v−c‖²; the two orderings are identical).
+    * Narrow, codegen'd, zero shuffles at any corpus size. */
+  def nearestCidInt(cents: Array[(Long, Array[Long])]): Column = {
+    val scored = cents.map { case (cid, cv) =>
+      val nc = cv.map(x => x * x).sum
+      struct(
+        (lit(nc) - lit(2L) *
+          call_function("dot_i64", col("qv"), typedlit(cv.toSeq))).as("d"),
+        lit(cid).as("cid"))
+    }
+    least(scored.toIndexedSeq: _*).getField("cid")
+  }
+
+  /** Integer Lloyd over the portable hash-sample. Init = the `nClusters`
+    * lowest sampled vec_ids (cid = that vec_id, the [[Knn.ivfTrain]]
+    * labeling); update = per-position truncating-division mean; a cluster
+    * that wins no rows keeps its previous centroid. `q` must be a
+    * [[quantized]] frame. */
+  def ivfTrainInt(q: DataFrame, nClusters: Int, iters: Int = 2,
+      sampleMod: Int = 10, topUp: Int = 0): Array[(Long, Array[Long])] = {
+    val base = sampled(q, sampleMod, math.max(nClusters, topUp))
+      .select("vec_id", "qv").persist()
+    try {
+      var cents: Array[(Long, Array[Long])] =
+        base.orderBy("vec_id").limit(nClusters).collect()
+          .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+      for (_ <- 0 until iters) {
+        val updated = base
+          .withColumn("cid", nearestCidInt(cents))
+          .select(col("cid"), posexplode(col("qv")).as(Seq("pos", "v")))
+          .groupBy("cid", "pos")
+          .agg(expr("sum(v) div count(1)").as("m"))
+          .groupBy("cid")
+          .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("pm"))
+          .select(col("cid"),
+            transform(col("pm"), x => x.getField("m")).as("cvec"))
+          .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray)).toMap
+        cents = cents.map { case (cid, old) =>
+          (cid, updated.getOrElse(cid, old))
+        }
+      }
+      cents
+    } finally base.unpersist(blocking = false)
+  }
+
+  /** Probe order: all cids ranked by integer L2 to the query, ties → smaller
+    * cid (driver-side — the model is a parameter). */
+  private def probeCids(cents: Array[(Long, Array[Long])], qv: Array[Long],
+      nProbe: Int): Array[Long] =
+    cents.map { case (cid, cv) => (l2Int(qv, cv), cid) }
+      .sortBy(identity).take(nProbe).map(_._2)
+
+  /** Driver-side parameter fetch of one quantized vector. */
+  def queryVec(q: DataFrame, vecId: Long): (Array[Long], Long) = {
+    val r = q.filter(col("vec_id") === vecId).select("qv", "nrm").head()
+    (r.getSeq[Long](0).toArray, r.getLong(1))
+  }
+
+  /** IVF-flat portable serve: probe `nProbe` lists by integer L2, rank the
+    * probed candidates by the signed cos²-ppm integer score (the q30/q32
+    * scoring kernel: ±⟨v,q⟩²·10⁶ div (‖v‖²‖q‖²), sign of the dot
+    * preserved). Zero shuffles: narrow assignment + filter +
+    * TakeOrderedAndProject. */
+  def ivfTopKPortable(embs: DataFrame, queryId: Long, k: Int,
+      nClusters: Int = 8, nProbe: Int = 3, iters: Int = 2,
+      sampleMod: Int = 10,
+      model: Option[Array[(Long, Array[Long])]] = None): DataFrame = {
+    val q = quantized(embs)
+    val cents = model.getOrElse(ivfTrainInt(q, nClusters, iters, sampleMod))
+    val (qv, qn) = queryVec(q, queryId)
+    val probes = probeCids(cents, qv, nProbe)
+    val qLit = typedlit(qv.toSeq)
+    q.filter(col("vec_id") =!= queryId)
+      .withColumn("cid", nearestCidInt(cents))
+      .filter(col("cid").isin(probes.toIndexedSeq: _*))
+      .withColumn("dot", call_function("dot_i64", col("qv"), qLit))
+      .withColumn("score_x1e6",
+        when(col("dot") >= 0,
+          expr(s"dot * dot * 1000000 div (nrm * ${qn}L)"))
+          .otherwise(-expr(s"dot * dot * 1000000 div (nrm * ${qn}L)")))
+      .select("vec_id", "score_x1e6")
+      .orderBy(desc("score_x1e6"), col("vec_id"))
+      .limit(k)
+  }
+
+  // ------------------------------------------------------------- integer PQ
+
+  /** Integer codebooks through the native `pq_encode` kernel: int64 values
+    * are exact in double, so the double L2 argmin (ties → smaller code) is
+    * bit-identical to the integer argmin the SQL replay runs. */
+  def encodeIntCol(qv: Column, cbs: Array[Array[Array[Long]]]): Column =
+    call_function("pq_encode", transform(qv, _.cast(DoubleType)),
+      typedlit(cbs.map(_.map(_.map(_.toDouble).toSeq).toSeq).toSeq))
+
+  /** Integer Lloyd per subspace over the portable hash-sample (the
+    * [[Pq.pqTrain]] one-shuffle-per-iteration shape, integer arithmetic).
+    * `q` must be a (vec_id, qv) frame — raw quantized vectors for plain PQ,
+    * residuals for IVF-PQ. */
+  def pqTrainInt(q: DataFrame, dim: Int, m: Int, k: Int, iters: Int = 2,
+      sampleMod: Int = 10): Array[Array[Array[Long]]] = {
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val w = dim / m
+    val base = sampled(q, sampleMod, k).select("vec_id", "qv").persist()
+    try {
+      val initRows = base.orderBy("vec_id").limit(k).collect()
+        .map(_.getSeq[Long](1).toArray)
+      var cbs: Array[Array[Array[Long]]] =
+        Array.tabulate(m)(s => initRows.map(_.slice(s * w, s * w + w)))
+      for (_ <- 0 until iters) {
+        val updated = base
+          .select(col("qv"), encodeIntCol(col("qv"), cbs).as("codes"))
+          .select(col("codes"), posexplode(col("qv")).as(Seq("pos", "v")))
+          .withColumn("s", (col("pos") / w).cast(IntegerType))
+          .select(col("s"), element_at(col("codes"), col("s") + 1).as("code"),
+            pmod(col("pos"), lit(w)).as("sp"), col("v"))
+          .groupBy("s", "code", "sp")
+          .agg(expr("sum(v) div count(1)").as("mv"))
+          .groupBy("s", "code")
+          .agg(sort_array(collect_list(struct(col("sp"), col("mv")))).as("pm"))
+          .select(col("s"), col("code"),
+            transform(col("pm"), x => x.getField("mv")).as("cvec"))
+          .collect()
+          .map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Long](2).toArray))
+          .toMap
+        cbs = Array.tabulate(m)(s => cbs(s).zipWithIndex.map {
+          case (old, c) => updated.getOrElse((s, c), old)
+        })
+      }
+      cbs
+    } finally base.unpersist(blocking = false)
+  }
+
+  /** Query-side ADC tables: dt(s)(c) = integer ‖q_sub(s) − codebook(s)(c)‖²
+    * (driver-side, model-sized). */
+  private def adcTables(cbs: Array[Array[Array[Long]]], qv: Array[Long],
+      dim: Int): Seq[Seq[Double]] = {
+    val m = cbs.length
+    val w = dim / m
+    (0 until m).map { s =>
+      val qs = qv.slice(s * w, s * w + w)
+      cbs(s).map(cv => l2Int(qs, cv).toDouble).toSeq
+    }
+  }
+
+  /** Exact integer L2 re-rank of a driver-collected candidate id list:
+    * ‖v−q‖² = ‖v‖² + ‖q‖² − 2⟨v,q⟩ — algebraically identical to the direct
+    * sum the SQL replay computes, exact in int64. */
+  private def rerank(q: DataFrame, candidates: Array[Long], qv: Array[Long],
+      qn: Long, topK: Int): DataFrame = {
+    val qLit = typedlit(qv.toSeq)
+    q.filter(col("vec_id").isInCollection(candidates.toIndexedSeq))
+      .select(col("vec_id"),
+        (col("nrm") + lit(qn) - lit(2L) *
+          call_function("dot_i64", col("qv"), qLit)).as("dist_i64"))
+      .orderBy(col("dist_i64"), col("vec_id"))
+      .limit(topK)
+  }
+
+  /** PQ portable serve: ADC candidate scan over the int codes (narrow map,
+    * model-as-literal) + exact integer re-rank of topK×refine rows. */
+  def pqTopKPortable(embs: DataFrame, queryId: Long, topK: Int, dim: Int,
+      m: Int = 8, k: Int = 16, iters: Int = 2, refine: Int = 5,
+      sampleMod: Int = 10,
+      model: Option[Array[Array[Array[Long]]]] = None): DataFrame = {
+    val q = quantized(embs)
+    val cbs = model.getOrElse(pqTrainInt(q, dim, m, k, iters, sampleMod))
+    val (qv, qn) = queryVec(q, queryId)
+    val dt = adcTables(cbs, qv, dim)
+    val candidates = q.filter(col("vec_id") =!= queryId)
+      .select(col("vec_id"), encodeIntCol(col("qv"), cbs).as("codes"))
+      .select(col("vec_id"),
+        call_function("adc_dist", col("codes"), typedlit(dt))
+          .cast(LongType).as("ad"))
+      .orderBy(col("ad"), col("vec_id"))
+      .limit(topK * refine)
+      .select("vec_id").collect().map(_.getLong(0))
+    rerank(q, candidates, qv, qn, topK)
+  }
+
+  // --------------------------------------------------------- integer IVF-PQ
+
+  /** Coarse int centroids + residual int codebooks — the [[IvfPq.Model]]
+    * shape in exact arithmetic. */
+  final case class IntModel(cents: Array[(Long, Array[Long])],
+      cbs: Array[Array[Array[Long]]])
+
+  private def centMapLit(cents: Array[(Long, Array[Long])]): Column =
+    typedlit(cents.map { case (cid, cv) => cid -> cv.toSeq }.toMap)
+
+  /** cid + integer residual per vector (narrow, model-as-literal). */
+  def assignResidInt(q: DataFrame,
+      cents: Array[(Long, Array[Long])]): DataFrame =
+    q.withColumn("cid", nearestCidInt(cents))
+      .withColumn("rv",
+        zip_with(col("qv"), element_at(centMapLit(cents), col("cid")),
+          (a, b) => a - b))
+
+  /** Train coarse + residual-PQ, both over the same portable hash-sample
+    * predicate (residual training sees the SAME sampled ids — the sample is
+    * keyed on vec_id only, so both engines agree on the rows). */
+  def ivfPqTrainInt(q: DataFrame, dim: Int, nClusters: Int = 8, m: Int = 8,
+      k: Int = 16, iters: Int = 2, sampleMod: Int = 10): IntModel = {
+    val cents = ivfTrainInt(q, nClusters, iters, sampleMod, topUp = k)
+    val resid = assignResidInt(q, cents)
+      .select(col("vec_id"), col("rv").as("qv"))
+    IntModel(cents, pqTrainInt(resid, dim, m, k, iters, sampleMod))
+  }
+
+  /** (vec_id, cid, codes): the compressed corpus — the write-once table of
+    * the deployed portable index. */
+  def encodeIvfPq(q: DataFrame, model: IntModel): DataFrame =
+    assignResidInt(q, model.cents)
+      .select(col("vec_id"), col("cid"),
+        encodeIntCol(col("rv"), model.cbs).as("codes"))
+
+  /** IVF-PQ portable serve over an encoded frame (in-flight or persisted
+    * cid-partitioned — the `cid === c` filters prune partitions in the
+    * latter case): per-list ADC from the query's residual vs THAT list's
+    * centroid, topK×refine candidates, exact integer re-rank. */
+  def queryEncodedPortable(encoded: DataFrame, q: DataFrame, model: IntModel,
+      queryId: Long, topK: Int, dim: Int, nProbe: Int = 3,
+      refine: Int = 5): DataFrame = {
+    val (qv, qn) = queryVec(q, queryId)
+    val probes = probeCids(model.cents, qv, nProbe)
+    val cmap = model.cents.toMap
+    val clean = encoded.filter(col("vec_id") =!= queryId)
+    val candScans = probes.toIndexedSeq.map { c =>
+      val qres = qv.zip(cmap(c)).map { case (x, cv) => x - cv }
+      clean.filter(col("cid") === c)
+        .select(col("vec_id"),
+          call_function("adc_dist", col("codes"),
+            typedlit(adcTables(model.cbs, qres, dim)))
+            .cast(LongType).as("ad"))
+    }
+    val candidates = candScans.reduce(_ union _)
+      .orderBy(col("ad"), col("vec_id"))
+      .limit(topK * refine)
+      .select("vec_id").collect().map(_.getLong(0))
+    rerank(q, candidates, qv, qn, topK)
+  }
+
+  def ivfPqTopKPortable(embs: DataFrame, queryId: Long, topK: Int, dim: Int,
+      nClusters: Int = 8, nProbe: Int = 3, m: Int = 8, k: Int = 16,
+      iters: Int = 2, refine: Int = 5): DataFrame = {
+    val q = quantized(embs)
+    val model = ivfPqTrainInt(q, dim, nClusters, m, k, iters)
+    queryEncodedPortable(encodeIvfPq(q, model), q, model, queryId, topK, dim,
+      nProbe, refine)
+  }
+}
+
+/** Persistence for the PORTABLE IVF-PQ index — the [[IvfPqIndex]] deployment
+  * shape (train once, write model + cid-partitioned codes, serve via
+  * partition-pruned probe scans) for the integer model, so q103's
+  * steady-state measures the serve path AND every byte of it replays under
+  * the DuckDB hash gate. */
+object PortableIvfPqIndex {
+
+  def save(spark: SparkSession, model: PortableAnn.IntModel,
+      encoded: DataFrame, path: String): Unit = {
+    import spark.implicits._
+    encoded.write.mode("overwrite").partitionBy("cid").parquet(s"$path/codes")
+    model.cents.toSeq.map { case (cid, v) => (cid, v.toSeq) }
+      .toDF("cid", "vec")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    model.cbs.zipWithIndex.toSeq
+      .flatMap { case (cb, s) =>
+        cb.zipWithIndex.map { case (cvec, code) => (s, code, cvec.toSeq) } }
+      .toDF("s", "code", "vec")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+  }
+
+  private val modelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, PortableAnn.IntModel]()
+
+  def loadModelCached(spark: SparkSession, path: String): PortableAnn.IntModel =
+    modelCache.computeIfAbsent(path, _ => loadModel(spark, path))
+
+  def loadModel(spark: SparkSession, path: String): PortableAnn.IntModel = {
+    val cents = spark.read.parquet(s"$path/centroids")
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+      .sortBy(_._1)
+    val cbRows = spark.read.parquet(s"$path/codebooks")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Long](2).toArray))
+    val m = cbRows.map(_._1).max + 1
+    val k = cbRows.map(_._2).max + 1
+    val cbs = Array.ofDim[Array[Long]](m, k)
+    cbRows.foreach { case (s, code, vec) => cbs(s)(code) = vec }
+    PortableAnn.IntModel(cents, cbs)
+  }
+
+  /** Build-once gate keyed on the corpus fingerprint (the [[IvfPqIndex
+    * .ensureBuilt]] contract): rebuild = corpus rewrite, queries never
+    * retrain. Returns the index path. */
+  def ensureBuilt(spark: SparkSession, embs: DataFrame, corpusDir: String,
+      dim: Int, nClusters: Int = 8, m: Int = 8, k: Int = 16,
+      iters: Int = 2): String = synchronized {
+    val stamp = Models.corpusStamp(spark, corpusDir)
+    val slug = corpusDir.replaceAll("[^A-Za-z0-9]+", "-")
+      .replaceAll("^-|-$", "")
+    val path = s"${System.getProperty("java.io.tmpdir")}/" +
+      s"graft-pivfpq-$slug-$stamp"
+    val marker = new org.apache.hadoop.fs.Path(s"$path/codes/_SUCCESS")
+    if (!marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(marker)) {
+      val q = PortableAnn.quantized(embs)
+      val model = PortableAnn.ivfPqTrainInt(q, dim, nClusters, m, k, iters)
+      save(spark, model, PortableAnn.encodeIvfPq(q, model), path)
+    }
+    path
+  }
+
+  /** Serve from the persisted index: probed code partitions only
+    * (PartitionFilters on cid), then the exact integer re-rank. */
+  def query(spark: SparkSession, path: String, embs: DataFrame,
+      queryId: Long, topK: Int, dim: Int, nProbe: Int = 3,
+      refine: Int = 5): DataFrame =
+    PortableAnn.queryEncodedPortable(
+      spark.read.parquet(s"$path/codes"), PortableAnn.quantized(embs),
+      loadModelCached(spark, path), queryId, topK, dim, nProbe, refine)
+}

@@ -113,10 +113,10 @@ object Extensions {
   def q30(spark: SparkSession, dir: String): DataFrame =
     Dedup.embeddingNearDupsPortable(Tables.load(spark, dir, "embeddings"))
 
-  /** Shared DuckDB CTE prefix for the portable hyperplane family (q30/q32):
-    * quantize → norm-filter → 63-bit signature → 9×7-bit bands — the exact
-    * integer algebra of [[graft.plans.PortableHyperplaneSig]]. */
-  private val portableSigBandsCte: String =
+  /** Shared DuckDB CTE prefix for the whole portable vector family
+    * (q30/q32/q49/q80/q103): quantize to int64 (⌊x·100⌋) and norm-filter —
+    * the exact integer algebra of [[graft.ann.PortableAnn.quantized]]. */
+  private val portableQuantCte: String =
     """q AS (
       |  SELECT vec_id,
       |    list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 100) AS BIGINT)) AS qv
@@ -125,7 +125,13 @@ object Extensions {
       |  SELECT vec_id, qv,
       |    CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS nrm
       |  FROM q WHERE CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) > 0
-      |), s AS (
+      |)""".stripMargin
+
+  /** Shared DuckDB CTE prefix for the portable hyperplane family (q30/q32):
+    * quantize → norm-filter → 63-bit signature → 9×7-bit bands — the exact
+    * integer algebra of [[graft.plans.PortableHyperplaneSig]]. */
+  private val portableSigBandsCte: String =
+    s"""$portableQuantCte, s AS (
       |  SELECT vec_id,
       |    CAST(list_sum(list_transform(range(0, 63), t ->
       |      CASE WHEN list_sum(list_transform(range(1, len(qv) + 1), j ->
@@ -216,61 +222,274 @@ object Extensions {
       |ORDER BY score_x1e6 DESC, vec_id
       |LIMIT 10""".stripMargin
 
-  /** q49 IVF-flat approximate top-10 (hash-sampled k-means coarse quantizer,
-    * probe the 4 nearest inverted lists), served through the fingerprint-
-    * keyed model registry (ann/Models): centroids train once per corpus and
-    * every query pays only the narrow assignment + probe scan — the serving
-    * contract, and what the bench's steady-state measures. Spark-only:
-    * centroid means are float-accumulation-order dependent, so the oracle is
-    * the recall property tested in AnnSpec, not a hash match. */
+  /** q49 IVF-flat approximate top-10 — PORTABLE since r12 (r11 VERDICT #2):
+    * integer Lloyd over an md5 hash-sample trains 8 coarse centroids
+    * (truncating-division means — exact in any engine), the query probes the
+    * 3 nearest lists by integer L2, and candidates rank by the signed
+    * cos²-ppm integer score, so the DuckDB oracle replays TRAINING AND
+    * SERVE bit-for-bit (the Lloyd iterations are unrolled CTEs). Served
+    * through the fingerprint-keyed model registry (ann/Models): centroids
+    * train once per corpus, every query pays only the narrow assignment +
+    * probe scan. The float variant ([[Knn.ivfTrain]]/[[Knn.ivfTopKWith]])
+    * stays spec-covered in AnnSpec with recall floors. */
   def q49(spark: SparkSession, dir: String): DataFrame = {
     val embs = Tables.load(spark, dir, "embeddings")
     // latest-stamp registry: a regenerated corpus retrains AND releases the
     // superseded model instead of accumulating entries for dead corpora
-    val centroids = graft.ann.Models.cachedLatest[Array[(Long, Array[Float])]](
-      s"ivf:$dir:16:2", graft.ann.Models.corpusStamp(spark, dir)) {
-      Knn.ivfTrain(embs, nClusters = 16, iters = 2)
+    val cents = graft.ann.Models.cachedLatest[Array[(Long, Array[Long])]](
+      s"pivf:$dir:8:2", graft.ann.Models.corpusStamp(spark, dir)) {
+      graft.ann.PortableAnn.ivfTrainInt(
+        graft.ann.PortableAnn.quantized(embs), nClusters = 8, iters = 2)
     }
-    Knn.ivfTopKWith(embs, centroids, Knn.queryVector(embs, 0L),
-      excludeId = 0L, k = 10)
+    graft.ann.PortableAnn.ivfTopKPortable(embs, queryId = 0L, k = 10,
+      nClusters = 8, nProbe = 3, model = Some(cents))
   }
 
-  /** q80 product-quantization ANN (ann/Pq): 16 subspaces × 16 codes plus
-    * exact re-rank of the ADC candidates — the memory-compression path for
-    * 100 TB similarity search; candidate scoring is m distance-table lookups
-    * per row, zero shuffles, and the re-rank touches only topK×refine rows.
-    * Codebooks come from the fingerprint-keyed model registry (ann/Models):
-    * trained once per corpus, served from memory after — queries pay scans,
-    * never Lloyd iterations. Spark-only: codebook means are
-    * float-accumulation-order dependent, so the oracle is the recall
-    * property in AnnSpec, not a hash match. */
+  /** Integer-L2 DuckDB fragment: ‖a−b‖² over 1-based list slots. */
+  private def l2Sql(a: String, b: String, dim: Int): String =
+    s"CAST(list_sum(list_transform(range(1, ${dim + 1}), " +
+      s"i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))) AS BIGINT)"
+
+  /** DuckDB CTEs replaying [[graft.ann.PortableAnn.ivfTrainInt]]: portable
+    * md5 hash-sample (`samp`) → lowest-id init (`c0`) → `iters` unrolled
+    * Lloyd rounds (assign `aN` by integer L2 with ties to the smaller cid,
+    * update `cN` by truncating-division means, empty clusters keeping their
+    * previous centroid). Final model CTE: `c<iters>`. */
+  private def ivfTrainCtes(nC: Int, mod: Int, topUp: Int, dim: Int,
+      iters: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""samp AS (
+      |  SELECT vec_id, qv FROM n
+      |  WHERE CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT) % $mod = 0
+      |     OR vec_id < $topUp
+      |), c0 AS (
+      |  SELECT vec_id AS cid, qv AS cvec
+      |  FROM (SELECT vec_id, qv FROM samp ORDER BY vec_id LIMIT $nC)
+      |)""".stripMargin
+    for (it <- 1 to iters) {
+      sb ++= s""", a$it AS (
+      |  SELECT vec_id, qv, cid FROM (
+      |    SELECT s.vec_id, s.qv, c.cid,
+      |      ROW_NUMBER() OVER (PARTITION BY s.vec_id ORDER BY
+      |        ${l2Sql("s.qv", "c.cvec", dim)}, c.cid) AS rn
+      |    FROM samp s CROSS JOIN c${it - 1} c) t
+      |  WHERE rn = 1
+      |), m$it AS (
+      |  SELECT cid, r.i AS pos,
+      |    CAST(SUM(qv[r.i + 1]) AS BIGINT) // COUNT(*) AS mv
+      |  FROM a$it CROSS JOIN range(0, $dim) r(i)
+      |  GROUP BY cid, r.i
+      |), c$it AS (
+      |  SELECT c.cid, COALESCE(u.cvec, c.cvec) AS cvec
+      |  FROM c${it - 1} c LEFT JOIN
+      |    (SELECT cid, list(mv ORDER BY pos) AS cvec FROM m$it GROUP BY cid) u
+      |    ON u.cid = c.cid
+      |)""".stripMargin
+    }
+    sb.toString
+  }
+
+  val q49Sql: String =
+    s"""WITH $portableQuantCte, ${ivfTrainCtes(nC = 8, mod = 10, topUp = 8,
+        dim = 64, iters = 2)}, q0 AS (
+      |  SELECT qv, nrm FROM n WHERE vec_id = 0
+      |), probe AS (
+      |  SELECT cid FROM (
+      |    SELECT c.cid, ROW_NUMBER() OVER (ORDER BY
+      |      ${l2Sql("q0.qv", "c.cvec", 64)}, c.cid) AS rn
+      |    FROM c2 c CROSS JOIN q0) t
+      |  WHERE rn <= 3
+      |), asg AS (
+      |  SELECT vec_id, qv, nrm, cid FROM (
+      |    SELECT s.vec_id, s.qv, s.nrm, c.cid,
+      |      ROW_NUMBER() OVER (PARTITION BY s.vec_id ORDER BY
+      |        ${l2Sql("s.qv", "c.cvec", 64)}, c.cid) AS rn
+      |    FROM n s CROSS JOIN c2 c
+      |    WHERE s.vec_id <> 0) t
+      |  WHERE rn = 1
+      |), scored AS (
+      |  SELECT a.vec_id, a.nrm AS na, q0.nrm AS nb,
+      |    CAST(list_sum(list_transform(range(1, 65),
+      |      i -> a.qv[i] * q0.qv[i])) AS BIGINT) AS dot
+      |  FROM asg a JOIN probe p ON p.cid = a.cid CROSS JOIN q0
+      |)
+      |SELECT vec_id,
+      |  CAST(CASE WHEN dot >= 0 THEN dot * dot * 1000000 // (na * nb)
+      |       ELSE -(dot * dot * 1000000 // (na * nb)) END AS BIGINT) AS score_x1e6
+      |FROM scored
+      |ORDER BY score_x1e6 DESC, vec_id
+      |LIMIT 10""".stripMargin
+
+  /** q80 product-quantization ANN — PORTABLE since r12 (r11 VERDICT #2):
+    * 8 subspaces × 16 integer codes trained by integer Lloyd over the md5
+    * hash-sample, ADC candidate scan (integer distance tables as literals
+    * through the native `adc_dist` kernel — int64 values are exact in
+    * double) + exact integer-L2 re-rank of topK×refine rows, zero
+    * corpus-sized shuffles. The DuckDB oracle replays training, encoding,
+    * ADC, and re-rank bit-for-bit. Codebooks come from the
+    * fingerprint-keyed model registry (ann/Models): trained once per
+    * corpus, served from memory after. The float variant ([[Pq.pqTrain]]/
+    * [[Pq.pqTopKWith]]) stays spec-covered in AnnSpec. */
   def q80(spark: SparkSession, dir: String): DataFrame = {
     val embs = Tables.load(spark, dir, "embeddings")
-    val codebooks = graft.ann.Models.cachedLatest[Array[Array[Array[Float]]]](
-      s"pq:$dir:16:16:2", graft.ann.Models.corpusStamp(spark, dir)) {
-      Pq.pqTrain(embs, dim = 64, m = 16, k = 16, iters = 2)
+    val cbs = graft.ann.Models.cachedLatest[Array[Array[Array[Long]]]](
+      s"ppq:$dir:8:16:2", graft.ann.Models.corpusStamp(spark, dir)) {
+      graft.ann.PortableAnn.pqTrainInt(
+        graft.ann.PortableAnn.quantized(embs), dim = 64, m = 8, k = 16,
+        iters = 2)
     }
-    Pq.pqTopKWith(embs, codebooks, Knn.queryVector(embs, 0L),
-      excludeId = 0L, topK = 10, dim = 64)
+    graft.ann.PortableAnn.pqTopKPortable(embs, queryId = 0L, topK = 10,
+      dim = 64, m = 8, k = 16, model = Some(cbs))
   }
 
-  /** q103 IVF-PQ ANN (ann/IvfPq): the composed index — coarse lists +
-    * residual product quantization + per-list ADC + exact re-rank, the
-    * architecture a 100 TB similarity search actually deploys. Served from
-    * the PERSISTED index (ann/IvfPqIndex): the first invocation per corpus
-    * trains and writes the model + cid-partitioned codes, every later one
-    * reads them back — probes are partition-pruned scans of m bytes/row
+  /** Integer subspace-L2 DuckDB fragment: ‖vec_sub(s) − cb‖² where the
+    * subspace slice is `vec[s·w + j]`, j = 1..w (1-based slots). */
+  private def subL2Sql(vec: String, sCol: String, cb: String, w: Int): String =
+    s"CAST(list_sum(list_transform(range(1, ${w + 1}), " +
+      s"j -> ($vec[$sCol * $w + j] - $cb[j]) * ($vec[$sCol * $w + j] - $cb[j]))) AS BIGINT)"
+
+  /** DuckDB CTEs replaying [[graft.ann.PortableAnn.pqTrainInt]] over the
+    * (vec_id, qv) relation `src`: portable md5 hash-sample (`psamp`) →
+    * lowest-id init codes (`cb0`) → `iters` unrolled per-subspace Lloyd
+    * rounds (assign `eN` by integer subspace L2 with ties to the smaller
+    * code, update `uN`/`cbN` by truncating-division means, empty codes
+    * keeping their previous centroid). Final codebook CTE: `cb<iters>`. */
+  private def pqTrainCtes(src: String, m: Int, k: Int, w: Int, mod: Int,
+      iters: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""psamp AS (
+      |  SELECT vec_id, qv FROM $src
+      |  WHERE CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT) % $mod = 0
+      |     OR vec_id < $k
+      |), pinit AS (
+      |  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code, qv
+      |  FROM (SELECT vec_id, qv FROM psamp ORDER BY vec_id LIMIT $k)
+      |), cb0 AS (
+      |  SELECT r.s, p.code,
+      |    list_transform(range(1, ${w + 1}), j -> p.qv[r.s * $w + j]) AS cvec
+      |  FROM pinit p CROSS JOIN range(0, $m) r(s)
+      |)""".stripMargin
+    for (it <- 1 to iters) {
+      sb ++= s""", e$it AS (
+      |  SELECT vec_id, s, code FROM (
+      |    SELECT p.vec_id, cb.s, cb.code,
+      |      ROW_NUMBER() OVER (PARTITION BY p.vec_id, cb.s ORDER BY
+      |        ${subL2Sql("p.qv", "cb.s", "cb.cvec", w)}, cb.code) AS rn
+      |    FROM psamp p CROSS JOIN cb${it - 1} cb) t
+      |  WHERE rn = 1
+      |), u$it AS (
+      |  SELECT e.s, e.code, r.j AS sp,
+      |    CAST(SUM(p.qv[e.s * $w + r.j]) AS BIGINT) // COUNT(*) AS mv
+      |  FROM e$it e JOIN psamp p USING (vec_id) CROSS JOIN range(1, ${w + 1}) r(j)
+      |  GROUP BY e.s, e.code, r.j
+      |), cb$it AS (
+      |  SELECT c.s, c.code, COALESCE(u.cvec, c.cvec) AS cvec
+      |  FROM cb${it - 1} c LEFT JOIN
+      |    (SELECT s, code, list(mv ORDER BY sp) AS cvec FROM u$it GROUP BY s, code) u
+      |    ON u.s = c.s AND u.code = c.code
+      |)""".stripMargin
+    }
+    sb.toString
+  }
+
+  val q80Sql: String =
+    s"""WITH $portableQuantCte, ${pqTrainCtes(src = "n", m = 8, k = 16,
+        w = 8, mod = 10, iters = 2)}, q0 AS (
+      |  SELECT qv, nrm FROM n WHERE vec_id = 0
+      |), enc AS (
+      |  SELECT vec_id, s, code FROM (
+      |    SELECT v.vec_id, cb.s, cb.code,
+      |      ROW_NUMBER() OVER (PARTITION BY v.vec_id, cb.s ORDER BY
+      |        ${subL2Sql("v.qv", "cb.s", "cb.cvec", 8)}, cb.code) AS rn
+      |    FROM n v CROSS JOIN cb2 cb
+      |    WHERE v.vec_id <> 0) t
+      |  WHERE rn = 1
+      |), dt AS (
+      |  SELECT cb.s, cb.code, ${subL2Sql("q0.qv", "cb.s", "cb.cvec", 8)} AS d
+      |  FROM cb2 cb CROSS JOIN q0
+      |), adist AS (
+      |  SELECT e.vec_id, CAST(SUM(dt.d) AS BIGINT) AS ad
+      |  FROM enc e JOIN dt ON dt.s = e.s AND dt.code = e.code
+      |  GROUP BY e.vec_id
+      |), cands AS (
+      |  SELECT vec_id FROM adist ORDER BY ad, vec_id LIMIT 50
+      |), rr AS (
+      |  SELECT v.vec_id, ${l2Sql("v.qv", "q0.qv", 64)} AS dist_i64
+      |  FROM n v JOIN cands USING (vec_id) CROSS JOIN q0
+      |)
+      |SELECT vec_id, dist_i64 FROM rr ORDER BY dist_i64, vec_id
+      |LIMIT 10""".stripMargin
+
+  /** q103 IVF-PQ ANN — PORTABLE since r12 (r11 VERDICT #2): the composed
+    * index (coarse lists + residual product quantization + per-list ADC +
+    * exact re-rank) in pure integer arithmetic, served from the PERSISTED
+    * portable index (ann/PortableIvfPqIndex): the first invocation per
+    * corpus trains and writes the int model + cid-partitioned codes, every
+    * later one reads them back — probes are partition-pruned scans
     * (PartitionFilters on cid, asserted in AnnSpec), so the measured
-    * steady-state is the deployment serve path, not a training run.
-    * Spark-only: centroid/codebook means are float-accumulation-order
-    * dependent, so the oracle is the recall floor in AnnSpec, not a hash
-    * match. */
+    * steady-state is the deployment serve path AND the DuckDB oracle
+    * replays coarse training, residual codebook training, encoding, ADC,
+    * and re-rank bit-for-bit. The float variant (ann/IvfPq + IvfPqIndex)
+    * stays spec-covered in AnnSpec with recall floors. */
   def q103(spark: SparkSession, dir: String): DataFrame = {
     val embs = Tables.load(spark, dir, "embeddings")
-    val idx = graft.ann.IvfPqIndex.ensureBuilt(spark, embs, dir, dim = 64)
-    graft.ann.IvfPqIndex.query(spark, idx, embs, Knn.queryVector(embs, 0L),
-      excludeId = 0L, topK = 10, dim = 64)
+    val idx = graft.ann.PortableIvfPqIndex.ensureBuilt(spark, embs, dir,
+      dim = 64)
+    graft.ann.PortableIvfPqIndex.query(spark, idx, embs, queryId = 0L,
+      topK = 10, dim = 64)
   }
+
+  val q103Sql: String =
+    s"""WITH $portableQuantCte, ${ivfTrainCtes(nC = 8, mod = 10, topUp = 16,
+        dim = 64, iters = 2)}, q0 AS (
+      |  SELECT qv, nrm FROM n WHERE vec_id = 0
+      |), asg AS (
+      |  SELECT vec_id, qv, cid FROM (
+      |    SELECT s.vec_id, s.qv, c.cid,
+      |      ROW_NUMBER() OVER (PARTITION BY s.vec_id ORDER BY
+      |        ${l2Sql("s.qv", "c.cvec", 64)}, c.cid) AS rn
+      |    FROM n s CROSS JOIN c2 c) t
+      |  WHERE rn = 1
+      |), rv AS (
+      |  SELECT a.vec_id, a.cid,
+      |    list_transform(range(1, 65), i -> a.qv[i] - c.cvec[i]) AS qv
+      |  FROM asg a JOIN c2 c ON c.cid = a.cid
+      |), ${pqTrainCtes(src = "rv", m = 8, k = 16, w = 8, mod = 10,
+        iters = 2)}, probe AS (
+      |  SELECT cid FROM (
+      |    SELECT c.cid, ROW_NUMBER() OVER (ORDER BY
+      |      ${l2Sql("q0.qv", "c.cvec", 64)}, c.cid) AS rn
+      |    FROM c2 c CROSS JOIN q0) t
+      |  WHERE rn <= 3
+      |), encp AS (
+      |  SELECT vec_id, cid, s, code FROM (
+      |    SELECT v.vec_id, v.cid, cb.s, cb.code,
+      |      ROW_NUMBER() OVER (PARTITION BY v.vec_id, cb.s ORDER BY
+      |        ${subL2Sql("v.qv", "cb.s", "cb.cvec", 8)}, cb.code) AS rn
+      |    FROM rv v CROSS JOIN cb2 cb
+      |    WHERE v.vec_id <> 0) t
+      |  WHERE rn = 1
+      |), qres AS (
+      |  SELECT p.cid,
+      |    list_transform(range(1, 65), i -> q0.qv[i] - c.cvec[i]) AS rqv
+      |  FROM probe p JOIN c2 c ON c.cid = p.cid CROSS JOIN q0
+      |), dtp AS (
+      |  SELECT qr.cid, cb.s, cb.code,
+      |    ${subL2Sql("qr.rqv", "cb.s", "cb.cvec", 8)} AS d
+      |  FROM cb2 cb CROSS JOIN qres qr
+      |), adistp AS (
+      |  SELECT e.vec_id, CAST(SUM(d.d) AS BIGINT) AS ad
+      |  FROM encp e JOIN dtp d
+      |    ON d.cid = e.cid AND d.s = e.s AND d.code = e.code
+      |  GROUP BY e.vec_id
+      |), cands AS (
+      |  SELECT vec_id FROM adistp ORDER BY ad, vec_id LIMIT 50
+      |), rr AS (
+      |  SELECT v.vec_id, ${l2Sql("v.qv", "q0.qv", 64)} AS dist_i64
+      |  FROM n v JOIN cands USING (vec_id) CROSS JOIN q0
+      |)
+      |SELECT vec_id, dist_i64 FROM rr ORDER BY dist_i64, vec_id
+      |LIMIT 10""".stripMargin
 
   /** q33 per-document quality stats: token count, avg word length (×100),
     * quality flag — all integer math, oracle-checked. */
@@ -1726,9 +1945,9 @@ object Extensions {
     ("q38_sessionize", q38 _, Some(q38Sql)),
     ("q187_ewma_anomaly", q187 _, Some(q187Sql)),
     ("q196_time_to_convert", q196 _, Some(q196Sql)),
-    ("q49_knn_ivf", q49 _, None),
+    ("q49_knn_ivf", q49 _, Some(q49Sql)),
     ("q54_corpus_prepare", q54 _, Some(q54Sql)),
-    ("q80_knn_pq", q80 _, None),
+    ("q80_knn_pq", q80 _, Some(q80Sql)),
     ("q86_conversions", q86 _, Some(q86Sql)),
     ("q96_pii_mask", q96 _, Some(q96Sql)),
     ("q148_k_anonymity", q148 _, Some(q148Sql)),
@@ -1737,7 +1956,7 @@ object Extensions {
     ("q97_dedup_replay", q97 _, Some(q97Sql)),
     ("q99_minhash_portable", q99 _, Some(q99Sql)),
     ("q100_frame_sample", q100 _, Some(q100Sql)),
-    ("q103_knn_ivfpq", q103 _, None),
+    ("q103_knn_ivfpq", q103 _, Some(q103Sql)),
     ("q117_byte_histogram", q117 _, Some(q117Sql)),
     ("q120_abandoned_views", q120 _, Some(q120Sql)),
     ("q121_langid_confusion", q121 _, Some(q121Sql)))

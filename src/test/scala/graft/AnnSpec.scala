@@ -1,6 +1,6 @@
 package graft
 
-import graft.ann.{IvfPq, Knn, Pq}
+import graft.ann.{IvfPq, Knn, PortableAnn, Pq}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** ANN quality: the approximate paths must return k rows and substantially
@@ -189,14 +189,15 @@ class AnnSpec extends AnyFunSuite {
     assert(plan.contains("PartitionFilters: [isnotnull(cid"), plan)
   }
 
-  test("q103 registered query serves from the persisted index == direct path") {
+  test("q103 registered query serves from the persisted portable index == in-flight path") {
     // the registry entry builds once per corpus fingerprint then queries
-    // from disk; deterministic training makes it equal to the in-flight
-    // path, so the bench's steady-state measures serving, never training
+    // from disk; deterministic integer training makes it equal to the
+    // in-flight path, so the bench's steady-state measures serving, never
+    // training
     val served = SparkEntry.queries("q103_knn_ivfpq")(spark, sf)
       .collect().map(_.toSeq).toSeq
-    val direct = IvfPq.ivfPqTopK(embs, q, excludeId = 0L, topK = 10, dim = 64)
-      .collect().map(_.toSeq).toSeq
+    val direct = PortableAnn.ivfPqTopKPortable(embs, queryId = 0L,
+      topK = 10, dim = 64).collect().map(_.toSeq).toSeq
     assert(served == direct)
     // a second invocation reuses the index (same fingerprint → same path)
     val again = SparkEntry.queries("q103_knn_ivfpq")(spark, sf)
@@ -209,14 +210,102 @@ class AnnSpec extends AnyFunSuite {
     // training is deterministic, so cache-hit == retrain, bit for bit
     val servedIvf = SparkEntry.queries("q49_knn_ivf")(spark, sf)
       .collect().map(_.toSeq).toSeq
-    val directIvf = Knn.ivfTopK(embs, q, excludeId = 0L, k = 10)
+    val directIvf = PortableAnn.ivfTopKPortable(embs, queryId = 0L, k = 10)
       .collect().map(_.toSeq).toSeq
     assert(servedIvf == directIvf)
     val servedPq = SparkEntry.queries("q80_knn_pq")(spark, sf)
       .collect().map(_.toSeq).toSeq
-    val directPq = Pq.pqTopK(embs, q, excludeId = 0L, topK = 10, dim = 64)
-      .collect().map(_.toSeq).toSeq
+    val directPq = PortableAnn.pqTopKPortable(embs, queryId = 0L, topK = 10,
+      dim = 64).collect().map(_.toSeq).toSeq
     assert(servedPq == directPq)
+  }
+
+  // ------------------------------------------------- portable integer family
+
+  /** Exact signed cos²-ppm ranking over the quantized corpus, computed
+    * driver-side with the same integer algebra — the deterministic ground
+    * truth the portable serves approximate. */
+  lazy val exactPortable: Seq[Long] = {
+    val rows = embs.collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def quant(v: Array[Float]): Array[Long] =
+      v.map(x => math.floor(x.toDouble * 100).toLong)
+    val qv = quant(rows.find(_._1 == 0L).get._2)
+    val qn = qv.map(x => x * x).sum
+    rows.filter(_._1 != 0L)
+      .map { case (id, v) =>
+        val u = quant(v)
+        val nu = u.map(x => x * x).sum
+        val dot = u.zip(qv).map { case (a, b) => a * b }.sum
+        val mag = dot * dot * 1000000L / (nu * qn)
+        (id, if (dot >= 0) mag else -mag)
+      }
+      .filter(_._2 != 0L) // zero-norm guard not needed on this fixture
+      .sortBy { case (id, s) => (-s, id) }.take(10).map(_._1)
+  }
+
+  test("portable IVF serve: exact duplicate of the query ranks first at score 1e6") {
+    import org.apache.spark.sql.functions.{col, lit}
+    // a clone of the query quantizes identically → same coarse list as the
+    // query's own assignment, and that list is always probe #1, so the
+    // serve MUST surface it with the exact integer score 1.0 ppm
+    val cloneId = 999999L
+    val withClone = embs.select(col("vec_id"), col("embedding"))
+      .union(embs.filter(col("vec_id") === 0L)
+        .select(lit(cloneId).as("vec_id"), col("embedding")))
+    val out = PortableAnn.ivfTopKPortable(withClone, queryId = 0L, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.length == 10)
+    assert(out.head == ((cloneId, 1000000L)), out.toSeq.toString)
+  }
+
+  test("portable PQ serve: exact duplicate of the query re-ranks first at distance 0") {
+    import org.apache.spark.sql.functions.{col, lit}
+    // identical vector → identical codes → ADC distance equals the query's
+    // own, and the exact integer re-rank pins it at 0
+    val cloneId = 999999L
+    val withClone = embs.select(col("vec_id"), col("embedding"))
+      .union(embs.filter(col("vec_id") === 0L)
+        .select(lit(cloneId).as("vec_id"), col("embedding")))
+    val out = PortableAnn.pqTopKPortable(withClone, queryId = 0L, topK = 10,
+      dim = 64).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.length == 10)
+    assert(out.head == ((cloneId, 0L)), out.toSeq.toString)
+  }
+
+  test("portable IVF: recall vs the exact integer ranking >= 0.5") {
+    val got = topIds(PortableAnn.ivfTopKPortable(embs, queryId = 0L, k = 10))
+    assert(got.size == 10)
+    val recall = (got & exactPortable.toSet).size
+    assert(recall >= 5, s"portable IVF recall too low: $recall/10")
+  }
+
+  test("portable integer training is deterministic: train twice, same model") {
+    val qz = PortableAnn.quantized(embs)
+    val a = PortableAnn.ivfTrainInt(qz, nClusters = 8, iters = 2)
+    val b = PortableAnn.ivfTrainInt(qz, nClusters = 8, iters = 2)
+    assert(a.map(_._1).toSeq == b.map(_._1).toSeq)
+    assert(a.zip(b).forall { case ((_, x), (_, y)) => x.toSeq == y.toSeq })
+    val ca = PortableAnn.pqTrainInt(qz, dim = 64, m = 8, k = 16)
+    val cb = PortableAnn.pqTrainInt(qz, dim = 64, m = 8, k = 16)
+    assert(ca.flatten.flatten.toSeq == cb.flatten.flatten.toSeq)
+  }
+
+  test("persisted portable IVF-PQ index: model round-trips; probes prune partitions") {
+    val qz = PortableAnn.quantized(embs)
+    val model = PortableAnn.ivfPqTrainInt(qz, dim = 64)
+    val path = java.nio.file.Files.createTempDirectory("pivfpq_index").toString
+    graft.ann.PortableIvfPqIndex.save(spark, model,
+      PortableAnn.encodeIvfPq(qz, model), path)
+    val loaded = graft.ann.PortableIvfPqIndex.loadModel(spark, path)
+    assert(loaded.cents.map(_._1).toSeq == model.cents.map(_._1).toSeq)
+    assert(loaded.cents.zip(model.cents)
+      .forall { case ((_, a), (_, b)) => a.toSeq == b.toSeq })
+    assert(loaded.cbs.flatten.flatten.toSeq == model.cbs.flatten.flatten.toSeq)
+    // the probed-list scan is partition-pruned on cid
+    val codesScan = spark.read.parquet(s"$path/codes")
+      .filter(org.apache.spark.sql.functions.col("cid") === model.cents.head._1)
+    val plan = codesScan.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(cid"), plan)
   }
 
   test("ensureBuilt: unchanged corpus reuses the index; a rewritten corpus rebuilds") {
