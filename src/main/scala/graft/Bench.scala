@@ -30,12 +30,18 @@ object Bench {
     // comma-separated prefixes — the scale-validation loop (several
     // fixture sizes × the heavy family) needs one JVM per fixture, not
     // one per (query, fixture). Off (empty/unset) = the full surface.
-    val only: String => Boolean =
-      sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').map(_.trim)
-        .filter(_.nonEmpty)) match {
-        case Some(ps) if ps.nonEmpty => name => ps.exists(name.startsWith)
-        case _ => _ => true
-      }
+    val onlySpec: Option[String] =
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY").filter(
+        _.split(',').exists(_.trim.nonEmpty))
+    val only: String => Boolean = onlySpec match {
+      case Some(spec) =>
+        val ps = spec.split(',').map(_.trim).filter(_.nonEmpty)
+        name => ps.exists(name.startsWith)
+      case None => _ => true
+    }
+    // every JSON artifact of a restricted run carries the restriction, so a
+    // subset record can never be mistaken for (or diffed against) a full one
+    val subsetJson = onlySpec.fold("")(s => s""","only":"$s"""")
     val results = SparkEntry.queries.toSeq.filter(p => only(p._1))
       .sortBy(_._1).map { case (name, fn) =>
       def once(): Option[Double] = {
@@ -88,7 +94,10 @@ object Bench {
       def md5(s: String): String =
         java.security.MessageDigest.getInstance("MD5").digest(s.getBytes)
           .map("%02x".format(_)).mkString
-      val shuffled = SparkEntry.queries.toSeq.sortBy(p => md5(p._1))
+      // same `only` predicate as the main pass: a subset run must not
+      // silently time (and pay for) the full surface in its second pass
+      val shuffled = SparkEntry.queries.toSeq.filter(p => only(p._1))
+        .sortBy(p => md5(p._1))
         .map { case (name, fn) =>
           val t0 = System.nanoTime()
           val t = try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
@@ -100,7 +109,7 @@ object Bench {
         }
       try {
         val w = new java.io.PrintWriter("BENCH_SHUFFLED.json")
-        try w.println(s"""{"unit":"sec","order":"md5(name)","single_run":${shuffled.mkString("{", ",", "}")},"sf":"$sfDir"}""")
+        try w.println(s"""{"unit":"sec","order":"md5(name)","single_run":${shuffled.mkString("{", ",", "}")},"sf":"$sfDir"$subsetJson}""")
         finally w.close()
       } catch { case _: Throwable => () }
     }
@@ -123,7 +132,7 @@ object Bench {
     }.mkString("{", ",", "}")
     try {
       val w = new java.io.PrintWriter("BENCH_DETAIL.json")
-      try w.println(s"""{"unit":"sec","min_median":$detail,"load1m_after_query":$loadTrace,"failed":$failedJson,"load1m":[${fmt(loadBefore)},${fmt(loadAfter)}],"sf":"$sfDir"}""")
+      try w.println(s"""{"unit":"sec","min_median":$detail,"load1m_after_query":$loadTrace,"failed":$failedJson,"load1m":[${fmt(loadBefore)},${fmt(loadAfter)}],"sf":"$sfDir"$subsetJson}""")
       finally w.close()
     } catch { case _: Throwable => () } // detail file is best-effort
     // The driver reads this line from a bounded tail buffer (~1.8 KB,
@@ -162,7 +171,7 @@ object Bench {
       }
     }
     val qs = entries.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"n_reported":${entries.size},"n_failed":${failed.size},"queries_full":"BENCH_DETAIL.json","queries":$qs,"failed":${failedOut.mkString("[", ",", "]")},"load1m":[${fmt(loadBefore)},${fmt(loadAfter)}],"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"n_reported":${entries.size},"n_failed":${failed.size},"queries_full":"BENCH_DETAIL.json","queries":$qs,"failed":${failedOut.mkString("[", ",", "]")},"load1m":[${fmt(loadBefore)},${fmt(loadAfter)}],"sf":"$sfDir"$subsetJson}""")
     spark.stop()
   }
 }

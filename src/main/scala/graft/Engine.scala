@@ -47,26 +47,54 @@ object Engine {
     spark
   }
 
-  /** Quiet the per-RDD WARN that `org.apache.spark.rdd.RDD` logs when a
-    * locally-checkpointed RDD is unpersisted ("lineage has been truncated
-    * and cannot be recomputed"). Bench/Verify sweep
-    * `getPersistentRDDs` between queries precisely to reap dead
-    * scratch-checkpoint blocks ([[graft.operators.Checkpoints.scratch]]),
-    * so the condition is intentional there — and hundreds of these lines
-    * in the bench tail nearly crowded the stdout contract JSON out of the
-    * driver's bounded capture buffer (VERDICT r10 #2). Called by the
-    * sweep-owning entry points only; ordinary sessions keep the warning. */
-  def quietSweepLogging(): Unit = {
-    // the message is emitted under the CONCRETE RDD subclass's logger
-    // (MapPartitionsRDD, ShuffledRowRDD, ...), so quiet the rdd package
-    org.apache.logging.log4j.core.config.Configurator.setLevel(
-      "org.apache.spark.rdd", org.apache.logging.log4j.Level.ERROR)
-    // the sweep's unpersist of a partially-materialized or already-freed
-    // RDD also draws benign "Asked to remove block ..., which does not
-    // exist" WARNs from the BlockManager — the same intentional-condition
-    // class, and the last thing printed above the contract JSON line
-    org.apache.logging.log4j.core.config.Configurator.setLevel(
-      "org.apache.spark.storage.BlockManager",
-      org.apache.logging.log4j.Level.ERROR)
+  /** Quiet the TWO benign per-sweep messages — and nothing else.
+    * Bench/Verify sweep `getPersistentRDDs` between queries precisely to
+    * reap dead scratch-checkpoint blocks
+    * ([[graft.operators.Checkpoints.scratch]]), so these conditions are
+    * intentional there — and hundreds of such lines in the bench tail
+    * nearly crowded the stdout contract JSON out of the driver's bounded
+    * capture buffer (VERDICT r10 #2). r11 demoted the whole
+    * `org.apache.spark.rdd` package and the BlockManager logger to ERROR,
+    * which also suppressed GENUINE storage warnings ("Not enough space to
+    * cache", replication failures) in exactly the runs whose numbers get
+    * recorded (r11 ADVICE #1) — so this is now a message-targeted DENY
+    * filter on the root LoggerConfig: the two known-benign messages drop,
+    * every other WARN from those loggers still surfaces. Called by the
+    * sweep-owning entry points only; ordinary sessions keep the
+    * warnings. */
+  def quietSweepLogging(): Unit = synchronized {
+    if (sweepFilterInstalled) return
+    val ctx = org.apache.logging.log4j.LogManager.getContext(false)
+      .asInstanceOf[org.apache.logging.log4j.core.LoggerContext]
+    val cfg = ctx.getConfiguration
+    cfg.getRootLogger.addFilter(new SweepNoiseFilter)
+    ctx.updateLoggers()
+    sweepFilterInstalled = true
+  }
+  private var sweepFilterInstalled = false
+
+  /** DENY exactly the two intentional-sweep messages; NEUTRAL otherwise.
+    * The lineage WARN is emitted under the CONCRETE RDD subclass's logger
+    * (MapPartitionsRDD, ShuffledRowRDD, ...), hence the package-prefix
+    * check rather than one logger name. */
+  private final class SweepNoiseFilter
+      extends org.apache.logging.log4j.core.filter.AbstractFilter(
+        org.apache.logging.log4j.core.Filter.Result.DENY,
+        org.apache.logging.log4j.core.Filter.Result.NEUTRAL) {
+    override def filter(e: org.apache.logging.log4j.core.LogEvent)
+        : org.apache.logging.log4j.core.Filter.Result = {
+      val name = e.getLoggerName
+      if (name.startsWith("org.apache.spark.rdd.") &&
+          e.getMessage.getFormattedMessage
+            .contains("its lineage has been truncated"))
+        onMatch
+      else if (name == "org.apache.spark.storage.BlockManager" && {
+          val m = e.getMessage.getFormattedMessage
+          m.startsWith("Asked to remove block") &&
+            m.contains("which does not exist")
+        })
+        onMatch
+      else onMismatch
+    }
   }
 }

@@ -79,11 +79,25 @@ private[graft] object Checkpoints {
     * frame would be exactly that, and this guard is what lets it survive
     * the sweep. */
   def sweepScratch(sc: org.apache.spark.SparkContext): Unit = {
-    sc.getPersistentRDDs.values.foreach { rdd =>
-      if (!rdd.isCheckpointed || scratchIds.contains(rdd.id))
+    // snapshot the id set BEFORE the block listing: scratch() persists
+    // before registering, so any id captured here had its blocks live by
+    // the time `live` is taken — if it's absent from `live`, it is
+    // genuinely gone (freed by its loop / ContextCleaner), never
+    // merely-just-minted
+    val before = new java.util.HashSet[Int](scratchIds)
+    val live = sc.getPersistentRDDs
+    live.values.foreach { rdd =>
+      if (!rdd.isCheckpointed || scratchIds.contains(rdd.id)) {
         rdd.unpersist(blocking = false)
+        // remove only what was actually swept — a blanket clear() would
+        // orphan ids minted concurrently during the sweep, leaving their
+        // blocks permanently unsweepable (RDD ids are never reused, so a
+        // lingering id can't mis-match a future RDD; it could only leak)
+        scratchIds.remove(rdd.id)
+      }
     }
-    scratchIds.clear()
+    // bound the set: prune pre-sweep ids whose RDDs are already gone
+    scratchIds.removeIf(id => before.contains(id) && !live.contains(id))
   }
 }
 

@@ -45,9 +45,14 @@ object ScaleUp {
       println(s"SCALED $t -> ${spark.read.parquet(s"$dst/$t.parquet").count()} rows")
     }
     /** key offset stride: one larger than the table's max key, so copy
-      * key spaces never collide. */
-    def stride(df: DataFrame, key: String): Long =
-      df.agg(max(col(key))).head().getLong(0) + 1L
+      * key spaces never collide. Numeric-type-agnostic (an Int key column
+      * must not throw a Long cast error) with an explicit empty-table
+      * diagnostic instead of an opaque NPE (r11 ADVICE #4). */
+    def stride(df: DataFrame, key: String): Long = {
+      val r = df.agg(max(col(key))).head()
+      require(!r.isNullAt(0), s"cannot derive stride for '$key': table empty")
+      r.getAs[Number](0).longValue + 1L
+    }
 
     // fixed dims — every copy shares them, like TPC-H's nation/region
     save("region", load("region"))
@@ -100,13 +105,35 @@ object ScaleUp {
 
     // stride-permute words for copy i>0: position j takes word
     // (j*s_i mod n) — token multiset preserved, shingles decorrelated.
-    // Strides are small odd primes; where gcd(s, n) != 1 some words
-    // repeat/drop, which is acceptable noise for a perf fixture.
+    // Strides are small odd primes; where gcd(s, n) != 1 the map is not a
+    // bijection (some words repeat/drop) — acceptable noise for a perf
+    // fixture, but MEASURED below (r11 ADVICE #4) so fixture distortion
+    // is visible instead of silently assumed small.
     val strides = Array(1, 3, 7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43,
       47, 53, 59, 61, 67, 71, 73, 79, 83, 89, 97, 101, 103, 107, 109,
       113, 127, 131, 137, 139, 149, 151, 157, 163, 167, 173, 179, 181,
       191, 193, 197, 199, 211, 223, 227, 229, 233, 239, 241, 251, 257,
       263, 269, 271, 277, 281, 283, 293, 307, 311, 313)
+    // distortion report: fraction of each copy's documents whose word
+    // permutation is non-bijective (gcd(stride, n_words) != 1). One small
+    // word-count histogram aggregate, then driver-side gcd per stride.
+    locally {
+      val nHist = docs
+        .select(size(split(col("text"), " ")).as("n"))
+        .groupBy("n").count()
+        .collect().map(r => (r.getInt(0), r.getLong(1)))
+      val tot = math.max(1L, nHist.map(_._2).sum)
+      @annotation.tailrec def gcd(a: Int, b: Int): Int =
+        if (b == 0) a else gcd(b, a % b)
+      (1 until factor).foreach { i =>
+        val s = strides(i)
+        val bad = nHist.collect {
+          case (n, c) if n > 0 && gcd(s, n) != 1 => c
+        }.sum
+        println(f"PERM copy=$i stride=$s non_bijective_docs=$bad/$tot " +
+          f"(${100.0 * bad / tot}%.1f%%)")
+      }
+    }
     save("documents", copies(docs, Seq("doc_id" -> docS), (d, i) =>
       if (i == 0) d
       else {
