@@ -665,6 +665,50 @@ class PlanQualitySpec extends AnyFunSuite {
       s"the ECDF window consumes pre-aggregate rows:\n$p")
   }
 
+  test("AQE skew-join actually rewrites the hot-key support join (q123/q150 shape)") {
+    // q123's docstring leaves the pair→per-part-support joins UNHINTED and
+    // leans on AQE to split a hot key (and q150's syndication-hub gram is
+    // the same case at corpus scale). This pins the claim in CI: a
+    // skew-shaped fixture — one part carried by 50k pair rows vs a ~1k-key
+    // tail — run under production-proportional thresholds must come back
+    // with the skew-split marker in the FINAL adaptive plan, not merely
+    // have the rule enabled. Thresholds are scaled to the fixture (64 KB
+    // hub partition vs 256 MB default) because AQE's skew test is on
+    // absolute shuffle-partition bytes; the factor-vs-median trigger is
+    // the same code path at any scale.
+    import org.apache.spark.sql.functions._
+    val keys = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set(keys(0), "65536")  // hub partition ≈ 1 MB ≫ 64 KB
+      spark.conf.set(keys(1), "16384")  // split target: ~16 KB slices
+      spark.conf.set(keys(2), "-1")     // force SMJ: a broadcast of the
+      spark.conf.set(keys(3), "-1")     //   support side would hide skew
+      val pairs = spark.range(60000).select(
+        when(col("id") < 50000, lit(7L))
+          .otherwise(col("id") % 997 + 10).as("part_a"),
+        col("id").as("part_b"))
+      val support = spark.range(1200)
+        .select(col("id").as("part_a"), (col("id") * 5).as("n_a"))
+      val joined = pairs.join(support, "part_a")
+      // AQE decides from MEASURED sizes, so THIS queryExecution must run
+      // (a .count() would execute a different QueryExecution and leave the
+      // inspected one un-finalized)
+      joined.queryExecution.toRdd.count()
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("isFinalPlan=true"), p)
+      assert(p.contains("skew=true"),
+        s"hot-key join partition was not skew-split:\n$p")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("q207: each power-iteration round is one scan against a literal v — no join") {
     // the returned frame is round 3; rounds 1–2 ran as parameter fetches
     val p = plan("q207_power_iteration")
