@@ -425,13 +425,28 @@ object Dedup {
     * algebra as a pair-discovery operator: embeddings quantize to int64
     * (⌊x·100⌋), the 63-bit arithmetic hyperplane signature
     * ([[graft.plans.PortableHyperplaneSig]] — no JVM RNG anywhere) splits
-    * into 9×7-bit bands, only band-colliding pairs are compared, and the
-    * verify kernel is the signed integer cos²-ppm score (dot²·1e6 div
-    * na·nb, negated for obtuse pairs) — every step replayed bit-for-bit by
-    * the DuckDB oracle (Extensions.q30Sql). Returns the top `k` candidate
-    * pairs by that score. Scale shape unchanged: narrow signature map →
-    * slim 9-rows-per-vector band explode → bucket self-join → candidate-only
-    * vector fetch joins → TakeOrderedAndProject. */
+    * into bands, only band-colliding pairs are compared, and the verify
+    * kernel is the signed integer cos²-ppm score (dot²·1e6 div na·nb,
+    * negated for obtuse pairs) — every step replayed bit-for-bit by the
+    * DuckDB oracle (Extensions.q30Sql). Returns the top `k` candidate
+    * pairs by that score.
+    *
+    * Band width is CORPUS-ADAPTIVE (the r12 ×30 lesson: fixed 7-bit bands
+    * mean 128 buckets per band forever, so collision pairs grow ∝ n²/128 —
+    * measured as an OOM at 60k vectors): width w = bitlength(n−1) clamped
+    * to [7, 21] (so buckets ≈ corpus size and expected bucket occupancy
+    * stays O(1)), bands = 63 div w. Both engines derive w with the same
+    * integer algebra — `length(bin(n − 1))` — so the oracle still replays
+    * exactly; w is a parameter fetch (one count), not data. Precision per
+    * band rises with w while band count falls (3 at ≥2M vectors): exact
+    * and ultra-near duplicates (the dedup target, cos ≳ 0.99) still
+    * collide with high probability, and a production deployment wanting
+    * high recall at looser thresholds would extend the signature beyond
+    * 63 bits rather than re-coarsen the bands.
+    *
+    * Scale shape: narrow signature map → slim bands-per-vector explode →
+    * bucket self-join (candidates ∝ n by the width rule, never n²) →
+    * candidate-only vector fetch joins → TakeOrderedAndProject. */
   def embeddingNearDupsPortable(embs0: DataFrame, k: Int = 20): DataFrame = {
     val q = graft.Tables.parallelized(embs0)
       .select(col("vec_id"),
@@ -439,15 +454,36 @@ object Dedup {
           x => floor(x.cast(DoubleType) * 100).cast(LongType)).as("qv"))
       .withColumn("nrm", call_function("dot_i64", col("qv"), col("qv")))
       .filter(col("nrm") > 0)
+    // corpus-adaptive band width: one count (parameter fetch), integer
+    // bit-length — identical to the oracle's LENGTH(BIN(n - 1))
+    val nVecs = q.count()
+    val w = math.min(21, math.max(7,
+      64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, nVecs - 1))))
+    val nBands = 63 / w
+    val mask = (1L << w) - 1
     val bands = q
       .withColumn("sig", call_function("portable_hyperplane_sig", col("qv")))
-      .select(col("vec_id"), explode(sequence(lit(0), lit(8))).as("band_id"),
-        col("sig"))
-      .withColumn("band_val", expr("shiftright(sig, band_id * 7) & 127"))
+      .select(col("vec_id"),
+        explode(sequence(lit(0), lit(nBands - 1))).as("band_id"), col("sig"))
+      .withColumn("band_val", expr(s"shiftright(sig, band_id * $w) & $mask"))
       .select("vec_id", "band_id", "band_val")
-    val cand = bands.select(col("band_id"), col("band_val"),
+    // dense-cluster cutoff (measured at ×30: real corpora concentrate —
+    // rotation-near-invariant vectors put the SAME growing cluster in one
+    // bucket, so within-bucket pairs grow quadratically no matter how wide
+    // the bands are; 100 buckets held 14M of 17M candidate pairs): a
+    // bucket larger than the cap is a dense near-dup CLUSTER, which
+    // pairwise emission is the wrong tool for — those route to the
+    // cluster-level pass (connected components, q58/q131 family) instead
+    // of the pairwise tail this operator serves. Candidates are thereby
+    // ≤ buckets·cap²/2 with buckets ∝ n — linear, by construction.
+    val cap = 256
+    val smallBuckets = bands.groupBy("band_id", "band_val")
+      .agg(count(lit(1)).as("bc")).filter(col("bc") <= cap)
+      .select("band_id", "band_val")
+    val kept = bands.join(smallBuckets, Seq("band_id", "band_val"), "left_semi")
+    val cand = kept.select(col("band_id"), col("band_val"),
         col("vec_id").as("vec_a"))
-      .join(bands.select(col("band_id"), col("band_val"),
+      .join(kept.select(col("band_id"), col("band_val"),
         col("vec_id").as("vec_b")), Seq("band_id", "band_val"))
       .filter(col("vec_a") < col("vec_b"))
       .select("vec_a", "vec_b").distinct()

@@ -108,7 +108,9 @@ object Extensions {
     * cos²-ppm verify (top-20) — PORTABLE since r12 (r11 VERDICT #1): the
     * 63-bit arithmetic hyperplane signature and the signed quantized score
     * are pure integer algebra, so the DuckDB oracle replays the whole
-    * pipeline (banding included). The JVM-seeded variant
+    * pipeline — corpus-adaptive band width, dense-bucket cutoff, and
+    * banding included (see [[Dedup.embeddingNearDupsPortable]] for the ×30
+    * scale rationale behind both knobs). The JVM-seeded variant
     * ([[Dedup.embeddingNearDups]]) stays spec-covered in DedupSpec. */
   def q30(spark: SparkSession, dir: String): DataFrame =
     Dedup.embeddingNearDupsPortable(Tables.load(spark, dir, "embeddings"))
@@ -127,10 +129,9 @@ object Extensions {
       |  FROM q WHERE CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) > 0
       |)""".stripMargin
 
-  /** Shared DuckDB CTE prefix for the portable hyperplane family (q30/q32):
-    * quantize → norm-filter → 63-bit signature → 9×7-bit bands — the exact
-    * integer algebra of [[graft.plans.PortableHyperplaneSig]]. */
-  private val portableSigBandsCte: String =
+  /** DuckDB CTE prefix: quantize → norm-filter → 63-bit signature — the
+    * exact integer algebra of [[graft.plans.PortableHyperplaneSig]]. */
+  private val portableSigCte: String =
     s"""$portableQuantCte, s AS (
       |  SELECT vec_id,
       |    CAST(list_sum(list_transform(range(0, 63), t ->
@@ -140,16 +141,45 @@ object Extensions {
       |      THEN (CAST(1 AS BIGINT) << CAST(t AS INTEGER)) ELSE 0 END))
       |      AS BIGINT) AS sig
       |  FROM n
-      |), bands AS (
+      |)""".stripMargin
+
+  /** [[portableSigCte]] + the FIXED 9×7-bit banding of the q32 serve (a
+    * per-query probe: candidates grow linearly in the corpus, so coarse
+    * bands are the right recall/cost point there). */
+  private val portableSigBandsCte: String =
+    s"""$portableSigCte, bands AS (
       |  SELECT vec_id, r.b AS band_id,
       |    (sig >> CAST(r.b * 7 AS INTEGER)) & 127 AS band_val
       |  FROM s CROSS JOIN range(0, 9) r(b)
       |)""".stripMargin
 
+  /** [[portableSigCte]] + CORPUS-ADAPTIVE banding for pair discovery
+    * (q30): width = bitlength(n−1) clamped to [7, 21], bands = 63 div
+    * width — buckets track corpus size so collision pairs stay ∝ n. The
+    * same integer algebra as the Spark side (`length(bin(n − 1))`). */
+  private val portableAdaptiveBandsCte: String =
+    s"""$portableSigCte, pw AS (
+      |  SELECT LEAST(21, GREATEST(7,
+      |      LENGTH(BIN(GREATEST(CAST(1 AS BIGINT), COUNT(*) - 1))))) AS w
+      |  FROM n
+      |), bands AS (
+      |  SELECT vec_id, r.b AS band_id,
+      |    (sig >> CAST(r.b * pw.w AS INTEGER)) &
+      |      ((CAST(1 AS BIGINT) << CAST(pw.w AS INTEGER)) - 1) AS band_val
+      |  FROM s CROSS JOIN pw CROSS JOIN range(0, 9) r(b)
+      |  WHERE r.b < 63 // pw.w
+      |)""".stripMargin
+
   val q30Sql: String =
-    s"""WITH $portableSigBandsCte, cand AS (
+    s"""WITH $portableAdaptiveBandsCte, smallb AS (
+      |  SELECT band_id, band_val FROM bands
+      |  GROUP BY band_id, band_val HAVING COUNT(*) <= 256
+      |), kept AS (
+      |  SELECT b.vec_id, b.band_id, b.band_val
+      |  FROM bands b JOIN smallb USING (band_id, band_val)
+      |), cand AS (
       |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-      |  FROM bands a JOIN bands b
+      |  FROM kept a JOIN kept b
       |    ON a.band_id = b.band_id AND a.band_val = b.band_val
       |   AND a.vec_id < b.vec_id
       |), pairs AS (

@@ -11,7 +11,12 @@ sf, out = sys.argv[1], sys.argv[2]
 con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]:
-    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
+    # driver fixtures are single files; ScaleUp fixtures are Spark
+    # directory outputs — glob the part files in that case
+    p = f"{sf}/{t}.parquet"
+    if os.path.isdir(p):
+        p = f"{p}/*.parquet"
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
 oracle = json.load(open(f"{out}/oracle_sql.json"))
 fails = 0
