@@ -67,7 +67,8 @@ object Bench {
       // cached at RDD level is referenced across query boundaries. The
       // sweep is scratch-tagged: it skips any checkpoint RDD not minted by
       // Checkpoints.scratch, whose truncated lineage could never recompute.
-      graft.operators.Checkpoints.sweepScratch(spark.sparkContext)
+      graft.operators.Checkpoints.sweepScratch(spark.sparkContext,
+        blocking = true)
       // clearCache() does NOT release broadcast blocks — those are reaped by
       // the ContextCleaner only after the JVM garbage-collects the broadcast
       // references. Across a 50+-query run the dead HashedRelations pile up
@@ -103,7 +104,8 @@ object Bench {
           val t = try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
             catch { case _: Throwable => None }
           spark.catalog.clearCache()
-          graft.operators.Checkpoints.sweepScratch(spark.sparkContext)
+          graft.operators.Checkpoints.sweepScratch(spark.sparkContext,
+            blocking = true)
           System.gc()
           "\"" + name + "\":" + t.fold("null")(fmt)
         }
@@ -130,9 +132,18 @@ object Bench {
     val loadTrace = results.map { case (k, _, l) =>
       "\"" + k + "\":" + fmt(l)
     }.mkString("{", ",", "}")
+    // queries whose reps ran under heavy CONTEMPORANEOUS host contention
+    // (shared host: ambient co-tenant load reaches ~20+ with this repo
+    // idle) — their [min, median] is suspect and a round-over-round
+    // "regression" on them needs no load archaeology (r11 VERDICT #5):
+    // the flag is right here in the artifact
+    val loadThreshold = 16.0
+    val highLoad = results.collect {
+      case (k, _, l) if l >= loadThreshold => "\"" + k + "\""
+    }.mkString("[", ",", "]")
     try {
       val w = new java.io.PrintWriter("BENCH_DETAIL.json")
-      try w.println(s"""{"unit":"sec","min_median":$detail,"load1m_after_query":$loadTrace,"failed":$failedJson,"load1m":[${fmt(loadBefore)},${fmt(loadAfter)}],"sf":"$sfDir"$subsetJson}""")
+      try w.println(s"""{"unit":"sec","min_median":$detail,"load1m_after_query":$loadTrace,"high_load_suspect":$highLoad,"load1m_suspect_threshold":$loadThreshold,"failed":$failedJson,"load1m":[${fmt(loadBefore)},${fmt(loadAfter)}],"sf":"$sfDir"$subsetJson}""")
       finally w.close()
     } catch { case _: Throwable => () } // detail file is best-effort
     // The driver reads this line from a bounded tail buffer (~1.8 KB,
@@ -172,6 +183,11 @@ object Bench {
     }
     val qs = entries.mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"n_reported":${entries.size},"n_failed":${failed.size},"queries_full":"BENCH_DETAIL.json","queries":$qs,"failed":${failedOut.mkString("[", ",", "]")},"load1m":[${fmt(loadBefore)},${fmt(loadAfter)}],"sf":"$sfDir"$subsetJson}""")
+    // drain in-flight unpersist futures BEFORE stop() shuts the executor
+    // pool — otherwise their RejectedExecutionException stack traces land
+    // in the process tail next to the contract line
+    graft.operators.Checkpoints.sweepScratch(spark.sparkContext,
+      blocking = true)
     spark.stop()
   }
 }

@@ -25,7 +25,8 @@ object Verify {
       // cycle, while leaving any non-scratch checkpoint-rooted frame
       // (whose blocks could never be recomputed) alone
       spark.catalog.clearCache()
-      graft.operators.Checkpoints.sweepScratch(spark.sparkContext)
+      graft.operators.Checkpoints.sweepScratch(spark.sparkContext,
+        blocking = true)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

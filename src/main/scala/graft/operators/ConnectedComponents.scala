@@ -78,7 +78,13 @@ private[graft] object Checkpoints {
     * the engine goes through [[scratch]]), but a checkpoint-rooted shared
     * frame would be exactly that, and this guard is what lets it survive
     * the sweep. */
-  def sweepScratch(sc: org.apache.spark.SparkContext): Unit = {
+  /** @param blocking pass true for the LAST sweep before `spark.stop()`:
+    *   async unpersist futures still in flight when stop() shuts the
+    *   executor pool die with RejectedExecutionException stack traces in
+    *   the process tail — noise the bench's bounded-tail stdout contract
+    *   can't afford near the JSON line. Mid-run sweeps stay async. */
+  def sweepScratch(sc: org.apache.spark.SparkContext,
+      blocking: Boolean = false): Unit = {
     // snapshot the id set BEFORE the block listing: scratch() persists
     // before registering, so any id captured here had its blocks live by
     // the time `live` is taken — if it's absent from `live`, it is
@@ -88,7 +94,7 @@ private[graft] object Checkpoints {
     val live = sc.getPersistentRDDs
     live.values.foreach { rdd =>
       if (!rdd.isCheckpointed || scratchIds.contains(rdd.id)) {
-        rdd.unpersist(blocking = false)
+        rdd.unpersist(blocking)
         // remove only what was actually swept — a blanket clear() would
         // orphan ids minted concurrently during the sweep, leaving their
         // blocks permanently unsweepable (RDD ids are never reused, so a
