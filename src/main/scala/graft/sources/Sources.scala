@@ -185,4 +185,72 @@ object Sources {
       .unionByName(shaped(lit(null).cast("binary"),
         base.filter(col("length") > maxBytesPerFile)))
   }
+
+  // ------------------------------------------------------------------ JDBC
+
+  /** Range partitioning for a parallel JDBC read: Spark issues `num`
+    * queries, each bounded on `column` — without it the whole extract
+    * serializes through ONE connection/task, the classic JDBC-source
+    * bottleneck. Pick a clustered integer key (the reference's OrderID). */
+  final case class JdbcPartitioning(column: String, lower: Long, upper: Long,
+      num: Int)
+
+  /** JDBC source — the literal parity path for the reference's pyodbc
+    * extract (`config.py:1-24` connection, `etl_orders.py:12-25`
+    * `pd.read_sql`), kept THIN by design: Spark's jdbc relation already
+    * does connection pooling, predicate/column pushdown, and partitioned
+    * reads; what the engine adds is the same explicit-schema discipline as
+    * the text sources above — the DECLARED schema is validated against
+    * what the database serves (names + types, case-insensitive), so
+    * upstream DDL drift fails the job loudly at plan time instead of
+    * silently re-typing a 100 TB load.
+    *
+    * Scale notes: always pass `partitioning` for anything bigger than a
+    * dimension table (one task per bound range, the only way a JDBC read
+    * parallelizes); `fetchsize` keeps the per-roundtrip row batch large
+    * enough to amortize latency. Pushdown still applies — a `.filter` /
+    * `.select` on the result narrows the generated SQL, not the Spark
+    * side. */
+  def jdbc(spark: SparkSession, url: String, table: String,
+      expected: StructType, partitioning: Option[JdbcPartitioning] = None,
+      fetchSize: Int = 10000,
+      options: Map[String, String] = Map.empty): DataFrame = {
+    val base = spark.read.format("jdbc")
+      .option("url", url)
+      .option("dbtable", table)
+      .option("fetchsize", fetchSize.toString)
+      .options(options)
+    val reader = partitioning.fold(base) { p =>
+      base.option("partitionColumn", p.column)
+        .option("lowerBound", p.lower.toString)
+        .option("upperBound", p.upper.toString)
+        .option("numPartitions", p.num.toString)
+    }
+    val df = reader.load()
+    val got = df.schema.fields.toSeq.map(f => (f.name.toLowerCase, f.dataType))
+    val want = expected.fields.toSeq.map(f => (f.name.toLowerCase, f.dataType))
+    require(got == want,
+      s"JDBC schema drift on $table: database serves ${got.mkString(", ")} " +
+        s"but the declared contract is ${want.mkString(", ")}")
+    df
+  }
+
+  /** JDBC truncate-and-reload sink — the reference's S4 load shape
+    * (`etl_orders.py:105-128`: delete-then-insert into the warehouse
+    * table) as one atomic-per-partition batched write: `truncate=true`
+    * keeps the table's DDL/grants/indexes (overwrite would otherwise
+    * DROP+CREATE with Spark-derived DDL), `batchsize` amortizes insert
+    * round-trips. Writes parallelize per partition of `df` — repartition
+    * upstream to match what the target database can absorb. */
+  def jdbcTruncateReload(df: DataFrame, url: String, table: String,
+      batchSize: Int = 10000,
+      options: Map[String, String] = Map.empty): Unit =
+    df.write.format("jdbc")
+      .option("url", url)
+      .option("dbtable", table)
+      .option("truncate", "true")
+      .option("batchsize", batchSize.toString)
+      .options(options)
+      .mode("overwrite")
+      .save()
 }

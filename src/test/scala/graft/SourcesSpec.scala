@@ -334,4 +334,53 @@ class SourcesSpec extends AnyFunSuite {
     assert(kept.nonEmpty && kept.forall(_.getAs[Long]("n_bytes") <= 30L))
     assert(dropped.nonEmpty && dropped.forall(_.getAs[Long]("n_bytes") > 30L))
   }
+
+  test("JDBC: partitioned read, schema-drift guard, truncate-and-reload round-trip (embedded Derby)") {
+    // in-process Derby stands in for the reference's SQL Server (the
+    // sandbox has no network database); the adapter surface and the
+    // explicit-schema discipline are exactly what a real DSN would get
+    val url = "jdbc:derby:memory:graftjdbc;create=true"
+    val jdbcOpts = Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver")
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.executeUpdate(
+        "CREATE TABLE orders_x (o_id BIGINT NOT NULL, amount INT, note VARCHAR(32))")
+      (1 to 100).foreach(i =>
+        st.executeUpdate(s"INSERT INTO orders_x VALUES ($i, ${i * 10}, 'n$i')"))
+      st.close()
+    } finally conn.close()
+
+    val declared = StructType(Seq(
+      StructField("o_id", LongType),
+      StructField("amount", IntegerType),
+      StructField("note", StringType)))
+    // partitioned read: 4 bound-range queries, one task each
+    val df = Sources.jdbc(spark, url, "orders_x", declared,
+      partitioning = Some(Sources.JdbcPartitioning("o_id", 1, 101, 4)),
+      options = jdbcOpts)
+    assert(df.rdd.getNumPartitions == 4)
+    assert(df.count() == 100)
+    assert(df.agg(sum("amount")).head().getLong(0) == 50500L)
+
+    // upstream DDL drift (here: a re-typed column) must fail LOUDLY at
+    // plan time, never silently re-type the load
+    val drifted = StructType(declared.fields.map(f =>
+      if (f.name == "amount") f.copy(dataType = LongType) else f))
+    val e = intercept[IllegalArgumentException] {
+      Sources.jdbc(spark, url, "orders_x", drifted, options = jdbcOpts)
+    }
+    assert(e.getMessage.contains("schema drift"))
+
+    // truncate-and-reload into a second table: first load creates it,
+    // the reload TRUNCATEs (keeping DDL) and the result is the new frame,
+    // not an append
+    val top10 = df.filter(col("o_id") <= 10)
+    Sources.jdbcTruncateReload(top10, url, "orders_copy", options = jdbcOpts)
+    Sources.jdbcTruncateReload(top10, url, "orders_copy", options = jdbcOpts)
+    val back = Sources.jdbc(spark, url, "orders_copy", declared,
+      options = jdbcOpts)
+    assert(back.count() == 10)
+    assert(back.agg(sum("amount")).head().getLong(0) == 550L)
+  }
 }
