@@ -6,7 +6,7 @@ object Bench {
     * bench host is shared: a loadavg near the core count means wall-clock
     * numbers are inflated by scheduling, not by plan cost — recording it
     * makes every round's JSON interpretable (VERDICT r3 finding #2). */
-  private def loadavg(): Double =
+  private[graft] def loadavg(): Double =
     try scala.io.Source.fromFile("/proc/loadavg").mkString
       .split("\\s+").head.toDouble
     catch { case _: Throwable => -1.0 }
@@ -40,8 +40,17 @@ object Bench {
       case None => _ => true
     }
     // every JSON artifact of a restricted run carries the restriction, so a
-    // subset record can never be mistaken for (or diffed against) a full one
-    val subsetJson = onlySpec.fold("")(s => s""","only":"$s"""")
+    // subset record can never be mistaken for (or diffed against) a full one.
+    // The env value is USER input — escape it (the Verify.scala discipline:
+    // backslash, quote, all control chars), or a spec containing a quote
+    // corrupts the very contract line the field marks as restricted.
+    def jsonStr(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val subsetJson = onlySpec.fold("")(s => s""","only":${jsonStr(s)}""")
     val results = SparkEntry.queries.toSeq.filter(p => only(p._1))
       .sortBy(_._1).map { case (name, fn) =>
       def once(): Option[Double] = {

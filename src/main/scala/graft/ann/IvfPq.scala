@@ -145,7 +145,10 @@ object IvfPqIndex {
   def save(spark: SparkSession, model: IvfPq.Model, encoded: DataFrame,
       path: String): Unit = {
     import spark.implicits._
-    encoded.write.mode("overwrite").partitionBy("cid").parquet(s"$path/codes")
+    // model tables FIRST, codes LAST: the codes table's _SUCCESS is the
+    // build-complete marker (IndexPaths.isBuilt), so it must be the final
+    // write — a crash mid-save must never leave a "built" index missing
+    // its centroids/codebooks
     model.centroids.toSeq.map { case (cid, v) => (cid, v.toSeq) }
       .toDF("cid", "vec")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
@@ -154,6 +157,7 @@ object IvfPqIndex {
         cb.zipWithIndex.map { case (cvec, code) => (s, code, cvec.toSeq) } }
       .toDF("s", "code", "vec")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+    encoded.write.mode("overwrite").partitionBy("cid").parquet(s"$path/codes")
   }
 
   /** In-process model cache keyed by index path. Safe because an index path
@@ -210,13 +214,8 @@ object IvfPqIndex {
   def ensureBuilt(spark: SparkSession, embs: DataFrame, corpusDir: String,
       dim: Int, nClusters: Int = 16, m: Int = 16, k: Int = 16,
       iters: Int = 2): String = synchronized {
-    val stamp = Models.corpusStamp(spark, corpusDir)
-    val slug = corpusDir.replaceAll("[^A-Za-z0-9]+", "-").replaceAll("^-|-$", "")
-    val path =
-      s"${System.getProperty("java.io.tmpdir")}/graft-ivfpq-$slug-$stamp"
-    val marker = new org.apache.hadoop.fs.Path(s"$path/codes/_SUCCESS")
-    if (!marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .exists(marker))
+    val path = IndexPaths.indexPath(spark, corpusDir, "graft-ivfpq")
+    if (!IndexPaths.isBuilt(spark, path))
       build(spark, embs, path, dim, nClusters, m, k, iters)
     path
   }

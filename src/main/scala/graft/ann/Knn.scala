@@ -261,12 +261,11 @@ object Knn {
     * parameter join for the query vector, TakeOrderedAndProject. Zero
     * corpus-sized shuffles. */
   def lshTopKPortable(embs0: DataFrame, queryId: Long, k: Int): DataFrame = {
-    val q = graft.Tables.parallelized(embs0)
-      .select(col("vec_id"),
-        transform(col("embedding"),
-          x => floor(x.cast(DoubleType) * 100).cast(LongType)).as("qv"))
-      .withColumn("nrm", call_function("dot_i64", col("qv"), col("qv")))
-      .filter(col("nrm") > 0)
+    // one shared quantization kernel (PortableAnn.quantized — must stay
+    // bit-identical to the oracle's quant CTE), scratch-barriered because
+    // it feeds the band map, the candidate fetch join, and the query-row
+    // parameter fetch (the LSH-barrier discipline of lshJaccardPairs)
+    val q = graft.operators.Checkpoints.scratch(PortableAnn.quantized(embs0))
     val bands = q
       .withColumn("sig", call_function("portable_hyperplane_sig", col("qv")))
       .select(col("vec_id"), explode(sequence(lit(0), lit(8))).as("band_id"),
@@ -283,9 +282,7 @@ object Knn {
     cand.join(q, "vec_id")
       .crossJoin(broadcast(qRow))
       .withColumn("dot", call_function("dot_i64", col("qv"), col("qq")))
-      .withColumn("score_x1e6",
-        when(col("dot") >= 0, expr("dot * dot * 1000000 div (nrm * qn)"))
-          .otherwise(-expr("dot * dot * 1000000 div (nrm * qn)")))
+      .withColumn("score_x1e6", PortableAnn.cosPpmScore("dot", "nrm", "qn"))
       .select("vec_id", "score_x1e6")
       .orderBy(desc("score_x1e6"), col("vec_id"))
       .limit(k)

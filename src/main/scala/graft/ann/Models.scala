@@ -74,3 +74,27 @@ object Models {
       }
     )._2.asInstanceOf[T]
 }
+
+/** Build-once path scheme shared by the persisted index families
+  * ([[IvfPqIndex]], [[PortableIvfPqIndex]]) — ONE implementation of the
+  * staleness contract so the two can't drift: the index lives at a path
+  * derived from the corpus location AND a fingerprint of its files, so a
+  * rewritten corpus gets a fresh index automatically and an unchanged one
+  * is never retrained; "built" is the codes table's `_SUCCESS` marker
+  * (written last, so a partial build never reads as complete). */
+private[ann] object IndexPaths {
+
+  def indexPath(spark: SparkSession, corpusDir: String,
+      prefix: String): String = {
+    val stamp = Models.corpusStamp(spark, corpusDir)
+    val slug = corpusDir.replaceAll("[^A-Za-z0-9]+", "-")
+      .replaceAll("^-|-$", "")
+    s"${System.getProperty("java.io.tmpdir")}/$prefix-$slug-$stamp"
+  }
+
+  def isBuilt(spark: SparkSession, path: String): Boolean = {
+    val marker = new org.apache.hadoop.fs.Path(s"$path/codes/_SUCCESS")
+    marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .exists(marker)
+  }
+}

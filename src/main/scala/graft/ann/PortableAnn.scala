@@ -43,6 +43,17 @@ object PortableAnn {
       .withColumn("nrm", call_function("dot_i64", col("qv"), col("qv")))
       .filter(col("nrm") > 0)
 
+  /** Signed integer cos²-ppm score — THE scoring kernel of the portable
+    * vector family (q30/q32/q49), kept in exactly one place because every
+    * caller must stay bit-identical to the shared DuckDB CTE:
+    * ±⟨dot⟩²·10⁶ div (na·nb), sign of the dot preserved. Integer `div`,
+    * never double division — a double quotient can round up across an
+    * integer boundary and desync the hash gate. Takes column NAMES because
+    * `div` lives only in the SQL expression language. */
+  def cosPpmScore(dot: String, na: String, nb: String): Column =
+    when(col(dot) >= 0, expr(s"$dot * $dot * 1000000 div ($na * $nb)"))
+      .otherwise(-expr(s"$dot * $dot * 1000000 div ($na * $nb)"))
+
   /** Portable hash-sample (md5-60-bit of the id — what DuckDB's
     * `CAST('0x'||substr(md5(id),1,15) AS BIGINT)` computes), topped up with
     * `vec_id < topUp` so tiny fixtures always cover the init set. */
@@ -139,10 +150,8 @@ object PortableAnn {
       .withColumn("cid", nearestCidInt(cents))
       .filter(col("cid").isin(probes.toIndexedSeq: _*))
       .withColumn("dot", call_function("dot_i64", col("qv"), qLit))
-      .withColumn("score_x1e6",
-        when(col("dot") >= 0,
-          expr(s"dot * dot * 1000000 div (nrm * ${qn}L)"))
-          .otherwise(-expr(s"dot * dot * 1000000 div (nrm * ${qn}L)")))
+      .withColumn("qn", lit(qn))
+      .withColumn("score_x1e6", cosPpmScore("dot", "nrm", "qn"))
       .select("vec_id", "score_x1e6")
       .orderBy(desc("score_x1e6"), col("vec_id"))
       .limit(k)
@@ -324,7 +333,8 @@ object PortableIvfPqIndex {
   def save(spark: SparkSession, model: PortableAnn.IntModel,
       encoded: DataFrame, path: String): Unit = {
     import spark.implicits._
-    encoded.write.mode("overwrite").partitionBy("cid").parquet(s"$path/codes")
+    // model tables FIRST, codes LAST — the codes _SUCCESS is the
+    // build-complete marker (IndexPaths.isBuilt); see IvfPqIndex.save
     model.cents.toSeq.map { case (cid, v) => (cid, v.toSeq) }
       .toDF("cid", "vec")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
@@ -333,6 +343,7 @@ object PortableIvfPqIndex {
         cb.zipWithIndex.map { case (cvec, code) => (s, code, cvec.toSeq) } }
       .toDF("s", "code", "vec")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+    encoded.write.mode("overwrite").partitionBy("cid").parquet(s"$path/codes")
   }
 
   private val modelCache =
@@ -354,20 +365,14 @@ object PortableIvfPqIndex {
     PortableAnn.IntModel(cents, cbs)
   }
 
-  /** Build-once gate keyed on the corpus fingerprint (the [[IvfPqIndex
-    * .ensureBuilt]] contract): rebuild = corpus rewrite, queries never
-    * retrain. Returns the index path. */
+  /** Build-once gate keyed on the corpus fingerprint (the shared
+    * [[IndexPaths]] staleness contract): rebuild = corpus rewrite, queries
+    * never retrain. Returns the index path. */
   def ensureBuilt(spark: SparkSession, embs: DataFrame, corpusDir: String,
       dim: Int, nClusters: Int = 8, m: Int = 8, k: Int = 16,
       iters: Int = 2): String = synchronized {
-    val stamp = Models.corpusStamp(spark, corpusDir)
-    val slug = corpusDir.replaceAll("[^A-Za-z0-9]+", "-")
-      .replaceAll("^-|-$", "")
-    val path = s"${System.getProperty("java.io.tmpdir")}/" +
-      s"graft-pivfpq-$slug-$stamp"
-    val marker = new org.apache.hadoop.fs.Path(s"$path/codes/_SUCCESS")
-    if (!marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .exists(marker)) {
+    val path = IndexPaths.indexPath(spark, corpusDir, "graft-pivfpq")
+    if (!IndexPaths.isBuilt(spark, path)) {
       val q = PortableAnn.quantized(embs)
       val model = PortableAnn.ivfPqTrainInt(q, dim, nClusters, m, k, iters)
       save(spark, model, PortableAnn.encodeIvfPq(q, model), path)

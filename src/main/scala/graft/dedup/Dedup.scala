@@ -448,12 +448,12 @@ object Dedup {
     * bucket self-join (candidates ∝ n by the width rule, never n²) →
     * candidate-only vector fetch joins → TakeOrderedAndProject. */
   def embeddingNearDupsPortable(embs0: DataFrame, k: Int = 20): DataFrame = {
-    val q = graft.Tables.parallelized(embs0)
-      .select(col("vec_id"),
-        transform(col("embedding"),
-          x => floor(x.cast(DoubleType) * 100).cast(LongType)).as("qv"))
-      .withColumn("nrm", call_function("dot_i64", col("qv"), col("qv")))
-      .filter(col("nrm") > 0)
+    // one shared quantization kernel (PortableAnn.quantized — bit-identical
+    // to the oracle's quant CTE by construction), scratch-barriered: it
+    // feeds the width count, the band map, and BOTH candidate fetch joins —
+    // the same natural-barrier discipline as lshJaccardPairs below
+    val q = graft.operators.Checkpoints.scratch(
+      graft.ann.PortableAnn.quantized(embs0))
     // corpus-adaptive band width: one count (parameter fetch), integer
     // bit-length — identical to the oracle's LENGTH(BIN(n - 1))
     val nVecs = q.count()
@@ -461,12 +461,14 @@ object Dedup {
       64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, nVecs - 1))))
     val nBands = 63 / w
     val mask = (1L << w) - 1
-    val bands = q
+    // the 63×dim signature map is the expensive narrow stage and feeds the
+    // bucket-size aggregate plus both self-join legs — barrier it too
+    val bands = graft.operators.Checkpoints.scratch(q
       .withColumn("sig", call_function("portable_hyperplane_sig", col("qv")))
       .select(col("vec_id"),
         explode(sequence(lit(0), lit(nBands - 1))).as("band_id"), col("sig"))
       .withColumn("band_val", expr(s"shiftright(sig, band_id * $w) & $mask"))
-      .select("vec_id", "band_id", "band_val")
+      .select("vec_id", "band_id", "band_val"))
     // dense-cluster cutoff (measured at ×30: real corpora concentrate —
     // rotation-near-invariant vectors put the SAME growing cluster in one
     // bucket, so within-bucket pairs grow quadratically no matter how wide
@@ -494,8 +496,7 @@ object Dedup {
         col("nrm").as("nb")), "vec_b")
       .withColumn("dot", call_function("dot_i64", col("qa"), col("qb")))
       .withColumn("score_x1e6",
-        when(col("dot") >= 0, expr("dot * dot * 1000000 div (na * nb)"))
-          .otherwise(-expr("dot * dot * 1000000 div (na * nb)")))
+        graft.ann.PortableAnn.cosPpmScore("dot", "na", "nb"))
       .select("vec_a", "vec_b", "score_x1e6")
       .orderBy(desc("score_x1e6"), col("vec_a"), col("vec_b"))
       .limit(k)

@@ -78,11 +78,15 @@ private[graft] object Checkpoints {
     * the engine goes through [[scratch]]), but a checkpoint-rooted shared
     * frame would be exactly that, and this guard is what lets it survive
     * the sweep. */
-  /** @param blocking pass true for the LAST sweep before `spark.stop()`:
-    *   async unpersist futures still in flight when stop() shuts the
-    *   executor pool die with RejectedExecutionException stack traces in
-    *   the process tail — noise the bench's bounded-tail stdout contract
-    *   can't afford near the JSON line. Mid-run sweeps stay async. */
+  /** @param blocking the Bench/Verify/probe mains pass true for EVERY
+    *   sweep: their sweeps sit outside the timed reps (local block removal
+    *   is milliseconds there), each timed rep then starts against a
+    *   provably clean block store, and — decisive for the last sweep —
+    *   async unpersist futures still in flight when `spark.stop()` shuts
+    *   the executor pool die with RejectedExecutionException stack traces
+    *   in the process tail, noise the bench's bounded-tail stdout contract
+    *   can't afford near the JSON line. The async default remains for
+    *   latency-sensitive callers inside a query. */
   def sweepScratch(sc: org.apache.spark.SparkContext,
       blocking: Boolean = false): Unit = {
     // snapshot the id set BEFORE the block listing: scratch() persists

@@ -10,10 +10,9 @@ package graft.tools
   * `runMain graft.tools.PlanProbe [sfDir] [queryName] [reps]`. */
 object PlanProbe {
 
-  private def loadavg(): Double =
-    try scala.io.Source.fromFile("/proc/loadavg").mkString
-      .split("\\s+").head.toDouble
-    catch { case _: Throwable => -1.0 }
+  // load sampling shared with the bench so the two tools' load figures
+  // stay cross-referenceable by construction
+  private def loadavg(): Double = graft.Bench.loadavg()
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
