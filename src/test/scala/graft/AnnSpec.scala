@@ -279,6 +279,41 @@ class AnnSpec extends AnyFunSuite {
     assert(recall >= 5, s"portable IVF recall too low: $recall/10")
   }
 
+  /** Exact quantized-L2 ranking, the portable PQ serve's ground truth. */
+  lazy val exactPortableL2: Seq[Long] = {
+    val rows = embs.collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def quant(v: Array[Float]): Array[Long] =
+      v.map(x => math.floor(x.toDouble * 100).toLong)
+    val qv = quant(rows.find(_._1 == 0L).get._2)
+    rows.filter(_._1 != 0L).map { case (id, v) =>
+      val u = quant(v)
+      var d = 0L; var i = 0
+      while (i < u.length) { val x = u(i) - qv(i); d += x * x; i += 1 }
+      (id, d)
+    }.sortBy { case (id, d) => (d, id) }.take(10).map(_._1)
+  }
+
+  test("portable PQ: recall vs the exact quantized-L2 ranking >= 0.7, distances exact") {
+    val out = PortableAnn.pqTopKPortable(embs, queryId = 0L, topK = 10,
+      dim = 64).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.length == 10)
+    val recall = (out.map(_._1).toSet & exactPortableL2.toSet).size
+    assert(recall >= 7, s"portable PQ recall too low: $recall/10 " +
+      s"(got=${out.map(_._1).toSeq} exact=$exactPortableL2)")
+    // the re-rank distances are EXACT integer L2 — check one against the
+    // driver-side ground truth (value parity, not just ranking)
+    val rows = embs.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toMap
+    def quant(v: Array[Float]): Array[Long] =
+      v.map(x => math.floor(x.toDouble * 100).toLong)
+    val qv = quant(rows(0L))
+    val (hitId, hitDist) = out.head
+    val u = quant(rows(hitId))
+    var d = 0L; var i = 0
+    while (i < u.length) { val x = u(i) - qv(i); d += x * x; i += 1 }
+    assert(hitDist == d, s"re-rank distance mismatch for $hitId: $hitDist vs $d")
+  }
+
   test("portable integer training is deterministic: train twice, same model") {
     val qz = PortableAnn.quantized(embs)
     val a = PortableAnn.ivfTrainInt(qz, nClusters = 8, iters = 2)
