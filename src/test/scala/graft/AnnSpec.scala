@@ -314,6 +314,29 @@ class AnnSpec extends AnyFunSuite {
     assert(hitDist == d, s"re-rank distance mismatch for $hitId: $hitDist vs $d")
   }
 
+  test("portable IVF serve and PQ candidate scan keep the float family's plan shape") {
+    import org.apache.spark.sql.functions.col
+    val qz = PortableAnn.quantized(embs)
+    // IVF serve with a trained model: narrow assignment + probe filter +
+    // TakeOrderedAndProject — zero corpus shuffles, same contract as the
+    // float ivfTopK plan test above
+    val cents = PortableAnn.ivfTrainInt(qz, nClusters = 8)
+    val serve = PortableAnn.ivfTopKPortable(embs, queryId = 0L, k = 10,
+      model = Some(cents))
+    val sp = serve.queryExecution.executedPlan.toString
+    assert(!sp.contains("Exchange hashpartitioning"),
+      s"portable IVF serve must not shuffle the corpus:\n$sp")
+    // PQ candidate scan: codes + ADC are a single narrow map with the
+    // model as literal — no join, no shuffle at any corpus size
+    val cbs = PortableAnn.pqTrainInt(qz, dim = 64, m = 8, k = 16)
+    val scan = qz
+      .select(col("vec_id"), PortableAnn.encodeIntCol(col("qv"), cbs).as("codes"))
+    val pp = scan.queryExecution.executedPlan.toString
+    assert(!pp.contains("Exchange hashpartitioning"),
+      s"portable PQ encode must not shuffle:\n$pp")
+    assert(!pp.contains("Join"), s"portable PQ encode must not join:\n$pp")
+  }
+
   test("portable integer training is deterministic: train twice, same model") {
     val qz = PortableAnn.quantized(embs)
     val a = PortableAnn.ivfTrainInt(qz, nClusters = 8, iters = 2)
