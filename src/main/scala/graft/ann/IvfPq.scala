@@ -215,8 +215,12 @@ object IvfPqIndex {
       dim: Int, nClusters: Int = 16, m: Int = 16, k: Int = 16,
       iters: Int = 2): String = synchronized {
     val path = IndexPaths.indexPath(spark, corpusDir, "graft-ivfpq")
-    if (!IndexPaths.isBuilt(spark, path))
+    if (!IndexPaths.isBuilt(spark, path)) {
       build(spark, embs, path, dim, nClusters, m, k, iters)
+      // the rewritten corpus's stamp change orphaned any prior index —
+      // reap it (disk twin of Models.cachedLatest eviction)
+      IndexPaths.pruneSuperseded(spark, corpusDir, "graft-ivfpq", path)
+    }
     path
   }
 }

@@ -84,17 +84,44 @@ object Models {
   * (written last, so a partial build never reads as complete). */
 private[ann] object IndexPaths {
 
+  private def slugOf(corpusDir: String): String =
+    corpusDir.replaceAll("[^A-Za-z0-9]+", "-").replaceAll("^-|-$", "")
+
   def indexPath(spark: SparkSession, corpusDir: String,
       prefix: String): String = {
     val stamp = Models.corpusStamp(spark, corpusDir)
-    val slug = corpusDir.replaceAll("[^A-Za-z0-9]+", "-")
-      .replaceAll("^-|-$", "")
-    s"${System.getProperty("java.io.tmpdir")}/$prefix-$slug-$stamp"
+    s"${System.getProperty("java.io.tmpdir")}/$prefix-${slugOf(corpusDir)}-$stamp"
   }
 
   def isBuilt(spark: SparkSession, path: String): Boolean = {
     val marker = new org.apache.hadoop.fs.Path(s"$path/codes/_SUCCESS")
     marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
       .exists(marker)
+  }
+
+  /** Disk analog of [[Models.cachedLatest]]'s eviction: when a corpus is
+    * rewritten its stamp changes and the OLD index directory can never be
+    * read again (every lookup goes through [[indexPath]]'s fresh stamp) —
+    * without pruning, dead indexes accumulate for the tmpdir lifetime.
+    * Deletes every sibling index of the same (prefix, corpus slug) whose
+    * stamp differs from `keep`. Best-effort: a failed delete only leaks
+    * what was already leaking. */
+  def pruneSuperseded(spark: SparkSession, corpusDir: String, prefix: String,
+      keep: String): Unit = {
+    val tmp = new org.apache.hadoop.fs.Path(
+      System.getProperty("java.io.tmpdir"))
+    val fs = tmp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lead = s"$prefix-${slugOf(corpusDir)}-"
+    val keepName = new org.apache.hadoop.fs.Path(keep).getName
+    try fs.listStatus(tmp).foreach { st =>
+      val n = st.getPath.getName
+      // the post-lead remainder must be a bare hex stamp (no dashes):
+      // slug "a" is a PREFIX of slug "a-b", and without this check a
+      // prune for corpus a would delete corpus a-b's live index
+      if (st.isDirectory && n.startsWith(lead) && n != keepName &&
+          !n.substring(lead.length).contains('-'))
+        try fs.delete(st.getPath, true)
+        catch { case _: java.io.IOException => () }
+    } catch { case _: java.io.IOException => () }
   }
 }

@@ -376,6 +376,9 @@ object PortableIvfPqIndex {
       val q = PortableAnn.quantized(embs)
       val model = PortableAnn.ivfPqTrainInt(q, dim, nClusters, m, k, iters)
       save(spark, model, PortableAnn.encodeIvfPq(q, model), path)
+      // reap indexes orphaned by the corpus rewrite (disk twin of
+      // Models.cachedLatest eviction)
+      IndexPaths.pruneSuperseded(spark, corpusDir, "graft-pivfpq", path)
     }
     path
   }

@@ -383,6 +383,11 @@ class AnnSpec extends AnyFunSuite {
         java.nio.file.Files.getLastModifiedTime(dst).toMillis + 60000))
     val p3 = graft.ann.IvfPqIndex.ensureBuilt(spark, embs, dir, dim = 64)
     assert(p3 != p1, "rewritten corpus must get a fresh index")
+    // the rebuild reaps the orphaned index (no lookup can ever reach the
+    // old stamp again — disk twin of Models.cachedLatest eviction)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(p1)),
+      s"superseded index $p1 must be pruned after the rebuild")
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(p3)))
   }
 
   test("PQ codebooks: m×k entries of subspace width, empty codes keep old centroids") {
