@@ -122,6 +122,31 @@ object Sources {
     else { df.write.mode("overwrite").orc(path); true }
   }
 
+  /** XML drops via Spark 4's built-in `xml` source (`rowTag` names the
+    * repeated record element), same explicit-schema + quarantine contract
+    * as [[csv]]/[[jsonl]]. XML records are inherently MULTI-LINE, so the
+    * text-scan + parse-expression trick those readers use (to dodge
+    * SPARK-21610) is unavailable — this reads the file format directly,
+    * which carries that caveat: a plan whose only referenced column is the
+    * corrupt capture is refused by the source; cache the frame (or keep a
+    * data column in the projection) before counting quarantine-only. */
+  def xml(spark: SparkSession, path: String, schema: StructType,
+      rowTag: String): DataFrame =
+    spark.read.format("xml")
+      .option("rowTag", rowTag)
+      .options(parseOpts)
+      .schema(withCorrupt(schema))
+      .load(path)
+
+  def writeXml(df: DataFrame, path: String, rowTag: String): Boolean = {
+    if (df.isEmpty) false
+    else {
+      df.write.format("xml").option("rowTag", rowTag)
+        .mode("overwrite").save(path)
+      true
+    }
+  }
+
   /** Evolved-schema read over a parquet directory written in generations
     * (old files missing newer columns): per-file footers merge into the
     * union schema and missing columns surface as NULL — the contract a

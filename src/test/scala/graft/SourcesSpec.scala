@@ -335,6 +335,34 @@ class SourcesSpec extends AnyFunSuite {
     assert(dropped.nonEmpty && dropped.forall(_.getAs[Long]("n_bytes") > 30L))
   }
 
+  test("XML drop: round-trip preserves rows; malformed record quarantined") {
+    // mirror-sink round-trip through Spark 4's built-in xml source
+    assert(Sources.writeXml(nation, s"$tmp/nation_xml", rowTag = "nation"))
+    val back = Sources.xml(spark, s"$tmp/nation_xml", schema,
+      rowTag = "nation").cache() // SPARK-21610: corrupt-only counts need it
+    val (clean, bad) = Sources.splitCorrupt(back)
+    assert(bad.count() == 0)
+    assert(clean.count() == 25)
+    assert(clean.orderBy("n_nationkey").collect().map(_.toSeq).toSeq ==
+      nation.orderBy("n_nationkey").collect().map(_.toSeq).toSeq)
+    back.unpersist()
+    // a wrong-typed record must land in quarantine, not kill the read
+    val dir = java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$tmp/nation_xml_bad"))
+    java.nio.file.Files.writeString(dir.resolve("drop.xml"),
+      """<rows>
+        |<nation><n_nationkey>7</n_nationkey><n_name>OK</n_name><n_regionkey>1</n_regionkey></nation>
+        |<nation><n_nationkey>oops</n_nationkey><n_name>BAD</n_name><n_regionkey>2</n_regionkey></nation>
+        |</rows>""".stripMargin)
+    val mixed = Sources.xml(spark, dir.toString, schema,
+      rowTag = "nation").cache()
+    val (ok, quarantined) = Sources.splitCorrupt(mixed)
+    assert(ok.count() == 1 && ok.head().getInt(0) == 7)
+    assert(quarantined.count() == 1)
+    assert(quarantined.head().getString(0).contains("oops"))
+    mixed.unpersist()
+  }
+
   test("JDBC: partitioned read, schema-drift guard, truncate-and-reload round-trip (embedded Derby)") {
     // in-process Derby stands in for the reference's SQL Server (the
     // sandbox has no network database); the adapter surface and the
