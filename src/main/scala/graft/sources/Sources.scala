@@ -91,6 +91,21 @@ object Sources {
           from_json(col("value"), withCorrupt(schema), parseOpts).as("r")),
       schema)
 
+  /** Streaming twin of [[csv]] — the landing-directory CSV ingest with the
+    * identical header-by-value removal (each dropped file may carry its own
+    * header line; per-file first-line bookkeeping doesn't exist once files
+    * split across tasks) and the same quarantine contract as
+    * [[jsonlStream]]. */
+  def csvStream(spark: SparkSession, path: String, schema: StructType): DataFrame = {
+    val header = schema.fieldNames.mkString(",")
+    expandParsed(
+      spark.readStream.text(path)
+        .filter(col("value") =!= lit(header))
+        .select(col("value"),
+          from_csv(col("value"), withCorrupt(schema), parseOpts).as("r")),
+      schema)
+  }
+
   /** (clean rows with the declared schema, quarantined raw lines). The clean
     * side drops the capture column; the corrupt side keeps only the raw
     * line for replay/inspection. Both are projections of the same scan. */

@@ -239,7 +239,6 @@ class AnnSpec extends AnyFunSuite {
         val mag = dot * dot * 1000000L / (nu * qn)
         (id, if (dot >= 0) mag else -mag)
       }
-      .filter(_._2 != 0L) // zero-norm guard not needed on this fixture
       .sortBy { case (id, s) => (-s, id) }.take(10).map(_._1)
   }
 

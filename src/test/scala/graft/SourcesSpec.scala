@@ -108,6 +108,40 @@ class SourcesSpec extends AnyFunSuite {
     assert(bad.map(_.getString(0)).exists(_.contains("unterminated")))
   }
 
+  test("streaming CSV ingest strips per-file headers and quarantines malformed lines") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("csv_stream").toString
+    def land(lines: Seq[String]): Unit =
+      lines.toDF("value").coalesce(1).write.mode("append").text(s"$base/in")
+    land(Seq(
+      "n_nationkey,n_name,n_regionkey", // each drop carries its own header
+      "1,ALGERIA,0",
+      "not,enough"))
+    val stream = Sources.csvStream(spark, s"$base/in", schema)
+    val q = stream.writeStream
+      .option("checkpointLocation", s"$base/ckpt")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val (clean, bad) = Sources.splitCorrupt(batch)
+        clean.write.mode("append").parquet(s"$base/clean")
+        bad.write.mode("append").parquet(s"$base/quarantine")
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      land(Seq(
+        "n_nationkey,n_name,n_regionkey",
+        "2,BRAZIL,1"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val clean = spark.read.parquet(s"$base/clean")
+    assert(clean.count() == 2, "headers must be stripped, data rows kept")
+    assert(clean.schema == schema)
+    assert(clean.select("n_name").collect().map(_.getString(0)).toSet ==
+      Set("ALGERIA", "BRAZIL"))
+    val bad = spark.read.parquet(s"$base/quarantine").collect()
+    assert(bad.length == 1 && bad.head.getString(0) == "not,enough")
+  }
+
   test("blank and literal-null JSONL lines are quarantined, never all-null clean rows") {
     val dir = s"$tmp/blank_jsonl"
     import spark.implicits._
