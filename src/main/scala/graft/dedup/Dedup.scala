@@ -346,21 +346,52 @@ object Dedup {
       .filter(col("simhash").isNotNull)
   }
 
-  /** Near-dup pairs by Hamming distance ≤ maxHamming over the PORTABLE
-    * 60-bit fingerprint, via 10×6-bit band buckets (pigeonhole: a pair
-    * within Hamming 9 of a 60-bit hash must agree exactly on at least one
-    * of 10 bands — comfortably covering the default maxHamming = 6).
-    * Identical scale shape to [[simHashPairs]]: narrow fingerprint map →
-    * slim 10-rows-per-doc band explode → bucket self-join → codegen'd
-    * bit_count Hamming filter BEFORE the pair dedup shuffle. The whole
-    * pipeline — fingerprint bits included — hash-matches the DuckDB oracle
-    * (Extensions.q28Sql). */
+  /** Near-dup pairs by Hamming distance ≤ `maxHamming` over the PORTABLE
+    * 60-bit fingerprint, via CORPUS-ADAPTIVE compound block keys (Manku et
+    * al., "Detecting Near-Duplicates for Web Crawling", WWW 2007 §3 — the
+    * r12 ×30 lesson applied to SimHash: single 6-bit bands mean 64 buckets
+    * per band FOREVER, so candidates grow ∝ n²/64, measured ×38 wall-clock
+    * at ×30 data).
+    *
+    * The fingerprint splits into 10 blocks of 6 bits. A pair within
+    * Hamming h touches at most h blocks, so at least 10−h blocks agree —
+    * keying tables on every j-subset of blocks GUARANTEES detection while
+    * j ≤ 10−h (= 4 at the default h = 6: the pair then agrees on at least
+    * C(10−h, j) ≥ 1 subsets). j adapts to the corpus, COST-CALIBRATED
+    * rather than occupancy-targeted: an exploded row costs ~40× a
+    * streamed candidate pair (shuffle+sort vs a codegen'd bit_count —
+    * measured on the ×30 fixture, where the occupancy rule 64^j ≥ n chose
+    * j = 3 and its 18M exploded rows cost MORE than j = 2's extra
+    * candidates), so the optimum steps j every ~5 bits of corpus size:
+    * j = (bitlen(n−1) − 5) div 5 clamped to [1, 10−h] — thresholds 16k /
+    * 512k / 16M docs for j = 2/3/4, total work ∝
+    * C(10,j)·(40·n + n²/2·64^−j) minimized at each decade. Beyond 64⁴ ≈
+    * 16M docs the 24-bit compound key saturates — the documented
+    * extension point is a LONGER fingerprint, not wider subsets (j = 5
+    * would break the h = 6 guarantee). Both engines derive n and j with
+    * the same integer algebra (`length(bin(n−1))`), so the DuckDB oracle
+    * (Extensions.q28Sql) replays the adaptive keying exactly. The RESULT
+    * is j-invariant (completeness holds at every j ≤ 10−h: the output is
+    * exactly the Hamming ≤ h pair set); only the candidate volume moves.
+    *
+    * Scale shape: narrow fingerprint map (scratch-barriered — it feeds the
+    * width count and both self-join legs) → slim C(10,j)-rows-per-doc
+    * compound-key explode → bucket self-join → codegen'd bit_count
+    * Hamming filter BEFORE the pair dedup shuffle. */
   def simHashPairsPortable(docs: DataFrame, maxHamming: Int = 6): DataFrame = {
-    val hashed = simHashesPortable(docs)
-    val bands = (0 until 10).map { j =>
-      struct(lit(j).as("band"),
-        shiftright(col("simhash"), j * 6).bitwiseAND(lit(0x3fL)).as("bkey"))
-    }
+    val hashed = graft.operators.Checkpoints.scratch(simHashesPortable(docs))
+    val n = hashed.count()
+    val bitlen = 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n - 1))
+    val jSub = math.min(math.max(1, 10 - maxHamming),
+      math.max(1, (bitlen - 5) / 5))
+    val bands = (0 until 10).combinations(jSub).toArray.zipWithIndex
+      .map { case (bs, s) =>
+        val kv = bs.zipWithIndex.map { case (b, i) =>
+          shiftleft(
+            shiftright(col("simhash"), b * 6).bitwiseAND(lit(0x3fL)), 6 * i)
+        }.reduce((a, c) => a.bitwiseOR(c))
+        struct(lit(s).as("band"), kv.as("bkey"))
+      }.toIndexedSeq
     val exploded = hashed.select(col("doc_id"), col("simhash"),
         explode(array(bands: _*)).as("bk"))
       .select(col("doc_id"), col("simhash"),

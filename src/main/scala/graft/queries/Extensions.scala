@@ -42,12 +42,14 @@ object Extensions {
 
   val q27Sql: String = portableLshSql(700000L)
 
-  /** q28 SimHash near-dup pairs (Hamming ≤ 6 via 10×6-bit bands) over the
-    * PORTABLE 60-bit fingerprint — md5-derived bit weights (r11 VERDICT #1)
-    * make every fingerprint bit, band key, and Hamming distance integer
-    * arithmetic both engines evaluate identically, so the oracle replays the
-    * full pipeline. The 64-bit xxhash64 variant ([[Dedup.simHashPairs]])
-    * stays spec-covered in DedupSpec. */
+  /** q28 SimHash near-dup pairs (Hamming ≤ 6 via corpus-adaptive compound
+    * block keys — Manku 2007, r12; see [[Dedup.simHashPairsPortable]] for
+    * the ×30 scale rationale) over the PORTABLE 60-bit fingerprint —
+    * md5-derived bit weights (r11 VERDICT #1) make every fingerprint bit,
+    * compound band key, and Hamming distance integer arithmetic both
+    * engines evaluate identically, so the oracle replays the full pipeline
+    * including the adaptive key width. The 64-bit xxhash64 variant
+    * ([[Dedup.simHashPairs]]) stays spec-covered in DedupSpec. */
   def q28(spark: SparkSession, dir: String): DataFrame =
     Dedup.simHashPairsPortable(Tables.load(spark, dir, "documents"))
       .orderBy("doc_a", "doc_b")
@@ -66,9 +68,41 @@ object Extensions {
       |        h -> CASE WHEN ((h >> CAST(t AS INTEGER)) & 1) = 1 THEN 1 ELSE -1 END)) > 0
       |      THEN (CAST(1 AS BIGINT) << CAST(t AS INTEGER)) ELSE 0 END)) AS BIGINT) AS f
       |  FROM sh
+      |), pw AS (
+      |  SELECT LEAST(4, GREATEST(1,
+      |    (LENGTH(BIN(GREATEST(CAST(1 AS BIGINT), COUNT(*) - 1))) - 5) // 5)) AS j
+      |  FROM fp
       |), bands AS (
-      |  SELECT doc_id, f, r.b AS band, (f >> CAST(r.b * 6 AS INTEGER)) & 63 AS bkey
-      |  FROM fp CROSS JOIN range(0, 10) r(b)
+      |  SELECT doc_id, f, r.b AS band,
+      |    (f >> CAST(r.b * 6 AS INTEGER)) & 63 AS bkey
+      |  FROM fp CROSS JOIN pw CROSS JOIN range(0, 10) r(b)
+      |  WHERE pw.j = 1
+      |  UNION ALL
+      |  SELECT doc_id, f, x.a * 10 + y.a AS band,
+      |    ((f >> CAST(x.a * 6 AS INTEGER)) & 63)
+      |      | (((f >> CAST(y.a * 6 AS INTEGER)) & 63) << 6) AS bkey
+      |  FROM fp CROSS JOIN pw
+      |  CROSS JOIN range(0, 10) x(a) CROSS JOIN range(0, 10) y(a)
+      |  WHERE pw.j = 2 AND x.a < y.a
+      |  UNION ALL
+      |  SELECT doc_id, f, (x.a * 10 + y.a) * 10 + z.a AS band,
+      |    ((f >> CAST(x.a * 6 AS INTEGER)) & 63)
+      |      | (((f >> CAST(y.a * 6 AS INTEGER)) & 63) << 6)
+      |      | (((f >> CAST(z.a * 6 AS INTEGER)) & 63) << 12) AS bkey
+      |  FROM fp CROSS JOIN pw
+      |  CROSS JOIN range(0, 10) x(a) CROSS JOIN range(0, 10) y(a)
+      |  CROSS JOIN range(0, 10) z(a)
+      |  WHERE pw.j = 3 AND x.a < y.a AND y.a < z.a
+      |  UNION ALL
+      |  SELECT doc_id, f, ((x.a * 10 + y.a) * 10 + z.a) * 10 + u.a AS band,
+      |    ((f >> CAST(x.a * 6 AS INTEGER)) & 63)
+      |      | (((f >> CAST(y.a * 6 AS INTEGER)) & 63) << 6)
+      |      | (((f >> CAST(z.a * 6 AS INTEGER)) & 63) << 12)
+      |      | (((f >> CAST(u.a * 6 AS INTEGER)) & 63) << 18) AS bkey
+      |  FROM fp CROSS JOIN pw
+      |  CROSS JOIN range(0, 10) x(a) CROSS JOIN range(0, 10) y(a)
+      |  CROSS JOIN range(0, 10) z(a) CROSS JOIN range(0, 10) u(a)
+      |  WHERE pw.j = 4 AND x.a < y.a AND y.a < z.a AND z.a < u.a
       |)
       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
       |  CAST(bit_count(xor(a.f, b.f)) AS BIGINT) AS hamming
