@@ -1034,7 +1034,12 @@ object Evaluation {
     * SCALING_r11.json): ×10 data → 0.68 s → 0.89 s (×1.3; the 28M-pair
     * candidate frame rides the idle-core headroom) where q235's all-pairs
     * frame paid ×59.8 — and the ×10 result still hash-matches the DuckDB
-    * replay of the same hyperplanes. */
+    * replay of the same hyperplanes. r12 extended the measurement to ×30:
+    * 0.77 s, still flat. Ceiling note (the r12 q30/q28 audit): the fixed
+    * 2^bits bucket count makes candidates eventually ∝ n²·Bands/2^bits;
+    * when a corpus outgrows these constants the remedy is the q30/q28
+    * discipline — corpus-adaptive band width (and, for pair emission,
+    * the dense-bucket cutoff), both replayable via length(bin(n−1)). */
   def q240(spark: SparkSession, dir: String): DataFrame = {
     val q = Tables.parallelized(Tables.load(spark, dir, "embeddings"))
       .select(col("vec_id"), col("label").cast(LongType).as("label"),

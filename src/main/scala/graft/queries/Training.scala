@@ -1062,6 +1062,13 @@ object Training {
     // 63-bit portable hyperplane signature (native codegen'd expression,
     // one fused 63×dim loop per row — the nested-HOF composition of the
     // same algebra is interpreted per bit), sliced into 9 bands × 7 bits.
+    // Ceiling note (the r12 q30/q28 audit): fixed 7-bit bands cap buckets
+    // at 128 per (label, band), so within-label candidates grow ∝
+    // n_label²/128 eventually — label-keying splits the hot mass enough
+    // that this measures FLAT through ×30 data (0.69 s, SCALING_r12), and
+    // the escape hatch at larger per-label corpora is the q30 remedy:
+    // corpus-adaptive width w = bitlen(n−1) clamped [7,21], bands = 63
+    // div w, replayable via length(bin(n−1)) on both engines.
     val bands = q
       .withColumn("sig", call_function("portable_hyperplane_sig", col("qv")))
       .select(col("label"), col("vec_id"),
