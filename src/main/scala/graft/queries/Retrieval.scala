@@ -1619,6 +1619,348 @@ object Retrieval {
       |SELECT source, rk, passage, n_docs, CAST(share_ppm AS BIGINT) AS share_ppm
       |FROM ranked WHERE rk <= 3 ORDER BY source, rk""".stripMargin
 
+  /** CDC boundary divisor: a token position ends a chunk when the portable
+    * 60-bit hash of the bigram ending there ≡ 0 (mod 16) — expected chunk
+    * length ~16 tokens, door-to-door deterministic from corpus bytes. */
+  private val CdcMod = 16
+
+  /** The CDC chunk frame shared by q241/q242: one row per content-defined
+    * chunk with its token count and portable fingerprint. One narrow pass —
+    * bigram hashes come from the native `portable_shingle_hashes` loop, the
+    * boundary scan is array arithmetic on that per-row vector, and the only
+    * row expansion is the per-chunk posexplode (~len/16 rows per doc). */
+  private def cdcChunks(spark: SparkSession, dir: String): DataFrame =
+    cdcChunksFrom(Tables.parallelized(Tables.load(spark, dir, "documents")))
+
+  /** [[cdcChunks]] over an arbitrary (doc_id, text) frame — the spec-fixture
+    * entry point (the [[graft.dedup.Dedup.minHashPairsPortableFrom]]
+    * discipline); the registry path goes through the fixture loader. */
+  def cdcChunksFrom(docs: DataFrame): DataFrame = {
+    val g = T.portableShingleHashes(col("text"), 2)
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"), g.as("g"))
+      // cut AFTER token i+1 when bigram i's hash ≡ 0 (mod CdcMod); the next
+      // chunk starts at i+2. The last bigram never cuts (an empty tail chunk
+      // has no content). `sequence(1, 0)` is DESCENDING in Spark, so the
+      // empty-gram case (single-token docs) is guarded explicitly.
+      .withColumn("starts",
+        concat(array(lit(1)),
+          when(size(col("g")) >= 1,
+            transform(
+              filter(sequence(lit(1), size(col("g"))),
+                i => get(col("g"), i - 1) % CdcMod === 0 &&
+                  i + 2 <= size(col("w"))),
+              c => c + 2))
+            .otherwise(array().cast(ArrayType(IntegerType)))))
+      .select(col("doc_id"), col("w"), col("starts"),
+        posexplode(col("starts")).as(Seq("idx", "start")))
+      .withColumn("end",
+        coalesce(get(col("starts"), col("idx") + 1) - 1, size(col("w"))))
+      .select(col("doc_id"), col("idx").cast(LongType).as("chunk_idx"),
+        slice(col("w"), col("start"), col("end") - col("start") + 1).as("chunk"))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(col("chunk")).cast(LongType).as("n_tokens"),
+        T.portableHash60(concat_ws(" ", col("chunk"))).as("chunk_fp"))
+  }
+
+  /** The shared DuckDB replay of [[cdcChunks]] — ends at CTE `c`
+    * (doc_id, chunk_idx, n_tokens, chunk_fp); q241/q242 oracles append
+    * their own tails so the boundary rule can never desynchronize between
+    * the two. */
+  private val CdcChunkCtes: String =
+    s"""WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      |), s AS (
+      |  SELECT doc_id, w,
+      |    list_prepend(1, [i + 2 FOR i IN range(1, len(w))
+      |      IF CAST('0x' || substr(md5(w[i] || ' ' || w[i+1]), 1, 15) AS BIGINT)
+      |           % $CdcMod = 0
+      |      AND i + 2 <= len(w)]) AS starts
+      |  FROM t
+      |), e AS (
+      |  SELECT doc_id, w, starts,
+      |    generate_subscripts(starts, 1) AS idx, unnest(starts) AS start
+      |  FROM s
+      |), c AS (
+      |  SELECT doc_id, CAST(idx - 1 AS BIGINT) AS chunk_idx,
+      |    CAST(coalesce(starts[idx + 1] - 1, len(w)) - start + 1 AS BIGINT)
+      |      AS n_tokens,
+      |    CAST('0x' || substr(md5(array_to_string(
+      |      list_slice(w, start, coalesce(starts[idx + 1] - 1, len(w))), ' ')),
+      |      1, 15) AS BIGINT) AS chunk_fp
+      |  FROM e
+      |)""".stripMargin
+
+  /** q241 CONTENT-DEFINED chunking (CDC) — the shift-robust counterpart of
+    * q114's fixed-stride windows (Muthitacharoen et al., "A Low-bandwidth
+    * Network File System", SOSP 2001 — the boundary-by-content idea behind
+    * every dedup store): a chunk ends wherever the portable hash of the
+    * local token bigram ≡ 0 (mod 16), so inserting one token at the head of
+    * a document shifts ONE chunk, not every window — fixed-stride
+    * fingerprints all change and chunk-level dedup goes blind (the shift
+    * parity is asserted in RetrievalSpec). Chunks tile each document
+    * exactly (Σ n_tokens = corpus tokens); every boundary and fingerprint
+    * is md5 arithmetic the DuckDB oracle replays bit-for-bit.
+    *
+    * Scale shape: ONE narrow scan per document — the bigram hash vector is
+    * the native one-loop expression, the boundary filter is per-row array
+    * arithmetic, and the only expansion is ~len/16 chunk rows per doc. No
+    * joins, no shuffles until the consumer aggregates; chunking a 100 TB
+    * corpus is embarrassingly parallel. */
+  def q241(spark: SparkSession, dir: String): DataFrame =
+    cdcChunks(spark, dir).orderBy("doc_id", "chunk_idx")
+
+  val q241Sql: String =
+    s"""$CdcChunkCtes
+      |SELECT doc_id, chunk_idx, n_tokens, chunk_fp
+      |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+
+  /** q242 CDC dedup-savings audit — what a chunk-store would actually save
+    * per source: each distinct CDC fingerprint is STORED once at its first
+    * occurrence (min (doc_id, chunk_idx) — the q26/q234 deterministic
+    * survivor rule at CDC grain) and every later copy is a pointer. Reports
+    * per source: chunks, stored chunks, token mass, stored token mass, and
+    * the savings in ppm — the storage-dedup number CDC exists to produce,
+    * robust to token-shifted near-copies that defeat the fixed-stride
+    * variant (q119/q234).
+    *
+    * Scale shape: the chunk frame is q241's narrow pass; first-occurrence
+    * ranking is ONE window keyed by chunk_fp (hash-partitioned, no
+    * corpus-wide sort); the source join is a slim (doc_id, source)
+    * projection; the rollup is ≤|sources| rows. Candidates ∝ chunks,
+    * never corpus². */
+  def q242(spark: SparkSession, dir: String): DataFrame = {
+    val chunks = cdcChunks(spark, dir)
+      .join(Tables.load(spark, dir, "documents").select("doc_id", "source"),
+        "doc_id")
+    val ranked = chunks.withColumn("rnk",
+      row_number().over(Window.partitionBy("chunk_fp")
+        .orderBy("doc_id", "chunk_idx")))
+    ranked
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("rnk") === 1, 1L).otherwise(0L)).as("stored_chunks"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(when(col("rnk") === 1, col("n_tokens")).otherwise(0L))
+          .as("stored_tokens"))
+      .withColumn("savings_ppm",
+        expr("(total_tokens - stored_tokens) * 1000000 div total_tokens"))
+      .select("source", "n_chunks", "stored_chunks", "total_tokens",
+        "stored_tokens", "savings_ppm")
+      .orderBy("source")
+  }
+
+  val q242Sql: String =
+    s"""$CdcChunkCtes, j AS (
+      |  SELECT d.source, c.doc_id, c.chunk_idx, c.n_tokens, c.chunk_fp
+      |  FROM c JOIN documents d USING (doc_id)
+      |), ranked AS (
+      |  SELECT source, n_tokens,
+      |    row_number() OVER (PARTITION BY chunk_fp ORDER BY doc_id, chunk_idx)
+      |      AS rnk
+      |  FROM j
+      |), agg AS (
+      |  SELECT source, COUNT(*) AS n_chunks,
+      |    CAST(SUM(CASE WHEN rnk = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS stored_chunks,
+      |    CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+      |    CAST(SUM(CASE WHEN rnk = 1 THEN n_tokens ELSE 0 END) AS BIGINT)
+      |      AS stored_tokens
+      |  FROM ranked GROUP BY source
+      |)
+      |SELECT source, n_chunks, stored_chunks, total_tokens, stored_tokens,
+      |  CAST((total_tokens - stored_tokens) * 1000000 // total_tokens AS BIGINT)
+      |    AS savings_ppm
+      |FROM agg ORDER BY source""".stripMargin
+
+  /** q243 truncated-dimension recall audit — the deploy gate for
+    * Matryoshka-style embedding truncation (Kusupati et al., NeurIPS 2022):
+    * before serving vectors at half width (half the index RAM, ~2× the scan
+    * rate), measure what survives — for each of the 20 batch queries, how
+    * many of the exact full-width top-10 are still in the top-10 when both
+    * sides keep only the first dim/2 coordinates. Everything is the q110
+    * integer-cosine kernel (×100 quantization, signed cos²-ppm), so the
+    * audit itself hash-matches the DuckDB replay; vectors whose truncated
+    * half is all-zero are excluded on both engines (cosine undefined).
+    *
+    * Scale shape: the batch is PARAMETER-sized (broadcast is scale-safe,
+    * the q125 argument); the corpus streams through ONE scan scoring both
+    * widths per row; both rankings ride the SAME qid-keyed exchange (two
+    * in-partition sorts, no second shuffle); the rollup is 20 rows. */
+  def q243(spark: SparkSession, dir: String): DataFrame = {
+    val base = graft.ann.PortableAnn.quantized(
+        Tables.load(spark, dir, "embeddings"))
+      .withColumn("tq", expr("slice(qv, 1, size(qv) div 2)"))
+      .withColumn("nrm_t", call_function("dot_i64", col("tq"), col("tq")))
+      .filter(col("nrm_t") > 0)
+    val batch = base.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("qv").as("bq"), col("nrm").as("nq"),
+        col("tq").as("btq"), col("nrm_t").as("nqt"))
+    val scored = base.join(broadcast(batch), col("vec_id") =!= col("qid"))
+      .withColumn("dot_f", call_function("dot_i64", col("qv"), col("bq")))
+      .withColumn("sf", graft.ann.PortableAnn.cosPpmScore("dot_f", "nrm", "nq"))
+      .withColumn("dot_t", call_function("dot_i64", col("tq"), col("btq")))
+      .withColumn("st",
+        graft.ann.PortableAnn.cosPpmScore("dot_t", "nrm_t", "nqt"))
+    scored
+      .withColumn("rf", row_number().over(
+        Window.partitionBy("qid").orderBy(desc("sf"), col("vec_id"))))
+      .withColumn("rt", row_number().over(
+        Window.partitionBy("qid").orderBy(desc("st"), col("vec_id"))))
+      .groupBy("qid")
+      .agg(sum(when(col("rf") <= 10 && col("rt") <= 10, 1L).otherwise(0L))
+        .as("n_common"))
+      .withColumn("recall_ppm", expr("n_common * 1000000 div 10"))
+      .select("qid", "n_common", "recall_ppm")
+      .orderBy("qid")
+  }
+
+  val q243Sql: String =
+    """WITH q AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 100) AS BIGINT)) AS qv
+      |  FROM embeddings
+      |), n AS (
+      |  SELECT vec_id, qv, list_slice(qv, 1, len(qv) // 2) AS tq,
+      |    CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS nrm,
+      |    CAST(list_sum(list_transform(list_slice(qv, 1, len(qv) // 2),
+      |      x -> x * x)) AS BIGINT) AS nrm_t
+      |  FROM q
+      |), f AS (
+      |  SELECT * FROM n WHERE nrm > 0 AND nrm_t > 0
+      |), scored AS (
+      |  SELECT b.vec_id AS qid, c.vec_id AS neighbor,
+      |    CASE WHEN df.dot >= 0 THEN df.dot * df.dot * 1000000 // (c.nrm * b.nrm)
+      |         ELSE -(df.dot * df.dot * 1000000 // (c.nrm * b.nrm)) END AS sf,
+      |    CASE WHEN dt.dot >= 0 THEN dt.dot * dt.dot * 1000000 // (c.nrm_t * b.nrm_t)
+      |         ELSE -(dt.dot * dt.dot * 1000000 // (c.nrm_t * b.nrm_t)) END AS st
+      |  FROM f b JOIN f c ON c.vec_id <> b.vec_id,
+      |  LATERAL (SELECT CAST(list_sum(list_transform(range(1, len(b.qv) + 1),
+      |    i -> b.qv[i] * c.qv[i])) AS BIGINT) AS dot) df,
+      |  LATERAL (SELECT CAST(list_sum(list_transform(range(1, len(b.tq) + 1),
+      |    i -> b.tq[i] * c.tq[i])) AS BIGINT) AS dot) dt
+      |  WHERE b.vec_id < 20
+      |), ranked AS (
+      |  SELECT qid, neighbor,
+      |    row_number() OVER (PARTITION BY qid ORDER BY sf DESC, neighbor) AS rf,
+      |    row_number() OVER (PARTITION BY qid ORDER BY st DESC, neighbor) AS rt
+      |  FROM scored
+      |)
+      |SELECT qid,
+      |  CAST(SUM(CASE WHEN rf <= 10 AND rt <= 10 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_common,
+      |  CAST(SUM(CASE WHEN rf <= 10 AND rt <= 10 THEN 1 ELSE 0 END)
+      |    * 1000000 // 10 AS BIGINT) AS recall_ppm
+      |FROM ranked GROUP BY qid ORDER BY qid""".stripMargin
+
+  /** q244 anchor width and the dense-gram cutoff: spans are discovered
+    * through 8-gram anchors (the q106/q226 passage width) whose corpus
+    * occurrence count is ≤ 64 — a gram denser than that is boilerplate
+    * (q186's job), and pairing inside its bucket would grow quadratically
+    * in its frequency (the dense-bucket cutoff discipline of q30). */
+  private val SpanGram = 8
+  private val SpanDfCap = 64
+
+  /** q244 MAXIMAL duplicated-span detection — the exact-substring dedup
+    * primitive at full strength (Lee et al., "Deduplicating Training Data
+    * Makes Language Models Better", 2022 — their suffix-array step): q106
+    * detects FIXED 8-token duplicated passages; this reports, per document
+    * pair, each MAXIMAL shared token run (start positions in both docs and
+    * its length), which is what you need to actually excise a 600-token
+    * templated block instead of counting its 593 overlapping windows. The
+    * suffix array is re-expressed relationally: matching 8-gram anchor
+    * positions are points on a (doc_a, doc_b) match matrix, a shared run is
+    * a maximal diagonal of consecutive points (pa − pb constant, pa
+    * contiguous), and the diagonal decomposition is the gaps-and-islands
+    * trick (q70) keyed by pa − row_number. Top 20 spans by length.
+    *
+    * Anchors denser than [[SpanDfCap]] are excluded (declared
+    * approximation: a run through an excluded gram splits in two — those
+    * grams are corpus boilerplate, the q186 operator's territory), which
+    * bounds within-bucket pairing at df² ≤ 4096 per gram, so candidates
+    * stay ∝ anchor collisions, never corpus².
+    *
+    * Scale shape: narrow gram explode (native one-loop hash) → ONE fp
+    * aggregate (map-combined) → semi-join keeps only anchor positions →
+    * fp-keyed pair join (bounded buckets) → ONE (doc_a, doc_b, diag)-keyed
+    * window (hash-partitioned, sorts only matched points) →
+    * TakeOrderedAndProject. */
+  def q244(spark: SparkSession, dir: String): DataFrame =
+    q244From(Tables.parallelized(Tables.load(spark, dir, "documents")))
+
+  /** [[q244]] over an arbitrary (doc_id, text) frame — the spec-fixture
+    * entry point ([[cdcChunksFrom]] discipline). */
+  def q244From(docs: DataFrame): DataFrame = {
+    val grams = docs
+      .select(col("doc_id"),
+        posexplode(T.portableShingleHashes(col("text"), SpanGram))
+          .as(Seq("p0", "fp")))
+      .select(col("doc_id"), (col("p0") + 1).cast(LongType).as("pos"),
+        col("fp"))
+    val anchors = grams.groupBy("fp")
+      .agg(countDistinct("doc_id").as("nd"), count(lit(1)).as("df"))
+      .filter(col("nd") >= 2 && col("df") <= SpanDfCap)
+      .select("fp")
+    val hits = grams.join(anchors, Seq("fp"), "left_semi")
+    val matched = hits
+      .select(col("fp"), col("doc_id").as("doc_a"), col("pos").as("pa"))
+      .join(hits.select(col("fp"), col("doc_id").as("doc_b"),
+        col("pos").as("pb")), Seq("fp"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "pa", "pb")
+    matched
+      .withColumn("diag", col("pa") - col("pb"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")))
+      .withColumn("grp", col("pa") - col("rn"))
+      .groupBy("doc_a", "doc_b", "diag", "grp")
+      .agg(min("pa").as("pos_a"), min("pb").as("pos_b"),
+        count(lit(1)).as("run"))
+      .withColumn("span_tokens", col("run") + lit((SpanGram - 1).toLong))
+      .select("doc_a", "doc_b", "pos_a", "pos_b", "span_tokens")
+      .orderBy(desc("span_tokens"), col("doc_a"), col("doc_b"),
+        col("pos_a"), col("pos_b"))
+      .limit(20)
+  }
+
+  val q244Sql: String = {
+    val gram8 = (0 until SpanGram).map(i =>
+      if (i == 0) "w[pos]" else s"w[pos+$i]").mkString(" || ' ' || ")
+    s"""WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      |), s AS (
+      |  SELECT doc_id, w, unnest(range(1, len(w) - ${SpanGram - 2})) AS pos
+      |  FROM t
+      |), g AS (
+      |  SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+      |    CAST('0x' || substr(md5($gram8), 1, 15) AS BIGINT) AS fp
+      |  FROM s
+      |), anchors AS (
+      |  SELECT fp FROM g GROUP BY fp
+      |  HAVING COUNT(DISTINCT doc_id) >= 2 AND COUNT(*) <= $SpanDfCap
+      |), h AS (
+      |  SELECT g.doc_id, g.pos, g.fp FROM g
+      |  WHERE g.fp IN (SELECT fp FROM anchors)
+      |), m AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, b.pos AS pb
+      |  FROM h a JOIN h b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      |), runs AS (
+      |  SELECT doc_a, doc_b, pa, pb, pa - pb AS diag,
+      |    pa - row_number() OVER (PARTITION BY doc_a, doc_b, pa - pb
+      |      ORDER BY pa) AS grp
+      |  FROM m
+      |), spans AS (
+      |  SELECT doc_a, doc_b, MIN(pa) AS pos_a, MIN(pb) AS pos_b,
+      |    COUNT(*) + ${SpanGram - 1} AS span_tokens
+      |  FROM runs GROUP BY doc_a, doc_b, diag, grp
+      |)
+      |SELECT doc_a, doc_b, pos_a, pos_b, CAST(span_tokens AS BIGINT)
+      |    AS span_tokens
+      |FROM spans
+      |ORDER BY span_tokens DESC, doc_a, doc_b, pos_a, pos_b
+      |LIMIT 20""".stripMargin
+  }
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q106_dup_passages", q106 _, Some(q106Sql)),
     ("q186_boilerplate", q186 _, Some(q186Sql)),
@@ -1643,5 +1985,9 @@ object Retrieval {
     ("q234_passage_dedup", q234 _, Some(q234Sql)),
     ("q237_filtered_knn", q237 _, Some(q237Sql)),
     ("q125_batch_knn", q125 _, Some(q125Sql)),
-    ("q133_doc_keywords", q133 _, Some(q133Sql)))
+    ("q133_doc_keywords", q133 _, Some(q133Sql)),
+    ("q241_cdc_chunks", q241 _, Some(q241Sql)),
+    ("q242_cdc_dedup_savings", q242 _, Some(q242Sql)),
+    ("q243_trunc_dim_recall", q243 _, Some(q243Sql)),
+    ("q244_max_dup_span", q244 _, Some(q244Sql)))
 }

@@ -491,4 +491,141 @@ class RetrievalSpec extends AnyFunSuite {
       if (c >= d) (c - d) * 1000000L / n else -((d - c) * 1000000L / n)
     assert(tau == expectedTau, "tau must be the sign-decomposed exact ratio")
   }
+
+  test("q241 CDC chunks tile every document exactly, contiguously, in order") {
+    val lens = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("len"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byDoc = Retrieval.q241(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    assert(byDoc.keySet == lens.keySet, "every document must be chunked")
+    byDoc.foreach { case (d, chunks) =>
+      val sorted = chunks.sortBy(_._2)
+      assert(sorted.map(_._2).sameElements(sorted.indices.map(_.toLong)),
+        s"doc $d: chunk_idx not contiguous from 0")
+      assert(sorted.forall(_._3 >= 1L), s"doc $d: empty chunk")
+      assert(sorted.map(_._3).sum == lens(d),
+        s"doc $d: chunks cover ${sorted.map(_._3).sum} of ${lens(d)} tokens")
+    }
+  }
+
+  test("q241 CDC boundaries are shift-robust where fixed-stride windows are not") {
+    val docs = Tables.load(spark, sf, "documents")
+      .select("doc_id", "text").limit(80).cache()
+    val shifted = docs.select(col("doc_id"),
+      concat(lit("zzz "), col("text")).as("text"))
+    def fps(d: org.apache.spark.sql.DataFrame): Map[Long, Seq[(Long, Long)]] =
+      Retrieval.cdcChunksFrom(d).select("doc_id", "chunk_idx", "chunk_fp")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .groupBy(_._1).map { case (k, v) =>
+          k -> v.sortBy(_._2).map(x => (x._2, x._3)).toSeq
+        }
+    val (orig, moved) = (fps(docs), fps(shifted))
+    // CDC guarantee: prepending one token can invalidate AT MOST the first
+    // chunk of each document — every later boundary is a function of local
+    // bigram content, which did not change.
+    orig.foreach { case (d, chunks) =>
+      val missing = chunks.filterNot(c => moved(d).exists(_._2 == c._2))
+      assert(missing.length <= 1, s"doc $d: ${missing.length} chunks lost")
+      missing.foreach { m =>
+        assert(m._1 == 0L, s"doc $d: non-head chunk ${m._1} lost to a shift")
+      }
+    }
+    // the fixed-stride comparison: the same one-token shift moves EVERY
+    // window, so fingerprint survival collapses — the reason CDC exists
+    def strideFps(d: org.apache.spark.sql.DataFrame): Set[(Long, Long)] = {
+      val w = split(col("text"), " ")
+      d.select(col("doc_id"), posexplode(sequence(lit(1), size(w), lit(24)))
+          .as(Seq("i", "start")), w.as("w"))
+        .select(col("doc_id"),
+          graft.functions.TextFunctions.portableHash60(
+            concat_ws(" ", slice(col("w"), col("start"), lit(32)))).as("fp"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val (so, sm) = (strideFps(docs), strideFps(shifted))
+    val strideSurvival = so.count(sm.contains).toDouble / so.size
+    val cdcTotal = orig.values.map(_.length).sum
+    val cdcSurvived = orig.map { case (d, chunks) =>
+      chunks.count(c => moved(d).exists(_._2 == c._2))
+    }.sum
+    val cdcSurvival = cdcSurvived.toDouble / cdcTotal
+    assert(cdcSurvival >= 0.6, s"CDC survival $cdcSurvival unexpectedly low")
+    assert(strideSurvival <= 0.2,
+      s"stride survival $strideSurvival — fixture texts look periodic")
+    assert(cdcSurvival > strideSurvival + 0.3,
+      s"CDC ($cdcSurvival) must dominate fixed-stride ($strideSurvival)")
+    docs.unpersist(blocking = false)
+  }
+
+  test("q242 stored mass is conserved against the q241 chunk frame") {
+    val chunks = Retrieval.q241(spark, sf)
+      .select("chunk_fp", "n_tokens").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val rows = Retrieval.q242(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.map(_._2).sum == chunks.length,
+      "per-source chunk counts must sum to the corpus chunk count")
+    assert(rows.map(_._3).sum == chunks.map(_._1).distinct.length,
+      "exactly one stored copy per distinct fingerprint, across all sources")
+    assert(rows.map(_._4).sum == chunks.map(_._2).sum,
+      "token mass must be conserved")
+    rows.foreach { case (src, nc, sc, tt, st, ppm) =>
+      assert(sc >= 1L && sc <= nc, s"$src: stored $sc outside [1, $nc]")
+      assert(st <= tt, s"$src: stored tokens exceed total")
+      assert(ppm == (tt - st) * 1000000L / tt, s"$src: savings_ppm mismatch")
+    }
+  }
+
+  test("q243 truncation recall is bounded, exact in ppm, and non-degenerate") {
+    val rows = Retrieval.q243(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._1).toSeq == (0L until 20L),
+      "one row per batch query, ordered")
+    rows.foreach { case (qid, n, ppm) =>
+      assert(n >= 0L && n <= 10L, s"qid $qid: n_common $n outside [0,10]")
+      assert(ppm == n * 100000L, s"qid $qid: recall_ppm not n_common/10")
+    }
+    // half the dimensions must retain SOME neighborhood structure — a zero
+    // overlap across all 20 queries would mean the audit is reading noise
+    assert(rows.map(_._2).sum > 0L, "no query retained any top-10 overlap")
+  }
+
+  test("q244 every reported span is literally shared text of that length") {
+    val texts = Tables.load(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ")).toMap
+    val rows = Retrieval.q244(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.nonEmpty && rows.length <= 20)
+    val spans = rows.map(_._5)
+    assert(spans.sameElements(spans.sortBy(-_)), "not ranked by span desc")
+    assert(spans.forall(_ >= 8L), "a span can never be under the anchor width")
+    rows.foreach { case (da, db, pa, pb, len) =>
+      val sa = texts(da).slice(pa.toInt - 1, pa.toInt - 1 + len.toInt)
+      val sb = texts(db).slice(pb.toInt - 1, pb.toInt - 1 + len.toInt)
+      assert(sa.length == len && sa.sameElements(sb),
+        s"($da,$db) at ($pa,$pb): reported span of $len is not shared text")
+    }
+  }
+
+  test("q244 recovers a planted maximal run exactly once, at its position") {
+    import spark.implicits._
+    val filler = (1 to 40).map(i => s"fa$i").mkString(" ")
+    val filler2 = (1 to 40).map(i => s"fb$i").mkString(" ")
+    val shared = (1 to 20).map(i => s"dup$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$filler $shared ${(1 to 15).map(i => s"ta$i").mkString(" ")}"),
+      (2L, s"${(1 to 10).map(i => s"tb$i").mkString(" ")} $shared $filler2"),
+      (3L, (1 to 60).map(i => s"tc$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val rows = Retrieval.q244From(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.length == 1, s"expected exactly the planted span, got $rows")
+    assert(rows.head == ((1L, 2L, 41L, 11L, 20L)),
+      s"planted 20-token run at (41, 11) misreported: ${rows.head}")
+  }
 }
