@@ -731,4 +731,32 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(winIdx >= 0 && aggIdx > winIdx,
       s"normalization must sit above the per-dim aggregate:\n$p")
   }
+
+  test("q241: CDC chunking shuffles only for the presentation sort") {
+    val p = plan("q241_cdc_chunks")
+    // allowed exchanges: the parallelized() round-robin read guard and the
+    // ORDER BY's range partitioning — never a hash (data) shuffle
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"chunking must be one narrow pass, saw a data shuffle:\n$p")
+    val ranges = p.split("Exchange rangepartitioning").length - 1
+    assert(ranges == 1,
+      s"exactly one presentation sort expected, saw $ranges:\n$p")
+  }
+
+  test("q243: both width rankings ride ONE qid exchange; batch broadcasts") {
+    val p = plan("q243_trunc_dim_recall")
+    val qidShuffles = p.split("Exchange hashpartitioning\\(qid").length - 1
+    assert(qidShuffles == 1,
+      s"full+truncated rankings must share one qid shuffle, saw $qidShuffles:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"the parameter-sized batch must broadcast:\n$p")
+  }
+
+  test("q244: span mining never cartesians and top-20 never global-sorts") {
+    val p = plan("q244_max_dup_span")
+    assert(!p.contains("CartesianProduct"),
+      s"anchor pairing must stay fp-keyed:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-20 must not global-sort:\n$p")
+  }
 }
