@@ -1652,8 +1652,13 @@ object Retrieval {
                   i + 2 <= size(col("w"))),
               c => c + 2))
             .otherwise(array().cast(ArrayType(IntegerType)))))
+      // posexplode_OUTER: `starts` is never null/empty (element 1 is
+      // unconditional), so outer semantics are identical — but the non-outer
+      // generator makes InferFiltersFromGenerate push a size()>0 filter into
+      // the scan that RE-EVALUATES the whole interpreted boundary chain per
+      // row (the shingle_hashes double-eval trap, measured 2x here)
       .select(col("doc_id"), col("w"), col("starts"),
-        posexplode(col("starts")).as(Seq("idx", "start")))
+        posexplode_outer(col("starts")).as(Seq("idx", "start")))
       .withColumn("end",
         coalesce(get(col("starts"), col("idx") + 1) - 1, size(col("w"))))
       .select(col("doc_id"), col("idx").cast(LongType).as("chunk_idx"),
