@@ -1895,7 +1895,16 @@ object Retrieval {
 
   /** [[q244]] over an arbitrary (doc_id, text) frame — the spec-fixture
     * entry point ([[cdcChunksFrom]] discipline). */
-  def q244From(docs: DataFrame): DataFrame = {
+  def q244From(docs: DataFrame): DataFrame =
+    dupSpans(docs)
+      .orderBy(desc("span_tokens"), col("doc_a"), col("doc_b"),
+        col("pos_a"), col("pos_b"))
+      .limit(20)
+
+  /** The full maximal-duplicated-span frame shared by q244/q245:
+    * (doc_a, doc_b, pos_a, pos_b, span_tokens), unlimited. Public for the
+    * q245 driver-replay spec. */
+  def dupSpans(docs: DataFrame): DataFrame = {
     val grams = docs
       .select(col("doc_id"),
         posexplode(T.portableShingleHashes(col("text"), SpanGram))
@@ -1923,12 +1932,12 @@ object Retrieval {
         count(lit(1)).as("run"))
       .withColumn("span_tokens", col("run") + lit((SpanGram - 1).toLong))
       .select("doc_a", "doc_b", "pos_a", "pos_b", "span_tokens")
-      .orderBy(desc("span_tokens"), col("doc_a"), col("doc_b"),
-        col("pos_a"), col("pos_b"))
-      .limit(20)
   }
 
-  val q244Sql: String = {
+  /** The shared DuckDB replay of [[dupSpans]] — ends at CTE `spans`
+    * (doc_a, doc_b, pos_a, pos_b, span_tokens); q244/q245 oracles append
+    * their own tails ([[CdcChunkCtes]] discipline). */
+  private val SpanCtes: String = {
     val gram8 = (0 until SpanGram).map(i =>
       if (i == 0) "w[pos]" else s"w[pos+$i]").mkString(" || ' ' || ")
     s"""WITH t AS (
@@ -1958,13 +1967,100 @@ object Retrieval {
       |  SELECT doc_a, doc_b, MIN(pa) AS pos_a, MIN(pb) AS pos_b,
       |    COUNT(*) + ${SpanGram - 1} AS span_tokens
       |  FROM runs GROUP BY doc_a, doc_b, diag, grp
-      |)
+      |)""".stripMargin
+  }
+
+  val q244Sql: String =
+    s"""$SpanCtes
       |SELECT doc_a, doc_b, pos_a, pos_b, CAST(span_tokens AS BIGINT)
       |    AS span_tokens
       |FROM spans
       |ORDER BY span_tokens DESC, doc_a, doc_b, pos_a, pos_b
       |LIMIT 20""".stripMargin
+
+  /** q245 duplicated-span REMOVAL pricing — what exact-substring dedup would
+    * actually delete (the deliverable of Lee et al. 2022, which q244's span
+    * mining exists to feed): every q244 span claims its token interval in
+    * BOTH endpoint documents, overlapping claims from different partners
+    * merge by the q107 interval-union sweep (a token is dup text once, no
+    * matter how many partners repeat it), and the per-source rollup prices
+    * docs touched, token mass inside duplicated spans, and the removal
+    * rate in ppm. Docs with no spans stay in frame (left join — a source
+    * with zero duplication still reports).
+    *
+    * Scale shape: the span frame is scratch-barriered (it feeds both
+    * endpoint projections of the interval union); the union sweep is ONE
+    * doc-keyed window over span endpoints (∝ spans, not tokens); the
+    * rollup joins the slim (doc_id, source, token-count) projection once.
+    * Never corpus² — inherited from q244's df-capped anchors. */
+  def q245(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.parallelized(Tables.load(spark, dir, "documents"))
+    val spans = graft.operators.Checkpoints.scratch(dupSpans(docs))
+    // half-open [s, e) token intervals claimed in each endpoint document
+    val iv = spans.select(col("doc_a").as("doc_id"), col("pos_a").as("s"),
+        (col("pos_a") + col("span_tokens")).as("e"))
+      .union(spans.select(col("doc_b").as("doc_id"), col("pos_b").as("s"),
+        (col("pos_b") + col("span_tokens")).as("e")))
+    val byStart = Window.partitionBy("doc_id").orderBy(col("s"), col("e"))
+    val prevMaxE =
+      max("e").over(byStart.rowsBetween(Window.unboundedPreceding, -1))
+    val covered = iv
+      .withColumn("new_island",
+        when(col("s") > coalesce(prevMaxE, lit(-1L)), 1L).otherwise(0L))
+      .withColumn("island", sum("new_island").over(byStart))
+      .groupBy("doc_id", "island")
+      .agg(min("s").as("is_"), max("e").as("ie"))
+      .groupBy("doc_id")
+      .agg(sum(col("ie") - col("is_")).as("dup_tokens"))
+    docs
+      .select(col("doc_id"), col("source"),
+        T.tokenCount(col("text")).cast(LongType).as("n_tokens"))
+      .join(covered, Seq("doc_id"), "left")
+      .withColumn("dup_tokens", coalesce(col("dup_tokens"), lit(0L)))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("dup_tokens") > 0, 1L).otherwise(0L)).as("n_docs_hit"),
+        sum("n_tokens").as("total_tokens"),
+        sum("dup_tokens").as("dup_tokens"))
+      .withColumn("dup_ppm", expr("dup_tokens * 1000000 div total_tokens"))
+      .select("source", "n_docs", "n_docs_hit", "total_tokens", "dup_tokens",
+        "dup_ppm")
+      .orderBy("source")
   }
+
+  val q245Sql: String =
+    s"""$SpanCtes, iv AS (
+      |  SELECT doc_a AS doc_id, pos_a AS s, pos_a + span_tokens AS e FROM spans
+      |  UNION ALL
+      |  SELECT doc_b AS doc_id, pos_b AS s, pos_b + span_tokens AS e FROM spans
+      |), marked AS (
+      |  SELECT doc_id, s, e,
+      |    CASE WHEN s > COALESCE(MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+      |      THEN 1 ELSE 0 END AS new_island
+      |  FROM iv
+      |), isl AS (
+      |  SELECT doc_id, s, e,
+      |    SUM(new_island) OVER (PARTITION BY doc_id ORDER BY s, e) AS island
+      |  FROM marked
+      |), merged AS (
+      |  SELECT doc_id, island, MIN(s) AS is_, MAX(e) AS ie
+      |  FROM isl GROUP BY 1, 2
+      |), cov AS (
+      |  SELECT doc_id, SUM(ie - is_) AS dup_tokens FROM merged GROUP BY doc_id
+      |), base AS (
+      |  SELECT d.source, d.doc_id,
+      |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+      |    COALESCE(c.dup_tokens, 0) AS dup_tokens
+      |  FROM documents d LEFT JOIN cov c USING (doc_id)
+      |)
+      |SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN dup_tokens > 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_docs_hit,
+      |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+      |  CAST(SUM(dup_tokens) AS BIGINT) AS dup_tokens,
+      |  CAST(SUM(dup_tokens) * 1000000 // SUM(n_tokens) AS BIGINT) AS dup_ppm
+      |FROM base GROUP BY source ORDER BY source""".stripMargin
 
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q106_dup_passages", q106 _, Some(q106Sql)),
@@ -1994,5 +2090,6 @@ object Retrieval {
     ("q241_cdc_chunks", q241 _, Some(q241Sql)),
     ("q242_cdc_dedup_savings", q242 _, Some(q242Sql)),
     ("q243_trunc_dim_recall", q243 _, Some(q243Sql)),
-    ("q244_max_dup_span", q244 _, Some(q244Sql)))
+    ("q244_max_dup_span", q244 _, Some(q244Sql)),
+    ("q245_dup_span_pricing", q245 _, Some(q245Sql)))
 }

@@ -611,6 +611,38 @@ class RetrievalSpec extends AnyFunSuite {
     }
   }
 
+  test("q245 pricing equals a full driver replay of span union per document") {
+    val docRows = Tables.load(spark, sf, "documents")
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2).split(" ").length.toLong))
+    val spans = Retrieval.dupSpans(
+      Tables.load(spark, sf, "documents").select("doc_id", "text")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    // claim intervals in both endpoint docs, union per doc, sum covered
+    val claims = (spans.map(s => (s._1, s._3, s._3 + s._5)) ++
+      spans.map(s => (s._2, s._4, s._4 + s._5))).groupBy(_._1)
+    val dupByDoc = claims.map { case (d, iv) =>
+      var covered = 0L; var curS = -1L; var curE = -1L
+      iv.map(x => (x._2, x._3)).sortBy(identity).foreach { case (s, e) =>
+        if (s > curE) { if (curE >= 0) covered += curE - curS; curS = s; curE = e }
+        else curE = math.max(curE, e)
+      }
+      if (curE >= 0) covered += curE - curS
+      d -> covered
+    }
+    val expected = docRows.groupBy(_._2).map { case (src, ds) =>
+      val dup = ds.map(d => dupByDoc.getOrElse(d._1, 0L))
+      val tot = ds.map(_._3).sum
+      (src, ds.length.toLong, dup.count(_ > 0L).toLong, tot, dup.sum,
+        dup.sum * 1000000L / tot)
+    }.toSet
+    val rows = Retrieval.q245(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    assert(rows == expected, "q245 must equal the driver interval-union replay")
+  }
+
   test("q244 recovers a planted maximal run exactly once, at its position") {
     import spark.implicits._
     val filler = (1 to 40).map(i => s"fa$i").mkString(" ")
