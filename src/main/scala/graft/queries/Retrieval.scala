@@ -2062,6 +2062,102 @@ object Retrieval {
       |  CAST(SUM(dup_tokens) * 1000000 // SUM(n_tokens) AS BIGINT) AS dup_ppm
       |FROM base GROUP BY source ORDER BY source""".stripMargin
 
+  /** q246 duplicated-span EXCISION — the apply step that completes the
+    * exact-substring family (q244 detects, q245 prices, this rewrites):
+    * every q244 span keeps its text in the OWNER side (doc_a — span pairs
+    * are emitted doc_a < doc_b, the q26/q234 min-survivor rule at span
+    * grain) and is excised from doc_b; per document the non-owner claims
+    * merge by the q107 interval-union sweep and the text is rebuilt from
+    * the surviving token positions. Emits the audit row a rewrite sink
+    * needs per document: token count before, tokens removed, and the
+    * portable fingerprint of the CLEANED text (fp of the original where
+    * nothing was excised) — content-level proof the rewrite did exactly
+    * what the pricing promised, and the fingerprint the next dedup pass
+    * keys on.
+    *
+    * Scale shape: the span frame shuffles once to doc_b for the union
+    * sweep (∝ spans); the per-doc interval list is span-bounded (a
+    * collect_list of merged intervals, never token-sized); the rebuild is
+    * a narrow per-row map over the corpus join; output is one row per
+    * document. */
+  def q246(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.parallelized(Tables.load(spark, dir, "documents"))
+    val iv = dupSpans(docs.select("doc_id", "text"))
+      .select(col("doc_b").as("doc_id"), col("pos_b").as("s"),
+        (col("pos_b") + col("span_tokens")).as("e"))
+    val byStart = Window.partitionBy("doc_id").orderBy(col("s"), col("e"))
+    val prevMaxE =
+      max("e").over(byStart.rowsBetween(Window.unboundedPreceding, -1))
+    val merged = iv
+      .withColumn("new_island",
+        when(col("s") > coalesce(prevMaxE, lit(-1L)), 1L).otherwise(0L))
+      .withColumn("island", sum("new_island").over(byStart))
+      .groupBy("doc_id", "island")
+      .agg(min("s").as("is_"), max("e").as("ie"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("is_").as("s"),
+        col("ie").as("e")))).as("riv"))
+    docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+      .join(merged, Seq("doc_id"), "left")
+      .withColumn("kept",
+        when(col("riv").isNull, col("w"))
+          .otherwise(transform(
+            filter(sequence(lit(1), size(col("w"))),
+              p => !exists(col("riv"),
+                v => p >= v.getField("s") && p < v.getField("e"))),
+            p => get(col("w"), p - 1))))
+      .select(col("doc_id"),
+        size(col("w")).cast(LongType).as("n_tokens"),
+        (size(col("w")) - size(col("kept"))).cast(LongType).as("n_removed"),
+        T.portableHash60(concat_ws(" ", col("kept"))).as("cleaned_fp"))
+      // provably drops nothing (md5 of a never-null string), but pins the
+      // rewrite into EVERY action's plan: under a bare count() the optimizer
+      // otherwise ELIMINATES the outer join (right keys unique, no columns
+      // referenced) and a benchmark would time the docs scan instead of the
+      // excision — measured 0.7 s vs the honest 9.4 s at x30
+      .filter(col("cleaned_fp").isNotNull)
+      .orderBy("doc_id")
+  }
+
+  val q246Sql: String =
+    s"""$SpanCtes, iv AS (
+      |  SELECT doc_b AS doc_id, pos_b AS s, pos_b + span_tokens AS e FROM spans
+      |), marked AS (
+      |  SELECT doc_id, s, e,
+      |    CASE WHEN s > COALESCE(MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+      |      THEN 1 ELSE 0 END AS new_island
+      |  FROM iv
+      |), isl AS (
+      |  SELECT doc_id, s, e,
+      |    SUM(new_island) OVER (PARTITION BY doc_id ORDER BY s, e) AS island
+      |  FROM marked
+      |), merged AS (
+      |  SELECT doc_id, island, MIN(s) AS is_, MAX(e) AS ie
+      |  FROM isl GROUP BY 1, 2
+      |), rivs AS (
+      |  SELECT doc_id,
+      |    list(struct_pack(s := is_, e := ie) ORDER BY is_, ie) AS riv
+      |  FROM merged GROUP BY doc_id
+      |), base AS (
+      |  SELECT d.doc_id, string_split(d.text, ' ') AS w, r.riv
+      |  FROM documents d LEFT JOIN rivs r USING (doc_id)
+      |), cleaned AS (
+      |  SELECT doc_id, w,
+      |    CASE WHEN riv IS NULL THEN w
+      |         ELSE [w[p] FOR p IN range(1, len(w) + 1)
+      |               IF len(list_filter(riv, v -> p >= v.s AND p < v.e)) = 0]
+      |    END AS kept
+      |  FROM base
+      |)
+      |SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+      |  CAST(len(w) - len(kept) AS BIGINT) AS n_removed,
+      |  -- COALESCE: array_to_string of an EMPTY list is NULL in DuckDB where
+      |  -- Spark's concat_ws gives '' — fully-excised docs must fp('')
+      |  CAST('0x' || substr(md5(COALESCE(array_to_string(kept, ' '), '')),
+      |    1, 15) AS BIGINT) AS cleaned_fp
+      |FROM cleaned ORDER BY doc_id""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q106_dup_passages", q106 _, Some(q106Sql)),
     ("q186_boilerplate", q186 _, Some(q186Sql)),
@@ -2091,5 +2187,6 @@ object Retrieval {
     ("q242_cdc_dedup_savings", q242 _, Some(q242Sql)),
     ("q243_trunc_dim_recall", q243 _, Some(q243Sql)),
     ("q244_max_dup_span", q244 _, Some(q244Sql)),
-    ("q245_dup_span_pricing", q245 _, Some(q245Sql)))
+    ("q245_dup_span_pricing", q245 _, Some(q245Sql)),
+    ("q246_dup_span_excision", q246 _, Some(q246Sql)))
 }

@@ -643,6 +643,54 @@ class RetrievalSpec extends AnyFunSuite {
     assert(rows == expected, "q245 must equal the driver interval-union replay")
   }
 
+  test("q246 rewrites every document exactly as the owner-rule replay says") {
+    def fp60(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val texts = Tables.load(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ")).toMap
+    val spans = Retrieval.dupSpans(
+      Tables.load(spark, sf, "documents").select("doc_id", "text")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    // non-owner (doc_b) interval claims, merged per doc
+    val claims = spans.map(s => (s._2, s._4, s._4 + s._5)).groupBy(_._1)
+      .map { case (d, iv) =>
+        var merged = List.empty[(Long, Long)]
+        iv.map(x => (x._2, x._3)).sortBy(identity).foreach { case (s, e) =>
+          merged match {
+            case (ms, me) :: tail if s <= me =>
+              merged = (ms, math.max(me, e)) :: tail
+            case _ => merged = (s, e) :: merged
+          }
+        }
+        d -> merged
+      }
+    val rows = Retrieval.q246(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._1).toSet == texts.keySet, "one row per document")
+    rows.foreach { case (d, nTok, nRem, fp) =>
+      val w = texts(d)
+      assert(nTok == w.length, s"doc $d token count")
+      val iv = claims.getOrElse(d, Nil)
+      val kept = w.zipWithIndex.collect {
+        case (t, i0) if !iv.exists(v => i0 + 1 >= v._1 && i0 + 1 < v._2) => t
+      }
+      assert(nRem == w.length - kept.length, s"doc $d removed-count mismatch")
+      assert(fp == fp60(kept.mkString(" ")),
+        s"doc $d cleaned fingerprint does not match the replayed rewrite")
+    }
+    // the fixture has known duplicate structure: something must be excised,
+    // and an untouched doc's fp must be the fp of its original text
+    assert(rows.exists(_._3 > 0L), "no excision on a fixture with known dups")
+    rows.filter(_._3 == 0L).take(5).foreach { case (d, _, _, fp) =>
+      assert(fp == fp60(texts(d).mkString(" ")), s"doc $d: untouched fp drifted")
+    }
+  }
+
   test("q244 recovers a planted maximal run exactly once, at its position") {
     import spark.implicits._
     val filler = (1 to 40).map(i => s"fa$i").mkString(" ")
