@@ -752,6 +752,20 @@ class PlanQualitySpec extends AnyFunSuite {
       s"the parameter-sized batch must broadcast:\n$p")
   }
 
+  test("q246: the rewrite survives a count-shaped plan (no join elimination)") {
+    // the r12 lesson: count() references no output columns, and a left join
+    // whose right keys are unique is then ELIMINATED — benching the docs
+    // scan instead of the excision. The no-op fingerprint filter must keep
+    // the span subtree in the optimized count plan.
+    val counted = SparkEntry.queries("q246_dup_span_excision")(spark, sf)
+      .groupBy().count()
+    val p = counted.queryExecution.executedPlan.toString
+    assert(p.contains("Join"),
+      s"count() plan lost the excision join — bench would time the scan:\n$p")
+    assert(p.split("Scan parquet").length - 1 >= 2,
+      s"span pipeline missing from the counted plan:\n$p")
+  }
+
   test("q244: span mining never cartesians and top-20 never global-sorts") {
     val p = plan("q244_max_dup_span")
     assert(!p.contains("CartesianProduct"),
