@@ -93,10 +93,21 @@ private[ann] object IndexPaths {
     s"${System.getProperty("java.io.tmpdir")}/$prefix-${slugOf(corpusDir)}-$stamp"
   }
 
-  def isBuilt(spark: SparkSession, path: String): Boolean = {
-    val marker = new org.apache.hadoop.fs.Path(s"$path/codes/_SUCCESS")
+  def isBuilt(spark: SparkSession, path: String): Boolean =
+    markerExists(spark, s"$path/codes/_SUCCESS")
+
+  def markerExists(spark: SparkSession, markerPath: String): Boolean = {
+    val marker = new org.apache.hadoop.fs.Path(markerPath)
     marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
       .exists(marker)
+  }
+
+  /** Create an empty durability-marker file (e.g. the ingest-complete flag
+    * a multi-write build flow needs beyond the first write's _SUCCESS). */
+  def touchMarker(spark: SparkSession, markerPath: String): Unit = {
+    val marker = new org.apache.hadoop.fs.Path(markerPath)
+    marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .create(marker, true).close()
   }
 
   /** Disk analog of [[Models.cachedLatest]]'s eviction: when a corpus is

@@ -391,4 +391,48 @@ object PortableIvfPqIndex {
     PortableAnn.queryEncodedPortable(
       spark.read.parquet(s"$path/codes"), PortableAnn.quantized(embs),
       loadModelCached(spark, path), queryId, topK, dim, nProbe, refine)
+
+  /** INCREMENTAL ingest: encode a new batch with the index's FROZEN model
+    * and append the codes to the cid-partitioned table — no retraining, no
+    * rewrite of existing partitions. This is the standard IVF maintenance
+    * contract at scale (FAISS `add` semantics): at 100 TB an index cannot
+    * be rebuilt per ingest batch, so batches append under the frozen
+    * quantizers and a RETRAIN is a deliberate corpus rewrite (the
+    * [[ensureBuilt]] stamp flow). Because encoding is a pure function of
+    * (model, vector), build(base) + append(batch) is BIT-IDENTICAL to
+    * encode(base ∪ batch) with the same model — asserted in AnnSpec and
+    * hash-gated end-to-end by q247's oracle. `newQ` must be a
+    * [[PortableAnn.quantized]] frame. */
+  def append(spark: SparkSession, path: String, newQ: DataFrame): Unit =
+    PortableAnn.encodeIvfPq(newQ, loadModelCached(spark, path))
+      .write.mode("append").partitionBy("cid").parquet(s"$path/codes")
+
+  /** Build-once gate for the build-then-ingest flow q247 serves: the model
+    * trains on the BASE slice only (vectors outside the md5 ingest bucket —
+    * the frozen-model contract), base codes are written, and the ingest
+    * bucket is [[append]]ed with the frozen model. Durability marker is an
+    * explicit `_INGESTED` file written LAST: the codes `_SUCCESS` lands at
+    * the base write, so it alone must not mark this index servable — a
+    * crash between build and append would otherwise leave a silently
+    * batch-less "built" index. */
+  def ensureBuiltWithIngest(spark: SparkSession, embs: DataFrame,
+      corpusDir: String, dim: Int, ingestMod: Int = 5, ingestBucket: Int = 4,
+      nClusters: Int = 8, m: Int = 8, k: Int = 16,
+      iters: Int = 2): String = synchronized {
+    val path = IndexPaths.indexPath(spark, corpusDir, "graft-pivfpq-inc")
+    if (!IndexPaths.markerExists(spark, s"$path/_INGESTED")) {
+      val q = PortableAnn.quantized(embs)
+      val isIngest = graft.functions.TextFunctions
+        .hashBucket(col("vec_id"), ingestMod) === ingestBucket
+      val model = PortableAnn.ivfPqTrainInt(q.filter(!isIngest), dim,
+        nClusters, m, k, iters)
+      save(spark, model, PortableAnn.encodeIvfPq(q.filter(!isIngest), model),
+        path)
+      modelCache.put(path, model) // append must see THIS model, not a reload
+      append(spark, path, q.filter(isIngest))
+      IndexPaths.touchMarker(spark, s"$path/_INGESTED")
+      IndexPaths.pruneSuperseded(spark, corpusDir, "graft-pivfpq-inc", path)
+    }
+    path
+  }
 }

@@ -320,10 +320,10 @@ object Extensions {
     * update `cN` by truncating-division means, empty clusters keeping their
     * previous centroid). Final model CTE: `c<iters>`. */
   private def ivfTrainCtes(nC: Int, mod: Int, topUp: Int, dim: Int,
-      iters: Int): String = {
+      iters: Int, src: String = "n"): String = {
     val sb = new StringBuilder
     sb ++= s"""samp AS (
-      |  SELECT vec_id, qv FROM n
+      |  SELECT vec_id, qv FROM $src
       |  WHERE CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT) % $mod = 0
       |     OR vec_id < $topUp
       |), c0 AS (
@@ -519,6 +519,84 @@ object Extensions {
       |    list_transform(range(1, 65), i -> a.qv[i] - c.cvec[i]) AS qv
       |  FROM asg a JOIN c2 c ON c.cid = a.cid
       |), ${pqTrainCtes(src = "rv", m = 8, k = 16, w = 8, mod = 10,
+        iters = 2)}, probe AS (
+      |  SELECT cid FROM (
+      |    SELECT c.cid, ROW_NUMBER() OVER (ORDER BY
+      |      ${l2Sql("q0.qv", "c.cvec", 64)}, c.cid) AS rn
+      |    FROM c2 c CROSS JOIN q0) t
+      |  WHERE rn <= 3
+      |), encp AS (
+      |  SELECT vec_id, cid, s, code FROM (
+      |    SELECT v.vec_id, v.cid, cb.s, cb.code,
+      |      ROW_NUMBER() OVER (PARTITION BY v.vec_id, cb.s ORDER BY
+      |        ${subL2Sql("v.qv", "cb.s", "cb.cvec", 8)}, cb.code) AS rn
+      |    FROM rv v CROSS JOIN cb2 cb
+      |    WHERE v.vec_id <> 0) t
+      |  WHERE rn = 1
+      |), qres AS (
+      |  SELECT p.cid,
+      |    list_transform(range(1, 65), i -> q0.qv[i] - c.cvec[i]) AS rqv
+      |  FROM probe p JOIN c2 c ON c.cid = p.cid CROSS JOIN q0
+      |), dtp AS (
+      |  SELECT qr.cid, cb.s, cb.code,
+      |    ${subL2Sql("qr.rqv", "cb.s", "cb.cvec", 8)} AS d
+      |  FROM cb2 cb CROSS JOIN qres qr
+      |), adistp AS (
+      |  SELECT e.vec_id, CAST(SUM(d.d) AS BIGINT) AS ad
+      |  FROM encp e JOIN dtp d
+      |    ON d.cid = e.cid AND d.s = e.s AND d.code = e.code
+      |  GROUP BY e.vec_id
+      |), cands AS (
+      |  SELECT vec_id FROM adistp ORDER BY ad, vec_id LIMIT 50
+      |), rr AS (
+      |  SELECT v.vec_id, ${l2Sql("v.qv", "q0.qv", 64)} AS dist_i64
+      |  FROM n v JOIN cands USING (vec_id) CROSS JOIN q0
+      |)
+      |SELECT vec_id, dist_i64 FROM rr ORDER BY dist_i64, vec_id
+      |LIMIT 10""".stripMargin
+
+  /** q247 INCREMENTAL index ingest (new r12) — the maintenance operation a
+    * deployed 100 TB vector index lives by: an ingest batch (the md5 bucket
+    * 4-of-5 of vec_ids — a deterministic 20% "new arrivals" slice) is
+    * APPENDED to the persisted IVF-PQ index under the FROZEN model (trained
+    * on the base slice only; FAISS `add` semantics — retraining is a
+    * deliberate corpus rewrite, never an ingest side effect), and the serve
+    * probes partition-pruned code scans exactly as q103. Because encoding
+    * is a pure function of (model, vector), build(base)+append(batch) is
+    * bit-identical to encode(base ∪ batch) — the DuckDB oracle replays
+    * base-only training, whole-corpus encoding, ADC and re-rank, so the
+    * APPEND PATH ITSELF sits under the hash gate (top-10 including any
+    * appended vectors that qualify), and AnnSpec asserts append ≡ rebuild
+    * frame-for-frame. */
+  def q247(spark: SparkSession, dir: String): DataFrame = {
+    val embs = Tables.load(spark, dir, "embeddings")
+    val idx = graft.ann.PortableIvfPqIndex.ensureBuiltWithIngest(spark, embs,
+      dir, dim = 64)
+    graft.ann.PortableIvfPqIndex.query(spark, idx, embs, queryId = 0L,
+      topK = 10, dim = 64)
+  }
+
+  val q247Sql: String =
+    s"""WITH $portableQuantCte, base AS (
+      |  SELECT vec_id, qv FROM n
+      |  WHERE CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8) AS BIGINT) % 5 <> 4
+      |), ${ivfTrainCtes(nC = 8, mod = 10, topUp = 16, dim = 64, iters = 2,
+        src = "base")}, q0 AS (
+      |  SELECT qv, nrm FROM n WHERE vec_id = 0
+      |), asg AS (
+      |  SELECT vec_id, qv, cid FROM (
+      |    SELECT s.vec_id, s.qv, c.cid,
+      |      ROW_NUMBER() OVER (PARTITION BY s.vec_id ORDER BY
+      |        ${l2Sql("s.qv", "c.cvec", 64)}, c.cid) AS rn
+      |    FROM n s CROSS JOIN c2 c) t
+      |  WHERE rn = 1
+      |), rv AS (
+      |  SELECT a.vec_id, a.cid,
+      |    list_transform(range(1, 65), i -> a.qv[i] - c.cvec[i]) AS qv
+      |  FROM asg a JOIN c2 c ON c.cid = a.cid
+      |), rvb AS (
+      |  SELECT r.vec_id, r.qv FROM rv r JOIN base b USING (vec_id)
+      |), ${pqTrainCtes(src = "rvb", m = 8, k = 16, w = 8, mod = 10,
         iters = 2)}, probe AS (
       |  SELECT cid FROM (
       |    SELECT c.cid, ROW_NUMBER() OVER (ORDER BY
@@ -2021,6 +2099,7 @@ object Extensions {
     ("q99_minhash_portable", q99 _, Some(q99Sql)),
     ("q100_frame_sample", q100 _, Some(q100Sql)),
     ("q103_knn_ivfpq", q103 _, Some(q103Sql)),
+    ("q247_index_ingest", q247 _, Some(q247Sql)),
     ("q117_byte_histogram", q117 _, Some(q117Sql)),
     ("q120_abandoned_views", q120 _, Some(q120Sql)),
     ("q121_langid_confusion", q121 _, Some(q121Sql)))

@@ -365,6 +365,37 @@ class AnnSpec extends AnyFunSuite {
     assert(plan.contains("PartitionFilters: [isnotnull(cid"), plan)
   }
 
+  test("incremental ingest: frozen-model append equals a full re-encode, serve included") {
+    val idx = graft.ann.PortableIvfPqIndex.ensureBuiltWithIngest(
+      spark, embs, sf, dim = 64)
+    val qz = PortableAnn.quantized(embs)
+    val model = graft.ann.PortableIvfPqIndex.loadModel(spark, idx)
+    // disk = build(base) + append(batch); it must be EXACTLY the whole
+    // corpus encoded under the frozen model — encoding is a pure function
+    val disk = spark.read.parquet(s"$idx/codes")
+      .select("vec_id", "cid", "codes")
+    val rebuilt = PortableAnn.encodeIvfPq(qz, model)
+      .select("vec_id", "cid", "codes")
+    assert(disk.count() == rebuilt.count(), "append lost or duplicated rows")
+    assert(disk.exceptAll(rebuilt).isEmpty && rebuilt.exceptAll(disk).isEmpty,
+      "append-built codes differ from a frozen-model re-encode")
+    // served top-10 from the appended index == the in-flight serve
+    val servedDisk = graft.ann.PortableIvfPqIndex
+      .query(spark, idx, embs, queryId = 0L, topK = 10, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val servedFlight = PortableAnn.queryEncodedPortable(
+      PortableAnn.encodeIvfPq(qz, model), qz, model, queryId = 0L,
+      topK = 10, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(servedDisk == servedFlight,
+      "the appended index must serve the same ranking as the in-flight path")
+    // the ingest slice is genuinely present: some served or encoded rows
+    // come from the md5 ingest bucket
+    val inBucket = disk.filter(graft.functions.TextFunctions
+      .hashBucket(org.apache.spark.sql.functions.col("vec_id"), 5) === 4)
+    assert(inBucket.count() > 0, "ingest bucket missing from the index")
+  }
+
   test("ensureBuilt: unchanged corpus reuses the index; a rewritten corpus rebuilds") {
     // stage a private copy of the corpus so mutating it is safe
     val dir = java.nio.file.Files.createTempDirectory("ivfpq_stale").toString
