@@ -435,4 +435,133 @@ object PortableIvfPqIndex {
     }
     path
   }
+
+  // ---- deletion: tombstones + partition-pruned compaction --------------
+  //
+  // The third index maintenance verb (after build and [[append]]): at
+  // 100 TB a delete request cannot rewrite the codes table, so deletes are
+  // TOMBSTONES — (vec_id, cid) rows appended under the index — that every
+  // serve anti-joins out (broadcast: the tombstone set is request-sized,
+  // the codes side stays partition-pruned because the cid filters push
+  // through the left side of the anti-join). COMPACTION is the deferred
+  // physical rewrite, and it touches ONLY the cid partitions that actually
+  // hold tombstoned rows — which is why [[delete]] resolves each id's cid
+  // up front (one pruned-by-nothing scan at delete time, amortized over
+  // every serve until compaction, instead of a full-table rewrite or a
+  // serve-time penalty).
+
+  private def fs(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Tombstone the given ids (a frame with a `vec_id` column). Ids absent
+    * from the index are dropped by the resolving join (deleting a
+    * never-indexed id is a no-op, not an error). Append-mode: deletes
+    * accumulate until [[compact]]. */
+  def delete(spark: SparkSession, path: String, ids: DataFrame): Unit =
+    spark.read.parquet(s"$path/codes").select("vec_id", "cid")
+      .join(broadcast(ids.select("vec_id")), Seq("vec_id"))
+      .write.mode("append").parquet(s"$path/tombstones")
+
+  /** The live tombstone set, if any delete is pending. */
+  def tombstones(spark: SparkSession, path: String): Option[DataFrame] =
+    if (IndexPaths.markerExists(spark, s"$path/tombstones/_SUCCESS"))
+      Some(spark.read.parquet(s"$path/tombstones"))
+    else None
+
+  /** Physically remove tombstoned rows, rewriting ONLY the affected cid
+    * partitions. Commit protocol, restart-safe without a manifest:
+    *  1. recover: if a previous compaction crashed mid-swap, restore every
+    *     hidden `.cid=N.old` dir whose live dir is missing and drop the
+    *     scratch output — correct because tombstones are still present
+    *     (step 4 hasn't run), so restored rows stay hidden at serve;
+    *  2. write the surviving rows of affected partitions to a scratch dir;
+    *  3. per-cid swap: hide the old dir (dot-prefix — Spark's FileIndex
+    *     skips dot/underscore names, so a crash here never resurrects
+    *     deleted rows), move the new dir in, drop the hidden one;
+    *  4. remove the tombstones LAST — any crash before this point leaves
+    *     serve correct (anti-join still masks whatever old files remain).
+    */
+  def compact(spark: SparkSession, path: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val codes = new Path(s"$path/codes")
+    val scratch = new Path(s"$path/codes.compact")
+    val h = fs(spark, codes)
+    // 1. recovery sweep from a crashed prior run
+    if (h.exists(codes)) h.listStatus(codes).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith(".cid=") && n.endsWith(".old")) {
+        val live = new Path(codes, n.stripPrefix(".").stripSuffix(".old"))
+        if (!h.exists(live)) h.rename(st.getPath, live)
+        else h.delete(st.getPath, true)
+      }
+    }
+    if (h.exists(scratch)) h.delete(scratch, true)
+    tombstones(spark, path).foreach { t =>
+      // affected partition list: tombstones carry cid, so this is a
+      // tombstone-sized aggregate, not a codes scan
+      val affected = t.select("cid").distinct().collect()
+        .map(_.getAs[Number](0).intValue).sorted
+      if (affected.nonEmpty) {
+        // 2. surviving rows of affected partitions only (PartitionFilters
+        // prune the scan to exactly those directories)
+        spark.read.parquet(s"$path/codes")
+          .filter(col("cid").isin(affected.map(Integer.valueOf): _*))
+          .join(broadcast(t.select("vec_id")), Seq("vec_id"), "left_anti")
+          .write.mode("overwrite").partitionBy("cid")
+          .parquet(scratch.toString)
+        // 3. per-cid swap (a fully-deleted partition has no new dir)
+        affected.foreach { c =>
+          val live = new Path(codes, s"cid=$c")
+          val hidden = new Path(codes, s".cid=$c.old")
+          val fresh = new Path(scratch, s"cid=$c")
+          if (h.exists(live)) h.rename(live, hidden)
+          if (h.exists(fresh)) h.rename(fresh, live)
+          h.delete(hidden, true)
+        }
+      }
+      h.delete(scratch, true)
+      // 4. tombstones last — the no-resurrection guarantee
+      h.delete(new Path(s"$path/tombstones"), true)
+    }
+  }
+
+  /** Serve honoring pending tombstones: identical to [[query]] when no
+    * delete is pending (the common, compacted state — zero extra plan
+    * nodes beyond one existence check), a broadcast anti-join over the
+    * probed partitions otherwise. */
+  def queryLive(spark: SparkSession, path: String, embs: DataFrame,
+      queryId: Long, topK: Int, dim: Int, nProbe: Int = 3,
+      refine: Int = 5): DataFrame = {
+    val codes = spark.read.parquet(s"$path/codes")
+    val live = tombstones(spark, path).fold(codes)(t =>
+      codes.join(broadcast(t.select("vec_id")), Seq("vec_id"), "left_anti"))
+    PortableAnn.queryEncodedPortable(live, PortableAnn.quantized(embs),
+      loadModelCached(spark, path), queryId, topK, dim, nProbe, refine)
+  }
+
+  /** Build-then-delete-then-compact gate for q248: the index is built over
+    * the FULL corpus (the model keeps its pre-delete training — a delete
+    * must not imply a retrain, exactly as [[append]] must not), the md5
+    * bucket `delBucket`-of-`delMod` of vec_ids is tombstoned, and the index
+    * is compacted. `_DELETED` marker written last: the codes `_SUCCESS`
+    * lands at the base write and must not mark this flow complete. */
+  def ensureBuiltWithDelete(spark: SparkSession, embs: DataFrame,
+      corpusDir: String, dim: Int, delMod: Int = 7, delBucket: Int = 2,
+      nClusters: Int = 8, m: Int = 8, k: Int = 16,
+      iters: Int = 2): String = synchronized {
+    val path = IndexPaths.indexPath(spark, corpusDir, "graft-pivfpq-del")
+    if (!IndexPaths.markerExists(spark, s"$path/_DELETED")) {
+      val q = PortableAnn.quantized(embs)
+      val model = PortableAnn.ivfPqTrainInt(q, dim, nClusters, m, k, iters)
+      save(spark, model, PortableAnn.encodeIvfPq(q, model), path)
+      modelCache.put(path, model)
+      delete(spark, path, q.filter(
+        graft.functions.TextFunctions.hashBucket(col("vec_id"), delMod)
+          === delBucket))
+      compact(spark, path)
+      IndexPaths.touchMarker(spark, s"$path/_DELETED")
+      IndexPaths.pruneSuperseded(spark, corpusDir, "graft-pivfpq-del", path)
+    }
+    path
+  }
 }

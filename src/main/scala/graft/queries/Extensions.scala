@@ -633,6 +633,80 @@ object Extensions {
       |SELECT vec_id, dist_i64 FROM rr ORDER BY dist_i64, vec_id
       |LIMIT 10""".stripMargin
 
+  /** q248 index DELETE + COMPACTION (new r12) — the third maintenance verb
+    * of the deployed index lifecycle (build q103, ingest q247, delete
+    * here): a deterministic 1-of-7 md5 bucket of vec_ids is tombstoned
+    * (request-sized (vec_id, cid) rows — no rewrite at delete time, serves
+    * anti-join them broadcast), then compaction physically rewrites ONLY
+    * the cid partitions holding tombstoned rows via a restart-safe
+    * hidden-dir swap, dropping the tombstones last so deleted rows can
+    * never resurrect. The model keeps its pre-delete training (a delete
+    * must not imply a retrain), so the oracle replays full-corpus training
+    * and encoding and excises the deleted bucket from the candidate scan —
+    * the hash gate covers the delete semantics end-to-end, and AnnSpec
+    * asserts tombstone-serve ≡ compacted-serve, physical removal, and that
+    * unaffected partitions' files are byte-identically untouched. */
+  def q248(spark: SparkSession, dir: String): DataFrame = {
+    val embs = Tables.load(spark, dir, "embeddings")
+    val idx = graft.ann.PortableIvfPqIndex.ensureBuiltWithDelete(spark, embs,
+      dir, dim = 64)
+    graft.ann.PortableIvfPqIndex.queryLive(spark, idx, embs, queryId = 0L,
+      topK = 10, dim = 64)
+  }
+
+  val q248Sql: String =
+    s"""WITH $portableQuantCte, ${ivfTrainCtes(nC = 8, mod = 10, topUp = 16,
+        dim = 64, iters = 2)}, q0 AS (
+      |  SELECT qv, nrm FROM n WHERE vec_id = 0
+      |), asg AS (
+      |  SELECT vec_id, qv, cid FROM (
+      |    SELECT s.vec_id, s.qv, c.cid,
+      |      ROW_NUMBER() OVER (PARTITION BY s.vec_id ORDER BY
+      |        ${l2Sql("s.qv", "c.cvec", 64)}, c.cid) AS rn
+      |    FROM n s CROSS JOIN c2 c) t
+      |  WHERE rn = 1
+      |), rv AS (
+      |  SELECT a.vec_id, a.cid,
+      |    list_transform(range(1, 65), i -> a.qv[i] - c.cvec[i]) AS qv
+      |  FROM asg a JOIN c2 c ON c.cid = a.cid
+      |), ${pqTrainCtes(src = "rv", m = 8, k = 16, w = 8, mod = 10,
+        iters = 2)}, probe AS (
+      |  SELECT cid FROM (
+      |    SELECT c.cid, ROW_NUMBER() OVER (ORDER BY
+      |      ${l2Sql("q0.qv", "c.cvec", 64)}, c.cid) AS rn
+      |    FROM c2 c CROSS JOIN q0) t
+      |  WHERE rn <= 3
+      |), encp AS (
+      |  SELECT vec_id, cid, s, code FROM (
+      |    SELECT v.vec_id, v.cid, cb.s, cb.code,
+      |      ROW_NUMBER() OVER (PARTITION BY v.vec_id, cb.s ORDER BY
+      |        ${subL2Sql("v.qv", "cb.s", "cb.cvec", 8)}, cb.code) AS rn
+      |    FROM rv v CROSS JOIN cb2 cb
+      |    WHERE v.vec_id <> 0
+      |      AND CAST('0x' || substr(md5(CAST(v.vec_id AS VARCHAR)), 1, 8) AS BIGINT) % 7 <> 2) t
+      |  WHERE rn = 1
+      |), qres AS (
+      |  SELECT p.cid,
+      |    list_transform(range(1, 65), i -> q0.qv[i] - c.cvec[i]) AS rqv
+      |  FROM probe p JOIN c2 c ON c.cid = p.cid CROSS JOIN q0
+      |), dtp AS (
+      |  SELECT qr.cid, cb.s, cb.code,
+      |    ${subL2Sql("qr.rqv", "cb.s", "cb.cvec", 8)} AS d
+      |  FROM cb2 cb CROSS JOIN qres qr
+      |), adistp AS (
+      |  SELECT e.vec_id, CAST(SUM(d.d) AS BIGINT) AS ad
+      |  FROM encp e JOIN dtp d
+      |    ON d.cid = e.cid AND d.s = e.s AND d.code = e.code
+      |  GROUP BY e.vec_id
+      |), cands AS (
+      |  SELECT vec_id FROM adistp ORDER BY ad, vec_id LIMIT 50
+      |), rr AS (
+      |  SELECT v.vec_id, ${l2Sql("v.qv", "q0.qv", 64)} AS dist_i64
+      |  FROM n v JOIN cands USING (vec_id) CROSS JOIN q0
+      |)
+      |SELECT vec_id, dist_i64 FROM rr ORDER BY dist_i64, vec_id
+      |LIMIT 10""".stripMargin
+
   /** q33 per-document quality stats: token count, avg word length (×100),
     * quality flag — all integer math, oracle-checked. */
   def q33(spark: SparkSession, dir: String): DataFrame = {
@@ -2100,6 +2174,7 @@ object Extensions {
     ("q100_frame_sample", q100 _, Some(q100Sql)),
     ("q103_knn_ivfpq", q103 _, Some(q103Sql)),
     ("q247_index_ingest", q247 _, Some(q247Sql)),
+    ("q248_index_delete", q248 _, Some(q248Sql)),
     ("q117_byte_histogram", q117 _, Some(q117Sql)),
     ("q120_abandoned_views", q120 _, Some(q120Sql)),
     ("q121_langid_confusion", q121 _, Some(q121Sql)))

@@ -396,6 +396,76 @@ class AnnSpec extends AnyFunSuite {
     assert(inBucket.count() > 0, "ingest bucket missing from the index")
   }
 
+  test("delete lifecycle: tombstone serve == compacted serve, physical removal, untouched partitions byte-stable") {
+    import org.apache.spark.sql.functions.col
+    val fsys = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    def partFiles(codes: String): Map[String, Seq[(String, Long, Long)]] =
+      fsys.listStatus(new org.apache.hadoop.fs.Path(codes))
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("cid="))
+        .map { d =>
+          d.getPath.getName -> fsys.listStatus(d.getPath).toSeq
+            .map(f => (f.getPath.getName, f.getLen, f.getModificationTime))
+            .sortBy(_._1)
+        }.toMap
+    // stage a standalone index (own tmp path — must not share q103/q248's
+    // build-once gates) and drive the verbs directly
+    val qz = PortableAnn.quantized(embs)
+    val model = PortableAnn.ivfPqTrainInt(qz, dim = 64)
+    val path = java.nio.file.Files.createTempDirectory("pivfpq_del").toString
+    graft.ann.PortableIvfPqIndex.save(spark, model,
+      PortableAnn.encodeIvfPq(qz, model), path)
+    val doomed = qz.filter(
+      graft.functions.TextFunctions.hashBucket(col("vec_id"), 7) === 2)
+    val doomedIds = doomed.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(doomedIds.nonEmpty, "fixture bucket empty — test is vacuous")
+    val before = partFiles(s"$path/codes")
+    val presentBefore = spark.read.parquet(s"$path/codes")
+      .filter(col("vec_id").isin(doomedIds.toSeq.map(Long.box): _*)).count()
+    assert(presentBefore == doomedIds.size, "doomed rows missing pre-delete")
+
+    graft.ann.PortableIvfPqIndex.delete(spark, path, doomed.select("vec_id"))
+    val affected = spark.read.parquet(s"$path/tombstones")
+      .select("cid").distinct().collect().map(_.getAs[Number](0).intValue)
+      .toSet
+    val served = graft.ann.PortableIvfPqIndex
+      .queryLive(spark, path, embs, queryId = 0L, topK = 10, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(served.forall(r => !doomedIds.contains(r._1)),
+      "tombstoned id served")
+    // ground truth: the in-flight serve over the filtered encoded frame
+    val filtered = PortableAnn.encodeIvfPq(qz, model)
+      .filter(!col("vec_id").isin(doomedIds.toSeq.map(Long.box): _*))
+    val expect = PortableAnn.queryEncodedPortable(filtered, qz, model,
+      queryId = 0L, topK = 10, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(served == expect, "tombstone serve diverges from filtered serve")
+
+    graft.ann.PortableIvfPqIndex.compact(spark, path)
+    assert(!fsys.exists(new org.apache.hadoop.fs.Path(s"$path/tombstones")),
+      "tombstones must be dropped by compaction")
+    assert(spark.read.parquet(s"$path/codes")
+      .filter(col("vec_id").isin(doomedIds.toSeq.map(Long.box): _*))
+      .count() == 0, "compaction left tombstoned rows on disk")
+    val servedCompacted = graft.ann.PortableIvfPqIndex
+      .queryLive(spark, path, embs, queryId = 0L, topK = 10, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(servedCompacted == served,
+      "compacted serve diverges from tombstone serve")
+    // partition-pruned rewrite: every UNaffected cid dir is byte-stable
+    // (same files, lengths, modification times); every affected one changed
+    val after = partFiles(s"$path/codes")
+    (before.keySet ++ after.keySet).foreach { p =>
+      val cid = p.stripPrefix("cid=").toInt
+      if (!affected.contains(cid))
+        assert(before.get(p) == after.get(p), s"unaffected $p was rewritten")
+      else assert(before.get(p) != after.get(p), s"affected $p untouched")
+    }
+    // restart safety: a re-run with nothing pending is a no-op
+    graft.ann.PortableIvfPqIndex.compact(spark, path)
+    assert(partFiles(s"$path/codes") == after, "idle compact not a no-op")
+  }
+
   test("ensureBuilt: unchanged corpus reuses the index; a rewritten corpus rebuilds") {
     // stage a private copy of the corpus so mutating it is safe
     val dir = java.nio.file.Files.createTempDirectory("ivfpq_stale").toString
