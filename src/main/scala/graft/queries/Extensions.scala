@@ -707,6 +707,76 @@ object Extensions {
       |SELECT vec_id, dist_i64 FROM rr ORDER BY dist_i64, vec_id
       |LIMIT 10""".stripMargin
 
+  /** q249 character-trigram LM quality score (new r12) — the CCNet-family
+    * quality signal (Wenzek et al. 2020): score every document by its
+    * cross-entropy under a reference language model, flagging
+    * out-of-domain / low-quality text as HIGH surprise. The LM is char-
+    * trigram counts over a deterministic reference slice (md5 bucket
+    * 0-of-5 of doc_ids); a document's score is the mean per-trigram
+    * surprise, where surprise is the PORTABLE integer log:
+    * `length(bin(total div cnt))` = ⌈log2⌉ of the inverse relative
+    * frequency (unseen trigrams smooth to cnt=1) — the `length(bin(…))`
+    * integer-log idiom the adaptive LSH widths already rely on, so the
+    * whole pipeline (training included) replays under the DuckDB hash
+    * gate with zero floats. Returns the 15 most surprising documents.
+    *
+    * Scale shape: the LM is bounded by the charset³ trigram domain —
+    * broadcastable at any corpus size, like the ANN codebooks; scoring is
+    * one scan → per-char-position generator (posexplode_outer per the
+    * q241 lesson — the array is never empty once `length ≥ 3` filters) →
+    * broadcast left join → ONE doc_id-keyed partial aggregation →
+    * TakeOrderedAndProject. The reference pass is the same scan shape
+    * with the md5 filter pushed down; `total` is a one-row aggregate
+    * (model-sized driver value, the ANN-centroid precedent). Docs shorter
+    * than 3 chars carry no trigram and are excluded on both engines. */
+  def q249(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.parallelized(Tables.load(spark, dir, "documents"))
+      .filter(length(col("text")) >= 3)
+    def tris(d: DataFrame): DataFrame = d
+      .select(col("doc_id"), expr(
+        "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))")
+        .as("ts"))
+      .select(col("doc_id"), posexplode_outer(col("ts")).as(Seq("p", "tri")))
+      .select("doc_id", "tri")
+    val lm = tris(docs.filter(T.hashBucket(col("doc_id"), 5) === 0))
+      .groupBy("tri").agg(count(lit(1)).as("cnt"))
+    val total = lm.agg(sum("cnt")).collect()(0).getLong(0)
+    tris(docs)
+      .join(broadcast(lm), Seq("tri"), "left")
+      .select(col("doc_id"),
+        expr(s"length(bin(${total}L div coalesce(cnt, 1L)))")
+          .cast(LongType).as("bits"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tri"), sum("bits").as("sum_bits"))
+      .select(col("doc_id"), col("n_tri"),
+        expr("100 * sum_bits div n_tri").as("bits_x100"))
+      .orderBy(desc("bits_x100"), col("doc_id"))
+      .limit(15)
+  }
+
+  val q249Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, text FROM documents WHERE length(text) >= 3
+      |), tr AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(range(1, length(text) - 1),
+      |      i -> substr(text, i, 3))) AS tri
+      |  FROM d
+      |), lm AS (
+      |  SELECT tri, CAST(COUNT(*) AS BIGINT) AS cnt FROM tr
+      |  WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 5 = 0
+      |  GROUP BY tri
+      |), tot AS (
+      |  SELECT CAST(SUM(cnt) AS BIGINT) AS t FROM lm
+      |), sc AS (
+      |  SELECT tr.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tri,
+      |    SUM(length(bin(tot.t // coalesce(lm.cnt, 1)))) AS sum_bits
+      |  FROM tr LEFT JOIN lm USING (tri) CROSS JOIN tot
+      |  GROUP BY tr.doc_id
+      |)
+      |SELECT doc_id, n_tri, CAST(100 * sum_bits // n_tri AS BIGINT) AS bits_x100
+      |FROM sc ORDER BY bits_x100 DESC, doc_id LIMIT 15""".stripMargin
+
   /** q33 per-document quality stats: token count, avg word length (×100),
     * quality flag — all integer math, oracle-checked. */
   def q33(spark: SparkSession, dir: String): DataFrame = {
@@ -2175,6 +2245,7 @@ object Extensions {
     ("q103_knn_ivfpq", q103 _, Some(q103Sql)),
     ("q247_index_ingest", q247 _, Some(q247Sql)),
     ("q248_index_delete", q248 _, Some(q248Sql)),
+    ("q249_lm_quality", q249 _, Some(q249Sql)),
     ("q117_byte_histogram", q117 _, Some(q117Sql)),
     ("q120_abandoned_views", q120 _, Some(q120Sql)),
     ("q121_langid_confusion", q121 _, Some(q121Sql)))

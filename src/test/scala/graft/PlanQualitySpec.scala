@@ -773,4 +773,26 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"),
       s"top-20 must not global-sort:\n$p")
   }
+
+  test("q249: LM joins broadcast, one doc-keyed shuffle, top-15 never global-sorts") {
+    val p = plan("q249_lm_quality")
+    // the trigram LM is charset^3-bounded — it must broadcast, never
+    // shuffle the exploded corpus for the lookup
+    assert(p.contains("BroadcastHashJoin"), s"LM lookup must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus-side trigram rows must never sort-merge:\n$p")
+    // doc-keyed data shuffles: the scoring aggregation only (the LM build's
+    // trigram-keyed agg is bounded-domain, not doc-keyed)
+    val docShuffles = p.split("Exchange hashpartitioning\\(doc_id").length - 1
+    assert(docShuffles == 1,
+      s"scoring must aggregate on ONE doc_id exchange, saw $docShuffles:\n$p")
+    assert(p.contains("partial_count"),
+      s"per-doc aggregation must combine map-side:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-15 must not global-sort:\n$p")
+    // the q241 generator lesson holds here: no inferred size()>0 filter may
+    // re-evaluate the trigram array inside the scan
+    assert(!p.contains("Filter (size(transform"),
+      s"inferred generator filter de-vectorizes the scan:\n$p")
+  }
 }
