@@ -710,9 +710,15 @@ object Extensions {
   /** q249 character-trigram LM quality score (new r12) — the CCNet-family
     * quality signal (Wenzek et al. 2020): score every document by its
     * cross-entropy under a reference language model, flagging
-    * out-of-domain / low-quality text as HIGH surprise. The LM is char-
-    * trigram counts over a deterministic reference slice (md5 bucket
-    * 0-of-5 of doc_ids); a document's score is the mean per-trigram
+    * out-of-domain / low-quality text as HIGH surprise. The CHAR-level
+    * complement of q160's WORD-bigram fluency filter: q160 scores
+    * conditional word transitions and rolls up per source; this scores
+    * unconditional char-trigram frequency per DOCUMENT — the estimator
+    * that still works on tokenization-hostile garbage (mojibake, binary
+    * spill, wrong-script text) where word segmentation itself has already
+    * failed, which is exactly what a pretraining filter meets first. The
+    * LM is char-trigram counts over a deterministic reference slice (md5
+    * bucket 0-of-5 of doc_ids); a document's score is the mean per-trigram
     * surprise, where surprise is the PORTABLE integer log:
     * `length(bin(total div cnt))` = ⌈log2⌉ of the inverse relative
     * frequency (unseen trigrams smooth to cnt=1) — the `length(bin(…))`
