@@ -419,7 +419,7 @@ object PortableIvfPqIndex {
       corpusDir: String, dim: Int, ingestMod: Int = 5, ingestBucket: Int = 4,
       nClusters: Int = 8, m: Int = 8, k: Int = 16,
       iters: Int = 2): String = synchronized {
-    val path = IndexPaths.indexPath(spark, corpusDir, "graft-pivfpq-inc")
+    val path = IndexPaths.indexPath(spark, corpusDir, "graft-pivfpqinc")
     if (!IndexPaths.markerExists(spark, s"$path/_INGESTED")) {
       val q = PortableAnn.quantized(embs)
       val isIngest = graft.functions.TextFunctions
@@ -431,7 +431,7 @@ object PortableIvfPqIndex {
       modelCache.put(path, model) // append must see THIS model, not a reload
       append(spark, path, q.filter(isIngest))
       IndexPaths.touchMarker(spark, s"$path/_INGESTED")
-      IndexPaths.pruneSuperseded(spark, corpusDir, "graft-pivfpq-inc", path)
+      IndexPaths.pruneSuperseded(spark, corpusDir, "graft-pivfpqinc", path)
     }
     path
   }
@@ -453,14 +453,47 @@ object PortableIvfPqIndex {
   private def fs(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** `FileSystem.rename` reports most failures by returning FALSE, not
+    * throwing — and a swallowed false inside [[compact]]'s swap would
+    * either resurrect deleted rows or silently drop a partition's
+    * survivors. Escalate to an exception so the protocol aborts with the
+    * tombstones still in place (serve stays correct; the recovery sweep
+    * finishes the job on the next run). */
+  private def mustRename(h: org.apache.hadoop.fs.FileSystem,
+      src: org.apache.hadoop.fs.Path, dst: org.apache.hadoop.fs.Path): Unit =
+    if (!h.rename(src, dst))
+      throw new java.io.IOException(s"rename failed: $src -> $dst")
+
+  /** The codes table, robust to the fully-deleted state: a compaction that
+    * removed EVERY row leaves `codes/` with no partition dirs, where a
+    * bare `spark.read.parquet` dies on schema inference — an empty index
+    * must serve empty results, not throw. */
+  private def readCodes(spark: SparkSession, path: String): DataFrame = {
+    val codes = new org.apache.hadoop.fs.Path(s"$path/codes")
+    val h = fs(spark, codes)
+    val hasParts = h.exists(codes) &&
+      h.listStatus(codes).exists(st =>
+        st.isDirectory && st.getPath.getName.startsWith("cid="))
+    if (hasParts) spark.read.parquet(codes.toString)
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        StructField("vec_id", LongType),
+        StructField("codes", ArrayType(IntegerType, containsNull = false)),
+        StructField("cid", IntegerType))))
+  }
+
   /** Tombstone the given ids (a frame with a `vec_id` column). Ids absent
     * from the index are dropped by the resolving join (deleting a
     * never-indexed id is a no-op, not an error). Append-mode: deletes
-    * accumulate until [[compact]]. */
-  def delete(spark: SparkSession, path: String, ids: DataFrame): Unit =
-    spark.read.parquet(s"$path/codes").select("vec_id", "cid")
+    * accumulate until [[compact]]. An all-misses request writes nothing
+    * (an empty parquet dir would break the tombstone read). */
+  def delete(spark: SparkSession, path: String, ids: DataFrame): Unit = {
+    val resolved = readCodes(spark, path).select("vec_id", "cid")
       .join(broadcast(ids.select("vec_id")), Seq("vec_id"))
-      .write.mode("append").parquet(s"$path/tombstones")
+    if (!resolved.isEmpty)
+      resolved.write.mode("append").parquet(s"$path/tombstones")
+  }
 
   /** The live tombstone set, if any delete is pending. */
   def tombstones(spark: SparkSession, path: String): Option[DataFrame] =
@@ -491,7 +524,7 @@ object PortableIvfPqIndex {
       val n = st.getPath.getName
       if (n.startsWith(".cid=") && n.endsWith(".old")) {
         val live = new Path(codes, n.stripPrefix(".").stripSuffix(".old"))
-        if (!h.exists(live)) h.rename(st.getPath, live)
+        if (!h.exists(live)) mustRename(h, st.getPath, live)
         else h.delete(st.getPath, true)
       }
     }
@@ -504,18 +537,21 @@ object PortableIvfPqIndex {
       if (affected.nonEmpty) {
         // 2. surviving rows of affected partitions only (PartitionFilters
         // prune the scan to exactly those directories)
-        spark.read.parquet(s"$path/codes")
+        readCodes(spark, path)
           .filter(col("cid").isin(affected.map(Integer.valueOf): _*))
           .join(broadcast(t.select("vec_id")), Seq("vec_id"), "left_anti")
           .write.mode("overwrite").partitionBy("cid")
           .parquet(scratch.toString)
-        // 3. per-cid swap (a fully-deleted partition has no new dir)
+        // 3. per-cid swap (a fully-deleted partition has no new dir);
+        // every rename is checked — a false return aborts with tombstones
+        // intact, and the hidden dir is only dropped once its replacement
+        // is in place
         affected.foreach { c =>
           val live = new Path(codes, s"cid=$c")
           val hidden = new Path(codes, s".cid=$c.old")
           val fresh = new Path(scratch, s"cid=$c")
-          if (h.exists(live)) h.rename(live, hidden)
-          if (h.exists(fresh)) h.rename(fresh, live)
+          if (h.exists(live)) mustRename(h, live, hidden)
+          if (h.exists(fresh)) mustRename(h, fresh, live)
           h.delete(hidden, true)
         }
       }
@@ -532,7 +568,7 @@ object PortableIvfPqIndex {
   def queryLive(spark: SparkSession, path: String, embs: DataFrame,
       queryId: Long, topK: Int, dim: Int, nProbe: Int = 3,
       refine: Int = 5): DataFrame = {
-    val codes = spark.read.parquet(s"$path/codes")
+    val codes = readCodes(spark, path)
     val live = tombstones(spark, path).fold(codes)(t =>
       codes.join(broadcast(t.select("vec_id")), Seq("vec_id"), "left_anti"))
     PortableAnn.queryEncodedPortable(live, PortableAnn.quantized(embs),
@@ -549,7 +585,7 @@ object PortableIvfPqIndex {
       corpusDir: String, dim: Int, delMod: Int = 7, delBucket: Int = 2,
       nClusters: Int = 8, m: Int = 8, k: Int = 16,
       iters: Int = 2): String = synchronized {
-    val path = IndexPaths.indexPath(spark, corpusDir, "graft-pivfpq-del")
+    val path = IndexPaths.indexPath(spark, corpusDir, "graft-pivfpqdel")
     if (!IndexPaths.markerExists(spark, s"$path/_DELETED")) {
       val q = PortableAnn.quantized(embs)
       val model = PortableAnn.ivfPqTrainInt(q, dim, nClusters, m, k, iters)
@@ -560,7 +596,7 @@ object PortableIvfPqIndex {
           === delBucket))
       compact(spark, path)
       IndexPaths.touchMarker(spark, s"$path/_DELETED")
-      IndexPaths.pruneSuperseded(spark, corpusDir, "graft-pivfpq-del", path)
+      IndexPaths.pruneSuperseded(spark, corpusDir, "graft-pivfpqdel", path)
     }
     path
   }

@@ -731,10 +731,13 @@ object Extensions {
     * one scan → per-char-position generator (posexplode_outer per the
     * q241 lesson — the array is never empty once `length ≥ 3` filters) →
     * broadcast left join → ONE doc_id-keyed partial aggregation →
-    * TakeOrderedAndProject. The reference pass is the same scan shape
-    * with the md5 filter pushed down; `total` is a one-row aggregate
-    * (model-sized driver value, the ANN-centroid precedent). Docs shorter
-    * than 3 chars carry no trigram and are excluded on both engines. */
+    * TakeOrderedAndProject. The reference pass runs ONCE (the LM collects
+    * to the driver — model-sized, the ANN-codebook precedent — so `total`
+    * falls out locally and the scoring join broadcasts a local table
+    * rather than re-running the reference subtree per action). Docs
+    * shorter than 3 chars carry no trigram and are excluded on both
+    * engines; an empty reference slice degrades to a flat 1-bit score on
+    * both engines rather than erroring. */
   def q249(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.parallelized(Tables.load(spark, dir, "documents"))
       .filter(length(col("text")) >= 3)
@@ -744,9 +747,19 @@ object Extensions {
         .as("ts"))
       .select(col("doc_id"), posexplode_outer(col("ts")).as(Seq("p", "tri")))
       .select("doc_id", "tri")
-    val lm = tris(docs.filter(T.hashBucket(col("doc_id"), 5) === 0))
+    // ONE reference pass: the LM is charset³-bounded, so collect it (the
+    // ANN-codebook precedent) — total falls out locally and the scoring
+    // join broadcasts a LocalTableScan instead of re-running the reference
+    // scan+generator subtree a second time. An EMPTY reference slice
+    // degrades to total=1 (every trigram unseen at 1 bit — a flat,
+    // uninformative score, mirrored by the oracle's COALESCE, never an
+    // error).
+    import spark.implicits._
+    val lmRows = tris(docs.filter(T.hashBucket(col("doc_id"), 5) === 0))
       .groupBy("tri").agg(count(lit(1)).as("cnt"))
-    val total = lm.agg(sum("cnt")).collect()(0).getLong(0)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val total = math.max(1L, lmRows.map(_._2).sum)
+    val lm = lmRows.toSeq.toDF("tri", "cnt")
     tris(docs)
       .join(broadcast(lm), Seq("tri"), "left")
       .select(col("doc_id"),
@@ -773,7 +786,7 @@ object Extensions {
       |  WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 5 = 0
       |  GROUP BY tri
       |), tot AS (
-      |  SELECT CAST(SUM(cnt) AS BIGINT) AS t FROM lm
+      |  SELECT GREATEST(COALESCE(CAST(SUM(cnt) AS BIGINT), 1), 1) AS t FROM lm
       |), sc AS (
       |  SELECT tr.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tri,
       |    SUM(length(bin(tot.t // coalesce(lm.cnt, 1)))) AS sum_bits

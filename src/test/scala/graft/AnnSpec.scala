@@ -464,6 +464,17 @@ class AnnSpec extends AnyFunSuite {
     // restart safety: a re-run with nothing pending is a no-op
     graft.ann.PortableIvfPqIndex.compact(spark, path)
     assert(partFiles(s"$path/codes") == after, "idle compact not a no-op")
+    // delete EVERYTHING and compact: the empty index must serve empty
+    // results, not die on parquet schema inference; a further delete
+    // against it is a clean no-op (no empty tombstone dir is written)
+    graft.ann.PortableIvfPqIndex.delete(spark, path, qz.select("vec_id"))
+    graft.ann.PortableIvfPqIndex.compact(spark, path)
+    assert(graft.ann.PortableIvfPqIndex
+      .queryLive(spark, path, embs, queryId = 0L, topK = 10, dim = 64)
+      .count() == 0, "fully-deleted index must serve empty")
+    graft.ann.PortableIvfPqIndex.delete(spark, path, qz.select("vec_id"))
+    assert(!fsys.exists(new org.apache.hadoop.fs.Path(s"$path/tombstones")),
+      "an all-misses delete must not create a tombstone dir")
   }
 
   test("ensureBuilt: unchanged corpus reuses the index; a rewritten corpus rebuilds") {
