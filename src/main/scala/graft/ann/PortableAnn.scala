@@ -575,6 +575,47 @@ object PortableIvfPqIndex {
       loadModelCached(spark, path), queryId, topK, dim, nProbe, refine)
   }
 
+  /** The deterministic "re-embedding" stand-in for the upsert flow: rows in
+    * the md5 bucket get every coordinate shifted by `1 + vec_id % 3` (a
+    * pure integer function both engines replay), everything else passes
+    * through; norms recomputed. Shared by [[ensureBuiltWithUpsert]] and
+    * q250's serve so the index and the vector store can never disagree
+    * about what "the new embedding" is. */
+  def reembedded(q: DataFrame, mod: Int, bucket: Int): DataFrame =
+    q.withColumn("qv",
+        when(T.hashBucket(col("vec_id"), mod) === bucket,
+          expr("transform(qv, x -> x + 1 + vec_id % 3)"))
+          .otherwise(col("qv")))
+      .withColumn("nrm", call_function("dot_i64", col("qv"), col("qv")))
+
+  /** UPSERT = delete → COMPACT → append, and the barrier is load-bearing:
+    * tombstones are ID-keyed, so a tombstone still pending when the
+    * replacement row is appended would mask the NEW row at serve (and a
+    * same-cell replacement would be destroyed by the eventual compaction).
+    * Re-embedding a batch therefore compacts its deletes before the
+    * frozen-model append — the ordering contract this method exists to
+    * own. `_UPSERTED` marker written last, as in the sibling flows. */
+  def ensureBuiltWithUpsert(spark: SparkSession, embs: DataFrame,
+      corpusDir: String, dim: Int, upMod: Int = 9, upBucket: Int = 5,
+      nClusters: Int = 8, m: Int = 8, k: Int = 16,
+      iters: Int = 2): String = synchronized {
+    val path = IndexPaths.indexPath(spark, corpusDir, "graft-pivfpqups")
+    if (!IndexPaths.markerExists(spark, s"$path/_UPSERTED")) {
+      val q = PortableAnn.quantized(embs)
+      // model frozen at its pre-upsert training, exactly as ingest/delete
+      val model = PortableAnn.ivfPqTrainInt(q, dim, nClusters, m, k, iters)
+      save(spark, model, PortableAnn.encodeIvfPq(q, model), path)
+      modelCache.put(path, model)
+      val isUp = T.hashBucket(col("vec_id"), upMod) === upBucket
+      delete(spark, path, q.filter(isUp).select("vec_id"))
+      compact(spark, path)
+      append(spark, path, reembedded(q, upMod, upBucket).filter(isUp))
+      IndexPaths.touchMarker(spark, s"$path/_UPSERTED")
+      IndexPaths.pruneSuperseded(spark, corpusDir, "graft-pivfpqups", path)
+    }
+    path
+  }
+
   /** Build-then-delete-then-compact gate for q248: the index is built over
     * the FULL corpus (the model keeps its pre-delete training — a delete
     * must not imply a retrain, exactly as [[append]] must not), the md5

@@ -707,6 +707,105 @@ object Extensions {
       |SELECT vec_id, dist_i64 FROM rr ORDER BY dist_i64, vec_id
       |LIMIT 10""".stripMargin
 
+  /** q250 index UPSERT (new r12) — the re-embedding flow that completes
+    * the maintenance lifecycle (build q103 / ingest q247 / delete q248 /
+    * upsert here): the md5 bucket 5-of-9 of vec_ids gets new embeddings
+    * (a deterministic integer patch standing in for a fresh encoder run),
+    * and the index replaces those rows by DELETE → COMPACT → APPEND under
+    * the frozen model. The compact BARRIER between delete and append is
+    * the semantic content: tombstones are id-keyed, so appending the
+    * replacement while its tombstone is pending would mask the new row at
+    * serve — the ordering contract `ensureBuiltWithUpsert` owns and
+    * AnnSpec proves (disk codes after upsert ≡ a whole-corpus re-encode
+    * of the patched vectors, byte for byte). The oracle replays training
+    * on the PRE-upsert corpus and candidate scan + re-rank on the patched
+    * one, so the full replace semantics sit under the hash gate. */
+  def q250(spark: SparkSession, dir: String): DataFrame = {
+    val embs = Tables.load(spark, dir, "embeddings")
+    val idx = graft.ann.PortableIvfPqIndex.ensureBuiltWithUpsert(spark, embs,
+      dir, dim = 64)
+    // the vector store after re-embedding: the same patched view, so the
+    // exact re-rank and the query vector see the new embeddings too
+    val q2 = graft.ann.PortableIvfPqIndex.reembedded(
+      graft.ann.PortableAnn.quantized(embs), mod = 9, bucket = 5)
+    graft.ann.PortableAnn.queryEncodedPortable(
+      spark.read.parquet(s"$idx/codes"), q2,
+      graft.ann.PortableIvfPqIndex.loadModelCached(spark, idx),
+      queryId = 0L, topK = 10, dim = 64)
+  }
+
+  val q250Sql: String =
+    s"""WITH $portableQuantCte, ${ivfTrainCtes(nC = 8, mod = 10, topUp = 16,
+        dim = 64, iters = 2)}, asg AS (
+      |  SELECT vec_id, qv, cid FROM (
+      |    SELECT s.vec_id, s.qv, c.cid,
+      |      ROW_NUMBER() OVER (PARTITION BY s.vec_id ORDER BY
+      |        ${l2Sql("s.qv", "c.cvec", 64)}, c.cid) AS rn
+      |    FROM n s CROSS JOIN c2 c) t
+      |  WHERE rn = 1
+      |), rv AS (
+      |  SELECT a.vec_id, a.cid,
+      |    list_transform(range(1, 65), i -> a.qv[i] - c.cvec[i]) AS qv
+      |  FROM asg a JOIN c2 c ON c.cid = a.cid
+      |), ${pqTrainCtes(src = "rv", m = 8, k = 16, w = 8, mod = 10,
+        iters = 2)}, n2 AS (
+      |  SELECT vec_id,
+      |    CASE WHEN CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8) AS BIGINT) % 9 = 5
+      |      THEN list_transform(qv, x -> x + 1 + vec_id % 3) ELSE qv END AS qv
+      |  FROM n
+      |), nn AS (
+      |  SELECT vec_id, qv,
+      |    CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS nrm
+      |  FROM n2
+      |), q0 AS (
+      |  SELECT qv, nrm FROM nn WHERE vec_id = 0
+      |), asg2 AS (
+      |  SELECT vec_id, qv, cid FROM (
+      |    SELECT s.vec_id, s.qv, c.cid,
+      |      ROW_NUMBER() OVER (PARTITION BY s.vec_id ORDER BY
+      |        ${l2Sql("s.qv", "c.cvec", 64)}, c.cid) AS rn
+      |    FROM nn s CROSS JOIN c2 c) t
+      |  WHERE rn = 1
+      |), rv2 AS (
+      |  SELECT a.vec_id, a.cid,
+      |    list_transform(range(1, 65), i -> a.qv[i] - c.cvec[i]) AS qv
+      |  FROM asg2 a JOIN c2 c ON c.cid = a.cid
+      |), probe AS (
+      |  SELECT cid FROM (
+      |    SELECT c.cid, ROW_NUMBER() OVER (ORDER BY
+      |      ${l2Sql("q0.qv", "c.cvec", 64)}, c.cid) AS rn
+      |    FROM c2 c CROSS JOIN q0) t
+      |  WHERE rn <= 3
+      |), encp AS (
+      |  SELECT vec_id, cid, s, code FROM (
+      |    SELECT v.vec_id, v.cid, cb.s, cb.code,
+      |      ROW_NUMBER() OVER (PARTITION BY v.vec_id, cb.s ORDER BY
+      |        ${subL2Sql("v.qv", "cb.s", "cb.cvec", 8)}, cb.code) AS rn
+      |    FROM rv2 v CROSS JOIN cb2 cb
+      |    WHERE v.vec_id <> 0) t
+      |  WHERE rn = 1
+      |), qres AS (
+      |  SELECT p.cid,
+      |    list_transform(range(1, 65), i -> q0.qv[i] - c.cvec[i]) AS rqv
+      |  FROM probe p JOIN c2 c ON c.cid = p.cid CROSS JOIN q0
+      |), dtp AS (
+      |  SELECT qr.cid, cb.s, cb.code,
+      |    ${subL2Sql("qr.rqv", "cb.s", "cb.cvec", 8)} AS d
+      |  FROM cb2 cb CROSS JOIN qres qr
+      |), adistp AS (
+      |  SELECT e.vec_id, CAST(SUM(d.d) AS BIGINT) AS ad
+      |  FROM encp e JOIN dtp d
+      |    ON d.cid = e.cid AND d.s = e.s AND d.code = e.code
+      |  GROUP BY e.vec_id
+      |), cands AS (
+      |  SELECT vec_id FROM adistp ORDER BY ad, vec_id LIMIT 50
+      |), rr AS (
+      |  SELECT v.vec_id, ${l2Sql("v.qv", "q0.qv", 64)} AS dist_i64
+      |  FROM nn v JOIN cands USING (vec_id) CROSS JOIN q0
+      |)
+      |SELECT vec_id, dist_i64 FROM rr ORDER BY dist_i64, vec_id
+      |LIMIT 10""".stripMargin
+
   /** q249 character-trigram LM quality score (new r12) — the CCNet-family
     * quality signal (Wenzek et al. 2020): score every document by its
     * cross-entropy under a reference language model, flagging
@@ -2265,6 +2364,7 @@ object Extensions {
     ("q247_index_ingest", q247 _, Some(q247Sql)),
     ("q248_index_delete", q248 _, Some(q248Sql)),
     ("q249_lm_quality", q249 _, Some(q249Sql)),
+    ("q250_index_upsert", q250 _, Some(q250Sql)),
     ("q117_byte_histogram", q117 _, Some(q117Sql)),
     ("q120_abandoned_views", q120 _, Some(q120Sql)),
     ("q121_langid_confusion", q121 _, Some(q121Sql)))

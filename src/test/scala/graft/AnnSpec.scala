@@ -477,6 +477,40 @@ class AnnSpec extends AnyFunSuite {
       "an all-misses delete must not create a tombstone dir")
   }
 
+  test("upsert: disk equals a whole-corpus re-encode of the patched vectors; barrier honored") {
+    import org.apache.spark.sql.functions.col
+    val idx = graft.ann.PortableIvfPqIndex.ensureBuiltWithUpsert(
+      spark, embs, sf, dim = 64)
+    val model = graft.ann.PortableIvfPqIndex.loadModel(spark, idx)
+    val q2 = graft.ann.PortableIvfPqIndex.reembedded(
+      PortableAnn.quantized(embs), mod = 9, bucket = 5)
+    val disk = spark.read.parquet(s"$idx/codes")
+      .select("vec_id", "cid", "codes")
+    val reenc = PortableAnn.encodeIvfPq(q2, model)
+      .select("vec_id", "cid", "codes")
+    assert(disk.count() == reenc.count(), "upsert lost or duplicated rows")
+    assert(disk.exceptAll(reenc).isEmpty && reenc.exceptAll(disk).isEmpty,
+      "post-upsert codes differ from a frozen-model re-encode of the patched corpus")
+    // the replaced rows are PRESENT and live (the compact barrier held —
+    // with a pending id-keyed tombstone they would be masked or destroyed)
+    val bucket = graft.functions.TextFunctions.hashBucket(col("vec_id"), 9)
+    assert(disk.filter(bucket === 5).count() ==
+      q2.filter(bucket === 5).count(), "re-embedded rows missing from the index")
+    val fsys = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    assert(!fsys.exists(new org.apache.hadoop.fs.Path(s"$idx/tombstones")),
+      "upsert must leave no pending tombstones")
+    // the served ranking equals the in-flight serve over the patched store
+    val served = graft.ann.PortableAnn.queryEncodedPortable(
+      disk, q2, model, queryId = 0L, topK = 10, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val flight = graft.ann.PortableAnn.queryEncodedPortable(
+      PortableAnn.encodeIvfPq(q2, model), q2, model, queryId = 0L,
+      topK = 10, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(served == flight, "upserted index serve diverges from in-flight serve")
+  }
+
   test("ensureBuilt: unchanged corpus reuses the index; a rewritten corpus rebuilds") {
     // stage a private copy of the corpus so mutating it is safe
     val dir = java.nio.file.Files.createTempDirectory("ivfpq_stale").toString
