@@ -483,6 +483,12 @@ object PortableIvfPqIndex {
         StructField("cid", IntegerType))))
   }
 
+  /** Public accessor for the raw encoded table, robust to the
+    * fully-deleted state — consumers (and the lifecycle specs) should read
+    * through this, not a bare `spark.read.parquet`. */
+  def codesFrame(spark: SparkSession, path: String): DataFrame =
+    readCodes(spark, path)
+
   /** Tombstone the given ids (a frame with a `vec_id` column). Ids absent
     * from the index are dropped by the resolving join (deleting a
     * never-indexed id is a no-op, not an error). Append-mode: deletes

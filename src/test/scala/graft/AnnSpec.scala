@@ -511,6 +511,74 @@ class AnnSpec extends AnyFunSuite {
     assert(served == flight, "upserted index serve diverges from in-flight serve")
   }
 
+  test("lifecycle property: random delete/append/re-embed sequences leave disk == frozen-model re-encode of the logical state") {
+    // Generator-driven: the unit tests above pin each verb individually;
+    // this drives random SEQUENCES of verbs against a driver-side mirror of
+    // the logical vector set, catching composition bugs (the class the
+    // upsert barrier exists for). Model frozen at the initial corpus
+    // throughout — the maintenance contract.
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val dim = 8
+    def md5Bucket(id: Long, mod: Int): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16) % mod
+    }
+    def frame(state: Map[Long, Seq[Long]]) =
+      state.toSeq.sortBy(_._1).map { case (id, qv) =>
+        (id, qv, qv.map(x => x * x).sum) }
+        .toDF("vec_id", "qv", "nrm")
+    val rnd = new scala.util.Random(7)
+    for (seed <- 0 until 4) {
+      val path = java.nio.file.Files
+        .createTempDirectory(s"pivfpq_prop$seed").toString
+      var state: Map[Long, Seq[Long]] = (0L until (20 + seed * 7))
+        .map(i => i -> Seq.fill(dim)((rnd.nextInt(11) - 5).toLong)).toMap
+      var nextId = state.keys.max + 1
+      val model = PortableAnn.ivfPqTrainInt(frame(state), dim,
+        nClusters = 4, m = 4, k = 4, iters = 1)
+      graft.ann.PortableIvfPqIndex.save(spark, model,
+        PortableAnn.encodeIvfPq(frame(state), model), path)
+      for (_ <- 0 until 3) rnd.nextInt(3) match {
+        case 0 => // delete an md5 bucket, compact
+          val mod = 2 + rnd.nextInt(4); val b = rnd.nextInt(mod)
+          val doomed = state.keys.filter(md5Bucket(_, mod) == b).toSet
+          graft.ann.PortableIvfPqIndex.delete(spark, path,
+            doomed.toSeq.toDF("vec_id"))
+          graft.ann.PortableIvfPqIndex.compact(spark, path)
+          state = state -- doomed
+        case 1 => // append fresh arrivals under the frozen model
+          val batch = (0 until 5 + rnd.nextInt(5)).map { _ =>
+            val id = nextId; nextId += 1
+            id -> Seq.fill(dim)((rnd.nextInt(11) - 5).toLong)
+          }.toMap
+          graft.ann.PortableIvfPqIndex.append(spark, path, frame(batch))
+          state = state ++ batch
+        case 2 => // re-embed an md5 bucket: delete -> COMPACT -> append
+          val mod = 2 + rnd.nextInt(4); val b = rnd.nextInt(mod)
+          val hit = state.keys.filter(md5Bucket(_, mod) == b).toSet
+          val patched = hit.map(id =>
+            id -> state(id).map(_ + 1 + id % 3)).toMap
+          graft.ann.PortableIvfPqIndex.delete(spark, path,
+            hit.toSeq.toDF("vec_id"))
+          graft.ann.PortableIvfPqIndex.compact(spark, path)
+          if (patched.nonEmpty)
+            graft.ann.PortableIvfPqIndex.append(spark, path, frame(patched))
+          state = state ++ patched
+      }
+      // disk must be EXACTLY encode(logical state) under the frozen model
+      val disk = graft.ann.PortableIvfPqIndex
+        .codesFrame(spark, path).select("vec_id", "cid", "codes")
+      val expect = PortableAnn.encodeIvfPq(frame(state), model)
+        .select("vec_id", "cid", "codes")
+      assert(disk.count() == state.size && expect.count() == state.size,
+        s"seed=$seed row-count drift: disk=${disk.count()} logical=${state.size}")
+      assert(disk.exceptAll(expect).isEmpty && expect.exceptAll(disk).isEmpty,
+        s"seed=$seed: disk codes diverge from the logical re-encode")
+    }
+  }
+
   test("ensureBuilt: unchanged corpus reuses the index; a rewritten corpus rebuilds") {
     // stage a private copy of the corpus so mutating it is safe
     val dir = java.nio.file.Files.createTempDirectory("ivfpq_stale").toString
