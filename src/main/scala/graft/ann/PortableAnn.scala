@@ -519,7 +519,14 @@ object PortableIvfPqIndex {
     *     deleted rows), move the new dir in, drop the hidden one;
     *  4. remove the tombstones LAST — any crash before this point leaves
     *     serve correct (anti-join still masks whatever old files remain).
-    */
+    *
+    * Concurrency contract: ONE maintenance writer (the ensureBuilt* gates
+    * serialize on this object); a serve that listed an affected partition
+    * mid-swap can see a transient missing-file read error and should
+    * retry — the crash-safe guarantee is about DURABILITY (no resurrection,
+    * no loss), not about lock-free concurrent reads. A production
+    * deployment layers a snapshot manifest (Iceberg/Delta-style) on top;
+    * the swap protocol here is the manifest-less primitive underneath. */
   def compact(spark: SparkSession, path: String): Unit = {
     import org.apache.hadoop.fs.Path
     val codes = new Path(s"$path/codes")
