@@ -366,8 +366,61 @@ object Relational {
       |FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
       |ORDER BY priority, status""".stripMargin
 
+  /** q251 catalog-wide FK referential-integrity audit — the DATA-OP
+    * re-expression of the reference's two catalog-introspection rows
+    * (P7 `sys.foreign_keys` predicate filter, `Project Plan5.md:17-25`;
+    * F3 `OBJECT_NAME` rendering): instead of reading a system catalog
+    * (Spark's parquet lake has none), the declared FK edges of the schema
+    * are AUDITED against the data — per edge: child row count, orphan
+    * count (child keys absent from the parent), and an intact flag. The
+    * object-name mapping IS the output's table-name columns. Scale shape:
+    * each edge is a projected scan + left-anti count (dim parents
+    * broadcast; the lineitem→orders edge is a key-only sort-merge
+    * anti-join AQE sizes at runtime, bloom-filter eligible); seven
+    * one-row aggregates union. This is the catalog-wide twin of the
+    * load-time `Audit.runFactObserved` V2 gate. */
+  def q251(spark: SparkSession, dir: String): DataFrame = {
+    val edges = Seq(
+      ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+      ("lineitem", "l_partkey", "part", "p_partkey"),
+      ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+      ("orders", "o_custkey", "customer", "c_custkey"),
+      ("customer", "c_nationkey", "nation", "n_nationkey"),
+      ("supplier", "s_nationkey", "nation", "n_nationkey"),
+      ("nation", "n_regionkey", "region", "r_regionkey"))
+    edges.map { case (ct, fk, pt, pk) =>
+      val child = Tables.load(spark, dir, ct).select(col(fk))
+      val parent = Tables.load(spark, dir, pt).select(col(pk))
+      val orphans = child.join(parent, col(fk) === col(pk), "left_anti")
+      child.agg(count(lit(1)).as("n_child"))
+        .crossJoin(orphans.agg(count(lit(1)).as("n_orphan")))
+        .select(lit(ct).as("child_table"), lit(fk).as("fk_col"),
+          lit(pt).as("parent_table"), col("n_child"), col("n_orphan"),
+          (col("n_orphan") === 0L).cast("long").as("intact"))
+    }.reduce(_ unionAll _)
+      .orderBy("child_table", "fk_col")
+  }
+
+  val q251Sql: String = Seq(
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"))
+    .map { case (ct, fk, pt, pk) =>
+      s"""SELECT '$ct' AS child_table, '$fk' AS fk_col, '$pt' AS parent_table,
+         |  (SELECT COUNT(*) FROM $ct) AS n_child,
+         |  (SELECT COUNT(*) FROM $ct c LEFT JOIN $pt p ON c.$fk = p.$pk
+         |   WHERE p.$pk IS NULL) AS n_orphan,
+         |  CAST((SELECT COUNT(*) FROM $ct c LEFT JOIN $pt p ON c.$fk = p.$pk
+         |   WHERE p.$pk IS NULL) = 0 AS BIGINT) AS intact""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY child_table, fk_col")
+
   /** name → (impl, oracle) */
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    ("q251_fk_integrity", q251 _, Some(q251Sql)),
     ("q01_scan_project", q01 _, Some(q01Sql)),
     ("q02_rename", q02 _, Some(q02Sql)),
     ("q03_derived_cents", q03 _, Some(q03Sql)),
