@@ -774,6 +774,20 @@ class PlanQualitySpec extends AnyFunSuite {
       s"top-20 must not global-sort:\n$p")
   }
 
+  test("q251: FK audit anti-joins stay key-only; dim parents broadcast") {
+    val p = plan("q251_fk_integrity")
+    assert(p.contains("LeftAnti"), s"orphan detection must be an anti-join:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"dim-parent edges must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"only one-row aggregate combines may nest-loop:\n$p")
+    // every child scan reads ONLY its fk column — the audit must never
+    // drag full fact rows through the anti-join
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint>") ||
+      p.contains("ReadSchema: struct<l_orderkey:int>"),
+      s"lineitem scan not pruned to the fk column:\n$p")
+  }
+
   test("q249: LM joins broadcast, one doc-keyed shuffle, top-15 never global-sorts") {
     val p = plan("q249_lm_quality")
     // the trigram LM is charset^3-bounded — it must broadcast, never
