@@ -436,6 +436,23 @@ object PortableIvfPqIndex {
     path
   }
 
+  /** STREAMING ingest: drive [[append]] from a stream of quantized vectors
+    * (one frozen-model append per micro-batch) — the shape a production
+    * embedding pipeline feeds a vector index with. foreachBatch is
+    * at-least-once on retry: a replayed micro-batch would append its rows
+    * twice, so a production deployment pairs this with a batchId ledger
+    * (skip batches already recorded); the fixture streams here are
+    * replay-free, and StreamingSpec asserts stream-ingested codes equal
+    * the batch build exactly. */
+  def appendStream(spark: SparkSession, path: String, quantizedStream: DataFrame,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    quantizedStream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        append(spark, path, batch)
+      }
+      .start()
+
   // ---- deletion: tombstones + partition-pruned compaction --------------
   //
   // The third index maintenance verb (after build and [[append]]): at

@@ -507,4 +507,43 @@ class StreamingSpec extends AnyFunSuite {
       case None    => spark.conf.unset(key)
     }
   }
+
+  test("streaming index ingest == batch build: per-micro-batch frozen-model appends") {
+    import graft.ann.{PortableAnn, PortableIvfPqIndex}
+    import spark.implicits._
+    val dim = 8
+    val rnd = new scala.util.Random(11)
+    def vecs(ids: Range) = ids.map { id =>
+      val qv = Seq.fill(dim)((rnd.nextInt(11) - 5).toLong)
+      (id.toLong, qv, qv.map(x => x * x).sum)
+    }
+    val base = vecs(0 until 30)
+    val arrivals = vecs(30 until 60)
+    val idx = java.nio.file.Files.createTempDirectory("pivfpq_stream").toString
+    val model = PortableAnn.ivfPqTrainInt(
+      base.toDF("vec_id", "qv", "nrm"), dim, nClusters = 4, m = 4, k = 4,
+      iters = 1)
+    PortableIvfPqIndex.save(spark, model,
+      PortableAnn.encodeIvfPq(base.toDF("vec_id", "qv", "nrm"), model), idx)
+    // stage the arrivals as 3 parquet files -> 3 micro-batches
+    val landing = java.nio.file.Files.createTempDirectory("vec_landing").toString
+    arrivals.grouped(10).zipWithIndex.foreach { case (g, i) =>
+      g.toDF("vec_id", "qv", "nrm").coalesce(1)
+        .write.mode("overwrite").parquet(s"$landing/batch$i")
+    }
+    val schema = base.toDF("vec_id", "qv", "nrm").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$landing/batch*")
+    val ckpt = java.nio.file.Files.createTempDirectory("vec_ckpt").toString
+    val q = PortableIvfPqIndex.appendStream(spark, idx, stream, ckpt)
+    try q.processAllAvailable() finally q.stop()
+    val disk = PortableIvfPqIndex.codesFrame(spark, idx)
+      .select("vec_id", "cid", "codes")
+    val expect = PortableAnn.encodeIvfPq(
+      (base ++ arrivals).toDF("vec_id", "qv", "nrm"), model)
+      .select("vec_id", "cid", "codes")
+    assert(disk.count() == 60, s"expected 60 rows, got ${disk.count()}")
+    assert(disk.exceptAll(expect).isEmpty && expect.exceptAll(disk).isEmpty,
+      "stream-ingested codes diverge from the batch build")
+  }
 }
