@@ -404,8 +404,10 @@ object PortableIvfPqIndex {
     * hash-gated end-to-end by q247's oracle. `newQ` must be a
     * [[PortableAnn.quantized]] frame. */
   def append(spark: SparkSession, path: String, newQ: DataFrame): Unit =
-    PortableAnn.encodeIvfPq(newQ, loadModelCached(spark, path))
-      .write.mode("append").partitionBy("cid").parquet(s"$path/codes")
+    synchronized {
+      PortableAnn.encodeIvfPq(newQ, loadModelCached(spark, path))
+        .write.mode("append").partitionBy("cid").parquet(s"$path/codes")
+    }
 
   /** Build-once gate for the build-then-ingest flow q247 serves: the model
     * trains on the BASE slice only (vectors outside the md5 ingest bucket —
@@ -443,7 +445,12 @@ object PortableIvfPqIndex {
     * twice, so a production deployment pairs this with a batchId ledger
     * (skip batches already recorded); the fixture streams here are
     * replay-free, and StreamingSpec asserts stream-ingested codes equal
-    * the batch build exactly. */
+    * the batch build exactly. The maintenance verbs ([[append]],
+    * [[delete]], [[compact]]) each hold this object's monitor, so a
+    * compact racing the stream cannot snapshot, swap, and drop a
+    * partition between a batch's append and its checkpoint commit (the
+    * lost-committed-rows window the one-writer contract exists to
+    * close). */
   def appendStream(spark: SparkSession, path: String, quantizedStream: DataFrame,
       checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
     quantizedStream.writeStream
@@ -511,7 +518,7 @@ object PortableIvfPqIndex {
     * never-indexed id is a no-op, not an error). Append-mode: deletes
     * accumulate until [[compact]]. An all-misses request writes nothing
     * (an empty parquet dir would break the tombstone read). */
-  def delete(spark: SparkSession, path: String, ids: DataFrame): Unit = {
+  def delete(spark: SparkSession, path: String, ids: DataFrame): Unit = synchronized {
     val resolved = readCodes(spark, path).select("vec_id", "cid")
       .join(broadcast(ids.select("vec_id")), Seq("vec_id"))
     if (!resolved.isEmpty)
@@ -537,14 +544,16 @@ object PortableIvfPqIndex {
     *  4. remove the tombstones LAST — any crash before this point leaves
     *     serve correct (anti-join still masks whatever old files remain).
     *
-    * Concurrency contract: ONE maintenance writer (the ensureBuilt* gates
-    * serialize on this object); a serve that listed an affected partition
+    * Concurrency contract: ONE maintenance writer — [[append]]/[[delete]]/
+    * [[compact]] each hold this object's monitor (reentrant under the
+    * ensureBuilt* gates), so verbs cannot interleave within a JVM; a
+    * serve that listed an affected partition
     * mid-swap can see a transient missing-file read error and should
     * retry — the crash-safe guarantee is about DURABILITY (no resurrection,
     * no loss), not about lock-free concurrent reads. A production
     * deployment layers a snapshot manifest (Iceberg/Delta-style) on top;
     * the swap protocol here is the manifest-less primitive underneath. */
-  def compact(spark: SparkSession, path: String): Unit = {
+  def compact(spark: SparkSession, path: String): Unit = synchronized {
     import org.apache.hadoop.fs.Path
     val codes = new Path(s"$path/codes")
     val scratch = new Path(s"$path/codes.compact")
@@ -625,8 +634,15 @@ object PortableIvfPqIndex {
     * Re-embedding a batch therefore compacts its deletes before the
     * frozen-model append — the ordering contract this method exists to
     * own. `_UPSERTED` marker written last, as in the sibling flows. */
+  /** The upsert bucket knob — ONE definition shared by the build gate,
+    * q250's serve-side patched view, and (interpolated) its oracle SQL, so
+    * build and serve can never disagree about which vectors re-embedded. */
+  val UpsertMod = 9
+  val UpsertBucket = 5
+
   def ensureBuiltWithUpsert(spark: SparkSession, embs: DataFrame,
-      corpusDir: String, dim: Int, upMod: Int = 9, upBucket: Int = 5,
+      corpusDir: String, dim: Int, upMod: Int = UpsertMod,
+      upBucket: Int = UpsertBucket,
       nClusters: Int = 8, m: Int = 8, k: Int = 16,
       iters: Int = 2): String = synchronized {
     val path = IndexPaths.indexPath(spark, corpusDir, "graft-pivfpqups")

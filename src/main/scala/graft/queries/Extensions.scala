@@ -456,6 +456,73 @@ object Extensions {
     sb.toString
   }
 
+
+  /** The shared IVF assignment CTE pair (nearest centroid, ties → smaller
+    * cid, then per-row residuals) over relation `src` against `c2` —
+    * emitted as CTEs `asgName`/`rvName`. ONE definition serving
+    * q103/q247/q248/q250, so a tie-break or residual-formula fix lands in
+    * every oracle at once instead of four hand-kept copies. */
+  private def assignResidCtes(src: String, asgName: String, rvName: String,
+      dim: Int): String =
+    s"""$asgName AS (
+      |  SELECT vec_id, qv, cid FROM (
+      |    SELECT s.vec_id, s.qv, c.cid,
+      |      ROW_NUMBER() OVER (PARTITION BY s.vec_id ORDER BY
+      |        ${l2Sql("s.qv", "c.cvec", dim)}, c.cid) AS rn
+      |    FROM $src s CROSS JOIN c2 c) t
+      |  WHERE rn = 1
+      |), $rvName AS (
+      |  SELECT a.vec_id, a.cid,
+      |    list_transform(range(1, ${dim + 1}), i -> a.qv[i] - c.cvec[i]) AS qv
+      |  FROM $asgName a JOIN c2 c ON c.cid = a.cid
+      |)""".stripMargin
+
+  /** The shared IVF-PQ serve tail: probe → PQ-encode `encSrc` residuals
+    * (minus the query row; `encPred`, when given, excises further rows —
+    * q248's deleted bucket) → per-probe ADC tables → candidate top-50 →
+    * exact integer re-rank against `rerankSrc` → top-10. Expects CTEs
+    * `c2`, `cb2`, `q0` upstream. The one hand-written serve replay the
+    * whole persisted-index family shares. */
+  private def ivfPqServeSql(encSrc: String, rerankSrc: String,
+      encPred: String = "", dim: Int = 64, w: Int = 8): String = {
+    val pred = if (encPred.isEmpty) "" else s"\n      AND $encPred"
+    s"""probe AS (
+      |  SELECT cid FROM (
+      |    SELECT c.cid, ROW_NUMBER() OVER (ORDER BY
+      |      ${l2Sql("q0.qv", "c.cvec", dim)}, c.cid) AS rn
+      |    FROM c2 c CROSS JOIN q0) t
+      |  WHERE rn <= 3
+      |), encp AS (
+      |  SELECT vec_id, cid, s, code FROM (
+      |    SELECT v.vec_id, v.cid, cb.s, cb.code,
+      |      ROW_NUMBER() OVER (PARTITION BY v.vec_id, cb.s ORDER BY
+      |        ${subL2Sql("v.qv", "cb.s", "cb.cvec", w)}, cb.code) AS rn
+      |    FROM $encSrc v CROSS JOIN cb2 cb
+      |    WHERE v.vec_id <> 0$pred) t
+      |  WHERE rn = 1
+      |), qres AS (
+      |  SELECT p.cid,
+      |    list_transform(range(1, ${dim + 1}), i -> q0.qv[i] - c.cvec[i]) AS rqv
+      |  FROM probe p JOIN c2 c ON c.cid = p.cid CROSS JOIN q0
+      |), dtp AS (
+      |  SELECT qr.cid, cb.s, cb.code,
+      |    ${subL2Sql("qr.rqv", "cb.s", "cb.cvec", w)} AS d
+      |  FROM cb2 cb CROSS JOIN qres qr
+      |), adistp AS (
+      |  SELECT e.vec_id, CAST(SUM(d.d) AS BIGINT) AS ad
+      |  FROM encp e JOIN dtp d
+      |    ON d.cid = e.cid AND d.s = e.s AND d.code = e.code
+      |  GROUP BY e.vec_id
+      |), cands AS (
+      |  SELECT vec_id FROM adistp ORDER BY ad, vec_id LIMIT 50
+      |), rr AS (
+      |  SELECT v.vec_id, ${l2Sql("v.qv", "q0.qv", dim)} AS dist_i64
+      |  FROM $rerankSrc v JOIN cands USING (vec_id) CROSS JOIN q0
+      |)
+      |SELECT vec_id, dist_i64 FROM rr ORDER BY dist_i64, vec_id
+      |LIMIT 10""".stripMargin
+  }
+
   val q80Sql: String =
     s"""WITH $portableQuantCte, ${pqTrainCtes(src = "n", m = 8, k = 16,
         w = 8, mod = 10, iters = 2)}, q0 AS (
@@ -507,53 +574,9 @@ object Extensions {
     s"""WITH $portableQuantCte, ${ivfTrainCtes(nC = 8, mod = 10, topUp = 16,
         dim = 64, iters = 2)}, q0 AS (
       |  SELECT qv, nrm FROM n WHERE vec_id = 0
-      |), asg AS (
-      |  SELECT vec_id, qv, cid FROM (
-      |    SELECT s.vec_id, s.qv, c.cid,
-      |      ROW_NUMBER() OVER (PARTITION BY s.vec_id ORDER BY
-      |        ${l2Sql("s.qv", "c.cvec", 64)}, c.cid) AS rn
-      |    FROM n s CROSS JOIN c2 c) t
-      |  WHERE rn = 1
-      |), rv AS (
-      |  SELECT a.vec_id, a.cid,
-      |    list_transform(range(1, 65), i -> a.qv[i] - c.cvec[i]) AS qv
-      |  FROM asg a JOIN c2 c ON c.cid = a.cid
-      |), ${pqTrainCtes(src = "rv", m = 8, k = 16, w = 8, mod = 10,
-        iters = 2)}, probe AS (
-      |  SELECT cid FROM (
-      |    SELECT c.cid, ROW_NUMBER() OVER (ORDER BY
-      |      ${l2Sql("q0.qv", "c.cvec", 64)}, c.cid) AS rn
-      |    FROM c2 c CROSS JOIN q0) t
-      |  WHERE rn <= 3
-      |), encp AS (
-      |  SELECT vec_id, cid, s, code FROM (
-      |    SELECT v.vec_id, v.cid, cb.s, cb.code,
-      |      ROW_NUMBER() OVER (PARTITION BY v.vec_id, cb.s ORDER BY
-      |        ${subL2Sql("v.qv", "cb.s", "cb.cvec", 8)}, cb.code) AS rn
-      |    FROM rv v CROSS JOIN cb2 cb
-      |    WHERE v.vec_id <> 0) t
-      |  WHERE rn = 1
-      |), qres AS (
-      |  SELECT p.cid,
-      |    list_transform(range(1, 65), i -> q0.qv[i] - c.cvec[i]) AS rqv
-      |  FROM probe p JOIN c2 c ON c.cid = p.cid CROSS JOIN q0
-      |), dtp AS (
-      |  SELECT qr.cid, cb.s, cb.code,
-      |    ${subL2Sql("qr.rqv", "cb.s", "cb.cvec", 8)} AS d
-      |  FROM cb2 cb CROSS JOIN qres qr
-      |), adistp AS (
-      |  SELECT e.vec_id, CAST(SUM(d.d) AS BIGINT) AS ad
-      |  FROM encp e JOIN dtp d
-      |    ON d.cid = e.cid AND d.s = e.s AND d.code = e.code
-      |  GROUP BY e.vec_id
-      |), cands AS (
-      |  SELECT vec_id FROM adistp ORDER BY ad, vec_id LIMIT 50
-      |), rr AS (
-      |  SELECT v.vec_id, ${l2Sql("v.qv", "q0.qv", 64)} AS dist_i64
-      |  FROM n v JOIN cands USING (vec_id) CROSS JOIN q0
-      |)
-      |SELECT vec_id, dist_i64 FROM rr ORDER BY dist_i64, vec_id
-      |LIMIT 10""".stripMargin
+      |), ${assignResidCtes("n", "asg", "rv", 64)}, ${pqTrainCtes(src = "rv",
+        m = 8, k = 16, w = 8, mod = 10, iters = 2)}, ${ivfPqServeSql(
+        encSrc = "rv", rerankSrc = "n")}""".stripMargin
 
   /** q247 INCREMENTAL index ingest (new r12) — the maintenance operation a
     * deployed 100 TB vector index lives by: an ingest batch (the md5 bucket
@@ -583,55 +606,10 @@ object Extensions {
       |), ${ivfTrainCtes(nC = 8, mod = 10, topUp = 16, dim = 64, iters = 2,
         src = "base")}, q0 AS (
       |  SELECT qv, nrm FROM n WHERE vec_id = 0
-      |), asg AS (
-      |  SELECT vec_id, qv, cid FROM (
-      |    SELECT s.vec_id, s.qv, c.cid,
-      |      ROW_NUMBER() OVER (PARTITION BY s.vec_id ORDER BY
-      |        ${l2Sql("s.qv", "c.cvec", 64)}, c.cid) AS rn
-      |    FROM n s CROSS JOIN c2 c) t
-      |  WHERE rn = 1
-      |), rv AS (
-      |  SELECT a.vec_id, a.cid,
-      |    list_transform(range(1, 65), i -> a.qv[i] - c.cvec[i]) AS qv
-      |  FROM asg a JOIN c2 c ON c.cid = a.cid
-      |), rvb AS (
+      |), ${assignResidCtes("n", "asg", "rv", 64)}, rvb AS (
       |  SELECT r.vec_id, r.qv FROM rv r JOIN base b USING (vec_id)
       |), ${pqTrainCtes(src = "rvb", m = 8, k = 16, w = 8, mod = 10,
-        iters = 2)}, probe AS (
-      |  SELECT cid FROM (
-      |    SELECT c.cid, ROW_NUMBER() OVER (ORDER BY
-      |      ${l2Sql("q0.qv", "c.cvec", 64)}, c.cid) AS rn
-      |    FROM c2 c CROSS JOIN q0) t
-      |  WHERE rn <= 3
-      |), encp AS (
-      |  SELECT vec_id, cid, s, code FROM (
-      |    SELECT v.vec_id, v.cid, cb.s, cb.code,
-      |      ROW_NUMBER() OVER (PARTITION BY v.vec_id, cb.s ORDER BY
-      |        ${subL2Sql("v.qv", "cb.s", "cb.cvec", 8)}, cb.code) AS rn
-      |    FROM rv v CROSS JOIN cb2 cb
-      |    WHERE v.vec_id <> 0) t
-      |  WHERE rn = 1
-      |), qres AS (
-      |  SELECT p.cid,
-      |    list_transform(range(1, 65), i -> q0.qv[i] - c.cvec[i]) AS rqv
-      |  FROM probe p JOIN c2 c ON c.cid = p.cid CROSS JOIN q0
-      |), dtp AS (
-      |  SELECT qr.cid, cb.s, cb.code,
-      |    ${subL2Sql("qr.rqv", "cb.s", "cb.cvec", 8)} AS d
-      |  FROM cb2 cb CROSS JOIN qres qr
-      |), adistp AS (
-      |  SELECT e.vec_id, CAST(SUM(d.d) AS BIGINT) AS ad
-      |  FROM encp e JOIN dtp d
-      |    ON d.cid = e.cid AND d.s = e.s AND d.code = e.code
-      |  GROUP BY e.vec_id
-      |), cands AS (
-      |  SELECT vec_id FROM adistp ORDER BY ad, vec_id LIMIT 50
-      |), rr AS (
-      |  SELECT v.vec_id, ${l2Sql("v.qv", "q0.qv", 64)} AS dist_i64
-      |  FROM n v JOIN cands USING (vec_id) CROSS JOIN q0
-      |)
-      |SELECT vec_id, dist_i64 FROM rr ORDER BY dist_i64, vec_id
-      |LIMIT 10""".stripMargin
+        iters = 2)}, ${ivfPqServeSql(encSrc = "rv", rerankSrc = "n")}""".stripMargin
 
   /** q248 index DELETE + COMPACTION (new r12) — the third maintenance verb
     * of the deployed index lifecycle (build q103, ingest q247, delete
@@ -658,54 +636,10 @@ object Extensions {
     s"""WITH $portableQuantCte, ${ivfTrainCtes(nC = 8, mod = 10, topUp = 16,
         dim = 64, iters = 2)}, q0 AS (
       |  SELECT qv, nrm FROM n WHERE vec_id = 0
-      |), asg AS (
-      |  SELECT vec_id, qv, cid FROM (
-      |    SELECT s.vec_id, s.qv, c.cid,
-      |      ROW_NUMBER() OVER (PARTITION BY s.vec_id ORDER BY
-      |        ${l2Sql("s.qv", "c.cvec", 64)}, c.cid) AS rn
-      |    FROM n s CROSS JOIN c2 c) t
-      |  WHERE rn = 1
-      |), rv AS (
-      |  SELECT a.vec_id, a.cid,
-      |    list_transform(range(1, 65), i -> a.qv[i] - c.cvec[i]) AS qv
-      |  FROM asg a JOIN c2 c ON c.cid = a.cid
-      |), ${pqTrainCtes(src = "rv", m = 8, k = 16, w = 8, mod = 10,
-        iters = 2)}, probe AS (
-      |  SELECT cid FROM (
-      |    SELECT c.cid, ROW_NUMBER() OVER (ORDER BY
-      |      ${l2Sql("q0.qv", "c.cvec", 64)}, c.cid) AS rn
-      |    FROM c2 c CROSS JOIN q0) t
-      |  WHERE rn <= 3
-      |), encp AS (
-      |  SELECT vec_id, cid, s, code FROM (
-      |    SELECT v.vec_id, v.cid, cb.s, cb.code,
-      |      ROW_NUMBER() OVER (PARTITION BY v.vec_id, cb.s ORDER BY
-      |        ${subL2Sql("v.qv", "cb.s", "cb.cvec", 8)}, cb.code) AS rn
-      |    FROM rv v CROSS JOIN cb2 cb
-      |    WHERE v.vec_id <> 0
-      |      AND CAST('0x' || substr(md5(CAST(v.vec_id AS VARCHAR)), 1, 8) AS BIGINT) % 7 <> 2) t
-      |  WHERE rn = 1
-      |), qres AS (
-      |  SELECT p.cid,
-      |    list_transform(range(1, 65), i -> q0.qv[i] - c.cvec[i]) AS rqv
-      |  FROM probe p JOIN c2 c ON c.cid = p.cid CROSS JOIN q0
-      |), dtp AS (
-      |  SELECT qr.cid, cb.s, cb.code,
-      |    ${subL2Sql("qr.rqv", "cb.s", "cb.cvec", 8)} AS d
-      |  FROM cb2 cb CROSS JOIN qres qr
-      |), adistp AS (
-      |  SELECT e.vec_id, CAST(SUM(d.d) AS BIGINT) AS ad
-      |  FROM encp e JOIN dtp d
-      |    ON d.cid = e.cid AND d.s = e.s AND d.code = e.code
-      |  GROUP BY e.vec_id
-      |), cands AS (
-      |  SELECT vec_id FROM adistp ORDER BY ad, vec_id LIMIT 50
-      |), rr AS (
-      |  SELECT v.vec_id, ${l2Sql("v.qv", "q0.qv", 64)} AS dist_i64
-      |  FROM n v JOIN cands USING (vec_id) CROSS JOIN q0
-      |)
-      |SELECT vec_id, dist_i64 FROM rr ORDER BY dist_i64, vec_id
-      |LIMIT 10""".stripMargin
+      |), ${assignResidCtes("n", "asg", "rv", 64)}, ${pqTrainCtes(src = "rv",
+        m = 8, k = 16, w = 8, mod = 10, iters = 2)}, ${ivfPqServeSql(
+        encSrc = "rv", rerankSrc = "n", encPred =
+          "CAST('0x' || substr(md5(CAST(v.vec_id AS VARCHAR)), 1, 8) AS BIGINT) % 7 <> 2")}""".stripMargin
 
   /** q250 index UPSERT (new r12) — the re-embedding flow that completes
     * the maintenance lifecycle (build q103 / ingest q247 / delete q248 /
@@ -724,33 +658,27 @@ object Extensions {
     val embs = Tables.load(spark, dir, "embeddings")
     val idx = graft.ann.PortableIvfPqIndex.ensureBuiltWithUpsert(spark, embs,
       dir, dim = 64)
-    // the vector store after re-embedding: the same patched view, so the
-    // exact re-rank and the query vector see the new embeddings too
+    // the vector store after re-embedding: the same patched view (bucket
+    // knob from the ONE shared definition), so the exact re-rank and the
+    // query vector see the new embeddings too; codes read through the
+    // empty-state-robust accessor per its contract
     val q2 = graft.ann.PortableIvfPqIndex.reembedded(
-      graft.ann.PortableAnn.quantized(embs), mod = 9, bucket = 5)
+      graft.ann.PortableAnn.quantized(embs),
+      mod = graft.ann.PortableIvfPqIndex.UpsertMod,
+      bucket = graft.ann.PortableIvfPqIndex.UpsertBucket)
     graft.ann.PortableAnn.queryEncodedPortable(
-      spark.read.parquet(s"$idx/codes"), q2,
+      graft.ann.PortableIvfPqIndex.codesFrame(spark, idx), q2,
       graft.ann.PortableIvfPqIndex.loadModelCached(spark, idx),
       queryId = 0L, topK = 10, dim = 64)
   }
 
   val q250Sql: String =
     s"""WITH $portableQuantCte, ${ivfTrainCtes(nC = 8, mod = 10, topUp = 16,
-        dim = 64, iters = 2)}, asg AS (
-      |  SELECT vec_id, qv, cid FROM (
-      |    SELECT s.vec_id, s.qv, c.cid,
-      |      ROW_NUMBER() OVER (PARTITION BY s.vec_id ORDER BY
-      |        ${l2Sql("s.qv", "c.cvec", 64)}, c.cid) AS rn
-      |    FROM n s CROSS JOIN c2 c) t
-      |  WHERE rn = 1
-      |), rv AS (
-      |  SELECT a.vec_id, a.cid,
-      |    list_transform(range(1, 65), i -> a.qv[i] - c.cvec[i]) AS qv
-      |  FROM asg a JOIN c2 c ON c.cid = a.cid
-      |), ${pqTrainCtes(src = "rv", m = 8, k = 16, w = 8, mod = 10,
+        dim = 64, iters = 2)}, ${assignResidCtes("n", "asg", "rv", 64)},
+        ${pqTrainCtes(src = "rv", m = 8, k = 16, w = 8, mod = 10,
         iters = 2)}, n2 AS (
       |  SELECT vec_id,
-      |    CASE WHEN CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8) AS BIGINT) % 9 = 5
+      |    CASE WHEN CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8) AS BIGINT) % ${graft.ann.PortableIvfPqIndex.UpsertMod} = ${graft.ann.PortableIvfPqIndex.UpsertBucket}
       |      THEN list_transform(qv, x -> x + 1 + vec_id % 3) ELSE qv END AS qv
       |  FROM n
       |), nn AS (
@@ -759,52 +687,8 @@ object Extensions {
       |  FROM n2
       |), q0 AS (
       |  SELECT qv, nrm FROM nn WHERE vec_id = 0
-      |), asg2 AS (
-      |  SELECT vec_id, qv, cid FROM (
-      |    SELECT s.vec_id, s.qv, c.cid,
-      |      ROW_NUMBER() OVER (PARTITION BY s.vec_id ORDER BY
-      |        ${l2Sql("s.qv", "c.cvec", 64)}, c.cid) AS rn
-      |    FROM nn s CROSS JOIN c2 c) t
-      |  WHERE rn = 1
-      |), rv2 AS (
-      |  SELECT a.vec_id, a.cid,
-      |    list_transform(range(1, 65), i -> a.qv[i] - c.cvec[i]) AS qv
-      |  FROM asg2 a JOIN c2 c ON c.cid = a.cid
-      |), probe AS (
-      |  SELECT cid FROM (
-      |    SELECT c.cid, ROW_NUMBER() OVER (ORDER BY
-      |      ${l2Sql("q0.qv", "c.cvec", 64)}, c.cid) AS rn
-      |    FROM c2 c CROSS JOIN q0) t
-      |  WHERE rn <= 3
-      |), encp AS (
-      |  SELECT vec_id, cid, s, code FROM (
-      |    SELECT v.vec_id, v.cid, cb.s, cb.code,
-      |      ROW_NUMBER() OVER (PARTITION BY v.vec_id, cb.s ORDER BY
-      |        ${subL2Sql("v.qv", "cb.s", "cb.cvec", 8)}, cb.code) AS rn
-      |    FROM rv2 v CROSS JOIN cb2 cb
-      |    WHERE v.vec_id <> 0) t
-      |  WHERE rn = 1
-      |), qres AS (
-      |  SELECT p.cid,
-      |    list_transform(range(1, 65), i -> q0.qv[i] - c.cvec[i]) AS rqv
-      |  FROM probe p JOIN c2 c ON c.cid = p.cid CROSS JOIN q0
-      |), dtp AS (
-      |  SELECT qr.cid, cb.s, cb.code,
-      |    ${subL2Sql("qr.rqv", "cb.s", "cb.cvec", 8)} AS d
-      |  FROM cb2 cb CROSS JOIN qres qr
-      |), adistp AS (
-      |  SELECT e.vec_id, CAST(SUM(d.d) AS BIGINT) AS ad
-      |  FROM encp e JOIN dtp d
-      |    ON d.cid = e.cid AND d.s = e.s AND d.code = e.code
-      |  GROUP BY e.vec_id
-      |), cands AS (
-      |  SELECT vec_id FROM adistp ORDER BY ad, vec_id LIMIT 50
-      |), rr AS (
-      |  SELECT v.vec_id, ${l2Sql("v.qv", "q0.qv", 64)} AS dist_i64
-      |  FROM nn v JOIN cands USING (vec_id) CROSS JOIN q0
-      |)
-      |SELECT vec_id, dist_i64 FROM rr ORDER BY dist_i64, vec_id
-      |LIMIT 10""".stripMargin
+      |), ${assignResidCtes("nn", "asg2", "rv2", 64)}, ${ivfPqServeSql(
+        encSrc = "rv2", rerankSrc = "nn")}""".stripMargin
 
   /** q249 character-trigram LM quality score (new r12) — the CCNet-family
     * quality signal (Wenzek et al. 2020): score every document by its

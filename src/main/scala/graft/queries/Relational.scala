@@ -379,16 +379,20 @@ object Relational {
     * anti-join AQE sizes at runtime, bloom-filter eligible); seven
     * one-row aggregates union. This is the catalog-wide twin of the
     * load-time `Audit.runFactObserved` V2 gate. */
+  /** The schema's declared FK edges — ONE list, from which both the Spark
+    * audit and its DuckDB oracle derive (a drifted copy would make them
+    * different queries). */
+  private val fkEdges = Seq(
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"))
+
   def q251(spark: SparkSession, dir: String): DataFrame = {
-    val edges = Seq(
-      ("lineitem", "l_orderkey", "orders", "o_orderkey"),
-      ("lineitem", "l_partkey", "part", "p_partkey"),
-      ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
-      ("orders", "o_custkey", "customer", "c_custkey"),
-      ("customer", "c_nationkey", "nation", "n_nationkey"),
-      ("supplier", "s_nationkey", "nation", "n_nationkey"),
-      ("nation", "n_regionkey", "region", "r_regionkey"))
-    edges.map { case (ct, fk, pt, pk) =>
+    fkEdges.map { case (ct, fk, pt, pk) =>
       val child = Tables.load(spark, dir, ct).select(col(fk))
       val parent = Tables.load(spark, dir, pt).select(col(pk))
       val orphans = child.join(parent, col(fk) === col(pk), "left_anti")
@@ -401,14 +405,7 @@ object Relational {
       .orderBy("child_table", "fk_col")
   }
 
-  val q251Sql: String = Seq(
-    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
-    ("lineitem", "l_partkey", "part", "p_partkey"),
-    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
-    ("orders", "o_custkey", "customer", "c_custkey"),
-    ("customer", "c_nationkey", "nation", "n_nationkey"),
-    ("supplier", "s_nationkey", "nation", "n_nationkey"),
-    ("nation", "n_regionkey", "region", "r_regionkey"))
+  val q251Sql: String = fkEdges
     .map { case (ct, fk, pt, pk) =>
       s"""SELECT '$ct' AS child_table, '$fk' AS fk_col, '$pt' AS parent_table,
          |  (SELECT COUNT(*) FROM $ct) AS n_child,

@@ -372,7 +372,7 @@ class AnnSpec extends AnyFunSuite {
     val model = graft.ann.PortableIvfPqIndex.loadModel(spark, idx)
     // disk = build(base) + append(batch); it must be EXACTLY the whole
     // corpus encoded under the frozen model — encoding is a pure function
-    val disk = spark.read.parquet(s"$idx/codes")
+    val disk = graft.ann.PortableIvfPqIndex.codesFrame(spark, idx)
       .select("vec_id", "cid", "codes")
     val rebuilt = PortableAnn.encodeIvfPq(qz, model)
       .select("vec_id", "cid", "codes")
@@ -483,8 +483,10 @@ class AnnSpec extends AnyFunSuite {
       spark, embs, sf, dim = 64)
     val model = graft.ann.PortableIvfPqIndex.loadModel(spark, idx)
     val q2 = graft.ann.PortableIvfPqIndex.reembedded(
-      PortableAnn.quantized(embs), mod = 9, bucket = 5)
-    val disk = spark.read.parquet(s"$idx/codes")
+      PortableAnn.quantized(embs),
+      mod = graft.ann.PortableIvfPqIndex.UpsertMod,
+      bucket = graft.ann.PortableIvfPqIndex.UpsertBucket)
+    val disk = graft.ann.PortableIvfPqIndex.codesFrame(spark, idx)
       .select("vec_id", "cid", "codes")
     val reenc = PortableAnn.encodeIvfPq(q2, model)
       .select("vec_id", "cid", "codes")
@@ -493,9 +495,11 @@ class AnnSpec extends AnyFunSuite {
       "post-upsert codes differ from a frozen-model re-encode of the patched corpus")
     // the replaced rows are PRESENT and live (the compact barrier held —
     // with a pending id-keyed tombstone they would be masked or destroyed)
-    val bucket = graft.functions.TextFunctions.hashBucket(col("vec_id"), 9)
-    assert(disk.filter(bucket === 5).count() ==
-      q2.filter(bucket === 5).count(), "re-embedded rows missing from the index")
+    val bucket = graft.functions.TextFunctions.hashBucket(col("vec_id"),
+      graft.ann.PortableIvfPqIndex.UpsertMod)
+    val ub = graft.ann.PortableIvfPqIndex.UpsertBucket
+    assert(disk.filter(bucket === ub).count() ==
+      q2.filter(bucket === ub).count(), "re-embedded rows missing from the index")
     val fsys = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     assert(!fsys.exists(new org.apache.hadoop.fs.Path(s"$idx/tombstones")),
