@@ -438,25 +438,67 @@ object PortableIvfPqIndex {
     path
   }
 
-  /** STREAMING ingest: drive [[append]] from a stream of quantized vectors
-    * (one frozen-model append per micro-batch) — the shape a production
-    * embedding pipeline feeds a vector index with. foreachBatch is
-    * at-least-once on retry: a replayed micro-batch would append its rows
-    * twice, so a production deployment pairs this with a batchId ledger
-    * (skip batches already recorded); the fixture streams here are
-    * replay-free, and StreamingSpec asserts stream-ingested codes equal
-    * the batch build exactly. The maintenance verbs ([[append]],
-    * [[delete]], [[compact]]) each hold this object's monitor, so a
+  /** EXACTLY-ONCE batch commit for streaming ingest: encode the batch
+    * under the frozen model into a batch-stamped STAGING dir, then move
+    * each staged file into its cid partition under a name derived from
+    * (batchId, staged name) — so every step is replayable without
+    * duplicates:
+    *  - ledger marker present → the batch is fully committed, skip;
+    *  - staging WITHOUT its `_SUCCESS` → the encode crashed mid-write and
+    *    no file was ever moved (moves require `_SUCCESS`), so rewrite it;
+    *  - staging WITH `_SUCCESS` → RESUME the moves; each move is keyed on
+    *    the staged file's name, skipped when the destination exists, so a
+    *    crash after any prefix of the moves replays to the same state;
+    *  - marker written only after every move, staging dropped last.
+    * foreachBatch's at-least-once retry therefore lands each batch's rows
+    * exactly once — the ledger pairs 1:1 with a checkpoint (batchIds are
+    * checkpoint-scoped), which is why the ledger dir lives under the
+    * CALLER-supplied checkpoint, not the index. */
+  private[graft] def appendBatchExactlyOnce(spark: SparkSession, path: String,
+      ledgerDir: String, batch: DataFrame, batchId: Long): Unit = synchronized {
+    import org.apache.hadoop.fs.Path
+    val marker = s"$ledgerDir/batch-$batchId"
+    if (IndexPaths.markerExists(spark, marker)) return
+    val staging = new Path(s"$path/codes.ingest-$batchId")
+    val h = fs(spark, staging)
+    if (!IndexPaths.markerExists(spark, s"$staging/_SUCCESS")) {
+      if (h.exists(staging)) h.delete(staging, true)
+      PortableAnn.encodeIvfPq(batch, loadModelCached(spark, path))
+        .write.mode("overwrite").partitionBy("cid").parquet(staging.toString)
+    }
+    if (h.exists(staging)) h.listStatus(staging).foreach { d =>
+      if (d.isDirectory && d.getPath.getName.startsWith("cid=")) {
+        val destDir = new Path(s"$path/codes/${d.getPath.getName}")
+        h.mkdirs(destDir)
+        h.listStatus(d.getPath).foreach { f =>
+          if (!f.getPath.getName.startsWith("_") &&
+              !f.getPath.getName.startsWith(".")) {
+            val dest = new Path(destDir, s"batch$batchId-${f.getPath.getName}")
+            if (!h.exists(dest)) mustRename(h, f.getPath, dest)
+          }
+        }
+      }
+    }
+    IndexPaths.touchMarker(spark, marker)
+    h.delete(staging, true)
+  }
+
+  /** STREAMING ingest: frozen-model encodes of each micro-batch committed
+    * through [[appendBatchExactlyOnce]] — the shape a production embedding
+    * pipeline feeds a vector index with, and exactly-once under
+    * foreachBatch's at-least-once retries (the staged name-keyed commit
+    * above; StreamingSpec replays a committed batch and asserts zero
+    * duplicates). The maintenance verbs ([[append]], [[delete]],
+    * [[compact]]) and this commit each hold the object monitor, so a
     * compact racing the stream cannot snapshot, swap, and drop a
-    * partition between a batch's append and its checkpoint commit (the
-    * lost-committed-rows window the one-writer contract exists to
-    * close). */
+    * partition between a batch's commit and its checkpoint commit. */
   def appendStream(spark: SparkSession, path: String, quantizedStream: DataFrame,
       checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
     quantizedStream.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        append(spark, path, batch)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        appendBatchExactlyOnce(spark, path, s"$checkpointDir/_ingest_ledger",
+          batch, id)
       }
       .start()
 

@@ -545,5 +545,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(disk.count() == 60, s"expected 60 rows, got ${disk.count()}")
     assert(disk.exceptAll(expect).isEmpty && expect.exceptAll(disk).isEmpty,
       "stream-ingested codes diverge from the batch build")
+
+    // EXACTLY-ONCE under retry: replay an already-committed batch (the
+    // foreachBatch at-least-once window) — the ledger marker must make it
+    // a no-op, zero duplicate rows
+    val ledger = s"$ckpt/_ingest_ledger"
+    PortableIvfPqIndex.appendBatchExactlyOnce(spark, idx, ledger,
+      arrivals.take(10).toDF("vec_id", "qv", "nrm"), batchId = 0L)
+    assert(PortableIvfPqIndex.codesFrame(spark, idx).count() == 60,
+      "replaying a committed batch duplicated rows")
+
+    // crash-resume: a batch staged to completion (its _SUCCESS written)
+    // whose moves and marker never ran — the commit must RESUME the staged
+    // files, land the rows exactly once, and a second replay stays a no-op
+    val late = vecs(60 until 70)
+    PortableAnn.encodeIvfPq(late.toDF("vec_id", "qv", "nrm"), model)
+      .write.mode("overwrite").partitionBy("cid")
+      .parquet(s"$idx/codes.ingest-7")
+    PortableIvfPqIndex.appendBatchExactlyOnce(spark, idx, ledger,
+      late.toDF("vec_id", "qv", "nrm"), batchId = 7L)
+    PortableIvfPqIndex.appendBatchExactlyOnce(spark, idx, ledger,
+      late.toDF("vec_id", "qv", "nrm"), batchId = 7L)
+    val after = PortableIvfPqIndex.codesFrame(spark, idx)
+    assert(after.count() == 70,
+      s"crash-resume must land the staged batch exactly once, got ${after.count()}")
+    val expect70 = PortableAnn.encodeIvfPq(
+      (base ++ arrivals ++ late).toDF("vec_id", "qv", "nrm"), model)
+      .select("vec_id", "cid", "codes")
+    val got70 = after.select("vec_id", "cid", "codes")
+    assert(got70.exceptAll(expect70).isEmpty && expect70.exceptAll(got70).isEmpty,
+      "resumed commit diverges from the frozen-model encode")
   }
 }
