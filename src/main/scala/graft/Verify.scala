@@ -43,6 +43,12 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // adjudication notes for oracle-less queries (r12 VERDICT #6): lands
+    // next to oracle_sql.json so a no_oracle correctness row is
+    // self-explaining to any reader of the verify output
+    val notes = SparkEntry.queryNotes
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/notes.json"), notes)
     spark.stop()
   }
 }

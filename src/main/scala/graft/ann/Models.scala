@@ -84,8 +84,20 @@ object Models {
   * (written last, so a partial build never reads as complete). */
 private[ann] object IndexPaths {
 
-  private def slugOf(corpusDir: String): String =
-    corpusDir.replaceAll("[^A-Za-z0-9]+", "-").replaceAll("^-|-$", "")
+  /** Human-readable slug + a short md5 of the RAW path. The readable part
+    * alone is lossy (all non-alphanumeric runs collapse to '-', so
+    * `/data/foo.1` and `/data/foo_1` would share a slug — and
+    * [[pruneSuperseded]] for one would delete the other's LIVE index, r12
+    * ADVICE #2); the hash suffix makes distinct corpus dirs collision-free
+    * by construction. */
+  private def slugOf(corpusDir: String): String = {
+    val base = corpusDir.replaceAll("[^A-Za-z0-9]+", "-")
+      .replaceAll("^-|-$", "")
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(corpusDir.getBytes("UTF-8"))
+      .take(4).map("%02x".format(_)).mkString
+    if (base.isEmpty) h else s"$base-$h"
+  }
 
   def indexPath(spark: SparkSession, corpusDir: String,
       prefix: String): String = {

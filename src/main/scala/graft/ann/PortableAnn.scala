@@ -126,9 +126,19 @@ object PortableAnn {
     cents.map { case (cid, cv) => (l2Int(qv, cv), cid) }
       .sortBy(identity).take(nProbe).map(_._2)
 
-  /** Driver-side parameter fetch of one quantized vector. */
+  /** Driver-side parameter fetch of one quantized vector. Fails with a
+    * diagnosis instead of a bare NoSuchElementException when the id is
+    * absent or zero-norm (r12 ADVICE #4): [[quantized]] drops zero-norm
+    * rows (cosine undefined), and every portable IVF/PQ serve funnels
+    * through here, so the message must name both exclusion rules. */
   def queryVec(q: DataFrame, vecId: Long): (Array[Long], Long) = {
-    val r = q.filter(col("vec_id") === vecId).select("qv", "nrm").head()
+    val rows = q.filter(col("vec_id") === vecId).select("qv", "nrm")
+      .limit(1).collect()
+    require(rows.nonEmpty,
+      s"query vec_id=$vecId not found in the quantized corpus — either " +
+        "absent from the embeddings table, or excluded by the zero-norm " +
+        "rule (quantized() drops rows with <qv,qv> = 0: cosine undefined)")
+    val r = rows.head
     (r.getSeq[Long](0).toArray, r.getLong(1))
   }
 
@@ -330,6 +340,87 @@ object PortableAnn {
   * the DuckDB hash gate. */
 object PortableIvfPqIndex {
 
+  // ---- cross-process writer lease ---------------------------------------
+  //
+  // The maintenance verbs hold this object's monitor, which serializes
+  // writers within ONE JVM only (r12 VERDICT #3): a second process
+  // compacting the same index concurrently was undefined. The lease file
+  // closes that gap: every writer verb acquires `$path/_writer_lease`
+  // (atomic create-if-absent — the Hadoop FS primitive; exact on HDFS,
+  // best-effort-atomic on a raw local FS) before touching the index, and
+  // a live lease held by ANOTHER process is a refusal, not a wait — the
+  // caller sees an IllegalStateException naming the holder, because
+  // blocking a data pipeline on a foreign writer of unknown progress is
+  // worse than failing loudly. A lease older than [[LeaseTtlMs]] is STALE
+  // (its holder crashed without releasing — the crash-recovery protocols
+  // of compact/appendBatchExactlyOnce make the index state safe to adopt)
+  // and is broken and re-acquired. Reentrant per JVM via a hold count, so
+  // the composite flows (upsert = delete → compact → append) pay one
+  // acquire. This is a LEASE, not a lock-free protocol: a writer stalled
+  // longer than the TTL can lose the lease mid-write — production layers
+  // a snapshot manifest on top (the compact docstring's contract), and
+  // the TTL is sized far beyond any verb's runtime.
+
+  private val leaseOwner = java.util.UUID.randomUUID().toString
+  private val leaseHolds =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+  private[graft] val LeaseTtlMs: Long = 10L * 60L * 1000L
+  private[graft] def leaseFile(path: String) = s"$path/_writer_lease"
+
+  private def readSmallFile(h: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Option[String] =
+    if (h.exists(p)) {
+      val in = h.open(p)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
+      finally in.close()
+    } else None
+
+  private def writeSmallFile(h: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path, s: String, overwrite: Boolean): Unit = {
+    val out = h.create(p, overwrite)
+    try out.write(s.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def withWriterLease[T](spark: SparkSession, path: String)
+      (body: => T): T = synchronized {
+    val lease = new org.apache.hadoop.fs.Path(leaseFile(path))
+    val h = fs(spark, lease)
+    val holds: Int = leaseHolds.getOrDefault(path, 0)
+    if (holds == 0) {
+      def tryAcquire(): Boolean =
+        try { writeSmallFile(h, lease, leaseOwner, overwrite = false); true }
+        catch { case _: java.io.IOException => false } // already exists
+      if (!tryAcquire()) {
+        val owner = readSmallFile(h, lease).getOrElse("<unreadable>")
+        val ageMs = try System.currentTimeMillis -
+          h.getFileStatus(lease).getModificationTime
+          catch { case _: java.io.IOException => 0L }
+        if (ageMs > LeaseTtlMs) {
+          // stale: the holder crashed without releasing — break and retake
+          h.delete(lease, false)
+          if (!tryAcquire())
+            throw new IllegalStateException(
+              s"writer lease at ${lease} re-acquired by another process " +
+                "immediately after stale-lease recovery; retry the verb")
+        } else throw new IllegalStateException(
+          s"index at $path has a live writer lease (owner $owner, " +
+            s"age ${ageMs}ms < ttl ${LeaseTtlMs}ms) — a concurrent " +
+            "maintenance writer in another process; retry after it " +
+            s"releases, or delete ${lease} if the holder is known dead")
+      }
+    }
+    leaseHolds.put(path, holds + 1)
+    try body
+    finally {
+      val now: Int = leaseHolds.getOrDefault(path, 1) - 1
+      if (now <= 0) {
+        leaseHolds.remove(path)
+        try h.delete(lease, false)
+        catch { case _: java.io.IOException => () } // TTL reaps it
+      } else leaseHolds.put(path, now)
+    }
+  }
+
   def save(spark: SparkSession, model: PortableAnn.IntModel,
       encoded: DataFrame, path: String): Unit = {
     import spark.implicits._
@@ -370,15 +461,17 @@ object PortableIvfPqIndex {
     * never retrain. Returns the index path. */
   def ensureBuilt(spark: SparkSession, embs: DataFrame, corpusDir: String,
       dim: Int, nClusters: Int = 8, m: Int = 8, k: Int = 16,
-      iters: Int = 2): String = synchronized {
+      iters: Int = 2): String = {
     val path = IndexPaths.indexPath(spark, corpusDir, "graft-pivfpq")
-    if (!IndexPaths.isBuilt(spark, path)) {
-      val q = PortableAnn.quantized(embs)
-      val model = PortableAnn.ivfPqTrainInt(q, dim, nClusters, m, k, iters)
-      save(spark, model, PortableAnn.encodeIvfPq(q, model), path)
-      // reap indexes orphaned by the corpus rewrite (disk twin of
-      // Models.cachedLatest eviction)
-      IndexPaths.pruneSuperseded(spark, corpusDir, "graft-pivfpq", path)
+    if (!IndexPaths.isBuilt(spark, path)) withWriterLease(spark, path) {
+      if (!IndexPaths.isBuilt(spark, path)) {
+        val q = PortableAnn.quantized(embs)
+        val model = PortableAnn.ivfPqTrainInt(q, dim, nClusters, m, k, iters)
+        save(spark, model, PortableAnn.encodeIvfPq(q, model), path)
+        // reap indexes orphaned by the corpus rewrite (disk twin of
+        // Models.cachedLatest eviction)
+        IndexPaths.pruneSuperseded(spark, corpusDir, "graft-pivfpq", path)
+      }
     }
     path
   }
@@ -404,7 +497,7 @@ object PortableIvfPqIndex {
     * hash-gated end-to-end by q247's oracle. `newQ` must be a
     * [[PortableAnn.quantized]] frame. */
   def append(spark: SparkSession, path: String, newQ: DataFrame): Unit =
-    synchronized {
+    withWriterLease(spark, path) {
       PortableAnn.encodeIvfPq(newQ, loadModelCached(spark, path))
         .write.mode("append").partitionBy("cid").parquet(s"$path/codes")
     }
@@ -420,21 +513,24 @@ object PortableIvfPqIndex {
   def ensureBuiltWithIngest(spark: SparkSession, embs: DataFrame,
       corpusDir: String, dim: Int, ingestMod: Int = 5, ingestBucket: Int = 4,
       nClusters: Int = 8, m: Int = 8, k: Int = 16,
-      iters: Int = 2): String = synchronized {
+      iters: Int = 2): String = {
     val path = IndexPaths.indexPath(spark, corpusDir, "graft-pivfpqinc")
-    if (!IndexPaths.markerExists(spark, s"$path/_INGESTED")) {
-      val q = PortableAnn.quantized(embs)
-      val isIngest = graft.functions.TextFunctions
-        .hashBucket(col("vec_id"), ingestMod) === ingestBucket
-      val model = PortableAnn.ivfPqTrainInt(q.filter(!isIngest), dim,
-        nClusters, m, k, iters)
-      save(spark, model, PortableAnn.encodeIvfPq(q.filter(!isIngest), model),
-        path)
-      modelCache.put(path, model) // append must see THIS model, not a reload
-      append(spark, path, q.filter(isIngest))
-      IndexPaths.touchMarker(spark, s"$path/_INGESTED")
-      IndexPaths.pruneSuperseded(spark, corpusDir, "graft-pivfpqinc", path)
-    }
+    if (!IndexPaths.markerExists(spark, s"$path/_INGESTED"))
+      withWriterLease(spark, path) {
+        if (!IndexPaths.markerExists(spark, s"$path/_INGESTED")) {
+          val q = PortableAnn.quantized(embs)
+          val isIngest = graft.functions.TextFunctions
+            .hashBucket(col("vec_id"), ingestMod) === ingestBucket
+          val model = PortableAnn.ivfPqTrainInt(q.filter(!isIngest), dim,
+            nClusters, m, k, iters)
+          save(spark, model,
+            PortableAnn.encodeIvfPq(q.filter(!isIngest), model), path)
+          modelCache.put(path, model) // append must see THIS model, not a reload
+          append(spark, path, q.filter(isIngest))
+          IndexPaths.touchMarker(spark, s"$path/_INGESTED")
+          IndexPaths.pruneSuperseded(spark, corpusDir, "graft-pivfpqinc", path)
+        }
+      }
     path
   }
 
@@ -453,14 +549,56 @@ object PortableIvfPqIndex {
     * foreachBatch's at-least-once retry therefore lands each batch's rows
     * exactly once — the ledger pairs 1:1 with a checkpoint (batchIds are
     * checkpoint-scoped), which is why the ledger dir lives under the
-    * CALLER-supplied checkpoint, not the index. */
+    * CALLER-supplied checkpoint, not the index.
+    *
+    * CHECKPOINT-RESET contract (r12 VERDICT #4): batchIds restart at 0
+    * when a checkpoint is wiped, so a user who deletes the checkpoint but
+    * KEEPS the index would collide new batch 0 with the old committed
+    * batch 0 — the ledger marker would silently no-op a batch whose
+    * CONTENT differs from what batch 0 committed. The ledger therefore
+    * carries an identity file (`_ledger_id`, minted on first commit) that
+    * the index records (`_stream_ledger_id`); a ledger whose identity
+    * differs from the index's binding FAILS FAST instead of replaying.
+    * One stream feeds one index; re-binding a surviving index to a fresh
+    * checkpoint is a deliberate operator action — delete the index's
+    * `_stream_ledger_id` after confirming no batch content is lost. */
   private[graft] def appendBatchExactlyOnce(spark: SparkSession, path: String,
-      ledgerDir: String, batch: DataFrame, batchId: Long): Unit = synchronized {
+      ledgerDir: String, batch: DataFrame, batchId: Long): Unit =
+      withWriterLease(spark, path) {
     import org.apache.hadoop.fs.Path
+    // checkpoint and index may live on DIFFERENT filesystems — resolve each
+    val idFile = new Path(s"$ledgerDir/_ledger_id")
+    val boundFile = new Path(s"$path/_stream_ledger_id")
+    val hl = fs(spark, idFile)
+    val hb = fs(spark, boundFile)
+    val ledgerId = readSmallFile(hl, idFile).getOrElse {
+      val fresh = java.util.UUID.randomUUID().toString
+      writeSmallFile(hl, idFile, fresh, overwrite = true)
+      fresh
+    }
+    readSmallFile(hb, boundFile) match {
+      case None => writeSmallFile(hb, boundFile, ledgerId, overwrite = true)
+      case Some(b) if b == ledgerId => ()
+      case Some(b) => throw new IllegalStateException(
+        s"index at $path is bound to stream ledger $b but this " +
+          s"checkpoint's ledger is $ledgerId — the checkpoint was reset " +
+          "(or a second stream is feeding this index) and its batchIds " +
+          "would collide with already-committed batches, silently " +
+          "no-opping new data; either restore the original checkpoint, " +
+          "rebuild the index, or (after confirming no batch content is " +
+          s"lost) delete $boundFile to re-bind")
+    }
     val marker = s"$ledgerDir/batch-$batchId"
-    if (IndexPaths.markerExists(spark, marker)) return
     val staging = new Path(s"$path/codes.ingest-$batchId")
     val h = fs(spark, staging)
+    if (IndexPaths.markerExists(spark, marker)) {
+      // fully-committed replay: data is exactly-once already, but a crash
+      // between the marker touch and the final staging delete leaks the
+      // staging dir forever (r12 ADVICE #1) — the delete is idempotent,
+      // so finish that cleanup here before returning
+      if (h.exists(staging)) h.delete(staging, true)
+      return
+    }
     if (!IndexPaths.markerExists(spark, s"$staging/_SUCCESS")) {
       if (h.exists(staging)) h.delete(staging, true)
       PortableAnn.encodeIvfPq(batch, loadModelCached(spark, path))
@@ -489,9 +627,12 @@ object PortableIvfPqIndex {
     * foreachBatch's at-least-once retries (the staged name-keyed commit
     * above; StreamingSpec replays a committed batch and asserts zero
     * duplicates). The maintenance verbs ([[append]], [[delete]],
-    * [[compact]]) and this commit each hold the object monitor, so a
-    * compact racing the stream cannot snapshot, swap, and drop a
-    * partition between a batch's commit and its checkpoint commit. */
+    * [[compact]]) and this commit each hold the object monitor AND the
+    * cross-process writer lease, so a compact racing the stream — in this
+    * JVM or another — cannot snapshot, swap, and drop a partition between
+    * a batch's commit and its checkpoint commit. A checkpoint RESET is
+    * detected and refused via the ledger-identity handshake (see
+    * [[appendBatchExactlyOnce]]). */
   def appendStream(spark: SparkSession, path: String, quantizedStream: DataFrame,
       checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
     quantizedStream.writeStream
@@ -560,12 +701,13 @@ object PortableIvfPqIndex {
     * never-indexed id is a no-op, not an error). Append-mode: deletes
     * accumulate until [[compact]]. An all-misses request writes nothing
     * (an empty parquet dir would break the tombstone read). */
-  def delete(spark: SparkSession, path: String, ids: DataFrame): Unit = synchronized {
-    val resolved = readCodes(spark, path).select("vec_id", "cid")
-      .join(broadcast(ids.select("vec_id")), Seq("vec_id"))
-    if (!resolved.isEmpty)
-      resolved.write.mode("append").parquet(s"$path/tombstones")
-  }
+  def delete(spark: SparkSession, path: String, ids: DataFrame): Unit =
+    withWriterLease(spark, path) {
+      val resolved = readCodes(spark, path).select("vec_id", "cid")
+        .join(broadcast(ids.select("vec_id")), Seq("vec_id"))
+      if (!resolved.isEmpty)
+        resolved.write.mode("append").parquet(s"$path/tombstones")
+    }
 
   /** The live tombstone set, if any delete is pending. */
   def tombstones(spark: SparkSession, path: String): Option[DataFrame] =
@@ -587,15 +729,20 @@ object PortableIvfPqIndex {
     *     serve correct (anti-join still masks whatever old files remain).
     *
     * Concurrency contract: ONE maintenance writer — [[append]]/[[delete]]/
-    * [[compact]] each hold this object's monitor (reentrant under the
-    * ensureBuilt* gates), so verbs cannot interleave within a JVM; a
-    * serve that listed an affected partition
+    * [[compact]] each hold this object's monitor (in-JVM serialization,
+    * reentrant under the ensureBuilt* gates) AND the cross-process
+    * `_writer_lease` file (r12 VERDICT #3): a second PROCESS running a
+    * maintenance verb is refused while the lease is live and may break a
+    * lease older than its TTL (the holder crashed; the recovery sweep in
+    * step 1 plus the tombstone-last rule make the index safe to adopt).
+    * A serve that listed an affected partition
     * mid-swap can see a transient missing-file read error and should
     * retry — the crash-safe guarantee is about DURABILITY (no resurrection,
     * no loss), not about lock-free concurrent reads. A production
     * deployment layers a snapshot manifest (Iceberg/Delta-style) on top;
     * the swap protocol here is the manifest-less primitive underneath. */
-  def compact(spark: SparkSession, path: String): Unit = synchronized {
+  def compact(spark: SparkSession, path: String): Unit =
+      withWriterLease(spark, path) {
     import org.apache.hadoop.fs.Path
     val codes = new Path(s"$path/codes")
     val scratch = new Path(s"$path/codes.compact")
@@ -686,21 +833,24 @@ object PortableIvfPqIndex {
       corpusDir: String, dim: Int, upMod: Int = UpsertMod,
       upBucket: Int = UpsertBucket,
       nClusters: Int = 8, m: Int = 8, k: Int = 16,
-      iters: Int = 2): String = synchronized {
+      iters: Int = 2): String = {
     val path = IndexPaths.indexPath(spark, corpusDir, "graft-pivfpqups")
-    if (!IndexPaths.markerExists(spark, s"$path/_UPSERTED")) {
-      val q = PortableAnn.quantized(embs)
-      // model frozen at its pre-upsert training, exactly as ingest/delete
-      val model = PortableAnn.ivfPqTrainInt(q, dim, nClusters, m, k, iters)
-      save(spark, model, PortableAnn.encodeIvfPq(q, model), path)
-      modelCache.put(path, model)
-      val isUp = T.hashBucket(col("vec_id"), upMod) === upBucket
-      delete(spark, path, q.filter(isUp).select("vec_id"))
-      compact(spark, path)
-      append(spark, path, reembedded(q, upMod, upBucket).filter(isUp))
-      IndexPaths.touchMarker(spark, s"$path/_UPSERTED")
-      IndexPaths.pruneSuperseded(spark, corpusDir, "graft-pivfpqups", path)
-    }
+    if (!IndexPaths.markerExists(spark, s"$path/_UPSERTED"))
+      withWriterLease(spark, path) {
+        if (!IndexPaths.markerExists(spark, s"$path/_UPSERTED")) {
+          val q = PortableAnn.quantized(embs)
+          // model frozen at its pre-upsert training, exactly as ingest/delete
+          val model = PortableAnn.ivfPqTrainInt(q, dim, nClusters, m, k, iters)
+          save(spark, model, PortableAnn.encodeIvfPq(q, model), path)
+          modelCache.put(path, model)
+          val isUp = T.hashBucket(col("vec_id"), upMod) === upBucket
+          delete(spark, path, q.filter(isUp).select("vec_id"))
+          compact(spark, path)
+          append(spark, path, reembedded(q, upMod, upBucket).filter(isUp))
+          IndexPaths.touchMarker(spark, s"$path/_UPSERTED")
+          IndexPaths.pruneSuperseded(spark, corpusDir, "graft-pivfpqups", path)
+        }
+      }
     path
   }
 
@@ -713,20 +863,23 @@ object PortableIvfPqIndex {
   def ensureBuiltWithDelete(spark: SparkSession, embs: DataFrame,
       corpusDir: String, dim: Int, delMod: Int = 7, delBucket: Int = 2,
       nClusters: Int = 8, m: Int = 8, k: Int = 16,
-      iters: Int = 2): String = synchronized {
+      iters: Int = 2): String = {
     val path = IndexPaths.indexPath(spark, corpusDir, "graft-pivfpqdel")
-    if (!IndexPaths.markerExists(spark, s"$path/_DELETED")) {
-      val q = PortableAnn.quantized(embs)
-      val model = PortableAnn.ivfPqTrainInt(q, dim, nClusters, m, k, iters)
-      save(spark, model, PortableAnn.encodeIvfPq(q, model), path)
-      modelCache.put(path, model)
-      delete(spark, path, q.filter(
-        graft.functions.TextFunctions.hashBucket(col("vec_id"), delMod)
-          === delBucket))
-      compact(spark, path)
-      IndexPaths.touchMarker(spark, s"$path/_DELETED")
-      IndexPaths.pruneSuperseded(spark, corpusDir, "graft-pivfpqdel", path)
-    }
+    if (!IndexPaths.markerExists(spark, s"$path/_DELETED"))
+      withWriterLease(spark, path) {
+        if (!IndexPaths.markerExists(spark, s"$path/_DELETED")) {
+          val q = PortableAnn.quantized(embs)
+          val model = PortableAnn.ivfPqTrainInt(q, dim, nClusters, m, k, iters)
+          save(spark, model, PortableAnn.encodeIvfPq(q, model), path)
+          modelCache.put(path, model)
+          delete(spark, path, q.filter(
+            graft.functions.TextFunctions.hashBucket(col("vec_id"), delMod)
+              === delBucket))
+          compact(spark, path)
+          IndexPaths.touchMarker(spark, s"$path/_DELETED")
+          IndexPaths.pruneSuperseded(spark, corpusDir, "graft-pivfpqdel", path)
+        }
+      }
     path
   }
 }

@@ -371,19 +371,39 @@ object Dedup {
     * would break the h = 6 guarantee). Both engines derive n and j with
     * the same integer algebra (`length(bin(n−1))`), so the DuckDB oracle
     * (Extensions.q28Sql) replays the adaptive keying exactly. The RESULT
-    * is j-invariant (completeness holds at every j ≤ 10−h: the output is
-    * exactly the Hamming ≤ h pair set); only the candidate volume moves.
+    * is j-invariant over SPARSE buckets (completeness holds at every
+    * j ≤ 10−h); only the candidate volume moves with j.
+    *
+    * Dense-bucket cutoff (the q30 cure transplanted, r12 VERDICT #1): a
+    * compound-key bucket larger than `denseBucketCap` is a dense near-dup
+    * CLUSTER — at ×64 the fixture's identical cross-copy shorts pile the
+    * same growing cluster into single buckets, so within-bucket pairs grow
+    * quadratically no matter how the keys adapt. Pairwise emission is the
+    * wrong tool for those; they route to the cluster-level connected-
+    * components pass (q58/q131 family), and this operator emits the pairs
+    * discoverable through at least one SPARSE bucket — candidates thereby
+    * ≤ buckets·cap²/2 with buckets ∝ n. Both engines apply the identical
+    * `HAVING COUNT(*) <= cap` rule (Extensions.q28Sql), so the oracle
+    * replays the cutoff exactly.
     *
     * Scale shape: narrow fingerprint map (scratch-barriered — it feeds the
     * width count and both self-join legs) → slim C(10,j)-rows-per-doc
-    * compound-key explode → bucket self-join → codegen'd bit_count
-    * Hamming filter BEFORE the pair dedup shuffle. */
-  def simHashPairsPortable(docs: DataFrame, maxHamming: Int = 6): DataFrame = {
+    * compound-key explode (barriered: bucket census + both legs) →
+    * dense-bucket semi-join → bucket self-join → codegen'd bit_count
+    * Hamming filter BEFORE the pair dedup shuffle.
+    *
+    * `forceJ` pins the subset width for tier-parity specs (DedupSpec —
+    * every oracle arm must be exercisable below its corpus threshold);
+    * production callers leave it None. */
+  def simHashPairsPortable(docs: DataFrame, maxHamming: Int = 6,
+      denseBucketCap: Int = 256, forceJ: Option[Int] = None): DataFrame = {
     val hashed = graft.operators.Checkpoints.scratch(simHashesPortable(docs))
     val n = hashed.count()
     val bitlen = 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n - 1))
-    val jSub = math.min(math.max(1, 10 - maxHamming),
-      math.max(1, (bitlen - 5) / 5))
+    val jSub = forceJ.getOrElse(math.min(math.max(1, 10 - maxHamming),
+      math.max(1, (bitlen - 5) / 5)))
+    require(jSub >= 1 && jSub <= 10 - maxHamming,
+      s"j=$jSub breaks the Hamming<=$maxHamming pigeonhole guarantee")
     val bands = (0 until 10).combinations(jSub).toArray.zipWithIndex
       .map { case (bs, s) =>
         val kv = bs.zipWithIndex.map { case (b, i) =>
@@ -392,13 +412,18 @@ object Dedup {
         }.reduce((a, c) => a.bitwiseOR(c))
         struct(lit(s).as("band"), kv.as("bkey"))
       }.toIndexedSeq
-    val exploded = hashed.select(col("doc_id"), col("simhash"),
+    val exploded = graft.operators.Checkpoints.scratch(
+      hashed.select(col("doc_id"), col("simhash"),
         explode(array(bands: _*)).as("bk"))
       .select(col("doc_id"), col("simhash"),
-        col("bk.band").as("band"), col("bk.bkey").as("bkey"))
-    val l = exploded.select(col("band"), col("bkey"),
+        col("bk.band").as("band"), col("bk.bkey").as("bkey")))
+    val smallBuckets = exploded.groupBy("band", "bkey")
+      .agg(count(lit(1)).as("bc")).filter(col("bc") <= denseBucketCap)
+      .select("band", "bkey")
+    val kept = exploded.join(smallBuckets, Seq("band", "bkey"), "left_semi")
+    val l = kept.select(col("band"), col("bkey"),
       col("doc_id").as("doc_a"), col("simhash").as("sim_a"))
-    val r = exploded.select(col("band"), col("bkey"),
+    val r = kept.select(col("band"), col("bkey"),
       col("doc_id").as("doc_b"), col("simhash").as("sim_b"))
     l.join(r, Seq("band", "bkey")).filter(col("doc_a") < col("doc_b"))
       .withColumn("hamming",

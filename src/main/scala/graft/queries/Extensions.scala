@@ -48,8 +48,12 @@ object Extensions {
     * md5-derived bit weights (r11 VERDICT #1) make every fingerprint bit,
     * compound band key, and Hamming distance integer arithmetic both
     * engines evaluate identically, so the oracle replays the full pipeline
-    * including the adaptive key width. The 64-bit xxhash64 variant
-    * ([[Dedup.simHashPairs]]) stays spec-covered in DedupSpec. */
+    * including the adaptive key width AND the 256-member dense-bucket
+    * cutoff (r12 VERDICT #1: dense compound-key buckets are near-dup
+    * CLUSTERS routed to the q58/q131 connected-components pass; the
+    * pairwise operator emits pairs discoverable through ≥ 1 sparse
+    * bucket). The 64-bit xxhash64 variant ([[Dedup.simHashPairs]]) stays
+    * spec-covered in DedupSpec. */
   def q28(spark: SparkSession, dir: String): DataFrame =
     Dedup.simHashPairsPortable(Tables.load(spark, dir, "documents"))
       .orderBy("doc_a", "doc_b")
@@ -103,10 +107,16 @@ object Extensions {
       |  CROSS JOIN range(0, 10) x(a) CROSS JOIN range(0, 10) y(a)
       |  CROSS JOIN range(0, 10) z(a) CROSS JOIN range(0, 10) u(a)
       |  WHERE pw.j = 4 AND x.a < y.a AND y.a < z.a AND z.a < u.a
+      |), smallb AS (
+      |  SELECT band, bkey FROM bands
+      |  GROUP BY band, bkey HAVING COUNT(*) <= 256
+      |), kept AS (
+      |  SELECT b.doc_id, b.f, b.band, b.bkey
+      |  FROM bands b JOIN smallb USING (band, bkey)
       |)
       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
       |  CAST(bit_count(xor(a.f, b.f)) AS BIGINT) AS hamming
-      |FROM bands a JOIN bands b
+      |FROM kept a JOIN kept b
       |  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
       |WHERE bit_count(xor(a.f, b.f)) <= 6
       |ORDER BY doc_a, doc_b""".stripMargin
@@ -714,13 +724,15 @@ object Extensions {
     * one scan → per-char-position generator (posexplode_outer per the
     * q241 lesson — the array is never empty once `length ≥ 3` filters) →
     * broadcast left join → ONE doc_id-keyed partial aggregation →
-    * TakeOrderedAndProject. The reference pass runs ONCE (the LM collects
-    * to the driver — model-sized, the ANN-codebook precedent — so `total`
-    * falls out locally and the scoring join broadcasts a local table
-    * rather than re-running the reference subtree per action). Docs
-    * shorter than 3 chars carry no trigram and are excluded on both
-    * engines; an empty reference slice degrades to a flat 1-bit score on
-    * both engines rather than erroring. */
+    * TakeOrderedAndProject. The reference pass runs ONCE: the LM frame is
+    * scratch-barriered (it feeds the `total` aggregate and the scoring
+    * join — materializing it is the natural barrier, and it NEVER touches
+    * the driver: on an open multilingual corpus the trigram domain reaches
+    * 10⁶–10⁷ rows, a driver materialization the r12 verdict flagged), and
+    * `total` is a broadcast 1-row aggregate cross-joined into the scoring
+    * pass. Docs shorter than 3 chars carry no trigram and are excluded on
+    * both engines; an empty reference slice degrades to a flat 1-bit score
+    * on both engines rather than erroring. */
   def q249(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.parallelized(Tables.load(spark, dir, "documents"))
       .filter(length(col("text")) >= 3)
@@ -730,23 +742,20 @@ object Extensions {
         .as("ts"))
       .select(col("doc_id"), posexplode_outer(col("ts")).as(Seq("p", "tri")))
       .select("doc_id", "tri")
-    // ONE reference pass: the LM is charset³-bounded, so collect it (the
-    // ANN-codebook precedent) — total falls out locally and the scoring
-    // join broadcasts a LocalTableScan instead of re-running the reference
-    // scan+generator subtree a second time. An EMPTY reference slice
-    // degrades to total=1 (every trigram unseen at 1 bit — a flat,
-    // uninformative score, mirrored by the oracle's COALESCE, never an
-    // error).
-    import spark.implicits._
-    val lmRows = tris(docs.filter(T.hashBucket(col("doc_id"), 5) === 0))
-      .groupBy("tri").agg(count(lit(1)).as("cnt"))
-      .collect().map(r => (r.getString(0), r.getLong(1)))
-    val total = math.max(1L, lmRows.map(_._2).sum)
-    val lm = lmRows.toSeq.toDF("tri", "cnt")
+    // the LM stays a DataFrame end-to-end; the empty-slice degenerate case
+    // (total=1, every trigram unseen at 1 bit — flat, uninformative, never
+    // an error) is carried by the same greatest/coalesce algebra the
+    // oracle's tot CTE uses
+    val lm = graft.operators.Checkpoints.scratch(
+      tris(docs.filter(T.hashBucket(col("doc_id"), 5) === 0))
+        .groupBy("tri").agg(count(lit(1)).as("cnt")))
+    val tot = lm.agg(
+      greatest(coalesce(sum("cnt"), lit(1L)), lit(1L)).as("t"))
     tris(docs)
       .join(broadcast(lm), Seq("tri"), "left")
+      .crossJoin(broadcast(tot))
       .select(col("doc_id"),
-        expr(s"length(bin(${total}L div coalesce(cnt, 1L)))")
+        expr("length(bin(t div coalesce(cnt, 1L)))")
           .cast(LongType).as("bits"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tri"), sum("bits").as("sum_bits"))

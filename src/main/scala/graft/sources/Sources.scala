@@ -250,11 +250,21 @@ object Sources {
     * parallelizes); `fetchsize` keeps the per-roundtrip row batch large
     * enough to amortize latency. Pushdown still applies — a `.filter` /
     * `.select` on the result narrows the generated SQL, not the Spark
-    * side. */
+    * side (SourcesSpec pins `PushedFilters` on the Derby scan). The
+    * partition column must be INDEXED server-side: each of the `num`
+    * bound-range queries carries a `WHERE col >= lo AND col < hi`
+    * predicate, and without an index every one of them is a full table
+    * scan — the "parallel" read then costs `num` sequential scans of the
+    * source table, strictly worse than the single-connection read it
+    * replaced. The guard checks index/PK metadata where the driver serves
+    * it (plain table names; best-effort — a subquery `dbtable` or a
+    * driver without metadata skips the check rather than blocking). */
   def jdbc(spark: SparkSession, url: String, table: String,
       expected: StructType, partitioning: Option[JdbcPartitioning] = None,
       fetchSize: Int = 10000,
       options: Map[String, String] = Map.empty): DataFrame = {
+    partitioning.foreach(p => requireIndexedPartitionColumn(
+      url, table, p.column, options))
     val base = spark.read.format("jdbc")
       .option("url", url)
       .option("dbtable", table)
@@ -273,6 +283,56 @@ object Sources {
       s"JDBC schema drift on $table: database serves ${got.mkString(", ")} " +
         s"but the declared contract is ${want.mkString(", ")}")
     df
+  }
+
+  /** Best-effort index check behind the partitioned-read guard above: a
+    * plain-identifier table whose metadata the driver serves must show the
+    * partition column in an index or primary key; anything unknowable
+    * (subquery dbtable, metadata failure) passes — the guard exists to
+    * catch the common misconfiguration loudly, not to gatekeep exotic
+    * setups. */
+  private def requireIndexedPartitionColumn(url: String, table: String,
+      column: String, options: Map[String, String]): Unit = {
+    // subquery dbtable ("(select ...) t") — indexability is unknowable
+    if (!table.matches("[A-Za-z0-9_.]+")) return
+    options.get("driver").foreach(d =>
+      try Class.forName(d) catch { case _: ClassNotFoundException => () })
+    val props = new java.util.Properties()
+    options.foreach { case (k, v) => props.setProperty(k, v) }
+    val indexed: Option[Set[String]] =
+      try {
+        val conn = java.sql.DriverManager.getConnection(url, props)
+        try {
+          val md = conn.getMetaData
+          // unquoted identifiers are case-normalized per engine (Derby
+          // uppercases); probe the name as given, upper, and lower
+          val names = Seq(table, table.toUpperCase, table.toLowerCase).distinct
+          val cols = scala.collection.mutable.Set[String]()
+          var sawTable = false
+          names.foreach { t =>
+            val ix = md.getIndexInfo(null, null, t, false, true)
+            while (ix.next()) {
+              sawTable = true
+              Option(ix.getString("COLUMN_NAME"))
+                .foreach(c => cols += c.toLowerCase)
+            }
+            ix.close()
+            val pk = md.getPrimaryKeys(null, null, t)
+            while (pk.next()) {
+              sawTable = true
+              Option(pk.getString("COLUMN_NAME"))
+                .foreach(c => cols += c.toLowerCase)
+            }
+            pk.close()
+          }
+          if (sawTable) Some(cols.toSet) else None
+        } finally conn.close()
+      } catch { case _: java.sql.SQLException => None }
+    indexed.foreach(cols => require(cols.contains(column.toLowerCase),
+      s"partition column '$column' of $table is not indexed: each of the " +
+        "bound-range partition queries would full-scan the source table " +
+        s"server-side (indexed/PK columns: ${cols.toSeq.sorted.mkString(", ")})" +
+        " — partition on an indexed key, or add an index upstream"))
   }
 
   /** JDBC truncate-and-reload sink — the reference's S4 load shape

@@ -477,6 +477,44 @@ class AnnSpec extends AnyFunSuite {
       "an all-misses delete must not create a tombstone dir")
   }
 
+  test("writer lease: concurrent foreign writer refused, stale lease broken and recovered, lease released after the verb") {
+    // r12 VERDICT #3: the verbs' `synchronized` serializes writers within
+    // ONE JVM only — the `_writer_lease` file closes the cross-process gap.
+    import org.apache.spark.sql.functions.col
+    val qz = PortableAnn.quantized(embs)
+    val model = PortableAnn.ivfPqTrainInt(qz, dim = 64)
+    val path = java.nio.file.Files.createTempDirectory("pivfpq_lease").toString
+    graft.ann.PortableIvfPqIndex.save(spark, model,
+      PortableAnn.encodeIvfPq(qz, model), path)
+    val leaseF = new java.io.File(graft.ann.PortableIvfPqIndex.leaseFile(path))
+    val doomed = qz.filter(
+      graft.functions.TextFunctions.hashBucket(col("vec_id"), 7) === 2)
+      .select("vec_id")
+    // 1. a LIVE foreign lease (another process, fresh mtime) → refusal
+    java.nio.file.Files.writeString(leaseF.toPath, "some-other-process")
+    val e = intercept[IllegalStateException] {
+      graft.ann.PortableIvfPqIndex.delete(spark, path, doomed)
+    }
+    assert(e.getMessage.contains("live writer lease") &&
+      e.getMessage.contains("some-other-process"),
+      s"refusal must name the holder: ${e.getMessage}")
+    assert(!new java.io.File(s"$path/tombstones").exists,
+      "refused verb must not have written anything")
+    // 2. the same lease aged past the TTL → stale, broken, verb proceeds
+    assert(leaseF.setLastModified(System.currentTimeMillis -
+      graft.ann.PortableIvfPqIndex.LeaseTtlMs - 60000L))
+    graft.ann.PortableIvfPqIndex.delete(spark, path, doomed)
+    graft.ann.PortableIvfPqIndex.compact(spark, path)
+    // 3. the verbs released the lease on exit (next process may acquire)
+    assert(!leaseF.exists, "lease must be released after the verb completes")
+    // and the maintenance actually happened under the recovered lease
+    val doomedIds = doomed.collect().map(_.getLong(0)).toSet
+    assert(doomedIds.nonEmpty)
+    assert(graft.ann.PortableIvfPqIndex.codesFrame(spark, path)
+      .filter(col("vec_id").isin(doomedIds.toSeq.map(Long.box): _*))
+      .count() == 0, "delete+compact did not run after stale-lease recovery")
+  }
+
   test("upsert: disk equals a whole-corpus re-encode of the patched vectors; barrier honored") {
     import org.apache.spark.sql.functions.col
     val idx = graft.ann.PortableIvfPqIndex.ensureBuiltWithUpsert(

@@ -79,6 +79,88 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("q28 oracle tier parity: every compound-key arm j=1..4 matches a driver replay of the SQL algebra; pairs j-invariant") {
+    // r12 ADVICE #3: the q28 oracle's j=3/4 UNION arms only execute past
+    // 512k/16M docs, so a desync there would pass the fixture-scale hash
+    // gate. Here every arm's keying algebra — the SQL's subset enumeration
+    // (x<y<z<u), band-id encoding (((x*10+y)*10+z)*10+u), block shifts and
+    // the 256-member dense-bucket cutoff — is transliterated on the driver
+    // and compared against the Spark pipeline FORCED to each tier.
+    val words = (1 to 300).map(i => s"tok$i")
+    val a = words.mkString(" ")
+    val b = words.updated(150, "CHANGED").mkString(" ")
+    val filler = (1 to 40).map(i =>
+      (100L + i, (i * 7 to i * 7 + 50).map(j => s"w$j").mkString(" ")))
+    val d = docs(Seq((1L, a), (2L, a), (3L, b)) ++ filler: _*)
+    val fps = Dedup.simHashesPortable(d)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    def block(f: Long, i: Int): Long = (f >> (i * 6)) & 0x3fL
+    def replay(j: Int): Set[(Long, Long, Long)] = {
+      val buckets = scala.collection.mutable.Map
+        .empty[(Int, Long), scala.collection.mutable.ArrayBuffer[(Long, Long)]]
+      for ((id, f) <- fps; sub <- (0 until 10).combinations(j)) {
+        val bandId = sub.foldLeft(0)((acc, x) => acc * 10 + x)
+        val bkey = sub.zipWithIndex
+          .map { case (bi, i) => block(f, bi) << (6 * i) }.reduce(_ | _)
+        buckets.getOrElseUpdate((bandId, bkey),
+          scala.collection.mutable.ArrayBuffer.empty) += ((id, f))
+      }
+      buckets.values.filter(_.size <= 256).flatMap { mem =>
+        for {
+          x <- mem; y <- mem
+          if x._1 < y._1 &&
+            java.lang.Long.bitCount(x._2 ^ y._2) <= 6
+        } yield (x._1, y._1,
+          java.lang.Long.bitCount(x._2 ^ y._2).toLong)
+      }.toSet
+    }
+    val perTier = (1 to 4).map { j =>
+      val got = Dedup.simHashPairsPortable(d, forceJ = Some(j))
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got == replay(j), s"tier j=$j diverges from the SQL-arm replay")
+      got
+    }
+    // sparse buckets → completeness holds at every j ≤ 4: pair set invariant
+    assert(perTier.distinct.size == 1,
+      "pair set must be j-invariant over sparse buckets")
+    assert(perTier.head.contains((1L, 2L, 0L)),
+      "identical docs must pair at hamming 0 in every tier")
+  }
+
+  test("adaptive width/tier rules match the oracle's integer algebra at every boundary") {
+    // the corpus-size → (j, w) derivations run as different SQL expressions
+    // (LENGTH(BIN(..)) with floor division) than the Scala (bit-length with
+    // truncating division) — sweep the boundaries to pin their equality
+    def binLen(x: Long): Int = java.lang.Long.toBinaryString(x).length
+    def sparkBitlen(n: Long): Int =
+      64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n - 1))
+    def sparkJ(n: Long): Int = {
+      val bl = sparkBitlen(n)
+      math.min(math.max(1, 10 - 6), math.max(1, (bl - 5) / 5))
+    }
+    def sqlJ(n: Long): Int = {
+      val bl = binLen(math.max(1L, n - 1))
+      math.min(4, math.max(1, Math.floorDiv(bl - 5, 5)))
+    }
+    def sparkW(n: Long): Int =
+      math.min(21, math.max(7, sparkBitlen(n)))
+    def sqlW(n: Long): Int =
+      math.min(21, math.max(7, binLen(math.max(1L, n - 1))))
+    val sweep = (1L to 4100L) ++
+      (2 to 26).flatMap(k => Seq((1L << k) - 1, 1L << k, (1L << k) + 1))
+    sweep.foreach { n =>
+      assert(sparkBitlen(n) == binLen(math.max(1L, n - 1)),
+        s"bitlen desync at n=$n")
+      assert(sparkJ(n) == sqlJ(n), s"q28 j-rule desync at n=$n")
+      assert(sparkW(n) == sqlW(n), s"q30 w-rule desync at n=$n")
+      assert(63 / sparkW(n) >= 3, s"band count collapsed at n=$n")
+    }
+    // tier boundaries land where the docs claim: 16k/512k/16M docs
+    assert(sqlJ(16384L) == 1 && sqlJ(16386L) == 2)
+    assert(sqlJ(524288L) == 2 && sqlJ(524290L) == 3)
+    assert(sqlJ(16777216L) == 3 && sqlJ(16777218L) == 4)
+  }
+
   test("native portable_simhash60 is bit-identical to the per-bit HOF composition") {
     val d = Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val hs = array_distinct(graft.functions.TextFunctions

@@ -795,6 +795,11 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), s"LM lookup must broadcast:\n$p")
     assert(!p.contains("SortMergeJoin"),
       s"corpus-side trigram rows must never sort-merge:\n$p")
+    // r12 verdict: the LM must never materialize on the driver — a
+    // collected LM shows up as a LocalTableScan build side; the fixed plan
+    // broadcasts the scratch-checkpointed LM frame instead
+    assert(!p.contains("LocalTableScan"),
+      s"LM must stay distributed (no driver collect):\n$p")
     // doc-keyed data shuffles: the scoring aggregation only (the LM build's
     // trigram-keyed agg is bounded-domain, not doc-keyed)
     val docShuffles = p.split("Exchange hashpartitioning\\(doc_id").length - 1

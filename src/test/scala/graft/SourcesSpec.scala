@@ -407,7 +407,8 @@ class SourcesSpec extends AnyFunSuite {
     try {
       val st = conn.createStatement()
       st.executeUpdate(
-        "CREATE TABLE orders_x (o_id BIGINT NOT NULL, amount INT, note VARCHAR(32))")
+        "CREATE TABLE orders_x (o_id BIGINT NOT NULL PRIMARY KEY, " +
+          "amount INT, note VARCHAR(32))")
       (1 to 100).foreach(i =>
         st.executeUpdate(s"INSERT INTO orders_x VALUES ($i, ${i * 10}, 'n$i')"))
       st.close()
@@ -444,5 +445,62 @@ class SourcesSpec extends AnyFunSuite {
       options = jdbcOpts)
     assert(back.count() == 10)
     assert(back.agg(sum("amount")).head().getLong(0) == 550L)
+  }
+
+  test("JDBC: filters push into the generated SQL (PushedFilters on the scan)") {
+    // r12 VERDICT #8: the thin wrapper's scale behavior rests on Spark's
+    // jdbc pushdown actually firing — pin it on the physical plan, so a
+    // future option/format change that silently disables pushDownPredicate
+    // (and ships the whole table to filter Spark-side) fails CI
+    val url = "jdbc:derby:memory:graftjdbc2;create=true"
+    val jdbcOpts = Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver")
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.executeUpdate(
+        "CREATE TABLE m_x (m_id BIGINT NOT NULL PRIMARY KEY, v INT)")
+      (1 to 50).foreach(i => st.executeUpdate(s"INSERT INTO m_x VALUES ($i, $i)"))
+      st.close()
+    } finally conn.close()
+    val declared = StructType(Seq(
+      StructField("m_id", LongType), StructField("v", IntegerType)))
+    val df = Sources.jdbc(spark, url, "m_x", declared, options = jdbcOpts)
+      .filter(col("v") > 40)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("pushedfilters") &&
+      plan.toLowerCase.replace(" ", "").contains("greaterthan(v,40)"),
+      s"filter must reach the JDBC scan as a pushed predicate:\n$plan")
+    assert(df.count() == 10)
+  }
+
+  test("JDBC: partitioning on an unindexed column is refused") {
+    // r12 VERDICT #8: each bound-range partition query carries a WHERE on
+    // the partition column — unindexed, that is `num` sequential full
+    // scans server-side, strictly worse than the single-connection read.
+    // The guard must refuse loudly; the indexed PK must still pass (the
+    // sibling test above reads orders_x partitioned on its PK).
+    val url = "jdbc:derby:memory:graftjdbc3;create=true"
+    val jdbcOpts = Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver")
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.executeUpdate(
+        "CREATE TABLE u_x (u_id BIGINT NOT NULL PRIMARY KEY, amount INT)")
+      (1 to 20).foreach(i => st.executeUpdate(s"INSERT INTO u_x VALUES ($i, $i)"))
+      st.close()
+    } finally conn.close()
+    val declared = StructType(Seq(
+      StructField("u_id", LongType), StructField("amount", IntegerType)))
+    val e = intercept[IllegalArgumentException] {
+      Sources.jdbc(spark, url, "u_x", declared,
+        partitioning = Some(Sources.JdbcPartitioning("amount", 1, 21, 4)),
+        options = jdbcOpts)
+    }
+    assert(e.getMessage.contains("not indexed"))
+    // the PK column passes the same guard
+    val ok = Sources.jdbc(spark, url, "u_x", declared,
+      partitioning = Some(Sources.JdbcPartitioning("u_id", 1, 21, 4)),
+      options = jdbcOpts)
+    assert(ok.rdd.getNumPartitions == 4 && ok.count() == 20)
   }
 }

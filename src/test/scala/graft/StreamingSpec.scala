@@ -575,5 +575,44 @@ class StreamingSpec extends AnyFunSuite {
     val got70 = after.select("vec_id", "cid", "codes")
     assert(got70.exceptAll(expect70).isEmpty && expect70.exceptAll(got70).isEmpty,
       "resumed commit diverges from the frozen-model encode")
+
+    // staging-dir hygiene on committed replay (r12 ADVICE #1): a crash
+    // between the ledger-marker touch and the final staging delete leaks
+    // codes.ingest-<id> forever — the replay path must finish the cleanup
+    val stray = new org.apache.hadoop.fs.Path(s"$idx/codes.ingest-7")
+    val fsys = stray.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fsys.mkdirs(stray) // simulate the leaked staging dir
+    PortableIvfPqIndex.appendBatchExactlyOnce(spark, idx, ledger,
+      late.toDF("vec_id", "qv", "nrm"), batchId = 7L)
+    assert(!fsys.exists(stray),
+      "committed-batch replay must clean up a leaked staging dir")
+    assert(PortableIvfPqIndex.codesFrame(spark, idx).count() == 70,
+      "cleanup replay must stay a data no-op")
+
+    // checkpoint-RESET contract (r12 VERDICT #4): a FRESH ledger (the user
+    // wiped the checkpoint but kept the index) restarts batchIds at 0 —
+    // the identity handshake must FAIL FAST instead of silently no-opping
+    // a new batch 0 against the old committed one
+    val freshLedger = java.nio.file.Files
+      .createTempDirectory("vec_ckpt_reset").toString + "/_ingest_ledger"
+    val lateB = vecs(70 until 75)
+    val clash = intercept[IllegalStateException] {
+      PortableIvfPqIndex.appendBatchExactlyOnce(spark, idx, freshLedger,
+        lateB.toDF("vec_id", "qv", "nrm"), batchId = 0L)
+    }
+    assert(clash.getMessage.contains("checkpoint was reset"),
+      s"reset refusal must explain itself: ${clash.getMessage}")
+    assert(PortableIvfPqIndex.codesFrame(spark, idx).count() == 70,
+      "refused reset batch must not have landed rows")
+    // the documented re-bind escape hatch: drop the index's binding, the
+    // fresh ledger is adopted and its batches commit exactly-once again
+    val bind = new org.apache.hadoop.fs.Path(s"$idx/_stream_ledger_id")
+    fsys.delete(bind, false)
+    PortableIvfPqIndex.appendBatchExactlyOnce(spark, idx, freshLedger,
+      lateB.toDF("vec_id", "qv", "nrm"), batchId = 0L)
+    PortableIvfPqIndex.appendBatchExactlyOnce(spark, idx, freshLedger,
+      lateB.toDF("vec_id", "qv", "nrm"), batchId = 0L)
+    assert(PortableIvfPqIndex.codesFrame(spark, idx).count() == 75,
+      "re-bound ledger must commit exactly once")
   }
 }
