@@ -374,23 +374,35 @@ object Dedup {
     * is j-invariant over SPARSE buckets (completeness holds at every
     * j ≤ 10−h); only the candidate volume moves with j.
     *
-    * Dense-bucket cutoff (the q30 cure transplanted, r12 VERDICT #1): a
-    * compound-key bucket larger than `denseBucketCap` is a dense near-dup
-    * CLUSTER — at ×64 the fixture's identical cross-copy shorts pile the
-    * same growing cluster into single buckets, so within-bucket pairs grow
-    * quadratically no matter how the keys adapt. Pairwise emission is the
-    * wrong tool for those; they route to the cluster-level connected-
-    * components pass (q58/q131 family), and this operator emits the pairs
-    * discoverable through at least one SPARSE bucket — candidates thereby
-    * ≤ buckets·cap²/2 with buckets ∝ n. Both engines apply the identical
-    * `HAVING COUNT(*) <= cap` rule (Extensions.q28Sql), so the oracle
-    * replays the cutoff exactly.
+    * Dense-bucket cutoff (the q30 cure transplanted, r12 VERDICT #1), and
+    * what the r13 measurements made of it: a compound-key bucket larger
+    * than `denseBucketCap` is a dense near-dup CLUSTER whose within-bucket
+    * pairs grow quadratically no matter how the keys adapt — pairwise
+    * emission is the wrong tool for those; they route to the cluster-level
+    * connected-components pass (q58/q131 family), and this operator emits
+    * the pairs discoverable through at least one SPARSE bucket, bounding
+    * the SKEW term of the candidate mass at cap²/2 per bucket. The
+    * tools/BucketProbe census shows the cutoff is a GUARD, not a speedup,
+    * at measured scales: at ×64 (320k docs, j = 2) dense buckets hold
+    * only 2.06M of 628M candidate pairs (0.3% — max bucket 368), and the
+    * pipeline is SHUFFLE-BOUND on exploded rows (j = 3 at ×64 measures
+    * 95–113 s vs j = 2's ~33 s, ratio ≈ the 38.4M/14.4M explode ratio),
+    * so the cutoff must cost ~nothing: it rides a window count over the
+    * SAME (band, bkey) exchange+sort the self-join's SortMergeJoin
+    * already pays (both legs share one canonical subplan via
+    * ReuseExchange) — an earlier census+semi-join variant benched 39 s at
+    * ×64, a 6 s regression this shape avoids. The uniform term of the
+    * candidate mass is the J-TIER's job: 628M ≈ 40×14.4M at ×64 puts the
+    * fixture exactly at the r12 cost model's crossover, and the next
+    * decade (>512k docs) steps to j = 3 where the balance flips. Both
+    * engines apply the identical `HAVING COUNT(*) <= cap` rule
+    * (Extensions.q28Sql), so the oracle replays the cutoff exactly.
     *
     * Scale shape: narrow fingerprint map (scratch-barriered — it feeds the
     * width count and both self-join legs) → slim C(10,j)-rows-per-doc
-    * compound-key explode (barriered: bucket census + both legs) →
-    * dense-bucket semi-join → bucket self-join → codegen'd bit_count
-    * Hamming filter BEFORE the pair dedup shuffle.
+    * compound-key explode → ONE (band, bkey) exchange carrying the window
+    * bucket count, the cutoff filter, and both SMJ legs → codegen'd
+    * bit_count Hamming filter BEFORE the pair dedup shuffle.
     *
     * `forceJ` pins the subset width for tier-parity specs (DedupSpec —
     * every oracle arm must be exercisable below its corpus threshold);
@@ -412,15 +424,19 @@ object Dedup {
         }.reduce((a, c) => a.bitwiseOR(c))
         struct(lit(s).as("band"), kv.as("bkey"))
       }.toIndexedSeq
-    val exploded = graft.operators.Checkpoints.scratch(
-      hashed.select(col("doc_id"), col("simhash"),
+    val exploded = hashed.select(col("doc_id"), col("simhash"),
         explode(array(bands: _*)).as("bk"))
       .select(col("doc_id"), col("simhash"),
-        col("bk.band").as("band"), col("bk.bkey").as("bkey")))
-    val smallBuckets = exploded.groupBy("band", "bkey")
-      .agg(count(lit(1)).as("bc")).filter(col("bc") <= denseBucketCap)
-      .select("band", "bkey")
-    val kept = exploded.join(smallBuckets, Seq("band", "bkey"), "left_semi")
+        col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    // the cutoff as a window count: the window's (band, bkey) exchange is
+    // the SAME partitioning the self-join's SortMergeJoin needs, and both
+    // legs are one canonical subplan, so ReuseExchange computes
+    // explode+shuffle+count once and the cutoff costs one in-partition
+    // counting pass — no census aggregate, no semi-join, no extra shuffle
+    val kept = exploded
+      .withColumn("bc", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("band", "bkey")))
+      .filter(col("bc") <= denseBucketCap)
     val l = kept.select(col("band"), col("bkey"),
       col("doc_id").as("doc_a"), col("simhash").as("sim_a"))
     val r = kept.select(col("band"), col("bkey"),
@@ -431,6 +447,70 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select("doc_a", "doc_b", "hamming")
       .dropDuplicates("doc_a", "doc_b")
+  }
+
+  // ------------------------------------------------------------ containment
+
+  /** CONTAINMENT near-dup pairs — Broder's second similarity measure
+    * ("On the resemblance and containment of documents", SEQUENCES 1997):
+    * c = |S(A)∩S(B)| / min(|S(A)|,|S(B)|), the quote/embedding detector
+    * resemblance-LSH is structurally BLIND to. A 50-shingle document
+    * quoted inside a 5000-shingle one has Jaccard ≈ 0.01 — no MinHash
+    * band ever collides — while its containment is ≈ 1.0; detecting that
+    * asymmetry is how a pretraining pipeline catches wholesale quotation,
+    * boilerplate embedding, and doc-in-doc syndication that q27/q28
+    * legitimately pass over.
+    *
+    * Discovery is RARE-SHINGLE anchoring (the prefix-filtering family —
+    * Chaudhuri et al. SSJoin 2006, Bayardo et al. WWW 2007 — in its
+    * df-bounded form, the q244 anchor discipline): only shingles with
+    * 2 ≤ df ≤ `dfCap` key candidate pairs, so candidates are bounded by
+    * Σ_rare C(df,2) ≤ dfCap·|shingle stream| — linear in the corpus,
+    * never corpus². A pair sharing ONLY ubiquitous shingles (every common
+    * shingle's df > dfCap) is missed BY DESIGN: such pairs share stock
+    * phrases, not distinctive content, and are near-dup noise rather than
+    * quotation signal — the same declared trade as q244's anchor cap.
+    * Verification is exact: shingle-row intersection counts for candidate
+    * docs only (the lshJaccardPairs semi-join discipline), integer
+    * containment in ppm. Every hash is the portable md5-60-bit shingle
+    * (T.portableShingleHashes), so the DuckDB oracle replays discovery
+    * AND verification bit-for-bit.
+    *
+    * Scale shape: one exploded shingle frame (scratch-barriered — it
+    * feeds the df census, the per-doc sizes, the anchor semi-join, and
+    * the candidate-only verify fetch) → df-capped bucket self-join →
+    * row-intersection aggregate → TakeOrderedAndProject. */
+  def containmentPairs(docs0: DataFrame, shingleLen: Int = 3,
+      dfCap: Int = 64, minContainPpm: Long = 700000L,
+      k: Int = 20): DataFrame = {
+    val docs = graft.Tables.parallelized(docs0)
+    val sh = graft.operators.Checkpoints.scratch(
+      docs.select(col("doc_id"),
+        explode(array_distinct(
+          T.portableShingleHashes(col("text"), shingleLen))).as("h")))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
+    val rare = sh.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df").between(2, dfCap)).select("h")
+    val anch = sh.join(rare, Seq("h"), "left_semi")
+    val cand = anch.select(col("h"), col("doc_id").as("doc_a"))
+      .join(anch.select(col("h"), col("doc_id").as("doc_b")), Seq("h"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val candDocs = cand.select(col("doc_a").as("doc_id"))
+      .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+    val chs = sh.join(candDocs, Seq("doc_id"), "left_semi")
+    cand
+      .join(chs.select(col("doc_id").as("doc_a"), col("h")), Seq("doc_a"))
+      .join(chs.select(col("doc_id").as("doc_b"), col("h")), Seq("doc_b", "h"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("nsh").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("nsh").as("nb")), "doc_b")
+      .withColumn("containment_ppm",
+        expr("1000000 * inter div least(na, nb)"))
+      .filter(col("containment_ppm") >= minContainPpm)
+      .select("doc_a", "doc_b", "containment_ppm")
+      .orderBy(desc("containment_ppm"), col("doc_a"), col("doc_b"))
+      .limit(k)
   }
 
   // ------------------------------------------------- n-gram Jaccard (exact)

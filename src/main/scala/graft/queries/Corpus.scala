@@ -740,7 +740,82 @@ object Corpus {
       |    AS docs_exposed
       |FROM cells GROUP BY source ORDER BY source""".stripMargin
 
+  /** q253 corpus SNAPSHOT DIFF (new r13) — the incremental-corpus
+    * operator every recurring crawl/ingest pipeline runs before anything
+    * else: given two corpus versions, classify every document as added /
+    * deleted / changed / unchanged by CONTENT fingerprint (not mtime, not
+    * row count — a re-crawled page with identical bytes must read as
+    * unchanged) and roll the census up per source. Downstream consumers
+    * are incremental: only `added`+`changed` re-enter dedup/quality/
+    * embedding, only `deleted` tombstones the index (the q248 verb) — at
+    * 100 TB the diff IS the ingest plan.
+    *
+    * The second snapshot is derived deterministically from the first so
+    * the operator is fixture-replayable (the ScaleUp philosophy): md5
+    * bucket 0-of-11 of doc_ids is dropped (deleted), bucket 1 gets a
+    * ' rev2' suffix (changed), bucket 2 is additionally cloned under
+    * doc_id + 1e9 as new arrivals (added) — pure integer/string algebra
+    * both engines replay, so the WHOLE diff sits under the DuckDB hash
+    * gate. In production the derive step is replaced by reading the real
+    * v2 table; everything from the fingerprint map on is unchanged.
+    *
+    * Scale shape: two narrow fingerprint maps (md5 over text — no
+    * shingling, the cheapest content stamp) → ONE full-outer join keyed
+    * on doc_id → one map-combined (source, status) rollup. The join is
+    * the only corpus-sized shuffle, and it is the unavoidable one: diff
+    * is a keyed comparison by definition. */
+  def q253(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.parallelized(Tables.load(spark, dir, "documents"))
+      .select(col("doc_id"), col("source"), col("text"),
+        T.hashBucket(col("doc_id"), 11).as("bk"))
+    val v1 = base.select(col("doc_id"), col("source"),
+      md5(col("text")).as("fp"))
+    val v2 = base.filter(col("bk") =!= 0)
+      .select(col("doc_id"), col("source"),
+        md5(when(col("bk") === 1, concat(col("text"), lit(" rev2")))
+          .otherwise(col("text"))).as("fp"))
+      .unionByName(base.filter(col("bk") === 2)
+        .select((col("doc_id") + lit(1000000000L)).as("doc_id"),
+          col("source"), md5(concat(col("text"), lit(" new"))).as("fp")))
+    v1.select(col("doc_id"), col("source").as("s1"), col("fp").as("fp1"))
+      .join(v2.select(col("doc_id"), col("source").as("s2"),
+        col("fp").as("fp2")), Seq("doc_id"), "full_outer")
+      .select(coalesce(col("s1"), col("s2")).as("source"),
+        when(col("fp2").isNull, lit("deleted"))
+          .when(col("fp1").isNull, lit("added"))
+          .when(col("fp1") =!= col("fp2"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"))
+      .groupBy("source", "status")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("source", "status")
+  }
+
+  val q253Sql: String =
+    """WITH b AS (
+      |  SELECT doc_id, source, text,
+      |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 11 AS bk
+      |  FROM documents
+      |), v1 AS (
+      |  SELECT doc_id, source, md5(text) AS fp FROM b
+      |), v2 AS (
+      |  SELECT doc_id, source,
+      |    md5(CASE WHEN bk = 1 THEN text || ' rev2' ELSE text END) AS fp
+      |  FROM b WHERE bk <> 0
+      |  UNION ALL
+      |  SELECT doc_id + 1000000000, source, md5(text || ' new') FROM b WHERE bk = 2
+      |), d AS (
+      |  SELECT COALESCE(v1.source, v2.source) AS source,
+      |    CASE WHEN v2.fp IS NULL THEN 'deleted'
+      |         WHEN v1.fp IS NULL THEN 'added'
+      |         WHEN v1.fp <> v2.fp THEN 'changed'
+      |         ELSE 'unchanged' END AS status
+      |  FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+      |)
+      |SELECT source, status, CAST(COUNT(*) AS BIGINT) AS n_docs
+      |FROM d GROUP BY source, status ORDER BY source, status""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    ("q253_snapshot_diff", q253 _, Some(q253Sql)),
     ("q210_shuffle_quality", q210 _, Some(q210Sql)),
     ("q227_length_gini", q227 _, Some(q227Sql)),
     ("q228_pack_contamination", q228 _, Some(q228Sql)),

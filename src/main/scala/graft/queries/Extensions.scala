@@ -121,6 +121,48 @@ object Extensions {
       |WHERE bit_count(xor(a.f, b.f)) <= 6
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** q252 CONTAINMENT near-dup pairs (new r13) — Broder's asymmetric
+    * similarity, the quote/doc-in-doc detector resemblance-LSH cannot see
+    * (a short document quoted inside a long one has Jaccard ≈ 0 but
+    * containment ≈ 1); discovery by df-capped rare-shingle anchors, exact
+    * integer verify, fully oracle-replayed — see
+    * [[Dedup.containmentPairs]] for the algorithm and the declared
+    * common-shingle-only miss trade. */
+  def q252(spark: SparkSession, dir: String): DataFrame =
+    Dedup.containmentPairs(Tables.load(spark, dir, "documents"))
+
+  val q252Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      |), sh AS (
+      |  SELECT DISTINCT doc_id,
+      |    unnest(list_transform(range(1, len(w) - 1),
+      |      i -> CAST('0x' || substr(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]), 1, 15) AS BIGINT))) AS h
+      |  FROM toks WHERE len(w) >= 3
+      |), sizes AS (
+      |  SELECT doc_id, COUNT(*) AS nsh FROM sh GROUP BY doc_id
+      |), rare AS (
+      |  SELECT h FROM sh GROUP BY h HAVING COUNT(*) BETWEEN 2 AND 64
+      |), anch AS (
+      |  SELECT sh.doc_id, sh.h FROM sh JOIN rare USING (h)
+      |), cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM anch a JOIN anch b ON a.h = b.h AND a.doc_id < b.doc_id
+      |), inter AS (
+      |  SELECT c.doc_a, c.doc_b, COUNT(*) AS i
+      |  FROM cand c
+      |  JOIN sh x ON x.doc_id = c.doc_a
+      |  JOIN sh y ON y.doc_id = c.doc_b AND y.h = x.h
+      |  GROUP BY 1, 2
+      |)
+      |SELECT doc_a, doc_b,
+      |  CAST(1000000 * i // LEAST(sa.nsh, sb.nsh) AS BIGINT) AS containment_ppm
+      |FROM inter
+      |JOIN sizes sa ON sa.doc_id = doc_a
+      |JOIN sizes sb ON sb.doc_id = doc_b
+      |WHERE 1000000 * i // LEAST(sa.nsh, sb.nsh) >= 700000
+      |ORDER BY containment_ppm DESC, doc_a, doc_b LIMIT 20""".stripMargin
+
   /** q29 exact word-bigram Jaccard over a linear pair stream — the dedup
     * verification kernel, oracle-checked. */
   def q29(spark: SparkSession, dir: String): DataFrame =
@@ -2229,6 +2271,7 @@ object Extensions {
     ("q188_dup_inflation", q188 _, Some(q188Sql)),
     ("q27_dedup_minhash_lsh", q27 _, Some(q27Sql)),
     ("q28_dedup_simhash", q28 _, Some(q28Sql)),
+    ("q252_containment_dedup", q252 _, Some(q252Sql)),
     ("q29_ngram_jaccard", q29 _, Some(q29Sql)),
     ("q30_embed_neardup_lsh", q30 _, Some(q30Sql)),
     ("q31_knn_cosine_brute", q31 _, Some(q31Sql)),

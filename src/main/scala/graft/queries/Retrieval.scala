@@ -2158,7 +2158,140 @@ object Retrieval {
       |    1, 15) AS BIGINT) AS cleaned_fp
       |FROM cleaned ORDER BY doc_id""".stripMargin
 
+  /** q254 MMR diversified re-ranking (new r13) — Maximal Marginal
+    * Relevance (Carbonell & Goldstein, SIGIR 1998), the standard
+    * redundancy-killing reranker in front of a RAG context window: where
+    * q229 MEASURES a result set's diversity, this OPTIMIZES it. From the
+    * top-50 relevance candidates vs the vec_id-0 query, greedily select
+    * 10 results maximizing
+    *   mmr(c) = λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s),  λ = 0.7,
+    * in exact integers: rel and sim are the signed quantized cos²-ppm
+    * kernel (the q30/q163 scoring algebra), the objective is
+    * 700000·rel − 300000·maxsim with ties to the smaller vec_id, so the
+    * greedy trace is bit-deterministic and the DuckDB oracle replays all
+    * ten selection steps as unrolled CTEs (the integer-Lloyd precedent).
+    *
+    * Scale shape — the two-stage rerank contract (q218's): stage 1 is
+    * the corpus-sized part, ONE narrow scan + TakeOrderedAndProject to a
+    * candidate set bounded by a KNOB (50), zero shuffles; stage 2 (the
+    * greedy loop, quadratic in the candidate count) runs on the
+    * candidate-bounded frame on the driver — 50 rows and 50² integer
+    * sims, parameter-sized by construction (the topK·refine collect
+    * precedent in PortableAnn), which is exactly where every production
+    * reranker runs its selection loop. */
+  def q254(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val q = graft.ann.PortableAnn.quantized(
+      Tables.load(spark, dir, "embeddings"))
+    val (qvec, qn) = graft.ann.PortableAnn.queryVec(q, 0L)
+    val qLit = typedlit(qvec.toSeq)
+    val cand = q.filter(col("vec_id") =!= 0L)
+      .withColumn("dot", call_function("dot_i64", col("qv"), qLit))
+      .withColumn("qn", lit(qn))
+      .withColumn("rel", graft.ann.PortableAnn.cosPpmScore("dot", "nrm", "qn"))
+      .orderBy(desc("rel"), col("vec_id"))
+      .limit(50)
+      .select("vec_id", "qv", "nrm", "rel")
+      .collect()
+    val ids = cand.map(_.getLong(0))
+    val qvs = cand.map(_.getSeq[Long](1).toArray)
+    val nrms = cand.map(_.getLong(2))
+    val rels = cand.map(_.getLong(3))
+    def dot(a: Array[Long], b: Array[Long]): Long = {
+      var s = 0L; var i = 0
+      while (i < a.length && i < b.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    // signed cos²-ppm between candidates — MUST mirror cosPpmScore /
+    // the oracle's CASE exactly (integer floor division via BigInt.quot
+    // semantics: Scala / on positive longs == DuckDB // here because the
+    // numerator magnitude is used with the sign applied after)
+    def simPpm(i: Int, j: Int): Long = {
+      val d = dot(qvs(i), qvs(j))
+      val mag = d * d * 1000000L / (nrms(i) * nrms(j))
+      if (d >= 0) mag else -mag
+    }
+    val selected = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long)]()
+    val remaining = scala.collection.mutable.LinkedHashSet(ids.indices: _*)
+    while (selected.size < 10 && remaining.nonEmpty) {
+      val scored = remaining.toSeq.map { c =>
+        val maxSim =
+          if (selected.isEmpty) 0L
+          else selected.map(s => simPpm(c, ids.indexOf(s._2))).max
+        (700000L * rels(c) - 300000L * maxSim, c)
+      }
+      val best = scored.minBy { case (mmr, c) => (-mmr, ids(c)) }
+      selected += ((selected.size + 1L, ids(best._2), rels(best._2), best._1))
+      remaining -= best._2
+    }
+    selected.toSeq.toDF("rnk", "vec_id", "rel_x1e6", "mmr")
+      .orderBy("rnk")
+  }
+
+  val q254Sql: String = {
+    // every p_i is referenced twice by step i+1 (the NOT IN and the
+    // max-sim join) — inlined CTEs would expand the ten-step chain
+    // exponentially and exhaust file handles on the base scans, so the
+    // chain (and the shared cand/sims frames) is MATERIALIZED
+    val steps = (2 to 10).map { i =>
+      s"""sel$i AS (
+         |  SELECT c.vec_id, c.rel,
+         |    700000 * c.rel - 300000 * COALESCE((
+         |      SELECT MAX(s.sim) FROM sims s
+         |      JOIN p${i - 1} p ON s.vb = p.vec_id
+         |      WHERE s.va = c.vec_id), 0) AS mmr
+         |  FROM cand c
+         |  WHERE c.vec_id NOT IN (SELECT vec_id FROM p${i - 1})
+         |  ORDER BY mmr DESC, c.vec_id LIMIT 1
+         |), p$i AS MATERIALIZED (
+         |  SELECT * FROM p${i - 1}
+         |  UNION ALL SELECT vec_id, rel, mmr, $i FROM sel$i
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH qz AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 100) AS BIGINT)) AS qv
+      |  FROM embeddings
+      |), n AS (
+      |  SELECT vec_id, qv,
+      |    CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS nrm
+      |  FROM qz WHERE CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) > 0
+      |), q0 AS (
+      |  SELECT qv, nrm FROM n WHERE vec_id = 0
+      |), scored AS (
+      |  SELECT n.vec_id, n.qv, n.nrm,
+      |    CAST(list_sum(list_transform(range(1, len(n.qv) + 1),
+      |      i -> n.qv[i] * q0.qv[i])) AS BIGINT) AS dot, q0.nrm AS qn
+      |  FROM n CROSS JOIN q0 WHERE n.vec_id <> 0
+      |), cand AS MATERIALIZED (
+      |  SELECT vec_id, qv, nrm,
+      |    CASE WHEN dot >= 0 THEN dot * dot * 1000000 // (nrm * qn)
+      |         ELSE -(dot * dot * 1000000 // (nrm * qn)) END AS rel
+      |  FROM scored
+      |  ORDER BY rel DESC, vec_id LIMIT 50
+      |), dots AS (
+      |  SELECT a.vec_id AS va, b.vec_id AS vb, a.nrm AS na, b.nrm AS nb,
+      |    CAST(list_sum(list_transform(range(1, len(a.qv) + 1),
+      |      i -> a.qv[i] * b.qv[i])) AS BIGINT) AS d
+      |  FROM cand a JOIN cand b ON a.vec_id <> b.vec_id
+      |), sims AS MATERIALIZED (
+      |  SELECT va, vb,
+      |    CASE WHEN d >= 0 THEN d * d * 1000000 // (na * nb)
+      |         ELSE -(d * d * 1000000 // (na * nb)) END AS sim
+      |  FROM dots
+      |), sel1 AS (
+      |  SELECT vec_id, rel, CAST(700000 * rel AS BIGINT) AS mmr
+      |  FROM cand ORDER BY mmr DESC, vec_id LIMIT 1
+      |), p1 AS MATERIALIZED (
+      |  SELECT vec_id, rel, mmr, 1 AS rnk FROM sel1
+      |), $steps
+      |SELECT CAST(rnk AS BIGINT) AS rnk, vec_id,
+      |  CAST(rel AS BIGINT) AS rel_x1e6, CAST(mmr AS BIGINT) AS mmr
+      |FROM p10 ORDER BY rnk""".stripMargin
+  }
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    ("q254_mmr_rerank", q254 _, Some(q254Sql)),
     ("q106_dup_passages", q106 _, Some(q106Sql)),
     ("q186_boilerplate", q186 _, Some(q186Sql)),
     ("q107_interval_union", q107 _, Some(q107Sql)),

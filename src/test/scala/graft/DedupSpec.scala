@@ -183,6 +183,34 @@ class DedupSpec extends AnyFunSuite {
     assert(native == ref)
   }
 
+  test("containment: a quoted doc pairs at ~1.0 where resemblance-LSH is blind; unrelated docs drop") {
+    // doc 1 (10 tokens) is quoted verbatim inside doc 2 (210 tokens):
+    // containment = 1.0 while Jaccard ≈ 8/208 ≈ 0.04 — the asymmetry the
+    // operator exists for
+    val small = (1 to 10).map(i => s"tok$i").mkString(" ")
+    val big = small + " " + (100 to 299).map(i => s"pad$i").mkString(" ")
+    val other = (500 to 560).map(i => s"z$i").mkString(" ")
+    val d = docs((1L, small), (2L, big), (3L, other))
+    val pairs = Dedup.containmentPairs(d)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(pairs == Seq((1L, 2L, 1000000L)),
+      s"expected exactly the quoted pair at containment 1.0, got $pairs")
+    // the resemblance pipeline legitimately misses the same pair — the
+    // blind spot that motivates containment as a separate operator
+    val minhash = Dedup.minHashPairsPortableFrom(d, minJaccardX1e6 = 700000L)
+      .as[(Long, Long, Long)].collect()
+    assert(!minhash.exists(p => p._1 == 1L && p._2 == 2L),
+      "fixture broken: resemblance found the quote, containment adds nothing")
+  }
+
+  test("containment: pairs sharing only over-cap shingles are skipped by declared design") {
+    // 70 docs all share one stock phrase (df = 70 > cap 64) and nothing
+    // else distinctive pairwise — no anchors survive, no pairs emitted
+    val d = docs((1 to 70).map(i =>
+      (i.toLong, s"common stock phrase here u${i}a u${i}b u${i}c")): _*)
+    assert(Dedup.containmentPairs(d).count() == 0)
+  }
+
   test("adjacent n-gram jaccard: hand-computed value") {
     // doc1 bigrams {a b, b c}; doc2 bigrams {a b, b x} → J = 1/3
     val d = docs((1L, "a b c"), (2L, "a b x"))

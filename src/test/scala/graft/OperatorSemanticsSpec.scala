@@ -318,6 +318,29 @@ class OperatorSemanticsSpec extends AnyFunSuite {
     assert(Audit.nullKeyCount(df, "key") == 1)
   }
 
+  test("q253 snapshot diff: statuses partition the id universe along the declared buckets") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.hashBucket(col("doc_id"), 11).as("bk"))
+    val byBk = docs.groupBy("bk").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap.withDefaultValue(0L)
+    val total = byBk.values.sum
+    val got = graft.queries.Corpus.q253(spark, sf).collect()
+      .map(r => (r.getString(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      .withDefaultValue(0L)
+    // the derived v2 mutates exactly the declared buckets: 0 deleted,
+    // 1 changed, 2 cloned as added, the rest byte-identical
+    assert(got("deleted") == byBk(0L), s"deleted: $got vs $byBk")
+    assert(got("changed") == byBk(1L))
+    assert(got("added") == byBk(2L))
+    assert(got("unchanged") == total - byBk(0L) - byBk(1L))
+    // every status row accounted for — the diff is a partition, not a sample
+    assert(got.values.sum == total + byBk(2L))
+  }
+
   test("q177 padding audit: bucket caps are structural and the token identity holds") {
     val sf = "/root/testdata/sf0.001"
     val rows = graft.queries.Corpus.q177(spark, sf).collect()

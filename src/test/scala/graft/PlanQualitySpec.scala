@@ -12,8 +12,15 @@ class PlanQualitySpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   private val sf = "/root/testdata/sf0.001"
 
-  private def plan(name: String): String =
+  private def plan(name: String): String = {
+    // plan-shape assertions must be order-independent: a SharedFrames
+    // entry cached by an earlier suite in the same session turns a
+    // parquet scan into an InMemoryTableScan whose pretty-print embeds
+    // the cached subtree (and can double-count "Scan parquet"), so pin
+    // every assertion to the uncached plan
+    spark.catalog.clearCache()
     SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+  }
 
   test("q01: projection pruned to the selected columns at the scan") {
     val p = plan("q01_scan_project")

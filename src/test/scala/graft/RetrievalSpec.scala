@@ -14,6 +14,27 @@ class RetrievalSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   private val sf = "/root/testdata/sf0.001"
 
+  test("q254 MMR: first pick is the relevance argmax, picks are distinct, objective non-increasing") {
+    val rows = Retrieval.q254(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length == 10 && rows.map(_._1).sameElements(1L to 10L))
+    assert(rows.map(_._2).distinct.length == 10, "selected ids must be distinct")
+    // step 1 has no diversity penalty: it is the pure relevance argmax,
+    // and its mmr is exactly 700000·rel
+    assert(rows.head._4 == 700000L * rows.head._3)
+    assert(rows.head._3 == rows.map(_._3).max,
+      "first pick must be the top-relevance candidate")
+    // greedy MMR objective is non-increasing: each step's penalty only
+    // grows and the candidate pool only shrinks
+    val objs = rows.map(_._4)
+    assert(objs.zip(objs.tail).forall { case (a, b) => a >= b },
+      s"objective must be non-increasing: ${objs.toSeq}")
+    // the penalty term is real on this fixture: later steps carry a
+    // strictly smaller objective than 700000·rel (maxsim > 0 somewhere)
+    assert(rows.tail.exists(r => r._4 < 700000L * r._3),
+      "diversity penalty never engaged — reranker would be a no-op")
+  }
+
   test("q106 passages are 8 tokens wide and all counts are >= 2") {
     val rows = Retrieval.q106(spark, sf).collect()
     assert(rows.nonEmpty && rows.length <= 20)
