@@ -433,15 +433,29 @@ object Dedup {
     // legs are one canonical subplan, so ReuseExchange computes
     // explode+shuffle+count once and the cutoff costs one in-partition
     // counting pass — no census aggregate, no semi-join, no extra shuffle
-    val kept = exploded
+    val kept = graft.operators.Checkpoints.scratch(exploded
       .withColumn("bc", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("band", "bkey")))
-      .filter(col("bc") <= denseBucketCap)
+      .filter(col("bc") <= denseBucketCap))
     val l = kept.select(col("band"), col("bkey"),
       col("doc_id").as("doc_a"), col("simhash").as("sim_a"))
     val r = kept.select(col("band"), col("bkey"),
       col("doc_id").as("doc_b"), col("simhash").as("sim_b"))
-    l.join(r, Seq("band", "bkey")).filter(col("doc_a") < col("doc_b"))
+    // SHUFFLE_HASH, pinned (r13, measured): the legs are corpus-derived,
+    // so a broadcast is never scale-safe — and Catalyst would pick one
+    // here by accident: the scratch fingerprint frame's LogicalRDD stats
+    // are per-DOC bytes and the size estimate does not grow through the
+    // C(10,j)-way Generate, so the exploded side statically "fits" the
+    // broadcast threshold (observed at ×64: a 14.4M-row build side
+    // broadcast off a 5 MB estimate). A sort-merge join is scale-safe but
+    // measured 33 s at ×64 — banded keys have large equal-key groups and
+    // SMJ buffers/rescans the inner group per outer row. The shuffled
+    // hash join keeps the hash-probe inner loop with both sides
+    // co-partitioned on (band, bkey): per-partition build memory, no
+    // driver collect, AQE skew split still applies — 8.7 s at ×64, the
+    // BHJ's speed with the SMJ's scale shape.
+    l.hint("shuffle_hash").join(r, Seq("band", "bkey"))
+      .filter(col("doc_a") < col("doc_b"))
       .withColumn("hamming",
         bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast(LongType))
       .filter(col("hamming") <= maxHamming)
