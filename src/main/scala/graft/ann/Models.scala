@@ -82,7 +82,7 @@ object Models {
   * rewritten corpus gets a fresh index automatically and an unchanged one
   * is never retrained; "built" is the codes table's `_SUCCESS` marker
   * (written last, so a partial build never reads as complete). */
-private[ann] object IndexPaths {
+private[graft] object IndexPaths {
 
   /** Human-readable slug + a short md5 of the RAW path. The readable part
     * alone is lossy (all non-alphanumeric runs collapse to '-', so
@@ -99,9 +99,12 @@ private[ann] object IndexPaths {
     if (base.isEmpty) h else s"$base-$h"
   }
 
+  /** `table` names the parquet table whose file fingerprint stamps the
+    * path — "embeddings" for the vector indexes, "documents" for the text
+    * signature store. */
   def indexPath(spark: SparkSession, corpusDir: String,
-      prefix: String): String = {
-    val stamp = Models.corpusStamp(spark, corpusDir)
+      prefix: String, table: String = "embeddings"): String = {
+    val stamp = Models.corpusStamp(spark, corpusDir, table)
     s"${System.getProperty("java.io.tmpdir")}/$prefix-${slugOf(corpusDir)}-$stamp"
   }
 

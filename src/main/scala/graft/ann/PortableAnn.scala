@@ -381,7 +381,7 @@ object PortableIvfPqIndex {
     try out.write(s.getBytes("UTF-8")) finally out.close()
   }
 
-  private def withWriterLease[T](spark: SparkSession, path: String)
+  private[graft] def withWriterLease[T](spark: SparkSession, path: String)
       (body: => T): T = synchronized {
     val lease = new org.apache.hadoop.fs.Path(leaseFile(path))
     val h = fs(spark, lease)

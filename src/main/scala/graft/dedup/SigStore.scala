@@ -1,0 +1,146 @@
+package graft.dedup
+
+import graft.ann.IndexPaths
+import graft.functions.{TextFunctions => T}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** PERSISTED MinHash signature store — the text twin of the persisted
+  * IVF-PQ index ([[graft.ann.PortableIvfPqIndex]]), and the deployment
+  * shape q185's docstring promises ("the existing side's band keys come
+  * from the persisted signature index"): ingestion-time near-dup checks
+  * run on every batch, and recomputing the EXISTING corpus's signatures
+  * per batch — md5 over every shingle of every document — is the dominant
+  * cost, ~40× the band join it feeds. The store writes the base corpus's
+  * eight Carter-Wegman permuted minima ONCE per corpus (10 slim longs per
+  * document), stamp-keyed exactly like the vector indexes (a corpus
+  * rewrite gets a fresh store, an unchanged one never recomputes), and a
+  * batch probe pays only its own narrow signature map plus a band join
+  * against the slim store.
+  *
+  * Store schema: (doc_id, s0..s7) for every base document with ≥ 1
+  * shingle. Writers hold the same cross-process lease as the vector
+  * index verbs; "built" is the parquet `_SUCCESS` (single write — no
+  * multi-step marker needed).
+  *
+  * Every value is the q99 portable algebra (md5-60-bit shingles,
+  * Carter-Wegman permutations over the Mersenne prime), so a DuckDB
+  * oracle replays the store build AND the probe bit-for-bit — the serve
+  * sits under the hash gate like the rest of the lifecycle family.
+  */
+object PortableSigStore {
+
+  /** q185's arrival convention: md5 bucket 0-of-10 of doc_ids is the
+    * incoming batch; everything else is the existing corpus the store
+    * indexes. */
+  val NewMod = 10
+  val NewBucket = 0
+
+  private val MersenneP = 2147483647L
+  private val PermAs = Seq(1299709L, 15485863L, 32452843L, 49979687L,
+    67867967L, 86028121L, 104395301L, 122949823L)
+  private val PermBs = Seq(7L, 101L, 1009L, 10007L, 100003L, 1000003L,
+    9999991L, 999983L)
+
+  /** (doc_id, hs, s0..s7) for the given docs — the shared portable
+    * signature map, computed NARROW (no shuffle); `hs` kept for callers
+    * that verify candidates without a second corpus scan. Null-signature
+    * (shingle-less) docs are retained; filter `s0 IS NOT NULL` to band. */
+  private def sigs(docs: DataFrame): DataFrame = {
+    val hs = array_distinct(T.portableShingleHashes(col("text"), 3))
+    docs.select(Seq(col("doc_id"), hs.as("hs")) ++ (0 until 8).map { i =>
+      array_min(transform(hs,
+        h => (lit(PermAs(i)) * (h % MersenneP) + PermBs(i)) % MersenneP))
+        .as(s"s$i")
+    }: _*)
+  }
+
+  /** Build-once gate (the [[graft.ann.PortableIvfPqIndex.ensureBuilt]]
+    * discipline, stamped on the DOCUMENTS table): writes the base-corpus
+    * signature table on first use, reuses it for the corpus lifetime,
+    * prunes stores superseded by a corpus rewrite. */
+  def ensureBuilt(spark: SparkSession, corpusDir: String): String = {
+    val path = IndexPaths.indexPath(spark, corpusDir, "graft-sigstore",
+      table = "documents")
+    if (!IndexPaths.markerExists(spark, s"$path/sigs/_SUCCESS"))
+      graft.ann.PortableIvfPqIndex.withWriterLease(spark, path) {
+        if (!IndexPaths.markerExists(spark, s"$path/sigs/_SUCCESS")) {
+          val base = graft.Tables.parallelized(
+            graft.Tables.load(spark, corpusDir, "documents"))
+            .filter(T.hashBucket(col("doc_id"), NewMod) =!= NewBucket)
+          sigs(base).filter(col("s0").isNotNull)
+            .select((Seq(col("doc_id")) ++ (0 until 8).map(i => col(s"s$i"))): _*)
+            .write.mode("overwrite").parquet(s"$path/sigs")
+          IndexPaths.pruneSuperseded(spark, corpusDir, "graft-sigstore", path)
+        }
+      }
+    path
+  }
+
+  /** Batch near-dup probe against the persisted store: for EVERY incoming
+    * batch document (the md5 arrival bucket), the best existing match at
+    * Jaccard ≥ `minJaccardX1e6` — or (-1, 0) when none. Returns
+    * (doc_id, match_id, jaccard_x1e6, is_dup) ordered by doc_id.
+    *
+    * Scale shape: the batch signature map is NARROW and batch-sized (the
+    * amortization the store exists for — the corpus-sized signature work
+    * happened once at build); candidates come from a 4×2-band equi-join
+    * of two slim exploded frames (batch bands are batch-sized; store
+    * bands are 4 rows per base doc of three longs); the exact-Jaccard
+    * verify joins shingle sets ONLY for candidate docs (the
+    * lshJaccardPairs semi-join discipline — base shingles are recomputed
+    * for the candidate subset, never the corpus); the best-match argmax
+    * is one max_by aggregate keyed by the batch doc. */
+  def batchProbe(spark: SparkSession, corpusDir: String,
+      minJaccardX1e6: Long = 700000L): DataFrame = {
+    val path = ensureBuilt(spark, corpusDir)
+    val store = spark.read.parquet(s"$path/sigs")
+    val docs = graft.Tables.parallelized(
+      graft.Tables.load(spark, corpusDir, "documents"))
+    val isNew = T.hashBucket(col("doc_id"), NewMod) === NewBucket
+    val batchDocs = docs.filter(isNew)
+    val batchSigs = sigs(batchDocs).filter(col("s0").isNotNull)
+
+    def bandFrame(s: DataFrame, id: String): DataFrame = {
+      val bandCols = (0 until 4).map { j =>
+        struct(lit(j).as("band"),
+          col(s"s${2 * j}").as("k1"), col(s"s${2 * j + 1}").as("k2"))
+      }
+      s.select(col("doc_id").as(id), explode(array(bandCols: _*)).as("bk"))
+        .select(col(id), col("bk.band").as("band"),
+          col("bk.k1").as("k1"), col("bk.k2").as("k2"))
+    }
+    val cand = bandFrame(batchSigs, "new_id")
+      .join(bandFrame(store, "base_id"), Seq("band", "k1", "k2"))
+      .select("new_id", "base_id").distinct()
+
+    // exact verify on candidates only: batch shingles ride along (batch-
+    // sized); base shingles recomputed for the candidate subset
+    val baseSh = docs
+      .join(cand.select(col("base_id").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_semi")
+      .select(col("doc_id").as("base_id"),
+        array_distinct(T.portableShingleHashes(col("text"), 3)).as("hs_e"))
+    val verified = cand
+      .join(batchSigs.select(col("doc_id").as("new_id"), col("hs")), "new_id")
+      .join(baseSh, "base_id")
+      .withColumn("i", size(array_intersect(col("hs"), col("hs_e"))).cast(LongType))
+      .withColumn("u",
+        size(col("hs")).cast(LongType) + size(col("hs_e")).cast(LongType) - col("i"))
+      .withColumn("jac", floor(lit(1000000.0) * col("i") / col("u")))
+      .filter(col("jac") >= minJaccardX1e6)
+    val best = verified.groupBy("new_id")
+      .agg(max_by(struct(col("base_id"), col("jac")),
+        struct(col("jac"), -col("base_id"))).as("b"))
+      .select(col("new_id").as("doc_id"),
+        col("b.base_id").as("match_id"), col("b.jac").as("jaccard_x1e6"))
+    batchDocs.select("doc_id")
+      .join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("match_id"), lit(-1L)).as("match_id"),
+        coalesce(col("jaccard_x1e6"), lit(0L)).as("jaccard_x1e6"),
+        col("match_id").isNotNull.cast(IntegerType).as("is_dup"))
+      .orderBy("doc_id")
+  }
+}

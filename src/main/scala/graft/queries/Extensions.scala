@@ -163,6 +163,69 @@ object Extensions {
       |WHERE 1000000 * i // LEAST(sa.nsh, sb.nsh) >= 700000
       |ORDER BY containment_ppm DESC, doc_a, doc_b LIMIT 20""".stripMargin
 
+  /** q255 PERSISTED-signature-store batch probe (new r13) — the
+    * deployment shape q185's docstring promised: the existing corpus's
+    * MinHash signatures live in a stamp-keyed parquet store (built once
+    * per corpus — the q103/q247 build-once discipline applied to TEXT),
+    * and each arrival batch pays only its own narrow signature map plus
+    * a band join against the slim store. Emits every batch doc with its
+    * best existing match at J ≥ 0.7 (or −1). See
+    * [[graft.dedup.PortableSigStore]]. */
+  def q255(spark: SparkSession, dir: String): DataFrame =
+    graft.dedup.PortableSigStore.batchProbe(spark, dir)
+
+  val q255Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      |), sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
+      |    i -> CAST('0x' || substr(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]), 1, 15) AS BIGINT))) AS hs
+      |  FROM toks WHERE len(w) >= 3
+      |), sig AS (
+      |  SELECT doc_id, hs,
+      |    list_min(list_transform(hs, h -> (1299709 * (h % 2147483647) + 7) % 2147483647)) AS s0,
+      |    list_min(list_transform(hs, h -> (15485863 * (h % 2147483647) + 101) % 2147483647)) AS s1,
+      |    list_min(list_transform(hs, h -> (32452843 * (h % 2147483647) + 1009) % 2147483647)) AS s2,
+      |    list_min(list_transform(hs, h -> (49979687 * (h % 2147483647) + 10007) % 2147483647)) AS s3,
+      |    list_min(list_transform(hs, h -> (67867967 * (h % 2147483647) + 100003) % 2147483647)) AS s4,
+      |    list_min(list_transform(hs, h -> (86028121 * (h % 2147483647) + 1000003) % 2147483647)) AS s5,
+      |    list_min(list_transform(hs, h -> (104395301 * (h % 2147483647) + 9999991) % 2147483647)) AS s6,
+      |    list_min(list_transform(hs, h -> (122949823 * (h % 2147483647) + 999983) % 2147483647)) AS s7
+      |  FROM sh
+      |), base AS (
+      |  SELECT * FROM sig
+      |  WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 10 <> 0
+      |), bat AS (
+      |  SELECT * FROM sig
+      |  WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 10 = 0
+      |), cand AS (
+      |  SELECT n.doc_id AS nid, e.doc_id AS eid, n.hs AS hn, e.hs AS he
+      |  FROM bat n JOIN base e ON (
+      |    (n.s0 = e.s0 AND n.s1 = e.s1) OR (n.s2 = e.s2 AND n.s3 = e.s3) OR
+      |    (n.s4 = e.s4 AND n.s5 = e.s5) OR (n.s6 = e.s6 AND n.s7 = e.s7))
+      |), j AS (
+      |  SELECT nid, eid, len(list_intersect(hn, he)) AS i,
+      |    len(hn) + len(he) - len(list_intersect(hn, he)) AS u
+      |  FROM cand
+      |), v AS (
+      |  SELECT nid, eid, CAST(FLOOR(1000000.0 * i / u) AS BIGINT) AS jac
+      |  FROM j WHERE FLOOR(1000000.0 * i / u) >= 700000
+      |), best AS (
+      |  SELECT nid, eid, jac,
+      |    ROW_NUMBER() OVER (PARTITION BY nid ORDER BY jac DESC, eid) AS rk
+      |  FROM v
+      |), allb AS (
+      |  SELECT doc_id FROM documents
+      |  WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 10 = 0
+      |)
+      |SELECT a.doc_id,
+      |  CAST(COALESCE(b.eid, -1) AS BIGINT) AS match_id,
+      |  CAST(COALESCE(b.jac, 0) AS BIGINT) AS jaccard_x1e6,
+      |  CAST(b.eid IS NOT NULL AS INTEGER) AS is_dup
+      |FROM allb a
+      |LEFT JOIN (SELECT * FROM best WHERE rk = 1) b ON b.nid = a.doc_id
+      |ORDER BY doc_id""".stripMargin
+
   /** q29 exact word-bigram Jaccard over a linear pair stream — the dedup
     * verification kernel, oracle-checked. */
   def q29(spark: SparkSession, dir: String): DataFrame =
@@ -2272,6 +2335,7 @@ object Extensions {
     ("q27_dedup_minhash_lsh", q27 _, Some(q27Sql)),
     ("q28_dedup_simhash", q28 _, Some(q28Sql)),
     ("q252_containment_dedup", q252 _, Some(q252Sql)),
+    ("q255_sigstore_probe", q255 _, Some(q255Sql)),
     ("q29_ngram_jaccard", q29 _, Some(q29Sql)),
     ("q30_embed_neardup_lsh", q30 _, Some(q30Sql)),
     ("q31_knn_cosine_brute", q31 _, Some(q31Sql)),

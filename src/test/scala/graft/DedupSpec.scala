@@ -211,6 +211,35 @@ class DedupSpec extends AnyFunSuite {
     assert(Dedup.containmentPairs(d).count() == 0)
   }
 
+  test("sig store: built once per corpus stamp, probe serves from the persisted table") {
+    val sf = "/root/testdata/sf0.001"
+    val first = graft.dedup.PortableSigStore.batchProbe(spark, sf).collect()
+    val path = graft.dedup.PortableSigStore.ensureBuilt(spark, sf)
+    val dir = new java.io.File(s"$path/sigs")
+    assert(dir.exists, "store parquet missing after build")
+    def stamp(): Seq[(String, Long)] = dir.listFiles.toSeq
+      .map(f => (f.getName, f.lastModified)).sortBy(_._1)
+    val before = stamp()
+    // second probe: the store must be REUSED byte-for-byte (no rebuild)
+    val second = graft.dedup.PortableSigStore.batchProbe(spark, sf).collect()
+    assert(stamp() == before, "unchanged corpus must never rebuild the store")
+    assert(first.map(_.toSeq).toSeq == second.map(_.toSeq).toSeq)
+    // the store indexes ONLY the existing corpus (arrival bucket excluded)
+    val stored = spark.read.parquet(s"$path/sigs").select("doc_id")
+    val leaked = stored.filter(graft.functions.TextFunctions
+      .hashBucket(col("doc_id"), graft.dedup.PortableSigStore.NewMod)
+        === graft.dedup.PortableSigStore.NewBucket).count()
+    assert(leaked == 0, "arrival-bucket docs must not be in the store")
+    // every batch doc appears exactly once; misses carry the (-1, 0) shape
+    val ids = first.map(_.getLong(0))
+    assert(ids.distinct.length == ids.length && ids.nonEmpty)
+    first.foreach { r =>
+      val (m, j, d) = (r.getLong(1), r.getLong(2), r.getInt(3))
+      if (d == 0) assert(m == -1L && j == 0L)
+      else assert(m >= 0L && j >= 700000L)
+    }
+  }
+
   test("adjacent n-gram jaccard: hand-computed value") {
     // doc1 bigrams {a b, b c}; doc2 bigrams {a b, b x} → J = 1/3
     val d = docs((1L, "a b c"), (2L, "a b x"))

@@ -795,6 +795,58 @@ class PlanQualitySpec extends AnyFunSuite {
       s"lineitem scan not pruned to the fk column:\n$p")
   }
 
+  test("q28: band self-join is a pinned shuffle-hash — never a broadcast of the corpus-derived side") {
+    // r13 optimizer-hazard pin: Generate does not scale size estimates, so
+    // Catalyst statically broadcast the exploded side off the checkpointed
+    // per-doc frame's stats. A corpus-derived build side must never
+    // broadcast; the pinned SHUFFLE_HASH keeps the hash probe with the
+    // co-partitioned scale shape.
+    val p = plan("q28_dedup_simhash")
+    assert(p.contains("ShuffledHashJoin"),
+      s"band join must be the pinned shuffle-hash:\n$p")
+    assert(!p.contains("BroadcastHashJoin"),
+      s"no side of the band join is broadcast-safe at scale:\n$p")
+  }
+
+  test("q252: containment never cartesians; anchors gate the pair join") {
+    val p = plan("q252_containment_dedup")
+    assert(!p.contains("CartesianProduct"),
+      s"candidate discovery must stay anchor-keyed:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-20 must not global-sort:\n$p")
+  }
+
+  test("q253: the diff is ONE doc_id-keyed full-outer join plus a combined rollup") {
+    val p = plan("q253_snapshot_diff")
+    assert(p.contains("FullOuter"), s"diff must be a full-outer join:\n$p")
+    assert("FullOuter".r.findAllIn(p).length == 1,
+      s"exactly one corpus-sized join belongs here:\n$p")
+    assert(p.contains("partial_count"),
+      s"the (source, status) rollup must combine map-side:\n$p")
+  }
+
+  test("q254: stage 1 is a candidate-bounded TakeOrderedAndProject, zero corpus shuffles") {
+    // the two-stage rerank contract: the corpus-sized stage must be one
+    // narrow scan + top-50, with the greedy loop on the bounded candidates
+    val q = graft.ann.PortableAnn.quantized(
+      Tables.load(spark, sf, "embeddings"))
+    val (qv, qn) = graft.ann.PortableAnn.queryVec(q, 0L)
+    val stage1 = q.filter(org.apache.spark.sql.functions.col("vec_id") =!= 0L)
+      .withColumn("dot", org.apache.spark.sql.functions.call_function(
+        "dot_i64", org.apache.spark.sql.functions.col("qv"),
+        org.apache.spark.sql.functions.typedlit(qv.toSeq)))
+      .withColumn("qn", org.apache.spark.sql.functions.lit(qn))
+      .withColumn("rel", graft.ann.PortableAnn.cosPpmScore("dot", "nrm", "qn"))
+      .orderBy(org.apache.spark.sql.functions.desc("rel"),
+        org.apache.spark.sql.functions.col("vec_id"))
+      .limit(50)
+    val p = stage1.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"),
+      s"candidate generation must not global-sort:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"candidate generation must not shuffle the corpus:\n$p")
+  }
+
   test("q249: LM joins broadcast, one doc-keyed shuffle, top-15 never global-sorts") {
     val p = plan("q249_lm_quality")
     // the trigram LM is charset^3-bounded — it must broadcast, never
