@@ -484,25 +484,28 @@ object Dedup {
     * shingle's df > dfCap) is missed BY DESIGN: such pairs share stock
     * phrases, not distinctive content, and are near-dup noise rather than
     * quotation signal — the same declared trade as q244's anchor cap.
-    * Verification is exact: shingle-row intersection counts for candidate
-    * docs only (the lshJaccardPairs semi-join discipline), integer
-    * containment in ppm. Every hash is the portable md5-60-bit shingle
-    * (T.portableShingleHashes), so the DuckDB oracle replays discovery
-    * AND verification bit-for-bit.
+    * Verification is exact, and ARRAY-based (the lshJaccardPairs shape):
+    * candidate pairs join the per-doc distinct-shingle ARRAYS (computed
+    * only for candidate docs via a semi-join) and a codegen'd
+    * array_intersect scores each pair — cost ∝ candidate pairs. The
+    * first cut verified by row intersection instead (cand ⋈ shingle-rows
+    * ⋈ shingle-rows), whose join volume is Σ_pairs |sh(doc_a)| — probed
+    * at 72.6M rows for 1.13M candidates on the base fixture, 9–10 s of
+    * pure shuffle that the array verify does not pay. Every hash is the
+    * portable md5-60-bit shingle (T.portableShingleHashes), so the
+    * DuckDB oracle replays discovery AND verification bit-for-bit.
     *
-    * Scale shape: one exploded shingle frame (scratch-barriered — it
-    * feeds the df census, the per-doc sizes, the anchor semi-join, and
-    * the candidate-only verify fetch) → df-capped bucket self-join →
-    * row-intersection aggregate → TakeOrderedAndProject. */
+    * Scale shape: one exploded shingle frame (NOT barriered — its two
+    * consumers, the df census and the anchor semi-join, hash-shuffle on
+    * the same key, so ReuseExchange computes it once) → df-capped bucket
+    * self-join → candidate-only array verify → TakeOrderedAndProject. */
   def containmentPairs(docs0: DataFrame, shingleLen: Int = 3,
       dfCap: Int = 64, minContainPpm: Long = 700000L,
       k: Int = 20): DataFrame = {
     val docs = graft.Tables.parallelized(docs0)
-    val sh = graft.operators.Checkpoints.scratch(
-      docs.select(col("doc_id"),
-        explode(array_distinct(
-          T.portableShingleHashes(col("text"), shingleLen))).as("h")))
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
+    val sh = docs.select(col("doc_id"),
+      explode(array_distinct(
+        T.portableShingleHashes(col("text"), shingleLen))).as("h"))
     val rare = sh.groupBy("h").agg(count(lit(1)).as("df"))
       .filter(col("df").between(2, dfCap)).select("h")
     val anch = sh.join(rare, Seq("h"), "left_semi")
@@ -512,13 +515,15 @@ object Dedup {
       .select("doc_a", "doc_b").distinct()
     val candDocs = cand.select(col("doc_a").as("doc_id"))
       .union(cand.select(col("doc_b").as("doc_id"))).distinct()
-    val chs = sh.join(candDocs, Seq("doc_id"), "left_semi")
+    val sets = docs.join(candDocs, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), array_distinct(
+        T.portableShingleHashes(col("text"), shingleLen)).as("hs"))
     cand
-      .join(chs.select(col("doc_id").as("doc_a"), col("h")), Seq("doc_a"))
-      .join(chs.select(col("doc_id").as("doc_b"), col("h")), Seq("doc_b", "h"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
-      .join(sizes.select(col("doc_id").as("doc_a"), col("nsh").as("na")), "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("nsh").as("nb")), "doc_b")
+      .join(sets.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("hs_a"), col("hs_b"))).cast(LongType))
+      .withColumn("na", size(col("hs_a")).cast(LongType))
+      .withColumn("nb", size(col("hs_b")).cast(LongType))
       .withColumn("containment_ppm",
         expr("1000000 * inter div least(na, nb)"))
       .filter(col("containment_ppm") >= minContainPpm)
