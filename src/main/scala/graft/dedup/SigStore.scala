@@ -92,14 +92,17 @@ object PortableSigStore {
     * lshJaccardPairs semi-join discipline — base shingles are recomputed
     * for the candidate subset, never the corpus); the best-match argmax
     * is one max_by aggregate keyed by the batch doc. */
-  def batchProbe(spark: SparkSession, corpusDir: String,
-      minJaccardX1e6: Long = 700000L): DataFrame = {
-    val path = ensureBuilt(spark, corpusDir)
+  /** Shared probe kernel: best existing match per doc of `batchDocs`
+    * (a frame with doc_id + text) against the persisted store at `path` —
+    * (doc_id, match_id, jaccard_x1e6) for MATCHED docs only. Base shingle
+    * arrays for the verify come from the corpus table, recomputed for the
+    * candidate subset only. */
+  private def bestMatches(spark: SparkSession, path: String,
+      corpusDir: String, batchDocs: DataFrame,
+      minJaccardX1e6: Long): DataFrame = {
     val store = spark.read.parquet(s"$path/sigs")
     val docs = graft.Tables.parallelized(
       graft.Tables.load(spark, corpusDir, "documents"))
-    val isNew = T.hashBucket(col("doc_id"), NewMod) === NewBucket
-    val batchDocs = docs.filter(isNew)
     val batchSigs = sigs(batchDocs).filter(col("s0").isNotNull)
 
     def bandFrame(s: DataFrame, id: String): DataFrame = {
@@ -130,11 +133,20 @@ object PortableSigStore {
         size(col("hs")).cast(LongType) + size(col("hs_e")).cast(LongType) - col("i"))
       .withColumn("jac", floor(lit(1000000.0) * col("i") / col("u")))
       .filter(col("jac") >= minJaccardX1e6)
-    val best = verified.groupBy("new_id")
+    verified.groupBy("new_id")
       .agg(max_by(struct(col("base_id"), col("jac")),
         struct(col("jac"), -col("base_id"))).as("b"))
       .select(col("new_id").as("doc_id"),
         col("b.base_id").as("match_id"), col("b.jac").as("jaccard_x1e6"))
+  }
+
+  def batchProbe(spark: SparkSession, corpusDir: String,
+      minJaccardX1e6: Long = 700000L): DataFrame = {
+    val path = ensureBuilt(spark, corpusDir)
+    val batchDocs = graft.Tables.parallelized(
+      graft.Tables.load(spark, corpusDir, "documents"))
+      .filter(T.hashBucket(col("doc_id"), NewMod) === NewBucket)
+    val best = bestMatches(spark, path, corpusDir, batchDocs, minJaccardX1e6)
     batchDocs.select("doc_id")
       .join(best, Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -143,4 +155,40 @@ object PortableSigStore {
         col("match_id").isNotNull.cast(IntegerType).as("is_dup"))
       .orderBy("doc_id")
   }
+
+  /** Near-dup GATE over an arbitrary document frame: the rows of `batch`
+    * with NO existing match at the threshold — the filter an ingestion
+    * pipeline applies before admitting new documents. Batch semantics
+    * (candidates → verify → anti-join), so streams use it through
+    * [[gateStream]]'s foreachBatch. */
+  def gateBatch(spark: SparkSession, corpusDir: String, batch: DataFrame,
+      minJaccardX1e6: Long = 700000L): DataFrame = {
+    val path = ensureBuilt(spark, corpusDir)
+    batch.join(
+      bestMatches(spark, path, corpusDir, batch, minJaccardX1e6)
+        .select("doc_id"),
+      Seq("doc_id"), "left_anti")
+  }
+
+  /** STREAMING ingest gate against the persisted store: each micro-batch
+    * of documents is probed under the FROZEN store and only docs with no
+    * existing near-dup land in `outDir`. The probe needs batch semantics
+    * (a candidates → verify → anti-join subquery has no incremental
+    * streaming form), so the stream runs through foreachBatch; survivors
+    * write to a batch-stamped subdir with OVERWRITE, which makes the
+    * at-least-once replay exactly-once by idempotence — a retried batch
+    * rewrites its own directory rather than appending a duplicate (the
+    * lighter cousin of the index ingest's staged name-keyed commit: here
+    * each batch owns a whole directory, so overwrite IS the commit
+    * protocol, no ledger needed). Readers take `outDir/batch-*`. */
+  def gateStream(spark: SparkSession, corpusDir: String,
+      docStream: DataFrame, outDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docStream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        gateBatch(spark, corpusDir, batch.toDF())
+          .write.mode("overwrite").parquet(s"$outDir/batch-$id")
+      }
+      .start()
 }

@@ -508,6 +508,49 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming near-dup gate against the persisted sig store == batch q255 survivors; replay idempotent") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    // the q255 batch twin: survivors are exactly the is_dup = 0 rows
+    val want = graft.queries.Extensions.q255(spark, sf)
+      .filter(col("is_dup") === 0).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    // stage the arrival bucket as 3 files -> 3 micro-batches
+    val arrivals = Tables.load(spark, sf, "documents")
+      .filter(graft.functions.TextFunctions.hashBucket(col("doc_id"),
+        graft.dedup.PortableSigStore.NewMod)
+        === graft.dedup.PortableSigStore.NewBucket)
+      .select("doc_id", "text")
+    val landing = java.nio.file.Files.createTempDirectory("gate_landing").toString
+    val rows = arrivals.collect()
+    rows.grouped(math.max(1, rows.length / 3 + 1)).zipWithIndex.foreach {
+      case (g, i) =>
+        g.map(r => (r.getLong(0), r.getString(1))).toSeq.toDF("doc_id", "text")
+          .coalesce(1).write.mode("overwrite").parquet(s"$landing/f$i")
+    }
+    val stream = spark.readStream.schema(arrivals.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$landing/f*")
+    val out = java.nio.file.Files.createTempDirectory("gate_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("gate_ckpt").toString
+    val q = graft.dedup.PortableSigStore.gateStream(spark, sf, stream, out, ckpt)
+    try q.processAllAvailable() finally q.stop()
+    def survivors(): Seq[Long] = spark.read.parquet(s"$out/batch-*")
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    val got = survivors()
+    assert(got.toSet == want, s"gated stream diverges from the batch twin")
+    assert(got.distinct.length == got.length, "gate emitted duplicates")
+    // at-least-once replay: re-running a batch's commit overwrites its own
+    // directory — exactly-once by idempotence, no ledger needed
+    val b0 = spark.read.parquet(s"$out/batch-0").select("doc_id", "text")
+    graft.dedup.PortableSigStore.gateBatch(spark, sf,
+      Tables.load(spark, sf, "documents")
+        .join(b0.select("doc_id"), Seq("doc_id"), "left_semi")
+        .select("doc_id", "text"))
+      .write.mode("overwrite").parquet(s"$out/batch-0")
+    assert(survivors().toSet == want && survivors().length == got.length,
+      "replayed batch commit must be a no-op on the survivor set")
+  }
+
   test("streaming index ingest == batch build: per-micro-batch frozen-model appends") {
     import graft.ann.{PortableAnn, PortableIvfPqIndex}
     import spark.implicits._
