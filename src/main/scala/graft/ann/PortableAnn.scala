@@ -57,7 +57,7 @@ object PortableAnn {
   /** Portable hash-sample (md5-60-bit of the id — what DuckDB's
     * `CAST('0x'||substr(md5(id),1,15) AS BIGINT)` computes), topped up with
     * `vec_id < topUp` so tiny fixtures always cover the init set. */
-  private def sampled(q: DataFrame, mod: Int, topUp: Int): DataFrame =
+  private[graft] def sampled(q: DataFrame, mod: Int, topUp: Int): DataFrame =
     q.filter(T.portableHash60(col("vec_id")) % mod === 0 ||
       col("vec_id") < topUp)
 

@@ -267,7 +267,7 @@ object Extensions {
   /** Shared DuckDB CTE prefix for the whole portable vector family
     * (q30/q32/q49/q80/q103): quantize to int64 (⌊x·100⌋) and norm-filter —
     * the exact integer algebra of [[graft.ann.PortableAnn.quantized]]. */
-  private val portableQuantCte: String =
+  private[queries] val portableQuantCte: String =
     """q AS (
       |  SELECT vec_id,
       |    list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 100) AS BIGINT)) AS qv
@@ -425,7 +425,7 @@ object Extensions {
   }
 
   /** Integer-L2 DuckDB fragment: ‖a−b‖² over 1-based list slots. */
-  private def l2Sql(a: String, b: String, dim: Int): String =
+  private[queries] def l2Sql(a: String, b: String, dim: Int): String =
     s"CAST(list_sum(list_transform(range(1, ${dim + 1}), " +
       s"i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))) AS BIGINT)"
 
@@ -433,35 +433,37 @@ object Extensions {
     * md5 hash-sample (`samp`) → lowest-id init (`c0`) → `iters` unrolled
     * Lloyd rounds (assign `aN` by integer L2 with ties to the smaller cid,
     * update `cN` by truncating-division means, empty clusters keeping their
-    * previous centroid). Final model CTE: `c<iters>`. */
-  private def ivfTrainCtes(nC: Int, mod: Int, topUp: Int, dim: Int,
-      iters: Int, src: String = "n"): String = {
+    * previous centroid). Final model CTE: `<pfx>c<iters>`. `pfx` namespaces
+    * every CTE so several trains (the tiered-k arms of
+    * [[Semantic.tieredTrainCtes]]) can coexist in one WITH clause. */
+  private[queries] def ivfTrainCtes(nC: Int, mod: Int, topUp: Int, dim: Int,
+      iters: Int, src: String = "n", pfx: String = ""): String = {
     val sb = new StringBuilder
-    sb ++= s"""samp AS (
+    sb ++= s"""${pfx}samp AS (
       |  SELECT vec_id, qv FROM $src
       |  WHERE CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT) % $mod = 0
       |     OR vec_id < $topUp
-      |), c0 AS (
+      |), ${pfx}c0 AS (
       |  SELECT vec_id AS cid, qv AS cvec
-      |  FROM (SELECT vec_id, qv FROM samp ORDER BY vec_id LIMIT $nC)
+      |  FROM (SELECT vec_id, qv FROM ${pfx}samp ORDER BY vec_id LIMIT $nC)
       |)""".stripMargin
     for (it <- 1 to iters) {
-      sb ++= s""", a$it AS (
+      sb ++= s""", ${pfx}a$it AS (
       |  SELECT vec_id, qv, cid FROM (
       |    SELECT s.vec_id, s.qv, c.cid,
       |      ROW_NUMBER() OVER (PARTITION BY s.vec_id ORDER BY
       |        ${l2Sql("s.qv", "c.cvec", dim)}, c.cid) AS rn
-      |    FROM samp s CROSS JOIN c${it - 1} c) t
+      |    FROM ${pfx}samp s CROSS JOIN ${pfx}c${it - 1} c) t
       |  WHERE rn = 1
-      |), m$it AS (
+      |), ${pfx}m$it AS (
       |  SELECT cid, r.i AS pos,
       |    CAST(SUM(qv[r.i + 1]) AS BIGINT) // COUNT(*) AS mv
-      |  FROM a$it CROSS JOIN range(0, $dim) r(i)
+      |  FROM ${pfx}a$it CROSS JOIN range(0, $dim) r(i)
       |  GROUP BY cid, r.i
-      |), c$it AS (
+      |), ${pfx}c$it AS (
       |  SELECT c.cid, COALESCE(u.cvec, c.cvec) AS cvec
-      |  FROM c${it - 1} c LEFT JOIN
-      |    (SELECT cid, list(mv ORDER BY pos) AS cvec FROM m$it GROUP BY cid) u
+      |  FROM ${pfx}c${it - 1} c LEFT JOIN
+      |    (SELECT cid, list(mv ORDER BY pos) AS cvec FROM ${pfx}m$it GROUP BY cid) u
       |    ON u.cid = c.cid
       |)""".stripMargin
     }

@@ -1,0 +1,427 @@
+package graft.queries
+
+import graft.Tables
+import graft.ann.{Models, PortableAnn}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** EMBEDDING-SPACE corpus curation — the cluster-blocked semantic family a
+  * training-data pipeline runs after lexical dedup (q26–q30 exact/MinHash/
+  * SimHash) has converged: SemDeDup cluster-blocked semantic dedup (Abbas et
+  * al. 2023, arXiv:2303.09540), prototype-redundancy pruning (Sorscher et al.
+  * 2022's SSL-prototypes, the D4 pipeline's second leg — arXiv:2206.14486),
+  * and a frozen-model embedding drift monitor (the "did the corpus
+  * distribution move between snapshots" deploy gate).
+  *
+  * All three share one model: an integer-Lloyd k-means whose cluster count k
+  * follows the corpus through [[tierK]] (SemDeDup's own knob — the paper runs
+  * k = 50k at 5B points precisely so within-cluster pairwise work stays
+  * n²/k-bounded). Training reuses the portable algebra of
+  * [[PortableAnn.ivfTrainInt]] verbatim (md5 hash-sample, lowest-id init,
+  * truncating-division means, ties → smaller cid), so the SAME DuckDB CTE
+  * generator ([[Extensions.ivfTrainCtes]]) replays it bit-for-bit — but the
+  * per-row argmin here rides a broadcast centroid FRAME, not a literal
+  * expression: at SemDeDup-scale k a literal model would put k·dim ≈ 3M
+  * leaves in the plan, while a broadcast frame is bounded only by executor
+  * memory (reference behavior: Northwind-ETL's pandas transforms hold the
+  * whole model AND corpus in driver memory — `etl_orders.py:48` — the exact
+  * pattern this engine must not scale up).
+  */
+object Semantic {
+
+  /** Corpus-size → cluster-count tier. Boundaries are powers of two so both
+    * engines evaluate the same integer comparisons; k quadruples per tier so
+    * expected within-cluster pair volume n²/(2k) stays bounded as the corpus
+    * grows (the q28/q30 corpus-adaptive discipline applied to SemDeDup's k).
+    * The 512 cap is the committed-fixture ceiling (×64 = 128k vectors → 250
+    * vectors/cluster expected); production at 100 TB raises the cap with the
+    * corpus — nothing below depends on it beyond the oracle arm list. */
+  private[graft] def tierK(t: Long): Int =
+    if (t <= 16384L) 8 else if (t <= 32768L) 32
+    else if (t <= 65536L) 128 else 512
+
+  /** (pfx, k, lower-exclusive, upper-inclusive) oracle arms for [[tierK]]. */
+  private val tiers: Seq[(String, Int, Option[Long], Option[Long])] = Seq(
+    ("t8_", 8, None, Some(16384L)),
+    ("t32_", 32, Some(16384L), Some(32768L)),
+    ("t128_", 128, Some(32768L), Some(65536L)),
+    ("t512_", 512, Some(65536L), None))
+
+  /** DuckDB CTEs: four gated [[Extensions.ivfTrainCtes]] arms (one per
+    * [[tierK]] tier, CTE names namespaced by prefix) unioned into one `cents`
+    * model CTE — exactly one arm's WHERE survives at any corpus size, so the
+    * replay follows the engine's adaptive k without dynamic SQL. `cmeta`
+    * adds the centroid self-norm the cos²-ppm keep-rule statistic needs. */
+  private[queries] def tieredTrainCtes(src: String, cntSql: String): String = {
+    val arms = tiers.map { case (pfx, k, _, _) =>
+      Extensions.ivfTrainCtes(nC = k, mod = 10, topUp = k, dim = 64,
+        iters = 2, src = src, pfx = pfx)
+    }.mkString(", ")
+    val union = tiers.map { case (pfx, _, lo, hi) =>
+      val conds = lo.map(l => s"($cntSql) > $l").toSeq ++
+        hi.map(h => s"($cntSql) <= $h")
+      s"SELECT cid, cvec FROM ${pfx}c2 WHERE ${conds.mkString(" AND ")}"
+    }.mkString("\n  UNION ALL ")
+    s"""$arms, cents AS (
+      |  $union
+      |), cmeta AS (
+      |  SELECT cid, cvec,
+      |    CAST(list_sum(list_transform(cvec, x -> x * x)) AS BIGINT) AS cnrm
+      |  FROM cents
+      |)""".stripMargin
+  }
+
+  /** Shared assignment CTE over `src` rows (vec_id, qv, nrm): nearest
+    * centroid by full integer L2 with ties → smaller cid, plus the
+    * member↔centroid dot and centroid norm the cos²-ppm statistic needs. */
+  private def asgCte(src: String): String =
+    s"""asg AS (
+      |  SELECT vec_id, nrm, cid, cdot, cnrm FROM (
+      |    SELECT s.vec_id, s.nrm, c.cid, c.cnrm,
+      |      CAST(list_sum(list_transform(range(1, 65),
+      |        i -> s.qv[i] * c.cvec[i])) AS BIGINT) AS cdot,
+      |      ROW_NUMBER() OVER (PARTITION BY s.vec_id ORDER BY
+      |        ${Extensions.l2Sql("s.qv", "c.cvec", 64)}, c.cid) AS rn
+      |    FROM $src s CROSS JOIN cmeta c) t
+      |  WHERE rn = 1
+      |)""".stripMargin
+
+  /** Centroid frame (cid, cvec, cnrm) from a driver-side model — the
+    * broadcast-sized carrier [[assignCid]] joins against. */
+  private[graft] def centFrame(spark: SparkSession,
+      cents: Array[(Long, Array[Long])]): DataFrame = {
+    import spark.implicits._
+    cents.toSeq.map { case (cid, cv) =>
+      (cid, cv.toSeq, cv.map(x => x * x).sum)
+    }.toDF("cid", "cvec", "cnrm")
+  }
+
+  /** Nearest-centroid assignment with the model as a broadcast FRAME:
+    * (vec_id, cid, cdot, cnrm, carry...) where cid minimizes integer L2,
+    * ties → smaller cid. The ordering key is ‖c‖² − 2⟨v,c⟩ (the per-row
+    * constant ‖v‖² dropped — same ordering AND ties as the full distance,
+    * exactly the [[PortableAnn.nearestCidInt]] trick). Scale shape: the
+    * broadcast nested-loop fan emits the k rows of one input row
+    * contiguously, so partial aggregation collapses them to one row per
+    * vec_id BEFORE the exchange — the shuffle is corpus-narrow regardless of
+    * k, and nothing in the plan grows with k but the broadcast itself. */
+  def assignCid(q: DataFrame, cf: DataFrame,
+      carry: Seq[String] = Seq.empty): DataFrame = {
+    val fan = q.crossJoin(broadcast(cf))
+      .withColumn("cdot", call_function("dot_i64", col("qv"), col("cvec")))
+      .withColumn("d", col("cnrm") - lit(2L) * col("cdot"))
+    val fields = Seq("d", "cid", "cdot", "cnrm") ++ carry
+    fan.groupBy(col("vec_id"))
+      .agg(min(struct(fields.map(col): _*)).as("b"))
+      .select(col("vec_id") +:
+        (Seq("cid", "cdot", "cnrm") ++ carry).map(f => col(s"b.$f").as(f)): _*)
+  }
+
+  /** Integer Lloyd with join-based assignment — bit-identical algebra to
+    * [[PortableAnn.ivfTrainInt]] (same md5 hash-sample with the k-seed
+    * top-up, same lowest-id init, same truncating-division means, same
+    * empty-cluster carry-forward), replayed by the SAME
+    * [[Extensions.ivfTrainCtes]] oracle; only the physical argmin differs
+    * (broadcast frame vs literal expression), which the hash gate cannot
+    * see and [[graft.SemanticSpec]] pins by direct comparison. */
+  def ivfTrainIntJoin(spark: SparkSession, q: DataFrame, nClusters: Int,
+      iters: Int = 2, sampleMod: Int = 10): Array[(Long, Array[Long])] = {
+    val base = PortableAnn.sampled(q, sampleMod, nClusters)
+      .select("vec_id", "qv").persist()
+    try {
+      var cents: Array[(Long, Array[Long])] =
+        base.orderBy("vec_id").limit(nClusters).collect()
+          .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+      for (_ <- 0 until iters) {
+        val updated = assignCid(base, centFrame(spark, cents),
+            carry = Seq("qv"))
+          .select(col("cid"), posexplode(col("qv")).as(Seq("pos", "v")))
+          .groupBy("cid", "pos")
+          .agg(expr("sum(v) div count(1)").as("m"))
+          .groupBy("cid")
+          .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("pm"))
+          .select(col("cid"),
+            transform(col("pm"), x => x.getField("m")).as("cvec"))
+          .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray)).toMap
+        cents = cents.map { case (cid, old) =>
+          (cid, updated.getOrElse(cid, old))
+        }
+      }
+      cents
+    } finally base.unpersist(blocking = false)
+  }
+
+  /** Frozen tiered-k centroid model for `dir`'s embeddings, trained once per
+    * corpus stamp. The tier gate reads the RAW table count (pre-quantize,
+    * pre-zero-norm-drop) — the one number both engines read identically. */
+  private def corpusModel(spark: SparkSession, dir: String)
+      : Array[(Long, Array[Long])] = {
+    val embs = Tables.load(spark, dir, "embeddings")
+    val k = tierK(embs.count())
+    Models.cachedLatest[Array[(Long, Array[Long])]](
+      s"semk:$dir:$k", Models.corpusStamp(spark, dir)) {
+      ivfTrainIntJoin(spark, PortableAnn.quantized(embs), k)
+    }
+  }
+
+  /** Shared member frame: (vec_id, cid, nrm, qv, cscore) — every corpus
+    * vector with its cluster, carried quantized vector, and the signed
+    * member↔centroid cos²-ppm (the SemDeDup keep-rule statistic). Cached via
+    * [[SharedFrames]]: q257 and q258 both start here, so the n·k assignment
+    * fan is paid once per corpus per session. */
+  private def memberFrame(spark: SparkSession, dir: String): DataFrame =
+    SharedFrames.sharedFrame(spark, dir, "embeddings", "sem-members") {
+      val cents = corpusModel(spark, dir)
+      val q = PortableAnn.quantized(Tables.load(spark, dir, "embeddings"))
+      assignCid(q, centFrame(spark, cents), carry = Seq("nrm", "qv"))
+        .withColumn("cscore", PortableAnn.cosPpmScore("cdot", "nrm", "cnrm"))
+        .select("vec_id", "cid", "nrm", "qv", "cscore")
+    }
+
+  /** Per-cluster transitive closure + keep-rule, evaluated INSIDE one
+    * aggregation: `ms` = the cluster's (vec_id, cscore) members, `es` = its
+    * qualifying pairs (null when none). Edges never span clusters, so a
+    * cluster-local union-find is the EXACT transitive closure — no iterative
+    * whole-graph pass (the q58 machinery costs O(log diameter) synchronized
+    * rounds; here every group is confined to a tierK-bounded cluster, which
+    * is precisely how the SemDeDup paper processes clusters: independently,
+    * in memory). Labels = each set's min member id; per group of size ≥ 2
+    * keep the member LEAST similar to its centroid (lowest cscore, ties →
+    * smaller vec_id — the paper's keep-rule: the group's most marginal
+    * exemplar carries the most information); singletons keep themselves.
+    * Returns (n_dup_groups, n_dropped, kept_id_sum). */
+  private val semdedupGroups =
+    udf { (ms: Seq[org.apache.spark.sql.Row], es: Seq[org.apache.spark.sql.Row]) =>
+      val ids = ms.map(_.getLong(0)).toArray
+      val cscore = ms.map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val idx = ids.zipWithIndex.toMap
+      val parent = Array.tabulate(ids.length)(identity)
+      def find(x: Int): Int = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      if (es != null) es.foreach { e =>
+        val (a, b) = (find(idx(e.getLong(0))), find(idx(e.getLong(1))))
+        if (a != b) parent(math.max(a, b)) = math.min(a, b)
+      }
+      val bySet = ids.indices.groupBy(find).values
+      var groups = 0L; var dropped = 0L; var keptSum = 0L
+      bySet.foreach { set =>
+        if (set.size >= 2) {
+          groups += 1; dropped += set.size - 1
+          keptSum += set.map(i => (cscore(ids(i)), ids(i))).min._2
+        } else keptSum += ids(set.head)
+      }
+      (groups, dropped, keptSum)
+    }
+
+  /** The SemDeDup survivorship over a member frame, factored out for the
+    * spec's planted-corpus replay: within-cluster pairs at cos²-ppm ≥
+    * `thresholdPpm` close transitively into dup groups (cluster-local
+    * union-find — see [[semdedupGroups]]), each keeping its least-central
+    * member. Scale shape: the self-join is the SemDeDup-declared n²/k cost,
+    * bounded by the tierK adaptivity (k quadruples per corpus tier); the
+    * closure is one cid-keyed aggregation over cluster-bounded groups —
+    * no iteration, no driver. */
+  private[graft] def semdedupRollup(m: DataFrame,
+      thresholdPpm: Long): DataFrame = {
+    val a = m.select(col("cid"), col("vec_id").as("id_a"),
+      col("qv").as("qa"), col("nrm").as("na"))
+    val b = m.select(col("cid"), col("vec_id").as("id_b"),
+      col("qv").as("qb"), col("nrm").as("nb"))
+    val pairs = a.join(b, Seq("cid"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("dot", call_function("dot_i64", col("qa"), col("qb")))
+      .withColumn("s", PortableAnn.cosPpmScore("dot", "na", "nb"))
+      .filter(col("s") >= thresholdPpm)
+      .select("cid", "id_a", "id_b")
+    val pairsByCid = pairs.groupBy("cid").agg(
+      count(lit(1)).as("n_dup_pairs"),
+      collect_list(struct(col("id_a"), col("id_b"))).as("es"))
+    val membersByCid = m.groupBy("cid").agg(
+      count(lit(1)).as("n_members"),
+      collect_list(struct(col("vec_id"), col("cscore"))).as("ms"))
+    membersByCid.join(pairsByCid, Seq("cid"), "left")
+      .withColumn("r", semdedupGroups(col("ms"), col("es")))
+      .select(col("cid"), col("n_members"),
+        coalesce(col("n_dup_pairs"), lit(0L)).as("n_dup_pairs"),
+        col("r._1").as("n_dup_groups"), col("r._2").as("n_dropped"),
+        col("r._3").as("kept_id_sum"))
+      .orderBy("cid")
+  }
+
+  /** q257 SemDeDup — cluster-blocked semantic dedup (Abbas et al. 2023):
+    * tiered-k integer k-means blocks the corpus, within-cluster pairs at
+    * cos²-ppm ≥ 150000 (the q159-family threshold) close transitively into
+    * dup groups, and each group keeps its member least similar to the
+    * cluster centroid. Per cluster: members, qualifying pairs, multi-member
+    * groups, drops, and the kept-id checksum that pins the keep-rule under
+    * the hash gate. Scale: assignment is one broadcast-fan pass (shuffle
+    * corpus-narrow), pairs are n²/k-bounded by tierK, components are
+    * edge-bounded. */
+  def q257(spark: SparkSession, dir: String): DataFrame =
+    semdedupRollup(memberFrame(spark, dir), thresholdPpm = 150000L)
+
+  private def tieredModelSql(src: String, cntSql: String): String =
+    s"${tieredTrainCtes(src, cntSql)}, ${asgCte("n")}"
+
+  val q257Sql: String =
+    s"""WITH RECURSIVE ${Extensions.portableQuantCte},
+      |${tieredModelSql("n", "SELECT COUNT(*) FROM embeddings")}, m AS (
+      |  SELECT a.vec_id, a.cid, a.nrm, x.qv,
+      |    (CASE WHEN a.cdot >= 0 THEN a.cdot * a.cdot * 1000000 // (a.nrm * a.cnrm)
+      |          ELSE -(a.cdot * a.cdot * 1000000 // (a.nrm * a.cnrm)) END) AS cscore
+      |  FROM asg a JOIN n x ON x.vec_id = a.vec_id
+      |), prs AS (
+      |  SELECT cid, id_a, id_b FROM (
+      |    SELECT a.cid, a.vec_id AS id_a, b.vec_id AS id_b,
+      |      a.nrm AS na, b.nrm AS nb,
+      |      CAST(list_sum(list_transform(range(1, 65),
+      |        i -> a.qv[i] * b.qv[i])) AS BIGINT) AS dot
+      |    FROM m a JOIN m b ON b.cid = a.cid AND a.vec_id < b.vec_id) t
+      |  WHERE (CASE WHEN dot >= 0 THEN dot * dot * 1000000 // (na * nb)
+      |         ELSE -(dot * dot * 1000000 // (na * nb)) END) >= 150000
+      |), edges AS (
+      |  SELECT id_a AS src, id_b AS dst FROM prs
+      |  UNION ALL SELECT id_b, id_a FROM prs
+      |), reach(a, b) AS (
+      |  SELECT vec_id, vec_id FROM m
+      |  UNION
+      |  SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b
+      |), comp AS (
+      |  SELECT a AS vec_id, MIN(b) AS comp FROM reach GROUP BY a
+      |), rk AS (
+      |  SELECT m.cid, c.comp, m.vec_id,
+      |    ROW_NUMBER() OVER (PARTITION BY c.comp ORDER BY m.cscore, m.vec_id) AS rn
+      |  FROM m JOIN comp c ON c.vec_id = m.vec_id
+      |), grp AS (
+      |  SELECT cid, comp, COUNT(*) AS n_grp,
+      |    CAST(SUM(vec_id) AS BIGINT) AS id_sum,
+      |    CAST(SUM(CASE WHEN rn = 1 THEN vec_id ELSE 0 END) AS BIGINT) AS keep_id
+      |  FROM rk GROUP BY cid, comp
+      |), roll AS (
+      |  SELECT cid, CAST(SUM(n_grp) AS BIGINT) AS n_members,
+      |    CAST(SUM(CASE WHEN n_grp >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups,
+      |    CAST(SUM(CASE WHEN n_grp >= 2 THEN n_grp - 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+      |    CAST(SUM(CASE WHEN n_grp >= 2 THEN keep_id ELSE id_sum END) AS BIGINT) AS kept_id_sum
+      |  FROM grp GROUP BY cid
+      |), pc AS (SELECT cid, COUNT(*) AS n_dup_pairs FROM prs GROUP BY cid)
+      |SELECT r.cid, r.n_members, COALESCE(p.n_dup_pairs, 0) AS n_dup_pairs,
+      |  r.n_dup_groups, r.n_dropped, r.kept_id_sum
+      |FROM roll r LEFT JOIN pc p ON p.cid = r.cid
+      |ORDER BY r.cid""".stripMargin
+
+  /** q258 prototype-redundancy pruning (SSL-prototypes / D4's second leg,
+    * Sorscher et al. 2022): within each cluster, rank members by similarity
+    * to the centroid (most prototypical first) and prune the top 20% — the
+    * "easy example" mass whose removal the paper shows beats random pruning
+    * at scale. Per cluster: members, pruned count (⌊members·0.2⌋ by integer
+    * floor), and the pruned/kept id checksums that pin the rank rule. One
+    * assignment pass + one cid-keyed window over cluster-bounded partitions
+    * — linear, no pairwise anything. */
+  def q258(spark: SparkSession, dir: String): DataFrame = {
+    val m = memberFrame(spark, dir)
+    val rn = row_number().over(
+      Window.partitionBy("cid").orderBy(col("cscore").desc, col("vec_id")))
+    val nm = count(lit(1)).over(Window.partitionBy("cid"))
+    m.withColumn("rn", rn).withColumn("n_members", nm)
+      .withColumn("pruned",
+        col("rn") <= expr("n_members * 200000 div 1000000"))
+      .groupBy("cid").agg(
+        max(col("n_members")).as("n_members"),
+        sum(when(col("pruned"), 1L).otherwise(0L)).as("n_pruned"),
+        sum(when(col("pruned"), col("vec_id")).otherwise(0L))
+          .as("pruned_id_sum"),
+        sum(when(!col("pruned"), col("vec_id")).otherwise(0L))
+          .as("kept_id_sum"))
+      .orderBy("cid")
+  }
+
+  val q258Sql: String =
+    s"""WITH ${Extensions.portableQuantCte},
+      |${tieredModelSql("n", "SELECT COUNT(*) FROM embeddings")}, m AS (
+      |  SELECT a.vec_id, a.cid,
+      |    (CASE WHEN a.cdot >= 0 THEN a.cdot * a.cdot * 1000000 // (a.nrm * a.cnrm)
+      |          ELSE -(a.cdot * a.cdot * 1000000 // (a.nrm * a.cnrm)) END) AS cscore
+      |  FROM asg a
+      |), rk AS (
+      |  SELECT cid, vec_id,
+      |    ROW_NUMBER() OVER (PARTITION BY cid ORDER BY cscore DESC, vec_id) AS rn,
+      |    COUNT(*) OVER (PARTITION BY cid) AS n_members
+      |  FROM m
+      |)
+      |SELECT cid, CAST(MAX(n_members) AS BIGINT) AS n_members,
+      |  CAST(SUM(CASE WHEN rn <= n_members * 200000 // 1000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_pruned,
+      |  CAST(SUM(CASE WHEN rn <= n_members * 200000 // 1000000 THEN vec_id ELSE 0 END) AS BIGINT) AS pruned_id_sum,
+      |  CAST(SUM(CASE WHEN rn <= n_members * 200000 // 1000000 THEN 0 ELSE vec_id END) AS BIGINT) AS kept_id_sum
+      |FROM rk GROUP BY cid ORDER BY cid""".stripMargin
+
+  /** q259 embedding drift monitor — the frozen-model distribution-shift gate
+    * between corpus snapshots (deterministic stand-in: even vec_ids = the
+    * reference snapshot A, odd = the candidate snapshot B). Centroids train
+    * on A ONLY (tier gated on A's raw count); BOTH snapshots assign to the
+    * frozen model; per cluster the A/B mass in exact ppm and the absolute
+    * drift. A fresh crawl whose per-cluster ppm moves is the signal to
+    * re-weight the q139/q166 mixture or re-train the q103 index — this is
+    * the number that decides it. Anchored on the centroid frame (every
+    * cluster reports, mass 0 distinct from absent); one assignment pass, one
+    * ≤k-row aggregate; totals ride a 1-row broadcast. */
+  def q259(spark: SparkSession, dir: String): DataFrame = {
+    val embs = Tables.load(spark, dir, "embeddings")
+    val evens = embs.filter(col("vec_id") % 2 === 0)
+    val k = tierK(evens.count())
+    val cents = Models.cachedLatest[Array[(Long, Array[Long])]](
+      s"semdrift:$dir:$k", Models.corpusStamp(spark, dir)) {
+      ivfTrainIntJoin(spark, PortableAnn.quantized(evens), k)
+    }
+    val cf = centFrame(spark, cents)
+    val asg = assignCid(PortableAnn.quantized(embs), cf)
+      .withColumn("snap_a", col("vec_id") % 2 === 0)
+    val mass = asg.groupBy("cid").agg(
+      sum(when(col("snap_a"), 1L).otherwise(0L)).as("n_a"),
+      sum(when(!col("snap_a"), 1L).otherwise(0L)).as("n_b"))
+    val tot = mass.agg(
+      greatest(sum(col("n_a")), lit(1L)).as("ta"),
+      greatest(sum(col("n_b")), lit(1L)).as("tb"))
+    cf.select("cid").join(mass, Seq("cid"), "left")
+      .na.fill(0L, Seq("n_a", "n_b"))
+      .crossJoin(broadcast(tot))
+      .withColumn("ppm_a", expr("n_a * 1000000 div ta"))
+      .withColumn("ppm_b", expr("n_b * 1000000 div tb"))
+      .withColumn("drift_ppm", abs(col("ppm_a") - col("ppm_b")))
+      .select("cid", "n_a", "n_b", "ppm_a", "ppm_b", "drift_ppm")
+      .orderBy("cid")
+  }
+
+  val q259Sql: String =
+    s"""WITH ${Extensions.portableQuantCte}, na AS (
+      |  SELECT vec_id, qv, nrm FROM n WHERE vec_id % 2 = 0
+      |),
+      |${tieredModelSql("na",
+         "SELECT COUNT(*) FROM embeddings WHERE vec_id % 2 = 0")}, mass AS (
+      |  SELECT cid,
+      |    CAST(SUM(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |    CAST(SUM(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+      |  FROM asg GROUP BY cid
+      |), tot AS (
+      |  SELECT GREATEST(CAST(SUM(n_a) AS BIGINT), 1) AS ta,
+      |    GREATEST(CAST(SUM(n_b) AS BIGINT), 1) AS tb
+      |  FROM mass
+      |)
+      |SELECT c.cid, COALESCE(m.n_a, 0) AS n_a, COALESCE(m.n_b, 0) AS n_b,
+      |  COALESCE(m.n_a, 0) * 1000000 // t.ta AS ppm_a,
+      |  COALESCE(m.n_b, 0) * 1000000 // t.tb AS ppm_b,
+      |  ABS(COALESCE(m.n_a, 0) * 1000000 // t.ta
+      |    - COALESCE(m.n_b, 0) * 1000000 // t.tb) AS drift_ppm
+      |FROM cmeta c LEFT JOIN mass m ON m.cid = c.cid CROSS JOIN tot t
+      |ORDER BY c.cid""".stripMargin
+
+  val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    ("q257_semdedup", q257 _, Some(q257Sql)),
+    ("q258_prototype_prune", q258 _, Some(q258Sql)),
+    ("q259_embedding_drift", q259 _, Some(q259Sql)))
+}
