@@ -42,7 +42,7 @@ object Semantic {
     else if (t <= 65536L) 128 else 512
 
   /** (pfx, k, lower-exclusive, upper-inclusive) oracle arms for [[tierK]]. */
-  private val tiers: Seq[(String, Int, Option[Long], Option[Long])] = Seq(
+  private[graft] val tiers: Seq[(String, Int, Option[Long], Option[Long])] = Seq(
     ("t8_", 8, None, Some(16384L)),
     ("t32_", 32, Some(16384L), Some(32768L)),
     ("t128_", 128, Some(32768L), Some(65536L)),
@@ -420,8 +420,170 @@ object Semantic {
       |FROM cmeta c LEFT JOIN mass m ON m.cid = c.cid CROSS JOIN tot t
       |ORDER BY c.cid""".stripMargin
 
+  /** Directed within-cluster pair fan over a member frame: one row per
+    * ordered (anchor, neighbor) pair inside a cluster, with the integer dot
+    * and both norms. The n²/k-bounded kernel q260/q261 rank and aggregate —
+    * bounded by the same tierK adaptivity as q257's pair discovery. */
+  private def withinClusterFan(m: DataFrame): DataFrame =
+    m.select(col("cid"), col("vec_id").as("id_a"),
+        col("qv").as("qa"), col("nrm").as("na"))
+      .join(m.select(col("cid"), col("vec_id").as("id_b"),
+        col("qv").as("qb"), col("nrm").as("nb")), Seq("cid"))
+      .filter(col("id_a") =!= col("id_b"))
+      .withColumn("dot", call_function("dot_i64", col("qa"), col("qb")))
+      .select("cid", "id_a", "id_b", "dot", "na", "nb")
+
+  /** q260 embedding-label kNN eval — does the embedding space separate the
+    * labels? Leave-one-out 5-NN majority vote, neighbors restricted to the
+    * anchor's own k-means cell (the probe-1 IVF approximation, declared —
+    * exactly what a production eval harness does to avoid the n² scan):
+    * per label, vectors evaluated (≥1 same-cell neighbor), majority-correct
+    * count, and accuracy in exact ppm. Neighbor rank = (cos²-ppm DESC,
+    * vec_id), vote ties → smaller label — all integer, both engines replay
+    * it. The rank window carries a rk ≤ 5 filter, so Spark plans it as a
+    * map-side WindowGroupLimit prune, never a full per-anchor sort spill. */
+  def q260(spark: SparkSession, dir: String): DataFrame = {
+    val m = memberFrame(spark, dir)
+    val labels = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label").cast("long").as("lbl"))
+    val nbr = withinClusterFan(m)
+      .withColumn("s", PortableAnn.cosPpmScore("dot", "na", "nb"))
+      .withColumn("rk", row_number().over(Window.partitionBy("id_a")
+        .orderBy(col("s").desc, col("id_b"))))
+      .filter(col("rk") <= 5)
+      .join(labels.select(col("vec_id").as("id_b"),
+        col("lbl").as("nbr_lbl")), Seq("id_b"))
+    val votes = nbr.groupBy("id_a", "nbr_lbl")
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy("id_a")
+      .agg(min(struct((-col("cnt")).as("nc"), col("nbr_lbl").as("l")))
+        .getField("l").as("pred"))
+    val evald = labels.join(votes, col("vec_id") === col("id_a"))
+    val per = evald.groupBy("lbl").agg(
+      count(lit(1)).as("n_eval"),
+      sum(when(col("pred") === col("lbl"), 1L).otherwise(0L)).as("n_correct"))
+    labels.groupBy("lbl").agg(count(lit(1)).as("n_total"))
+      .join(per, Seq("lbl"), "left")
+      .na.fill(0L, Seq("n_eval", "n_correct"))
+      .withColumn("acc_ppm",
+        expr("n_correct * 1000000 div greatest(n_eval, 1)"))
+      .select(col("lbl").as("label"), col("n_total"), col("n_eval"),
+        col("n_correct"), col("acc_ppm"))
+      .orderBy("label")
+  }
+
+  val q260Sql: String =
+    s"""WITH ${Extensions.portableQuantCte},
+      |${tieredModelSql("n", "SELECT COUNT(*) FROM embeddings")}, lbls AS (
+      |  SELECT vec_id, CAST(label AS BIGINT) AS lbl FROM embeddings
+      |), mq AS (
+      |  SELECT a.vec_id, a.cid, a.nrm, x.qv
+      |  FROM asg a JOIN n x ON x.vec_id = a.vec_id
+      |), nbr AS (
+      |  SELECT id_a, id_b FROM (
+      |    SELECT id_a, id_b,
+      |      ROW_NUMBER() OVER (PARTITION BY id_a ORDER BY
+      |        (CASE WHEN dot >= 0 THEN dot * dot * 1000000 // (na * nb)
+      |              ELSE -(dot * dot * 1000000 // (na * nb)) END) DESC,
+      |        id_b) AS rk
+      |    FROM (
+      |      SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.nrm AS na, b.nrm AS nb,
+      |        CAST(list_sum(list_transform(range(1, 65),
+      |          i -> a.qv[i] * b.qv[i])) AS BIGINT) AS dot
+      |      FROM mq a JOIN mq b ON b.cid = a.cid AND a.vec_id <> b.vec_id) p) t
+      |  WHERE rk <= 5
+      |), votes AS (
+      |  SELECT id_a, nbr_lbl AS pred FROM (
+      |    SELECT v.id_a, v.nbr_lbl,
+      |      ROW_NUMBER() OVER (PARTITION BY v.id_a
+      |        ORDER BY v.cnt DESC, v.nbr_lbl) AS rn
+      |    FROM (SELECT nb.id_a, l.lbl AS nbr_lbl, COUNT(*) AS cnt
+      |          FROM nbr nb JOIN lbls l ON l.vec_id = nb.id_b
+      |          GROUP BY nb.id_a, l.lbl) v) t
+      |  WHERE rn = 1
+      |), per AS (
+      |  SELECT l.lbl, COUNT(*) AS n_eval,
+      |    CAST(SUM(CASE WHEN v.pred = l.lbl THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+      |  FROM lbls l JOIN votes v ON v.id_a = l.vec_id
+      |  GROUP BY l.lbl
+      |)
+      |SELECT t.lbl AS label, t.n_total, COALESCE(p.n_eval, 0) AS n_eval,
+      |  COALESCE(p.n_correct, 0) AS n_correct,
+      |  COALESCE(p.n_correct, 0) * 1000000
+      |    // GREATEST(COALESCE(p.n_eval, 0), 1) AS acc_ppm
+      |FROM (SELECT lbl, COUNT(*) AS n_total FROM lbls GROUP BY lbl) t
+      |LEFT JOIN per p ON p.lbl = t.lbl
+      |ORDER BY label""".stripMargin
+
+  /** q261 cluster medoid coreset — the k representative exemplars a
+    * data-selection or visualization pipeline ships instead of the corpus:
+    * per cluster, the member minimizing the TOTAL squared L2 to every other
+    * member (the exact medoid; ties → smaller vec_id) with its summed
+    * distance. d(a,b)² = ‖a‖² + ‖b‖² − 2⟨a,b⟩ rides the same within-cell
+    * fan as q260 — one n²/k-bounded pass, one cid-keyed argmin. Singleton
+    * clusters report their lone member at distance 0. */
+  def q261(spark: SparkSession, dir: String): DataFrame = {
+    val m = memberFrame(spark, dir)
+    val ssd = withinClusterFan(m)
+      .withColumn("d2", col("na") + col("nb") - lit(2L) * col("dot"))
+      .groupBy("cid", "id_a").agg(sum(col("d2")).as("ssd"))
+    m.select(col("cid"), col("vec_id").as("id_a"))
+      .join(ssd, Seq("cid", "id_a"), "left")
+      .na.fill(0L, Seq("ssd"))
+      .groupBy("cid").agg(
+        count(lit(1)).as("n_members"),
+        min(struct(col("ssd"), col("id_a")))
+          .getField("id_a").as("medoid_id"),
+        min(struct(col("ssd"), col("id_a")))
+          .getField("ssd").as("medoid_ssd"))
+      .orderBy("cid")
+  }
+
+  val q261Sql: String =
+    s"""WITH ${Extensions.portableQuantCte},
+      |${tieredModelSql("n", "SELECT COUNT(*) FROM embeddings")}, mq AS (
+      |  SELECT a.vec_id, a.cid, a.nrm, x.qv
+      |  FROM asg a JOIN n x ON x.vec_id = a.vec_id
+      |), ssd AS (
+      |  SELECT a.cid, a.vec_id AS id_a,
+      |    CAST(SUM(a.nrm + b.nrm - 2 * CAST(list_sum(list_transform(range(1, 65),
+      |      i -> a.qv[i] * b.qv[i])) AS BIGINT)) AS BIGINT) AS ssd
+      |  FROM mq a JOIN mq b ON b.cid = a.cid AND a.vec_id <> b.vec_id
+      |  GROUP BY a.cid, a.vec_id
+      |), full_s AS (
+      |  SELECT m.cid, m.vec_id AS id_a, COALESCE(s.ssd, 0) AS ssd
+      |  FROM mq m LEFT JOIN ssd s ON s.cid = m.cid AND s.id_a = m.vec_id
+      |), rk AS (
+      |  SELECT cid, id_a, ssd,
+      |    ROW_NUMBER() OVER (PARTITION BY cid ORDER BY ssd, id_a) AS rn,
+      |    COUNT(*) OVER (PARTITION BY cid) AS n_members
+      |  FROM full_s
+      |)
+      |SELECT cid, CAST(MAX(n_members) AS BIGINT) AS n_members,
+      |  CAST(SUM(CASE WHEN rn = 1 THEN id_a ELSE 0 END) AS BIGINT) AS medoid_id,
+      |  CAST(SUM(CASE WHEN rn = 1 THEN ssd ELSE 0 END) AS BIGINT) AS medoid_ssd
+      |FROM rk GROUP BY cid ORDER BY cid""".stripMargin
+
+  /** Streaming twin of q259's candidate-snapshot leg: a stream of quantized
+    * vectors (vec_id, qv, nrm) assigned to a FROZEN centroid model,
+    * maintaining per-cluster arriving mass as a streaming aggregate. The
+    * assignment is the literal-expression argmin ([[PortableAnn
+    * .nearestCidInt]] — narrow, stateless, no aggregation), because a
+    * streaming query admits ONE aggregation and the mass count must be it;
+    * the literal/broadcast-frame parity is spec-pinned, so batch q259 and
+    * this stream see the same cells. A monitor compares the maintained
+    * masses against the frozen baseline ppm and fires the q259 drift rule
+    * continuously instead of per-snapshot. */
+  def driftMassStream(quantizedStream: DataFrame,
+      cents: Array[(Long, Array[Long])]): DataFrame =
+    quantizedStream
+      .withColumn("cid", PortableAnn.nearestCidInt(cents))
+      .groupBy("cid").agg(count(lit(1)).as("n_b"))
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q257_semdedup", q257 _, Some(q257Sql)),
     ("q258_prototype_prune", q258 _, Some(q258Sql)),
-    ("q259_embedding_drift", q259 _, Some(q259Sql)))
+    ("q259_embedding_drift", q259 _, Some(q259Sql)),
+    ("q260_knn_label_eval", q260 _, Some(q260Sql)),
+    ("q261_medoid_coreset", q261 _, Some(q261Sql)))
 }

@@ -100,6 +100,90 @@ class SemanticSpec extends AnyFunSuite {
       (7L, 2L, 1L, 1L, 1L, 10L)), out.toSeq.toString)
   }
 
+  test("kNN label eval: counts consistent, ppm exact, rank planned as WindowGroupLimit") {
+    val df = queries.Semantic.q260(spark, sf)
+    val rows = df.collect()
+    assert(rows.length == 10) // ten labels in the fixture
+    rows.foreach { r =>
+      val (nTotal, nEval, nCorrect, acc) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(nEval <= nTotal && nCorrect <= nEval)
+      assert(acc == nCorrect * 1000000L / math.max(nEval, 1L))
+    }
+    // the rk <= 5 filter must prune map-side, not sort whole cells and drop
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"expected the 5-NN rank to plan as WindowGroupLimit:\n$plan")
+  }
+
+  test("medoid coreset matches a driver-side brute-force replay") {
+    val q = graft.ann.PortableAnn.quantized(Tables.load(spark, sf, "embeddings"))
+    val cents = graft.ann.PortableAnn.ivfTrainInt(q, nClusters = 8, iters = 2)
+    val members = queries.Semantic.assignCid(
+        q, queries.Semantic.centFrame(spark, cents), carry = Seq("nrm", "qv"))
+      .select("cid", "vec_id", "qv", "nrm").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2).toArray,
+        r.getLong(3)))
+    val expected = members.groupBy(_._1).map { case (cid, ms) =>
+      val best = ms.map { case (_, id, qa, na) =>
+        val ssd = ms.filter(_._2 != id).map { case (_, _, qb, nb) =>
+          na + nb - 2L * qa.zip(qb).map { case (x, y) => x * y }.sum
+        }.sum
+        (ssd, id)
+      }.min
+      cid -> (ms.length.toLong, best._2, best._1)
+    }
+    val got = queries.Semantic.q261(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got == expected)
+  }
+
+  test("oracle tier arms: exactly one gate fires at every boundary and its k == tierK") {
+    // the k=8/k=32 arms are proven by actual DuckDB replays (sf0.001/sf0.01/
+    // ×10); what remains falsifiable without a large-corpus oracle run is
+    // gate/tier agreement — a desync here would pass the fixture-scale hash
+    // gate and only surface at 33k+ vectors (the r12 ADVICE #3 class)
+    for (t <- Seq(1L, 500L, 16384L, 16385L, 32768L, 32769L, 65536L, 65537L,
+        100000L, 100000000L)) {
+      val firing = Semantic.tiers.filter { case (_, _, lo, hi) =>
+        lo.forall(t > _) && hi.forall(t <= _)
+      }
+      assert(firing.size == 1, s"t=$t fires ${firing.size} arms")
+      assert(firing.head._2 == Semantic.tierK(t),
+        s"t=$t: arm k=${firing.head._2} != tierK=${Semantic.tierK(t)}")
+    }
+  }
+
+  test("streaming drift mass == batch q259 candidate-snapshot mass") {
+    import org.apache.spark.sql.types._
+    val embs = Tables.load(spark, sf, "embeddings")
+    // frozen model: trained on the reference snapshot (even ids), exactly
+    // as batch q259 trains it
+    val cents = Semantic.ivfTrainIntJoin(spark,
+      PortableAnn.quantized(embs.filter(col("vec_id") % 2 === 0)),
+      nClusters = Semantic.tierK(embs.filter(col("vec_id") % 2 === 0).count()))
+    // candidate snapshot (odd ids) arrives as 3 file micro-batches
+    val odd = PortableAnn.quantized(embs.filter(col("vec_id") % 2 === 1))
+    val landing = java.nio.file.Files.createTempDirectory("drift_landing").toString
+    odd.withColumn("g", col("vec_id") % 3).repartition(3, col("g")).drop("g")
+      .write.mode("overwrite").parquet(landing)
+    val schema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("qv", ArrayType(LongType)), StructField("nrm", LongType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(landing)
+    val q = Semantic.driftMassStream(stream, cents).writeStream
+      .format("memory").queryName("drift_out").outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("drift_out").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batch = Semantic.q259(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap // (cid, n_b)
+      .filter(_._2 > 0L)
+    assert(streamed == batch,
+      s"stream=$streamed\nbatch=$batch")
+  }
+
   test("drift monitor reports every centroid row, zero-mass clusters included") {
     val out = Semantic.q259(spark, sf)
     val rows = out.collect()
