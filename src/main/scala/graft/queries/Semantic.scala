@@ -564,6 +564,87 @@ object Semantic {
       |  CAST(SUM(CASE WHEN rn = 1 THEN ssd ELSE 0 END) AS BIGINT) AS medoid_ssd
       |FROM rk GROUP BY cid ORDER BY cid""".stripMargin
 
+  /** q262 within-cell kNN recall audit — PRICES the probe-1 approximation
+    * q260 (and every cluster-blocked consumer of the model) makes, the way
+    * q243 prices truncated dimensions: for a fixed 64-anchor panel (vec_id
+    * < 64 — present at every fixture scale, parameter-sized so the exact
+    * leg stays anchors × corpus, never corpus²), compare the EXACT
+    * whole-corpus 5-NN against the same-cell 5-NN and histogram the recall
+    * (0/200k/…/1e6 ppm, exact fifths). The number that decides whether the
+    * tier's k (cells per corpus) is too coarse for the eval to be trusted.
+    * Both rank rules are (cos²-ppm DESC, vec_id) — fully integer, both
+    * engines replay them. */
+  def q262(spark: SparkSession, dir: String): DataFrame = {
+    val m = memberFrame(spark, dir)
+    val anchors = m.filter(col("vec_id") < 64)
+      .select(col("vec_id").as("id_a"), col("cid").as("acid"),
+        col("qv").as("qa"), col("nrm").as("na"))
+    def top5(cand: DataFrame): DataFrame = cand
+      .withColumn("dot", call_function("dot_i64", col("qa"), col("qb")))
+      .withColumn("s", PortableAnn.cosPpmScore("dot", "na", "nb"))
+      .withColumn("rk", row_number().over(Window.partitionBy("id_a")
+        .orderBy(col("s").desc, col("id_b"))))
+      .filter(col("rk") <= 5)
+      .select("id_a", "id_b")
+    val corpus = m.select(col("vec_id").as("id_b"), col("cid").as("bcid"),
+      col("qv").as("qb"), col("nrm").as("nb"))
+    val exact = top5(anchors.crossJoin(corpus)
+      .filter(col("id_a") =!= col("id_b")))
+    val cell = top5(anchors.join(corpus, col("acid") === col("bcid"))
+      .filter(col("id_a") =!= col("id_b")))
+    val hits = exact.join(cell, Seq("id_a", "id_b"), "left_semi")
+      .groupBy("id_a").agg(count(lit(1)).as("nhit"))
+    anchors.select("id_a").join(hits, Seq("id_a"), "left")
+      .na.fill(0L, Seq("nhit"))
+      .withColumn("recall_ppm", expr("nhit * 1000000 div 5"))
+      .groupBy("recall_ppm").agg(count(lit(1)).as("n_anchors"))
+      .orderBy("recall_ppm")
+  }
+
+  val q262Sql: String =
+    s"""WITH ${Extensions.portableQuantCte},
+      |${tieredModelSql("n", "SELECT COUNT(*) FROM embeddings")}, mq AS (
+      |  SELECT a.vec_id, a.cid, a.nrm, x.qv
+      |  FROM asg a JOIN n x ON x.vec_id = a.vec_id
+      |), anch AS (
+      |  SELECT vec_id AS id_a, cid AS acid, qv AS qa, nrm AS na
+      |  FROM mq WHERE vec_id < 64
+      |), exact5 AS (
+      |  SELECT id_a, id_b FROM (
+      |    SELECT id_a, id_b,
+      |      ROW_NUMBER() OVER (PARTITION BY id_a ORDER BY
+      |        (CASE WHEN dot >= 0 THEN dot * dot * 1000000 // (na * nb)
+      |              ELSE -(dot * dot * 1000000 // (na * nb)) END) DESC,
+      |        id_b) AS rk
+      |    FROM (
+      |      SELECT a.id_a, b.vec_id AS id_b, a.na, b.nrm AS nb,
+      |        CAST(list_sum(list_transform(range(1, 65),
+      |          i -> a.qa[i] * b.qv[i])) AS BIGINT) AS dot
+      |      FROM anch a JOIN mq b ON b.vec_id <> a.id_a) p) t
+      |  WHERE rk <= 5
+      |), cell5 AS (
+      |  SELECT id_a, id_b FROM (
+      |    SELECT id_a, id_b,
+      |      ROW_NUMBER() OVER (PARTITION BY id_a ORDER BY
+      |        (CASE WHEN dot >= 0 THEN dot * dot * 1000000 // (na * nb)
+      |              ELSE -(dot * dot * 1000000 // (na * nb)) END) DESC,
+      |        id_b) AS rk
+      |    FROM (
+      |      SELECT a.id_a, b.vec_id AS id_b, a.na, b.nrm AS nb,
+      |        CAST(list_sum(list_transform(range(1, 65),
+      |          i -> a.qa[i] * b.qv[i])) AS BIGINT) AS dot
+      |      FROM anch a JOIN mq b ON b.cid = a.acid AND b.vec_id <> a.id_a) p) t
+      |  WHERE rk <= 5
+      |), hits AS (
+      |  SELECT e.id_a, COUNT(*) AS nhit
+      |  FROM exact5 e JOIN cell5 c ON c.id_a = e.id_a AND c.id_b = e.id_b
+      |  GROUP BY e.id_a
+      |)
+      |SELECT COALESCE(h.nhit, 0) * 1000000 // 5 AS recall_ppm,
+      |  COUNT(*) AS n_anchors
+      |FROM anch a LEFT JOIN hits h ON h.id_a = a.id_a
+      |GROUP BY 1 ORDER BY recall_ppm""".stripMargin
+
   /** Streaming twin of q259's candidate-snapshot leg: a stream of quantized
     * vectors (vec_id, qv, nrm) assigned to a FROZEN centroid model,
     * maintaining per-cluster arriving mass as a streaming aggregate. The
@@ -585,5 +666,6 @@ object Semantic {
     ("q258_prototype_prune", q258 _, Some(q258Sql)),
     ("q259_embedding_drift", q259 _, Some(q259Sql)),
     ("q260_knn_label_eval", q260 _, Some(q260Sql)),
-    ("q261_medoid_coreset", q261 _, Some(q261Sql)))
+    ("q261_medoid_coreset", q261 _, Some(q261Sql)),
+    ("q262_knn_recall_audit", q262 _, Some(q262Sql)))
 }

@@ -184,6 +184,17 @@ class SemanticSpec extends AnyFunSuite {
       s"stream=$streamed\nbatch=$batch")
   }
 
+  test("recall audit: histogram covers the whole anchor panel in exact fifths") {
+    val rows = queries.Semantic.q262(spark, sf).collect()
+    val nAnchors = rows.map(_.getLong(1)).sum
+    // the fixture has all 64 panel ids present and norm-positive
+    assert(nAnchors == 64L, s"expected 64 anchors, got $nAnchors")
+    rows.foreach { r =>
+      assert(r.getLong(0) % 200000L == 0 && r.getLong(0) <= 1000000L,
+        s"recall must be an exact fifth: ${r.getLong(0)}")
+    }
+  }
+
   test("drift monitor reports every centroid row, zero-mass clusters included") {
     val out = Semantic.q259(spark, sf)
     val rows = out.collect()
