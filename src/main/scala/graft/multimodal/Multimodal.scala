@@ -223,6 +223,51 @@ object Multimodal {
     }(Encoders.product[MediaItem]).toDF()
   }
 
+  private[multimodal] case class MediaHash(media_id: Long, dhash: Long)
+
+  /** 63-bit difference hash (dHash) over a decoded P6 — the perceptual
+    * fingerprint of image dedup pipelines (row-wise brightness gradient
+    * signs; robust to small pixel perturbations, unlike a byte hash):
+    * gray(x,y) = (r+g+b) div 3 over the raster, bit y·(w−1)+x =
+    * [gray(x+1,y) > gray(x,y)], bits capped at 63 so the hash never touches
+    * the int64 sign bit (the q159 63-bit discipline — a 64th bit would
+    * overflow differently across engines). Chain after [[resizePpm]] to a
+    * fixed 9×8 grid for the standard 64-cell/63-bit dHash. Exact integer
+    * arithmetic end to end, so a byte-level oracle replays
+    * encode → resize → gray → sign bits from the original payload.
+    * Malformed payloads are dropped (the quarantine contract). */
+  def dHash63(media: DataFrame): DataFrame = {
+    val items = media.select("media_id", "kind", "payload")
+      .as(Encoders.product[MediaItem])
+    items.mapPartitions { it =>
+      it.flatMap { m =>
+        parsePpmHeader(m.payload) match {
+          case null => Iterator.empty
+          case hdr =>
+            val w = hdr(0); val h = hdr(1); val off = hdr(2)
+            def gray(x: Int, y: Int): Int = {
+              val b = off + 3 * (y * w + x)
+              ((m.payload(b) & 0xff) + (m.payload(b + 1) & 0xff) +
+                (m.payload(b + 2) & 0xff)) / 3
+            }
+            var bits = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w - 1) {
+                val idx = y * (w - 1) + x
+                if (idx < 63 && gray(x + 1, y) > gray(x, y))
+                  bits |= 1L << idx
+                x += 1
+              }
+              y += 1
+            }
+            Iterator.single(MediaHash(m.media_id, bits))
+        }
+      }
+    }(Encoders.product[MediaHash]).toDF()
+  }
+
   /** REAL nearest-neighbor P6 resize — decode, sample, re-encode, through
     * the same partition-parallel iterator contract as [[decodePpm]]: each
     * target pixel (ty, tx) samples source pixel (ty·h div th, tx·w div tw)

@@ -1396,6 +1396,115 @@ object Extensions {
       |  CAST(SUM(i) AS BIGINT) AS frame_checksum
       |FROM pk WHERE rk = 1 GROUP BY source ORDER BY source""".stripMargin
 
+  /** q263 perceptual image near-dup pairs — dHash dedup over the REAL P6
+    * media pipeline (the multimodal twin of q30's embedding LSH): every
+    * document's image (q37's encoder) is resized to the standard 9×8 dHash
+    * grid through [[graft.multimodal.Multimodal.resizePpm]] (real
+    * decode→NN-sample→re-encode, not a byte trick), fingerprinted by the
+    * 63-bit row-gradient difference hash, and banded for candidate pairs
+    * with EXACTLY the q30 scale discipline: corpus-adaptive band width
+    * w = bitlen(n−1) clamped [7,21] (bands = 63 div w — buckets ∝ corpus, so
+    * candidates never grow n²) plus the 256-member dense-bucket cutoff
+    * (an oversized bucket is a dup CLUSTER, the q58-family's job, not a
+    * pairwise tail). Verified pairs are exact Hamming ≤ 2 over the hashes
+    * — calibrated on the candidate histogram (exact-dup images at 0, tiny
+    * perturbations at 1–2, then a correlated-texture continuum from ~4 up
+    * that is noise, not duplication) — and since every width tier yields
+    * ≥ 3 bands (63 div 21), the pigeonhole makes the banding LOSSLESS for
+    * this threshold at every corpus size, no declared recall. Why dHash and
+    * not the byte hash q26 already has: the gradient-sign fingerprint
+    * survives small pixel perturbations (re-encode jitter, brightness
+    * shifts) that flip every byte hash — the property the spec pins with a
+    * planted one-pixel edit. The oracle replays encode → resize → gray →
+    * sign bits → banding → Hamming from the raw text bytes. */
+  def q263(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val media = graft.multimodal.Multimodal.ppmFromDocuments(
+      Tables.parallelized(docs))
+    // the typed decode→resize→hash pipeline feeds the band map and both
+    // candidate fetch joins — barrier it once (the q30 discipline)
+    val hashes = graft.operators.Checkpoints.scratch(
+      graft.multimodal.Multimodal.dHash63(
+        graft.multimodal.Multimodal.resizePpm(media, 9, 8)))
+    val nDocs = docs.count()
+    val w = math.min(21, math.max(7,
+      64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, nDocs - 1))))
+    val nBands = 63 / w
+    val mask = (1L << w) - 1
+    val bands = hashes
+      .select(col("media_id").as("doc_id"),
+        explode(sequence(lit(0), lit(nBands - 1))).as("band_id"), col("dhash"))
+      .withColumn("bv", expr(s"shiftright(dhash, band_id * $w) & $mask"))
+      .select("doc_id", "band_id", "bv")
+    val small = bands.groupBy("band_id", "bv").agg(count(lit(1)).as("bc"))
+      .filter(col("bc") <= 256).select("band_id", "bv")
+    val kept = bands.join(small, Seq("band_id", "bv"), "left_semi")
+    val cand = kept.select(col("band_id"), col("bv"), col("doc_id").as("id_a"))
+      .join(kept.select(col("band_id"), col("bv"), col("doc_id").as("id_b")),
+        Seq("band_id", "bv"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    cand
+      .join(hashes.select(col("media_id").as("id_a"), col("dhash").as("ha")),
+        Seq("id_a"))
+      .join(hashes.select(col("media_id").as("id_b"), col("dhash").as("hb")),
+        Seq("id_b"))
+      .withColumn("hamming",
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast(LongType))
+      .filter(col("hamming") <= 2)
+      .select("id_a", "id_b", "hamming")
+      .orderBy("id_a", "id_b")
+  }
+
+  val q263Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, text, strlen(text) AS L,
+      |    GREATEST(1, CAST(ceil(strlen(text) / 12.0) AS BIGINT)) AS h
+      |  FROM documents
+      |), cells AS (
+      |  SELECT doc_id, y, x,
+      |    ((CASE WHEN base < L THEN ord(substr(text, CAST(base + 1 AS BIGINT), 1)) ELSE 0 END)
+      |     + (CASE WHEN base + 1 < L THEN ord(substr(text, CAST(base + 2 AS BIGINT), 1)) ELSE 0 END)
+      |     + (CASE WHEN base + 2 < L THEN ord(substr(text, CAST(base + 3 AS BIGINT), 1)) ELSE 0 END)) // 3 AS gray
+      |  FROM (
+      |    SELECT doc_id, text, L, ty.y AS y, tx.x AS x,
+      |      ((ty.y * h) // 8) * 12 + ((tx.x * 4) // 9) * 3 AS base
+      |    FROM d CROSS JOIN range(0, 8) ty(y) CROSS JOIN range(0, 9) tx(x)) p
+      |), gr AS (
+      |  SELECT doc_id, y, x, gray,
+      |    LEAD(gray) OVER (PARTITION BY doc_id, y ORDER BY x) AS ng
+      |  FROM cells
+      |), hsh AS (
+      |  SELECT doc_id, CAST(SUM(CASE WHEN x < 8 AND y * 8 + x < 63 AND ng > gray
+      |    THEN (CAST(1 AS BIGINT) << CAST(y * 8 + x AS INTEGER)) ELSE 0 END) AS BIGINT) AS dh
+      |  FROM gr GROUP BY doc_id
+      |), pw AS (
+      |  SELECT LEAST(21, GREATEST(7,
+      |      LENGTH(BIN(GREATEST(CAST(1 AS BIGINT), COUNT(*) - 1))))) AS w
+      |  FROM documents
+      |), bands AS (
+      |  SELECT doc_id, r.b AS band_id,
+      |    (dh >> CAST(r.b * pw.w AS INTEGER)) &
+      |      ((CAST(1 AS BIGINT) << CAST(pw.w AS INTEGER)) - 1) AS bv
+      |  FROM hsh CROSS JOIN pw CROSS JOIN range(0, 9) r(b)
+      |  WHERE r.b < 63 // pw.w
+      |), smallb AS (
+      |  SELECT band_id, bv FROM bands
+      |  GROUP BY band_id, bv HAVING COUNT(*) <= 256
+      |), kept AS (
+      |  SELECT b.doc_id, b.band_id, b.bv
+      |  FROM bands b JOIN smallb USING (band_id, bv)
+      |), cand AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM kept a JOIN kept b
+      |    ON a.band_id = b.band_id AND a.bv = b.bv AND a.doc_id < b.doc_id
+      |)
+      |SELECT c.id_a, c.id_b,
+      |  CAST(bit_count(xor(x.dh, y.dh)) AS BIGINT) AS hamming
+      |FROM cand c JOIN hsh x ON x.doc_id = c.id_a JOIN hsh y ON y.doc_id = c.id_b
+      |WHERE bit_count(xor(x.dh, y.dh)) <= 2
+      |ORDER BY c.id_a, c.id_b""".stripMargin
+
   /** q38 stateful sessionization (flatMapGroupsWithState, 30-min gap) —
     * per-user session counts. Oracle-checked: the gap-and-count logic is
     * replayed in SQL with lag + a running new-session sum at the same ms
@@ -2348,6 +2457,7 @@ object Extensions {
     ("q36_token_count", q36 _, Some(q36Sql)),
     ("q37_multimodal_features", q37 _, Some(q37Sql)),
     ("q208_thumbnail_resize", q208 _, Some(q208Sql)),
+    ("q263_image_neardup", q263 _, Some(q263Sql)),
     ("q38_sessionize", q38 _, Some(q38Sql)),
     ("q187_ewma_anomaly", q187 _, Some(q187Sql)),
     ("q196_time_to_convert", q196 _, Some(q196Sql)),

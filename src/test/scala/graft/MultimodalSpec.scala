@@ -132,4 +132,32 @@ class MultimodalSpec extends AnyFunSuite {
       .toDF("media_id", "kind", "payload")
     assert(Multimodal.resizePpm(bad, 2, 2).count() == 0)
   }
+
+  test("dHash63: deterministic, sign-bit-free, tolerant to a one-pixel edit") {
+    import spark.implicits._
+    // two 9x8 P6 rasters differing by ONE pixel's brightness — the
+    // perceptual property a byte hash lacks: a tiny pixel edit flips at
+    // most the two gradient comparisons that touch the edited pixel
+    def raster(edit: Boolean): Array[Byte] = {
+      val header = "P6\n9 8\n255\n".getBytes("US-ASCII")
+      val body = Array.tabulate(9 * 8 * 3) { i =>
+        ((i * 37 + 11) % 256).toByte // deterministic texture
+      }
+      if (edit) { body(3 * (2 * 9 + 4)) = 0; body(3 * (2 * 9 + 4) + 1) = 0 }
+      header ++ body
+    }
+    val m = Seq((1L, "ppm", raster(edit = false)),
+        (2L, "ppm", raster(edit = true)),
+        (3L, "ppm", raster(edit = false)), // exact clone of 1
+        (9L, "ppm", "not a ppm".getBytes("US-ASCII")))
+      .toDF("media_id", "kind", "payload")
+    val h = Multimodal.dHash63(m).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h.size == 3, "malformed payload must be quarantined")
+    assert(h(1L) == h(3L), "identical rasters must hash identically")
+    assert(h.values.forall(_ >= 0L), "63-bit hash never touches the sign bit")
+    val hamming = java.lang.Long.bitCount(h(1L) ^ h(2L))
+    assert(hamming >= 1 && hamming <= 2,
+      s"a one-pixel edit must flip 1-2 gradient bits, flipped $hamming")
+  }
 }
