@@ -134,8 +134,14 @@ object Bench {
           System.gc()
           "\"" + name + "\":" + t.fold("null")(fmt)
         }
+      // same role split as detailPath: only a closing run may touch the
+      // committed artifact of record (the r12 #5 contract applies to BOTH
+      // detail files, not just BENCH_DETAIL.json)
+      val shuffledPath =
+        if (role == "closing") "BENCH_SHUFFLED.json"
+        else "BENCH_SHUFFLED_SWEEP.json"
       try {
-        val w = new java.io.PrintWriter("BENCH_SHUFFLED.json")
+        val w = new java.io.PrintWriter(shuffledPath)
         try w.println(s"""{"unit":"sec","order":"md5(name)","single_run":${shuffled.mkString("{", ",", "}")},"sf":"$sfDir"$subsetJson$provJson}""")
         finally w.close()
       } catch { case _: Throwable => () }

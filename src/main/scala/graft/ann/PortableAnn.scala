@@ -396,12 +396,26 @@ object PortableIvfPqIndex {
           h.getFileStatus(lease).getModificationTime
           catch { case _: java.io.IOException => 0L }
         if (ageMs > LeaseTtlMs) {
-          // stale: the holder crashed without releasing — break and retake
-          h.delete(lease, false)
-          if (!tryAcquire())
+          // stale: the holder crashed without releasing. Break via RENAME,
+          // which is atomic on HDFS and local filesystems — so of several
+          // contenders observing the same stale lease exactly ONE wins the
+          // break (the losers' rename fails); a delete-then-create break
+          // would let two breakers each delete the other's fresh lease and
+          // BOTH acquire (review finding). The read-back then confirms the
+          // fresh lease is ours before the verb proceeds.
+          val tomb = new org.apache.hadoop.fs.Path(
+            leaseFile(path) + s".broken-$leaseOwner")
+          val won = try h.rename(lease, tomb)
+            catch { case _: java.io.IOException => false }
+          if (won) {
+            try h.delete(tomb, false)
+            catch { case _: java.io.IOException => () }
+          }
+          if (!won || !tryAcquire() ||
+              !readSmallFile(h, lease).contains(leaseOwner))
             throw new IllegalStateException(
-              s"writer lease at ${lease} re-acquired by another process " +
-                "immediately after stale-lease recovery; retry the verb")
+              s"writer lease at ${lease} was taken by another process " +
+                "during stale-lease recovery; retry the verb")
         } else throw new IllegalStateException(
           s"index at $path has a live writer lease (owner $owner, " +
             s"age ${ageMs}ms < ttl ${LeaseTtlMs}ms) — a concurrent " +
@@ -415,7 +429,14 @@ object PortableIvfPqIndex {
       val now: Int = leaseHolds.getOrDefault(path, 1) - 1
       if (now <= 0) {
         leaseHolds.remove(path)
-        try h.delete(lease, false)
+        // OWNER-CHECKED release (review finding): a holder stalled past the
+        // TTL may have had its lease broken and replaced by a live foreign
+        // lease — an unconditional delete here would un-protect that new
+        // holder and admit a third concurrent writer. Only this JVM's own
+        // lease file is deleted; a foreign one is left for its holder (or
+        // the TTL) to reap.
+        try if (readSmallFile(h, lease).contains(leaseOwner))
+          h.delete(lease, false)
         catch { case _: java.io.IOException => () } // TTL reaps it
       } else leaseHolds.put(path, now)
     }

@@ -1,7 +1,7 @@
 package graft.dedup
 
 import graft.functions.{TextFunctions => T, VectorFunctions => V}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -149,6 +149,35 @@ object Dedup {
   private val PermBs = Seq(7L, 101L, 1009L, 10007L, 100003L, 1000003L,
     9999991L, 999983L)
 
+  /** The eight Carter-Wegman permuted-minimum signature columns (s0..s7)
+    * over a distinct-shingle-hash array — THE single owner of the portable
+    * MinHash algebra (review finding: the constants and expression existed
+    * in two private copies, one here and one in the persisted store, with
+    * the oracle hard-coding them a third time — a tweak to one copy would
+    * silently desync the store from the in-session family until a
+    * hash-gate mismatch at some corpus scale). Every signature producer
+    * ([[portableSigs]], [[graft.dedup.PortableSigStore]]) calls this. */
+  private[graft] def permutedMinSigs(hs: Column): Seq[Column] =
+    (0 until 8).map { i =>
+      array_min(transform(hs,
+        h => (lit(PermAs(i)) * (h % MersenneP) + PermBs(i)) % MersenneP))
+        .as(s"s$i")
+    }
+
+  /** 4×2-band explode of an 8-minima signature frame:
+    * (idAs, band, k1, k2) — the single owner of the portable band shape,
+    * for the same desync reason as [[permutedMinSigs]]. */
+  private[graft] def bandExplode(sigs: DataFrame,
+      idAs: String = "doc_id"): DataFrame = {
+    val bandCols = (0 until 4).map { j =>
+      struct(lit(j).as("band"),
+        col(s"s${2 * j}").as("k1"), col(s"s${2 * j + 1}").as("k2"))
+    }
+    sigs.select(col("doc_id").as(idAs), explode(array(bandCols: _*)).as("bk"))
+      .select(col(idAs), col("bk.band").as("band"),
+        col("bk.k1").as("k1"), col("bk.k2").as("k2"))
+  }
+
   /** The shared slim portable-signature frame: (doc_id, source, s0..s7) for
     * EVERY document (nulls for docs too short to shingle — consumers pick
     * their own semantics for those). The md5 shingle hashing behind the
@@ -167,11 +196,7 @@ object Dedup {
       val docs = graft.Tables.parallelized(
         graft.Tables.load(spark, dir, "documents"))
       val hs = array_distinct(T.portableShingleHashes(col("text"), 3))
-      docs.select(Seq(col("doc_id"), col("source")) ++ (0 until 8).map { i =>
-        array_min(transform(hs,
-          h => (lit(PermAs(i)) * (h % MersenneP) + PermBs(i)) % MersenneP))
-          .as(s"s$i")
-      }: _*)
+      docs.select(col("doc_id") +: col("source") +: permutedMinSigs(hs): _*)
     }
 
   /** MinHash+LSH with ENGINE-PORTABLE hashing: md5-60-bit shingle hashes
@@ -217,13 +242,7 @@ object Dedup {
   def portableCalibrationPairs(spark: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame = {
     val sigs = portableSigs(spark, dir).filter(col("s0").isNotNull)
-    val bandCols = (0 until 4).map { j =>
-      struct(lit(j).as("band"),
-        col(s"s${2 * j}").as("k1"), col(s"s${2 * j + 1}").as("k2"))
-    }
-    val exploded = sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"),
-        col("bk.k1").as("k1"), col("bk.k2").as("k2"))
+    val exploded = bandExplode(sigs)
     val exact = lshJaccardPairs(graft.Tables.load(spark, dir, "documents"),
       exploded, Seq("band", "k1", "k2"),
       array_distinct(T.portableShingleHashes(col("text"), 3)), 0L)
@@ -242,13 +261,7 @@ object Dedup {
       minJaccardX1e6: Long): DataFrame = {
     val sigs = sigs0
       .filter(col("s0").isNotNull) // no shingles → no signature (q27 semantics)
-    val bandCols = (0 until 4).map { j =>
-      struct(lit(j).as("band"),
-        col(s"s${2 * j}").as("k1"), col(s"s${2 * j + 1}").as("k2"))
-    }
-    val exploded = sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"),
-        col("bk.k1").as("k1"), col("bk.k2").as("k2"))
+    val exploded = bandExplode(sigs)
     lshJaccardPairs(docs, exploded, Seq("band", "k1", "k2"),
       array_distinct(T.portableShingleHashes(col("text"), 3)), minJaccardX1e6)
   }

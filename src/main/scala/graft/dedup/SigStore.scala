@@ -37,23 +37,16 @@ object PortableSigStore {
   val NewMod = 10
   val NewBucket = 0
 
-  private val MersenneP = 2147483647L
-  private val PermAs = Seq(1299709L, 15485863L, 32452843L, 49979687L,
-    67867967L, 86028121L, 104395301L, 122949823L)
-  private val PermBs = Seq(7L, 101L, 1009L, 10007L, 100003L, 1000003L,
-    9999991L, 999983L)
-
-  /** (doc_id, hs, s0..s7) for the given docs — the shared portable
-    * signature map, computed NARROW (no shuffle); `hs` kept for callers
-    * that verify candidates without a second corpus scan. Null-signature
-    * (shingle-less) docs are retained; filter `s0 IS NOT NULL` to band. */
+  /** (doc_id, hs, s0..s7) for the given docs — the portable signature map,
+    * computed NARROW (no shuffle); `hs` kept for callers that verify
+    * candidates without a second corpus scan. Null-signature (shingle-less)
+    * docs are retained; filter `s0 IS NOT NULL` to band. The permutation
+    * algebra lives in [[Dedup.permutedMinSigs]] — the store and the
+    * in-session LSH family must stay bit-identical (review finding: a
+    * private copy here could desync from the family and its oracles). */
   private def sigs(docs: DataFrame): DataFrame = {
     val hs = array_distinct(T.portableShingleHashes(col("text"), 3))
-    docs.select(Seq(col("doc_id"), hs.as("hs")) ++ (0 until 8).map { i =>
-      array_min(transform(hs,
-        h => (lit(PermAs(i)) * (h % MersenneP) + PermBs(i)) % MersenneP))
-        .as(s"s$i")
-    }: _*)
+    docs.select(col("doc_id") +: hs.as("hs") +: Dedup.permutedMinSigs(hs): _*)
   }
 
   /** Build-once gate (the [[graft.ann.PortableIvfPqIndex.ensureBuilt]]
@@ -105,17 +98,10 @@ object PortableSigStore {
       graft.Tables.load(spark, corpusDir, "documents"))
     val batchSigs = sigs(batchDocs).filter(col("s0").isNotNull)
 
-    def bandFrame(s: DataFrame, id: String): DataFrame = {
-      val bandCols = (0 until 4).map { j =>
-        struct(lit(j).as("band"),
-          col(s"s${2 * j}").as("k1"), col(s"s${2 * j + 1}").as("k2"))
-      }
-      s.select(col("doc_id").as(id), explode(array(bandCols: _*)).as("bk"))
-        .select(col(id), col("bk.band").as("band"),
-          col("bk.k1").as("k1"), col("bk.k2").as("k2"))
-    }
-    val cand = bandFrame(batchSigs, "new_id")
-      .join(bandFrame(store, "base_id"), Seq("band", "k1", "k2"))
+    // the band shape is owned by Dedup.bandExplode — store and in-session
+    // family must band identically (review finding)
+    val cand = Dedup.bandExplode(batchSigs, "new_id")
+      .join(Dedup.bandExplode(store, "base_id"), Seq("band", "k1", "k2"))
       .select("new_id", "base_id").distinct()
 
     // exact verify on candidates only: batch shingles ride along (batch-

@@ -532,10 +532,9 @@ object Semantic {
       .na.fill(0L, Seq("ssd"))
       .groupBy("cid").agg(
         count(lit(1)).as("n_members"),
-        min(struct(col("ssd"), col("id_a")))
-          .getField("id_a").as("medoid_id"),
-        min(struct(col("ssd"), col("id_a")))
-          .getField("ssd").as("medoid_ssd"))
+        min(struct(col("ssd"), col("id_a"))).as("b"))
+      .select(col("cid"), col("n_members"),
+        col("b.id_a").as("medoid_id"), col("b.ssd").as("medoid_ssd"))
       .orderBy("cid")
   }
 

@@ -308,21 +308,26 @@ object Sources {
           // uppercases); probe the name as given, upper, and lower
           val names = Seq(table, table.toUpperCase, table.toLowerCase).distinct
           val cols = scala.collection.mutable.Set[String]()
+          // existence is probed via getTables, NOT inferred from nonempty
+          // index/PK metadata: a table with no PK and no indexes — the
+          // single most common misconfiguration this guard targets — has
+          // ZERO metadata rows and would otherwise be conflated with
+          // "table not found" and silently waved through to a per-range
+          // server-side full scan
           var sawTable = false
           names.foreach { t =>
+            val tb = md.getTables(null, null, t, null)
+            while (tb.next()) sawTable = true
+            tb.close()
             val ix = md.getIndexInfo(null, null, t, false, true)
-            while (ix.next()) {
-              sawTable = true
+            while (ix.next())
               Option(ix.getString("COLUMN_NAME"))
                 .foreach(c => cols += c.toLowerCase)
-            }
             ix.close()
             val pk = md.getPrimaryKeys(null, null, t)
-            while (pk.next()) {
-              sawTable = true
+            while (pk.next())
               Option(pk.getString("COLUMN_NAME"))
                 .foreach(c => cols += c.toLowerCase)
-            }
             pk.close()
           }
           if (sawTable) Some(cols.toSet) else None

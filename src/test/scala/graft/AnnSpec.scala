@@ -513,6 +513,18 @@ class AnnSpec extends AnyFunSuite {
     assert(graft.ann.PortableIvfPqIndex.codesFrame(spark, path)
       .filter(col("vec_id").isin(doomedIds.toSeq.map(Long.box): _*))
       .count() == 0, "delete+compact did not run after stale-lease recovery")
+
+    // 4. OWNER-CHECKED release (code-review finding): a holder whose lease
+    // was broken mid-verb (simulated by swapping in a foreign lease while
+    // the verb runs) must NOT delete the new holder's live lease on exit —
+    // an unconditional delete would admit a third concurrent writer
+    graft.ann.PortableIvfPqIndex.withWriterLease(spark, path) {
+      java.nio.file.Files.writeString(leaseF.toPath, "usurper-process")
+    }
+    assert(leaseF.exists, "release must leave a foreign lease alone")
+    assert(java.nio.file.Files.readString(leaseF.toPath).trim ==
+      "usurper-process", "the usurper's lease must survive the release")
+    leaseF.delete()
   }
 
   test("upsert: disk equals a whole-corpus re-encode of the patched vectors; barrier honored") {

@@ -502,5 +502,26 @@ class SourcesSpec extends AnyFunSuite {
       partitioning = Some(Sources.JdbcPartitioning("u_id", 1, 21, 4)),
       options = jdbcOpts)
     assert(ok.rdd.getNumPartitions == 4 && ok.count() == 20)
+
+    // a table with NO primary key and NO indexes at all — zero index/PK
+    // metadata rows — must still be refused: existence comes from
+    // getTables, never inferred from nonempty index metadata (a bare heap
+    // table is the most common misconfiguration this guard exists for)
+    val conn2 = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn2.createStatement()
+      st.executeUpdate("CREATE TABLE bare_x (b_id BIGINT, amount INT)")
+      (1 to 20).foreach(i =>
+        st.executeUpdate(s"INSERT INTO bare_x VALUES ($i, $i)"))
+      st.close()
+    } finally conn2.close()
+    val declaredBare = StructType(Seq(
+      StructField("b_id", LongType), StructField("amount", IntegerType)))
+    val e2 = intercept[IllegalArgumentException] {
+      Sources.jdbc(spark, url, "bare_x", declaredBare,
+        partitioning = Some(Sources.JdbcPartitioning("b_id", 1, 21, 4)),
+        options = jdbcOpts)
+    }
+    assert(e2.getMessage.contains("not indexed"))
   }
 }
