@@ -1396,6 +1396,91 @@ object Extensions {
       |  CAST(SUM(i) AS BIGINT) AS frame_checksum
       |FROM pk WHERE rk = 1 GROUP BY source ORDER BY source""".stripMargin
 
+  /** q264 VAD-style segmentation — the voice-activity-detection shape of an
+    * audio preprocessing pipeline run on the opaque payloads: q100's
+    * stride-sampled frames → Σ byte² energy (q213's kernel) → per-media
+    * ADAPTIVE threshold (voiced ⇔ 2·energy ≥ media max — integer-exact,
+    * self-calibrating across loud and quiet media the way a fixed floor is
+    * not) → consecutive voiced frames fused into SEGMENTS by the q70
+    * gaps-and-islands key (frame_no div stride − rank). Per source: media,
+    * segment count, longest segment in frames, and voiced-frame share in
+    * exact ppm — the stats that size a speech-segment store before anyone
+    * cuts audio. Scale shape: frames are generator rows (linear,
+    * stride-pruned), both windows are media-keyed (frame-count-bounded
+    * partitions), rollup ≤|sources| cells. */
+  def q264(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val media = graft.multimodal.Multimodal.mediaFromDocuments(
+      Tables.parallelized(docs))
+    val en = graft.multimodal.Multimodal.frameEnergy(
+      graft.multimodal.Multimodal.sampleFrames(media, frameBytes = 16,
+        stride = 4))
+    val voiced = en
+      .withColumn("vmax",
+        max("energy").over(Window.partitionBy("media_id")))
+      .withColumn("voiced", col("energy") * 2 >= col("vmax"))
+    val segs = voiced.filter(col("voiced"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("media_id").orderBy("frame_no")))
+      .withColumn("grp", expr("frame_no div 4") - col("rn"))
+      .groupBy("media_id", "grp").agg(count(lit(1)).as("seg_len"))
+    val perMedia = segs.groupBy("media_id").agg(
+      count(lit(1)).as("n_segs"), max("seg_len").as("max_seg"),
+      sum("seg_len").as("n_voiced"))
+    val frames = en.groupBy("media_id").agg(count(lit(1)).as("n_frames"))
+    frames.join(perMedia, Seq("media_id"))
+      .join(docs.select(col("doc_id").as("media_id"), col("source")),
+        Seq("media_id"))
+      .groupBy("source").agg(
+        count(lit(1)).as("n_media"),
+        sum("n_segs").as("n_segments"),
+        max("max_seg").as("max_seg_frames"),
+        expr("sum(n_voiced) * 1000000 div sum(n_frames)").as("voiced_ppm"))
+      .orderBy("source")
+  }
+
+  val q264Sql: String =
+    """WITH m AS (
+      |  SELECT doc_id, source, text, strlen(text) AS L,
+      |    CAST(ceil(strlen(text) / 16.0) AS BIGINT) AS nf
+      |  FROM documents WHERE strlen(text) > 0
+      |), kept AS (
+      |  SELECT * FROM (
+      |    SELECT doc_id, source, text, L, unnest(range(0, nf)) AS i FROM m)
+      |  WHERE i % 4 = 0
+      |), px AS (
+      |  SELECT doc_id, source, i,
+      |    unnest(range(i * 16 + 1, LEAST(i * 16 + 16, L) + 1)) AS p, text
+      |  FROM kept
+      |), en AS (
+      |  SELECT doc_id, source, i,
+      |    CAST(SUM(ord(substr(text, p, 1)) * ord(substr(text, p, 1))) AS BIGINT) AS energy
+      |  FROM px GROUP BY 1, 2, 3
+      |), voiced AS (
+      |  SELECT doc_id, source, i, energy,
+      |    MAX(energy) OVER (PARTITION BY doc_id) AS vmax
+      |  FROM en
+      |), segs0 AS (
+      |  SELECT doc_id, source, i,
+      |    (i // 4) - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+      |  FROM voiced WHERE energy * 2 >= vmax
+      |), segs AS (
+      |  SELECT doc_id, source, grp, COUNT(*) AS seg_len
+      |  FROM segs0 GROUP BY 1, 2, 3
+      |), per_media AS (
+      |  SELECT doc_id, source, COUNT(*) AS n_segs, MAX(seg_len) AS max_seg,
+      |    CAST(SUM(seg_len) AS BIGINT) AS n_voiced
+      |  FROM segs GROUP BY 1, 2
+      |), frames AS (
+      |  SELECT doc_id, COUNT(*) AS n_frames FROM en GROUP BY 1
+      |)
+      |SELECT p.source, COUNT(*) AS n_media,
+      |  CAST(SUM(p.n_segs) AS BIGINT) AS n_segments,
+      |  CAST(MAX(p.max_seg) AS BIGINT) AS max_seg_frames,
+      |  CAST(SUM(p.n_voiced) AS BIGINT) * 1000000 // CAST(SUM(f.n_frames) AS BIGINT) AS voiced_ppm
+      |FROM per_media p JOIN frames f ON f.doc_id = p.doc_id
+      |GROUP BY p.source ORDER BY p.source""".stripMargin
+
   /** q263 perceptual image near-dup pairs — dHash dedup over the REAL P6
     * media pipeline (the multimodal twin of q30's embedding LSH): every
     * document's image (q37's encoder) is resized to the standard 9×8 dHash
@@ -2458,6 +2543,7 @@ object Extensions {
     ("q37_multimodal_features", q37 _, Some(q37Sql)),
     ("q208_thumbnail_resize", q208 _, Some(q208Sql)),
     ("q263_image_neardup", q263 _, Some(q263Sql)),
+    ("q264_vad_segments", q264 _, Some(q264Sql)),
     ("q38_sessionize", q38 _, Some(q38Sql)),
     ("q187_ewma_anomaly", q187 _, Some(q187Sql)),
     ("q196_time_to_convert", q196 _, Some(q196Sql)),
