@@ -448,4 +448,67 @@ class PropertySpec extends AnyFunSuite {
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(got == expected, s"blocked pairs $got != brute-force $expected")
   }
+
+  test("SemDeDup rollup == brute-force transitive closure, for random member frames") {
+    // randomized replay of the cluster-local union-find: random small
+    // integer vectors in a handful of clusters, all-pairs cosine closure
+    // computed independently in plain Scala (BFS over the thresholded
+    // pair graph), keep-rule = argmin (cscore, id) per multi-component
+    val rnd = new scala.util.Random(7)
+    for (trial <- 0 until 5) {
+      val n = 12 + rnd.nextInt(20)
+      val rows = (0 until n).map { i =>
+        val cid = rnd.nextInt(3).toLong
+        // small dims make threshold crossings common
+        val qv = Seq.fill(4)((rnd.nextInt(7) - 3).toLong)
+        (i.toLong, cid, qv, rnd.nextInt(1000000).toLong)
+      }.filter(_._3.exists(_ != 0L))
+      val m = rows.toDF("vec_id", "cid", "qv", "cscore")
+        .withColumn("nrm", call_function("dot_i64", col("qv"), col("qv")))
+      val thr = 400000L
+      def cos(a: Seq[Long], b: Seq[Long]): Long = {
+        val dot = a.zip(b).map { case (x, y) => x * y }.sum
+        val (na, nb) = (a.map(x => x * x).sum, b.map(x => x * x).sum)
+        val s = dot * dot * 1000000L / (na * nb)
+        if (dot >= 0) s else -s
+      }
+      // brute-force closure per cluster
+      val expected = rows.groupBy(_._2).map { case (cid, ms) =>
+        val ids = ms.map(_._1)
+        val adj = ids.map { a =>
+          a -> ids.filter { b =>
+            b != a && {
+              val (va, vb) = (ms.find(_._1 == a).get._3, ms.find(_._1 == b).get._3)
+              cos(va, vb) >= thr
+            }
+          }
+        }.toMap
+        var seen = Set.empty[Long]
+        var groups = Seq.empty[Seq[Long]]
+        ids.sorted.foreach { s =>
+          if (!seen(s)) {
+            var comp = Set(s); var frontier = Seq(s)
+            while (frontier.nonEmpty) {
+              val next = frontier.flatMap(adj).filterNot(comp)
+              comp ++= next; frontier = next.distinct
+            }
+            seen ++= comp; groups :+= comp.toSeq.sorted
+          }
+        }
+        val pairs = ids.combinations(2).count { case Seq(a, b) =>
+          adj(a).contains(b)
+        }
+        val multi = groups.filter(_.size >= 2)
+        val cs = ms.map(r => r._1 -> r._4).toMap
+        val kept = multi.map(g => g.map(i => (cs(i), i)).min._2).sum +
+          groups.filter(_.size == 1).flatten.sum
+        cid -> (ids.size.toLong, pairs.toLong, multi.size.toLong,
+          multi.map(_.size - 1).sum.toLong, kept)
+      }
+      val got = graft.queries.Semantic.semdedupRollup(m, thr).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5))).toMap
+      assert(got == expected, s"trial $trial: $got != $expected")
+    }
+  }
 }
