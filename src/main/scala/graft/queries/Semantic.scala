@@ -644,6 +644,78 @@ object Semantic {
       |FROM anch a LEFT JOIN hits h ON h.id_a = a.id_a
       |GROUP BY 1 ORDER BY recall_ppm""".stripMargin
 
+  /** q265 cross-modal integrity audit — the referential-integrity check a
+    * multimodal pipeline runs before ANY embedding-space operator is
+    * trusted (q251's FK-audit discipline applied across modalities): per
+    * document source, how many documents actually have an embedding row
+    * (vec_id = doc_id, the corpus alignment convention), how many of those
+    * are zero-norm under the family's quantization (unusable for cosine —
+    * the [[PortableAnn.quantized]] drop rule made visible instead of
+    * silent), and the unmatched share in exact ppm; plus one embeddings-
+    * side row for orphan vectors (no backing document — the stale-index
+    * smell). At sf0.1 the fixture genuinely has 3k of 5k documents without
+    * embeddings, so the audit reports real mass, not a degenerate zero.
+    * Two narrow scans, two id-keyed joins, a ≤|sources|+1 rollup. */
+  def q265(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"))
+    val embs = Tables.parallelized(Tables.load(spark, dir, "embeddings"))
+      .select(col("vec_id"),
+        (call_function("dot_i64",
+          transform(col("embedding"),
+            x => floor(x.cast("double") * 100).cast("long")),
+          transform(col("embedding"),
+            x => floor(x.cast("double") * 100).cast("long"))) === 0L)
+          .as("zero_norm"))
+    val docSide = docs
+      .join(embs.select(col("vec_id").as("doc_id"), col("zero_norm")),
+        Seq("doc_id"), "left")
+      .groupBy("source").agg(
+        count(lit(1)).as("n_rows"),
+        count(col("zero_norm")).as("n_matched"),
+        sum(when(col("zero_norm"), 1L).otherwise(0L)).as("n_zero_vec"))
+      .withColumn("side", lit("documents"))
+    val embSide = embs
+      .join(docs.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
+      .agg(count(lit(1)).as("n_matched"))
+      .crossJoin(broadcast(embs.agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("zero_norm"), 1L).otherwise(0L)).as("n_zero_vec"))))
+      .select(lit("embeddings").as("side"), lit("(all)").as("source"),
+        col("n_rows"), col("n_matched"), col("n_zero_vec"))
+    docSide.select(col("side"), col("source"), col("n_rows"),
+        col("n_matched"), col("n_zero_vec"))
+      .unionByName(embSide)
+      .withColumn("unmatched_ppm",
+        expr("(n_rows - n_matched) * 1000000 div greatest(n_rows, 1)"))
+      .orderBy("side", "source")
+  }
+
+  val q265Sql: String =
+    """WITH e AS (
+      |  SELECT vec_id,
+      |    CAST(list_sum(list_transform(
+      |      list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 100) AS BIGINT)),
+      |      x -> x * x)) AS BIGINT) = 0 AS zero_norm
+      |  FROM embeddings
+      |), doc_side AS (
+      |  SELECT 'documents' AS side, d.source, COUNT(*) AS n_rows,
+      |    COUNT(e.vec_id) AS n_matched,
+      |    CAST(SUM(CASE WHEN e.zero_norm THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_vec
+      |  FROM documents d LEFT JOIN e ON e.vec_id = d.doc_id
+      |  GROUP BY d.source
+      |), emb_side AS (
+      |  SELECT 'embeddings' AS side, '(all)' AS source,
+      |    (SELECT COUNT(*) FROM e) AS n_rows,
+      |    (SELECT COUNT(*) FROM e JOIN documents d ON d.doc_id = e.vec_id) AS n_matched,
+      |    (SELECT CAST(SUM(CASE WHEN zero_norm THEN 1 ELSE 0 END) AS BIGINT) FROM e) AS n_zero_vec
+      |), u AS (
+      |  SELECT * FROM doc_side UNION ALL SELECT * FROM emb_side
+      |)
+      |SELECT side, source, n_rows, n_matched, n_zero_vec,
+      |  (n_rows - n_matched) * 1000000 // GREATEST(n_rows, 1) AS unmatched_ppm
+      |FROM u ORDER BY side, source""".stripMargin
+
   /** Streaming twin of q259's candidate-snapshot leg: a stream of quantized
     * vectors (vec_id, qv, nrm) assigned to a FROZEN centroid model,
     * maintaining per-cluster arriving mass as a streaming aggregate. The
@@ -666,5 +738,6 @@ object Semantic {
     ("q259_embedding_drift", q259 _, Some(q259Sql)),
     ("q260_knn_label_eval", q260 _, Some(q260Sql)),
     ("q261_medoid_coreset", q261 _, Some(q261Sql)),
-    ("q262_knn_recall_audit", q262 _, Some(q262Sql)))
+    ("q262_knn_recall_audit", q262 _, Some(q262Sql)),
+    ("q265_modal_integrity", q265 _, Some(q265Sql)))
 }
