@@ -644,6 +644,71 @@ object Semantic {
       |FROM anch a LEFT JOIN hits h ON h.id_a = a.id_a
       |GROUP BY 1 ORDER BY recall_ppm""".stripMargin
 
+  /** q266 SEMANTIC decontamination — the embedding-space leg of the
+    * train/eval leakage scrub, catching what the lexical scrubs are
+    * structurally blind to: q59 flags shared 4-grams and q176 flags MinHash
+    * near-dups, but a PARAPHRASED eval item (same meaning, different words)
+    * sails through both — it only collides in embedding space. Eval side =
+    * the q59 md5 bucket-0 convention; train docs whose embedding lands in
+    * the same k-means cell as any eval doc at cos²-ppm ≥ 150000 are flagged
+    * contaminated, rolled up per source over the EMBEDDED train population
+    * (what semantic decon can actually scan — q265 audits the unembedded
+    * remainder, and q262 prices this cell-blocking approximation). Pairs
+    * are eval×train within cells only — bounded by the tierK adaptivity,
+    * and the eval side of each cell is benchmark-sized in practice. */
+  def q266(spark: SparkSession, dir: String): DataFrame = {
+    val m = memberFrame(spark, dir)
+      .withColumn("is_eval",
+        graft.functions.TextFunctions.hashBucket(col("vec_id"), 10) === 0)
+    val ev = m.filter(col("is_eval")).select(col("cid"),
+      col("qv").as("qe"), col("nrm").as("ne"))
+    val tr = m.filter(!col("is_eval")).select(col("cid"),
+      col("vec_id").as("id_t"), col("qv").as("qt"), col("nrm").as("nt"))
+    val hits = tr.join(ev, Seq("cid"))
+      .withColumn("dot", call_function("dot_i64", col("qt"), col("qe")))
+      .withColumn("s", PortableAnn.cosPpmScore("dot", "nt", "ne"))
+      .filter(col("s") >= 150000L)
+      .select("id_t").distinct()
+      .withColumn("hit", lit(1))
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"))
+    m.filter(!col("is_eval"))
+      .select(col("vec_id").as("doc_id"))
+      .join(docs, Seq("doc_id"))
+      .join(hits.withColumnRenamed("id_t", "doc_id"), Seq("doc_id"), "left")
+      .groupBy("source").agg(
+        count(lit(1)).as("n_train_embedded"),
+        count(col("hit")).as("n_contaminated"))
+      .withColumn("contaminated_ppm",
+        expr("n_contaminated * 1000000 div greatest(n_train_embedded, 1)"))
+      .orderBy("source")
+  }
+
+  val q266Sql: String =
+    s"""WITH ${Extensions.portableQuantCte},
+      |${tieredModelSql("n", "SELECT COUNT(*) FROM embeddings")}, mq AS (
+      |  SELECT a.vec_id, a.cid, a.nrm, x.qv,
+      |    CAST('0x' || substr(md5(CAST(a.vec_id AS VARCHAR)), 1, 8) AS BIGINT) % 10 = 0 AS is_eval
+      |  FROM asg a JOIN n x ON x.vec_id = a.vec_id
+      |), hits AS (
+      |  SELECT DISTINCT t.vec_id AS doc_id FROM (
+      |    SELECT t.vec_id, t.nrm AS nt, e.nrm AS ne,
+      |      CAST(list_sum(list_transform(range(1, 65),
+      |        i -> t.qv[i] * e.qv[i])) AS BIGINT) AS dot
+      |    FROM mq t JOIN mq e ON e.cid = t.cid AND e.is_eval AND NOT t.is_eval
+      |  ) t(vec_id, nt, ne, dot)
+      |  WHERE (CASE WHEN dot >= 0 THEN dot * dot * 1000000 // (nt * ne)
+      |         ELSE -(dot * dot * 1000000 // (nt * ne)) END) >= 150000
+      |)
+      |SELECT d.source, COUNT(*) AS n_train_embedded,
+      |  COUNT(h.doc_id) AS n_contaminated,
+      |  COUNT(h.doc_id) * 1000000 // GREATEST(COUNT(*), 1) AS contaminated_ppm
+      |FROM mq m
+      |JOIN documents d ON d.doc_id = m.vec_id
+      |LEFT JOIN hits h ON h.doc_id = m.vec_id
+      |WHERE NOT m.is_eval
+      |GROUP BY d.source ORDER BY d.source""".stripMargin
+
   /** q265 cross-modal integrity audit — the referential-integrity check a
     * multimodal pipeline runs before ANY embedding-space operator is
     * trusted (q251's FK-audit discipline applied across modalities): per
@@ -739,5 +804,6 @@ object Semantic {
     ("q260_knn_label_eval", q260 _, Some(q260Sql)),
     ("q261_medoid_coreset", q261 _, Some(q261Sql)),
     ("q262_knn_recall_audit", q262 _, Some(q262Sql)),
-    ("q265_modal_integrity", q265 _, Some(q265Sql)))
+    ("q265_modal_integrity", q265 _, Some(q265Sql)),
+    ("q266_semantic_decontam", q266 _, Some(q266Sql)))
 }
