@@ -63,7 +63,15 @@ object Models {
     * embed a genuinely unique session id ([[org.apache.spark.sql.SparkSession.sessionUUID]],
     * not `identityHashCode` — hash values recycle across stopped sessions)
     * plus every hyperparameter; `stamp` carries only the corpus
-    * fingerprint. */
+    * fingerprint.
+    *
+    * CONTRACT: `train` must NOT call cachedLatest (directly or through
+    * [[graft.queries.SharedFrames.sharedFrame]]) — the registry is one
+    * ConcurrentHashMap and `compute` forbids reentrant updates
+    * (IllegalStateException("Recursive update"), and only once the map is
+    * populated enough to collide bins — a latent failure, not a loud one).
+    * Resolve nested models BEFORE entering the outer gate, as
+    * [[graft.queries.Semantic.memberFrame]] does. */
   def cachedLatest[T <: AnyRef](baseKey: String, stamp: String,
       onEvict: T => Unit = (_: T) => ())(train: => T): T =
     latest.compute(baseKey, (_, prev) =>

@@ -33,13 +33,17 @@ import org.apache.spark.sql.types._
   */
 object PortableAnn {
 
+  /** THE portable quantization expression (⌊x·100⌋ per slot) — single owner
+    * of the constant and shape every portable vector consumer (and the
+    * shared `portableQuantCte` oracle prefix) must match bit-for-bit. */
+  def qvExpr(embedding: Column): Column =
+    transform(embedding, x => floor(x.cast(DoubleType) * 100).cast(LongType))
+
   /** Quantized corpus: (vec_id, qv: array<long> = ⌊x·100⌋, nrm = ⟨qv,qv⟩),
     * zero vectors dropped (cosine undefined). */
   def quantized(embs: DataFrame): DataFrame =
     graft.Tables.parallelized(embs)
-      .select(col("vec_id"),
-        transform(col("embedding"),
-          x => floor(x.cast(DoubleType) * 100).cast(LongType)).as("qv"))
+      .select(col("vec_id"), qvExpr(col("embedding")).as("qv"))
       .withColumn("nrm", call_function("dot_i64", col("qv"), col("qv")))
       .filter(col("nrm") > 0)
 
@@ -408,6 +412,22 @@ object PortableIvfPqIndex {
           val won = try h.rename(lease, tomb)
             catch { case _: java.io.IOException => false }
           if (won) {
+            // re-validate AFTER the rename (second review pass): the rename
+            // targets the path, not the inode we stat'ed — a faster breaker
+            // may have already broken the stale lease and created a FRESH
+            // one, which our rename just stole. Rename preserves mtime, so
+            // a fresh tomb means we grabbed a live competitor's lease: put
+            // it back and abort instead of double-acquiring.
+            val tombAge = try System.currentTimeMillis -
+              h.getFileStatus(tomb).getModificationTime
+              catch { case _: java.io.IOException => Long.MaxValue }
+            if (tombAge <= LeaseTtlMs) {
+              try h.rename(tomb, lease)
+              catch { case _: java.io.IOException => () }
+              throw new IllegalStateException(
+                s"writer lease at ${lease} was re-created by another " +
+                  "process during stale-lease recovery; retry the verb")
+            }
             try h.delete(tomb, false)
             catch { case _: java.io.IOException => () }
           }

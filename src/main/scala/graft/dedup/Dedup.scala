@@ -222,11 +222,7 @@ object Dedup {
       minJaccardX1e6: Long = 800000L): DataFrame = {
     val docs = graft.Tables.parallelized(docs0)
     val hs = array_distinct(T.portableShingleHashes(col("text"), 3))
-    val sigs = docs.select(col("doc_id") +: (0 until 8).map { i =>
-      array_min(transform(hs,
-        h => (lit(PermAs(i)) * (h % MersenneP) + PermBs(i)) % MersenneP))
-        .as(s"s$i")
-    }: _*)
+    val sigs = docs.select(col("doc_id") +: permutedMinSigs(hs): _*)
     portableBandPairs(sigs, docs0, minJaccardX1e6)
   }
 

@@ -1412,9 +1412,14 @@ object Extensions {
     val docs = Tables.load(spark, dir, "documents")
     val media = graft.multimodal.Multimodal.mediaFromDocuments(
       Tables.parallelized(docs))
+    // sampleFrames emits ORIGINAL frame indices, so the gaps-and-islands
+    // divisor below must equal this stride or consecutive kept frames stop
+    // looking adjacent (the oracle hardcodes the same 4 in `i % 4`/`i // 4`
+    // — change all three together)
+    val stride = 4
     val en = graft.multimodal.Multimodal.frameEnergy(
       graft.multimodal.Multimodal.sampleFrames(media, frameBytes = 16,
-        stride = 4))
+        stride = stride))
     val voiced = en
       .withColumn("vmax",
         max("energy").over(Window.partitionBy("media_id")))
@@ -1422,7 +1427,7 @@ object Extensions {
     val segs = voiced.filter(col("voiced"))
       .withColumn("rn", row_number().over(
         Window.partitionBy("media_id").orderBy("frame_no")))
-      .withColumn("grp", expr("frame_no div 4") - col("rn"))
+      .withColumn("grp", expr(s"frame_no div $stride") - col("rn"))
       .groupBy("media_id", "grp").agg(count(lit(1)).as("seg_len"))
     val perMedia = segs.groupBy("media_id").agg(
       count(lit(1)).as("n_segs"), max("seg_len").as("max_seg"),

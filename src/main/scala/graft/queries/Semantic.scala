@@ -170,14 +170,22 @@ object Semantic {
     * member↔centroid cos²-ppm (the SemDeDup keep-rule statistic). Cached via
     * [[SharedFrames]]: q257 and q258 both start here, so the n·k assignment
     * fan is paid once per corpus per session. */
-  private def memberFrame(spark: SparkSession, dir: String): DataFrame =
+  private def memberFrame(spark: SparkSession, dir: String): DataFrame = {
+    // the model lookup is hoisted OUT of the sharedFrame build thunk:
+    // both go through Models.cachedLatest, and a cachedLatest call nested
+    // inside another's compute() is a reentrant ConcurrentHashMap update —
+    // java.lang.IllegalStateException("Recursive update") once the map is
+    // populated enough (found by SemanticSpec in a long-lived JVM, latent
+    // before that). The model gate is itself cached, so the hoisted call
+    // costs a map hit when the frame cache is warm.
+    val cents = corpusModel(spark, dir)
     SharedFrames.sharedFrame(spark, dir, "embeddings", "sem-members") {
-      val cents = corpusModel(spark, dir)
       val q = PortableAnn.quantized(Tables.load(spark, dir, "embeddings"))
       assignCid(q, centFrame(spark, cents), carry = Seq("nrm", "qv"))
         .withColumn("cscore", PortableAnn.cosPpmScore("cdot", "nrm", "cnrm"))
         .select("vec_id", "cid", "nrm", "qv", "cscore")
     }
+  }
 
   /** Per-cluster transitive closure + keep-rule, evaluated INSIDE one
     * aggregation: `ms` = the cluster's (vec_id, cscore) members, `es` = its
@@ -724,31 +732,39 @@ object Semantic {
   def q265(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
       .select(col("doc_id"), col("source"))
+    // "unusable for cosine" covers NULL embeddings, empty arrays, and
+    // all-zero quantizations — one predicate, evaluated through the SHARED
+    // quantization expression (PortableAnn.qvExpr; a private copy of the
+    // ⌊x·100⌋ algebra here would be the drifting-copies defect the r13
+    // review fixed for MinHash). NULL-embedding handling is explicit so
+    // the oracle's NULL semantics can't diverge (second review pass).
+    val qv = PortableAnn.qvExpr(col("embedding"))
     val embs = Tables.parallelized(Tables.load(spark, dir, "embeddings"))
       .select(col("vec_id"),
-        (call_function("dot_i64",
-          transform(col("embedding"),
-            x => floor(x.cast("double") * 100).cast("long")),
-          transform(col("embedding"),
-            x => floor(x.cast("double") * 100).cast("long"))) === 0L)
-          .as("zero_norm"))
-    val docSide = docs
-      .join(embs.select(col("vec_id").as("doc_id"), col("zero_norm")),
-        Seq("doc_id"), "left")
+        when(col("embedding").isNull, lit(true))
+          .otherwise(call_function("dot_i64", qv, qv) === 0L)
+          .as("unusable"))
+    // ONE embeddings scan feeds the doc-side join; the embeddings-side
+    // totals derive from it (vec_id and doc_id are unique, so matched
+    // embeddings == matched documents) plus one aggregate-only scan —
+    // two scans total. The grouped frame is tiny but feeds two consumers;
+    // scratch it so the join doesn't run twice.
+    val docSide = graft.operators.Checkpoints.scratch(docs
+      .join(embs.select(col("vec_id").as("doc_id"),
+        col("vec_id").as("evid"), col("unusable")), Seq("doc_id"), "left")
       .groupBy("source").agg(
         count(lit(1)).as("n_rows"),
-        count(col("zero_norm")).as("n_matched"),
-        sum(when(col("zero_norm"), 1L).otherwise(0L)).as("n_zero_vec"))
-      .withColumn("side", lit("documents"))
-    val embSide = embs
-      .join(docs.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
-      .agg(count(lit(1)).as("n_matched"))
-      .crossJoin(broadcast(embs.agg(
+        count(col("evid")).as("n_matched"),
+        sum(when(col("unusable"), 1L).otherwise(0L)).as("n_zero_vec")))
+    val embSide = embs.agg(
         count(lit(1)).as("n_rows"),
-        sum(when(col("zero_norm"), 1L).otherwise(0L)).as("n_zero_vec"))))
+        sum(when(col("unusable"), 1L).otherwise(0L)).as("n_zero_vec"))
+      .crossJoin(broadcast(
+        docSide.agg(sum(col("n_matched")).as("n_matched"))))
       .select(lit("embeddings").as("side"), lit("(all)").as("source"),
         col("n_rows"), col("n_matched"), col("n_zero_vec"))
-    docSide.select(col("side"), col("source"), col("n_rows"),
+    docSide.withColumn("side", lit("documents"))
+      .select(col("side"), col("source"), col("n_rows"),
         col("n_matched"), col("n_zero_vec"))
       .unionByName(embSide)
       .withColumn("unmatched_ppm",
@@ -757,23 +773,23 @@ object Semantic {
   }
 
   val q265Sql: String =
-    """WITH e AS (
+    s"""WITH ${Extensions.portableQuantCte}, e AS (
       |  SELECT vec_id,
-      |    CAST(list_sum(list_transform(
-      |      list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 100) AS BIGINT)),
-      |      x -> x * x)) AS BIGINT) = 0 AS zero_norm
-      |  FROM embeddings
+      |    qv IS NULL OR
+      |      COALESCE(CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT), 0) = 0
+      |      AS unusable
+      |  FROM q
       |), doc_side AS (
       |  SELECT 'documents' AS side, d.source, COUNT(*) AS n_rows,
       |    COUNT(e.vec_id) AS n_matched,
-      |    CAST(SUM(CASE WHEN e.zero_norm THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_vec
+      |    CAST(SUM(CASE WHEN e.unusable THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_vec
       |  FROM documents d LEFT JOIN e ON e.vec_id = d.doc_id
       |  GROUP BY d.source
       |), emb_side AS (
       |  SELECT 'embeddings' AS side, '(all)' AS source,
       |    (SELECT COUNT(*) FROM e) AS n_rows,
-      |    (SELECT COUNT(*) FROM e JOIN documents d ON d.doc_id = e.vec_id) AS n_matched,
-      |    (SELECT CAST(SUM(CASE WHEN zero_norm THEN 1 ELSE 0 END) AS BIGINT) FROM e) AS n_zero_vec
+      |    (SELECT CAST(SUM(n_matched) AS BIGINT) FROM doc_side) AS n_matched,
+      |    (SELECT CAST(SUM(CASE WHEN unusable THEN 1 ELSE 0 END) AS BIGINT) FROM e) AS n_zero_vec
       |), u AS (
       |  SELECT * FROM doc_side UNION ALL SELECT * FROM emb_side
       |)

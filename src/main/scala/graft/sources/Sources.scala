@@ -316,8 +316,15 @@ object Sources {
           // server-side full scan
           var sawTable = false
           names.foreach { t =>
+            // getTables treats the name as a SEARCH PATTERN ('_'/'%' are
+            // wildcards — second review pass), so a probed name containing
+            // '_' could "see" a different table; require an exact
+            // (case-insensitive) TABLE_NAME match on the returned rows
             val tb = md.getTables(null, null, t, null)
-            while (tb.next()) sawTable = true
+            while (tb.next()) {
+              if (Option(tb.getString("TABLE_NAME"))
+                  .exists(_.equalsIgnoreCase(t))) sawTable = true
+            }
             tb.close()
             val ix = md.getIndexInfo(null, null, t, false, true)
             while (ix.next())
