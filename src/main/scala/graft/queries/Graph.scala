@@ -597,10 +597,165 @@ object Graph {
       |  CAST(SUM(du.d * dv.d) AS BIGINT) AS s_xy
       |FROM sym JOIN deg du ON du.n = sym.u JOIN deg dv ON dv.n = sym.v""".stripMargin
 
+  /** Weighted HITS (Kleinberg, JACM 1999): the mutual-reinforcement
+    * recurrence — auth(v) = Σ_{u→v} wt·hub(u), hub(u) = Σ_{u→v} wt·auth(v)
+    * — in exact integer arithmetic, renormalized each half-round by the
+    * frame MAX (x := x·1e6 div max, GREATEST(max,1) guards the all-zero
+    * frame) so scores live in [0, 1e6] and the recurrence can never
+    * overflow int64 regardless of round count. The q124 fixed-point
+    * engineering carries over, with one structural difference: HITS runs
+    * TWO synchronized propagations per round (in-aggregate then
+    * out-aggregate) where PageRank runs one, so its floor is ≈ 2× q124's
+    * per-round cost — measured exactly that across the scale fixtures.
+    * The ≤|V| score frame is broadcast into the checkpointed edge blocks
+    * each half-round (the node table is catalog-bounded; a graph whose
+    * node table outgrows executor memory needs the co-partitioned variant,
+    * a different declared regime), and each round's raw aggregates are
+    * eagerly checkpointed with the previous round's blocks freed (the
+    * pageRankSeeded discipline). */
+  def hits(rawEdges: DataFrame, rounds: Int): DataFrame = {
+    // the edge DISCOVERY plan (a corpus-wide window + groupBy upstream) is
+    // materialized exactly once — a first cut hung three consumers off the
+    // raw plan and re-ran the discovery three times (two-thirds of the
+    // measured ×10 wall). MEASURED dead end, recorded so nobody retries
+    // it: pre-partitioned per-aggregation-key edge copies (to plan
+    // zero-exchange half-rounds) bench WORSE at every fixture scale
+    // (×64: 57 s vs 23 s) — the checkpoint's partitioning metadata does
+    // not survive to the aggregate planner, so the copies bought nothing
+    // and cost two extra |E|-row checkpoint writes.
+    val eBase = Checkpoints.scratch(rawEdges)
+    val nodes = Checkpoints.scratch(
+      eBase.select(col("src").as("node"))
+        .union(eBase.select(col("dst").as("node"))).distinct())
+    // score frames stay SPARSE through the rounds: a node absent from the
+    // frame has score 0, contributes wt·0 = 0 to the next half-round, and
+    // can never win the renormalizing MAX — so the dense nodes join (and
+    // its shuffle) is paid ONCE at the end, not per half-round. Each
+    // half-round materializes exactly ONE frame (the raw aggregate); the
+    // renormalized projection stays lazy over those checkpointed blocks,
+    // so its consumers re-run only a 1-row max, not the aggregate. A first
+    // cut materialized the normalized frame instead and re-executed every
+    // aggregate twice (once under the max, once under the checkpoint) —
+    // measured 9.0 s at ×10 vs this shape's, on the same graph where the
+    // 5-round q124 costs 2.2 s.
+    var hub: DataFrame = nodes.withColumn("h", lit(1000000L))
+    var auth: DataFrame = null
+    var retired: Seq[DataFrame] = Nil
+    def renorm(raw: DataFrame, out: String): DataFrame = {
+      val mx = raw.agg(greatest(max(col("v")), lit(1L)).as("mx"))
+      raw.crossJoin(broadcast(mx))
+        .select(col("node"), expr(s"v * 1000000 div mx").as(out))
+    }
+    for (_ <- 1 to rounds) {
+      // the ≤|V| score frame is BROADCAST into the edge blocks: scratch
+      // frames carry no useful size stats, so an unhinted join planned as
+      // a sort-merge that re-sorted all |E| edges EVERY half-round
+      // (measured ~1–2 s per half at ×10, the whole query's cost). The
+      // score frame is node-catalog-bounded — the one frame in this
+      // recurrence that is broadcastable by construction; a graph whose
+      // NODE table outgrows executor memory needs the co-partitioned
+      // variant instead, and that is a different declared regime.
+      val aRaw = Checkpoints.scratch(
+        eBase.join(broadcast(hub.select(col("node").as("src"), col("h"))),
+            Seq("src"))
+          .groupBy(col("dst").as("node"))
+          .agg(sum(expr("wt * h")).as("v")))
+      val nextAuth = renorm(aRaw, "a")
+      val hRaw = Checkpoints.scratch(
+        eBase.join(broadcast(
+            nextAuth.select(col("node").as("dst"), col("a"))), Seq("dst"))
+          .groupBy(col("src").as("node"))
+          .agg(sum(expr("wt * a")).as("v")))
+      val nextHub = renorm(hRaw, "h")
+      retired.foreach(f =>
+        Checkpoints.rddOf(f).foreach(_.unpersist(blocking = false)))
+      retired = Seq(aRaw, hRaw)
+      auth = nextAuth; hub = nextHub
+    }
+    nodes.join(auth, Seq("node"), "left").join(hub, Seq("node"), "left")
+      .na.fill(0L, Seq("a", "h"))
+  }
+
+  /** q267 HITS hubs & authorities (new r13) — the second classic link-
+    * analysis recurrence after PageRank, over the SAME item-transition
+    * graph: an AUTHORITY is a part many strong hubs transition INTO (the
+    * destination everything funnels to), a HUB is a part whose outgoing
+    * transitions land on strong authorities — the two roles PageRank's
+    * single score conflates, and the reason HITS complements q124 in a
+    * catalog/crawl ranking stack. 3 unrolled rounds (each = one weighted
+    * in-aggregate, one MAX renormalization, one weighted out-aggregate,
+    * one renormalization — all exact integers), top-20 by authority. The
+    * oracle unrolls the identical 12 CTE steps. */
+  def q267(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("okey"), col("l_linenumber").as("ln"),
+        col("l_partkey").as("pk"))
+    val nxt = Window.partitionBy("okey").orderBy(col("ln"), col("pk"))
+    val edges = li.withColumn("dst", lead("pk", 1).over(nxt))
+      .filter(col("dst").isNotNull && col("dst") =!= col("pk"))
+      .groupBy(col("pk").as("src"), col("dst"))
+      .agg(count(lit(1)).as("wt"))
+    hits(edges, rounds = 3)
+      .select(col("node").as("part"), col("a").as("auth_micro"),
+        col("h").as("hub_micro"))
+      .orderBy(desc("auth_micro"), col("part"))
+      .limit(20)
+  }
+
+  val q267Sql: String = {
+    // every CTE is MATERIALIZED (the q254 lesson): each step is referenced
+    // twice (by its max and its renormalization, or by the next half-round
+    // and the final join), so inlining expands the 12-step chain
+    // exponentially — the un-materialized form filled 78 GB of DuckDB temp
+    // spill at the x10 fixture before dying
+    val rounds = (1 to 3).map { i =>
+      s"""a${i}r AS MATERIALIZED (
+         |  SELECT n.node, COALESCE(CAST(SUM(e.wt * p.h) AS BIGINT), 0) AS araw
+         |  FROM nodes n
+         |  LEFT JOIN edges e ON e.dst = n.node
+         |  LEFT JOIN h${i - 1} p ON p.node = e.src
+         |  GROUP BY n.node
+         |), a${i}m AS MATERIALIZED (
+         |  SELECT GREATEST(MAX(araw), 1) AS mx FROM a${i}r
+         |), a$i AS MATERIALIZED (
+         |  SELECT node, araw * 1000000 // mx AS a FROM a${i}r CROSS JOIN a${i}m
+         |), h${i}r AS MATERIALIZED (
+         |  SELECT n.node, COALESCE(CAST(SUM(e.wt * q.a) AS BIGINT), 0) AS hraw
+         |  FROM nodes n
+         |  LEFT JOIN edges e ON e.src = n.node
+         |  LEFT JOIN a$i q ON q.node = e.dst
+         |  GROUP BY n.node
+         |), h${i}m AS MATERIALIZED (
+         |  SELECT GREATEST(MAX(hraw), 1) AS mx FROM h${i}r
+         |), h$i AS MATERIALIZED (
+         |  SELECT node, hraw * 1000000 // mx AS h FROM h${i}r CROSS JOIN h${i}m
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH hop AS (
+       |  SELECT l_partkey AS pk,
+       |    lead(l_partkey) OVER (PARTITION BY l_orderkey
+       |      ORDER BY l_linenumber, l_partkey) AS dst
+       |  FROM lineitem
+       |), edges AS MATERIALIZED (
+       |  SELECT pk AS src, dst, COUNT(*) AS wt FROM hop
+       |  WHERE dst IS NOT NULL AND dst <> pk GROUP BY 1, 2
+       |), nodes AS MATERIALIZED (
+       |  SELECT DISTINCT node FROM
+       |    (SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)
+       |), h0 AS MATERIALIZED (
+       |  SELECT node, CAST(1000000 AS BIGINT) AS h FROM nodes
+       |), $rounds
+       |SELECT a3.node AS part, CAST(a3.a AS BIGINT) AS auth_micro,
+       |  CAST(h3.h AS BIGINT) AS hub_micro
+       |FROM a3 JOIN h3 ON h3.node = a3.node
+       |ORDER BY auth_micro DESC, part LIMIT 20""".stripMargin
+  }
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(("q124_pagerank", q124 _, Some(q124Sql)),
     ("q256_seeded_pagerank", q256 _, Some(q256Sql)),
       ("q136_triangles", q136 _, Some(q136Sql)),
       ("q138_bfs_hops", q138 _, Some(q138Sql)),
-      ("q146_assortativity", q146 _, Some(q146Sql)))
+      ("q146_assortativity", q146 _, Some(q146Sql)),
+      ("q267_hits", q267 _, Some(q267Sql)))
 }
