@@ -449,6 +449,41 @@ class PropertySpec extends AnyFunSuite {
     assert(got == expected, s"blocked pairs $got != brute-force $expected")
   }
 
+  test("HITS == driver-side replay of the renormalized recurrence, for random graphs") {
+    val rnd = new scala.util.Random(11)
+    for (trial <- 0 until 3) {
+      val nV = 6 + rnd.nextInt(8)
+      val es = (0 until 2 * nV).map { _ =>
+        (rnd.nextInt(nV).toLong, rnd.nextInt(nV).toLong,
+          (1 + rnd.nextInt(5)).toLong)
+      }.filter(e => e._1 != e._2).distinct
+        .groupBy(e => (e._1, e._2))
+        .map { case ((s, d), g) => (s, d, g.map(_._3).sum) }.toSeq
+      if (es.nonEmpty) {
+        val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+        // driver replay: dense maps, same init / renorm / integer floor
+        var hub = nodes.map(_ -> 1000000L).toMap
+        var auth = Map.empty[Long, Long]
+        for (_ <- 1 to 3) {
+          val aRaw = nodes.map(v => v ->
+            es.filter(_._2 == v).map(e => e._3 * hub(e._1)).sum).toMap
+          val am = math.max(aRaw.values.max, 1L)
+          auth = aRaw.map { case (k, v) => k -> v * 1000000L / am }
+          val hRaw = nodes.map(v => v ->
+            es.filter(_._1 == v).map(e => e._3 * auth(e._2)).sum).toMap
+          val hm = math.max(hRaw.values.max, 1L)
+          hub = hRaw.map { case (k, v) => k -> v * 1000000L / hm }
+        }
+        val got = queries.Graph.hits(
+            es.toDF("src", "dst", "wt"), rounds = 3)
+          .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+          .toMap
+        val want = nodes.map(v => v -> (auth(v), hub(v))).toMap
+        assert(got == want, s"trial $trial: $got != $want")
+      }
+    }
+  }
+
   test("SemDeDup rollup == brute-force transitive closure, for random member frames") {
     // randomized replay of the cluster-local union-find: random small
     // integer vectors in a handful of clusters, all-pairs cosine closure
