@@ -21,10 +21,19 @@ import org.apache.spark.sql.types._
 object Knn {
 
   /** Fetch one stored embedding to use as the query point (parameter fetch,
-    * not a data-path collect). */
-  def queryVector(embs: DataFrame, vecId: Long): Array[Float] =
-    embs.filter(col("vec_id") === vecId).select("embedding")
-      .head().getSeq[Float](0).toArray
+    * not a data-path collect). Fails with a diagnosis instead of a bare
+    * NoSuchElementException when the id is absent (r13 VERDICT #6 — the
+    * float-path twin of [[PortableAnn.queryVec]]'s require): every float
+    * serve funnels through here, so the message must name the id and the
+    * table, not surface as an opaque empty-head crash. */
+  def queryVector(embs: DataFrame, vecId: Long): Array[Float] = {
+    val rows = embs.filter(col("vec_id") === vecId).select("embedding")
+      .limit(1).collect()
+    require(rows.nonEmpty,
+      s"query vec_id=$vecId not found in the embeddings table — cannot " +
+        "serve a kNN query for an id with no stored vector")
+    rows.head.getSeq[Float](0).toArray
+  }
 
   /** Exact cosine top-k against the query vector; excludes the query row. */
   def bruteForce(embs: DataFrame, q: Array[Float], excludeId: Long, k: Int): DataFrame = {
@@ -229,6 +238,8 @@ object Knn {
     val spark = embs.sparkSession
     val qDf = spark.range(1).select(
       typedlit(q.toSeq).cast(ArrayType(FloatType)).as("embedding"))
+    // head() on a 1-row literal frame (spark.range(1)) — structurally
+    // non-empty, unlike the id-lookup in queryVector above
     val qSig = qDf.select(
       V.hyperplaneSignature(col("embedding"), dim, bits, seed).as("s"))
       .head().getLong(0)

@@ -422,11 +422,32 @@ object PortableIvfPqIndex {
               h.getFileStatus(tomb).getModificationTime
               catch { case _: java.io.IOException => Long.MaxValue }
             if (tombAge <= LeaseTtlMs) {
-              try h.rename(tomb, lease)
+              // rename-back can itself fail if a THIRD contender created a
+              // new lease at the path in this window. Retry once (transient
+              // FS hiccups), then — rather than silently stranding the
+              // dispossessed holder's lease in a forever-orphaned tomb file
+              // (r13 ADVICE #1) — read the tomb to NAME the holder whose
+              // protection was lost, reap the tomb, and surface both in the
+              // refusal so the operator knows a residual double-writer
+              // window existed and who was in it.
+              def renameBack(): Boolean =
+                try h.rename(tomb, lease)
+                catch { case _: java.io.IOException => false }
+              if (renameBack() || renameBack())
+                throw new IllegalStateException(
+                  s"writer lease at ${lease} was re-created by another " +
+                    "process during stale-lease recovery; retry the verb")
+              val dispossessed = readSmallFile(h, tomb)
+                .getOrElse("<unreadable>")
+              try h.delete(tomb, false)
               catch { case _: java.io.IOException => () }
               throw new IllegalStateException(
                 s"writer lease at ${lease} was re-created by another " +
-                  "process during stale-lease recovery; retry the verb")
+                  "process during stale-lease recovery, and restoring the " +
+                  s"stolen fresh lease of holder $dispossessed failed (a " +
+                  "third contender occupied the path) — that holder wrote " +
+                  "unprotected until now; its orphaned tomb was reaped. " +
+                  "Verify the index state before retrying the verb")
             }
             try h.delete(tomb, false)
             catch { case _: java.io.IOException => () }

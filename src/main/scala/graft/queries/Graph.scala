@@ -612,7 +612,16 @@ object Graph {
     * node table outgrows executor memory needs the co-partitioned variant,
     * a different declared regime), and each round's raw aggregates are
     * eagerly checkpointed with the previous round's blocks freed (the
-    * pageRankSeeded discipline). */
+    * pageRankSeeded discipline).
+    *
+    * SCRATCH LIFECYCLE (r13 ADVICE #4): the FINAL round's aRaw/hRaw (plus
+    * eBase and nodes) back the returned lazy frame and so stay checkpointed
+    * after this function returns — they are reaped by the session's
+    * between-query block sweep (Bench/Verify unpersist all RDDs between
+    * queries). A caller using hits() as a library primitive in a long-lived
+    * session (the PropertySpec loop shape) should call
+    * `Checkpoints.sweepScratch(sc)` after consuming the result, or repeated
+    * calls accumulate dead localCheckpoint blocks. */
   def hits(rawEdges: DataFrame, rounds: Int): DataFrame = {
     // the edge DISCOVERY plan (a corpus-wide window + groupBy upstream) is
     // materialized exactly once — a first cut hung three consumers off the

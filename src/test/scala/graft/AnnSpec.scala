@@ -17,6 +17,22 @@ class AnnSpec extends AnyFunSuite {
   lazy val q = Knn.queryVector(embs, 0L)
   lazy val exact = topIds(Knn.bruteForce(embs, q, excludeId = 0L, k = 10))
 
+  test("float queryVector and portable queryVec fail identically on an absent id: named diagnosis, not an empty-head crash") {
+    // r13 VERDICT #6: the require-with-message shape landed on the portable
+    // path in r12; the float path must match — both serves' parameter fetch
+    // names the missing id instead of surfacing NoSuchElementException
+    val eFloat = intercept[IllegalArgumentException] {
+      Knn.queryVector(embs, 987654321L)
+    }
+    assert(eFloat.getMessage.contains("987654321"), eFloat.getMessage)
+    assert(eFloat.getMessage.contains("not found"), eFloat.getMessage)
+    val ePortable = intercept[IllegalArgumentException] {
+      PortableAnn.queryVec(PortableAnn.quantized(embs), 987654321L)
+    }
+    assert(ePortable.getMessage.contains("987654321"), ePortable.getMessage)
+    assert(ePortable.getMessage.contains("not found"), ePortable.getMessage)
+  }
+
   test("portable LSH top-k: k rows, an exact duplicate of the query ranks first at score 1e6") {
     import org.apache.spark.sql.functions.{col, lit, when, transform => tf}
     // clone the query vector onto a fresh id — the serve must surface it

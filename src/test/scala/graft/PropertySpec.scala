@@ -480,6 +480,10 @@ class PropertySpec extends AnyFunSuite {
           .toMap
         val want = nodes.map(v => v -> (auth(v), hub(v))).toMap
         assert(got == want, s"trial $trial: $got != $want")
+        // library-primitive usage outside the bench sweep: reap the final
+        // round's checkpoint blocks per trial (hits() docstring contract),
+        // or the trial loop accumulates dead localCheckpoint blocks
+        graft.operators.Checkpoints.sweepScratch(spark.sparkContext)
       }
     }
   }
