@@ -33,6 +33,13 @@ object TextFunctions {
     conv(substring(md5(key.cast(StringType)), 1, 8), 16, 10)
       .cast(LongType) % mod
 
+  /** [[hashBucket]] with a COLUMN modulus — for per-group bucket counts
+    * computed in the plan (the q257 mega-cluster sub-split rule, where the
+    * sub-block fan-out follows each cluster's own member count). */
+  def hashBucket(key: Column, mod: Column): Column =
+    conv(substring(md5(key.cast(StringType)), 1, 8), 16, 10)
+      .cast(LongType) % mod
+
   /** BPE-ish subword-count estimate: words plus extra units for long words
     * (a word of length L costs ceil(L/6) units) — a deterministic stand-in
     * for a real tokenizer's compression curve. */

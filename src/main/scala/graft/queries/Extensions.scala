@@ -436,13 +436,22 @@ object Extensions {
     * previous centroid). Final model CTE: `<pfx>c<iters>`. `pfx` namespaces
     * every CTE so several trains (the tiered-k arms of
     * [[Semantic.tieredTrainCtes]]) can coexist in one WITH clause. */
+  /** `gate`: optional extra predicate ANDed into the sample CTE's WHERE —
+    * the tiered-arm generator passes its tier condition here so NON-FIRING
+    * arms train on EMPTY sets instead of running the full Lloyd chain and
+    * being discarded in the final union's WHERE (r13 ADVICE #3 — the
+    * ungated shape cost DuckDB ~4× the needed oracle CPU at every corpus
+    * size; the firing arm's output is unchanged because its gate is true
+    * for every row). */
   private[queries] def ivfTrainCtes(nC: Int, mod: Int, topUp: Int, dim: Int,
-      iters: Int, src: String = "n", pfx: String = ""): String = {
+      iters: Int, src: String = "n", pfx: String = "",
+      gate: String = ""): String = {
+    val gateSql = if (gate.isEmpty) "" else s"\n    AND ($gate)"
     val sb = new StringBuilder
     sb ++= s"""${pfx}samp AS (
       |  SELECT vec_id, qv FROM $src
-      |  WHERE CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT) % $mod = 0
-      |     OR vec_id < $topUp
+      |  WHERE (CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT) % $mod = 0
+      |     OR vec_id < $topUp)$gateSql
       |), ${pfx}c0 AS (
       |  SELECT vec_id AS cid, qv AS cvec
       |  FROM (SELECT vec_id, qv FROM ${pfx}samp ORDER BY vec_id LIMIT $nC)
@@ -1499,9 +1508,13 @@ object Extensions {
     * pairwise tail). Verified pairs are exact Hamming ≤ 2 over the hashes
     * — calibrated on the candidate histogram (exact-dup images at 0, tiny
     * perturbations at 1–2, then a correlated-texture continuum from ~4 up
-    * that is noise, not duplication) — and since every width tier yields
-    * ≥ 3 bands (63 div 21), the pigeonhole makes the banding LOSSLESS for
-    * this threshold at every corpus size, no declared recall. Why dHash and
+    * that is noise, not duplication). Since every width tier yields ≥ 3
+    * bands (63 div 21), the BANDING ALONE is lossless for this threshold at
+    * every corpus size by pigeonhole; the dense-bucket cutoff is the
+    * (declared) recall tradeoff, exactly as in q30 — a true Hamming≤2 pair
+    * whose every equal band lands in a dense bucket is dropped, by design
+    * (r13 ADVICE #2 — the first cut's docstring claimed no-recall for the
+    * whole pipeline, which the cutoff contradicts). Why dHash and
     * not the byte hash q26 already has: the gradient-sign fingerprint
     * survives small pixel perturbations (re-encode jitter, brightness
     * shifts) that flip every byte hash — the property the spec pins with a

@@ -30,38 +30,76 @@ import org.apache.spark.sql.functions._
   */
 object Semantic {
 
-  /** Corpus-size → cluster-count tier. Boundaries are powers of two so both
-    * engines evaluate the same integer comparisons; k quadruples per tier so
-    * expected within-cluster pair volume n²/(2k) stays bounded as the corpus
-    * grows (the q28/q30 corpus-adaptive discipline applied to SemDeDup's k).
-    * The 512 cap is the committed-fixture ceiling (×64 = 128k vectors → 250
-    * vectors/cluster expected); production at 100 TB raises the cap with the
-    * corpus — nothing below depends on it beyond the oracle arm list. */
+  /** Corpus-size → cluster-count tier, OPEN-ENDED (r13 VERDICT #2 — the
+    * static 512 cap is gone). Boundaries are powers of two so both engines
+    * evaluate the same integer comparisons. Base tiers quadruple k per tier
+    * (8/32/128/512 — the small-corpus regime where k must outgrow the corpus
+    * quickly to block anything at all); above 2^16 vectors k DOUBLES per
+    * corpus doubling, holding the expected cluster size at a constant 256
+    * members — which is SemDeDup's own operating point (the paper runs
+    * k = 50k at 5B points, i.e. clusters of ~10⁵; ours are tighter because
+    * the within-cluster verify is exact all-pairs) and makes the pairwise
+    * cost n²/k = 256·n LINEAR in the corpus forever: at 10⁹ vectors,
+    * k = 512·2^13 ≈ 4.2M clusters and ~2.4·10¹¹ within-cluster dot products
+    * — ~238 per vector, a bounded per-row cost, not a quadratic blow-up
+    * (the SURVEY §6 cost model). Nothing below depends on any cap; the
+    * ORACLE arm list ([[tiers]]) is generated from the same rule and covers
+    * corpora to 2^24 vectors — beyond that the engine rule keeps doubling
+    * and only the DuckDB replay (a test harness, not the engine) would need
+    * more generated arms. */
   private[graft] def tierK(t: Long): Int =
     if (t <= 16384L) 8 else if (t <= 32768L) 32
-    else if (t <= 65536L) 128 else 512
+    else if (t <= 65536L) 128
+    else {
+      // i = ceil(log2(t / 65536)) via floor(log2((t-1) div 65536)) + 1;
+      // k = 512 · 2^(i-1), saturated far above any Int-addressable corpus
+      val m = (t - 1L) >> 16
+      val i = 64 - java.lang.Long.numberOfLeadingZeros(m)
+      math.min(512L << math.min(i - 1, 21), Int.MaxValue.toLong).toInt
+    }
 
-  /** (pfx, k, lower-exclusive, upper-inclusive) oracle arms for [[tierK]]. */
-  private[graft] val tiers: Seq[(String, Int, Option[Long], Option[Long])] = Seq(
-    ("t8_", 8, None, Some(16384L)),
-    ("t32_", 32, Some(16384L), Some(32768L)),
-    ("t128_", 128, Some(32768L), Some(65536L)),
-    ("t512_", 512, Some(65536L), None))
+  /** Highest open-ended arm generated for the ORACLE (i = 1..8 → corpora to
+    * 65536·2^8 = 2^24 vectors, k to 65536). The engine's [[tierK]] is
+    * open-ended; this bounds only how far the DuckDB replay can follow. */
+  private val OracleOpenArms = 8
 
-  /** DuckDB CTEs: four gated [[Extensions.ivfTrainCtes]] arms (one per
-    * [[tierK]] tier, CTE names namespaced by prefix) unioned into one `cents`
-    * model CTE — exactly one arm's WHERE survives at any corpus size, so the
-    * replay follows the engine's adaptive k without dynamic SQL. `cmeta`
-    * adds the centroid self-norm the cos²-ppm keep-rule statistic needs. */
+  /** (pfx, k, lower-exclusive, upper-inclusive) oracle arms, GENERATED from
+    * the [[tierK]] rule (r13 VERDICT #2: a hand-maintained list desyncs the
+    * moment the rule moves; [[graft.SemanticSpec]] pins arm/rule agreement
+    * at every boundary). */
+  private[graft] val tiers: Seq[(String, Int, Option[Long], Option[Long])] = {
+    val base = Seq(
+      ("t8_", 8, None, Some(16384L)),
+      ("t32_", 32, Some(16384L), Some(32768L)),
+      ("t128_", 128, Some(32768L), Some(65536L)))
+    val open = (1 to OracleOpenArms).map { i =>
+      val k = 512 << (i - 1)
+      (s"tk${k}_", k, Some(65536L << (i - 1)), Some(65536L << i))
+    }
+    base ++ open
+  }
+
+  /** DuckDB CTEs: one gated [[Extensions.ivfTrainCtes]] arm per [[tiers]]
+    * entry (CTE names namespaced by prefix) unioned into one `cents` model
+    * CTE — exactly one arm's gate is true at any covered corpus size, so the
+    * replay follows the engine's adaptive k without dynamic SQL. The tier
+    * gate is pushed INTO each arm's sample CTE (r13 ADVICE #3): a non-firing
+    * arm trains on an empty set (its whole Lloyd chain collapses to empty
+    * scans) instead of running k full iterations that the final union then
+    * discards — with 11 generated arms the ungated shape would cost the
+    * oracle ~11× the needed CPU. The union keeps the same gate in its WHERE
+    * (belt and braces; the firing arm's rows are unchanged either way).
+    * `cmeta` adds the centroid self-norm the cos²-ppm statistic needs. */
   private[queries] def tieredTrainCtes(src: String, cntSql: String): String = {
-    val arms = tiers.map { case (pfx, k, _, _) =>
+    def gateOf(lo: Option[Long], hi: Option[Long]): String =
+      (lo.map(l => s"($cntSql) > $l").toSeq ++
+        hi.map(h => s"($cntSql) <= $h")).mkString(" AND ")
+    val arms = tiers.map { case (pfx, k, lo, hi) =>
       Extensions.ivfTrainCtes(nC = k, mod = 10, topUp = k, dim = 64,
-        iters = 2, src = src, pfx = pfx)
+        iters = 2, src = src, pfx = pfx, gate = gateOf(lo, hi))
     }.mkString(", ")
     val union = tiers.map { case (pfx, _, lo, hi) =>
-      val conds = lo.map(l => s"($cntSql) > $l").toSeq ++
-        hi.map(h => s"($cntSql) <= $h")
-      s"SELECT cid, cvec FROM ${pfx}c2 WHERE ${conds.mkString(" AND ")}"
+      s"SELECT cid, cvec FROM ${pfx}c2 WHERE ${gateOf(lo, hi)}"
     }.mkString("\n  UNION ALL ")
     s"""$arms, cents AS (
       |  $union
@@ -227,38 +265,76 @@ object Semantic {
       (groups, dropped, keptSum)
     }
 
+  /** Declared member cap for one closure block (r13 VERDICT #1): a cluster
+    * with more members than this is SUB-SPLIT by a deterministic md5 bucket
+    * before the pair fan and the union-find, so no `collect_list` row ever
+    * holds more than ~this many members (or their C(cap,2) worst-case
+    * pairs) — the q30/q263 dense-bucket discipline applied to SemDeDup's
+    * closure. The tierK rule keeps EXPECTED cluster size ≤ 256, so the cap
+    * never fires on a well-spread corpus; it exists for the degenerate one
+    * (mass near-duplicate embeddings collapsing into one cell — exactly
+    * what a dup-heavy real corpus does). */
+  private[graft] val ClosureMemberCap = 1024
+
   /** The SemDeDup survivorship over a member frame, factored out for the
     * spec's planted-corpus replay: within-cluster pairs at cos²-ppm ≥
     * `thresholdPpm` close transitively into dup groups (cluster-local
     * union-find — see [[semdedupGroups]]), each keeping its least-central
-    * member. Scale shape: the self-join is the SemDeDup-declared n²/k cost,
-    * bounded by the tierK adaptivity (k quadruples per corpus tier); the
-    * closure is one cid-keyed aggregation over cluster-bounded groups —
-    * no iteration, no driver. */
-  private[graft] def semdedupRollup(m: DataFrame,
+    * member.
+    *
+    * MEGA-CLUSTER GUARD (r13 VERDICT #1): a cluster of m members used to
+    * collect ALL m ids and ALL qualifying pairs into ONE aggregation row —
+    * expected-n/k-bounded, but a degenerate corpus (everything near-
+    * identical → one cell) put C(m,2) pair structs in a single row, an
+    * executor-memory hazard. Clusters over [[ClosureMemberCap]] members now
+    * sub-split into nsub = ⌈m / cap⌉ md5-keyed sub-blocks; pairs are
+    * discovered and closed WITHIN a sub-block only, and the per-cid output
+    * re-aggregates the sub-block results. Dedup across sub-blocks is the
+    * DECLARED recall tradeoff (the q30/q263 dense-bucket shape): a pair
+    * split across sub-blocks of a mega-cluster is missed by design — a
+    * cluster that big is mass duplication, and its sub-blocks each still
+    * catch ~cap-sized dup groups (survivor count is conservative, never
+    * wrong-side: at most nsub survivors per true group instead of 1). For
+    * every cluster ≤ cap, nsub = 1 and the semantics are EXACTLY the
+    * uncapped closure. The oracle replays the sub rule bit-for-bit (md5
+    * bucket over ⌈count-over-cid / cap⌉), so the gate holds whether or not
+    * the cap fires.
+    *
+    * Scale shape: the self-join is the SemDeDup-declared n²/k cost, bounded
+    * by the tierK adaptivity (k follows the corpus); the closure is one
+    * (cid, sub)-keyed aggregation over cap-bounded groups — no iteration,
+    * no driver, no unbounded row. */
+  private[graft] def semdedupRollup(m0: DataFrame,
       thresholdPpm: Long): DataFrame = {
-    val a = m.select(col("cid"), col("vec_id").as("id_a"),
+    val nsubExpr = expr(
+      s"(count(1) over (partition by cid) + ${ClosureMemberCap - 1}) " +
+        s"div $ClosureMemberCap")
+    val m = m0.withColumn("sub",
+      graft.functions.TextFunctions.hashBucket(col("vec_id"), nsubExpr))
+    val a = m.select(col("cid"), col("sub"), col("vec_id").as("id_a"),
       col("qv").as("qa"), col("nrm").as("na"))
-    val b = m.select(col("cid"), col("vec_id").as("id_b"),
+    val b = m.select(col("cid"), col("sub"), col("vec_id").as("id_b"),
       col("qv").as("qb"), col("nrm").as("nb"))
-    val pairs = a.join(b, Seq("cid"))
+    val pairs = a.join(b, Seq("cid", "sub"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("dot", call_function("dot_i64", col("qa"), col("qb")))
       .withColumn("s", PortableAnn.cosPpmScore("dot", "na", "nb"))
       .filter(col("s") >= thresholdPpm)
-      .select("cid", "id_a", "id_b")
-    val pairsByCid = pairs.groupBy("cid").agg(
+      .select("cid", "sub", "id_a", "id_b")
+    val pairsBySub = pairs.groupBy("cid", "sub").agg(
       count(lit(1)).as("n_dup_pairs"),
       collect_list(struct(col("id_a"), col("id_b"))).as("es"))
-    val membersByCid = m.groupBy("cid").agg(
+    val membersBySub = m.groupBy("cid", "sub").agg(
       count(lit(1)).as("n_members"),
       collect_list(struct(col("vec_id"), col("cscore"))).as("ms"))
-    membersByCid.join(pairsByCid, Seq("cid"), "left")
+    membersBySub.join(pairsBySub, Seq("cid", "sub"), "left")
       .withColumn("r", semdedupGroups(col("ms"), col("es")))
-      .select(col("cid"), col("n_members"),
-        coalesce(col("n_dup_pairs"), lit(0L)).as("n_dup_pairs"),
-        col("r._1").as("n_dup_groups"), col("r._2").as("n_dropped"),
-        col("r._3").as("kept_id_sum"))
+      .groupBy("cid").agg(
+        sum(col("n_members")).as("n_members"),
+        sum(coalesce(col("n_dup_pairs"), lit(0L))).as("n_dup_pairs"),
+        sum(col("r._1")).as("n_dup_groups"),
+        sum(col("r._2")).as("n_dropped"),
+        sum(col("r._3")).as("kept_id_sum"))
       .orderBy("cid")
   }
 
@@ -269,8 +345,9 @@ object Semantic {
     * cluster centroid. Per cluster: members, qualifying pairs, multi-member
     * groups, drops, and the kept-id checksum that pins the keep-rule under
     * the hash gate. Scale: assignment is one broadcast-fan pass (shuffle
-    * corpus-narrow), pairs are n²/k-bounded by tierK, components are
-    * edge-bounded. */
+    * corpus-narrow), pairs are n²/k-bounded by tierK, closure blocks are
+    * [[ClosureMemberCap]]-bounded even on a degenerate all-duplicate
+    * corpus (see [[semdedupRollup]]). */
   def q257(spark: SparkSession, dir: String): DataFrame =
     semdedupRollup(memberFrame(spark, dir), thresholdPpm = 150000L)
 
@@ -279,18 +356,25 @@ object Semantic {
 
   val q257Sql: String =
     s"""WITH RECURSIVE ${Extensions.portableQuantCte},
-      |${tieredModelSql("n", "SELECT COUNT(*) FROM embeddings")}, m AS (
+      |${tieredModelSql("n", "SELECT COUNT(*) FROM embeddings")}, m0 AS (
       |  SELECT a.vec_id, a.cid, a.nrm, x.qv,
       |    (CASE WHEN a.cdot >= 0 THEN a.cdot * a.cdot * 1000000 // (a.nrm * a.cnrm)
       |          ELSE -(a.cdot * a.cdot * 1000000 // (a.nrm * a.cnrm)) END) AS cscore
       |  FROM asg a JOIN n x ON x.vec_id = a.vec_id
+      |), m AS (
+      |  SELECT *,
+      |    CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8) AS BIGINT)
+      |      % ((COUNT(*) OVER (PARTITION BY cid) + ${ClosureMemberCap - 1})
+      |         // $ClosureMemberCap) AS sub
+      |  FROM m0
       |), prs AS (
       |  SELECT cid, id_a, id_b FROM (
       |    SELECT a.cid, a.vec_id AS id_a, b.vec_id AS id_b,
       |      a.nrm AS na, b.nrm AS nb,
       |      CAST(list_sum(list_transform(range(1, 65),
       |        i -> a.qv[i] * b.qv[i])) AS BIGINT) AS dot
-      |    FROM m a JOIN m b ON b.cid = a.cid AND a.vec_id < b.vec_id) t
+      |    FROM m a JOIN m b ON b.cid = a.cid AND b.sub = a.sub
+      |      AND a.vec_id < b.vec_id) t
       |  WHERE (CASE WHEN dot >= 0 THEN dot * dot * 1000000 // (na * nb)
       |         ELSE -(dot * dot * 1000000 // (na * nb)) END) >= 150000
       |), edges AS (
@@ -813,6 +897,157 @@ object Semantic {
       .withColumn("cid", PortableAnn.nearestCidInt(cents))
       .groupBy("cid").agg(count(lit(1)).as("n_b"))
 
+  // ---- semantic ingest gate (r13 VERDICT #5) ----------------------------
+
+  /** q255's arrival convention in embedding space: md5 bucket 0-of-10 of
+    * vec_ids is the incoming batch; everything else is the existing corpus
+    * the frozen model indexes. */
+  val GateMod = 10
+  val GateBucket = 0
+
+  /** Frozen gate state for `dir`'s corpus: the tiered-k model trained on
+    * the EXISTING side only (tier gated on the existing side's raw count —
+    * the q259 frozen-model discipline) plus every existing vector assigned
+    * to it. Model cached per corpus stamp; the member frame is the
+    * broadcast-fan assignment, rebuilt per call (callers that gate many
+    * batches against one corpus persist it once — see [[semGateStream]]). */
+  private[graft] def gateState(spark: SparkSession, dir: String)
+      : (Array[(Long, Array[Long])], DataFrame) = {
+    val embs = Tables.load(spark, dir, "embeddings")
+    val isNew = graft.functions.TextFunctions
+      .hashBucket(col("vec_id"), GateMod) === GateBucket
+    val k = tierK(embs.filter(!isNew).count())
+    val cents = Models.cachedLatest[Array[(Long, Array[Long])]](
+      s"semgate:$dir:$k", Models.corpusStamp(spark, dir)) {
+      ivfTrainIntJoin(spark, PortableAnn.quantized(embs.filter(!isNew)), k)
+    }
+    val existing = assignCid(
+      PortableAnn.quantized(embs.filter(!isNew)),
+      centFrame(spark, cents), carry = Seq("nrm", "qv"))
+      .select(col("cid"), col("vec_id").as("id_e"),
+        col("qv").as("qe"), col("nrm").as("ne"))
+    (cents, existing)
+  }
+
+  /** Gate one batch of quantized arrivals (vec_id, qv, nrm) against the
+    * frozen state: each arrival is assigned to its nearest frozen centroid
+    * and collides if ANY existing vector in that cell scores cos²-ppm ≥
+    * `thresholdPpm` against it — the q257 pair rule pointed at the
+    * ingest boundary, catching the paraphrased near-duplicate the q255
+    * MinHash gate is lexically blind to. Returns one row per arrival:
+    * (vec_id, cid, n_collisions, best_match_id, best_score_ppm, admitted).
+    * Scale shape: one broadcast-fan assignment over the BATCH (batch-sized,
+    * the amortization the frozen model buys), then a cid-keyed join whose
+    * existing side is n/k-bounded per cell by the tierK rule — the batch
+    * pays |batch|·(n/k) score rows, never |batch|·n. */
+  def semGateBatch(batchQ: DataFrame, cents: Array[(Long, Array[Long])],
+      existing: DataFrame, thresholdPpm: Long = 150000L): DataFrame = {
+    val spark = batchQ.sparkSession
+    val ar = assignCid(batchQ, centFrame(spark, cents),
+        carry = Seq("nrm", "qv"))
+      .select(col("cid"), col("vec_id"), col("qv").as("qa"),
+        col("nrm").as("na"))
+    val hits = ar.join(existing, Seq("cid"))
+      .withColumn("dot", call_function("dot_i64", col("qa"), col("qe")))
+      .withColumn("s", PortableAnn.cosPpmScore("dot", "na", "ne"))
+      .filter(col("s") >= thresholdPpm)
+      .groupBy("vec_id").agg(
+        count(lit(1)).as("n_collisions"),
+        max_by(struct(col("id_e"), col("s")),
+          struct(col("s"), -col("id_e"))).as("b"))
+      .select(col("vec_id"), col("n_collisions"),
+        col("b.id_e").as("best_match_id"), col("b.s").as("best_score_ppm"))
+    ar.select("vec_id", "cid").join(hits, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid"),
+        coalesce(col("n_collisions"), lit(0L)).as("n_collisions"),
+        coalesce(col("best_match_id"), lit(-1L)).as("best_match_id"),
+        coalesce(col("best_score_ppm"), lit(0L)).as("best_score_ppm"),
+        (col("n_collisions").isNull).cast("int").as("admitted"))
+  }
+
+  /** q268 semantic ingest gate, batch twin — the md5 arrival bucket of the
+    * embeddings table gated against the frozen existing-corpus model: the
+    * [[graft.dedup.PortableSigStore]] deployment shape (q255) in EMBEDDING
+    * space, and the batch semantics [[semGateStream]] replays per
+    * micro-batch. The oracle replays train → assign → cell-join →
+    * best-match bit-for-bit. */
+  def q268(spark: SparkSession, dir: String): DataFrame = {
+    val (cents, existing) = gateState(spark, dir)
+    val embs = Tables.load(spark, dir, "embeddings")
+    val arrivals = PortableAnn.quantized(embs.filter(
+      graft.functions.TextFunctions
+        .hashBucket(col("vec_id"), GateMod) === GateBucket))
+    semGateBatch(arrivals, cents, existing).orderBy("vec_id")
+  }
+
+  val q268Sql: String = {
+    val exCnt = "SELECT COUNT(*) FROM embeddings WHERE " +
+      s"CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8) AS BIGINT) % $GateMod <> $GateBucket"
+    s"""WITH ${Extensions.portableQuantCte}, ex AS (
+      |  SELECT vec_id, qv, nrm FROM n
+      |  WHERE CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8) AS BIGINT) % $GateMod <> $GateBucket
+      |),
+      |${tieredTrainCtes("ex", exCnt)}, ${asgCte("n")}, m AS (
+      |  SELECT a.vec_id, a.cid, a.nrm, x.qv,
+      |    CAST('0x' || substr(md5(CAST(a.vec_id AS VARCHAR)), 1, 8) AS BIGINT) % $GateMod = $GateBucket AS is_new
+      |  FROM asg a JOIN n x ON x.vec_id = a.vec_id
+      |), prs AS (
+      |  SELECT vec_id, id_e,
+      |    (CASE WHEN dot >= 0 THEN dot * dot * 1000000 // (na * ne)
+      |          ELSE -(dot * dot * 1000000 // (na * ne)) END) AS s
+      |  FROM (
+      |    SELECT a.vec_id, e.vec_id AS id_e, a.nrm AS na, e.nrm AS ne,
+      |      CAST(list_sum(list_transform(range(1, 65),
+      |        i -> a.qv[i] * e.qv[i])) AS BIGINT) AS dot
+      |    FROM m a JOIN m e ON e.cid = a.cid AND a.is_new AND NOT e.is_new) t
+      |  WHERE (CASE WHEN dot >= 0 THEN dot * dot * 1000000 // (na * ne)
+      |         ELSE -(dot * dot * 1000000 // (na * ne)) END) >= 150000
+      |), agg AS (
+      |  SELECT vec_id, COUNT(*) AS n_collisions FROM prs GROUP BY vec_id
+      |), best AS (
+      |  SELECT vec_id, id_e, s FROM (
+      |    SELECT vec_id, id_e, s,
+      |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, id_e) AS rn
+      |    FROM prs) t
+      |  WHERE rn = 1
+      |)
+      |SELECT a.vec_id, a.cid,
+      |  CAST(COALESCE(g.n_collisions, 0) AS BIGINT) AS n_collisions,
+      |  CAST(COALESCE(b.id_e, -1) AS BIGINT) AS best_match_id,
+      |  CAST(COALESCE(b.s, 0) AS BIGINT) AS best_score_ppm,
+      |  CAST(g.vec_id IS NULL AS INTEGER) AS admitted
+      |FROM m a
+      |LEFT JOIN agg g ON g.vec_id = a.vec_id
+      |LEFT JOIN best b ON b.vec_id = a.vec_id
+      |WHERE a.is_new
+      |ORDER BY a.vec_id""".stripMargin
+  }
+
+  /** STREAMING semantic ingest gate — the [[graft.dedup.PortableSigStore
+    * .gateStream]] shape in embedding space (r13 VERDICT #5): each
+    * micro-batch of quantized vectors is gated under the FROZEN existing-
+    * corpus model and only semantically-novel rows land in `outDir`. Batch
+    * semantics per micro-batch (the collision rollup has no incremental
+    * streaming form), so the stream runs through foreachBatch; survivors
+    * write to a batch-stamped subdir with OVERWRITE, making the
+    * at-least-once replay exactly-once by idempotence (each batch owns its
+    * directory — the q255 commit protocol). `existing` should be passed
+    * PERSISTED by callers gating many batches (it is re-consumed per
+    * micro-batch). Readers take `outDir/batch-*`. */
+  def semGateStream(spark: SparkSession,
+      cents: Array[(Long, Array[Long])], existing: DataFrame,
+      quantizedStream: DataFrame, outDir: String, checkpointDir: String,
+      thresholdPpm: Long = 150000L)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    quantizedStream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        semGateBatch(batch.toDF(), cents, existing, thresholdPpm)
+          .filter(col("admitted") === 1)
+          .write.mode("overwrite").parquet(s"$outDir/batch-$id")
+      }
+      .start()
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q257_semdedup", q257 _, Some(q257Sql)),
     ("q258_prototype_prune", q258 _, Some(q258Sql)),
@@ -821,5 +1056,6 @@ object Semantic {
     ("q261_medoid_coreset", q261 _, Some(q261Sql)),
     ("q262_knn_recall_audit", q262 _, Some(q262Sql)),
     ("q265_modal_integrity", q265 _, Some(q265Sql)),
-    ("q266_semantic_decontam", q266 _, Some(q266Sql)))
+    ("q266_semantic_decontam", q266 _, Some(q266Sql)),
+    ("q268_semantic_gate", q268 _, Some(q268Sql)))
 }

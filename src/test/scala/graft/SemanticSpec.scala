@@ -23,7 +23,10 @@ class SemanticSpec extends AnyFunSuite {
     assert(Semantic.tierK(32769L) == 128)
     assert(Semantic.tierK(65536L) == 128)
     assert(Semantic.tierK(65537L) == 512)
-    assert(Semantic.tierK(100000000L) == 512)
+    // open-ended above 2^16 (r13 VERDICT #2): k doubles per corpus doubling
+    assert(Semantic.tierK(131072L) == 512)
+    assert(Semantic.tierK(131073L) == 1024)
+    assert(Semantic.tierK(100000000L) == 524288)
   }
 
   test("join-based Lloyd == literal-expression Lloyd on the same corpus") {
@@ -100,6 +103,49 @@ class SemanticSpec extends AnyFunSuite {
       (7L, 2L, 1L, 1L, 1L, 10L)), out.toSeq.toString)
   }
 
+  test("mega-cluster cap: an all-near-identical corpus sub-splits, no closure block exceeds the cap, rollup == sub-rule replay") {
+    import spark.implicits._
+    // r13 VERDICT #1: the degenerate corpus SemDeDup actually meets — mass
+    // near-duplicate embeddings collapsing into ONE cell. Uncapped, this
+    // frame built a single aggregation row holding C(3000,2) ≈ 4.5M pair
+    // structs; under the cap it must split into ⌈n/cap⌉ md5 sub-blocks,
+    // each closing independently (per-block survivors — the declared
+    // conservative recall tradeoff, never a wrong-side drop).
+    val cap = Semantic.ClosureMemberCap
+    val n = 3000
+    val rows = (0 until n).map(i =>
+      (i.toLong, 0L, Seq(7L, 3L, 0L, 1L), (i % 1000).toLong))
+    val m = rows.toDF("vec_id", "cid", "qv", "cscore")
+      .withColumn("nrm", call_function("dot_i64", col("qv"), col("qv")))
+    val out = Semantic.semdedupRollup(m, thresholdPpm = 150000L).collect()
+    assert(out.length == 1 && out.head.getLong(0) == 0L)
+    // driver replay of the sub rule (the exact md5 algebra of hashBucket)
+    val nsub = (n + cap - 1) / cap
+    assert(nsub == 3, s"fixture must exceed the cap: nsub=$nsub")
+    def sub(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      val hex = md.take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16) % nsub
+    }
+    val blocks = (0 until n).map(_.toLong).groupBy(sub)
+    assert(blocks.size == nsub)
+    // md5 balance: every closure block is cap-scale, nowhere near C(m,2)
+    assert(blocks.values.map(_.size).max <= 2 * cap,
+      s"block sizes ${blocks.values.map(_.size)}")
+    // identical vectors: each block is ONE transitive group keeping the
+    // argmin-(cscore, id) member
+    val cs = rows.map(r => r._1 -> r._4).toMap
+    val expPairs = blocks.values.map(g => g.size.toLong * (g.size - 1) / 2).sum
+    val expKept = blocks.values.map(g => g.map(i => (cs(i), i)).min._2).sum
+    val r = out.head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+      r.getLong(5)) ==
+      ((n.toLong, expPairs, blocks.size.toLong, (n - blocks.size).toLong,
+        expKept)),
+      s"got ${r}")
+  }
+
   test("kNN label eval: counts consistent, ppm exact, rank planned as WindowGroupLimit") {
     val df = queries.Semantic.q260(spark, sf)
     val rows = df.collect()
@@ -143,9 +189,13 @@ class SemanticSpec extends AnyFunSuite {
     // the k=8/k=32 arms are proven by actual DuckDB replays (sf0.001/sf0.01/
     // ×10); what remains falsifiable without a large-corpus oracle run is
     // gate/tier agreement — a desync here would pass the fixture-scale hash
-    // gate and only surface at 33k+ vectors (the r12 ADVICE #3 class)
-    for (t <- Seq(1L, 500L, 16384L, 16385L, 32768L, 32769L, 65536L, 65537L,
-        100000L, 100000000L)) {
+    // gate and only surface at 33k+ vectors (the r12 ADVICE #3 class).
+    // Coverage: every boundary of every GENERATED arm (r13 VERDICT #2 made
+    // the list programmatic to 2^24 vectors), both sides of each edge.
+    val bounds = Semantic.tiers.flatMap { case (_, _, lo, hi) =>
+      lo.toSeq.flatMap(l => Seq(l, l + 1)) ++ hi.toSeq.flatMap(h => Seq(h, h + 1))
+    }.filter(_ <= 16777216L).distinct
+    for (t <- (Seq(1L, 500L, 100000L, 1000000L, 16777216L) ++ bounds)) {
       val firing = Semantic.tiers.filter { case (_, _, lo, hi) =>
         lo.forall(t > _) && hi.forall(t <= _)
       }
@@ -153,6 +203,30 @@ class SemanticSpec extends AnyFunSuite {
       assert(firing.head._2 == Semantic.tierK(t),
         s"t=$t: arm k=${firing.head._2} != tierK=${Semantic.tierK(t)}")
     }
+  }
+
+  test("tierK is open-ended past the oracle arm coverage: k doubles per corpus doubling, expected cluster size pinned at <= 256") {
+    // the engine rule has NO cap (r13 VERDICT #2) — beyond the generated
+    // arms only the DuckDB replay stops following; the rule itself keeps
+    // the within-cluster expectation n/k in (128, 256] forever, which is
+    // what bounds the SemDeDup pair fan at n²/k = 256·n (linear) at any
+    // corpus size, 10⁹ vectors included
+    // loop to 2^38 vectors — the last tier before the (declared) k
+    // saturation at 512·2^21 = 2^30 clusters; beyond it a corpus is far
+    // outside Int-addressable cluster ids and a different engine regime
+    var t = 65536L
+    while (t <= (1L << 37)) {
+      val kLo = Semantic.tierK(t + 1) // just past a boundary: n/k minimal
+      val kHi = Semantic.tierK(2 * t) // at the next boundary: n/k maximal
+      assert(kLo == kHi, s"t in (${t}, ${2 * t}] must be one tier")
+      assert(Semantic.tierK(2 * t + 1) == 2L * kHi || kHi == (512 << 21),
+        s"k must double at t=${2 * t + 1}")
+      val expectedMembers = (2 * t) / kHi
+      assert(expectedMembers <= 256, s"t=${2 * t}: n/k=$expectedMembers")
+      t *= 2
+    }
+    assert(Semantic.tierK(1000000000L) == (512 << 13), // 10⁹ → k ≈ 4.2M
+      s"10⁹ vectors: ${Semantic.tierK(1000000000L)}")
   }
 
   test("streaming drift mass == batch q259 candidate-snapshot mass") {

@@ -551,6 +551,53 @@ class StreamingSpec extends AnyFunSuite {
       "replayed batch commit must be a no-op on the survivor set")
   }
 
+  test("streaming semantic ingest gate == batch q268 survivors; replay idempotent") {
+    // r13 VERDICT #5: the q255 gate shape in EMBEDDING space — arriving
+    // vectors rejected on semantic collision with the frozen corpus model
+    import org.apache.spark.sql.types._
+    val sf = "/root/testdata/sf0.001"
+    val want = graft.queries.Semantic.q268(spark, sf)
+      .filter(col("admitted") === 1).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    val (cents, existing) = graft.queries.Semantic.gateState(spark, sf)
+    val existingP = existing.persist()
+    try {
+      // stage the arrival bucket as 3 files -> 3 micro-batches
+      val arrivals = graft.ann.PortableAnn.quantized(
+        Tables.load(spark, sf, "embeddings").filter(
+          graft.functions.TextFunctions.hashBucket(col("vec_id"),
+            graft.queries.Semantic.GateMod)
+            === graft.queries.Semantic.GateBucket))
+      val landing =
+        java.nio.file.Files.createTempDirectory("semgate_landing").toString
+      arrivals.withColumn("g", col("vec_id") % 3)
+        .repartition(3, col("g")).drop("g")
+        .write.mode("overwrite").parquet(landing)
+      val schema = StructType(Seq(StructField("vec_id", LongType),
+        StructField("qv", ArrayType(LongType)), StructField("nrm", LongType)))
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(landing)
+      val out = java.nio.file.Files.createTempDirectory("semgate_out").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("semgate_ckpt").toString
+      val q = graft.queries.Semantic.semGateStream(spark, cents, existingP,
+        stream, out, ckpt)
+      try q.processAllAvailable() finally q.stop()
+      def survivors(): Seq[Long] = spark.read.parquet(s"$out/batch-*")
+        .select("vec_id").collect().map(_.getLong(0)).toSeq
+      val got = survivors()
+      assert(got.toSet == want, "gated stream diverges from the batch twin")
+      assert(got.distinct.length == got.length, "gate emitted duplicates")
+      // at-least-once replay: a re-run batch overwrites its own directory
+      val b0 = spark.read.parquet(s"$out/batch-0").select("vec_id")
+      graft.queries.Semantic.semGateBatch(
+        arrivals.join(b0, Seq("vec_id"), "left_semi"), cents, existingP)
+        .filter(col("admitted") === 1)
+        .write.mode("overwrite").parquet(s"$out/batch-0")
+      assert(survivors().toSet == want && survivors().length == got.length,
+        "replayed batch commit must be a no-op on the survivor set")
+    } finally existingP.unpersist(blocking = false)
+  }
+
   test("streaming index ingest == batch build: per-micro-batch frozen-model appends") {
     import graft.ann.{PortableAnn, PortableIvfPqIndex}
     import spark.implicits._
