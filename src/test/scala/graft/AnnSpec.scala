@@ -543,6 +543,43 @@ class AnnSpec extends AnyFunSuite {
     leaseF.delete()
   }
 
+  test("commit-point fence: a lease lost mid-write is detected at the next commit point and refused without committing") {
+    // r13 VERDICT #4: a writer stalled past the TTL loses the lease
+    // UNDETECTED unless every irreversible commit re-checks ownership.
+    // Simulated here by swapping in a foreign lease while the verb's JVM
+    // still believes it holds (the reentrant hold-count shortcut skips the
+    // acquisition check — exactly the blind spot the fence closes).
+    import org.apache.spark.sql.functions.col
+    val qz = PortableAnn.quantized(embs)
+    val model = PortableAnn.ivfPqTrainInt(qz, dim = 64)
+    val path = java.nio.file.Files.createTempDirectory("pivfpq_fence").toString
+    graft.ann.PortableIvfPqIndex.save(spark, model,
+      PortableAnn.encodeIvfPq(qz, model), path)
+    val leaseF = new java.io.File(graft.ann.PortableIvfPqIndex.leaseFile(path))
+    val doomed = qz.filter(
+      graft.functions.TextFunctions.hashBucket(col("vec_id"), 7) === 2)
+      .select("vec_id")
+    val e = intercept[IllegalStateException] {
+      graft.ann.PortableIvfPqIndex.withWriterLease(spark, path) {
+        // replace the lease wholesale (file + checksum sidecar), as a
+        // foreign breaker's own create would
+        leaseF.delete()
+        new java.io.File(leaseF.getParent, s".${leaseF.getName}.crc").delete()
+        java.nio.file.Files.writeString(leaseF.toPath, "taker-process")
+        graft.ann.PortableIvfPqIndex.delete(spark, path, doomed)
+      }
+    }
+    assert(e.getMessage.contains("lost before commit point") &&
+      e.getMessage.contains("taker-process"),
+      s"fence must name the commit point and the taker: ${e.getMessage}")
+    assert(!new java.io.File(s"$path/tombstones").exists,
+      "the fenced verb must NOT have committed its tombstones")
+    // and the owner-checked release left the taker's live lease alone
+    assert(java.nio.file.Files.readString(leaseF.toPath).trim ==
+      "taker-process", "the taker's lease must survive the aborted verb")
+    leaseF.delete()
+  }
+
   test("upsert: disk equals a whole-corpus re-encode of the patched vectors; barrier honored") {
     import org.apache.spark.sql.functions.col
     val idx = graft.ann.PortableIvfPqIndex.ensureBuiltWithUpsert(
