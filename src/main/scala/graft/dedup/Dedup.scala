@@ -493,6 +493,11 @@ object Dedup {
     * shingle's df > dfCap) is missed BY DESIGN: such pairs share stock
     * phrases, not distinctive content, and are near-dup noise rather than
     * quotation signal — the same declared trade as q244's anchor cap.
+    * That declaration is PRICED by [[containmentRecallAudit]] (q269):
+    * recall vs exact containment on a fixed panel, per containment band —
+    * the number to read before moving the `dfCap` knob (raising it widens
+    * recall at candidate-mass cost ∝ Σ_rare C(df,2); the fixture measures
+    * 1.0, and the planted stock-phrase spec shows the declared miss).
     * Verification is exact, and ARRAY-based (the lshJaccardPairs shape):
     * candidate pairs join the per-doc distinct-shingle ARRAYS (computed
     * only for candidate docs via a semi-join) and a codegen'd
@@ -539,6 +544,67 @@ object Dedup {
       .select("doc_a", "doc_b", "containment_ppm")
       .orderBy(desc("containment_ppm"), col("doc_a"), col("doc_b"))
       .limit(k)
+  }
+
+  /** PRICES the recall of [[containmentPairs]]' df-cap anchor rule (r13
+    * VERDICT #3 — the q262 audit discipline applied to containment): the
+    * q252 docstring DECLARES that pairs sharing only ubiquitous shingles
+    * (every common shingle's df > dfCap) are missed by design; this audit
+    * turns the declaration into a measured number. For a fixed anchor
+    * panel (doc_id < `panel` — present at every fixture scale, parameter-
+    * sized so the exact leg stays panel × corpus, never corpus²), the
+    * EXACT containment pairs at ≥ `minContainPpm` are computed by brute
+    * force, the q252 discovery (df ∈ [2, dfCap] anchor collisions) is
+    * re-run restricted to pairs touching the panel, and recall is emitted
+    * per 100k-ppm containment band — the knob-reading that says whether
+    * dfCap is tight enough for the corpus at hand. Verification is exact
+    * and shares the threshold, so found ≡ discovered ∩ true and the audit
+    * needs no second verify pass. */
+  def containmentRecallAudit(docs0: DataFrame, shingleLen: Int = 3,
+      dfCap: Int = 64, minContainPpm: Long = 700000L,
+      panel: Int = 64): DataFrame = {
+    val docs = graft.Tables.parallelized(docs0)
+    val sets = docs.select(col("doc_id"), array_distinct(
+      T.portableShingleHashes(col("text"), shingleLen)).as("hs"))
+    // exact leg: panel × corpus, normalized to (doc_a < doc_b); a
+    // both-in-panel pair appears from each side — distinct collapses it
+    val p = sets.filter(col("doc_id") < panel)
+      .select(col("doc_id").as("id_p"), col("hs").as("hs_p"))
+    val truth = p.join(sets.select(col("doc_id").as("id_o"),
+        col("hs").as("hs_o")), col("id_o") =!= col("id_p"))
+      .withColumn("inter",
+        size(array_intersect(col("hs_p"), col("hs_o"))).cast(LongType))
+      .withColumn("np", size(col("hs_p")).cast(LongType))
+      .withColumn("no", size(col("hs_o")).cast(LongType))
+      .withColumn("cppm", expr("1000000 * inter div least(np, no)"))
+      .filter(col("cppm") >= minContainPpm)
+      .select(least(col("id_p"), col("id_o")).as("doc_a"),
+        greatest(col("id_p"), col("id_o")).as("doc_b"), col("cppm"))
+      .distinct()
+    // discovery leg: the EXACT q252 anchor rule, candidates restricted to
+    // the panel (the census still runs corpus-wide — df is a corpus
+    // property, and pruning it would audit a different rule)
+    val sh = docs.select(col("doc_id"), explode(array_distinct(
+      T.portableShingleHashes(col("text"), shingleLen))).as("h"))
+    val rare = sh.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df").between(2, dfCap)).select("h")
+    val anch = sh.join(rare, Seq("h"), "left_semi")
+    val cand = anch.select(col("h"), col("doc_id").as("doc_a"))
+      .join(anch.select(col("h"), col("doc_id").as("doc_b")), Seq("h"))
+      .filter(col("doc_a") < col("doc_b"))
+      .filter(col("doc_a") < panel || col("doc_b") < panel)
+      .select("doc_a", "doc_b").distinct()
+    val band = (expr("cppm div 100000") * 100000L).as("band_ppm")
+    val t = truth.select(band, col("doc_a"), col("doc_b"))
+    val f = truth.join(cand, Seq("doc_a", "doc_b"), "left_semi")
+      .select(band)
+    t.groupBy("band_ppm").agg(count(lit(1)).as("n_true_pairs"))
+      .join(f.groupBy("band_ppm").agg(count(lit(1)).as("n_found_pairs")),
+        Seq("band_ppm"), "left")
+      .na.fill(0L, Seq("n_found_pairs"))
+      .withColumn("recall_ppm",
+        expr("n_found_pairs * 1000000 div n_true_pairs"))
+      .orderBy("band_ppm")
   }
 
   // ------------------------------------------------- n-gram Jaccard (exact)

@@ -163,6 +163,60 @@ object Extensions {
       |WHERE 1000000 * i // LEAST(sa.nsh, sb.nsh) >= 700000
       |ORDER BY containment_ppm DESC, doc_a, doc_b LIMIT 20""".stripMargin
 
+  /** q269 containment-recall audit (r13 VERDICT #3) — prices q252's
+    * df-cap anchor rule the way q262 prices cell blocking: exact
+    * containment pairs on a fixed 64-doc panel vs the pairs the anchor
+    * rule discovers, recall per 100k-ppm containment band. See
+    * [[Dedup.containmentRecallAudit]]. */
+  def q269(spark: SparkSession, dir: String): DataFrame =
+    Dedup.containmentRecallAudit(Tables.load(spark, dir, "documents"))
+
+  val q269Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      |), sh AS (
+      |  SELECT DISTINCT doc_id,
+      |    unnest(list_transform(range(1, len(w) - 1),
+      |      i -> CAST('0x' || substr(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]), 1, 15) AS BIGINT))) AS h
+      |  FROM toks WHERE len(w) >= 3
+      |), sizes AS (
+      |  SELECT doc_id, COUNT(*) AS nsh FROM sh GROUP BY doc_id
+      |), pint AS (
+      |  SELECT p.doc_id AS id_p, o.doc_id AS id_o, COUNT(*) AS i
+      |  FROM sh p JOIN sh o ON o.h = p.h AND o.doc_id <> p.doc_id
+      |  WHERE p.doc_id < 64
+      |  GROUP BY 1, 2
+      |), truth AS (
+      |  SELECT DISTINCT LEAST(id_p, id_o) AS doc_a,
+      |    GREATEST(id_p, id_o) AS doc_b,
+      |    CAST(1000000 * i // LEAST(sp.nsh, so.nsh) AS BIGINT) AS cppm
+      |  FROM pint
+      |  JOIN sizes sp ON sp.doc_id = id_p
+      |  JOIN sizes so ON so.doc_id = id_o
+      |  WHERE 1000000 * i // LEAST(sp.nsh, so.nsh) >= 700000
+      |), rare AS (
+      |  SELECT h FROM sh GROUP BY h HAVING COUNT(*) BETWEEN 2 AND 64
+      |), anch AS (
+      |  SELECT sh.doc_id, sh.h FROM sh JOIN rare USING (h)
+      |), cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM anch a JOIN anch b ON a.h = b.h AND a.doc_id < b.doc_id
+      |  WHERE a.doc_id < 64 OR b.doc_id < 64
+      |), tb AS (
+      |  SELECT (cppm // 100000) * 100000 AS band_ppm, doc_a, doc_b FROM truth
+      |), fb AS (
+      |  SELECT (t.cppm // 100000) * 100000 AS band_ppm
+      |  FROM truth t JOIN cand c ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b
+      |)
+      |SELECT t.band_ppm,
+      |  CAST(t.n AS BIGINT) AS n_true_pairs,
+      |  CAST(COALESCE(f.n, 0) AS BIGINT) AS n_found_pairs,
+      |  CAST(COALESCE(f.n, 0) * 1000000 // t.n AS BIGINT) AS recall_ppm
+      |FROM (SELECT band_ppm, COUNT(*) AS n FROM tb GROUP BY 1) t
+      |LEFT JOIN (SELECT band_ppm, COUNT(*) AS n FROM fb GROUP BY 1) f
+      |  USING (band_ppm)
+      |ORDER BY band_ppm""".stripMargin
+
   /** q255 PERSISTED-signature-store batch probe (new r13) — the
     * deployment shape q185's docstring promised: the existing corpus's
     * MinHash signatures live in a stamp-keyed parquet store (built once
@@ -2550,6 +2604,7 @@ object Extensions {
     ("q28_dedup_simhash", q28 _, Some(q28Sql)),
     ("q252_containment_dedup", q252 _, Some(q252Sql)),
     ("q255_sigstore_probe", q255 _, Some(q255Sql)),
+    ("q269_containment_recall", q269 _, Some(q269Sql)),
     ("q29_ngram_jaccard", q29 _, Some(q29Sql)),
     ("q30_embed_neardup_lsh", q30 _, Some(q30Sql)),
     ("q31_knn_cosine_brute", q31 _, Some(q31Sql)),

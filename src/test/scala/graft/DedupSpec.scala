@@ -240,6 +240,31 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("containment recall audit: a stock-phrase-only containment is measurably missed; a rare-anchored one is found") {
+    // r13 VERDICT #3: q252 DECLARES that a pair whose every common shingle
+    // has df > dfCap is missed by design. Plant exactly that corpus and
+    // read the declaration off the audit as a number:
+    //  - doc 0 is a 5-word stock phrase quoted verbatim inside docs
+    //    100..170 (71 hosts) -> each of its 3 shingles has df = 72 > 64,
+    //    so NO anchor exists and all 71 true containment pairs are missed;
+    //  - doc 1 is a 5-word rare phrase quoted inside doc 200 only -> its
+    //    shingles have df = 2 (in [2, 64]), anchored, found.
+    val stock = "alpha beta gamma delta epsilon"
+    val rare = "omicron sigma tau upsilon phi"
+    def filler(i: Int) = (0 until 12).map(j => s"w${i}x$j").mkString(" ")
+    val hosts = (0 until 71).map(i => (100L + i, s"${filler(i)} $stock"))
+    val d = docs(
+      Seq((0L, stock), (1L, rare), (200L, s"${filler(900)} $rare")) ++
+        hosts: _*)
+    val out = Dedup.containmentRecallAudit(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // all 72 true pairs are full containment (band 1000000); exactly one
+    // (the rare-anchored quote) is discoverable
+    assert(out.keySet == Set(1000000L), out.toString)
+    assert(out(1000000L) == ((72L, 1L, 1000000L / 72L)), out.toString)
+  }
+
   test("adjacent n-gram jaccard: hand-computed value") {
     // doc1 bigrams {a b, b c}; doc2 bigrams {a b, b x} → J = 1/3
     val d = docs((1L, "a b c"), (2L, "a b x"))
