@@ -760,11 +760,118 @@ object Graph {
        |ORDER BY auth_micro DESC, part LIMIT 20""".stripMargin
   }
 
+  /** Weighted SYNCHRONOUS label propagation (Raghavan et al. 2007, Phys.
+    * Rev. E 76:036106 — near-linear-time community detection) over a
+    * (src, dst, wt) edge frame, treated UNDIRECTED (each edge contributes
+    * its weight to both endpoints' votes). Every node starts as its own
+    * label; each round EVERY node simultaneously adopts the label carrying
+    * the max incident weight (ties → smaller label — the deterministic
+    * stand-in for the paper's random tie-break, and the reason the update
+    * is synchronous with a FIXED round count: asynchronous LPA is
+    * visit-order-dependent, which no oracle can replay). The classic
+    * LPA caveat applies and is declared: on bipartite-ish structure a
+    * synchronous update can 2-cycle — a fixed round count reads a
+    * snapshot, not a fixed point, and both engines read the SAME snapshot.
+    *
+    * Scale shape (the [[hits]] engineering): the undirected edge frame is
+    * checkpointed ONCE; each round is one broadcast of the ≤|V| label
+    * frame into the edge blocks, one (node, lbl) map-combined aggregate,
+    * and one argmax — Θ(rounds·|E|) with 2 |V|-bounded shuffles per
+    * round. Per-round score frames are eagerly checkpointed and the
+    * previous round's retired one sweep later (the pageRankSeeded
+    * discipline); callers outside the bench sweep should
+    * `Checkpoints.sweepScratch` after consuming the result. */
+  def labelPropagation(rawEdges: DataFrame, rounds: Int): DataFrame = {
+    val eDir = Checkpoints.scratch(rawEdges)
+    val e = Checkpoints.scratch(
+      eDir.select(col("src").as("node"), col("dst").as("nbr"), col("wt"))
+        .union(eDir.select(col("dst").as("node"), col("src").as("nbr"),
+          col("wt"))))
+    val nodes = Checkpoints.scratch(e.select("node").distinct())
+    var lbl: DataFrame = nodes.withColumn("lbl", col("node"))
+    var retired: Seq[DataFrame] = Nil
+    for (_ <- 1 to rounds) {
+      // every node has >= 1 incident edge by construction (nodes derive
+      // from edges), so the vote aggregate covers all nodes — no left join
+      val scores = Checkpoints.scratch(
+        e.join(broadcast(lbl.select(col("node").as("nbr"), col("lbl"))),
+            Seq("nbr"))
+          .groupBy("node", "lbl").agg(sum(col("wt")).as("w")))
+      retired.foreach(f =>
+        Checkpoints.rddOf(f).foreach(_.unpersist(blocking = false)))
+      retired = Seq(scores)
+      lbl = scores.groupBy("node")
+        .agg(min(struct((-col("w")).as("nw"), col("lbl").as("l"))).as("b"))
+        .select(col("node"), col("b.l").as("lbl"))
+    }
+    lbl
+  }
+
+  /** q272 label-propagation communities (new r14) — the third classic
+    * link-analysis operator over the q124/q267 item-transition graph:
+    * where PageRank ranks nodes and HITS separates roles, LPA PARTITIONS
+    * the graph into communities (the co-purchase neighborhoods a catalog
+    * or curriculum groups by). 3 synchronous rounds, top-20 communities by
+    * size with a member-id checksum pinning the exact partition under the
+    * hash gate; the oracle unrolls the identical 6 CTE steps. */
+  def q272(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("okey"), col("l_linenumber").as("ln"),
+        col("l_partkey").as("pk"))
+    val nxt = Window.partitionBy("okey").orderBy(col("ln"), col("pk"))
+    val edges = li.withColumn("dst", lead("pk", 1).over(nxt))
+      .filter(col("dst").isNotNull && col("dst") =!= col("pk"))
+      .groupBy(col("pk").as("src"), col("dst"))
+      .agg(count(lit(1)).as("wt"))
+    labelPropagation(edges, rounds = 3)
+      .groupBy(col("lbl").as("community"))
+      .agg(count(lit(1)).as("n_members"), sum("node").as("member_id_sum"))
+      .orderBy(desc("n_members"), col("community"))
+      .limit(20)
+  }
+
+  val q272Sql: String = {
+    val rounds = (1 to 3).map { i =>
+      s"""s$i AS MATERIALIZED (
+         |  SELECT u.node, p.lbl, CAST(SUM(u.wt) AS BIGINT) AS w
+         |  FROM und u JOIN l${i - 1} p ON p.node = u.nbr
+         |  GROUP BY 1, 2
+         |), l$i AS MATERIALIZED (
+         |  SELECT node, lbl FROM (
+         |    SELECT node, lbl,
+         |      ROW_NUMBER() OVER (PARTITION BY node ORDER BY w DESC, lbl) AS rn
+         |    FROM s$i) t
+         |  WHERE rn = 1
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH hop AS (
+       |  SELECT l_partkey AS pk,
+       |    lead(l_partkey) OVER (PARTITION BY l_orderkey
+       |      ORDER BY l_linenumber, l_partkey) AS dst
+       |  FROM lineitem
+       |), edges AS MATERIALIZED (
+       |  SELECT pk AS src, dst, COUNT(*) AS wt FROM hop
+       |  WHERE dst IS NOT NULL AND dst <> pk GROUP BY 1, 2
+       |), und AS MATERIALIZED (
+       |  SELECT src AS node, dst AS nbr, wt FROM edges
+       |  UNION ALL SELECT dst, src, wt FROM edges
+       |), nodes AS MATERIALIZED (
+       |  SELECT DISTINCT node FROM und
+       |), l0 AS MATERIALIZED (
+       |  SELECT node, node AS lbl FROM nodes
+       |), $rounds
+       |SELECT lbl AS community, COUNT(*) AS n_members,
+       |  CAST(SUM(node) AS BIGINT) AS member_id_sum
+       |FROM l3 GROUP BY 1
+       |ORDER BY n_members DESC, community LIMIT 20""".stripMargin
+  }
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(("q124_pagerank", q124 _, Some(q124Sql)),
     ("q256_seeded_pagerank", q256 _, Some(q256Sql)),
       ("q136_triangles", q136 _, Some(q136Sql)),
       ("q138_bfs_hops", q138 _, Some(q138Sql)),
       ("q146_assortativity", q146 _, Some(q146Sql)),
-      ("q267_hits", q267 _, Some(q267Sql)))
+      ("q267_hits", q267 _, Some(q267Sql)),
+      ("q272_label_propagation", q272 _, Some(q272Sql)))
 }

@@ -2202,7 +2202,103 @@ object Training {
       |  COUNT(*) AS n_clusters, CAST(SUM(sz) AS BIGINT) AS n_docs
       |FROM g GROUP BY sz, n_sources ORDER BY sz, n_sources""".stripMargin
 
+  /** q270 soft-dedup sampling weights (SoftDeDup — He et al., ACL 2024,
+    * arXiv:2407.06654): instead of DROPPING duplicates (q26's survivor
+    * rule), down-weight every copy by its corpus-wide commonness —
+    * weight = 1e6 div multiplicity, so a text's copies TOGETHER carry at
+    * most one document's worth of sampling mass while rare texts keep
+    * full weight. Commonness is CORPUS-WIDE (a text duplicated across
+    * sources is down-weighted globally — the cross-source leak q188's
+    * per-source inflation cannot express), keyed by the portable md5-60
+    * fingerprint so the shuffle carries an 8-byte key. Per source: docs,
+    * raw token mass, effective (weighted) token mass in micro-tokens, and
+    * the effective share in ppm — the number that feeds the q139/q166
+    * mixture as corrected source sizes. One fp-keyed aggregate + one
+    * fp-keyed join (the multiplicity is corpus-sized, never broadcast) +
+    * one |sources| rollup. */
+  def q270(spark: SparkSession, dir: String): DataFrame = {
+    val f = Tables.parallelized(Tables.load(spark, dir, "documents"))
+      .select(col("source"), T.portableHash60(col("text")).as("fp"),
+        size(T.tokens(col("text"))).cast(LongType).as("n_tok"))
+    val mult = f.groupBy("fp").agg(count(lit(1)).as("mult"))
+    f.join(mult, Seq("fp"))
+      .withColumn("w_ppm", expr("1000000 div mult"))
+      .groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tok").as("raw_tokens"),
+        sum(expr("n_tok * w_ppm")).as("eff_tokens_micro"))
+      .withColumn("effective_ppm",
+        expr("eff_tokens_micro div greatest(raw_tokens, 1)"))
+      .orderBy("source")
+  }
+
+  val q270Sql: String =
+    """WITH f AS (
+      |  SELECT source,
+      |    CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) AS fp,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      |  FROM documents
+      |), m AS (
+      |  SELECT fp, COUNT(*) AS mult FROM f GROUP BY fp
+      |)
+      |SELECT f.source, COUNT(*) AS n_docs,
+      |  CAST(SUM(f.n_tok) AS BIGINT) AS raw_tokens,
+      |  CAST(SUM(f.n_tok * (1000000 // m.mult)) AS BIGINT) AS eff_tokens_micro,
+      |  CAST(SUM(f.n_tok * (1000000 // m.mult))
+      |    // GREATEST(CAST(SUM(f.n_tok) AS BIGINT), 1) AS BIGINT) AS effective_ppm
+      |FROM f JOIN m ON m.fp = f.fp
+      |GROUP BY f.source ORDER BY f.source""".stripMargin
+
+  /** q271 sequence-packing audit — the padding-waste number a pretraining
+    * pipeline reads before choosing packed vs padded batching at context
+    * length L = 2048: per source, documents, overlong documents (chunked
+    * into ⌈tok/L⌉ sequences), raw token mass, PADDED slot cost
+    * (Σ ⌈tok/L⌉·L — each doc's chunks padded to L), the IDEAL packed slot
+    * cost (⌈Σtok/L⌉·L — exact optimum when documents may split across
+    * sequence boundaries, the standard pretraining concatenate-and-chunk),
+    * and the recoverable waste in ppm. Pure integer arithmetic on one
+    * corpus scan + a |sources| rollup; zero-token documents cost zero
+    * slots by the ceiling. */
+  def q271(spark: SparkSession, dir: String): DataFrame = {
+    val L = 2048L
+    Tables.parallelized(Tables.load(spark, dir, "documents"))
+      .select(col("source"),
+        size(T.tokens(col("text"))).cast(LongType).as("n_tok"))
+      .withColumn("n_seq", expr(s"(n_tok + ${L - 1}) div $L"))
+      .groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("n_tok") > L, 1L).otherwise(0L)).as("n_overlong"),
+        sum("n_tok").as("total_tokens"),
+        sum(expr(s"n_seq * $L")).as("padded_slots"))
+      .withColumn("ideal_slots",
+        expr(s"((total_tokens + ${L - 1}) div $L) * $L"))
+      .withColumn("waste_ppm",
+        expr("(padded_slots - ideal_slots) * 1000000 " +
+          "div greatest(padded_slots, 1)"))
+      .orderBy("source")
+  }
+
+  val q271Sql: String =
+    """WITH f AS (
+      |  SELECT source,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      |  FROM documents
+      |), g AS (
+      |  SELECT source, COUNT(*) AS n_docs,
+      |    CAST(SUM(CASE WHEN n_tok > 2048 THEN 1 ELSE 0 END) AS BIGINT) AS n_overlong,
+      |    CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+      |    CAST(SUM(((n_tok + 2047) // 2048) * 2048) AS BIGINT) AS padded_slots
+      |  FROM f GROUP BY source
+      |)
+      |SELECT source, n_docs, n_overlong, total_tokens, padded_slots,
+      |  CAST(((total_tokens + 2047) // 2048) * 2048 AS BIGINT) AS ideal_slots,
+      |  CAST((padded_slots - ((total_tokens + 2047) // 2048) * 2048) * 1000000
+      |    // GREATEST(padded_slots, 1) AS BIGINT) AS waste_ppm
+      |FROM g ORDER BY source""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    ("q270_softdedup_weights", q270 _, Some(q270Sql)),
+    ("q271_packing_audit", q271 _, Some(q271Sql)),
     ("q179_dsir_weights", q179 _, Some(q179Sql)),
     ("q197_cluster_census", q197 _, Some(q197Sql)),
     ("q189_gram_novelty", q189 _, Some(q189Sql)),

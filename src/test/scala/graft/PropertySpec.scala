@@ -488,6 +488,40 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("label propagation == driver-side synchronous replay on random weighted graphs") {
+    val rnd = new scala.util.Random(13)
+    for (trial <- 0 until 8) {
+      val nV = 5 + rnd.nextInt(9)
+      val es = (0 until 2 * nV).map { _ =>
+        (rnd.nextInt(nV).toLong, rnd.nextInt(nV).toLong,
+          (1 + rnd.nextInt(5)).toLong)
+      }.filter(e => e._1 != e._2).distinct
+        .groupBy(e => (e._1, e._2))
+        .map { case ((s, d), g) => (s, d, g.map(_._3).sum) }.toSeq
+      if (es.nonEmpty) {
+        // driver replay: undirected incidence, synchronous argmax update,
+        // ties -> smaller label, 3 rounds
+        val und = es.flatMap(e =>
+          Seq((e._1, e._2, e._3), (e._2, e._1, e._3)))
+        val nodes = und.map(_._1).distinct.sorted
+        var lbl = nodes.map(v => v -> v).toMap
+        for (_ <- 1 to 3) {
+          lbl = nodes.map { v =>
+            val votes = und.filter(_._1 == v)
+              .groupBy(u => lbl(u._2))
+              .map { case (l, g) => (l, g.map(_._3).sum) }
+            v -> votes.toSeq.map { case (l, w) => (-w, l) }.min._2
+          }.toMap
+        }
+        val got = queries.Graph.labelPropagation(
+            es.toDF("src", "dst", "wt"), rounds = 3)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == lbl, s"trial $trial: $got != $lbl")
+        graft.operators.Checkpoints.sweepScratch(spark.sparkContext)
+      }
+    }
+  }
+
   test("SemDeDup rollup == brute-force transitive closure, for random member frames") {
     // randomized replay of the cluster-local union-find: random small
     // integer vectors in a handful of clusters, all-pairs cosine closure
