@@ -855,7 +855,87 @@ object Advanced {
       |JOIN region r ON n.n_regionkey = r.r_regionkey
       |GROUP BY r.r_name, n.n_name ORDER BY region, nation""".stripMargin
 
+  /** q273 log-bucket quantile sketch — the MERGEABLE quantile path
+    * (the q215/q233 register-table discipline pointed at quantiles): where
+    * q108's exact percentiles pay a corpus-wide rank window (one shuffle
+    * sorting every group — the documented trade at a billion rows), this
+    * sketches each source's token-count distribution into power-of-two
+    * buckets (bucket = bitlen(n_tok), the q160/q215 integer-log kernel;
+    * bucket 0 = zero-token docs) and reads p50/p90/p99 as the FIRST bucket
+    * whose cumulative count reaches ⌈q·n⌉ — each reported as its exact
+    * [lo, hi] = [2^(b−1), 2^b − 1] bracket, so the answer carries its own
+    * error bound (hi/lo = 2, the sketch's declared relative error; tighter
+    * needs more buckets per octave, not a different algorithm). Scale
+    * shape — why this is the 100 TB quantile: ONE map-combined aggregate
+    * collapses every task to ≤ ~40 rows per source (no sort, no rank
+    * window over raw rows); shard sketches merge by count-SUM (associative,
+    * the t-digest property without t-digest's float centroids); the
+    * quantile read is a window over the |sources|·buckets frame. The
+    * DuckDB oracle replays bucketing, cumulation, and the rank rule
+    * bit-for-bit — the portable answer to approx_percentile's
+    * engine-internal buffer (the q53/q215 adjudication, on the quantile
+    * axis). */
+  def q273(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{TextFunctions => T}
+    val f = Tables.parallelized(Tables.load(spark, dir, "documents"))
+      .select(col("source"),
+        size(T.tokens(col("text"))).cast(LongType).as("n_tok"))
+      .withColumn("bucket",
+        when(col("n_tok") <= 0L, lit(0L))
+          .otherwise(length(bin(col("n_tok"))).cast(LongType)))
+    val sk = f.groupBy("source", "bucket").agg(count(lit(1)).as("cnt"))
+    val cum = sk
+      .withColumn("cum", sum("cnt").over(
+        Window.partitionBy("source").orderBy("bucket")))
+      .withColumn("n", sum("cnt").over(Window.partitionBy("source")))
+    def qb(permille: Int) = min(when(
+      col("cum") >= expr(s"(n * $permille + 999) div 1000"), col("bucket")))
+    def lo(c: String) = expr(
+      s"case when $c = 0 then 0 else shiftleft(cast(1 as bigint), cast($c as int) - 1) end")
+    def hi(c: String) = expr(
+      s"case when $c = 0 then 0 else shiftleft(cast(1 as bigint), cast($c as int)) - 1 end")
+    cum.groupBy("source").agg(
+        max("n").as("n_docs"),
+        qb(500).as("b50"), qb(900).as("b90"), qb(990).as("b99"))
+      .select(col("source"), col("n_docs"),
+        lo("b50").as("p50_lo"), hi("b50").as("p50_hi"),
+        lo("b90").as("p90_lo"), hi("b90").as("p90_hi"),
+        lo("b99").as("p99_lo"), hi("b99").as("p99_hi"))
+      .orderBy("source")
+  }
+
+  val q273Sql: String =
+    """WITH f AS (
+      |  SELECT source,
+      |    CASE WHEN len(string_split(text, ' ')) <= 0 THEN 0
+      |         ELSE length(printf('%b', len(string_split(text, ' ')))) END AS bucket
+      |  FROM documents
+      |), sk AS (
+      |  SELECT source, CAST(bucket AS BIGINT) AS bucket, COUNT(*) AS cnt
+      |  FROM f GROUP BY 1, 2
+      |), cum AS (
+      |  SELECT source, bucket,
+      |    SUM(cnt) OVER (PARTITION BY source ORDER BY bucket) AS cum,
+      |    SUM(cnt) OVER (PARTITION BY source) AS n
+      |  FROM sk
+      |), picked AS (
+      |  SELECT source, CAST(MAX(n) AS BIGINT) AS n_docs,
+      |    MIN(CASE WHEN cum >= (n * 500 + 999) // 1000 THEN bucket END) AS b50,
+      |    MIN(CASE WHEN cum >= (n * 900 + 999) // 1000 THEN bucket END) AS b90,
+      |    MIN(CASE WHEN cum >= (n * 990 + 999) // 1000 THEN bucket END) AS b99
+      |  FROM cum GROUP BY source
+      |)
+      |SELECT source, n_docs,
+      |  CAST(CASE WHEN b50 = 0 THEN 0 ELSE CAST(1 AS BIGINT) << CAST(b50 - 1 AS INTEGER) END AS BIGINT) AS p50_lo,
+      |  CAST(CASE WHEN b50 = 0 THEN 0 ELSE (CAST(1 AS BIGINT) << CAST(b50 AS INTEGER)) - 1 END AS BIGINT) AS p50_hi,
+      |  CAST(CASE WHEN b90 = 0 THEN 0 ELSE CAST(1 AS BIGINT) << CAST(b90 - 1 AS INTEGER) END AS BIGINT) AS p90_lo,
+      |  CAST(CASE WHEN b90 = 0 THEN 0 ELSE (CAST(1 AS BIGINT) << CAST(b90 AS INTEGER)) - 1 END AS BIGINT) AS p90_hi,
+      |  CAST(CASE WHEN b99 = 0 THEN 0 ELSE CAST(1 AS BIGINT) << CAST(b99 - 1 AS INTEGER) END AS BIGINT) AS p99_lo,
+      |  CAST(CASE WHEN b99 = 0 THEN 0 ELSE (CAST(1 AS BIGINT) << CAST(b99 AS INTEGER)) - 1 END AS BIGINT) AS p99_hi
+      |FROM picked ORDER BY source""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    ("q273_quantile_sketch", q273 _, Some(q273Sql)),
     ("q39_cube", q39 _, Some(q39Sql)),
     ("q40_pivot", q40 _, Some(q40Sql)),
     ("q41_date_funcs", q41 _, Some(q41Sql)),

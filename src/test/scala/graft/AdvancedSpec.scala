@@ -132,6 +132,55 @@ class AdvancedSpec extends AnyFunSuite {
     assert(a == b && a.nonEmpty)
   }
 
+  test("q273 quantile sketch: every reported bracket contains the exact percentile; shards merge by count-sum") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    // exact percentiles driver-side, the q108 ceil-rank rule
+    val toks = Tables.load(spark, sf, "documents")
+      .select(col("source"),
+        size(graft.functions.TextFunctions.tokens(col("text")))
+          .cast("long").as("n_tok"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (s, g) =>
+        val v = g.map(_._2).sorted
+        def pct(q: Int) = v(((v.length.toLong * q + 999) / 1000 - 1).toInt)
+        s -> (pct(500), pct(900), pct(990))
+      }
+    val rows = graft.queries.Advanced.q273(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (p50, p90, p99) = toks(r.getString(0))
+      assert(r.getLong(2) <= p50 && p50 <= r.getLong(3),
+        s"${r.getString(0)}: p50=$p50 outside [${r.getLong(2)}, ${r.getLong(3)}]")
+      assert(r.getLong(4) <= p90 && p90 <= r.getLong(5),
+        s"${r.getString(0)}: p90=$p90 outside bracket")
+      assert(r.getLong(6) <= p99 && p99 <= r.getLong(7),
+        s"${r.getString(0)}: p99=$p99 outside bracket")
+      // the declared error bound: hi/lo ratio is exactly 2 (minus one)
+      assert(r.getLong(3) == 2 * r.getLong(2) - 1 || r.getLong(2) == 0L)
+    }
+    // mergeability: the sketch built per shard (odd/even doc_ids) and
+    // count-summed equals the whole-corpus sketch — the property that
+    // makes this the 100 TB quantile path
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("source"),
+        size(graft.functions.TextFunctions.tokens(col("text")))
+          .cast("long").as("n_tok"))
+      .withColumn("bucket",
+        when(col("n_tok") <= 0L, lit(0L))
+          .otherwise(length(bin(col("n_tok"))).cast("long")))
+    def sketch(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("source", "bucket").agg(count(lit(1)).as("cnt"))
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+        .toMap
+    val whole = sketch(docs)
+    val odd = sketch(docs.filter(col("doc_id") % 2 === 1))
+    val even = sketch(docs.filter(col("doc_id") % 2 === 0))
+    val merged = (odd.keySet ++ even.keySet).map(k =>
+      k -> (odd.getOrElse(k, 0L) + even.getOrElse(k, 0L))).toMap
+    assert(merged == whole, "shard sketches must count-sum to the corpus sketch")
+  }
+
   test("q216 Bloom filter: no false negatives, OR-merge, calibrated FPR") {
     val sf = "/root/testdata/sf0.001"
     val words = graft.queries.Advanced.q216(spark, sf).collect()
