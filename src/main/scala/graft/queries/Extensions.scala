@@ -1574,6 +1574,150 @@ object Extensions {
     * shifts) that flip every byte hash — the property the spec pins with a
     * planted one-pixel edit. The oracle replays encode → resize → gray →
     * sign bits → banding → Hamming from the raw text bytes. */
+  /** Shared oracle prefix for the dHash family (q263/q274): the P6
+    * encode → 9×8 resize → gray → gradient-sign-bits pipeline replayed
+    * from the raw text bytes, ending in `hsh(doc_id, dh)`. */
+  private val dHashPipelineCtes: String =
+    """d AS (
+      |  SELECT doc_id, text, strlen(text) AS L,
+      |    GREATEST(1, CAST(ceil(strlen(text) / 12.0) AS BIGINT)) AS h
+      |  FROM documents
+      |), cells AS (
+      |  SELECT doc_id, y, x,
+      |    ((CASE WHEN base < L THEN ord(substr(text, CAST(base + 1 AS BIGINT), 1)) ELSE 0 END)
+      |     + (CASE WHEN base + 1 < L THEN ord(substr(text, CAST(base + 2 AS BIGINT), 1)) ELSE 0 END)
+      |     + (CASE WHEN base + 2 < L THEN ord(substr(text, CAST(base + 3 AS BIGINT), 1)) ELSE 0 END)) // 3 AS gray
+      |  FROM (
+      |    SELECT doc_id, text, L, ty.y AS y, tx.x AS x,
+      |      ((ty.y * h) // 8) * 12 + ((tx.x * 4) // 9) * 3 AS base
+      |    FROM d CROSS JOIN range(0, 8) ty(y) CROSS JOIN range(0, 9) tx(x)) p
+      |), gr AS (
+      |  SELECT doc_id, y, x, gray,
+      |    LEAD(gray) OVER (PARTITION BY doc_id, y ORDER BY x) AS ng
+      |  FROM cells
+      |), hsh AS (
+      |  SELECT doc_id, CAST(SUM(CASE WHEN x < 8 AND y * 8 + x < 63 AND ng > gray
+      |    THEN (CAST(1 AS BIGINT) << CAST(y * 8 + x AS INTEGER)) ELSE 0 END) AS BIGINT) AS dh
+      |  FROM gr GROUP BY doc_id
+      |)""".stripMargin
+
+  /** q274 perceptual ingest gate, batch twin (new r14) — completes the
+    * ingest-gate family: lexical (q255, MinHash store), semantic (q268,
+    * frozen cluster model), and now PERCEPTUAL — arriving media rejected
+    * when an existing image is a dHash near-dup (Hamming ≤ 2, the q263
+    * threshold), catching the re-encoded/brightness-shifted copy both
+    * other gates are blind to. Arrival convention: md5 bucket 0-of-10 of
+    * doc_ids (the q255/q268 convention). The band width adapts to the
+    * EXISTING side's raw count (the frozen side, as q268 tiers on the
+    * existing corpus); the 256-member dense-bucket cutoff applies to the
+    * EXISTING index only (the q263 declared recall trade). Per arrival:
+    * (doc_id, n_collisions, best_match_id, best_hamming, admitted) with
+    * best = min Hamming, ties → smaller id; no-collision rows report
+    * (-1, 64, 1). Scale shape: existing banding is the build-once index
+    * cost; a batch pays its own band map plus a bucket-bounded join —
+    * never |batch|·|corpus|. */
+  def q274(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val media = graft.multimodal.Multimodal.ppmFromDocuments(
+      Tables.parallelized(docs))
+    val hashes = graft.operators.Checkpoints.scratch(
+      graft.multimodal.Multimodal.dHash63(
+        graft.multimodal.Multimodal.resizePpm(media, 9, 8)))
+      .withColumn("is_new", T.hashBucket(col("media_id"), 10) === 0)
+    val nExist = docs.filter(T.hashBucket(col("doc_id"), 10) =!= 0).count()
+    val w = math.min(21, math.max(7,
+      64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, nExist - 1))))
+    val nBands = 63 / w
+    val mask = (1L << w) - 1
+    val bands = hashes
+      .select(col("media_id").as("doc_id"), col("is_new"),
+        explode(sequence(lit(0), lit(nBands - 1))).as("band_id"), col("dhash"))
+      .withColumn("bv", expr(s"shiftright(dhash, band_id * $w) & $mask"))
+      .select("doc_id", "is_new", "band_id", "bv")
+    val exB = bands.filter(!col("is_new"))
+    val small = exB.groupBy("band_id", "bv").agg(count(lit(1)).as("bc"))
+      .filter(col("bc") <= 256).select("band_id", "bv")
+    val keptEx = exB.join(small, Seq("band_id", "bv"), "left_semi")
+      .select(col("band_id"), col("bv"), col("doc_id").as("id_e"))
+    val cand = bands.filter(col("is_new"))
+      .select(col("band_id"), col("bv"), col("doc_id"))
+      .join(keptEx, Seq("band_id", "bv"))
+      .select("doc_id", "id_e").distinct()
+    val ver = cand
+      .join(hashes.select(col("media_id").as("doc_id"),
+        col("dhash").as("ha")), Seq("doc_id"))
+      .join(hashes.select(col("media_id").as("id_e"),
+        col("dhash").as("he")), Seq("id_e"))
+      .withColumn("hm",
+        bit_count(col("ha").bitwiseXOR(col("he"))).cast(LongType))
+      .filter(col("hm") <= 2)
+    val roll = ver.groupBy("doc_id").agg(
+        count(lit(1)).as("n_collisions"),
+        min(struct(col("hm"), col("id_e"))).as("b"))
+      .select(col("doc_id"), col("n_collisions"),
+        col("b.id_e").as("best_match_id"), col("b.hm").as("best_hamming"))
+    hashes.filter(col("is_new")).select(col("media_id").as("doc_id"))
+      .join(roll, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_collisions"), lit(0L)).as("n_collisions"),
+        coalesce(col("best_match_id"), lit(-1L)).as("best_match_id"),
+        coalesce(col("best_hamming"), lit(64L)).as("best_hamming"),
+        (col("n_collisions").isNull).cast(IntegerType).as("admitted"))
+      .orderBy("doc_id")
+  }
+
+  val q274Sql: String =
+    s"""WITH $dHashPipelineCtes, flags AS (
+      |  SELECT doc_id, dh,
+      |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 10 = 0 AS is_new
+      |  FROM hsh
+      |), pw AS (
+      |  SELECT LEAST(21, GREATEST(7,
+      |      LENGTH(BIN(GREATEST(CAST(1 AS BIGINT), COUNT(*) - 1))))) AS w
+      |  FROM documents
+      |  WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 10 <> 0
+      |), bands AS (
+      |  SELECT f.doc_id, f.is_new, r.b AS band_id,
+      |    (dh >> CAST(r.b * pw.w AS INTEGER)) &
+      |      ((CAST(1 AS BIGINT) << CAST(pw.w AS INTEGER)) - 1) AS bv
+      |  FROM flags f CROSS JOIN pw CROSS JOIN range(0, 9) r(b)
+      |  WHERE r.b < 63 // pw.w
+      |), smallb AS (
+      |  SELECT band_id, bv FROM bands WHERE NOT is_new
+      |  GROUP BY band_id, bv HAVING COUNT(*) <= 256
+      |), cand AS (
+      |  SELECT DISTINCT a.doc_id, e.doc_id AS id_e
+      |  FROM bands a
+      |  JOIN bands e ON e.band_id = a.band_id AND e.bv = a.bv
+      |    AND a.is_new AND NOT e.is_new
+      |  JOIN smallb s ON s.band_id = e.band_id AND s.bv = e.bv
+      |), ver AS (
+      |  SELECT c.doc_id, c.id_e,
+      |    CAST(bit_count(xor(x.dh, y.dh)) AS BIGINT) AS hm
+      |  FROM cand c
+      |  JOIN hsh x ON x.doc_id = c.doc_id
+      |  JOIN hsh y ON y.doc_id = c.id_e
+      |  WHERE bit_count(xor(x.dh, y.dh)) <= 2
+      |), agg AS (
+      |  SELECT doc_id, COUNT(*) AS n_collisions FROM ver GROUP BY 1
+      |), best AS (
+      |  SELECT doc_id, id_e, hm FROM (
+      |    SELECT doc_id, id_e, hm,
+      |      ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY hm, id_e) AS rn
+      |    FROM ver) t
+      |  WHERE rn = 1
+      |)
+      |SELECT f.doc_id,
+      |  CAST(COALESCE(g.n_collisions, 0) AS BIGINT) AS n_collisions,
+      |  CAST(COALESCE(b.id_e, -1) AS BIGINT) AS best_match_id,
+      |  CAST(COALESCE(b.hm, 64) AS BIGINT) AS best_hamming,
+      |  CAST(g.doc_id IS NULL AS INTEGER) AS admitted
+      |FROM flags f
+      |LEFT JOIN agg g ON g.doc_id = f.doc_id
+      |LEFT JOIN best b ON b.doc_id = f.doc_id
+      |WHERE f.is_new
+      |ORDER BY f.doc_id""".stripMargin
+
   def q263(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
     val media = graft.multimodal.Multimodal.ppmFromDocuments(
@@ -1613,29 +1757,9 @@ object Extensions {
       .orderBy("id_a", "id_b")
   }
 
+
   val q263Sql: String =
-    """WITH d AS (
-      |  SELECT doc_id, text, strlen(text) AS L,
-      |    GREATEST(1, CAST(ceil(strlen(text) / 12.0) AS BIGINT)) AS h
-      |  FROM documents
-      |), cells AS (
-      |  SELECT doc_id, y, x,
-      |    ((CASE WHEN base < L THEN ord(substr(text, CAST(base + 1 AS BIGINT), 1)) ELSE 0 END)
-      |     + (CASE WHEN base + 1 < L THEN ord(substr(text, CAST(base + 2 AS BIGINT), 1)) ELSE 0 END)
-      |     + (CASE WHEN base + 2 < L THEN ord(substr(text, CAST(base + 3 AS BIGINT), 1)) ELSE 0 END)) // 3 AS gray
-      |  FROM (
-      |    SELECT doc_id, text, L, ty.y AS y, tx.x AS x,
-      |      ((ty.y * h) // 8) * 12 + ((tx.x * 4) // 9) * 3 AS base
-      |    FROM d CROSS JOIN range(0, 8) ty(y) CROSS JOIN range(0, 9) tx(x)) p
-      |), gr AS (
-      |  SELECT doc_id, y, x, gray,
-      |    LEAD(gray) OVER (PARTITION BY doc_id, y ORDER BY x) AS ng
-      |  FROM cells
-      |), hsh AS (
-      |  SELECT doc_id, CAST(SUM(CASE WHEN x < 8 AND y * 8 + x < 63 AND ng > gray
-      |    THEN (CAST(1 AS BIGINT) << CAST(y * 8 + x AS INTEGER)) ELSE 0 END) AS BIGINT) AS dh
-      |  FROM gr GROUP BY doc_id
-      |), pw AS (
+    s"""WITH $dHashPipelineCtes, pw AS (""".stripMargin + """
       |  SELECT LEAST(21, GREATEST(7,
       |      LENGTH(BIN(GREATEST(CAST(1 AS BIGINT), COUNT(*) - 1))))) AS w
       |  FROM documents
@@ -2616,6 +2740,7 @@ object Extensions {
     ("q37_multimodal_features", q37 _, Some(q37Sql)),
     ("q208_thumbnail_resize", q208 _, Some(q208Sql)),
     ("q263_image_neardup", q263 _, Some(q263Sql)),
+    ("q274_perceptual_gate", q274 _, Some(q274Sql)),
     ("q264_vad_segments", q264 _, Some(q264Sql)),
     ("q38_sessionize", q38 _, Some(q38Sql)),
     ("q187_ewma_anomaly", q187 _, Some(q187Sql)),
