@@ -47,6 +47,22 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("partial_count"), p)
   }
 
+  test("q273: the sketch aggregate combines map-side and no Sort touches raw rows") {
+    val p = plan("q273_quantile_sketch")
+    // the sketch's whole point: ONE map-combined aggregate over the corpus
+    // (every task collapses to <= ~40 rows per source), the window/sort
+    // only ever over the |sources|x|buckets| sketch frame
+    assert(p.contains("partial_count"), s"sketch must combine map-side:\n$p")
+    // plans print top-down (scan last): everything below the map-side
+    // partial aggregate — i.e., after its line — is the raw-row side, and
+    // no Sort may live there (a Sort over raw rows would mean the
+    // rank-window shape q273 exists to avoid); the window's sort and the
+    // final ORDER BY both sit ABOVE the aggregate, over sketch-sized rows
+    val belowPartial = p.substring(p.lastIndexOf("partial_count"))
+    assert(!belowPartial.contains("Sort "),
+      s"no Sort may touch raw rows below the partial aggregate:\n$p")
+  }
+
   test("q46: tiny band table joins as BroadcastNestedLoopJoin (no shuffle)") {
     val p = plan("q46_range_band_join")
     assert(p.contains("BroadcastNestedLoopJoin"), p)
