@@ -1616,38 +1616,69 @@ object Extensions {
     * (-1, 64, 1). Scale shape: existing banding is the build-once index
     * cost; a batch pays its own band map plus a bucket-bounded join —
     * never |batch|·|corpus|. */
-  def q274(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(spark, dir, "documents")
-    val media = graft.multimodal.Multimodal.ppmFromDocuments(
-      Tables.parallelized(docs))
-    val hashes = graft.operators.Checkpoints.scratch(
-      graft.multimodal.Multimodal.dHash63(
-        graft.multimodal.Multimodal.resizePpm(media, 9, 8)))
-      .withColumn("is_new", T.hashBucket(col("media_id"), 10) === 0)
-    val nExist = docs.filter(T.hashBucket(col("doc_id"), 10) =!= 0).count()
-    val w = math.min(21, math.max(7,
-      64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, nExist - 1))))
+  /** Band map for a dHash frame: one (doc_id, band_id, bv) row per band of
+    * each 63-bit hash under width `w` — the shared LSH carrier of the q263
+    * all-pairs scan and the q274 gate (both sides of it). */
+  private def dHashBands(hashes: DataFrame, w: Int): DataFrame = {
     val nBands = 63 / w
     val mask = (1L << w) - 1
-    val bands = hashes
-      .select(col("media_id").as("doc_id"), col("is_new"),
+    hashes
+      .select(col("media_id").as("doc_id"),
         explode(sequence(lit(0), lit(nBands - 1))).as("band_id"), col("dhash"))
       .withColumn("bv", expr(s"shiftright(dhash, band_id * $w) & $mask"))
-      .select("doc_id", "is_new", "band_id", "bv")
-    val exB = bands.filter(!col("is_new"))
+      .select("doc_id", "band_id", "bv")
+  }
+
+  /** Frozen perceptual gate state for `dir`'s existing corpus (everything
+    * OUTSIDE the md5 arrival bucket): the adaptive band width (from the
+    * existing side's raw count — the frozen side, as q268 tiers on the
+    * existing corpus), the dense-bucket-pruned existing band index, and the
+    * existing hash frame the verify join fetches from. Built once per
+    * corpus; every batch ([[perceptualGateBatch]]) and every micro-batch
+    * ([[perceptualGateStream]]) gates against it. Callers gating many
+    * batches should persist the two frames. */
+  private[graft] def perceptualGateState(spark: SparkSession, dir: String)
+      : (Int, DataFrame, DataFrame) = {
+    val exDocs = Tables.load(spark, dir, "documents")
+      .filter(T.hashBucket(col("doc_id"), 10) =!= 0)
+    val exHashes = graft.operators.Checkpoints.scratch(
+      graft.multimodal.Multimodal.dHash63(
+        graft.multimodal.Multimodal.resizePpm(
+          graft.multimodal.Multimodal.ppmFromDocuments(
+            Tables.parallelized(exDocs)), 9, 8)))
+    val nExist = exDocs.count()
+    val w = math.min(21, math.max(7,
+      64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, nExist - 1))))
+    val exB = dHashBands(exHashes, w)
     val small = exB.groupBy("band_id", "bv").agg(count(lit(1)).as("bc"))
       .filter(col("bc") <= 256).select("band_id", "bv")
     val keptEx = exB.join(small, Seq("band_id", "bv"), "left_semi")
       .select(col("band_id"), col("bv"), col("doc_id").as("id_e"))
-    val cand = bands.filter(col("is_new"))
-      .select(col("band_id"), col("bv"), col("doc_id"))
+    (w, keptEx,
+      exHashes.select(col("media_id").as("id_e"), col("dhash").as("he")))
+  }
+
+  /** Gate one batch of arriving media (media_id, kind, payload) against the
+    * frozen perceptual state: decode → resize → dHash the BATCH, band it
+    * under the frozen width, and reject any arrival with an existing
+    * near-dup at Hamming ≤ 2. One row per decodable arrival:
+    * (doc_id, n_collisions, best_match_id, best_hamming, admitted); best =
+    * min Hamming, ties → smaller id; no-collision rows report (-1, 64, 1).
+    * Scale shape: the existing banding is the build-once index cost carried
+    * by `keptEx`; a batch pays its own hash pass plus a bucket-bounded join
+    * — never |batch|·|corpus|. */
+  def perceptualGateBatch(batchMedia: DataFrame, w: Int,
+      keptEx: DataFrame, exHashes: DataFrame): DataFrame = {
+    val bh = graft.operators.Checkpoints.scratch(
+      graft.multimodal.Multimodal.dHash63(
+        graft.multimodal.Multimodal.resizePpm(batchMedia, 9, 8)))
+    val cand = dHashBands(bh, w)
       .join(keptEx, Seq("band_id", "bv"))
       .select("doc_id", "id_e").distinct()
     val ver = cand
-      .join(hashes.select(col("media_id").as("doc_id"),
+      .join(bh.select(col("media_id").as("doc_id"),
         col("dhash").as("ha")), Seq("doc_id"))
-      .join(hashes.select(col("media_id").as("id_e"),
-        col("dhash").as("he")), Seq("id_e"))
+      .join(exHashes, Seq("id_e"))
       .withColumn("hm",
         bit_count(col("ha").bitwiseXOR(col("he"))).cast(LongType))
       .filter(col("hm") <= 2)
@@ -1656,15 +1687,48 @@ object Extensions {
         min(struct(col("hm"), col("id_e"))).as("b"))
       .select(col("doc_id"), col("n_collisions"),
         col("b.id_e").as("best_match_id"), col("b.hm").as("best_hamming"))
-    hashes.filter(col("is_new")).select(col("media_id").as("doc_id"))
+    bh.select(col("media_id").as("doc_id"))
       .join(roll, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_collisions"), lit(0L)).as("n_collisions"),
         coalesce(col("best_match_id"), lit(-1L)).as("best_match_id"),
         coalesce(col("best_hamming"), lit(64L)).as("best_hamming"),
         (col("n_collisions").isNull).cast(IntegerType).as("admitted"))
-      .orderBy("doc_id")
   }
+
+  def q274(spark: SparkSession, dir: String): DataFrame = {
+    val (w, keptEx, exHashes) = perceptualGateState(spark, dir)
+    val arrivals = graft.multimodal.Multimodal.ppmFromDocuments(
+      Tables.parallelized(Tables.load(spark, dir, "documents")
+        .filter(T.hashBucket(col("doc_id"), 10) === 0)))
+    perceptualGateBatch(arrivals, w, keptEx, exHashes).orderBy("doc_id")
+  }
+
+  /** STREAMING perceptual ingest gate — completes stream parity across the
+    * gate family (lexical [[graft.dedup.PortableSigStore.gateStream]],
+    * semantic [[Semantic.semGateStream]], and now perceptual): each
+    * micro-batch of media rows (media_id, kind, payload) is decoded,
+    * hashed, and gated under the FROZEN existing-corpus band index; only
+    * perceptually-novel arrivals land in `outDir`. Batch semantics per
+    * micro-batch (the collision rollup has no incremental form), so the
+    * stream runs through foreachBatch; survivors write to a batch-stamped
+    * subdir with OVERWRITE, making the at-least-once replay exactly-once by
+    * idempotence (each batch owns its directory — the q255/q268 commit
+    * protocol). `keptEx`/`exHashes` should be passed PERSISTED by callers
+    * gating many batches (both are re-consumed per micro-batch). Readers
+    * take `outDir/batch-*`. */
+  def perceptualGateStream(spark: SparkSession, w: Int,
+      keptEx: DataFrame, exHashes: DataFrame, mediaStream: DataFrame,
+      outDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    mediaStream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        perceptualGateBatch(batch.toDF(), w, keptEx, exHashes)
+          .filter(col("admitted") === 1)
+          .write.mode("overwrite").parquet(s"$outDir/batch-$id")
+      }
+      .start()
 
   val q274Sql: String =
     s"""WITH $dHashPipelineCtes, flags AS (
@@ -1730,13 +1794,7 @@ object Extensions {
     val nDocs = docs.count()
     val w = math.min(21, math.max(7,
       64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, nDocs - 1))))
-    val nBands = 63 / w
-    val mask = (1L << w) - 1
-    val bands = hashes
-      .select(col("media_id").as("doc_id"),
-        explode(sequence(lit(0), lit(nBands - 1))).as("band_id"), col("dhash"))
-      .withColumn("bv", expr(s"shiftright(dhash, band_id * $w) & $mask"))
-      .select("doc_id", "band_id", "bv")
+    val bands = dHashBands(hashes, w)
     val small = bands.groupBy("band_id", "bv").agg(count(lit(1)).as("bc"))
       .filter(col("bc") <= 256).select("band_id", "bv")
     val kept = bands.join(small, Seq("band_id", "bv"), "left_semi")

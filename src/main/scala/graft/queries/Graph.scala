@@ -866,6 +866,166 @@ object Graph {
        |ORDER BY n_members DESC, community LIMIT 20""".stripMargin
   }
 
+  /** Peel-round budget both engines evaluate for q275 (the q138 BFS
+    * discipline: the engine EARLY-EXITS at the fixed point and synthesizes
+    * the remaining rounds as identity rows — bit-equal to running the full
+    * budget, because a peel round that removes nothing changes nothing).
+    * A graph whose peeling needs more rounds reads the same declared
+    * 8-round SNAPSHOT in both engines (the q272 fixed-round contract). */
+  private[graft] val KCoreRounds = 8
+
+  /** Synchronous k-core peeling census over a (src, dst) edge frame,
+    * treated UNDIRECTED with DISTINCT neighbors (coreness is a property of
+    * the simple graph; parallel edge weight is q124/q267/q272's concern,
+    * not degeneracy's): each round simultaneously removes EVERY alive node
+    * with fewer than k alive neighbors — including nodes isolated by prior
+    * rounds (degree 0) — until the fixed point (the k-core, Seidman 1983,
+    * "Network structure and minimum degree") or the round budget. When `k`
+    * is None it SELF-CALIBRATES to the graph's integer mean degree
+    * (Σdeg div |V| — the q264 adaptive-threshold discipline: a fixed k is
+    * either below every fixture degree or above the collapse threshold,
+    * and which one flips with corpus scale). Returns one census row per
+    * round: (round, k, n_removed, removed_id_sum, n_alive) — the removal
+    * chain pins the exact membership trajectory under the hash gate, and
+    * the last row's n_alive is |k-core|.
+    *
+    * Scale shape: the undirected distinct-pair frame is checkpointed once;
+    * each round is one alive-semi-join pair prune (two id-keyed joins), one
+    * map-combined degree aggregate, and one 1-row census read — Θ(rounds·
+    * |E|) with |V|-bounded shuffles, frames shrinking monotonically; per-
+    * round frames are eagerly checkpointed and retired one round late (the
+    * [[labelPropagation]] discipline). The census rows themselves are
+    * driver-side (≤ rounds tuples), not a collect of data rows. */
+  def kCoreCensus(spark: SparkSession, rawEdges: DataFrame, k0: Option[Int],
+      rounds: Int): DataFrame = {
+    import spark.implicits._
+    val eDir = Checkpoints.scratch(rawEdges.select("src", "dst"))
+    var und = Checkpoints.scratch(
+      eDir.select(col("src").as("node"), col("dst").as("nbr"))
+        .union(eDir.select(col("dst").as("node"), col("src").as("nbr")))
+        .distinct())
+    var alive = Checkpoints.scratch(und.select("node").distinct())
+    var nAlive = alive.count()
+    // mean degree = |und rows| div |V| (und holds one row per directed
+    // distinct-neighbor incidence, so its count IS Σdeg)
+    val k: Long = k0.map(_.toLong).getOrElse(
+      if (nAlive == 0L) 1L else und.count() / nAlive)
+    var retired: Seq[DataFrame] = Nil
+    val census = Seq.newBuilder[(Long, Long, Long, Long, Long)]
+    var r = 1
+    var fixed = false
+    while (r <= rounds && !fixed) {
+      val deg = und.groupBy("node").agg(count(lit(1)).as("deg"))
+      val removed = Checkpoints.scratch(
+        alive.join(deg.filter(col("deg") >= k).select("node"),
+          Seq("node"), "left_anti"))
+      val cr = removed.agg(count(lit(1)),
+        coalesce(sum(col("node")), lit(0L))).head()
+      val (nRem, remSum) = (cr.getLong(0), cr.getLong(1))
+      if (nRem == 0L) {
+        fixed = true
+        Checkpoints.rddOf(removed).foreach(_.unpersist(blocking = false))
+      } else {
+        nAlive -= nRem
+        census += ((r.toLong, k, nRem, remSum, nAlive))
+        val aliveNext = Checkpoints.scratch(
+          alive.join(removed, Seq("node"), "left_anti"))
+        val undNext = Checkpoints.scratch(
+          und.join(removed, Seq("node"), "left_anti")
+            .join(removed.select(col("node").as("nbr")),
+              Seq("nbr"), "left_anti")
+            .select("node", "nbr"))
+        retired.foreach(f =>
+          Checkpoints.rddOf(f).foreach(_.unpersist(blocking = false)))
+        retired = Seq(und, alive, removed)
+        und = undNext; alive = aliveNext
+        r += 1
+      }
+    }
+    // identity tail: the fixed point reached before the budget — the
+    // remaining rounds remove nothing by definition, so synthesize them
+    while (r <= rounds) {
+      census += ((r.toLong, k, 0L, 0L, nAlive)); r += 1
+    }
+    census.result()
+      .toDF("round", "k", "n_removed", "removed_id_sum", "n_alive")
+  }
+
+  /** q275 k-core peel census (new r14; Seidman 1983) — the fourth classic
+    * over the q124/q267/q272 item-transition graph: where PageRank ranks,
+    * HITS separates roles, and LPA partitions, the k-core isolates the
+    * DENSELY-ENTANGLED sub-catalog (every member co-transitions with ≥ k
+    * other core members) — the hub inventory a recommender or curriculum
+    * seeds from, and the standard preprocessing cut before expensive graph
+    * passes. k self-calibrates to the integer mean degree; on the
+    * fixture's supercritical-RANDOM transition graph the mean-degree core
+    * COLLAPSES (measured: 3 real peel rounds to empty at sf0.001/sf0.01/
+    * ×10 — the Pittel–Spencer–Wormald cascade, a random graph has no core
+    * above its threshold), and the census pins the exact collapse
+    * trajectory; on a real power-law co-purchase graph the core survives
+    * (GraphSpec plants a clique+pendant-chain graph and pins the surviving
+    * clique). 8 synchronous peel rounds (fixed-point early exit, identity
+    * tail); one row per round. The oracle unrolls the identical 8 rounds
+    * as materialized CTEs with the same scalar-subquery k. */
+  def q275(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("okey"), col("l_linenumber").as("ln"),
+        col("l_partkey").as("pk"))
+    val nxt = Window.partitionBy("okey").orderBy(col("ln"), col("pk"))
+    val edges = li.withColumn("dst", lead("pk", 1).over(nxt))
+      .filter(col("dst").isNotNull && col("dst") =!= col("pk"))
+      .select(col("pk").as("src"), col("dst")).distinct()
+    kCoreCensus(spark, edges, None, KCoreRounds).orderBy("round")
+  }
+
+  val q275Sql: String = {
+    val rounds = (1 to KCoreRounds).map { i =>
+      s"""e$i AS MATERIALIZED (
+         |  SELECT u.node, u.nbr FROM und u
+         |  JOIN a${i - 1} x ON x.node = u.node
+         |  JOIN a${i - 1} y ON y.node = u.nbr
+         |), d$i AS MATERIALIZED (
+         |  SELECT node, COUNT(*) AS deg FROM e$i GROUP BY 1
+         |), r$i AS MATERIALIZED (
+         |  SELECT a.node FROM a${i - 1} a
+         |  LEFT JOIN d$i d ON d.node = a.node
+         |  WHERE COALESCE(d.deg, 0) < (SELECT k FROM kv)
+         |), a$i AS MATERIALIZED (
+         |  SELECT a.node FROM a${i - 1} a
+         |  LEFT JOIN r$i r ON r.node = a.node
+         |  WHERE r.node IS NULL
+         |), c$i AS MATERIALIZED (
+         |  SELECT CAST($i AS BIGINT) AS round,
+         |    (SELECT CAST(k AS BIGINT) FROM kv) AS k,
+         |    CAST(COUNT(node) AS BIGINT) AS n_removed,
+         |    CAST(COALESCE(SUM(node), 0) AS BIGINT) AS removed_id_sum,
+         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM a$i) AS n_alive
+         |  FROM r$i
+         |)""".stripMargin
+    }.mkString(", ")
+    val union = (1 to KCoreRounds)
+      .map(i => s"SELECT * FROM c$i").mkString("\n  UNION ALL ")
+    s"""WITH hop AS (
+       |  SELECT l_partkey AS pk,
+       |    lead(l_partkey) OVER (PARTITION BY l_orderkey
+       |      ORDER BY l_linenumber, l_partkey) AS dst
+       |  FROM lineitem
+       |), und AS MATERIALIZED (
+       |  SELECT DISTINCT pk AS node, dst AS nbr FROM hop
+       |  WHERE dst IS NOT NULL AND dst <> pk
+       |  UNION
+       |  SELECT DISTINCT dst, pk FROM hop
+       |  WHERE dst IS NOT NULL AND dst <> pk
+       |), a0 AS MATERIALIZED (
+       |  SELECT DISTINCT node FROM und
+       |), kv AS MATERIALIZED (
+       |  SELECT (SELECT COUNT(*) FROM und) // (SELECT COUNT(*) FROM a0) AS k
+       |), $rounds
+       |SELECT * FROM (
+       |  $union
+       |) ORDER BY round""".stripMargin
+  }
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(("q124_pagerank", q124 _, Some(q124Sql)),
     ("q256_seeded_pagerank", q256 _, Some(q256Sql)),
@@ -873,5 +1033,6 @@ object Graph {
       ("q138_bfs_hops", q138 _, Some(q138Sql)),
       ("q146_assortativity", q146 _, Some(q146Sql)),
       ("q267_hits", q267 _, Some(q267Sql)),
-      ("q272_label_propagation", q272 _, Some(q272Sql)))
+      ("q272_label_propagation", q272 _, Some(q272Sql)),
+      ("q275_kcore_census", q275 _, Some(q275Sql)))
 }

@@ -1603,7 +1603,100 @@ object Stats {
       |FROM t JOIN cum ON cum.cum >= t.target_rank
       |GROUP BY t.k, t.target_rank ORDER BY t.k""".stripMargin
 
+  /** Sample size / sketch width for q276's bottom-k sketch. */
+  private[graft] val KmvK = 64
+
+  /** q276 bottom-k (KMV) distinct-content sketch + consistent sample (new
+    * r14; Bar-Yossef et al. 2002, "Counting distinct elements in a data
+    * stream") — the THIRD mergeable sketch next to q211/q232's count-min
+    * (frequency axis) and q273's log-bucket quantiles (distribution axis),
+    * covering the DISTINCT-COUNT axis: per source, keep the [[KmvK]]
+    * smallest 60-bit content fingerprints; the k-th smallest hash is an
+    * unbiased density probe, N̂ = (k−1)·2⁶⁰ div h_k (computed in
+    * decimal(38,0) — the int64 numerator would overflow; DuckDB replays it
+    * in HUGEINT), and the sampled fingerprints double as a CONSISTENT
+    * content sample — the same texts are sampled in every snapshot and on
+    * every shard, which is what makes bottom-k sets mergeable: the
+    * bottom-k of a union is the bottom-k of the per-shard bottom-k's
+    * (spec-pinned in StatsSpec), the property reservoir sampling lacks.
+    * Emits the exact distinct count beside the estimate (the q91/q211
+    * exact-gate discipline: the fixture prices the sketch's error), the
+    * pinned k-th hash, and membership checksums (fp XOR — 64 60-bit fps would overflow an int64 SUM — plus the min-doc-id sum).
+    * Scale shape: one fp projection, one (source, fp)-keyed dedup
+    * aggregate, one rank window over source-keyed partitions pruned to
+    * k rows map-side (WindowGroupLimit), a ≤|sources|·k rollup — nothing
+    * corpus-wide ever sorts. Sources with ≤ k distinct texts report the
+    * sketch-exact regime: estimate = the distinct count itself. */
+  /** The q276 kernel over any (source, fp, doc_id) frame — factored out so
+    * the spec can feed planted corpora and shard-merged sample sets. */
+  private[graft] def kmvSketch(f: DataFrame): DataFrame = {
+    val d = f.groupBy("source", "fp").agg(
+      count(lit(1)).as("n_copies"), min(col("doc_id")).as("min_id"))
+    val stats = d.groupBy("source").agg(
+      sum(col("n_copies")).as("n_docs"),
+      count(lit(1)).as("n_distinct"))
+    val rk = d.withColumn("rk", row_number().over(
+        Window.partitionBy("source").orderBy("fp")))
+      .filter(col("rk") <= KmvK)
+    val sk = rk.groupBy("source").agg(
+      count(lit(1)).as("kmv_k"),
+      max(col("fp")).as("kth_min_fp"),
+      bit_xor(col("fp")).as("sample_fp_xor"),
+      sum(col("min_id")).as("sample_id_sum"))
+    stats.join(sk, Seq("source"))
+      .withColumn("kmv_estimate",
+        when(col("n_distinct") <= KmvK, col("n_distinct")).otherwise(
+          expr("cast((cast(kmv_k as decimal(38,0)) - 1) * " +
+            "cast(1152921504606846976 as decimal(38,0)) div " +
+            "cast(greatest(kth_min_fp, 1) as decimal(38,0)) as bigint)")))
+      .select("source", "n_docs", "n_distinct", "kmv_k", "kth_min_fp",
+        "kmv_estimate", "sample_fp_xor", "sample_id_sum")
+  }
+
+  def q276(spark: SparkSession, dir: String): DataFrame =
+    kmvSketch(Tables.parallelized(Tables.load(spark, dir, "documents"))
+      .select(col("source"),
+        graft.functions.TextFunctions.portableHash60(col("text")).as("fp"),
+        col("doc_id")))
+      .orderBy("source")
+
+  val q276Sql: String =
+    s"""WITH f AS (
+      |  SELECT source,
+      |    CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) AS fp,
+      |    doc_id
+      |  FROM documents
+      |), d AS (
+      |  SELECT source, fp, COUNT(*) AS n_copies,
+      |    MIN(doc_id) AS min_id
+      |  FROM f GROUP BY source, fp
+      |), stats AS (
+      |  SELECT source, CAST(SUM(n_copies) AS BIGINT) AS n_docs,
+      |    CAST(COUNT(*) AS BIGINT) AS n_distinct
+      |  FROM d GROUP BY source
+      |), rk AS (
+      |  SELECT source, fp, min_id,
+      |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY fp) AS rk
+      |  FROM d
+      |), sk AS (
+      |  SELECT source, CAST(COUNT(*) AS BIGINT) AS kmv_k,
+      |    CAST(MAX(fp) AS BIGINT) AS kth_min_fp,
+      |    CAST(BIT_XOR(fp) AS BIGINT) AS sample_fp_xor,
+      |    CAST(SUM(min_id) AS BIGINT) AS sample_id_sum
+      |  FROM rk WHERE rk <= $KmvK GROUP BY source
+      |)
+      |SELECT s.source, s.n_docs, s.n_distinct, k.kmv_k, k.kth_min_fp,
+      |  CASE WHEN s.n_distinct <= $KmvK THEN s.n_distinct
+      |    ELSE CAST((CAST(k.kmv_k AS HUGEINT) - 1)
+      |      * CAST(1152921504606846976 AS HUGEINT)
+      |      // CAST(GREATEST(k.kth_min_fp, 1) AS HUGEINT) AS BIGINT) END
+      |    AS kmv_estimate,
+      |  k.sample_fp_xor, k.sample_id_sum
+      |FROM stats s JOIN sk k ON k.source = s.source
+      |ORDER BY s.source""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    ("q276_kmv_sketch", q276 _, Some(q276Sql)),
     ("q203_repetition_gate", q203 _, Some(q203Sql)),
     ("q209_heaps_growth", q209 _, Some(q209Sql)),
     ("q211_count_min_sketch", q211 _, Some(q211Sql)),

@@ -522,6 +522,58 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("kCoreCensus == driver-side peeling on random graphs; early exit is identity") {
+    val rnd = new scala.util.Random(17)
+    for (trial <- 0 until 6) {
+      val nV = 6 + rnd.nextInt(10)
+      val es = (0 until 3 * nV).map { _ =>
+        (rnd.nextInt(nV).toLong, rnd.nextInt(nV).toLong)
+      }.filter(e => e._1 != e._2).distinct
+      if (es.nonEmpty) {
+        val k = 2 + rnd.nextInt(3)
+        val rounds = 6
+        // driver replay: undirected distinct neighbor sets, synchronous
+        // removal of every alive node with < k alive neighbors
+        var alive = es.flatMap(e => Seq(e._1, e._2)).distinct.toSet
+        val nbrs = es.flatMap(e => Seq(e._1 -> e._2, e._2 -> e._1))
+          .distinct.groupBy(_._1).map { case (v, g) => v -> g.map(_._2).toSet }
+        val want = (1 to rounds).map { r =>
+          val removed = alive.filter(v =>
+            nbrs.getOrElse(v, Set.empty).count(alive) < k)
+          alive = alive -- removed
+          (r.toLong, k.toLong, removed.size.toLong, removed.sum,
+            alive.size.toLong)
+        }
+        val got = queries.Graph.kCoreCensus(
+            spark, es.toDF("src", "dst"), Some(k), rounds)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+            r.getLong(4)))
+          .toSeq.sortBy(_._1)
+        assert(got == want, s"trial $trial (k=$k): $got != $want")
+        graft.operators.Checkpoints.sweepScratch(spark.sparkContext)
+      }
+    }
+  }
+
+  test("kCoreCensus: a planted clique survives adaptive-mean-degree peeling") {
+    // clique K6 (degree 5 inside) + a pendant 9-node chain (degree <= 2):
+    // mean degree = (6*5 + 7*2 + 2*1) div 15 = 46 div 15 = 3, so the
+    // chain peels away and the clique is the surviving 3-core
+    val clique = for (a <- 0 until 6; b <- 0 until 6 if a < b)
+      yield (a.toLong, b.toLong)
+    val chain = (0 until 8).map(i => (100L + i, 101L + i))
+    val es = clique ++ chain
+    val rows = queries.Graph.kCoreCensus(
+        spark, es.toDF("src", "dst"), None, 8)
+      .orderBy("round").collect()
+    assert(rows.head.getLong(1) == 3L, s"adaptive k: ${rows.head.getLong(1)}")
+    assert(rows.last.getLong(4) == 6L,
+      s"surviving core should be the K6 clique, got ${rows.last.getLong(4)}")
+    assert(rows.map(_.getLong(2)).sum == 9L, "the 9 chain nodes peel")
+    graft.operators.Checkpoints.sweepScratch(spark.sparkContext)
+  }
+
   test("SemDeDup rollup == brute-force transitive closure, for random member frames") {
     // randomized replay of the cluster-local union-find: random small
     // integer vectors in a handful of clusters, all-pairs cosine closure

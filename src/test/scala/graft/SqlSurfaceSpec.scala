@@ -28,7 +28,8 @@ class SqlSurfaceSpec extends AnyFunSuite {
     "strlen", // DuckDB byte length; Spark spells it octet_length
     " // ", // DuckDB integer floor division; Spark spells it div
     "STRING_AGG(DISTINCT", // DuckDB inline ORDER BY in aggregate args; Spark is WITHIN GROUP
-    "', 'g')") // DuckDB 4-arg regexp_replace global flag; Spark is global by default
+    "', 'g')", // DuckDB 4-arg regexp_replace global flag; Spark is global by default
+    "AS MATERIALIZED") // DuckDB CTE materialization hint (the q254/q267 spill guard)
 
   test("oracle SQL in the common subset matches the DataFrame plans on spark.sql") {
     Tables.registerViews(spark, sf)

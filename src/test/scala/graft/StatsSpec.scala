@@ -541,4 +541,54 @@ class StatsSpec extends AnyFunSuite {
       assert(f >= 1000L, s"$lang: a word is at least one unit")
     }
   }
+
+  test("q276 bottom-k sets are mergeable: bottom-k of shard bottom-k's == corpus") {
+    import spark.implicits._
+    // the property that makes the sketch a 100 TB citizen: each shard keeps
+    // its own bottom-k; the union of shard samples re-bottom-k'd is the
+    // corpus bottom-k, so merge order and shard count are invisible
+    val f = Tables.load(spark, sf, "documents")
+      .select(col("source"),
+        graft.functions.TextFunctions.portableHash60(col("text")).as("fp"),
+        col("doc_id"))
+    def sketch(df: org.apache.spark.sql.DataFrame) =
+      queries.Stats.kmvSketch(df).orderBy("source")
+        .collect().map(_.toSeq).toSeq
+    val whole = sketch(f)
+    // shard by doc_id, bottom-k each shard's DISTINCT (source, fp) set,
+    // union the samples (plus every row's copy/doc mass so n_docs and
+    // n_distinct stay exact-corpus — the merged SAMPLE is what's under test)
+    val shardTop = (0 until 4).map { sh =>
+      val part = f.filter(
+        graft.functions.TextFunctions.hashBucket(col("doc_id"), 4) === sh)
+      part.groupBy("source", "fp")
+        .agg(min(col("doc_id")).as("doc_id"))
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("source").orderBy("fp")))
+        .filter(col("rk") <= queries.Stats.KmvK)
+        .select("source", "fp", "doc_id")
+    }.reduce(_ unionAll _)
+    // sample-only columns of the merged sketch must equal the corpus sketch
+    def sampleCols(rows: Seq[Seq[Any]]) =
+      rows.map(r => (r(0), r(3), r(4), r(6))) // source, kmv_k, kth_min_fp, fp_xor
+    val merged = sketch(shardTop)
+    assert(sampleCols(merged) == sampleCols(whole),
+      "shard-merged bottom-k sample diverges from the corpus bottom-k")
+  }
+
+  test("q276 KMV estimate tracks a planted distinct count within 30%") {
+    import spark.implicits._
+    val n = 5000
+    val docs = (0 until n).map(i => ("planted", s"unique text $i", i.toLong))
+      .toDF("source", "text", "doc_id")
+      .select(col("source"),
+        graft.functions.TextFunctions.portableHash60(col("text")).as("fp"),
+        col("doc_id"))
+    val row = queries.Stats.kmvSketch(docs).collect().head
+    val est = row.getAs[Long]("kmv_estimate")
+    assert(row.getAs[Long]("n_distinct") == n.toLong)
+    assert(est > n * 7 / 10 && est < n * 13 / 10,
+      s"KMV estimate $est too far from planted $n")
+  }
 }

@@ -598,6 +598,57 @@ class StreamingSpec extends AnyFunSuite {
     } finally existingP.unpersist(blocking = false)
   }
 
+  test("streaming perceptual ingest gate == batch q274 survivors; replay idempotent") {
+    // completes stream parity across the gate family: lexical (q255),
+    // semantic (q268), perceptual (q274) — arriving media rejected on a
+    // dHash near-dup collision with the frozen existing-corpus band index
+    import org.apache.spark.sql.types._
+    val want = graft.queries.Extensions.q274(spark, sf)
+      .filter(col("admitted") === 1).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val (w, keptEx0, exHashes0) =
+      graft.queries.Extensions.perceptualGateState(spark, sf)
+    val keptEx = keptEx0.persist(); val exHashes = exHashes0.persist()
+    try {
+      // stage the arrival-bucket media as 3 files -> 3 micro-batches
+      val arrivals = graft.multimodal.Multimodal.ppmFromDocuments(
+        Tables.parallelized(Tables.load(spark, sf, "documents")
+          .filter(graft.functions.TextFunctions
+            .hashBucket(col("doc_id"), 10) === 0)))
+      val landing =
+        java.nio.file.Files.createTempDirectory("pgate_landing").toString
+      arrivals.withColumn("g", col("media_id") % 3)
+        .repartition(3, col("g")).drop("g")
+        .write.mode("overwrite").parquet(landing)
+      val schema = StructType(Seq(StructField("media_id", LongType),
+        StructField("kind", StringType), StructField("payload", BinaryType)))
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(landing)
+      val out = java.nio.file.Files.createTempDirectory("pgate_out").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("pgate_ckpt").toString
+      val q = graft.queries.Extensions.perceptualGateStream(
+        spark, w, keptEx, exHashes, stream, out, ckpt)
+      try q.processAllAvailable() finally q.stop()
+      def survivors(): Seq[Long] = spark.read.parquet(s"$out/batch-*")
+        .select("doc_id").collect().map(_.getLong(0)).toSeq
+      val got = survivors()
+      assert(got.toSet == want, "gated stream diverges from the batch twin")
+      assert(got.distinct.length == got.length, "gate emitted duplicates")
+      // at-least-once replay: a re-run batch overwrites its own directory
+      val b0 = spark.read.parquet(s"$out/batch-0")
+        .select(col("doc_id").as("media_id"))
+      graft.queries.Extensions.perceptualGateBatch(
+        arrivals.join(b0, Seq("media_id"), "left_semi"), w, keptEx, exHashes)
+        .filter(col("admitted") === 1)
+        .write.mode("overwrite").parquet(s"$out/batch-0")
+      assert(survivors().toSet == want && survivors().length == got.length,
+        "replayed batch commit must be a no-op on the survivor set")
+    } finally {
+      keptEx.unpersist(blocking = false)
+      exHashes.unpersist(blocking = false)
+    }
+  }
+
   test("streaming index ingest == batch build: per-micro-batch frozen-model appends") {
     import graft.ann.{PortableAnn, PortableIvfPqIndex}
     import spark.implicits._
