@@ -69,17 +69,22 @@ object Bench {
       s""","role":${jsonStr(role)},"run_id":${jsonStr(runId)}"""
     val results = SparkEntry.queries.toSeq.filter(p => only(p._1))
       .sortBy(_._1).map { case (name, fn) =>
-      def once(): Option[Double] = {
+      // per-rep (seconds, contemporaneous 1-min load) — r13 VERDICT #7:
+      // comparative claims in SCALING artifacts need per-rep ambient load
+      // and paired same-JVM mins, so the raw reps are recorded, not only
+      // their [min, median] digest
+      def once(): Option[(Double, Double)] = {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => return None }
-        Some((System.nanoTime() - t0) / 1e9)
+        Some(((System.nanoTime() - t0) / 1e9, loadavg()))
       }
-      val t = for (_ <- once(); a <- once(); b <- once(); c <- once())
-        yield {
-          val s = Seq(a, b, c).sorted
-          (s.head, s(1)) // (min, median) — min estimates plan cost, median
-                         // exposes host noise without a judge-side probe
-        }
+      val reps = for (_ <- once(); a <- once(); b <- once(); c <- once())
+        yield Seq(a, b, c)
+      val t = reps.map { rs =>
+        val s = rs.map(_._1).sorted
+        (s.head, s(1)) // (min, median) — min estimates plan cost, median
+                       // exposes host noise without a judge-side probe
+      }
       if (t.isEmpty) failed += name
       // Operators may cache intermediates (e.g. LSH signature/candidate
       // stages); release them so cached stages never accumulate across the
@@ -105,7 +110,7 @@ object Bench {
       // instead of inferring it from the run-level [before, after] pair
       // (VERDICT r10 next-round #6 — per-query, because /proc/loadavg is
       // 1-minute-smoothed and sub-second reps can't resolve finer).
-      (name, t, loadavg())
+      (name, t, loadavg(), reps)
     }
     def fmt(v: Double): String = f"$v%.4f"
     // Opt-in second pass (SPARK_GRAFT_BENCH_SHUFFLED=1): one more timed run
@@ -154,13 +159,19 @@ object Bench {
     // Complete per-query [min, median] record — median − min is host noise,
     // min is plan cost — goes to a repo file; the stdout contract line below
     // cannot carry all of it.
-    val detail = results.map { case (k, v, _) =>
+    val detail = results.map { case (k, v, _, _) =>
       "\"" + k + "\":" + v.fold("null")(t => s"[${fmt(t._1)},${fmt(t._2)}]")
+    }.mkString("{", ",", "}")
+    // raw reps with their contemporaneous load: [[sec, load1m], ...] —
+    // the paired-methodology carrier (r13 VERDICT #7)
+    val repsJson = results.map { case (k, _, _, rs) =>
+      "\"" + k + "\":" + rs.fold("null")(_.map(r =>
+        s"[${fmt(r._1)},${fmt(r._2)}]").mkString("[", ",", "]"))
     }.mkString("{", ",", "}")
     // per-query contemporaneous host load (1-min loadavg sampled as each
     // query's reps finished) — parallel map so min_median stays
     // schema-stable for round-over-round diffs
-    val loadTrace = results.map { case (k, _, l) =>
+    val loadTrace = results.map { case (k, _, l, _) =>
       "\"" + k + "\":" + fmt(l)
     }.mkString("{", ",", "}")
     // queries whose reps ran under heavy CONTEMPORANEOUS host contention
@@ -170,11 +181,11 @@ object Bench {
     // the flag is right here in the artifact
     val loadThreshold = 16.0
     val highLoad = results.collect {
-      case (k, _, l) if l >= loadThreshold => "\"" + k + "\""
+      case (k, _, l, _) if l >= loadThreshold => "\"" + k + "\""
     }.mkString("[", ",", "]")
     try {
       val w = new java.io.PrintWriter(detailPath)
-      try w.println(s"""{"unit":"sec","min_median":$detail,"load1m_after_query":$loadTrace,"high_load_suspect":$highLoad,"load1m_suspect_threshold":$loadThreshold,"failed":$failedJson,"load1m":[${fmt(loadBefore)},${fmt(loadAfter)}],"sf":"$sfDir"$subsetJson$provJson}""")
+      try w.println(s"""{"unit":"sec","min_median":$detail,"reps_sec_load":$repsJson,"load1m_after_query":$loadTrace,"high_load_suspect":$highLoad,"load1m_suspect_threshold":$loadThreshold,"failed":$failedJson,"load1m":[${fmt(loadBefore)},${fmt(loadAfter)}],"sf":"$sfDir"$subsetJson$provJson}""")
       finally w.close()
     } catch { case _: Throwable => () } // detail file is best-effort
     // The driver reads this line from a bounded tail buffer (~1.8 KB,
@@ -192,7 +203,7 @@ object Bench {
     //    the cut). Whatever is cut is the sub-noise fast tail; the complete
     //    record is always in BENCH_DETAIL.json (`queries_full`).
     def qkey(k: String): String = k.takeWhile(_ != '_')
-    val bySlowest = results.sortBy { case (_, v, _) =>
+    val bySlowest = results.sortBy { case (_, v, _, _) =>
       -v.fold(Double.MaxValue)(_._1) // failed (None) sort first
     }
     val lineBudget = 1250
@@ -204,7 +215,7 @@ object Bench {
     }
     val entries = scala.collection.mutable.ArrayBuffer[String]()
     var fits = true
-    bySlowest.foreach { case (k, v, _) =>
+    bySlowest.foreach { case (k, v, _, _) =>
       v.foreach { t =>
         val e = "\"" + qkey(k) + "\":" + f"${t._1}%.3f"
         if (fits && used + e.length + 1 <= lineBudget) {

@@ -934,7 +934,149 @@ object Advanced {
       |  CAST(CASE WHEN b99 = 0 THEN 0 ELSE (CAST(1 AS BIGINT) << CAST(b99 AS INTEGER)) - 1 END AS BIGINT) AS p99_hi
       |FROM picked ORDER BY source""".stripMargin
 
+  /** q277 incremental dataset-card maintenance (new r14) — the operational
+    * closure of the mergeable-sketch family: at 100 TB the per-source
+    * dataset card (doc/token counts, token min/max/sum, distinct-content
+    * estimate, length quantiles) is never refreshed by rescanning the
+    * corpus — the pipeline maintains bounded per-source DIGESTS and folds
+    * each ingest batch in. This query runs the card BOTH ways at once: the
+    * engine splits the corpus into base and delta (the q255/q268/q274 md5
+    * arrival bucket, 0-of-10), builds each side's digest independently, and
+    * MERGES (counts/sums/min/max add, KMV bottom-64 sets union then
+    * re-bottom-k — the q276 mergeability property — and log-bucket counts
+    * sum cell-wise, the q232/q273 linearity); the DuckDB oracle computes
+    * the identical card in ONE full scan. The hash gate is therefore the
+    * merge ≡ recompute proof for the ENTIRE card object, extending q232's
+    * per-sketch associativity proof to the composite artifact a pipeline
+    * actually maintains. Deployment pays only the delta digest + the
+    * merge; the committed query builds both sides only because proving the
+    * algebra needs both. Per source: n_docs, n_delta, token sum/min/max,
+    * KMV distinct estimate (k, k-th hash, estimate — decimal(38,0) path as
+    * q276), and the p50/p90 log-bucket brackets. All frames are
+    * digest-sized after one corpus pass: ≤|sources|·2 scalar rows,
+    * ≤|sources|·2·64 sample rows, ≤|sources|·2·64 bucket cells. */
+  def q277(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{TextFunctions => T}
+    val f = Tables.parallelized(Tables.load(spark, dir, "documents"))
+      .select(col("source"), col("doc_id"),
+        T.portableHash60(col("text")).as("fp"),
+        size(T.tokens(col("text"))).cast(LongType).as("n_tok"))
+      .withColumn("is_new", T.hashBucket(col("doc_id"), 10) === 0)
+      .withColumn("bucket",
+        when(col("n_tok") <= 0L, lit(0L))
+          .otherwise(length(bin(col("n_tok"))).cast(LongType)))
+    // scalar digests: one row per (source, side), merged by a second
+    // aggregate — sums add, mins/maxes nest (the mergeable-moment algebra)
+    val scal = f.groupBy("source", "is_new").agg(
+        count(lit(1)).as("n"), sum("n_tok").as("ts"),
+        min("n_tok").as("tmin"), max("n_tok").as("tmax"))
+      .groupBy("source").agg(
+        sum("n").as("n_docs"),
+        sum(when(col("is_new"), col("n")).otherwise(0L)).as("n_delta"),
+        sum("ts").as("tok_sum"),
+        min("tmin").as("tok_min"), max("tmax").as("tok_max"))
+    // KMV digests: per-side bottom-64 distinct-fp sets, unioned and
+    // re-bottom-k'd (exact by the q276 mergeability property)
+    val sideTop = f.select("source", "is_new", "fp").distinct()
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("source", "is_new").orderBy("fp")))
+      .filter(col("rk") <= Stats.KmvK)
+      .select("source", "fp").distinct()
+    val kmv = sideTop
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("source").orderBy("fp")))
+      .filter(col("rk") <= Stats.KmvK)
+      .groupBy("source").agg(
+        count(lit(1)).as("kmv_k"), max("fp").as("kth_min_fp"))
+      .withColumn("kmv_estimate",
+        when(col("kmv_k") < Stats.KmvK, col("kmv_k")).otherwise(
+          expr("cast((cast(kmv_k as decimal(38,0)) - 1) * " +
+            "cast(1152921504606846976 as decimal(38,0)) div " +
+            "cast(greatest(kth_min_fp, 1) as decimal(38,0)) as bigint)")))
+    // log-bucket digests: per-side cells, merged by cell-wise sum (the
+    // q232 linearity), then the q273 bracket read
+    val cells = f.groupBy("source", "is_new", "bucket")
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy("source", "bucket").agg(sum("cnt").as("cnt"))
+    val cum = cells
+      .withColumn("cum", sum("cnt").over(
+        Window.partitionBy("source").orderBy("bucket")))
+      .withColumn("n", sum("cnt").over(Window.partitionBy("source")))
+    def qb(permille: Int) = min(when(
+      col("cum") >= expr(s"(n * $permille + 999) div 1000"), col("bucket")))
+    def hi(c: String) = expr(
+      s"case when $c = 0 then 0 else shiftleft(cast(1 as bigint), cast($c as int)) - 1 end")
+    val brackets = cum.groupBy("source")
+      .agg(qb(500).as("b50"), qb(900).as("b90"))
+      .select(col("source"), hi("b50").as("p50_hi"), hi("b90").as("p90_hi"))
+    scal.join(kmv, Seq("source")).join(brackets, Seq("source"))
+      .select("source", "n_docs", "n_delta", "tok_sum", "tok_min",
+        "tok_max", "kmv_k", "kth_min_fp", "kmv_estimate", "p50_hi", "p90_hi")
+      .orderBy("source")
+  }
+
+  /** One full scan, no base/delta split anywhere except the n_delta count
+    * — equality with the engine's merged digests is the proof. */
+  val q277Sql: String =
+    s"""WITH f AS (
+      |  SELECT source, doc_id,
+      |    CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) AS fp,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+      |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+      |      % 10 = 0 AS is_new
+      |  FROM documents
+      |), scal AS (
+      |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    CAST(SUM(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT) AS n_delta,
+      |    CAST(SUM(n_tok) AS BIGINT) AS tok_sum,
+      |    CAST(MIN(n_tok) AS BIGINT) AS tok_min,
+      |    CAST(MAX(n_tok) AS BIGINT) AS tok_max
+      |  FROM f GROUP BY source
+      |), d AS (
+      |  SELECT DISTINCT source, fp FROM f
+      |), rk AS (
+      |  SELECT source, fp,
+      |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY fp) AS rk
+      |  FROM d
+      |), kmv AS (
+      |  SELECT source, CAST(COUNT(*) AS BIGINT) AS kmv_k,
+      |    CAST(MAX(fp) AS BIGINT) AS kth_min_fp
+      |  FROM rk WHERE rk <= ${Stats.KmvK} GROUP BY source
+      |), buck AS (
+      |  SELECT source,
+      |    CASE WHEN n_tok <= 0 THEN 0
+      |         ELSE length(printf('%b', n_tok)) END AS bucket,
+      |    COUNT(*) AS cnt
+      |  FROM f GROUP BY 1, 2
+      |), cum AS (
+      |  SELECT source, CAST(bucket AS BIGINT) AS bucket,
+      |    SUM(cnt) OVER (PARTITION BY source ORDER BY bucket) AS cum,
+      |    SUM(cnt) OVER (PARTITION BY source) AS n
+      |  FROM buck
+      |), picked AS (
+      |  SELECT source,
+      |    MIN(CASE WHEN cum >= (n * 500 + 999) // 1000 THEN bucket END) AS b50,
+      |    MIN(CASE WHEN cum >= (n * 900 + 999) // 1000 THEN bucket END) AS b90
+      |  FROM cum GROUP BY source
+      |)
+      |SELECT s.source, s.n_docs, s.n_delta, s.tok_sum, s.tok_min, s.tok_max,
+      |  k.kmv_k, k.kth_min_fp,
+      |  CASE WHEN k.kmv_k < ${Stats.KmvK} THEN k.kmv_k
+      |    ELSE CAST((CAST(k.kmv_k AS HUGEINT) - 1)
+      |      * CAST(1152921504606846976 AS HUGEINT)
+      |      // CAST(GREATEST(k.kth_min_fp, 1) AS HUGEINT) AS BIGINT) END
+      |    AS kmv_estimate,
+      |  CAST(CASE WHEN p.b50 = 0 THEN 0
+      |    ELSE (CAST(1 AS BIGINT) << CAST(p.b50 AS INTEGER)) - 1 END AS BIGINT) AS p50_hi,
+      |  CAST(CASE WHEN p.b90 = 0 THEN 0
+      |    ELSE (CAST(1 AS BIGINT) << CAST(p.b90 AS INTEGER)) - 1 END AS BIGINT) AS p90_hi
+      |FROM scal s
+      |JOIN kmv k ON k.source = s.source
+      |JOIN picked p ON p.source = s.source
+      |ORDER BY s.source""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    ("q277_card_maintenance", q277 _, Some(q277Sql)),
     ("q273_quantile_sketch", q273 _, Some(q273Sql)),
     ("q39_cube", q39 _, Some(q39Sql)),
     ("q40_pivot", q40 _, Some(q40Sql)),

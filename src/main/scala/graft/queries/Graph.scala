@@ -776,8 +776,13 @@ object Graph {
     * Scale shape (the [[hits]] engineering): the undirected edge frame is
     * checkpointed ONCE; each round is one broadcast of the ≤|V| label
     * frame into the edge blocks, one (node, lbl) map-combined aggregate,
-    * and one argmax — Θ(rounds·|E|) with 2 |V|-bounded shuffles per
-    * round. Per-round score frames are eagerly checkpointed and the
+    * and one argmax — Θ(rounds·|E|). Honest shuffle bound (r14 SCALING
+    * measurement): the vote aggregate is keyed by (node, incident label),
+    * whose distinct cardinality is bounded by 2|E|, NOT |V| — an LPA
+    * round shuffles up to the undirected edge count where a PageRank
+    * round map-combines to |V|; measured ~2.7–3.0× q124-per-round at
+    * ×10/×30 (same JVM, `SCALING_r14.json`), the inherent price of
+    * label-valued votes. Per-round score frames are eagerly checkpointed and the
     * previous round's retired one sweep later (the pageRankSeeded
     * discipline); callers outside the bench sweep should
     * `Checkpoints.sweepScratch` after consuming the result. */
