@@ -954,35 +954,56 @@ object Advanced {
     * KMV distinct estimate (k, k-th hash, estimate — decimal(38,0) path as
     * q276), and the p50/p90 log-bucket brackets. All frames are
     * digest-sized after one corpus pass: ≤|sources|·2 scalar rows,
-    * ≤|sources|·2·64 sample rows, ≤|sources|·2·64 bucket cells. */
-  def q277(spark: SparkSession, dir: String): DataFrame = {
+    * ≤|sources|·2·64 sample rows, ≤|sources|·2·64 bucket cells.
+    *
+    * The OPERATIONAL leg is [[cardStream]] + [[cardReadMerged]]: digests
+    * persist per ingest batch (batch-stamped, overwrite-idempotent) and
+    * the card is assembled merge-on-read — the q277 gate proves the exact
+    * algebra that assembly runs, and StreamingSpec pins stream==batch. */
+  /** The (source, fp, n_tok) projection every card digest starts from. */
+  private[graft] def cardDocFrame(docs: DataFrame): DataFrame = {
     import graft.functions.{TextFunctions => T}
-    val f = Tables.parallelized(Tables.load(spark, dir, "documents"))
-      .select(col("source"), col("doc_id"),
-        T.portableHash60(col("text")).as("fp"),
-        size(T.tokens(col("text"))).cast(LongType).as("n_tok"))
-      .withColumn("is_new", T.hashBucket(col("doc_id"), 10) === 0)
-      .withColumn("bucket",
-        when(col("n_tok") <= 0L, lit(0L))
-          .otherwise(length(bin(col("n_tok"))).cast(LongType)))
-    // scalar digests: one row per (source, side), merged by a second
-    // aggregate — sums add, mins/maxes nest (the mergeable-moment algebra)
-    val scal = f.groupBy("source", "is_new").agg(
+    docs.select(col("source"),
+      T.portableHash60(col("text")).as("fp"),
+      size(T.tokens(col("text"))).cast(LongType).as("n_tok"))
+  }
+
+  /** One side's card digest over a (source, fp, n_tok) frame: three BOUNDED
+    * frames — scalar moments (one row per source), the bottom-[[Stats.KmvK]]
+    * distinct-fp sample, and log-bucket cells. `isDelta` stamps the scalar
+    * rows so the merged card can report arrival mass. This is the object a
+    * deployment persists per shard / per ingest batch; [[cardFromDigests]]
+    * folds any number of them. */
+  private[graft] def cardDigest(f0: DataFrame, isDelta: Boolean)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val f = f0.withColumn("bucket",
+      when(col("n_tok") <= 0L, lit(0L))
+        .otherwise(length(bin(col("n_tok"))).cast(LongType)))
+    val scal = f.groupBy("source").agg(
         count(lit(1)).as("n"), sum("n_tok").as("ts"),
         min("n_tok").as("tmin"), max("n_tok").as("tmax"))
-      .groupBy("source").agg(
-        sum("n").as("n_docs"),
-        sum(when(col("is_new"), col("n")).otherwise(0L)).as("n_delta"),
-        sum("ts").as("tok_sum"),
-        min("tmin").as("tok_min"), max("tmax").as("tok_max"))
-    // KMV digests: per-side bottom-64 distinct-fp sets, unioned and
-    // re-bottom-k'd (exact by the q276 mergeability property)
-    val sideTop = f.select("source", "is_new", "fp").distinct()
+      .withColumn("is_delta", lit(isDelta))
+    val sample = f.select("source", "fp").distinct()
       .withColumn("rk", row_number().over(
-        Window.partitionBy("source", "is_new").orderBy("fp")))
+        Window.partitionBy("source").orderBy("fp")))
       .filter(col("rk") <= Stats.KmvK)
-      .select("source", "fp").distinct()
-    val kmv = sideTop
+      .select("source", "fp")
+    val cells = f.groupBy("source", "bucket").agg(count(lit(1)).as("cnt"))
+    (scal, sample, cells)
+  }
+
+  /** MERGE-ON-READ: the card from unions of digest frames (any number of
+    * sides / shards / batches) — sums/min/max nest, KMV samples union then
+    * re-bottom-k (exact by the q276 mergeability), bucket cells sum
+    * cell-wise (the q232 linearity). No caller ever rescans documents. */
+  private[graft] def cardFromDigests(scal: DataFrame, sample: DataFrame,
+      cells: DataFrame): DataFrame = {
+    val scalM = scal.groupBy("source").agg(
+      sum("n").as("n_docs"),
+      sum(when(col("is_delta"), col("n")).otherwise(0L)).as("n_delta"),
+      sum("ts").as("tok_sum"),
+      min("tmin").as("tok_min"), max("tmax").as("tok_max"))
+    val kmv = sample.select("source", "fp").distinct()
       .withColumn("rk", row_number().over(
         Window.partitionBy("source").orderBy("fp")))
       .filter(col("rk") <= Stats.KmvK)
@@ -993,12 +1014,9 @@ object Advanced {
           expr("cast((cast(kmv_k as decimal(38,0)) - 1) * " +
             "cast(1152921504606846976 as decimal(38,0)) div " +
             "cast(greatest(kth_min_fp, 1) as decimal(38,0)) as bigint)")))
-    // log-bucket digests: per-side cells, merged by cell-wise sum (the
-    // q232 linearity), then the q273 bracket read
-    val cells = f.groupBy("source", "is_new", "bucket")
-      .agg(count(lit(1)).as("cnt"))
-      .groupBy("source", "bucket").agg(sum("cnt").as("cnt"))
-    val cum = cells
+    val cellsM = cells.groupBy("source", "bucket")
+      .agg(sum("cnt").as("cnt"))
+    val cum = cellsM
       .withColumn("cum", sum("cnt").over(
         Window.partitionBy("source").orderBy("bucket")))
       .withColumn("n", sum("cnt").over(Window.partitionBy("source")))
@@ -1009,9 +1027,59 @@ object Advanced {
     val brackets = cum.groupBy("source")
       .agg(qb(500).as("b50"), qb(900).as("b90"))
       .select(col("source"), hi("b50").as("p50_hi"), hi("b90").as("p90_hi"))
-    scal.join(kmv, Seq("source")).join(brackets, Seq("source"))
+    scalM.join(kmv, Seq("source")).join(brackets, Seq("source"))
       .select("source", "n_docs", "n_delta", "tok_sum", "tok_min",
         "tok_max", "kmv_k", "kth_min_fp", "kmv_estimate", "p50_hi", "p90_hi")
+  }
+
+  def q277(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{TextFunctions => T}
+    val docs = Tables.parallelized(Tables.load(spark, dir, "documents"))
+      .withColumn("is_new", T.hashBucket(col("doc_id"), 10) === 0)
+    val (bs, bk, bc) =
+      cardDigest(cardDocFrame(docs.filter(!col("is_new"))), isDelta = false)
+    val (ds, dk, dc) =
+      cardDigest(cardDocFrame(docs.filter(col("is_new"))), isDelta = true)
+    cardFromDigests(bs.unionByName(ds), bk.unionByName(dk),
+      bc.unionByName(dc)).orderBy("source")
+  }
+
+  /** Persist one digest to `dir/{scal,sample,cells}` (OVERWRITE — a
+    * re-written batch digest replaces itself, the q255/q268/q274 idempotent
+    * commit shape). */
+  private[graft] def cardDigestWrite(dir: String,
+      d: (DataFrame, DataFrame, DataFrame)): Unit = {
+    d._1.write.mode("overwrite").parquet(s"$dir/scal")
+    d._2.write.mode("overwrite").parquet(s"$dir/sample")
+    d._3.write.mode("overwrite").parquet(s"$dir/cells")
+  }
+
+  /** STREAMING card maintenance — the operational leg of q277: each
+    * micro-batch of documents (doc_id, source, text) is digested (bounded:
+    * ≤|sources| scalar rows, ≤|sources|·k sample rows, ≤|sources|·64
+    * cells) and persisted under a batch-stamped directory with OVERWRITE,
+    * so the at-least-once replay is exactly-once by idempotence. Nothing
+    * is folded at write time — the card is assembled by
+    * [[cardReadMerged]], the merge-on-read shape mergeable sketches deploy
+    * as (an LSM of digests): readers pay ≤|batches|·digest rows, never a
+    * corpus rescan, and a batch commit never rewrites earlier digests. */
+  def cardStream(spark: SparkSession, docStream: DataFrame, outDir: String,
+      checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docStream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        cardDigestWrite(s"$outDir/batch-$id",
+          cardDigest(cardDocFrame(batch.toDF()), isDelta = true))
+      }
+      .start()
+
+  /** Assemble the card from persisted digests (glob paths welcome — e.g.
+    * `Seq(baseDir, s"$streamOut/batch-*")`). */
+  def cardReadMerged(spark: SparkSession, dirs: Seq[String]): DataFrame = {
+    def part(sub: String) = dirs.map(d => spark.read.parquet(s"$d/$sub"))
+      .reduce(_ unionByName _)
+    cardFromDigests(part("scal"), part("sample"), part("cells"))
       .orderBy("source")
   }
 

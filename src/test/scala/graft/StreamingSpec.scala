@@ -649,6 +649,50 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming card maintenance: merged digests == batch q277 card; replay idempotent") {
+    // the operational leg of q277: base digest persisted once, each
+    // micro-batch digested to a batch-stamped dir, card assembled
+    // merge-on-read — the hash-gated q277 algebra, run over a real stream
+    import org.apache.spark.sql.types._
+    import graft.queries.Advanced
+    val want = Advanced.q277(spark, sf).collect().map(_.toSeq).toSeq
+    val docs = Tables.parallelized(Tables.load(spark, sf, "documents"))
+      .withColumn("is_new",
+        graft.functions.TextFunctions.hashBucket(col("doc_id"), 10) === 0)
+    val baseDir = java.nio.file.Files.createTempDirectory("card_base").toString
+    Advanced.cardDigestWrite(baseDir, Advanced.cardDigest(
+      Advanced.cardDocFrame(docs.filter(!col("is_new"))), isDelta = false))
+    // stage the arrival bucket as 3 files -> 3 micro-batches
+    val arrivals = docs.filter(col("is_new"))
+      .select("doc_id", "source", "text")
+    val landing = java.nio.file.Files.createTempDirectory("card_landing").toString
+    // one single-file dir per doc_id%3 group, path-ordered so micro-batch i
+    // processes group i (the index-ingest staging shape) — the replay below
+    // re-digests group 0 into batch-0's directory
+    (0 until 3).foreach { g =>
+      arrivals.filter(col("doc_id") % 3 === g).coalesce(1)
+        .write.mode("overwrite").parquet(s"$landing/g$g")
+    }
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("source", StringType), StructField("text", StringType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$landing/g*")
+    val out = java.nio.file.Files.createTempDirectory("card_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("card_ckpt").toString
+    val q = Advanced.cardStream(spark, stream, out, ckpt)
+    try q.processAllAvailable() finally q.stop()
+    def merged(): Seq[Seq[Any]] = Advanced.cardReadMerged(spark,
+      Seq(baseDir, s"$out/batch-*")).collect().map(_.toSeq).toSeq
+    val got = merged()
+    assert(got == want, "merge-on-read card diverges from the batch q277 card")
+    // at-least-once replay: re-digesting a committed batch overwrites its
+    // own directory — the card is unchanged
+    val b0docs = arrivals.filter(col("doc_id") % 3 === 0)
+    Advanced.cardDigestWrite(s"$out/batch-0", Advanced.cardDigest(
+      Advanced.cardDocFrame(b0docs), isDelta = true))
+    assert(merged() == want, "replayed batch digest must be a no-op")
+  }
+
   test("streaming index ingest == batch build: per-micro-batch frozen-model appends") {
     import graft.ann.{PortableAnn, PortableIvfPqIndex}
     import spark.implicits._
