@@ -963,9 +963,14 @@ object Advanced {
   /** The (source, fp, n_tok) projection every card digest starts from. */
   private[graft] def cardDocFrame(docs: DataFrame): DataFrame = {
     import graft.functions.{TextFunctions => T}
+    // NULL text reads as empty text BEFORE hashing/tokenizing: a NULL fp
+    // or n_tok would land on opposite ends of the two engines' rank and
+    // cumsum windows (Spark NULLS FIRST asc, DuckDB NULLS LAST) and break
+    // the hash gate on the first NULL-text fixture row
+    val t = coalesce(col("text"), lit(""))
     docs.select(col("source"),
-      T.portableHash60(col("text")).as("fp"),
-      size(T.tokens(col("text"))).cast(LongType).as("n_tok"))
+      T.portableHash60(t).as("fp"),
+      size(T.tokens(t)).cast(LongType).as("n_tok"))
   }
 
   /** One side's card digest over a (source, fp, n_tok) frame: three BOUNDED
@@ -1088,8 +1093,8 @@ object Advanced {
   val q277Sql: String =
     s"""WITH f AS (
       |  SELECT source, doc_id,
-      |    CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) AS fp,
-      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+      |    CAST('0x' || substr(md5(COALESCE(text, '')), 1, 15) AS BIGINT) AS fp,
+      |    CAST(len(string_split(COALESCE(text, ''), ' ')) AS BIGINT) AS n_tok,
       |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
       |      % 10 = 0 AS is_new
       |  FROM documents

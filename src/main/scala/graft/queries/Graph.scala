@@ -1024,7 +1024,9 @@ object Graph {
        |), a0 AS MATERIALIZED (
        |  SELECT DISTINCT node FROM und
        |), kv AS MATERIALIZED (
-       |  SELECT (SELECT COUNT(*) FROM und) // (SELECT COUNT(*) FROM a0) AS k
+       |  SELECT CASE WHEN (SELECT COUNT(*) FROM a0) = 0 THEN 1
+       |    ELSE (SELECT COUNT(*) FROM und) // (SELECT COUNT(*) FROM a0)
+       |  END AS k
        |), $rounds
        |SELECT * FROM (
        |  $union

@@ -1654,16 +1654,21 @@ object Stats {
   }
 
   def q276(spark: SparkSession, dir: String): DataFrame =
+    // NULL text reads as empty text: md5(NULL) is NULL in BOTH engines but
+    // they rank NULLs on opposite ends (Spark NULLS FIRST asc, DuckDB
+    // NULLS LAST), so a NULL fp would break the hash gate — coalesce
+    // before hashing keeps the rank windows engine-portable
     kmvSketch(Tables.parallelized(Tables.load(spark, dir, "documents"))
       .select(col("source"),
-        graft.functions.TextFunctions.portableHash60(col("text")).as("fp"),
+        graft.functions.TextFunctions.portableHash60(
+          coalesce(col("text"), lit(""))).as("fp"),
         col("doc_id")))
       .orderBy("source")
 
   val q276Sql: String =
     s"""WITH f AS (
       |  SELECT source,
-      |    CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) AS fp,
+      |    CAST('0x' || substr(md5(COALESCE(text, '')), 1, 15) AS BIGINT) AS fp,
       |    doc_id
       |  FROM documents
       |), d AS (

@@ -571,7 +571,9 @@ class StatsSpec extends AnyFunSuite {
     }.reduce(_ unionAll _)
     // sample-only columns of the merged sketch must equal the corpus sketch
     def sampleCols(rows: Seq[Seq[Any]]) =
-      rows.map(r => (r(0), r(3), r(4), r(6))) // source, kmv_k, kth_min_fp, fp_xor
+      // source, kmv_k, kth_min_fp, fp_xor, sample_id_sum — the id checksum
+      // merges exactly too (min over shard mins = corpus min per fp)
+      rows.map(r => (r(0), r(3), r(4), r(6), r(7)))
     val merged = sketch(shardTop)
     assert(sampleCols(merged) == sampleCols(whole),
       "shard-merged bottom-k sample diverges from the corpus bottom-k")

@@ -673,6 +673,13 @@ class StreamingSpec extends AnyFunSuite {
       arrivals.filter(col("doc_id") % 3 === g).coalesce(1)
         .write.mode("overwrite").parquet(s"$landing/g$g")
     }
+    // FileStreamSource orders by modification time — pin strictly
+    // increasing mtimes so micro-batch i deterministically processes
+    // group i (the replay below re-digests group 0 into batch-0)
+    (0 until 3).foreach { g =>
+      val dir = new java.io.File(s"$landing/g$g")
+      dir.listFiles().foreach(f => f.setLastModified(1000000L * (g + 1)))
+    }
     val schema = StructType(Seq(StructField("doc_id", LongType),
       StructField("source", StringType), StructField("text", StringType)))
     val stream = spark.readStream.schema(schema)
