@@ -814,7 +814,130 @@ object Corpus {
       |SELECT source, status, CAST(COUNT(*) AS BIGINT) AS n_docs
       |FROM d GROUP BY source, status ORDER BY source, status""".stripMargin
 
+  // ---- q278 winnowing fingerprints ----------------------------------------
+
+  /** Winnowing parameters (Schleimer, Wilkerson & Aiken, SIGMOD 2003,
+    * "Winnowing: Local Algorithms for Document Fingerprinting"): k-token
+    * grams, windows of w consecutive gram hashes. The winnowing GUARANTEE:
+    * any passage of at least t = w + k − 1 = 7 tokens shared verbatim by two
+    * documents yields at least one shared SELECTED fingerprint — while only
+    * ~2/(w+1) of gram hashes are kept (the paper's density bound). This is
+    * the detection floor q35's per-doc rolling hash cannot promise and q244's
+    * span miner pays full gram df for. */
+  private val WinnowK = 4
+  private val WinnowW = 4
+  private val WinnowDfCap = 64L
+
+  /** The winnowing SELECTION over a (doc_id, text) frame: per document,
+    * gram-hash positions chosen by the robust right-most-minimum rule —
+    * position p is selected iff SOME w-window containing p has its minimum
+    * at p with every position right of p in that window STRICTLY larger
+    * (ties break right-most, so repeated text re-selects the same
+    * fingerprints — the paper's robust variant). Equivalently (the form
+    * both engines evaluate): for some i in [0, w−1], the w−1−i hashes
+    * immediately left are all ≥ h(p) and the i hashes immediately right are
+    * all > h(p); missing neighbors at document edges count as +∞, which
+    * extends selection to partial windows (short documents still
+    * fingerprint). One doc-keyed window over the gram frame — no
+    * unpartitioned state, selection density ~2/(w+1) bounds what flows
+    * downstream. */
+  def winnowSelected(docs: DataFrame): DataFrame = {
+    val grams = docs
+      .select(col("doc_id"),
+        posexplode(T.portableShingleHashes(col("text"), WinnowK))
+          .as(Seq("p0", "h")))
+      .select(col("doc_id"), (col("p0") + 1).cast(LongType).as("pos"),
+        col("h"))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    def lg(i: Int) = coalesce(lag("h", i).over(w), lit(Long.MaxValue))
+    def ld(i: Int) = coalesce(lead("h", i).over(w), lit(Long.MaxValue))
+    val h = col("h")
+    val selected =
+      (lg(1) >= h && lg(2) >= h && lg(3) >= h) ||
+        (lg(1) >= h && lg(2) >= h && ld(1) > h) ||
+        (lg(1) >= h && ld(1) > h && ld(2) > h) ||
+        (ld(1) > h && ld(2) > h && ld(3) > h)
+    grams.withColumn("sel", selected).filter(col("sel"))
+      .select(col("doc_id"), col("pos"), col("h").as("fp"))
+  }
+
+  /** q278 winnowed-fingerprint match census: the top-20 document pairs by
+    * shared SELECTED fingerprints. Selection is [[winnowSelected]]; pair
+    * discovery joins only fingerprints selected in ≥ 2 documents with total
+    * selected occurrences ≤ 64 (the q244/q252 df-cap discipline — candidates
+    * stay ∝ anchor collisions, never corpus²; pairs sharing only
+    * corpus-stock phrases are the declared miss, priced for containment by
+    * q269). At 100 TB the winnowed frame is already ~2/(w+1) of the gram
+    * frame BEFORE any join — winnowing is the cheap first pass that
+    * guarantees detection of any ≥ 7-token verbatim overlap, where MinHash
+    * (q27) only detects high whole-doc similarity. */
+  def q278(spark: SparkSession, dir: String): DataFrame =
+    q278From(Tables.parallelized(Tables.load(spark, dir, "documents")))
+
+  /** [[q278]] over an arbitrary (doc_id, text) frame — spec entry point. */
+  def q278From(docs: DataFrame): DataFrame = {
+    val selpos = winnowSelected(docs)
+    val anchors = selpos.groupBy("fp")
+      .agg(countDistinct("doc_id").as("nd"), count(lit(1)).as("df"))
+      .filter(col("nd") >= 2 && col("df") <= WinnowDfCap)
+      .select("fp")
+    val hits = selpos.join(anchors, Seq("fp"), "left_semi")
+      .select("doc_id", "fp").distinct()
+    hits.as("a")
+      .join(hits.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy(desc("n_shared"), col("doc_a"), col("doc_b"))
+      .limit(20)
+  }
+
+  val q278Sql: String = {
+    val gram4 = (0 until WinnowK).map(i =>
+      if (i == 0) "w[pos]" else s"w[pos+$i]").mkString(" || ' ' || ")
+    s"""WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      |), s AS (
+      |  SELECT doc_id, w, unnest(range(1, len(w) - ${WinnowK - 2})) AS pos
+      |  FROM t
+      |), g AS (
+      |  SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+      |    CAST('0x' || substr(md5($gram4), 1, 15) AS BIGINT) AS h
+      |  FROM s
+      |), x AS (
+      |  SELECT doc_id, pos, h,
+      |    COALESCE(lag(h, 1) OVER win, 9223372036854775807) AS l1,
+      |    COALESCE(lag(h, 2) OVER win, 9223372036854775807) AS l2,
+      |    COALESCE(lag(h, 3) OVER win, 9223372036854775807) AS l3,
+      |    COALESCE(lead(h, 1) OVER win, 9223372036854775807) AS r1,
+      |    COALESCE(lead(h, 2) OVER win, 9223372036854775807) AS r2,
+      |    COALESCE(lead(h, 3) OVER win, 9223372036854775807) AS r3
+      |  FROM g
+      |  WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+      |), selpos AS (
+      |  SELECT doc_id, pos, h AS fp FROM x
+      |  WHERE (l1 >= h AND l2 >= h AND l3 >= h)
+      |     OR (l1 >= h AND l2 >= h AND r1 > h)
+      |     OR (l1 >= h AND r1 > h AND r2 > h)
+      |     OR (r1 > h AND r2 > h AND r3 > h)
+      |), anchors AS (
+      |  SELECT fp FROM selpos GROUP BY fp
+      |  HAVING COUNT(DISTINCT doc_id) >= 2 AND COUNT(*) <= $WinnowDfCap
+      |), h2 AS (
+      |  SELECT DISTINCT doc_id, fp FROM selpos
+      |  WHERE fp IN (SELECT fp FROM anchors)
+      |)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  CAST(COUNT(*) AS BIGINT) AS n_shared
+      |FROM h2 a JOIN h2 b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      |GROUP BY 1, 2
+      |ORDER BY n_shared DESC, doc_a, doc_b
+      |LIMIT 20""".stripMargin
+  }
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    ("q278_winnow_fingerprint", q278 _, Some(q278Sql)),
     ("q253_snapshot_diff", q253 _, Some(q253Sql)),
     ("q210_shuffle_quality", q210 _, Some(q210Sql)),
     ("q227_length_gini", q227 _, Some(q227Sql)),

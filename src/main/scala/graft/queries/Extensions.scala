@@ -2769,7 +2769,81 @@ object Extensions {
       |    THEN 1 ELSE 0 END)) * 1000000 // COUNT(*) AS BIGINT) AS pass_ppm
       |FROM f GROUP BY source ORDER BY source""".stripMargin
 
+  // ---- q279 randomized-response local-DP aggregate ------------------------
+
+  /** q279 randomized-response local-DP estimate (Warner, JASA 1965 — the
+    * original local-differential-privacy mechanism): each document reports
+    * whether it contains a digit THROUGH a noisy channel — with probability
+    * p = 3/4 the true bit, otherwise a fair coin — so no individual report
+    * reveals its true bit beyond ε = ln(P(1|yes)/P(1|no)) = ln(7/8 ÷ 1/8)
+    * = ln 7 ≈ 1.95, yet the population rate debiases exactly:
+    * E[reported] = p·π + (1−p)/2 ⟹ π = (8·reported − 1)/6 at p = 3/4.
+    * Every random bit is a PORTABLE md5 coin keyed by salt:doc_id (the
+    * PortableAnn discipline — the mechanism is deterministic replay-for-
+    * replay, which is what puts a *randomized* mechanism under the hash
+    * gate; a production deployment swaps the salt per release). Per source:
+    * exact truth beside the debiased estimate (the q91/q211 exact-gate
+    * discipline) and the residual error in ppm. The debias clamps to
+    * [0, 10⁶] BEFORE the truncating division — Spark `div` truncates toward
+    * zero while DuckDB `//` floors, so negative intermediates are never
+    * divided. Scale shape: one scan + one |sources| rollup; the coins are
+    * per-row expressions, nothing shuffles but the rollup. */
+  def q279(spark: SparkSession, dir: String): DataFrame = {
+    val coin1 =
+      T.portableHash60(concat(lit("rr1:"), col("doc_id").cast(StringType)))
+    val coin2 =
+      T.portableHash60(concat(lit("rr2:"), col("doc_id").cast(StringType)))
+    Tables.parallelized(Tables.load(spark, dir, "documents"))
+      .select(col("source"),
+        coalesce(col("text"), lit("")).rlike("[0-9]").as("truth"),
+        (coin1 % 4 < 3).as("tell"),
+        (coin2 % 2 === 1).as("noise"))
+      .withColumn("reported", when(col("tell"), col("truth"))
+        .otherwise(col("noise")))
+      .groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("truth"), 1L).otherwise(0L)).as("true_yes"),
+        sum(when(col("reported"), 1L).otherwise(0L)).as("reported_yes"))
+      .withColumn("true_ppm", expr("true_yes * 1000000 div n_docs"))
+      .withColumn("est_ppm",
+        expr("least(1000000, greatest(0, " +
+          "8 * (reported_yes * 1000000 div n_docs) - 1000000) div 6)"))
+      .withColumn("err_ppm", abs(col("est_ppm") - col("true_ppm")))
+      .orderBy("source")
+  }
+
+  val q279Sql: String =
+    """WITH f AS (
+      |  SELECT source,
+      |    regexp_matches(COALESCE(text, ''), '[0-9]') AS truth,
+      |    CAST('0x' || substr(md5('rr1:' || CAST(doc_id AS VARCHAR)), 1, 15)
+      |      AS BIGINT) % 4 < 3 AS tell,
+      |    CAST('0x' || substr(md5('rr2:' || CAST(doc_id AS VARCHAR)), 1, 15)
+      |      AS BIGINT) % 2 = 1 AS noise
+      |  FROM documents
+      |), r AS (
+      |  SELECT source, truth,
+      |    CASE WHEN tell THEN truth ELSE noise END AS reported
+      |  FROM f
+      |), g AS (
+      |  SELECT source, COUNT(*) AS n_docs,
+      |    CAST(SUM(CASE WHEN truth THEN 1 ELSE 0 END) AS BIGINT) AS true_yes,
+      |    CAST(SUM(CASE WHEN reported THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS reported_yes
+      |  FROM r GROUP BY source
+      |)
+      |SELECT source, n_docs, true_yes, reported_yes,
+      |  CAST(true_yes * 1000000 // n_docs AS BIGINT) AS true_ppm,
+      |  CAST(LEAST(1000000, GREATEST(0,
+      |    8 * (reported_yes * 1000000 // n_docs) - 1000000) // 6) AS BIGINT)
+      |    AS est_ppm,
+      |  CAST(ABS(LEAST(1000000, GREATEST(0,
+      |    8 * (reported_yes * 1000000 // n_docs) - 1000000) // 6)
+      |    - true_yes * 1000000 // n_docs) AS BIGINT) AS err_ppm
+      |FROM g ORDER BY source""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    ("q279_randomized_response", q279 _, Some(q279Sql)),
     ("q26_dedup_exact", q26 _, Some(q26Sql)),
     ("q205_quality_rules", q205 _, Some(q205Sql)),
     ("q212_t_closeness", q212 _, Some(q212Sql)),

@@ -1048,7 +1048,106 @@ object Semantic {
       }
       .start()
 
+  // ---- q280 k-center diverse coreset --------------------------------------
+
+  /** Coreset size for [[q280]] — driver-bounded: the loop runs K−1 rounds
+    * and holds K quantized vectors on the driver, nothing else. */
+  private val KCenterK = 8
+
+  /** q280 k-center diverse coreset (Gonzalez, TCS 1985 farthest-point
+    * traversal — the 2-approximation for the k-center objective): greedily
+    * pick the vector FARTHEST (integer squared L2, the q261 metric) from
+    * everything chosen so far, seeding from the smallest surviving vec_id.
+    * The DIVERSITY complement to q261's medoids: medoids summarize each
+    * cluster's center of mass, k-center covers the corpus's extremes —
+    * the coreset a data-selection pipeline uses to SPAN the distribution
+    * (and the classic seeding for k-means++-style inits). Emits
+    * (round, chosen_id, sel_d2): round r's sel_d2 is by construction the
+    * exact COVERING RADIUS² of the first r−1 centers, so the output doubles
+    * as the k-vs-radius curve.
+    *
+    * Scale shape: K−1 full scans, each a pure MAP (min-distance to ≤ K
+    * driver-literal centers — no shuffle, no crossJoin fan) feeding a
+    * top-1 TakeOrdered (per-partition top-1, a 1-row reduce at the driver —
+    * never a global sort); the driver holds K rows. Θ(K·n) dot
+    * products total, embarrassingly parallel at any corpus size — the same
+    * reason GraphX-style libraries run farthest-point sampling as K
+    * map-reduce rounds. Ties (equal d2) break to the smaller vec_id; the
+    * oracle unrolls the identical K−1 rounds as generated CTEs. */
+  def q280(spark: SparkSession, dir: String): DataFrame = {
+    val m = graft.operators.Checkpoints.scratch(
+      PortableAnn.quantized(Tables.load(spark, dir, "embeddings")))
+    val seed = m.orderBy("vec_id").limit(1).collect()
+    require(seed.nonEmpty,
+      "q280 k-center: no non-zero-norm vectors in the embeddings table")
+    def rowOf(r: org.apache.spark.sql.Row): (Long, Seq[Long], Long) =
+      (r.getAs[Long]("vec_id"),
+        r.getAs[scala.collection.Seq[Long]]("qv").toSeq,
+        r.getAs[Long]("nrm"))
+    var chosen = Vector((rowOf(seed(0)), 0L))
+    while (chosen.length < KCenterK) {
+      val dists = chosen.map { case ((_, cq, cn), _) =>
+        col("nrm") + lit(cn) -
+          lit(2L) * call_function("dot_i64", col("qv"), typedLit(cq))
+      }
+      val d2 = if (dists.length == 1) dists.head else least(dists: _*)
+      val picked = m
+        .filter(!col("vec_id").isInCollection(chosen.map(_._1._1)))
+        .select(col("vec_id"), col("qv"), col("nrm"), d2.as("d2"))
+        .orderBy(desc("d2"), col("vec_id"))
+        .limit(1).collect()
+      if (picked.isEmpty) return chosenDf(spark, chosen) // corpus < K vectors
+      chosen = chosen :+ ((rowOf(picked(0)), picked(0).getAs[Long]("d2")))
+    }
+    chosenDf(spark, chosen)
+  }
+
+  private def chosenDf(
+      spark: SparkSession,
+      chosen: Vector[((Long, Seq[Long], Long), Long)]): DataFrame = {
+    import spark.implicits._
+    chosen.zipWithIndex
+      .map { case (((id, _, _), d2), i) => (i + 1L, id, d2) }
+      .toDF("round", "chosen_id", "sel_d2")
+  }
+
+  val q280Sql: String = {
+    val dot = "CAST(list_sum(list_transform(range(1, 65), " +
+      "i -> x.qv[i] * c.qv[i])) AS BIGINT)"
+    // every round CTE is MATERIALIZED (the q254/q267 oracle lesson): ch_r
+    // is referenced three times by round r+1, so inlining would re-expand
+    // the whole chain per reference — exponential replay cost
+    val rounds = (2 to KCenterK).map { r =>
+      s"""d$r AS MATERIALIZED (
+        |  SELECT x.vec_id, MIN(x.nrm + c.nrm - 2 * $dot) AS d2
+        |  FROM nm x CROSS JOIN ch${r - 1} c
+        |  WHERE x.vec_id NOT IN (SELECT vec_id FROM ch${r - 1})
+        |  GROUP BY x.vec_id
+        |), s$r AS MATERIALIZED (
+        |  SELECT vec_id, d2 FROM d$r ORDER BY d2 DESC, vec_id LIMIT 1
+        |), ch$r AS MATERIALIZED (
+        |  SELECT * FROM ch${r - 1}
+        |  UNION ALL
+        |  SELECT nm.vec_id, nm.qv, nm.nrm FROM nm JOIN s$r USING (vec_id)
+        |)""".stripMargin
+    }.mkString(", ")
+    val tail = (2 to KCenterK).map(r =>
+      s"SELECT $r AS round, vec_id, d2 AS sel_d2 FROM s$r").mkString(
+      "\n  UNION ALL ")
+    s"""WITH ${Extensions.portableQuantCte}, nm AS MATERIALIZED (
+      |  SELECT vec_id, qv, nrm FROM n
+      |), ch1 AS MATERIALIZED (
+      |  SELECT vec_id, qv, nrm FROM nm ORDER BY vec_id LIMIT 1
+      |), $rounds
+      |SELECT CAST(round AS BIGINT) AS round, CAST(vec_id AS BIGINT)
+      |    AS chosen_id, CAST(sel_d2 AS BIGINT) AS sel_d2 FROM (
+      |  SELECT 1 AS round, vec_id, 0 AS sel_d2 FROM ch1
+      |  UNION ALL $tail
+      |) ORDER BY round""".stripMargin
+  }
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    ("q280_kcenter_coreset", q280 _, Some(q280Sql)),
     ("q257_semdedup", q257 _, Some(q257Sql)),
     ("q258_prototype_prune", q258 _, Some(q258Sql)),
     ("q259_embedding_drift", q259 _, Some(q259Sql)),

@@ -1700,7 +1700,361 @@ object Stats {
       |FROM stats s JOIN sk k ON k.source = s.source
       |ORDER BY s.source""".stripMargin
 
+  // ---- q282 peak-concurrency sweep -----------------------------------------
+
+  /** q282 peak-concurrency census — the capacity number an ops pipeline
+    * reads off a session table: per day, how many sessions were EVER alive
+    * at once, and when. Sessions are the q38 30-minute-gap islands (closed
+    * [first, last] ms intervals); each is clipped to the days it touches, a
+    * +1/−1 sweep runs per day, and the peak is the max prefix with its
+    * first-achieving millisecond. Starts order before ends at the same
+    * millisecond, so touching sessions COUNT as concurrent (declared).
+    *
+    * Scale shape — the sweep is HIERARCHICAL, never one day-sized window:
+    * the prefix sum runs inside (day, hour) partitions (at most an hour of
+    * deltas in any window), per-hour totals roll up through a ≤ 24-row
+    * per-day window into hour offsets, and the day's peak is the max over
+    * hours of offset + within-hour max prefix (exactly the global prefix
+    * max, because hours partition the day's timeline). A day with a billion
+    * sessions at 100 TB never materializes a day-wide sorted partition —
+    * the q199/q245 keyed-window discipline applied one level deeper. */
+  def q282(spark: SparkSession, dir: String): DataFrame =
+    q282From(Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        expr("unix_millis(ts)").as("tms")))
+
+  /** [[q282]] over an arbitrary (user_id, event_id, tms-millis) frame —
+    * spec entry point (planted-interval fixtures). */
+  def q282From(e: DataFrame): DataFrame = {
+    val uw = Window.partitionBy("user_id").orderBy("tms", "event_id")
+    val sess = e
+      .withColumn("prev", lag("tms", 1).over(uw))
+      .withColumn("new_s",
+        when(col("prev").isNull || col("tms") - col("prev") > 1800000L, 1L)
+          .otherwise(0L))
+      .withColumn("sid", sum("new_s").over(uw))
+      .groupBy("user_id", "sid")
+      .agg(min("tms").as("sms"), max("tms").as("ems"))
+    val perDay = sess
+      .withColumn("d",
+        explode(expr("sequence(sms div 86400000, ems div 86400000)")))
+      .withColumn("pms_s", greatest(col("sms"), col("d") * 86400000L))
+      .withColumn("pms_e",
+        least(col("ems"), col("d") * 86400000L + 86399999L))
+    val deltas = perDay.select(col("d"), col("user_id"), col("sid"),
+        col("pms_s").as("pms"), lit(1L).as("delta"))
+      .union(perDay.select(col("d"), col("user_id"), col("sid"),
+        col("pms_e").as("pms"), lit(-1L).as("delta")))
+      .withColumn("h", expr("pms div 3600000"))
+    val hw = Window.partitionBy("d", "h")
+      .orderBy(col("pms"), col("delta").desc, col("user_id"), col("sid"))
+    val hourly = deltas.withColumn("run_h", sum("delta").over(hw))
+      .groupBy("d", "h").agg(
+        sum("delta").as("tot"),
+        max(struct(col("run_h"), (-col("pms")).as("npms"))).as("b"))
+      .select(col("d"), col("h"), col("tot"),
+        col("b.run_h").as("max_run"), (-col("b.npms")).as("peak_pms_h"))
+    val ow = Window.partitionBy("d").orderBy("h")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val peaks = hourly
+      .withColumn("offset", coalesce(sum("tot").over(ow), lit(0L)))
+      .withColumn("hpeak", col("offset") + col("max_run"))
+      .groupBy("d").agg(
+        max(struct(col("hpeak"), (-col("peak_pms_h")).as("npms"))).as("b"))
+      .select(col("d").as("day"), col("b.hpeak").as("peak_concurrent"),
+        (-col("b.npms")).as("peak_ms"))
+    perDay.groupBy(col("d").as("day"))
+      .agg(count(lit(1)).as("n_sessions"))
+      .join(peaks, Seq("day"))
+      .orderBy("day")
+  }
+
+  val q282Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_ms(ts) AS tms,
+      |    lag(epoch_ms(ts)) OVER (PARTITION BY user_id
+      |      ORDER BY epoch_ms(ts), event_id) AS prev
+      |  FROM events
+      |), m AS (
+      |  SELECT user_id, event_id, tms,
+      |    CASE WHEN prev IS NULL OR tms - prev > 1800000 THEN 1 ELSE 0 END
+      |      AS new_s
+      |  FROM e
+      |), s AS (
+      |  SELECT user_id, tms,
+      |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY tms, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM m
+      |), sess AS (
+      |  SELECT user_id, sid, MIN(tms) AS sms, MAX(tms) AS ems
+      |  FROM s GROUP BY user_id, sid
+      |), pd AS (
+      |  SELECT user_id, sid, sms, ems,
+      |    unnest(range(sms // 86400000, ems // 86400000 + 1)) AS d
+      |  FROM sess
+      |), pdc AS (
+      |  SELECT user_id, sid, d,
+      |    GREATEST(sms, d * 86400000) AS pms_s,
+      |    LEAST(ems, d * 86400000 + 86399999) AS pms_e
+      |  FROM pd
+      |), deltas AS (
+      |  SELECT d, user_id, sid, pms_s AS pms, 1 AS delta FROM pdc
+      |  UNION ALL
+      |  SELECT d, user_id, sid, pms_e AS pms, -1 AS delta FROM pdc
+      |), dh AS (
+      |  SELECT d, user_id, sid, pms, delta, pms // 3600000 AS h FROM deltas
+      |), runs AS (
+      |  SELECT d, h, pms, delta,
+      |    SUM(delta) OVER (PARTITION BY d, h
+      |      ORDER BY pms, delta DESC, user_id, sid
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_h
+      |  FROM dh
+      |), hx AS (
+      |  SELECT d, h, tot, max_run, peak_pms_h FROM (
+      |    SELECT d, h, pms AS peak_pms_h, run_h,
+      |      SUM(delta) OVER (PARTITION BY d, h) AS tot,
+      |      MAX(run_h) OVER (PARTITION BY d, h) AS max_run,
+      |      ROW_NUMBER() OVER (PARTITION BY d, h
+      |        ORDER BY run_h DESC, pms) AS rk
+      |    FROM runs
+      |  ) WHERE rk = 1
+      |), offs AS (
+      |  SELECT d, h, max_run, peak_pms_h,
+      |    COALESCE(SUM(tot) OVER (PARTITION BY d ORDER BY h
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+      |  FROM hx
+      |), peaks AS (
+      |  SELECT day, peak_concurrent, peak_ms FROM (
+      |    SELECT d AS day, off + max_run AS peak_concurrent,
+      |      peak_pms_h AS peak_ms,
+      |      ROW_NUMBER() OVER (PARTITION BY d
+      |        ORDER BY off + max_run DESC, peak_pms_h) AS rk
+      |    FROM offs
+      |  ) WHERE rk = 1
+      |), ns AS (
+      |  SELECT d AS day, COUNT(*) AS n_sessions FROM pdc GROUP BY d
+      |)
+      |SELECT CAST(ns.day AS BIGINT) AS day,
+      |  CAST(ns.n_sessions AS BIGINT) AS n_sessions,
+      |  CAST(p.peak_concurrent AS BIGINT) AS peak_concurrent,
+      |  CAST(p.peak_ms AS BIGINT) AS peak_ms
+      |FROM ns JOIN peaks p ON p.day = ns.day
+      |ORDER BY day""".stripMargin
+
+  // ---- q283 CUSUM changepoint / q284 autocorrelation -----------------------
+
+  /** The densified (event_type × hour) count series both detectors read:
+    * every hour that appears anywhere in the table appears for every type
+    * (zero-filled), so a type that goes silent REGISTERS as a level shift
+    * instead of silently shortening its series. Hour spine × type census is
+    * time-bounded (hours since epoch), never corpus-bounded. */
+  private def hourlySeries(spark: SparkSession, dir: String): DataFrame =
+    hourlySeriesFrom(Tables.load(spark, dir, "events")
+      .select(expr("unix_millis(ts) div 3600000").as("hour"),
+        col("event_type")))
+
+  /** [[hourlySeries]] over an arbitrary (hour, event_type) frame — spec
+    * entry point (planted level shifts / planted periodicity). */
+  def hourlySeriesFrom(e: DataFrame): DataFrame = {
+    val counts = e.groupBy("event_type", "hour")
+      .agg(count(lit(1)).as("n"))
+    e.select("hour").distinct()
+      .crossJoin(e.select("event_type").distinct())
+      .join(counts, Seq("event_type", "hour"), "left")
+      .na.fill(0L, Seq("n"))
+  }
+
+  private val hourlySeriesCte: String =
+    """h AS (
+      |  SELECT epoch_ms(ts) // 3600000 AS hour, event_type FROM events
+      |), cnt AS (
+      |  SELECT event_type, hour, COUNT(*) AS n FROM h GROUP BY 1, 2
+      |), spine AS (
+      |  SELECT t.event_type, d.hour
+      |  FROM (SELECT DISTINCT hour FROM h) d
+      |  CROSS JOIN (SELECT DISTINCT event_type FROM h) t
+      |), ser AS (
+      |  SELECT s.event_type, s.hour, COALESCE(c.n, 0) AS n
+      |  FROM spine s LEFT JOIN cnt c
+      |    ON c.event_type = s.event_type AND c.hour = s.hour
+      |)""".stripMargin
+
+  /** q283 CUSUM level-shift detector (Page, Biometrika 1954) over each
+    * event type's hourly count series — the sequential changepoint test a
+    * pipeline-health monitor runs where q199's MAD gate only flags isolated
+    * hours: S⁺_t = max(0, S⁺_{t−1} + (x_t − (μ+κ))) accumulates persistent
+    * upward drift (κ = μ/2 slack, so noise around the mean bleeds off) and
+    * alarms at h = 4μ; S⁻ mirrors it downward. The max(0,·) recurrence
+    * looks inherently sequential, but it LINEARIZES: with prefix sums
+    * P_t of the micro-unit deviations, S_t = P_t − min(0, min_{j≤t} P_j) —
+    * a running sum and a running min, two keyed window functions, NO
+    * mapPartitions state machine and no driver loop. Per type: first alarm
+    * hour (−1 = clean), alarm count, and the max statistic, both
+    * directions. All in micro-units (counts ×10⁶) with truncating integer
+    * division only on non-negatives. Series length is hours-since-epoch —
+    * time-bounded, so the per-type window partition never scales with
+    * corpus size, only with calendar span. */
+  def q283(spark: SparkSession, dir: String): DataFrame =
+    q283From(hourlySeries(spark, dir))
+
+  /** [[q283]] over a prepared (event_type, hour, n) series — spec entry
+    * point (planted level-shift fixtures). */
+  def q283From(series: DataFrame): DataFrame = {
+    val tw = Window.partitionBy("event_type").orderBy("hour")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val allw = Window.partitionBy("event_type")
+    val ser = series
+      .withColumn("n_hours", count(lit(1)).over(allw))
+      .withColumn("mean_micro",
+        expr("sum(n) over (partition by event_type) * 1000000 div n_hours"))
+      .withColumn("dev_up", expr(
+        "n * 1000000 - (mean_micro + mean_micro div 2)"))
+      .withColumn("dev_dn", expr(
+        "(mean_micro - mean_micro div 2) - n * 1000000"))
+      .withColumn("p_up", sum("dev_up").over(tw))
+      .withColumn("p_dn", sum("dev_dn").over(tw))
+      .withColumn("s_up",
+        col("p_up") - least(lit(0L), min("p_up").over(tw)))
+      .withColumn("s_dn",
+        col("p_dn") - least(lit(0L), min("p_dn").over(tw)))
+      .withColumn("thr", expr("4 * mean_micro"))
+    ser.groupBy("event_type").agg(
+      max("n_hours").as("n_hours"),
+      max("mean_micro").as("mean_micro"),
+      coalesce(min(when(col("s_up") >= col("thr"), col("hour"))), lit(-1L))
+        .as("up_first_alarm_hour"),
+      sum(when(col("s_up") >= col("thr"), 1L).otherwise(0L))
+        .as("up_alarm_hours"),
+      max("s_up").as("up_max_micro"),
+      coalesce(min(when(col("s_dn") >= col("thr"), col("hour"))), lit(-1L))
+        .as("dn_first_alarm_hour"),
+      sum(when(col("s_dn") >= col("thr"), 1L).otherwise(0L))
+        .as("dn_alarm_hours"),
+      max("s_dn").as("dn_max_micro"))
+      .orderBy("event_type")
+  }
+
+  val q283Sql: String =
+    s"""WITH $hourlySeriesCte, st AS (
+      |  SELECT event_type, hour, n,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS n_hours,
+      |    SUM(n) OVER (PARTITION BY event_type) * 1000000
+      |      // COUNT(*) OVER (PARTITION BY event_type) AS mean_micro
+      |  FROM ser
+      |), dv AS (
+      |  SELECT event_type, hour, n, n_hours, mean_micro,
+      |    n * 1000000 - (mean_micro + mean_micro // 2) AS dev_up,
+      |    (mean_micro - mean_micro // 2) - n * 1000000 AS dev_dn
+      |  FROM st
+      |), pf AS (
+      |  SELECT event_type, hour, n_hours, mean_micro,
+      |    SUM(dev_up) OVER w AS p_up, SUM(dev_dn) OVER w AS p_dn
+      |  FROM dv
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY hour
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |), cs AS (
+      |  SELECT event_type, hour, n_hours, mean_micro,
+      |    p_up - LEAST(0, MIN(p_up) OVER w) AS s_up,
+      |    p_dn - LEAST(0, MIN(p_dn) OVER w) AS s_dn,
+      |    4 * mean_micro AS thr
+      |  FROM pf
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY hour
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |)
+      |SELECT event_type,
+      |  CAST(MAX(n_hours) AS BIGINT) AS n_hours,
+      |  CAST(MAX(mean_micro) AS BIGINT) AS mean_micro,
+      |  CAST(COALESCE(MIN(CASE WHEN s_up >= thr THEN hour END), -1)
+      |    AS BIGINT) AS up_first_alarm_hour,
+      |  CAST(SUM(CASE WHEN s_up >= thr THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS up_alarm_hours,
+      |  CAST(MAX(s_up) AS BIGINT) AS up_max_micro,
+      |  CAST(COALESCE(MIN(CASE WHEN s_dn >= thr THEN hour END), -1)
+      |    AS BIGINT) AS dn_first_alarm_hour,
+      |  CAST(SUM(CASE WHEN s_dn >= thr THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS dn_alarm_hours,
+      |  CAST(MAX(s_dn) AS BIGINT) AS dn_max_micro
+      |FROM cs GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** q284 autocorrelation function (lags 1–6) of each type's hourly count
+    * series — the periodicity detector next to q126's trend slope and
+    * q219's burstiness: r_k = Σ(x_t−m)(x_{t+k}−m) / Σ(x_t−m)², centered on
+    * the FLOOR mean m = ⌊Σx/n⌋ so every product is a small exact integer
+    * (the exact-rational centering differs by < 1 count per hour — a
+    * declared portability trade, same class as q270's truncating weights).
+    * The numerator's sign splits around the truncating division (Spark
+    * `div` truncates toward zero, DuckDB `//` floors — negatives must
+    * never reach the divide). Lagged pairs ride lead() over the same
+    * type-keyed window as q283; the denominator is the full-series sum of
+    * squares at every lag (the standard ACF normalization). */
+  def q284(spark: SparkSession, dir: String): DataFrame =
+    q284From(hourlySeries(spark, dir))
+
+  /** [[q284]] over a prepared (event_type, hour, n) series — spec entry
+    * point (planted-period fixtures). */
+  def q284From(series: DataFrame): DataFrame = {
+    val tw = Window.partitionBy("event_type").orderBy("hour")
+    val allw = Window.partitionBy("event_type")
+    // scratch-barrier the centered series: the 6 lag branches below union
+    // over it, and without the barrier each branch would re-scan events
+    val dev = graft.operators.Checkpoints.scratch(series
+      .withColumn("m",
+        expr("sum(n) over (partition by event_type) div " +
+          "count(*) over (partition by event_type)"))
+      .withColumn("dev", col("n") - col("m"))
+      .withColumn("den", sum(expr("dev * dev")).over(allw)))
+    val lags = (1 to 6).map { k =>
+      dev.withColumn("lagk", lit(k.toLong))
+        .withColumn("devk", lead("dev", k).over(tw))
+        .filter(col("devk").isNotNull)
+    }.reduce(_ union _)
+    lags.groupBy("event_type", "lagk").agg(
+      count(lit(1)).as("n_pairs"),
+      sum(expr("dev * devk")).as("num"),
+      max("den").as("den"))
+      .withColumn("acf_ppm", when(col("num") >= 0,
+        expr("num * 1000000 div greatest(den, 1)"))
+        .otherwise(-expr("(-num) * 1000000 div greatest(den, 1)")))
+      .select("event_type", "lagk", "n_pairs", "acf_ppm")
+      .orderBy("event_type", "lagk")
+  }
+
+  val q284Sql: String =
+    s"""WITH $hourlySeriesCte, dv AS (
+      |  SELECT event_type, hour,
+      |    n - (SUM(n) OVER (PARTITION BY event_type)
+      |         // COUNT(*) OVER (PARTITION BY event_type)) AS dev
+      |  FROM ser
+      |), dn AS (
+      |  SELECT event_type, hour, dev,
+      |    SUM(dev * dev) OVER (PARTITION BY event_type) AS den
+      |  FROM dv
+      |), ix AS (
+      |  SELECT event_type, hour, dev, den,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hour) AS idx
+      |  FROM dn
+      |), lagged AS (
+      |  SELECT a.event_type, k.lagk, a.dev, a.den, b.dev AS devk
+      |  FROM ix a
+      |  CROSS JOIN (SELECT unnest(range(1, 7)) AS lagk) k
+      |  JOIN ix b ON b.event_type = a.event_type AND b.idx = a.idx + k.lagk
+      |), g AS (
+      |  SELECT event_type, lagk, COUNT(*) AS n_pairs,
+      |    SUM(dev * devk) AS num, MAX(den) AS den
+      |  FROM lagged
+      |  GROUP BY event_type, lagk
+      |)
+      |SELECT event_type, CAST(lagk AS BIGINT) AS lagk,
+      |  CAST(n_pairs AS BIGINT) AS n_pairs,
+      |  CAST(CASE WHEN num >= 0 THEN num * 1000000 // GREATEST(den, 1)
+      |    ELSE -((-num) * 1000000 // GREATEST(den, 1)) END AS BIGINT)
+      |    AS acf_ppm
+      |FROM g ORDER BY event_type, lagk""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    ("q282_concurrency_sweep", q282 _, Some(q282Sql)),
+    ("q283_cusum_changepoint", q283 _, Some(q283Sql)),
+    ("q284_acf_hourly", q284 _, Some(q284Sql)),
     ("q276_kmv_sketch", q276 _, Some(q276Sql)),
     ("q203_repetition_gate", q203 _, Some(q203Sql)),
     ("q209_heaps_growth", q209 _, Some(q209Sql)),

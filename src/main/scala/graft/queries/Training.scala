@@ -2296,7 +2296,81 @@ object Training {
       |    // GREATEST(padded_slots, 1) AS BIGINT) AS waste_ppm
       |FROM g ORDER BY source""".stripMargin
 
+  /** q281 sqrt-temperature mixture weights (exponential smoothing at
+    * α = 1/2 — the multilingual sampling rule of mBERT and XLM; Conneau &
+    * Lample, NeurIPS 2019 §3.1 run α = 0.5/0.7 so low-resource languages
+    * are up-sampled without letting any giant source dominate): source s
+    * samples ∝ n_s^α instead of ∝ n_s. α = 1/2 is the one exponent with an
+    * EXACT integer form — w_s = ⌊√n_s⌋ via a floating sqrt plus a Newton
+    * correction step (s ← s − [s² > n] + [(s+1)² ≤ n]), so a double rounding
+    * error at a perfect-square boundary can never desync the hash gate.
+    * The ppm budget then splits by the q166 largest-remainder rule over the
+    * smoothed weights (exact 10⁶ total, no float shares), emitting raw vs
+    * smoothed ppm side by side — the up-weighting a mixture pipeline
+    * actually applies. One scan + a |sources| rollup + |sources|-row
+    * windows; nothing corpus-sized past the first aggregate. */
+  def q281(spark: SparkSession, dir: String): DataFrame = {
+    val all = Window.partitionBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.parallelized(Tables.load(spark, dir, "documents"))
+      .select(col("source"),
+        size(T.tokens(col("text"))).cast(LongType).as("nt"))
+      .groupBy("source").agg(sum("nt").as("n_tokens"))
+      .withColumn("s0",
+        expr("CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE))) AS BIGINT)"))
+      .withColumn("w_sqrt", expr(
+        "s0 - CASE WHEN s0 * s0 > n_tokens THEN 1 ELSE 0 END" +
+          " + CASE WHEN (s0 + 1) * (s0 + 1) <= n_tokens THEN 1 ELSE 0 END"))
+      .withColumn("t_tokens", sum("n_tokens").over(all))
+      .withColumn("t_w", sum("w_sqrt").over(all))
+      .withColumn("raw_ppm", expr("n_tokens * 1000000 div t_tokens"))
+      .withColumn("base", expr("w_sqrt * 1000000 div t_w"))
+      .withColumn("rem", expr("w_sqrt * 1000000 % t_w"))
+      .withColumn("n_spare", lit(1000000L) - sum("base").over(all))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(lit(1)).orderBy(col("rem").desc, col("source"))))
+      .withColumn("smoothed_ppm",
+        col("base") + when(col("rk") <= col("n_spare"), 1L).otherwise(0L))
+      .select("source", "n_tokens", "w_sqrt", "raw_ppm", "smoothed_ppm")
+      .orderBy("source")
+  }
+
+  val q281Sql: String =
+    """WITH bys AS (
+      |  SELECT source,
+      |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY source
+      |), sq AS (
+      |  SELECT source, n_tokens,
+      |    CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS s0
+      |  FROM bys
+      |), w AS (
+      |  SELECT source, n_tokens,
+      |    s0 - CASE WHEN s0 * s0 > n_tokens THEN 1 ELSE 0 END
+      |       + CASE WHEN (s0 + 1) * (s0 + 1) <= n_tokens THEN 1 ELSE 0 END
+      |      AS w_sqrt
+      |  FROM sq
+      |), tot AS (
+      |  SELECT SUM(n_tokens) AS t_tokens, SUM(w_sqrt) AS t_w FROM w
+      |), q AS (
+      |  SELECT source, n_tokens, w_sqrt,
+      |    n_tokens * 1000000 // tot.t_tokens AS raw_ppm,
+      |    w_sqrt * 1000000 // tot.t_w AS base,
+      |    w_sqrt * 1000000 % tot.t_w AS rem
+      |  FROM w CROSS JOIN tot
+      |), sp AS (SELECT 1000000 - SUM(base) AS n_spare FROM q
+      |), rk AS (
+      |  SELECT source, n_tokens, w_sqrt, raw_ppm, base,
+      |    ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rk
+      |  FROM q
+      |)
+      |SELECT source, n_tokens, w_sqrt, CAST(raw_ppm AS BIGINT) AS raw_ppm,
+      |  CAST(base + CASE WHEN rk <= sp.n_spare THEN 1 ELSE 0 END AS BIGINT)
+      |    AS smoothed_ppm
+      |FROM rk CROSS JOIN sp ORDER BY source""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    ("q281_temperature_mix", q281 _, Some(q281Sql)),
     ("q270_softdedup_weights", q270 _, Some(q270Sql)),
     ("q271_packing_audit", q271 _, Some(q271Sql)),
     ("q179_dsir_weights", q179 _, Some(q179Sql)),

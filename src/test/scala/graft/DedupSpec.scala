@@ -11,6 +11,45 @@ class DedupSpec extends AnyFunSuite {
   private def docs(rows: (Long, String)*) =
     rows.toDF("doc_id", "text")
 
+  test("q278 winnowing guarantee: a 7-token shared passage is detected") {
+    // t = w + k − 1 = 7: ANY verbatim overlap of ≥ 7 tokens must yield at
+    // least one shared selected fingerprint (Schleimer 2003, Theorem 1)
+    val passage = "the quick brown fox jumps over fences"
+    val d = docs(
+      (1L, s"alpha beta gamma $passage delta epsilon zeta"),
+      (2L, s"one two three four $passage five six seven"),
+      (3L, "completely unrelated words with no overlap at all here"))
+    val pairs = graft.queries.Corpus.q278From(d)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 >= 1L),
+      s"planted 7-token overlap not detected: $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("q278 winnowing coverage: every full window holds a selection") {
+    // the dual of the guarantee: in every w = 4 consecutive gram positions
+    // of every document, at least one position is selected
+    val d = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text"))
+    val sel = graft.queries.Corpus.winnowSelected(d)
+      .groupBy("doc_id").agg(collect_list("pos").as("ps"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val nGrams = d.select(col("doc_id"),
+        (size(split(col("text"), " ")) - 3).cast("long").as("ng"))
+      .filter(col("ng") >= 1).as[(Long, Long)].collect().toMap
+    nGrams.foreach { case (id, ng) =>
+      val ps = sel.getOrElse(id, Seq.empty).sorted
+      assert(ps.nonEmpty, s"doc $id: no selections over $ng grams")
+      assert(ps.head <= 4 && ps.last >= ng - 3,
+        s"doc $id: edge windows uncovered (${ps.head}, ${ps.last}, $ng)")
+      ps.sliding(2).foreach {
+        case Seq(a, b) =>
+          assert(b - a <= 4, s"doc $id: window gap $a -> $b exceeds w")
+        case _ =>
+      }
+    }
+  }
+
   test("exact dedup: deterministic survivor + multiplicity") {
     val d = docs((1L, "a b c"), (5L, "a b c"), (3L, "x y z"), (2L, "a b c"))
     val out = Dedup.exact(d).orderBy("keep_id")

@@ -14,6 +14,47 @@ class EvaluationSpec extends AnyFunSuite {
   private val sf = "/root/testdata/sf0.001"
   import scala.jdk.CollectionConverters._
 
+  test("q279 randomized response: driver-side coin replay + debias bound") {
+    def md560(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        md.take(8).map(b => f"$b%02x").mkString.take(15), 16)
+    }
+    val docs = graft.Tables.load(spark, sf, "documents").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        Option(r.getAs[String]("text")).getOrElse("")))
+    // replay the mechanism per document with an INDEPENDENT md5
+    val replay = docs.groupBy(_._2).map { case (src, ds) =>
+      val n = ds.length.toLong
+      val trueYes = ds.count(d => d._3.exists(c => c >= '0' && c <= '9')).toLong
+      val repYes = ds.count { d =>
+        val truth = d._3.exists(c => c >= '0' && c <= '9')
+        val tell = md560(s"rr1:${d._1}") % 4 < 3
+        val noise = md560(s"rr2:${d._1}") % 2 == 1
+        if (tell) truth else noise
+      }.toLong
+      src -> (n, trueYes, repYes)
+    }
+    val got = graft.queries.Extensions.q279(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    assert(got.keySet == replay.keySet)
+    replay.foreach { case (src, (n, ty, ry)) =>
+      val g = got(src)
+      assert((g._1, g._2, g._3) == ((n, ty, ry)),
+        s"$src: engine (${g._1},${g._2},${g._3}) vs replay ($n,$ty,$ry)")
+      // debias algebra: est = clamp((8·R − 1e6) / 6), R = reported rate
+      val est = math.min(1000000L,
+        math.max(0L, 8L * (ry * 1000000L / n) - 1000000L) / 6L)
+      assert(g._5 == est)
+      assert(g._6 == math.abs(est - ty * 1000000L / n))
+      // the p = 3/4 channel on fixture-sized sources debiases well inside
+      // half the range (deterministic — fixed portable coins)
+      assert(g._6 < 400000L, s"$src err_ppm ${g._6}")
+    }
+  }
+
   test("q238 bootstrap CI: interval ordered, covers the point estimate, replays") {
     val rows = Evaluation.q238(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),

@@ -228,6 +228,33 @@ class MiningSpec extends AnyFunSuite {
     assert(rows.map(_._2).sum == nShingled)
   }
 
+  test("q281 sqrt-temperature mix: exact budget, exact isqrt, flattening") {
+    val rows = Training.q281(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.nonEmpty)
+    // the largest-remainder split is exact: ppm sums to exactly 10^6
+    assert(rows.map(_._5).sum == 1000000L)
+    rows.foreach { case (src, n, w, raw, sm) =>
+      // the Newton-corrected isqrt is exact against BigInt arithmetic
+      val bi = BigInt(n).bigInteger.sqrt().longValue()
+      assert(w == bi, s"$src: isqrt($n) = $w, expected $bi")
+      assert(raw >= 0 && raw <= 1000000L && sm >= 0 && sm <= 1000000L)
+    }
+    // smoothing flattens: below-average sources gain share, above lose
+    // (strict when shares differ; ±1 slack for the remainder distribution)
+    val mean = 1000000L / rows.length
+    rows.foreach { case (src, _, _, raw, sm) =>
+      if (raw < mean - 1) assert(sm >= raw, s"$src: low-share source shrank")
+      if (raw > mean + 1) assert(sm <= raw, s"$src: high-share source grew")
+    }
+    // order preserved: more tokens never means less smoothed share (±1)
+    rows.sortBy(_._2).map(_._5).sliding(2).foreach {
+      case Array(a, b) => assert(b >= a - 1)
+      case _ =>
+    }
+  }
+
   test("q166 Hamilton apportionment: allocations sum exactly to the budget") {
     val rows = Training.q166(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))

@@ -15,6 +15,36 @@ class SemanticSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   private val sf = "/root/testdata/sf0.001"
 
+  test("q280 k-center equals a driver-side Gonzalez replay; radii shrink") {
+    val m = PortableAnn.quantized(Tables.load(spark, sf, "embeddings"))
+      .collect().map(r => (r.getAs[Long]("vec_id"),
+        r.getAs[scala.collection.Seq[Long]]("qv").toArray,
+        r.getAs[Long]("nrm")))
+      .sortBy(_._1)
+    def d2(a: (Long, Array[Long], Long), b: (Long, Array[Long], Long)): Long = {
+      var dot = 0L; var i = 0
+      while (i < a._2.length) { dot += a._2(i) * b._2(i); i += 1 }
+      a._3 + b._3 - 2L * dot
+    }
+    var chosen = Vector((m.head, 0L))
+    while (chosen.length < 8) {
+      val cand = m.filter(v => !chosen.exists(_._1._1 == v._1))
+        .map(v => (v, chosen.map(c => d2(v, c._1)).min))
+      val best = cand.maxBy { case (v, d) => (d, -v._1) }
+      chosen = chosen :+ best
+    }
+    val expected = chosen.zipWithIndex
+      .map { case ((v, d), i) => (i + 1L, v._1, d) }
+    val got = Semantic.q280(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected, s"engine $got vs replay $expected")
+    // farthest-point selection values are non-increasing from round 2 on
+    got.drop(1).map(_._3).sliding(2).foreach {
+      case Seq(a, b) => assert(b <= a, s"radius grew: $a -> $b")
+      case _ =>
+    }
+  }
+
   test("tierK follows the corpus through every boundary") {
     assert(Semantic.tierK(1L) == 8)
     assert(Semantic.tierK(16384L) == 8)

@@ -14,6 +14,98 @@ class StatsSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   private val sf = "/root/testdata/sf0.001"
 
+  test("q282 concurrency sweep: planted overlaps, midnight span, touch rule") {
+    import spark.implicits._
+    val M = 60000L
+    val day0 = 0L
+    // user 1: session [0m, 10m]; user 2: [5m, 20m] -> peak 2 at 5m
+    // user 3: one event at 20m exactly = user 2's session end (touching
+    //   counts concurrent -> momentary 3 at 20m? no: user1 ended at 10m,
+    //   so 20m holds users 2 and 3 -> still 2; peak stays 2 AT 5m)
+    // user 4: session spanning midnight [23h50m day0, 0h10m day1] -> both
+    //   days count it; day1 carries it in at day start
+    val events = Seq(
+      (1L, 1L, day0 + 0L), (2L, 1L, day0 + 10L * M),
+      (3L, 2L, day0 + 5L * M), (4L, 2L, day0 + 20L * M),
+      (5L, 3L, day0 + 20L * M),
+      (6L, 4L, day0 + (23L * 60L + 50L) * M),
+      (7L, 4L, day0 + 86400000L + 10L * M)
+    ).toDF("event_id", "user_id", "tms")
+      .select(col("user_id"), col("event_id"), col("tms"))
+    val out = queries.Stats.q282From(events)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // day 0: sessions = u1, u2, u3, u4 -> 4; peak 2 first at 5m
+    // day 1: u4 only, carried in at the day-0/1 boundary -> peak 1 at day start
+    assert(out == Seq(
+      (0L, 4L, 2L, 5L * M),
+      (1L, 1L, 1L, 86400000L)), s"got $out")
+  }
+
+  test("q283 CUSUM: planted level shift alarms; linearization == recurrence") {
+    import spark.implicits._
+    // type A: 200 quiet hours at 10, then 100 hours at 30 (a +200% shift);
+    // type B: stationary at 10 throughout
+    val rows =
+      (0 until 300).flatMap { h =>
+        val nA = if (h < 200) 10 else 30
+        Seq.fill(nA)(("A", h.toLong)) ++ Seq.fill(10)(("B", h.toLong))
+      }
+    val ser = queries.Stats.hourlySeriesFrom(
+      rows.toDF("event_type", "hour").select(col("hour"), col("event_type")))
+    val out = queries.Stats.q283From(ser).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8)))
+      .toMap
+    val a = out("A"); val b = out("B")
+    assert(a._1 == 300L && b._1 == 300L)
+    // A alarms shortly after hour 200; B never; no downward alarms anywhere
+    assert(a._3 >= 200L && a._3 <= 215L, s"A first alarm ${a._3}")
+    assert(a._4 >= 1L)
+    assert(b._3 == -1L && b._4 == 0L, s"B alarmed: $b")
+    assert(a._6 == -1L && b._6 == -1L)
+    // the window linearization must equal the literal max(0, S+dev) loop
+    val meanMicro = a._2
+    val c = meanMicro + meanMicro / 2
+    var s = 0L; var smax = 0L; var first = -1L; var cnt = 0L
+    (0 until 300).foreach { h =>
+      val x = if (h < 200) 10L else 30L
+      s = math.max(0L, s + (x * 1000000L - c))
+      smax = math.max(smax, s)
+      if (s >= 4L * meanMicro) { cnt += 1; if (first < 0) first = h.toLong }
+    }
+    assert(a._3 == first && a._4 == cnt && a._5 == smax,
+      s"engine (${a._3},${a._4},${a._5}) vs recurrence ($first,$cnt,$smax)")
+  }
+
+  test("q284 ACF: planted period-2 series alternates sign; replay agrees") {
+    import spark.implicits._
+    // period-2: counts alternate 5 / 25 -> acf(odd lags) ~ -1e6, even ~ +1e6
+    val rows = (0 until 240).flatMap { h =>
+      Seq.fill(if (h % 2 == 0) 5 else 25)(("P", h.toLong))
+    }
+    val ser = queries.Stats.hourlySeriesFrom(
+      rows.toDF("event_type", "hour").select(col("hour"), col("event_type")))
+    val out = queries.Stats.q284From(ser).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.length == 6)
+    out.foreach { case (lag, nPairs, acf) =>
+      assert(nPairs == 240L - lag)
+      if (lag % 2 == 1) assert(acf < -900000L, s"lag $lag acf $acf")
+      else assert(acf > 900000L, s"lag $lag acf $acf")
+    }
+    // exact driver replay of the integer ACF definition
+    val xs = (0 until 240).map(h => if (h % 2 == 0) 5L else 25L)
+    val m = xs.sum / xs.length
+    val dev = xs.map(_ - m)
+    val den = dev.map(d => d * d).sum
+    (1 to 6).foreach { k =>
+      val num = (0 until 240 - k).map(t => dev(t) * dev(t + k)).sum
+      val exp = if (num >= 0) num * 1000000L / den
+        else -((-num) * 1000000L / den)
+      assert(out(k - 1)._3 == exp, s"lag $k: ${out(k - 1)._3} vs $exp")
+    }
+  }
+
   test("q88 power sums reproduce native stddev_samp within 1e-9") {
     // the finishing rational n·Σx²−(Σx)² / n·(n−1) is computed HERE, in the
     // consumer — q88 ships only the overflow-safe mergeable moments
