@@ -2842,7 +2842,77 @@ object Extensions {
       |    - true_yes * 1000000 // n_docs) AS BIGINT) AS err_ppm
       |FROM g ORDER BY source""".stripMargin
 
+  // ---- q285 readability profile --------------------------------------------
+
+  /** q285 integer Flesch reading-ease profile (Flesch, J. Applied Psych.
+    * 1948; the Kincaid 1975 recalibration keeps the same three statistics)
+    * — the readability leg of the quality family: q33/q205 gate on
+    * lexical shape, q249 on LM fit; this reads the classic
+    * words-per-sentence × syllables-per-word difficulty surface. FRE =
+    * 206.835 − 1.015·(W/S) − 84.6·(Y/W), computed POOLED per source in
+    * exact milli-units: every ratio is a truncating integer division on
+    * non-negative integers, so the gate never sees a float. Syllables are
+    * VOWEL-GROUP COUNTS (maximal [aeiouy]+ runs — the standard portable
+    * approximation; vowel-less tokens contribute 0, declared) and
+    * sentences are [.!?]+ terminator groups floored at 1 per document, both
+    * counted by the replace-with-sentinel length trick so engine and oracle
+    * run the identical regex algebra (DuckDB regexp_replace needs the
+    * explicit 'g' flag Spark applies by default). One scan + a |sources|
+    * rollup; FRE can legitimately go negative on dense text — nothing
+    * divides after the subtraction. */
+  def q285(spark: SparkSession, dir: String): DataFrame = {
+    def groups(c: org.apache.spark.sql.Column, pat: String)
+        : org.apache.spark.sql.Column =
+      (length(regexp_replace(c, pat, "#")) -
+        length(regexp_replace(c, pat, ""))).cast(LongType)
+    val t = lower(coalesce(col("text"), lit("")))
+    Tables.parallelized(Tables.load(spark, dir, "documents"))
+      .select(col("source"),
+        size(T.tokens(coalesce(col("text"), lit("")))).cast(LongType).as("w"),
+        greatest(lit(1L), groups(t, "[.!?]+")).as("s"),
+        groups(t, "[aeiouy]+").as("y"))
+      .groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum("w").as("words"),
+        sum("s").as("sentences"),
+        sum("y").as("syllable_groups"))
+      .withColumn("wps_milli", expr("words * 1000 div sentences"))
+      .withColumn("spw_milli", expr("syllable_groups * 1000 div words"))
+      .withColumn("fre_milli", expr(
+        "206835 - (1015 * wps_milli) div 1000 - (84600 * spw_milli) div 1000"))
+      .orderBy("source")
+  }
+
+  val q285Sql: String =
+    """WITH d AS (
+      |  SELECT source,
+      |    CAST(len(string_split(COALESCE(text, ''), ' ')) AS BIGINT) AS w,
+      |    GREATEST(1, CAST(
+      |      length(regexp_replace(lower(COALESCE(text, '')), '[.!?]+', '#', 'g'))
+      |      - length(regexp_replace(lower(COALESCE(text, '')), '[.!?]+', '', 'g'))
+      |      AS BIGINT)) AS s,
+      |    CAST(
+      |      length(regexp_replace(lower(COALESCE(text, '')), '[aeiouy]+', '#', 'g'))
+      |      - length(regexp_replace(lower(COALESCE(text, '')), '[aeiouy]+', '', 'g'))
+      |      AS BIGINT) AS y
+      |  FROM documents
+      |), g AS (
+      |  SELECT source, COUNT(*) AS n_docs,
+      |    CAST(SUM(w) AS BIGINT) AS words,
+      |    CAST(SUM(s) AS BIGINT) AS sentences,
+      |    CAST(SUM(y) AS BIGINT) AS syllable_groups
+      |  FROM d GROUP BY source
+      |)
+      |SELECT source, n_docs, words, sentences, syllable_groups,
+      |  CAST(words * 1000 // sentences AS BIGINT) AS wps_milli,
+      |  CAST(syllable_groups * 1000 // words AS BIGINT) AS spw_milli,
+      |  CAST(206835 - (1015 * (words * 1000 // sentences)) // 1000
+      |    - (84600 * (syllable_groups * 1000 // words)) // 1000 AS BIGINT)
+      |    AS fre_milli
+      |FROM g ORDER BY source""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    ("q285_readability", q285 _, Some(q285Sql)),
     ("q279_randomized_response", q279 _, Some(q279Sql)),
     ("q26_dedup_exact", q26 _, Some(q26Sql)),
     ("q205_quality_rules", q205 _, Some(q205Sql)),

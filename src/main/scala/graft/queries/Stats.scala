@@ -1855,14 +1855,50 @@ object Stats {
 
   /** [[hourlySeries]] over an arbitrary (hour, event_type) frame — spec
     * entry point (planted level shifts / planted periodicity). */
-  def hourlySeriesFrom(e: DataFrame): DataFrame = {
-    val counts = e.groupBy("event_type", "hour")
-      .agg(count(lit(1)).as("n"))
-    e.select("hour").distinct()
-      .crossJoin(e.select("event_type").distinct())
+  def hourlySeriesFrom(e: DataFrame): DataFrame =
+    densifyHourly(e.groupBy("event_type", "hour").agg(count(lit(1)).as("n")))
+
+  /** Zero-fill a sparse (event_type, hour, n) count frame over the full
+    * hour-spine × type census — shared by the batch path and the streaming
+    * merge-on-read path so both detectors read the IDENTICAL series. */
+  private def densifyHourly(counts0: DataFrame): DataFrame = {
+    val counts = counts0.groupBy("event_type", "hour")
+      .agg(sum("n").as("n"))
+    counts.select("hour").distinct()
+      .crossJoin(counts.select("event_type").distinct())
       .join(counts, Seq("event_type", "hour"), "left")
       .na.fill(0L, Seq("n"))
   }
+
+  /** STREAMING leg of q283/q284 — the detector-maintenance shape at 100 TB:
+    * the stream never re-runs CUSUM over history; it appends per-micro-batch
+    * HOURLY COUNT DIGESTS (counts are the mergeable object — order-free,
+    * replay-idempotent by batch-dir overwrite), and the detector assembles
+    * merge-on-read from the digest store (the q277 card LSM discipline).
+    * Readers pay ≤ |batches|·|types|·|hours-per-batch| digest rows, never an
+    * event rescan; the recurrence itself runs on the digest-sized merged
+    * series. StreamingSpec pins merged == the batch q283 exactly. */
+  def cusumStream(spark: SparkSession, eventStream: DataFrame,
+      outDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    eventStream
+      .select(expr("unix_millis(ts) div 3600000").as("hour"),
+        col("event_type"))
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        batch.toDF().groupBy("event_type", "hour")
+          .agg(count(lit(1)).as("n"))
+          .write.mode("overwrite").parquet(s"$outDir/batch-$id")
+      }
+      .start()
+
+  /** Assemble the CUSUM report from persisted hourly digests (glob paths
+    * welcome). Digest cells for the same (type, hour) across batches SUM —
+    * a batch boundary inside an hour merges exactly. */
+  def cusumReadMerged(spark: SparkSession, dirs: Seq[String]): DataFrame =
+    q283From(densifyHourly(
+      dirs.map(d => spark.read.parquet(d)).reduce(_ unionByName _)))
 
   private val hourlySeriesCte: String =
     """h AS (

@@ -2369,8 +2369,79 @@ object Training {
       |    AS smoothed_ppm
       |FROM rk CROSS JOIN sp ORDER BY source""".stripMargin
 
+  /** Declared per-epoch repeat-value decay table in ppm — ⌊0.87^i·10⁶⌋ for
+    * repeat i = 1..7 (epoch E sees the data for the (E−1)-th time). The
+    * GEOMETRIC simplification of the Muennighoff et al. (NeurIPS 2023,
+    * arXiv:2305.16264) repeated-token value decay: the paper fits a soft
+    * exponential with R*_D ≈ 15 epochs to extinction; this table is the
+    * q153-nDCG-table discipline applied to it — a literal integer
+    * calibration knob both engines share, swapped wholesale to recalibrate
+    * (never recomputed at query time, so no engine evaluates a pow). */
+  private val RepeatDecayPpm =
+    Seq(870000L, 756900L, 658503L, 572897L, 498420L, 433626L, 377254L)
+
+  /** Cumulative effective-value multiplier for E epochs, in ppm:
+    * 10⁶ + Σ_{i=1}^{E−1} decay(i). */
+  private def epochCumPpm(e: Int): Long =
+    1000000L + RepeatDecayPpm.take(e - 1).sum
+
+  /** q286 data-constrained scaling planner (Muennighoff et al., NeurIPS
+    * 2023: "Scaling Data-Constrained Language Models") — the budget
+    * question a pipeline answers BEFORE q139/q166 mix anything: how many
+    * effective tokens does each source yield at E epochs, given that
+    * repeated tokens are worth less each pass? Unique mass counts distinct
+    * texts once (portable md5-60 fingerprint, the q270 key — q270
+    * down-weights INTRA-corpus copies at E = 1, this prices DELIBERATE
+    * multi-epoch reuse); effective(E) = unique·[[epochCumPpm]](E) div 10⁶
+    * on the declared decay table. Emits E = 2/4/8 side by side so the
+    * epoch-vs-new-data trade reads off one row. One fp-dedup aggregate +
+    * one |sources| rollup. */
+  def q286(spark: SparkSession, dir: String): DataFrame = {
+    val f = Tables.parallelized(Tables.load(spark, dir, "documents"))
+      .select(col("source"),
+        T.portableHash60(coalesce(col("text"), lit(""))).as("fp"),
+        size(T.tokens(coalesce(col("text"), lit(""))))
+          .cast(LongType).as("n_tok"))
+    val uniq = f.groupBy("source", "fp").agg(max("n_tok").as("n_tok"))
+      .groupBy("source").agg(sum("n_tok").as("unique_tokens"))
+    f.groupBy("source").agg(sum("n_tok").as("total_tokens"))
+      .join(uniq, Seq("source"))
+      .withColumn("eff_tokens_e2",
+        expr(s"unique_tokens * ${epochCumPpm(2)} div 1000000"))
+      .withColumn("eff_tokens_e4",
+        expr(s"unique_tokens * ${epochCumPpm(4)} div 1000000"))
+      .withColumn("eff_tokens_e8",
+        expr(s"unique_tokens * ${epochCumPpm(8)} div 1000000"))
+      .orderBy("source")
+  }
+
+  val q286Sql: String =
+    s"""WITH f AS (
+      |  SELECT source,
+      |    CAST('0x' || substr(md5(COALESCE(text, '')), 1, 15) AS BIGINT) AS fp,
+      |    CAST(len(string_split(COALESCE(text, ''), ' ')) AS BIGINT) AS n_tok
+      |  FROM documents
+      |), u AS (
+      |  SELECT source, CAST(SUM(n_tok) AS BIGINT) AS unique_tokens FROM (
+      |    SELECT source, fp, MAX(n_tok) AS n_tok FROM f GROUP BY source, fp
+      |  ) GROUP BY source
+      |), t AS (
+      |  SELECT source, CAST(SUM(n_tok) AS BIGINT) AS total_tokens
+      |  FROM f GROUP BY source
+      |)
+      |SELECT t.source, t.total_tokens, u.unique_tokens,
+      |  CAST(u.unique_tokens * ${epochCumPpm(2)} // 1000000 AS BIGINT)
+      |    AS eff_tokens_e2,
+      |  CAST(u.unique_tokens * ${epochCumPpm(4)} // 1000000 AS BIGINT)
+      |    AS eff_tokens_e4,
+      |  CAST(u.unique_tokens * ${epochCumPpm(8)} // 1000000 AS BIGINT)
+      |    AS eff_tokens_e8
+      |FROM t JOIN u ON u.source = t.source
+      |ORDER BY t.source""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q281_temperature_mix", q281 _, Some(q281Sql)),
+    ("q286_repeat_value", q286 _, Some(q286Sql)),
     ("q270_softdedup_weights", q270 _, Some(q270Sql)),
     ("q271_packing_audit", q271 _, Some(q271Sql)),
     ("q179_dsir_weights", q179 _, Some(q179Sql)),

@@ -649,6 +649,44 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming CUSUM maintenance: merged hourly digests == batch q283; replay idempotent") {
+    // the operational leg of q283: the stream appends per-batch hourly
+    // count digests (the mergeable object); the detector assembles
+    // merge-on-read — never an event rescan, never a re-run over history
+    import org.apache.spark.sql.types._
+    import graft.queries.Stats
+    val want = Stats.q283(spark, sf).collect().map(_.toSeq).toSeq
+    val events = Tables.load(spark, sf, "events")
+      .select("event_id", "ts", "event_type")
+    val landing = java.nio.file.Files.createTempDirectory("cusum_landing").toString
+    (0 until 3).foreach { g =>
+      events.filter(col("event_id") % 3 === g).coalesce(1)
+        .write.mode("overwrite").parquet(s"$landing/g$g")
+      new java.io.File(s"$landing/g$g").listFiles()
+        .foreach(f => f.setLastModified(1000000L * (g + 1)))
+    }
+    val schema = StructType(Seq(StructField("event_id", LongType),
+      StructField("ts", TimestampType), StructField("event_type", StringType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$landing/g*")
+    val out = java.nio.file.Files.createTempDirectory("cusum_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("cusum_ckpt").toString
+    val q = Stats.cusumStream(spark, stream, out, ckpt)
+    try q.processAllAvailable() finally q.stop()
+    def merged(): Seq[Seq[Any]] = Stats.cusumReadMerged(spark,
+      Seq(s"$out/batch-*")).collect().map(_.toSeq).toSeq
+    assert(merged() == want,
+      "merge-on-read CUSUM diverges from the batch q283 report")
+    // at-least-once replay: re-digesting a committed batch overwrites its
+    // own directory — the report is unchanged
+    events.filter(col("event_id") % 3 === 0)
+      .select(expr("unix_millis(ts) div 3600000").as("hour"),
+        col("event_type"))
+      .groupBy("event_type", "hour").agg(count(lit(1)).as("n"))
+      .write.mode("overwrite").parquet(s"$out/batch-0")
+    assert(merged() == want, "replayed hourly digest must be a no-op")
+  }
+
   test("streaming card maintenance: merged digests == batch q277 card; replay idempotent") {
     // the operational leg of q277: base digest persisted once, each
     // micro-batch digested to a batch-stamped dir, card assembled

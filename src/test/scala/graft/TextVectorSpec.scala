@@ -8,6 +8,66 @@ class TextVectorSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("q285 readability: driver-side replay of the pooled FRE algebra") {
+    val sf = "/root/testdata/sf0.001"
+    def groups(s: String, vowels: Boolean): Long = {
+      val pat = if (vowels) "[aeiouy]+" else "[.!?]+"
+      pat.r.findAllIn(s).length.toLong
+    }
+    val docs = Tables.load(spark, sf, "documents").collect()
+      .map(r => (r.getAs[String]("source"),
+        Option(r.getAs[String]("text")).getOrElse("")))
+    val replay = docs.groupBy(_._1).map { case (src, ds) =>
+      val w = ds.map(_._2.split(" ", -1).length.toLong).sum
+      val s = ds.map(d => math.max(1L, groups(d._2.toLowerCase, false))).sum
+      val y = ds.map(d => groups(d._2.toLowerCase, true)).sum
+      val wps = w * 1000L / s; val spw = y * 1000L / w
+      src -> (ds.length.toLong, w, s, y,
+        206835L - (1015L * wps) / 1000L - (84600L * spw) / 1000L)
+    }
+    val got = graft.queries.Extensions.q285(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(7))).toMap
+    assert(got.keySet == replay.keySet)
+    replay.foreach { case (src, exp) =>
+      assert(got(src) == exp, s"$src: ${got(src)} vs $exp")
+    }
+    // sanity on the scale: pooled FRE stays in the plausible band for
+    // space-tokenized synthetic prose (the fixture has no '!?.' storms)
+    got.values.foreach { case (_, _, _, _, fre) =>
+      assert(fre > -400000L && fre < 207000L, s"fre_milli $fre out of band")
+    }
+  }
+
+  test("q286 repeat-value planner: dedup + declared decay table replay") {
+    val sf = "/root/testdata/sf0.001"
+    val docs = Tables.load(spark, sf, "documents").collect()
+      .map(r => (r.getAs[String]("source"),
+        Option(r.getAs[String]("text")).getOrElse("")))
+    val replay = docs.groupBy(_._1).map { case (src, ds) =>
+      val total = ds.map(_._2.split(" ", -1).length.toLong).sum
+      val unique = ds.map(_._2).distinct
+        .map(_.split(" ", -1).length.toLong).sum
+      src -> (total, unique)
+    }
+    val got = graft.queries.Training.q286(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    assert(got.keySet == replay.keySet)
+    replay.foreach { case (src, (total, unique)) =>
+      val g = got(src)
+      assert((g._1, g._2) == ((total, unique)),
+        s"$src: (${g._1},${g._2}) vs ($total,$unique)")
+      // the declared ⌊0.87^i·1e6⌋ table: cum(2)=1870000, cum(4)=3285403,
+      // cum(8)=5167600 — and repeat value stays strictly sublinear
+      assert(g._3 == unique * 1870000L / 1000000L)
+      assert(g._4 == unique * 3285403L / 1000000L)
+      assert(g._5 == unique * 5167600L / 1000000L)
+      assert(g._5 < 8L * unique || unique == 0L)
+      assert(g._3 <= g._4 && g._4 <= g._5)
+    }
+  }
+
   test("tokenCount / occurrences / shingles on a constructed string") {
     val df = Seq("the cat and the dog of the house").toDF("text")
     val row = df.select(
