@@ -2439,9 +2439,134 @@ object Training {
       |FROM t JOIN u ON u.source = t.source
       |ORDER BY t.source""".stripMargin
 
+  /** q287 Bradley–Terry strength fit (Bradley & Terry, Biometrika 1952)
+    * over q164's implicit preference pairs, via three unrolled rounds of
+    * Hunter's MM algorithm (Annals of Statistics 2004) — the
+    * strength-from-comparisons step an RLHF/reranking pipeline runs on
+    * preference data (q164 COUNTS pairs; this FITS the latent quality the
+    * pairs imply, pooling transitive evidence a per-item win rate cannot):
+    * γ'_i = W_i / Σ_j n_ij/(γ_i+γ_j), all in fixed-point integers — terms
+    * at 10¹⁰ scale, each round renormalized to mean 10⁶ by truncating
+    * division and capped at 10¹² (an undefeated item diverges in exact BT;
+    * the cap is the declared fixed-point ceiling, and every bound is chosen
+    * so no product exceeds int64 at catalog scale: graw ≤ 2·γmax ≤ 2·10¹²,
+    * graw·10⁶ ≤ 2·10¹⁸). Ties never arise in the arithmetic (pure integer),
+    * and the top-20 orders (γ desc, item asc). MM is monotone in the BT
+    * likelihood, so three rounds give a deterministic, replayable
+    * approximation — the oracle unrolls the identical rounds as
+    * MATERIALIZED CTEs (each round reads its predecessor three times; the
+    * q280 inlining lesson).
+    *
+    * Scale shape: the pair frame aggregates to observed ordered item pairs
+    * (q123's vocabulary-pair bound, never corpus²); each round is two
+    * broadcast-size joins against the ≤|items| strength frame + one
+    * pair-keyed aggregate + |items|-row windows; rounds scratch-barrier
+    * their strength frame (the q124 per-round discipline). */
+  def q287(spark: SparkSession, dir: String): DataFrame =
+    bradleyTerry(graft.streaming.EventStream.preferencePairsStream(
+      Tables.load(spark, dir, "events")))
+
+  /** [[q287]]'s MM kernel over an arbitrary (chosen, rejected) pair frame —
+    * spec entry point (planted comparison chains, driver replay). */
+  def bradleyTerry(pp: DataFrame): DataFrame = {
+    val S = graft.operators.Checkpoints
+    val w = S.scratch(pp.groupBy(col("chosen").as("i"), col("rejected").as("j"))
+      .agg(count(lit(1)).as("w")))
+    val np = S.scratch(w.select("i", "j", "w")
+      .union(w.select(col("j").as("i"), col("i").as("j"), col("w")))
+      .groupBy("i", "j").agg(sum("w").as("nij")))
+    val wins = np.select("i").distinct()
+      .join(w.groupBy("i").agg(sum("w").as("wins")), Seq("i"), "left")
+      .na.fill(0L, Seq("wins"))
+    var g = S.scratch(wins.withColumn("gamma", lit(1000000L)))
+    (1 to 3).foreach { _ =>
+      val gi = g.select(col("i"), col("gamma"))
+      val den = np
+        .join(gi, Seq("i"))
+        .join(gi.select(col("i").as("j"), col("gamma").as("gj")), Seq("j"))
+        .withColumn("t",
+          expr("nij * 10000000000 div greatest(1, gamma + gj)"))
+        .groupBy("i").agg(sum("t").as("den"))
+      val prev = g
+      g = S.scratch(g.select("i", "wins").join(den, Seq("i"))
+        .withColumn("graw", expr("wins * 10000000000 div greatest(1, den)"))
+        .withColumn("meang",
+          expr("greatest(1, sum(graw) over (partition by 1) " +
+            "div count(*) over (partition by 1))"))
+        .withColumn("gamma",
+          expr("least(1000000000000, graw * 1000000 div meang)"))
+        .select("i", "wins", "gamma"))
+      S.rddOf(prev).foreach(_.unpersist(blocking = false))
+    }
+    val ncomp = np.groupBy("i").agg(sum("nij").as("n_comparisons"))
+    g.join(ncomp, Seq("i"))
+      .select(col("i").as("item"), col("wins").as("n_wins"),
+        col("n_comparisons"), col("gamma").as("gamma_ppm"))
+      .orderBy(desc("gamma_ppm"), col("item"))
+      .limit(20)
+  }
+
+  val q287Sql: String = {
+    def round(r: Int): String = {
+      val p = if (r == 1) "g0" else s"g${r - 1}"
+      s"""t$r AS MATERIALIZED (
+        |  SELECT np.i,
+        |    SUM(np.nij * 10000000000 // GREATEST(1, a.gamma + b.gamma)) AS den
+        |  FROM np JOIN $p a ON a.i = np.i JOIN $p b ON b.i = np.j
+        |  GROUP BY np.i
+        |), r$r AS MATERIALIZED (
+        |  SELECT g.i, g.wins,
+        |    g.wins * 10000000000 // GREATEST(1, t.den) AS graw
+        |  FROM $p g JOIN t$r t ON t.i = g.i
+        |), m$r AS MATERIALIZED (
+        |  SELECT GREATEST(1, SUM(graw) // COUNT(*)) AS meang FROM r$r
+        |), g$r AS MATERIALIZED (
+        |  SELECT i, wins,
+        |    LEAST(1000000000000, graw * 1000000 // m.meang) AS gamma
+        |  FROM r$r CROSS JOIN m$r m
+        |)""".stripMargin
+    }
+    s"""WITH ev AS (
+      |  SELECT user_id, epoch_ms(ts) // 86400000 AS day, event_type,
+      |    TRY_CAST(json_extract_string(props, '$$.k') AS BIGINT) AS item
+      |  FROM events
+      |  WHERE TRY_CAST(json_extract_string(props, '$$.k') AS BIGINT) IS NOT NULL
+      |), pos AS (
+      |  SELECT DISTINCT user_id, day, item FROM ev WHERE event_type = 'purchase'
+      |), neg AS (
+      |  SELECT DISTINCT v.user_id, v.day, v.item
+      |  FROM ev v
+      |  WHERE v.event_type = 'view' AND NOT EXISTS (
+      |    SELECT 1 FROM pos p
+      |    WHERE p.user_id = v.user_id AND p.day = v.day AND p.item = v.item)
+      |), w AS MATERIALIZED (
+      |  SELECT p.item AS i, n.item AS j, COUNT(*) AS w
+      |  FROM pos p JOIN neg n ON n.user_id = p.user_id AND n.day = p.day
+      |  GROUP BY 1, 2
+      |), np AS MATERIALIZED (
+      |  SELECT i, j, SUM(w) AS nij FROM (
+      |    SELECT i, j, w FROM w UNION ALL SELECT j AS i, i AS j, w FROM w
+      |  ) GROUP BY i, j
+      |), g0 AS MATERIALIZED (
+      |  SELECT it.i, COALESCE(wn.wins, 0) AS wins,
+      |    CAST(1000000 AS BIGINT) AS gamma
+      |  FROM (SELECT DISTINCT i FROM np) it
+      |  LEFT JOIN (SELECT i, SUM(w) AS wins FROM w GROUP BY i) wn
+      |    ON wn.i = it.i
+      |), ${round(1)}, ${round(2)}, ${round(3)}
+      |SELECT g.i AS item, CAST(g.wins AS BIGINT) AS n_wins,
+      |  CAST(nc.n_comparisons AS BIGINT) AS n_comparisons,
+      |  CAST(g.gamma AS BIGINT) AS gamma_ppm
+      |FROM g3 g JOIN (SELECT i, SUM(nij) AS n_comparisons FROM np GROUP BY i) nc
+      |  ON nc.i = g.i
+      |ORDER BY gamma_ppm DESC, item
+      |LIMIT 20""".stripMargin
+  }
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q281_temperature_mix", q281 _, Some(q281Sql)),
     ("q286_repeat_value", q286 _, Some(q286Sql)),
+    ("q287_bradley_terry", q287 _, Some(q287Sql)),
     ("q270_softdedup_weights", q270 _, Some(q270Sql)),
     ("q271_packing_audit", q271 _, Some(q271Sql)),
     ("q179_dsir_weights", q179 _, Some(q179Sql)),

@@ -19,6 +19,43 @@ class PropertySpec extends AnyFunSuite {
   private val doc: Gen[String] =
     Gen.chooseNum(1, 30).flatMap(n => Gen.listOfN(n, word).map(_.mkString(" ")))
 
+  test("q287 Bradley-Terry: planted dominance chain orders; fixture replay") {
+    import graft.queries.Training
+    // planted chain: each rung beats the next 3-1; BT must recover the order
+    val chain = Seq((10L, 20L), (20L, 30L), (30L, 40L)).flatMap { case (a, b) =>
+      Seq.fill(3)((a, b)) ++ Seq((b, a))
+    }.toDF("chosen", "rejected")
+    val got = Training.bradleyTerry(chain).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(got(10L) > got(20L) && got(20L) > got(30L) && got(30L) > got(40L),
+      s"chain order not recovered: $got")
+
+    // driver-side replay of the exact integer MM on the planted frame
+    val wMap = chain.groupBy("chosen", "rejected").count().collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val np = (wMap.toSeq.map { case ((i, j), w) => ((i, j), w) } ++
+      wMap.toSeq.map { case ((i, j), w) => ((j, i), w) })
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sum }
+    val items = np.keys.map(_._1).toSeq.distinct.sorted
+    val wins = items.map(i =>
+      i -> wMap.collect { case ((a, _), w) if a == i => w }.sum).toMap
+    var gamma = items.map(_ -> 1000000L).toMap
+    (1 to 3).foreach { _ =>
+      val den = items.map { i =>
+        i -> np.collect { case ((a, b), n) if a == i =>
+          n * 10000000000L / math.max(1L, gamma(i) + gamma(b))
+        }.sum
+      }.toMap
+      val graw = items.map(i =>
+        i -> wins(i) * 10000000000L / math.max(1L, den(i))).toMap
+      val meang = math.max(1L, graw.values.sum / items.length)
+      gamma = items.map(i => i ->
+        math.min(1000000000000L, graw(i) * 1000000L / meang)).toMap
+    }
+    items.foreach(i => assert(got(i) == gamma(i),
+      s"item $i: engine ${got(i)} vs replay ${gamma(i)}"))
+  }
+
   private def check(p: Prop): Unit = {
     val res = SCTest.check(
       SCTest.Parameters.default.withMinSuccessfulTests(10), p)
