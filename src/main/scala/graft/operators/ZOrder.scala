@@ -58,4 +58,29 @@ object ZOrder {
       true
     }
   }
+
+  /** 32-bit Morton code of two 16-bit keys via the magic-mask bit spread
+    * (Hacker's Delight §7-2 / the classic Morton interleave): 4 shift-or-
+    * mask steps per key instead of [[mortonKey]]'s 16 per-bit terms — an
+    * 8× smaller expression tree, which matters twice at scale: per-row
+    * work AND Catalyst analysis/codegen cost both track expression size.
+    * Inputs MUST already be normalized to [0, 2^16) (callers interleaving
+    * unequal key domains normalize first — raw interleaving of an 11-bit
+    * and a 7-bit key puts only the wide key's bits at the boundary
+    * positions a file layout splits on; q288 measured that mistake at
+    * 97%-scan before normalizing). Property-pinned equal to [[mortonKey]]
+    * on the shared domain. */
+  def mortonKey16(a: Column, b: Column): Column = {
+    def spread(x0: Column): Column = {
+      val x1 = x0.bitwiseOR(shiftleft(x0, 8)).bitwiseAND(lit(0x00FF00FFL))
+      val x2 = x1.bitwiseOR(shiftleft(x1, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+      val x3 = x2.bitwiseOR(shiftleft(x2, 2)).bitwiseAND(lit(0x33333333L))
+      x3.bitwiseOR(shiftleft(x3, 1)).bitwiseAND(lit(0x55555555L))
+    }
+    val al = a.cast(LongType)
+    val bl = b.cast(LongType)
+    when(al < 0 || bl < 0 || al > 65535 || bl > 65535,
+      raise_error(lit("mortonKey16 requires inputs in [0, 65536)")))
+      .otherwise(shiftleft(spread(al), 1).bitwiseOR(spread(bl)))
+  }
 }

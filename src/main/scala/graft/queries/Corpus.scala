@@ -936,7 +936,133 @@ object Corpus {
       |LIMIT 20""".stripMargin
   }
 
+  // ---- q288 layout-pruning audit -------------------------------------------
+
+  /** q288 data-layout pruning audit — PRICES what [[graft.operators.ZOrder]]
+    * exists for, on real data: simulate 64-file layouts of lineitem under
+    * three write strategies (NATURAL insertion order; SORTED by partkey;
+    * Z-ORDERED on the Morton interleave of partkey × suppkey) and, for a
+    * ±1% band predicate on EACH key, count the files whose min/max stats
+    * overlap the band — exactly the parquet row-group pruning a 100 TB scan
+    * lives or dies by. The textbook geometry falls out of the data: sorted
+    * prunes its own key to ~2% of rows but scans EVERYTHING for the other
+    * key; Z-order prunes BOTH keys at once; natural scans everything
+    * always. Files are equal-WIDTH key ranges (value buckets, not rank
+    * quantiles — the declared simplification: real writers range-partition
+    * by sampled quantiles, which moves file SIZES, not the pruning
+    * geometry; per-layout scanned ROW mass is the honest metric and is
+    * emitted beside file counts). One scan computes all three file ids per
+    * row (no global sort, no unpartitioned window — file id is a pure map
+    * off the 1-row broadcast maxima), one (layout, file) aggregate builds
+    * the stats, and the band test is a ≤192-row rollup. */
+  def q288(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey").cast(LongType).as("ok"),
+        col("l_linenumber").cast(LongType).as("ln"),
+        col("l_partkey").cast(LongType).as("pk"),
+        col("l_suppkey").cast(LongType).as("sk"))
+      .withColumn("nat", expr("ok * 8 + ln"))
+    val maxes = li.agg(max("nat").as("mnat"), max("pk").as("mpk"),
+      max("sk").as("msk"), count(lit(1)).as("total"))
+    // NORMALIZE both keys to a shared 16-bit domain before interleaving —
+    // the ZOrder.scala caveat made concrete: raw interleaving of an 11-bit
+    // and a 7-bit key puts only the wide key's bits at file-boundary
+    // positions (measured here first: the un-normalized curve pruned
+    // sk_band to just 97% of rows); after normalization the top 6 key bits
+    // are 3 bits of EACH dimension, an 8×8 grid
+    val f = li.crossJoin(broadcast(maxes))
+      .withColumn("pk16", expr("pk * 65536 div (mpk + 1)"))
+      .withColumn("sk16", expr("sk * 65536 div (msk + 1)"))
+      .withColumn("zk",
+        graft.operators.ZOrder.mortonKey16(col("pk16"), col("sk16")))
+      .withColumn("f_nat", expr("nat div (mnat div 64 + 1)"))
+      .withColumn("f_srt", expr("pk div (mpk div 64 + 1)"))
+      .withColumn("f_zor", expr("zk div 67108864")) // 2^32 domain / 64 files
+      .select(col("pk"), col("sk"), col("total"),
+        expr("stack(3, 'natural', f_nat, 'sorted_pk', f_srt, " +
+          "'zorder', f_zor) as (layout, file)"))
+    val stats = f.groupBy("layout", "file").agg(
+      min("pk").as("min_pk"), max("pk").as("max_pk"),
+      min("sk").as("min_sk"), max("sk").as("max_sk"),
+      count(lit(1)).as("n_rows"), max("total").as("total"))
+    val bands = maxes.select(
+      expr("mpk * 49 div 100").as("pk_lo"), expr("mpk * 51 div 100").as("pk_hi"),
+      expr("msk * 49 div 100").as("sk_lo"), expr("msk * 51 div 100").as("sk_hi"))
+    stats.crossJoin(broadcast(bands))
+      .select(col("layout"), col("n_rows"), col("total"),
+        expr("stack(2, 'pk_band', " +
+          "CASE WHEN max_pk >= pk_lo AND min_pk <= pk_hi THEN 1 ELSE 0 END, " +
+          "'sk_band', " +
+          "CASE WHEN max_sk >= sk_lo AND min_sk <= sk_hi THEN 1 ELSE 0 END)" +
+          " as (predicate, hit)"))
+      .groupBy("layout", "predicate").agg(
+        count(lit(1)).as("n_files"),
+        sum("hit").as("files_scanned"),
+        sum(expr("hit * n_rows")).as("rows_scanned"),
+        max("total").as("total_rows"))
+      .withColumn("scan_ppm",
+        expr("rows_scanned * 1000000 div total_rows"))
+      .orderBy("layout", "predicate")
+  }
+
+  val q288Sql: String = {
+    val morton = "CAST(list_sum(list_transform(range(0, 16), i -> " +
+      "(((pk16 >> CAST(i AS INTEGER)) & 1) << CAST(2 * i + 1 AS INTEGER)) + " +
+      "(((sk16 >> CAST(i AS INTEGER)) & 1) << CAST(2 * i AS INTEGER)))) AS BIGINT)"
+    s"""WITH li AS (
+      |  SELECT CAST(l_orderkey AS BIGINT) * 8 + CAST(l_linenumber AS BIGINT)
+      |      AS nat,
+      |    CAST(l_partkey AS BIGINT) AS pk, CAST(l_suppkey AS BIGINT) AS sk
+      |  FROM lineitem
+      |), mx AS (
+      |  SELECT MAX(nat) AS mnat, MAX(pk) AS mpk, MAX(sk) AS msk,
+      |    COUNT(*) AS total
+      |  FROM li
+      |), zk AS (
+      |  SELECT l.nat, l.pk, l.sk, m.total, m.mnat, m.mpk, m.msk, $morton AS zk
+      |  FROM (
+      |    SELECT li.*, li.pk * 65536 // (m0.mpk + 1) AS pk16,
+      |      li.sk * 65536 // (m0.msk + 1) AS sk16
+      |    FROM li CROSS JOIN mx m0
+      |  ) l CROSS JOIN mx m
+      |), f AS (
+      |  SELECT z.pk, z.sk, z.total, u.layout,
+      |    CASE u.layout WHEN 'natural' THEN z.nat // (z.mnat // 64 + 1)
+      |      WHEN 'sorted_pk' THEN z.pk // (z.mpk // 64 + 1)
+      |      ELSE z.zk // 67108864 END AS file
+      |  FROM zk z
+      |  CROSS JOIN (SELECT unnest(['natural', 'sorted_pk', 'zorder'])
+      |    AS layout) u
+      |), stats AS (
+      |  SELECT layout, file, MIN(pk) AS min_pk, MAX(pk) AS max_pk,
+      |    MIN(sk) AS min_sk, MAX(sk) AS max_sk,
+      |    COUNT(*) AS n_rows, MAX(total) AS total
+      |  FROM f GROUP BY layout, file
+      |), bands AS (
+      |  SELECT mpk * 49 // 100 AS pk_lo, mpk * 51 // 100 AS pk_hi,
+      |    msk * 49 // 100 AS sk_lo, msk * 51 // 100 AS sk_hi
+      |  FROM mx
+      |), hits AS (
+      |  SELECT s.layout, s.n_rows, s.total, p.predicate,
+      |    CASE WHEN p.predicate = 'pk_band'
+      |      THEN CASE WHEN s.max_pk >= b.pk_lo AND s.min_pk <= b.pk_hi
+      |        THEN 1 ELSE 0 END
+      |      ELSE CASE WHEN s.max_sk >= b.sk_lo AND s.min_sk <= b.sk_hi
+      |        THEN 1 ELSE 0 END END AS hit
+      |  FROM stats s CROSS JOIN bands b
+      |  CROSS JOIN (SELECT unnest(['pk_band', 'sk_band']) AS predicate) p
+      |)
+      |SELECT layout, predicate, CAST(COUNT(*) AS BIGINT) AS n_files,
+      |  CAST(SUM(hit) AS BIGINT) AS files_scanned,
+      |  CAST(SUM(hit * n_rows) AS BIGINT) AS rows_scanned,
+      |  CAST(MAX(total) AS BIGINT) AS total_rows,
+      |  CAST(SUM(hit * n_rows) * 1000000 // MAX(total) AS BIGINT) AS scan_ppm
+      |FROM hits GROUP BY layout, predicate
+      |ORDER BY layout, predicate""".stripMargin
+  }
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    ("q288_layout_pruning", q288 _, Some(q288Sql)),
     ("q278_winnow_fingerprint", q278 _, Some(q278Sql)),
     ("q253_snapshot_diff", q253 _, Some(q253Sql)),
     ("q210_shuffle_quality", q210 _, Some(q210Sql)),

@@ -2911,7 +2911,96 @@ object Extensions {
       |    AS fre_milli
       |FROM g ORDER BY source""".stripMargin
 
+  // ---- q289 central-DP release via the geometric mechanism ----------------
+
+  /** q289 ε = ln 2 central-DP release (the geometric mechanism — Ghosh,
+    * Roughgarden & Sundararajan, SICOMP 2012: the UNIVERSALLY optimal
+    * discrete analogue of Laplace): the curator releases each per-source
+    * count and token sum through two-sided geometric noise
+    * P(k) = (1/3)·2^(−|k|) — the one DP noise distribution with EXACT
+    * dyadic sampling, so the portable-coin discipline covers a CENTRAL
+    * mechanism (q279 is the LOCAL leg; there every respondent randomizes,
+    * here one draw protects each released statistic). The inverse-CDF
+    * ladder runs on u = md5(salt:source) mod 3·2²⁰: u < 2²⁰ → 0; else the
+    * low bit signs and the remaining 2²⁰-range bits pick magnitude j with
+    * probability 2^(−j), TRUNCATED at 8 (declared: the 2^(−7) tail lumps
+    * into j = 8 — standard bounded-noise practice; ε accounting then holds
+    * against the truncated distribution). The token sum clips each
+    * document's contribution at 256 tokens FIRST (sensitivity bound — an
+    * unbounded per-doc contribution has no finite sensitivity and no DP
+    * scale), and its noise is magnitude × 256. Exact truth beside the
+    * release (the q91/q211 audit discipline — the artifact shows exactly
+    * what privacy cost in utility). One scan + |sources| rollup; the noise
+    * is |sources| CASE expressions. */
+  def q289(spark: SparkSession, dir: String): DataFrame = {
+    val u = T.portableHash60(concat(lit("dp1:"), col("source"))) %
+      lit(3L * 1048576L)
+    val u2 = T.portableHash60(concat(lit("dp2:"), col("source"))) %
+      lit(3L * 1048576L)
+    def geom(uu: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      val v = uu - lit(1048576L)           // in [0, 2^21) when uu >= 2^20
+      val sign = when(v % 2 === 0, lit(1L)).otherwise(lit(-1L))
+      val t = shiftright(v, 1)             // v div 2, exact (v >= 0 here)
+      val mag = when(t < 524288L, 1L).when(t < 786432L, 2L)
+        .when(t < 917504L, 3L).when(t < 983040L, 4L)
+        .when(t < 1015808L, 5L).when(t < 1032192L, 6L)
+        .when(t < 1040384L, 7L).otherwise(8L)
+      when(uu < 1048576L, 0L).otherwise(sign * mag)
+    }
+    Tables.parallelized(Tables.load(spark, dir, "documents"))
+      .select(col("source"),
+        least(lit(256L),
+          size(T.tokens(coalesce(col("text"), lit(""))))
+            .cast(LongType)).as("tok_clip"))
+      .groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum("tok_clip").as("clipped_tokens"))
+      .withColumn("noise_docs", geom(u))
+      .withColumn("noise_tokens", geom(u2) * lit(256L))
+      .withColumn("dp_docs", greatest(lit(0L), col("n_docs") + col("noise_docs")))
+      .withColumn("dp_tokens",
+        greatest(lit(0L), col("clipped_tokens") + col("noise_tokens")))
+      .select("source", "n_docs", "dp_docs", "clipped_tokens", "dp_tokens",
+        "noise_docs", "noise_tokens")
+      .orderBy("source")
+  }
+
+  val q289Sql: String = {
+    def geom(salt: String): String = {
+      val u = s"CAST('0x' || substr(md5('$salt:' || source), 1, 15) AS BIGINT) % 3145728"
+      s"""CASE WHEN $u < 1048576 THEN 0
+        |    ELSE (CASE WHEN ($u - 1048576) % 2 = 0 THEN 1 ELSE -1 END) *
+        |      (CASE WHEN ($u - 1048576) // 2 < 524288 THEN 1
+        |            WHEN ($u - 1048576) // 2 < 786432 THEN 2
+        |            WHEN ($u - 1048576) // 2 < 917504 THEN 3
+        |            WHEN ($u - 1048576) // 2 < 983040 THEN 4
+        |            WHEN ($u - 1048576) // 2 < 1015808 THEN 5
+        |            WHEN ($u - 1048576) // 2 < 1032192 THEN 6
+        |            WHEN ($u - 1048576) // 2 < 1040384 THEN 7
+        |            ELSE 8 END) END""".stripMargin
+    }
+    s"""WITH g AS (
+      |  SELECT source, COUNT(*) AS n_docs,
+      |    CAST(SUM(LEAST(256,
+      |      len(string_split(COALESCE(text, ''), ' ')))) AS BIGINT)
+      |      AS clipped_tokens
+      |  FROM documents GROUP BY source
+      |), n AS (
+      |  SELECT source, n_docs, clipped_tokens,
+      |    CAST(${geom("dp1")} AS BIGINT) AS noise_docs,
+      |    CAST((${geom("dp2")}) * 256 AS BIGINT) AS noise_tokens
+      |  FROM g
+      |)
+      |SELECT source, n_docs,
+      |  CAST(GREATEST(0, n_docs + noise_docs) AS BIGINT) AS dp_docs,
+      |  clipped_tokens,
+      |  CAST(GREATEST(0, clipped_tokens + noise_tokens) AS BIGINT) AS dp_tokens,
+      |  noise_docs, noise_tokens
+      |FROM n ORDER BY source""".stripMargin
+  }
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    ("q289_dp_release", q289 _, Some(q289Sql)),
     ("q285_readability", q285 _, Some(q285Sql)),
     ("q279_randomized_response", q279 _, Some(q279Sql)),
     ("q26_dedup_exact", q26 _, Some(q26Sql)),

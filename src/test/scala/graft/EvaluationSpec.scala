@@ -55,6 +55,39 @@ class EvaluationSpec extends AnyFunSuite {
     }
   }
 
+  test("q289 geometric-mechanism DP: driver-side ladder replay, clamps hold") {
+    def md560(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        md.take(8).map(b => f"$b%02x").mkString.take(15), 16)
+    }
+    def geom(u: Long): Long =
+      if (u < 1048576L) 0L
+      else {
+        val v = u - 1048576L
+        val sign = if (v % 2 == 0) 1L else -1L
+        val t = v / 2
+        val mag =
+          if (t < 524288L) 1L else if (t < 786432L) 2L
+          else if (t < 917504L) 3L else if (t < 983040L) 4L
+          else if (t < 1015808L) 5L else if (t < 1032192L) 6L
+          else if (t < 1040384L) 7L else 8L
+        sign * mag
+      }
+    val got = graft.queries.Extensions.q289(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(got.nonEmpty)
+    got.foreach { case (src, (n, dpn, ct, dpt, nd, nt)) =>
+      assert(nd == geom(md560(s"dp1:$src") % 3145728L), s"$src noise_docs")
+      assert(nt == geom(md560(s"dp2:$src") % 3145728L) * 256L,
+        s"$src noise_tokens")
+      assert(math.abs(nd) <= 8L && math.abs(nt) <= 2048L)
+      assert(dpn == math.max(0L, n + nd) && dpt == math.max(0L, ct + nt))
+    }
+  }
+
   test("q238 bootstrap CI: interval ordered, covers the point estimate, replays") {
     val rows = Evaluation.q238(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),

@@ -15,6 +15,36 @@ class OperatorSemanticsSpec extends AnyFunSuite {
 
   private val rnd = new scala.util.Random(42)
 
+  test("mortonKey16 equals the per-bit mortonKey on the 16-bit domain") {
+    import graft.operators.ZOrder
+    val pts = (0 until 500).map(_ =>
+      (rnd.nextInt(65536).toLong, rnd.nextInt(65536).toLong)) ++
+      Seq((0L, 0L), (65535L, 65535L), (0L, 65535L), (65535L, 0L))
+    val df = pts.toDF("a", "b")
+      .select(ZOrder.mortonKey(col("a"), col("b")).as("slow"),
+        ZOrder.mortonKey16(col("a"), col("b")).as("fast"))
+    assert(df.filter(col("slow") =!= col("fast")).count() == 0)
+  }
+
+  test("q288 layout pruning: z-order prunes both keys, sorted only its own") {
+    val rows = graft.queries.Corpus.q288(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(6)).toMap
+    // natural layout prunes nothing, either predicate
+    assert(rows(("natural", "pk_band")) == 1000000L)
+    assert(rows(("natural", "sk_band")) == 1000000L)
+    // sorting on pk prunes the pk band hard but scans everything for sk
+    assert(rows(("sorted_pk", "pk_band")) < 150000L,
+      s"sorted pk_band ${rows(("sorted_pk", "pk_band"))}")
+    assert(rows(("sorted_pk", "sk_band")) == 1000000L)
+    // the normalized Morton layout prunes BOTH bands well below half —
+    // the one-copy-serves-two-access-paths property ZOrder exists for
+    assert(rows(("zorder", "pk_band")) < 500000L,
+      s"zorder pk_band ${rows(("zorder", "pk_band"))}")
+    assert(rows(("zorder", "sk_band")) < 500000L,
+      s"zorder sk_band ${rows(("zorder", "sk_band"))}")
+  }
+
   test("connected components: chain, clique, isolated vertex, convergence") {
     // vertices 0..9; edges: chain 1-2-3-4 (diameter 3 — needs >1 round),
     // clique {5,6,7}, pair {8,9}; 0 isolated
