@@ -965,7 +965,145 @@ object Analytics {
       |FROM sh GROUP BY l_partkey HAVING COUNT(*) >= 2
       |ORDER BY hhi_ppm DESC, l_partkey LIMIT 20""".stripMargin
 
+  // ---- q291 A/B experiment readout -----------------------------------------
+
+  /** q291 deterministic A/B experiment readout with bootstrap error bars —
+    * the experiment-analysis shape every event pipeline ends in: users are
+    * assigned to arms by a salted portable hash (md5('ab:'||user_id) % 2 —
+    * the industry-standard deterministic bucketing: stable across sessions,
+    * reproducible across engines, no assignment table to join), the metric
+    * is per-user purchase count (a continuous metric — the fixture's
+    * binary any-purchase conversion saturates at 100% in both arms, which
+    * was measured first and swapped), and the uplift (mean_B − mean_A in
+    * ×10³ fixed point) ships with a [2nd, 31st]-of-32 Poisson-
+    * bootstrap interval on the USER level — the q238 kernel (Chamandy et
+    * al. 2012) re-aimed at a between-arm difference, with q238's
+    * degenerate-replicate lesson inherited: a replicate is ranked only if
+    * BOTH arms drew positive weight, and the rank picks clamp to the
+    * defined count. Everything integer: rates are truncating ppm, the
+    * uplift is a subtraction (negatives never reach a division). Scale
+    * shape: one event scan to the per-user frame (user-vocabulary-
+    * bounded), a ×32 replicate explode collapsing map-side into 64
+    * (replicate, arm) cells, and a 32-row rank. */
+  def q291(spark: SparkSession, dir: String): DataFrame = {
+    val users = Tables.load(spark, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .as("conv"))
+      .withColumn("arm", T.hashBucket(
+        concat(lit("ab:"), col("user_id").cast(StringType)), 2))
+    val point = users.groupBy("arm").agg(
+      count(lit(1)).as("n"), sum("conv").as("c"))
+      .agg(
+        sum(when(col("arm") === 0, col("n")).otherwise(0L)).as("n_a"),
+        sum(when(col("arm") === 0, col("c")).otherwise(0L)).as("purch_a"),
+        sum(when(col("arm") === 1, col("n")).otherwise(0L)).as("n_b"),
+        sum(when(col("arm") === 1, col("c")).otherwise(0L)).as("purch_b"))
+      .withColumn("mean_a_x1e3", expr("purch_a * 1000 div greatest(1, n_a)"))
+      .withColumn("mean_b_x1e3", expr("purch_b * 1000 div greatest(1, n_b)"))
+      .withColumn("uplift_x1e3", col("mean_b_x1e3") - col("mean_a_x1e3"))
+    val cells = users
+      .select(col("user_id"), col("arm"), col("conv"),
+        explode(array((0 until 32).map(lit): _*)).as("b"))
+      .withColumn("u", T.hashBucket(
+        concat(col("user_id").cast(StringType), lit("#b"),
+          col("b").cast(StringType)), 1000000))
+      .withColumn("w",
+        when(col("u") < 367879L, 0L).when(col("u") < 735759L, 1L)
+          .when(col("u") < 919699L, 2L).when(col("u") < 981012L, 3L)
+          .otherwise(4L))
+      .groupBy("b", "arm").agg(sum("w").as("sw"),
+        sum(expr("w * conv")).as("swc"))
+    val reps = cells.groupBy("b").agg(
+        min(when(col("arm") === 0, col("sw"))).as("sw_a"),
+        min(when(col("arm") === 0, col("swc"))).as("swc_a"),
+        min(when(col("arm") === 1, col("sw"))).as("sw_b"),
+        min(when(col("arm") === 1, col("swc"))).as("swc_b"))
+      .filter(col("sw_a") > 0 && col("sw_b") > 0)
+      .withColumn("uplift_b", expr(
+        "swc_b * 1000 div sw_b - swc_a * 1000 div sw_a"))
+      .withColumn("r", row_number().over(
+        Window.partitionBy(lit(1)).orderBy(col("uplift_b"), col("b"))))
+      .withColumn("n_def", count(lit(1)).over(Window.partitionBy(lit(1))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    val ci = reps
+      .filter(col("r") === least(lit(2L), col("n_def")) ||
+        col("r") === greatest(col("n_def") - 1, lit(1L)))
+      .agg(min("uplift_b").as("boot_lo_x1e3"), max("uplift_b").as("boot_hi_x1e3"),
+        max("n_def").as("n_defined_reps"))
+    point.crossJoin(broadcast(ci))
+      .select("n_a", "purch_a", "mean_a_x1e3", "n_b", "purch_b", "mean_b_x1e3",
+        "uplift_x1e3", "n_defined_reps", "boot_lo_x1e3", "boot_hi_x1e3")
+  }
+
+  val q291Sql: String =
+    """WITH users AS (
+      |  SELECT user_id,
+      |    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv,
+      |    CAST('0x' || substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 8)
+      |      AS BIGINT) % 2 AS arm
+      |  FROM events GROUP BY user_id
+      |), pt AS (
+      |  SELECT
+      |    CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |    CAST(SUM(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT)
+      |      AS purch_a,
+      |    CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+      |    CAST(SUM(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT)
+      |      AS purch_b
+      |  FROM users
+      |), r AS (
+      |  SELECT u.arm, u.conv, b.b,
+      |    CAST('0x' || substr(md5(CAST(u.user_id AS VARCHAR) || '#b'
+      |      || CAST(b.b AS VARCHAR)), 1, 8) AS BIGINT) % 1000000 AS uu
+      |  FROM users u CROSS JOIN (SELECT unnest(range(0, 32)) AS b) b
+      |), cw AS (
+      |  SELECT b, arm,
+      |    SUM(CASE WHEN uu < 367879 THEN 0 WHEN uu < 735759 THEN 1
+      |             WHEN uu < 919699 THEN 2 WHEN uu < 981012 THEN 3
+      |             ELSE 4 END) AS sw,
+      |    SUM((CASE WHEN uu < 367879 THEN 0 WHEN uu < 735759 THEN 1
+      |              WHEN uu < 919699 THEN 2 WHEN uu < 981012 THEN 3
+      |              ELSE 4 END) * conv) AS swc
+      |  FROM r GROUP BY b, arm
+      |), reps AS (
+      |  SELECT b,
+      |    MIN(CASE WHEN arm = 0 THEN sw END) AS sw_a,
+      |    MIN(CASE WHEN arm = 0 THEN swc END) AS swc_a,
+      |    MIN(CASE WHEN arm = 1 THEN sw END) AS sw_b,
+      |    MIN(CASE WHEN arm = 1 THEN swc END) AS swc_b
+      |  FROM cw GROUP BY b
+      |), defined AS (
+      |  SELECT b,
+      |    swc_b * 1000 // sw_b - swc_a * 1000 // sw_a AS uplift_b
+      |  FROM reps WHERE sw_a > 0 AND sw_b > 0
+      |), ranked AS (
+      |  SELECT uplift_b,
+      |    ROW_NUMBER() OVER (ORDER BY uplift_b, b) AS r,
+      |    COUNT(*) OVER () AS n_def
+      |  FROM defined
+      |), ci AS (
+      |  SELECT MIN(uplift_b) AS boot_lo_x1e3, MAX(uplift_b) AS boot_hi_x1e3,
+      |    MAX(n_def) AS n_defined_reps
+      |  FROM ranked
+      |  WHERE r = LEAST(2, n_def) OR r = GREATEST(n_def - 1, 1)
+      |)
+      |SELECT pt.n_a, pt.purch_a,
+      |  CAST(pt.purch_a * 1000 // GREATEST(1, pt.n_a) AS BIGINT)
+      |    AS mean_a_x1e3,
+      |  pt.n_b, pt.purch_b,
+      |  CAST(pt.purch_b * 1000 // GREATEST(1, pt.n_b) AS BIGINT)
+      |    AS mean_b_x1e3,
+      |  CAST(pt.purch_b * 1000 // GREATEST(1, pt.n_b)
+      |    - pt.purch_a * 1000 // GREATEST(1, pt.n_a) AS BIGINT)
+      |    AS uplift_x1e3,
+      |  CAST(ci.n_defined_reps AS BIGINT) AS n_defined_reps,
+      |  CAST(ci.boot_lo_x1e3 AS BIGINT) AS boot_lo_x1e3,
+      |  CAST(ci.boot_hi_x1e3 AS BIGINT) AS boot_hi_x1e3
+      |FROM pt CROSS JOIN ci""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    ("q291_ab_experiment", q291 _, Some(q291Sql)),
     ("q217_decayed_popularity", q217 _, Some(q217Sql)),
     ("q231_sourcing_hhi", q231 _, Some(q231Sql)),
     ("q230_rfm_segments", q230 _, Some(q230Sql)),

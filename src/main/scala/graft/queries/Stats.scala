@@ -2087,7 +2087,108 @@ object Stats {
       |    AS acf_ppm
       |FROM g ORDER BY event_type, lagk""".stripMargin
 
+  // ---- q290 join-cardinality estimation audit ------------------------------
+
+  /** q290 join-size estimation audit — the optimizer statistic that decides
+    * broadcast-vs-shuffle and join order at 100 TB, priced against ground
+    * truth on a real many-to-many key (events.user_id ⋈ orders.o_custkey):
+    * (1) the textbook INDEPENDENCE estimate |A|·|B| div max(ndv_A, ndv_B)
+    * (what a cost model uses with only table stats — Selinger 1979's
+    * uniformity assumption); (2) a HEAVY-HITTER estimate: the top-32 keys
+    * of A get exact per-key products, the residual mass keeps the
+    * uniformity assumption (what a cost model does with an equi-height
+    * histogram / TopN statistic); (3) the EXACT size Σ_k c_A(k)·c_B(k),
+    * computable distributively as two key-count aggregates and one
+    * key-bounded join — never materializing the join itself. Emits all
+    * three with error ppm; how far (2) closes the gap from (1) is the
+    * measured argument for keeping per-key statistics at scale. All
+    * integer; the HH set is (count desc, key) deterministic. */
+  def q290(spark: SparkSession, dir: String): DataFrame = {
+    val ca = Tables.load(spark, dir, "events")
+      .groupBy(col("user_id").cast(LongType).as("k"))
+      .agg(count(lit(1)).as("ca"))
+    val cb = Tables.load(spark, dir, "orders")
+      .groupBy(col("o_custkey").cast(LongType).as("k"))
+      .agg(count(lit(1)).as("cb"))
+    val joined = graft.operators.Checkpoints.scratch(
+      ca.join(cb, Seq("k"), "full").na.fill(0L, Seq("ca", "cb")))
+    // the top-32 split is a TakeOrdered (map-side top-32 per partition, one
+    // 32-row reduce) — never a single-partition rank window over the key
+    // frame, which at 100 TB is itself vocabulary-sized
+    val hh = joined.orderBy(col("ca").desc, col("k")).limit(32)
+      .agg(sum(expr("ca * cb")).as("hh_exact_part"),
+        sum("ca").as("hh_a"), sum("cb").as("hh_b"),
+        sum(when(col("ca") > 0, 1L).otherwise(0L)).as("hh_ndv_a"),
+        sum(when(col("cb") > 0, 1L).otherwise(0L)).as("hh_ndv_b"))
+    joined.agg(
+        sum("ca").as("n_a"), sum("cb").as("n_b"),
+        sum(when(col("ca") > 0, 1L).otherwise(0L)).as("ndv_a"),
+        sum(when(col("cb") > 0, 1L).otherwise(0L)).as("ndv_b"),
+        sum(expr("ca * cb")).as("exact_rows"))
+      .crossJoin(broadcast(hh))
+      .withColumn("rest_a", expr("n_a - hh_a"))
+      .withColumn("rest_b", expr("n_b - hh_b"))
+      .withColumn("rest_ndv_a", expr("ndv_a - hh_ndv_a"))
+      .withColumn("rest_ndv_b", expr("ndv_b - hh_ndv_b"))
+      .withColumn("est_independence",
+        expr("n_a * n_b div greatest(ndv_a, ndv_b)"))
+      .withColumn("est_hh", expr("hh_exact_part + " +
+        "rest_a * rest_b div greatest(1, greatest(rest_ndv_a, rest_ndv_b))"))
+      .withColumn("err_indep_ppm", expr(
+        "abs(est_independence - exact_rows) * 1000000 div greatest(1, exact_rows)"))
+      .withColumn("err_hh_ppm", expr(
+        "abs(est_hh - exact_rows) * 1000000 div greatest(1, exact_rows)"))
+      .select("n_a", "n_b", "ndv_a", "ndv_b", "exact_rows",
+        "est_independence", "est_hh", "err_indep_ppm", "err_hh_ppm")
+  }
+
+  val q290Sql: String =
+    """WITH ca AS (
+      |  SELECT CAST(user_id AS BIGINT) AS k, COUNT(*) AS ca
+      |  FROM events GROUP BY 1
+      |), cb AS (
+      |  SELECT CAST(o_custkey AS BIGINT) AS k, COUNT(*) AS cb
+      |  FROM orders GROUP BY 1
+      |), j AS (
+      |  SELECT COALESCE(ca.k, cb.k) AS k, COALESCE(ca.ca, 0) AS ca,
+      |    COALESCE(cb.cb, 0) AS cb
+      |  FROM ca FULL OUTER JOIN cb ON cb.k = ca.k
+      |), hh AS (
+      |  SELECT CAST(SUM(ca * cb) AS BIGINT) AS hh_exact_part,
+      |    CAST(SUM(ca) AS BIGINT) AS hh_a, CAST(SUM(cb) AS BIGINT) AS hh_b,
+      |    CAST(SUM(CASE WHEN ca > 0 THEN 1 ELSE 0 END) AS BIGINT) AS hh_ndv_a,
+      |    CAST(SUM(CASE WHEN cb > 0 THEN 1 ELSE 0 END) AS BIGINT) AS hh_ndv_b
+      |  FROM (SELECT * FROM j ORDER BY ca DESC, k LIMIT 32)
+      |), g AS (
+      |  SELECT CAST(SUM(ca) AS BIGINT) AS n_a, CAST(SUM(cb) AS BIGINT) AS n_b,
+      |    CAST(SUM(CASE WHEN ca > 0 THEN 1 ELSE 0 END) AS BIGINT) AS ndv_a,
+      |    CAST(SUM(CASE WHEN cb > 0 THEN 1 ELSE 0 END) AS BIGINT) AS ndv_b,
+      |    CAST(SUM(ca * cb) AS BIGINT) AS exact_rows,
+      |    CAST(h.hh_exact_part AS BIGINT) AS hh_exact_part,
+      |    CAST(SUM(ca) - h.hh_a AS BIGINT) AS rest_a,
+      |    CAST(SUM(cb) - h.hh_b AS BIGINT) AS rest_b,
+      |    CAST(SUM(CASE WHEN ca > 0 THEN 1 ELSE 0 END) - h.hh_ndv_a AS BIGINT)
+      |      AS rest_ndv_a,
+      |    CAST(SUM(CASE WHEN cb > 0 THEN 1 ELSE 0 END) - h.hh_ndv_b AS BIGINT)
+      |      AS rest_ndv_b
+      |  FROM j CROSS JOIN hh h
+      |  GROUP BY h.hh_exact_part, h.hh_a, h.hh_b, h.hh_ndv_a, h.hh_ndv_b
+      |)
+      |SELECT n_a, n_b, ndv_a, ndv_b, exact_rows,
+      |  CAST(n_a * n_b // GREATEST(ndv_a, ndv_b) AS BIGINT)
+      |    AS est_independence,
+      |  CAST(hh_exact_part + rest_a * rest_b
+      |    // GREATEST(1, GREATEST(rest_ndv_a, rest_ndv_b)) AS BIGINT)
+      |    AS est_hh,
+      |  CAST(ABS(n_a * n_b // GREATEST(ndv_a, ndv_b) - exact_rows) * 1000000
+      |    // GREATEST(1, exact_rows) AS BIGINT) AS err_indep_ppm,
+      |  CAST(ABS(hh_exact_part + rest_a * rest_b
+      |      // GREATEST(1, GREATEST(rest_ndv_a, rest_ndv_b)) - exact_rows)
+      |    * 1000000 // GREATEST(1, exact_rows) AS BIGINT) AS err_hh_ppm
+      |FROM g""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    ("q290_join_cardinality", q290 _, Some(q290Sql)),
     ("q282_concurrency_sweep", q282 _, Some(q282Sql)),
     ("q283_cusum_changepoint", q283 _, Some(q283Sql)),
     ("q284_acf_hourly", q284 _, Some(q284Sql)),

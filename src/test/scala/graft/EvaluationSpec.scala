@@ -55,6 +55,32 @@ class EvaluationSpec extends AnyFunSuite {
     }
   }
 
+  test("q291 A/B readout: arms reconcile, assignment replays, CI sane") {
+    import org.apache.spark.sql.functions.{col, countDistinct}
+    val r = graft.queries.Analytics.q291(spark, sf).collect()(0)
+    val (nA, pA, mA, nB, pB, mB, up, nDef, lo, hi) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8), r.getLong(9))
+    val ev = graft.Tables.load(spark, sf, "events")
+    assert(nA + nB ==
+      ev.select(countDistinct(col("user_id"))).head.getLong(0))
+    assert(pA + pB == ev.filter(col("event_type") === "purchase").count())
+    assert(mA == pA * 1000L / nA && mB == pB * 1000L / nB)
+    assert(up == mB - mA)
+    // arm assignment replays with an independent md5
+    def arm(uid: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"ab:$uid".getBytes("UTF-8"))
+      java.lang.Long.parseLong(md.take(4).map(x => f"$x%02x").mkString, 16) % 2
+    }
+    val uids = ev.select("user_id").distinct().collect().map(_.getLong(0))
+    assert(uids.count(arm(_) == 0).toLong == nA)
+    // the fixture is an A/A test (assignment is independent of behavior):
+    // interval ordered, defined, and brackets the point estimate
+    assert(nDef == 32L && lo <= hi)
+    assert(lo <= up && up <= hi, s"uplift $up outside [$lo, $hi]")
+  }
+
   test("q289 geometric-mechanism DP: driver-side ladder replay, clamps hold") {
     def md560(s: String): Long = {
       val md = java.security.MessageDigest.getInstance("MD5")

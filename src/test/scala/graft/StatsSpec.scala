@@ -14,6 +14,26 @@ class StatsSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   private val sf = "/root/testdata/sf0.001"
 
+  test("q290 join cardinality: exact leg equals the materialized join") {
+    val r = Stats.q290(spark, sf).collect()(0)
+    val (nA, nB, exact, estInd, estHh, errInd, errHh) =
+      (r.getLong(0), r.getLong(1), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getLong(7), r.getLong(8))
+    // ground truth: actually materialize the join once
+    val a = Tables.load(spark, sf, "events")
+      .select(col("user_id").cast("long").as("k"))
+    val b = Tables.load(spark, sf, "orders")
+      .select(col("o_custkey").cast("long").as("k"))
+    assert(nA == a.count() && nB == b.count())
+    assert(exact == a.join(b, Seq("k")).count(),
+      s"sketch-free exact leg $exact != materialized join")
+    assert(errInd == math.abs(estInd - exact) * 1000000L / exact)
+    assert(errHh == math.abs(estHh - exact) * 1000000L / exact)
+    // on the fixture the heavy-hitter histogram beats plain independence —
+    // the measured argument for keeping per-key stats (deterministic data)
+    assert(errHh <= errInd, s"hh $errHh vs independence $errInd")
+  }
+
   test("q282 concurrency sweep: planted overlaps, midnight span, touch rule") {
     import spark.implicits._
     val M = 60000L
