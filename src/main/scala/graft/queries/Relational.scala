@@ -416,7 +416,118 @@ object Relational {
     }.mkString("", "\nUNION ALL\n", "\nORDER BY child_table, fk_col")
 
   /** name → (impl, oracle) */
+  /** q293 right-to-be-forgotten cascade audit — the data-management answer
+    * a privacy office asks BEFORE a deletion batch runs: for a
+    * deterministic 5% victim cohort (md5('del:'||custkey) % 20 = 0 — in
+    * production the request table), how many rows does the FK cascade
+    * reach in every table? customer → orders (o_custkey) → lineitem
+    * (l_orderkey through the deleted orders) → events (user_id); one row
+    * per table with deleted mass in ppm, plus a CLOSURE PROBE row: the
+    * order cascade recomputed through an independent path (the hash rule
+    * applied directly at o_custkey) must agree with the customer-join leg,
+    * and the symmetric difference counts exactly the orders whose
+    * hash-selected customer is missing — a real FK probe carried in the
+    * audit itself, zero on FK-clean data. All
+    * FK-keyed semi/anti joins — the cascade never touches a non-key
+    * column, so at 100 TB every leg is a broadcast or shuffle on the
+    * key the table is already organized by. */
+  def q293(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{TextFunctions => T}
+    val victims = Tables.load(spark, dir, "customer")
+      .select(col("c_custkey").cast(LongType).as("ck"))
+      .filter(T.hashBucket(
+        concat(lit("del:"), col("c_custkey").cast(StringType)), 20) === 0)
+    val vs = graft.operators.Checkpoints.scratch(victims)
+    val cust = Tables.load(spark, dir, "customer")
+      .select(col("c_custkey").cast(LongType).as("ck"))
+    val ords = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey").cast(LongType).as("ok"),
+        col("o_custkey").cast(LongType).as("ck"))
+    val delOrds = graft.operators.Checkpoints.scratch(
+      ords.join(vs, Seq("ck"), "left_semi").select("ok"))
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey").cast(LongType).as("ok"))
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("user_id").cast(LongType).as("ck"))
+    def audit(name: String, all: DataFrame, deleted: DataFrame): DataFrame = {
+      val n = all.agg(count(lit(1)).as("n_rows"))
+      val d = deleted.agg(count(lit(1)).as("n_deleted"))
+      n.crossJoin(d).select(lit(name).as("table_name"),
+        col("n_rows"), col("n_deleted"),
+        expr("n_deleted * 1000000 div greatest(1, n_rows)")
+          .as("deleted_ppm"))
+    }
+    val out = audit("customer", cust, cust.join(vs, Seq("ck"), "left_semi"))
+      .union(audit("orders", ords, ords.join(vs, Seq("ck"), "left_semi")))
+      .union(audit("lineitem", li, li.join(delOrds, Seq("ok"), "left_semi")))
+      .union(audit("events", ev, ev.join(vs, Seq("ck"), "left_semi")))
+    // closure probe (NON-vacuous): recompute the order cascade through an
+    // independent path — the hash rule applied directly at o_custkey — and
+    // count the symmetric difference against the customer-join leg. The
+    // two agree iff every o_custkey exists in customer (delords ⊆ the
+    // direct-hash set always; the residual is exactly orders whose
+    // hash-selected customer is MISSING — a real FK probe, not a tautology)
+    val delOrds2 = ords.filter(T.hashBucket(
+        concat(lit("del:"), col("ck").cast(StringType)), 20) === 0)
+      .select("ok")
+    val disagreement = delOrds.join(delOrds2, Seq("ok"), "left_anti")
+      .union(delOrds2.join(delOrds, Seq("ok"), "left_anti"))
+    out.union(audit("zz_cascade_disagreement", ords.select("ok"), disagreement))
+      .orderBy("table_name")
+  }
+
+  val q293Sql: String =
+    """WITH vs AS (
+      |  SELECT CAST(c_custkey AS BIGINT) AS ck FROM customer
+      |  WHERE CAST('0x' || substr(md5('del:' || CAST(c_custkey AS VARCHAR)),
+      |    1, 8) AS BIGINT) % 20 = 0
+      |), delords AS (
+      |  SELECT CAST(o_orderkey AS BIGINT) AS ok FROM orders
+      |  WHERE CAST(o_custkey AS BIGINT) IN (SELECT ck FROM vs)
+      |), rows_t AS (
+      |  SELECT 'customer' AS table_name, COUNT(*) AS n_rows,
+      |    CAST(SUM(CASE WHEN CAST(c_custkey AS BIGINT)
+      |      IN (SELECT ck FROM vs) THEN 1 ELSE 0 END) AS BIGINT) AS n_deleted
+      |  FROM customer
+      |  UNION ALL
+      |  SELECT 'orders', COUNT(*),
+      |    CAST(SUM(CASE WHEN CAST(o_custkey AS BIGINT)
+      |      IN (SELECT ck FROM vs) THEN 1 ELSE 0 END) AS BIGINT)
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT 'lineitem', COUNT(*),
+      |    CAST(SUM(CASE WHEN CAST(l_orderkey AS BIGINT)
+      |      IN (SELECT ok FROM delords) THEN 1 ELSE 0 END) AS BIGINT)
+      |  FROM lineitem
+      |  UNION ALL
+      |  SELECT 'events', COUNT(*),
+      |    CAST(SUM(CASE WHEN CAST(user_id AS BIGINT)
+      |      IN (SELECT ck FROM vs) THEN 1 ELSE 0 END) AS BIGINT)
+      |  FROM events
+      |  UNION ALL
+      |  SELECT 'zz_cascade_disagreement',
+      |    (SELECT COUNT(*) FROM orders),
+      |    CAST(COUNT(*) AS BIGINT)
+      |  FROM (
+      |    SELECT ok FROM delords
+      |    WHERE ok NOT IN (SELECT CAST(o_orderkey AS BIGINT) FROM orders
+      |      WHERE CAST('0x' || substr(md5('del:'
+      |        || CAST(o_custkey AS VARCHAR)), 1, 8) AS BIGINT) % 20 = 0)
+      |    UNION ALL
+      |    SELECT CAST(o_orderkey AS BIGINT) FROM orders
+      |    WHERE CAST('0x' || substr(md5('del:'
+      |        || CAST(o_custkey AS VARCHAR)), 1, 8) AS BIGINT) % 20 = 0
+      |      AND CAST(o_orderkey AS BIGINT) NOT IN (SELECT ok FROM delords)
+      |  )
+      |)
+      |SELECT table_name, CAST(n_rows AS BIGINT) AS n_rows,
+      |  n_deleted AS n_deleted,
+      |  CAST(n_deleted * 1000000 // GREATEST(1, n_rows) AS BIGINT)
+      |    AS deleted_ppm
+      |FROM rows_t ORDER BY table_name""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    ("q293_delete_cascade", q293 _, Some(q293Sql)),
     ("q251_fk_integrity", q251 _, Some(q251Sql)),
     ("q01_scan_project", q01 _, Some(q01Sql)),
     ("q02_rename", q02 _, Some(q02Sql)),

@@ -2187,8 +2187,76 @@ object Stats {
       |    * 1000000 // GREATEST(1, exact_rows) AS BIGINT) AS err_hh_ppm
       |FROM g""".stripMargin
 
+  // ---- q292 out-of-orderness / watermark-sizing audit -----------------------
+
+  /** q292 event-time disorder audit — the number that SIZES a watermark
+    * before anyone deploys the §2.9 streaming jobs: per user stream (the
+    * key the stateful operators group by), events are read in ARRIVAL
+    * order (event_id — the declared ingest-offset proxy; production uses
+    * the log offset) and each event's LATENESS is how far it trails the
+    * maximum event time already seen on that stream. The histogram is
+    * q273's power-of-two log-bucket kernel (bucket b ⟺ lateness in
+    * [2^(b−1), 2^b) ms; 0 = in order), and each row carries the decision
+    * column: the exact ppm of events a watermark of 2^b ms would DROP
+    * (the cumulative tail above the bucket). One user-keyed running-max
+    * window + one map-combined bucket aggregate + a ≤64-row cumulative
+    * window — nothing unpartitioned touches event rows. */
+  def q292(spark: SparkSession, dir: String): DataFrame =
+    q292From(Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        expr("unix_millis(ts)").as("tms")))
+
+  /** [[q292]] over an arbitrary (user_id, event_id, tms) frame — spec entry
+    * point (the committed fixture arrives fully in order, so planted
+    * disorder carries the semantics). */
+  def q292From(e: DataFrame): DataFrame = {
+    val uw = Window.partitionBy("user_id").orderBy("event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val lateness = e
+      .withColumn("late_ms", max("tms").over(uw) - col("tms"))
+      .withColumn("bucket",
+        when(col("late_ms") <= 0L, 0L)
+          .otherwise(length(bin(col("late_ms"))).cast(LongType)))
+    val buckets = lateness.groupBy("bucket")
+      .agg(count(lit(1)).as("n_events"))
+    val bw = Window.partitionBy(lit(1)).orderBy("bucket")
+      .rowsBetween(1, Window.unboundedFollowing)
+    val all = Window.partitionBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    buckets
+      .withColumn("dropped_above", coalesce(sum("n_events").over(bw), lit(0L)))
+      .withColumn("total", sum("n_events").over(all))
+      .withColumn("dropped_if_watermark_ppm",
+        expr("dropped_above * 1000000 div total"))
+      .select("bucket", "n_events", "dropped_if_watermark_ppm")
+      .orderBy("bucket")
+  }
+
+  val q292Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_ms(ts) AS tms FROM events
+      |), lt AS (
+      |  SELECT MAX(tms) OVER (PARTITION BY user_id ORDER BY event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tms
+      |    AS late_ms
+      |  FROM e
+      |), b AS (
+      |  SELECT CASE WHEN late_ms <= 0 THEN 0
+      |    ELSE CAST(length(bin(late_ms)) AS BIGINT) END AS bucket
+      |  FROM lt
+      |), g AS (
+      |  SELECT bucket, COUNT(*) AS n_events FROM b GROUP BY bucket
+      |)
+      |SELECT bucket, CAST(n_events AS BIGINT) AS n_events,
+      |  CAST(COALESCE(SUM(n_events) OVER (ORDER BY bucket
+      |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), 0)
+      |    * 1000000 // (SUM(n_events) OVER ()) AS BIGINT)
+      |    AS dropped_if_watermark_ppm
+      |FROM g ORDER BY bucket""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q290_join_cardinality", q290 _, Some(q290Sql)),
+    ("q292_watermark_sizing", q292 _, Some(q292Sql)),
     ("q282_concurrency_sweep", q282 _, Some(q282Sql)),
     ("q283_cusum_changepoint", q283 _, Some(q283Sql)),
     ("q284_acf_hourly", q284 _, Some(q284Sql)),

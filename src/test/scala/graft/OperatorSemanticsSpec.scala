@@ -15,6 +15,37 @@ class OperatorSemanticsSpec extends AnyFunSuite {
 
   private val rnd = new scala.util.Random(42)
 
+  test("q293 delete cascade: legs reconcile through an independent replay") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = graft.queries.Relational.q293(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    def arm(ck: Long): Boolean = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"del:$ck".getBytes("UTF-8"))
+      java.lang.Long.parseLong(md.take(4).map(x => f"$x%02x").mkString, 16) % 20 == 0
+    }
+    val custs = Tables.load(spark, sf, "customer")
+      .select(col("c_custkey").cast("long")).collect().map(_.getLong(0))
+    val victims = custs.filter(arm).toSet
+    assert(rows("customer")._2 == victims.size.toLong)
+    val orders = Tables.load(spark, sf, "orders")
+      .select(col("o_orderkey").cast("long"), col("o_custkey").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val delOrders = orders.filter(o => victims(o._2)).map(_._1).toSet
+    assert(rows("orders")._2 == delOrders.size.toLong)
+    val delLi = Tables.load(spark, sf, "lineitem")
+      .select(col("l_orderkey").cast("long")).collect()
+      .count(r => delOrders(r.getLong(0)))
+    assert(rows("lineitem")._2 == delLi.toLong)
+    // the closure probe must be zero on FK-clean fixtures
+    assert(rows("zz_cascade_disagreement")._2 == 0L)
+    // ppm algebra
+    rows.foreach { case (t, (n, d, ppm)) =>
+      assert(ppm == d * 1000000L / math.max(1L, n), s"$t ppm")
+    }
+  }
+
   test("mortonKey16 equals the per-bit mortonKey on the 16-bit domain") {
     import graft.operators.ZOrder
     val pts = (0 until 500).map(_ =>

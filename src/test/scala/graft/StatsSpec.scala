@@ -14,6 +14,25 @@ class StatsSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   private val sf = "/root/testdata/sf0.001"
 
+  test("q292 watermark sizing: planted disorder lands in exact log buckets") {
+    import spark.implicits._
+    // user 1 arrival order: t=1000, 5000, 4000 (1s late -> bucket 10),
+    // 5000, 2500 (2.5s late -> bucket 12), 10000; user 2 fully in order
+    val e = Seq(
+      (1L, 1L, 1000L), (1L, 2L, 5000L), (1L, 3L, 4000L),
+      (1L, 4L, 5000L), (1L, 5L, 2500L), (1L, 6L, 10000L),
+      (2L, 7L, 100L), (2L, 8L, 200L)
+    ).toDF("user_id", "event_id", "tms")
+    val out = queries.Stats.q292From(e)
+      .as[(Long, Long, Long)].collect().toSeq
+    // lateness: {0,0,1000,0,2500,0,0,0}: bucket(1000)=10, bucket(2500)=12
+    assert(out == Seq(
+      (0L, 6L, 250000L),   // watermark 0: drops the 2 late events = 25%
+      (10L, 1L, 125000L),  // watermark 2^10 ms keeps the 1.0s event
+      (12L, 1L, 0L)),      // watermark 2^12 ms loses nothing
+      s"got $out")
+  }
+
   test("q290 join cardinality: exact leg equals the materialized join") {
     val r = Stats.q290(spark, sf).collect()(0)
     val (nA, nB, exact, estInd, estHh, errInd, errHh) =
