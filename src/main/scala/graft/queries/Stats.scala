@@ -2209,21 +2209,31 @@ object Stats {
   /** [[q292]] over an arbitrary (user_id, event_id, tms) frame — spec entry
     * point (the committed fixture arrives fully in order, so planted
     * disorder carries the semantics). */
-  def q292From(e: DataFrame): DataFrame = {
+  def q292From(e: DataFrame): DataFrame =
+    watermarkTail(latenessBuckets(e))
+
+  /** The batch lateness kernel: (user_id, event_id, tms) → (bucket,
+    * n_events). Shared with the streaming digest path, whose per-batch
+    * cells must merge to exactly this frame. */
+  private[graft] def latenessBuckets(e: DataFrame): DataFrame = {
     val uw = Window.partitionBy("user_id").orderBy("event_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val lateness = e
-      .withColumn("late_ms", max("tms").over(uw) - col("tms"))
+    e.withColumn("late_ms", max("tms").over(uw) - col("tms"))
       .withColumn("bucket",
         when(col("late_ms") <= 0L, 0L)
           .otherwise(length(bin(col("late_ms"))).cast(LongType)))
-    val buckets = lateness.groupBy("bucket")
+      .groupBy("bucket")
       .agg(count(lit(1)).as("n_events"))
+  }
+
+  /** The watermark decision table over a (bucket, n_events) histogram. */
+  private[graft] def watermarkTail(buckets: DataFrame): DataFrame = {
     val bw = Window.partitionBy(lit(1)).orderBy("bucket")
       .rowsBetween(1, Window.unboundedFollowing)
     val all = Window.partitionBy(lit(1))
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     buckets
+      .groupBy("bucket").agg(sum("n_events").as("n_events"))
       .withColumn("dropped_above", coalesce(sum("n_events").over(bw), lit(0L)))
       .withColumn("total", sum("n_events").over(all))
       .withColumn("dropped_if_watermark_ppm",
@@ -2231,6 +2241,19 @@ object Stats {
       .select("bucket", "n_events", "dropped_if_watermark_ppm")
       .orderBy("bucket")
   }
+
+  /** STREAMING leg of q292 — the disorder audit as the stateful stream op
+    * it naturally is (a watermark IS a per-stream running max): the
+    * [[graft.streaming.EventStream.lateBucketStream]] processor keeps one
+    * ValueState[max event time] per user, buckets each arrival's lateness
+    * as it lands, and each micro-batch persists its (bucket, n) cell
+    * digest batch-stamped (overwrite-idempotent — the q277/q283 LSM
+    * discipline). This reader folds any number of digests and runs the
+    * same decision table; StreamingSpec pins merged == the batch q292From
+    * on the identical arrival order. */
+  def watermarkReadMerged(spark: SparkSession, dirs: Seq[String]): DataFrame =
+    watermarkTail(
+      dirs.map(d => spark.read.parquet(d)).reduce(_ unionByName _))
 
   val q292Sql: String =
     """WITH e AS (

@@ -515,4 +515,65 @@ object EventStream {
         org.apache.spark.sql.streaming.TimeMode.None(),
         OutputMode.Update())
   }
+
+  final case class LateCell(user_id: Long, bucket: Long, n: Long)
+
+  /** Per-user event-time disorder as a STREAM (the q292 twin): a watermark
+    * IS a per-stream running max, so the stateful form is one
+    * ValueState[Long] per user — each arrival's lateness against the max
+    * event time already seen buckets into q292's power-of-two histogram as
+    * it lands. Rows inside a trigger sort by event_id (the arrival-order
+    * key the batch kernel windows on), so stream and batch see the SAME
+    * prefix maxima wherever micro-batch boundaries fall. Emits the
+    * trigger's per-user bucket cells (≤ 64 rows per user-trigger, already
+    * combined), which [[lateBucketStream]] folds into per-batch digests. */
+  final class LatenessProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Event, LateCell] {
+    import org.apache.spark.sql.streaming.{TTLConfig, TimeMode, ValueState}
+    @transient private var maxSeen: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      maxSeen = getHandle.getValueState[Long]("maxSeen",
+        Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(user: Long, rows: Iterator[Event],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[LateCell] = {
+      var mx = if (maxSeen.exists()) maxSeen.get() else Long.MinValue
+      val cells = scala.collection.mutable.Map.empty[Long, Long]
+      rows.toSeq.sortBy(_.event_id).foreach { e =>
+        val tms = e.ts.getTime
+        mx = math.max(mx, tms)
+        val late = mx - tms
+        val b = if (late <= 0L) 0L else (64 - java.lang.Long.numberOfLeadingZeros(late)).toLong
+        cells(b) = cells.getOrElse(b, 0L) + 1L
+      }
+      maxSeen.update(mx)
+      cells.iterator.map { case (b, n) => LateCell(user, b, n) }
+    }
+  }
+
+  /** The q292 digest stream: lateness cells per micro-batch, persisted
+    * batch-stamped with idempotent overwrite (the q277/q283 LSM shape) for
+    * [[graft.queries.Stats.watermarkReadMerged]] to fold. */
+  def lateBucketStream(events: DataFrame, outDir: String,
+      checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    implicit val longEnc = Encoders.scalaLong
+    implicit val eEnc = Encoders.product[Event]
+    implicit val outEnc = Encoders.product[LateCell]
+    events
+      .select("event_id", "ts", "user_id", "event_type", "value").as[Event]
+      .groupByKey(_.user_id)
+      .transformWithState(new LatenessProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[LateCell], id: Long) =>
+        batch.groupBy("bucket").agg(sum("n").as("n_events"))
+          .write.mode("overwrite").parquet(s"$outDir/batch-$id")
+      }
+      .start()
+  }
 }

@@ -508,6 +508,63 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("transformWithState lateness digests: merged == batch q292; state crosses batches; replay idempotent") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    def ts(ms: Long) = new java.sql.Timestamp(ms)
+    // planted disorder (the q292 spec fixture): user 1 has a 1.0 s and a
+    // 2.5 s late arrival, user 2 is in order; batch boundaries split user
+    // 1's stream so the running max must SURVIVE in state
+    val rows = Seq(
+      (1L, ts(1000), 1L, "a", 1.0), (2L, ts(5000), 1L, "a", 1.0),
+      (3L, ts(4000), 1L, "a", 1.0), (4L, ts(5000), 1L, "a", 1.0),
+      (5L, ts(2500), 1L, "a", 1.0), (6L, ts(10000), 1L, "a", 1.0),
+      (7L, ts(100), 2L, "a", 1.0), (8L, ts(200), 2L, "a", 1.0))
+    val full = rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val want = queries.Stats.q292From(full
+        .select(col("user_id"), col("event_id"),
+          expr("unix_millis(ts)").as("tms")))
+      .collect().map(_.toSeq).toSeq
+    val landing = java.nio.file.Files.createTempDirectory("late_landing").toString
+    val groups = Seq(rows.take(3), rows.slice(3, 6), rows.drop(6))
+    groups.zipWithIndex.foreach { case (g, i) =>
+      g.toDF("event_id", "ts", "user_id", "event_type", "value")
+        .coalesce(1).write.mode("overwrite").parquet(s"$landing/g$i")
+      new java.io.File(s"$landing/g$i").listFiles()
+        .foreach(f => f.setLastModified(1000000L * (i + 1)))
+    }
+    val schema = StructType(Seq(StructField("event_id", LongType),
+      StructField("ts", TimestampType), StructField("user_id", LongType),
+      StructField("event_type", StringType), StructField("value", DoubleType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$landing/g*")
+    val out = java.nio.file.Files.createTempDirectory("late_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("late_ckpt").toString
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val q = EventStream.lateBucketStream(stream, out, ckpt)
+      try { q.processAllAvailable() } finally { q.stop() }
+    } finally prior match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+    def merged(): Seq[Seq[Any]] = queries.Stats.watermarkReadMerged(spark,
+      Seq(s"$out/batch-*")).collect().map(_.toSeq).toSeq
+    assert(merged() == want,
+      "merged lateness digests diverge from the batch q292 kernel")
+    // replay: batch 0 saw group 0 with EMPTY state, so its digest is the
+    // batch kernel over group 0 alone — rewrite it and nothing changes
+    queries.Stats.latenessBuckets(groups.head
+        .toDF("event_id", "ts", "user_id", "event_type", "value")
+        .select(col("user_id"), col("event_id"),
+          expr("unix_millis(ts)").as("tms")))
+      .write.mode("overwrite").parquet(s"$out/batch-0")
+    assert(merged() == want, "replayed lateness digest must be a no-op")
+  }
+
   test("streaming near-dup gate against the persisted sig store == batch q255 survivors; replay idempotent") {
     import spark.implicits._
     val sf = "/root/testdata/sf0.001"
