@@ -2277,7 +2277,166 @@ object Stats {
       |    AS dropped_if_watermark_ppm
       |FROM g ORDER BY bucket""".stripMargin
 
+  // ---- q294 functional-dependency verification ------------------------------
+
+  /** The declared FD candidate list: (table, determinant, dependent).
+    * This is the VERIFICATION leg of FD profiling (Papenbrock et al.,
+    * PVLDB 8(10) 2015 benchmark seven discovery algorithms; the lattice
+    * SEARCH is their contribution — verifying a candidate set is the
+    * per-candidate primitive all of them bottom out in, and the one a
+    * schema-quality gate runs nightly against its declared expectations). */
+  private val FdCandidates = Seq(
+    ("orders", "o_orderkey", "o_custkey"),
+    ("orders", "o_orderstatus", "o_orderpriority"),
+    ("customer", "c_nationkey", "c_mktsegment"),
+    ("part", "p_brand", "p_type"),
+    ("lineitem", "l_returnflag", "l_linestatus"),
+    ("lineitem", "l_orderkey", "l_returnflag"))
+
+  /** q294 functional-dependency audit over [[FdCandidates]]: per candidate
+    * A → B, the determinant groups, the groups carrying more than one
+    * dependent value (violations), the held share in ppm, and the g3-style
+    * violating ROW mass (rows outside each group's plurality value — the
+    * minimum deletions to make the FD hold; Huhtala et al., TANE, Comput.
+    * J. 1999 use the same error measure). The PK-derived candidate holds
+    * at 10⁶ ppm and the behavioral ones report their true violation
+    * structure — a schema-drift tripwire, not a discovery engine. Each
+    * candidate is one map-combined (A, B) aggregate collapsing to
+    * |distinct A| rows, then a ≤6-row union. */
+  def q294(spark: SparkSession, dir: String): DataFrame = {
+    val per = FdCandidates.map { case (t, a, b) =>
+      Tables.load(spark, dir, t)
+        .groupBy(col(a).cast(StringType).as("av"),
+          col(b).cast(StringType).as("bv"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy("av").agg(
+          countDistinct("bv").as("nb"),
+          sum("n").as("rows_g"),
+          max("n").as("plurality"))
+        .agg(
+          count(lit(1)).as("n_groups"),
+          sum(when(col("nb") > 1, 1L).otherwise(0L)).as("n_violating"),
+          sum("rows_g").as("n_rows"),
+          sum(col("rows_g") - col("plurality")).as("rows_to_fix"))
+        .select(lit(t).as("table_name"), lit(a).as("determinant"),
+          lit(b).as("dependent"), col("n_groups"), col("n_violating"),
+          expr("(n_groups - n_violating) * 1000000 div n_groups")
+            .as("held_ppm"),
+          col("n_rows"), col("rows_to_fix"),
+          expr("rows_to_fix * 1000000 div n_rows").as("g3_ppm"))
+    }
+    per.reduce(_ union _).orderBy("table_name", "determinant", "dependent")
+  }
+
+  val q294Sql: String = {
+    val arms = FdCandidates.map { case (t, a, b) =>
+      s"""SELECT '$t' AS table_name, '$a' AS determinant, '$b' AS dependent,
+        |  CAST(COUNT(*) AS BIGINT) AS n_groups,
+        |  CAST(SUM(CASE WHEN nb > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_violating,
+        |  CAST((COUNT(*) - SUM(CASE WHEN nb > 1 THEN 1 ELSE 0 END)) * 1000000
+        |    // COUNT(*) AS BIGINT) AS held_ppm,
+        |  CAST(SUM(rows_g) AS BIGINT) AS n_rows,
+        |  CAST(SUM(rows_g - plurality) AS BIGINT) AS rows_to_fix,
+        |  CAST(SUM(rows_g - plurality) * 1000000 // SUM(rows_g) AS BIGINT)
+        |    AS g3_ppm
+        |FROM (
+        |  SELECT av, COUNT(DISTINCT bv) AS nb, SUM(n) AS rows_g,
+        |    MAX(n) AS plurality
+        |  FROM (
+        |    SELECT CAST($a AS VARCHAR) AS av, CAST($b AS VARCHAR) AS bv,
+        |      COUNT(*) AS n
+        |    FROM $t GROUP BY 1, 2
+        |  ) GROUP BY av
+        |)""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""SELECT * FROM (
+      |$arms
+      |) ORDER BY table_name, determinant, dependent""".stripMargin
+  }
+
+  // ---- q295 sample-based NDV estimation audit --------------------------------
+
+  /** q295 distinct-count estimation from a sample, audited (Chao,
+    * Scandinavian J. Statistics 1984) — the OTHER optimizer statistic
+    * (q290 prices join sizes; NDV drives aggregation sizing and
+    * distinct-count planning, and at 100 TB it is estimated from a sample,
+    * never scanned): a deterministic 10% row sample (md5 of the row key)
+    * of lineitem.l_partkey yields d distinct values with f1 singletons
+    * and f2 doubletons; Chao1 = d + f1² div (2·f2) lower-bounds the true
+    * NDV from the unseen-mass signal in f1/f2, while the naive scale-up
+    * d·10 ignores it. Exact truth beside both estimates with error ppm
+    * (the q91/q290 audit discipline). Integer throughout; f2 = 0 guards
+    * to the bias-corrected f1·(f1−1) div 2 form (Chao's own small-sample
+    * variant). One sampled aggregate + one exact aggregate. */
+  def q295(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{TextFunctions => T}
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_partkey").cast(LongType).as("k"),
+        col("l_orderkey").cast(LongType).as("ok"),
+        col("l_linenumber").cast(LongType).as("ln"))
+    val exact = li.agg(countDistinct("k").as("true_ndv"),
+      count(lit(1)).as("n_rows"))
+    val samp = li.filter(T.hashBucket(
+        concat(lit("ndv:"), col("ok").cast(StringType), lit("#"),
+          col("ln").cast(StringType)), 10) === 0)
+      .groupBy("k").agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("d_sample"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("c") === 2, 1L).otherwise(0L)).as("f2"),
+        sum("c").as("sample_rows"))
+    exact.crossJoin(broadcast(samp))
+      .withColumn("est_chao1", expr(
+        "d_sample + CASE WHEN f2 > 0 THEN f1 * f1 div (2 * f2) " +
+          "ELSE f1 * (f1 - 1) div 2 END"))
+      .withColumn("est_scaleup", expr("d_sample * 10"))
+      .withColumn("err_chao1_ppm", expr(
+        "abs(est_chao1 - true_ndv) * 1000000 div true_ndv"))
+      .withColumn("err_scaleup_ppm", expr(
+        "abs(est_scaleup - true_ndv) * 1000000 div true_ndv"))
+      .select("true_ndv", "n_rows", "sample_rows", "d_sample", "f1", "f2",
+        "est_chao1", "est_scaleup", "err_chao1_ppm", "err_scaleup_ppm")
+  }
+
+  val q295Sql: String =
+    """WITH li AS (
+      |  SELECT CAST(l_partkey AS BIGINT) AS k,
+      |    CAST(l_orderkey AS BIGINT) AS ok,
+      |    CAST(l_linenumber AS BIGINT) AS ln
+      |  FROM lineitem
+      |), ex AS (
+      |  SELECT CAST(COUNT(DISTINCT k) AS BIGINT) AS true_ndv,
+      |    COUNT(*) AS n_rows
+      |  FROM li
+      |), sc AS (
+      |  SELECT k, COUNT(*) AS c FROM li
+      |  WHERE CAST('0x' || substr(md5('ndv:' || CAST(ok AS VARCHAR) || '#'
+      |    || CAST(ln AS VARCHAR)), 1, 8) AS BIGINT) % 10 = 0
+      |  GROUP BY k
+      |), sm AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS d_sample,
+      |    CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+      |    CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2,
+      |    CAST(SUM(c) AS BIGINT) AS sample_rows
+      |  FROM sc
+      |)
+      |SELECT ex.true_ndv, CAST(ex.n_rows AS BIGINT) AS n_rows,
+      |  sm.sample_rows, sm.d_sample, sm.f1, sm.f2,
+      |  CAST(sm.d_sample + CASE WHEN sm.f2 > 0
+      |    THEN sm.f1 * sm.f1 // (2 * sm.f2)
+      |    ELSE sm.f1 * (sm.f1 - 1) // 2 END AS BIGINT) AS est_chao1,
+      |  CAST(sm.d_sample * 10 AS BIGINT) AS est_scaleup,
+      |  CAST(ABS(sm.d_sample + CASE WHEN sm.f2 > 0
+      |      THEN sm.f1 * sm.f1 // (2 * sm.f2)
+      |      ELSE sm.f1 * (sm.f1 - 1) // 2 END - ex.true_ndv) * 1000000
+      |    // ex.true_ndv AS BIGINT) AS err_chao1_ppm,
+      |  CAST(ABS(sm.d_sample * 10 - ex.true_ndv) * 1000000 // ex.true_ndv
+      |    AS BIGINT) AS err_scaleup_ppm
+      |FROM ex CROSS JOIN sm""".stripMargin
+
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    ("q294_fd_audit", q294 _, Some(q294Sql)),
+    ("q295_ndv_estimate", q295 _, Some(q295Sql)),
     ("q290_join_cardinality", q290 _, Some(q290Sql)),
     ("q292_watermark_sizing", q292 _, Some(q292Sql)),
     ("q282_concurrency_sweep", q282 _, Some(q282Sql)),

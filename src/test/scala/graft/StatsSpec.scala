@@ -14,6 +14,44 @@ class StatsSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   private val sf = "/root/testdata/sf0.001"
 
+  test("q294 FD audit: PK dependency holds exactly; g3 replays for one pair") {
+    val rows = Stats.q294(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+        (r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+      .toMap
+    // the PK-derived candidate is a REAL functional dependency
+    val pk = rows(("orders", "o_orderkey", "o_custkey"))
+    assert(pk._2 == 0L && pk._3 == 1000000L && pk._5 == 0L)
+    // driver-side g3 replay for the nationkey -> mktsegment pair
+    val pairs = Tables.load(spark, sf, "customer")
+      .select(col("c_nationkey").cast("long"), col("c_mktsegment"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val byA = pairs.groupBy(_._1)
+    val nViol = byA.count(_._2.map(_._2).distinct.length > 1).toLong
+    val toFix = byA.values.map { g =>
+      g.length - g.groupBy(_._2).values.map(_.length).max
+    }.sum.toLong
+    val c = rows(("customer", "c_nationkey", "c_mktsegment"))
+    assert(c._1 == byA.size.toLong && c._2 == nViol && c._5 == toFix,
+      s"g3 replay mismatch: $c vs (${byA.size}, $nViol, $toFix)")
+  }
+
+  test("q295 NDV estimate: sample reconciles, Chao1 beats naive scale-up") {
+    val r = Stats.q295(spark, sf).collect()(0)
+    val (ndv, nRows, sRows, d, f1, f2, chao, scale, errC, errS) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8), r.getLong(9))
+    assert(ndv == Tables.load(spark, sf, "lineitem")
+      .select("l_partkey").distinct().count())
+    assert(d <= math.min(ndv, sRows) && f1 + f2 <= d && sRows < nRows)
+    assert(chao == d + (if (f2 > 0) f1 * f1 / (2 * f2) else f1 * (f1 - 1) / 2))
+    assert(scale == d * 10)
+    assert(chao >= d, "Chao1 is a lower-bound correction, never below d")
+    // on a 30x-replicated key domain the unseen-mass correction must beat
+    // blind scale-up by a wide margin (deterministic fixture)
+    assert(errC < errS / 10, s"chao $errC vs scaleup $errS")
+  }
+
   test("q292 watermark sizing: planted disorder lands in exact log buckets") {
     import spark.implicits._
     // user 1 arrival order: t=1000, 5000, 4000 (1s late -> bucket 10),
