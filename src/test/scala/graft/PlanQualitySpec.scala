@@ -42,6 +42,26 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(plan("q43_vocab_topk").contains("TakeOrderedAndProject"))
   }
 
+  test("q290: the heavy-hitter split is a TakeOrdered, never a rank window") {
+    val p = plan("q290_join_cardinality")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("row_number"), p)
+  }
+
+  test("q278/q292: the winnowing and lateness windows are keyed, not global") {
+    // doc-keyed selection window; user-keyed running max — neither ever
+    // moves the corpus into a single window partition
+    assert(plan("q278_winnow_fingerprint")
+      .contains("windowspecdefinition(doc_id"), "q278 window not doc-keyed")
+    assert(plan("q292_watermark_sizing")
+      .contains("windowspecdefinition(user_id"), "q292 window not user-keyed")
+  }
+
+  test("q286: the fp-dedup aggregate combines map-side before the shuffle") {
+    val p = plan("q286_repeat_value")
+    assert(p.contains("partial_max") || p.contains("partial_sum"), p)
+  }
+
   test("q12: aggregation combines map-side (partial) before the shuffle") {
     val p = plan("q12_group_count")
     assert(p.contains("partial_count"), p)
