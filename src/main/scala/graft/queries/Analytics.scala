@@ -1008,10 +1008,7 @@ object Analytics {
       .withColumn("u", T.hashBucket(
         concat(col("user_id").cast(StringType), lit("#b"),
           col("b").cast(StringType)), 1000000))
-      .withColumn("w",
-        when(col("u") < 367879L, 0L).when(col("u") < 735759L, 1L)
-          .when(col("u") < 919699L, 2L).when(col("u") < 981012L, 3L)
-          .otherwise(4L))
+      .withColumn("w", Evaluation.poissonW(col("u")))
       .groupBy("b", "arm").agg(sum("w").as("sw"),
         sum(expr("w * conv")).as("swc"))
     val reps = cells.groupBy("b").agg(
@@ -1037,7 +1034,7 @@ object Analytics {
   }
 
   val q291Sql: String =
-    """WITH users AS (
+    s"""WITH users AS (
       |  SELECT user_id,
       |    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv,
       |    CAST('0x' || substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 8)
@@ -1059,12 +1056,8 @@ object Analytics {
       |  FROM users u CROSS JOIN (SELECT unnest(range(0, 32)) AS b) b
       |), cw AS (
       |  SELECT b, arm,
-      |    SUM(CASE WHEN uu < 367879 THEN 0 WHEN uu < 735759 THEN 1
-      |             WHEN uu < 919699 THEN 2 WHEN uu < 981012 THEN 3
-      |             ELSE 4 END) AS sw,
-      |    SUM((CASE WHEN uu < 367879 THEN 0 WHEN uu < 735759 THEN 1
-      |              WHEN uu < 919699 THEN 2 WHEN uu < 981012 THEN 3
-      |              ELSE 4 END) * conv) AS swc
+      |    SUM(${Evaluation.poissonCaseSql("uu")}) AS sw,
+      |    SUM(${Evaluation.poissonCaseSql("uu")} * conv) AS swc
       |  FROM r GROUP BY b, arm
       |), reps AS (
       |  SELECT b,

@@ -962,8 +962,13 @@ object Corpus {
         col("l_partkey").cast(LongType).as("pk"),
         col("l_suppkey").cast(LongType).as("sk"))
       .withColumn("nat", expr("ok * 8 + ln"))
-    val maxes = li.agg(max("nat").as("mnat"), max("pk").as("mpk"),
-      max("sk").as("msk"), count(lit(1)).as("total"))
+    // scratch-barrier the 1-row maxima: both the file-id map and the band
+    // derivation consume it, and an un-materialized aggregate would re-run
+    // the lineitem scan once per consumer (review finding — the doc's
+    // "one scan" claim now holds physically)
+    val maxes = graft.operators.Checkpoints.scratch(
+      li.agg(max("nat").as("mnat"), max("pk").as("mpk"),
+        max("sk").as("msk"), count(lit(1)).as("total")))
     // NORMALIZE both keys to a shared 16-bit domain before interleaving —
     // the ZOrder.scala caveat made concrete: raw interleaving of an 11-bit
     // and a 7-bit key puts only the wide key's bits at file-boundary

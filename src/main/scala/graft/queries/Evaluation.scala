@@ -1187,16 +1187,27 @@ object Evaluation {
     * so the degenerate single-doc-source path (zero-weight replicates,
     * clamped rank picks, NULL bounds) is literal-testable in
     * EvaluationSpec. */
+  /** The Poisson(1) inverse-CDF weight ladder of the deterministic
+    * bootstrap (thresholds = ⌊CDF·10⁶⌋; truncated at 4) — ONE definition
+    * shared by q238 and q291's uplift CI so a recalibration can never
+    * desync the kernels (r14 session-2 review finding). */
+  private[graft] def poissonW(u: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    when(u < 367879L, 0L).when(u < 735759L, 1L)
+      .when(u < 919699L, 2L).when(u < 981012L, 3L).otherwise(4L)
+
+  /** The same ladder as oracle SQL over a uniform-in-[0,1e6) expression. */
+  private[graft] def poissonCaseSql(u: String): String =
+    s"(CASE WHEN $u < 367879 THEN 0 WHEN $u < 735759 THEN 1 " +
+      s"WHEN $u < 919699 THEN 2 WHEN $u < 981012 THEN 3 ELSE 4 END)"
+
   private[graft] def bootstrapCi(docs: DataFrame): DataFrame = {
     val reps = docs.select(col("doc_id"), col("source"), col("nt"),
         explode(array((0 until 32).map(lit): _*)).as("b"))
       .withColumn("u", graft.functions.TextFunctions.hashBucket(
         concat(col("doc_id").cast(StringType), lit("#b"),
           col("b").cast(StringType)), 1000000))
-      .withColumn("w",
-        when(col("u") < 367879L, 0L).when(col("u") < 735759L, 1L)
-          .when(col("u") < 919699L, 2L).when(col("u") < 981012L, 3L)
-          .otherwise(4L))
+      .withColumn("w", poissonW(col("u")))
       .groupBy("source", "b")
       .agg(sum("w").as("sw"), sum(expr("w * nt")).as("swx"))
       .filter(col("sw") > 0) // zero-weight replicates have no mean
@@ -1219,7 +1230,7 @@ object Evaluation {
   }
 
   val q238Sql: String =
-    """WITH d AS (
+    s"""WITH d AS (
       |  SELECT doc_id, source,
       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
       |  FROM documents
@@ -1229,9 +1240,7 @@ object Evaluation {
       |      || CAST(b AS VARCHAR)), 1, 8) AS BIGINT) % 1000000 AS u
       |  FROM d, (SELECT unnest(range(0, 32)) AS b)
       |), w AS (
-      |  SELECT source, b,
-      |    CASE WHEN u < 367879 THEN 0 WHEN u < 735759 THEN 1
-      |         WHEN u < 919699 THEN 2 WHEN u < 981012 THEN 3 ELSE 4 END AS w,
+      |  SELECT source, b, ${poissonCaseSql("u")} AS w,
       |    nt
       |  FROM r
       |), cells AS (

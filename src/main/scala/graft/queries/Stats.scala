@@ -2116,24 +2116,33 @@ object Stats {
     // 32-row reduce) — never a single-partition rank window over the key
     // frame, which at 100 TB is itself vocabulary-sized
     val hh = joined.orderBy(col("ca").desc, col("k")).limit(32)
-      .agg(sum(expr("ca * cb")).as("hh_exact_part"),
+      .agg(expr("cast(sum(cast(ca as decimal(38,0)) * cb) as bigint)")
+        .as("hh_exact_part"),
         sum("ca").as("hh_a"), sum("cb").as("hh_b"),
         sum(when(col("ca") > 0, 1L).otherwise(0L)).as("hh_ndv_a"),
         sum(when(col("cb") > 0, 1L).otherwise(0L)).as("hh_ndv_b"))
+    // cross-table products ride decimal(38,0) (the q276 precedent): at the
+    // 100 TB scale this audit exists for, n_a·n_b exceeds int64 long before
+    // the ESTIMATE does — the arithmetic must survive even when the inputs
+    // are billions each; outputs cast back to int64 with the declared
+    // bound that an estimate past 2^63 rows is not a plannable join anyway
     joined.agg(
         sum("ca").as("n_a"), sum("cb").as("n_b"),
         sum(when(col("ca") > 0, 1L).otherwise(0L)).as("ndv_a"),
         sum(when(col("cb") > 0, 1L).otherwise(0L)).as("ndv_b"),
-        sum(expr("ca * cb")).as("exact_rows"))
+        sum(expr("cast(ca as decimal(38,0)) * cb")).as("exact_dec"))
+      .withColumn("exact_rows", expr("cast(exact_dec as bigint)"))
       .crossJoin(broadcast(hh))
       .withColumn("rest_a", expr("n_a - hh_a"))
       .withColumn("rest_b", expr("n_b - hh_b"))
       .withColumn("rest_ndv_a", expr("ndv_a - hh_ndv_a"))
       .withColumn("rest_ndv_b", expr("ndv_b - hh_ndv_b"))
       .withColumn("est_independence",
-        expr("n_a * n_b div greatest(ndv_a, ndv_b)"))
+        expr("cast(cast(n_a as decimal(38,0)) * n_b div " +
+          "greatest(ndv_a, ndv_b) as bigint)"))
       .withColumn("est_hh", expr("hh_exact_part + " +
-        "rest_a * rest_b div greatest(1, greatest(rest_ndv_a, rest_ndv_b))"))
+        "cast(cast(rest_a as decimal(38,0)) * rest_b div " +
+        "greatest(1, greatest(rest_ndv_a, rest_ndv_b)) as bigint)"))
       .withColumn("err_indep_ppm", expr(
         "abs(est_independence - exact_rows) * 1000000 div greatest(1, exact_rows)"))
       .withColumn("err_hh_ppm", expr(
@@ -2154,7 +2163,7 @@ object Stats {
       |    COALESCE(cb.cb, 0) AS cb
       |  FROM ca FULL OUTER JOIN cb ON cb.k = ca.k
       |), hh AS (
-      |  SELECT CAST(SUM(ca * cb) AS BIGINT) AS hh_exact_part,
+      |  SELECT CAST(SUM(CAST(ca AS HUGEINT) * cb) AS BIGINT) AS hh_exact_part,
       |    CAST(SUM(ca) AS BIGINT) AS hh_a, CAST(SUM(cb) AS BIGINT) AS hh_b,
       |    CAST(SUM(CASE WHEN ca > 0 THEN 1 ELSE 0 END) AS BIGINT) AS hh_ndv_a,
       |    CAST(SUM(CASE WHEN cb > 0 THEN 1 ELSE 0 END) AS BIGINT) AS hh_ndv_b
@@ -2163,7 +2172,7 @@ object Stats {
       |  SELECT CAST(SUM(ca) AS BIGINT) AS n_a, CAST(SUM(cb) AS BIGINT) AS n_b,
       |    CAST(SUM(CASE WHEN ca > 0 THEN 1 ELSE 0 END) AS BIGINT) AS ndv_a,
       |    CAST(SUM(CASE WHEN cb > 0 THEN 1 ELSE 0 END) AS BIGINT) AS ndv_b,
-      |    CAST(SUM(ca * cb) AS BIGINT) AS exact_rows,
+      |    CAST(SUM(CAST(ca AS HUGEINT) * cb) AS BIGINT) AS exact_rows,
       |    CAST(h.hh_exact_part AS BIGINT) AS hh_exact_part,
       |    CAST(SUM(ca) - h.hh_a AS BIGINT) AS rest_a,
       |    CAST(SUM(cb) - h.hh_b AS BIGINT) AS rest_b,
@@ -2175,14 +2184,15 @@ object Stats {
       |  GROUP BY h.hh_exact_part, h.hh_a, h.hh_b, h.hh_ndv_a, h.hh_ndv_b
       |)
       |SELECT n_a, n_b, ndv_a, ndv_b, exact_rows,
-      |  CAST(n_a * n_b // GREATEST(ndv_a, ndv_b) AS BIGINT)
+      |  CAST(CAST(n_a AS HUGEINT) * n_b // GREATEST(ndv_a, ndv_b) AS BIGINT)
       |    AS est_independence,
-      |  CAST(hh_exact_part + rest_a * rest_b
+      |  CAST(hh_exact_part + CAST(rest_a AS HUGEINT) * rest_b
       |    // GREATEST(1, GREATEST(rest_ndv_a, rest_ndv_b)) AS BIGINT)
       |    AS est_hh,
-      |  CAST(ABS(n_a * n_b // GREATEST(ndv_a, ndv_b) - exact_rows) * 1000000
+      |  CAST(ABS(CAST(n_a AS HUGEINT) * n_b // GREATEST(ndv_a, ndv_b)
+      |    - exact_rows) * 1000000
       |    // GREATEST(1, exact_rows) AS BIGINT) AS err_indep_ppm,
-      |  CAST(ABS(hh_exact_part + rest_a * rest_b
+      |  CAST(ABS(hh_exact_part + CAST(rest_a AS HUGEINT) * rest_b
       |      // GREATEST(1, GREATEST(rest_ndv_a, rest_ndv_b)) - exact_rows)
       |    * 1000000 // GREATEST(1, exact_rows) AS BIGINT) AS err_hh_ppm
       |FROM g""".stripMargin

@@ -2448,9 +2448,11 @@ object Training {
     * γ'_i = W_i / Σ_j n_ij/(γ_i+γ_j), all in fixed-point integers — terms
     * at 10¹⁰ scale, each round renormalized to mean 10⁶ by truncating
     * division and capped at 10¹² (an undefeated item diverges in exact BT;
-    * the cap is the declared fixed-point ceiling, and every bound is chosen
-    * so no product exceeds int64 at catalog scale: graw ≤ 2·γmax ≤ 2·10¹²,
-    * graw·10⁶ ≤ 2·10¹⁸). Ties never arise in the arithmetic (pure integer),
+    * the cap is the declared fixed-point ceiling, applied to the RAW
+    * per-round quotient as well as the normalized γ: truncating division
+    * can collapse a large-γ round's denominator to 0, so the rational
+    * bound graw ≤ 2·γmax does NOT survive fixed point — with both caps
+    * every product stays ≤ 10¹⁸ at catalog scale). Ties never arise in the arithmetic (pure integer),
     * and the top-20 orders (γ desc, item asc). MM is monotone in the BT
     * likelihood, so three rounds give a deterministic, replayable
     * approximation — the oracle unrolls the identical rounds as
@@ -2488,8 +2490,14 @@ object Training {
           expr("nij * 10000000000 div greatest(1, gamma + gj)"))
         .groupBy("i").agg(sum("t").as("den"))
       val prev = g
+      // the 10^12 ceiling applies to graw itself, not only to the
+      // normalized gamma: with truncating division a large-γ round can
+      // collapse den to 0 (every term nij·10^10 div (γi+γj) rounds down),
+      // and an uncapped graw = wins·10^10 would overflow int64 in the
+      // graw·10^6 normalization below
       g = S.scratch(g.select("i", "wins").join(den, Seq("i"))
-        .withColumn("graw", expr("wins * 10000000000 div greatest(1, den)"))
+        .withColumn("graw", expr(
+          "least(1000000000000, wins * 10000000000 div greatest(1, den))"))
         .withColumn("meang",
           expr("greatest(1, sum(graw) over (partition by 1) " +
             "div count(*) over (partition by 1))"))
@@ -2516,7 +2524,8 @@ object Training {
         |  GROUP BY np.i
         |), r$r AS MATERIALIZED (
         |  SELECT g.i, g.wins,
-        |    g.wins * 10000000000 // GREATEST(1, t.den) AS graw
+        |    LEAST(1000000000000, g.wins * 10000000000 // GREATEST(1, t.den))
+        |      AS graw
         |  FROM $p g JOIN t$r t ON t.i = g.i
         |), m$r AS MATERIALIZED (
         |  SELECT GREATEST(1, SUM(graw) // COUNT(*)) AS meang FROM r$r

@@ -46,8 +46,8 @@ class PropertySpec extends AnyFunSuite {
           n * 10000000000L / math.max(1L, gamma(i) + gamma(b))
         }.sum
       }.toMap
-      val graw = items.map(i =>
-        i -> wins(i) * 10000000000L / math.max(1L, den(i))).toMap
+      val graw = items.map(i => i -> math.min(1000000000000L,
+        wins(i) * 10000000000L / math.max(1L, den(i)))).toMap
       val meang = math.max(1L, graw.values.sum / items.length)
       gamma = items.map(i => i ->
         math.min(1000000000000L, graw(i) * 1000000L / meang)).toMap
