@@ -1735,6 +1735,29 @@ object Stats {
       .withColumn("sid", sum("new_s").over(uw))
       .groupBy("user_id", "sid")
       .agg(min("tms").as("sms"), max("tms").as("ems"))
+    concurrencySweep(sess)
+  }
+
+  /** STREAMING leg of q282: fold per-batch CLOSED-session digests (written
+    * by [[graft.streaming.EventStream.sessionDigestStream]] — the
+    * flatMapGroupsWithState sessionizer with open sessions held in state)
+    * and run the identical hierarchical sweep. The session id surrogate is
+    * start_ms — the sweep's output is invariant to which deterministic
+    * per-session key breaks intra-millisecond ties (starts already order
+    * before ends, and equal-delta orderings permute prefix values only
+    * within an equal-pms run, never the max). StreamingSpec pins
+    * merged == the batch q282 on the closed-session population. */
+  def concurrencyReadMerged(spark: SparkSession, dirs: Seq[String])
+      : DataFrame =
+    concurrencySweep(
+      dirs.map(d => spark.read.parquet(d)).reduce(_ unionByName _)
+        .select(col("user_id"), col("start_ms").as("sid"),
+          col("start_ms").as("sms"), col("end_ms").as("ems")))
+
+  /** The q282 interval sweep over a prepared (user_id, sid, sms, ems)
+    * session frame — shared by the batch window path and the streaming
+    * merge-on-read path. */
+  private[graft] def concurrencySweep(sess: DataFrame): DataFrame = {
     val perDay = sess
       .withColumn("d",
         explode(expr("sequence(sms div 86400000, ems div 86400000)")))

@@ -516,6 +516,26 @@ object EventStream {
         OutputMode.Update())
   }
 
+  /** Closed-session digest stream (the q282 concurrency leg): the
+    * incremental sessionizer ([[sessionize]] with `flushOpen=false` —
+    * open sessions survive in state across triggers) emits each session
+    * the moment its gap closes it, and each micro-batch persists its
+    * closed sessions batch-stamped with idempotent overwrite.
+    * [[graft.queries.Stats.concurrencyReadMerged]] folds the digests and
+    * runs the identical hierarchical sweep — the peak-concurrency census
+    * maintained without ever rescanning events. */
+  def sessionDigestStream(events: DataFrame, outDir: String,
+      checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    sessionize(events, flushOpen = false).toDF()
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        batch.toDF().select("user_id", "start_ms", "end_ms")
+          .write.mode("overwrite").parquet(s"$outDir/batch-$id")
+      }
+      .start()
+
   final case class LateCell(user_id: Long, bucket: Long, n: Long)
 
   /** Per-user event-time disorder as a STREAM (the q292 twin): a watermark

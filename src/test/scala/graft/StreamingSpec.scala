@@ -508,6 +508,52 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming session digests: merged concurrency sweep == batch q282") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val want = queries.Stats.q282(spark, sf).collect().map(_.toSeq).toSeq
+    val events = Tables.load(spark, sf, "events")
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+    // stage in EVENT-TIME thirds so sessions never receive out-of-order
+    // history across micro-batches; a far-future sentinel per user closes
+    // every trailing session (the sentinel's own session stays OPEN in
+    // state and is never emitted, so no filtering is needed)
+    val cuts = events.selectExpr("unix_millis(ts) as t").orderBy("t")
+      .collect().map(_.getLong(0))
+    val (c1, c2) = (cuts(cuts.length / 3), cuts(2 * cuts.length / 3))
+    val maxT = cuts.last
+    val sentinels = events.select("user_id").distinct().collect()
+      .map(_.getLong(0)).zipWithIndex.map { case (u, i) =>
+        (10000000L + i, new java.sql.Timestamp(maxT + 864000000L), u,
+          "view", 0.0)
+      }.toSeq.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val landing = java.nio.file.Files.createTempDirectory("sess_landing").toString
+    val parts = Seq(
+      events.filter(expr(s"unix_millis(ts) < $c1")),
+      events.filter(expr(s"unix_millis(ts) >= $c1 and unix_millis(ts) < $c2")),
+      events.filter(expr(s"unix_millis(ts) >= $c2")),
+      sentinels)
+    parts.zipWithIndex.foreach { case (p, i) =>
+      p.coalesce(1).write.mode("overwrite").parquet(s"$landing/g$i")
+      new java.io.File(s"$landing/g$i").listFiles()
+        .foreach(f => f.setLastModified(1000000L * (i + 1)))
+    }
+    val schema = StructType(Seq(StructField("event_id", LongType),
+      StructField("ts", TimestampType), StructField("user_id", LongType),
+      StructField("event_type", StringType), StructField("value", DoubleType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$landing/g*")
+    val out = java.nio.file.Files.createTempDirectory("sess_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("sess_ckpt").toString
+    val q = EventStream.sessionDigestStream(stream, out, ckpt)
+    try { q.processAllAvailable() } finally { q.stop() }
+    val got = queries.Stats.concurrencyReadMerged(spark, Seq(s"$out/batch-*"))
+      .collect().map(_.toSeq).toSeq
+    assert(got == want,
+      "merge-on-read concurrency sweep diverges from the batch q282")
+  }
+
   test("transformWithState lateness digests: merged == batch q292; state crosses batches; replay idempotent") {
     import spark.implicits._
     import org.apache.spark.sql.types._
