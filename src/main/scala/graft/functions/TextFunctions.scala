@@ -30,8 +30,7 @@ object TextFunctions {
     * the one shared primitive behind reproducible sampling (q44) and
     * train/val splits (q54 / CorpusPipeline). */
   def hashBucket(key: Column, mod: Int): Column =
-    conv(substring(md5(key.cast(StringType)), 1, 8), 16, 10)
-      .cast(LongType) % mod
+    hashBucket(key, lit(mod))
 
   /** [[hashBucket]] with a COLUMN modulus — for per-group bucket counts
     * computed in the plan (the q257 mega-cluster sub-split rule, where the

@@ -877,9 +877,13 @@ object Advanced {
     * axis). */
   def q273(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.{TextFunctions => T}
+    // NULL text reads as empty text BEFORE tokenizing (the q276/q277
+    // guard): a NULL bucket would sort NULLS FIRST in Spark's cumsum
+    // window but NULLS LAST in DuckDB's, shifting every cum value
     val f = Tables.parallelized(Tables.load(spark, dir, "documents"))
       .select(col("source"),
-        size(T.tokens(col("text"))).cast(LongType).as("n_tok"))
+        size(T.tokens(coalesce(col("text"), lit(""))))
+          .cast(LongType).as("n_tok"))
       .withColumn("bucket",
         when(col("n_tok") <= 0L, lit(0L))
           .otherwise(length(bin(col("n_tok"))).cast(LongType)))
@@ -907,8 +911,9 @@ object Advanced {
   val q273Sql: String =
     """WITH f AS (
       |  SELECT source,
-      |    CASE WHEN len(string_split(text, ' ')) <= 0 THEN 0
-      |         ELSE length(printf('%b', len(string_split(text, ' ')))) END AS bucket
+      |    CASE WHEN len(string_split(COALESCE(text, ''), ' ')) <= 0 THEN 0
+      |         ELSE length(printf('%b',
+      |           len(string_split(COALESCE(text, ''), ' ')))) END AS bucket
       |  FROM documents
       |), sk AS (
       |  SELECT source, CAST(bucket AS BIGINT) AS bucket, COUNT(*) AS cnt
@@ -1015,10 +1020,8 @@ object Advanced {
       .groupBy("source").agg(
         count(lit(1)).as("kmv_k"), max("fp").as("kth_min_fp"))
       .withColumn("kmv_estimate",
-        when(col("kmv_k") < Stats.KmvK, col("kmv_k")).otherwise(
-          expr("cast((cast(kmv_k as decimal(38,0)) - 1) * " +
-            "cast(1152921504606846976 as decimal(38,0)) div " +
-            "cast(greatest(kth_min_fp, 1) as decimal(38,0)) as bigint)")))
+        when(col("kmv_k") < Stats.KmvK, col("kmv_k"))
+          .otherwise(Stats.kmvEstimateExpr))
     val cellsM = cells.groupBy("source", "bucket")
       .agg(sum("cnt").as("cnt"))
     val cum = cellsM

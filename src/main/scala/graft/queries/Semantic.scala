@@ -943,10 +943,16 @@ object Semantic {
   def semGateBatch(batchQ: DataFrame, cents: Array[(Long, Array[Long])],
       existing: DataFrame, thresholdPpm: Long = 150000L): DataFrame = {
     val spark = batchQ.sparkSession
-    val ar = assignCid(batchQ, centFrame(spark, cents),
+    // scratch-barrier the assignment: the hits branch (cid-keyed join) and
+    // the final vec_id-keyed join both consume it on DIFFERENT shuffle
+    // keys, so an un-materialized frame would run the O(|batch|·k·dim)
+    // broadcast-fan argmin twice per micro-batch (the perceptualGateBatch
+    // `bh` discipline; r14 session-2 review finding)
+    val ar = graft.operators.Checkpoints.scratch(
+      assignCid(batchQ, centFrame(spark, cents),
         carry = Seq("nrm", "qv"))
       .select(col("cid"), col("vec_id"), col("qv").as("qa"),
-        col("nrm").as("na"))
+        col("nrm").as("na")))
     val hits = ar.join(existing, Seq("cid"))
       .withColumn("dot", call_function("dot_i64", col("qa"), col("qe")))
       .withColumn("s", PortableAnn.cosPpmScore("dot", "na", "ne"))

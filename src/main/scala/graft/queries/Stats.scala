@@ -1606,6 +1606,18 @@ object Stats {
   /** Sample size / sketch width for q276's bottom-k sketch. */
   private[graft] val KmvK = 64
 
+  /** THE KMV estimator N̂ = (k−1)·2⁶⁰ div h_k in decimal(38,0) (int64
+    * numerator overflows; DuckDB replays in HUGEINT) — one definition
+    * shared by [[kmvSketch]] (q276) and `Advanced.cardFromDigests` (q277)
+    * over columns named kmv_k / kth_min_fp, so the 2⁶⁰ constant and the
+    * zero-guard can never desync (r14 session-2 review finding). The two
+    * call sites keep their OWN exact-regime conditions — q276 tests the
+    * true n_distinct it carries, the card only has kmv_k. */
+  private[graft] val kmvEstimateExpr: org.apache.spark.sql.Column =
+    expr("cast((cast(kmv_k as decimal(38,0)) - 1) * " +
+      "cast(1152921504606846976 as decimal(38,0)) div " +
+      "cast(greatest(kth_min_fp, 1) as decimal(38,0)) as bigint)")
+
   /** q276 bottom-k (KMV) distinct-content sketch + consistent sample (new
     * r14; Bar-Yossef et al. 2002, "Counting distinct elements in a data
     * stream") — the THIRD mergeable sketch next to q211/q232's count-min
@@ -1645,10 +1657,8 @@ object Stats {
       sum(col("min_id")).as("sample_id_sum"))
     stats.join(sk, Seq("source"))
       .withColumn("kmv_estimate",
-        when(col("n_distinct") <= KmvK, col("n_distinct")).otherwise(
-          expr("cast((cast(kmv_k as decimal(38,0)) - 1) * " +
-            "cast(1152921504606846976 as decimal(38,0)) div " +
-            "cast(greatest(kth_min_fp, 1) as decimal(38,0)) as bigint)")))
+        when(col("n_distinct") <= KmvK, col("n_distinct"))
+          .otherwise(kmvEstimateExpr))
       .select("source", "n_docs", "n_distinct", "kmv_k", "kth_min_fp",
         "kmv_estimate", "sample_fp_xor", "sample_id_sum")
   }
