@@ -986,12 +986,17 @@ object Analytics {
     * bounded), a ×32 replicate explode collapsing map-side into 64
     * (replicate, arm) cells, and a 32-row rank. */
   def q291(spark: SparkSession, dir: String): DataFrame = {
-    val users = Tables.load(spark, dir, "events")
-      .groupBy(col("user_id"))
-      .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
-        .as("conv"))
-      .withColumn("arm", T.hashBucket(
-        concat(lit("ab:"), col("user_id").cast(StringType)), 2))
+    // scratch barrier: the per-user frame feeds BOTH the point-estimate
+    // branch and the ×32 bootstrap explode — without it the events scan
+    // plus per-user aggregate executes twice (the semGateBatch/q288
+    // recompute class)
+    val users = graft.operators.Checkpoints.scratch(
+      Tables.load(spark, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("conv"))
+        .withColumn("arm", T.hashBucket(
+          concat(lit("ab:"), col("user_id").cast(StringType)), 2)))
     val point = users.groupBy("arm").agg(
       count(lit(1)).as("n"), sum("conv").as("c"))
       .agg(

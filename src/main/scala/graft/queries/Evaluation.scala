@@ -1183,10 +1183,6 @@ object Evaluation {
       .select(col("doc_id"), col("source"),
         size(split(col("text"), " ")).cast(LongType).as("nt")))
 
-  /** The reusable kernel over a (doc_id, source, nt) frame — frame-shaped
-    * so the degenerate single-doc-source path (zero-weight replicates,
-    * clamped rank picks, NULL bounds) is literal-testable in
-    * EvaluationSpec. */
   /** The Poisson(1) inverse-CDF weight ladder of the deterministic
     * bootstrap (thresholds = ⌊CDF·10⁶⌋; truncated at 4) — ONE definition
     * shared by q238 and q291's uplift CI so a recalibration can never
@@ -1201,6 +1197,10 @@ object Evaluation {
     s"(CASE WHEN $u < 367879 THEN 0 WHEN $u < 735759 THEN 1 " +
       s"WHEN $u < 919699 THEN 2 WHEN $u < 981012 THEN 3 ELSE 4 END)"
 
+  /** The reusable kernel over a (doc_id, source, nt) frame — frame-shaped
+    * so the degenerate single-doc-source path (zero-weight replicates,
+    * clamped rank picks, NULL bounds) is literal-testable in
+    * EvaluationSpec. */
   private[graft] def bootstrapCi(docs: DataFrame): DataFrame = {
     val reps = docs.select(col("doc_id"), col("source"), col("nt"),
         explode(array((0 until 32).map(lit): _*)).as("b"))

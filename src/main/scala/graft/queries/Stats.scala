@@ -1974,8 +1974,16 @@ object Stats {
     val allw = Window.partitionBy("event_type")
     val ser = series
       .withColumn("n_hours", count(lit(1)).over(allw))
-      .withColumn("mean_micro",
-        expr("sum(n) over (partition by event_type) * 1000000 div n_hours"))
+      // the corpus-scale sum rides decimal(38,0)/HUGEINT through the ×10⁶
+      // product (the q290 discipline — int64 wraps silently here past
+      // ~9.2e12 events per type while DuckDB raises); `div` lands the
+      // per-hour mean back in int64. The per-hour deviations and their
+      // prefix sums stay int64 — safe below ~9.2e12 micro-units of
+      // accumulated drift per type, a declared ceiling of the q238 class
+      // (calendar-bounded series × per-hour counts, not corpus-scaled).
+      .withColumn("mean_micro", expr(
+        "cast(sum(n) over (partition by event_type) as decimal(38,0))" +
+          " * 1000000 div n_hours"))
       .withColumn("dev_up", expr(
         "n * 1000000 - (mean_micro + mean_micro div 2)"))
       .withColumn("dev_dn", expr(
@@ -2007,8 +2015,10 @@ object Stats {
     s"""WITH $hourlySeriesCte, st AS (
       |  SELECT event_type, hour, n,
       |    COUNT(*) OVER (PARTITION BY event_type) AS n_hours,
-      |    SUM(n) OVER (PARTITION BY event_type) * 1000000
-      |      // COUNT(*) OVER (PARTITION BY event_type) AS mean_micro
+      |    CAST(CAST(SUM(n) OVER (PARTITION BY event_type) AS HUGEINT)
+      |      * 1000000
+      |      // COUNT(*) OVER (PARTITION BY event_type) AS BIGINT)
+      |      AS mean_micro
       |  FROM ser
       |), dv AS (
       |  SELECT event_type, hour, n, n_hours, mean_micro,

@@ -2323,7 +2323,14 @@ object Training {
           " + CASE WHEN (s0 + 1) * (s0 + 1) <= n_tokens THEN 1 ELSE 0 END"))
       .withColumn("t_tokens", sum("n_tokens").over(all))
       .withColumn("t_w", sum("w_sqrt").over(all))
-      .withColumn("raw_ppm", expr("n_tokens * 1000000 div t_tokens"))
+      // corpus-scale token sums ride decimal(38,0) through the ×10⁶ ppm
+      // product (the q290 discipline): int64 wraps silently past ~9.2e12
+      // tokens per source while DuckDB raises on BIGINT overflow — a
+      // cross-engine divergence at exactly the 100 TB scale this mixing
+      // planner exists for. The w_sqrt products stay int64: w = ⌊√n⌋, so
+      // w·10⁶ needs n > 8.5e25 tokens to wrap — beyond any corpus.
+      .withColumn("raw_ppm",
+        expr("cast(n_tokens as decimal(38,0)) * 1000000 div t_tokens"))
       .withColumn("base", expr("w_sqrt * 1000000 div t_w"))
       .withColumn("rem", expr("w_sqrt * 1000000 % t_w"))
       .withColumn("n_spare", lit(1000000L) - sum("base").over(all))
@@ -2354,7 +2361,7 @@ object Training {
       |  SELECT SUM(n_tokens) AS t_tokens, SUM(w_sqrt) AS t_w FROM w
       |), q AS (
       |  SELECT source, n_tokens, w_sqrt,
-      |    n_tokens * 1000000 // tot.t_tokens AS raw_ppm,
+      |    CAST(n_tokens AS HUGEINT) * 1000000 // tot.t_tokens AS raw_ppm,
       |    w_sqrt * 1000000 // tot.t_w AS base,
       |    w_sqrt * 1000000 % tot.t_w AS rem
       |  FROM w CROSS JOIN tot
@@ -2406,12 +2413,16 @@ object Training {
       .groupBy("source").agg(sum("n_tok").as("unique_tokens"))
     f.groupBy("source").agg(sum("n_tok").as("total_tokens"))
       .join(uniq, Seq("source"))
-      .withColumn("eff_tokens_e2",
-        expr(s"unique_tokens * ${epochCumPpm(2)} div 1000000"))
-      .withColumn("eff_tokens_e4",
-        expr(s"unique_tokens * ${epochCumPpm(4)} div 1000000"))
-      .withColumn("eff_tokens_e8",
-        expr(s"unique_tokens * ${epochCumPpm(8)} div 1000000"))
+      // unique_tokens · cumPpm (≤ 4.2e6) wraps int64 past ~2.2e12 unique
+      // tokens per source — well inside a 100 TB corpus, so the product
+      // rides decimal(38,0)/HUGEINT (the q290 discipline; `div` lands the
+      // quotient back in int64, which the ppm scale guarantees fits)
+      .withColumn("eff_tokens_e2", expr(
+        s"cast(unique_tokens as decimal(38,0)) * ${epochCumPpm(2)} div 1000000"))
+      .withColumn("eff_tokens_e4", expr(
+        s"cast(unique_tokens as decimal(38,0)) * ${epochCumPpm(4)} div 1000000"))
+      .withColumn("eff_tokens_e8", expr(
+        s"cast(unique_tokens as decimal(38,0)) * ${epochCumPpm(8)} div 1000000"))
       .orderBy("source")
   }
 
@@ -2430,12 +2441,12 @@ object Training {
       |  FROM f GROUP BY source
       |)
       |SELECT t.source, t.total_tokens, u.unique_tokens,
-      |  CAST(u.unique_tokens * ${epochCumPpm(2)} // 1000000 AS BIGINT)
-      |    AS eff_tokens_e2,
-      |  CAST(u.unique_tokens * ${epochCumPpm(4)} // 1000000 AS BIGINT)
-      |    AS eff_tokens_e4,
-      |  CAST(u.unique_tokens * ${epochCumPpm(8)} // 1000000 AS BIGINT)
-      |    AS eff_tokens_e8
+      |  CAST(CAST(u.unique_tokens AS HUGEINT) * ${epochCumPpm(2)} // 1000000
+      |    AS BIGINT) AS eff_tokens_e2,
+      |  CAST(CAST(u.unique_tokens AS HUGEINT) * ${epochCumPpm(4)} // 1000000
+      |    AS BIGINT) AS eff_tokens_e4,
+      |  CAST(CAST(u.unique_tokens AS HUGEINT) * ${epochCumPpm(8)} // 1000000
+      |    AS BIGINT) AS eff_tokens_e8
       |FROM t JOIN u ON u.source = t.source
       |ORDER BY t.source""".stripMargin
 
@@ -2452,7 +2463,12 @@ object Training {
     * per-round quotient as well as the normalized γ: truncating division
     * can collapse a large-γ round's denominator to 0, so the rational
     * bound graw ≤ 2·γmax does NOT survive fixed point — with both caps
-    * every product stays ≤ 10¹⁸ at catalog scale). Ties never arise in the arithmetic (pure integer),
+    * every product stays ≤ 10¹⁸ at catalog scale). Input-side, nij itself
+    * saturates at 10⁸ comparisons per pair (declared evidence cap, both
+    * engines) so the 10¹⁰-scale term can never wrap int64 per pair; the
+    * residual declared ceiling is ~9.2e8 total capped comparisons per item
+    * against near-zero-γ opponents in den's sum (q238-class declared
+    * bound). Ties never arise in the arithmetic (pure integer),
     * and the top-20 orders (γ desc, item asc). MM is monotone in the BT
     * likelihood, so three rounds give a deterministic, replayable
     * approximation — the oracle unrolls the identical rounds as
@@ -2474,9 +2490,17 @@ object Training {
     val S = graft.operators.Checkpoints
     val w = S.scratch(pp.groupBy(col("chosen").as("i"), col("rejected").as("j"))
       .agg(count(lit(1)).as("w")))
+    // nij saturates at 10⁸ comparisons per pair (declared evidence cap,
+    // identical in the oracle): the MM term nij·10¹⁰ wraps int64 past
+    // ~9.2e8 comparisons on one pair, and at that volume the pair's
+    // evidence is already astronomically certain — saturating it changes
+    // no fit materially and keeps every per-term product ≤ 10¹⁸ exactly.
+    // Residual declared ceiling: den sums the per-opponent terms, so an
+    // item needs ~9.2e8 TOTAL capped comparisons against near-zero-γ
+    // opponents to wrap — the same q238-class bound the scaladoc states.
     val np = S.scratch(w.select("i", "j", "w")
       .union(w.select(col("j").as("i"), col("i").as("j"), col("w")))
-      .groupBy("i", "j").agg(sum("w").as("nij")))
+      .groupBy("i", "j").agg(least(sum("w"), lit(100000000L)).as("nij")))
     val wins = np.select("i").distinct()
       .join(w.groupBy("i").agg(sum("w").as("wins")), Seq("i"), "left")
       .na.fill(0L, Seq("wins"))
@@ -2553,7 +2577,7 @@ object Training {
       |  FROM pos p JOIN neg n ON n.user_id = p.user_id AND n.day = p.day
       |  GROUP BY 1, 2
       |), np AS MATERIALIZED (
-      |  SELECT i, j, SUM(w) AS nij FROM (
+      |  SELECT i, j, LEAST(SUM(w), 100000000) AS nij FROM (
       |    SELECT i, j, w FROM w UNION ALL SELECT j AS i, i AS j, w FROM w
       |  ) GROUP BY i, j
       |), g0 AS MATERIALIZED (
