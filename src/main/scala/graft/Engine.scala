@@ -38,6 +38,16 @@ object Engine {
       // Janino+JIT) thrashes it and intermittently re-pays compilation.
       // Static conf, so it must be set before the session exists.
       .config("spark.sql.codegen.cache.maxEntries", "2000")
+      // Fail LOUDLY if whole-stage codegen fails to compile instead of
+      // silently de-vectorizing: a janino compile failure on a registered
+      // query is a performance bug of the class that cost 24× on the q288
+      // Morton expression, and the default fallback hides it behind an
+      // interpreted stage that stays green while running order-of-magnitude
+      // slower at scale. Every registered query is swept compile-clean in
+      // PlanQualitySpec + QueriesSmokeSpec; a deliberately-interpreted
+      // reference path in a spec must opt back in locally
+      // (spark.conf.set("spark.sql.codegen.fallback", "true") + restore).
+      .config("spark.sql.codegen.fallback", "false")
       // Broadcast/shuffle blocks are reference-counted against driver GC
       // (ContextCleaner); the 30min default lets dead broadcasts occupy
       // storage memory for a whole multi-query session. Reap sooner.

@@ -425,18 +425,32 @@ object Dedup {
       math.max(1, (bitlen - 5) / 5)))
     require(jSub >= 1 && jSub <= 10 - maxHamming,
       s"j=$jSub breaks the Hamming<=$maxHamming pigeonhole guarantee")
-    val bands = (0 until 10).combinations(jSub).toArray.zipWithIndex
-      .map { case (bs, s) =>
-        val kv = bs.zipWithIndex.map { case (b, i) =>
-          shiftleft(
-            shiftright(col("simhash"), b * 6).bitwiseAND(lit(0x3fL)), 6 * i)
-        }.reduce((a, c) => a.bitwiseOR(c))
-        struct(lit(s).as("band"), kv.as("bkey"))
-      }.toIndexedSeq
-    val exploded = hashed.select(col("doc_id"), col("simhash"),
-        explode(array(bands: _*)).as("bk"))
-      .select(col("doc_id"), col("simhash"),
-        col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    // Band enumeration rides ONE ArrayType literal (a constant reference in
+    // generated code) + j compact per-slot shift terms — NOT an
+    // explode(array(...)) of C(10,j) per-band structs: that form generates
+    // C(10,j)·j inline shift chains in one doConsume (2500+ ops at j=4),
+    // which blows janino's method limit at exactly the 512k/16M-doc tiers
+    // where j escalates — under the strict engine session (codegen
+    // fallback disabled) the old form FAILED outright at j≥3 instead of
+    // silently de-vectorizing (r15; the q288 Morton-expression class).
+    // Each subset is encoded 4 bits per block index into one long; bkey
+    // re-derives slot i's block as ((sub >> 4i) & 15) and packs
+    // ((simhash >> 6·block) & 63) << 6i — j terms total, loop-free and
+    // branch-free, identical algebra to the oracle's SQL arms.
+    val subs: Array[Long] = (0 until 10).combinations(jSub).toArray
+      .map(_.zipWithIndex.foldLeft(0L) { case (acc, (b, i)) =>
+        acc | (b.toLong << (4 * i))
+      })
+    val bkeySql = (0 until jSub).map { i =>
+      s"shiftleft(shiftright(simhash, cast(((shiftright(sub, ${4 * i})" +
+        s" & 15) * 6) as int)) & 63, ${6 * i})"
+    }.mkString("(", " | ", ")")
+    val exploded = hashed
+      .select(col("doc_id"), col("simhash"), posexplode(lit(subs)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "sub")
+      .select(col("doc_id"), col("simhash"), col("band"),
+        expr(bkeySql).as("bkey"))
     // the cutoff as a window count: the window's (band, bkey) exchange is
     // the SAME partitioning the self-join's SortMergeJoin needs, and both
     // legs are one canonical subplan, so ReuseExchange computes

