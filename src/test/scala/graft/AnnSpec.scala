@@ -580,6 +580,93 @@ class AnnSpec extends AnyFunSuite {
     leaseF.delete()
   }
 
+  test("epoch fencing: a usurped writer's moves are refused by token; the winner's state survives bit-for-bit") {
+    // r14 VERDICT #3: commit-point fences (lease re-read) left two windows
+    // — a fenced-out writer's in-flight STAGING writes, and the corner
+    // where the lease re-read alone cannot prove dispossession. The epoch
+    // token closes both: acquisition advances `_writer_epoch`, staging
+    // names embed the holder's epoch, and every individual move re-checks
+    // the token. Interleaving simulated from one JVM, as the sibling
+    // lease tests do.
+    import org.apache.spark.sql.functions.col
+    val qz = PortableAnn.quantized(embs)
+    val model = PortableAnn.ivfPqTrainInt(qz, dim = 64)
+    val path = java.nio.file.Files.createTempDirectory("pivfpq_epoch").toString
+    graft.ann.PortableIvfPqIndex.save(spark, model,
+      PortableAnn.encodeIvfPq(qz, model), path)
+    val leaseF = new java.io.File(graft.ann.PortableIvfPqIndex.leaseFile(path))
+    val epochF = new java.io.File(graft.ann.PortableIvfPqIndex.epochFile(path))
+    def crumbs() = Seq(leaseF, epochF).map(f =>
+      new java.io.File(f.getParent, s".${f.getName}.crc"))
+    val doomed = qz.filter(
+      graft.functions.TextFunctions.hashBucket(col("vec_id"), 7) === 2)
+      .select("vec_id")
+    def codesRows(): Seq[String] =
+      graft.ann.PortableIvfPqIndex.codesFrame(spark, path)
+        .select("vec_id", "cid", "codes")
+        .collect().map(_.toString).sorted.toSeq
+    val before = codesRows()
+
+    // (a) usurper ACQUIRES mid-verb: foreign lease + advanced epoch —
+    //     exactly what a real acquisition writes. The dispossessed writer's
+    //     compact must refuse at its FIRST fenced step, touching nothing.
+    val ea = intercept[IllegalStateException] {
+      graft.ann.PortableIvfPqIndex.withWriterLease(spark, path) {
+        graft.ann.PortableIvfPqIndex.delete(spark, path, doomed)
+        val myLease = java.nio.file.Files.readString(leaseF.toPath)
+        val myEpoch = java.nio.file.Files.readString(epochF.toPath).trim.toLong
+        leaseF.delete(); crumbs().foreach(_.delete())
+        java.nio.file.Files.writeString(leaseF.toPath, "usurper-process")
+        java.nio.file.Files.writeString(epochF.toPath, s"${myEpoch + 1}")
+        val e1 = intercept[IllegalStateException] {
+          graft.ann.PortableIvfPqIndex.compact(spark, path)
+        }
+        assert(e1.getMessage.contains("lost before commit point"),
+          s"first fenced step must refuse on the lease: ${e1.getMessage}")
+
+        // (b) the corner the lease re-read CANNOT see: the lease file again
+        //     names this JVM (same-owner-reacquired class) but the epoch
+        //     has advanced — only the token refuses, naming both epochs.
+        leaseF.delete(); crumbs().foreach(_.delete())
+        java.nio.file.Files.writeString(leaseF.toPath, myLease)
+        val e2 = intercept[IllegalStateException] {
+          graft.ann.PortableIvfPqIndex.compact(spark, path)
+        }
+        assert(e2.getMessage.contains("advanced past this hold"),
+          s"epoch token must refuse where the lease read passes: ${e2.getMessage}")
+        // surface the outer abort the way a dispossessed verb would
+        throw e2
+      }
+    }
+    assert(ea.getMessage.contains("advanced past this hold"))
+    assert(codesRows() == before,
+      "refused moves must leave the codes tree bit-for-bit untouched")
+    assert(new java.io.File(s"$path/tombstones").exists,
+      "the pending tombstones belong to the index state, not the loser")
+
+    // (c) the winner (fresh acquisition, epoch advances again) compacts:
+    //     stale epoch-stamped scratch from any loser is reaped, the doomed
+    //     rows go, everything else survives bit-for-bit.
+    leaseF.delete(); crumbs().foreach(_.delete())
+    val staleScratch = new java.io.File(s"$path/codes.compact-e1")
+    staleScratch.mkdirs()
+    java.nio.file.Files.writeString(
+      new java.io.File(staleScratch, "junk").toPath, "leftover")
+    graft.ann.PortableIvfPqIndex.compact(spark, path)
+    assert(!staleScratch.exists,
+      "a dead epoch's scratch must be reaped by the next holder")
+    val doomedIds = doomed.collect().map(_.getLong(0)).toSet
+    val after = codesRows()
+    val expected = before.filterNot(r =>
+      doomedIds.exists(id => r.startsWith(s"[$id,")))
+    assert(after == expected,
+      "winner's compact must equal the original build minus the tombstoned rows")
+    assert(!new java.io.File(s"$path/tombstones").exists,
+      "compact must consume the tombstones")
+    assert(java.nio.file.Files.readString(epochF.toPath).trim.toLong >= 3L,
+      "every acquisition must advance the fencing epoch monotonically")
+  }
+
   test("upsert: disk equals a whole-corpus re-encode of the patched vectors; barrier honored") {
     import org.apache.spark.sql.functions.col
     val idx = graft.ann.PortableIvfPqIndex.ensureBuiltWithUpsert(
