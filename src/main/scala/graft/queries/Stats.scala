@@ -1720,14 +1720,17 @@ object Stats {
     * first-achieving millisecond. Starts order before ends at the same
     * millisecond, so touching sessions COUNT as concurrent (declared).
     *
-    * Scale shape — the sweep is HIERARCHICAL, never one day-sized window:
-    * the prefix sum runs inside (day, hour) partitions (at most an hour of
-    * deltas in any window), per-hour totals roll up through a ≤ 24-row
-    * per-day window into hour offsets, and the day's peak is the max over
-    * hours of offset + within-hour max prefix (exactly the global prefix
-    * max, because hours partition the day's timeline). A day with a billion
-    * sessions at 100 TB never materializes a day-wide sorted partition —
-    * the q199/q245 keyed-window discipline applied one level deeper. */
+    * Scale shape — the sweep is HIERARCHICAL over THREE tiers, never one
+    * day-sized (or hour-sized) window: the raw prefix sum runs inside
+    * (day, minute) partitions (at most a minute of deltas in any sorted
+    * window), per-minute totals roll up through a ≤ 60-row per-hour window
+    * into minute offsets, per-hour totals through a ≤ 24-row per-day
+    * window into hour offsets, and each level's peak is the max over
+    * children of offset + within-child max prefix (exactly the parent's
+    * prefix max, because children partition the parent's timeline). A
+    * flash-crowd day OR hour with a billion sessions at 100 TB never
+    * materializes a wide sorted partition — the q199/q245 keyed-window
+    * discipline applied two levels deeper (r14 VERDICT #4). */
   def q282(spark: SparkSession, dir: String): DataFrame =
     q282From(Tables.load(spark, dir, "events")
       .select(col("user_id"), col("event_id"),
@@ -1779,14 +1782,38 @@ object Stats {
       .union(perDay.select(col("d"), col("user_id"), col("sid"),
         col("pms_e").as("pms"), lit(-1L).as("delta")))
       .withColumn("h", expr("pms div 3600000"))
-    val hw = Window.partitionBy("d", "h")
+      .withColumn("mnt", expr("pms div 60000"))
+    // THIRD tier (r14 VERDICT #4, the declared flash-crowd residual): the
+    // raw prefix sum runs inside (day, hour, MINUTE) partitions — at most
+    // a minute of deltas in any sorted window — then per-minute totals
+    // roll up through a ≤60-row per-hour window into minute offsets, and
+    // the hour's max prefix is the max over minutes of offset + the
+    // within-minute max prefix (exactly the hour-level prefix max, because
+    // minutes partition the hour's timeline; the argmax tie-break
+    // composes the same way: constant offsets preserve within-minute
+    // argmax positions, and max(struct(peak, -pms)) picks the earliest
+    // millisecond among equal peaks at every level). A flash-crowd HOUR
+    // with a billion deltas never materializes an hour-wide sorted
+    // partition; a flash-crowd MINUTE is the declared next residual, three
+    // orders of magnitude further out.
+    val mw = Window.partitionBy("d", "mnt")
       .orderBy(col("pms"), col("delta").desc, col("user_id"), col("sid"))
-    val hourly = deltas.withColumn("run_h", sum("delta").over(hw))
+    val minutely = deltas.withColumn("run_m", sum("delta").over(mw))
+      .groupBy("d", "h", "mnt").agg(
+        sum("delta").as("tot_m"),
+        max(struct(col("run_m"), (-col("pms")).as("npms"))).as("b"))
+      .select(col("d"), col("h"), col("mnt"), col("tot_m"),
+        col("b.run_m").as("max_run_m"), (-col("b.npms")).as("peak_pms_m"))
+    val mow = Window.partitionBy("d", "h").orderBy("mnt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val hourly = minutely
+      .withColumn("moffset", coalesce(sum("tot_m").over(mow), lit(0L)))
+      .withColumn("mpeak", col("moffset") + col("max_run_m"))
       .groupBy("d", "h").agg(
-        sum("delta").as("tot"),
-        max(struct(col("run_h"), (-col("pms")).as("npms"))).as("b"))
+        sum("tot_m").as("tot"),
+        max(struct(col("mpeak"), (-col("peak_pms_m")).as("npms"))).as("b"))
       .select(col("d"), col("h"), col("tot"),
-        col("b.run_h").as("max_run"), (-col("b.npms")).as("peak_pms_h"))
+        col("b.mpeak").as("max_run"), (-col("b.npms")).as("peak_pms_h"))
     val ow = Window.partitionBy("d").orderBy("h")
       .rowsBetween(Window.unboundedPreceding, -1)
     val peaks = hourly

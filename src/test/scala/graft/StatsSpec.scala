@@ -118,6 +118,48 @@ class StatsSpec extends AnyFunSuite {
       (1L, 1L, 1L, 86400000L)), s"got $out")
   }
 
+  test("q282 flash-crowd hour: a 1M-delta hour sweeps minute-keyed, never one hour-wide sorted partition") {
+    // r14 VERDICT #4 (the declared q282 residual): the raw +1/-1 prefix
+    // sum must run inside MINUTE partitions, so a flash-crowd hour never
+    // lands in a single sorted window partition. Planted: 500k one-event
+    // sessions (1M deltas) all inside hour 3 of day 0, pairwise-staggered
+    // so the true peak is known in closed form, plus one all-day session
+    // riding over it.
+    import spark.implicits._
+    val M = 60000L
+    // 500k single-event sessions (1M sweep deltas), all inside hour 3 of
+    // day 0, spread over its 60 minutes. Sessions are instants ([t, t]
+    // intervals), so concurrency = sessions sharing a millisecond; the
+    // construction puts ids {2q, 2q+1} at the same tms and NOTHING else
+    // collides (tms determines q = id div 2 uniquely: q % 60 and
+    // (q div 60) % 60000 with q div 60 < 4167), so the true peak is
+    // exactly 2, first achieved at the hour's first millisecond (q = 0).
+    val events = spark.range(500000).select(
+      (col("id") + 100L).as("user_id"),
+      (col("id") + 10L).as("event_id"),
+      expr(s"${3L * 3600000L} + ((id div 2) % 60) * $M + ((id div 120) % $M)")
+        .as("tms"))
+      .select(col("user_id"), col("event_id"), col("tms"))
+    val df = queries.Stats.q282From(events)
+    // plan shape: the raw-delta window is (d, minute)-keyed — an hour-wide
+    // (d, h) or day-wide partition over the raw frame would be the exact
+    // single-partition sort the tier exists to prevent
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("windowspecdefinition(d#") ||
+      plan.contains("windowspecdefinition(d"), plan.take(2000))
+    val rawWindows = plan.split("windowspecdefinition\\(")
+      .drop(1).map(_.takeWhile(_ != ')')).toSeq
+    assert(rawWindows.exists(w => w.contains("mnt")),
+      s"raw prefix sum must be minute-keyed, windows: $rawWindows")
+    val out = df.as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out.size == 1 && out.head._1 == 0L, s"got $out")
+    val (_, nSess, peak, peakMs) = out.head
+    assert(nSess == 500000L, s"got $nSess sessions")
+    assert(peak == 2L, s"peak must be the planted colliding pair: $peak")
+    assert(peakMs == 3L * 3600000L,
+      s"first-achieving ms must be the hour's first colliding pair: $peakMs")
+  }
+
   test("q283 CUSUM: planted level shift alarms; linearization == recurrence") {
     import spark.implicits._
     // type A: 200 quiet hours at 10, then 100 hours at 30 (a +200% shift);
