@@ -2487,6 +2487,23 @@ object Training {
   /** [[q287]]'s MM kernel over an arbitrary (chosen, rejected) pair frame —
     * spec entry point (planted comparison chains, driver replay). */
   def bradleyTerry(pp: DataFrame): DataFrame = {
+    val (np, snaps) = bradleyTerryFit(pp, Seq(3))
+    val g = snaps(3)
+    val ncomp = np.groupBy("i").agg(sum("nij").as("n_comparisons"))
+    g.join(ncomp, Seq("i"))
+      .select(col("i").as("item"), col("wins").as("n_wins"),
+        col("n_comparisons"), col("gamma").as("gamma_ppm"))
+      .orderBy(desc("gamma_ppm"), col("item"))
+      .limit(20)
+  }
+
+  /** The MM iteration of [[q287]], generalized to SNAPSHOT the strength
+    * frame after selected rounds (r14 VERDICT #6 — q296 prices the 3-round
+    * approximation against a 5-round run the way q269 priced q252's
+    * recall). Returns (np, round → γ frame); snapshot frames stay
+    * scratch-persisted, intermediate rounds are retired as before. */
+  private[graft] def bradleyTerryFit(pp: DataFrame, snapshots: Seq[Int])
+      : (DataFrame, Map[Int, DataFrame]) = {
     val S = graft.operators.Checkpoints
     val w = S.scratch(pp.groupBy(col("chosen").as("i"), col("rejected").as("j"))
       .agg(count(lit(1)).as("w")))
@@ -2505,7 +2522,8 @@ object Training {
       .join(w.groupBy("i").agg(sum("w").as("wins")), Seq("i"), "left")
       .na.fill(0L, Seq("wins"))
     var g = S.scratch(wins.withColumn("gamma", lit(1000000L)))
-    (1 to 3).foreach { _ =>
+    val snaps = scala.collection.mutable.Map.empty[Int, DataFrame]
+    (1 to snapshots.max).foreach { r =>
       val gi = g.select(col("i"), col("gamma"))
       val den = np
         .join(gi, Seq("i"))
@@ -2528,38 +2546,43 @@ object Training {
         .withColumn("gamma",
           expr("least(1000000000000, graw * 1000000 div meang)"))
         .select("i", "wins", "gamma"))
-      S.rddOf(prev).foreach(_.unpersist(blocking = false))
+      // a snapshot round's frame must outlive the loop — retire only
+      // non-snapshot predecessors
+      if (!snaps.valuesIterator.exists(_ eq prev))
+        S.rddOf(prev).foreach(_.unpersist(blocking = false))
+      if (snapshots.contains(r)) snaps(r) = g
     }
-    val ncomp = np.groupBy("i").agg(sum("nij").as("n_comparisons"))
-    g.join(ncomp, Seq("i"))
-      .select(col("i").as("item"), col("wins").as("n_wins"),
-        col("n_comparisons"), col("gamma").as("gamma_ppm"))
-      .orderBy(desc("gamma_ppm"), col("item"))
-      .limit(20)
+    (np, snaps.toMap)
   }
 
-  val q287Sql: String = {
-    def round(r: Int): String = {
-      val p = if (r == 1) "g0" else s"g${r - 1}"
-      s"""t$r AS MATERIALIZED (
-        |  SELECT np.i,
-        |    SUM(np.nij * 10000000000 // GREATEST(1, a.gamma + b.gamma)) AS den
-        |  FROM np JOIN $p a ON a.i = np.i JOIN $p b ON b.i = np.j
-        |  GROUP BY np.i
-        |), r$r AS MATERIALIZED (
-        |  SELECT g.i, g.wins,
-        |    LEAST(1000000000000, g.wins * 10000000000 // GREATEST(1, t.den))
-        |      AS graw
-        |  FROM $p g JOIN t$r t ON t.i = g.i
-        |), m$r AS MATERIALIZED (
-        |  SELECT GREATEST(1, SUM(graw) // COUNT(*)) AS meang FROM r$r
-        |), g$r AS MATERIALIZED (
-        |  SELECT i, wins,
-        |    LEAST(1000000000000, graw * 1000000 // m.meang) AS gamma
-        |  FROM r$r CROSS JOIN m$r m
-        |)""".stripMargin
-    }
-    s"""WITH ev AS (
+  /** One MM round as oracle CTEs — shared by q287 (3 rounds) and q296
+    * (5 rounds, the convergence audit) so the two oracles can never
+    * desync on the round algebra. */
+  private def btRoundSql(r: Int): String = {
+    val p = if (r == 1) "g0" else s"g${r - 1}"
+    s"""t$r AS MATERIALIZED (
+      |  SELECT np.i,
+      |    SUM(np.nij * 10000000000 // GREATEST(1, a.gamma + b.gamma)) AS den
+      |  FROM np JOIN $p a ON a.i = np.i JOIN $p b ON b.i = np.j
+      |  GROUP BY np.i
+      |), r$r AS MATERIALIZED (
+      |  SELECT g.i, g.wins,
+      |    LEAST(1000000000000, g.wins * 10000000000 // GREATEST(1, t.den))
+      |      AS graw
+      |  FROM $p g JOIN t$r t ON t.i = g.i
+      |), m$r AS MATERIALIZED (
+      |  SELECT GREATEST(1, SUM(graw) // COUNT(*)) AS meang FROM r$r
+      |), g$r AS MATERIALIZED (
+      |  SELECT i, wins,
+      |    LEAST(1000000000000, graw * 1000000 // m.meang) AS gamma
+      |  FROM r$r CROSS JOIN m$r m
+      |)""".stripMargin
+  }
+
+  /** The preference-pair → np/wins/g0 oracle preamble shared by q287 and
+    * q296. */
+  private val btBaseSql: String =
+    s"""ev AS (
       |  SELECT user_id, epoch_ms(ts) // 86400000 AS day, event_type,
       |    TRY_CAST(json_extract_string(props, '$$.k') AS BIGINT) AS item
       |  FROM events
@@ -2586,7 +2609,10 @@ object Training {
       |  FROM (SELECT DISTINCT i FROM np) it
       |  LEFT JOIN (SELECT i, SUM(w) AS wins FROM w GROUP BY i) wn
       |    ON wn.i = it.i
-      |), ${round(1)}, ${round(2)}, ${round(3)}
+      |)""".stripMargin
+
+  val q287Sql: String =
+    s"""WITH $btBaseSql, ${btRoundSql(1)}, ${btRoundSql(2)}, ${btRoundSql(3)}
       |SELECT g.i AS item, CAST(g.wins AS BIGINT) AS n_wins,
       |  CAST(nc.n_comparisons AS BIGINT) AS n_comparisons,
       |  CAST(g.gamma AS BIGINT) AS gamma_ppm
@@ -2594,12 +2620,66 @@ object Training {
       |  ON nc.i = g.i
       |ORDER BY gamma_ppm DESC, item
       |LIMIT 20""".stripMargin
+
+  /** q296's declared agreement tolerance: two fits agree on an item when
+    * their γ differ by ≤ 1% of the mean-10⁶ scale. A literal calibration
+    * knob both engines share (the q153 table discipline). */
+  private[graft] val BtAgreeTolPpm = 10000L
+
+  /** q296 Bradley–Terry convergence audit (r14 VERDICT #6) — q287 ships a
+    * DELIBERATE 3-round MM approximation; this companion prices it the way
+    * q269 priced q252's containment recall: the identical fit run to 5
+    * rounds, per-item γ₃ vs γ₅ side by side with the absolute delta, plus
+    * the corpus-wide agreement rate (share of items within
+    * [[BtAgreeTolPpm]]) repeated on every row so the one number reads off
+    * any row. MM is monotone in the BT likelihood, so γ₅ is strictly
+    * closer to the fixed point — a low delta certifies 3 rounds as
+    * converged for this corpus, a high one tells the operator to buy more
+    * rounds BEFORE trusting q287's ranking. Cost: ONE fit to round 5 with
+    * a snapshot at 3 (the rounds are a shared prefix, not two fits). The
+    * agreement window is |items|-bounded (the q287 frame), and
+    * sum(agree)·10⁶ wraps int64 only past ~9.2e12 items — beyond any
+    * catalog. */
+  def q296(spark: SparkSession, dir: String): DataFrame =
+    btConvergence(graft.streaming.EventStream.preferencePairsStream(
+      Tables.load(spark, dir, "events")))
+
+  /** [[q296]]'s kernel over an arbitrary (chosen, rejected) pair frame —
+    * spec entry point (planted intransitive cycles, snapshot-consistency
+    * replay). */
+  private[graft] def btConvergence(pp: DataFrame): DataFrame = {
+    val (_, snaps) = bradleyTerryFit(pp, Seq(3, 5))
+    val g3 = snaps(3).select(col("i"), col("gamma").as("gamma3_ppm"))
+    val g5 = snaps(5).select(col("i"), col("gamma").as("gamma5_ppm"))
+    g5.join(g3, Seq("i"))
+      .withColumn("delta_ppm", abs(col("gamma5_ppm") - col("gamma3_ppm")))
+      .withColumn("agree",
+        when(col("delta_ppm") <= BtAgreeTolPpm, 1L).otherwise(0L))
+      .withColumn("agree_rate_ppm",
+        expr("sum(agree) over (partition by 1) * 1000000" +
+          " div count(*) over (partition by 1)"))
+      .select(col("i").as("item"), col("gamma3_ppm"), col("gamma5_ppm"),
+        col("delta_ppm"), col("agree_rate_ppm"))
+      .orderBy("item")
   }
+
+  val q296Sql: String =
+    s"""WITH $btBaseSql, ${btRoundSql(1)}, ${btRoundSql(2)}, ${btRoundSql(3)},
+      |${btRoundSql(4)}, ${btRoundSql(5)}
+      |SELECT g5.i AS item, CAST(g3.gamma AS BIGINT) AS gamma3_ppm,
+      |  CAST(g5.gamma AS BIGINT) AS gamma5_ppm,
+      |  CAST(ABS(g5.gamma - g3.gamma) AS BIGINT) AS delta_ppm,
+      |  CAST(SUM(CASE WHEN ABS(g5.gamma - g3.gamma) <= $BtAgreeTolPpm
+      |      THEN 1 ELSE 0 END) OVER () * 1000000
+      |    // COUNT(*) OVER () AS BIGINT) AS agree_rate_ppm
+      |FROM g5 JOIN g3 ON g3.i = g5.i
+      |ORDER BY item""".stripMargin
 
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q281_temperature_mix", q281 _, Some(q281Sql)),
     ("q286_repeat_value", q286 _, Some(q286Sql)),
     ("q287_bradley_terry", q287 _, Some(q287Sql)),
+    ("q296_bt_convergence", q296 _, Some(q296Sql)),
     ("q270_softdedup_weights", q270 _, Some(q270Sql)),
     ("q271_packing_audit", q271 _, Some(q271Sql)),
     ("q179_dsir_weights", q179 _, Some(q179Sql)),

@@ -56,6 +56,46 @@ class PropertySpec extends AnyFunSuite {
       s"item $i: engine ${got(i)} vs replay ${gamma(i)}"))
   }
 
+  test("q296 convergence audit: intransitive cycle agrees exactly; round-3 snapshot == standalone 3-round fit") {
+    import graft.queries.Training
+    // planted INTRANSITIVE cycle (r14 VERDICT #6's adversarial case):
+    // A>B, B>C, C>A each 5-2 — no consistent total order exists. By
+    // symmetry of the integer MM (every item sees the same multiset of
+    // wins, losses, and opponent strengths), γ stays exactly 10⁶ for all
+    // three at EVERY round, so the 3-vs-5-round audit must report zero
+    // delta and agreement 10⁶ — intransitivity converges to a tie
+    // instead of oscillating.
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 1L)).flatMap { case (a, b) =>
+      Seq.fill(5)((a, b)) ++ Seq.fill(2)((b, a))
+    }.toDF("chosen", "rejected")
+    val audit = Training.btConvergence(cyc).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(audit.length == 3, s"got ${audit.toSeq}")
+    audit.foreach { case (item, g3, g5, delta, agree) =>
+      assert(g3 == 1000000L && g5 == 1000000L && delta == 0L &&
+        agree == 1000000L,
+        s"cycle item $item must tie at 10^6 with zero delta: ${audit.toSeq}")
+    }
+
+    // on the DOMINANCE chain, the audit's round-3 snapshot must equal the
+    // standalone 3-round fit item for item (the shared-prefix contract),
+    // and agreement is a single corpus-wide constant on every row
+    val chain = Seq((10L, 20L), (20L, 30L), (30L, 40L)).flatMap { case (a, b) =>
+      Seq.fill(3)((a, b)) ++ Seq((b, a))
+    }.toDF("chosen", "rejected")
+    val fit3 = Training.bradleyTerry(chain).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val aud = Training.btConvergence(chain).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4)))
+    aud.foreach { case (item, g3, _, _) =>
+      assert(fit3(item) == g3,
+        s"item $item: audit snapshot $g3 != standalone fit ${fit3(item)}")
+    }
+    assert(aud.map(_._4).distinct.length == 1,
+      "agreement rate must be one corpus-wide constant")
+  }
+
   private def check(p: Prop): Unit = {
     val res = SCTest.check(
       SCTest.Parameters.default.withMinSuccessfulTests(10), p)
