@@ -972,6 +972,41 @@ object Graph {
     * clique). 8 synchronous peel rounds (fixed-point early exit, identity
     * tail); one row per round. The oracle unrolls the identical 8 rounds
     * as materialized CTEs with the same scalar-subquery k. */
+  /** STREAMING leg of the graph family (r14 VERDICT #7 — the k-core/LPA
+    * group was the only new operator family without one): the stream
+    * appends per-batch DISTINCT-EDGE digests — the cusumStream /
+    * sessionDigestStream LSM discipline (batch-dir overwrite =
+    * replay-idempotent under foreachBatch's at-least-once retries) — and
+    * the peel assembles MERGE-ON-READ. The mergeable object is the edge
+    * SET, deliberately not a degree count: coreness is defined on the
+    * simple graph (DISTINCT neighbors), so per-batch degree counts are
+    * not additive when an edge recurs across batches — set union is the
+    * exact merge, and the read-side distinct collapses re-deliveries.
+    * Readers pay |digest edges|, never a source rescan; the peel itself
+    * is the identical [[kCoreCensus]], so stream == batch bit-for-bit
+    * (StreamingSpec pins it against q275). */
+  def kcoreEdgeDigestStream(spark: SparkSession, edgeStream: DataFrame,
+      outDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    edgeStream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        batch.toDF().select("src", "dst")
+          .filter(col("src") =!= col("dst"))
+          .distinct()
+          .write.mode("overwrite").parquet(s"$outDir/batch-$id")
+      }
+      .start()
+
+  /** Assemble the k-core census from persisted edge digests (glob paths
+    * welcome). Edges recurring across batches collapse in the distinct —
+    * the set-union merge that makes the digest exact. */
+  def kCoreReadMerged(spark: SparkSession, dirs: Seq[String]): DataFrame =
+    kCoreCensus(spark,
+      dirs.map(d => spark.read.parquet(d)).reduce(_ unionByName _)
+        .select("src", "dst").distinct(),
+      None, KCoreRounds).orderBy("round")
+
   def q275(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.load(spark, dir, "lineitem")
       .select(col("l_orderkey").as("okey"), col("l_linenumber").as("ln"),
