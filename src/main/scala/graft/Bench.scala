@@ -60,6 +60,7 @@ object Bench {
     // file is self-identifying without git archaeology.
     val role =
       if (sys.env.get("SPARK_GRAFT_BENCH_ROLE").contains("closing")) "closing"
+      else if (sys.env.get("SPARK_GRAFT_BENCH_ROLE").contains("solo")) "solo"
       else "sweep"
     val detailPath =
       if (role == "closing") "BENCH_DETAIL.json" else "BENCH_DETAIL_SWEEP.json"
@@ -113,6 +114,43 @@ object Bench {
       (name, t, loadavg(), reps)
     }
     def fmt(v: Double): String = f"$v%.4f"
+    // SOLO role (r14 VERDICT #5): suite-order interference is real and
+    // measured (q252: 12.4 s in-suite vs 4.2 s in a fresh JVM at ×64), so
+    // every >2 s heavy gets its min recorded from a DEDICATED one-query
+    // JVM (SPARK_GRAFT_BENCH_ROLE=solo SPARK_GRAFT_BENCH_ONLY=<q>), and the
+    // ledger below is embedded into the closing artifact — round-over-round
+    // reads of the heavies stop depending on cross-artifact archaeology.
+    if (role == "solo") {
+      val w = new java.io.PrintWriter(
+        new java.io.FileWriter("BENCH_SOLO.jsonl", true))
+      try results.foreach { case (k, v, l, _) =>
+        v.foreach { t =>
+          w.println(s"""{"name":${jsonStr(k)},"min":${fmt(t._1)},"median":${fmt(t._2)},"load1m":${fmt(l)},"run_id":${jsonStr(runId)},"sf":${jsonStr(sfDir)}}""")
+        }
+      } finally w.close()
+    }
+    // the closing pass embeds the LATEST solo record per query — the solo
+    // ledger is this repo's own strict format, parsed by shape, unknown
+    // lines skipped
+    val soloJson: String =
+      if (role != "closing") ""
+      else {
+        val f = new java.io.File("BENCH_SOLO.jsonl")
+        if (!f.exists) ""
+        else try {
+          val rx = ("""\{"name":"([^"]+)","min":([0-9.]+),"median":([0-9.]+)""" +
+            ""","load1m":([0-9.]+),"run_id":"([^"]+)","sf":"([^"]+)"\}""").r
+          val latest = scala.collection.mutable.LinkedHashMap[String, String]()
+          val src = scala.io.Source.fromFile(f)
+          try src.getLines().foreach {
+            case rx(n, mn, md, ld, rid, s) => latest(n) =
+              s""""$n":{"min":$mn,"median":$md,"load1m":$ld,"run_id":"$rid","sf":"$s"}"""
+            case _ => ()
+          } finally src.close()
+          if (latest.isEmpty) ""
+          else s""","solo_min":${latest.values.mkString("{", ",", "}")}"""
+        } catch { case _: Throwable => "" }
+      }
     // Opt-in second pass (SPARK_GRAFT_BENCH_SHUFFLED=1): one more timed run
     // of every query in a FIXED pseudo-random order (md5 of the name — the
     // same order every invocation, so rounds compare), same between-query
@@ -185,7 +223,7 @@ object Bench {
     }.mkString("[", ",", "]")
     try {
       val w = new java.io.PrintWriter(detailPath)
-      try w.println(s"""{"unit":"sec","min_median":$detail,"reps_sec_load":$repsJson,"load1m_after_query":$loadTrace,"high_load_suspect":$highLoad,"load1m_suspect_threshold":$loadThreshold,"failed":$failedJson,"load1m":[${fmt(loadBefore)},${fmt(loadAfter)}],"sf":"$sfDir"$subsetJson$provJson}""")
+      try w.println(s"""{"unit":"sec","min_median":$detail,"reps_sec_load":$repsJson,"load1m_after_query":$loadTrace,"high_load_suspect":$highLoad,"load1m_suspect_threshold":$loadThreshold,"failed":$failedJson,"load1m":[${fmt(loadBefore)},${fmt(loadAfter)}],"sf":"$sfDir"$subsetJson$provJson$soloJson}""")
       finally w.close()
     } catch { case _: Throwable => () } // detail file is best-effort
     // The driver reads this line from a bounded tail buffer (~1.8 KB,
