@@ -1,0 +1,434 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.{TextFunctions => T}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Round-15 operator group: the MAINTENANCE and GATING primitives a 100 TB
+  * pipeline runs between full recomputes — incremental rollup refresh
+  * (q297), deterministic stratified sampling whose scale shortcut is
+  * PROVEN lossless by the oracle (q298), and two portable mergeable
+  * sketches with their error priced against exact answers (count-min
+  * q299, Bloom pre-gate q300). Every query is DuckDB-oracle-checked;
+  * money is integer cents via per-row FLOOR, keys and counts are BIGINT,
+  * randomness is md5, and each result carries a total ORDER BY.
+  */
+object Maintenance {
+
+  // ---- q297 incremental rollup maintenance ---------------------------------
+
+  /** The declared base/delta split day (epoch days, 1997-01-01) and the
+    * declared retraction rule — literal knobs both engines share. */
+  private val MvSplitDay = 9862L
+  private val RetractMod = 97L
+
+  /** q297 incremental rollup maintenance — the materialized-view refresh
+    * every warehouse runs instead of rescanning the fact table: a stored
+    * (month, status) rollup is brought current by MERGING a signed delta
+    * aggregate (late inserts as +1 rows, retracted base orders as −1
+    * rows), never by recomputing from the base. COUNT and SUM are
+    * self-maintainable aggregates (additive groups — Gray et al.'s
+    * distributive class, the standard incremental-view-maintenance
+    * result), so base ⊎ delta is EXACT: the oracle computes the same
+    * rollup the naive way, as one full GROUP BY over the effective row
+    * set, and the hash gate proves merge == recompute across engines —
+    * the algebra is the thing under test, not one engine's replay of it.
+    * Groups whose count reaches zero drop out (a fully-retracted group
+    * must vanish exactly as the recompute never emits it).
+    *
+    * Scale shape: refresh cost is Θ(|delta| + |MV|), never Θ(|base|) —
+    * the delta aggregate map-combines to MV-sized partials and the merge
+    * is one group-keyed union-aggregate; the base partition is read here
+    * only to STAND IN for the stored MV (one aggregate, paid at view
+    * creation in production). Retractions arrive as rows, so a CDC feed
+    * (the q241 shape) plugs in unchanged. */
+  def q297(spark: SparkSession, dir: String): DataFrame =
+    mvRefresh(Tables.load(spark, dir, "orders").select(
+      col("o_orderkey"),
+      col("o_orderstatus").as("status"),
+      expr("cast(year(o_orderdate) * 100 + month(o_orderdate) as bigint)")
+        .as("ym"),
+      expr("unix_millis(o_orderdate) div 86400000").as("day"),
+      expr("cast(floor(o_totalprice * 100.0) as bigint)").as("cents")))
+
+  /** [[q297]]'s refresh kernel over a prepared (o_orderkey, status, ym,
+    * day, cents) frame — spec entry point (planted fully-retracted
+    * groups, merge-vs-naive replay). */
+  private[graft] def mvRefresh(o: DataFrame): DataFrame = {
+    val base = o.filter(col("day") < MvSplitDay)
+    // the "stored" rollup the refresh starts from
+    val mv = base.groupBy("ym", "status")
+      .agg(count(lit(1)).as("n"), sum("cents").as("c"))
+    // signed delta: retractions of base rows + late inserts, ONE aggregate
+    val delta = base.filter(col("o_orderkey") % RetractMod === 0L)
+      .select(col("ym"), col("status"),
+        lit(-1L).as("n"), (-col("cents")).as("c"))
+      .union(o.filter(col("day") >= MvSplitDay)
+        .select(col("ym"), col("status"), lit(1L).as("n"), col("cents").as("c")))
+      .groupBy("ym", "status").agg(sum("n").as("n"), sum("c").as("c"))
+    mv.select("ym", "status", "n", "c")
+      .union(delta.select("ym", "status", "n", "c"))
+      .groupBy("ym", "status")
+      .agg(sum("n").as("n_orders"), sum("c").as("total_cents"))
+      .filter(col("n_orders") > 0L)
+      .orderBy("ym", "status")
+  }
+
+  val q297Sql: String =
+    s"""SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT)
+      |    AS ym,
+      |  o_orderstatus AS status,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+      |    AS total_cents
+      |FROM orders
+      |WHERE (epoch_ms(o_orderdate) // 86400000 < $MvSplitDay
+      |       AND o_orderkey % $RetractMod <> 0)
+      |   OR epoch_ms(o_orderdate) // 86400000 >= $MvSplitDay
+      |GROUP BY 1, 2
+      |ORDER BY ym, status""".stripMargin
+
+  // ---- q298 deterministic stratified sample --------------------------------
+
+  /** Total sample budget and the declared oversample factor of the scale
+    * shortcut (see [[q298]]). */
+  private val SampleBudget = 100L
+  private val Oversample = 4L
+
+  /** q298 deterministic stratified sample — the eval-set/inspection draw a
+    * pipeline takes per source: a budget of [[SampleBudget]] rows is
+    * allocated across sources by the largest-remainder rule (exact integer
+    * shares, the q166 discipline), and each source contributes its
+    * allocation's WORST-RANKED-BY-MD5 docs (rank = (md5 bucket, doc_id) —
+    * deterministic, engine-portable, stable under reruns).
+    *
+    * The SCALE SHORTCUT is the point: ranking every row per source is a
+    * corpus-wide sort, so the engine first drops every row whose hash
+    * cannot plausibly make its source's cut — survivors satisfy
+    * hash·n_s < 2³²·[[Oversample]]·k_s, expected [[Oversample]]·k_s rows
+    * per source — and ranks only the survivors. The ORACLE ranks the FULL
+    * source with no shortcut, so a hash match PROVES the threshold lost
+    * nothing (the q269 discipline: the audit is the gate itself, not an
+    * argument); a corpus where the threshold WOULD clip the true sample
+    * fails loudly at the require below, never silently. */
+  def q298(spark: SparkSession, dir: String): DataFrame =
+    stratifiedSample(Tables.parallelized(
+      Tables.load(spark, dir, "documents")).select("doc_id", "source"))
+
+  /** [[q298]]'s sampler over a prepared (doc_id, source) frame — spec
+    * entry point (full-rank driver replay proving the shortcut exact). */
+  private[graft] def stratifiedSample(ds: DataFrame): DataFrame = {
+    val docs = ds
+      .select(col("doc_id"), col("source"),
+        T.hashBucket(concat(lit("smp:"), col("doc_id").cast(StringType)),
+          lit(1L << 32)).as("h"))
+    val all = Window.partitionBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    // largest-remainder allocation of the budget over per-source counts
+    val alloc = docs.groupBy("source").agg(count(lit(1)).as("n_s"))
+      .withColumn("t_docs", sum("n_s").over(all))
+      .withColumn("base", expr(s"n_s * $SampleBudget div t_docs"))
+      .withColumn("rem", expr(s"n_s * $SampleBudget % t_docs"))
+      .withColumn("spare", lit(SampleBudget) - sum("base").over(all))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(lit(1)).orderBy(col("rem").desc, col("source"))))
+      .withColumn("k_s",
+        col("base") + when(col("rk") <= col("spare"), 1L).otherwise(0L))
+      .select("source", "n_s", "k_s")
+    val withK = docs.join(broadcast(alloc), Seq("source"))
+    // scale shortcut: only plausible-rank survivors reach the window
+    val survivors = withK
+      .filter(col("h") * col("n_s") <
+        lit(1L << 32) * lit(Oversample) * col("k_s"))
+    // loud-failure guard (deterministic for a given corpus): the shortcut
+    // must retain at least each source's allocation, or the sample is not
+    // the true per-source top-k — refuse rather than silently drift
+    val short = survivors.groupBy("source").agg(count(lit(1)).as("surv"))
+      .join(alloc, Seq("source"))
+      .filter(col("surv") < least(col("k_s"), col("n_s")))
+      .limit(1).collect()
+    require(short.isEmpty,
+      s"oversample factor $Oversample clipped source ${short.headOption}" +
+        " — raise Oversample for this corpus")
+    survivors
+      .withColumn("smp_rank", row_number().over(
+        Window.partitionBy("source").orderBy(col("h"), col("doc_id"))))
+      .filter(col("smp_rank") <= col("k_s"))
+      .select(col("source"), col("doc_id"), col("smp_rank").cast(LongType)
+        .as("smp_rank"))
+      .orderBy("source", "smp_rank")
+  }
+
+  val q298Sql: String =
+    s"""WITH d AS (
+      |  SELECT doc_id, source,
+      |    CAST('0x' || substr(md5('smp:' || CAST(doc_id AS VARCHAR)), 1, 8)
+      |      AS BIGINT) % ${1L << 32} AS h
+      |  FROM documents
+      |), cnt AS (
+      |  SELECT source, COUNT(*) AS n_s FROM d GROUP BY source
+      |), tot AS (SELECT SUM(n_s) AS t_docs FROM cnt
+      |), q AS (
+      |  SELECT source, n_s,
+      |    n_s * $SampleBudget // tot.t_docs AS base,
+      |    n_s * $SampleBudget % tot.t_docs AS rem
+      |  FROM cnt CROSS JOIN tot
+      |), sp AS (SELECT $SampleBudget - SUM(base) AS spare FROM q
+      |), alloc AS (
+      |  SELECT source, n_s,
+      |    base + CASE WHEN ROW_NUMBER() OVER (ORDER BY rem DESC, source)
+      |      <= sp.spare THEN 1 ELSE 0 END AS k_s
+      |  FROM q CROSS JOIN sp
+      |), ranked AS (
+      |  SELECT d.source, d.doc_id, a.k_s,
+      |    ROW_NUMBER() OVER (PARTITION BY d.source ORDER BY d.h, d.doc_id)
+      |      AS smp_rank
+      |  FROM d JOIN alloc a ON a.source = d.source
+      |)
+      |SELECT source, doc_id, CAST(smp_rank AS BIGINT) AS smp_rank
+      |FROM ranked WHERE smp_rank <= k_s
+      |ORDER BY source, smp_rank""".stripMargin
+
+  // ---- q299 portable count-min sketch --------------------------------------
+
+  /** Count-min geometry — literal knobs both engines share. */
+  private val CmWidth = 1024L
+  private val CmDepth = 4
+
+  /** One md5-derived count-min hash per depth row, shared shape with the
+    * oracle: row j buckets key k at md5("cm" + j + ":" + k) % width. */
+  private def cmBucket(key: Column, j: Int): Column =
+    T.hashBucket(concat(lit(s"cm$j:"), key.cast(StringType)),
+      lit(CmWidth))
+
+  /** q299 portable count-min sketch (Cormode & Muthukrishnan, J.
+    * Algorithms 2005) with its error PRICED against exact counts — the
+    * mergeable frequency summary next to q273's KMV (distincts) and
+    * q215's HLL registers (cardinality): d×w integer cells, cell(j, b) =
+    * Σ count of keys hashing there, estimate = min over rows — never an
+    * under-estimate, over-estimates priced here in ppm for the exact
+    * top-20 users. Every hash is md5, every cell an exact integer SUM, so
+    * both engines replay the sketch bit-for-bit (the PORTABLE sketch
+    * discipline) — and the d·w = 4096-cell table is the mergeable LSM
+    * object a streaming leg would persist per batch (cells SUM across
+    * batches; the cusumStream digest algebra).
+    *
+    * Scale shape: one scan map-combines into ≤ d·w cells + one
+    * user-keyed exact aggregate for the audit side; the probe joins the
+    * top-20 against the cell table by broadcast. */
+  def q299(spark: SparkSession, dir: String): DataFrame =
+    countMinAudit(Tables.load(spark, dir, "events")
+      .groupBy(col("user_id")).agg(count(lit(1)).as("exact")))
+
+  /** [[q299]]'s sketch+audit over a prepared (user_id, exact) count frame
+    * — spec entry point (driver replay of the cell table and the min
+    * probe; over-estimate-only property). */
+  private[graft] def countMinAudit(counts0: DataFrame): DataFrame = {
+    val counts = counts0
+    val cells = counts.select(
+        col("exact"),
+        explode(array((0 until CmDepth).map(j =>
+          struct(lit(j).as("j"), cmBucket(col("user_id"), j).as("b"))): _*))
+          .as("jb"))
+      .groupBy(col("jb.j").as("j"), col("jb.b").as("b"))
+      .agg(sum("exact").as("cell"))
+    val top = counts.orderBy(col("exact").desc, col("user_id")).limit(20)
+    val probes = top.select(col("user_id"), col("exact"),
+        explode(array((0 until CmDepth).map(j =>
+          struct(lit(j).as("j"), cmBucket(col("user_id"), j).as("b"))): _*))
+          .as("jb"))
+      .select(col("user_id"), col("exact"),
+        col("jb.j").as("j"), col("jb.b").as("b"))
+    probes.join(broadcast(cells), Seq("j", "b"))
+      .groupBy("user_id", "exact").agg(min("cell").as("est"))
+      .withColumn("over_ppm",
+        expr("(est - exact) * 1000000 div greatest(1, exact)"))
+      .select(col("user_id"), col("exact"), col("est"), col("over_ppm"))
+      .orderBy(col("exact").desc, col("user_id"))
+  }
+
+  val q299Sql: String = {
+    def bucket(j: Int, key: String): String =
+      s"CAST('0x' || substr(md5('cm$j:' || CAST($key AS VARCHAR)), 1, 8) " +
+        s"AS BIGINT) % $CmWidth"
+    val cellArms = (0 until CmDepth).map(j =>
+      s"SELECT $j AS j, ${bucket(j, "user_id")} AS b, exact FROM counts")
+      .mkString("\n  UNION ALL ")
+    val probeArms = (0 until CmDepth).map(j =>
+      s"SELECT user_id, exact, $j AS j, ${bucket(j, "user_id")} AS b FROM top")
+      .mkString("\n  UNION ALL ")
+    s"""WITH counts AS (
+      |  SELECT user_id, COUNT(*) AS exact FROM events GROUP BY user_id
+      |), cells AS (
+      |  SELECT j, b, CAST(SUM(exact) AS BIGINT) AS cell FROM (
+      |  $cellArms
+      |  ) GROUP BY j, b
+      |), top AS (
+      |  SELECT user_id, exact FROM counts
+      |  ORDER BY exact DESC, user_id LIMIT 20
+      |), probes AS (
+      |  $probeArms
+      |)
+      |SELECT p.user_id, CAST(p.exact AS BIGINT) AS exact,
+      |  CAST(MIN(c.cell) AS BIGINT) AS est,
+      |  CAST((MIN(c.cell) - p.exact) * 1000000
+      |    // GREATEST(1, p.exact) AS BIGINT) AS over_ppm
+      |FROM probes p JOIN cells c ON c.j = p.j AND c.b = p.b
+      |GROUP BY p.user_id, p.exact
+      |ORDER BY exact DESC, user_id""".stripMargin
+  }
+
+  // ---- q300 portable Bloom pre-gate ----------------------------------------
+
+  /** Bloom geometry: m = 2¹⁶ bits packed into int64 words of 63 usable bits
+    * (bit 63 stays clear: DuckDB raises on 1<<63 where int64 wraps — the
+    * 63-bit word is the portable encoding), k = 4
+    * md5-derived hashes — literal knobs both engines share. */
+  private val BloomHashes = 4
+
+  /** The filter SIZES ITSELF to the known set — m = 2^(bitlen(n−1)+2) bits
+    * ∈ [4n, 8n), the adaptive-width discipline (length(bin(n−1)), as the
+    * LSH band widths do) — so the false-positive rate stays a CONSTANT
+    * band (~2–16% at k = 4) from fixture to 100 TB instead of saturating.
+    * The 4–8 bits/key sizing is DELIBERATELY tight so the fixture
+    * actually exercises the priced-FPR columns; a production gate raises
+    * the +2 to +4 (16–32 bits/key, FPR < 0.1%) — one declared constant. */
+  private def bloomGeom(nKnown: Long): Long = {
+    val bitlen = math.max(1,
+      64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, nKnown - 1)))
+    1L << (bitlen + 2)
+  }
+
+  private def bloomBit(key: Column, j: Int, m: Long): Column =
+    T.hashBucket(concat(lit(s"bf$j:"), key.cast(StringType)), lit(m))
+
+  /** q300 portable Bloom pre-gate (Bloom, CACM 1970) with its false-
+    * positive rate PRICED against the exact anti-join — the cheap first
+    * tier in front of the q255/q268/q274 ingest gates: a definite-NO from
+    * the filter skips the exact store probe entirely, a maybe pays it.
+    * The filter is int64 words (63 usable bits each — DuckDB raises on
+    * 1<<63 where int64 wraps, so bit 63 stays clear) built by a bit_or
+    * aggregate over the known corpus's content fingerprints; an arrival
+    * passes when all [[BloomHashes]] bits are set. Everything is md5 +
+    * integer bit algebra over the [[bloomGeom]] adaptive width, so both
+    * engines build the SAME filter and the audit's false-positive count
+    * is replayable — the gate ships with its price, per source: arrivals,
+    * maybes, true members, false positives, and fp ppm over the true
+    * negatives. Arrivals split from the corpus by md5, not by id range,
+    * so every source contributes probes.
+    *
+    * Scale shape: the filter build map-combines into m/63 words (the
+    * mergeable LSM object — words bit_or across batches); the probe is a
+    * broadcast join of arrivals×k against the word table plus ONE exact
+    * semi-join for the audit column. At serve time only the maybes pay
+    * the exact probe — the arithmetic the fp_ppm column prices. */
+  def q300(spark: SparkSession, dir: String): DataFrame =
+    bloomGate(Tables.parallelized(Tables.load(spark, dir, "documents"))
+      .select("doc_id", "source", "text"))
+
+  /** [[q300]]'s gate over a prepared (doc_id, source, text) frame — spec
+    * entry point (planted known-duplicate arrival: the no-false-negative
+    * guarantee is literal-testable). */
+  private[graft] def bloomGate(ds: DataFrame): DataFrame = {
+    val docs = ds
+      .select(col("doc_id"), col("source"),
+        T.portableHash60(coalesce(col("text"), lit(""))).as("fp"),
+        (T.hashBucket(concat(lit("arr:"), col("doc_id").cast(StringType)),
+          10) === 0L).as("is_arrival"))
+    val known = docs.filter(!col("is_arrival")).select("fp").distinct()
+    val mBits = bloomGeom(known.count())
+    val words = known.select(
+        explode(array((0 until BloomHashes).map(j =>
+          bloomBit(col("fp"), j, mBits)): _*)).as("bit"))
+      .select(expr("bit div 63").as("w"),
+        expr("shiftleft(cast(1 as bigint), cast(bit % 63 as int))").as("m"))
+      .groupBy("w").agg(expr("bit_or(m)").as("word"))
+    val arrivals = docs.filter(col("is_arrival"))
+    val probed = arrivals.select(col("doc_id"), col("source"), col("fp"),
+        explode(array((0 until BloomHashes).map(j =>
+          bloomBit(col("fp"), j, mBits)): _*)).as("bit"))
+      .select(col("doc_id"), col("source"), col("fp"),
+        expr("bit div 63").as("w"),
+        expr("shiftleft(cast(1 as bigint), cast(bit % 63 as int))").as("m"))
+      .join(broadcast(words), Seq("w"), "left")
+      .withColumn("hit",
+        when(expr("word & m") === col("m"), 1L).otherwise(0L))
+      .groupBy("doc_id", "source", "fp")
+      .agg((sum("hit") === lit(BloomHashes.toLong)).as("pass"))
+    val withTruth = probed.join(known.withColumn("is_known", lit(1L)),
+        Seq("fp"), "left")
+      .na.fill(0L, Seq("is_known"))
+    withTruth.groupBy("source").agg(
+        count(lit(1)).as("n_arrivals"),
+        sum(when(col("pass"), 1L).otherwise(0L)).as("n_maybe"),
+        sum("is_known").as("n_known"),
+        sum(when(col("pass") && col("is_known") === 0L, 1L).otherwise(0L))
+          .as("n_false_pos"))
+      .withColumn("fp_ppm", expr(
+        "n_false_pos * 1000000 div greatest(1, n_arrivals - n_known)"))
+      .orderBy("source")
+  }
+
+  val q300Sql: String = {
+    def bit(j: Int, key: String): String =
+      s"CAST('0x' || substr(md5('bf$j:' || CAST($key AS VARCHAR)), 1, 8) " +
+        s"AS BIGINT) % g.m"
+    val knownBits = (0 until BloomHashes).map(j =>
+      s"SELECT ${bit(j, "fp")} AS bit FROM known CROSS JOIN geom g")
+      .mkString("\n  UNION ALL ")
+    val probeBits = (0 until BloomHashes).map(j =>
+      s"SELECT doc_id, source, fp, ${bit(j, "fp")} AS bit " +
+        "FROM arrivals CROSS JOIN geom g")
+      .mkString("\n  UNION ALL ")
+    s"""WITH d AS (
+      |  SELECT doc_id, source,
+      |    CAST('0x' || substr(md5(COALESCE(text, '')), 1, 15) AS BIGINT)
+      |      AS fp,
+      |    CAST('0x' || substr(md5('arr:' || CAST(doc_id AS VARCHAR)), 1, 8)
+      |      AS BIGINT) % 10 = 0 AS is_arrival
+      |  FROM documents
+      |), known AS (
+      |  SELECT DISTINCT fp FROM d WHERE NOT is_arrival
+      |), geom AS (
+      |  SELECT 1 << (length(bin(GREATEST(COUNT(*) - 1, 1))) + 2) AS m
+      |  FROM known
+      |), words AS (
+      |  SELECT bit // 63 AS w,
+      |    CAST(BIT_OR(CAST(1 AS BIGINT) << CAST(bit % 63 AS INTEGER))
+      |      AS BIGINT) AS word
+      |  FROM ($knownBits) GROUP BY 1
+      |), arrivals AS (
+      |  SELECT doc_id, source, fp FROM d WHERE is_arrival
+      |), probed AS (
+      |  SELECT p.doc_id, p.source, p.fp,
+      |    SUM(CASE WHEN (w.word
+      |        & (CAST(1 AS BIGINT) << CAST(p.bit % 63 AS INTEGER)))
+      |      = (CAST(1 AS BIGINT) << CAST(p.bit % 63 AS INTEGER))
+      |      THEN 1 ELSE 0 END) = $BloomHashes AS pass
+      |  FROM ($probeBits) p LEFT JOIN words w ON w.w = p.bit // 63
+      |  GROUP BY p.doc_id, p.source, p.fp
+      |), truth AS (
+      |  SELECT pr.source, pr.pass,
+      |    CASE WHEN k.fp IS NULL THEN 0 ELSE 1 END AS is_known
+      |  FROM probed pr LEFT JOIN known k ON k.fp = pr.fp
+      |)
+      |SELECT source,
+      |  COUNT(*) AS n_arrivals,
+      |  CAST(SUM(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS n_maybe,
+      |  CAST(SUM(is_known) AS BIGINT) AS n_known,
+      |  CAST(SUM(CASE WHEN pass AND is_known = 0 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_false_pos,
+      |  CAST(SUM(CASE WHEN pass AND is_known = 0 THEN 1 ELSE 0 END) * 1000000
+      |    // GREATEST(1, COUNT(*) - SUM(is_known)) AS BIGINT) AS fp_ppm
+      |FROM truth GROUP BY source ORDER BY source""".stripMargin
+  }
+
+  val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    ("q297_mv_refresh", q297 _, Some(q297Sql)),
+    ("q298_stratified_sample", q298 _, Some(q298Sql)),
+    ("q299_countmin_audit", q299 _, Some(q299Sql)),
+    ("q300_bloom_gate", q300 _, Some(q300Sql)))
+}
