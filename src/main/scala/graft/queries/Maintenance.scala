@@ -353,7 +353,12 @@ object Maintenance {
       .select(col("doc_id"), col("source"), col("fp"),
         expr("bit div 63").as("w"),
         expr("shiftleft(cast(1 as bigint), cast(bit % 63 as int))").as("m"))
-      .join(broadcast(words), Seq("w"), "left")
+      // UNHINTED join on the word index (the q90/q123 AQE discipline): the
+      // word table is m/63 rows and m ADAPTS to the known-set size, so at
+      // 100 TB it is itself corpus-scaled — a broadcast hint here would
+      // OOM exactly when the gate matters; AQE broadcasts the 65-word
+      // fixture table and shuffle-joins the co-keyed tables at scale
+      .join(words, Seq("w"), "left")
       .withColumn("hit",
         when(expr("word & m") === col("m"), 1L).otherwise(0L))
       .groupBy("doc_id", "source", "fp")

@@ -910,6 +910,54 @@ class PlanQualitySpec extends AnyFunSuite {
       s"inferred generator filter de-vectorizes the scan:\n$p")
   }
 
+  test("q297: refresh is pure map-combined aggregates — no join, no window, split filters at the scan") {
+    val p = plan("q297_mv_refresh")
+    assert(p.contains("partial_count") && p.contains("partial_sum"),
+      s"MV legs must combine map-side:\n$p")
+    assert(!p.contains("Join"), s"the merge is a union-aggregate, never a join:\n$p")
+    assert(!p.contains("Window"), s"no window anywhere in a rollup refresh:\n$p")
+    // the base/delta split predicates must reach the scans as data filters
+    assert(p.contains("div 86400000) < 9862") &&
+      p.contains("div 86400000) >= 9862"),
+      s"split-day predicates must evaluate at the scan:\n$p")
+  }
+
+  test("q298: allocation broadcasts; the rank window sees only threshold survivors") {
+    val p = plan("q298_stratified_sample")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the |sources|-row allocation must broadcast:\n$p")
+    // the scale shortcut: the survivor filter (h * n_s < 2^32 * 4 * k_s)
+    // must exist, and the source-keyed rank window must sit ABOVE it in
+    // the plan text (Spark prints consumers before producers)
+    val filterAt = p.indexOf("* 17179869184)") // 2^32 * Oversample(4)
+    val windowAt = p.indexOf("row_number()")
+    assert(filterAt >= 0, s"survivor threshold filter missing:\n$p")
+    assert(windowAt >= 0 && windowAt < filterAt,
+      s"rank window must consume the filtered frame, not the corpus:\n$p")
+  }
+
+  test("q299: sketch cells and the probe aggregate combine map-side; the cell table broadcasts") {
+    val p = plan("q299_countmin_audit")
+    assert(p.contains("partial_sum"), s"cells must combine map-side:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the bounded d*w cell table must broadcast to the 20 probes:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the exact top-20 must never global-sort:\n$p")
+  }
+
+  test("q300: the corpus-scaled word table is joined UNHINTED (no forced broadcast)") {
+    // the word table is m/63 rows with m adaptive to the known-set size —
+    // corpus-scaled at 100 TB. AQE may legitimately broadcast the tiny
+    // fixture table; what must NOT appear is a PLANNED broadcast hint,
+    // which would pin the strategy at every scale. The logical plan
+    // carries hints verbatim — assert none.
+    spark.catalog.clearCache()
+    val lp = SparkEntry.queries("q300_bloom_gate")(spark, sf)
+      .queryExecution.analyzed.toString
+    assert(!lp.contains("UnresolvedHint") && !lp.contains("ResolvedHint"),
+      s"q300 joins must stay unhinted:\n${lp.take(3000)}")
+  }
+
   test("fallback sweep: zero CodegenFallback expressions in ANY registered plan") {
     // The de-vectorization pin (r14 verdict #1), in two legs:
     //
