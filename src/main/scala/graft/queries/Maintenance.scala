@@ -332,12 +332,24 @@ object Maintenance {
   /** [[q300]]'s gate over a prepared (doc_id, source, text) frame — spec
     * entry point (planted known-duplicate arrival: the no-false-negative
     * guarantee is literal-testable). */
-  private[graft] def bloomGate(ds: DataFrame): DataFrame = {
-    val docs = ds
-      .select(col("doc_id"), col("source"),
-        T.portableHash60(coalesce(col("text"), lit(""))).as("fp"),
-        (T.hashBucket(concat(lit("arr:"), col("doc_id").cast(StringType)),
-          10) === 0L).as("is_arrival"))
+  private[graft] def bloomGate(ds: DataFrame): DataFrame =
+    bloomGateFromFp(bloomDigest(ds))
+
+  /** The doc-grain digest the gate consumes — (doc_id, source, fp,
+    * is_arrival). This IS the streaming leg's mergeable LSM object:
+    * doc-grain rows union across batch digests and the distinct on read
+    * collapses re-deliveries (the k-core edge-digest algebra; the word
+    * table itself could merge by bit_or, but the ADAPTIVE width makes
+    * the doc digest the stable object — m is a function of the merged
+    * known count, so words of different epochs don't align). */
+  private[graft] def bloomDigest(ds: DataFrame): DataFrame =
+    ds.select(col("doc_id"), col("source"),
+      T.portableHash60(coalesce(col("text"), lit(""))).as("fp"),
+      (T.hashBucket(concat(lit("arr:"), col("doc_id").cast(StringType)),
+        10) === 0L).as("is_arrival"))
+
+  /** [[bloomGate]] over an already-fingerprinted digest frame. */
+  private[graft] def bloomGateFromFp(docs: DataFrame): DataFrame = {
     val known = docs.filter(!col("is_arrival")).select("fp").distinct()
     val mBits = bloomGeom(known.count())
     val words = known.select(
@@ -430,6 +442,57 @@ object Maintenance {
       |    // GREATEST(1, COUNT(*) - SUM(is_known)) AS BIGINT) AS fp_ppm
       |FROM truth GROUP BY source ORDER BY source""".stripMargin
   }
+
+  // ---- streaming legs (the LSM discipline, §2.9 pattern) -------------------
+
+  /** STREAMING leg of q299: the stream appends per-batch (user_id, n)
+    * COUNT digests — counts are the mergeable object (order-free, sum
+    * across batches, replay-idempotent by batch-dir overwrite; the
+    * cusumStream algebra) — and the sketch + audit assemble merge-on-read
+    * from the digest store. The 4096-cell table derives from the merged
+    * counts, so a reader never rescans events. */
+  def countMinStream(spark: SparkSession, eventStream: DataFrame,
+      outDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    eventStream.select(col("user_id"))
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        batch.toDF().groupBy("user_id").agg(count(lit(1)).as("n"))
+          .write.mode("overwrite").parquet(s"$outDir/batch-$id")
+      }
+      .start()
+
+  /** Assemble the q299 sketch + audit from persisted count digests (glob
+    * paths welcome). Cells for the same user across batches SUM exactly. */
+  def countMinReadMerged(spark: SparkSession, dirs: Seq[String]): DataFrame =
+    countMinAudit(dirs.map(d => spark.read.parquet(d))
+      .reduce(_ unionByName _)
+      .groupBy("user_id").agg(sum("n").as("exact")))
+
+  /** STREAMING leg of q300: the stream appends per-batch DOC-GRAIN
+    * fingerprint digests ([[bloomDigest]] rows — the distinct on read
+    * collapses re-deliveries, the k-core edge-set algebra); the gate
+    * assembles merge-on-read, recomputing the ADAPTIVE width from the
+    * merged known count so the filter geometry follows the corpus as it
+    * grows — the reason the doc digest, not the word table, is the
+    * persisted object. */
+  def bloomStream(spark: SparkSession, docStream: DataFrame,
+      outDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docStream
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        bloomDigest(batch.toDF())
+          .write.mode("overwrite").parquet(s"$outDir/batch-$id")
+      }
+      .start()
+
+  /** Assemble the q300 gate from persisted doc digests. */
+  def bloomReadMerged(spark: SparkSession, dirs: Seq[String]): DataFrame =
+    bloomGateFromFp(dirs.map(d => spark.read.parquet(d))
+      .reduce(_ unionByName _).distinct())
 
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q297_mv_refresh", q297 _, Some(q297Sql)),

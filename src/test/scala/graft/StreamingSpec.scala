@@ -847,6 +847,82 @@ class StreamingSpec extends AnyFunSuite {
     assert(merged() == want, "replayed edge digest must be a no-op")
   }
 
+  test("streaming count-min maintenance: merged count digests == batch q299; replay idempotent") {
+    // the operational leg of q299: per-batch (user_id, n) count digests
+    // sum on read — the sketch and its exact-audit side both derive from
+    // the merged counts, never an event rescan
+    import org.apache.spark.sql.types._
+    import graft.queries.Maintenance
+    val want = Maintenance.q299(spark, sf).collect().map(_.toSeq).toSeq
+    val events = Tables.load(spark, sf, "events").select("event_id", "user_id")
+    val landing = java.nio.file.Files.createTempDirectory("cm_landing").toString
+    (0 until 3).foreach { g =>
+      events.filter(col("event_id") % 3 === g).coalesce(1)
+        .write.mode("overwrite").parquet(s"$landing/g$g")
+      new java.io.File(s"$landing/g$g").listFiles()
+        .foreach(f => f.setLastModified(1000000L * (g + 1)))
+    }
+    val schema = StructType(Seq(StructField("event_id", LongType),
+      StructField("user_id", LongType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$landing/g*")
+    val out = java.nio.file.Files.createTempDirectory("cm_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("cm_ckpt").toString
+    val q = Maintenance.countMinStream(spark, stream, out, ckpt)
+    try q.processAllAvailable() finally q.stop()
+    def merged(): Seq[Seq[Any]] = Maintenance.countMinReadMerged(spark,
+      Seq(s"$out/batch-*")).collect().map(_.toSeq).toSeq
+    assert(merged() == want,
+      "merge-on-read count-min audit diverges from the batch q299")
+    // at-least-once replay: re-digesting a committed batch overwrites its
+    // own directory — the audit is unchanged
+    events.filter(col("event_id") % 3 === 0)
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+      .write.mode("overwrite").parquet(s"$out/batch-0")
+    assert(merged() == want, "replayed count digest must be a no-op")
+  }
+
+  test("streaming Bloom maintenance: merged doc digests == batch q300; replay idempotent") {
+    // the operational leg of q300: doc-grain fingerprint digests union +
+    // distinct on read; the ADAPTIVE filter width recomputes from the
+    // merged known count, which is why the doc digest (not the word
+    // table) is the persisted object
+    import org.apache.spark.sql.types._
+    import graft.queries.Maintenance
+    val want = Maintenance.q300(spark, sf).collect().map(_.toSeq).toSeq
+    val docs = Tables.parallelized(Tables.load(spark, sf, "documents"))
+      .select("doc_id", "source", "text")
+    val landing = java.nio.file.Files.createTempDirectory("bf_landing").toString
+    (0 until 3).foreach { g =>
+      // overlapping groups: group 1 re-delivers 10 of group 0's docs, so
+      // the cross-batch distinct is exercised
+      val grp = docs.filter(col("doc_id") % 3 === g)
+      val withDup = if (g == 1)
+        grp.unionByName(docs.filter(col("doc_id") % 3 === 0).limit(10))
+      else grp
+      withDup.coalesce(1)
+        .write.mode("overwrite").parquet(s"$landing/g$g")
+      new java.io.File(s"$landing/g$g").listFiles()
+        .foreach(f => f.setLastModified(1000000L * (g + 1)))
+    }
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("source", StringType), StructField("text", StringType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$landing/g*")
+    val out = java.nio.file.Files.createTempDirectory("bf_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("bf_ckpt").toString
+    val q = Maintenance.bloomStream(spark, stream, out, ckpt)
+    try q.processAllAvailable() finally q.stop()
+    def merged(): Seq[Seq[Any]] = Maintenance.bloomReadMerged(spark,
+      Seq(s"$out/batch-*")).collect().map(_.toSeq).toSeq
+    assert(merged() == want,
+      "merge-on-read Bloom gate diverges from the batch q300")
+    // at-least-once replay
+    Maintenance.bloomDigest(docs.filter(col("doc_id") % 3 === 0))
+      .write.mode("overwrite").parquet(s"$out/batch-0")
+    assert(merged() == want, "replayed doc digest must be a no-op")
+  }
+
   test("streaming card maintenance: merged digests == batch q277 card; replay idempotent") {
     // the operational leg of q277: base digest persisted once, each
     // micro-batch digested to a batch-stamped dir, card assembled
