@@ -12,7 +12,8 @@ import org.apache.spark.sql.types._
   * (q297), deterministic stratified sampling whose scale shortcut is
   * PROVEN lossless by the oracle (q298), and two portable mergeable
   * sketches with their error priced against exact answers (count-min
-  * q299, Bloom pre-gate q300). Every query is DuckDB-oracle-checked;
+  * q299, Bloom pre-gate q300), plus the shuffle-skew audit and salt plan
+  * (q301). Every query is DuckDB-oracle-checked;
   * money is integer cents via per-row FLOOR, keys and counts are BIGINT,
   * randomness is md5, and each result carries a total ORDER BY.
   */
@@ -443,6 +444,87 @@ object Maintenance {
       |FROM truth GROUP BY source ORDER BY source""".stripMargin
   }
 
+  // ---- q301 skew audit + salt plan -----------------------------------------
+
+  /** The parallelism the salt plan targets — a declared literal both
+    * engines share (local[32]; on a cluster this is the shuffle
+    * parallelism the plan is sized for). */
+  private val SaltParallelism = 32L
+
+  /** One key family's census: vocabulary-sized count aggregate, then one
+    * bounded rollup — the hot key rides a single max(struct(cnt, key))
+    * aggregate (deterministic lexicographic argmax: highest count, then
+    * highest key string), NEVER a window over the ndv-sized group frame,
+    * which at 100 TB is itself billions of rows for a user-id family. */
+  private[graft] def keyCensus(rows: DataFrame, family: String, key: Column)
+      : DataFrame =
+    rows.select(key.cast(StringType).as("k"))
+      .groupBy("k").agg(count(lit(1)).as("cnt"))
+      .agg(sum("cnt").as("n_rows"), count(lit(1)).as("ndv"),
+        max(struct(col("cnt"), col("k"))).as("b"))
+      .select(lit(family).as("family"), col("n_rows"), col("ndv"),
+        col("b.cnt").as("max_cnt"), col("b.k").as("hot_key"))
+
+  /** q301 shuffle-skew audit + salt plan — the diagnosis a pipeline runs
+    * BEFORE a 100 TB join melts one reducer: for each declared join/agg
+    * key family, the key census (rows, ndv, hottest key and its count),
+    * the hot key's share in ppm, the skew ratio vs a uniform spread
+    * (×1000), and the SALT FACTOR the q150-style salted join would need —
+    * ceil(max_cnt · P / n_rows) sub-keys splits the hot key to the mean
+    * task size at parallelism P = [[SaltParallelism]]. AQE's runtime skew
+    * split does this reactively per shuffle; this audit prices it ahead
+    * of time from the data, so a recurring pipeline BAKES the salt into
+    * its keys instead of rediscovering the skew every run.
+    *
+    * Scale shape: one map-combined vocabulary-sized aggregate per family
+    * + a 1-row rollup each; the union is |families| rows. No windows, no
+    * joins, no driver loops. */
+  def q301(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    val ev = Tables.load(spark, dir, "events")
+    val od = Tables.load(spark, dir, "orders")
+    Seq(
+      keyCensus(li, "lineitem.l_orderkey", col("l_orderkey")),
+      keyCensus(li, "lineitem.l_partkey", col("l_partkey")),
+      keyCensus(od, "orders.o_custkey", col("o_custkey")),
+      keyCensus(ev, "events.event_type", col("event_type")),
+      keyCensus(ev, "events.user_id", col("user_id")))
+      .reduce(_ unionByName _)
+      .withColumn("max_share_ppm", expr("max_cnt * 1000000 div n_rows"))
+      .withColumn("skew_x1000", expr("max_cnt * 1000 * ndv div n_rows"))
+      .withColumn("salt_factor", expr(
+        s"greatest(1, (max_cnt * $SaltParallelism + n_rows - 1) div n_rows)"))
+      .select("family", "n_rows", "ndv", "hot_key", "max_cnt",
+        "max_share_ppm", "skew_x1000", "salt_factor")
+      .orderBy("family")
+  }
+
+  val q301Sql: String = {
+    def census(table: String, family: String, key: String): String =
+      s"""SELECT '$family' AS family, CAST(SUM(cnt) AS BIGINT) AS n_rows,
+        |  COUNT(*) AS ndv,
+        |  (MAX({'cnt': cnt, 'k': k})).k AS hot_key,
+        |  CAST((MAX({'cnt': cnt, 'k': k})).cnt AS BIGINT) AS max_cnt
+        |FROM (SELECT CAST($key AS VARCHAR) AS k, COUNT(*) AS cnt
+        |      FROM $table GROUP BY 1)""".stripMargin
+    val arms = Seq(
+      census("lineitem", "lineitem.l_orderkey", "l_orderkey"),
+      census("lineitem", "lineitem.l_partkey", "l_partkey"),
+      census("orders", "orders.o_custkey", "o_custkey"),
+      census("events", "events.event_type", "event_type"),
+      census("events", "events.user_id", "user_id"))
+      .mkString("\n  UNION ALL\n")
+    s"""WITH f AS (
+      |  $arms
+      |)
+      |SELECT family, n_rows, ndv, hot_key, max_cnt,
+      |  max_cnt * 1000000 // n_rows AS max_share_ppm,
+      |  max_cnt * 1000 * ndv // n_rows AS skew_x1000,
+      |  GREATEST(1, (max_cnt * $SaltParallelism + n_rows - 1) // n_rows)
+      |    AS salt_factor
+      |FROM f ORDER BY family""".stripMargin
+  }
+
   // ---- streaming legs (the LSM discipline, §2.9 pattern) -------------------
 
   /** STREAMING leg of q299: the stream appends per-batch (user_id, n)
@@ -498,5 +580,6 @@ object Maintenance {
     ("q297_mv_refresh", q297 _, Some(q297Sql)),
     ("q298_stratified_sample", q298 _, Some(q298Sql)),
     ("q299_countmin_audit", q299 _, Some(q299Sql)),
-    ("q300_bloom_gate", q300 _, Some(q300Sql)))
+    ("q300_bloom_gate", q300 _, Some(q300Sql)),
+    ("q301_skew_salt_plan", q301 _, Some(q301Sql)))
 }

@@ -101,6 +101,17 @@ class MaintenanceSpec extends AnyFunSuite {
     }
   }
 
+  test("q301 key census: argmax tie breaks to the highest key string, deterministically") {
+    import spark.implicits._
+    // two keys tied at the max count: the census must pick the
+    // lexicographically highest key string in BOTH engines (the
+    // max(struct) rule), never a partition-order-dependent arbitrary one
+    val rows = Seq("a", "a", "b", "b", "c").toDF("k0")
+    val got = Maintenance.keyCensus(rows, "t.k", col("k0"))
+      .as[(String, Long, Long, Long, String)].collect().toSeq
+    assert(got == Seq(("t.k", 5L, 3L, 2L, "b")), s"got $got")
+  }
+
   test("q300 Bloom gate: a known-duplicate arrival always passes (no false negative) and counts as a member") {
     import spark.implicits._
     // find a doc_id the md5 split routes to ARRIVALS and two it keeps KNOWN
