@@ -109,8 +109,10 @@ object Maintenance {
     * The SCALE SHORTCUT is the point: ranking every row per source is a
     * corpus-wide sort, so the engine first drops every row whose hash
     * cannot plausibly make its source's cut — survivors satisfy
-    * hash·n_s < 2³²·[[Oversample]]·k_s, expected [[Oversample]]·k_s rows
-    * per source — and ranks only the survivors. The ORACLE ranks the FULL
+    * hash < ⌈2³²·[[Oversample]]·k_s / n_s⌉ (the threshold computed per
+    * source on the allocation frame, never as an h·n_s product, which
+    * wraps int64 past ~2e9 docs in one source), expected
+    * [[Oversample]]·k_s rows per source — and ranks only the survivors. The ORACLE ranks the FULL
     * source with no shortcut, so a hash match PROVES the threshold lost
     * nothing (the q269 discipline: the audit is the gate itself, not an
     * argument); a corpus where the threshold WOULD clip the true sample
@@ -139,11 +141,16 @@ object Maintenance {
       .withColumn("k_s",
         col("base") + when(col("rk") <= col("spare"), 1L).otherwise(0L))
       .select("source", "n_s", "k_s")
-    val withK = docs.join(broadcast(alloc), Seq("source"))
+    // the survivor threshold is computed PER SOURCE on the |sources|-row
+    // alloc frame as ceil(2^32·Oversample·k_s / n_s) and compared to h
+    // directly — the h·n_s product form wraps int64 past ~2e9 docs in one
+    // source (h is a 2^32-scale hash), exactly the corpus this shortcut
+    // exists for; here every product stays ≤ 2^32·4·budget
+    val withK = docs.join(broadcast(alloc.withColumn("h_thresh", expr(
+      s"least(${1L << 32}, (${1L << 32} * $Oversample * k_s + n_s - 1)" +
+        " div n_s)"))), Seq("source"))
     // scale shortcut: only plausible-rank survivors reach the window
-    val survivors = withK
-      .filter(col("h") * col("n_s") <
-        lit(1L << 32) * lit(Oversample) * col("k_s"))
+    val survivors = withK.filter(col("h") < col("h_thresh"))
     // loud-failure guard (deterministic for a given corpus): the shortcut
     // must retain at least each source's allocation, or the sample is not
     // the true per-source top-k — refuse rather than silently drift
@@ -490,8 +497,15 @@ object Maintenance {
       keyCensus(ev, "events.event_type", col("event_type")),
       keyCensus(ev, "events.user_id", col("user_id")))
       .reduce(_ unionByName _)
-      .withColumn("max_share_ppm", expr("max_cnt * 1000000 div n_rows"))
-      .withColumn("skew_x1000", expr("max_cnt * 1000 * ndv div n_rows"))
+      // max_cnt·10⁶ and max_cnt·10³·ndv both wrap int64 on corpus-scale
+      // families (ndv and max_cnt are each row-bounded) — the q290
+      // decimal(38,0)/HUGEINT discipline; `div` lands the ratios back in
+      // int64 (share ≤ 10⁶; skew ≤ 10³·ndv only when one key IS the
+      // family, bounded by 10³·P·salt in any plannable case)
+      .withColumn("max_share_ppm",
+        expr("cast(max_cnt as decimal(38,0)) * 1000000 div n_rows"))
+      .withColumn("skew_x1000",
+        expr("cast(max_cnt as decimal(38,0)) * 1000 * ndv div n_rows"))
       .withColumn("salt_factor", expr(
         s"greatest(1, (max_cnt * $SaltParallelism + n_rows - 1) div n_rows)"))
       .select("family", "n_rows", "ndv", "hot_key", "max_cnt",
@@ -518,8 +532,10 @@ object Maintenance {
       |  $arms
       |)
       |SELECT family, n_rows, ndv, hot_key, max_cnt,
-      |  max_cnt * 1000000 // n_rows AS max_share_ppm,
-      |  max_cnt * 1000 * ndv // n_rows AS skew_x1000,
+      |  CAST(CAST(max_cnt AS HUGEINT) * 1000000 // n_rows AS BIGINT)
+      |    AS max_share_ppm,
+      |  CAST(CAST(max_cnt AS HUGEINT) * 1000 * ndv // n_rows AS BIGINT)
+      |    AS skew_x1000,
       |  GREATEST(1, (max_cnt * $SaltParallelism + n_rows - 1) // n_rows)
       |    AS salt_factor
       |FROM f ORDER BY family""".stripMargin
