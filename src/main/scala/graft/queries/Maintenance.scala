@@ -214,8 +214,8 @@ object Maintenance {
 
   /** q299 portable count-min sketch (Cormode & Muthukrishnan, J.
     * Algorithms 2005) with its error PRICED against exact counts — the
-    * mergeable frequency summary next to q273's KMV (distincts) and
-    * q215's HLL registers (cardinality): d×w integer cells, cell(j, b) =
+    * mergeable frequency summary next to q276's KMV (distincts), q273's
+    * log-buckets (quantiles) and q215's HLL registers (cardinality): d×w integer cells, cell(j, b) =
     * Σ count of keys hashing there, estimate = min over rows — never an
     * under-estimate, over-estimates priced here in ppm for the exact
     * top-20 users. Every hash is md5, every cell an exact integer SUM, so
@@ -234,8 +234,7 @@ object Maintenance {
   /** [[q299]]'s sketch+audit over a prepared (user_id, exact) count frame
     * — spec entry point (driver replay of the cell table and the min
     * probe; over-estimate-only property). */
-  private[graft] def countMinAudit(counts0: DataFrame): DataFrame = {
-    val counts = counts0
+  private[graft] def countMinAudit(counts: DataFrame): DataFrame = {
     val cells = counts.select(
         col("exact"),
         explode(array((0 until CmDepth).map(j =>
@@ -291,10 +290,10 @@ object Maintenance {
 
   // ---- q300 portable Bloom pre-gate ----------------------------------------
 
-  /** Bloom geometry: m = 2¹⁶ bits packed into int64 words of 63 usable bits
-    * (bit 63 stays clear: DuckDB raises on 1<<63 where int64 wraps — the
-    * 63-bit word is the portable encoding), k = 4
-    * md5-derived hashes — literal knobs both engines share. */
+  /** k = 4 md5-derived Bloom hashes; the bit array packs into int64 words
+    * of 63 usable bits (bit 63 stays clear: DuckDB raises on 1<<63 where
+    * int64 wraps — the 63-bit word is the portable encoding) and its WIDTH
+    * is adaptive — see [[bloomGeom]]. */
   private val BloomHashes = 4
 
   /** The filter SIZES ITSELF to the known set — m = 2^(bitlen(n−1)+2) bits
