@@ -498,12 +498,24 @@ object PortableIvfPqIndex {
       // lease, so read-increment-write is safe here — and any LATER
       // acquisition (including a stale-lease break while this writer
       // stalls) advances the epoch past ours, which every fencedRename and
-      // commit-point fence detects
-      val ef = new org.apache.hadoop.fs.Path(epochFile(path))
-      val next = readSmallFile(h, ef)
-        .flatMap(s => scala.util.Try(s.toLong).toOption).getOrElse(0L) + 1L
-      writeSmallFile(h, ef, next.toString, overwrite = true)
-      leaseEpochs.put(path, next)
+      // commit-point fence detects. The mint sits BETWEEN lease creation
+      // and the try/finally release — a transient IO failure here must
+      // release the just-created lease (owner-checked) or every later
+      // writer, including this JVM's own retry, is refused for a full TTL
+      // (review finding r15)
+      try {
+        val ef = new org.apache.hadoop.fs.Path(epochFile(path))
+        val next = readSmallFile(h, ef)
+          .flatMap(s => scala.util.Try(s.toLong).toOption).getOrElse(0L) + 1L
+        writeSmallFile(h, ef, next.toString, overwrite = true)
+        leaseEpochs.put(path, next)
+      } catch {
+        case e: Throwable =>
+          try if (readSmallFile(h, lease).contains(leaseOwner))
+            h.delete(lease, false)
+          catch { case _: java.io.IOException => () } // TTL reaps it
+          throw e
+      }
     }
     leaseHolds.put(path, holds + 1)
     try body

@@ -124,10 +124,14 @@ object Maintenance {
   /** [[q298]]'s sampler over a prepared (doc_id, source) frame — spec
     * entry point (full-rank driver replay proving the shortcut exact). */
   private[graft] def stratifiedSample(ds: DataFrame): DataFrame = {
-    val docs = ds
+    // scratch barrier (the q291/q288 recompute class): the hashed corpus
+    // frame feeds the allocation aggregate, the survivor join, the guard's
+    // eager action AND the final execution — without it each consumer
+    // rescans and re-hashes the corpus
+    val docs = graft.operators.Checkpoints.scratch(ds
       .select(col("doc_id"), col("source"),
         T.hashBucket(concat(lit("smp:"), col("doc_id").cast(StringType)),
-          lit(1L << 32)).as("h"))
+          lit(1L << 32)).as("h")))
     val all = Window.partitionBy(lit(1))
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     // largest-remainder allocation of the budget over per-source counts
@@ -153,9 +157,15 @@ object Maintenance {
     val survivors = withK.filter(col("h") < col("h_thresh"))
     // loud-failure guard (deterministic for a given corpus): the shortcut
     // must retain at least each source's allocation, or the sample is not
-    // the true per-source top-k — refuse rather than silently drift
-    val short = survivors.groupBy("source").agg(count(lit(1)).as("surv"))
-      .join(alloc, Seq("source"))
+    // the true per-source top-k — refuse rather than silently drift. The
+    // join starts from ALLOC with the survivor census LEFT-joined and
+    // zero-filled: a source whose every doc hashes above the threshold has
+    // NO survivor group row, and an inner join would drop exactly the
+    // all-clipped source the guard exists to catch (review finding r15)
+    val short = alloc
+      .join(survivors.groupBy("source").agg(count(lit(1)).as("surv")),
+        Seq("source"), "left")
+      .na.fill(0L, Seq("surv"))
       .filter(col("surv") < least(col("k_s"), col("n_s")))
       .limit(1).collect()
     require(short.isEmpty,
@@ -251,8 +261,12 @@ object Maintenance {
         col("jb.j").as("j"), col("jb.b").as("b"))
     probes.join(broadcast(cells), Seq("j", "b"))
       .groupBy("user_id", "exact").agg(min("cell").as("est"))
-      .withColumn("over_ppm",
-        expr("(est - exact) * 1000000 div greatest(1, exact)"))
+      // the over-estimate mass is corpus-scaled (a cell sums event
+      // counts), so the ×10⁶ product rides decimal(38,0)/HUGEINT like the
+      // round's other hardened products
+      .withColumn("over_ppm", expr(
+        "cast(est - exact as decimal(38,0)) * 1000000" +
+          " div greatest(1, exact)"))
       .select(col("user_id"), col("exact"), col("est"), col("over_ppm"))
       .orderBy(col("exact").desc, col("user_id"))
   }
@@ -281,7 +295,7 @@ object Maintenance {
       |)
       |SELECT p.user_id, CAST(p.exact AS BIGINT) AS exact,
       |  CAST(MIN(c.cell) AS BIGINT) AS est,
-      |  CAST((MIN(c.cell) - p.exact) * 1000000
+      |  CAST(CAST(MIN(c.cell) - p.exact AS HUGEINT) * 1000000
       |    // GREATEST(1, p.exact) AS BIGINT) AS over_ppm
       |FROM probes p JOIN cells c ON c.j = p.j AND c.b = p.b
       |GROUP BY p.user_id, p.exact
@@ -309,8 +323,14 @@ object Maintenance {
     1L << (bitlen + 2)
   }
 
+  /** Bit index = 60-bit md5 slice mod m — NOT the 8-hex-char (32-bit)
+    * hashBucket: the adaptive width exceeds 2³² bits past ~2³⁰ known
+    * fingerprints, and a 32-bit bit index would leave every higher bit
+    * unreachable, silently saturating the filter's effective width (and
+    * its FPR) exactly at the scale the gate exists for (review finding
+    * r15). 60 bits covers any plannable m. */
   private def bloomBit(key: Column, j: Int, m: Long): Column =
-    T.hashBucket(concat(lit(s"bf$j:"), key.cast(StringType)), lit(m))
+    T.portableHash60(concat(lit(s"bf$j:"), key.cast(StringType))) % m
 
   /** q300 portable Bloom pre-gate (Bloom, CACM 1970) with its false-
     * positive rate PRICED against the exact anti-join — the cheap first
@@ -340,7 +360,7 @@ object Maintenance {
     * entry point (planted known-duplicate arrival: the no-false-negative
     * guarantee is literal-testable). */
   private[graft] def bloomGate(ds: DataFrame): DataFrame =
-    bloomGateFromFp(bloomDigest(ds))
+    bloomGateFromFp(graft.operators.Checkpoints.scratch(bloomDigest(ds)))
 
   /** The doc-grain digest the gate consumes — (doc_id, source, fp,
     * is_arrival). This IS the streaming leg's mergeable LSM object:
@@ -357,7 +377,10 @@ object Maintenance {
 
   /** [[bloomGate]] over an already-fingerprinted digest frame. */
   private[graft] def bloomGateFromFp(docs: DataFrame): DataFrame = {
-    val known = docs.filter(!col("is_arrival")).select("fp").distinct()
+    // scratch barrier: known feeds the geometry COUNT action, the word
+    // build, and the truth join — three executions without it
+    val known = graft.operators.Checkpoints.scratch(
+      docs.filter(!col("is_arrival")).select("fp").distinct())
     val mBits = bloomGeom(known.count())
     val words = known.select(
         explode(array((0 until BloomHashes).map(j =>
@@ -392,13 +415,14 @@ object Maintenance {
         sum(when(col("pass") && col("is_known") === 0L, 1L).otherwise(0L))
           .as("n_false_pos"))
       .withColumn("fp_ppm", expr(
-        "n_false_pos * 1000000 div greatest(1, n_arrivals - n_known)"))
+        "cast(n_false_pos as decimal(38,0)) * 1000000" +
+          " div greatest(1, n_arrivals - n_known)"))
       .orderBy("source")
   }
 
   val q300Sql: String = {
     def bit(j: Int, key: String): String =
-      s"CAST('0x' || substr(md5('bf$j:' || CAST($key AS VARCHAR)), 1, 8) " +
+      s"CAST('0x' || substr(md5('bf$j:' || CAST($key AS VARCHAR)), 1, 15) " +
         s"AS BIGINT) % g.m"
     val knownBits = (0 until BloomHashes).map(j =>
       s"SELECT ${bit(j, "fp")} AS bit FROM known CROSS JOIN geom g")
@@ -445,7 +469,8 @@ object Maintenance {
       |  CAST(SUM(is_known) AS BIGINT) AS n_known,
       |  CAST(SUM(CASE WHEN pass AND is_known = 0 THEN 1 ELSE 0 END)
       |    AS BIGINT) AS n_false_pos,
-      |  CAST(SUM(CASE WHEN pass AND is_known = 0 THEN 1 ELSE 0 END) * 1000000
+      |  CAST(CAST(SUM(CASE WHEN pass AND is_known = 0 THEN 1 ELSE 0 END)
+      |      AS HUGEINT) * 1000000
       |    // GREATEST(1, COUNT(*) - SUM(is_known)) AS BIGINT) AS fp_ppm
       |FROM truth GROUP BY source ORDER BY source""".stripMargin
   }

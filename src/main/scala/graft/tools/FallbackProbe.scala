@@ -16,13 +16,21 @@ object FallbackProbe {
     val names = graft.SparkEntry.queries.keys.toSeq.sorted
     names.foreach { n =>
       try {
-        val plan: SparkPlan =
-          graft.SparkEntry.queries(n)(spark, dir).queryExecution.executedPlan
-        val hits = plan.collect { case p =>
-          p.expressions.flatMap(_.collect {
+        // walk subquery plans too (PlanExpression trees) — the same sweep
+        // PlanQualitySpec pins
+        def fallbacks(plan: SparkPlan): Seq[String] = {
+          val exprs = plan.collect { case node => node.expressions }.flatten
+          val direct = exprs.flatMap(_.collect {
             case e: Expression with CodegenFallback => e.getClass.getSimpleName
           })
-        }.flatten.distinct.sorted
+          val subPlans = exprs.flatMap(_.collect {
+            case pe: org.apache.spark.sql.catalyst.expressions.PlanExpression[_] =>
+              pe.plan
+          }).collect { case sp: SparkPlan => sp }
+          direct ++ subPlans.flatMap(fallbacks)
+        }
+        val hits = fallbacks(graft.SparkEntry.queries(n)(spark, dir)
+          .queryExecution.executedPlan).distinct.sorted
         if (hits.nonEmpty) println(s"[fallback] $n -> ${hits.mkString(",")}")
       } catch {
         case ex: Throwable =>

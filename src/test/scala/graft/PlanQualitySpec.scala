@@ -975,18 +975,30 @@ class PlanQualitySpec extends AnyFunSuite {
     // compile can no longer stay green while de-vectorized. The two
     // deliberately-interpreted HOF REFERENCE paths live in DedupSpec and
     // opt back in via TestSpark.withCodegenFallback.
+    import org.apache.spark.sql.catalyst.expressions.PlanExpression
     import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+    import org.apache.spark.sql.execution.SparkPlan
     assert(TestSpark.spark.conf.get("spark.sql.codegen.fallback") == "false",
       "the engine session must be strict — a compile failure must throw")
     spark.catalog.clearCache()
+    // descend into SUBQUERY plans too: Expression.collect does not walk a
+    // PlanExpression's embedded plan, so a CodegenFallback inside a
+    // scalar/IN subquery would otherwise escape the sweep (review finding
+    // r15 — 'zero means zero' must include the subquery trees)
+    def fallbacks(plan: SparkPlan): Seq[String] = {
+      val exprs = plan.collect { case node => node.expressions }.flatten
+      val direct = exprs.flatMap(_.collect {
+        case e: CodegenFallback => e.getClass.getSimpleName
+      })
+      val subPlans = exprs.flatMap(_.collect {
+        case pe: PlanExpression[_] => pe.plan
+      }).collect { case sp: SparkPlan => sp }
+      direct ++ subPlans.flatMap(fallbacks)
+    }
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
-        val plan = fn(spark, sf).queryExecution.executedPlan
-        val hits = plan.collect { case node =>
-          node.expressions.flatMap(_.collect {
-            case e: CodegenFallback => e.getClass.getSimpleName
-          })
-        }.flatten.distinct
+        val hits =
+          fallbacks(fn(spark, sf).queryExecution.executedPlan).distinct
         if (hits.isEmpty) Nil else Seq(s"$name -> ${hits.mkString(",")}")
     }
     assert(offenders.isEmpty,
