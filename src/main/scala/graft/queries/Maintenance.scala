@@ -475,6 +475,58 @@ object Maintenance {
       |FROM truth GROUP BY source ORDER BY source""".stripMargin
   }
 
+  /** STREAMING leg of q297 — incremental view maintenance IS a streaming
+    * problem, so the refresh gets the LSM discipline too: the stream
+    * carries a SIGNED ledger (inserts +1, retraction rows −1, the CDC
+    * shape the batch docstring names), each micro-batch digests to its
+    * own signed (ym, status, n, c) cell frame (additive — cells SUM
+    * across batches, replay-idempotent by batch-dir overwrite), and the
+    * rollup assembles merge-on-read. A retraction may land BATCHES after
+    * its base row: its cell goes transiently negative in the digest store
+    * and nets out at read — the property the signed merge exists for
+    * (StreamingSpec stages exactly that). */
+  def mvDeltaStream(spark: SparkSession, signedLedger: DataFrame,
+      outDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    signedLedger.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        mvDigest(batch.toDF())
+          .write.mode("overwrite").parquet(s"$outDir/batch-$id")
+      }
+      .start()
+
+  /** One batch's signed rollup digest over (sign, ym, status, cents). */
+  private[graft] def mvDigest(rows: DataFrame): DataFrame =
+    rows.groupBy("ym", "status")
+      .agg(sum("sign").as("n"), sum(expr("sign * cents")).as("c"))
+
+  /** Assemble the current rollup from persisted signed digests —
+    * bit-equal to the batch [[q297]] on the same ledger. */
+  def mvReadMerged(spark: SparkSession, dirs: Seq[String]): DataFrame =
+    dirs.map(d => spark.read.parquet(d)).reduce(_ unionByName _)
+      .groupBy("ym", "status")
+      .agg(sum("n").as("n_orders"), sum("c").as("total_cents"))
+      .filter(col("n_orders") > 0L)
+      .orderBy("ym", "status")
+
+  /** The q297 ledger as signed CDC rows — spec/stream entry point: every
+    * effective order as a +1 row, every retracted base order ALSO as a
+    * −1 row (arriving whenever its batch does). */
+  private[graft] def mvSignedLedger(o: DataFrame): DataFrame =
+    o.filter(col("day") >= MvSplitDay ||
+        col("o_orderkey") % RetractMod =!= 0L)
+      .select(lit(1L).as("sign"), col("ym"), col("status"), col("cents"),
+        col("o_orderkey"))
+      .unionByName(o.filter(col("day") < MvSplitDay &&
+          col("o_orderkey") % RetractMod === 0L)
+        .select(lit(1L).as("sign"), col("ym"), col("status"), col("cents"),
+          col("o_orderkey"))
+        .unionByName(o.filter(col("day") < MvSplitDay &&
+            col("o_orderkey") % RetractMod === 0L)
+          .select(lit(-1L).as("sign"), col("ym"), col("status"),
+            col("cents"), col("o_orderkey"))))
+
   // ---- q301 skew audit + salt plan -----------------------------------------
 
   /** The parallelism the salt plan targets — a declared literal both

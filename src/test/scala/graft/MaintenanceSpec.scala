@@ -77,6 +77,29 @@ class MaintenanceSpec extends AnyFunSuite {
       s"shortcut sample diverges from the full rank: got $got want $want")
   }
 
+  test("q298 guard: an all-clipped source refuses loudly, even with ZERO survivor rows") {
+    import spark.implicits._
+    // Build a corpus where one source's EVERY doc hashes above its
+    // survivor threshold. With t = 10000 docs over two 5000-doc sources,
+    // k_s = 50 each and thr = ceil(2^32*4*50/5000) ~ 4% of 2^32 — so
+    // picking 5000 ids whose hash lands ABOVE thr (96% of ids do) makes
+    // source "z" survivor-free. The pre-fix guard inner-joined the
+    // survivor census and silently dropped exactly this case (review
+    // finding r15); the fixed guard must throw and name the source.
+    val thr = (((1L << 32) * 4L * 50L) + 4999L) / 5000L
+    val zIds = Iterator.from(1).map(_.toLong)
+      .filter(i => bucket(s"smp:$i", 1L << 32) >= thr).take(5000).toSeq
+    val aIds = Iterator.from(1000000).map(_.toLong).take(5000).toSeq
+    val docs = (zIds.map((_, "z")) ++ aIds.map((_, "a")))
+      .toDF("doc_id", "source")
+    val e = intercept[IllegalArgumentException] {
+      graft.queries.Maintenance.stratifiedSample(docs).collect()
+    }
+    assert(e.getMessage.contains("clipped source") &&
+      e.getMessage.contains("z"),
+      s"guard must refuse and name the clipped source: ${e.getMessage}")
+  }
+
   test("q299 count-min: estimate == driver replay of the sketch; never an under-estimate") {
     import spark.implicits._
     val counts = (1L to 40L).map(u => (u, u * 3L)).toDF("user_id", "exact")

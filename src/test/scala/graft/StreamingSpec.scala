@@ -847,6 +847,58 @@ class StreamingSpec extends AnyFunSuite {
     assert(merged() == want, "replayed edge digest must be a no-op")
   }
 
+  test("streaming MV maintenance: signed delta digests net to batch q297 across batches; replay idempotent") {
+    // the operational leg of q297: the stream carries a signed CDC ledger
+    // and the rollup assembles merge-on-read. The staging deliberately
+    // puts every RETRACTION row in the LAST micro-batch, so the digest
+    // store holds transiently NEGATIVE cells that only net out at read —
+    // the property the signed merge exists for
+    import org.apache.spark.sql.types._
+    import graft.queries.Maintenance
+    val want = Maintenance.q297(spark, sf).collect().map(_.toSeq).toSeq
+    val o = Tables.load(spark, sf, "orders").select(
+      col("o_orderkey"), col("o_orderstatus").as("status"),
+      expr("cast(year(o_orderdate) * 100 + month(o_orderdate) as bigint)")
+        .as("ym"),
+      expr("unix_millis(o_orderdate) div 86400000").as("day"),
+      expr("cast(floor(o_totalprice * 100.0) as bigint)").as("cents"))
+    val ledger = Maintenance.mvSignedLedger(o)
+    val landing = java.nio.file.Files.createTempDirectory("mv_landing").toString
+    // groups 0/1: the +1 rows split by key; group 2: ALL -1 rows
+    (0 until 3).foreach { g =>
+      val grp = if (g < 2)
+        ledger.filter(col("sign") === 1L && col("o_orderkey") % 2 === g)
+      else ledger.filter(col("sign") === -1L)
+      grp.select("sign", "ym", "status", "cents").coalesce(1)
+        .write.mode("overwrite").parquet(s"$landing/g$g")
+      new java.io.File(s"$landing/g$g").listFiles()
+        .foreach(f => f.setLastModified(1000000L * (g + 1)))
+    }
+    val schema = StructType(Seq(StructField("sign", LongType),
+      StructField("ym", LongType), StructField("status", StringType),
+      StructField("cents", LongType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$landing/g*")
+    val out = java.nio.file.Files.createTempDirectory("mv_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("mv_ckpt").toString
+    val q = Maintenance.mvDeltaStream(spark, stream, out, ckpt)
+    try q.processAllAvailable() finally q.stop()
+    // the retraction batch's digest must hold NEGATIVE cells on its own
+    val retr = spark.read.parquet(s"$out/batch-2")
+    assert(retr.filter(col("n") < 0).count() > 0,
+      "the retraction-only batch must digest to negative cells")
+    def merged(): Seq[Seq[Any]] = Maintenance.mvReadMerged(spark,
+      Seq(s"$out/batch-*")).collect().map(_.toSeq).toSeq
+    assert(merged() == want,
+      "merge-on-read rollup diverges from the batch q297")
+    // at-least-once replay
+    Maintenance.mvDigest(
+      ledger.filter(col("sign") === 1L && col("o_orderkey") % 2 === 0)
+        .select("sign", "ym", "status", "cents"))
+      .write.mode("overwrite").parquet(s"$out/batch-0")
+    assert(merged() == want, "replayed signed digest must be a no-op")
+  }
+
   test("streaming count-min maintenance: merged count digests == batch q299; replay idempotent") {
     // the operational leg of q299: per-batch (user_id, n) count digests
     // sum on read — the sketch and its exact-audit side both derive from
