@@ -995,14 +995,43 @@ class PlanQualitySpec extends AnyFunSuite {
       }).collect { case sp: SparkPlan => sp }
       direct ++ subPlans.flatMap(fallbacks)
     }
+    // second pin riding the SAME construction pass: every SINGLE-PARTITION
+    // window (empty or literal-only partition spec — both move all rows to
+    // one partition) must belong to a declared bounded-frame query. The
+    // whitelist is asserted by EQUALITY, so adding OR removing a global
+    // window anywhere forces a conscious update here. Every entry's frame
+    // is bounded by construction: dim tables (q15/q23/q24/q25),
+    // LIMIT-bounded candidate lists (q93/q142/q153/q175/q218/q229),
+    // |sources|/|types|/vocab-bounded rollups (q91/q116/q156/q166/q199/
+    // q206/q209/q220/q281/q292/q298), |items|-bounded fits (q296), the
+    // 64-cell bootstrap (q291), and the |dims|-row power iteration (q207).
+    val globalWindowWhitelist = Set(
+      "q116_share_of_total", "q142_ks_distance", "q153_ndcg",
+      "q156_jackknife_langid", "q15_surrogate_key", "q166_token_apportion",
+      "q175_rrf_fusion", "q199_hourly_anomaly", "q206_capped_apportion",
+      "q207_power_iteration", "q209_heaps_growth", "q218_rerank_agreement",
+      "q220_range_boundaries", "q229_retrieval_diversity",
+      "q23_dim_category", "q24_dim_product", "q25_fact_orders",
+      "q281_temperature_mix", "q291_ab_experiment", "q292_watermark_sizing",
+      "q296_bt_convergence", "q298_stratified_sample", "q91_heavy_hitters",
+      "q93_vocab_coverage")
+    val globalWindows = scala.collection.mutable.Set.empty[String]
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
-        val hits =
-          fallbacks(fn(spark, sf).queryExecution.executedPlan).distinct
+        val plan = fn(spark, sf).queryExecution.executedPlan
+        if (graft.tools.GlobalWindowProbe.hasGlobalWindow(plan))
+          globalWindows += name
+        val hits = fallbacks(plan).distinct
         if (hits.isEmpty) Nil else Seq(s"$name -> ${hits.mkString(",")}")
     }
     assert(offenders.isEmpty,
       s"CodegenFallback expressions in registered plans:\n" +
         offenders.mkString("\n"))
+    assert(globalWindows.toSet == globalWindowWhitelist,
+      "single-partition windows changed — new offenders must be " +
+        "bounded-frame by construction and declared here; dropped ones " +
+        "must leave the whitelist:\n" +
+        s"unexpected: ${(globalWindows.toSet -- globalWindowWhitelist).toSeq.sorted}\n" +
+        s"missing: ${(globalWindowWhitelist -- globalWindows).toSeq.sorted}")
   }
 }
