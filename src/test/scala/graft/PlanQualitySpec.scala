@@ -1015,13 +1015,32 @@ class PlanQualitySpec extends AnyFunSuite {
       "q281_temperature_mix", "q291_ab_experiment", "q292_watermark_sizing",
       "q296_bt_convergence", "q298_stratified_sample", "q91_heavy_hitters",
       "q93_vocab_coverage")
+    // third and fourth pins on the same pass: no CartesianProductExec
+    // node and no ScalaUDF expression anywhere (custom logic must ride
+    // native codegen'd expressions; parameter-frame crossJoins plan as
+    // BroadcastNestedLoopJoin, never a shuffled cartesian)
+    def badNodes(plan: SparkPlan): Seq[String] = {
+      val nodes = plan.collect { case n => n }
+      val cart = nodes.collect {
+        case _: org.apache.spark.sql.execution.joins.CartesianProductExec =>
+          "CartesianProduct"
+      }
+      val udfs = nodes.flatMap(_.expressions.flatMap(_.collect {
+        case _: org.apache.spark.sql.catalyst.expressions.ScalaUDF =>
+          "ScalaUDF"
+      }))
+      val subPlans = nodes.flatMap(_.expressions.flatMap(_.collect {
+        case pe: PlanExpression[_] => pe.plan
+      })).collect { case sp: SparkPlan => sp }
+      cart ++ udfs ++ subPlans.flatMap(badNodes)
+    }
     val globalWindows = scala.collection.mutable.Set.empty[String]
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan = fn(spark, sf).queryExecution.executedPlan
         if (graft.tools.GlobalWindowProbe.hasGlobalWindow(plan))
           globalWindows += name
-        val hits = fallbacks(plan).distinct
+        val hits = (fallbacks(plan) ++ badNodes(plan)).distinct
         if (hits.isEmpty) Nil else Seq(s"$name -> ${hits.mkString(",")}")
     }
     assert(offenders.isEmpty,
