@@ -86,6 +86,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
 
     ext.injectFunction((
+      FunctionIdentifier("semdedup_closure"),
+      new ExpressionInfo(classOf[SemDedupClosure].getName, "semdedup_closure"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "semdedup_closure(members, pairs)")
+        SemDedupClosure(children.head, children(1))
+      }))
+
+    ext.injectFunction((
       FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
       (children: Seq[Expression]) => {

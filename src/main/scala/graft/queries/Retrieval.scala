@@ -527,7 +527,11 @@ object Retrieval {
       col("sem_rank").as("sem_a"))
     val b = rer.select(col("doc_id").as("id_b"), col("lex_rank").as("lex_b"),
       col("sem_rank").as("sem_b"))
-    a.crossJoin(b).filter(col("id_a") < col("id_b")) // 50-row candidate set²
+    // 50-row candidate set² — broadcast one side explicitly: the frame's
+    // post-join/window size ESTIMATE exceeds the broadcast threshold, so
+    // without the hint the initial plan is a shuffled CartesianProductExec
+    // (hidden under the AQE wrapper until the r16 sweep unwrapped it)
+    a.crossJoin(broadcast(b)).filter(col("id_a") < col("id_b"))
       .select(((col("lex_a") < col("lex_b")) === (col("sem_a") < col("sem_b")))
         .as("conc"))
       .agg(count(lit(1)).as("n_pairs"),

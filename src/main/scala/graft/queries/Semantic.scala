@@ -225,45 +225,15 @@ object Semantic {
     }
   }
 
-  /** Per-cluster transitive closure + keep-rule, evaluated INSIDE one
-    * aggregation: `ms` = the cluster's (vec_id, cscore) members, `es` = its
-    * qualifying pairs (null when none). Edges never span clusters, so a
-    * cluster-local union-find is the EXACT transitive closure — no iterative
-    * whole-graph pass (the q58 machinery costs O(log diameter) synchronized
-    * rounds; here every group is confined to a tierK-bounded cluster, which
-    * is precisely how the SemDeDup paper processes clusters: independently,
-    * in memory). Labels = each set's min member id; per group of size ≥ 2
-    * keep the member LEAST similar to its centroid (lowest cscore, ties →
-    * smaller vec_id — the paper's keep-rule: the group's most marginal
-    * exemplar carries the most information); singletons keep themselves.
-    * Returns (n_dup_groups, n_dropped, kept_id_sum). */
-  private val semdedupGroups =
-    udf { (ms: Seq[org.apache.spark.sql.Row], es: Seq[org.apache.spark.sql.Row]) =>
-      val ids = ms.map(_.getLong(0)).toArray
-      val cscore = ms.map(r => r.getLong(0) -> r.getLong(1)).toMap
-      val idx = ids.zipWithIndex.toMap
-      val parent = Array.tabulate(ids.length)(identity)
-      def find(x: Int): Int = {
-        var r = x
-        while (parent(r) != r) r = parent(r)
-        var c = x
-        while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
-        r
-      }
-      if (es != null) es.foreach { e =>
-        val (a, b) = (find(idx(e.getLong(0))), find(idx(e.getLong(1))))
-        if (a != b) parent(math.max(a, b)) = math.min(a, b)
-      }
-      val bySet = ids.indices.groupBy(find).values
-      var groups = 0L; var dropped = 0L; var keptSum = 0L
-      bySet.foreach { set =>
-        if (set.size >= 2) {
-          groups += 1; dropped += set.size - 1
-          keptSum += set.map(i => (cscore(ids(i)), ids(i))).min._2
-        } else keptSum += ids(set.head)
-      }
-      (groups, dropped, keptSum)
-    }
+  // Per-block transitive closure + keep-rule: the native
+  // `semdedup_closure(ms, es)` kernel ([[graft.plans.SemDedupClosure]]).
+  // Edges never span blocks, so a block-local union-find is the EXACT
+  // transitive closure — no iterative whole-graph pass (the q58 machinery
+  // costs O(log diameter) synchronized rounds; here every group is
+  // confined to a tierK-bounded cluster, which is precisely how the
+  // SemDeDup paper processes clusters: independently, in memory). Was a
+  // Scala udf until r16 — a ScalaUDF the de-vacuized plan sweep flags, and
+  // an encoder round-trip per aggregation row the native kernel skips.
 
   /** Declared member cap for one closure block (r13 VERDICT #1): a cluster
     * with more members than this is SUB-SPLIT by a deterministic md5 bucket
@@ -328,7 +298,7 @@ object Semantic {
       count(lit(1)).as("n_members"),
       collect_list(struct(col("vec_id"), col("cscore"))).as("ms"))
     membersBySub.join(pairsBySub, Seq("cid", "sub"), "left")
-      .withColumn("r", semdedupGroups(col("ms"), col("es")))
+      .withColumn("r", call_function("semdedup_closure", col("ms"), col("es")))
       .groupBy("cid").agg(
         sum(col("n_members")).as("n_members"),
         sum(coalesce(col("n_dup_pairs"), lit(0L))).as("n_dup_pairs"),
@@ -679,7 +649,11 @@ object Semantic {
       .select("id_a", "id_b")
     val corpus = m.select(col("vec_id").as("id_b"), col("cid").as("bcid"),
       col("qv").as("qb"), col("nrm").as("nb"))
-    val exact = top5(anchors.crossJoin(corpus)
+    // 64-anchor panel × corpus: broadcast the parameter side explicitly —
+    // anchors derive from joins whose size ESTIMATE exceeds the broadcast
+    // threshold, so without the hint the initial plan is a shuffled
+    // CartesianProductExec (hidden under AQE until the r16 sweep)
+    val exact = top5(broadcast(anchors).crossJoin(corpus)
       .filter(col("id_a") =!= col("id_b")))
     val cell = top5(anchors.join(corpus, col("acid") === col("bcid"))
       .filter(col("id_a") =!= col("id_b")))

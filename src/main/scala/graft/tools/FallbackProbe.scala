@@ -1,13 +1,13 @@
 package graft.tools
 
-import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.execution.SparkPlan
 
 /** Dev probe: walk every registered query's physical plan and report each
   * expression that is a [[CodegenFallback]] — the class of node that embeds
   * an interpreted eval call inside a generated stage (and the class the
-  * PlanQualitySpec fallback sweep pins to zero). Usage:
+  * PlanQualitySpec fallback sweep pins to zero). Walks through the AQE
+  * wrapper and subquery plans via [[PlanWalk]] (ADVICE r15 #1 — a naive
+  * `collect` over an AdaptiveSparkPlanExec sees only the wrapper). Usage:
   * `runMain graft.tools.FallbackProbe [sfDir]`. */
 object FallbackProbe {
   def main(args: Array[String]): Unit = {
@@ -16,21 +16,13 @@ object FallbackProbe {
     val names = graft.SparkEntry.queries.keys.toSeq.sorted
     names.foreach { n =>
       try {
-        // walk subquery plans too (PlanExpression trees) — the same sweep
-        // PlanQualitySpec pins
-        def fallbacks(plan: SparkPlan): Seq[String] = {
-          val exprs = plan.collect { case node => node.expressions }.flatten
-          val direct = exprs.flatMap(_.collect {
-            case e: Expression with CodegenFallback => e.getClass.getSimpleName
-          })
-          val subPlans = exprs.flatMap(_.collect {
-            case pe: org.apache.spark.sql.catalyst.expressions.PlanExpression[_] =>
-              pe.plan
-          }).collect { case sp: SparkPlan => sp }
-          direct ++ subPlans.flatMap(fallbacks)
-        }
-        val hits = fallbacks(graft.SparkEntry.queries(n)(spark, dir)
-          .queryExecution.executedPlan).distinct.sorted
+        val nodes = PlanWalk.allNodes(
+          graft.SparkEntry.queries(n)(spark, dir).queryExecution.executedPlan)
+        val hits = nodes
+          .flatMap(_.expressions.flatMap(_.collect {
+            case e: CodegenFallback => e.getClass.getSimpleName
+          }))
+          .distinct.sorted
         if (hits.nonEmpty) println(s"[fallback] $n -> ${hits.mkString(",")}")
       } catch {
         case ex: Throwable =>

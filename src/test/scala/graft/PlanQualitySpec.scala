@@ -958,15 +958,29 @@ class PlanQualitySpec extends AnyFunSuite {
       s"q300 joins must stay unhinted:\n${lp.take(3000)}")
   }
 
-  test("fallback sweep: zero CodegenFallback expressions in ANY registered plan") {
+  test("fallback sweep: no custom CodegenFallback; built-ins pinned to a whitelist") {
     // The de-vectorization pin (r14 verdict #1), in two legs:
     //
-    // STATIC (this sweep): no expression anywhere in any registered query's
-    // physical plan is a CodegenFallback node — the class that embeds an
-    // interpreted eval call inside a generated stage and silently boxes the
-    // hot path (the q288 Morton-expression lesson class). Custom logic must
-    // ride expressions with real doGenCode (plans/*Expressions.scala); no
-    // whitelist, zero means zero.
+    // STATIC (this sweep): no CUSTOM (graft-package) expression anywhere in
+    // any registered query's physical plan is a CodegenFallback node — the
+    // class that embeds an interpreted eval call inside a generated stage
+    // and silently boxes the hot path (the q288 Morton-expression lesson
+    // class). Custom logic must ride expressions with real doGenCode
+    // (plans/*Expressions.scala); for graft classes, zero means zero.
+    // SPARK-BUILT-IN CodegenFallback expressions are a different matter:
+    // Spark itself ships every higher-order function (transform/zip_with/
+    // filter/aggregate — the idioms this engine is MANDATED to prefer over
+    // UDFs) and every imperative aggregate (collect_list/collect_set/
+    // percentile_approx/approx_count_distinct/pivot/typed Aggregator) as
+    // CodegenFallback; they cannot be avoided without abandoning the
+    // built-in operator set. Those are pinned by CLASS-set EQUALITY below,
+    // so a new interpreted built-in cannot drift into the surface without
+    // a conscious whitelist update here. (Until r16 this sweep ran on the
+    // raw executedPlan, which under AQE is a leaf AdaptiveSparkPlanExec
+    // wrapper — TreeNode.collect never descended, so the old "zero
+    // CodegenFallback anywhere" claim was vacuous for every
+    // exchange-containing query; ADVICE r16 #1. PlanWalk now unwraps AQE
+    // and subquery plans, and this is what the real surface contains.)
     //
     // RUNTIME (the engine session): spark.sql.codegen.fallback=false in
     // Engine.session turns a janino compile failure on ANY query into a
@@ -975,26 +989,45 @@ class PlanQualitySpec extends AnyFunSuite {
     // compile can no longer stay green while de-vectorized. The two
     // deliberately-interpreted HOF REFERENCE paths live in DedupSpec and
     // opt back in via TestSpark.withCodegenFallback.
-    import org.apache.spark.sql.catalyst.expressions.PlanExpression
     import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
     import org.apache.spark.sql.execution.SparkPlan
     assert(TestSpark.spark.conf.get("spark.sql.codegen.fallback") == "false",
       "the engine session must be strict — a compile failure must throw")
     spark.catalog.clearCache()
-    // descend into SUBQUERY plans too: Expression.collect does not walk a
-    // PlanExpression's embedded plan, so a CodegenFallback inside a
-    // scalar/IN subquery would otherwise escape the sweep (review finding
-    // r15 — 'zero means zero' must include the subquery trees)
-    def fallbacks(plan: SparkPlan): Seq[String] = {
-      val exprs = plan.collect { case node => node.expressions }.flatten
-      val direct = exprs.flatMap(_.collect {
-        case e: CodegenFallback => e.getClass.getSimpleName
-      })
-      val subPlans = exprs.flatMap(_.collect {
-        case pe: PlanExpression[_] => pe.plan
-      }).collect { case sp: SparkPlan => sp }
-      direct ++ subPlans.flatMap(fallbacks)
-    }
+    // Spark-built-in interpreted expression classes this surface is ALLOWED
+    // to contain, each with why it is irreducible:
+    //  - lambda/HOF machinery (ArrayTransform, ArrayFilter, ArrayExists,
+    //    ArrayAggregate, ArraySort, ZipWith, MapFilter, LambdaFunction,
+    //    NamedLambdaVariable): Spark's higher-order functions — the
+    //    mandated idiom for per-row array math (dot products, chunk maps);
+    //    all extend CodegenFallback upstream. Hot ANN distance loops
+    //    already ride custom codegen'd expressions; these remain on
+    //    bounded per-row arrays.
+    //  - imperative aggregates (CollectList, CollectSet, PivotFirst,
+    //    ApproximatePercentile, HyperLogLogPlusPlus, ScalaAggregator):
+    //    TypedImperativeAggregate subclasses — buffer-object aggregates
+    //    Spark evaluates interpreted by design (ScalaAggregator is the
+    //    declared §2.10 typed-Aggregator showcase, q73).
+    val builtinFallbackWhitelist = Set(
+      "ArrayAggregate", "ArrayExists", "ArrayFilter", "ArraySort",
+      "ArrayTransform", "ZipWith", "MapFilter", "LambdaFunction",
+      "NamedLambdaVariable",
+      "CollectList", "CollectSet", "PivotFirst", "ApproximatePercentile",
+      "HyperLogLogPlusPlus", "ScalaAggregator")
+    // walk through the AQE wrapper AND into subquery plans: with AQE on
+    // (the engine default) executedPlan is an AdaptiveSparkPlanExec LEAF —
+    // TreeNode.collect sees only the wrapper, so a naive sweep passes
+    // vacuously for every exchange-containing query (ADVICE r16 #1); and
+    // Expression.collect does not walk a PlanExpression's embedded plan,
+    // so a CodegenFallback inside a scalar/IN subquery would also escape
+    // (review finding r15). PlanWalk descends through both.
+    def fallbacks(plan: SparkPlan): Seq[(String, Boolean)] =
+      graft.tools.PlanWalk.allNodes(plan).flatMap(
+        _.expressions.flatMap(_.collect {
+          case e: CodegenFallback =>
+            (e.getClass.getSimpleName,
+              e.getClass.getName.startsWith("graft."))
+        }))
     // second pin riding the SAME construction pass: every SINGLE-PARTITION
     // window (empty or literal-only partition spec — both move all rows to
     // one partition) must belong to a declared bounded-frame query. The
@@ -1020,7 +1053,7 @@ class PlanQualitySpec extends AnyFunSuite {
     // native codegen'd expressions; parameter-frame crossJoins plan as
     // BroadcastNestedLoopJoin, never a shuffled cartesian)
     def badNodes(plan: SparkPlan): Seq[String] = {
-      val nodes = plan.collect { case n => n }
+      val nodes = graft.tools.PlanWalk.allNodes(plan)
       val cart = nodes.collect {
         case _: org.apache.spark.sql.execution.joins.CartesianProductExec =>
           "CartesianProduct"
@@ -1029,23 +1062,29 @@ class PlanQualitySpec extends AnyFunSuite {
         case _: org.apache.spark.sql.catalyst.expressions.ScalaUDF =>
           "ScalaUDF"
       }))
-      val subPlans = nodes.flatMap(_.expressions.flatMap(_.collect {
-        case pe: PlanExpression[_] => pe.plan
-      })).collect { case sp: SparkPlan => sp }
-      cart ++ udfs ++ subPlans.flatMap(badNodes)
+      cart ++ udfs
     }
     val globalWindows = scala.collection.mutable.Set.empty[String]
+    val builtinFallbacks = scala.collection.mutable.Set.empty[String]
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan = fn(spark, sf).queryExecution.executedPlan
         if (graft.tools.GlobalWindowProbe.hasGlobalWindow(plan))
           globalWindows += name
-        val hits = (fallbacks(plan) ++ badNodes(plan)).distinct
+        val (custom, builtin) = fallbacks(plan).distinct.partition(_._2)
+        builtinFallbacks ++= builtin.map(_._1)
+        val hits = (custom.map(_._1) ++ badNodes(plan)).distinct
         if (hits.isEmpty) Nil else Seq(s"$name -> ${hits.mkString(",")}")
     }
     assert(offenders.isEmpty,
-      s"CodegenFallback expressions in registered plans:\n" +
-        offenders.mkString("\n"))
+      "custom CodegenFallback / CartesianProduct / ScalaUDF in registered " +
+        s"plans:\n${offenders.mkString("\n")}")
+    assert(builtinFallbacks.toSet == builtinFallbackWhitelist,
+      "the set of Spark-built-in interpreted expression classes changed — " +
+        "a new CodegenFallback built-in must be consciously declared (with " +
+        "its why) and a vanished one removed:\n" +
+        s"unexpected: ${(builtinFallbacks.toSet -- builtinFallbackWhitelist).toSeq.sorted}\n" +
+        s"missing: ${(builtinFallbackWhitelist -- builtinFallbacks).toSeq.sorted}")
     assert(globalWindows.toSet == globalWindowWhitelist,
       "single-partition windows changed — new offenders must be " +
         "bounded-frame by construction and declared here; dropped ones " +
