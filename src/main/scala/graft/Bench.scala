@@ -123,9 +123,12 @@ object Bench {
     if (role == "solo") {
       val w = new java.io.PrintWriter(
         new java.io.FileWriter("BENCH_SOLO.jsonl", true))
+      // ts (epoch seconds) per line since r16: lets a reader detect stale
+      // records; the closing embed below also filters on sf (ADVICE r16 #3)
+      val ts = System.currentTimeMillis / 1000L
       try results.foreach { case (k, v, l, _) =>
         v.foreach { t =>
-          w.println(s"""{"name":${jsonStr(k)},"min":${fmt(t._1)},"median":${fmt(t._2)},"load1m":${fmt(l)},"run_id":${jsonStr(runId)},"sf":${jsonStr(sfDir)}}""")
+          w.println(s"""{"name":${jsonStr(k)},"min":${fmt(t._1)},"median":${fmt(t._2)},"load1m":${fmt(l)},"run_id":${jsonStr(runId)},"sf":${jsonStr(sfDir)},"ts":$ts}""")
         }
       } finally w.close()
     }
@@ -138,13 +141,19 @@ object Bench {
         val f = new java.io.File("BENCH_SOLO.jsonl")
         if (!f.exists) ""
         else try {
+          // ts group optional: pre-r16 lines carry no timestamp. Records
+          // whose sf differs from THIS closing run's sfDir are skipped —
+          // a solo min measured at another scale factor must not ride
+          // into the closing artifact as this run's number (ADVICE r16 #3)
           val rx = ("""\{"name":"([^"]+)","min":([0-9.]+),"median":([0-9.]+)""" +
-            ""","load1m":([0-9.]+),"run_id":"([^"]+)","sf":"([^"]+)"\}""").r
+            ""","load1m":([0-9.]+),"run_id":"([^"]+)","sf":"([^"]+)"""" +
+            """(?:,"ts":([0-9]+))?\}""").r
           val latest = scala.collection.mutable.LinkedHashMap[String, String]()
           val src = scala.io.Source.fromFile(f)
           try src.getLines().foreach {
-            case rx(n, mn, md, ld, rid, s) => latest(n) =
-              s""""$n":{"min":$mn,"median":$md,"load1m":$ld,"run_id":"$rid","sf":"$s"}"""
+            case rx(n, mn, md, ld, rid, s, ts) if s == sfDir => latest(n) =
+              s""""$n":{"min":$mn,"median":$md,"load1m":$ld,"run_id":"$rid","sf":"$s"""" +
+                Option(ts).fold("")(t => s""","ts":$t""") + "}"
             case _ => ()
           } finally src.close()
           if (latest.isEmpty) ""

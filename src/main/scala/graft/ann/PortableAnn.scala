@@ -505,9 +505,39 @@ object PortableIvfPqIndex {
       // (review finding r15)
       try {
         val ef = new org.apache.hadoop.fs.Path(epochFile(path))
-        val next = readSmallFile(h, ef)
-          .flatMap(s => scala.util.Try(s.toLong).toOption).getOrElse(0L) + 1L
-        writeSmallFile(h, ef, next.toString, overwrite = true)
+        val tmp = new org.apache.hadoop.fs.Path(epochFile(path) + ".tmp")
+        // CRASH-SAFE MINT (ADVICE r16 #2): a direct create+write over
+        // _writer_epoch is non-atomic — a crash mid-write leaves a
+        // truncated file, and a silent getOrElse(0)+1 fallback would
+        // regress the token to 1, breaking the documented
+        // stays-violated-forever monotonicity. Three rules instead:
+        //  (a) an epoch file that EXISTS but fails to parse is refused
+        //      loudly (manual repair), never re-minted from zero;
+        //  (b) the new value is written to a sibling .tmp and INSTALLED
+        //      by delete+rename — every crash window leaves either the
+        //      old complete file, or no file plus a complete .tmp,
+        //      never a truncated epoch;
+        //  (c) the floor is max(epoch, .tmp), so the
+        //      crashed-between-delete-and-rename window (file absent,
+        //      .tmp complete) still advances past every minted value.
+        val raw = readSmallFile(h, ef)
+        val cur = raw.flatMap(s => scala.util.Try(s.toLong).toOption)
+        if (raw.isDefined && cur.isEmpty)
+          throw new IllegalStateException(
+            s"fencing epoch at $ef exists but is unparseable " +
+              s"('${raw.get.take(40)}') — refusing to mint a token that " +
+              "could regress the monotonic epoch; inspect and repair (or " +
+              "remove) the file manually before retrying the verb")
+        val floor = math.max(cur.getOrElse(0L),
+          readSmallFile(h, tmp)
+            .flatMap(s => scala.util.Try(s.toLong).toOption).getOrElse(0L))
+        val next = floor + 1L
+        writeSmallFile(h, tmp, next.toString, overwrite = true)
+        if (h.exists(ef)) h.delete(ef, false)
+        if (!h.rename(tmp, ef))
+          throw new IllegalStateException(
+            s"failed to install fencing epoch $next at $ef (rename " +
+              "refused) — aborting acquisition; the lease is released")
         leaseEpochs.put(path, next)
       } catch {
         case e: Throwable =>

@@ -667,6 +667,42 @@ class AnnSpec extends AnyFunSuite {
       "every acquisition must advance the fencing epoch monotonically")
   }
 
+  test("epoch mint is crash-safe: unparseable epoch refused, tmp-only window stays monotonic") {
+    // ADVICE r16 #2: the old mint wrote _writer_epoch via create+write — a
+    // crash mid-write left a truncated file, and the silent
+    // getOrElse(0)+1 fallback regressed the token to 1, breaking the
+    // stays-violated-forever monotonicity every fence relies on. The mint
+    // now installs via .tmp + rename and REFUSES an unparseable epoch.
+    val I = graft.ann.PortableIvfPqIndex
+    val path = java.nio.file.Files.createTempDirectory("pivfpq_mint").toString
+    val epochF = new java.io.File(I.epochFile(path))
+    I.withWriterLease(spark, path) { () }
+    assert(java.nio.file.Files.readString(epochF.toPath).trim.toLong == 1L,
+      "first mint starts the epoch at 1")
+    // (a) corrupt epoch (the crash-mid-write artifact): acquisition must
+    // refuse loudly, never re-mint from zero. The crc sidecar is removed so
+    // the read reaches the parse (a checksum mismatch refuses too, just
+    // through the IO path).
+    java.nio.file.Files.writeString(epochF.toPath, "12garbage")
+    new java.io.File(epochF.getParent, s".${epochF.getName}.crc").delete()
+    val ex = intercept[IllegalStateException] {
+      I.withWriterLease(spark, path) { () }
+    }
+    assert(ex.getMessage.contains("unparseable"),
+      s"refusal must name the corrupt epoch: ${ex.getMessage}")
+    assert(!new java.io.File(I.leaseFile(path)).exists,
+      "a refused mint must release its just-created lease — otherwise a " +
+        "retry after manual repair waits out a full TTL")
+    // (b) crash window between delete and rename: epoch file absent, .tmp
+    // holds the last minted value — the next mint must advance PAST it
+    java.nio.file.Files.delete(epochF.toPath)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(I.epochFile(path) + ".tmp"), "7")
+    I.withWriterLease(spark, path) { () }
+    assert(java.nio.file.Files.readString(epochF.toPath).trim.toLong == 8L,
+      "the tmp-only crash window must floor the next mint, never reset it")
+  }
+
   test("upsert: disk equals a whole-corpus re-encode of the patched vectors; barrier honored") {
     import org.apache.spark.sql.functions.col
     val idx = graft.ann.PortableIvfPqIndex.ensureBuiltWithUpsert(
