@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Advanced, Analytics, Corpus, Evaluation, Extensions, Graph, Maintenance, Mart, Relational, Retrieval, Semantic, Stats, Training}
+import graft.queries.{Advanced, Analytics, Corpus, Evaluation, Extensions, Graph, Maintenance, Mart, Relational, Retrieval, Semantic, Stats, Training, Valuation}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -21,7 +21,8 @@ object SparkEntry {
     Relational.registry ++ Mart.registry ++ Extensions.registry ++
       Advanced.registry ++ Training.registry ++ Analytics.registry ++
       Corpus.registry ++ Stats.registry ++ Retrieval.registry ++ Graph.registry ++
-      Evaluation.registry ++ Semantic.registry ++ Maintenance.registry
+      Evaluation.registry ++ Semantic.registry ++ Maintenance.registry ++
+      Valuation.registry
 
   /** One entry per implemented operator from SURVEY.md §2.
     *

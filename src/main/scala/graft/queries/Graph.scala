@@ -819,23 +819,32 @@ object Graph {
     * or curriculum groups by). 3 synchronous rounds, top-20 communities by
     * size with a member-id checksum pinning the exact partition under the
     * hash gate; the oracle unrolls the identical 6 CTE steps. */
-  def q272(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.load(spark, dir, "lineitem")
-      .select(col("l_orderkey").as("okey"), col("l_linenumber").as("ln"),
-        col("l_partkey").as("pk"))
-    val nxt = Window.partitionBy("okey").orderBy(col("ln"), col("pk"))
-    val edges = li.withColumn("dst", lead("pk", 1).over(nxt))
-      .filter(col("dst").isNotNull && col("dst") =!= col("pk"))
-      .groupBy(col("pk").as("src"), col("dst"))
-      .agg(count(lit(1)).as("wt"))
-    labelPropagation(edges, rounds = 3)
+  def q272(spark: SparkSession, dir: String): DataFrame =
+    labelPropagation(transitionEdges(spark, dir), rounds = 3)
       .groupBy(col("lbl").as("community"))
       .agg(count(lit(1)).as("n_members"), sum("node").as("member_id_sum"))
       .orderBy(desc("n_members"), col("community"))
       .limit(20)
+
+  /** The q124/q272 item-transition edge frame (adjacent parts within an
+    * order, self-loops dropped, parallel transitions weighted), factored
+    * so q272 and q305 provably walk the SAME graph. */
+  private def transitionEdges(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("okey"), col("l_linenumber").as("ln"),
+        col("l_partkey").as("pk"))
+    val nxt = Window.partitionBy("okey").orderBy(col("ln"), col("pk"))
+    li.withColumn("dst", lead("pk", 1).over(nxt))
+      .filter(col("dst").isNotNull && col("dst") =!= col("pk"))
+      .groupBy(col("pk").as("src"), col("dst"))
+      .agg(count(lit(1)).as("wt"))
   }
 
-  val q272Sql: String = {
+  /** The q272 LPA oracle CTE chain (edges → und → l0 → 3 unrolled rounds,
+    * every round MATERIALIZED — the 78 GB DuckDB spill lesson), factored so
+    * q305's modularity oracle replays the IDENTICAL partition. Ends at
+    * `l3` (node, lbl). */
+  private val lpaCtes: String = {
     val rounds = (1 to 3).map { i =>
       s"""s$i AS MATERIALIZED (
          |  SELECT u.node, p.lbl, CAST(SUM(u.wt) AS BIGINT) AS w
@@ -849,7 +858,7 @@ object Graph {
          |  WHERE rn = 1
          |)""".stripMargin
     }.mkString(", ")
-    s"""WITH hop AS (
+    s"""hop AS (
        |  SELECT l_partkey AS pk,
        |    lead(l_partkey) OVER (PARTITION BY l_orderkey
        |      ORDER BY l_linenumber, l_partkey) AS dst
@@ -864,12 +873,110 @@ object Graph {
        |  SELECT DISTINCT node FROM und
        |), l0 AS MATERIALIZED (
        |  SELECT node, node AS lbl FROM nodes
-       |), $rounds
+       |), $rounds""".stripMargin
+  }
+
+  val q272Sql: String =
+    s"""WITH $lpaCtes
        |SELECT lbl AS community, COUNT(*) AS n_members,
        |  CAST(SUM(node) AS BIGINT) AS member_id_sum
        |FROM l3 GROUP BY 1
        |ORDER BY n_members DESC, community LIMIT 20""".stripMargin
+
+  /** The weighted-modularity kernel over an undirected incidence frame
+    * (`node`, `nbr`, `wt` — BOTH directions present, so Σwt = 2m) and a
+    * `labels` (node, lbl) partition, factored for the spec's planted
+    * two-clique replay. Newman–Girvan modularity (Newman, PRE 69, 2004,
+    * "Finding and evaluating community structure in networks"):
+    *
+    *   Q = Σ_c [ e_c/m − (d_c/2m)² ]
+    *
+    * evaluated in the ppm fixed point Σ_c [⌊intra2_c·10⁶ div m2⌋ −
+    * ⌊d_c²·10⁶ div m2²⌋] with m2 = 2m and intra2_c = 2e_c (both
+    * directions of an intra-community edge count once each) — every
+    * quotient is of POSITIVE integers, two declared floors per community.
+    * d_c²·10⁶ rides decimal(38,0)/HUGEINT (d_c ≤ m2, and m2²·10⁶
+    * overflows int64 past m ≈ 3·10⁶ edges — the q290 rule). Returns ONE
+    * row: n_nodes, n_communities, m2_w, q_ppm, top_size. */
+  private[graft] def modularityRollup(und: DataFrame,
+      labels: DataFrame): DataFrame = {
+    val deg = und.groupBy("node").agg(sum("wt").as("deg_w"))
+    val m2 = und.agg(sum("wt").as("m2"))
+    val byNode = labels.select(col("node"), col("lbl").as("cl_a"))
+    val byNbr = labels.select(col("node").as("nbr"), col("lbl").as("cl_b"))
+    // the label frame is ≤|V| — the same broadcast the LPA rounds ride
+    val intra = und.join(broadcast(byNode), Seq("node"))
+      .join(broadcast(byNbr), Seq("nbr"))
+      .filter(col("cl_a") === col("cl_b"))
+      .groupBy(col("cl_a").as("lbl")).agg(sum("wt").as("intra_w2"))
+    val dc = deg.join(broadcast(labels), Seq("node"))
+      .groupBy("lbl")
+      .agg(sum("deg_w").as("d_c"), count(lit(1)).as("n_members"))
+    dc.join(intra, Seq("lbl"), "left")
+      .na.fill(0L, Seq("intra_w2"))
+      .crossJoin(broadcast(m2))
+      .withColumn("contrib_ppm", expr(
+        "intra_w2 * 1000000 div m2 - cast(cast(d_c as decimal(38,0)) * d_c" +
+          " * 1000000 div (cast(m2 as decimal(38,0)) * m2) as bigint)"))
+      .agg(sum("n_members").as("n_nodes"),
+        count(lit(1)).as("n_communities"),
+        max("m2").as("m2_w"),
+        sum("contrib_ppm").as("q_ppm"),
+        max("n_members").as("top_size"))
   }
+
+  /** q305 modularity of the q272 LPA partition — the quality number for
+    * the community structure q272 publishes: Newman–Girvan Q of the
+    * 3-round label-propagation communities on the item-transition graph,
+    * in exact ppm fixed point (see [[modularityRollup]]). Q near 0 means
+    * the "communities" are no better than random wiring (don't build a
+    * catalog on them); Q ≳ 0.3 is real structure. The number that turns
+    * q272 from a partition dump into a go/no-go signal.
+    *
+    * Scale shape: rides the q272 machinery unchanged (Θ(rounds·|E|) LPA,
+    * ≤|V| label frames); the modularity pass is one |E|-scan for
+    * intra-community weight + two ≤|V| aggregates — strictly cheaper
+    * than one extra LPA round. The oracle replays the IDENTICAL
+    * partition (shared CTE chain) plus the same two-floor ppm algebra. */
+  def q305(spark: SparkSession, dir: String): DataFrame = {
+    val edges = transitionEdges(spark, dir)
+    val lbl = labelPropagation(edges, rounds = 3)
+    val und = edges.select(col("src").as("node"), col("dst").as("nbr"),
+        col("wt"))
+      .union(edges.select(col("dst").as("node"), col("src").as("nbr"),
+        col("wt")))
+    modularityRollup(und, lbl)
+  }
+
+  val q305Sql: String =
+    s"""WITH $lpaCtes, deg AS (
+       |  SELECT node, CAST(SUM(wt) AS BIGINT) AS deg_w FROM und GROUP BY node
+       |), m2t AS (
+       |  SELECT CAST(SUM(wt) AS BIGINT) AS m2 FROM und
+       |), intra AS (
+       |  SELECT a.lbl, CAST(SUM(u.wt) AS BIGINT) AS intra_w2
+       |  FROM und u
+       |  JOIN l3 a ON a.node = u.node
+       |  JOIN l3 b ON b.node = u.nbr
+       |  WHERE a.lbl = b.lbl GROUP BY a.lbl
+       |), dc AS (
+       |  SELECT l.lbl, CAST(SUM(d.deg_w) AS BIGINT) AS d_c,
+       |    COUNT(*) AS n_members
+       |  FROM l3 l JOIN deg d ON d.node = l.node GROUP BY l.lbl
+       |), comm AS (
+       |  SELECT dc.lbl, dc.n_members, dc.d_c,
+       |    COALESCE(i.intra_w2, 0) AS intra_w2
+       |  FROM dc LEFT JOIN intra i ON i.lbl = dc.lbl
+       |)
+       |SELECT CAST(SUM(n_members) AS BIGINT) AS n_nodes,
+       |  COUNT(*) AS n_communities,
+       |  (SELECT m2 FROM m2t) AS m2_w,
+       |  CAST(SUM(intra_w2 * 1000000 // (SELECT m2 FROM m2t)
+       |    - CAST(CAST(d_c AS HUGEINT) * d_c * 1000000
+       |        // (CAST((SELECT m2 FROM m2t) AS HUGEINT)
+       |           * (SELECT m2 FROM m2t)) AS BIGINT)) AS BIGINT) AS q_ppm,
+       |  CAST(MAX(n_members) AS BIGINT) AS top_size
+       |FROM comm""".stripMargin
 
   /** Peel-round budget both engines evaluate for q275 (the q138 BFS
     * discipline: the engine EARLY-EXITS at the fixed point and synthesizes
@@ -1076,5 +1183,6 @@ object Graph {
       ("q146_assortativity", q146 _, Some(q146Sql)),
       ("q267_hits", q267 _, Some(q267Sql)),
       ("q272_label_propagation", q272 _, Some(q272Sql)),
+      ("q305_lpa_modularity", q305 _, Some(q305Sql)),
       ("q275_kcore_census", q275 _, Some(q275Sql)))
 }
