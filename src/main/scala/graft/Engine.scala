@@ -83,10 +83,17 @@ object Engine {
   }
   private var sweepFilterInstalled = false
 
-  /** DENY exactly the two intentional-sweep messages; NEUTRAL otherwise.
+  /** DENY exactly the three intentional-sweep messages; NEUTRAL otherwise.
     * The lineage WARN is emitted under the CONCRETE RDD subclass's logger
     * (MapPartitionsRDD, ShuffledRowRDD, ...), hence the package-prefix
-    * check rather than one logger name. */
+    * check rather than one logger name. The WindowExec single-partition
+    * WARN (r15 VERDICT residual watch item) joined in r16: every
+    * single-partition window in the surface is pinned bounded-frame by
+    * the PlanQualitySpec set-EQUALITY whitelist, so in sweep-owning entry
+    * points the per-execution WARN is pure artifact noise (24 whitelisted
+    * queries × reps flooded the driver bench tail); an UNDECLARED global
+    * window still fails the suite — that, not the log line, is the
+    * tripwire. Ordinary sessions keep the warning. */
   private final class SweepNoiseFilter
       extends org.apache.logging.log4j.core.filter.AbstractFilter(
         org.apache.logging.log4j.core.Filter.Result.DENY,
@@ -103,6 +110,10 @@ object Engine {
           m.startsWith("Asked to remove block") &&
             m.contains("which does not exist")
         })
+        onMatch
+      else if (name.endsWith(".WindowExec") &&
+          e.getMessage.getFormattedMessage
+            .contains("No Partition Defined for Window operation"))
         onMatch
       else onMismatch
     }
