@@ -193,7 +193,7 @@ object Semantic {
   /** Frozen tiered-k centroid model for `dir`'s embeddings, trained once per
     * corpus stamp. The tier gate reads the RAW table count (pre-quantize,
     * pre-zero-norm-drop) — the one number both engines read identically. */
-  private def corpusModel(spark: SparkSession, dir: String)
+  private[queries] def corpusModel(spark: SparkSession, dir: String)
       : Array[(Long, Array[Long])] = {
     val embs = Tables.load(spark, dir, "embeddings")
     val k = tierK(embs.count())
@@ -323,6 +323,12 @@ object Semantic {
 
   private def tieredModelSql(src: String, cntSql: String): String =
     s"${tieredTrainCtes(src, cntSql)}, ${asgCte("n")}"
+
+  /** The standard embeddings-corpus tiered-model CTE chain (train + `asg`
+    * assignment over the `n` quant CTE) — shared with q307's cell-Shapley
+    * oracle so it blocks on the IDENTICAL cells as q257/q262/q266. */
+  private[queries] def tieredModelSqlForOracle: String =
+    tieredModelSql("n", "SELECT COUNT(*) FROM embeddings")
 
   val q257Sql: String =
     s"""WITH RECURSIVE ${Extensions.portableQuantCte},

@@ -76,11 +76,20 @@ object Valuation {
     // panel × corpus fan: the panel side is parameter-sized BY CONSTRUCTION
     // — broadcast it explicitly so the plan is a BroadcastNestedLoopJoin,
     // never a shuffled cartesian (the r16 sweep contract)
-    val byTest = Window.partitionBy("id_a")
-    val scored = trn.crossJoin(broadcast(anch))
+    shapleyFromScored(trn.crossJoin(broadcast(anch))
       .withColumn("dot", call_function("dot_i64", col("qa"), col("qb")))
       .withColumn("s", PortableAnn.cosPpmScore("dot", "na", "nb"))
-      .select("id_a", "la", "id_b", "lb", "s")
+      .select("id_a", "la", "id_b", "lb", "s"), k)
+  }
+
+  /** The shared recurrence stage over a scored candidate frame (`id_a`,
+    * `la`, `id_b`, `lb`, `s`): rank per test (s DESC, id_b), ppm-floored
+    * terms, one descending-rank suffix-sum window, per-point value summed
+    * over the panel. N is each test point's OWN candidate count — the
+    * full corpus under [[knnShapley]], the test point's cell under
+    * [[cellShapley]] (the restricted game's recurrence is identical). */
+  private def shapleyFromScored(scored: DataFrame, k: Int): DataFrame = {
+    val byTest = Window.partitionBy("id_a")
     scored
       .withColumn("rk", row_number().over(byTest.orderBy(desc("s"), col("id_b"))))
       .withColumn("n", count(lit(1)).over(byTest))
@@ -95,6 +104,117 @@ object Valuation {
       .groupBy(col("id_b"), col("lb").as("label"))
       .agg(sum("shap_ppm").as("v"))
   }
+
+  /** The CELL-BLOCKED Shapley kernel over a cid-carrying quantized labeled
+    * frame (`vec_id`, `cid`, `label`, `qv`, `nrm`): candidates join on the
+    * cluster id instead of fanning the whole corpus, and the recurrence
+    * runs over each test point's CELL ranking — the Shapley values of the
+    * RESTRICTED game whose utility sees only same-cell neighbors. On a
+    * one-cell corpus this is bit-identical to [[knnShapley]]
+    * (spec-pinned); across cells it is the declared approximation whose
+    * candidate-recall q262 prices for the same tiered model. */
+  private[graft] def cellShapley(withCid: DataFrame, panelMax: Long,
+      k: Int): DataFrame = {
+    val anch = withCid.filter(col("vec_id") < panelMax)
+      .select(col("cid"), col("vec_id").as("id_a"), col("label").as("la"),
+        col("qv").as("qa"), col("nrm").as("na"))
+    val trn = withCid.filter(col("vec_id") >= panelMax)
+      .select(col("cid"), col("vec_id").as("id_b"), col("label").as("lb"),
+        col("qv").as("qb"), col("nrm").as("nb"))
+    shapleyFromScored(trn.join(broadcast(anch), Seq("cid"))
+      .withColumn("dot", call_function("dot_i64", col("qa"), col("qb")))
+      .withColumn("s", PortableAnn.cosPpmScore("dot", "na", "nb"))
+      .select("id_a", "la", "id_b", "lb", "s"), k)
+  }
+
+  /** q307 cell-blocked KNN-Shapley — q302's measured-flat scale path (the
+    * q110 → ANN-family structure applied to valuation): train points are
+    * valued within their tiered-k-means cell only (the q257/q262/q266
+    * frozen corpus model — engine reuses [[Semantic.assignCid]], oracle
+    * replays the identical tiered training CTEs), so each test point
+    * ranks an expected-n/k cell instead of the corpus, and train points
+    * in anchorless cells carry value 0 EXPLICITLY (reported, not
+    * dropped — the rollup's n_train stays the whole train corpus, so
+    * q307 and q302 rows are directly comparable). The restriction is the
+    * declared trade: values beyond the cell boundary are truncated to 0,
+    * exactly the mass whose smallness the q262 cell-recall histogram
+    * measures for the same model.
+    *
+    * Scale shape: one broadcast-model assignment fan (shuffle
+    * corpus-narrow, the [[Semantic.assignCid]] contract), candidates
+    * cell-equi-joined (∝ n·panel/k), ranking windows over cell-bounded
+    * partitions — no corpus-sized sort anywhere; flat where q302 pays the
+    * full per-test ordering. */
+  def q307(spark: SparkSession, dir: String): DataFrame = {
+    val cents = Semantic.corpusModel(spark, dir)
+    val asg = Semantic.assignCid(labeledQuantized(spark, dir),
+        Semantic.centFrame(spark, cents), carry = Seq("label", "qv", "nrm"))
+      .select("vec_id", "cid", "label", "qv", "nrm")
+    val vals = cellShapley(asg, ShapPanel, ShapK)
+    asg.filter(col("vec_id") >= ShapPanel)
+      .select(col("vec_id").as("id_b"), col("label"))
+      .join(vals.select("id_b", "v"), Seq("id_b"), "left")
+      .na.fill(0L, Seq("v"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_train"),
+        sum("v").as("sum_shap_ppm"),
+        min("v").as("min_shap_ppm"),
+        max("v").as("max_shap_ppm"),
+        sum(when(col("v") < 0, 1L).otherwise(0L)).as("n_negative"))
+      .orderBy("label")
+  }
+
+  val q307Sql: String =
+    s"""WITH ${Extensions.portableQuantCte},
+      |${Semantic.tieredModelSqlForOracle}, lab AS (
+      |  SELECT a.vec_id, a.cid, a.nrm, x.qv, CAST(e.label AS BIGINT) AS label
+      |  FROM asg a
+      |  JOIN n x ON x.vec_id = a.vec_id
+      |  JOIN embeddings e ON e.vec_id = a.vec_id
+      |), anch AS (
+      |  SELECT cid, vec_id AS id_a, label AS la, qv AS qa, nrm AS na
+      |  FROM lab WHERE vec_id < $ShapPanel
+      |), trn AS (
+      |  SELECT cid, vec_id AS id_b, label AS lb, qv AS qb, nrm AS nb
+      |  FROM lab WHERE vec_id >= $ShapPanel
+      |), sc AS (
+      |  SELECT id_a, la, id_b, lb,
+      |    CASE WHEN dot >= 0 THEN dot * dot * 1000000 // (na * nb)
+      |         ELSE -(dot * dot * 1000000 // (na * nb)) END AS s
+      |  FROM (
+      |    SELECT a.id_a, a.la, b.id_b, b.lb, a.na, b.nb,
+      |      CAST(list_sum(list_transform(range(1, len(a.qa) + 1),
+      |        i -> a.qa[i] * b.qb[i])) AS BIGINT) AS dot
+      |    FROM anch a JOIN trn b ON b.cid = a.cid) t
+      |), rk AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY id_a ORDER BY s DESC, id_b) AS rk,
+      |    COUNT(*) OVER (PARTITION BY id_a) AS n,
+      |    CASE WHEN la = lb THEN 1 ELSE 0 END AS ind
+      |  FROM sc
+      |), tm AS (
+      |  SELECT id_a, id_b, lb, rk,
+      |    CASE WHEN ind_next IS NULL THEN ind * (1000000 // n)
+      |         ELSE (ind - ind_next) *
+      |           (1000000 // (CASE WHEN rk < $ShapK THEN $ShapK ELSE rk END)) END AS term
+      |  FROM (SELECT *, LEAD(ind) OVER (PARTITION BY id_a ORDER BY rk) AS ind_next
+      |        FROM rk) t
+      |), sv AS (
+      |  SELECT id_a, id_b, lb,
+      |    CAST(SUM(term) OVER (PARTITION BY id_a ORDER BY rk DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS shap_ppm
+      |  FROM tm
+      |), pt AS (
+      |  SELECT id_b, CAST(SUM(shap_ppm) AS BIGINT) AS v FROM sv GROUP BY 1
+      |), fullv AS (
+      |  SELECT t.id_b, t.lb AS label, COALESCE(p.v, 0) AS v
+      |  FROM trn t LEFT JOIN pt p ON p.id_b = t.id_b
+      |)
+      |SELECT label, COUNT(*) AS n_train,
+      |  CAST(SUM(v) AS BIGINT) AS sum_shap_ppm,
+      |  CAST(MIN(v) AS BIGINT) AS min_shap_ppm,
+      |  CAST(MAX(v) AS BIGINT) AS max_shap_ppm,
+      |  CAST(SUM(CASE WHEN v < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_negative
+      |FROM fullv GROUP BY label ORDER BY label""".stripMargin
 
   /** q302 exact KNN-Shapley data valuation (Jia et al., "Efficient
     * task-specific data valuation for nearest neighbor algorithms",
@@ -202,11 +322,18 @@ object Valuation {
     * discipline: gap ≤ n_s·n_g ≈ n², times Δx, times |grid| overflows
     * int64 at corpus scale while DuckDB raises). Returns (`source`,
     * `n_docs`, `w1_micro`). */
-  private[graft] def wassersteinBySource(values: DataFrame): DataFrame = {
-    val cell = values.groupBy("source", "v").agg(count(lit(1)).as("c_sv"))
+  private[graft] def wassersteinBySource(values: DataFrame): DataFrame =
+    wassersteinFromCells(
+      values.groupBy("source", "v").agg(count(lit(1)).as("c_sv")))
+
+  /** [[wassersteinBySource]] from a pre-aggregated (source, v, c_sv) CELL
+    * frame — the histogram cells are the mergeable object the streaming
+    * leg persists ([[w1Stream]]), so W1 assembles merge-on-read without a
+    * corpus rescan (the q299 count-digest algebra on the value axis). */
+  private[graft] def wassersteinFromCells(cell: DataFrame): DataFrame = {
     val srcTot = cell.groupBy("source").agg(sum("c_sv").as("n_s"))
     val gv = cell.groupBy("v").agg(sum("c_sv").as("c_v"))
-    val tot = values.agg(count(lit(1)).as("n_g"))
+    val tot = cell.agg(sum("c_sv").as("n_g"))
     val bySrc = Window.partitionBy("source").orderBy("v")
     // grid = corpus support × sources (|values|·|sources| — value-domain
     // bounded); the |sources|-row totals and the 1-row grand total are
@@ -267,6 +394,35 @@ object Valuation {
       |    * 1000000 // (MAX(n_s) * (SELECT n_g FROM tot)) AS BIGINT) AS w1_micro
       |FROM g2 WHERE dx IS NOT NULL
       |GROUP BY source ORDER BY source""".stripMargin
+
+  /** STREAMING leg of q303 (the q299 LSM discipline on the value axis):
+    * the stream appends per-batch (source, v) COUNT cell digests — the
+    * length histogram is the mergeable object (order-free sums across
+    * batches, replay-idempotent by batch-dir overwrite) — and the W1
+    * drift assembles merge-on-read from the merged cells
+    * ([[w1ReadMerged]]), so a reader never rescans documents. The corpus
+    * CDF recomputes from the merged cells too, which is why the cell (not
+    * any per-source W1 number) is the persisted object: every batch
+    * shifts BOTH sides of the distance. */
+  def w1Stream(spark: SparkSession, docStream: DataFrame,
+      outDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docStream.select(col("source"), col("n_chars").as("v"))
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        batch.toDF().groupBy("source", "v").agg(count(lit(1)).as("n"))
+          .write.mode("overwrite").parquet(s"$outDir/batch-$id")
+      }
+      .start()
+
+  /** Assemble the q303 drift audit from persisted cell digests (glob paths
+    * welcome). Cells for the same (source, value) across batches SUM
+    * exactly. */
+  def w1ReadMerged(spark: SparkSession, dirs: Seq[String]): DataFrame =
+    wassersteinFromCells(dirs.map(d => spark.read.parquet(d))
+      .reduce(_ unionByName _)
+      .groupBy("source", "v").agg(sum("n").as("c_sv")))
 
   /** Conformal miscoverage: 1 − α = 90% target. */
   private[graft] val ConfNum = 9
@@ -454,5 +610,6 @@ object Valuation {
     Seq(("q302_knn_shapley", q302 _, Some(q302Sql)),
       ("q303_wasserstein_drift", q303 _, Some(q303Sql)),
       ("q304_conformal_coverage", q304 _, Some(q304Sql)),
-      ("q306_label_influence", q306 _, Some(q306Sql)))
+      ("q306_label_influence", q306 _, Some(q306Sql)),
+      ("q307_cell_shapley", q307 _, Some(q307Sql)))
 }

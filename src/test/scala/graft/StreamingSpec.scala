@@ -934,6 +934,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(merged() == want, "replayed count digest must be a no-op")
   }
 
+  test("streaming W1 drift: merged length-histogram cells == batch q303; replay idempotent") {
+    // the operational leg of q303: per-batch (source, n_chars) count cells
+    // sum on read; BOTH sides of the distance (source CDF and corpus CDF)
+    // recompute from the merged cells, so no batch order can skew the
+    // reference distribution
+    import org.apache.spark.sql.types._
+    import graft.queries.Valuation
+    val want = Valuation.q303(spark, sf).collect().map(_.toSeq).toSeq
+    val docs = Tables.parallelized(Tables.load(spark, sf, "documents"))
+      .select("doc_id", "source", "n_chars")
+    val landing = java.nio.file.Files.createTempDirectory("w1_landing").toString
+    (0 until 3).foreach { g =>
+      docs.filter(col("doc_id") % 3 === g).coalesce(1)
+        .write.mode("overwrite").parquet(s"$landing/g$g")
+      new java.io.File(s"$landing/g$g").listFiles()
+        .foreach(f => f.setLastModified(1000000L * (g + 1)))
+    }
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("source", StringType), StructField("n_chars", LongType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$landing/g*")
+    val out = java.nio.file.Files.createTempDirectory("w1_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("w1_ckpt").toString
+    val q = Valuation.w1Stream(spark, stream, out, ckpt)
+    try q.processAllAvailable() finally q.stop()
+    def merged(): Seq[Seq[Any]] = Valuation.w1ReadMerged(spark,
+      Seq(s"$out/batch-*")).collect().map(_.toSeq).toSeq
+    assert(merged() == want,
+      "merge-on-read W1 drift diverges from the batch q303")
+    // at-least-once replay: re-digesting a committed batch overwrites its
+    // own directory — the drift audit is unchanged
+    docs.filter(col("doc_id") % 3 === 0)
+      .select(col("source"), col("n_chars").as("v"))
+      .groupBy("source", "v").agg(count(lit(1)).as("n"))
+      .write.mode("overwrite").parquet(s"$out/batch-0")
+    assert(merged() == want, "replayed cell digest must be a no-op")
+  }
+
   test("streaming Bloom maintenance: merged doc digests == batch q300; replay idempotent") {
     // the operational leg of q300: doc-grain fingerprint digests union +
     // distinct on read; the ADAPTIVE filter width recomputes from the

@@ -90,6 +90,44 @@ class ValuationSpec extends AnyFunSuite {
       "negative-valued count cannot exceed the label's train count"))
   }
 
+  test("q307 kernel: one-cell corpus is bit-identical to exact knnShapley") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // with every point in ONE cell the restricted game IS the full game —
+    // cellShapley must reproduce knnShapley exactly, not approximately
+    val pts = Seq(
+      (0L, 1L, Array(100L, 5L)), (1L, 1L, Array(95L, 10L)),
+      (2L, 2L, Array(90L, 20L)), (3L, 1L, Array(60L, 80L)),
+      (4L, 2L, Array(-40L, 90L)), (5L, 1L, Array(30L, -95L)),
+      (6L, 2L, Array(-100L, -10L)))
+    val df = pts.toDF("vec_id", "label", "qv")
+      .withColumn("nrm", call_function("dot_i64", col("qv"), col("qv")))
+    val exact = Valuation.knnShapley(df, panelMax = 1L, k = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val cell = Valuation.cellShapley(df.withColumn("cid", lit(0L)),
+        panelMax = 1L, k = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(cell == exact, s"cell $cell vs exact $exact")
+    // two separated cells: a train point in a DIFFERENT cell than the
+    // anchor is absent from the candidate frame (q307 reports it as 0)
+    val twoCell = Valuation.cellShapley(
+        df.withColumn("cid", when(col("vec_id") <= 3, 0L).otherwise(9L)),
+        panelMax = 1L, k = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(twoCell.keySet == Set(1L, 2L, 3L),
+      s"only same-cell candidates may carry values: ${twoCell.keySet}")
+  }
+
+  test("q307 on fixture: train totality matches q302 row-for-row") {
+    val exact = Valuation.q302(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cellR = Valuation.q307(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cellR == exact,
+      "q307's anchorless-cell zero-fill must keep n_train per label " +
+        "identical to q302 — the two reports must be directly comparable")
+  }
+
   test("q303 kernel: hand-computed two-point transport; identical dist -> 0") {
     import spark.implicits._
     // A = {0,0}, B = {10,10}; corpus = half at 0, half at 10. Each
