@@ -140,11 +140,20 @@ object Valuation {
     * exactly the mass whose smallness the q262 cell-recall histogram
     * measures for the same model.
     *
-    * Scale shape: one broadcast-model assignment fan (shuffle
-    * corpus-narrow, the [[Semantic.assignCid]] contract), candidates
-    * cell-equi-joined (∝ n·panel/k), ranking windows over cell-bounded
-    * partitions — no corpus-sized sort anywhere; flat where q302 pays the
-    * full per-test ordering. */
+    * Scale shape — the trade MEASURED, not assumed (SCALING_r16): one
+    * broadcast-model assignment fan (n·k compares, shuffle corpus-narrow
+    * — the [[Semantic.assignCid]] contract), candidates cell-equi-joined
+    * (∝ n·panel/k), ranking windows over CELL-BOUNDED partitions. Two
+    * things get cheaper than q302: the sort (no corpus-sized window
+    * partition anywhere — q302's per-anchor full ranking is the
+    * single-partition-shaped cost that breaks first at 100 TB) and the
+    * panel dependence (the n·k assignment is panel-free and shared with
+    * the whole q257/q258/q266 tiered-model family, where q302 scales
+    * ×panel). One thing gets MORE expensive: at the fixture's panel=32
+    * with tierK > 32, the n·k fan exceeds q302's 32·n fan — at ×64 q307
+    * measures 4.4 s vs q302's 3.0 s. Cell blocking wins when the panel
+    * outgrows k or the model is already paid for; the honest crossover is
+    * recorded in SCALING_r16.json. */
   def q307(spark: SparkSession, dir: String): DataFrame = {
     val cents = Semantic.corpusModel(spark, dir)
     val asg = Semantic.assignCid(labeledQuantized(spark, dir),
