@@ -517,20 +517,38 @@ object PortableIvfPqIndex {
         //      by delete+rename — every crash window leaves either the
         //      old complete file, or no file plus a complete .tmp,
         //      never a truncated epoch;
-        //  (c) the floor is max(epoch, .tmp), so the
-        //      crashed-between-delete-and-rename window (file absent,
-        //      .tmp complete) still advances past every minted value.
-        val raw = readSmallFile(h, ef)
-        val cur = raw.flatMap(s => scala.util.Try(s.toLong).toOption)
-        if (raw.isDefined && cur.isEmpty)
+        //  (c) a complete .tmp found with NO epoch file (the
+        //      delete-to-rename crash window) is RE-INSTALLED by rename
+        //      before anything else — never overwritten in place, because
+        //      in that window it is the ONLY surviving copy and a crash
+        //      mid-overwrite would leave no record at all, regressing the
+        //      next mint to 1 (review finding r16 — the double-crash
+        //      window the first version of this fix left open).
+        def parseLong(s: String): Option[Long] =
+          scala.util.Try(s.toLong).toOption
+        def refuse(which: org.apache.hadoop.fs.Path, got: String): Nothing =
           throw new IllegalStateException(
-            s"fencing epoch at $ef exists but is unparseable " +
-              s"('${raw.get.take(40)}') — refusing to mint a token that " +
+            s"fencing epoch at $which exists but is unparseable " +
+              s"('${got.take(40)}') — refusing to mint a token that " +
               "could regress the monotonic epoch; inspect and repair (or " +
               "remove) the file manually before retrying the verb")
-        val floor = math.max(cur.getOrElse(0L),
-          readSmallFile(h, tmp)
-            .flatMap(s => scala.util.Try(s.toLong).toOption).getOrElse(0L))
+        if (!h.exists(ef)) {
+          // crash-window recovery: .tmp is the sole record — reinstall it.
+          // Under the new scheme .tmp is always COMPLETE here (it is fully
+          // written and closed before the old epoch is deleted), so an
+          // unparseable .tmp with no epoch file is corruption — refuse.
+          readSmallFile(h, tmp).foreach { t =>
+            if (parseLong(t).isEmpty) refuse(tmp, t)
+            if (!h.rename(tmp, ef))
+              throw new IllegalStateException(
+                s"failed to re-install the surviving fencing epoch $t " +
+                  s"from $tmp at $ef — aborting acquisition")
+          }
+        }
+        val raw = readSmallFile(h, ef)
+        val cur = raw.flatMap(parseLong)
+        if (raw.isDefined && cur.isEmpty) refuse(ef, raw.get)
+        val floor = cur.getOrElse(0L)
         val next = floor + 1L
         writeSmallFile(h, tmp, next.toString, overwrite = true)
         if (h.exists(ef)) h.delete(ef, false)

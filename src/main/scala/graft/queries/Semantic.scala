@@ -249,8 +249,8 @@ object Semantic {
   /** The SemDeDup survivorship over a member frame, factored out for the
     * spec's planted-corpus replay: within-cluster pairs at cos²-ppm ≥
     * `thresholdPpm` close transitively into dup groups (cluster-local
-    * union-find — see [[semdedupGroups]]), each keeping its least-central
-    * member.
+    * union-find — see [[graft.plans.SemDedupClosure]]), each keeping its
+    * least-central member.
     *
     * MEGA-CLUSTER GUARD (r13 VERDICT #1): a cluster of m members used to
     * collect ALL m ids and ALL qualifying pairs into ONE aggregation row —

@@ -53,7 +53,7 @@ object Valuation {
     * Shapley value of the K-NN utility v(S) = (1/K)·Σ_{j∈topK(S)} 1[y_j =
     * y_test], evaluated by the O(N) recurrence
     *
-    *   s_N = ind_N / N,   s_i = s_{i+1} + (ind_i − ind_{i+1}) / max(K, i)
+    *   s_N = ind_N / max(K, N),   s_i = s_{i+1} + (ind_i − ind_{i+1}) / max(K, i)
     *
     * in ppm fixed point: every term is (±1|0)·⌊10⁶ / max(K,i)⌋ (the
     * positive quotient computed first, sign applied after — the q218
@@ -95,8 +95,16 @@ object Valuation {
       .withColumn("n", count(lit(1)).over(byTest))
       .withColumn("ind", when(col("lb") === col("la"), 1L).otherwise(0L))
       .withColumn("ind_next", lead("ind", 1).over(byTest.orderBy("rk")))
+      // the last-rank base term divides by max(K, N), not N (review
+      // finding r16): for N < K the utility still divides by K — the game
+      // is additive and every φ_i = ind_i/K; s_N = ind_N/N over-values the
+      // tail point K/N-fold in an under-K cell (reachable via q307's cell
+      // blocking; invisible to the hash gate since both engines replay the
+      // algebra). max(K,N) unifies both regimes — for N ≥ K it IS Jia et
+      // al.'s ind_N/N.
       .withColumn("term", when(col("ind_next").isNull,
-          col("ind") * expr("1000000 div n"))
+          col("ind") *
+            expr(s"1000000 div (CASE WHEN n < $k THEN $k ELSE n END)"))
         .otherwise((col("ind") - col("ind_next")) *
           expr(s"1000000 div (CASE WHEN rk < $k THEN $k ELSE rk END)")))
       .withColumn("shap_ppm", sum("term").over(byTest.orderBy(desc("rk"))
@@ -156,9 +164,13 @@ object Valuation {
     * recorded in SCALING_r16.json. */
   def q307(spark: SparkSession, dir: String): DataFrame = {
     val cents = Semantic.corpusModel(spark, dir)
-    val asg = Semantic.assignCid(labeledQuantized(spark, dir),
-        Semantic.centFrame(spark, cents), carry = Seq("label", "qv", "nrm"))
-      .select("vec_id", "cid", "label", "qv", "nrm")
+    // the n·k assignment fan is the dominant term (see scale note below) —
+    // scratch it so the cellShapley leg and the zero-fill base read ONE
+    // materialization instead of fanning twice (review finding r16)
+    val asg = graft.operators.Checkpoints.scratch(
+      Semantic.assignCid(labeledQuantized(spark, dir),
+          Semantic.centFrame(spark, cents), carry = Seq("label", "qv", "nrm"))
+        .select("vec_id", "cid", "label", "qv", "nrm"))
     val vals = cellShapley(asg, ShapPanel, ShapK)
     asg.filter(col("vec_id") >= ShapPanel)
       .select(col("vec_id").as("id_b"), col("label"))
@@ -202,7 +214,8 @@ object Valuation {
       |  FROM sc
       |), tm AS (
       |  SELECT id_a, id_b, lb, rk,
-      |    CASE WHEN ind_next IS NULL THEN ind * (1000000 // n)
+      |    CASE WHEN ind_next IS NULL THEN ind *
+      |           (1000000 // (CASE WHEN n < $ShapK THEN $ShapK ELSE n END))
       |         ELSE (ind - ind_next) *
       |           (1000000 // (CASE WHEN rk < $ShapK THEN $ShapK ELSE rk END)) END AS term
       |  FROM (SELECT *, LEAD(ind) OVER (PARTITION BY id_a ORDER BY rk) AS ind_next
@@ -254,13 +267,15 @@ object Valuation {
         sum(when(col("v") < 0, 1L).otherwise(0L)).as("n_negative"))
       .orderBy("label")
 
-  /** The q235-shape labeled ×100-quantized frame (zero-norm vectors
-    * dropped in BOTH engines before panel/train assignment). */
+  /** The labeled ×100-quantized frame (zero-norm vectors dropped in BOTH
+    * engines before panel/train assignment) — quantization rides
+    * [[PortableAnn.qvExpr]], the declared single home of the ×100 rule,
+    * not a re-inlined copy (review finding r16: a second copy desyncs
+    * silently if the rule ever changes). */
   private def labeledQuantized(spark: SparkSession, dir: String): DataFrame =
     Tables.parallelized(Tables.load(spark, dir, "embeddings"))
       .select(col("vec_id"), col("label").cast(LongType).as("label"),
-        transform(col("embedding"),
-          x => floor(x.cast(DoubleType) * 100).cast(LongType)).as("qv"))
+        PortableAnn.qvExpr(col("embedding")).as("qv"))
       .withColumn("nrm", call_function("dot_i64", col("qv"), col("qv")))
       .filter(col("nrm") > 0)
 
@@ -296,7 +311,8 @@ object Valuation {
       |  FROM sc
       |), tm AS (
       |  SELECT id_a, id_b, lb, rk,
-      |    CASE WHEN ind_next IS NULL THEN ind * (1000000 // n)
+      |    CASE WHEN ind_next IS NULL THEN ind *
+      |           (1000000 // (CASE WHEN n < $ShapK THEN $ShapK ELSE n END))
       |         ELSE (ind - ind_next) *
       |           (1000000 // (CASE WHEN rk < $ShapK THEN $ShapK ELSE rk END)) END AS term
       |  FROM (SELECT *, LEAD(ind) OVER (PARTITION BY id_a ORDER BY rk) AS ind_next
@@ -354,11 +370,17 @@ object Valuation {
       .withColumn("cum_g", sum("c_v").over(bySrc))
       .withColumn("dx", lead("v", 1).over(bySrc) - col("v"))
       .filter(col("dx").isNotNull)
-      .withColumn("gap", abs(col("cum_s") * col("n_g") - col("cum_g") * col("n_s")))
+      // the decimal cast must wrap the cum·n PRODUCTS, not a gap already
+      // computed in int64 (review finding r16): cum_s·n_g ≤ n_s·n_g wraps
+      // int64 near 10¹⁰ docs while the oracle's window SUM(BIGINT) is
+      // HUGEINT from the start — the q290 rule applies to every factor
+      .withColumn("gap", abs(expr(
+        "cast(cum_s as decimal(38,0)) * n_g - cast(cum_g as decimal(38,0)) * n_s")))
       .groupBy("source")
       .agg(max("n_s").as("n_docs"),
-        expr("cast(sum(cast(gap as decimal(38,0)) * dx) * 1000000" +
-          " div (max(n_s) * max(n_g)) as bigint)").as("w1_micro"))
+        expr("cast(sum(gap * dx) * 1000000" +
+          " div (cast(max(n_s) as decimal(38,0)) * max(n_g)) as bigint)")
+          .as("w1_micro"))
       .orderBy("source")
   }
 
@@ -493,10 +515,15 @@ object Valuation {
         min(when(col("cum") >=
           expr(s"($ConfNum * (n_cal + 1) + ${ConfDen - 1}) div $ConfDen"),
           col("r"))).as("q_hat_x1e3"))
+    // LEFT join: a source whose md5 calibration quarter is EMPTY must still
+    // appear in the audit (n_cal 0, q̂ NULL → the trivial cover-all
+    // interval), not silently vanish — the sources most exposed to drift
+    // blind spots are exactly the ones a reader must see (review finding
+    // r16)
     scored.filter(!col("cal")).select("source", "r")
-      .join(broadcast(qhat), Seq("source"))
+      .join(broadcast(qhat), Seq("source"), "left")
       .groupBy("source").agg(
-        max("n_cal").as("n_cal"),
+        coalesce(max("n_cal"), lit(0L)).as("n_cal"),
         max("q_hat_x1e3").as("q_hat_x1e3"),
         count(lit(1)).as("n_test"),
         sum(when(col("q_hat_x1e3").isNull || col("r") <= col("q_hat_x1e3"),
@@ -546,14 +573,14 @@ object Valuation {
       |        THEN r END) AS q_hat_x1e3
       |  FROM cw GROUP BY source
       |)
-      |SELECT r.source, CAST(MAX(qh.n_cal) AS BIGINT) AS n_cal,
+      |SELECT r.source, CAST(COALESCE(MAX(qh.n_cal), 0) AS BIGINT) AS n_cal,
       |  CAST(MAX(qh.q_hat_x1e3) AS BIGINT) AS q_hat_x1e3,
       |  COUNT(*) AS n_test,
       |  CAST(SUM(CASE WHEN qh.q_hat_x1e3 IS NULL OR r.r <= qh.q_hat_x1e3
       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
       |  CAST(SUM(CASE WHEN qh.q_hat_x1e3 IS NULL OR r.r <= qh.q_hat_x1e3
       |    THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT) AS coverage_ppm
-      |FROM r JOIN qh ON qh.source = r.source
+      |FROM r LEFT JOIN qh ON qh.source = r.source
       |WHERE NOT r.cal
       |GROUP BY r.source ORDER BY r.source""".stripMargin
 

@@ -701,6 +701,20 @@ class AnnSpec extends AnyFunSuite {
     I.withWriterLease(spark, path) { () }
     assert(java.nio.file.Files.readString(epochF.toPath).trim.toLong == 8L,
       "the tmp-only crash window must floor the next mint, never reset it")
+    // (c) the surviving .tmp is RE-INSTALLED by rename, never overwritten
+    // in place (review finding r16: overwriting the sole record reopened
+    // the double-crash regression) — so an ef-absent + GARBAGE-tmp state
+    // is corruption, and the mint must refuse it like a corrupt epoch
+    java.nio.file.Files.delete(epochF.toPath)
+    new java.io.File(epochF.getParent, s".${epochF.getName}.crc").delete()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(I.epochFile(path) + ".tmp"), "gar8age")
+    new java.io.File(epochF.getParent, s"._writer_epoch.tmp.crc").delete()
+    val ex2 = intercept[IllegalStateException] {
+      I.withWriterLease(spark, path) { () }
+    }
+    assert(ex2.getMessage.contains("unparseable"),
+      s"garbage sole-copy tmp must refuse, not mint from zero: ${ex2.getMessage}")
   }
 
   test("upsert: disk equals a whole-corpus re-encode of the patched vectors; barrier honored") {

@@ -118,6 +118,24 @@ class ValuationSpec extends AnyFunSuite {
       s"only same-cell candidates may carry values: ${twoCell.keySet}")
   }
 
+  test("q302/q307 recurrence: under-K candidate sets match enumeration (review r16)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // N < K makes the game ADDITIVE: every phi_i = ind_i/K exactly. The
+    // old last-rank term ind_N/N over-valued the tail K/N-fold here —
+    // reachable through q307's cell blocking with a sparse cell.
+    val pts = Seq(
+      (0L, 1L, Array(100L, 5L)),
+      (1L, 1L, Array(95L, 10L)),  // same label: phi = 1/5
+      (2L, 2L, Array(90L, 20L)))  // other label: phi = 0
+    val df = pts.toDF("vec_id", "label", "qv")
+      .withColumn("nrm", call_function("dot_i64", col("qv"), col("qv")))
+    val got = Valuation.knnShapley(df, panelMax = 1L, k = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got == Map(1L -> 200000L, 2L -> 0L),
+      s"N=2 < K=5 must value additively at ind/K: $got")
+  }
+
   test("q307 on fixture: train totality matches q302 row-for-row") {
     val exact = Valuation.q302(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
