@@ -162,6 +162,35 @@ class ValuationSpec extends AnyFunSuite {
       "W1(corpus, corpus) must be exactly 0")
   }
 
+  test("q303 metric laws: translation invariance, scale equivariance, symmetry of mass") {
+    import spark.implicits._
+    // W1 is a transport COST: shifting every value by a constant changes
+    // nothing (the coupling moves with the grid), and scaling the axis by
+    // c scales the cost by exactly c (Δx terms scale; counts don't).
+    // One planted two-source corpus, three transformed replays.
+    def w1(of: Seq[(String, Long)]): Map[String, Long] =
+      Valuation.wassersteinBySource(of.toDF("source", "v"))
+        .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    val base = Seq(("A", 3L), ("A", 9L), ("A", 9L), ("B", 12L), ("B", 30L),
+      ("B", 3L), ("A", 30L), ("B", 9L), ("B", 9L))
+    val w0 = w1(base)
+    assert(w1(base.map { case (s, v) => (s, v + 1000L) }) == w0,
+      "translation must not change the transport cost")
+    val w7 = w1(base.map { case (s, v) => (s, v * 7L) })
+    w0.foreach { case (s, x) =>
+      // floor(7Y) lands in [7*floor(Y), 7*floor(Y)+6] — the single final
+      // floor is the only source of slack in the fixed point
+      assert(w7(s) >= 7L * x && w7(s) <= 7L * x + 6L,
+        s"scaling the axis by 7 must scale W1 by 7 up to the final " +
+          s"floor: source $s got ${w7(s)} vs base $x")
+    }
+    // two sources that are value-wise mirror images of each other around
+    // the corpus mix sit at the SAME distance from it
+    val sym = Seq(("L", 0L), ("L", 0L), ("R", 10L), ("R", 10L))
+    val ws = w1(sym)
+    assert(ws("L") == ws("R"), s"mirror sources must be equidistant: $ws")
+  }
+
   test("q304 conformal rank formula is ceil(0.9*(n+1)); fixture coverage sane") {
     (1 to 200).foreach { n =>
       val k = (Valuation.ConfNum * (n + 1) + Valuation.ConfDen - 1) /
