@@ -116,6 +116,88 @@ object Evaluation {
       .orderBy("nation")
   }
 
+  /** q308 exact average precision (area under the precision–recall curve,
+    * the step-wise estimator sklearn calls `average_precision_score`) —
+    * the IMBALANCED-task companion to q140's ROC-AUC on the identical
+    * framing (does document length predict English, per source): ROC-AUC
+    * stays deceptively high when positives are rare because false-positive
+    * RATE hides absolute false-positive count; AP weights by precision,
+    * the number a quality-filter pipeline actually pays for (Davis &
+    * Goadrich, ICML 2006, "The relationship between PR and ROC curves").
+    * A random scorer's AP equals the prevalence — shipped as a reference
+    * column so every row carries its own baseline.
+    *
+    * Exact over DISTINCT score blocks, descending:
+    *
+    *   AP·10⁶ = ⌊ Σ_s np_s · ⌊cumTP_s·10⁶ / cumAll_s⌋ / n_pos ⌋
+    *
+    * — two declared floors (block precision, final mean); ties form one
+    * block, so all-tied scores yield AP = prevalence EXACTLY
+    * (spec-pinned), and perfect separation yields exactly 10⁶. The
+    * cumTP·10⁶ product rides decimal(38,0)/HUGEINT (the q290 rule —
+    * int64 wraps past ~9.2·10¹² rows per group).
+    *
+    * Scale shape: the q140 contract verbatim — one map-combined
+    * (group, score) aggregate collapses the corpus, per-group windows run
+    * over the bounded distinct-score domain, rollup is |groups|-sized.
+    * NULL AP for a positive-free group (the honest answer). */
+  def q308(spark: SparkSession, dir: String): DataFrame =
+    apByGroup(Tables.load(spark, dir, "documents")
+      .select(col("source").as("grp"), col("n_chars").as("score"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("pos")))
+      .withColumnRenamed("grp", "source")
+      .orderBy("source")
+
+  /** The reusable kernel: per-group exact step-wise AP over a labeled
+    * score frame (`grp`, `score`, `pos` ∈ {0,1}); see [[q308]] for the
+    * algebra. Perfect / reversed / all-tied cases asserted in
+    * EvaluationSpec. */
+  def apByGroup(labeled: DataFrame): DataFrame = {
+    val byScore = labeled
+      .groupBy("grp", "score")
+      .agg(sum("pos").as("np"), (count(lit(1)) - sum("pos")).as("nn"))
+    val cumDesc = Window.partitionBy("grp").orderBy(desc("score"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byScore
+      .withColumn("cum_tp", sum("np").over(cumDesc))
+      .withColumn("cum_all", sum(col("np") + col("nn")).over(cumDesc))
+      .withColumn("term", expr(
+        "np * (cast(cum_tp as decimal(38,0)) * 1000000 div cum_all)"))
+      .groupBy("grp")
+      .agg(sum("np").as("n_pos"), sum("nn").as("n_neg"),
+        sum("term").as("t"))
+      .withColumn("ap_ppm", expr("CASE WHEN n_pos > 0 THEN t div n_pos END"))
+      .withColumn("prevalence_ppm",
+        expr("n_pos * 1000000 div (n_pos + n_neg)"))
+      .select("grp", "n_pos", "n_neg", "ap_ppm", "prevalence_ppm")
+  }
+
+  val q308Sql: String =
+    """WITH g AS (
+      |  SELECT source, n_chars AS score,
+      |    SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS np,
+      |    SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS nn
+      |  FROM documents GROUP BY 1, 2
+      |), c AS (
+      |  SELECT source, np, nn,
+      |    SUM(np) OVER (PARTITION BY source ORDER BY score DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tp,
+      |    SUM(np + nn) OVER (PARTITION BY source ORDER BY score DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_all
+      |  FROM g
+      |), t AS (
+      |  SELECT source, np, nn,
+      |    np * (CAST(cum_tp AS HUGEINT) * 1000000 // cum_all) AS term
+      |  FROM c
+      |)
+      |SELECT source, CAST(SUM(np) AS BIGINT) AS n_pos,
+      |  CAST(SUM(nn) AS BIGINT) AS n_neg,
+      |  CAST(CASE WHEN SUM(np) > 0
+      |    THEN SUM(term) // SUM(np) END AS BIGINT) AS ap_ppm,
+      |  CAST(SUM(np) * 1000000 // (SUM(np) + SUM(nn)) AS BIGINT)
+      |    AS prevalence_ppm
+      |FROM t GROUP BY source ORDER BY source""".stripMargin
+
   val q141Sql: String =
     """WITH per AS (
       |  SELECT l_suppkey,
@@ -1270,6 +1352,7 @@ object Evaluation {
 
   val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
     Seq(("q140_auc_ranksum", q140 _, Some(q140Sql)),
+      ("q308_average_precision", q308 _, Some(q308Sql)),
       ("q238_bootstrap_ci", q238 _, Some(q238Sql)),
       ("q235_knn_label_noise", q235 _, Some(q235Sql)),
       ("q240_label_noise_lsh", q240 _, Some(q240Sql)),

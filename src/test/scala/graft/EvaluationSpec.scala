@@ -249,6 +249,39 @@ class EvaluationSpec extends AnyFunSuite {
     assert(auc(Seq((3L, 1L), (5L, 1L))) == ((2L, 0L, 0L, None)))
   }
 
+  private def ap(rows: Seq[(Long, Long)]): (Long, Long, Option[Long], Long) = {
+    import spark.implicits._
+    val df = rows.map { case (s, p) => ("g", s, p) }.toDF("grp", "score", "pos")
+    val r = Evaluation.apByGroup(df).collect().head
+    (r.getLong(1), r.getLong(2),
+      if (r.isNullAt(3)) None else Some(r.getLong(3)), r.getLong(4))
+  }
+
+  test("AP kernel: perfect 1e6, all-tied == prevalence exactly, single-class NULL") {
+    // perfect separation: every positive block has cum_tp == cum_all
+    assert(ap(Seq((10L, 1L), (11L, 1L), (1L, 0L), (2L, 0L)))
+      == ((2L, 2L, Some(1000000L), 500000L)))
+    // one tie block: AP = n_pos * (n_pos*1e6 // N) / n_pos = prevalence
+    assert(ap(Seq((5L, 1L), (5L, 1L), (5L, 0L), (5L, 0L), (5L, 0L)))
+      == ((2L, 3L, Some(400000L), 400000L)))
+    assert(ap(Seq((3L, 1L), (5L, 1L))) == ((2L, 0L, Some(1000000L), 1000000L)))
+    assert(ap(Seq((3L, 0L), (5L, 0L))) == ((0L, 2L, None, 0L)))
+  }
+
+  test("AP kernel: hand-computed interleaved case; reversed beats zero (unlike ROC)") {
+    // desc blocks: 5(pos) -> P=1e6 term 1e6; 4(neg); 3(pos) -> cum 2/3
+    //   -> ⌊2e6/3⌋ = 666666; AP = (1000000+666666)/2 = 833333
+    assert(ap(Seq((5L, 1L), (4L, 0L), (3L, 1L)))
+      == ((2L, 1L, Some(833333L), 666666L)))
+    // positives ranked LAST: AP = precision of the final blocks, not 0 —
+    // the PR curve's floor is prevalence-shaped, which is exactly why AP
+    // separates rare-positive models that ROC-AUC scores identically
+    // desc: 11(neg) cum 0/1; 10(neg) 0/2; 2(pos) 1/3 -> 333333;
+    //   1(pos) 2/4 -> 500000; AP = (333333+500000)/2 = 416666
+    assert(ap(Seq((1L, 1L), (2L, 1L), (10L, 0L), (11L, 0L)))
+      == ((2L, 2L, Some(416666L), 500000L)))
+  }
+
   private def ks(a: Seq[Long], b: Seq[Long]): (Long, Long, Long, Long) = {
     import spark.implicits._
     val df = (a.map((_, 1L)) ++ b.map((_, 0L))).toDF("v", "in1")
