@@ -46,10 +46,16 @@ object Evaluation {
     * frame (`grp`, `score`, `pos` ∈ {0,1}). Semantics (perfect / reversed /
     * all-tied separation, hand-computed tie cases) asserted in
     * EvaluationSpec. */
-  def aucByGroup(labeled: DataFrame): DataFrame = {
-    val byScore = labeled
+  def aucByGroup(labeled: DataFrame): DataFrame =
+    aucFromCells(labeled
       .groupBy("grp", "score")
-      .agg(sum("pos").as("np"), (count(lit(1)) - sum("pos")).as("nn"))
+      .agg(sum("pos").as("np"), (count(lit(1)) - sum("pos")).as("nn")))
+
+  /** [[aucByGroup]] from a pre-aggregated (grp, score, np, nn) CELL frame
+    * — the score histogram is the mergeable object the streaming leg
+    * persists ([[scoreCellStream]]), so batch and merge-on-read provably
+    * share one algebra. */
+  def aucFromCells(byScore: DataFrame): DataFrame = {
     val below = Window.partitionBy("grp").orderBy("score")
       .rowsBetween(Window.unboundedPreceding, -1)
     byScore
@@ -152,10 +158,14 @@ object Evaluation {
     * score frame (`grp`, `score`, `pos` ∈ {0,1}); see [[q308]] for the
     * algebra. Perfect / reversed / all-tied cases asserted in
     * EvaluationSpec. */
-  def apByGroup(labeled: DataFrame): DataFrame = {
-    val byScore = labeled
+  def apByGroup(labeled: DataFrame): DataFrame =
+    apFromCells(labeled
       .groupBy("grp", "score")
-      .agg(sum("pos").as("np"), (count(lit(1)) - sum("pos")).as("nn"))
+      .agg(sum("pos").as("np"), (count(lit(1)) - sum("pos")).as("nn")))
+
+  /** [[apByGroup]] from a pre-aggregated (grp, score, np, nn) CELL frame —
+    * the [[scoreCellStream]] merge-on-read entry. */
+  def apFromCells(byScore: DataFrame): DataFrame = {
     val cumDesc = Window.partitionBy("grp").orderBy(desc("score"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     byScore
@@ -171,6 +181,43 @@ object Evaluation {
         expr("n_pos * 1000000 div (n_pos + n_neg)"))
       .select("grp", "n_pos", "n_neg", "ap_ppm", "prevalence_ppm")
   }
+
+  /** STREAMING leg of the q140/q308 classifier-metric pair (the q299/q303
+    * LSM discipline on the score axis): the stream appends per-batch
+    * (grp, score, np, nn) COUNT cells — the score histogram is the
+    * mergeable object (order-free sums, replay-idempotent by batch-dir
+    * overwrite) — and BOTH ranking metrics assemble merge-on-read from
+    * the merged cells ([[aucReadMerged]] / [[apReadMerged]]), because
+    * each is a pure function of the per-score positive/negative counts.
+    * The streaming-model-monitoring shape: scores land continuously,
+    * AUC/AP are read on demand, nothing rescans the scored corpus. */
+  def scoreCellStream(spark: SparkSession, scored: DataFrame,
+      outDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    scored.select(col("grp"), col("score"), col("pos"))
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        batch.toDF().groupBy("grp", "score")
+          .agg(sum("pos").as("np"),
+            (count(lit(1)) - sum("pos")).as("nn"))
+          .write.mode("overwrite").parquet(s"$outDir/batch-$id")
+      }
+      .start()
+
+  private def mergedCells(spark: SparkSession, dirs: Seq[String]): DataFrame =
+    dirs.map(d => spark.read.parquet(d)).reduce(_ unionByName _)
+      .groupBy("grp", "score")
+      .agg(sum("np").as("np"), sum("nn").as("nn"))
+
+  /** Assemble q140's exact AUC from persisted score cells (glob paths
+    * welcome); cells for the same (grp, score) across batches SUM. */
+  def aucReadMerged(spark: SparkSession, dirs: Seq[String]): DataFrame =
+    aucFromCells(mergedCells(spark, dirs))
+
+  /** Assemble q308's exact AP from persisted score cells. */
+  def apReadMerged(spark: SparkSession, dirs: Seq[String]): DataFrame =
+    apFromCells(mergedCells(spark, dirs))
 
   val q308Sql: String =
     """WITH g AS (

@@ -934,6 +934,57 @@ class StreamingSpec extends AnyFunSuite {
     assert(merged() == want, "replayed count digest must be a no-op")
   }
 
+  test("streaming eval metrics: merged score cells == batch q140 AUC and q308 AP; replay idempotent") {
+    // the streaming-model-monitoring leg: per-batch (grp, score, np, nn)
+    // count cells sum on read, and BOTH ranking metrics (ROC-AUC and AP)
+    // assemble merge-on-read from the same merged histogram — one
+    // persisted object serves the whole classifier-metric pair
+    import org.apache.spark.sql.types._
+    import graft.queries.Evaluation
+    val wantAuc = Evaluation.q140(spark, sf).collect().map(_.toSeq).toSeq
+    val wantAp = Evaluation.q308(spark, sf).collect().map(_.toSeq).toSeq
+    val scored = Tables.parallelized(Tables.load(spark, sf, "documents"))
+      .select(col("doc_id"), col("source").as("grp"),
+        col("n_chars").as("score"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+    val landing = java.nio.file.Files.createTempDirectory("ev_landing").toString
+    (0 until 3).foreach { g =>
+      scored.filter(col("doc_id") % 3 === g).coalesce(1)
+        .write.mode("overwrite").parquet(s"$landing/g$g")
+      new java.io.File(s"$landing/g$g").listFiles()
+        .foreach(f => f.setLastModified(1000000L * (g + 1)))
+    }
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("grp", StringType), StructField("score", LongType),
+      StructField("pos", LongType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$landing/g*")
+    val out = java.nio.file.Files.createTempDirectory("ev_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ev_ckpt").toString
+    val q = Evaluation.scoreCellStream(spark, stream, out, ckpt)
+    try q.processAllAvailable() finally q.stop()
+    def gotAuc(): Seq[Seq[Any]] = Evaluation.aucReadMerged(spark,
+        Seq(s"$out/batch-*"))
+      .withColumnRenamed("grp", "source").orderBy("source")
+      .collect().map(_.toSeq).toSeq
+    def gotAp(): Seq[Seq[Any]] = Evaluation.apReadMerged(spark,
+        Seq(s"$out/batch-*"))
+      .withColumnRenamed("grp", "source").orderBy("source")
+      .collect().map(_.toSeq).toSeq
+    assert(gotAuc() == wantAuc,
+      "merge-on-read AUC diverges from the batch q140")
+    assert(gotAp() == wantAp,
+      "merge-on-read AP diverges from the batch q308")
+    // at-least-once replay: re-digesting a committed batch overwrites its
+    // own directory — both metrics unchanged
+    scored.filter(col("doc_id") % 3 === 0)
+      .groupBy("grp", "score")
+      .agg(sum("pos").as("np"), (count(lit(1)) - sum("pos")).as("nn"))
+      .write.mode("overwrite").parquet(s"$out/batch-0")
+    assert(gotAuc() == wantAuc && gotAp() == wantAp,
+      "replayed score-cell digest must be a no-op")
+  }
+
   test("streaming W1 drift: merged length-histogram cells == batch q303; replay idempotent") {
     // the operational leg of q303: per-batch (source, n_chars) count cells
     // sum on read; BOTH sides of the distance (source CDF and corpus CDF)
