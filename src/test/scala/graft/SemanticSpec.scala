@@ -314,4 +314,32 @@ class SemanticSpec extends AnyFunSuite {
       assert(r.getLong(5) == math.abs(r.getLong(3) - r.getLong(4)))
     }
   }
+
+  test("semdedup_closure kernel: hand-computed closure on the SQL surface; null pairs") {
+    // the native replacement for q257's former udf (r16): 5 members where
+    // pairs {(1,2),(2,3)} close transitively into {1,2,3} (keep = lowest
+    // cscore -> 3, ties impossible here) and {4,5} stays two singletons
+    // when the pair list is NULL. Exercised through spark.sql so the
+    // extension registration AND the expression (not just the q257 plan)
+    // are pinned; the interpreted eval path is checked via the same call
+    // under codegen fallback.
+    val sqlQ =
+      """SELECT r._1 AS groups, r._2 AS dropped, r._3 AS kept FROM (
+        |  SELECT semdedup_closure(
+        |    array(struct(1L, 90L), struct(2L, 50L), struct(3L, 10L),
+        |          struct(4L, 5L), struct(5L, 7L)),
+        |    array(struct(1L, 2L), struct(2L, 3L))) AS r)""".stripMargin
+    val got = spark.sql(sqlQ).collect().head
+    // group {1,2,3}: keep 3 (cscore 10 < 50 < 90), dropped 2; singletons
+    // 4 and 5 keep themselves -> kept sum = 3 + 4 + 5
+    assert((got.getLong(0), got.getLong(1), got.getLong(2)) == ((1L, 2L, 12L)))
+    val nullEs = spark.sql(
+      """SELECT r._1, r._2, r._3 FROM (SELECT semdedup_closure(
+        |  array(struct(4L, 5L), struct(5L, 7L)),
+        |  CAST(NULL AS ARRAY<STRUCT<a: BIGINT, b: BIGINT>>)) AS r)""".stripMargin)
+      .collect().head
+    assert((nullEs.getLong(0), nullEs.getLong(1), nullEs.getLong(2))
+      == ((0L, 0L, 9L)),
+      "a null pair array is a block with no edges: all singletons")
+  }
 }
