@@ -133,7 +133,7 @@ object Dedup {
     cand
       .join(shingles.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(shingles.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast(LongType))
+      .withColumn("inter", call_function("intersect_count_i64", col("sh_a"), col("sh_b")))
       .withColumn("uni",
         size(col("sh_a")).cast(LongType) + size(col("sh_b")).cast(LongType) - col("inter"))
       .withColumn("jaccard_x1e6", floor(lit(1000000.0) * col("inter") / col("uni")))
@@ -513,27 +513,40 @@ object Dedup {
     * recall at candidate-mass cost ∝ Σ_rare C(df,2); the fixture measures
     * 1.0, and the planted stock-phrase spec shows the declared miss).
     * Verification is exact, and ARRAY-based (the lshJaccardPairs shape):
-    * candidate pairs join the per-doc distinct-shingle ARRAYS (computed
-    * only for candidate docs via a semi-join) and a codegen'd
-    * array_intersect scores each pair — cost ∝ candidate pairs. The
-    * first cut verified by row intersection instead (cand ⋈ shingle-rows
-    * ⋈ shingle-rows), whose join volume is Σ_pairs |sh(doc_a)| — probed
-    * at 72.6M rows for 1.13M candidates on the base fixture, 9–10 s of
-    * pure shuffle that the array verify does not pay. Every hash is the
-    * portable md5-60-bit shingle (T.portableShingleHashes), so the
-    * DuckDB oracle replays discovery AND verification bit-for-bit.
+    * candidate pairs join the per-doc distinct-shingle ARRAYS and a
+    * codegen'd array_intersect scores each pair — cost ∝ candidate
+    * pairs. The first cut verified by row intersection instead (cand ⋈
+    * shingle-rows ⋈ shingle-rows), whose join volume is Σ_pairs
+    * |sh(doc_a)| — probed at 72.6M rows for 1.13M candidates on the base
+    * fixture, 9–10 s of pure shuffle that the array verify does not pay.
+    * Every hash is the portable md5-60-bit shingle
+    * (T.portableShingleHashes), so the DuckDB oracle replays discovery
+    * AND verification bit-for-bit.
     *
-    * Scale shape: one exploded shingle frame (NOT barriered — its two
-    * consumers, the df census and the anchor semi-join, hash-shuffle on
-    * the same key, so ReuseExchange computes it once) → df-capped bucket
-    * self-join → candidate-only array verify → TakeOrderedAndProject. */
+    * Scale shape: one scratch-materialized per-doc shingle-array frame
+    * (hashed ONCE — see the body comment) → exploded census + df-capped
+    * bucket self-join → candidate array verify reading the same blocks →
+    * TakeOrderedAndProject. */
   def containmentPairs(docs0: DataFrame, shingleLen: Int = 3,
       dfCap: Int = 64, minContainPpm: Long = 700000L,
       k: Int = 20): DataFrame = {
     val docs = graft.Tables.parallelized(docs0)
-    val sh = docs.select(col("doc_id"),
-      explode(array_distinct(
-        T.portableShingleHashes(col("text"), shingleLen))).as("h"))
+    // Shingle-hash each doc EXACTLY ONCE (r16 optimization): the md5-per-
+    // shingle portable hash is the pipeline's dominant CPU (measured at
+    // sf0.1: ~8.5 s task-time for the discovery pass + ~13.7 s for the
+    // candidate re-hash), and the old shape paid it twice — once exploded
+    // for the df census/anchors, once re-deriving candidate docs' arrays
+    // for the verify join. Materializing the per-doc distinct-shingle
+    // ARRAY frame first makes the census/anchor explode AND both verify
+    // sides read the same computed blocks; the candidate semi-join that
+    // existed only to bound the second hashing pass disappears (the
+    // verify join against `cand` restricts rows by itself). Block cost is
+    // the same order as the exploded shingle stream the discovery pass
+    // already shuffles — O(corpus tokens), memory-and-disk.
+    val sets = graft.operators.Checkpoints.scratch(docs.select(col("doc_id"),
+      array_distinct(T.portableShingleHashes(col("text"), shingleLen))
+        .as("hs")))
+    val sh = sets.select(col("doc_id"), explode(col("hs")).as("h"))
     val rare = sh.groupBy("h").agg(count(lit(1)).as("df"))
       .filter(col("df").between(2, dfCap)).select("h")
     val anch = sh.join(rare, Seq("h"), "left_semi")
@@ -541,15 +554,10 @@ object Dedup {
       .join(anch.select(col("h"), col("doc_id").as("doc_b")), Seq("h"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
-    val candDocs = cand.select(col("doc_a").as("doc_id"))
-      .union(cand.select(col("doc_b").as("doc_id"))).distinct()
-    val sets = docs.join(candDocs, Seq("doc_id"), "left_semi")
-      .select(col("doc_id"), array_distinct(
-        T.portableShingleHashes(col("text"), shingleLen)).as("hs"))
     cand
       .join(sets.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), "doc_b")
-      .withColumn("inter", size(array_intersect(col("hs_a"), col("hs_b"))).cast(LongType))
+      .withColumn("inter", call_function("intersect_count_i64", col("hs_a"), col("hs_b")))
       .withColumn("na", size(col("hs_a")).cast(LongType))
       .withColumn("nb", size(col("hs_b")).cast(LongType))
       .withColumn("containment_ppm",
@@ -587,7 +595,7 @@ object Dedup {
     val truth = p.join(sets.select(col("doc_id").as("id_o"),
         col("hs").as("hs_o")), col("id_o") =!= col("id_p"))
       .withColumn("inter",
-        size(array_intersect(col("hs_p"), col("hs_o"))).cast(LongType))
+        call_function("intersect_count_i64", col("hs_p"), col("hs_o")))
       .withColumn("np", size(col("hs_p")).cast(LongType))
       .withColumn("no", size(col("hs_o")).cast(LongType))
       .withColumn("cppm", expr("1000000 * inter div least(np, no)"))

@@ -114,7 +114,7 @@ object PortableSigStore {
     val verified = cand
       .join(batchSigs.select(col("doc_id").as("new_id"), col("hs")), "new_id")
       .join(baseSh, "base_id")
-      .withColumn("i", size(array_intersect(col("hs"), col("hs_e"))).cast(LongType))
+      .withColumn("i", call_function("intersect_count_i64", col("hs"), col("hs_e")))
       .withColumn("u",
         size(col("hs")).cast(LongType) + size(col("hs_e")).cast(LongType) - col("i"))
       .withColumn("jac", floor(lit(1000000.0) * col("i") / col("u")))

@@ -42,6 +42,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
 
     ext.injectFunction((
+      FunctionIdentifier("intersect_count_i64"),
+      new ExpressionInfo(classOf[IntersectCountLong].getName,
+        "intersect_count_i64"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "intersect_count_i64(arrayA, arrayB)")
+        IntersectCountLong(children.head, children(1))
+      }))
+
+    ext.injectFunction((
       FunctionIdentifier("portable_hyperplane_sig"),
       new ExpressionInfo(classOf[PortableHyperplaneSig].getName,
         "portable_hyperplane_sig"),

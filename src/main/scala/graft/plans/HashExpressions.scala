@@ -405,6 +405,100 @@ object DotProductLong {
   }
 }
 
+/** `size(array_intersect(a, b))` as one primitive-long expression — the
+  * verification kernel of the containment/Jaccard/triangle families on
+  * their hot paths (r16 optimization). The built-in ArrayIntersect builds
+  * a boxed `OpenHashSet[Any]`, allocates the intersection ARRAY, and then
+  * `size` throws it away; at sf0.1 the q252 verify stage spent ~8 s of
+  * task time mostly in that box-allocate-discard loop. This expression
+  * builds one primitive open-addressing long table over the right array
+  * and counts DISTINCT left elements that probe into it — zero boxing,
+  * zero result allocation, and bit-identical to the composed form for
+  * every input (duplicates collapse on insert, a counted slot counts
+  * once, a null element matches a null element once — the exact
+  * ArrayIntersect contract; parity is property-pinned in DedupSpec). */
+case class IntersectCountLong(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "intersect_count_i64"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two array<bigint> arguments, got " +
+          s"${l.simpleString(10)} and ${r.simpleString(10)}")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    IntersectCountLong.compute(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.plans.IntersectCountLong.compute($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object IntersectCountLong {
+  /** Open-addressing table (linear probing) sized to the next power of two
+    * ≥ 2·|right|; 0 and null ride dedicated flags so the table can use 0
+    * as its empty marker. A `counted` bitmap makes a duplicated left
+    * element count once — the array_intersect "distinct elements of the
+    * left present in the right" contract. The table is thrown away per row
+    * (arrays here are shingle/neighbor sets — tens to a few thousand
+    * elements — so a fresh long[] beats any pooling complexity). */
+  def compute(a: ArrayData, b: ArrayData): Long = {
+    val n = b.numElements()
+    var cap = 4
+    while (cap < n * 2) cap <<= 1
+    val mask = cap - 1
+    val table = new Array[Long](cap)
+    var hasZero = false
+    var hasNull = false
+    var i = 0
+    while (i < n) {
+      if (b.isNullAt(i)) hasNull = true
+      else {
+        val v = b.getLong(i)
+        if (v == 0L) hasZero = true
+        else {
+          var idx = (scala.util.hashing.byteswap64(v) & mask).toInt
+          while (table(idx) != 0L && table(idx) != v)
+            idx = (idx + 1) & mask
+          table(idx) = v
+        }
+      }
+      i += 1
+    }
+    val counted = new Array[Boolean](cap)
+    var acc = 0L
+    val m = a.numElements()
+    var j = 0
+    while (j < m) {
+      if (a.isNullAt(j)) { if (hasNull) { acc += 1L; hasNull = false } }
+      else {
+        val v = a.getLong(j)
+        if (v == 0L) { if (hasZero) { acc += 1L; hasZero = false } }
+        else {
+          var idx = (scala.util.hashing.byteswap64(v) & mask).toInt
+          while (table(idx) != 0L && table(idx) != v)
+            idx = (idx + 1) & mask
+          if (table(idx) == v && !counted(idx)) { acc += 1L; counted(idx) = true }
+        }
+      }
+      j += 1
+    }
+    acc
+  }
+}
+
 /** Engine-portable md5-60-bit shingle hashes (duplicates kept, document
   * order) — the native twin of
   * `transform(wordShingles(text, n), conv(substring(md5(s),1,15),16,10))`

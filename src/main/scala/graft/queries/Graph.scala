@@ -368,7 +368,7 @@ object Graph {
     val nTri = oriented
       .join(adj.select(col("src"), col("nbrs").as("nu")), Seq("src"))
       .join(adj.select(col("src").as("dst"), col("nbrs").as("nv")), Seq("dst"))
-      .select(size(array_intersect(col("nu"), col("nv"))).cast(LongType).as("c"))
+      .select(call_function("intersect_count_i64", col("nu"), col("nv")).as("c"))
       .agg(coalesce(sum("c"), lit(0L)).as("n_triangles"))
     val nV = deg.agg(count(lit(1)).as("n_vertices"))
     val nE = edges.agg(count(lit(1)).as("n_edges"))
@@ -797,17 +797,26 @@ object Graph {
     var retired: Seq[DataFrame] = Nil
     for (_ <- 1 to rounds) {
       // every node has >= 1 incident edge by construction (nodes derive
-      // from edges), so the vote aggregate covers all nodes — no left join
-      val scores = Checkpoints.scratch(
+      // from edges), so the vote aggregate covers all nodes — no left join.
+      // The round checkpoints the <=|V| LABEL frame, with the argmax fused
+      // into the same lineage, not the <=2|E| vote frame (r16 optimization;
+      // measured at sf0.1: the vote-frame checkpoint wrote ~9.5 MB/round
+      // and left the argmax LAZY on top, so every consumer of `lbl` — the
+      // next round's broadcast build, and q305's THREE modularity joins —
+      // re-ran the argmax aggregate from the vote blocks. Checkpointing
+      // past the argmax writes ~0.9 MB/round, runs the argmax exactly
+      // once, and hands consumers a materialized |V|-row frame).
+      val next = Checkpoints.scratch(
         e.join(broadcast(lbl.select(col("node").as("nbr"), col("lbl"))),
             Seq("nbr"))
-          .groupBy("node", "lbl").agg(sum(col("wt")).as("w")))
+          .groupBy("node", "lbl").agg(sum(col("wt")).as("w"))
+          .groupBy("node")
+          .agg(min(struct((-col("w")).as("nw"), col("lbl").as("l"))).as("b"))
+          .select(col("node"), col("b.l").as("lbl")))
       retired.foreach(f =>
         Checkpoints.rddOf(f).foreach(_.unpersist(blocking = false)))
-      retired = Seq(scores)
-      lbl = scores.groupBy("node")
-        .agg(min(struct((-col("w")).as("nw"), col("lbl").as("l"))).as("b"))
-        .select(col("node"), col("b.l").as("lbl"))
+      retired = Seq(next)
+      lbl = next
     }
     lbl
   }

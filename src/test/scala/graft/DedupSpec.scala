@@ -11,6 +11,27 @@ class DedupSpec extends AnyFunSuite {
   private def docs(rows: (Long, String)*) =
     rows.toDF("doc_id", "text")
 
+  test("intersect_count_i64 == size(array_intersect) on every input shape " +
+      "(duplicates, nulls, zeros, empties) — the r16 hot-path swap is exact") {
+    val rnd = new scala.util.Random(20260819L)
+    def arr(): Seq[java.lang.Long] = Seq.fill(rnd.nextInt(12))(
+      rnd.nextInt(10) match {
+        case 0 => null
+        case 1 => java.lang.Long.valueOf(0L)
+        case _ => java.lang.Long.valueOf(rnd.nextInt(8).toLong)
+      })
+    val rows = Seq.fill(500)((arr(), arr())) ++ Seq(
+      (Seq.empty[java.lang.Long], Seq.empty[java.lang.Long]),
+      (Seq[java.lang.Long](null, null, 0L, 0L, 5L, 5L),
+        Seq[java.lang.Long](null, 0L, 5L, 5L, 7L)))
+    val df = rows.toDF("a", "b")
+      .select(col("a"), col("b"),
+        call_function("intersect_count_i64", col("a"), col("b")).as("fast"),
+        size(array_intersect(col("a"), col("b"))).cast("long").as("ref"))
+    val bad = df.filter(col("fast") =!= col("ref")).collect()
+    assert(bad.isEmpty, bad.take(5).mkString("\n"))
+  }
+
   test("q278 winnowing guarantee: a 7-token shared passage is detected") {
     // t = w + k − 1 = 7: ANY verbatim overlap of ≥ 7 tokens must yield at
     // least one shared selected fingerprint (Schleimer 2003, Theorem 1)
