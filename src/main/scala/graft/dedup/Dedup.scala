@@ -543,9 +543,19 @@ object Dedup {
     // verify join against `cand` restricts rows by itself). Block cost is
     // the same order as the exploded shingle stream the discovery pass
     // already shuffles — O(corpus tokens), memory-and-disk.
+    // hash(doc_id) layout with the partition count PINNED to the session's
+    // shuffle parallelism: the checkpoint is then join-ready for BOTH
+    // verify joins (no sets exchange at all), and pinning the count keeps
+    // AQE from coalescing the verify join below real parallelism — its
+    // stage carries a few MB of candidate rows but per-row
+    // intersect-count CPU (measured 1.10 s wall on 9 AQE-coalesced tasks
+    // vs ~0.3 s at full width; guide §2.5 — partition for the CPU, not
+    // the bytes, when the bytes lie).
+    val nPart = docs.sparkSession.sessionState.conf.numShufflePartitions
     val sets = graft.operators.Checkpoints.scratch(docs.select(col("doc_id"),
       array_distinct(T.portableShingleHashes(col("text"), shingleLen))
-        .as("hs")))
+        .as("hs"))
+      .repartition(nPart, col("doc_id")))
     val sh = sets.select(col("doc_id"), explode(col("hs")).as("h"))
     val rare = sh.groupBy("h").agg(count(lit(1)).as("df"))
       .filter(col("df").between(2, dfCap)).select("h")
@@ -554,6 +564,12 @@ object Dedup {
       .join(anch.select(col("h"), col("doc_id").as("doc_b")), Seq("h"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
+      // pinned-width exchange feeding the verify joins: when AQE
+      // broadcasts the (small) sets frame, the candidate exchange is the
+      // verify stage's ONLY shuffle, and byte-based coalescing ran the
+      // intersect-count work on 9 of 32 cores (0.53 s wall vs ~0.35 at
+      // full width). doc_a-keyed so the first verify join reuses it.
+      .repartition(nPart, col("doc_a"))
     cand
       .join(sets.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), "doc_b")

@@ -848,6 +848,15 @@ object Corpus {
           .as(Seq("p0", "h")))
       .select(col("doc_id"), (col("p0") + 1).cast(LongType).as("pos"),
         col("h"))
+      // pre-shuffle on the window key with the partition count PINNED to
+      // the session's shuffle parallelism: the gram frame is only a few
+      // MB of (doc_id, pos, h) rows, so AQE's byte-based coalescing ran
+      // the selection window SINGLE-TASK (r16 measurement: 0.86 s of a
+      // 1.3 s query in one task); the window reuses this exchange, and
+      // the pinned count keeps the CPU-dense lag/lead selection at full
+      // width (guide §2.5).
+      .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions,
+        col("doc_id"))
     val w = Window.partitionBy("doc_id").orderBy("pos")
     def lg(i: Int) = coalesce(lag("h", i).over(w), lit(Long.MaxValue))
     def ld(i: Int) = coalesce(lead("h", i).over(w), lit(Long.MaxValue))

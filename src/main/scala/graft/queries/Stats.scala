@@ -353,7 +353,12 @@ object Stats {
     * all columns come from ONE aggregate over ONE scan (then a 3-row
     * unpivot), not a scan per column. */
   def q102(spark: SparkSession, dir: String): DataFrame = {
-    val o = Tables.load(spark, dir, "orders")
+    // parallelized: three countDistinct columns in one aggregate plan an
+    // Expand (×4 rows per input), and on a single-row-group fixture file
+    // the scan+expand+partial phase otherwise runs in ONE task (r16
+    // measurement: 1.27 s of a 1.9 s query in a single serial task; a
+    // multi-file 100 TB table parallelizes the same plan for free).
+    val o = Tables.parallelized(Tables.load(spark, dir, "orders"))
       .withColumn("cents", cents(col("o_totalprice")))
     def prof(c: String) = Seq(
       count(col(c)).as(s"${c}_nn"),
