@@ -62,6 +62,38 @@ private[graft] object Checkpoints {
     out
   }
 
+  /** [[scratch]] plus a row count matching `pred`, read from the SAME
+    * materialization job via `Dataset.observe` (CollectMetricsExec — a
+    * codegen-neutral accumulator node): the iterative kernels' per-round
+    * convergence probe (`next.filter(pred).count()`) was a whole extra
+    * Spark job per round reading the just-written checkpoint blocks (r16
+    * measurement: one such job per BFS/CC round at 0.02–0.07 s each, ~10%
+    * of a fixed-point query at sf0.1). Counting inside the checkpoint's
+    * own execution makes the probe free. Falls back to the counting job
+    * if the metric is unavailable (defensive — observe is populated by
+    * any full execution of the plan, which eager localCheckpoint is). */
+  def scratchCount(df: DataFrame, pred: org.apache.spark.sql.Column)
+      : (DataFrame, Long) = {
+    val (out, row) = scratchAgg(df,
+      Seq(coalesce(sum(when(pred, 1L)), lit(0L)).cast("long").as("n")))
+    row match {
+      case Some(r) => (out, r.getAs[Long]("n"))
+      case None => (out, out.filter(pred).count())
+    }
+  }
+
+  /** General form of [[scratchCount]]: materialize `df` and return the
+    * given aggregates computed by the SAME job via `Dataset.observe`
+    * (None if the metric did not surface — callers fall back to an
+    * explicit aggregate over the returned checkpointed frame). */
+  def scratchAgg(df: DataFrame, aggs: Seq[org.apache.spark.sql.Column])
+      : (DataFrame, Option[org.apache.spark.sql.Row]) = {
+    val name = "conv_" + java.util.UUID.randomUUID.toString.take(8)
+    val observed = df.observe(name, aggs.head, aggs.tail: _*)
+    val out = scratch(observed)
+    (out, observed.queryExecution.observedMetrics.get(name))
+  }
+
   /** Ids of every checkpoint RDD minted by [[scratch]] and not yet swept.
     * Ids are cheap ints, so a freed-by-its-loop id lingering here until the
     * next sweep is harmless; the set is drained on every sweep. */
@@ -164,12 +196,16 @@ object ConnectedComponents {
         // lineage forward would double the logical plan every round —
         // checkpointing keeps the per-round plan constant-size.
         val jmap = stepped.select(col("id").as("jid"), col("comp").as("jump"))
-        val next = Checkpoints.scratch(
+        // the changed-count rides the checkpoint job itself (observe
+        // accumulator) instead of a per-round counting job over the
+        // just-written blocks
+        val (next, nChanged) = Checkpoints.scratchCount(
           stepped.join(jmap, col("comp") === col("jid"), "left")
             .select(col("id"),
               least(col("comp"), coalesce(col("jump"), col("comp"))).as("comp"),
-              (col("chg") || coalesce(col("jump"), col("comp")) < col("comp")).as("chg")))
-        changed = next.filter(col("chg")).count() // cheap: runs on checkpointed blocks
+              (col("chg") || coalesce(col("jump"), col("comp")) < col("comp")).as("chg")),
+          col("chg"))
+        changed = nChanged
         stepped.unpersist(blocking = false)
         // `next` is materialized (eager checkpoint), so the PREVIOUS round's
         // snapshot can never be read again — free its blocks now instead of

@@ -474,21 +474,23 @@ object Graph {
       val hop = sym.join(frontier, "u")
         .select(col("v").as("node")).distinct()
         .withColumn("nd", lit(r.toLong))
-      val next = graft.operators.Checkpoints.scratch(
+      // early exit at the fixed point: once a round settles NOBODY, every
+      // later round is the identity (its frontier is empty), so stopping
+      // returns bit-identical results to running the full budget — the
+      // rounds the oracle unrolls past the diameter are no-op CTEs. The
+      // settled-this-round count rides the checkpoint job itself
+      // (observe accumulator, Checkpoints.scratchCount) instead of a
+      // per-round probe job over the just-written snapshot.
+      val (next, nSettled) = graft.operators.Checkpoints.scratchCount(
         dist.join(hop, Seq("node"), "left")
-          .select(col("node"), coalesce(col("dist"), col("nd")).as("dist")))
+          .select(col("node"), coalesce(col("dist"), col("nd")).as("dist")),
+        col("dist") === lit(r.toLong))
       // `next` is materialized, so the previous snapshot is unreachable —
       // free it now rather than after an eventual GC+ContextCleaner cycle
       retired.foreach(_.unpersist(blocking = false))
       retired = graft.operators.Checkpoints.rddOf(next)
       dist = next
-      // early exit at the fixed point: once a round settles NOBODY, every
-      // later round is the identity (its frontier is empty), so stopping
-      // returns bit-identical results to running the full budget — the
-      // rounds the oracle unrolls past the diameter are no-op CTEs. The
-      // count is a narrow scan of the just-checkpointed snapshot, and it
-      // saves (budget − diameter) full join/materialize rounds.
-      settling = next.filter(col("dist") === lit(r.toLong)).limit(1).count() > 0
+      settling = nSettled > 0
       r += 1
     }
     sym.unpersist(blocking = false)
@@ -1029,28 +1031,41 @@ object Graph {
       rounds: Int): DataFrame = {
     import spark.implicits._
     val eDir = Checkpoints.scratch(rawEdges.select("src", "dst"))
-    var und = Checkpoints.scratch(
+    // row counts ride the checkpoint jobs (observe accumulators) instead
+    // of separate counting jobs over the just-written blocks
+    val (und0, nUnd) = Checkpoints.scratchCount(
       eDir.select(col("src").as("node"), col("dst").as("nbr"))
         .union(eDir.select(col("dst").as("node"), col("src").as("nbr")))
-        .distinct())
-    var alive = Checkpoints.scratch(und.select("node").distinct())
-    var nAlive = alive.count()
+        .distinct(), lit(true))
+    var und = und0
+    val (alive0, nAlive0) =
+      Checkpoints.scratchCount(und.select("node").distinct(), lit(true))
+    var alive = alive0
+    var nAlive = nAlive0
     // mean degree = |und rows| div |V| (und holds one row per directed
     // distinct-neighbor incidence, so its count IS Σdeg)
     val k: Long = k0.map(_.toLong).getOrElse(
-      if (nAlive == 0L) 1L else und.count() / nAlive)
+      if (nAlive == 0L) 1L else nUnd / nAlive)
     var retired: Seq[DataFrame] = Nil
     val census = Seq.newBuilder[(Long, Long, Long, Long, Long)]
     var r = 1
     var fixed = false
     while (r <= rounds && !fixed) {
       val deg = und.groupBy("node").agg(count(lit(1)).as("deg"))
-      val removed = Checkpoints.scratch(
+      // the removal census (count + id-sum) rides the removed frame's
+      // checkpoint job via observe — no per-round census job
+      val (removed, crRow) = Checkpoints.scratchAgg(
         alive.join(deg.filter(col("deg") >= k).select("node"),
-          Seq("node"), "left_anti"))
-      val cr = removed.agg(count(lit(1)),
-        coalesce(sum(col("node")), lit(0L))).head()
-      val (nRem, remSum) = (cr.getLong(0), cr.getLong(1))
+          Seq("node"), "left_anti"),
+        Seq(count(lit(1)).as("n"),
+          coalesce(sum(col("node")), lit(0L)).as("s")))
+      val (nRem, remSum) = crRow match {
+        case Some(cr) => (cr.getAs[Long]("n"), cr.getAs[Long]("s"))
+        case None =>
+          val cr = removed.agg(count(lit(1)),
+            coalesce(sum(col("node")), lit(0L))).head()
+          (cr.getLong(0), cr.getLong(1))
+      }
       if (nRem == 0L) {
         fixed = true
         Checkpoints.rddOf(removed).foreach(_.unpersist(blocking = false))
