@@ -567,7 +567,15 @@ object Graph {
   def assortativityMoments(rawEdges: DataFrame): DataFrame = {
     val sym = rawEdges.select(col("a").as("u"), col("b").as("v"))
       .union(rawEdges.select(col("b").as("u"), col("a").as("v")))
-    val deg = sym.groupBy(col("u").as("n")).agg(count(lit(1)).as("d"))
+    // deg is scratch-materialized: it has THREE consumers (the
+    // degree-local moment aggregate and both cross-moment join sides),
+    // and the r16 job probe showed the symmetrize+aggregate map stage
+    // running TWICE (~11 s task time each at sf0.1) — AQE's per-stage
+    // planning did not reuse the exchange across the aggregate and join
+    // subtrees. The frame is ≤|V| rows, so the checkpoint is cheap at
+    // any scale.
+    val deg = Checkpoints.scratch(
+      sym.groupBy(col("u").as("n")).agg(count(lit(1)).as("d")))
     // empty-graph contract matches the joined form and the oracle:
     // COUNT over no rows is 0, SUMs over no rows stay NULL
     val local = deg.agg(coalesce(sum("d"), lit(0L)).as("n_endpoints"),
