@@ -154,13 +154,16 @@ object ConnectedComponents {
     * @return (id, comp) where comp = min vertex id reachable from id.
     */
   def run(vertices: DataFrame, edges: DataFrame, maxIters: Int = 25): DataFrame = {
-    // Both directions, so one join per round sees every neighbor. Persisted:
-    // the edge list is consumed once per round, and upstream it is typically
-    // an expensive pair-discovery pipeline (LSH banding, Jaccard verify) that
-    // must not re-run O(diameter) times.
-    val sym = edges.select(col("src"), col("dst"))
-      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // Both directions, so one join per round sees every neighbor.
+    // Materialized: the edge list is consumed once per round, and upstream
+    // it is typically an expensive pair-discovery pipeline (LSH banding,
+    // Jaccard verify) that must not re-run O(diameter) times. A scratch
+    // checkpoint, not persist (r16): the columnar CachedBatch persist paid
+    // decompression on EVERY round's read (measured 5–6 s task time per
+    // BFS round against a 24 MB cache in the sibling kernel), where the
+    // checkpoint stores raw rows.
+    val sym = Checkpoints.scratch(edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst"))))
 
     // Only edge-touched vertices iterate: an isolated vertex can never change
     // its label, so it stays out of every round's shuffle entirely and is
@@ -234,7 +237,7 @@ object ConnectedComponents {
       out
     } finally {
       retired.foreach(_.unpersist(blocking = false)) // non-convergence path
-      sym.unpersist(blocking = false)
+      checkpointRdd(sym).foreach(_.unpersist(blocking = false))
     }
   }
 }

@@ -452,10 +452,17 @@ object Graph {
     // cached hash(u): the per-round frontier join keys on u, so the cache's
     // partitioning is reused every round and only the frontier moves —
     // the q124 PageRank edge-cache discipline
-    val sym = edges.select(col("a").as("u"), col("b").as("v"))
-      .union(edges.select(col("b").as("u"), col("a").as("v")))
-      .repartition(col("u"))
-      .persist() // one consume per round
+    // scratch checkpoint, not persist: the frame is read ONCE PER ROUND,
+    // and a persist() stores it as compressed columnar CachedBatches that
+    // pay decompression on every round's read (r16 probe: the per-round
+    // frontier-join jobs carried 5–6 s of task time against a 24 MB
+    // cache); the checkpoint stores raw rows, keeps the hash(u) layout in
+    // the LogicalRDD (the pageRank edge-cache discipline), and its blocks
+    // are swept at the query boundary like every other scratch frame.
+    val sym = graft.operators.Checkpoints.scratch(
+      edges.select(col("a").as("u"), col("b").as("v"))
+        .union(edges.select(col("b").as("u"), col("a").as("v")))
+        .repartition(col("u")))
     val src = sym.agg(min(least(col("u"), col("v"))).as("s"))
     var dist = graft.operators.Checkpoints.scratch(
       sym.select(col("u").as("node")).distinct()
@@ -493,7 +500,8 @@ object Graph {
       settling = nSettled > 0
       r += 1
     }
-    sym.unpersist(blocking = false)
+    graft.operators.Checkpoints.rddOf(sym)
+      .foreach(_.unpersist(blocking = false))
     // the final round's checkpoint backs the returned plan — left live
     dist.select(col("node"), coalesce(col("dist"), lit(-1L)).as("dist"))
   }
