@@ -42,6 +42,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
 
     ext.injectFunction((
+      FunctionIdentifier("winnow_select"),
+      new ExpressionInfo(classOf[WinnowSelect].getName, "winnow_select"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "winnow_select(gram_hashes)")
+        WinnowSelect(children.head)
+      }))
+
+    ext.injectFunction((
       FunctionIdentifier("intersect_count_i64"),
       new ExpressionInfo(classOf[IntersectCountLong].getName,
         "intersect_count_i64"),

@@ -405,6 +405,75 @@ object DotProductLong {
   }
 }
 
+/** Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken,
+  * "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD 2003)
+  * over a document's gram-hash array, as ONE per-row expression — the
+  * r16 replacement for the explode → doc-keyed exchange → sort → 6-column
+  * lag/lead window formulation of `winnowSelected` (bit-identical
+  * selection, pinned in DedupSpec; the window stage carried ~11 s of task
+  * time at sf0.1 for what is a local scan over each doc's own array, and
+  * at warehouse scale the exchange+sort it needed shuffles the whole gram
+  * stream once for no cross-row information). Input: the doc-ordered
+  * gram hashes (duplicates kept). Output: array of (pos, fp) structs,
+  * pos 1-based, for positions where, with lg(k)=hash at pos−k (MAX
+  * beyond the start) and ld(k)=hash at pos+k (MAX beyond the end):
+  *   (lg1≥h ∧ lg2≥h ∧ lg3≥h) ∨ (lg1≥h ∧ lg2≥h ∧ ld1>h)
+  *   ∨ (lg1≥h ∧ ld1>h ∧ ld2>h) ∨ (ld1>h ∧ ld2>h ∧ ld3>h)
+  * — the leftmost-minimum selection of every w=4 window, extended to
+  * partial edge windows, exactly the window formulation's predicate. */
+case class WinnowSelect(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("pos", LongType, nullable = false),
+      StructField("fp", LongType, nullable = false))),
+    containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "winnow_select"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<bigint> argument, got " +
+        other.simpleString(10))
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    WinnowSelect.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.plans.WinnowSelect.compute($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object WinnowSelect {
+  def compute(hs: ArrayData): ArrayData = {
+    val n = hs.numElements()
+    val MAX = Long.MaxValue
+    @inline def at(i: Int): Long =
+      if (i >= 0 && i < n) hs.getLong(i) else MAX
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var i = 0
+    while (i < n) {
+      val h = hs.getLong(i)
+      val lg1 = at(i - 1); val lg2 = at(i - 2); val lg3 = at(i - 3)
+      val ld1 = at(i + 1); val ld2 = at(i + 2); val ld3 = at(i + 3)
+      val sel =
+        (lg1 >= h && lg2 >= h && lg3 >= h) ||
+          (lg1 >= h && lg2 >= h && ld1 > h) ||
+          (lg1 >= h && ld1 > h && ld2 > h) ||
+          (ld1 > h && ld2 > h && ld3 > h)
+      if (sel) out += new org.apache.spark.sql.catalyst.expressions
+        .GenericInternalRow(Array[Any]((i + 1).toLong, h))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+}
+
 /** `size(array_intersect(a, b))` as one primitive-long expression — the
   * verification kernel of the containment/Jaccard/triangle families on
   * their hot paths (r16 optimization). The built-in ArrayIntersect builds

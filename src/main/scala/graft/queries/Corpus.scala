@@ -841,34 +841,21 @@ object Corpus {
     * fingerprint). One doc-keyed window over the gram frame — no
     * unpartitioned state, selection density ~2/(w+1) bounds what flows
     * downstream. */
-  def winnowSelected(docs: DataFrame): DataFrame = {
-    val grams = docs
-      .select(col("doc_id"),
-        posexplode(T.portableShingleHashes(col("text"), WinnowK))
-          .as(Seq("p0", "h")))
-      .select(col("doc_id"), (col("p0") + 1).cast(LongType).as("pos"),
-        col("h"))
-      // pre-shuffle on the window key with the partition count PINNED to
-      // the session's shuffle parallelism: the gram frame is only a few
-      // MB of (doc_id, pos, h) rows, so AQE's byte-based coalescing ran
-      // the selection window SINGLE-TASK (r16 measurement: 0.86 s of a
-      // 1.3 s query in one task); the window reuses this exchange, and
-      // the pinned count keeps the CPU-dense lag/lead selection at full
-      // width (guide §2.5).
-      .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions,
-        col("doc_id"))
-    val w = Window.partitionBy("doc_id").orderBy("pos")
-    def lg(i: Int) = coalesce(lag("h", i).over(w), lit(Long.MaxValue))
-    def ld(i: Int) = coalesce(lead("h", i).over(w), lit(Long.MaxValue))
-    val h = col("h")
-    val selected =
-      (lg(1) >= h && lg(2) >= h && lg(3) >= h) ||
-        (lg(1) >= h && lg(2) >= h && ld(1) > h) ||
-        (lg(1) >= h && ld(1) > h && ld(2) > h) ||
-        (ld(1) > h && ld(2) > h && ld(3) > h)
-    grams.withColumn("sel", selected).filter(col("sel"))
-      .select(col("doc_id"), col("pos"), col("h").as("fp"))
-  }
+  def winnowSelected(docs: DataFrame): DataFrame =
+    // the native winnow_select expression ([[graft.plans.WinnowSelect]])
+    // computes the selection per document INSIDE the scan stage — the
+    // selection depends only on the doc's own gram array, so the r16
+    // rewrite drops the explode → doc-keyed exchange → sort → 6-column
+    // lag/lead window pipeline (measured ~11 s of window-stage task time
+    // at sf0.1, and at warehouse scale a full gram-stream shuffle) for a
+    // zero-shuffle map. Bit-identical selection: the window formulation
+    // is replayed as the parity reference in DedupSpec, and the oracle
+    // replays the original lag/lead SQL unchanged.
+    docs.select(col("doc_id"),
+        explode(call_function("winnow_select",
+          T.portableShingleHashes(col("text"), WinnowK))).as("s"))
+      .select(col("doc_id"), col("s").getField("pos").as("pos"),
+        col("s").getField("fp").as("fp"))
 
   /** q278 winnowed-fingerprint match census: the top-20 document pairs by
     * shared SELECTED fingerprints. Selection is [[winnowSelected]]; pair
@@ -885,7 +872,13 @@ object Corpus {
 
   /** [[q278]] over an arbitrary (doc_id, text) frame — spec entry point. */
   def q278From(docs: DataFrame): DataFrame = {
-    val selpos = winnowSelected(docs)
+    // scratch-materialized: selpos feeds TWO consumers (the anchor census
+    // and the hit projection), and each re-ran the md5-gram + window
+    // selection pipeline from the shared exchange (r16 probe: two ~4 MB
+    // gram map jobs + two window stages per execution). The winnowed
+    // frame is ~2/(w+1) of the gram stream — cheap to hold, expensive to
+    // recompute.
+    val selpos = graft.operators.Checkpoints.scratch(winnowSelected(docs))
     val anchors = selpos.groupBy("fp")
       .agg(countDistinct("doc_id").as("nd"), count(lit(1)).as("df"))
       .filter(col("nd") >= 2 && col("df") <= WinnowDfCap)

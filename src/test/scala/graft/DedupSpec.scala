@@ -32,6 +32,31 @@ class DedupSpec extends AnyFunSuite {
     assert(bad.isEmpty, bad.take(5).mkString("\n"))
   }
 
+  test("winnow_select == the lag/lead window formulation (sf0.001 corpus)") {
+    // the r16 native selection must reproduce the original window
+    // formulation row-for-row — the oracle still replays the window SQL
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text"))
+    val grams = d.select(col("doc_id"),
+        posexplode(graft.functions.TextFunctions
+          .portableShingleHashes(col("text"), 4)).as(Seq("p0", "h")))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"), col("h"))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    def lg(i: Int) = coalesce(lag("h", i).over(w), lit(Long.MaxValue))
+    def ld(i: Int) = coalesce(lead("h", i).over(w), lit(Long.MaxValue))
+    val h = col("h")
+    val ref = grams.withColumn("sel",
+        (lg(1) >= h && lg(2) >= h && lg(3) >= h) ||
+          (lg(1) >= h && lg(2) >= h && ld(1) > h) ||
+          (lg(1) >= h && ld(1) > h && ld(2) > h) ||
+          (ld(1) > h && ld(2) > h && ld(3) > h))
+      .filter(col("sel")).select(col("doc_id"), col("pos"), col("h").as("fp"))
+    val got = graft.queries.Corpus.winnowSelected(d)
+    assert(got.exceptAll(ref).isEmpty && ref.exceptAll(got).isEmpty,
+      "native winnow selection diverges from the window formulation")
+  }
+
   test("q278 winnowing guarantee: a 7-token shared passage is detected") {
     // t = w + k − 1 = 7: ANY verbatim overlap of ≥ 7 tokens must yield at
     // least one shared selected fingerprint (Schleimer 2003, Theorem 1)

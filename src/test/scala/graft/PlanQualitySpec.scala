@@ -48,11 +48,23 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("row_number"), p)
   }
 
-  test("q278/q292: the winnowing and lateness windows are keyed, not global") {
-    // doc-keyed selection window; user-keyed running max — neither ever
-    // moves the corpus into a single window partition
-    assert(plan("q278_winnow_fingerprint")
-      .contains("windowspecdefinition(doc_id"), "q278 window not doc-keyed")
+  test("q278/q292: winnow selection is a zero-shuffle map; lateness window keyed") {
+    // q278's selection became the native winnow_select expression in r16 —
+    // no window, no gram-stream exchange at all on the selection path
+    // (the parity with the lag/lead window formulation is pinned in
+    // DedupSpec); q292 keeps its user-keyed running max
+    // the selection subtree is scratch-materialized inside q278, so probe
+    // the kernel's own plan for the native expression + absence of any
+    // window/exchange; the q278 plan itself must carry no window either
+    val pSel = graft.queries.Corpus.winnowSelected(
+      graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+        .select("doc_id", "text"))
+      .queryExecution.executedPlan.toString
+    assert(pSel.contains("winnow_select"), s"native selection missing:\n$pSel")
+    assert(!pSel.contains("windowspecdefinition") && !pSel.contains("Exchange"),
+      s"selection must be a zero-shuffle map:\n$pSel")
+    assert(!plan("q278_winnow_fingerprint").contains("windowspecdefinition"),
+      "q278 should carry no window at all")
     assert(plan("q292_watermark_sizing")
       .contains("windowspecdefinition(user_id"), "q292 window not user-keyed")
   }
