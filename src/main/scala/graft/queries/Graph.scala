@@ -668,11 +668,19 @@ object Graph {
     var hub: DataFrame = nodes.withColumn("h", lit(1000000L))
     var auth: DataFrame = null
     var retired: Seq[DataFrame] = Nil
-    def renorm(raw: DataFrame, out: String): DataFrame = {
-      val mx = raw.agg(greatest(max(col("v")), lit(1L)).as("mx"))
-      raw.crossJoin(broadcast(mx))
-        .select(col("node"), expr(s"v * 1000000 div mx").as(out))
+    // the renormalizing MAX rides each half-round's checkpoint job as an
+    // observe accumulator (Checkpoints.scratchAgg) and enters the next
+    // plan as a LITERAL — the q30 parameter-fetch pattern. The old shape
+    // paid a 1-row max job + a broadcast crossJoin per half-round (6 of
+    // each per q267 execution) for the same number.
+    def rawMax(df: DataFrame): (DataFrame, Long) = {
+      val (out, row) = Checkpoints.scratchAgg(df,
+        Seq(greatest(coalesce(max(col("v")), lit(1L)), lit(1L)).as("mx")))
+      (out, row.map(_.getAs[Long]("mx")).getOrElse(
+        out.agg(greatest(max(col("v")), lit(1L))).head().getLong(0)))
     }
+    def renorm(raw: DataFrame, mx: Long, out: String): DataFrame =
+      raw.select(col("node"), expr(s"v * 1000000 div $mx").as(out))
     for (_ <- 1 to rounds) {
       // the ≤|V| score frame is BROADCAST into the edge blocks: scratch
       // frames carry no useful size stats, so an unhinted join planned as
@@ -682,18 +690,18 @@ object Graph {
       // recurrence that is broadcastable by construction; a graph whose
       // NODE table outgrows executor memory needs the co-partitioned
       // variant instead, and that is a different declared regime.
-      val aRaw = Checkpoints.scratch(
+      val (aRaw, aMx) = rawMax(
         eBase.join(broadcast(hub.select(col("node").as("src"), col("h"))),
             Seq("src"))
           .groupBy(col("dst").as("node"))
           .agg(sum(expr("wt * h")).as("v")))
-      val nextAuth = renorm(aRaw, "a")
-      val hRaw = Checkpoints.scratch(
+      val nextAuth = renorm(aRaw, aMx, "a")
+      val (hRaw, hMx) = rawMax(
         eBase.join(broadcast(
             nextAuth.select(col("node").as("dst"), col("a"))), Seq("dst"))
           .groupBy(col("src").as("node"))
           .agg(sum(expr("wt * a")).as("v")))
-      val nextHub = renorm(hRaw, "h")
+      val nextHub = renorm(hRaw, hMx, "h")
       retired.foreach(f =>
         Checkpoints.rddOf(f).foreach(_.unpersist(blocking = false)))
       retired = Seq(aRaw, hRaw)
