@@ -29,6 +29,20 @@ object Engine {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // Let AQE re-optimize (notably: coalesce the partitions of) a plan
+      // executed FOR CACHING. Default false pins every InMemoryRelation to
+      // the static shuffle.partitions width, so each SharedFrames cache
+      // (basket, co-purchase, transition edges) materialized at 32
+      // un-coalesced partitions and every downstream consumer — including
+      // the raw-row scratch copies the iterative kernels take — inherited
+      // 32-way layouts whose per-task constants dwarf the per-row work at
+      // these frame sizes (r17 JobProbe: HITS per-half-round jobs 8-10 s
+      // task time at 32 inherited partitions vs 0.15-0.44 s once AQE
+      // coalesces; the whole suite anti-scales 8→32 cores at sf0.1 for the
+      // same reason). Scale-adaptive by construction: AQE sizes the cached
+      // plan from measured bytes, so a 100 TB cache keeps full width.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.parquet.filterPushdown", "true")

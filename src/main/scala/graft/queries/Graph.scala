@@ -143,22 +143,14 @@ object Graph {
     }
   }
 
-  def q124(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.load(spark, dir, "lineitem")
-      .select(col("l_orderkey").as("okey"), col("l_linenumber").as("ln"),
-        col("l_partkey").as("pk"))
-    // (okey, ln) is NOT unique in the fixture — the transition sequence must
-    // ride a TOTAL order or lead() is engine/partition-layout dependent
-    val nxt = Window.partitionBy("okey").orderBy(col("ln"), col("pk"))
-    val edges = li.withColumn("dst", lead("pk", 1).over(nxt))
-      .filter(col("dst").isNotNull && col("dst") =!= col("pk"))
-      .groupBy(col("pk").as("src"), col("dst"))
-      .agg(count(lit(1)).as("wt"))
-    pageRank(edges, rounds = 5)
+  // (okey, ln) is NOT unique in the fixture — the transition sequence in
+  // [[transitionEdges]] rides a TOTAL order or lead() is engine/partition-
+  // layout dependent
+  def q124(spark: SparkSession, dir: String): DataFrame =
+    pageRank(transitionEdges(spark, dir), rounds = 5)
       .select(col("node").as("part"), col("r").as("rank_micro"))
       .orderBy(desc("rank_micro"), col("part"))
       .limit(20)
-  }
 
   /** The oracle unrolls the same 5 rounds as chained CTEs (r1..r5), each
     * replaying the identical per-edge floor arithmetic. */
@@ -206,21 +198,12 @@ object Graph {
     * nothing over the uniform rank. Top-20 parts by seeded authority;
     * the interesting rows are the NON-seed parts pulled up by seed
     * adjacency. */
-  def q256(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.load(spark, dir, "lineitem")
-      .select(col("l_orderkey").as("okey"), col("l_linenumber").as("ln"),
-        col("l_partkey").as("pk"))
-    val nxt = Window.partitionBy("okey").orderBy(col("ln"), col("pk"))
-    val edges = li.withColumn("dst", lead("pk", 1).over(nxt))
-      .filter(col("dst").isNotNull && col("dst") =!= col("pk"))
-      .groupBy(col("pk").as("src"), col("dst"))
-      .agg(count(lit(1)).as("wt"))
-    pageRankSeeded(edges, rounds = 5,
+  def q256(spark: SparkSession, dir: String): DataFrame =
+    pageRankSeeded(transitionEdges(spark, dir), rounds = 5,
       seed = Some(n => graft.functions.TextFunctions.hashBucket(n, 7) === 0))
       .select(col("node").as("part"), col("r").as("rank_micro"))
       .orderBy(desc("rank_micro"), col("part"))
       .limit(20)
-  }
 
   val q256Sql: String = {
     def seeded(x: String) =
@@ -331,9 +314,17 @@ object Graph {
     // release point — it would strand a CacheManager entry per call (the
     // r9 leak class). Direct callers pass cached or cheap edge frames.
     val edges = rawEdges
-    val deg = edges.select(col("a").as("v"))
-      .union(edges.select(col("b").as("v")))
-      .groupBy("v").agg(count(lit(1)).as("d"))
+    // deg is scratch-materialized (r17; the r16 q146 fix applied here):
+    // it has THREE consumer subtrees (both orientation-join sides and the
+    // vertex/wedge moment aggregate), and the r17 job probe showed the
+    // union+aggregate pass running 2×+ (≈10 s task time per pass at
+    // sf0.1) because AQE plans the join and aggregate stage trees
+    // separately — exchange reuse never fires across them. ≤|V| rows, so
+    // the checkpoint is cheap at any scale.
+    val deg = graft.operators.Checkpoints.scratch(
+      edges.select(col("a").as("v"))
+        .union(edges.select(col("b").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("d")))
     val lowFirst = edges
       .join(deg.select(col("v").as("a"), col("d").as("da")), "a")
       .join(deg.select(col("v").as("b"), col("d").as("db")), "b")
@@ -370,10 +361,16 @@ object Graph {
       .join(adj.select(col("src").as("dst"), col("nbrs").as("nv")), Seq("dst"))
       .select(call_function("intersect_count_i64", col("nu"), col("nv")).as("c"))
       .agg(coalesce(sum("c"), lit(0L)).as("n_triangles"))
-    val nV = deg.agg(count(lit(1)).as("n_vertices"))
+    // vertex count and wedge sum are BOTH degree-local — one aggregate
+    // pass over the materialized deg frame instead of two subtrees (and
+    // one fewer crossJoin job); the explicit select restores the declared
+    // column order
+    val nVW = deg.agg(count(lit(1)).as("n_vertices"),
+      sum(expr("d * (d - 1) div 2")).as("n_wedges"))
     val nE = edges.agg(count(lit(1)).as("n_edges"))
-    val nW = deg.agg(sum(expr("d * (d - 1) div 2")).as("n_wedges"))
-    nV.crossJoin(nE).crossJoin(nW).crossJoin(nTri)
+    nVW.crossJoin(nE).crossJoin(nTri)
+      .select(col("n_vertices"), col("n_edges"), col("n_wedges"),
+        col("n_triangles"))
       .withColumn("closure_ppm",
         expr("case when n_wedges > 0 then 3 * n_triangles * 1000000 div n_wedges end"))
   }
@@ -721,21 +718,12 @@ object Graph {
     * in-aggregate, one MAX renormalization, one weighted out-aggregate,
     * one renormalization — all exact integers), top-20 by authority. The
     * oracle unrolls the identical 12 CTE steps. */
-  def q267(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.load(spark, dir, "lineitem")
-      .select(col("l_orderkey").as("okey"), col("l_linenumber").as("ln"),
-        col("l_partkey").as("pk"))
-    val nxt = Window.partitionBy("okey").orderBy(col("ln"), col("pk"))
-    val edges = li.withColumn("dst", lead("pk", 1).over(nxt))
-      .filter(col("dst").isNotNull && col("dst") =!= col("pk"))
-      .groupBy(col("pk").as("src"), col("dst"))
-      .agg(count(lit(1)).as("wt"))
-    hits(edges, rounds = 3)
+  def q267(spark: SparkSession, dir: String): DataFrame =
+    hits(transitionEdges(spark, dir), rounds = 3)
       .select(col("node").as("part"), col("a").as("auth_micro"),
         col("h").as("hub_micro"))
       .orderBy(desc("auth_micro"), col("part"))
       .limit(20)
-  }
 
   val q267Sql: String = {
     // every CTE is MATERIALIZED (the q254 lesson): each step is referenced
@@ -812,12 +800,25 @@ object Graph {
     * previous round's retired one sweep later (the pageRankSeeded
     * discipline); callers outside the bench sweep should
     * `Checkpoints.sweepScratch` after consuming the result. */
-  def labelPropagation(rawEdges: DataFrame, rounds: Int): DataFrame = {
-    val eDir = Checkpoints.scratch(rawEdges)
-    val e = Checkpoints.scratch(
-      eDir.select(col("src").as("node"), col("dst").as("nbr"), col("wt"))
-        .union(eDir.select(col("dst").as("node"), col("src").as("nbr"),
-          col("wt"))))
+  /** @param inputMaterialized callers whose edge frame is ALREADY a
+    *        materialized scratch checkpoint (q305 shares one with its
+    *        modularity pass) pass true to skip the redundant copy; the
+    *        default re-materializes arbitrary (possibly expensive) caller
+    *        lineage exactly once. */
+  def labelPropagation(rawEdges: DataFrame, rounds: Int,
+      inputMaterialized: Boolean = false): DataFrame = {
+    val eDir =
+      if (inputMaterialized) rawEdges else Checkpoints.scratch(rawEdges)
+    // the undirected frame stays LAZY on purpose (r17; the q305 und lesson
+    // generalized): its union is a pair of projections over eDir's
+    // materialized blocks, so each round reads the |E| checkpoint twice —
+    // the same bytes as reading an eager 2|E| snapshot once — and the
+    // 2|E| checkpoint write (9.5+ MB/graph at sf0.1, 2|E| blocks at any
+    // scale) disappears. The ×10 A/B that kept q305's und lazy (min 31.4 s
+    // eager vs 18.8 s lazy) is the measured basis.
+    val e = eDir.select(col("src").as("node"), col("dst").as("nbr"), col("wt"))
+      .union(eDir.select(col("dst").as("node"), col("src").as("nbr"),
+        col("wt")))
     val nodes = Checkpoints.scratch(e.select("node").distinct())
     var lbl: DataFrame = nodes.withColumn("lbl", col("node"))
     var retired: Seq[DataFrame] = Nil
@@ -855,25 +856,46 @@ object Graph {
     * size with a member-id checksum pinning the exact partition under the
     * hash gate; the oracle unrolls the identical 6 CTE steps. */
   def q272(spark: SparkSession, dir: String): DataFrame =
+    // default materialization: the kernel copies the SharedFrames-cached
+    // frame into a raw-row scratch once, so the 3×2 per-round reads touch
+    // raw rows, not CachedBatch decompression (the r16 lesson)
     labelPropagation(transitionEdges(spark, dir), rounds = 3)
       .groupBy(col("lbl").as("community"))
       .agg(count(lit(1)).as("n_members"), sum("node").as("member_id_sum"))
       .orderBy(desc("n_members"), col("community"))
       .limit(20)
 
-  /** The q124/q272 item-transition edge frame (adjacent parts within an
-    * order, self-loops dropped, parallel transitions weighted), factored
-    * so q272 and q305 provably walk the SAME graph. */
-  private def transitionEdges(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.load(spark, dir, "lineitem")
-      .select(col("l_orderkey").as("okey"), col("l_linenumber").as("ln"),
-        col("l_partkey").as("pk"))
-    val nxt = Window.partitionBy("okey").orderBy(col("ln"), col("pk"))
-    li.withColumn("dst", lead("pk", 1).over(nxt))
-      .filter(col("dst").isNotNull && col("dst") =!= col("pk"))
-      .groupBy(col("pk").as("src"), col("dst"))
-      .agg(count(lit(1)).as("wt"))
-  }
+  /** The item-transition edge frame (adjacent parts within an order,
+    * self-loops dropped, parallel transitions weighted), factored so every
+    * transition-graph query — q124, q256, q267, q272, q275, q305 — provably
+    * walks the SAME graph.
+    *
+    * Shared per (session, dir, corpus stamp) like [[coPurchaseEdges]]
+    * (r17): the window + aggregate discovery is the identical fixed entry
+    * cost of all six queries (r17 JobProbe: ~1 s wall each), and a session
+    * running several of them rebuilt it per query. Each kernel still takes
+    * a raw-row scratch copy of the cached frame for its per-round reads
+    * (the r16 CachedBatch-decompression lesson), so the cache is read once
+    * per execution, never once per round.
+    *
+    * The window exchange deliberately stays AQE-coalesced (measured r17
+    * dead end, the r16 minPartitionSize lesson repeated at stage scope:
+    * pinning the window to the session's 32-way shuffle parallelism ran
+    * the window + partial-aggregate stage at 18.8 s of task time vs 3.9 s
+    * on the 8 AQE-coalesced tasks — this family's stages pay a per-task
+    * constant that dwarfs the per-row work, the same effect that makes
+    * the whole bench anti-scale 8→32 cores at sf0.1). */
+  private def transitionEdges(spark: SparkSession, dir: String): DataFrame =
+    SharedFrames.sharedFrame(spark, dir, "lineitem", "transition-edges") {
+      val li = Tables.load(spark, dir, "lineitem")
+        .select(col("l_orderkey").as("okey"), col("l_linenumber").as("ln"),
+          col("l_partkey").as("pk"))
+      val nxt = Window.partitionBy("okey").orderBy(col("ln"), col("pk"))
+      li.withColumn("dst", lead("pk", 1).over(nxt))
+        .filter(col("dst").isNotNull && col("dst") =!= col("pk"))
+        .groupBy(col("pk").as("src"), col("dst"))
+        .agg(count(lit(1)).as("wt"))
+    }
 
   /** The q272 LPA oracle CTE chain (edges → und → l0 → 3 unrolled rounds,
     * every round MATERIALIZED — the 78 GB DuckDB spill lesson), factored so
@@ -974,16 +996,21 @@ object Graph {
     * than one extra LPA round. The oracle replays the IDENTICAL
     * partition (shared CTE chain) plus the same two-floor ppm algebra. */
   def q305(spark: SparkSession, dir: String): DataFrame = {
-    // edges materialized ONCE: without this the lead-window-over-lineitem
+    // edges materialized ONCE as raw rows: without this the lead-window
     // pipeline re-ran per und consumer (review finding r16 — the
-    // docstring's "one |E| scan" claim was false). The undirected frame
-    // itself stays LAZY on purpose: its union is free on top of the
-    // materialized edges, and an A/B at ×10 measured eager-checkpointing
-    // the 2|E| frame SLOWER (min 31.4 vs 18.8 s — block-store pressure
-    // beats the cheap re-read) — the r16 lesson that scratch is for
-    // expensive lineage, not every shared frame.
+    // docstring's "one |E| scan" claim was false); the SharedFrames cache
+    // (r17) makes the discovery itself once-per-session, and this scratch
+    // copy keeps the 3 modularity consumers + 3 LPA rounds on raw-row
+    // blocks instead of repeated CachedBatch decompression.
+    // inputMaterialized: the LPA kernel must NOT take a second checkpoint
+    // copy of this very frame (the r16 shape did — one redundant |E| write
+    // per execution). The undirected frame itself stays LAZY on purpose:
+    // its union is free on top of the materialized edges, and an A/B at
+    // ×10 measured eager-checkpointing the 2|E| frame SLOWER (min 31.4 vs
+    // 18.8 s — block-store pressure beats the cheap re-read) — the r16
+    // lesson that scratch is for expensive lineage, not every shared frame.
     val edges = Checkpoints.scratch(transitionEdges(spark, dir))
-    val lbl = labelPropagation(edges, rounds = 3)
+    val lbl = labelPropagation(edges, rounds = 3, inputMaterialized = true)
     val und = edges
       .select(col("src").as("node"), col("dst").as("nbr"), col("wt"))
       .union(edges.select(col("dst").as("node"), col("src").as("nbr"),
@@ -1170,16 +1197,12 @@ object Graph {
         .select("src", "dst").distinct(),
       None, KCoreRounds).orderBy("round")
 
-  def q275(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.load(spark, dir, "lineitem")
-      .select(col("l_orderkey").as("okey"), col("l_linenumber").as("ln"),
-        col("l_partkey").as("pk"))
-    val nxt = Window.partitionBy("okey").orderBy(col("ln"), col("pk"))
-    val edges = li.withColumn("dst", lead("pk", 1).over(nxt))
-      .filter(col("dst").isNotNull && col("dst") =!= col("pk"))
-      .select(col("pk").as("src"), col("dst")).distinct()
-    kCoreCensus(spark, edges, None, KCoreRounds).orderBy("round")
-  }
+  def q275(spark: SparkSession, dir: String): DataFrame =
+    // the weighted frame's (src, dst) key set IS the distinct pair set the
+    // old inline window + DISTINCT built (a groupBy's keys are distinct by
+    // construction) — same graph, one shared discovery
+    kCoreCensus(spark, transitionEdges(spark, dir).select("src", "dst"),
+      None, KCoreRounds).orderBy("round")
 
   val q275Sql: String = {
     val rounds = (1 to KCoreRounds).map { i =>

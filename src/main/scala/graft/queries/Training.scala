@@ -2481,8 +2481,12 @@ object Training {
     * pair-keyed aggregate + |items|-row windows; rounds scratch-barrier
     * their strength frame (the q124 per-round discipline). */
   def q287(spark: SparkSession, dir: String): DataFrame =
+    // parallelized (r17; the q102 single-row-group fix applied here): the
+    // fixture's one-file events scan ran the whole JSON-extract +
+    // collect_set pair build on ONE task (JobProbe: 0.77 s of 1.34 s);
+    // size-guarded, so a multi-file production scan is untouched
     bradleyTerry(graft.streaming.EventStream.preferencePairsStream(
-      Tables.load(spark, dir, "events")))
+      Tables.parallelized(Tables.load(spark, dir, "events"))))
 
   /** [[q287]]'s MM kernel over an arbitrary (chosen, rejected) pair frame —
     * spec entry point (planted comparison chains, driver replay). */
@@ -2524,10 +2528,15 @@ object Training {
     var g = S.scratch(wins.withColumn("gamma", lit(1000000L)))
     val snaps = scala.collection.mutable.Map.empty[Int, DataFrame]
     (1 to snapshots.max).foreach { r =>
+      // the ≤|items| strength frame is BROADCAST into the pair blocks (the
+      // hits/labelPropagation regime argument: the item catalog is bounded
+      // by construction; scratch frames carry no useful size stats, so the
+      // unhinted join planned exchanges on the |pairs| frame every round)
       val gi = g.select(col("i"), col("gamma"))
       val den = np
-        .join(gi, Seq("i"))
-        .join(gi.select(col("i").as("j"), col("gamma").as("gj")), Seq("j"))
+        .join(broadcast(gi), Seq("i"))
+        .join(broadcast(gi.select(col("i").as("j"), col("gamma").as("gj"))),
+          Seq("j"))
         .withColumn("t",
           expr("nij * 10000000000 div greatest(1, gamma + gj)"))
         .groupBy("i").agg(sum("t").as("den"))
@@ -2537,15 +2546,32 @@ object Training {
       // collapse den to 0 (every term nij·10^10 div (γi+γj) rounds down),
       // and an uncapped graw = wins·10^10 would overflow int64 in the
       // graw·10^6 normalization below
-      g = S.scratch(g.select("i", "wins").join(den, Seq("i"))
-        .withColumn("graw", expr(
-          "least(1000000000000, wins * 10000000000 div greatest(1, den))"))
-        .withColumn("meang",
-          expr("greatest(1, sum(graw) over (partition by 1) " +
-            "div count(*) over (partition by 1))"))
-        .withColumn("gamma",
-          expr("least(1000000000000, graw * 1000000 div meang)"))
-        .select("i", "wins", "gamma"))
+      //
+      // mean renormalization rides the round's checkpoint job as an
+      // observe accumulator and enters the γ projection as a LITERAL (the
+      // q267 HITS discipline, r17): the old `over (partition by 1)`
+      // windows forced an exchange-to-one-partition + two window passes
+      // per round for two scalars. γ stays a lazy projection over the
+      // checkpointed raw blocks, so consumers re-run only the projection.
+      // Same fixed-point algebra: div on non-negative int64 ≡ Scala /.
+      val (graw, mrow) = S.scratchAgg(
+        g.select("i", "wins").join(den, Seq("i"))
+          .withColumn("graw", expr(
+            "least(1000000000000, wins * 10000000000 div greatest(1, den))"))
+          .select("i", "wins", "graw"),
+        Seq(coalesce(sum(col("graw")), lit(0L)).as("s"),
+          count(lit(1)).as("c")))
+      val meang: Long = mrow match {
+        case Some(row) => math.max(1L,
+          row.getAs[Long]("s") / math.max(1L, row.getAs[Long]("c")))
+        case None =>
+          val row = graw.agg(coalesce(sum(col("graw")), lit(0L)),
+            count(lit(1))).head()
+          math.max(1L, row.getLong(0) / math.max(1L, row.getLong(1)))
+      }
+      g = graw.withColumn("gamma",
+          expr(s"least(1000000000000, graw * 1000000 div $meang)"))
+        .select("i", "wins", "gamma")
       // a snapshot round's frame must outlive the loop — retire only
       // non-snapshot predecessors
       if (!snaps.valuesIterator.exists(_ eq prev))
@@ -2641,8 +2667,9 @@ object Training {
     * sum(agree)·10⁶ wraps int64 only past ~9.2e12 items — beyond any
     * catalog. */
   def q296(spark: SparkSession, dir: String): DataFrame =
+    // parallelized for the same reason as q287 (single-task pair build)
     btConvergence(graft.streaming.EventStream.preferencePairsStream(
-      Tables.load(spark, dir, "events")))
+      Tables.parallelized(Tables.load(spark, dir, "events"))))
 
   /** [[q296]]'s kernel over an arbitrary (chosen, rejected) pair frame —
     * spec entry point (planted intransitive cycles, snapshot-consistency
